@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextStats.{portableHash, tokens, HashMod}
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY.md
+  * §2.4): exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+  *
+  * Scale posture: exact dedup is one hash-shuffle; MinHash signatures are
+  * pure column expressions (scan-bound, no shuffle); LSH banding turns
+  * the quadratic all-pairs problem into a band-bucket equi-join — the
+  * only shuffle is on band keys, and no cross join ever materializes.
+  * The exact-Jaccard verify runs only on LSH candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per (normalized) text. One shuffle. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(lower(trim(col(textCol))).as("norm_text"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Word n-gram shingles of a token array (n consecutive words joined by
+    * a space). Empty if the doc has fewer than n words.
+    */
+  def shingles(words: Column, n: Int): Column =
+    when(size(words) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+
+  /** MinHash permutation constants: k pairs (a_i, b_i) for
+    * h_i(x) = (a_i * x + b_i) mod (2^31-1). Deterministic, seeded.
+    */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** k-column MinHash signature over a shingle array. Pure expression —
+    * computed in one pass over the scan, no shuffle, codegen'd.
+    */
+  def minhashSignature(shinglesCol: Column, k: Int): Column = {
+    val hs = transform(shinglesCol, s => portableHash(s) % HashMod)
+    val mins = minhashCoeffs(k).map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % HashMod))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH band keys: split the signature into `bands` bands of
+    * `rowsPerBand` and hash each band. Two docs share a band key iff
+    * their signature agrees on that whole band.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws("|", lit(b.toString),
+        md5(concat_ws(":", slice(sig, b * rowsPerBand + 1, rowsPerBand))))
+    }: _*)
+
+  /** Exact Jaccard similarity of two string arrays (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Pipeline: tokenize → shingle → MinHash signature (k hashes) → LSH
+    * band keys → explode bands → self-equi-join on band key (id_a < id_b)
+    * → distinct candidate pairs → exact-Jaccard verify ≥ threshold.
+    *
+    * Returns (id_a, id_b, jaccard). Candidates-only verification keeps
+    * the join linear in (docs × bands), never quadratic in corpus size.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                          threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      shingles(tokens(col(textCol)), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("band", explode(lshBandKeys(
+        minhashSignature(col("sh"), k), bands, rows)))
+    val a = base.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over token hashes: bit j of the fingerprint is 1 iff
+    * the sum over tokens of ±1 votes (sign of bit j of the token hash)
+    * is positive. Pure expression, no shuffle.
+    */
+  def simhash32(words: Column): Column = {
+    val hs = transform(words, w => portableHash(w))
+    val bitSums: Seq[Column] = (0 until 32).map { j =>
+      aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex.map { case (s, j) =>
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup candidates: pairs within `maxHamming` bits.
+    * Blocking: split the 32-bit simhash into (maxHamming+1) bands — by
+    * pigeonhole, any pair within maxHamming agrees on at least one whole
+    * band — then equi-join on (band index, band value) and verify with
+    * `bit_count(xor)`. Same linear-join shape as MinHash-LSH.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = 32 / nBands
+    val withSig = df.select(col(idCol).cast("long").as("id"),
+      simhash32(tokens(col(textCol))).as("sig"))
+    val banded = withSig.withColumn("band",
+      explode(array((0 until nBands).map { b =>
+        concat_ws("|", lit(b.toString),
+          shiftright(col("sig"), b * width).bitwiseAND((1L << width) - 1).cast("string"))
+      }: _*)))
+    val a = banded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard over all pairs of a (bounded) document set.
+    * This is the quadratic ground-truth used to validate the LSH path;
+    * callers MUST bound the input (it cross-joins). For production scale
+    * use `minhashNearDupPairs`.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.1): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+      .where(size(col("sh")) > 0)
+    val a = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`) — SURVEY.md
+  * §2.4. Brute-force cosine top-k as the exact baseline; random-
+  * hyperplane LSH bucketing as the scale path (candidates shrink from
+  * N×Q to bucket-local, and the only join is an equi-join on bucket key).
+  *
+  * All dot products are higher-order-function expressions in DOUBLE —
+  * codegen'd, no UDFs. Queries are broadcast (they are the small side by
+  * construction).
+  */
+object Similarity {
+
+  /** Dot product of two numeric arrays, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (0 when either side has zero norm). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = l2norm(a) * l2norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k nearest neighbors by cosine for each query vector.
+    *
+    * `queries` is broadcast; the corpus is scanned once; per-query top-k
+    * is a window over (query, score). Ties on the (rounded) score break
+    * by corpus id so results are deterministic and engine-portable.
+    * Self-matches (same id) are excluded.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     roundScore: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), roundScore))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Deterministic random hyperplanes: `nPlanes` unit-free direction
+    * vectors of dimension `dim` (seeded; constants baked into the plan).
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket key of a vector under the given hyperplanes:
+    * a string of 0/1 sign bits. Vectors in the same bucket are likely
+    * cosine-close (random hyperplane LSH, Charikar 2002).
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    concat_ws("", planes.map { p =>
+      val planeLit = array(p.map(lit(_)): _*)
+      when(dot(vec, planeLit) >= 0.0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** Approximate top-k: bucket corpus and queries with `nPlanes` sign
+    * bits, join on bucket (plus Hamming-1 neighbor buckets for recall),
+    * then exact-cosine rerank within candidates.
+    *
+    * Scale: the corpus is scanned once to compute buckets (pure
+    * expressions), the join is an equi-join on bucket key, and rerank
+    * touches only candidates — no N×Q blow-up.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int = 8,
+              dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes))
+    // Probe the query's own bucket plus all Hamming-1 buckets (flip each
+    // bit once) — multi-probe LSH, recovers most near-misses cheaply.
+    val probes = (0 until nPlanes).foldLeft(Seq[Column](col("bucket"))) {
+      (acc, i) =>
+        acc :+ concat(
+          substring(col("bucket"), 1, i),
+          when(substring(col("bucket"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+          substring(col("bucket"), i + 2, nPlanes - i - 1))
+    }
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("bucket", lshBucket(col("qv"), planes))
+        .withColumn("probe", explode(array(probes: _*)))
+        .drop("bucket"))
+    val cand = q.join(c, col("probe") === col("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Per-vector norm/statistics frame (sanity + quality gates). */
+  def embeddingStats(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(col(vecCol)).as("dim"),
+      round(l2norm(col(vecCol)), 4).as("l2_norm"),
+      round(aggregate(col(vecCol), lit(0.0), (a, x) => a + x.cast("double")) /
+        size(col(vecCol)).cast("double"), 6).as("mean_component"))
+}

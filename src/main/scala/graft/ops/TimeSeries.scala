@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over event/candle data.
+  *
+  * The reference stores raw bars and leaves analytics to callers; these
+  * are the operations its data model exists to serve (`CandleLength` at
+  * `page/index.go:22`, daily prefix-sum index at `page/index.go:11-17`).
+  * All are single-shuffle, partition-parallel plans — no driver loops, no
+  * collects — so they hold at 100 TB given a sane partitioning of the
+  * input (series key and/or time).
+  */
+object TimeSeries {
+
+  /** Epoch-second bucket start for a tumbling window of `widthSec`.
+    * BIGINT (not a window struct) so results stay engine-portable.
+    */
+  def bucketStart(ts: Column, widthSec: Long): Column =
+    (unix_timestamp(ts).cast("long") / widthSec).cast("long") * widthSec
+
+  /** Resample raw ticks/events into OHLCV candles of `widthSec` per key:
+    * open = value at min ts, high = max, low = min, close = value at max
+    * ts, volume = sum, n = count. One partial-aggregated shuffle on
+    * (keys, bucket) — map-side combine keeps it scan-bound at scale.
+    */
+  def candlesFromTicks(ticks: DataFrame, tsCol: String, valueCol: String,
+                       volumeCol: Option[String], keys: Seq[String],
+                       widthSec: Long): DataFrame = {
+    val v = col(valueCol)
+    val vol = volumeCol.map(c => sum(col(c))).getOrElse(count(lit(1)).cast("double"))
+    ticks
+      .withColumn("bucket", bucketStart(col(tsCol), widthSec))
+      .groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(
+        min_by(v, col(tsCol)).as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        max_by(v, col(tsCol)).as("close"),
+        vol.as("volume"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Re-aggregate candles to a coarser bar length (1m→5m/1h/1d): open =
+    * open of earliest bar, high = max(high), low = min(low), close =
+    * close of latest bar, volume = sum (`page/header.go:17` semantics —
+    * a candle of length L covers [bucket, bucket+L)).
+    */
+  def resampleCandles(candles: DataFrame, tsCol: String, toWidthSec: Long,
+                      keys: Seq[String]): DataFrame =
+    candles
+      .withColumn("bucket", bucketStart(col(tsCol), toWidthSec))
+      .groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(
+        min_by(col("open"), col(tsCol)).as("open"),
+        max("high").as("high"),
+        min("low").as("low"),
+        max_by(col("close"), col(tsCol)).as("close"),
+        sum("volume").as("volume"))
+
+  /** As-of join: for each left row, the latest right row with
+    * `right.ts <= left.ts`, matched per `by` key. Implemented as
+    * union + last(ignoreNulls) over one window — a SINGLE shuffle on the
+    * key, instead of the naive range-join (which explodes at scale).
+    * Right rows at exactly-equal ts are visible to the left row.
+    *
+    * @param valueCols right columns to carry; emitted as `asof_<name>`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
+               leftTs: String, rightTs: String,
+               valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+      .select((by.map(col) :+ col("_ts") :+ col("_side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")) ++
+        leftCols.filterNot(by.contains).map(c => col(c).as(s"_l_$c")): _*)
+    val r = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_side", lit(0))
+      .select((by.map(col) :+ col("_ts") :+ col("_side")) ++
+        valueCols.map(c => col(c).as(s"_v_$c")) ++
+        leftCols.filterNot(by.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")): _*)
+    // _side asc ⇒ at equal ts the right row sorts first, so the left row
+    // sees it (as-of "<=" semantics).
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.unionByName(r)
+      .select(
+        (by.map(col) :+ col("_ts") :+ col("_side")) ++
+          leftCols.filterNot(by.contains).map(c => col(s"_l_$c")) ++
+          valueCols.map(c => last(col(s"_v_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .where(col("_side") === 1)
+    joined.select(
+      (by.map(col) ++
+        leftCols.filterNot(by.contains).map(c => col(s"_l_$c").as(c)) ++
+        valueCols.map(c => col(s"asof_$c"))): _*)
+  }
+
+  /** Gap detection: rows whose distance to the previous row in the same
+    * series exceeds `thresholdSec` (reference callers do this over raw
+    * pages; the daily index `page/index.go:11-17` exists to find them).
+    */
+  def gaps(df: DataFrame, tsCol: String, keys: Seq[String],
+           thresholdSec: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    df.withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("gap_sec",
+        unix_timestamp(col(tsCol)) - unix_timestamp(col("prev_ts")))
+      .where(col("gap_sec") > thresholdSec)
+  }
+
+  /** Volume-weighted average price per group. */
+  def vwap(df: DataFrame, priceCol: String, qtyCol: String,
+           keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg((sum(col(priceCol) * col(qtyCol)) / sum(col(qtyCol))).as("vwap"),
+        sum(col(qtyCol)).as("total_qty"))
+
+  /** Moving aggregate over the last `nRows` rows per key (ordered by ts
+    * with explicit tie-break columns for determinism).
+    */
+  def movingAvg(df: DataFrame, valueCol: String, tsCol: String,
+                keys: Seq[String], nRows: Int,
+                tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(nRows - 1), Window.currentRow)
+    val wc = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("mavg", avg(col(valueCol)).over(w))
+      .withColumn("csum", sum(col(valueCol)).over(wc))
+  }
+
+  /** Daily cumulative row counts per key — the reference's intra-page
+    * prefix-sum index (`PageIndex.ApplyDailyCount`, `page/index.go:11-17`:
+    * "rows before this day") as a declared query. `cum_before` counts
+    * rows strictly before the day, matching the reference exactly.
+    */
+  def dailyCumulativeCounts(df: DataFrame, tsCol: String,
+                            keys: Seq[String]): DataFrame = {
+    val daily = df
+      .withColumn("day", to_date(col(tsCol)))
+      .groupBy((keys.map(col) :+ col("day")): _*)
+      .agg(count(lit(1)).as("day_count"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily.withColumn("cum_before",
+      coalesce(sum("day_count").over(w), lit(0L)))
+  }
+
+  /** Batch sessionization: group events into sessions separated by gaps
+    * > `gapSec` (the batch analog of Structured Streaming's
+    * `session_window`, declared in SURVEY.md §2.3).
+    */
+  def sessionize(df: DataFrame, tsCol: String, keys: Seq[String],
+                 gapSec: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val flagged = df
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("_prev")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("_new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy((keys.map(col) :+ col("session_id")): _*)
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+}

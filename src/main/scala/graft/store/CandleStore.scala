@@ -1,0 +1,198 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Candle
+
+/** Partitioned-Parquet candle store: the Spark-native analog of the
+  * reference's paged storage engine.
+  *
+  * Layout: one Hive-partitioned Parquet table at `path`, partitioned by
+  * `market/candle_length/code/year` — the same nesting the reference uses
+  * on disk (`database/storage/disk/resolver.go:15-17`, one `.ysf` file per
+  * series-year). Partition pruning gives the reference's "point page
+  * lookup" (`database/storage/storage.go:78-96`) for free; Parquet
+  * row-group min/max stats replace its daily prefix-sum skip index
+  * (`page/index.go:11-17`).
+  *
+  * The WAL / lock manager / buffer pool / COW machinery of the reference
+  * (`database/concurrency`, `database/storage/wal`, `database/storage/memory`) is
+  * deliberately NOT ported: immutable DataFrames + atomic per-partition
+  * file commit + idempotent upsert supply those guarantees in Spark's
+  * execution model (SURVEY.md §2.1 T1-T4, M1-M4).
+  *
+  * Scale posture (100 TB): every operation below is a narrow scan of only
+  * the partitions a batch touches, a single shuffle for the merge window,
+  * and a dynamic-partition-overwrite of only those partitions. Nothing is
+  * proportional to table size; everything is proportional to batch size ×
+  * touched partitions.
+  */
+final class CandleStore(spark: SparkSession, val path: String) {
+  import CandleStore._
+
+  private def exists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** Full table scan (schema-on-read; callers filter for pruning). */
+  def scan(): DataFrame = spark.read.parquet(path)
+
+  /** Point lookup of one series-year "page" — pure partition pruning
+    * (reference: `Storage.checkAndLoad`, `storage.go:78-96`).
+    */
+  def readPage(market: String, code: String, candleLength: Int, year: Int): DataFrame =
+    scan().where(
+      col("market") === market && col("code") === code &&
+        col("candle_length") === candleLength && col("year") === year)
+
+  /** Range scan of a series between two timestamps (any span of years). */
+  def rangeScan(market: String, code: String, candleLength: Int,
+                from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame =
+    scan().where(
+      col("market") === market && col("code") === code &&
+        col("candle_length") === candleLength &&
+        col("year") >= year(lit(from)) && col("year") <= year(lit(to)) &&
+        col("ts") >= lit(from) && col("ts") < lit(to))
+
+  /** First/last timestamp of a series-year (reference: header-only read,
+    * `PageHeader.GetFirstTimestamp/GetLastTimestamp`, `page/header.go:121-135`).
+    * Served from Parquet footer statistics after partition pruning.
+    */
+  def minMaxTs(market: String, code: String, candleLength: Int, year: Int): DataFrame =
+    readPage(market, code, candleLength, year)
+      .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+
+  /** Catalog listing: which series-years exist (reference: directory walk
+    * + header reads). Partition-column-only scan — file listing, no data read.
+    */
+  def listSeries(): DataFrame =
+    scan().select(Candle.partitionCols.map(col): _*).distinct()
+
+  /** Upsert-merge a candle batch: the reference's `Page.Add`
+    * (`page/page.go:61-142`) + year split (`common/candle.go:70-80`) +
+    * insert command (`database/command/insert.go:107-123`) as ONE
+    * declarative Spark job.
+    *
+    * Semantics preserved (SURVEY.md §2.1 "behavioral details"):
+    *  - per-timestamp dedup, NEW batch wins (`page/page.go:114-123`);
+    *  - within a batch, the later row (higher input ordinal) wins —
+    *    deterministic tie-break, see `ordinalCol`;
+    *  - arbitrarily late data accepted (any past date, `page/page.go:66-71`);
+    *  - multi-year batches are split by calendar year via the `year`
+    *    partition column (no driver-side loop — Spark's shuffle does the
+    *    reference's `SplitByYear`);
+    *  - result rows unique per (market, code, candle_length, ts);
+    *  - idempotent: re-applying the same batch converges to the same
+    *    state (gives exactly-once under streaming `foreachBatch` retry).
+    *
+    * Timestamps are truncated to whole seconds, mirroring the reference's
+    * storage precision (`common/candle.go:44` stores `Unix()`).
+    *
+    * @param ordinalCol optional column giving each input row's position in
+    *   the batch; rows later in the batch win ties on (key, ts). When
+    *   absent, ties break on the natural column order of the row itself
+    *   (deterministic for any input).
+    */
+  def upsert(batch: DataFrame, ordinalCol: Option[String] = None): DataFrame = {
+    // Tie-break columns, typed identically on both union branches:
+    // `_src` new-beats-old, `_ord` later-in-batch-beats-earlier (when an
+    // ordinal is supplied), `_cstruct` content tie-break (when not).
+    val contentStruct = struct(col("open"), col("high"), col("low"),
+      col("close"), col("volume"), col("bit_fields"))
+    val batchOrd = ordinalCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
+    val normalized = batch
+      .withColumn("ts", date_trunc("second", col("ts")).cast("timestamp"))
+      .withColumn("year", year(col("ts")))
+      .withColumn("_ord", batchOrd)
+      .withColumn("_cstruct", contentStruct)
+      .withColumn("_src", lit(1))
+      .drop(ordinalCol.toSeq: _*)
+
+    val merged =
+      if (!exists) normalized
+      else {
+        // Narrow read: only the partitions this batch touches. The
+        // predicate is partition-column-only → Hive-style pruning, no
+        // data read outside the touched series-years. (Reference analog:
+        // demand-load exactly the pages the command addresses,
+        // `storage.go:78-96`.)
+        val touched = normalized
+          .select(Candle.partitionCols.map(col): _*).distinct().collect()
+        val pred = touched.map { r =>
+          col("market") === r.getString(0) &&
+            col("candle_length") === r.getInt(1) &&
+            col("code") === r.getString(2) &&
+            col("year") === r.getInt(3)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        val existing = scan().where(pred)
+          .withColumn("_ord", lit(Long.MinValue))
+          .withColumn("_cstruct", contentStruct)
+          .withColumn("_src", lit(0))
+        normalized.unionByName(existing)
+      }
+
+    // Last-wins merge: one shuffle on (series key, ts). New batch beats
+    // existing (`page/page.go:118-123`); within the batch, higher ordinal
+    // wins (reference keeps the later merge input after its stable sort,
+    // `page/page.go:65,114-123`).
+    val w = Window
+      .partitionBy((Candle.keyCols :+ "ts").map(col): _*)
+      .orderBy(col("_src").desc, col("_ord").desc, col("_cstruct").desc)
+    val deduped = merged
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn", "_ord", "_cstruct", "_src")
+
+    // Atomic install: dynamic partition overwrite rewrites ONLY the
+    // touched series-year partitions (reference: COW page install on
+    // commit, `memory/writer.go:41-48`; atomic file replace,
+    // `disk/disk.go:65-86`). sortWithinPartitions preserves the
+    // sorted-by-ts page invariant (`page/page.go:95-142`) and maximizes
+    // Parquet row-group pruning on later range scans.
+    deduped
+      .repartition(Candle.partitionCols.map(col): _*)
+      .sortWithinPartitions("ts")
+      .write
+      .partitionBy(Candle.partitionCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
+    scan()
+  }
+
+  /** Append fast-path (reference: `page/page.go:73-77` — if every new row
+    * is strictly newer than the page's max timestamp, append without
+    * merging). Caller asserts the batch is all-new (e.g. a tailing
+    * streaming source); internal (key, ts) duplicates are still deduped.
+    * Skips reading existing data entirely.
+    */
+  def appendNewer(batch: DataFrame, ordinalCol: Option[String] = None): Unit = {
+    val ord = ordinalCol.map(col).getOrElse(lit(0))
+    val w = Window
+      .partitionBy((Candle.keyCols :+ "ts").map(col): _*)
+      .orderBy(ord.desc)
+    batch
+      .withColumn("ts", date_trunc("second", col("ts")).cast("timestamp"))
+      .withColumn("year", year(col("ts")))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+      .drop(ordinalCol.toSeq: _*)
+      .repartition(Candle.partitionCols.map(col): _*)
+      .sortWithinPartitions("ts")
+      .write
+      .partitionBy(Candle.partitionCols: _*)
+      .mode(SaveMode.Append)
+      .parquet(path)
+  }
+}
+
+object CandleStore {
+  def apply(spark: SparkSession, path: String): CandleStore =
+    new CandleStore(spark, path)
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.store.CandleStore
+
+/** Structured-Streaming ingest: the Spark-native replacement for the
+  * reference's WAL pipeline (SURVEY.md §2.3).
+  *
+  * Mapping (reference → here):
+  *  - WAL append + tx counter (`wal/file.go:37-48`, `wal/counter.go`) →
+  *    the streaming checkpoint/offset log + monotonic `batchId`;
+  *  - committed-only replay (`wal/reader.go:29-75`, `flusher.go:93-131`)
+  *    → `foreachBatch` exactly-once: a batch either commits its offsets
+  *    or is re-run, and the upsert is idempotent so re-runs converge;
+  *  - group-flush/compaction (`wal/wal.go:81-135`) → micro-batch
+  *    triggers + dynamic partition overwrite in `CandleStore.upsert`.
+  *
+  * Late data: the reference's batch path accepts arbitrarily late rows
+  * (`page/page.go:66-71`). A watermark would drop them, so the DEFAULT
+  * ingest applies no watermark and upserts whatever arrives (upsert
+  * handles any past date). `dedupWithWatermark` is the bounded-state
+  * variant for sources that need streaming-side dedup.
+  */
+object Ingest {
+
+  /** Streaming dedup on the candle key with bounded state. */
+  def dedupWithWatermark(stream: DataFrame, lateness: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .dropDuplicates(Seq("market", "code", "candle_length", "ts"))
+
+  /** Micro-batch upsert ingest into a CandleStore. Each micro-batch is
+    * one "transaction" (reference: `Database.Execute`,
+    * `database/database.go:27-51`); idempotent upsert + checkpointed
+    * offsets give exactly-once end-to-end.
+    */
+  def upsertWriter(stream: DataFrame, store: CandleStore,
+                   checkpointDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { store.upsert(batch); () }
+      }
+
+  def startUpsertIngest(stream: DataFrame, store: CandleStore,
+                        checkpointDir: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    upsertWriter(stream, store, checkpointDir).trigger(trigger).start()
+
+  /** Streaming OHLCV aggregation: ticks → tumbling-window candles with a
+    * watermark (append mode emits each candle once its window closes).
+    */
+  def streamingCandles(ticks: DataFrame, widthSec: Int,
+                       lateness: String = "10 minutes"): DataFrame =
+    ticks
+      .withWatermark("ts", lateness)
+      .groupBy(
+        col("market"), col("code"),
+        window(col("ts"), s"$widthSec seconds").as("w"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max("price").as("high"),
+        min("price").as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        sum("qty").as("volume"))
+      .select(col("market"), col("code"),
+        col("w.start").as("ts"), lit(widthSec).as("candle_length"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+}

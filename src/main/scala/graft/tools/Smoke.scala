@@ -1,0 +1,137 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.model.Candle
+import graft.store.CandleStore
+import graft.ops.TimeSeries
+import graft.llm.{Dedup, Similarity, TextStats}
+
+/** End-to-end smoke drive of the public library surface against the
+  * driver testdata. Run: `sbt "runMain graft.tools.Smoke [sfDir]"`.
+  * Prints observable results; exits nonzero on any semantic violation.
+  */
+object Smoke {
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-smoke")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    var failures = 0
+    def check(name: String, ok: Boolean, detail: => String = ""): Unit = {
+      println(f"[smoke] $name%-40s ${if (ok) "OK" else "FAIL"} $detail")
+      if (!ok) failures += 1
+    }
+
+    // --- CandleStore: upsert semantics (reference page/page.go:61-142) ---
+    val dir = java.nio.file.Files.createTempDirectory("graft-smoke-store").toString
+    val store = CandleStore(spark, s"$dir/candles")
+    val b1 = Seq(
+      Candle("UPBIT", "BTC", 60, ts("2021-12-31 23:59:00"), 1, 2, 0.5, 1.5, 10, 0),
+      Candle("UPBIT", "BTC", 60, ts("2022-01-01 00:00:00"), 2, 3, 1.5, 2.5, 20, 0), // year split
+      Candle("UPBIT", "ETH", 60, ts("2021-06-01 00:00:00"), 5, 6, 4.0, 5.5, 50, 0)
+    ).toDF()
+    store.upsert(b1)
+    check("upsert initial rows", store.scan().count() == 3)
+    check("year partition split",
+      store.scan().select("year").distinct().as[Int].collect().sorted.sameElements(Array(2021, 2022)))
+
+    // new-batch-wins on duplicate ts + late (past-date) insert accepted
+    val b2 = Seq(
+      Candle("UPBIT", "BTC", 60, ts("2021-12-31 23:59:00"), 100, 200, 50, 150, 99, 1), // overwrite
+      Candle("UPBIT", "BTC", 60, ts("2021-01-05 00:00:00"), 7, 8, 6, 7.5, 70, 0)       // late row
+    ).toDF()
+    store.upsert(b2)
+    val after = store.readPage("UPBIT", "BTC", 60, 2021).orderBy("ts")
+    check("upsert count after merge", store.scan().count() == 4)
+    check("new-batch-wins dedup",
+      after.where($"ts" === ts("2021-12-31 23:59:00")).select("open").as[Double].head() == 100.0)
+    check("late insert accepted",
+      after.where($"ts" === ts("2021-01-05 00:00:00")).count() == 1)
+    // idempotence
+    store.upsert(b2)
+    check("upsert idempotent", store.scan().count() == 4)
+    // within-batch last-wins via ordinal
+    val b3 = Seq(
+      (0L, Candle("UPBIT", "BTC", 60, ts("2022-01-01 00:00:00"), 11, 11, 11, 11, 1, 0)),
+      (1L, Candle("UPBIT", "BTC", 60, ts("2022-01-01 00:00:00"), 22, 22, 22, 22, 2, 0))
+    ).toDF("ord", "c").select($"ord", $"c.*")
+    store.upsert(b3, ordinalCol = Some("ord"))
+    check("within-batch last-wins",
+      store.readPage("UPBIT", "BTC", 60, 2022).select("open").as[Double].head() == 22.0)
+    check("minMaxTs",
+      store.minMaxTs("UPBIT", "BTC", 60, 2021).select("first_ts").as[Timestamp].head() == ts("2021-01-05 00:00:00"))
+    val plan = store.readPage("UPBIT", "BTC", 60, 2021).queryExecution.executedPlan.toString
+    check("point lookup partition-prunes", plan.contains("PartitionFilters") || !plan.contains("year=2022"))
+
+    // --- TimeSeries ops on events ---
+    val events = Tables.events(spark, sfDir)
+    val candles = TimeSeries.candlesFromTicks(events, "ts", "value", None, Seq("event_type"), 3600)
+    check("candlesFromTicks rows>0", candles.count() > 0)
+    val oneH = candles.where($"event_type" === "click").orderBy("bucket").limit(1).select("high", "low")
+      .as[(Double, Double)].head()
+    check("candle high>=low", oneH._1 >= oneH._2)
+    val re = TimeSeries.resampleCandles(
+      candles.withColumn("ts", to_timestamp(from_unixtime($"bucket"))), "ts", 86400, Seq("event_type"))
+    check("resample 1h->1d fewer rows", re.count() < candles.count() && re.count() > 0)
+    val purchases = events.where($"event_type" === "purchase")
+    val views = events.where($"event_type" === "view")
+    val asof = TimeSeries.asofJoin(purchases, views, Seq("user_id"), "ts", "ts", Seq("value"))
+    check("asofJoin row preservation", asof.count() == purchases.count())
+    val sess = TimeSeries.sessionize(events, "ts", Seq("user_id"), 1800, Seq("event_id"))
+    check("sessionize rows>0", sess.count() > 0)
+    val cum = TimeSeries.dailyCumulativeCounts(events, "ts", Seq("event_type"))
+    val cumCheck = cum.where($"event_type" === "click").orderBy("day")
+      .select("day_count", "cum_before").as[(Long, Long)].collect()
+    check("dailyCumulative prefix-sum",
+      cumCheck.scanLeft(0L)(_ + _._1).init.sameElements(cumCheck.map(_._2)))
+
+    // --- LLM ops on documents/embeddings ---
+    val docs = Tables.documents(spark, sfDir)
+    val stats = TextStats.documentStats(docs, "doc_id", "text")
+    check("documentStats rows", stats.count() == docs.count())
+    check("fingerprint in range",
+      stats.agg(max(abs($"fingerprint"))).as[Long].head() < 1000000007L)
+    val near = Dedup.minhashNearDupPairs(docs, "doc_id", "text", shingleN = 3, k = 32, bands = 8, threshold = 0.3)
+    println(s"[smoke] minhash near-dup pairs: ${near.count()}")
+    val sim = Dedup.simhashNearDupPairs(docs.limit(200), "doc_id", "text", maxHamming = 6)
+    println(s"[smoke] simhash candidates: ${sim.count()}")
+    val emb = Tables.embeddings(spark, sfDir)
+    val queriesDf = emb.where($"vec_id" % 50 === 0)
+    val topk = Similarity.bruteForceTopK(emb, queriesDf, "vec_id", "embedding", 5)
+    check("bruteForceTopK k rows per query",
+      topk.groupBy("query_id").count().agg(max("count")).as[Long].head() == 5)
+    val lshTopk = Similarity.lshTopK(emb, queriesDf, "vec_id", "embedding", 5)
+    // Statistical recall vs exact (informational — the testdata embeddings
+    // are near-uniform random, so ANN recall is inherently data-limited).
+    val exact = topk.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = lshTopk.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = if (exact.isEmpty) 0.0 else exact.intersect(approx).size.toDouble / exact.size
+    println(f"[smoke] LSH ANN recall@5 vs exact (random data): $recall%.3f")
+    // Planted-neighbor check: queries that are exact copies of corpus
+    // vectors (new ids) land in the same LSH bucket, so the source vector
+    // MUST come back as the top-1 neighbor with cosine 1.0.
+    val planted = emb.where($"vec_id" < 20)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val plantedTop = Similarity.lshTopK(emb, planted, "vec_id", "embedding", 1)
+    val found = plantedTop.where($"rank" === 1 &&
+      $"neighbor_id" === $"query_id" - 100000 && $"score" >= 0.9999).count()
+    check("LSH planted-neighbor top-1", found == 20, s"found=$found/20")
+
+    println(if (failures == 0) "[smoke] ALL OK" else s"[smoke] $failures FAILURES")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
