@@ -1,0 +1,425 @@
+package graft
+
+import graft.llm.Dedup
+
+/** DuckDB oracle SQL for every [[Queries]] entry (except rows-only ops).
+  *
+  * Parity rules (per FIXTURES.md §3): column names identical to the
+  * Spark side, floats rounded identically on both sides, integer widths
+  * cast to match Spark's output types (DuckDB widens to BIGINT/HUGEINT
+  * where Spark stays INT/BIGINT). Filters on floating thresholds are
+  * applied to the same (rounded or unrounded) expression as Spark.
+  */
+object Oracles {
+
+  /** Rewrite every `round(expr, n)` in an oracle SQL string into the
+    * engine-portable floor-based form ([[Portable.roundSql]]), so both
+    * engines round identically on knife-edge doubles. The SQL below is
+    * written with plain `round(...)` for readability; this pass is
+    * applied at map construction.
+    */
+  private[graft] def portabilize(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val at = sql.indexOf("round(", i)
+      val isWordStart = at >= 0 &&
+        (at == 0 || !Character.isLetterOrDigit(sql.charAt(at - 1)) && sql.charAt(at - 1) != '_')
+      if (at < 0) { out.append(sql.substring(i)); i = sql.length }
+      else if (!isWordStart) { out.append(sql.substring(i, at + 6)); i = at + 6 }
+      else {
+        out.append(sql.substring(i, at))
+        // scan balanced parens from the '(' after "round"
+        var depth = 0
+        var j = at + 5
+        var lastTopComma = -1
+        var done = -1
+        while (done < 0 && j < sql.length) {
+          sql.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) done = j
+            case ',' if depth == 1 => lastTopComma = j
+            case _ =>
+          }
+          j += 1
+        }
+        require(done > 0 && lastTopComma > 0, s"unparseable round() at $at")
+        val expr = sql.substring(at + 6, lastTopComma).trim
+        val n = sql.substring(lastTopComma + 1, done).trim.toInt
+        out.append(Portable.roundSql(expr, n))
+        i = done + 1
+      }
+    }
+    out.toString
+  }
+
+  // Shared text fragments ------------------------------------------- //
+
+  /** Tokenization must mirror TextStats.tokens: split(lower(text), " +"). */
+  private val WS = "string_split_regex(lower(text), ' +')"
+
+  /** 3-gram shingles of a token list (mirrors Dedup.shingles(n=3)). */
+  private def shingleExpr(ws: String): String =
+    s"CASE WHEN len($ws) < 3 THEN []::VARCHAR[] ELSE " +
+      s"list_transform(generate_series(1, len($ws)-2), i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2]) END"
+
+  /** Engine-portable 60-bit hash (mirrors TextStats.portableHash). */
+  private def pHash(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  /** Hourly OHLCV candles per event_type (mirrors eventCandles). */
+  private def hourlyCandles(where: String): String =
+    s"""SELECT event_type AS code, date_trunc('hour', ts) AS ts,
+       arg_min("value", ts) AS open, max("value") AS high, min("value") AS low,
+       arg_max("value", ts) AS close, sum("value") AS volume
+       FROM events $where GROUP BY 1, 2"""
+
+  /** The store end-state after upserting batch A (event_id%3<>0) then
+    * batch B (event_id%3=0): B wins on any (code, ts) both cover.
+    */
+  private val storeEndState: String =
+    s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")}),
+       b AS (${hourlyCandles("WHERE event_id % 3 = 0")}),
+       u AS (SELECT *, 1 AS src FROM b UNION ALL SELECT *, 0 AS src FROM a),
+       r AS (SELECT *, row_number() OVER (PARTITION BY code, ts ORDER BY src DESC) AS rn FROM u)"""
+
+  // MinHash / SimHash generated fragments --------------------------- //
+
+  private val minhashSigList: String = {
+    val terms = Dedup.minhashCoeffs(32).map { case (a, b) =>
+      s"list_min(list_transform(h, x -> (${a}*x + ${b}) % 2147483647))"
+    }
+    terms.mkString("[", ",\n ", "]")
+  }
+
+  private val minhashBandList: String =
+    (0 until 8).map { j =>
+      s"'$j' || '|' || md5(array_to_string(sig[${j * 4 + 1}:${j * 4 + 4}], ':'))"
+    }.mkString("[", ",\n ", "]")
+
+  private val simhashSigExpr: String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " +\n ", ")::BIGINT")
+
+  private val simhashBandList: String =
+    (0 until 7).map { j =>
+      s"'$j' || '|' || ((sig >> ${j * 4}) & 15)::VARCHAR"
+    }.mkString("[", ",\n ", "]")
+
+  // ----------------------------------------------------------------- //
+
+  def sql: Map[String, String] = raw.map { case (k, v) => k -> portabilize(v) }
+
+  private def raw: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2""",
+    "q02_filter_case" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS size_class,
+         round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS net_price,
+         l_returnflag || '-' || l_linestatus AS flag_status
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+           AND l_returnflag IN ('A', 'R') AND l_quantity BETWEEN 5 AND 45""",
+    "q03_join_nation_revenue" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+    "q04_left_join_counts" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+         round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1""",
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+    "q06_anti_join" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q07_broadcast_brand" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,
+         round(avg(p_retailprice), 4) AS avg_retail
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1""",
+    "q08_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+         count(*) AS n_orders, round(max(o_totalprice), 2) AS max_price
+         FROM orders GROUP BY 1""",
+    "q09_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q10_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS cnt
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q11_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+         row_number() OVER w::INT AS rn, rank() OVER w::INT AS rnk,
+         dense_rank() OVER w::INT AS drnk, ntile(4) OVER w::INT AS nt
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    "q12_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
+         round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov3_avg,
+         round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS prev_price,
+         round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS next_price
+         FROM orders""",
+    "q13_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rn FROM orders)
+         WHERE rn <= 3""",
+    "q14_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "q15_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "q16_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "q17_string_fns" ->
+      """SELECT p_partkey,
+         upper(substring(p_name, 1, 5)) AS name_u5,
+         lower(p_brand) AS brand_l,
+         length(p_name)::INT AS name_len,
+         regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+         string_split(p_name, ' ')[1] AS first_word,
+         concat(trim(p_type), '_', p_brand) AS type_brand
+         FROM part""",
+    "q18_datetime_fns" ->
+      """SELECT o_orderkey,
+         year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+         day(o_orderdate)::INT AS dom, quarter(o_orderdate)::INT AS qtr,
+         date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+         epoch(o_orderdate)::BIGINT AS epoch_s
+         FROM orders""",
+    "q19_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(abs(l_discount - 0.05), 4) AS abs_disc,
+         round(pow(l_quantity, 2), 2) AS qty_sq,
+         round(sqrt(l_extendedprice), 4) AS sqrt_price,
+         round(ln(l_extendedprice), 4) AS ln_price,
+         floor(l_tax * 100)::BIGINT AS tax_floor,
+         ceil(l_discount * 100)::BIGINT AS disc_ceil
+         FROM lineitem""",
+    "q20_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::INT AS k_val
+         FROM events WHERE event_type IN ('click', 'purchase')""",
+    "q21_having" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+         GROUP BY 1 HAVING count(*) > 70""",
+    "q22_orderby_limit" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS extendedprice
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+         LIMIT 20""",
+    "q23_cross_join" ->
+      """SELECT r_name, o_orderstatus
+         FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t""",
+    "q24_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+       s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+       SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+         coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+       FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""",
+    "q25_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_fast_lines
+         FROM orders JOIN lineitem
+           ON o_orderkey = l_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+         GROUP BY 1""",
+    // -- time-series ------------------------------------------------ //
+    "q30_candles_1h" ->
+      """SELECT event_type, date_trunc('hour', ts) AS ts,
+         round(arg_min("value", ts), 4) AS open, round(max("value"), 4) AS high,
+         round(min("value"), 4) AS low, round(arg_max("value", ts), 4) AS close,
+         round(sum("value"), 4) AS volume, count(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "q31_resample_1d" ->
+      """SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS ts,
+         round(arg_min("value", ts), 4) AS open, round(max("value"), 4) AS high,
+         round(min("value"), 4) AS low, round(arg_max("value", ts), 4) AS close,
+         round(sum("value"), 4) AS volume
+         FROM events GROUP BY 1, 2""",
+    "q32_gaps" ->
+      """WITH w AS (SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+         FROM events)
+         SELECT user_id, event_id, date_diff('second', prev_ts, ts) AS gap_sec
+         FROM w WHERE date_diff('second', prev_ts, ts) > 3600""",
+    "q33_vwap" ->
+      """SELECT l_returnflag,
+         round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS vwap,
+         round(sum(l_quantity), 2) AS total_qty
+         FROM lineitem GROUP BY 1""",
+    "q34_moving_agg" ->
+      """SELECT event_type, event_id,
+         round(avg("value") OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mavg,
+         round(sum("value") OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS csum
+         FROM events""",
+    "q35_sessionize" ->
+      """WITH o AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         s AS (SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+         FROM o)
+         SELECT user_id, session_id, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+         FROM s GROUP BY 1, 2""",
+    "q36_daily_cum" ->
+      """WITH dly AS (SELECT event_type, ts::DATE AS day, count(*) AS day_count
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, day_count,
+           coalesce(sum(day_count) OVER (PARTITION BY event_type ORDER BY day ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+         FROM dly""",
+    "q37_asof_join" ->
+      """SELECT p.user_id, p.event_id, p.ts,
+         round(p."value", 4) AS value, round(v."value", 4) AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    // -- candle store + streaming ----------------------------------- //
+    "q40_store_upsert" ->
+      s"""$storeEndState
+         SELECT code, ts, round(open, 4) AS open, round(high, 4) AS high,
+           round(low, 4) AS low, round(close, 4) AS close, round(volume, 4) AS volume
+         FROM r WHERE rn = 1""",
+    "q41_store_prune" ->
+      s"""$storeEndState
+         SELECT ts, round(close, 4) AS close, round(volume, 4) AS volume
+         FROM r WHERE rn = 1 AND code = 'click'""",
+    "q61_streaming_ingest" ->
+      """SELECT event_type AS code, date_trunc('second', ts) AS ts,
+         round(arg_min("value", ts), 4) AS open, round(arg_max("value", ts), 4) AS close,
+         round(sum("value"), 4) AS volume
+         FROM events GROUP BY 1, 2""",
+    // -- LLM ops ---------------------------------------------------- //
+    "q50_exact_dedup" ->
+      """SELECT lower(trim(text)) AS norm_text, min(doc_id) AS doc_id,
+         count(*) AS dup_count
+         FROM documents GROUP BY 1""",
+    "q51_ngram_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id AS id, $WS AS ws FROM documents WHERE doc_id < 300),
+         shl AS (SELECT id, list_distinct(${shingleExpr("ws")}) AS sh FROM tok),
+         f AS (SELECT id, sh FROM shl WHERE len(sh) > 0),
+         e AS (SELECT id, unnest(sh) AS s FROM f),
+         px AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::DOUBLE AS i
+                FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+         sz AS (SELECT id, len(sh) AS n FROM f)
+         SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 4) AS jaccard
+         FROM px JOIN sz sa ON px.id_a = sa.id JOIN sz sb ON px.id_b = sb.id
+         WHERE i / (sa.n + sb.n - i) >= 0.1""",
+    "q52_minhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id AS id, $WS AS ws FROM documents),
+         shl AS (SELECT id, ${shingleExpr("ws")} AS sh FROM tok),
+         f AS (SELECT id, sh FROM shl WHERE len(sh) > 0),
+         hs AS (SELECT id, sh, list_transform(sh, s -> ${pHash("s")} % 2147483647) AS h FROM f),
+         sg AS (SELECT id, sh, $minhashSigList AS sig FROM hs),
+         band AS (SELECT id, unnest($minhashBandList) AS band FROM sg),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM band a JOIN band b ON a.band = b.band AND a.id < b.id),
+         jj AS (SELECT c.id_a, c.id_b,
+                  len(list_intersect(list_distinct(fa.sh), list_distinct(fb.sh)))::DOUBLE AS i,
+                  (len(list_distinct(fa.sh)) + len(list_distinct(fb.sh)))::DOUBLE AS nn
+                FROM cand c JOIN f fa ON c.id_a = fa.id JOIN f fb ON c.id_b = fb.id)
+         SELECT id_a, id_b, round(i / (nn - i), 4) AS jaccard
+         FROM jj WHERE i / (nn - i) >= 0.3""",
+    "q53_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id AS id, $WS AS ws FROM documents WHERE doc_id < 1000),
+         hs AS (SELECT id, list_transform(ws, w -> ${pHash("w")}) AS h FROM tok),
+         sg AS (SELECT id, $simhashSigExpr AS sig FROM hs),
+         band AS (SELECT id, sig, unnest($simhashBandList) AS band FROM sg),
+         cand AS (SELECT DISTINCT a.id AS id_a, a.sig AS sig_a, b.id AS id_b, b.sig AS sig_b
+                  FROM band a JOIN band b ON a.band = b.band AND a.id < b.id)
+         SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+         FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6""",
+    "q54_text_counts" ->
+      s"""SELECT doc_id,
+         len(ws)::INT AS n_tokens,
+         list_sum(list_transform(ws, w -> 1 + greatest(length(w) - 4, 0) // 4))::BIGINT AS n_subwords,
+         length(text)::INT AS n_chars,
+         round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+           len(list_filter(ws, w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w)))::DOUBLE
+             / len(ws)::DOUBLE END, 4) AS stopword_ratio,
+         round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+           list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)::DOUBLE END, 4) AS mean_word_len
+         FROM (SELECT doc_id, text, $WS AS ws FROM documents)""",
+    "q55_text_lang_fp" ->
+      s"""WITH t AS (SELECT doc_id, text, $WS AS ws FROM documents),
+         sc AS (SELECT doc_id, text, ws,
+           len(list_filter(ws, w -> list_contains(['the','and','of','is','with'], w))) AS s_en,
+           len(list_filter(ws, w -> list_contains(['der','die','und','ist','mit'], w))) AS s_de,
+           len(list_filter(ws, w -> list_contains(['le','la','et','est','avec'], w))) AS s_fr,
+           len(list_filter(ws, w -> list_contains(['el','la','y','es','con'], w))) AS s_es,
+           len(list_filter(ws, w -> list_contains(['de','shi','he','zai','le'], w))) AS s_zh,
+           CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+             len(list_filter(ws, w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w)))::DOUBLE
+               / len(ws)::DOUBLE END AS stop_ratio,
+           CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+             list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)::DOUBLE END AS mwl
+         FROM t),
+         g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best FROM sc)
+         SELECT doc_id,
+           CASE WHEN s_en = best AND best > 0 THEN 'en'
+                WHEN s_de = best AND best > 0 THEN 'de'
+                WHEN s_fr = best AND best > 0 THEN 'fr'
+                WHEN s_es = best AND best > 0 THEN 'es'
+                WHEN s_zh = best AND best > 0 THEN 'zh'
+                ELSE 'und' END AS lang_pred,
+           round(least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+             + least(stop_ratio * 10.0, 1.0) * 0.3
+             + CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 0.3 ELSE 0.1 END, 4) AS quality,
+           list_reduce(
+             list_prepend(0::BIGINT, list_transform(ws, w -> ${pHash("w")} % 1000003)),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+         FROM g""",
+    "q56_topk_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         sc AS (SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 4) AS score
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         r AS (SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)::INT AS rank
+           FROM sc)
+         SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10""",
+    "q57_embedding_stats" ->
+      """SELECT vec_id, len(embedding)::INT AS dim,
+         round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,
+         round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) / len(embedding), 6) AS mean_sq
+         FROM embeddings""",
+    "q58_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 400)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS score
+         FROM e a CROSS JOIN e b
+         WHERE a.vec_id < b.vec_id
+           AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.25"""
+  )
+}

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Portable
 
 import TextStats.{portableHash, tokens, HashMod}
 
@@ -92,7 +93,7 @@ object Dedup {
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), Portable.round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** 32-bit SimHash over token hashes: bit j of the fingerprint is 1 iff
@@ -153,6 +154,6 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), Portable.round(col("jaccard"), 4).as("jaccard"))
   }
 }

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Portable
 
 /** Similarity search over embedding columns (`ARRAY<FLOAT>`) — SURVEY.md
   * §2.4. Brute-force cosine top-k as the exact baseline; random-
@@ -42,7 +43,7 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(cosine(col("qv"), col("cv")), roundScore))
+      .withColumn("score", Portable.round(cosine(col("qv"), col("cv")), roundScore))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored
@@ -103,7 +104,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     cand
-      .withColumn("score", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("score", Portable.round(cosine(col("qv"), col("cv")), 4))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
@@ -114,7 +115,7 @@ object Similarity {
     df.select(
       col(idCol),
       size(col(vecCol)).as("dim"),
-      round(l2norm(col(vecCol)), 4).as("l2_norm"),
-      round(aggregate(col(vecCol), lit(0.0), (a, x) => a + x.cast("double")) /
+      Portable.round(l2norm(col(vecCol)), 4).as("l2_norm"),
+      Portable.round(aggregate(col(vecCol), lit(0.0), (a, x) => a + x.cast("double")) /
         size(col(vecCol)).cast("double"), 6).as("mean_component"))
 }

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Portable
 
 /** Text-analysis operators for LLM training-data pipelines (SURVEY.md
   * §2.4): tokenization, token counting, quality scoring, language ID,
@@ -65,7 +66,7 @@ object TextStats {
     val stopScore = least(stopwordRatio(text) * 10.0, lit(1.0)) * 0.3
     val mwl = meanWordLen(text)
     val wordScore = when(mwl >= 3.0 && mwl <= 8.0, 0.3).otherwise(0.1)
-    round(lenScore + stopScore + wordScore, 4)
+    Portable.round(lenScore + stopScore + wordScore, 4)
   }
 
   /** N-gram-heuristic language ID: score text against per-language marker
@@ -114,8 +115,8 @@ object TextStats {
       tokenCount(t).as("n_tokens"),
       subwordCount(t).as("n_subwords"),
       length(t).as("n_chars"),
-      round(stopwordRatio(t), 4).as("stopword_ratio"),
-      round(meanWordLen(t), 4).as("mean_word_len"),
+      Portable.round(stopwordRatio(t), 4).as("stopword_ratio"),
+      Portable.round(meanWordLen(t), 4).as("mean_word_len"),
       qualityScore(t).as("quality"),
       langId(t).as("lang_pred"),
       fingerprint(t).as("fingerprint"))
