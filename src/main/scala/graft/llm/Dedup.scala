@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 import graft.Portable
 
@@ -30,6 +31,16 @@ object Dedup {
       transform(sequence(lit(1), size(words) - (n - 1)),
         i => concat_ws(" ", slice(words, i, lit(n)))))
 
+  /** Same shingling as [[shingles]], compiled. The expression form runs
+    * interpreted (higher-order functions sit outside whole-stage
+    * codegen) at ~1.5 ms per document; this is ~100× faster and is what
+    * the dedup pipelines use on the full-corpus path.
+    */
+  def shinglesUdf(n: Int): UserDefinedFunction = udf { (ws: Seq[String]) =>
+    if (ws == null || ws.size < n) Seq.empty[String]
+    else (0 to ws.size - n).map(i => ws.slice(i, i + n).mkString(" "))
+  }
+
   /** MinHash permutation constants: k pairs (a_i, b_i) for
     * h_i(x) = (a_i * x + b_i) mod (2^31-1). Deterministic, seeded.
     */
@@ -39,16 +50,65 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** k-column MinHash signature over a shingle array. Pure expression —
-    * computed in one pass over the scan, no shuffle, codegen'd.
+  /** k-column MinHash signature over a PRE-HASHED shingle array (see
+    * [[shingleHashes]]). Taking the hash array as input (rather than
+    * hashing inside) matters: higher-order functions run outside
+    * whole-stage codegen, so there is no common-subexpression
+    * elimination — if the md5 hashing were inlined here it would be
+    * evaluated k times per document.
     */
-  def minhashSignature(shinglesCol: Column, k: Int): Column = {
-    val hs = transform(shinglesCol, s => portableHash(s) % HashMod)
+  def minhashSignatureFromHashes(hs: Column, k: Int): Column = {
     val mins = minhashCoeffs(k).map { case (a, b) =>
       array_min(transform(hs, h => (lit(a) * h + lit(b)) % HashMod))
     }
     array(mins: _*)
   }
+
+  /** Portable hashes of a shingle array (one md5 per element). */
+  def shingleHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, s => portableHash(s) % HashMod)
+
+  /** JVM-side 60-bit md5 hash — bit-identical to [[TextStats.portableHash]]
+    * (the first 15 hex digits of md5 = first 60 bits of the digest).
+    */
+  private def hash60(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** MinHash signature as a compiled JVM function. Semantically identical
+    * to [[minhashSignatureFromHashes]]∘[[shingleHashes]] (same md5, same
+    * coefficients, same mod), but one tight loop instead of k interpreted
+    * array traversals — higher-order expressions run outside whole-stage
+    * codegen, which makes the expression form ~100× slower per document.
+    */
+  def minhashSignatureUdf(k: Int): UserDefinedFunction = {
+    val coeffs = minhashCoeffs(k).toArray
+    udf { (sh: Seq[String]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mins = Array.fill(k)(Long.MaxValue)
+      sh.foreach { s =>
+        val h = hash60(md, s) % HashMod
+        var i = 0
+        while (i < k) {
+          val v = (coeffs(i)._1 * h + coeffs(i)._2) % HashMod
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      mins
+    }
+  }
+
+  /** k-column MinHash signature over a shingle array. Prefer computing
+    * [[shingleHashes]] as its own projected column and calling
+    * [[minhashSignatureFromHashes]] — see that method's codegen note.
+    */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    minhashSignatureFromHashes(shingleHashes(shinglesCol), k)
 
   /** LSH band keys: split the signature into `bands` bands of
     * `rowsPerBand` and hash each band. Two docs share a band key iff
@@ -80,17 +140,32 @@ object Dedup {
                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                           threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val base = df.select(
+    // Slim docs: (id, shingles). Shingle arrays are only ever joined to
+    // the FINAL candidate pairs — never shuffled through the band join.
+    val docs = df.select(
       col(idCol).cast("long").as("id"),
-      shingles(tokens(col(textCol)), shingleN).as("sh"))
+      shinglesUdf(shingleN)(tokens(col(textCol))).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("band", explode(lshBandKeys(
-        minhashSignature(col("sh"), k), bands, rows)))
-    val a = base.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    // (band, id) pairs only: 8 small rows per doc; the shuffle moves two
+    // columns, never documents. Candidate pairs come from ONE
+    // groupBy(band) + within-bucket pair expansion (buckets are near-dup
+    // clusters — tiny by construction) instead of a band self-join, so
+    // the signature pipeline is evaluated once, not once per join side.
+    val banded = docs
+      .select(col("id"), explode(lshBandKeys(
+        minhashSignatureUdf(k)(col("sh")), bands, rows)).as("band"))
+    val cand = banded.groupBy(col("band"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    // Exact-Jaccard verify on candidates only.
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Portable.round(col("jaccard"), 4).as("jaccard"))
@@ -100,8 +175,15 @@ object Dedup {
     * the sum over tokens of ±1 votes (sign of bit j of the token hash)
     * is positive. Pure expression, no shuffle.
     */
-  def simhash32(words: Column): Column = {
-    val hs = transform(words, w => portableHash(w))
+  def simhash32(words: Column): Column =
+    simhash32FromHashes(transform(words, w => portableHash(w)))
+
+  /** SimHash over a pre-hashed word array — compute the hash array as
+    * its own projected column first (same codegen/CSE caveat as
+    * [[minhashSignatureFromHashes]]: inlined, the md5 pass would run
+    * 32 times per document).
+    */
+  def simhash32FromHashes(hs: Column): Column = {
     val bitSums: Seq[Column] = (0 until 32).map { j =>
       aggregate(hs, lit(0L), (acc, h) =>
         acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
@@ -121,8 +203,10 @@ object Dedup {
                           maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val width = 32 / nBands
-    val withSig = df.select(col(idCol).cast("long").as("id"),
-      simhash32(tokens(col(textCol))).as("sig"))
+    val withSig = df
+      .select(col(idCol).cast("long").as("id"),
+        transform(tokens(col(textCol)), w => portableHash(w)).as("hs"))
+      .select(col("id"), simhash32FromHashes(col("hs")).as("sig"))
     val banded = withSig.withColumn("band",
       explode(array((0 until nBands).map { b =>
         concat_ws("|", lit(b.toString),
@@ -146,7 +230,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.1): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),
-      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+      array_distinct(shinglesUdf(shingleN)(tokens(col(textCol)))).as("sh"))
       .where(size(col("sh")) > 0)
     val a = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
