@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Candle
+import graft.store.CandleStore
+
+/** Upsert semantics keyed to the reference behavior (SURVEY.md §2.1
+  * "behavioral details"; `page/page.go:61-142`, `common/candle.go:70-80`,
+  * `page/header.go:109-113`).
+  */
+class CandleStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c(code: String, t: String, o: Double, bits: Long = 0): Candle =
+    Candle("UPBIT", code, 60, ts(t), o, o + 1, o - 1, o + 0.5, 10.0, bits)
+
+  test("upsert splits multi-year batches into year partitions (ref factory.go:14-35)") {
+    val store = CandleStore(spark, tmpDir("cs-year") + "/t")
+    store.upsert(Seq(
+      c("BTC", "2021-12-31 23:59:59", 1),
+      c("BTC", "2022-01-01 00:00:00", 2),
+      c("BTC", "2023-06-15 12:00:00", 3)).toDF())
+    val years = store.scan().select("year").as[Int].collect().sorted
+    assert(years.sameElements(Array(2021, 2022, 2023)))
+    // year boundary: Dec 31 23:59:59 stays in the old year, Jan 1
+    // 00:00:00 opens the new one (header.go:109-113 inclusive/exclusive)
+    assert(store.readPage("UPBIT", "BTC", 60, 2021).count() == 1)
+    assert(store.readPage("UPBIT", "BTC", 60, 2022).count() == 1)
+  }
+
+  test("upsert dedups per (key, ts) with new-batch-wins (ref page.go:114-123)") {
+    val store = CandleStore(spark, tmpDir("cs-dedup") + "/t")
+    store.upsert(Seq(c("BTC", "2022-03-01 10:00:00", 100)).toDF())
+    store.upsert(Seq(c("BTC", "2022-03-01 10:00:00", 200)).toDF())
+    val rows = store.scan().select("open").as[Double].collect()
+    assert(rows.sameElements(Array(200.0)))
+  }
+
+  test("within-batch duplicate ts resolves by highest ordinal (deterministic)") {
+    val store = CandleStore(spark, tmpDir("cs-ord") + "/t")
+    val batch = Seq(
+      (0L, c("BTC", "2022-03-01 10:00:00", 1)),
+      (2L, c("BTC", "2022-03-01 10:00:00", 3)),
+      (1L, c("BTC", "2022-03-01 10:00:00", 2))
+    ).toDF("ord", "x").select($"ord", $"x.*")
+    store.upsert(batch, ordinalCol = Some("ord"))
+    assert(store.scan().select("open").as[Double].head() == 3.0)
+  }
+
+  test("late rows into any past date are accepted (ref page.go:66-71)") {
+    val store = CandleStore(spark, tmpDir("cs-late") + "/t")
+    store.upsert(Seq(c("BTC", "2022-06-01 00:00:00", 5)).toDF())
+    store.upsert(Seq(c("BTC", "2022-01-01 00:00:00", 1)).toDF()) // before min ts
+    val tss = store.scan().orderBy("ts").select("ts").as[Timestamp].collect()
+    assert(tss.head == ts("2022-01-01 00:00:00") && tss.length == 2)
+  }
+
+  test("upsert is idempotent (streaming retry convergence)") {
+    val store = CandleStore(spark, tmpDir("cs-idem") + "/t")
+    val batch = Seq(c("BTC", "2022-03-01 10:00:00", 1), c("ETH", "2022-03-01 10:00:00", 2)).toDF()
+    store.upsert(batch)
+    val before = store.scan().orderBy("code", "ts").collect().toSeq
+    store.upsert(batch)
+    assert(store.scan().orderBy("code", "ts").collect().toSeq == before)
+  }
+
+  test("upsert only touches partitions in the batch (dynamic overwrite)") {
+    val store = CandleStore(spark, tmpDir("cs-dyn") + "/t")
+    store.upsert(Seq(c("BTC", "2022-03-01 10:00:00", 1), c("ETH", "2021-03-01 10:00:00", 7)).toDF())
+    store.upsert(Seq(c("BTC", "2022-03-01 10:00:00", 9)).toDF())
+    // ETH/2021 untouched by the second upsert
+    assert(store.readPage("UPBIT", "ETH", 60, 2021).select("open").as[Double].head() == 7.0)
+    assert(store.readPage("UPBIT", "BTC", 60, 2022).select("open").as[Double].head() == 9.0)
+  }
+
+  test("timestamps truncate to whole seconds (ref candle.go:44 stores Unix())") {
+    val store = CandleStore(spark, tmpDir("cs-sec") + "/t")
+    store.upsert(Seq(c("BTC", "2022-03-01 10:00:00.750", 1)).toDF())
+    assert(store.scan().select("ts").as[Timestamp].head() == ts("2022-03-01 10:00:00"))
+  }
+
+  test("rows stay unique+sorted per series after overlapping upserts (ref invariant)") {
+    val store = CandleStore(spark, tmpDir("cs-inv") + "/t")
+    store.upsert((1 to 50).map(i => c("BTC", f"2022-03-01 10:${i % 60}%02d:00", i)).toDF())
+    store.upsert((25 to 75).map(i => c("BTC", f"2022-03-01 10:${i % 60}%02d:00", i * 10)).toDF())
+    val g = store.scan().groupBy("market", "code", "candle_length", "ts").count()
+      .agg(max("count")).as[Long].head()
+    assert(g == 1L, "duplicate (key, ts) after merge")
+  }
+
+  test("minMaxTs and listSeries answer the header-read queries (ref header.go:121-135)") {
+    val store = CandleStore(spark, tmpDir("cs-mm") + "/t")
+    store.upsert(Seq(c("BTC", "2022-01-05 00:00:00", 1), c("BTC", "2022-11-30 00:00:00", 2),
+      c("ETH", "2022-06-01 00:00:00", 3)).toDF())
+    val mm = store.minMaxTs("UPBIT", "BTC", 60, 2022).as[(Timestamp, Timestamp)].head()
+    assert(mm == (ts("2022-01-05 00:00:00"), ts("2022-11-30 00:00:00")))
+    assert(store.listSeries().count() == 2)
+  }
+
+  test("appendNewer fast path writes without reading existing data (ref page.go:73-77)") {
+    val store = CandleStore(spark, tmpDir("cs-app") + "/t")
+    store.upsert(Seq(c("BTC", "2022-03-01 10:00:00", 1)).toDF())
+    store.appendNewer(Seq(c("BTC", "2022-03-01 11:00:00", 2)).toDF())
+    assert(store.scan().count() == 2)
+  }
+
+  test("point lookup prunes partitions (ref storage.go:78-96 page addressing)") {
+    val store = CandleStore(spark, tmpDir("cs-prune") + "/t")
+    store.upsert(Seq(c("BTC", "2022-03-01 10:00:00", 1), c("ETH", "2021-03-01 10:00:00", 2)).toDF())
+    val plan = store.readPage("UPBIT", "BTC", 60, 2022)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("code"),
+      s"expected partition filters in:\n$plan")
+  }
+}

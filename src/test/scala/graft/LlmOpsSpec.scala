@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity, TextStats}
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shinglesUdf matches the expression form exactly") {
+    val docs = Seq("the quick brown fox jumps", "a b", "", "one two three")
+      .toDF("text")
+    val both = docs.select(
+      Dedup.shingles(TextStats.tokens(col("text")), 3).as("expr"),
+      Dedup.shinglesUdf(3)(TextStats.tokens(col("text"))).as("udf"))
+    assert(both.where(col("expr") =!= col("udf")).count() == 0)
+  }
+
+  test("minhashSignatureUdf matches the expression form exactly") {
+    val docs = Seq("the quick brown fox jumps over the lazy dog today",
+      "pack my box with five dozen liquor jugs right now").toDF("text")
+    val sh = docs.select(Dedup.shinglesUdf(3)(TextStats.tokens(col("text"))).as("sh"))
+    val both = sh.select(
+      Dedup.minhashSignature(col("sh"), 32).as("expr"),
+      Dedup.minhashSignatureUdf(32)(col("sh")).as("udf"))
+    assert(both.where(col("expr") =!= col("udf")).count() == 0)
+  }
+
+  test("cosineUdf matches the expression form (bit-exact)") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(20)((Seq.fill(16)(rnd.nextFloat()), Seq.fill(16)(rnd.nextFloat())))
+      .toDF("a", "b")
+    val both = vecs.select(Similarity.cosine(col("a"), col("b")).as("expr"),
+      Similarity.cosineUdf(col("a"), col("b")).as("udf"))
+    assert(both.where(col("expr") =!= col("udf")).count() == 0)
+  }
+
+  test("exact duplicates always collide in MinHash-LSH and score jaccard 1.0") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, text), (2L, text), (3L, "totally different words here entirely now ok fine"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("near-duplicates above threshold are found; unrelated docs are not") {
+    val base = (1 to 20).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 19).map(i => s"word$i").mkString(" ") + " changed"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, "the cat sat on a mat with a hat and a rat today yes"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs -> hamming 0; banding finds them") {
+    val t = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val out = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("exactDedup groups case/whitespace-normalized text") {
+    val docs = Seq((5L, "Hello World"), (3L, "hello world"), (7L, " other ")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").select("doc_id", "dup_count").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((3L, 2L), (7L, 1L)))
+  }
+
+  test("bruteForceTopK returns k best by cosine with deterministic ties") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((10L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("lshTopK finds an exact-copy query's source vector at rank 1") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 100L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" < 5)
+      .select(($"vec_id" + 1000).as("vec_id"), $"embedding")
+    val top = Similarity.lshTopK(corpus, q, "vec_id", "embedding", 1, nPlanes = 6, dim = 16)
+    val hits = top.where($"rank" === 1 && $"neighbor_id" === $"query_id" - 1000 &&
+      $"score" >= 0.9999).count()
+    assert(hits == 5)
+  }
+
+  test("langId picks the language with most marker words; und when none") {
+    val docs = Seq("the cat and the dog is here with us",
+      "der hund und die katze ist mit uns",
+      "xyzzy plugh").toDF("text")
+    val out = docs.select(TextStats.langId(col("text"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val out = Seq("a b c", "c b a", "a b c").toDF("text")
+      .select(TextStats.fingerprint(col("text"))).as[Long].collect()
+    assert(out(0) == out(2) && out(0) != out(1))
+    assert(out.forall(f => f >= 0 && f < 1000000007L))
+  }
+
+  test("quality score stays in [0,1] and rewards normal prose") {
+    val docs = Seq(
+      "The quick brown fox jumps over the lazy dog and runs to the old barn near the river in the morning light of a new day with friends.",
+      "x").toDF("text")
+    val out = docs.select(TextStats.qualityScore(col("text"))).as[Double].collect()
+    assert(out.forall(q => q >= 0.0 && q <= 1.0) && out(0) > out(1))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.Candle
+import graft.store.CandleStore
+import graft.streaming.Ingest
+
+/** Streaming ingest semantics (SURVEY.md §2.3, fixture F6): micro-batched
+  * upsert must converge to the same state as one batch upsert of the
+  * concatenation — the Spark analog of the reference's committed-only WAL
+  * replay (`wal/flusher.go:93-131`).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c(code: String, t: String, o: Double): Candle =
+    Candle("UPBIT", code, 60, ts(t), o, o + 1, o - 1, o + 0.5, 10.0, 0L)
+
+  test("micro-batched foreachBatch upsert == batch upsert of concatenation") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(c("BTC", "2022-01-01 10:00:00", 1), c("BTC", "2022-01-01 10:01:00", 2))
+    val b2 = Seq(c("BTC", "2022-01-01 10:01:00", 20), c("ETH", "2021-06-01 00:00:00", 5))
+    val b3 = Seq(c("BTC", "2022-01-01 09:00:00", 0.5)) // late row, accepted
+
+    val streamed = CandleStore(spark, tmpDir("st-stream") + "/t")
+    val stream = MemoryStream[Candle]
+    val query = Ingest.upsertWriter(stream.toDF(), streamed, tmpDir("st-ckpt"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    Seq(b1, b2, b3).foreach { b => stream.addData(b); query.processAllAvailable() }
+    query.stop()
+
+    val batch = CandleStore(spark, tmpDir("st-batch") + "/t")
+    batch.upsert(b1.toDF()); batch.upsert(b2.toDF()); batch.upsert(b3.toDF())
+
+    val a = streamed.scan().orderBy("code", "ts").collect().toSeq
+    val b = batch.scan().orderBy("code", "ts").collect().toSeq
+    assert(a == b)
+    // last-wins across micro-batches
+    assert(streamed.scan().where($"ts" === ts("2022-01-01 10:01:00"))
+      .select("open").as[Double].head() == 20.0)
+  }
+
+  test("streaming tumbling-window candles emit closed windows (watermark/append)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String, Timestamp, Double, Double)]
+    val df = stream.toDF().toDF("market", "code", "ts", "price", "qty")
+    val out = Ingest.streamingCandles(df, widthSec = 60, lateness = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("cndl")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(("U", "BTC", ts("2022-01-01 10:00:05"), 100.0, 1.0),
+      ("U", "BTC", ts("2022-01-01 10:00:40"), 110.0, 2.0))
+    query.processAllAvailable()
+    // advance event time past the window so it closes
+    stream.addData(("U", "BTC", ts("2022-01-01 10:02:00"), 120.0, 1.0))
+    query.processAllAvailable()
+    val rows = spark.table("cndl")
+      .select("ts", "open", "high", "low", "close", "volume", "candle_length")
+      .as[(Timestamp, Double, Double, Double, Double, Double, Int)].collect()
+    query.stop()
+    assert(rows.toSeq == Seq((ts("2022-01-01 10:00:00"), 100.0, 110.0, 100.0, 110.0, 3.0, 60)))
+  }
+
+  test("streaming dedup with watermark drops duplicate keys within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Candle]
+    val out = Ingest.dedupWithWatermark(stream.toDF(), "1 hour")
+    val query = out.writeStream.format("memory").queryName("ddp")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(c("BTC", "2022-01-01 10:00:00", 1), c("BTC", "2022-01-01 10:00:00", 2))
+    query.processAllAvailable()
+    stream.addData(c("BTC", "2022-01-01 10:00:00", 3)) // dup across batches
+    query.processAllAvailable()
+    assert(spark.table("ddp").count() == 1)
+    query.stop()
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tick(code: String, t: String, v: Double, id: Long = 0) =
+    (code, ts(t), v, id)
+
+  test("resample golden: five 1-min candles -> one 5-min candle (F5)") {
+    val oneMin = Seq(
+      // (code, ts, open, high, low, close, volume)
+      ("BTC", ts("2022-01-01 10:00:00"), 10.0, 15.0, 9.0, 12.0, 1.0),
+      ("BTC", ts("2022-01-01 10:01:00"), 12.0, 18.0, 11.0, 17.0, 2.0),
+      ("BTC", ts("2022-01-01 10:02:00"), 17.0, 21.0, 8.0, 9.0, 3.0),
+      ("BTC", ts("2022-01-01 10:03:00"), 9.0, 14.0, 7.0, 13.0, 4.0),
+      ("BTC", ts("2022-01-01 10:04:00"), 13.0, 16.0, 12.0, 14.0, 5.0)
+    ).toDF("code", "ts", "open", "high", "low", "close", "volume")
+    val out = TimeSeries.resampleCandles(oneMin, "ts", 300, Seq("code"))
+      .select("open", "high", "low", "close", "volume")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(out == ((10.0, 21.0, 7.0, 14.0, 15.0)),
+      "open=first, high=max, low=min, close=last, volume=sum")
+  }
+
+  test("candlesFromTicks: OHLC from raw ticks by time order") {
+    val ticks = Seq(
+      tick("BTC", "2022-01-01 10:00:05", 100.0),
+      tick("BTC", "2022-01-01 10:00:01", 90.0),  // earliest -> open
+      tick("BTC", "2022-01-01 10:00:58", 95.0),  // latest -> close
+      tick("BTC", "2022-01-01 10:00:30", 120.0), // max -> high
+      tick("BTC", "2022-01-01 10:00:31", 80.0)   // min -> low
+    ).toDF("code", "ts", "v", "id")
+    val out = TimeSeries.candlesFromTicks(ticks, "ts", "v", None, Seq("code"), 60)
+      .select("open", "high", "low", "close", "n")
+      .as[(Double, Double, Double, Double, Long)].head()
+    assert(out == ((90.0, 120.0, 80.0, 95.0, 5L)))
+  }
+
+  test("asofJoin: latest right value at or before each left ts, per key") {
+    val left = Seq(("u1", ts("2022-01-01 10:00:10"), 1L), ("u1", ts("2022-01-01 10:05:00"), 2L),
+      ("u2", ts("2022-01-01 10:00:00"), 3L)).toDF("user", "ts", "lid")
+    val right = Seq(("u1", ts("2022-01-01 10:00:10"), 111.0), // equal ts visible
+      ("u1", ts("2022-01-01 10:03:00"), 222.0),
+      ("u2", ts("2022-01-01 11:00:00"), 999.0) // after left -> no match
+    ).toDF("user", "ts", "value")
+    val out = TimeSeries.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("value"))
+      .orderBy("lid").select("asof_value").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(Some(111.0), Some(222.0), None))
+  }
+
+  test("gaps finds inter-event silences above threshold only") {
+    val ev = Seq(tick("u1", "2022-01-01 10:00:00", 0, 1), tick("u1", "2022-01-01 10:30:00", 0, 2),
+      tick("u1", "2022-01-01 12:00:00", 0, 3)).toDF("u", "ts", "v", "event_id")
+    val g = TimeSeries.gaps(ev, "ts", Seq("u"), 3600, Seq("event_id"))
+      .select("gap_sec").as[Long].collect()
+    assert(g.toSeq == Seq(5400L))
+  }
+
+  test("sessionize groups by gap and counts events") {
+    val ev = Seq(tick("u1", "2022-01-01 10:00:00", 0, 1), tick("u1", "2022-01-01 10:10:00", 0, 2),
+      tick("u1", "2022-01-01 12:00:00", 0, 3)).toDF("u", "ts", "v", "event_id")
+    val s = TimeSeries.sessionize(ev, "ts", Seq("u"), 1800, Seq("event_id"))
+      .orderBy("session_id").select("n_events").as[Long].collect()
+    assert(s.toSeq == Seq(2L, 1L))
+  }
+
+  test("dailyCumulativeCounts is an exclusive prefix sum (ref index.go:11-17)") {
+    val ev = (1 to 3).flatMap(d => (1 to d).map(i =>
+      tick("k", f"2022-01-0$d 10:0$i:00", 0, i))).toDF("k", "ts", "v", "id")
+    val out = TimeSeries.dailyCumulativeCounts(ev, "ts", Seq("k"))
+      .orderBy("day").select("day_count", "cum_before").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 3L)))
+  }
+
+  test("vwap weights by quantity") {
+    val df = Seq(("a", 10.0, 1.0), ("a", 20.0, 3.0)).toDF("k", "p", "q")
+    val v = TimeSeries.vwap(df, "p", "q", Seq("k")).select("vwap").as[Double].head()
+    assert(math.abs(v - 17.5) < 1e-12)
+  }
+
+  test("movingAvg window is exactly the last n rows") {
+    val df = (1 to 5).map(i => ("k", ts(f"2022-01-01 10:0$i:00"), i.toDouble, i.toLong))
+      .toDF("k", "ts", "v", "id")
+    val out = TimeSeries.movingAvg(df, "v", "ts", Seq("k"), 3, Seq("id"))
+      .orderBy("id").select("mavg").as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 1.5, 2.0, 3.0, 4.0))
+  }
+}
