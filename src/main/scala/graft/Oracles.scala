@@ -246,7 +246,40 @@ object Oracles {
           AND l_shipdate >= o_orderdate
           AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
          GROUP BY 1""",
+    "q26_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+           (l_returnflag, l_linestatus), ())""",
+    "q27_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5)::DOUBLE, 4) AS median_price,
+         round(quantile_cont(l_extendedprice, 0.9)::DOUBLE, 4) AS p90_price,
+         round(min(l_extendedprice), 2) AS min_price,
+         round(max(l_extendedprice), 2) AS max_price
+         FROM lineitem GROUP BY 1""",
+    "q28_word_counts" ->
+      """SELECT w AS word, count(*) AS cnt
+         FROM (SELECT unnest(string_split_regex(lower(text), ' +')) AS w FROM documents)
+         GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 20""",
+    "q29_approx_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_cust,
+         true AS approx_ok
+         FROM orders GROUP BY 1""",
     // -- time-series ------------------------------------------------ //
+    "q38_gapfill" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS ts,
+           arg_max("value", ts) AS close FROM events GROUP BY 1, 2),
+         b AS (SELECT event_type, min(ts) AS mn, max(ts) AS mx FROM c GROUP BY 1),
+         g AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS ts FROM b),
+         j AS (SELECT g.event_type, g.ts, c.close
+               FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.ts = c.ts)
+         SELECT event_type, ts,
+           round(last_value(close IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS close_filled,
+           close IS NULL AS is_gap
+         FROM j""",
     "q30_candles_1h" ->
       """SELECT event_type, date_trunc('hour', ts) AS ts,
          round(arg_min("value", ts), 4) AS open, round(max("value"), 4) AS high,
@@ -313,6 +346,12 @@ object Oracles {
       s"""$storeEndState
          SELECT ts, round(close, 4) AS close, round(volume, 4) AS volume
          FROM r WHERE rn = 1 AND code = 'click'""",
+    "q42_store_range" ->
+      s"""$storeEndState
+         SELECT ts, round(close, 4) AS close, round(volume, 4) AS volume
+         FROM r WHERE rn = 1 AND code = 'view'
+           AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-20 00:00:00'""",
     "q61_streaming_ingest" ->
       """SELECT event_type AS code, date_trunc('second', ts) AS ts,
          round(arg_min("value", ts), 4) AS open, round(arg_max("value", ts), 4) AS close,
@@ -409,6 +448,32 @@ object Oracles {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)::INT AS rank
            FROM sc)
          SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10""",
+    "q59_ivf_topk" ->
+      """WITH cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS centroid
+           FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         ca AS (SELECT cell_id, neighbor_id, cv,
+             round(list_cosine_similarity(cv, centroid), 6) AS csim
+           FROM c CROSS JOIN cent),
+         assigned AS (SELECT cell_id, neighbor_id, cv FROM
+           (SELECT *, row_number() OVER (PARTITION BY neighbor_id
+              ORDER BY csim DESC, cell_id ASC) AS rn FROM ca) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000),
+         qa AS (SELECT query_id, qv, cell_id,
+             round(list_cosine_similarity(qv, centroid), 6) AS csim
+           FROM q CROSS JOIN cent),
+         probes AS (SELECT query_id, qv, cell_id FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY csim DESC, cell_id ASC) AS rn FROM qa) WHERE rn <= 2),
+         sc AS (SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 4) AS score
+           FROM probes JOIN assigned USING (cell_id)
+           WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, score, rank FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC)::INT AS rank FROM sc)
+         WHERE rank <= 10""",
     "q57_embedding_stats" ->
       """SELECT vec_id, len(embedding)::INT AS dim,
          round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,

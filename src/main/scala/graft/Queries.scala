@@ -243,6 +243,44 @@ object Queries {
             col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_fast_lines"))
+    }),
+    // Explicit GROUPING SETS (SQL surface; rollup/cube are q09/q10).
+    "q26_grouping_sets" -> ((s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(s"""SELECT l_returnflag, l_linestatus,
+        ${Portable.roundSql("sum(l_quantity)", 2)} AS sum_qty, count(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+          (l_returnflag, l_linestatus), ())""")
+    }),
+    // Exact interpolated percentiles (median / p90) per group.
+    "q27_percentiles" -> ((s, d) => {
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Portable.round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          Portable.round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          Portable.round(min(col("l_extendedprice")), 2).as("min_price"),
+          Portable.round(max(col("l_extendedprice")), 2).as("max_price"))
+    }),
+    // Array explode + re-aggregation: top-20 corpus words.
+    "q28_word_counts" -> ((s, d) => {
+      T.documents(s, d)
+        .select(explode(TextStats.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(20)
+    }),
+    // approx_count_distinct (HLL++) with a bounded-error property the
+    // oracle can check: the sketch must land within 10% of exact.
+    "q29_approx_distinct" -> ((s, d) => {
+      T.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_cust"),
+          approx_count_distinct(col("o_custkey")).as("approx"))
+        .select(col("o_orderpriority"), col("exact_cust"),
+          (abs(col("approx") - col("exact_cust")) <=
+            col("exact_cust") * 0.1).as("approx_ok"))
     }))
 
   // ---------------------------------------------------------------- //
@@ -299,6 +337,18 @@ object Queries {
     "q36_daily_cum" -> ((s, d) => {
       TimeSeries.dailyCumulativeCounts(T.events(s, d), "ts", Seq("event_type"))
         .select(col("event_type"), col("day"), col("day_count"), col("cum_before"))
+    }),
+    // Gap-fill onto an hourly grid with forward-fill (densify + last
+    // observation carried forward — the series-completion op candle
+    // consumers need).
+    "q38_gapfill" -> ((s, d) => {
+      val hourly = TimeSeries.candlesFromTicks(T.events(s, d), "ts", "value",
+          Some("value"), Seq("event_type"), 3600)
+        .select(col("event_type"), timestamp_seconds(col("bucket")).as("ts"),
+          col("close"))
+      TimeSeries.gapFill(hourly, "ts", Seq("event_type"), 3600, Seq("close"))
+        .select(col("event_type"), col("ts"),
+          Portable.round(col("close_filled"), 4).as("close_filled"), col("is_gap"))
     }),
     // As-of join: each purchase sees the latest prior view's value.
     "q37_asof_join" -> ((s, d) => {
@@ -403,6 +453,15 @@ object Queries {
         .select(col("ts"), Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
     }),
+    // Range scan of one series across a time window — partition pruning
+    // + parquet row-group stats (reference: ranged page reads).
+    "q42_store_range" -> ((s, d) => {
+      eventStore(s, d).rangeScan("EV", "view", 3600,
+          java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+        .select(col("ts"), Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
     // Streaming ingest end-to-end (§2.3): file stream → foreachBatch
     // candle upsert → final state.
     "q61_streaming_ingest" -> ((s, d) => {
@@ -470,6 +529,13 @@ object Queries {
         size(v).as("dim"),
         Portable.round(Similarity.l2norm(v), 6).as("l2_norm"),
         Portable.round(Similarity.dot(v, v) / size(v), 6).as("mean_sq"))
+    }),
+    // IVF-bucketed ANN top-k (the similarity scale path).
+    "q59_ivf_topk" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 10,
+        nCells = 16, nProbe = 2)
     }),
     // Embedding-cosine near-duplicate pairs (bounded all-pairs).
     "q58_cosine_neardup" -> ((s, d) => {

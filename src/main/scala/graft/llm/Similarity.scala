@@ -132,6 +132,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** IVF-style ANN top-k: the scale path for billion-row corpora.
+    *
+    * Cells come from a deterministic sample of corpus vectors (first
+    * `nCells` by id — training-free; swap in k-means centroids offline
+    * without changing the plan shape). Every corpus vector is assigned
+    * to its best cell once (broadcast centroid scoring + one window);
+    * a query probes its `nProbe` nearest cells and reranks only those
+    * cells' members with exact cosine. At scale the assignment is a
+    * write-once materialization and the probe join is an equi-join on
+    * `cell_id` — corpus scan cost per query drops to nProbe/nCells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16,
+              nProbe: Int = 2): DataFrame = {
+    val cent = broadcast(corpus.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid")))
+    val wA = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("csim").desc, col("cell_id").asc)
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(cent)
+      .withColumn("csim", Portable.round(cosineUdf(col("cv"), col("centroid")), 6))
+      .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+      .select("cell_id", "neighbor_id", "cv")
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell_id").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(cent)
+      .withColumn("csim", Portable.round(cosineUdf(col("qv"), col("centroid")), 6))
+      .withColumn("rn", row_number().over(wQ)).where(col("rn") <= nProbe)
+      .select("query_id", "qv", "cell_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    broadcast(probes).join(assigned, Seq("cell_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", Portable.round(cosineUdf(col("qv"), col("cv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Per-vector norm/statistics frame (sanity + quality gates). */
   def embeddingStats(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(

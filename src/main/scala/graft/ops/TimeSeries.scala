@@ -154,6 +154,28 @@ object TimeSeries {
       coalesce(sum("day_count").over(w), lit(0L)))
   }
 
+  /** Gap-fill: densify each series onto a regular `stepSec` grid between
+    * its min and max timestamp, forward-filling `fillCols` from the last
+    * present row (`<col>_filled`); `is_gap` marks generated rows. The
+    * grid is generated per key (explode of a bounded sequence — no
+    * driver loop) and the fill is one window per key: scales with
+    * (series × buckets), shuffles once on the key.
+    */
+  def gapFill(candles: DataFrame, tsCol: String, keys: Seq[String],
+              stepSec: Long, fillCols: Seq[String]): DataFrame = {
+    val bounds = candles.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("_min_ts"), max(col(tsCol)).as("_max_ts"))
+    val grid = bounds.select((keys.map(col) :+
+      explode(sequence(col("_min_ts"), col("_max_ts"),
+        expr(s"INTERVAL $stepSec SECONDS"))).as(tsCol)): _*)
+    val joined = grid.join(candles, keys :+ tsCol, "left")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(joined.withColumn("is_gap", col(fillCols.head).isNull)) {
+      (df, c) => df.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
   /** Batch sessionization: group events into sessions separated by gaps
     * > `gapSec` (the batch analog of Structured Streaming's
     * `session_window`, declared in SURVEY.md §2.3).

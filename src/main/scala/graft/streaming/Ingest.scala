@@ -52,6 +52,20 @@ object Ingest {
                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     upsertWriter(stream, store, checkpointDir).trigger(trigger).start()
 
+  /** Streaming session windows: events sessionized by inactivity gap,
+    * per user (SURVEY.md §2.3 extension row; batch analog is
+    * `TimeSeries.sessionize`). Append mode emits a session once the
+    * watermark passes its close.
+    */
+  def streamingSessions(events: DataFrame, gap: String = "30 minutes",
+                        lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
   /** Streaming OHLCV aggregation: ticks → tumbling-window candles with a
     * watermark (append mode emits each candle once its window closes).
     */

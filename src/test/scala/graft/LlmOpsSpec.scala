@@ -91,6 +91,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(hits == 5)
   }
 
+  test("ivfTopK finds an exact-copy query's source vector at rank 1") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (0L until 100L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" >= 50 && $"vec_id" < 55)
+      .select(($"vec_id" + 1000).as("vec_id"), $"embedding")
+    val top = Similarity.ivfTopK(corpus, q, "vec_id", "embedding", 1,
+      nCells = 8, nProbe = 2)
+    // identical vector -> identical best cell -> must be probed & found
+    val hits = top.where($"rank" === 1 && $"neighbor_id" === $"query_id" - 1000 &&
+      $"score" >= 0.9999).count()
+    assert(hits == 5)
+  }
+
   test("langId picks the language with most marker words; und when none") {
     val docs = Seq("the cat and the dog is here with us",
       "der hund und die katze ist mit uns",

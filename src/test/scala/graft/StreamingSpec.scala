@@ -64,6 +64,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((ts("2022-01-01 10:00:00"), 100.0, 110.0, 100.0, 110.0, 3.0, 60)))
   }
 
+  test("streaming session windows close after the gap passes the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val df = stream.toDF().toDF("user_id", "ts", "value")
+    val out = Ingest.streamingSessions(df, gap = "10 minutes", lateness = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData((1L, ts("2022-01-01 10:00:00"), 1.0), (1L, ts("2022-01-01 10:05:00"), 2.0))
+    query.processAllAvailable()
+    stream.addData((1L, ts("2022-01-01 11:00:00"), 9.0)) // advances watermark, closes session
+    query.processAllAvailable()
+    val rows = spark.table("sess")
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+    query.stop()
+    assert(rows.toSeq == Seq((1L, ts("2022-01-01 10:00:00"), ts("2022-01-01 10:15:00"), 2L, 3.0)))
+  }
+
   test("streaming dedup with watermark drops duplicate keys within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Candle]
