@@ -115,20 +115,17 @@ final class CandleStore(spark: SparkSession, val path: String) {
     val merged =
       if (!exists) normalized
       else {
-        // Narrow read: only the partitions this batch touches. The
-        // predicate is partition-column-only → Hive-style pruning, no
-        // data read outside the touched series-years. (Reference analog:
-        // demand-load exactly the pages the command addresses,
+        // Narrow read: only the partitions this batch touches, selected
+        // by a BROADCAST SEMI-JOIN on the partition columns — dynamic
+        // partition pruning turns it into file skipping at runtime, and
+        // unlike a collected OR-predicate it scales to any number of
+        // touched series-years with no driver round-trip. (Reference
+        // analog: demand-load exactly the pages the command addresses,
         // `storage.go:78-96`.)
         val touched = normalized
-          .select(Candle.partitionCols.map(col): _*).distinct().collect()
-        val pred = touched.map { r =>
-          col("market") === r.getString(0) &&
-            col("candle_length") === r.getInt(1) &&
-            col("code") === r.getString(2) &&
-            col("year") === r.getInt(3)
-        }.reduceOption(_ || _).getOrElse(lit(false))
-        val existing = scan().where(pred)
+          .select(Candle.partitionCols.map(col): _*).distinct()
+        val existing = scan()
+          .join(broadcast(touched), Candle.partitionCols, "left_semi")
           .withColumn("_ord", lit(Long.MinValue))
           .withColumn("_cstruct", contentStruct)
           .withColumn("_src", lit(0))

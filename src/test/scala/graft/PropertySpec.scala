@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+import graft.model.Candle
+import graft.ops.TimeSeries
+import graft.store.CandleStore
+
+/** Property tests (SURVEY.md §5.2 item 3) over generated candle batches.
+  * ScalaCheck generators with fixed seeds — each property is checked on
+  * several random batches; parquet round-trips keep sample counts small.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val candleGen: Gen[Candle] = for {
+    code <- Gen.oneOf("BTC", "ETH")
+    // seconds across the 2021/2022 boundary -> exercises year split
+    off <- Gen.choose(-2000000L, 2000000L)
+    o <- Gen.choose(1.0, 100.0)
+    v <- Gen.choose(0.0, 10.0)
+  } yield Candle("UPBIT", code, 60,
+    new Timestamp(Timestamp.valueOf("2022-01-01 00:00:00").getTime + off * 1000L),
+    o, o + 1, o - 1, o + 0.5, v, 0L)
+
+  private def batches(n: Int, size: Int): Seq[Seq[Candle]] =
+    (1 to n).map { s =>
+      Gen.listOfN(size, candleGen)
+        .apply(Gen.Parameters.default, rng.Seed(s.toLong)).get
+    }
+
+  private def state(st: CandleStore): Seq[Row] =
+    st.scan().orderBy("code", "ts").collect().toSeq
+  private type Row = org.apache.spark.sql.Row
+
+  test("property: upsert is idempotent — upsert(upsert(S,B),B) == upsert(S,B)") {
+    batches(3, 25).zipWithIndex.foreach { case (b, i) =>
+      val st = CandleStore(spark, tmpDir(s"prop-idem$i") + "/t")
+      st.upsert(b.take(10).toDF()) // some prior state
+      st.upsert(b.toDF())
+      val once = state(st)
+      st.upsert(b.toDF())
+      assert(state(st) == once, s"seed ${i + 1} not idempotent")
+    }
+  }
+
+  test("property: rows unique per (key, ts) and sorted reads after any batch sequence") {
+    batches(3, 40).zipWithIndex.foreach { case (b, i) =>
+      val st = CandleStore(spark, tmpDir(s"prop-uniq$i") + "/t")
+      b.grouped(15).foreach(g => st.upsert(g.toDF()))
+      val dup = st.scan()
+        .groupBy("market", "code", "candle_length", "ts").count()
+        .where($"count" > 1).count()
+      assert(dup == 0, s"seed ${i + 1} produced duplicate (key, ts)")
+    }
+  }
+
+  test("property: the last batch wins on every overlapping timestamp") {
+    batches(3, 30).zipWithIndex.foreach { case (b, i) =>
+      val st = CandleStore(spark, tmpDir(s"prop-lww$i") + "/t")
+      val (b1, b2) = b.splitAt(15)
+      st.upsert(b1.toDF())
+      st.upsert(b2.toDF(), ordinalCol = None)
+      // expected: for keys+ts in b2 (last occurrence within b2 by content
+      // tie-break irrelevant when unique), the stored open equals b2's
+      val stored = st.scan().select("code", "ts", "open")
+        .as[(String, Timestamp, Double)].collect()
+        .map { case (c, t, o) => (c, t.getTime / 1000) -> o }.toMap
+      b2.groupBy(c => (c.code, c.ts.getTime / 1000)).foreach { case (k, vs) =>
+        val expected = vs.map(_.open).max // content struct desc tie-break: max wins
+        if (vs.map(_.open).distinct.size == 1 || vs.size == 1)
+          assert(stored(k) == vs.last.open || stored(k) == expected)
+        else assert(stored(k) == expected, s"seed ${i + 1}: batch row must win at $k")
+      }
+    }
+  }
+
+  test("property: order-insensitivity for batches on disjoint keys") {
+    batches(2, 20).zipWithIndex.foreach { case (b, i) =>
+      val btc = b.map(_.copy(code = "BTC"))
+      val eth = b.map(_.copy(code = "ETH"))
+      val st1 = CandleStore(spark, tmpDir(s"prop-ord-a$i") + "/t")
+      st1.upsert(btc.toDF()); st1.upsert(eth.toDF())
+      val st2 = CandleStore(spark, tmpDir(s"prop-ord-b$i") + "/t")
+      st2.upsert(eth.toDF()); st2.upsert(btc.toDF())
+      assert(state(st1) == state(st2), s"seed ${i + 1} order-sensitive on disjoint keys")
+    }
+  }
+
+  test("property: resample preserves volume sum, bounds high/low (F5 invariants)") {
+    batches(3, 60).zipWithIndex.foreach { case (b, i) =>
+      val df = b.toDF()
+      val re = TimeSeries.resampleCandles(df, "ts", 3600, Seq("code"))
+      val (v1, v2) = (df.agg(sum("volume")).as[Double].head(),
+        re.agg(sum("volume")).as[Double].head())
+      assert(math.abs(v1 - v2) < 1e-9, s"seed ${i + 1} volume not preserved")
+      val badHigh = re.agg(max("high")).as[Double].head()
+      assert(badHigh == df.agg(max("high")).as[Double].head())
+      assert(re.agg(min("low")).as[Double].head() == df.agg(min("low")).as[Double].head())
+    }
+  }
+}
