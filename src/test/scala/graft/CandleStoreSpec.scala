@@ -107,6 +107,20 @@ class CandleStoreSpec extends SparkSpec {
     assert(store.scan().count() == 2)
   }
 
+  test("leap day rows land in the leap year (ref quirk: day-366 rejected, SURVEY §7.4)") {
+    // The reference's uint32 day index caps at day 365, rejecting Feb 29
+    // of leap years in the daily index (`page/bodyList.go:39-42`). We
+    // keep calendar semantics: leap-day rows are ordinary rows.
+    val store = CandleStore(spark, tmpDir("cs-leap") + "/t")
+    store.upsert(Seq(
+      c("BTC", "2024-02-29 12:00:00", 1),
+      c("BTC", "2024-12-31 23:59:59", 2)).toDF())
+    assert(store.readPage("UPBIT", "BTC", 60, 2024).count() == 2)
+    val mm = store.minMaxTs("UPBIT", "BTC", 60, 2024)
+      .as[(Timestamp, Timestamp)].head()
+    assert(mm._1 == ts("2024-02-29 12:00:00"))
+  }
+
   test("point lookup prunes partitions (ref storage.go:78-96 page addressing)") {
     val store = CandleStore(spark, tmpDir("cs-prune") + "/t")
     store.upsert(Seq(c("BTC", "2022-03-01 10:00:00", 1), c("ETH", "2021-03-01 10:00:00", 2)).toDF())

@@ -64,6 +64,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((ts("2022-01-01 10:00:00"), 100.0, 110.0, 100.0, 110.0, 3.0, 60)))
   }
 
+  test("checkpoint restart is idempotent: re-running over a consumed source is a no-op") {
+    // The reference replays only committed WAL txs on recovery
+    // (`wal/flusher.go:93-131`); the Spark analog is the checkpointed
+    // offset log — a restarted AvailableNow query over already-consumed
+    // files must process nothing and leave the store unchanged.
+    val srcDir = tmpDir("st-restart-src")
+    Seq(c("BTC", "2022-01-01 10:00:00", 1), c("BTC", "2022-01-01 10:01:00", 2))
+      .toDF().write.mode("overwrite").parquet(srcDir)
+    val store = CandleStore(spark, tmpDir("st-restart") + "/t")
+    val ckpt = tmpDir("st-restart-ckpt")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+      val q = Ingest.upsertWriter(stream, store, ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val state1 = store.scan().orderBy("code", "ts").collect().toSeq
+    runOnce() // "restart" over the same checkpoint: nothing new to do
+    assert(store.scan().orderBy("code", "ts").collect().toSeq == state1)
+    assert(store.scan().count() == 2)
+  }
+
   test("streaming session windows close after the gap passes the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Double)]
