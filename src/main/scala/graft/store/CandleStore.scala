@@ -1,7 +1,6 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Candle
@@ -132,17 +131,19 @@ final class CandleStore(spark: SparkSession, val path: String) {
         normalized.unionByName(existing)
       }
 
-    // Last-wins merge: one shuffle on (series key, ts). New batch beats
-    // existing (`page/page.go:118-123`); within the batch, higher ordinal
-    // wins (reference keeps the later merge input after its stable sort,
-    // `page/page.go:65,114-123`).
-    val w = Window
-      .partitionBy((Candle.keyCols :+ "ts").map(col): _*)
-      .orderBy(col("_src").desc, col("_ord").desc, col("_cstruct").desc)
+    // Last-wins merge: ONE hash aggregation on (series key, ts) with
+    // map-side partial combine — no sort, and duplicate-heavy batches
+    // shrink before the shuffle (vs. a row_number window, which must
+    // sort-shuffle every row). New batch beats existing
+    // (`page/page.go:118-123`); within the batch, higher ordinal wins
+    // (reference keeps the later merge input, `page/page.go:65,114-123`).
+    // Priority ties imply an identical content struct, so max_by's pick
+    // is deterministic.
+    val pri = struct(col("_src"), col("_ord"), col("_cstruct"))
     val deduped = merged
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_rn", "_ord", "_cstruct", "_src")
+      .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
+      .agg(max_by(col("_cstruct"), pri).as("_w"))
+      .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
 
     // Atomic install: dynamic partition overwrite rewrites ONLY the
     // touched series-year partitions (reference: COW page install on
@@ -169,17 +170,17 @@ final class CandleStore(spark: SparkSession, val path: String) {
     * Skips reading existing data entirely.
     */
   def appendNewer(batch: DataFrame, ordinalCol: Option[String] = None): Unit = {
-    val ord = ordinalCol.map(col).getOrElse(lit(0))
-    val w = Window
-      .partitionBy((Candle.keyCols :+ "ts").map(col): _*)
-      .orderBy(ord.desc)
+    val contentStruct = struct(col("open"), col("high"), col("low"),
+      col("close"), col("volume"), col("bit_fields"))
+    val ord = ordinalCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
     batch
       .withColumn("ts", date_trunc("second", col("ts")).cast("timestamp"))
       .withColumn("year", year(col("ts")))
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_rn")
-      .drop(ordinalCol.toSeq: _*)
+      .withColumn("_cstruct", contentStruct)
+      .withColumn("_ord", ord)
+      .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
+      .agg(max_by(col("_cstruct"), struct(col("_ord"), col("_cstruct"))).as("_w"))
+      .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
       .repartition(Candle.partitionCols.map(col): _*)
       .sortWithinPartitions("ts")
       .write
