@@ -543,7 +543,7 @@ object Queries {
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.crossJoin(b).where(col("id_a") < col("id_b"))
-        .withColumn("score", Portable.round(Similarity.cosineUdf(col("va"), col("vb")), 4))
+        .withColumn("score", Portable.round(Similarity.cosineNative(col("va"), col("vb")), 4))
         .where(col("score") >= 0.25)
         .select("id_a", "id_b", "score")
     }),

@@ -52,6 +52,16 @@ object Similarity {
       if (d == 0.0) 0.0 else dot / d
     }
 
+  /** Native Catalyst cosine (whole-stage codegen, no UDF serialization) —
+    * see [[graft.expressions.CosineSimilarity]]. Bit-identical to
+    * [[cosine]] and [[cosineUdf]]; this is the default hot-path kernel.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CosineSimilarity(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Exact top-k nearest neighbors by cosine for each query vector.
     *
     * `queries` is broadcast; the corpus is scanned once; per-query top-k
@@ -65,7 +75,7 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", Portable.round(cosineUdf(col("qv"), col("cv")), roundScore))
+      .withColumn("score", Portable.round(cosineNative(col("qv"), col("cv")), roundScore))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored
@@ -126,7 +136,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     cand
-      .withColumn("score", Portable.round(cosineUdf(col("qv"), col("cv")), 4))
+      .withColumn("score", Portable.round(cosineNative(col("qv"), col("cv")), 4))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
@@ -152,21 +162,21 @@ object Similarity {
       .orderBy(col("csim").desc, col("cell_id").asc)
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(cent)
-      .withColumn("csim", Portable.round(cosineUdf(col("cv"), col("centroid")), 6))
+      .withColumn("csim", Portable.round(cosineNative(col("cv"), col("centroid")), 6))
       .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
       .select("cell_id", "neighbor_id", "cv")
     val wQ = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell_id").asc)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(cent)
-      .withColumn("csim", Portable.round(cosineUdf(col("qv"), col("centroid")), 6))
+      .withColumn("csim", Portable.round(cosineNative(col("qv"), col("centroid")), 6))
       .withColumn("rn", row_number().over(wQ)).where(col("rn") <= nProbe)
       .select("query_id", "qv", "cell_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     broadcast(probes).join(assigned, Seq("cell_id"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", Portable.round(cosineUdf(col("qv"), col("cv")), 4))
+      .withColumn("score", Portable.round(cosineNative(col("qv"), col("cv")), 4))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")

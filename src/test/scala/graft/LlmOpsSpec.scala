@@ -26,13 +26,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(both.where(col("expr") =!= col("udf")).count() == 0)
   }
 
-  test("cosineUdf matches the expression form (bit-exact)") {
+  test("cosineUdf and native Catalyst cosine match the expression form (bit-exact)") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.fill(20)((Seq.fill(16)(rnd.nextFloat()), Seq.fill(16)(rnd.nextFloat())))
       .toDF("a", "b")
-    val both = vecs.select(Similarity.cosine(col("a"), col("b")).as("expr"),
-      Similarity.cosineUdf(col("a"), col("b")).as("udf"))
-    assert(both.where(col("expr") =!= col("udf")).count() == 0)
+    val all = vecs.select(Similarity.cosine(col("a"), col("b")).as("expr"),
+      Similarity.cosineUdf(col("a"), col("b")).as("udf"),
+      Similarity.cosineNative(col("a"), col("b")).as("native"))
+    assert(all.where(col("expr") =!= col("udf") || col("expr") =!= col("native")).count() == 0)
+  }
+
+  test("graft_cosine registers as a SQL function via GraftExtensions") {
+    graft.GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").as[Double].head()
+    assert(out == 1.0)
+    // codegen path produces a plan without BatchEvalPython/ScalaUDF nodes
+    val df = Seq((Seq(1f, 2f), Seq(2f, 1f))).toDF("a", "b")
+      .select(Similarity.cosineNative(col("a"), col("b")).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"native path must not plan a UDF:\n$plan")
   }
 
   test("exact duplicates always collide in MinHash-LSH and score jaccard 1.0") {
