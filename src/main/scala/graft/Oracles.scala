@@ -44,7 +44,10 @@ object Oracles {
           j += 1
         }
         require(done > 0 && lastTopComma > 0, s"unparseable round() at $at")
-        val expr = sql.substring(at + 6, lastTopComma).trim
+        // Recurse into the argument so nested round() calls are also
+        // rewritten (latent today, but double-rounding is a plausible
+        // future parity pattern).
+        val expr = portabilize(sql.substring(at + 6, lastTopComma).trim)
         val n = sql.substring(lastTopComma + 1, done).trim.toInt
         out.append(Portable.roundSql(expr, n))
         i = done + 1

@@ -408,6 +408,10 @@ object Queries {
     val path = streamCache.getOrElseUpdate(d, {
       val base = Files.createTempDirectory("graft-qstream").toString
       val p = s"$base/candles"
+      // events.ts is TIMESTAMP(NANOS): the conf must be set on THIS
+      // session before any read of the file (Tables.load does it for the
+      // batch path; the stream path must not depend on call order).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$d/events.parquet")
       // File-stream sources take a directory; select just the events
       // table out of the shared testdata dir via a glob filter.
@@ -415,21 +419,14 @@ object Queries {
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val st = CandleStore(s, p)
-      val q = stream.writeStream
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            st.upsert(TimeSeries.candlesFromTicks(batch, "ts", "value", Some("value"),
-                Seq("event_type"), 1)
-              .select(lit("EVS").as("market"), col("event_type").as("code"),
-                lit(1).as("candle_length"), timestamp_seconds(col("bucket")).as("ts"),
-                col("open"), col("high"), col("low"), col("close"), col("volume"),
-                lit(0L).as("bit_fields")))
-            ()
-          }
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val q = graft.streaming.Ingest.startUpsertIngest(stream, st, s"$base/ckpt",
+        transform = batch =>
+          TimeSeries.candlesFromTicks(batch, "ts", "value", Some("value"),
+              Seq("event_type"), 1)
+            .select(lit("EVS").as("market"), col("event_type").as("code"),
+              lit(1).as("candle_length"), timestamp_seconds(col("bucket")).as("ts"),
+              col("open"), col("high"), col("low"), col("close"), col("volume"),
+              lit(0L).as("bit_fields")))
       q.awaitTermination()
       p
     })

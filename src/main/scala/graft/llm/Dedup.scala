@@ -162,10 +162,23 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-    // Exact-Jaccard verify on candidates only.
+      // Candidate pairs are small (near-dup clusters); materialize them
+      // once so the banding pipeline isn't re-evaluated per downstream
+      // branch (it feeds three subtrees below).
+      .localCheckpoint()
+    // Exact-Jaccard verify on candidates only. Shingles for the verify
+    // side are recomputed ONLY for candidate docs (semi-join first), so
+    // the full-corpus tokenize+shingle pass runs exactly once (banding)
+    // rather than once per join side.
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candDocs = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("_text"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), shinglesUdf(shingleN)(tokens(col("_text"))).as("sh"))
     cand
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(candDocs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(candDocs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), Portable.round(col("jaccard"), 4).as("jaccard"))

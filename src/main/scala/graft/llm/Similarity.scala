@@ -112,8 +112,15 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 8,
-              dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim)
+              dim: Int = -1): DataFrame = {
+    // dim must match the data: planes longer than the vectors make every
+    // sign-bit null→"0" (zip_with pads with null), collapsing ALL
+    // vectors into one bucket — the exact N×Q blow-up LSH exists to
+    // avoid. Auto-detect from the corpus unless given explicitly.
+    val planeDim =
+      if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(nPlanes, planeDim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes))
     // Probe the query's own bucket plus all Hamming-1 buckets (flip each

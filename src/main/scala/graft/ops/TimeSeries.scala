@@ -17,9 +17,12 @@ object TimeSeries {
 
   /** Epoch-second bucket start for a tumbling window of `widthSec`.
     * BIGINT (not a window struct) so results stay engine-portable.
+    * `floor` (not cast-truncation) so pre-1970 timestamps bucket
+    * correctly: epoch -1800 at width 3600 → -3600, matching
+    * `date_trunc`, where truncation toward zero would give 0.
     */
   def bucketStart(ts: Column, widthSec: Long): Column =
-    (unix_timestamp(ts).cast("long") / widthSec).cast("long") * widthSec
+    floor(unix_timestamp(ts).cast("double") / widthSec).cast("long") * widthSec
 
   /** Resample raw ticks/events into OHLCV candles of `widthSec` per key:
     * open = value at min ts, high = max, low = min, close = value at max
@@ -72,17 +75,26 @@ object TimeSeries {
                leftTs: String, rightTs: String,
                valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // Right values travel inside a non-null marker STRUCT: last(...,
+    // ignoreNulls) must skip only the left rows' placeholders, not right
+    // rows whose carried value is genuinely NULL — a bare column can't
+    // distinguish the two (a null right value would be forward-filled
+    // past, returning a stale older value).
+    def vStruct(c: String): Column = struct(col(c).as("v"))
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
       .select((by.map(col) :+ col("_ts") :+ col("_side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")) ++
+        valueCols.map(c => lit(null)
+          .cast(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v", right.schema(c).dataType))))
+          .as(s"_v_$c")) ++
         leftCols.filterNot(by.contains).map(c => col(c).as(s"_l_$c")): _*)
     val r = right
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(0))
       .select((by.map(col) :+ col("_ts") :+ col("_side")) ++
-        valueCols.map(c => col(c).as(s"_v_$c")) ++
+        valueCols.map(c => vStruct(c).as(s"_v_$c")) ++
         leftCols.filterNot(by.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")): _*)
     // _side asc ⇒ at equal ts the right row sorts first, so the left row
     // sees it (as-of "<=" semantics).
@@ -93,7 +105,8 @@ object TimeSeries {
       .select(
         (by.map(col) :+ col("_ts") :+ col("_side")) ++
           leftCols.filterNot(by.contains).map(c => col(s"_l_$c")) ++
-          valueCols.map(c => last(col(s"_v_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+          valueCols.map(c =>
+            last(col(s"_v_$c"), ignoreNulls = true).over(w).getField("v").as(s"asof_$c")): _*)
       .where(col("_side") === 1)
     joined.select(
       (by.map(col) ++

@@ -38,19 +38,25 @@ object Ingest {
     * `database/database.go:27-51`); idempotent upsert + checkpointed
     * offsets give exactly-once end-to-end.
     */
+  /** @param transform applied to each micro-batch before the upsert —
+    *   e.g. tick→candle aggregation; runs inside the batch job, so the
+    *   checkpoint still guards the whole pipeline.
+    */
   def upsertWriter(stream: DataFrame, store: CandleStore,
-                   checkpointDir: String): DataStreamWriter[Row] =
+                   checkpointDir: String,
+                   transform: DataFrame => DataFrame = identity): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) { store.upsert(batch); () }
+        if (!batch.isEmpty) { store.upsert(transform(batch)); () }
       }
 
   def startUpsertIngest(stream: DataFrame, store: CandleStore,
                         checkpointDir: String,
-                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    upsertWriter(stream, store, checkpointDir).trigger(trigger).start()
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        transform: DataFrame => DataFrame = identity): StreamingQuery =
+    upsertWriter(stream, store, checkpointDir, transform).trigger(trigger).start()
 
   /** Streaming session windows: events sessionized by inactivity gap,
     * per user (SURVEY.md §2.3 extension row; batch analog is

@@ -74,7 +74,14 @@ object Smoke {
     check("minMaxTs",
       store.minMaxTs("UPBIT", "BTC", 60, 2021).select("first_ts").as[Timestamp].head() == ts("2021-01-05 00:00:00"))
     val plan = store.readPage("UPBIT", "BTC", 60, 2021).queryExecution.executedPlan.toString
-    check("point lookup partition-prunes", plan.contains("PartitionFilters") || !plan.contains("year=2022"))
+    // Assert the filter expressions actually landed INSIDE the scan's
+    // PartitionFilters list (plan strings always contain the label, so a
+    // bare contains() would be vacuous).
+    val partFilters = "PartitionFilters: \\[[^\\]]*".r
+      .findFirstIn(plan).getOrElse("")
+    check("point lookup partition-prunes",
+      partFilters.contains("year") && partFilters.contains("code"),
+      s"filters=$partFilters")
 
     // --- TimeSeries ops on events ---
     val events = Tables.events(spark, sfDir)

@@ -41,6 +41,12 @@ class LlmOpsSpec extends SparkSpec {
     val out = spark.sql(
       "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").as[Double].head()
     assert(out == 1.0)
+    // null element -> NULL (matches the expression form and DuckDB)
+    val withNull = spark.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c")
+      .as[Option[Double]].head()
+    assert(withNull.isEmpty, "null element must poison the score, not read as 0.0")
     // codegen path produces a plan without BatchEvalPython/ScalaUDF nodes
     val df = Seq((Seq(1f, 2f), Seq(2f, 1f))).toDF("a", "b")
       .select(Similarity.cosineNative(col("a"), col("b")).as("c"))

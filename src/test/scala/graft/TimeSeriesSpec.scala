@@ -54,6 +54,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(111.0), Some(222.0), None))
   }
 
+  test("asofJoin: a matched right row with NULL value yields NULL, not a stale fill") {
+    val left = Seq(("u1", ts("2022-01-01 11:30:00"), 1L)).toDF("user", "ts", "lid")
+    val right = Seq(("u1", ts("2022-01-01 10:00:00"), Some(5.0)),
+      ("u1", ts("2022-01-01 11:00:00"), None)).toDF("user", "ts", "value")
+    val out = TimeSeries.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("value"))
+      .select("asof_value").as[Option[Double]].head()
+    assert(out.isEmpty, "the 11:00 row (value NULL) is the as-of match; must not fill past it")
+  }
+
+  test("bucketStart floors pre-epoch timestamps (no toward-zero truncation)") {
+    val ticks = Seq(("k", ts("1969-12-31 23:30:00"), 1.0)).toDF("code", "ts", "v")
+    val out = TimeSeries.candlesFromTicks(ticks, "ts", "v", None, Seq("code"), 3600)
+      .select(timestamp_seconds(col("bucket"))).as[Timestamp].head()
+    assert(out == ts("1969-12-31 23:00:00"), s"got $out")
+  }
+
   test("gaps finds inter-event silences above threshold only") {
     val ev = Seq(tick("u1", "2022-01-01 10:00:00", 0, 1), tick("u1", "2022-01-01 10:30:00", 0, 2),
       tick("u1", "2022-01-01 12:00:00", 0, 3)).toDF("u", "ts", "v", "event_id")
