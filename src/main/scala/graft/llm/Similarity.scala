@@ -76,12 +76,17 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("score", Portable.round(cosineNative(col("qv"), col("cv")), roundScore))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
+    // Bounded-heap aggregation instead of a row_number window: the
+    // shuffle carries at most k rows per (map partition, query) thanks
+    // to partial aggregation — a window would sort-shuffle every scored
+    // pair. Ordering (score desc, id asc) matches the window/oracle.
+    val topk = udaf(new TopK.TopKAggregator(k))
     scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("score")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Deterministic random hyperplanes: `nPlanes` unit-free direction

@@ -72,6 +72,57 @@ object Ingest {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Custom-state streaming (SURVEY.md §2.3 last row): running OHLCV per
+    * series via `flatMapGroupsWithState` — a candle is held as
+    * per-key state while its bucket is live and EMITTED the moment a
+    * tick from a later bucket arrives for that key, independent of
+    * watermark delay (windowed aggregation can only emit on watermark
+    * advance). State is one small struct per series — bounded by series
+    * cardinality, not event volume.
+    */
+  def runningCandles(ticks: org.apache.spark.sql.Dataset[Tick],
+                     widthSec: Long): org.apache.spark.sql.Dataset[CandleOut] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(t => (t.market, t.code))
+      .flatMapGroupsWithState[CandleAcc, CandleOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case ((market, code), it, state) =>
+          val sorted = it.toSeq.sortBy(t => (t.ts.getTime, t.price))
+          var acc = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[CandleOut]()
+          sorted.foreach { t =>
+            val sec = math.floorDiv(t.ts.getTime, 1000L)
+            val bucket = math.floorDiv(sec, widthSec) * widthSec
+            if (acc == null || bucket > acc.bucket) {
+              if (acc != null)
+                out += CandleOut(market, code, new java.sql.Timestamp(acc.bucket * 1000L),
+                  widthSec.toInt, acc.open, acc.high, acc.low, acc.close, acc.volume)
+              acc = CandleAcc(bucket, t.price, t.price, t.price, t.price, t.qty)
+            } else if (bucket == acc.bucket) {
+              acc = acc.copy(high = math.max(acc.high, t.price),
+                low = math.min(acc.low, t.price), close = t.price,
+                volume = acc.volume + t.qty)
+            }
+            // bucket < acc.bucket: late tick for an already-emitted candle
+            // — routed to the batch backfill path (store.upsert accepts
+            // arbitrary lateness), not merged into live state.
+          }
+          if (acc != null) state.update(acc)
+          out.iterator
+      }
+  }
+
+  final case class Tick(market: String, code: String,
+                        ts: java.sql.Timestamp, price: Double, qty: Double)
+  final case class CandleAcc(bucket: Long, open: Double, high: Double,
+                             low: Double, close: Double, volume: Double)
+  final case class CandleOut(market: String, code: String,
+                             ts: java.sql.Timestamp, candle_length: Int,
+                             open: Double, high: Double, low: Double,
+                             close: Double, volume: Double)
+
   /** Streaming OHLCV aggregation: ticks → tumbling-window candles with a
     * watermark (append mode emits each candle once its window closes).
     */

@@ -106,6 +106,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, ts("2022-01-01 10:00:00"), ts("2022-01-01 10:15:00"), 2L, 3.0)))
   }
 
+  test("runningCandles (flatMapGroupsWithState) emits a candle when its bucket closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ingest.Tick]
+    val out = Ingest.runningCandles(stream.toDS(), widthSec = 60)
+    val query = out.writeStream.format("memory").queryName("runc")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(
+      Ingest.Tick("U", "BTC", ts("2022-01-01 10:00:05"), 100.0, 1.0),
+      Ingest.Tick("U", "BTC", ts("2022-01-01 10:00:40"), 90.0, 2.0))
+    query.processAllAvailable()
+    assert(spark.table("runc").count() == 0, "bucket still live -> nothing emitted")
+    stream.addData(Ingest.Tick("U", "BTC", ts("2022-01-01 10:01:10"), 95.0, 1.0))
+    query.processAllAvailable()
+    val rows = spark.table("runc")
+      .select("ts", "open", "high", "low", "close", "volume")
+      .as[(Timestamp, Double, Double, Double, Double, Double)].collect()
+    query.stop()
+    assert(rows.toSeq ==
+      Seq((ts("2022-01-01 10:00:00"), 100.0, 100.0, 90.0, 90.0, 3.0)),
+      s"got ${rows.toSeq}")
+  }
+
   test("streaming dedup with watermark drops duplicate keys within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Candle]
