@@ -225,6 +225,13 @@ object Oracles {
     "q20_json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k')::INT AS k_val
          FROM events WHERE event_type IN ('click', 'purchase')""",
+    "q43_map_json" ->
+      """SELECT event_id,
+         len(json_keys(props))::INT AS n_keys,
+         list_sort(json_keys(props))[1] AS first_key,
+         json_extract_string(props, '$.k')::INT AS k_val,
+         json_extract_string(props, '$.k')::INT AS vals_sum
+         FROM events""",
     "q21_having" ->
       """SELECT user_id, count(*) AS n_events FROM events
          GROUP BY 1 HAVING count(*) > 70""",

@@ -204,6 +204,19 @@ object Queries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k_val"))
     }),
+    // Map functions over from_json-parsed payloads.
+    "q43_map_json" -> ((s, d) => {
+      T.events(s, d)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)))
+        .select(col("event_id"),
+          size(col("m")).as("n_keys"),
+          element_at(sort_array(map_keys(col("m"))), 1).as("first_key"),
+          element_at(col("m"), "k").as("k_val"),
+          aggregate(map_values(col("m")), lit(0), (a, v) => a + v).as("vals_sum"))
+    }),
     // HAVING (post-aggregation filter).
     "q21_having" -> ((s, d) => {
       T.events(s, d)
