@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Joins
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin is row-identical to the plain equi-join (incl. skewed keys)") {
+    val rnd = new scala.util.Random(5)
+    // heavy skew: 80% of left rows share one key
+    val left = (1 to 500).map(i =>
+      (if (rnd.nextDouble() < 0.8) 1L else rnd.nextInt(50).toLong, i)).toDF("k", "lv")
+    val right = (0L to 50L).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).orderBy("k", "lv").collect().toSeq
+    val salted = Joins.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+      .select("k", "lv", "rv").orderBy("k", "lv").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedJoin left join keeps unmatched rows exactly once") {
+    val left = Seq((1L, "a"), (99L, "nomatch")).toDF("k", "lv")
+    val right = Seq((1L, "r1")).toDF("k", "rv")
+    val out = Joins.saltedJoin(left, right, Seq("k"), 4, "left")
+      .orderBy("k").collect().toSeq
+    assert(out.length == 2 && out.map(_.getString(1)).toSeq == Seq("a", "nomatch"))
+  }
+
+  test("bucketedRangeJoin equals the theta join for bounded spans") {
+    val left = (0 until 50).map(i =>
+      ("u", ts(f"2022-01-01 10:${i % 60}%02d:00"), i)).toDF("u", "lts", "li")
+    val right = (0 until 50).map(i =>
+      ("u", ts(f"2022-01-01 10:${i % 60}%02d:30"), i)).toDF("u", "rts", "ri")
+    val span = 300L
+    val cond = col("rts") >= col("lts") && col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES")
+    val theta = left.join(right, cond)
+      .select("li", "ri").orderBy("li", "ri").collect().toSeq
+    val bucketed = Joins.bucketedRangeJoin(right, left, "rts", "lts", span,
+      cond)
+      .select("li", "ri").orderBy("li", "ri").collect().toSeq
+    // bucketedRangeJoin(left=probe-with-2-buckets) — here right probes
+    // [its bucket-1, its bucket] so every lts within span is found
+    assert(bucketed == theta, s"bucketed=${bucketed.size} theta=${theta.size}")
+  }
+}
