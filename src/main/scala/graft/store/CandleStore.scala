@@ -163,6 +163,43 @@ final class CandleStore(spark: SparkSession, val path: String) {
     scan()
   }
 
+  /** Compaction — the reference's WAL group-flush analog (op M3,
+    * `wal/wal.go:81-135`: periodically fold accumulated log segments
+    * into clean pages). Streaming upserts leave one file per micro-batch
+    * per touched partition; this rewrites ONLY partitions exceeding
+    * `maxFilesPerPartition`, restoring the one-sorted-run-per-page
+    * invariant and Parquet row-group pruning efficiency. Returns the
+    * number of partitions compacted.
+    *
+    * Scale: the file census is a metadata-cheap aggregation over
+    * `input_file_name`, the rewrite reads/writes only the offending
+    * partitions (broadcast semi-join + dynamic overwrite), and nothing
+    * is proportional to table size.
+    */
+  def compact(maxFilesPerPartition: Int = 4): Int = {
+    if (!exists) return 0
+    val crowded = scan()
+      .select(Candle.partitionCols.map(col) :+ input_file_name().as("_f"): _*)
+      .groupBy(Candle.partitionCols.map(col): _*)
+      .agg(countDistinct(col("_f")).as("_nf"))
+      .where(col("_nf") > maxFilesPerPartition)
+      .select(Candle.partitionCols.map(col): _*)
+      .localCheckpoint() // small; avoid re-census during the rewrite scan
+    val n = crowded.count().toInt
+    if (n > 0) {
+      scan()
+        .join(broadcast(crowded), Candle.partitionCols, "left_semi")
+        .repartition(Candle.partitionCols.map(col): _*)
+        .sortWithinPartitions("ts")
+        .write
+        .partitionBy(Candle.partitionCols: _*)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .parquet(path)
+    }
+    n
+  }
+
   /** Append fast-path (reference: `page/page.go:73-77` — if every new row
     * is strictly newer than the page's max timestamp, append without
     * merging). Caller asserts the batch is all-new (e.g. a tailing

@@ -107,6 +107,22 @@ class CandleStoreSpec extends SparkSpec {
     assert(store.scan().count() == 2)
   }
 
+  test("compact folds many small files into one run, preserving data (ref WAL flush M3)") {
+    val store = CandleStore(spark, tmpDir("cs-compact") + "/t")
+    // 6 appends -> >=6 files in the BTC/2022 partition
+    (1 to 6).foreach(i => store.appendNewer(Seq(c("BTC", f"2022-03-01 10:0$i:00", i)).toDF()))
+    def nFiles: Long = store.scan()
+      .select(input_file_name()).distinct().count()
+    val before = store.scan().orderBy("ts").collect().toSeq
+    assert(nFiles >= 6)
+    val compacted = store.compact(maxFilesPerPartition = 2)
+    assert(compacted == 1, s"expected 1 partition compacted, got $compacted")
+    assert(nFiles < 6, "file count must shrink")
+    assert(store.scan().orderBy("ts").collect().toSeq == before, "data must be unchanged")
+    // second pass is a no-op
+    assert(store.compact(maxFilesPerPartition = 2) == 0)
+  }
+
   test("leap day rows land in the leap year (ref quirk: day-366 rejected, SURVEY §7.4)") {
     // The reference's uint32 day index caps at day 365, rejecting Feb 29
     // of leap years in the daily index (`page/bodyList.go:39-42`). We
