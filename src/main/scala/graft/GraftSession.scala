@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-stop session builder with the engine's required configuration:
+  * UTC session time, shuffle parallelism sized for the target (32 for
+  * the local[32] harness — NOT the 200 default, which just makes tiny
+  * partitions at this scale), nanos-timestamp reads enabled (the events
+  * table is Parquet TIMESTAMP(NANOS)), AQE on, and graft's native SQL
+  * functions registered.
+  */
+object GraftSession {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+              appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val s = builder(appName = appName).getOrCreate()
+    // getOrCreate may return a pre-existing session that never saw the
+    // extensions config — register directly so the functions always exist.
+    GraftExtensions.register(s)
+    s
+  }
+}
