@@ -407,6 +407,55 @@ object Oracles {
                   FROM band a JOIN band b ON a.band = b.band AND a.id < b.id)
          SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
          FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6""",
+    "q44_dedup_corpus" ->
+      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text)))
+         SELECT d.doc_id, d.lang, d.source, d.n_chars
+         FROM documents d JOIN k USING (doc_id)""",
+    "q45_quality_filter" ->
+      s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text))),
+         dd AS (SELECT d.* FROM documents d JOIN k USING (doc_id)),
+         t AS (SELECT doc_id, source, text, $WS AS ws FROM dd),
+         m AS (SELECT doc_id, source, text, ws, len(ws) AS ntok,
+           len(list_filter(ws, w -> list_contains(['the','and','of','is','with'], w))) AS s_en,
+           len(list_filter(ws, w -> list_contains(['der','die','und','ist','mit'], w))) AS s_de,
+           len(list_filter(ws, w -> list_contains(['le','la','et','est','avec'], w))) AS s_fr,
+           len(list_filter(ws, w -> list_contains(['el','la','y','es','con'], w))) AS s_es,
+           len(list_filter(ws, w -> list_contains(['de','shi','he','zai','le'], w))) AS s_zh,
+           CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+             len(list_filter(ws, w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w)))::DOUBLE
+               / len(ws)::DOUBLE END AS stop_ratio,
+           CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+             list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)::DOUBLE END AS mwl
+         FROM t),
+         q AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best,
+           round(least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+             + least(stop_ratio * 10.0, 1.0) * 0.3
+             + CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 0.3 ELSE 0.1 END, 4) AS quality
+         FROM m)
+         SELECT doc_id, source FROM q
+         WHERE ntok BETWEEN 20 AND 10000 AND quality >= 0.6
+           AND (CASE WHEN s_en = best AND best > 0 THEN 'en'
+                     WHEN s_de = best AND best > 0 THEN 'de'
+                     WHEN s_fr = best AND best > 0 THEN 'fr'
+                     WHEN s_es = best AND best > 0 THEN 'es'
+                     WHEN s_zh = best AND best > 0 THEN 'zh'
+                     ELSE 'und' END) = 'en'""",
+    "q46_corpus_stats" ->
+      s"""WITH t AS (SELECT lang, source, text, $WS AS ws FROM documents),
+         m AS (SELECT lang, source, len(ws) AS ntok,
+           CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+             len(list_filter(ws, w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w)))::DOUBLE
+               / len(ws)::DOUBLE END AS stop_ratio,
+           CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+             list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)::DOUBLE END AS mwl,
+           length(text) AS nchars
+         FROM t)
+         SELECT lang, source, count(*) AS n_docs,
+           sum(ntok)::BIGINT AS total_tokens,
+           round(avg(round(least(nchars::DOUBLE / 500.0, 1.0) * 0.4
+             + least(stop_ratio * 10.0, 1.0) * 0.3
+             + CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 0.3 ELSE 0.1 END, 4)), 4) AS mean_quality
+         FROM m GROUP BY 1, 2""",
     "q54_text_counts" ->
       s"""SELECT doc_id,
          len(ws)::INT AS n_tokens,

@@ -505,6 +505,31 @@ object Queries {
       Dedup.simhashNearDupPairs(T.documents(s, d).where(col("doc_id") < 1000),
         "doc_id", "text", maxHamming = 6)
     }),
+    // Dedup as a corpus materialization: keep the lowest-id doc per
+    // normalized text, all columns carried.
+    "q44_dedup_corpus" -> ((s, d) => {
+      Dedup.dedupedCorpus(T.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+    // The canonical pre-training cleaning pass: token band + quality
+    // floor + language allowlist, composed over the deduped corpus.
+    "q45_quality_filter" -> ((s, d) => {
+      TextStats.qualityFilter(
+          Dedup.dedupedCorpus(T.documents(s, d), "doc_id", "text"),
+          "text", minTokens = 20, maxTokens = 10000, minQuality = 0.6,
+          langs = Seq("en"))
+        .select(col("doc_id"), col("source"))
+    }),
+    // Corpus-level analytics: per (lang, source) doc counts, token sums,
+    // mean quality — the dataset-card summary over documents.
+    "q46_corpus_stats" -> ((s, d) => {
+      val t = col("text")
+      T.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(t).cast("long")).as("total_tokens"),
+          Portable.round(avg(TextStats.qualityScore(t)), 4).as("mean_quality"))
+    }),
     // Per-document token/char counts and ratios.
     "q54_text_counts" -> ((s, d) => {
       val t = col("text")

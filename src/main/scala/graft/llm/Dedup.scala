@@ -23,6 +23,19 @@ object Dedup {
     df.groupBy(lower(trim(col(textCol))).as("norm_text"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Materialize the deduplicated corpus: keep the lowest-id document of
+    * each normalized-text group, carrying all columns. Two shuffles
+    * (group-min + semi-join) — the standard first stage of a
+    * training-data pipeline.
+    */
+  def dedupedCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df
+      .groupBy(lower(trim(col(textCol))).as("_norm"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Word n-gram shingles of a token array (n consecutive words joined by
     * a space). Empty if the doc has fewer than n words.
     */

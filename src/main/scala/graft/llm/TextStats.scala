@@ -107,6 +107,21 @@ object TextStats {
       lit(0L),
       (acc, h) => (acc * 31L + h) % 1000000007L)
 
+  /** Quality-gate filter: the canonical pre-training cleaning pass —
+    * keep documents in a token-count band, above a quality floor, and
+    * (optionally) in an allowed predicted-language set. Pure pushed-down
+    * scan predicates; composes with [[graft.llm.Dedup.dedupedCorpus]].
+    */
+  def qualityFilter(df: DataFrame, textCol: String,
+                    minTokens: Int = 10, maxTokens: Int = 100000,
+                    minQuality: Double = 0.5,
+                    langs: Seq[String] = Nil): DataFrame = {
+    val t = col(textCol)
+    val base = df.where(tokenCount(t).between(minTokens, maxTokens) &&
+      qualityScore(t) >= minQuality)
+    if (langs.isEmpty) base else base.where(langId(t).isin(langs: _*))
+  }
+
   /** Per-document stats frame: one row per doc with all declared metrics. */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

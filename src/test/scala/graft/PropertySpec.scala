@@ -90,6 +90,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: any micro-batch split of a batch converges to the batch upsert (F6)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    batches(2, 30).zipWithIndex.foreach { case (b, i) =>
+      // random (seeded) split points into 1..4 micro-batches
+      val rnd = new scala.util.Random(100 + i)
+      val splits = b.grouped(1 + rnd.nextInt(math.max(1, b.size / 2))).toSeq
+      val streamed = graft.store.CandleStore(spark, tmpDir(s"prop-st$i") + "/t")
+      val stream = MemoryStream[Candle]
+      val q = graft.streaming.Ingest.upsertWriter(stream.toDF(), streamed, tmpDir(s"prop-ck$i"))
+        .trigger(Trigger.ProcessingTime(0)).start()
+      splits.foreach { g => stream.addData(g); q.processAllAvailable() }
+      q.stop()
+      val batch = graft.store.CandleStore(spark, tmpDir(s"prop-bt$i") + "/t")
+      splits.foreach(g => batch.upsert(g.toDF()))
+      assert(streamed.scan().orderBy("code", "ts").collect().toSeq ==
+        batch.scan().orderBy("code", "ts").collect().toSeq,
+        s"seed ${i + 1}: streamed state diverges from batch state")
+    }
+  }
+
   test("property: resample preserves volume sum, bounds high/low (F5 invariants)") {
     batches(3, 60).zipWithIndex.foreach { case (b, i) =>
       val df = b.toDF()
