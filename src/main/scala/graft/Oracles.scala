@@ -346,6 +346,31 @@ object Oracles {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "q47_asof_tolerance" ->
+      """SELECT p.user_id, p.event_id,
+         CASE WHEN v.ts IS NOT NULL AND date_diff('second', v.ts, p.ts) <= 600
+              THEN round(v."value", 4) END AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "q48_asof_forward" ->
+      """SELECT p.user_id, p.event_id, round(v."value", 4) AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts <= v.ts""",
+    "q49_range_frame" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(sum(l_extendedprice) OVER (PARTITION BY l_returnflag
+           ORDER BY l_quantity RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS near_qty_rev
+         FROM lineitem""",
+    "q4A_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+         round(first_value(o_totalprice) OVER w, 2) AS first_price,
+         round(last_value(o_totalprice) OVER w, 2) AS last_price,
+         round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     // -- candle store + streaming ----------------------------------- //
     "q40_store_upsert" ->
       s"""$storeEndState

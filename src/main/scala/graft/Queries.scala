@@ -351,6 +351,48 @@ object Queries {
       TimeSeries.dailyCumulativeCounts(T.events(s, d), "ts", Seq("event_type"))
         .select(col("event_type"), col("day"), col("day_count"), col("cum_before"))
     }),
+    // As-of with tolerance: matches farther than 10 minutes go NULL.
+    "q47_asof_tolerance" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val views = ev.where(col("event_type") === "view").select("user_id", "ts", "value")
+      TimeSeries.asofJoinOpts(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("value"), forward = false, toleranceSec = Some(600))
+        .select(col("user_id"), col("event_id"),
+          Portable.round(col("asof_value"), 4).as("asof_value"))
+    }),
+    // Forward as-of: nearest view at-or-after each purchase.
+    "q48_asof_forward" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val views = ev.where(col("event_type") === "view").select("user_id", "ts", "value")
+      TimeSeries.asofJoinOpts(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("value"), forward = true)
+        .select(col("user_id"), col("event_id"),
+          Portable.round(col("asof_value"), 4).as("asof_value"))
+    }),
+    // RANGE window frame (value-based peers, not row counts).
+    "q49_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+        .rangeBetween(-5, 0)
+      T.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        Portable.round(sum(col("l_extendedprice")).over(w), 2).as("near_qty_rev"))
+    }),
+    // first/last/nth analytic functions over a full-partition frame.
+    "q4A_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        Portable.round(first(col("o_totalprice")).over(w), 2).as("first_price"),
+        Portable.round(last(col("o_totalprice")).over(w), 2).as("last_price"),
+        Portable.round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"))
+    }),
     // Gap-fill onto an hourly grid with forward-fill (densify + last
     // observation carried forward — the series-completion op candle
     // consumers need).

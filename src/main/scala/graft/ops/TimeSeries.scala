@@ -73,45 +73,87 @@ object TimeSeries {
     */
   def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
                leftTs: String, rightTs: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String]): DataFrame =
+    asofJoinOpts(left, right, by, leftTs, rightTs, valueCols)
+
+  /** As-of join with direction and tolerance.
+    *
+    * @param forward false = nearest right row at-or-BEFORE the left ts
+    *   (default; mora-style latest-candle lookup); true = nearest
+    *   at-or-AFTER.
+    * @param toleranceSec when set, matches farther than this many
+    *   seconds from the left ts resolve to NULL (pandas merge_asof
+    *   semantics). Applied on whole-second differences.
+    */
+  def asofJoinOpts(left: DataFrame, right: DataFrame, by: Seq[String],
+                   leftTs: String, rightTs: String, valueCols: Seq[String],
+                   forward: Boolean = false,
+                   toleranceSec: Option[Long] = None): DataFrame = {
+    val matched = asofImpl(left, right, by, leftTs, rightTs, valueCols, forward)
+    toleranceSec match {
+      case None => matched.drop("_asof_ts")
+      case Some(tol) =>
+        val dist =
+          if (forward) unix_timestamp(col("_asof_ts")) - unix_timestamp(col(leftTs))
+          else unix_timestamp(col(leftTs)) - unix_timestamp(col("_asof_ts"))
+        valueCols.foldLeft(matched) { (df, c) =>
+          df.withColumn(s"asof_$c",
+            when(col("_asof_ts").isNotNull && dist <= tol, col(s"asof_$c")))
+        }.drop("_asof_ts")
+    }
+  }
+
+  private def asofImpl(left: DataFrame, right: DataFrame, by: Seq[String],
+                       leftTs: String, rightTs: String,
+                       valueCols: Seq[String], forward: Boolean): DataFrame = {
+    require(valueCols.nonEmpty, "asofJoin needs at least one value column")
     val leftCols = left.columns
-    // Right values travel inside a non-null marker STRUCT: last(...,
-    // ignoreNulls) must skip only the left rows' placeholders, not right
-    // rows whose carried value is genuinely NULL — a bare column can't
-    // distinguish the two (a null right value would be forward-filled
-    // past, returning a stale older value).
-    def vStruct(c: String): Column = struct(col(c).as("v"))
+    // Right values travel inside a non-null marker STRUCT (with the
+    // matched right ts): last(..., ignoreNulls) must skip only the left
+    // rows' placeholders, not right rows whose carried value is
+    // genuinely NULL — a bare column can't distinguish the two (a null
+    // right value would be forward-filled past, returning a stale older
+    // value). The carried ts serves tolerance checks.
+    def structType(c: String) = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v", right.schema(c).dataType)))
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
       .select((by.map(col) :+ col("_ts") :+ col("_side")) ++
-        valueCols.map(c => lit(null)
-          .cast(org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("v", right.schema(c).dataType))))
-          .as(s"_v_$c")) ++
+        valueCols.map(c => lit(null).cast(structType(c)).as(s"_v_$c")) ++
         leftCols.filterNot(by.contains).map(c => col(c).as(s"_l_$c")): _*)
     val r = right
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(0))
       .select((by.map(col) :+ col("_ts") :+ col("_side")) ++
-        valueCols.map(c => vStruct(c).as(s"_v_$c")) ++
+        valueCols.map(c =>
+          struct(col(rightTs).cast("timestamp").as("t"), col(c).as("v")).as(s"_v_$c")) ++
         leftCols.filterNot(by.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")): _*)
-    // _side asc ⇒ at equal ts the right row sorts first, so the left row
-    // sees it (as-of "<=" semantics).
+    // Backward: scan time ascending — the last right row seen is the
+    // nearest at-or-before. Forward: scan DESCENDING — the last right
+    // row seen is the nearest at-or-after. Either way `_side asc` puts
+    // the right row first at equal ts, so equality matches.
+    val order =
+      if (forward) Seq(col("_ts").desc, col("_side").asc)
+      else Seq(col("_ts").asc, col("_side").asc)
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.unionByName(r)
       .select(
         (by.map(col) :+ col("_ts") :+ col("_side")) ++
           leftCols.filterNot(by.contains).map(c => col(s"_l_$c")) ++
-          valueCols.map(c =>
-            last(col(s"_v_$c"), ignoreNulls = true).over(w).getField("v").as(s"asof_$c")): _*)
+          (valueCols.map(c =>
+            last(col(s"_v_$c"), ignoreNulls = true).over(w).getField("v").as(s"asof_$c")) :+
+            last(col(s"_v_${valueCols.head}"), ignoreNulls = true).over(w)
+              .getField("t").as("_asof_ts")): _*)
       .where(col("_side") === 1)
     joined.select(
-      (by.map(col) ++
-        leftCols.filterNot(by.contains).map(c => col(s"_l_$c").as(c)) ++
-        valueCols.map(c => col(s"asof_$c"))): _*)
+      (by.map(col) :+ col("_ts").as(leftTs) :+ col("_asof_ts")) ++
+        leftCols.filterNot(c => by.contains(c) || c == leftTs).map(c => col(s"_l_$c").as(c)) ++
+        valueCols.map(c => col(s"asof_$c")): _*)
   }
 
   /** Gap detection: rows whose distance to the previous row in the same

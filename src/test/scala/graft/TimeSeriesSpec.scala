@@ -54,6 +54,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(111.0), Some(222.0), None))
   }
 
+  test("asofJoinOpts forward: nearest right row at-or-after; none -> NULL") {
+    val left = Seq(("u1", ts("2022-01-01 10:00:00"), 1L),
+      ("u1", ts("2022-01-01 12:30:00"), 2L)).toDF("user", "ts", "lid")
+    val right = Seq(("u1", ts("2022-01-01 10:30:00"), 7.0),
+      ("u1", ts("2022-01-01 12:00:00"), 8.0)).toDF("user", "ts", "value")
+    val out = TimeSeries.asofJoinOpts(left, right, Seq("user"), "ts", "ts",
+        Seq("value"), forward = true)
+      .orderBy("lid").select("asof_value").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(Some(7.0), None))
+  }
+
+  test("asofJoinOpts tolerance: stale matches resolve to NULL") {
+    val left = Seq(("u1", ts("2022-01-01 10:00:00"), 1L),
+      ("u1", ts("2022-01-01 18:00:00"), 2L)).toDF("user", "ts", "lid")
+    val right = Seq(("u1", ts("2022-01-01 09:55:00"), 7.0)).toDF("user", "ts", "value")
+    val out = TimeSeries.asofJoinOpts(left, right, Seq("user"), "ts", "ts",
+        Seq("value"), toleranceSec = Some(600))
+      .orderBy("lid").select("asof_value").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(Some(7.0), None), "09:55 is within 10min of 10:00, stale for 18:00")
+  }
+
   test("asofJoin: a matched right row with NULL value yields NULL, not a stale fill") {
     val left = Seq(("u1", ts("2022-01-01 11:30:00"), 1L)).toDF("user", "ts", "lid")
     val right = Seq(("u1", ts("2022-01-01 10:00:00"), Some(5.0)),
