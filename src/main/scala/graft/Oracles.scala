@@ -225,6 +225,20 @@ object Oracles {
     "q20_json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k')::INT AS k_val
          FROM events WHERE event_type IN ('click', 'purchase')""",
+    "q4B_pivot" ->
+      """PIVOT events ON event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+         USING count(*) GROUP BY user_id""",
+    "q4C_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS val
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+               l_discount AS disc, l_tax AS tax FROM lineitem)
+         UNPIVOT (val FOR metric IN (qty, disc, tax))""",
+    "q4D_rank_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)""",
     "q43_map_json" ->
       """SELECT event_id,
          len(json_keys(props))::INT AS n_keys,

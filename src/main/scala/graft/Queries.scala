@@ -204,6 +204,37 @@ object Queries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k_val"))
     }),
+    // Pivot (crosstab): per-user event-type counts as columns.
+    "q4B_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = T.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      // Spark pivot+count yields NULL for absent combos; DuckDB PIVOT
+      // fills 0 — align on 0.
+      p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+    // Unpivot (melt): wide numeric columns to (metric, val) rows.
+    "q4C_unpivot" -> ((s, d) => {
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"), col("l_discount").as("disc"),
+          col("l_tax").as("tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty"), col("disc"), col("tax")), "metric", "val")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          Portable.round(col("val"), 4).as("val"))
+    }),
+    // Distribution ranks: percent_rank / cume_dist over a unique order.
+    "q4D_rank_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      T.orders(s, d).select(
+        col("o_orderpriority"), col("o_orderkey"),
+        Portable.round(percent_rank().over(w), 6).as("pct_rank"),
+        Portable.round(cume_dist().over(w), 6).as("cume"))
+    }),
     // Map functions over from_json-parsed payloads.
     "q43_map_json" -> ((s, d) => {
       T.events(s, d)
