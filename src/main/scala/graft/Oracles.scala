@@ -204,7 +204,9 @@ object Oracles {
          length(p_name)::INT AS name_len,
          regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
          string_split(p_name, ' ')[1] AS first_word,
-         concat(trim(p_type), '_', p_brand) AS type_brand
+         concat(trim(p_type), '_', p_brand) AS type_brand,
+         p_name LIKE '%bolt%' AS has_bolt,
+         p_brand IS NOT DISTINCT FROM 'Brand#17' AS is_b17_nullsafe
          FROM part""",
     "q18_datetime_fns" ->
       """SELECT o_orderkey,

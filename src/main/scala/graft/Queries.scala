@@ -173,7 +173,9 @@ object Queries {
         length(col("p_name")).as("name_len"),
         regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
         element_at(split(col("p_name"), " "), 1).as("first_word"),
-        concat(trim(col("p_type")), lit("_"), col("p_brand")).as("type_brand"))
+        concat(trim(col("p_type")), lit("_"), col("p_brand")).as("type_brand"),
+        col("p_name").like("%bolt%").as("has_bolt"),
+        (col("p_brand") <=> lit("Brand#17")).as("is_b17_nullsafe"))
     }),
     // Date/time scalar functions.
     "q18_datetime_fns" -> ((s, d) => {
