@@ -112,6 +112,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: gapFill leaves no holes and preserves present rows") {
+    batches(2, 25).zipWithIndex.foreach { case (b, i) =>
+      val candles = b.map(c => (c.code, c.ts, c.close)).toDF("code", "ts", "close")
+        .groupBy("code", "ts").agg(org.apache.spark.sql.functions.max("close").as("close"))
+      val filled = TimeSeries.gapFill(candles, "ts", Seq("code"), 3600, Seq("close"))
+      // grid completeness: successive rows per code are exactly 1h apart
+      val gaps = TimeSeries.gaps(filled, "ts", Seq("code"), 3600)
+      assert(gaps.count() == 0, s"seed ${i + 1}: hole in filled grid")
+      // present rows keep their value and are not flagged
+      val joined = filled.select("code", "ts", "close_filled", "is_gap")
+        .join(candles, Seq("code", "ts"))
+      assert(joined.where($"close_filled" =!= $"close" || $"is_gap").count() == 0,
+        s"seed ${i + 1}: original rows altered by gapFill")
+    }
+  }
+
+  test("property: asofJoin equals the naive per-row argmax on generated data") {
+    batches(2, 20).zipWithIndex.foreach { case (b, i) =>
+      val (lRaw, rRaw) = b.splitAt(10)
+      val left = lRaw.zipWithIndex.map { case (c, j) => (c.code, c.ts, j.toLong) }
+        .toDF("code", "ts", "lid")
+      val right = rRaw.map(c => (c.code, c.ts, c.close)).toDF("code", "ts", "value")
+        .groupBy("code", "ts").agg(org.apache.spark.sql.functions.max("value").as("value"))
+      val out = TimeSeries.asofJoin(left, right, Seq("code"), "ts", "ts", Seq("value"))
+        .select("lid", "asof_value").as[(Long, Option[Double])].collect().toMap
+      val rightRows = right.as[(String, Timestamp, Double)].collect()
+      lRaw.zipWithIndex.foreach { case (c, j) =>
+        val expect = rightRows
+          .filter(r => r._1 == c.code && !r._2.after(c.ts))
+          .sortBy(_._2.getTime).lastOption.map(_._3)
+        assert(out(j.toLong) == expect, s"seed ${i + 1} lid=$j")
+      }
+    }
+  }
+
+  test("property: identical docs always collide in minhash; jaccard stays in [0,1]") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    (1 to 2).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val texts = (0 until 30).map(_ =>
+        Seq.fill(8 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" "))
+      // plant an exact duplicate pair
+      val docs = (texts :+ texts.head).zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val pairs = graft.llm.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          threshold = 0.0)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect()
+      assert(pairs.exists(p => p._1 == 0L && p._2 == 30L && p._3 == 1.0),
+        s"seed $seed: planted duplicate not found")
+      assert(pairs.forall(p => p._3 >= 0.0 && p._3 <= 1.0))
+    }
+  }
+
   test("property: resample preserves volume sum, bounds high/low (F5 invariants)") {
     batches(3, 60).zipWithIndex.foreach { case (b, i) =>
       val df = b.toDF()
