@@ -362,6 +362,14 @@ object Oracles {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "q4E_sliding_window" ->
+      """SELECT event_type, ws AS ts, count(*) AS n, round(avg("value"), 4) AS avg_value
+         FROM (SELECT event_type,
+                 unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                         date_trunc('hour', ts)]) AS ws,
+                 "value"
+               FROM events)
+         GROUP BY 1, 2""",
     "q47_asof_tolerance" ->
       """SELECT p.user_id, p.event_id,
          CASE WHEN v.ts IS NOT NULL AND date_diff('second', v.ts, p.ts) <= 600

@@ -426,6 +426,15 @@ object Queries {
         Portable.round(last(col("o_totalprice")).over(w), 2).as("last_price"),
         Portable.round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"))
     }),
+    // Sliding windows (2h window, 1h slide): each event lands in two
+    // overlapping windows — the built-in window() generator.
+    "q4E_sliding_window" -> ((s, d) => {
+      T.events(s, d)
+        .groupBy(col("event_type"), window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          Portable.round(avg(col("value")), 4).as("avg_value"))
+        .select(col("event_type"), col("w.start").as("ts"), col("n"), col("avg_value"))
+    }),
     // Gap-fill onto an hourly grid with forward-fill (densify + last
     // observation carried forward — the series-completion op candle
     // consumers need).
