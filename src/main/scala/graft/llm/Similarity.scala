@@ -102,8 +102,8 @@ object Similarity {
     * cosine-close (random hyperplane LSH, Charikar 2002).
     */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    concat_ws("", planes.map { p =>
-      val planeLit = array(p.map(lit(_)): _*)
+    concat_ws("", planes.toIndexedSeq.map { p =>
+      val planeLit = array(p.toIndexedSeq.map(lit(_)): _*)
       when(dot(vec, planeLit) >= 0.0, lit("1")).otherwise(lit("0"))
     }: _*)
 
