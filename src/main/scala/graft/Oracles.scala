@@ -411,6 +411,12 @@ object Oracles {
          FROM r WHERE rn = 1 AND code = 'view'
            AND ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts < TIMESTAMP '2024-01-20 00:00:00'""",
+    "q4F_store_catalog" ->
+      s"""$storeEndState
+         SELECT code, count(*) AS n_rows, min(ts) AS first_ts, max(ts) AS last_ts,
+           round(min(low), 4) AS min_low, round(max(high), 4) AS max_high,
+           round(sum(volume), 4) AS total_volume
+         FROM r WHERE rn = 1 GROUP BY 1""",
     "q61_streaming_ingest" ->
       """SELECT event_type AS code, date_trunc('second', ts) AS ts,
          round(arg_min("value", ts), 4) AS open, round(arg_max("value", ts), 4) AS close,

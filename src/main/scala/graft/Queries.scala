@@ -556,6 +556,15 @@ object Queries {
         .select(col("ts"), Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
     }),
+    // Series catalog: the reference's page-header fields per series-year
+    // (Count/Start/End + extremes) as one aggregation.
+    "q4F_store_catalog" -> ((s, d) => {
+      eventStore(s, d).describeSeries()
+        .select(col("code"), col("n_rows"), col("first_ts"), col("last_ts"),
+          Portable.round(col("min_low"), 4).as("min_low"),
+          Portable.round(col("max_high"), 4).as("max_high"),
+          Portable.round(col("total_volume"), 4).as("total_volume"))
+    }),
     // Streaming ingest end-to-end (§2.3): file stream → foreachBatch
     // candle upsert → final state.
     "q61_streaming_ingest" -> ((s, d) => {

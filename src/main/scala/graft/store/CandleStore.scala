@@ -71,6 +71,21 @@ final class CandleStore(spark: SparkSession, val path: String) {
   def listSeries(): DataFrame =
     scan().select(Candle.partitionCols.map(col): _*).distinct()
 
+  /** Per-series-year catalog with the reference's page-header fields
+    * (`PageHeader.Count/StartOffset/EndOffset` plus price extremes,
+    * `page/header.go:13-23`): one aggregation row per "page". Served
+    * largely from parquet footer statistics (min/max/count per
+    * row-group) after column pruning.
+    */
+  def describeSeries(): DataFrame =
+    scan()
+      .groupBy(Candle.partitionCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"),
+        min("low").as("min_low"), max("high").as("max_high"),
+        sum("volume").as("total_volume"))
+
   /** Upsert-merge a candle batch: the reference's `Page.Add`
     * (`page/page.go:61-142`) + year split (`common/candle.go:70-80`) +
     * insert command (`database/command/insert.go:107-123`) as ONE
