@@ -289,6 +289,17 @@ object Oracles {
       """SELECT w AS word, count(*) AS cnt
          FROM (SELECT unnest(string_split_regex(lower(text), ' +')) AS w FROM documents)
          GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 20""",
+    "q4G_approx_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5)::DOUBLE, 4) AS exact_median,
+         true AS approx_ok
+         FROM lineitem GROUP BY 1""",
+    "q4H_edit_distance" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 100)
+         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name)::INT AS dist
+         FROM p a CROSS JOIN p b
+         WHERE a.p_partkey < b.p_partkey AND levenshtein(a.p_name, b.p_name) <= 4""",
     "q29_approx_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_cust,
          true AS approx_ok

@@ -317,6 +317,29 @@ object Queries {
         .orderBy(col("cnt").desc, col("word").asc)
         .limit(20)
     }),
+    // approx percentile sketch with a bounded-error property: the
+    // sketch's median must land within 2% of the exact interpolated one.
+    "q4G_approx_percentile" -> ((s, d) => {
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Portable.round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_median"),
+          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx"))
+        .select(col("l_returnflag"), col("exact_median"),
+          (abs(col("approx") - col("exact_median")) <=
+            col("exact_median") * 0.02).as("approx_ok"))
+    }),
+    // Edit-distance near-dup pairs over a bounded name set.
+    "q4H_edit_distance" -> ((s, d) => {
+      val p = T.part(s, d).where(col("p_partkey") < 100)
+        .select(col("p_partkey"), col("p_name"))
+      val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .where(col("dist") <= 4)
+        .select("id_a", "id_b", "dist")
+    }),
     // approx_count_distinct (HLL++) with a bounded-error property the
     // oracle can check: the sketch must land within 10% of exact.
     "q29_approx_distinct" -> ((s, d) => {
