@@ -59,7 +59,7 @@ object Oracles {
   // Shared text fragments ------------------------------------------- //
 
   /** Tokenization must mirror TextStats.tokens: split(lower(text), " +"). */
-  private val WS = "string_split_regex(lower(text), ' +')"
+  private val WS = "string_split_regex(lower(text), '\\s+')"
 
   /** 3-gram shingles of a token list (mirrors Dedup.shingles(n=3)). */
   private def shingleExpr(ws: String): String =
@@ -246,7 +246,8 @@ object Oracles {
          len(json_keys(props))::INT AS n_keys,
          list_sort(json_keys(props))[1] AS first_key,
          json_extract_string(props, '$.k')::INT AS k_val,
-         json_extract_string(props, '$.k')::INT AS vals_sum
+         list_sum(list_transform(json_keys(props),
+           k -> json_extract_string(props, '$.' || k)::INT))::INT AS vals_sum
          FROM events""",
     "q21_having" ->
       """SELECT user_id, count(*) AS n_events FROM events
@@ -415,7 +416,7 @@ object Oracles {
     "q41_store_prune" ->
       s"""$storeEndState
          SELECT ts, round(close, 4) AS close, round(volume, 4) AS volume
-         FROM r WHERE rn = 1 AND code = 'click'""",
+         FROM r WHERE rn = 1 AND code = 'click' AND year(ts) = 2024""",
     "q42_store_range" ->
       s"""$storeEndState
          SELECT ts, round(close, 4) AS close, round(volume, 4) AS volume
@@ -427,7 +428,7 @@ object Oracles {
          SELECT code, count(*) AS n_rows, min(ts) AS first_ts, max(ts) AS last_ts,
            round(min(low), 4) AS min_low, round(max(high), 4) AS max_high,
            round(sum(volume), 4) AS total_volume
-         FROM r WHERE rn = 1 GROUP BY 1""",
+         FROM r WHERE rn = 1 GROUP BY code, year(ts)""",
     "q61_streaming_ingest" ->
       """SELECT event_type AS code, date_trunc('second', ts) AS ts,
          round(arg_min("value", ts), 4) AS open, round(arg_max("value", ts), 4) AS close,

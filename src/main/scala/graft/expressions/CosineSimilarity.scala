@@ -40,6 +40,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    // Length mismatch -> NULL (matches the zip_with expression form,
+    // which null-pads and poisons the fold) rather than silently
+    // scoring the common prefix.
+    if (x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -62,8 +66,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $x = (double) $a.getFloat($i);
          |  double $y = (double) $b.getFloat($i);

@@ -21,7 +21,7 @@ import graft.Portable
 object TextStats {
 
   /** Whitespace tokenization, lowercased. */
-  def tokens(text: Column): Column = split(lower(text), " +")
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
 
   /** 60-bit engine-portable word hash: first 15 hex digits of md5. */
   def portableHash(s: Column): Column =

@@ -25,6 +25,12 @@ object Joins {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // Right/full outer joins would emit one null-padded row per
+    // unmatched SALT COPY of a right row (saltFactor× duplication);
+    // swap the sides and use a left join instead.
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/semi/anti/cross join types, not $joinType")
     // Deterministic salt from the full left row (not rand(): results
     // must be reproducible run-to-run).
     val leftSalt = pmod(hash(left.columns.map(col).toSeq: _*), lit(saltFactor))
@@ -38,22 +44,24 @@ object Joins {
     * only when its row count is below `maxRows` (a driver-side count on
     * the SMALL side only — never the large input).
     */
-  def broadcastIfSmall(right: DataFrame, maxRows: Long = 1000000L): DataFrame =
-    if (right.limit((maxRows + 1).toInt).count() <= maxRows) broadcast(right)
-    else right
+  def broadcastIfSmall(right: DataFrame, maxRows: Long = 1000000L): DataFrame = {
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    if (right.limit(probe).count() <= maxRows) broadcast(right) else right
+  }
 
-  /** Range-bucketed join: equi-join on a coarse bucket of a numeric or
-    * time column plus a residual range predicate — turns a pure theta
-    * join (cartesian at scale) into an equi-join shuffle. `widthSec`
-    * must be ≥ the maximum range span.
+  /** Range-bucketed join: equi-join on a coarse bucket of a time column
+    * plus a residual range predicate — turns a pure theta join
+    * (cartesian at scale) into an equi-join shuffle. Correct for ANY
+    * residual with `|leftTs − rightTs| ≤ maxSpanSec`: the left side
+    * probes its own bucket plus both adjacent buckets, so matches in
+    * either time direction are found.
     */
   def bucketedRangeJoin(left: DataFrame, right: DataFrame,
                         leftTs: String, rightTs: String,
                         maxSpanSec: Long, residual: Column): DataFrame = {
+    val lBucket = floor(unix_timestamp(col(leftTs)).cast("double") / maxSpanSec).cast("long")
     val lb = left.withColumn("_b",
-      explode(array(
-        floor(unix_timestamp(col(leftTs)).cast("double") / maxSpanSec).cast("long") - 1,
-        floor(unix_timestamp(col(leftTs)).cast("double") / maxSpanSec).cast("long"))))
+      explode(array(lBucket - 1, lBucket, lBucket + 1)))
     val rb = right.withColumn("_b",
       floor(unix_timestamp(col(rightTs)).cast("double") / maxSpanSec).cast("long"))
     lb.join(rb, lb("_b") === rb("_b") && residual).drop("_b")

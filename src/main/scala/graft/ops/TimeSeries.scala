@@ -28,6 +28,11 @@ object TimeSeries {
     * open = value at min ts, high = max, low = min, close = value at max
     * ts, volume = sum, n = count. One partial-aggregated shuffle on
     * (keys, bucket) — map-side combine keeps it scan-bound at scale.
+    *
+    * Determinism note: open/close pick the value at the extreme
+    * timestamp; if two ticks share (keys, tsCol) exactly, the pick among
+    * them is arbitrary — feed unique timestamps per key (exchange feeds
+    * are) or pre-aggregate duplicates first.
     */
   def candlesFromTicks(ticks: DataFrame, tsCol: String, valueCol: String,
                        volumeCol: Option[String], keys: Seq[String],
@@ -223,10 +228,16 @@ object TimeSeries {
     val grid = bounds.select((keys.map(col) :+
       explode(sequence(col("_min_ts"), col("_max_ts"),
         expr(s"INTERVAL $stepSec SECONDS"))).as(tsCol)): _*)
-    val joined = grid.join(candles, keys :+ tsCol, "left")
+    // FULL outer: grid points union the input's own timestamps, so rows
+    // off the (min + k*step) grid are preserved, not silently dropped.
+    // `is_gap` comes from a presence marker, not value-nullness — a
+    // present row with a NULL fill value is still a present row.
+    val joined = grid
+      .join(candles.withColumn("_present", lit(true)), keys :+ tsCol, "full_outer")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fillCols.foldLeft(joined.withColumn("is_gap", col(fillCols.head).isNull)) {
+    fillCols.foldLeft(joined
+        .withColumn("is_gap", col("_present").isNull).drop("_present")) {
       (df, c) => df.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w))
     }
   }

@@ -36,11 +36,22 @@ class JoinsSpec extends SparkSpec {
     val cond = col("rts") >= col("lts") && col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES")
     val theta = left.join(right, cond)
       .select("li", "ri").orderBy("li", "ri").collect().toSeq
-    val bucketed = Joins.bucketedRangeJoin(right, left, "rts", "lts", span,
-      cond)
+    // direction-free: probe side first in either order
+    val b1 = Joins.bucketedRangeJoin(right, left, "rts", "lts", span, cond)
       .select("li", "ri").orderBy("li", "ri").collect().toSeq
-    // bucketedRangeJoin(left=probe-with-2-buckets) — here right probes
-    // [its bucket-1, its bucket] so every lts within span is found
-    assert(bucketed == theta, s"bucketed=${bucketed.size} theta=${theta.size}")
+    val b2 = Joins.bucketedRangeJoin(left, right, "lts", "rts", span, cond)
+      .select("li", "ri").orderBy("li", "ri").collect().toSeq
+    assert(b1 == theta && b2 == theta,
+      s"b1=${b1.size} b2=${b2.size} theta=${theta.size}")
+  }
+
+  test("saltedJoin rejects right/full join types (would duplicate null rows)") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(df, df, Seq("k"), 4, "right")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(df, df, Seq("k"), 4, "full_outer")
+    }
   }
 }

@@ -91,6 +91,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == ts("1969-12-31 23:00:00"), s"got $out")
   }
 
+  test("gapFill preserves off-grid rows and flags only truly-generated rows") {
+    val candles = Seq(
+      ("k", ts("2022-01-01 10:00:00"), 1.0),
+      ("k", ts("2022-01-01 10:20:00"), 2.0), // off the hourly grid
+      ("k", ts("2022-01-01 12:00:00"), 3.0)
+    ).toDF("code", "ts", "close")
+    val filled = TimeSeries.gapFill(candles, "ts", Seq("code"), 3600, Seq("close"))
+      .orderBy("ts")
+    val rows = filled.select("ts", "close_filled", "is_gap")
+      .as[(Timestamp, Double, Boolean)].collect().toSeq
+    assert(rows == Seq(
+      (ts("2022-01-01 10:00:00"), 1.0, false),
+      (ts("2022-01-01 10:20:00"), 2.0, false), // survived, not flagged
+      (ts("2022-01-01 11:00:00"), 2.0, true),  // generated + forward-filled
+      (ts("2022-01-01 12:00:00"), 3.0, false)), s"got $rows")
+  }
+
   test("gaps finds inter-event silences above threshold only") {
     val ev = Seq(tick("u1", "2022-01-01 10:00:00", 0, 1), tick("u1", "2022-01-01 10:30:00", 0, 2),
       tick("u1", "2022-01-01 12:00:00", 0, 3)).toDF("u", "ts", "v", "event_id")
