@@ -600,6 +600,12 @@ object Oracles {
            (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY score DESC, neighbor_id ASC)::INT AS rank FROM sc)
          WHERE rank <= 10""",
+    // Property oracle (cf. q29/q4G): the k-means IVF recall floor is
+    // asserted on the Spark side; DuckDB independently fixes the query
+    // population and the expected verdict.
+    "q63_ivf_kmeans_recall" ->
+      """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries, true AS recall_ok
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
     "q57_embedding_stats" ->
       """SELECT vec_id, len(embedding)::INT AS dim,
          round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,

@@ -18,19 +18,30 @@ import TextStats.{portableHash, tokens, HashMod}
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest id per (normalized) text. One shuffle. */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(lower(trim(col(textCol))).as("norm_text"))
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+  /** Exact dedup: keep the lowest id per (normalized) text. One shuffle —
+    * keyed on `sha2(norm_text, 256)` so the exchange hashes/compares
+    * 32-byte digests, not whole documents (at 100 TB the grouping key
+    * must not be the corpus). Semantics identical to grouping on the
+    * text itself modulo a 2^-128 collision. The output still carries
+    * `norm_text` (the declared schema), reduced map-side to one value
+    * per distinct digest per partition.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = lower(trim(col(textCol)))
+    df.groupBy(sha2(norm, 256).as("_digest"))
+      .agg(min(norm).as("norm_text"), min(col(idCol)).as(idCol),
+        count(lit(1)).as("dup_count"))
+      .select("norm_text", idCol, "dup_count")
+  }
 
   /** Materialize the deduplicated corpus: keep the lowest-id document of
     * each normalized-text group, carrying all columns. Two shuffles
-    * (group-min + semi-join) — the standard first stage of a
-    * training-data pipeline.
+    * (group-min + semi-join), neither moving document text: the group
+    * key is the 32-byte sha2 digest and the semi-join key is the id.
     */
   def dedupedCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = df
-      .groupBy(lower(trim(col(textCol))).as("_norm"))
+      .groupBy(sha2(lower(trim(col(textCol))), 256).as("_digest"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
     df.join(keep, Seq(idCol), "left_semi")
@@ -81,16 +92,9 @@ object Dedup {
   def shingleHashes(shinglesCol: Column): Column =
     transform(shinglesCol, s => portableHash(s) % HashMod)
 
-  /** JVM-side 60-bit md5 hash — bit-identical to [[TextStats.portableHash]]
-    * (the first 15 hex digits of md5 = first 60 bits of the digest).
-    */
-  private def hash60(md: java.security.MessageDigest, s: String): Long = {
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    (v << 4) | ((d(7) & 0xf0L) >> 4)
-  }
+  /** JVM-side 60-bit md5 hash — see [[TextStats.hash60]]. */
+  private def hash60(md: java.security.MessageDigest, s: String): Long =
+    TextStats.hash60(md, s)
 
   /** MinHash signature as a compiled JVM function. Semantically identical
     * to [[minhashSignatureFromHashes]]∘[[shingleHashes]] (same md5, same
@@ -219,33 +223,59 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** SimHash as a compiled JVM function over the token array —
+    * bit-identical to [[simhash32]] (same md5 word hashes, same ±1 bit
+    * votes), but one loop per document instead of 32 interpreted
+    * aggregates (the same codegen gap [[minhashSignatureUdf]] closes).
+    */
+  val simhash32Udf: UserDefinedFunction = udf { (ws: Seq[String]) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sums = new Array[Long](32)
+    ws.foreach { w =>
+      val h = hash60(md, w)
+      var j = 0
+      while (j < 32) { sums(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L); j += 1 }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
   /** SimHash near-dup candidates: pairs within `maxHamming` bits.
     * Blocking: split the 32-bit simhash into (maxHamming+1) bands — by
     * pigeonhole, any pair within maxHamming agrees on at least one whole
-    * band — then equi-join on (band index, band value) and verify with
-    * `bit_count(xor)`. Same linear-join shape as MinHash-LSH.
+    * band — then bucket by (band index, band value) and expand pairs
+    * within each bucket (the [[minhashNearDupPairs]] shape: the
+    * signature pipeline is evaluated ONCE, a band self-join would
+    * re-evaluate it per side, and the dedup `distinct` carries only
+    * (id_a, id_b, hamming), never signatures or documents).
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val width = 32 / nBands
-    val withSig = df
-      .select(col(idCol).cast("long").as("id"),
-        transform(tokens(col(textCol)), w => portableHash(w)).as("hs"))
-      .select(col("id"), simhash32FromHashes(col("hs")).as("sig"))
-    val banded = withSig.withColumn("band",
-      explode(array((0 until nBands).map { b =>
-        concat_ws("|", lit(b.toString),
-          shiftright(col("sig"), b * width).bitwiseAND((1L << width) - 1).cast("string"))
-      }: _*)))
-    val a = banded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+    val withSig = df.select(col(idCol).cast("long").as("id"),
+      simhash32Udf(tokens(col(textCol))).as("sig"))
+    val bandArr = array((0 until nBands).map { b =>
+      concat_ws("|", lit(b.toString),
+        shiftright(col("sig"), b * width).bitwiseAND((1L << width) - 1).cast("string"))
+    }: _*)
+    withSig
+      .select(struct(col("id"), col("sig")).as("v"), explode(bandArr).as("band"))
+      .groupBy(col("band"))
+      .agg(collect_list(col("v")).as("vs"))
+      .where(size(col("vs")) > 1)
+      .select(explode(flatten(transform(col("vs"), x =>
+        transform(filter(col("vs"), y => y.getField("id") > x.getField("id")),
+          y => struct(
+            x.getField("id").as("id_a"),
+            y.getField("id").as("id_b"),
+            bit_count(x.getField("sig").bitwiseXOR(y.getField("sig"))).as("hamming")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** Exact n-gram Jaccard over all pairs of a (bounded) document set.

@@ -154,44 +154,152 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** JVM cosine of a float row vector against a double centroid —
+    * bit-identical to [[cosineNative]] when the centroid is an exactly
+    * float-to-double-cast vector (same sequential accumulation order,
+    * same zero-norm guard).
+    */
+  private def cosFD(a: Seq[Float], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  /** [[graft.Portable.round]] at n=6 as the identical JVM op sequence. */
+  private def round6(x: Double): Double =
+    if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6 else -(math.floor(-x * 1e6 + 0.5) / 1e6)
+
   /** IVF-style ANN top-k: the scale path for billion-row corpora.
     *
     * Cells come from a deterministic sample of corpus vectors (first
-    * `nCells` by id — training-free; swap in k-means centroids offline
-    * without changing the plan shape). Every corpus vector is assigned
-    * to its best cell once (broadcast centroid scoring + one window);
-    * a query probes its `nProbe` nearest cells and reranks only those
-    * cells' members with exact cosine. At scale the assignment is a
-    * write-once materialization and the probe join is an equi-join on
-    * `cell_id` — corpus scan cost per query drops to nProbe/nCells.
+    * `nCells` by id — training-free; [[ivfTopKKMeans]] swaps in Lloyd's
+    * centroids without changing the plan shape). Every corpus vector is
+    * assigned to its best cell as a pure PROJECTION over the broadcast
+    * centroid array — zero shuffle (a window-over-crossJoin argmax would
+    * shuffle N×nCells scored rows); a query probes its `nProbe` nearest
+    * cells and reranks only those cells' members with exact cosine
+    * through the bounded-heap [[TopK.TopKAggregator]] (shuffle carries
+    * ≤ k rows per map-partition per query, never every scored pair). At
+    * scale the assignment is a write-once materialization and the probe
+    * join is an equi-join on `cell_id` — corpus scan cost per query
+    * drops to nProbe/nCells.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
-              nProbe: Int = 2): DataFrame = {
-    val cent = broadcast(corpus.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid")))
-    val wA = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("csim").desc, col("cell_id").asc)
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .crossJoin(cent)
-      .withColumn("csim", Portable.round(cosineNative(col("cv"), col("centroid")), 6))
-      .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
-      .select("cell_id", "neighbor_id", "cv")
-    val wQ = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cell_id").asc)
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(cent)
-      .withColumn("csim", Portable.round(cosineNative(col("qv"), col("centroid")), 6))
-      .withColumn("rn", row_number().over(wQ)).where(col("rn") <= nProbe)
-      .select("query_id", "qv", "cell_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
+              nProbe: Int = 2): DataFrame =
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, nProbe,
+      sampleCentroids(corpus, idCol, vecCol, nCells))
+
+  /** Deterministic training-free centroids: the first `nCells` corpus
+    * vectors by id (metadata-scale collect, like [[lshTopK]]'s dim probe).
+    */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int): Array[(Long, Array[Double])] =
+    corpus.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+
+  /** Lloyd's k-means centroid training, Spark-shaped: per iteration the
+    * assignment is a broadcast-centroid projection (no shuffle) and the
+    * centroid update is ONE partial-agg shuffle of (cell, dim) sums —
+    * nCells×dim rows to the driver, never vectors. Deterministic init
+    * (first `nCells` by id). `sampleMod` trains on an id-sampled subset
+    * (at 100 TB you train on a sample and assign the full corpus).
+    * Convergence to bit-identical centroids across runs is NOT
+    * guaranteed (double sums are order-dependent); consumers must treat
+    * centroids as approximate, which IVF recall properties do.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int, iters: Int = 5,
+                      sampleMod: Int = 1): Array[(Long, Array[Double])] = {
+    val base = (if (sampleMod <= 1) corpus
+                else corpus.where(col(idCol) % sampleMod === 0))
+      .select(col(vecCol).as("v"))
+    var cents: Array[Array[Double]] =
+      sampleCentroids(corpus, idCol, vecCol, nCells).map(_._2)
+    var it = 0
+    while (it < iters) {
+      val cur = cents
+      val assignU = udf { (v: Seq[Float]) =>
+        var bi = -1; var bs = Double.NegativeInfinity
+        var i = 0
+        while (i < cur.length) {
+          val s = cosFD(v, cur(i))
+          if (s > bs) { bs = s; bi = i }
+          i += 1
+        }
+        bi
+      }
+      val stats = base
+        .select(assignU(col("v")).as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cur.map(_.clone()) // empty cells keep their old centroid
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3).toDouble
+      }
+      cents = next
+      it += 1
+    }
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+  }
+
+  /** IVF top-k over k-means-trained cells — same plan shape as
+    * [[ivfTopK]], better-balanced cells on clustered data.
+    */
+  def ivfTopKKMeans(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nCells: Int = 16,
+                    nProbe: Int = 2, iters: Int = 5): DataFrame =
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, nProbe,
+      kmeansCentroids(corpus, idCol, vecCol, nCells, iters))
+
+  private[llm] def ivfWithCentroids(corpus: DataFrame, queries: DataFrame,
+                                    idCol: String, vecCol: String, k: Int,
+                                    nProbe: Int,
+                                    centroids: Array[(Long, Array[Double])]): DataFrame = {
+    // cell_id-ascending order + strictly-greater replacement = lowest
+    // cell_id wins csim ties (the row_number (csim DESC, cell_id ASC)
+    // contract the DuckDB oracle mirrors).
+    val cents = centroids.sortBy(_._1)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      var bestCell = Long.MinValue; var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val s = round6(cosFD(v, cents(i)._2))
+        if (s > bestSim) { bestSim = s; bestCell = cents(i)._1 }
+        i += 1
+      }
+      bestCell
+    }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      cents.map { case (cid, cv) => (round6(cosFD(v, cv)), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }
+        .take(nProbe).map(_._2).toSeq
+    }
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell_id", assignUdf(col("cv")))
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell_id", explode(probeUdf(col("qv"))))
+    val topk = udaf(new TopK.TopKAggregator(k))
     broadcast(probes).join(assigned, Seq("cell_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", Portable.round(cosineNative(col("qv"), col("cv")), 4))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("score")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Per-vector norm/statistics frame (sanity + quality gates). */

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 import graft.Portable
 
@@ -107,33 +108,133 @@ object TextStats {
       lit(0L),
       (acc, h) => (acc * 31L + h) % 1000000007L)
 
+  // ------------------------------------------------------------------ //
+  // Compiled single-tokenize pass                                      //
+  // ------------------------------------------------------------------ //
+
+  /** JVM-side 60-bit md5 hash — bit-identical to [[portableHash]] (the
+    * first 15 hex digits of md5 = first 60 bits of the digest).
+    */
+  private[llm] def hash60(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** All per-document metrics from ONE compiled pass over the token
+    * array. Field-for-field bit-identical to the expression forms above
+    * (same IEEE double op order, same md5 hashing, same rounding).
+    */
+  final case class DocStats(n_tokens: Int, n_subwords: Long, n_chars: Int,
+                            stopword_ratio: Double, mean_word_len: Double,
+                            quality: Double, lang_pred: String,
+                            fingerprint: Long)
+
+  private val langOrder: IndexedSeq[String] = IndexedSeq("en", "de", "fr", "es", "zh")
+  private val markerSets: IndexedSeq[Set[String]] = langOrder.map(langMarkers(_).toSet)
+  private val stopSet: Set[String] = stopwords.toSet
+
+  /** [[Portable.round]] at n=4, as the identical JVM double-op sequence. */
+  private def round4(x: Double): Double =
+    if (x >= 0) math.floor(x * 1e4 + 0.5) / 1e4 else -(math.floor(-x * 1e4 + 0.5) / 1e4)
+
+  /** The single-tokenize kernel: every metric from one loop over the
+    * (already split) token array. `nChars` comes in from the expression
+    * side (`length(text)`) so character counting stays engine-defined.
+    */
+  private[llm] def computeDocStats(ws: Seq[String], nChars: Int,
+                                   withFingerprint: Boolean = true): DocStats = {
+    val n = ws.length
+    val md =
+      if (withFingerprint) java.security.MessageDigest.getInstance("MD5") else null
+    var sumLen = 0L; var stopCnt = 0; var subwords = 0L; var fp = 0L
+    val langCnt = new Array[Int](5)
+    var i = 0
+    while (i < n) {
+      val w = ws(i)
+      val len = w.codePointCount(0, w.length) // = Spark length(): code points
+      sumLen += len
+      subwords += 1L + math.max(len - 4, 0).toLong / 4L
+      if (stopSet(w)) stopCnt += 1
+      var j = 0
+      while (j < 5) { if (markerSets(j)(w)) langCnt(j) += 1; j += 1 }
+      if (withFingerprint)
+        fp = (fp * 31L + hash60(md, w) % 1000003L) % 1000000007L
+      i += 1
+    }
+    val ratio = if (n == 0) 0.0 else stopCnt.toDouble / n.toDouble
+    val mwl = if (n == 0) 0.0 else sumLen.toDouble / n.toDouble
+    val lenScore = math.min(nChars.toDouble / 500.0, 1.0) * 0.4
+    val stopScore = math.min(ratio * 10.0, 1.0) * 0.3
+    val wordScore = if (mwl >= 3.0 && mwl <= 8.0) 0.3 else 0.1
+    var best = 0
+    var j = 0
+    while (j < 5) { if (langCnt(j) > best) best = langCnt(j); j += 1 }
+    val lang = if (best == 0) "und" else langOrder(langCnt.indexOf(best))
+    DocStats(n, subwords, nChars, ratio, mwl,
+      round4(lenScore + stopScore + wordScore), lang, fp)
+  }
+
+  /** Compiled all-metrics pass. Semantically identical to composing
+    * [[tokenCount]]/[[subwordCount]]/[[stopwordRatio]]/[[meanWordLen]]/
+    * [[qualityScore]]/[[langId]]/[[fingerprint]], but the interpreted
+    * higher-order expressions those build on run outside whole-stage
+    * codegen with no common-subexpression elimination — each metric
+    * re-walks the token array (and the fingerprint re-runs md5) per
+    * reference. One fused JVM loop is ~10× cheaper per document; this is
+    * the 100-TB-corpus path (same fix already proven ~100× for MinHash,
+    * [[Dedup.minhashSignatureUdf]]). Call as
+    * `docStatsUdf(tokens(col), length(col))` so tokenization itself
+    * stays the codegen'd `split` expression.
+    */
+  val docStatsUdf: UserDefinedFunction = udf {
+    (ws: Seq[String], nChars: Option[Int]) =>
+      if (ws == null || nChars.isEmpty) None
+      else Some(computeDocStats(ws, nChars.get))
+  }
+
   /** Quality-gate filter: the canonical pre-training cleaning pass —
     * keep documents in a token-count band, above a quality floor, and
-    * (optionally) in an allowed predicted-language set. Pure pushed-down
-    * scan predicates; composes with [[graft.llm.Dedup.dedupedCorpus]].
+    * (optionally) in an allowed predicted-language set. The whole gate
+    * is ONE boolean-returning compiled pass per document (a
+    * field-per-predicate form would re-evaluate the stats per predicate
+    * inside a Filter, where codegen has no common-subexpression
+    * elimination), and it skips the fingerprint's per-token md5 — the
+    * gate never reads it. Composes with [[graft.llm.Dedup.dedupedCorpus]].
     */
   def qualityFilter(df: DataFrame, textCol: String,
                     minTokens: Int = 10, maxTokens: Int = 100000,
                     minQuality: Double = 0.5,
                     langs: Seq[String] = Nil): DataFrame = {
-    val t = col(textCol)
-    val base = df.where(tokenCount(t).between(minTokens, maxTokens) &&
-      qualityScore(t) >= minQuality)
-    if (langs.isEmpty) base else base.where(langId(t).isin(langs: _*))
+    val langSet = langs.toSet
+    val gate = udf { (ws: Seq[String], nChars: Option[Int]) =>
+      if (ws == null || nChars.isEmpty) false
+      else {
+        val st = computeDocStats(ws, nChars.get, withFingerprint = false)
+        st.n_tokens >= minTokens && st.n_tokens <= maxTokens &&
+          st.quality >= minQuality &&
+          (langSet.isEmpty || langSet.contains(st.lang_pred))
+      }
+    }
+    df.where(gate(tokens(col(textCol)), length(col(textCol))))
   }
 
-  /** Per-document stats frame: one row per doc with all declared metrics. */
-  def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.select(
-      col(idCol),
-      tokenCount(t).as("n_tokens"),
-      subwordCount(t).as("n_subwords"),
-      length(t).as("n_chars"),
-      Portable.round(stopwordRatio(t), 4).as("stopword_ratio"),
-      Portable.round(meanWordLen(t), 4).as("mean_word_len"),
-      qualityScore(t).as("quality"),
-      langId(t).as("lang_pred"),
-      fingerprint(t).as("fingerprint"))
-  }
+  /** Per-document stats frame: one row per doc with all declared
+    * metrics, from one compiled pass.
+    */
+  def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        docStatsUdf(tokens(col(textCol)), length(col(textCol))).as("_st"))
+      .select(
+        col(idCol),
+        col("_st.n_tokens").as("n_tokens"),
+        col("_st.n_subwords").as("n_subwords"),
+        col("_st.n_chars").as("n_chars"),
+        Portable.round(col("_st.stopword_ratio"), 4).as("stopword_ratio"),
+        Portable.round(col("_st.mean_word_len"), 4).as("mean_word_len"),
+        col("_st.quality").as("quality"),
+        col("_st.lang_pred").as("lang_pred"),
+        col("_st.fingerprint").as("fingerprint"))
 }

@@ -124,6 +124,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(hits == 5)
   }
 
+  test("kmeans IVF recovers planted clusters with recall >= 0.9") {
+    val rnd = new scala.util.Random(17)
+    // 8 planted cluster directions in 16-d, 40 near-copies each: a
+    // query's exact top-10 are its own cluster, so a trained index that
+    // learns the clusters probes the right cell.
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until 8; i <- 0 until 40) yield
+      ((c * 40 + i).toLong,
+        centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" % 40 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+    val approx = Similarity.ivfTopKKMeans(corpus, queries, "vec_id", "embedding",
+        10, nCells = 8, nProbe = 2, iters = 4)
+      .select("query_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val total = exact.count()
+    assert(hit.toDouble / total >= 0.9, s"recall $hit/$total")
+  }
+
+  test("IVF plans without windows and with only broadcast+agg exchanges") {
+    val rnd = new scala.util.Random(19)
+    val corpus = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" < 5)
+    val plan = Similarity.ivfTopK(corpus, q, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    // cell assignment is a pure projection: no Window anywhere, and the
+    // only exchanges are the probe broadcast and the final top-k agg.
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    val nExchanges = "Exchange".r.findAllIn(plan).length
+    assert(nExchanges <= 3, s"assignment must not shuffle:\n$plan")
+  }
+
   test("langId picks the language with most marker words; und when none") {
     val docs = Seq("the cat and the dog is here with us",
       "der hund und die katze ist mit uns",
@@ -145,5 +180,51 @@ class LlmOpsSpec extends SparkSpec {
       "x").toDF("text")
     val out = docs.select(TextStats.qualityScore(col("text"))).as[Double].collect()
     assert(out.forall(q => q >= 0.0 && q <= 1.0) && out(0) > out(1))
+  }
+
+  test("docStatsUdf matches every expression-form metric bit-exactly") {
+    val docs = Seq(
+      "The quick brown fox jumps over the lazy dog and is in it to win",
+      "der hund und die katze ist mit uns im haus und der garten heute",
+      "le chat est avec la souris et le fromage est avec le pain",
+      "",
+      "x",
+      "  leading and trailing whitespace padded text here  ",
+      "supercalifragilisticexpialidocious antidisestablishmentarianism hi",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z").toDF("text")
+    val t = col("text")
+    val both = docs.select(
+      TextStats.docStatsUdf(TextStats.tokens(t), length(t)).as("u"),
+      struct(
+        TextStats.tokenCount(t).as("n_tokens"),
+        TextStats.subwordCount(t).as("n_subwords"),
+        length(t).as("n_chars"),
+        TextStats.stopwordRatio(t).as("stopword_ratio"),
+        TextStats.meanWordLen(t).as("mean_word_len"),
+        TextStats.qualityScore(t).as("quality"),
+        TextStats.langId(t).as("lang_pred"),
+        TextStats.fingerprint(t).as("fingerprint")).as("e"))
+    // struct equality is field-wise; doubles must be bit-identical
+    assert(both.where(col("u") =!= col("e")).count() == 0,
+      both.collect().mkString("\n"))
+  }
+
+  test("simhash32Udf matches the expression form bit-exactly") {
+    val docs = Seq("one two three four five six", "the and of is with",
+      "", "unique singular token").toDF("text")
+    val both = docs.select(
+      Dedup.simhash32Udf(TextStats.tokens(col("text"))).as("u"),
+      Dedup.simhash32(TextStats.tokens(col("text"))).as("e"))
+    assert(both.where(col("u") =!= col("e")).count() == 0)
+  }
+
+  test("exactDedup digest keying preserves per-text groups and output schema") {
+    val docs = Seq((5L, "Hello World"), (3L, "hello  world"), (7L, "Hello World "))
+      .toDF("doc_id", "text")
+    // "Hello World" and "Hello World " normalize equal; "hello  world"
+    // (two spaces) is a distinct normalized text.
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("hello  world", 3L, 1L), ("hello world", 5L, 2L)))
   }
 }
