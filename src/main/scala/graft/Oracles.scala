@@ -429,6 +429,15 @@ object Oracles {
            round(min(low), 4) AS min_low, round(max(high), 4) AS max_high,
            round(sum(volume), 4) AS total_volume
          FROM r WHERE rn = 1 GROUP BY code, year(ts)""",
+    // The .ysf round trip must reproduce the hourly candles the pages
+    // were built from; DuckDB aggregates the raw events directly and
+    // never touches the binary format.
+    "q62_ysf_roundtrip" ->
+      """SELECT event_type AS code, date_trunc('hour', ts) AS ts,
+         round(arg_min("value", ts), 4) AS open, round(max("value"), 4) AS high,
+         round(min("value"), 4) AS low, round(arg_max("value", ts), 4) AS close,
+         round(sum("value"), 4) AS volume
+         FROM events GROUP BY 1, 2""",
     "q61_streaming_ingest" ->
       """SELECT event_type AS code, date_trunc('second', ts) AS ts,
          round(arg_min("value", ts), 4) AS open, round(arg_max("value", ts), 4) AS close,

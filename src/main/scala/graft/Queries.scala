@@ -517,12 +517,15 @@ object Queries {
 
   private val streamCache = scala.collection.concurrent.TrieMap[String, String]()
 
-  /** Structured-Streaming ingest differential: stream the events file
-    * (AvailableNow), aggregate each micro-batch to 1s candles, upsert
-    * into a store via foreachBatch, return the final table state.
-    * The events table is a single file → a single micro-batch, so the
-    * result equals the batch aggregation (the oracle). Multi-batch
-    * candle aggregation lives in Ingest.streamingCandles + tests.
+  /** Structured-Streaming ingest differential: split the events table
+    * into three disjoint TIME slices (one file each), stream them with
+    * `maxFilesPerTrigger=1` (AvailableNow) so the driver-visible
+    * differential exercises ≥3 micro-batches of upsert + checkpoint,
+    * aggregate each micro-batch to 1s candles, upsert via foreachBatch,
+    * return the final table state. Slice boundaries are whole seconds,
+    * so no 1s candle bucket spans two batches and the final upserted
+    * state equals the one-shot batch aggregation (the oracle) regardless
+    * of file order.
     */
   private def streamedStore(s: SparkSession, d: String): CandleStore = {
     val path = streamCache.getOrElseUpdate(d, {
@@ -532,11 +535,30 @@ object Queries {
       // session before any read of the file (Tables.load does it for the
       // batch path; the stream path must not depend on call order).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$d/events.parquet")
-      // File-stream sources take a directory; select just the events
-      // table out of the shared testdata dir via a glob filter.
+      val raw = s.read.parquet(s"$d/events.parquet") // ts = raw epoch nanos
+      val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      def secondAligned(ns: Long): Long = ns / 1000000000L * 1000000000L
+      val cut1 = secondAligned(mn + (mx - mn) / 3)
+      val cut2 = secondAligned(mn + 2 * (mx - mn) / 3)
+      val srcDir = s"$base/stream-src"
+      val fs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      Seq(
+        col("ts") < cut1,
+        col("ts") >= cut1 && col("ts") < cut2,
+        col("ts") >= cut2).zipWithIndex.foreach { case (cond, i) =>
+        val staging = s"$base/staging$i"
+        raw.where(cond).coalesce(1).write.parquet(staging)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written under $staging"))
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet"))
+      }
       val stream = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val st = CandleStore(s, p)
       val q = graft.streaming.Ingest.startUpsertIngest(stream, st, s"$base/ckpt",
@@ -548,12 +570,39 @@ object Queries {
               col("open"), col("high"), col("low"), col("close"), col("volume"),
               lit(0L).as("bit_fields")))
       q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"streaming differential must exercise >=3 micro-batches, saw $batches")
       p
     })
     CandleStore(s, path)
   }
 
+  private val ysfCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build (once per sfDir) a `.ysf` page tree from the event-derived
+    * hourly candles — the reference's own on-disk format, written and
+    * then read back by our codec, checked against a DuckDB oracle that
+    * never sees the binary format.
+    */
+  private def ysfStoreDir(s: SparkSession, d: String): String =
+    ysfCache.getOrElseUpdate(d, {
+      val p = Files.createTempDirectory("graft-ysf").toString
+      graft.sources.Ysf.write(eventCandles(T.events(s, d)), p)
+      p
+    })
+
   private def store: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // .ysf interop round trip: encode event-derived candles as reference
+    // page files (60B header + daily index + 48B blocks), decode them
+    // back, and match the hourly-candle oracle computed from raw events.
+    "q62_ysf_roundtrip" -> ((s, d) => {
+      graft.sources.Ysf.read(s, ysfStoreDir(s, d))
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"), Portable.round(col("high"), 4).as("high"),
+          Portable.round(col("low"), 4).as("low"), Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
     // Upsert-merge differential: end state after two overlapping batches
     // (new-batch-wins per (key, ts); reference op I1).
     "q40_store_upsert" -> ((s, d) => {

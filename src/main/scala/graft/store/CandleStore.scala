@@ -37,6 +37,23 @@ final class CandleStore(spark: SparkSession, val path: String) {
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
+  /** Store files are written as TIMESTAMP_MICROS (scoped to OUR writes —
+    * the session default stays untouched for other outputs): INT96, the
+    * Spark default, is deprecated and carries no usable column
+    * statistics, which would defeat row-group pruning in [[rangeScan]]
+    * and the footer-only [[minMaxTs]]/[[pageHeaders]] reads.
+    */
+  private def withMicrosTimestamps[T](f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Full table scan (schema-on-read; callers filter for pruning). */
   def scan(): DataFrame = spark.read.parquet(path)
 
@@ -59,11 +76,106 @@ final class CandleStore(spark: SparkSession, val path: String) {
 
   /** First/last timestamp of a series-year (reference: header-only read,
     * `PageHeader.GetFirstTimestamp/GetLastTimestamp`, `page/header.go:121-135`).
-    * Served from Parquet footer statistics after partition pruning.
+    * Served from Parquet FOOTER statistics alone — no row data is read,
+    * matching the reference's O(files) header read (`disk/disk.go` reads
+    * only the 60 B header). Falls back to a pruned data scan when a file
+    * lacks usable ts statistics (e.g. legacy INT96 files).
     */
-  def minMaxTs(market: String, code: String, candleLength: Int, year: Int): DataFrame =
-    readPage(market, code, candleLength, year)
-      .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+  def minMaxTs(market: String, code: String, candleLength: Int, year: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("first_ts", TimestampType), StructField("last_ts", TimestampType)))
+    footerStats(market, code, candleLength, year) match {
+      case Some((mn, mx, _)) =>
+        spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(mn, mx)), schema)
+      case None =>
+        readPage(market, code, candleLength, year)
+          .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+    }
+  }
+
+  /** (min ts, max ts, row count) of one series-year partition from
+    * parquet footers only; None if the partition is missing or any file
+    * lacks ts statistics.
+    */
+  private[graft] def footerStats(market: String, code: String, candleLength: Int,
+                                 year: Int): Option[(java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+    val dir = new org.apache.hadoop.fs.Path(path,
+      s"market=$market/candle_length=$candleLength/code=$code/year=$year")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return None
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (files.isEmpty) return None
+    import scala.jdk.CollectionConverters._
+    var mn = Long.MaxValue; var mx = Long.MinValue; var rows = 0L
+    var usable = true
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { b =>
+          rows += b.getRowCount
+          b.getColumns.asScala.find(_.getPath.toDotString == "ts")
+            .map(_.getStatistics) match {
+            case Some(ls: org.apache.parquet.column.statistics.LongStatistics)
+                if ls.hasNonNullValue =>
+              mn = math.min(mn, ls.getMin); mx = math.max(mx, ls.getMax)
+            case _ =>
+              usable = false // INT96 or stats-free file: caller falls back
+          }
+        }
+      } finally reader.close()
+    }
+    if (!usable || rows == 0L) return None
+    def toTs(micros: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      t
+    }
+    Some((toTs(mn), toTs(mx), rows))
+  }
+
+  /** All series-year "page headers" from pure footer metadata: the
+    * reference's catalog walk (directory listing + 60 B header reads,
+    * `storage.go` + `page/header.go`) without touching row data. One
+    * row per partition with (n_rows, first_ts, last_ts). Listing and
+    * footer reads are metadata-scale (O(partitions + files), driver-side
+    * like the reference's single-node walk).
+    */
+  def pageHeaders(): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("market", StringType), StructField("candle_length", IntegerType),
+      StructField("code", StringType), StructField("year", IntegerType),
+      StructField("n_rows", LongType),
+      StructField("first_ts", TimestampType), StructField("last_ts", TimestampType)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    if (fs.exists(root)) {
+      def part(p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.Path] =
+        fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      for {
+        m <- part(root) if m.getName.startsWith("market=")
+        l <- part(m) if l.getName.startsWith("candle_length=")
+        c <- part(l) if c.getName.startsWith("code=")
+        y <- part(c) if y.getName.startsWith("year=")
+      } {
+        val market = m.getName.stripPrefix("market=")
+        val len = l.getName.stripPrefix("candle_length=").toInt
+        val code = c.getName.stripPrefix("code=")
+        val year = y.getName.stripPrefix("year=").toInt
+        footerStats(market, code, len, year).foreach { case (mn, mx, n) =>
+          rows.add(org.apache.spark.sql.Row(market, len, code, year, n, mn, mx))
+        }
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
 
   /** Catalog listing: which series-years exist (reference: directory walk
     * + header reads). Partition-column-only scan — file listing, no data read.
@@ -166,14 +278,16 @@ final class CandleStore(spark: SparkSession, val path: String) {
     // `disk/disk.go:65-86`). sortWithinPartitions preserves the
     // sorted-by-ts page invariant (`page/page.go:95-142`) and maximizes
     // Parquet row-group pruning on later range scans.
-    deduped
-      .repartition(Candle.partitionCols.map(col): _*)
-      .sortWithinPartitions("ts")
-      .write
-      .partitionBy(Candle.partitionCols: _*)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .parquet(path)
+    withMicrosTimestamps {
+      deduped
+        .repartition(Candle.partitionCols.map(col): _*)
+        .sortWithinPartitions("ts")
+        .write
+        .partitionBy(Candle.partitionCols: _*)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .parquet(path)
+    }
 
     scan()
   }
@@ -201,7 +315,7 @@ final class CandleStore(spark: SparkSession, val path: String) {
       .select(Candle.partitionCols.map(col): _*)
       .localCheckpoint() // small; avoid re-census during the rewrite scan
     val n = crowded.count().toInt
-    if (n > 0) {
+    if (n > 0) withMicrosTimestamps {
       scan()
         .join(broadcast(crowded), Candle.partitionCols, "left_semi")
         .repartition(Candle.partitionCols.map(col): _*)
@@ -225,20 +339,22 @@ final class CandleStore(spark: SparkSession, val path: String) {
     val contentStruct = struct(col("open"), col("high"), col("low"),
       col("close"), col("volume"), col("bit_fields"))
     val ord = ordinalCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
-    batch
-      .withColumn("ts", date_trunc("second", col("ts")).cast("timestamp"))
-      .withColumn("year", year(col("ts")))
-      .withColumn("_cstruct", contentStruct)
-      .withColumn("_ord", ord)
-      .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
-      .agg(max_by(col("_cstruct"), struct(col("_ord"), col("_cstruct"))).as("_w"))
-      .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
-      .repartition(Candle.partitionCols.map(col): _*)
-      .sortWithinPartitions("ts")
-      .write
-      .partitionBy(Candle.partitionCols: _*)
-      .mode(SaveMode.Append)
-      .parquet(path)
+    withMicrosTimestamps {
+      batch
+        .withColumn("ts", date_trunc("second", col("ts")).cast("timestamp"))
+        .withColumn("year", year(col("ts")))
+        .withColumn("_cstruct", contentStruct)
+        .withColumn("_ord", ord)
+        .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
+        .agg(max_by(col("_cstruct"), struct(col("_ord"), col("_cstruct"))).as("_w"))
+        .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
+        .repartition(Candle.partitionCols.map(col): _*)
+        .sortWithinPartitions("ts")
+        .write
+        .partitionBy(Candle.partitionCols: _*)
+        .mode(SaveMode.Append)
+        .parquet(path)
+    }
   }
 }
 

@@ -100,6 +100,29 @@ class CandleStoreSpec extends SparkSpec {
     assert(store.listSeries().count() == 2)
   }
 
+  test("minMaxTs/pageHeaders serve from footer metadata, no row scan (ref disk.go:23-42)") {
+    val store = CandleStore(spark, tmpDir("cs-footer") + "/t")
+    store.upsert(Seq(c("BTC", "2022-01-05 00:00:00", 1),
+      c("BTC", "2022-11-30 00:00:00", 2), c("ETH", "2022-06-01 00:00:00", 3)).toDF())
+    // the footer path must be live (stats present) and exact
+    val fs = store.footerStats("UPBIT", "BTC", 60, 2022)
+    assert(fs.contains((ts("2022-01-05 00:00:00"), ts("2022-11-30 00:00:00"), 2L)))
+    // minMaxTs plans a LocalTableScan — the answer came from metadata,
+    // not a parquet row scan
+    val plan = store.minMaxTs("UPBIT", "BTC", 60, 2022)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("FileScan"),
+      s"expected metadata-only plan:\n$plan")
+    // pageHeaders = describeSeries's header fields, from footers alone
+    val ph = store.pageHeaders()
+      .select("market", "candle_length", "code", "year", "n_rows", "first_ts", "last_ts")
+      .orderBy("code")
+    val ds = store.describeSeries()
+      .select("market", "candle_length", "code", "year", "n_rows", "first_ts", "last_ts")
+      .orderBy("code")
+    assert(ph.collect().toSeq == ds.collect().toSeq)
+  }
+
   test("appendNewer fast path writes without reading existing data (ref page.go:73-77)") {
     val store = CandleStore(spark, tmpDir("cs-app") + "/t")
     store.upsert(Seq(c("BTC", "2022-03-01 10:00:00", 1)).toDF())
