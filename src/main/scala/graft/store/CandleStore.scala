@@ -278,10 +278,16 @@ final class CandleStore(spark: SparkSession, val path: String) {
     // `disk/disk.go:65-86`). sortWithinPartitions preserves the
     // sorted-by-ts page invariant (`page/page.go:95-142`) and maximizes
     // Parquet row-group pruning on later range scans.
+    // Range-repartition on (partition cols, ts) rather than hash on the
+    // partition cols alone: a hash would funnel a hot series-year (one
+    // popular instrument) through a single reducer — the skew wall at
+    // 100 TB. Ranging splits a hot partition into several DISJOINT
+    // ts-sorted runs (parallel writers, per-file row-group pruning still
+    // exact); small partitions still coalesce into one task's file.
     withMicrosTimestamps {
       deduped
-        .repartition(Candle.partitionCols.map(col): _*)
-        .sortWithinPartitions("ts")
+        .repartitionByRange((Candle.partitionCols :+ "ts").map(col): _*)
+        .sortWithinPartitions((Candle.partitionCols :+ "ts").map(col): _*)
         .write
         .partitionBy(Candle.partitionCols: _*)
         .option("partitionOverwriteMode", "dynamic")
@@ -348,8 +354,8 @@ final class CandleStore(spark: SparkSession, val path: String) {
         .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
         .agg(max_by(col("_cstruct"), struct(col("_ord"), col("_cstruct"))).as("_w"))
         .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
-        .repartition(Candle.partitionCols.map(col): _*)
-        .sortWithinPartitions("ts")
+        .repartitionByRange((Candle.partitionCols :+ "ts").map(col): _*)
+        .sortWithinPartitions((Candle.partitionCols :+ "ts").map(col): _*)
         .write
         .partitionBy(Candle.partitionCols: _*)
         .mode(SaveMode.Append)

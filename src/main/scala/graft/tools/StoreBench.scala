@@ -10,11 +10,19 @@ import graft.store.CandleStore
   * driver materialization), then times (1) the initial upsert, (2) an
   * overlapping re-upsert (merge path), (3) a point lookup and range
   * scan off the resulting table.
-  * `sbt "runMain graft.tools.StoreBench [nRows]"`.
+  * `sbt "runMain graft.tools.StoreBench [nRows] [skew]"`.
+  *
+  * With `skew`, the generator plants a hot series instead: 90% of all
+  * rows land in ONE (market, code, year) partition — the
+  * one-popular-instrument reality of market data — and the run also
+  * times a join against a per-code dimension three ways (plain shuffle,
+  * [[graft.ops.Joins.saltedJoin]], AQE skew split) to show the upsert
+  * and join paths survive real key skew.
   */
 object StoreBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(5000000L)
+    if (args.contains("skew")) { skewSoak(n); return }
     val spark = GraftSession.builder(appName = "graft-storebench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = java.nio.file.Files.createTempDirectory("graft-storebench").toString + "/t"
@@ -48,6 +56,64 @@ object StoreBench {
       store.rangeScan("UPBIT", "SYM1", 60,
         java.sql.Timestamp.valueOf("2021-03-01 00:00:00"),
         java.sql.Timestamp.valueOf("2021-04-01 00:00:00")).count())
+    spark.stop()
+  }
+
+  /** Skew soak: 90% of rows in one (market, code, year). */
+  private def skewSoak(n: Long): Unit = {
+    val spark = GraftSession.builder(appName = "graft-storebench-skew").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("graft-skewbench").toString + "/t"
+
+    // 1-second bars; codes HOT (ids 0-8 of every 10) vs COLD1..9 — every
+    // (code, ts) is unique so dedup keeps all rows.
+    def candles(offset: Long, rows: Long) = spark.range(rows)
+      .select(
+        lit("UPBIT").as("market"),
+        when(col("id") % 10 < 9, lit("HOT"))
+          .otherwise(concat(lit("COLD"), (col("id") % 10).cast("string"))).as("code"),
+        lit(1).as("candle_length"),
+        timestamp_seconds(lit(1609459200L) + (col("id") + offset)).as("ts"),
+        (rand(42) * 100).as("open"), (rand(43) * 100 + 100).as("high"),
+        (rand(44) * 50).as("low"), (rand(45) * 100).as("close"),
+        (rand(46) * 10).as("volume"), lit(0L).as("bit_fields"))
+
+    val store = CandleStore(spark, dir)
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[skewbench] $name%-28s ${sec}%8.2f s  (${n / sec / 1e6}%.2f M rows/s)")
+      r
+    }
+    time("skewed initial upsert")(store.upsert(candles(0, n)))
+    time("skewed overlapping upsert")(store.upsert(candles(n / 2, n)))
+    val perCode = store.scan().groupBy("code").count()
+      .orderBy(col("count").desc).collect()
+    println(s"[skewbench] rows=${store.scan().count()} hot share=" +
+      f"${perCode.head.getLong(1).toDouble / perCode.map(_.getLong(1)).sum}%.2f")
+
+    // Join the skewed table against a per-code dim (too big to list by
+    // hand, too small to matter — forced non-broadcast to expose the
+    // shuffle skew): plain vs salted vs AQE skew split.
+    val dim = spark.range(10).select(
+      when(col("id") < 9, concat(lit("COLD"), col("id").cast("string")))
+        .otherwise(lit("HOT")).as("code"),
+      (col("id") * 7).as("weight"))
+    val fact = store.scan().select("code", "close")
+    def agg(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy("code").agg(sum(col("close") * col("weight"))).count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    time("plain shuffle join (skewed)")(
+      agg(fact.join(dim.hint("shuffle_hash"), Seq("code"))))
+    time("salted join x8")(
+      agg(graft.ops.Joins.saltedJoin(fact, dim, Seq("code"), saltFactor = 8)))
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+    time("AQE skew-split join")(
+      agg(fact.join(dim.hint("shuffle_hash"), Seq("code"))))
     spark.stop()
   }
 }
