@@ -12,10 +12,13 @@ import graft.expressions.CosineSimilarity
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // AS-OF join plan node lowering (graft.plans.AsOfJoinPlan).
+    ext.injectResolutionRule(session => graft.plans.ResolveAsOfJoin(session))
+  }
 }
 
 object GraftExtensions {

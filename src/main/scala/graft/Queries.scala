@@ -471,13 +471,16 @@ object Queries {
           Portable.round(col("close_filled"), 4).as("close_filled"), col("is_gap"))
     }),
     // As-of join: each purchase sees the latest prior view's value.
+    // Routed through the Catalyst plan-node form (AsOfJoinPlan +
+    // ResolveAsOfJoin lowering) so the extension path sits inside the
+    // correctness gate; q47/q48 keep the direct library path covered.
     "q37_asof_join" -> ((s, d) => {
       val ev = T.events(s, d)
       val purchases = ev.where(col("event_type") === "purchase")
         .select("user_id", "event_id", "ts", "value")
       val views = ev.where(col("event_type") === "view")
         .select("user_id", "ts", "value")
-      TimeSeries.asofJoin(purchases, views, Seq("user_id"), "ts", "ts", Seq("value"))
+      graft.plans.AsOf.asofJoin(purchases, views, Seq("user_id"), "ts", "ts", Seq("value"))
         .select(col("user_id"), col("event_id"), col("ts"),
           Portable.round(col("value"), 4).as("value"),
           Portable.round(col("asof_value"), 4).as("asof_value"))

@@ -1,15 +1,25 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge into the `private[sql]` Column ⇄ Expression converters — the
-  * standard integration point for libraries shipping native Catalyst
-  * expressions (Spark 4 routes Columns through ColumnNodes; these
-  * helpers are the sanctioned classic-mode crossover).
+/** Bridge into the `private[sql]` Column ⇄ Expression / plan ⇄ Dataset
+  * converters — the standard integration point for libraries shipping
+  * native Catalyst expressions and logical plans (Spark 4 routes Columns
+  * through ColumnNodes; these helpers are the sanctioned classic-mode
+  * crossover).
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`): how a custom logical operator enters the public
+    * Dataset API.
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

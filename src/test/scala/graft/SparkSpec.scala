@@ -10,6 +10,7 @@ object SparkTestSession {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
       .appName("graft-test")
       .getOrCreate()

@@ -54,6 +54,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(111.0), Some(222.0), None))
   }
 
+  test("AsOfJoinPlan node lowers via ResolveAsOfJoin to the library plan") {
+    val left = Seq(("u1", ts("2022-01-01 10:00:10"), 1L), ("u1", ts("2022-01-01 10:05:00"), 2L),
+      ("u2", ts("2022-01-01 10:00:00"), 3L)).toDF("user", "ts", "lid")
+    val right = Seq(("u1", ts("2022-01-01 10:00:10"), 111.0),
+      ("u1", ts("2022-01-01 10:03:00"), 222.0),
+      ("u2", ts("2022-01-01 11:00:00"), 999.0)).toDF("user", "ts", "value")
+    assert(graft.plans.AsOf.ruleInstalled(spark),
+      "test session must carry graft extensions")
+    val viaPlan = graft.plans.AsOf.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("value"))
+    // the raw plan carries the operator; analysis lowers it away
+    assert(viaPlan.queryExecution.logical.collect {
+      case p: graft.plans.AsOfJoinPlan => p
+    }.nonEmpty, "raw logical plan must contain AsOfJoinPlan")
+    assert(viaPlan.queryExecution.analyzed.collect {
+      case p: graft.plans.AsOfJoinPlan => p
+    }.isEmpty, "analysis must lower AsOfJoinPlan")
+    // row-identical to the direct library call, composable downstream
+    val direct = TimeSeries.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("value"))
+    assert(viaPlan.orderBy("lid").collect().toSeq ==
+      direct.orderBy("lid").collect().toSeq)
+    val filtered = viaPlan.where($"asof_value" > 200.0).select("lid").as[Long].collect()
+    assert(filtered.toSeq == Seq(2L))
+  }
+
   test("asofJoinOpts forward: nearest right row at-or-after; none -> NULL") {
     val left = Seq(("u1", ts("2022-01-01 10:00:00"), 1L),
       ("u1", ts("2022-01-01 12:30:00"), 2L)).toDF("user", "ts", "lid")
