@@ -754,11 +754,16 @@ object Queries {
     "q63_ivf_kmeans_recall" -> ((s, d) => {
       val emb = T.embeddings(s, d)
       val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
+      // Both top-k frames are tiny (k rows per query) and feed multiple
+      // downstream branches — materialize once, or Spark re-evaluates
+      // the whole brute-force / IVF subtree per reference.
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
       val approx = Similarity.ivfTopKKMeans(emb, queries, "vec_id", "embedding",
           k = 10, nCells = 16, nProbe = 4, iters = 5)
         .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
       exact.select("query_id").distinct()

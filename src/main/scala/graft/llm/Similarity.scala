@@ -220,32 +220,60 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nCells: Int, iters: Int = 5,
                       sampleMod: Int = 1): Array[(Long, Array[Double])] = {
+    import corpus.sparkSession.implicits._
     val base = (if (sampleMod <= 1) corpus
                 else corpus.where(col(idCol) % sampleMod === 0))
-      .select(col(vecCol).as("v"))
+      .select(col(vecCol)).as[Seq[Float]]
     var cents: Array[Array[Double]] =
       sampleCentroids(corpus, idCol, vecCol, nCells).map(_._2)
+    val k = cents.length
+    val dim = cents.headOption.map(_.length).getOrElse(0)
     var it = 0
     while (it < iters) {
       val cur = cents
-      val assignU = udf { (v: Seq[Float]) =>
-        var bi = -1; var bs = Double.NegativeInfinity
-        var i = 0
-        while (i < cur.length) {
-          val s = cosFD(v, cur(i))
-          if (s > bs) { bs = s; bi = i }
-          i += 1
+      // One pass per iteration: each partition accumulates (sum, count)
+      // per cell in flat arrays and emits ONE row — no explode (a
+      // posexplode+groupBy update re-evaluates the assignment per
+      // exploded element once Catalyst hoists the projection above the
+      // Generate), no shuffle; the driver reduces nPartitions × k × dim
+      // doubles (the classic scalable k-means update shape).
+      val stats = base.mapPartitions { rows =>
+        val sums = Array.ofDim[Double](k, dim)
+        val counts = new Array[Long](k)
+        rows.foreach { v =>
+          var bi = 0; var bs = Double.NegativeInfinity
+          var i = 0
+          while (i < k) {
+            val s = cosFD(v, cur(i))
+            if (s > bs) { bs = s; bi = i }
+            i += 1
+          }
+          counts(bi) += 1
+          val lim = math.min(v.length, dim)
+          var j = 0
+          while (j < lim) { sums(bi)(j) += v(j).toDouble; j += 1 }
         }
-        bi
+        Iterator.single((sums.flatten, counts))
+      }.collect()
+      val totSums = Array.ofDim[Double](k, dim)
+      val totCounts = new Array[Long](k)
+      stats.foreach { case (flat, cnts) =>
+        var c = 0
+        while (c < k) {
+          totCounts(c) += cnts(c)
+          var j = 0
+          while (j < dim) { totSums(c)(j) += flat(c * dim + j); j += 1 }
+          c += 1
+        }
       }
-      val stats = base
-        .select(assignU(col("v")).as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
-        .collect()
       val next = cur.map(_.clone()) // empty cells keep their old centroid
-      stats.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3).toDouble
+      var c = 0
+      while (c < k) {
+        if (totCounts(c) > 0) {
+          var j = 0
+          while (j < dim) { next(c)(j) = totSums(c)(j) / totCounts(c); j += 1 }
+        }
+        c += 1
       }
       cents = next
       it += 1
@@ -262,7 +290,7 @@ object Similarity {
     ivfWithCentroids(corpus, queries, idCol, vecCol, k, nProbe,
       kmeansCentroids(corpus, idCol, vecCol, nCells, iters))
 
-  private[llm] def ivfWithCentroids(corpus: DataFrame, queries: DataFrame,
+  private[graft] def ivfWithCentroids(corpus: DataFrame, queries: DataFrame,
                                     idCol: String, vecCol: String, k: Int,
                                     nProbe: Int,
                                     centroids: Array[(Long, Array[Double])]): DataFrame = {

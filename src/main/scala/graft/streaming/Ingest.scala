@@ -33,6 +33,25 @@ object Ingest {
       .withWatermark("ts", lateness)
       .dropDuplicates(Seq("market", "code", "candle_length", "ts"))
 
+  /** Late-data observability for the no-watermark ingest path (SURVEY.md
+    * §7.3.1): one named accumulator per session counting rows older than
+    * `lateHorizonSec` behind their batch's max event time — the rows a
+    * watermark of that horizon would have DROPPED but the upsert path
+    * accepts (`page/page.go:66-71` semantics). Pure metrics tap: the
+    * ingest result is unchanged, the count is one extra aggregation on
+    * the (already-materialized) micro-batch.
+    */
+  private val lateCounters =
+    scala.collection.concurrent.TrieMap[org.apache.spark.SparkContext,
+      org.apache.spark.util.LongAccumulator]()
+
+  /** Keyed by SparkContext, not session: `foreachBatch` hands each batch
+    * a CLONED session, and the metric must accumulate across batches.
+    */
+  def lateRowCounter(spark: org.apache.spark.sql.SparkSession): org.apache.spark.util.LongAccumulator =
+    lateCounters.getOrElseUpdate(spark.sparkContext,
+      spark.sparkContext.longAccumulator("graft.ingest.late_rows"))
+
   /** Micro-batch upsert ingest into a CandleStore. Each micro-batch is
     * one "transaction" (reference: `Database.Execute`,
     * `database/database.go:27-51`); idempotent upsert + checkpointed
@@ -41,22 +60,36 @@ object Ingest {
   /** @param transform applied to each micro-batch before the upsert —
     *   e.g. tick→candle aggregation; runs inside the batch job, so the
     *   checkpoint still guards the whole pipeline.
+    * @param lateHorizonSec when set, rows more than this many seconds
+    *   behind their batch's max `ts` are counted into
+    *   [[lateRowCounter]] (they are still ingested — metrics only).
     */
   def upsertWriter(stream: DataFrame, store: CandleStore,
                    checkpointDir: String,
-                   transform: DataFrame => DataFrame = identity): DataStreamWriter[Row] =
+                   transform: DataFrame => DataFrame = identity,
+                   lateHorizonSec: Option[Long] = None): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) { store.upsert(transform(batch)); () }
+        if (!batch.isEmpty) {
+          lateHorizonSec.foreach { horizon =>
+            val mx = batch.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+            val n = batch
+              .where(unix_timestamp(col("ts")) < mx - horizon).count()
+            lateRowCounter(batch.sparkSession).add(n)
+          }
+          store.upsert(transform(batch)); ()
+        }
       }
 
   def startUpsertIngest(stream: DataFrame, store: CandleStore,
                         checkpointDir: String,
                         trigger: Trigger = Trigger.AvailableNow(),
-                        transform: DataFrame => DataFrame = identity): StreamingQuery =
-    upsertWriter(stream, store, checkpointDir, transform).trigger(trigger).start()
+                        transform: DataFrame => DataFrame = identity,
+                        lateHorizonSec: Option[Long] = None): StreamingQuery =
+    upsertWriter(stream, store, checkpointDir, transform, lateHorizonSec)
+      .trigger(trigger).start()
 
   /** Streaming session windows: events sessionized by inactivity gap,
     * per user (SURVEY.md §2.3 extension row; batch analog is

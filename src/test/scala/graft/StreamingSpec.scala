@@ -44,6 +44,27 @@ class StreamingSpec extends SparkSpec {
       .select("open").as[Double].head() == 20.0)
   }
 
+  test("late-row counter tallies rows a watermark would have dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = CandleStore(spark, tmpDir("st-late") + "/t")
+    val counter = Ingest.lateRowCounter(spark)
+    val before = counter.value
+    val stream = MemoryStream[Candle]
+    // horizon 1h: the 09:00 row is 2h behind the batch max (11:00)
+    val query = Ingest.upsertWriter(stream.toDF(), store, tmpDir("st-late-ckpt"),
+        lateHorizonSec = Some(3600L))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(Seq(
+      c("BTC", "2022-01-01 11:00:00", 1),
+      c("BTC", "2022-01-01 10:30:00", 2),  // within horizon: not late
+      c("BTC", "2022-01-01 09:00:00", 3))) // late
+    query.processAllAvailable()
+    query.stop()
+    assert(counter.value - before == 1, s"expected 1 late row, counter=${counter.value - before}")
+    // metrics only: the late row is still ingested
+    assert(store.scan().count() == 3)
+  }
+
   test("streaming tumbling-window candles emit closed windows (watermark/append)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, String, Timestamp, Double, Double)]
