@@ -255,8 +255,11 @@ object Dedup {
                           maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val width = 32 / nBands
-    val withSig = df.select(col(idCol).cast("long").as("id"),
-      simhash32Udf(tokens(col(textCol))).as("sig"))
+    // null text carries no signal for near-dup detection; drop it before
+    // the compiled kernel (whose Seq argument would otherwise NPE)
+    val withSig = df.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        simhash32Udf(tokens(col(textCol))).as("sig"))
     val bandArr = array((0 until nBands).map { b =>
       concat_ws("|", lit(b.toString),
         shiftright(col("sig"), b * width).bitwiseAND((1L << width) - 1).cast("string"))

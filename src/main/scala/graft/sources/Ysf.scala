@@ -137,7 +137,13 @@ object Ysf {
           s"candle timestamp is not in range for year $year: ${c.ts}")
         ((sec - y0), c)
       }
-      .sortBy(_._1)
+      // secondary sort on content: input arrives in shuffle-dependent
+      // order, so last-wins per offset must not depend on it — the
+      // winner among equal-offset rows is the max content tuple, and
+      // page bytes are identical run to run
+      .sortBy { case (off, c) =>
+        (off, c.open, c.high, c.low, c.close, c.volume, c.bit_fields)
+      }
     // last-wins per offset (a page stores one row per timestamp)
     val dedup = sorted.foldLeft(Vector.empty[(Long, Candle)]) { (acc, x) =>
       if (acc.nonEmpty && acc.last._1 == x._1) acc.init :+ x else acc :+ x
@@ -184,6 +190,16 @@ object Ysf {
   // Spark surface                                                    //
   // ---------------------------------------------------------------- //
 
+  /** One decoded row + its page's storage year (from the page HEADER —
+    * not `year(ts)`, which is session-timezone-dependent while page
+    * years are UTC by format definition).
+    */
+  private final case class YsfRow(market: String, code: String,
+                                  candle_length: Int, ts: Timestamp,
+                                  open: Double, high: Double, low: Double,
+                                  close: Double, volume: Double,
+                                  bit_fields: Long, year: Int)
+
   /** Read every `.ysf` page under `dir` (recursively) into a [[Candle]]
     * DataFrame plus the storage `year` column. Parallelism is per page
     * file; series identity comes from page headers, not paths, so any
@@ -198,14 +214,16 @@ object Ysf {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        try decodePage(bytes)
-        catch {
+        try {
+          val yr = decodeHeader(bytes).year
+          decodePage(bytes).map(c => YsfRow(c.market, c.code, c.candle_length,
+            c.ts, c.open, c.high, c.low, c.close, c.volume, c.bit_fields, yr))
+        } catch {
           case e: IllegalArgumentException =>
             throw new IllegalArgumentException(s"bad .ysf page at $path: ${e.getMessage}", e)
         }
       }
       .toDF()
-      .withColumn("year", year(col("ts")))
   }
 
   /** Write a candle DataFrame as a `.ysf` page tree under `dir` (the

@@ -42,15 +42,22 @@ final class CandleStore(spark: SparkSession, val path: String) {
     * Spark default, is deprecated and carries no usable column
     * statistics, which would defeat row-group pruning in [[rangeScan]]
     * and the footer-only [[minMaxTs]]/[[pageHeaders]] reads.
+    *
+    * The conf is set on the session EXECUTING the write — the batch
+    * DataFrame's own session, which under streaming `foreachBatch` is a
+    * per-batch CLONE whose SQLConf was copied at stream start (setting
+    * it on the store's construction-time session would leave streaming
+    * upserts on INT96 and silently degrade the footer-metadata reads).
     */
-  private def withMicrosTimestamps[T](f: => T): T = {
+  private def withMicrosTimestamps[T](df: DataFrame)(f: => T): T = {
+    val conf = df.sparkSession.conf
     val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
+    val prev = conf.getOption(key)
+    conf.set(key, "TIMESTAMP_MICROS")
     try f
     finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
     }
   }
 
@@ -101,8 +108,11 @@ final class CandleStore(spark: SparkSession, val path: String) {
     */
   private[graft] def footerStats(market: String, code: String, candleLength: Int,
                                  year: Int): Option[(java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+    // partition values are path-escaped on disk (space, '/', ':' …) —
+    // build the dir the same way Spark's writer does
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
     val dir = new org.apache.hadoop.fs.Path(path,
-      s"market=$market/candle_length=$candleLength/code=$code/year=$year")
+      s"market=${esc(market)}/candle_length=$candleLength/code=${esc(code)}/year=$year")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return None
@@ -165,9 +175,10 @@ final class CandleStore(spark: SparkSession, val path: String) {
         c <- part(l) if c.getName.startsWith("code=")
         y <- part(c) if y.getName.startsWith("year=")
       } {
-        val market = m.getName.stripPrefix("market=")
+        val unesc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName _
+        val market = unesc(m.getName.stripPrefix("market="))
         val len = l.getName.stripPrefix("candle_length=").toInt
-        val code = c.getName.stripPrefix("code=")
+        val code = unesc(c.getName.stripPrefix("code="))
         val year = y.getName.stripPrefix("year=").toInt
         footerStats(market, code, len, year).foreach { case (mn, mx, n) =>
           rows.add(org.apache.spark.sql.Row(market, len, code, year, n, mn, mx))
@@ -284,8 +295,12 @@ final class CandleStore(spark: SparkSession, val path: String) {
     // 100 TB. Ranging splits a hot partition into several DISJOINT
     // ts-sorted runs (parallel writers, per-file row-group pruning still
     // exact); small partitions still coalesce into one task's file.
-    withMicrosTimestamps {
-      deduped
+    // The range exchange SAMPLES its child to pick boundaries, which
+    // would re-execute the merge aggregation — persist it across the
+    // sample + write (spills to disk if the batch outgrows memory).
+    val matd = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try withMicrosTimestamps(deduped) {
+      matd
         .repartitionByRange((Candle.partitionCols :+ "ts").map(col): _*)
         .sortWithinPartitions((Candle.partitionCols :+ "ts").map(col): _*)
         .write
@@ -293,7 +308,7 @@ final class CandleStore(spark: SparkSession, val path: String) {
         .option("partitionOverwriteMode", "dynamic")
         .mode(SaveMode.Overwrite)
         .parquet(path)
-    }
+    } finally { matd.unpersist(); () }
 
     scan()
   }
@@ -321,7 +336,7 @@ final class CandleStore(spark: SparkSession, val path: String) {
       .select(Candle.partitionCols.map(col): _*)
       .localCheckpoint() // small; avoid re-census during the rewrite scan
     val n = crowded.count().toInt
-    if (n > 0) withMicrosTimestamps {
+    if (n > 0) withMicrosTimestamps(crowded) {
       scan()
         .join(broadcast(crowded), Candle.partitionCols, "left_semi")
         .repartition(Candle.partitionCols.map(col): _*)
@@ -345,7 +360,7 @@ final class CandleStore(spark: SparkSession, val path: String) {
     val contentStruct = struct(col("open"), col("high"), col("low"),
       col("close"), col("volume"), col("bit_fields"))
     val ord = ordinalCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
-    withMicrosTimestamps {
+    withMicrosTimestamps(batch) {
       batch
         .withColumn("ts", date_trunc("second", col("ts")).cast("timestamp"))
         .withColumn("year", year(col("ts")))

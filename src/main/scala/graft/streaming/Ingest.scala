@@ -72,14 +72,25 @@ object Ingest {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          lateHorizonSec.foreach { horizon =>
-            val mx = batch.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
-            val n = batch
-              .where(unix_timestamp(col("ts")) < mx - horizon).count()
-            lateRowCounter(batch.sparkSession).add(n)
-          }
-          store.upsert(transform(batch)); ()
+        lateHorizonSec match {
+          case None =>
+            if (!batch.isEmpty) { store.upsert(transform(batch)); () }
+          case Some(horizon) =>
+            // foreachBatch frames re-execute their source plan per
+            // action; persist while the metric + upsert both read it,
+            // and fold the emptiness check into the max-ts aggregation
+            // (null max == empty batch) instead of a separate isEmpty.
+            batch.persist()
+            try {
+              val mxRow = batch.agg(max(unix_timestamp(col("ts")))).head()
+              if (!mxRow.isNullAt(0)) {
+                val n = batch
+                  .where(unix_timestamp(col("ts")) < mxRow.getLong(0) - horizon)
+                  .count()
+                lateRowCounter(batch.sparkSession).add(n)
+                store.upsert(transform(batch)); ()
+              }
+            } finally { batch.unpersist(); () }
         }
       }
 

@@ -71,7 +71,7 @@ object StoreBench {
       .select(
         lit("UPBIT").as("market"),
         when(col("id") % 10 < 9, lit("HOT"))
-          .otherwise(concat(lit("COLD"), (col("id") % 10).cast("string"))).as("code"),
+          .otherwise(concat(lit("COLD"), expr("id DIV 10 % 9").cast("string"))).as("code"),
         lit(1).as("candle_length"),
         timestamp_seconds(lit(1609459200L) + (col("id") + offset)).as("ts"),
         (rand(42) * 100).as("open"), (rand(43) * 100 + 100).as("high"),

@@ -123,6 +123,17 @@ class CandleStoreSpec extends SparkSpec {
     assert(ph.collect().toSeq == ds.collect().toSeq)
   }
 
+  test("footer reads survive path-escaped partition values (space, slash, colon)") {
+    val store = CandleStore(spark, tmpDir("cs-esc") + "/t")
+    val weird = "BTC/USD T:1"
+    store.upsert(Seq(
+      Candle("UP BIT", weird, 60, ts("2022-01-05 00:00:00"), 1, 2, 0, 1.5, 10.0, 0L)).toDF())
+    val fs = store.footerStats("UP BIT", weird, 60, 2022)
+    assert(fs.isDefined && fs.get._3 == 1L, s"footerStats must resolve escaped dirs: $fs")
+    val ph = store.pageHeaders().select("market", "code").as[(String, String)].collect()
+    assert(ph.toSeq == Seq(("UP BIT", weird)), "pageHeaders must unescape partition values")
+  }
+
   test("appendNewer fast path writes without reading existing data (ref page.go:73-77)") {
     val store = CandleStore(spark, tmpDir("cs-app") + "/t")
     store.upsert(Seq(c("BTC", "2022-03-01 10:00:00", 1)).toDF())

@@ -39,6 +39,10 @@ class StreamingSpec extends SparkSpec {
     val a = streamed.scan().orderBy("code", "ts").collect().toSeq
     val b = batch.scan().orderBy("code", "ts").collect().toSeq
     assert(a == b)
+    // the foreachBatch write must run with micros timestamps on the
+    // batch's CLONED session, or footer-metadata reads silently degrade
+    assert(streamed.footerStats("UPBIT", "BTC", 60, 2022).isDefined,
+      "streaming-ingested files must carry usable ts statistics")
     // last-wins across micro-batches
     assert(streamed.scan().where($"ts" === ts("2022-01-01 10:01:00"))
       .select("open").as[Double].head() == 20.0)
