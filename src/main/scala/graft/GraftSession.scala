@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      // Managed (bucketed) tables go under tmp, keyed by pid so
+      // concurrent JVMs (test + bench) never share a table directory —
+      // NOT ./spark-warehouse, which would pollute the repo checkout.
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {

@@ -429,6 +429,25 @@ object Oracles {
            round(min(low), 4) AS min_low, round(max(high), 4) AS max_high,
            round(sum(volume), 4) AS total_volume
          FROM r WHERE rn = 1 GROUP BY code, year(ts)""",
+    // q65: the Spark side round-trips a REAL PNG encode+decode; the
+    // oracle computes the same features in closed form (solid color,
+    // lossless codec → exact integers).
+    "q65_image_decode" ->
+      """SELECT doc_id,
+         (16 + doc_id % 16)::INT AS width,
+         (16 + doc_id % 8)::INT AS height,
+         (16 + doc_id % 16) * (16 + doc_id % 8) AS n_pixels,
+         ((doc_id * 31) % 256)::DOUBLE AS mean_r,
+         ((doc_id * 17) % 256)::DOUBLE AS mean_g,
+         ((doc_id * 7) % 256)::DOUBLE AS mean_b
+         FROM documents""",
+    // Bucketed co-located join: bucketing only changes the physical
+    // layout, so the oracle is the plain join + aggregation.
+    "q64_bucketed_join" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_price
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1, 2""",
     // The .ysf round trip must reproduce the hourly candles the pages
     // were built from; DuckDB aggregates the raw events directly and
     // never touches the binary format.

@@ -581,6 +581,28 @@ object Queries {
     CandleStore(s, path)
   }
 
+  private val bucketCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** Write (once per sfDir) customer and orders as managed tables
+    * bucketed on custkey — the join key's shuffle paid once at write
+    * time, so every later join/agg on custkey is exchange-free
+    * (SURVEY §7.3.1 deferred item, now closed).
+    */
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val built = bucketCache.getOrElseUpdate(d, {
+      val sfx = java.lang.Long.toHexString(d.hashCode & 0xffffffffL)
+      val ct = s"graft_b_customer_$sfx"
+      val ot = s"graft_b_orders_$sfx"
+      graft.ops.Bucketing.saveBucketed(T.customer(s, d), ct, Seq("c_custkey"), 8)
+      graft.ops.Bucketing.saveBucketed(T.orders(s, d), ot, Seq("o_custkey"), 8)
+      (ct, ot)
+    })
+    // The cache is per-JVM but tables are per-session state: a cloned
+    // session (foreachBatch) shares the catalog, so existence implies
+    // readable.
+    built
+  }
+
   private val ysfCache = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Build (once per sfDir) a `.ysf` page tree from the event-derived
@@ -605,6 +627,17 @@ object Queries {
           Portable.round(col("open"), 4).as("open"), Portable.round(col("high"), 4).as("high"),
           Portable.round(col("low"), 4).as("low"), Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // Bucketed co-located join: both sides pre-bucketed on custkey, so
+    // the whole join + per-customer aggregation pipeline runs with ZERO
+    // exchanges (asserted in JoinsSpec) — the 100 TB fact-table pattern
+    // where the shuffle is paid once at write time.
+    "q64_bucketed_join" -> ((s, d) => {
+      val (ct, ot) = bucketedTables(s, d)
+      graft.ops.Bucketing.bucketedJoin(s, ct, ot, Seq("c_custkey"), Seq("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          Portable.round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
     // Upsert-merge differential: end state after two overlapping batches
     // (new-batch-wins per (key, ts); reference op I1).
@@ -798,6 +831,17 @@ object Queries {
       Multimodal.decodeFeaturesStub(media, dim = 8)
         .select(col("id"), col("n_bytes"), col("checksum"),
           Portable.round(element_at(col("features"), 1), 4).as("f0"))
+    }),
+    // REAL image decode, oracle-checked end-to-end: synthesize a solid-
+    // color PNG per doc (size + RGB closed-form in doc_id), run it
+    // through the JDK's actual PNG encoder AND decoder on executors,
+    // extract (size, channel means) — which must equal the closed-form
+    // oracle exactly (PNG is lossless; solid color → integer means).
+    "q65_image_decode" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val media = T.documents(s, d).select(col("doc_id"),
+        Multimodal.syntheticPngUdf(col("doc_id")).as("payload"))
+      Multimodal.decodeImageFeatures(media, "doc_id", "payload").toDF()
     }))
 
   /** Full corpus. */

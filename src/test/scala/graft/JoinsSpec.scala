@@ -45,6 +45,24 @@ class JoinsSpec extends SparkSpec {
       s"b1=${b1.size} b2=${b2.size} theta=${theta.size}")
   }
 
+  test("bucketed join + same-key aggregation plans with zero exchanges") {
+    val facts = (1 to 400).map(i => (i.toLong % 37, i, i * 1.5)).toDF("k", "seq", "amt")
+    val dims = (0L until 37L).map(k => (k, s"name$k")).toDF("k", "nm")
+    graft.ops.Bucketing.saveBucketed(facts, "bspec_facts", Seq("k"), 4)
+    graft.ops.Bucketing.saveBucketed(dims, "bspec_dims", Seq("k"), 4)
+    val joined = graft.ops.Bucketing
+      .bucketedJoin(spark, "bspec_dims", "bspec_facts", Seq("k"), Seq("k"))
+      .groupBy(spark.table("bspec_dims")("k"), col("nm"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).as("total"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected exchange-free plan, got:\n$plan")
+    // and the result is the plain join's
+    val expected = dims.join(facts, Seq("k")).groupBy(col("k"), col("nm"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).as("total"))
+      .orderBy("k").collect().toSeq
+    assert(joined.orderBy("k").collect().toSeq == expected)
+  }
+
   test("saltedJoin rejects right/full join types (would duplicate null rows)") {
     val df = Seq((1L, "a")).toDF("k", "v")
     intercept[IllegalArgumentException] {

@@ -41,6 +41,54 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.map(_.n_bytes).toSeq == Seq(11, 8, 1))
   }
 
+  test("decodeImageFeatures: golden 2x2 PNG decodes to exact channel means") {
+    // 2x2 image: red, green | blue, white — means are exact quarters.
+    val px = Array(Array(0xff0000, 0x00ff00), Array(0x0000ff, 0xffffff))
+    val bytes = Multimodal.pngBytes(2, 2, (x, y) => px(y)(x))
+    val df = Seq((7L, bytes)).toDF("doc_id", "payload")
+    val f = Multimodal.decodeImageFeatures(df, "doc_id", "payload").collect().head
+    assert((f.width, f.height, f.n_pixels) == (2, 2, 4L))
+    assert(f.mean_r == (255 + 255) / 4.0) // red + white
+    assert(f.mean_g == (255 + 255) / 4.0) // green + white
+    assert(f.mean_b == (255 + 255) / 4.0) // blue + white
+  }
+
+  test("syntheticPng round-trips through the real codec to closed-form features") {
+    val ids = Seq(0L, 1L, 17L, 255L, 499L)
+    val df = ids.map(i => (i, Multimodal.syntheticPng(i))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeImageFeatures(df, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    ids.sorted.zip(out).foreach { case (id, f) =>
+      assert(f.width == 16 + (id % 16).toInt && f.height == 16 + (id % 8).toInt)
+      assert(f.mean_r == ((id * 31) % 256).toDouble, s"id=$id")
+      assert(f.mean_g == ((id * 17) % 256).toDouble, s"id=$id")
+      assert(f.mean_b == ((id * 7) % 256).toDouble, s"id=$id")
+    }
+  }
+
+  test("resizePng: solid color survives a real bilinear downscale exactly") {
+    val bytes = Multimodal.pngBytes(16, 16, (_, _) => 0x336699)
+    val df = Seq((1L, bytes)).toDF("doc_id", "payload")
+    val resized = Multimodal.resizePng(df, "doc_id", "payload", 4, 4)
+    val f = Multimodal.decodeImageFeatures(resized, "doc_id", "payload").collect().head
+    assert((f.width, f.height) == (4, 4))
+    assert((f.mean_r, f.mean_g, f.mean_b) == (0x33.toDouble, 0x66.toDouble, 0x99.toDouble))
+  }
+
+  test("decodeWavFeatures: square wave's RMS == amplitude, exact crossings") {
+    // 800 samples, half-period 8: value alternates +a/-a every 8 samples.
+    val a = 8192
+    val samples = Array.tabulate(800)(i => (if ((i / 8) % 2 == 0) a else -a).toShort)
+    val bytes = Multimodal.wavBytes(samples)
+    val df = Seq((3L, bytes)).toDF("doc_id", "payload")
+    val f = Multimodal.decodeWavFeatures(df, "doc_id", "payload").collect().head
+    assert(f.n_samples == 800L)
+    assert(math.abs(f.rms - a / 32768.0) < 1e-12)
+    assert(f.peak == a / 32768.0)
+    // sign flips at every multiple of 8 except t=0 → 800/8 - 1
+    assert(f.zero_crossings == 99L)
+  }
+
   test("sampleFrames: n byte-slice frames per payload, metadata carried") {
     val m = Multimodal.attachPayload(docs.where($"doc_id" === 1L), "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, 4)

@@ -11,6 +11,8 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-test-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
       .appName("graft-test")
       .getOrCreate()
