@@ -548,15 +548,21 @@ object Queries {
       val fs = new org.apache.hadoop.fs.Path(srcDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
-      Seq(
-        col("ts") < cut1,
-        col("ts") >= cut1 && col("ts") < cut2,
-        col("ts") >= cut2).zipWithIndex.foreach { case (cond, i) =>
-        val staging = s"$base/staging$i"
-        raw.where(cond).coalesce(1).write.parquet(staging)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
-          .map(_.getPath).find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written under $staging"))
+      // One job writes all three slices: slice id → its own task via
+      // repartition(slice) (hash of 3 distinct values; a collision just
+      // means one task writes two slice dirs — still one file each) →
+      // partitionBy(slice) dirs, renamed to flat b<i>.parquet files.
+      val staging = s"$base/staging"
+      raw.withColumn("_slice",
+          when(col("ts") < cut1, 0).when(col("ts") < cut2, 1).otherwise(2))
+        .repartition(col("_slice"))
+        .write.partitionBy("_slice").parquet(staging)
+      (0 to 2).foreach { i =>
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$staging/_slice=$i"))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+          case Array(one) => one
+          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+        }
         fs.rename(part, new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet"))
       }
       val stream = s.readStream.schema(raw.schema)

@@ -154,6 +154,74 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Compiled sign-bit signature under `planes` — same arithmetic as
+    * [[lshBucket]] (sequential double dot per plane, `>= 0` → '1') in
+    * one fused JVM pass instead of nPlanes interpreted aggregates.
+    */
+  def signBitsUdf(planes: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      val sb = new java.lang.StringBuilder(planes.length)
+      planes.foreach { p =>
+        val n = math.min(v.length, p.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v(i).toDouble * p(i); i += 1 }
+        sb.append(if (s >= 0.0) '1' else '0')
+      }
+      sb.toString
+    }
+
+  /** Embedding near-duplicate PAIRS at scale — the LSH path that
+    * replaces [[q58]]'s bounded brute-force all-pairs at 100 TB.
+    *
+    * Pipeline (mirrors `Dedup.minhashNearDupPairs`): one compiled
+    * sign-signature pass → band keys (nPlanes/nBands bits each) →
+    * groupBy(band) + within-bucket pair expansion (id_a < id_b) →
+    * distinct candidates → exact-cosine verify ≥ `minCosine` on
+    * candidate vectors only (semi-join fetch). The only shuffles are the
+    * (id, band) groupBy and the candidate joins — vectors never move
+    * through the band exchange, and nothing is quadratic in corpus size.
+    *
+    * Approximate by construction: a true pair is missed iff its
+    * signatures differ in EVERY band (probability → 0 as cosine → 1;
+    * the planted-pair spec pins recall on a fixture). All emitted pairs
+    * are exact-verified — precision is 1 by construction.
+    */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      minCosine: Double, nPlanes: Int = 16, nBands: Int = 8,
+                      dim: Int = -1): DataFrame = {
+    require(nPlanes % nBands == 0, "nBands must divide nPlanes")
+    val bits = nPlanes / nBands
+    val planeDim =
+      if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(nPlanes, planeDim)
+    val sigUdf = signBitsUdf(planes)
+    val ids = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("cv"))
+    val banded = ids
+      .withColumn("sig", sigUdf(col("cv")))
+      .select(col("id"), explode(array((0 until nBands).map(b =>
+        concat(lit(s"$b|"), substring(col("sig"), b * bits + 1, bits))): _*)).as("band"))
+    val cand = banded.groupBy(col("band"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candVecs = ids.join(candIds, Seq("id"), "left_semi")
+    cand
+      .join(candVecs.select(col("id").as("id_a"), col("cv").as("cv_a")), Seq("id_a"))
+      .join(candVecs.select(col("id").as("id_b"), col("cv").as("cv_b")), Seq("id_b"))
+      .withColumn("cosine", Portable.round(cosineNative(col("cv_a"), col("cv_b")), 4))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** JVM cosine of a float row vector against a double centroid —
     * bit-identical to [[cosineNative]] when the centroid is an exactly
     * float-to-double-cast vector (same sequential accumulation order,

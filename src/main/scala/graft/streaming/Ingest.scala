@@ -167,6 +167,29 @@ object Ingest {
                              open: Double, high: Double, low: Double,
                              close: Double, volume: Double)
 
+  /** Stream–stream interval join (SURVEY.md §2.3 extension): enrich one
+    * event stream with another's rows at most `spanSec` seconds older,
+    * per key — e.g. trades with their preceding quotes. Both sides carry
+    * watermarks and the join condition bounds both time columns, so
+    * Spark can evict state: each side buffers only `spanSec + lateness`
+    * of data per key, never the whole stream (the property that makes
+    * this viable on unbounded inputs). Inner join in append mode emits
+    * exactly the batch join's rows once both sides have arrived.
+    *
+    * Sides must not share non-key column names (alias before calling);
+    * the right key columns are dropped from the output.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, spanSec: Long,
+                   lateness: String = "1 minute"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    val time = r(rightTs).between(
+      l(leftTs) - expr(s"INTERVAL $spanSec SECONDS"), l(leftTs))
+    val cond = keys.map(k => l(k) === r(k)).foldLeft(time)(_ && _)
+    keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
+  }
+
   /** Streaming OHLCV aggregation: ticks → tumbling-window candles with a
     * watermark (append mode emits each candle once its window closes).
     */

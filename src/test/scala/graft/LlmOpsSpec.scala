@@ -145,6 +145,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(hit.toDouble / total >= 0.9, s"recall $hit/$total")
   }
 
+  test("lshNearDupPairs == brute-force threshold pairs on planted near-dups") {
+    val rnd = new scala.util.Random(23)
+    // 60 random 32-d vectors plus a near-copy of every 5th: the only
+    // pairs with cosine >= 0.95 are (i, i+1000) by construction.
+    val base = (0L until 60L).map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val copies = base.collect { case (i, v) if i % 5 == 0 =>
+      (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ copies).map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    // brute-force ground truth (bounded fixture)
+    val a = corpus.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = corpus.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val exact = a.join(b, $"id_a" < $"id_b")
+      .withColumn("cosine", Portable.round(Similarity.cosineNative($"va", $"vb"), 4))
+      .where($"cosine" >= 0.95)
+      .select("id_a", "id_b", "cosine").orderBy("id_a").collect().toSeq
+    assert(exact.size == copies.size, "fixture must plant exactly the near-dup pairs")
+    val lsh = Similarity.lshNearDupPairs(corpus, "vec_id", "embedding", 0.95)
+      .orderBy("id_a").collect().toSeq
+    assert(lsh == exact)
+  }
+
   test("IVF plans without windows and with only broadcast+agg exchanges") {
     val rnd = new scala.util.Random(19)
     val corpus = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.model.Candle
@@ -165,5 +166,45 @@ class StreamingSpec extends SparkSpec {
     query.processAllAvailable()
     assert(spark.table("ddp").count() == 1)
     query.stop()
+  }
+
+  test("stream-stream interval join emits exactly the batch join's rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val quotes = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val tDf = trades.toDF.toDF("code", "trade_ts", "price")
+    val qDf = quotes.toDF.toDF("code", "quote_ts", "bid")
+    val joined = graft.streaming.Ingest.intervalJoin(
+      tDf, qDf, Seq("code"), "trade_ts", "quote_ts", spanSec = 5)
+    val query = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    // quotes at :00/:04/:10; trades at :03/:05/:12 — the 5s window keeps
+    // (:03←:00), (:05←:00,:04), (:12←:10); cross-key rows never match.
+    quotes.addData(("BTC", ts("2022-01-01 10:00:00"), 99.0),
+      ("BTC", ts("2022-01-01 10:00:04"), 99.5),
+      ("ETH", ts("2022-01-01 10:00:04"), 5.0))
+    trades.addData(("BTC", ts("2022-01-01 10:00:03"), 100.0))
+    query.processAllAvailable()
+    quotes.addData(("BTC", ts("2022-01-01 10:00:10"), 98.0))
+    trades.addData(("BTC", ts("2022-01-01 10:00:05"), 101.0),
+      ("BTC", ts("2022-01-01 10:00:12"), 102.0))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("ssj").select("code", "trade_ts", "price", "quote_ts", "bid")
+      .orderBy("trade_ts", "quote_ts").collect().toSeq
+    // batch differential over the full inputs
+    val bt = Seq(("BTC", ts("2022-01-01 10:00:03"), 100.0),
+      ("BTC", ts("2022-01-01 10:00:05"), 101.0),
+      ("BTC", ts("2022-01-01 10:00:12"), 102.0)).toDF("code", "trade_ts", "price")
+    val bq = Seq(("BTC", ts("2022-01-01 10:00:00"), 99.0),
+      ("BTC", ts("2022-01-01 10:00:04"), 99.5),
+      ("ETH", ts("2022-01-01 10:00:04"), 5.0),
+      ("BTC", ts("2022-01-01 10:00:10"), 98.0)).toDF("code", "quote_ts", "bid")
+    val expected = bt.join(bq, bt("code") === bq("code") &&
+        bq("quote_ts").between(bt("trade_ts") - expr("INTERVAL 5 SECONDS"), bt("trade_ts")))
+      .drop(bq("code"))
+      .select("code", "trade_ts", "price", "quote_ts", "bid")
+      .orderBy("trade_ts", "quote_ts").collect().toSeq
+    assert(expected.nonEmpty && got == expected)
   }
 }
