@@ -133,6 +133,11 @@ object Ingest {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
         case ((market, code), it, state) =>
+          // In-memory sort of ONE key's ticks from ONE micro-batch —
+          // bounded by trigger interval × per-series arrival rate, not
+          // by stream length. A series hot enough to overflow a single
+          // executor's heap within one trigger needs a shorter trigger
+          // (or the windowed-aggregation path, which partial-aggregates).
           val sorted = it.toSeq.sortBy(t => (t.ts.getTime, t.price))
           var acc = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer[CandleOut]()

@@ -104,6 +104,51 @@ class YsfSpec extends SparkSpec {
       Ysf.decodePage(good.take(good.length - 1))) // body shorter than count
   }
 
+  test("property: encode->decode round-trips arbitrary pages (incl. leap years, boundaries)") {
+    import org.scalacheck.{Gen, rng}
+    // 2024 is a leap year: offsets up to day 366 must survive (the
+    // reference REJECTS day > 365, bodyList.go:39-42 — we deliberately
+    // keep full calendar-year semantics, SURVEY §7.4).
+    val years = Seq(2023, 2024)
+    val rowGen = for {
+      year <- Gen.oneOf(years)
+      secsInYear = if (year == 2024) 366L * 86400 else 365L * 86400
+      off <- Gen.frequency(
+        8 -> Gen.choose(0L, secsInYear - 1),
+        1 -> Gen.const(0L),                 // first second of the year
+        1 -> Gen.const(secsInYear - 1))     // last second (day 365/366)
+      o <- Gen.choose(-1e6, 1e6)
+      v <- Gen.choose(0.0, 1e9)
+      bf <- Gen.choose(0L, 0xffffffffL)     // full uint32 bit_fields range
+    } yield (year, graft.model.Candle("UPBIT", "BTC", 60,
+      new java.sql.Timestamp((Ysf.yearStartEpoch(year) + off) * 1000L),
+      o, o + 1, o - 1, o + 0.5, v, bf))
+    (1 to 5).foreach { seed =>
+      val rows = Gen.listOfN(40, rowGen)
+        .apply(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+      years.foreach { y =>
+        val yearRows = rows.collect { case (`y`, c) => c }
+        if (yearRows.nonEmpty) {
+          val decoded = Ysf.decodePage(Ysf.encodePage("UPBIT", "BTC", 60, y, yearRows))
+          // expected: one row per second offset (last-wins = max content
+          // tuple), ts-ascending
+          val expected = yearRows.groupBy(_.ts.getTime)
+            .map { case (_, g) => g.maxBy(c =>
+              (c.open, c.high, c.low, c.close, c.volume, c.bit_fields)) }
+            .toSeq.sortBy(_.ts.getTime)
+          assert(decoded == expected, s"seed $seed year $y")
+          // daily prefix-sum index is consistent with the decoded rows
+          val idx = Ysf.decodeIndex(Ysf.encodePage("UPBIT", "BTC", 60, y, yearRows))
+          val y0 = Ysf.yearStartEpoch(y)
+          (0 until Ysf.IndexCount).foreach { d =>
+            val before = expected.count(c => (c.ts.getTime / 1000L - y0) / 86400L < d)
+            assert(idx(d) == before, s"seed $seed year $y index day $d")
+          }
+        }
+      }
+    }
+  }
+
   test("Spark write -> read round-trips across series and years") {
     val rows = Seq(
       candle(Y2024 + 10, 1.0),
