@@ -429,6 +429,28 @@ object Oracles {
            round(min(low), 4) AS min_low, round(max(high), 4) AS max_high,
            round(sum(volume), 4) AS total_volume
          FROM r WHERE rn = 1 GROUP BY code, year(ts)""",
+    // q66: token-window chunking — same split/slice arithmetic on both
+    // engines; list_slice clamps like Spark's slice.
+    "q66_doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $WS AS ws FROM documents),
+         c AS (SELECT doc_id, ws,
+                 unnest(generate_series(0, CASE WHEN len(ws) <= 120 THEN 0
+                   ELSE CAST(ceil((len(ws) - 120) / 100.0) AS BIGINT) END)) AS chunk_id
+               FROM t)
+         SELECT doc_id, chunk_id,
+           array_to_string(list_slice(ws, chunk_id*100 + 1, chunk_id*100 + 120), ' ') AS chunk_text,
+           CAST(len(list_slice(ws, chunk_id*100 + 1, chunk_id*100 + 120)) AS INT) AS n_chunk_tokens
+         FROM c""",
+    // q67: hash-derived split — the same md5 arithmetic as
+    // Sampling.unitHash, so assignment parity is exact.
+    "q67_hash_split" ->
+      s"""WITH h AS (SELECT lang,
+           ${pHash("doc_id::VARCHAR || '|split'")} % 10000 AS hv FROM documents)
+         SELECT lang,
+           CASE WHEN hv < 8000 THEN 'train' WHEN hv < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+         FROM h GROUP BY 1, 2""",
     // q65: the Spark side round-trips a REAL PNG encode+decode; the
     // oracle computes the same features in closed form (solid color,
     // lossless codec → exact integers).

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 import graft.ops.TimeSeries
 import graft.store.CandleStore
 
@@ -837,6 +837,21 @@ object Queries {
       Multimodal.decodeFeaturesStub(media, dim = 8)
         .select(col("id"), col("n_bytes"), col("checksum"),
           Portable.round(element_at(col("features"), 1), 4).as("f0"))
+    }),
+    // Token-window chunking (pretraining preprocessing): ≤120-token
+    // chunks with 20-token overlap, one codegen'd pass, no shuffle.
+    "q66_doc_chunks" -> ((s, d) => {
+      TextStats.chunkDocuments(T.documents(s, d), "doc_id", "text",
+        chunkSize = 120, overlap = 20)
+    }),
+    // Deterministic hash-derived train/val/test split: membership is a
+    // pure function of (doc_id, salt) — reproducible across runs,
+    // partitionings, and engines (oracle mirrors the md5 arithmetic).
+    "q67_hash_split" -> ((s, d) => {
+      Sampling.hashSplit(T.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
     }),
     // REAL image decode, oracle-checked end-to-end: synthesize a solid-
     // color PNG per doc (size + RGB closed-form in doc_id), run it

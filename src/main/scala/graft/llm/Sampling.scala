@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset curation: train/val/test splitting, stratified
+  * sampling, and greedy sequence packing (SURVEY.md §2.4 extensions).
+  *
+  * Splits and samples are HASH-derived, not RNG-derived: membership is a
+  * pure function of (id, salt), so results are reproducible across
+  * runs, partitionings, and engines (the md5-based [[TextStats
+  * .portableHash]] has an exact DuckDB mirror — q67 oracle-checks the
+  * split). Changing the salt re-draws every assignment; appending new
+  * rows never reassigns existing ones — the properties a curation
+  * pipeline needs when the corpus grows between snapshots.
+  */
+object Sampling {
+
+  /** Hash of (id, salt) mapped to [0, 10000) — 4 decimal digits of
+    * assignment resolution, engine-portable.
+    */
+  def unitHash(id: Column, salt: String): Column =
+    TextStats.portableHash(concat(id.cast("string"), lit("|" + salt))) % 10000L
+
+  /** Deterministic split assignment: adds a `split` column, e.g.
+    * `hashSplit(df, "doc_id", Seq("train" -> 0.8, "val" -> 0.1,
+    * "test" -> 0.1))`. Weights are normalized; boundaries resolve at
+    * 1/10000 granularity. Pure projection — no shuffle, no RNG.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Double)],
+                salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(b => math.round(b * 10000).toInt)
+    val h = unitHash(col(idCol), salt)
+    val expr = weights.init.zip(bounds.init)
+      .foldRight(lit(weights.last._1): Column) { case (((name, _), b), els) =>
+        when(h < b, name).otherwise(els)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic stratified sampling: keep a row iff its unit hash
+    * falls under its stratum's rate (strata with no configured rate use
+    * `defaultRate`). One broadcast-map lookup + projection — the 100 TB
+    * shape for "keep 10% of English, 100% of everything rare".
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 1.0,
+                       salt: String = "sample"): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val h = unitHash(col(idCol), salt)
+    val rateExpr = rates.foldLeft(lit(defaultRate)) { case (els, (k, r)) =>
+      when(col(strataCol) === k, r).otherwise(els)
+    }
+    df.where(h < rateExpr * 10000.0)
+  }
+
+  /** Greedy sequence packing: assign documents to fixed-token-budget
+    * bins (pretraining batch construction). Deterministic and
+    * partition-independent: docs are bucketed by `id % nBuckets`, each
+    * bucket's docs are packed in id order, so the same input always
+    * yields the same (bucket, bin_id) — no matter how the input was
+    * partitioned. Oversized docs (> maxTokens) get a bin of their own
+    * (the downstream truncates). Parallelism = nBuckets: each bucket
+    * packs sequentially (packing is order-sensitive by nature), so at
+    * scale you raise nBuckets, not bucket size.
+    */
+  def packGreedy(df: DataFrame, idCol: String, nTokensCol: String,
+                 maxTokens: Int, nBuckets: Int = 64): DataFrame = {
+    require(maxTokens > 0 && nBuckets > 0, "maxTokens and nBuckets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(nTokensCol).cast("int").as("n_tokens"))
+      .as[(Long, Int)]
+      .groupByKey { case (id, _) => math.floorMod(id, nBuckets.toLong).toInt }
+      .flatMapGroups { (bucket, it) =>
+        val sorted = it.toSeq.sortBy(_._1)
+        var bin = 0
+        var used = 0
+        sorted.iterator.map { case (id, n) =>
+          val need = math.min(n, maxTokens)
+          if (used > 0 && used + need > maxTokens) { bin += 1; used = 0 }
+          used += need
+          (id, n, bucket, bin)
+        }
+      }
+      .toDF(idCol, nTokensCol, "bucket", "bin_id")
+  }
+}

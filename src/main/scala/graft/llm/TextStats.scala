@@ -108,6 +108,33 @@ object TextStats {
       lit(0L),
       (acc, h) => (acc * 31L + h) % 1000000007L)
 
+  /** Token-window document chunking — the pretraining preprocessing step
+    * between cleaning and packing: each document becomes ⌈(n−overlap)/
+    * stride⌉ chunks of ≤ `chunkSize` tokens, consecutive chunks sharing
+    * `overlap` tokens. Pure codegen'd expressions (split once, explode a
+    * chunk-index sequence, slice per chunk) — one narrow pass, no
+    * shuffle; output rows are (doc_id, chunk_id, chunk_text,
+    * n_chunk_tokens). The last chunk of a document may be shorter.
+    */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "0 <= overlap < chunkSize required")
+    val stride = chunkSize - overlap
+    val n = size(col("_ws"))
+    // chunk count − 1: 0 when the doc fits one chunk, else ⌈(n−size)/stride⌉
+    val extra = when(n <= chunkSize, lit(0L))
+      .otherwise(ceil((n - lit(chunkSize)).cast("double") / stride).cast("long"))
+    df.select(col(idCol), tokens(col(textCol)).as("_ws"))
+      .select(col(idCol), col("_ws"),
+        explode(sequence(lit(0L), extra)).as("chunk_id"))
+      .withColumn("_chunk",
+        slice(col("_ws"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)))
+      .select(col(idCol), col("chunk_id"),
+        array_join(col("_chunk"), " ").as("chunk_text"),
+        size(col("_chunk")).as("n_chunk_tokens"))
+  }
+
   // ------------------------------------------------------------------ //
   // Compiled single-tokenize pass                                      //
   // ------------------------------------------------------------------ //

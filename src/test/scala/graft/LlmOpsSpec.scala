@@ -168,6 +168,101 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("chunkDocuments: window boundaries, overlap, and lossless reassembly") {
+    val text = (1 to 25).map(i => s"w$i").mkString(" ") // 25 tokens
+    val docs = Seq((1L, text), (2L, "short doc")).toDF("doc_id", "text")
+    val chunks = TextStats.chunkDocuments(docs, "doc_id", "text",
+        chunkSize = 10, overlap = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc 1: stride 7 → chunks at 0,7,14 full + 21..25 short = ceil((25-10)/7)=3 extra
+    val d1 = chunks.filter(_.getLong(0) == 1L)
+    assert(d1.length == 4)
+    assert(d1.map(_.getInt(3)).toSeq == Seq(10, 10, 10, 4))
+    // consecutive chunks share exactly `overlap` tokens
+    val t0 = d1(0).getString(2).split(" "); val t1 = d1(1).getString(2).split(" ")
+    assert(t0.takeRight(3).sameElements(t1.take(3)))
+    // dropping each chunk's first `overlap` tokens (except chunk 0)
+    // reassembles the document exactly
+    val reassembled = d1.zipWithIndex.flatMap { case (r, i) =>
+      val ws = r.getString(2).split(" ").toSeq
+      if (i == 0) ws else ws.drop(3)
+    }
+    assert(reassembled.mkString(" ") == text.toLowerCase)
+    // short doc: one chunk, intact
+    val d2 = chunks.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(2) == "short doc")
+  }
+
+  test("hashSplit: deterministic, append-stable, proportions near weights") {
+    import graft.llm.Sampling
+    val ids = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val s1 = Sampling.hashSplit(ids, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 1600L) < 100, counts.toString)
+    assert(math.abs(counts("val") - 200L) < 60 && math.abs(counts("test") - 200L) < 60)
+    // append stability: assignments on a subset == the same rows' assignments
+    // on the full set (membership is a pure function of id)
+    val subset = Sampling.hashSplit(ids.where($"doc_id" < 500), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").orderBy("doc_id").collect().toSeq
+    val fromFull = s1.where($"doc_id" < 500)
+      .select("doc_id", "split").orderBy("doc_id").collect().toSeq
+    assert(subset == fromFull)
+  }
+
+  test("stratifiedSample: per-stratum rates, rate-1 strata intact, deterministic") {
+    import graft.llm.Sampling
+    val rows = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(rows, "doc_id", "lang",
+      Map("en" -> 0.2, "de" -> 1.0), defaultRate = 0.5)
+    val by = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("de") == 1000L, "rate-1.0 stratum must be intact")
+    assert(math.abs(by("en") - 200L) < 80, by.toString)   // 0.2 of 1000
+    assert(math.abs(by("fr") - 500L) < 100, by.toString)  // default 0.5
+    assert(kept.count() == Sampling.stratifiedSample(rows, "doc_id", "lang",
+      Map("en" -> 0.2, "de" -> 1.0), defaultRate = 0.5).count())
+  }
+
+  test("packGreedy: budget respected, ids preserved, greedy-tight, partition-independent") {
+    import graft.llm.Sampling
+    val rnd = new scala.util.Random(31)
+    val docs = (0L until 500L).map(i => (i, 50 + rnd.nextInt(900))) // some > maxTokens
+    val df = docs.toDF("doc_id", "n_tokens")
+    val packed = Sampling.packGreedy(df, "doc_id", "n_tokens",
+      maxTokens = 512, nBuckets = 8)
+    val rows = packed.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(rows.map(_._1).sorted.toSeq == (0L until 500L).toSeq, "every doc packed once")
+    // per-bin budget: sum of min(n, maxTokens) <= maxTokens unless the
+    // bin is a single oversized doc
+    rows.groupBy(t => (t._3, t._4)).foreach { case (bin, members) =>
+      val load = members.map(t => math.min(t._2, 512)).sum
+      assert(load <= 512 || members.length == 1, s"bin $bin overloaded: $load")
+    }
+    // greedy tightness: within a bucket, the first doc of bin k+1 would
+    // not have fit into bin k
+    rows.groupBy(_._3).foreach { case (_, bucket) =>
+      val byBin = bucket.groupBy(_._4).toSeq.sortBy(_._1)
+      byBin.sliding(2).foreach {
+        case Seq((_, prev), (_, next)) =>
+          val prevLoad = prev.map(t => math.min(t._2, 512)).sum
+          val firstNext = math.min(next.minBy(_._1)._2, 512)
+          assert(prevLoad + firstNext > 512, "bin closed early")
+        case _ =>
+      }
+    }
+    // partition-independence: same assignment regardless of input layout
+    val repart = Sampling.packGreedy(df.repartition(7), "doc_id", "n_tokens",
+        maxTokens = 512, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(rows.sortBy(_._1).toSeq == repart.sortBy(_._1).toSeq)
+  }
+
   test("IVF plans without windows and with only broadcast+agg exchanges") {
     val rnd = new scala.util.Random(19)
     val corpus = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
