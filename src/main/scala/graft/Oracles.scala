@@ -348,6 +348,36 @@ object Oracles {
          round(sum("value") OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS csum
          FROM events""",
+    // q39: indicators over the hourly-candle frame; two window layers
+    // (changes need lag(close) first, then the n-frame average).
+    "q39_indicators" ->
+      s"""WITH c AS (${hourlyCandles("")}),
+         x AS (SELECT code, ts, close,
+             lag(close, 1) OVER w AS prev,
+             lag(close, 5) OVER w AS lag5,
+             avg(close) OVER wn AS sma,
+             max(close) OVER wn AS donchian_hi,
+             min(close) OVER wn AS donchian_lo
+           FROM c
+           WINDOW w AS (PARTITION BY code ORDER BY ts ASC),
+             wn AS (PARTITION BY code ORDER BY ts ASC
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         g AS (SELECT *,
+             CASE WHEN prev IS NULL THEN NULL ELSE greatest(close - prev, 0.0) END AS gn,
+             CASE WHEN prev IS NULL THEN NULL ELSE greatest(prev - close, 0.0) END AS ls
+           FROM x),
+         r AS (SELECT *,
+             avg(gn) OVER wn AS ag, avg(ls) OVER wn AS al
+           FROM g
+           WINDOW wn AS (PARTITION BY code ORDER BY ts ASC
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT code, ts, round(close, 4) AS close, round(sma, 4) AS sma,
+           round(donchian_hi, 4) AS donchian_hi, round(donchian_lo, 4) AS donchian_lo,
+           CASE WHEN lag5 IS NULL OR lag5 = 0 THEN NULL
+                ELSE round((close - lag5) / lag5 * 100.0, 4) END AS roc,
+           CASE WHEN al IS NULL THEN NULL WHEN al = 0 THEN 100.0
+                ELSE round(100.0 - 100.0 / (1.0 + ag / al), 4) END AS rsi
+         FROM r""",
     "q35_sessionize" ->
       """WITH o AS (SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
@@ -429,6 +459,36 @@ object Oracles {
            round(min(low), 4) AS min_low, round(max(high), 4) AS max_high,
            round(sum(volume), 4) AS total_volume
          FROM r WHERE rn = 1 GROUP BY code, year(ts)""",
+    // q68: repetition stats — list ops mirror the compiled kernel; the
+    // top-2-gram count goes through an unnest+group (linear, not the
+    // quadratic list_filter form).
+    "q68_repetition_stats" ->
+      s"""WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+                 $WS AS ws, text FROM documents),
+         b AS (SELECT doc_id, lines, ws, text,
+                 CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+                      ELSE list_transform(generate_series(1, len(ws)-1),
+                             i -> ws[i] || ' ' || ws[i+1]) END AS grams
+               FROM l),
+         gu AS (SELECT doc_id, unnest(grams) AS gram FROM b),
+         gc AS (SELECT doc_id, gram, count(*) AS c FROM gu GROUP BY 1, 2),
+         gt AS (SELECT doc_id, max(c) AS mx FROM gc GROUP BY 1),
+         stats AS (SELECT b.doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           round((len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines), 4) AS dup_line_fraction,
+           round(len(list_filter(lines, x -> x LIKE '- %' OR x LIKE '* %' OR x LIKE '• %'))::DOUBLE / len(lines), 4) AS bullet_line_fraction,
+           round(len(list_filter(lines, x -> x LIKE '%...' OR x LIKE '%…'))::DOUBLE / len(lines), 4) AS ellipsis_line_fraction,
+           round(((len(text) - len(replace(text, '#', ''))) +
+                  (len(text) - len(replace(text, '…', ''))))::DOUBLE / len(ws), 4) AS symbol_word_ratio,
+           round(CASE WHEN len(ws) < 2 THEN 0.0
+                 ELSE coalesce(gt.mx, 0)::DOUBLE / (len(ws) - 1) END, 4) AS top_2gram_fraction
+          FROM b LEFT JOIN gt ON b.doc_id = gt.doc_id)
+         SELECT doc_id, n_lines, dup_line_fraction, bullet_line_fraction,
+           ellipsis_line_fraction, symbol_word_ratio, top_2gram_fraction,
+           (dup_line_fraction <= 0.3 AND bullet_line_fraction <= 0.9
+            AND ellipsis_line_fraction <= 0.3 AND symbol_word_ratio <= 0.1
+            AND top_2gram_fraction <= 0.2) AS keep
+         FROM stats""",
     // q66: token-window chunking — same split/slice arithmetic on both
     // engines; list_slice clamps like Spark's slice.
     "q66_doc_chunks" ->

@@ -396,6 +396,20 @@ object Queries {
         .select(col("event_type"), col("event_id"),
           Portable.round(col("mavg"), 4).as("mavg"), Portable.round(col("csum"), 4).as("csum"))
     }),
+    // Technical indicators over hourly candles: SMA(14), Donchian(14),
+    // ROC(5), Cutler's RSI(14) — one shuffle on the series key, all
+    // rows-frame windows (the EMA variant is spec-gated: recursive).
+    "q39_indicators" -> ((s, d) => {
+      TimeSeries.indicators(eventCandles(T.events(s, d)),
+          "close", "ts", Seq("code"), n = 14, rocN = 5)
+        .select(col("code"), col("ts"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("sma"), 4).as("sma"),
+          Portable.round(col("donchian_hi"), 4).as("donchian_hi"),
+          Portable.round(col("donchian_lo"), 4).as("donchian_lo"),
+          Portable.round(col("roc"), 4).as("roc"),
+          Portable.round(col("rsi"), 4).as("rsi"))
+    }),
     // Batch sessionization (30-min gap).
     "q35_sessionize" -> ((s, d) => {
       TimeSeries.sessionize(T.events(s, d), "ts", Seq("user_id"), 1800, Seq("event_id"))
@@ -837,6 +851,26 @@ object Queries {
       Multimodal.decodeFeaturesStub(media, dim = 8)
         .select(col("id"), col("n_bytes"), col("checksum"),
           Portable.round(element_at(col("features"), 1), 4).as("f0"))
+    }),
+    // Gopher-style repetition/formatting stats + keep rule: duplicate
+    // lines, bullet/ellipsis lines, symbol ratio, top-2-gram fraction —
+    // one compiled pass per doc; keep thresholds the ROUNDED fields.
+    "q68_repetition_stats" -> ((s, d) => {
+      val st = TextStats.repStatsUdf(col("text"), TextStats.tokens(col("text")))
+      T.documents(s, d)
+        .withColumn("_r", st)
+        .select(col("doc_id"),
+          col("_r.n_lines").as("n_lines"),
+          col("_r.dup_line_fraction").as("dup_line_fraction"),
+          col("_r.bullet_line_fraction").as("bullet_line_fraction"),
+          col("_r.ellipsis_line_fraction").as("ellipsis_line_fraction"),
+          col("_r.symbol_word_ratio").as("symbol_word_ratio"),
+          col("_r.top_2gram_fraction").as("top_2gram_fraction"),
+          (col("_r.dup_line_fraction") <= 0.3 &&
+            col("_r.bullet_line_fraction") <= 0.9 &&
+            col("_r.ellipsis_line_fraction") <= 0.3 &&
+            col("_r.symbol_word_ratio") <= 0.1 &&
+            col("_r.top_2gram_fraction") <= 0.2).as("keep"))
     }),
     // Token-window chunking (pretraining preprocessing): ≤120-token
     // chunks with 20-token overlap, one codegen'd pass, no shuffle.

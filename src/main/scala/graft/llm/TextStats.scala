@@ -222,6 +222,87 @@ object TextStats {
       else Some(computeDocStats(ws, nChars.get))
   }
 
+  /** Gopher-style repetition / formatting statistics (Rae et al. 2021
+    * §A1 heuristics re-expressed): duplicate-line fraction, bullet- and
+    * ellipsis-line fractions, symbol-to-word ratio, and the fraction of
+    * token 2-grams taken by the single most frequent 2-gram. All
+    * fractions are [[graft.Portable.round]]ed at 4 so the keep-rule can
+    * threshold them portably.
+    */
+  final case class RepStats(n_lines: Int, dup_line_fraction: Double,
+                            bullet_line_fraction: Double,
+                            ellipsis_line_fraction: Double,
+                            symbol_word_ratio: Double,
+                            top_2gram_fraction: Double)
+
+  /** Compiled single pass for [[RepStats]] — same pattern as
+    * [[docStatsUdf]]: tokenization stays the codegen'd `split`
+    * expression, everything else is one fused JVM loop per document
+    * (interpreted higher-order expressions would re-walk lines/tokens
+    * per metric). Call as `repStatsUdf(col(text), tokens(col(text)))`.
+    */
+  val repStatsUdf: UserDefinedFunction = udf { (text: String, ws: Seq[String]) =>
+    if (text == null || ws == null) None
+    else Some {
+      val lines = text.split("\n", -1) // -1: keep trailing empty lines
+      val nl = lines.length
+      val dup = (nl - lines.distinct.length).toDouble / nl
+      var bullets = 0
+      var ellipsis = 0
+      lines.foreach { l =>
+        if (l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))
+          bullets += 1
+        if (l.endsWith("...") || l.endsWith("…")) ellipsis += 1
+      }
+      var sym = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c == '#' || c == '…') sym += 1
+        i += 1
+      }
+      val nTok = ws.length
+      val symRatio = if (nTok == 0) 0.0 else sym.toDouble / nTok
+      val nGrams = nTok - 1
+      val topFrac =
+        if (nGrams < 1) 0.0
+        else {
+          val counts = new java.util.HashMap[String, Integer]()
+          var mx = 0
+          var j = 0
+          while (j < nGrams) {
+            val g = ws(j) + " " + ws(j + 1)
+            val c = counts.merge(g, 1, (a, b) => a + b)
+            if (c > mx) mx = c
+            j += 1
+          }
+          mx.toDouble / nGrams
+        }
+      RepStats(nl, round4(dup), round4(bullets.toDouble / nl),
+        round4(ellipsis.toDouble / nl), round4(symRatio), round4(topFrac))
+    }
+  }
+
+  /** Gopher-rule cleaning gate over [[repStatsUdf]]'s ROUNDED fields
+    * (thresholding the rounded values keeps the keep/drop decision
+    * engine-portable on knife-edge fractions).
+    */
+  def repetitionFilter(df: DataFrame, textCol: String,
+                       maxDupLineFraction: Double = 0.3,
+                       maxBulletFraction: Double = 0.9,
+                       maxEllipsisFraction: Double = 0.3,
+                       maxSymbolRatio: Double = 0.1,
+                       maxTop2GramFraction: Double = 0.2): DataFrame = {
+    val st = repStatsUdf(col(textCol), tokens(col(textCol)))
+    df.withColumn("_rep", st)
+      .where(col("_rep.dup_line_fraction") <= maxDupLineFraction &&
+        col("_rep.bullet_line_fraction") <= maxBulletFraction &&
+        col("_rep.ellipsis_line_fraction") <= maxEllipsisFraction &&
+        col("_rep.symbol_word_ratio") <= maxSymbolRatio &&
+        col("_rep.top_2gram_fraction") <= maxTop2GramFraction)
+      .drop("_rep")
+  }
+
   /** Quality-gate filter: the canonical pre-training cleaning pass —
     * keep documents in a token-count band, above a quality floor, and
     * (optionally) in an allowed predicted-language set. The whole gate

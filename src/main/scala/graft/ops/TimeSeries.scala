@@ -197,6 +197,81 @@ object TimeSeries {
       .withColumn("csum", sum(col(valueCol)).over(wc))
   }
 
+  /** Technical indicators over per-series candle frames — the workload
+    * a mora user runs on top of the store. All window-expressible
+    * (single shuffle on the series key, rows-frame windows):
+    * SMA(n), Donchian channel (rolling high/low of n), rate-of-change
+    * vs n rows back, and SMA-smoothed RSI(n) (Cutler's RSI — the
+    * Wilder's-EMA variant is [[ema]], which windows can't express).
+    * First n−1 rows of a series emit nulls for roc/rsi (insufficient
+    * history) and partial-window SMA/Donchian, matching SQL semantics
+    * on both engines.
+    */
+  def indicators(df: DataFrame, closeCol: String, tsCol: String,
+                 keys: Seq[String], n: Int, rocN: Int = 5): DataFrame = {
+    val order = col(tsCol).asc
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val wLag = Window.partitionBy(keys.map(col): _*).orderBy(order)
+    val c = col(closeCol)
+    val prev = lag(c, 1).over(wLag)
+    val gain = when(prev.isNull, lit(null)).otherwise(greatest(c - prev, lit(0.0)))
+    val loss = when(prev.isNull, lit(null)).otherwise(greatest(prev - c, lit(0.0)))
+    // rsi needs the avg gain/loss of the last n CHANGES — rows 2..n+1;
+    // computed over the same n-row frame on the change columns.
+    val df2 = df
+      .withColumn("_gain", gain)
+      .withColumn("_loss", loss)
+    val avgGain = avg(col("_gain")).over(w)
+    val avgLoss = avg(col("_loss")).over(w)
+    val lagged = lag(c, rocN).over(wLag)
+    df2
+      .withColumn("sma", avg(c).over(w))
+      .withColumn("donchian_hi", max(c).over(w))
+      .withColumn("donchian_lo", min(c).over(w))
+      .withColumn("roc",
+        when(lagged.isNull || lagged === 0.0, lit(null))
+          .otherwise((c - lagged) / lagged * 100.0))
+      .withColumn("rsi",
+        when(avgLoss.isNull, lit(null))
+          .when(avgLoss === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + avgGain / avgLoss)))
+      .drop("_gain", "_loss")
+  }
+
+  /** Wilder-style exponential moving average — the indicator windows
+    * CANNOT express (each row depends on the previous EMA value, an
+    * unbounded recursion). Runs as one `groupByKey` over the series key:
+    * each series' rows sort by ts in memory (bounded by rows-per-series,
+    * the same contract as the reference's in-memory page) and fold the
+    * recurrence. Emits (keys..., ts, value, ema).
+    */
+  def ema(df: DataFrame, valueCol: String, tsCol: String,
+          keys: Seq[String], alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        concat_ws(" ", keys.map(col): _*).as("_k"),
+        col(tsCol).cast("timestamp").as("_ts"),
+        col(valueCol).cast("double").as("_v"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val sorted = it.toSeq.sortBy(_._2.getTime)
+        var e = Double.NaN
+        sorted.iterator.map { case (_, ts, v) =>
+          e = if (e.isNaN) v else alpha * v + (1 - alpha) * e
+          (k, ts, v, e)
+        }
+      }
+      .toDF("_k", tsCol, valueCol, "ema")
+      .withColumn("_ks", split(col("_k"), " "))
+      .select(keys.zipWithIndex.map { case (kc, i) =>
+        col("_ks").getItem(i).as(kc)
+      } ++ Seq(col(tsCol), col(valueCol), col("ema")): _*)
+  }
+
   /** Daily cumulative row counts per key — the reference's intra-page
     * prefix-sum index (`PageIndex.ApplyDailyCount`, `page/index.go:11-17`:
     * "rows before this day") as a declared query. `cum_before` counts

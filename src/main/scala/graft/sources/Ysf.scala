@@ -226,6 +226,48 @@ object Ysf {
       .toDF()
   }
 
+  /** Pruned read: decode ONLY the pages of one series (and optionally a
+    * year range) — file-level pruning on the reference's directory
+    * layout (`{market}/{length}/{code}/{year}.ysf`), the `.ysf` analog
+    * of the store's partition pruning. Pages outside the selection are
+    * never opened or decoded (their bytes may even be invalid); cost is
+    * O(selected pages), not O(store).
+    */
+  def readSeries(spark: SparkSession, dir: String, market: String,
+                 candleLength: Int, code: String,
+                 years: Option[(Int, Int)] = None): DataFrame = {
+    import spark.implicits._
+    // Prune at LISTING time (driver-side, metadata-scale — the
+    // reference's resolver does the same path math, resolver.go:14-17):
+    // only selected pages are ever handed to the binaryFile source, so
+    // unselected page bytes are never read, let alone decoded.
+    val base = new org.apache.hadoop.fs.Path(s"$dir/$market/$candleLength/$code")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val selected: Seq[String] =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).map(_.getPath)
+        .filter(p => p.getName.endsWith(".ysf") && (years match {
+          case None => true
+          case Some((from, to)) =>
+            p.getName.stripSuffix(".ysf").toIntOption
+              .exists(y => y >= from && y <= to)
+        }))
+        .map(_.toString).toSeq
+    if (selected.isEmpty)
+      return spark.emptyDataset[Candle].toDF()
+    spark.read.format("binaryFile").load(selected: _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        try decodePage(bytes)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(s"bad .ysf page at $path: ${e.getMessage}", e)
+        }
+      }
+      .toDF()
+  }
+
   /** Write a candle DataFrame as a `.ysf` page tree under `dir` (the
     * reference's `{market}/{length}/{code}/{year%05d}.ysf` layout,
     * `disk/resolver.go:14-17`). One shuffle, keyed by page identity;

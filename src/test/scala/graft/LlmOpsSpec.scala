@@ -263,6 +263,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.sortBy(_._1).toSeq == repart.sortBy(_._1).toSeq)
   }
 
+  test("repetition stats: dup/bullet/ellipsis lines, symbols, top 2-gram; gate filters") {
+    val boiler = Seq(
+      (1L, "normal prose with some variety in the words used here"),
+      (2L, "menu\nmenu\nmenu\nmenu"),                        // 3/4 duplicate lines
+      (3L, "- item one\n- item two\n* item three\nintro"),   // 3/4 bullets
+      (4L, "read more...\nclick here…\nthe end"),            // 2/3 ellipsis
+      (5L, "## # ## tags # here #"),                         // symbol-heavy
+      (6L, "spam spam spam spam spam spam"))                 // one dominant 2-gram
+      .toDF("doc_id", "text")
+    val st = TextStats.repStatsUdf(col("text"), TextStats.tokens(col("text")))
+    val r = boiler.withColumn("r", st).select("doc_id", "r.*")
+      .orderBy("doc_id").collect()
+    assert(r(0).getDouble(2) == 0.0 && r(0).getDouble(6) < 0.2) // clean doc
+    assert(r(1).getDouble(2) == 0.75, "3 of 4 lines are duplicates")
+    assert(r(2).getDouble(3) == 0.75, "3 of 4 lines are bullets")
+    assert(r(3).getDouble(4) == 0.6667, "2 of 3 lines end in ellipsis")
+    assert(r(4).getDouble(5) > 0.5, "symbol-to-word ratio is high")
+    assert(r(5).getDouble(6) == 1.0, "every 2-gram is the same")
+    val kept = TextStats.repetitionFilter(boiler, "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L)), s"only the clean doc survives: ${kept.toSeq}")
+  }
+
   test("IVF plans without windows and with only broadcast+agg exchanges") {
     val rnd = new scala.util.Random(19)
     val corpus = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))

@@ -169,4 +169,45 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("id").select("mavg").as[Double].collect()
     assert(out.toSeq == Seq(1.0, 1.5, 2.0, 3.0, 4.0))
   }
+
+  test("indicators: SMA/Donchian windows, ROC lag, RSI extremes") {
+    // monotonic rise then a fall: closes 1..6 then 3
+    val closes = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 3.0)
+    val df = closes.zipWithIndex.map { case (v, i) =>
+      ("BTC", ts(f"2022-01-01 ${10 + i}%02d:00:00"), v)
+    }.toDF("code", "ts", "close")
+    val out = TimeSeries.indicators(df, "close", "ts", Seq("code"), n = 3, rocN = 2)
+      .orderBy("ts")
+      .select("sma", "donchian_hi", "donchian_lo", "roc", "rsi").collect()
+    assert(out(2).getDouble(0) == 2.0 && out(5).getDouble(0) == 5.0) // SMA3
+    assert(out(5).getDouble(1) == 6.0 && out(6).getDouble(1) == 6.0) // hi
+    assert(out(6).getDouble(2) == 3.0)                               // lo
+    assert(out(0).isNullAt(3) && out(2).getDouble(3) == 200.0)       // (3-1)/1*100
+    assert(out(0).isNullAt(4), "no changes yet -> RSI null")
+    assert(out(3).getDouble(4) == 100.0, "all-gain window -> RSI 100")
+    // 3-row frame at the last row: changes +1, +1, -3 -> avg gain 2/3,
+    // avg loss 1 -> RSI 40
+    assert(math.abs(out(6).getDouble(4) - (100.0 - 100.0 / (1 + (2.0 / 3.0) / 1.0))) < 1e-12)
+  }
+
+  test("ema: recursive fold matches closed form, per key, layout-independent") {
+    val rows = Seq(
+      ("A", ts("2022-01-01 10:00:00"), 10.0),
+      ("A", ts("2022-01-01 11:00:00"), 20.0),
+      ("A", ts("2022-01-01 12:00:00"), 30.0),
+      ("B", ts("2022-01-01 10:00:00"), 5.0),
+      ("B", ts("2022-01-01 11:00:00"), 5.0)).toDF("code", "ts", "v")
+    val a = 0.5
+    val out = TimeSeries.ema(rows, "v", "ts", Seq("code"), a)
+      .orderBy("code", "ts").select("code", "ema").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val e1 = a * 20 + (1 - a) * 10.0
+    val e2 = a * 30 + (1 - a) * e1
+    assert(out.toSeq == Seq(("A", 10.0), ("A", e1), ("A", e2), ("B", 5.0), ("B", 5.0)))
+    // same result regardless of input partitioning
+    val repart = TimeSeries.ema(rows.repartition(5), "v", "ts", Seq("code"), a)
+      .orderBy("code", "ts").select("code", "ema").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(repart.toSeq == out.toSeq)
+  }
 }

@@ -177,6 +177,32 @@ class YsfSpec extends SparkSpec {
     assert(hdr.lastTxId == 3L)
   }
 
+  test("readSeries prunes at listing time: corrupt out-of-selection pages never read") {
+    val dir = tmpDir("ysf-prune")
+    val rows = Seq(
+      graft.model.Candle("UPBIT", "BTC", 60, ts("2022-03-01 10:00:00"), 1, 2, 0.5, 1.5, 10, 0L),
+      graft.model.Candle("UPBIT", "BTC", 60, ts("2023-03-01 10:00:00"), 2, 3, 1.5, 2.5, 20, 0L),
+      graft.model.Candle("UPBIT", "ETH", 60, ts("2022-03-01 10:00:00"), 9, 9, 9, 9, 9, 0L))
+    Ysf.write(rows.toDF(), dir)
+    // plant garbage where an unselected series-year lives: if pruning
+    // ever reads it, decode throws
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "UPBIT", "60", "ETH", "09999.ysf"),
+      Array.fill[Byte](100)(0x5a))
+    val btc = Ysf.readSeries(spark, dir, "UPBIT", 60, "BTC")
+      .orderBy("ts").collect()
+    assert(btc.length == 2)
+    val only2022 = Ysf.readSeries(spark, dir, "UPBIT", 60, "BTC", Some((2022, 2022)))
+      .select("ts").as[java.sql.Timestamp].collect()
+    assert(only2022.toSeq == Seq(ts("2022-03-01 10:00:00")))
+    // unknown series → empty frame with the Candle schema, no error
+    assert(Ysf.readSeries(spark, dir, "UPBIT", 60, "DOGE").count() == 0)
+    // the planted page IS poisonous when actually selected
+    intercept[org.apache.spark.SparkException] {
+      Ysf.readSeries(spark, dir, "UPBIT", 60, "ETH", Some((9999, 9999))).count()
+    }
+  }
+
   test("read feeds the CandleStore schema (interop migration path)") {
     val dir = tmpDir("ysf-mig")
     Ysf.write(Seq(candle(Y2024 + 10, 1.0), candle(Y2024 + 70, 2.0)).toDF(), dir)
