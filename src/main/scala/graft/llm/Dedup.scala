@@ -153,9 +153,17 @@ object Dedup {
     * Returns (id_a, id_b, jaccard). Candidates-only verification keeps
     * the join linear in (docs × bands), never quadratic in corpus size.
     */
+  /** @param maxBucketSize skip band buckets larger than this before the
+    *   quadratic in-bucket pair expansion — the standard LSH guard
+    *   against degenerate buckets (boilerplate shingles, empty-ish
+    *   docs) whose n² pairs would dominate at corpus scale. Skipped
+    *   buckets lose recall only for documents that still share NO other
+    *   small bucket. Default: unbounded (exact banding semantics).
+    */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-                          threshold: Double = 0.5): DataFrame = {
+                          threshold: Double = 0.5,
+                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val rows = k / bands
     // Slim docs: (id, shingles). Shingle arrays are only ever joined to
     // the FINAL candidate pairs — never shuffled through the band join.
@@ -173,7 +181,7 @@ object Dedup {
         minhashSignatureUdf(k)(col("sh")), bands, rows)).as("band"))
     val cand = banded.groupBy(col("band"))
       .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
       .select(explode(flatten(transform(col("ids"), x =>
         transform(filter(col("ids"), y => y > x),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))

@@ -189,7 +189,7 @@ object Similarity {
     */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       minCosine: Double, nPlanes: Int = 16, nBands: Int = 8,
-                      dim: Int = -1): DataFrame = {
+                      dim: Int = -1, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(nPlanes % nBands == 0, "nBands must divide nPlanes")
     val bits = nPlanes / nBands
     val planeDim =
@@ -204,7 +204,9 @@ object Similarity {
         concat(lit(s"$b|"), substring(col("sig"), b * bits + 1, bits))): _*)).as("band"))
     val cand = banded.groupBy(col("band"))
       .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
+      // maxBucketSize: same degenerate-bucket guard as
+      // Dedup.minhashNearDupPairs (e.g. the all-zero-vector bucket)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
       .select(explode(flatten(transform(col("ids"), x =>
         transform(filter(col("ids"), y => y > x),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))

@@ -222,6 +222,18 @@ object TextStats {
       else Some(computeDocStats(ws, nChars.get))
   }
 
+  /** C4-style text normalization: strip URLs and e-mail addresses,
+    * collapse whitespace runs, trim. Pure codegen'd `regexp_replace`
+    * chain (RE2-compatible patterns — no backrefs/lookarounds), so the
+    * pass stays inside whole-stage codegen and ports across engines.
+    */
+  def cleanText(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://[^ \\t\\n\\r]+", " ")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", " ")
+    trim(regexp_replace(noEmail, "\\s+", " "))
+  }
+
   /** Gopher-style repetition / formatting statistics (Rae et al. 2021
     * §A1 heuristics re-expressed): duplicate-line fraction, bullet- and
     * ellipsis-line fractions, symbol-to-word ratio, and the fraction of

@@ -251,11 +251,13 @@ object TimeSeries {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
+    // The key travels as an ARRAY of the key values — a delimited string
+    // would corrupt series whose key values contain the delimiter.
     df.select(
-        concat_ws(" ", keys.map(col): _*).as("_k"),
+        array(keys.map(c => col(c).cast("string")): _*).as("_k"),
         col(tsCol).cast("timestamp").as("_ts"),
         col(valueCol).cast("double").as("_v"))
-      .as[(String, java.sql.Timestamp, Double)]
+      .as[(Seq[String], java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>
         val sorted = it.toSeq.sortBy(_._2.getTime)
@@ -266,9 +268,8 @@ object TimeSeries {
         }
       }
       .toDF("_k", tsCol, valueCol, "ema")
-      .withColumn("_ks", split(col("_k"), " "))
       .select(keys.zipWithIndex.map { case (kc, i) =>
-        col("_ks").getItem(i).as(kc)
+        col("_k").getItem(i).as(kc)
       } ++ Seq(col(tsCol), col(valueCol), col("ema")): _*)
   }
 

@@ -168,6 +168,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("cleanText strips URLs and emails, collapses whitespace") {
+    val rows = Seq(
+      (1L, "see https://example.com/a?b=1 for details"),
+      (2L, "mail me at first.last+tag@sub.example.org  today"),
+      (3L, "  plain\t\ttext \n with   gaps  "),
+      (4L, "http inside a word is kept: shttp://x stays-ish")).toDF("doc_id", "text")
+    val out = rows.select($"doc_id", TextStats.cleanText($"text").as("c"))
+      .orderBy("doc_id").as[(Long, String)].collect().map(_._2)
+    assert(out(0) == "see for details")
+    assert(out(1) == "mail me at today")
+    assert(out(2) == "plain text with gaps")
+    // 'shttp://x' — the regex matches the embedded http://x (no word
+    // boundary anchor, same as C4's practice of nuking the whole token
+    // is NOT done here); document the exact behavior:
+    assert(out(3) == "http inside a word is kept: s stays-ish")
+  }
+
+  test("maxBucketSize guard skips degenerate LSH buckets (and only those)") {
+    // 12 identical docs: every band bucket holds all 12 → capped out
+    val same = (0L until 12L).map(i => (i, "the same exact boilerplate text repeated"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDupPairs(same, "doc_id", "text", threshold = 0.9)
+    assert(uncapped.count() == 66, "12 identical docs -> C(12,2) pairs")
+    val capped = Dedup.minhashNearDupPairs(same, "doc_id", "text",
+      threshold = 0.9, maxBucketSize = 10)
+    assert(capped.count() == 0, "all buckets exceed the cap")
+    // a small near-dup cluster below the cap is unaffected
+    val mixed = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(mixed, "doc_id", "text",
+      threshold = 0.9, maxBucketSize = 10)
+    assert(pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq((1L, 2L)))
+  }
+
   test("chunkDocuments: window boundaries, overlap, and lossless reassembly") {
     val text = (1 to 25).map(i => s"w$i").mkString(" ") // 25 tokens
     val docs = Seq((1L, text), (2L, "short doc")).toDF("doc_id", "text")
