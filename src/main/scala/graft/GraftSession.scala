@@ -10,6 +10,24 @@ import org.apache.spark.sql.SparkSession
   * functions registered.
   */
 object GraftSession {
+
+  /** Per-pid warehouse dir, deleted on JVM exit so repeated runs don't
+    * accumulate bucketed-table parquet under tmp.
+    */
+  private[graft] lazy val warehouseDir: String = {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-warehouse-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+    dir.toString
+  }
+
+  private[graft] def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => })
+    }
+
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
               appName: String = "graft"): SparkSession.Builder =
     SparkSession.builder()
@@ -24,8 +42,8 @@ object GraftSession {
       // Managed (bucketed) tables go under tmp, keyed by pid so
       // concurrent JVMs (test + bench) never share a table directory —
       // NOT ./spark-warehouse, which would pollute the repo checkout.
-      .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
+      // Removed by a shutdown hook.
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {

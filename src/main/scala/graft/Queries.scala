@@ -572,7 +572,13 @@ object Queries {
         .repartition(col("_slice"))
         .write.partitionBy("_slice").parquet(staging)
       (0 to 2).foreach { i =>
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$staging/_slice=$i"))
+        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+        // partitionBy only creates dirs for non-empty slices: an empty
+        // slice means the events distribution cannot exercise 3
+        // micro-batches — fail with the diagnostic, not a raw FNFE.
+        if (!fs.exists(sliceDir))
+          sys.error(s"time slice $i is empty — events too clustered for a 3-batch differential")
+        val part = fs.listStatus(sliceDir)
           .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
           case Array(one) => one
           case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
@@ -896,7 +902,7 @@ object Queries {
       implicit val sp: SparkSession = s
       val media = T.documents(s, d).select(col("doc_id"),
         Multimodal.syntheticPngUdf(col("doc_id")).as("payload"))
-      Multimodal.decodeImageFeatures(media, "doc_id", "payload").toDF()
+      Multimodal.decodeImageFeatures(media, "doc_id", "payload")
     }))
 
   /** Full corpus. */

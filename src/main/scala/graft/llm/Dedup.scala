@@ -152,12 +152,12 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard). Candidates-only verification keeps
     * the join linear in (docs × bands), never quadratic in corpus size.
-    */
-  /** @param maxBucketSize skip band buckets larger than this before the
+    *
+    * @param maxBucketSize skip band buckets larger than this before the
     *   quadratic in-bucket pair expansion — the standard LSH guard
     *   against degenerate buckets (boilerplate shingles, empty-ish
     *   docs) whose n² pairs would dominate at corpus scale. Skipped
-    *   buckets lose recall only for documents that still share NO other
+    *   buckets lose recall only for documents that share NO other
     *   small bucket. Default: unbounded (exact banding semantics).
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,

@@ -116,9 +116,10 @@ object Multimodal {
   /** REAL image decode + feature extraction: `ImageIO.read` per row
     * (PNG/BMP/GIF — the JDK's own readers), then width/height/channel
     * means in one pixel pass. `mapPartitions`, executor-side only.
+    * The id column keeps the caller's name.
     */
   def decodeImageFeatures(df: DataFrame, idCol: String, payloadCol: String)
-                         (implicit spark: SparkSession): Dataset[ImageFeatures] = {
+                         (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
@@ -142,6 +143,8 @@ object Multimodal {
           ImageFeatures(id, w, h, n, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
         }
       }
+      .toDF()
+      .withColumnRenamed("doc_id", idCol)
   }
 
   /** REAL image resize: decode, scale to (outW, outH) with Graphics2D
@@ -196,9 +199,10 @@ object Multimodal {
   /** REAL WAV decode + audio features: `AudioSystem.getAudioInputStream`
     * parses the RIFF header and yields PCM frames; one pass computes
     * RMS, peak (both normalized to [0,1] full scale) and zero crossings.
+    * The id column keeps the caller's name.
     */
   def decodeWavFeatures(df: DataFrame, idCol: String, payloadCol: String)
-                       (implicit spark: SparkSession): Dataset[WavFeatures] = {
+                       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
@@ -230,6 +234,8 @@ object Multimodal {
           WavFeatures(id, n, if (n == 0) 0.0 else math.sqrt(sumSq / n), peak, crossings)
         }
       }
+      .toDF()
+      .withColumnRenamed("doc_id", idCol)
   }
 
   /** STUB frame sampling: split the payload into `n` equal byte slices

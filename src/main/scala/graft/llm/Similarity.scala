@@ -188,13 +188,25 @@ object Similarity {
     * are exact-verified — precision is 1 by construction.
     */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                      minCosine: Double, nPlanes: Int = 16, nBands: Int = 8,
+                      minCosine: Double, nPlanes: Int = 64, nBands: Int = 8,
                       dim: Int = -1, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(nPlanes % nBands == 0, "nBands must divide nPlanes")
     val bits = nPlanes / nBands
+    // 64/8 defaults → 8 sign bits per band: a random (cosine≈0) pair
+    // collides in a band w.p. 2^-8, so candidates stay ~linear in corpus
+    // size; high-cosine pairs still agree on ≥1 whole band w.h.p.
+    // (fewer bits per band would make nearly every pair a candidate and
+    // the verify join quadratic).
     val planeDim =
       if (dim > 0) dim
-      else corpus.select(size(col(vecCol))).head().getInt(0)
+      else corpus.select(size(col(vecCol))).head(1).headOption match {
+        case Some(r) => r.getInt(0)
+        case None => // empty corpus → empty pairs, not a head() crash
+          val spark = corpus.sparkSession
+          import spark.implicits._
+          return spark.emptyDataset[(Long, Long, Double)]
+            .toDF("id_a", "id_b", "cosine")
+      }
     val planes = hyperplanes(nPlanes, planeDim)
     val sigUdf = signBitsUdf(planes)
     val ids = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("cv"))

@@ -241,36 +241,37 @@ object TimeSeries {
 
   /** Wilder-style exponential moving average — the indicator windows
     * CANNOT express (each row depends on the previous EMA value, an
-    * unbounded recursion). Runs as one `groupByKey` over the series key:
-    * each series' rows sort by ts in memory (bounded by rows-per-series,
-    * the same contract as the reference's in-memory page) and fold the
-    * recurrence. Emits (keys..., ts, value, ema).
+    * unbounded recursion). One shuffle on the series key, then a
+    * STREAMING fold over each partition's (key, ts, value)-sorted rows —
+    * no per-group materialization, spill-friendly, and key columns keep
+    * their original types. The value column is a deterministic
+    * tie-break for equal timestamps, so the output is independent of
+    * input partitioning. Emits every input column plus `ema`.
     */
   def ema(df: DataFrame, valueCol: String, tsCol: String,
           keys: Seq[String], alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    val spark = df.sparkSession
-    import spark.implicits._
-    // The key travels as an ARRAY of the key values — a delimited string
-    // would corrupt series whose key values contain the delimiter.
-    df.select(
-        array(keys.map(c => col(c).cast("string")): _*).as("_k"),
-        col(tsCol).cast("timestamp").as("_ts"),
-        col(valueCol).cast("double").as("_v"))
-      .as[(Seq[String], java.sql.Timestamp, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (k, it) =>
-        val sorted = it.toSeq.sortBy(_._2.getTime)
+    val outSchema = df.schema.add("ema", org.apache.spark.sql.types.DoubleType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val keyIdx = keys.map(df.schema.fieldIndex)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    df.repartition(keys.map(col): _*)
+      .sortWithinPartitions(
+        (keys.map(col) :+ col(tsCol) :+ col(valueCol)).map(_.asc): _*)
+      .mapPartitions { it =>
+        var curKey: Seq[Any] = null
         var e = Double.NaN
-        sorted.iterator.map { case (_, ts, v) =>
+        it.map { r =>
+          val k = keyIdx.map(r.get)
+          if (curKey == null || k != curKey) { curKey = k; e = Double.NaN }
+          val v = r.get(vIdx) match {
+            case n: java.lang.Number => n.doubleValue()
+            case other => sys.error(s"non-numeric $valueCol: $other")
+          }
           e = if (e.isNaN) v else alpha * v + (1 - alpha) * e
-          (k, ts, v, e)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ e)
         }
-      }
-      .toDF("_k", tsCol, valueCol, "ema")
-      .select(keys.zipWithIndex.map { case (kc, i) =>
-        col("_k").getItem(i).as(kc)
-      } ++ Seq(col(tsCol), col(valueCol), col("ema")): _*)
+      }(enc)
   }
 
   /** Daily cumulative row counts per key — the reference's intra-page

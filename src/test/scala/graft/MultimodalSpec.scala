@@ -46,7 +46,8 @@ class MultimodalSpec extends SparkSpec {
     val px = Array(Array(0xff0000, 0x00ff00), Array(0x0000ff, 0xffffff))
     val bytes = Multimodal.pngBytes(2, 2, (x, y) => px(y)(x))
     val df = Seq((7L, bytes)).toDF("doc_id", "payload")
-    val f = Multimodal.decodeImageFeatures(df, "doc_id", "payload").collect().head
+    val f = Multimodal.decodeImageFeatures(df, "doc_id", "payload")
+      .as[Multimodal.ImageFeatures].collect().head
     assert((f.width, f.height, f.n_pixels) == (2, 2, 4L))
     assert(f.mean_r == (255 + 255) / 4.0) // red + white
     assert(f.mean_g == (255 + 255) / 4.0) // green + white
@@ -57,7 +58,7 @@ class MultimodalSpec extends SparkSpec {
     val ids = Seq(0L, 1L, 17L, 255L, 499L)
     val df = ids.map(i => (i, Multimodal.syntheticPng(i))).toDF("doc_id", "payload")
     val out = Multimodal.decodeImageFeatures(df, "doc_id", "payload")
-      .orderBy("doc_id").collect()
+      .as[Multimodal.ImageFeatures].orderBy("doc_id").collect()
     ids.sorted.zip(out).foreach { case (id, f) =>
       assert(f.width == 16 + (id % 16).toInt && f.height == 16 + (id % 8).toInt)
       assert(f.mean_r == ((id * 31) % 256).toDouble, s"id=$id")
@@ -70,7 +71,8 @@ class MultimodalSpec extends SparkSpec {
     val bytes = Multimodal.pngBytes(16, 16, (_, _) => 0x336699)
     val df = Seq((1L, bytes)).toDF("doc_id", "payload")
     val resized = Multimodal.resizePng(df, "doc_id", "payload", 4, 4)
-    val f = Multimodal.decodeImageFeatures(resized, "doc_id", "payload").collect().head
+    val f = Multimodal.decodeImageFeatures(resized, "doc_id", "payload")
+      .as[Multimodal.ImageFeatures].collect().head
     assert((f.width, f.height) == (4, 4))
     assert((f.mean_r, f.mean_g, f.mean_b) == (0x33.toDouble, 0x66.toDouble, 0x99.toDouble))
   }
@@ -81,7 +83,8 @@ class MultimodalSpec extends SparkSpec {
     val samples = Array.tabulate(800)(i => (if ((i / 8) % 2 == 0) a else -a).toShort)
     val bytes = Multimodal.wavBytes(samples)
     val df = Seq((3L, bytes)).toDF("doc_id", "payload")
-    val f = Multimodal.decodeWavFeatures(df, "doc_id", "payload").collect().head
+    val f = Multimodal.decodeWavFeatures(df, "doc_id", "payload")
+      .as[Multimodal.WavFeatures].collect().head
     assert(f.n_samples == 800L)
     assert(math.abs(f.rms - a / 32768.0) < 1e-12)
     assert(f.peak == a / 32768.0)

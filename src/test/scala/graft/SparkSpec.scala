@@ -11,8 +11,13 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-      .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft-test-warehouse-${ProcessHandle.current().pid()}")
+      .config("spark.sql.warehouse.dir", {
+        val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          s"graft-test-warehouse-${ProcessHandle.current().pid()}")
+        Runtime.getRuntime.addShutdownHook(
+          new Thread(() => GraftSession.deleteRecursively(dir)))
+        dir.toString
+      })
       .config("spark.ui.enabled", "false")
       .appName("graft-test")
       .getOrCreate()
