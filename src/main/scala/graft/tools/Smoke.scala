@@ -137,6 +137,42 @@ object Smoke {
       $"neighbor_id" === $"query_id" - 100000 && $"score" >= 0.9999).count()
     check("LSH planted-neighbor top-1", found == 20, s"found=$found/20")
 
+    // --- Round-2 additions: curation, indicators, interop, media ---
+    val chunks = TextStats.chunkDocuments(docs, "doc_id", "text", 40, 10)
+    check("chunkDocuments covers every doc",
+      chunks.select("doc_id").distinct().count() == docs.count())
+    check("chunk sizes bounded",
+      chunks.agg(max("n_chunk_tokens")).as[Int].head() <= 40)
+    val split = graft.llm.Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    check("hashSplit partitions all docs",
+      split.groupBy("split").count().agg(sum("count")).as[Long].head() == docs.count())
+    val packed = graft.llm.Sampling.packGreedy(
+      TextStats.documentStats(docs, "doc_id", "text"), "doc_id", "n_tokens", 256, 8)
+    check("packGreedy preserves ids", packed.count() == docs.count())
+    val ind = TimeSeries.indicators(
+      candles.withColumn("ts", to_timestamp(from_unixtime($"bucket")))
+        .withColumnRenamed("event_type", "code"),
+      "close", "ts", Seq("code"), n = 14)
+    check("indicators donchian bounds close",
+      ind.where($"close" > $"donchian_hi" || $"close" < $"donchian_lo").count() == 0)
+    val emaOut = TimeSeries.ema(
+      candles.withColumn("ts", to_timestamp(from_unixtime($"bucket")))
+        .withColumnRenamed("event_type", "code"),
+      "close", "ts", Seq("code"), alpha = 0.2)
+    check("ema emits every row", emaOut.count() == candles.count())
+    val ysfDir = java.nio.file.Files.createTempDirectory("graft-smoke-ysf").toString
+    graft.sources.Ysf.write(store.scan().drop("year"), ysfDir)
+    check("ysf round trip", graft.sources.Ysf.read(spark, ysfDir).count() == store.scan().count())
+    check("ysf pruned read",
+      graft.sources.Ysf.readSeries(spark, ysfDir, "UPBIT", 60, "ETH").count() == 1)
+    implicit val sp: SparkSession = spark
+    val media = docs.limit(20).select($"doc_id",
+      graft.llm.Multimodal.syntheticPngUdf($"doc_id").as("payload"))
+    val feats = graft.llm.Multimodal.decodeImageFeatures(media, "doc_id", "payload")
+    check("real PNG decode features", feats.where(
+      $"width" =!= lit(16) + pmod($"doc_id", lit(16)).cast("int")).count() == 0)
+
     println(if (failures == 0) "[smoke] ALL OK" else s"[smoke] $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -229,6 +229,56 @@ class LlmOpsSpec extends SparkSpec {
     assert(d2.length == 1 && d2.head.getString(2) == "short doc")
   }
 
+  test("property: chunking is lossless and bounded for arbitrary (n, size, overlap)") {
+    import org.scalacheck.{Gen, rng}
+    val caseGen = for {
+      n <- Gen.choose(1, 200)
+      size <- Gen.choose(2, 25)
+      overlap <- Gen.choose(0, size - 1)
+    } yield (n, size, overlap)
+    val cases = (1 to 12).map(s =>
+      caseGen(Gen.Parameters.default, rng.Seed(s.toLong)).get)
+    cases.foreach { case (n, size, overlap) =>
+      val text = (0 until n).map(i => s"t$i").mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = TextStats.chunkDocuments(df, "doc_id", "text", size, overlap)
+        .orderBy("chunk_id")
+        .select("chunk_text", "n_chunk_tokens").as[(String, Int)].collect()
+      val stride = size - overlap
+      val expectedChunks =
+        if (n <= size) 1 else 1 + math.ceil((n - size).toDouble / stride).toInt
+      assert(chunks.length == expectedChunks, s"($n,$size,$overlap) count")
+      assert(chunks.forall(_._2 <= size), s"($n,$size,$overlap) bound")
+      val reassembled = chunks.zipWithIndex.flatMap { case ((t, _), i) =>
+        val ws = t.split(" ").toSeq
+        if (i == 0) ws else ws.drop(overlap)
+      }
+      assert(reassembled.mkString(" ") == text, s"($n,$size,$overlap) lossless")
+    }
+  }
+
+  test("property: packGreedy covers each doc once within budget, bins contiguous") {
+    import org.scalacheck.{Gen, rng}
+    import graft.llm.Sampling
+    (1 to 5).foreach { seed =>
+      val sizes = Gen.listOfN(120, Gen.choose(1, 700))
+        .apply(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+      val df = sizes.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("doc_id", "n_tokens")
+      val out = Sampling.packGreedy(df, "doc_id", "n_tokens", 512, 4).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      assert(out.map(_._1).sorted.toSeq == (0L until 120L).toSeq, s"seed $seed coverage")
+      out.groupBy(t => (t._3, t._4)).foreach { case (bin, m) =>
+        val load = m.map(t => math.min(t._2, 512)).sum
+        assert(load <= 512 || m.length == 1, s"seed $seed bin $bin load $load")
+      }
+      out.groupBy(_._3).foreach { case (b, rows) =>
+        val bins = rows.map(_._4).distinct.sorted.toSeq
+        assert(bins == (0 until bins.length).toSeq, s"seed $seed bucket $b bins $bins")
+      }
+    }
+  }
+
   test("hashSplit: deterministic, append-stable, proportions near weights") {
     import graft.llm.Sampling
     val ids = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
