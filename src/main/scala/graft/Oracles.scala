@@ -511,6 +511,16 @@ object Oracles {
                 ELSE 'test' END AS split,
            count(*) AS n_docs
          FROM h GROUP BY 1, 2""",
+    // q6A: the Spark side round-trips a REAL WAV encode+decode; the
+    // oracle computes the square wave's exact audio features.
+    "q6A_wav_decode" ->
+      """SELECT doc_id, 800::BIGINT AS n_samples,
+         (1000 * (1 + doc_id % 7)) / 32768.0 AS rms,
+         (1000 * (1 + doc_id % 7)) / 32768.0 AS peak,
+         (800 / (CASE doc_id % 8 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 5
+                 WHEN 3 THEN 8 WHEN 4 THEN 10 WHEN 5 THEN 16 WHEN 6 THEN 20
+                 ELSE 25 END) - 1)::BIGINT AS zero_crossings
+         FROM documents""",
     // q65: the Spark side round-trips a REAL PNG encode+decode; the
     // oracle computes the same features in closed form (solid color,
     // lossless codec → exact integers).

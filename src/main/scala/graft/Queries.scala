@@ -893,6 +893,18 @@ object Queries {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    // REAL audio decode, oracle-checked end-to-end: synthesize a square
+    // wave per doc (half-period and amplitude closed-form in doc_id),
+    // run it through the JDK's actual WAV encoder AND RIFF/PCM decoder
+    // on executors — RMS/peak/crossings must equal the closed form
+    // exactly (square wave: every sample is ±a; a/32768 is exact in
+    // double; crossings = samples/halfPeriod − 1).
+    "q6A_wav_decode" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val media = T.documents(s, d).select(col("doc_id"),
+        Multimodal.syntheticWavUdf(col("doc_id")).as("payload"))
+      Multimodal.decodeWavFeatures(media, "doc_id", "payload")
+    }),
     // REAL image decode, oracle-checked end-to-end: synthesize a solid-
     // color PNG per doc (size + RGB closed-form in doc_id), run it
     // through the JDK's actual PNG encoder AND decoder on executors,

@@ -196,6 +196,23 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic WAV for `id`: an 800-sample square wave
+    * whose half-period and amplitude are closed-form in the id (every
+    * half-period divides 800, amplitudes stay exact in double), so q6A
+    * can oracle-check a REAL encode+decode round trip: RMS == peak ==
+    * a/32768 exactly, crossings == 800/h − 1.
+    */
+  val WavHalfPeriods: Array[Int] = Array(2, 4, 5, 8, 10, 16, 20, 25)
+
+  def syntheticWav(id: Long): Array[Byte] = {
+    val h = WavHalfPeriods((id % 8).toInt)
+    val a = (1000 * (1 + id % 7)).toInt
+    wavBytes(Array.tabulate(800)(i => (if ((i / h) % 2 == 0) a else -a).toShort))
+  }
+
+  val syntheticWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long) => syntheticWav(id) }
+
   /** REAL WAV decode + audio features: `AudioSystem.getAudioInputStream`
     * parses the RIFF header and yields PCM frames; one pass computes
     * RMS, peak (both normalized to [0,1] full scale) and zero crossings.
