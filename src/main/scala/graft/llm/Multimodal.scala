@@ -9,18 +9,18 @@ import org.apache.spark.sql.functions._
   *
   * Two tiers:
   *
-  *   - REAL decode for the codecs the JDK itself ships: PNG/BMP/GIF via
-  *     `javax.imageio.ImageIO` and PCM WAV via `javax.sound.sampled` —
-  *     no external libraries, works headless. [[decodeImageFeatures]],
-  *     [[resizePng]], [[decodeWavFeatures]] below run these per
-  *     partition on executors (constant memory, zero driver work) and
-  *     are oracle-checked end-to-end (q65: synthesize → encode → decode
-  *     → features must match a closed-form SQL oracle).
-  *   - STUB kernel for codecs the container genuinely lacks
-  *     (JPEG-EXIF/video/ffmpeg): [[decodeFeaturesStub]] keeps the
-  *     batch shape real (schema, partitioning, iterator contract) with
-  *     a clearly-marked deterministic fake where libjpeg/ffmpeg would
-  *     be called.
+  *   - REAL decode for the codecs the JDK itself ships: PNG/BMP/GIF/
+  *     JPEG/TIFF via `javax.imageio.ImageIO` and PCM WAV via
+  *     `javax.sound.sampled` — no external libraries, works headless.
+  *     [[decodeImageFeatures]], [[resizePng]], [[decodeWavFeatures]]
+  *     below run these per partition on executors (constant memory,
+  *     zero driver work) and are oracle-checked end-to-end (q65/q6A:
+  *     synthesize → encode → decode → features must match a closed-form
+  *     SQL oracle; JPEG is spec-checked since it is lossy).
+  *   - STUB kernel only for video/ffmpeg, which no JVM-bundled codec
+  *     covers: [[decodeFeaturesStub]] keeps the batch shape real
+  *     (schema, partitioning, iterator contract) with a clearly-marked
+  *     deterministic fake where ffmpeg would be called.
   */
 object Multimodal {
 

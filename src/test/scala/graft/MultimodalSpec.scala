@@ -77,6 +77,22 @@ class MultimodalSpec extends SparkSpec {
     assert((f.mean_r, f.mean_g, f.mean_b) == (0x33.toDouble, 0x66.toDouble, 0x99.toDouble))
   }
 
+  test("JPEG decodes through the same path (lossy: exact dims, close means)") {
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(0x40, 0x80, 0xC0)); g.fillRect(0, 0, 32, 24) }
+    finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JDK must have a JPEG writer")
+    val df = Seq((5L, bos.toByteArray)).toDF("doc_id", "payload")
+    val f = Multimodal.decodeImageFeatures(df, "doc_id", "payload")
+      .as[Multimodal.ImageFeatures].collect().head
+    assert((f.width, f.height) == (32, 24), "dimensions survive lossy codec exactly")
+    assert(math.abs(f.mean_r - 0x40) < 8 && math.abs(f.mean_g - 0x80) < 8 &&
+      math.abs(f.mean_b - 0xC0) < 8, s"means close to source: $f")
+  }
+
   test("decodeWavFeatures: square wave's RMS == amplitude, exact crossings") {
     // 800 samples, half-period 8: value alternates +a/-a every 8 samples.
     val a = 8192
