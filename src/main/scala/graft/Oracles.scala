@@ -723,6 +723,12 @@ object Oracles {
     // Property oracle (cf. q29/q4G): the k-means IVF recall floor is
     // asserted on the Spark side; DuckDB independently fixes the query
     // population and the expected verdict.
+    // q6B: the oracle pins the exact planted-pair count (only the
+    // planted copies can reach cosine 0.99 on near-uniform data) and
+    // literal true — Spark's computed recall_ok must BE true to match.
+    "q6B_lsh_pairs_recall" ->
+      """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok
+         FROM embeddings WHERE vec_id < 2000 AND vec_id % 25 = 0""",
     "q63_ivf_kmeans_recall" ->
       """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries, true AS recall_ok
          FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",

@@ -835,6 +835,32 @@ object Queries {
           (sum(col("n_hit")).cast("double") /
             (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
     }),
+    // LSH near-dup-pairs recall gate (q63's pattern for the pairs path):
+    // plant a perturbed near-copy of every 25th vector, compute exact
+    // threshold pairs by bounded brute force and approximate pairs via
+    // lshNearDupPairs; the result row hash-matches the oracle ONLY if
+    // the planted-pair count is exactly right AND recall ≥ 0.95.
+    "q6B_lsh_pairs_recall" -> ((s, d) => {
+      val emb = T.embeddings(s, d).where(col("vec_id") < 2000)
+        .select("vec_id", "embedding")
+      val planted = emb.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + when(i % 2 === 0, lit(0.001f)).otherwise(lit(-0.001f))).as("embedding"))
+      val corpus = emb.unionByName(planted).localCheckpoint()
+      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val exact = a.join(b, col("id_a") < col("id_b"))
+        .where(Similarity.cosineNative(col("va"), col("vb")) >= 0.99)
+        .select("id_a", "id_b").localCheckpoint()
+      val lsh = Similarity.lshNearDupPairs(corpus, "vec_id", "embedding", 0.99)
+      val hits = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double") >= 0.95)
+            .as("recall_ok"))
+    }),
     // Embedding-cosine near-duplicate pairs (bounded all-pairs).
     "q58_cosine_neardup" -> ((s, d) => {
       val e = T.embeddings(s, d).where(col("vec_id") < 400)
