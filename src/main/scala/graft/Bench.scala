@@ -8,7 +8,15 @@ object Bench {
     // Deterministic name order: per-query timings stay comparable
     // round-over-round (Map order is hash-dependent), and JVM warmup is
     // absorbed by the cheap q01 instead of whichever query hashes first.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=q40_store_upsert,q61_streaming_ingest).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A failed query reports -1, never a plausible elapsed time — a
       // regression must look like one, not like a speedup.

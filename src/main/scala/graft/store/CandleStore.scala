@@ -289,26 +289,25 @@ final class CandleStore(spark: SparkSession, val path: String) {
     // `disk/disk.go:65-86`). sortWithinPartitions preserves the
     // sorted-by-ts page invariant (`page/page.go:95-142`) and maximizes
     // Parquet row-group pruning on later range scans.
-    // Range-repartition on (partition cols, ts) rather than hash on the
-    // partition cols alone: a hash would funnel a hot series-year (one
+    // REBALANCE (AQE) shuffle on the partition cols rather than a plain
+    // hash repartition: a hash would funnel a hot series-year (one
     // popular instrument) through a single reducer — the skew wall at
-    // 100 TB. Ranging splits a hot partition into several DISJOINT
-    // ts-sorted runs (parallel writers, per-file row-group pruning still
-    // exact); small partitions still coalesce into one task's file.
-    // The range exchange SAMPLES its child to pick boundaries, which
-    // would re-execute the merge aggregation — persist it across the
-    // sample + write (spills to disk if the batch outgrows memory).
-    val matd = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try withMicrosTimestamps(deduped) {
-      matd
-        .repartitionByRange((Candle.partitionCols :+ "ts").map(col): _*)
+    // 100 TB. AQE's rebalance splits an oversized reducer partition at
+    // the shuffle-block level into several parallel writer tasks (and
+    // coalesces small ones into one file), which handles even a single
+    // hot key. Unlike repartitionByRange (used here in round 2) it
+    // needs NO boundary-sampling pass — the merge aggregation above is
+    // evaluated exactly once, with no persist/materialization.
+    withMicrosTimestamps(deduped) {
+      deduped
+        .hint("rebalance", Candle.partitionCols: _*)
         .sortWithinPartitions((Candle.partitionCols :+ "ts").map(col): _*)
         .write
         .partitionBy(Candle.partitionCols: _*)
         .option("partitionOverwriteMode", "dynamic")
         .mode(SaveMode.Overwrite)
         .parquet(path)
-    } finally { matd.unpersist(); () }
+    }
 
     scan()
   }
@@ -369,7 +368,7 @@ final class CandleStore(spark: SparkSession, val path: String) {
         .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
         .agg(max_by(col("_cstruct"), struct(col("_ord"), col("_cstruct"))).as("_w"))
         .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
-        .repartitionByRange((Candle.partitionCols :+ "ts").map(col): _*)
+        .hint("rebalance", Candle.partitionCols: _*)
         .sortWithinPartitions((Candle.partitionCols :+ "ts").map(col): _*)
         .write
         .partitionBy(Candle.partitionCols: _*)
