@@ -109,6 +109,25 @@ object Oracles {
       s"'$j' || '|' || ((sig >> ${j * 4}) & 15)::VARCHAR"
     }.mkString("[", ",\n ", "]")
 
+  /** The full MinHash+LSH candidate/verify pipeline (mirrors
+    * `Dedup.minhashNearDupPairs` with q52's parameters) as a chain of
+    * CTE definitions ending in `jj(id_a, id_b, i, nn)`. Shared by q52
+    * (pairs) and q69 (connected components over the pair graph).
+    */
+  private def minhashPairsCtes: String =
+    s"""tok AS (SELECT doc_id AS id, $WS AS ws FROM documents),
+       shl AS (SELECT id, ${shingleExpr("ws")} AS sh FROM tok),
+       f AS (SELECT id, sh FROM shl WHERE len(sh) > 0),
+       hs AS (SELECT id, sh, list_transform(sh, s -> ${pHash("s")} % 2147483647) AS h FROM f),
+       sg AS (SELECT id, sh, $minhashSigList AS sig FROM hs),
+       band AS (SELECT id, unnest($minhashBandList) AS band FROM sg),
+       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM band a JOIN band b ON a.band = b.band AND a.id < b.id),
+       jj AS (SELECT c.id_a, c.id_b,
+                len(list_intersect(list_distinct(fa.sh), list_distinct(fb.sh)))::DOUBLE AS i,
+                (len(list_distinct(fa.sh)) + len(list_distinct(fb.sh)))::DOUBLE AS nn
+              FROM cand c JOIN f fa ON c.id_a = fa.id JOIN f fb ON c.id_b = fb.id)"""
+
   // ----------------------------------------------------------------- //
 
   def sql: Map[String, String] = raw.map { case (k, v) => k -> portabilize(v) }
@@ -279,6 +298,20 @@ object Oracles {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
            (l_returnflag, l_linestatus), ())""",
+    "q6E_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'F' AND o.o_totalprice < 5000)""",
+    "q6F_scalar_subquery" ->
+      """SELECT c_custkey,
+           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           round((SELECT coalesce(sum(o.o_totalprice), 0.0) FROM orders o
+                  WHERE o.o_custkey = c.c_custkey), 2) AS total_spend
+         FROM customer c
+         WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)""",
     "q27_percentiles" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_extendedprice, 0.5)::DOUBLE, 4) AS median_price,
@@ -571,20 +604,54 @@ object Oracles {
          FROM px JOIN sz sa ON px.id_a = sa.id JOIN sz sb ON px.id_b = sb.id
          WHERE i / (sa.n + sb.n - i) >= 0.1""",
     "q52_minhash_pairs" ->
-      s"""WITH tok AS (SELECT doc_id AS id, $WS AS ws FROM documents),
-         shl AS (SELECT id, ${shingleExpr("ws")} AS sh FROM tok),
-         f AS (SELECT id, sh FROM shl WHERE len(sh) > 0),
-         hs AS (SELECT id, sh, list_transform(sh, s -> ${pHash("s")} % 2147483647) AS h FROM f),
-         sg AS (SELECT id, sh, $minhashSigList AS sig FROM hs),
-         band AS (SELECT id, unnest($minhashBandList) AS band FROM sg),
-         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                  FROM band a JOIN band b ON a.band = b.band AND a.id < b.id),
-         jj AS (SELECT c.id_a, c.id_b,
-                  len(list_intersect(list_distinct(fa.sh), list_distinct(fb.sh)))::DOUBLE AS i,
-                  (len(list_distinct(fa.sh)) + len(list_distinct(fb.sh)))::DOUBLE AS nn
-                FROM cand c JOIN f fa ON c.id_a = fa.id JOIN f fb ON c.id_b = fb.id)
+      s"""WITH $minhashPairsCtes
          SELECT id_a, id_b, round(i / (nn - i), 4) AS jaccard
          FROM jj WHERE i / (nn - i) >= 0.3""",
+    // Connected components over the q52 pair graph, by enumeration of
+    // the reachability closure (bounded: near-dup clusters are tiny) —
+    // the declarative ground truth for the engine's distributed
+    // label-propagation operator.
+    "q69_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         px AS (SELECT id_a, id_b FROM jj WHERE i / (nn - i) >= 0.3),
+         edges AS (SELECT id_a AS u, id_b AS v FROM px
+                   UNION SELECT id_b, id_a FROM px),
+         reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+                         UNION
+                         SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+         SELECT u AS id, min(v) AS component FROM reach GROUP BY u""",
+    "q6C_unigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($WS) AS w FROM documents),
+         cnt AS (SELECT w, count(*)::DOUBLE AS c FROM tok GROUP BY w),
+         tot AS (SELECT count(*)::DOUBLE AS n FROM tok)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(avg(log10(c / n)), 4) AS avg_logp
+         FROM tok JOIN cnt USING (w) CROSS JOIN tot
+         GROUP BY doc_id""",
+    "q6D_quantize_embed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         q AS (SELECT vec_id, v, scale,
+                 list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+                   ELSE abs(sign(x) * floor(abs(x) / scale + 0.5) * scale - x) END) AS err
+               FROM s)
+         SELECT vec_id, len(v)::INT AS dim, round(scale, 6) AS scale,
+           round(list_max(err), 6) AS max_abs_err,
+           round(list_sum(err) / len(v), 6) AS mean_abs_err
+         FROM q""",
+    "q6G_pii_redact" ->
+      """WITH r AS (SELECT doc_id, text,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+         FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ipv4,
+           length(redacted)::INT AS redacted_len,
+           md5(redacted) AS redacted_md5
+         FROM r""",
     "q53_simhash_pairs" ->
       s"""WITH tok AS (SELECT doc_id AS id, $WS AS ws FROM documents WHERE doc_id < 1000),
          hs AS (SELECT id, list_transform(ws, w -> ${pHash("w")}) AS h FROM tok),

@@ -299,6 +299,32 @@ object Queries {
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
           (l_returnflag, l_linestatus), ())""")
     }),
+    // Correlated EXISTS / NOT EXISTS subqueries — Catalyst rewrites
+    // both to semi/anti joins (RewritePredicateSubquery); the SQL
+    // surface is the declared capability, the join plan is the proof.
+    "q6E_exists_subquery" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F' AND o.o_totalprice < 5000)""")
+    }),
+    // Scalar subqueries: uncorrelated (global average threshold) and
+    // correlated (per-customer order count / spend) — rewritten by
+    // Catalyst into a broadcast scalar + left outer aggregate joins.
+    "q6F_scalar_subquery" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(s"""SELECT c_custkey,
+          (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          ${Portable.roundSql(
+            "(SELECT coalesce(sum(o.o_totalprice), 0.0) FROM orders o WHERE o.o_custkey = c.c_custkey)", 2)} AS total_spend
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)""")
+    }),
     // Exact interpolated percentiles (median / p90) per group.
     "q27_percentiles" -> ((s, d) => {
       T.lineitem(s, d)
@@ -731,6 +757,33 @@ object Queries {
     "q53_simhash_pairs" -> ((s, d) => {
       Dedup.simhashNearDupPairs(T.documents(s, d).where(col("doc_id") < 1000),
         "doc_id", "text", maxHamming = 6)
+    }),
+    // Near-dup CLUSTER resolution: connected components over the
+    // MinHash+LSH pair graph (pairs alone under-dedup: {A~B, B~C} must
+    // collapse to ONE cluster). Distributed min-label propagation with
+    // pointer jumping; O(log d) rounds, two (node,label) shuffles each.
+    "q69_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDupPairs(T.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.3)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }),
+    // Corpus-trained unigram LM score: mean log10 token probability
+    // under the corpus's own unigram distribution (cheap perplexity
+    // proxy; rare-token-heavy docs score low). Two passes: vocab count
+    // shuffle + token->count join (AQE handles the Zipf skew).
+    "q6C_unigram_lm" -> ((s, d) => {
+      TextStats.unigramLmScore(T.documents(s, d), "doc_id", "text")
+    }),
+    // Symmetric int8 embedding quantization with measured
+    // reconstruction error — deterministic in-order folds, no shuffle.
+    "q6D_quantize_embed" -> ((s, d) => {
+      Similarity.quantizeInt8(T.embeddings(s, d), "vec_id", "embedding")
+    }),
+    // PII redaction census: e-mail/IPv4 counts + md5 of the redacted
+    // bytes (byte-exact redaction, proven cross-engine). Codegen'd
+    // regexp chain, scan speed.
+    "q6G_pii_redact" -> ((s, d) => {
+      TextStats.piiStats(T.documents(s, d), "doc_id", "text")
     }),
     // Dedup as a corpus materialization: keep the lowest-id doc per
     // normalized text, all columns carried.

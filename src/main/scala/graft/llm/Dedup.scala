@@ -289,6 +289,85 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components of an undirected pair graph — the cluster-
+    * resolution step after near-dup pair detection ([[minhashNearDupPairs]]
+    * / [[simhashNearDupPairs]] emit PAIRS; dedup needs GROUPS: {A~B, B~C}
+    * must collapse to one cluster {A,B,C} with one kept representative).
+    *
+    * Algorithm: distributed min-label propagation with pointer jumping
+    * (the "hash-to-min" family — Rastogi et al. 2012). Each round:
+    *   1. every node takes the min label over itself and its neighbors
+    *      (one equi-join + partial-agg min on the label frame);
+    *   2. pointer jump: label ← label(label) (one self-join), which
+    *      halves chain depths so convergence is O(log d) rounds, not
+    *      O(diameter).
+    * Labels only ever DECREASE, so `sum(label)` is strictly monotone
+    * while anything changes — convergence is detected with one scalar
+    * aggregate per round, no row-level diff join.
+    *
+    * Scale posture: the iterated frame is one row per node OF THE PAIR
+    * GRAPH (near-dup docs only — orders of magnitude smaller than the
+    * corpus); the static edge list is checkpointed once; every round is
+    * two shuffles on (node, label) pairs. Nothing is ever quadratic and
+    * nothing collects to the driver except the per-round scalar.
+    *
+    * @return (id, component) — component = min node id of the cluster;
+    *         only nodes that appear in `pairs` are returned (isolated
+    *         documents are their own implicit singleton clusters).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    // Symmetrized, deduped edge list; materialized once, reused per round.
+    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // (1) neighbor-min
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("comp").as("_nc")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("_nc")).as("_nmin"))
+        .select(col("u").as("id"), col("_nmin"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"))
+      // (2) pointer jump: comp ← comp(comp). Every label is a node id
+      // (mins over ids), so the lookup always resolves; coalesce guards
+      // the root nodes whose label row is themselves.
+      val next = stepped
+        .join(stepped.select(col("id").as("comp"), col("comp").as("_pc")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("_pc"), col("comp")).as("comp"))
+        .localCheckpoint() // truncate the iterative lineage
+      val s = next.agg(sum(col("comp"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds (pathological graph?)")
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Near-duplicate dedup END TO END: detect pairs (MinHash+LSH), resolve
+    * clusters ([[connectedComponents]]), keep the lowest-id document of
+    * every cluster. Documents in no near-dup pair are kept as-is.
+    */
+  def dedupNearDup(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN, k, bands, threshold)
+    val drop = connectedComponents(pairs, "id_a", "id_b")
+      .where(col("id") =!= col("component"))
+      .select(col("id").cast("long").as("_drop_id"))
+    df.join(drop, df(idCol).cast("long") === col("_drop_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard over all pairs of a (bounded) document set.
     * This is the quadratic ground-truth used to validate the LSH path;
     * callers MUST bound the input (it cross-joins). For production scale

@@ -412,6 +412,37 @@ object Similarity {
         col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× memory/IO cut for ANN serving (scale = max|x|/127 per vector;
+    * q_i = round-half-away(x_i/scale) ∈ [−127,127]).
+    *
+    * Emitted as per-vector scale + reconstruction-error stats so the
+    * lossy step is *measured*, not assumed. Every expression is a
+    * sequential in-array-order fold (`transform`/`aggregate`), so the
+    * doubles accumulate in one deterministic order — the whole frame is
+    * engine-portable and oracle-checkable bit-for-bit. Zero vectors
+    * quantize to all-zero with scale 0. One narrow pass, no shuffle.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    df.select(col(idCol), v.as("_v"))
+      .withColumn("_scale",
+        array_max(transform(col("_v"), x => abs(x))) / 127.0)
+      .withColumn("_q", transform(col("_v"), x =>
+        when(col("_scale") === 0.0, lit(0.0)).otherwise(
+          signum(x) * floor(abs(x) / col("_scale") + 0.5))))
+      .withColumn("_err",
+        zip_with(col("_q"), col("_v"), (q, x) => abs(q * col("_scale") - x)))
+      .select(
+        col(idCol),
+        size(col("_v")).as("dim"),
+        Portable.round(col("_scale"), 6).as("scale"),
+        Portable.round(array_max(col("_err")), 6).as("max_abs_err"),
+        Portable.round(
+          aggregate(col("_err"), lit(0.0), (a, e) => a + e) /
+            size(col("_v")).cast("double"), 6).as("mean_abs_err"))
+  }
+
   /** Per-vector norm/statistics frame (sanity + quality gates). */
   def embeddingStats(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(

@@ -341,6 +341,59 @@ object TextStats {
     df.where(gate(tokens(col(textCol)), length(col(textCol))))
   }
 
+  /** Corpus-trained unigram language-model score per document: the mean
+    * log10 probability of the document's tokens under the corpus's own
+    * unigram distribution — the classic cheap "perplexity-ish" quality
+    * signal (low scores = rare-token-heavy documents: gibberish, code
+    * dumps, boilerplate explosions).
+    *
+    * Two distributed passes: (1) vocabulary counts — one partial-agg
+    * shuffle on token; (2) token→count equi-join + per-doc mean. The
+    * Zipf-skewed join keys (stopwords) are exactly what AQE skew-join
+    * handles; the count side is one row per DISTINCT token, so Spark
+    * broadcasts it whenever the vocabulary fits (typical even at corpus
+    * scale: vocab grows ~ log of corpus).
+    */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("_w"))
+    val vocab = tok.groupBy(col("_w"))
+      .agg(count(lit(1)).cast("double").as("_c"))
+    val total = vocab.agg(sum(col("_c")).as("_n"))
+    tok.join(vocab, Seq("_w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        Portable.round(avg(log10(col("_c") / col("_n"))), 4).as("avg_logp"))
+  }
+
+  /** PII redaction: replace e-mail addresses and IPv4 literals with
+    * typed placeholders. A pure codegen'd `regexp_replace` chain using
+    * RE2-compatible patterns (no backrefs/lookarounds) so the pass runs
+    * at scan speed AND ports verbatim to other engines — the redacted
+    * bytes are oracle-checkable, not just the counts. E-mails are
+    * replaced first so an address's host part is never half-matched as
+    * an IP.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "[EMAIL]"),
+      ipv4Pattern, "[IP]")
+
+  /** Per-document PII census + redacted-text digest (md5 of the
+    * redacted bytes proves byte-exact redaction portability).
+    */
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_count(t, lit(emailPattern)).as("n_emails"),
+      regexp_count(t, lit(ipv4Pattern)).as("n_ipv4"),
+      length(redactPii(t)).as("redacted_len"),
+      md5(redactPii(t)).as("redacted_md5"))
+  }
+
   /** Per-document stats frame: one row per doc with all declared
     * metrics, from one compiled pass.
     */

@@ -454,4 +454,105 @@ class LlmOpsSpec extends SparkSpec {
       .orderBy("doc_id").as[(String, Long, Long)].collect()
     assert(out.toSeq == Seq(("hello  world", 3L, 1L), ("hello world", 5L, 2L)))
   }
+
+  test("connectedComponents resolves chains, triangles, and distinct clusters") {
+    // chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents agrees with driver-side BFS on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side ground truth: union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val out = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == expected)
+  }
+
+  test("dedupNearDup keeps one representative per near-dup cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (4L, "completely unrelated text about distributed query engines and parquet files"),
+      (5L, "another document with entirely different words in every position here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupNearDup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // 1,2,3 form one cluster (1 kept); 4 and 5 are isolated.
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("unigramLmScore: uniform corpus scores log10(1/V) per token") {
+    // 4 docs, each one distinct token => every token has c=1, N=4:
+    // avg_logp = log10(1/4) for every doc.
+    val docs = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
+      .toDF("doc_id", "text")
+    val out = TextStats.unigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    out.foreach { case (_, n, lp) =>
+      assert(n == 1L)
+      assert(math.abs(lp - (-0.6021)) < 1e-9, s"avg_logp $lp want -0.6021")
+    }
+  }
+
+  test("unigramLmScore weights frequent tokens higher") {
+    val docs = Seq((1L, "common common common"), (2L, "rare"))
+      .toDF("doc_id", "text")
+    // N=4; P(common)=3/4, P(rare)=1/4 => doc1 avg=log10(.75), doc2=log10(.25)
+    val out = TextStats.unigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out(0)._3 > out(1)._3)
+    assert(math.abs(out(0)._3 - (-0.1249)) < 1e-9)
+    assert(math.abs(out(1)._3 - (-0.6021)) < 1e-9)
+  }
+
+  test("quantizeInt8: exact scale and bounded reconstruction error") {
+    val docs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: scale 0, err 0
+      (3L, Seq(127.0f, -127.0f, 64.0f, 1.0f))) // integers: exact at scale 1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(docs, "vec_id", "embedding")
+      .as[(Long, Int, Double, Double, Double)].collect().sortBy(_._1)
+    val (_, d1, s1, mx1, _) = out(0)
+    assert(d1 == 4 && math.abs(s1 - 1.0 / 127.0) < 1e-6) // output is round-6
+    assert(mx1 <= s1 / 2 + 1e-12) // round-half-away error bound
+    assert(out(1) == ((2L, 4, 0.0, 0.0, 0.0)))
+    val (_, _, s3, mx3, me3) = out(2)
+    assert(s3 == 1.0 && mx3 == 0.0 && me3 == 0.0)
+  }
+
+  test("redactPii replaces emails and IPv4s, counts match") {
+    val docs = Seq(
+      (1L, "contact alice@example.com or 10.0.0.1 now"),
+      (2L, "no pii here at all"),
+      (3L, "bob@sub.domain.org and carol@x.io from 192.168.1.254"))
+      .toDF("doc_id", "text")
+    val out = TextStats.piiStats(docs, "doc_id", "text")
+      .select("doc_id", "n_emails", "n_ipv4").as[(Long, Int, Int)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1, 1), (2L, 0, 0), (3L, 2, 1)))
+    val red = docs.select(TextStats.redactPii(col("text"))).as[String]
+      .collect().toSeq
+    assert(red.contains("contact [EMAIL] or [IP] now"))
+    assert(red.contains("[EMAIL] and [EMAIL] from [IP]"))
+  }
 }
