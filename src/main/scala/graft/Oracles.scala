@@ -640,6 +640,9 @@ object Oracles {
            round(list_max(err), 6) AS max_abs_err,
            round(list_sum(err) / len(v), 6) AS mean_abs_err
          FROM q""",
+    "q6H_bpe_tokenizer" ->
+      """SELECT count(*) AS n_docs, true AS all_roundtrip, true AS compressed_ok
+         FROM documents""",
     "q6G_pii_redact" ->
       """WITH r AS (SELECT doc_id, text,
            regexp_replace(

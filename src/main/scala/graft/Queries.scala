@@ -779,6 +779,20 @@ object Queries {
     "q6D_quantize_embed" -> ((s, d) => {
       Similarity.quantizeInt8(T.embeddings(s, d), "vec_id", "embedding")
     }),
+    // Distributed BPE tokenizer: train 16 merges on the corpus's own
+    // word-frequency table (vocab-scale loop; the only corpus-scale
+    // passes are the word count and the final tokenize), then gate on
+    // invariants the oracle can assert blind: every document's pieces
+    // re-concatenate to its words exactly, and the corpus strictly
+    // compresses vs raw code points (merges trained on this corpus must
+    // apply to it). q63's property-oracle pattern.
+    "q6H_bpe_tokenizer" -> ((s, d) => {
+      val merges = graft.llm.Bpe.trainMerges(T.documents(s, d), "text", nMerges = 16)
+      graft.llm.Bpe.tokenizeStats(T.documents(s, d), "doc_id", "text", merges)
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(when(col("roundtrip_ok"), 0L).otherwise(1L)) === 0L).as("all_roundtrip"),
+          (sum(col("n_bpe_tokens")) < sum(col("n_symbols"))).as("compressed_ok"))
+    }),
     // PII redaction census: e-mail/IPv4 counts + md5 of the redacted
     // bytes (byte-exact redaction, proven cross-engine). Codegen'd
     // regexp chain, scan speed.

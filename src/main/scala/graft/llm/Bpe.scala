@@ -1,0 +1,145 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: distributed training + application —
+  * the tokenization step of an LLM training-data pipeline (SURVEY.md
+  * §2.4; the `subwordCount` heuristic in [[TextStats]] estimates what
+  * this computes exactly).
+  *
+  * Scale posture (100 TB): the only corpus-scale passes are the initial
+  * word-frequency count (one partial-agg shuffle — identical shape to
+  * q28 word counts) and the final tokenize pass (narrow compiled map).
+  * The training loop iterates over the WORD-FREQUENCY table — vocabulary
+  * scale, which grows ~logarithmically with corpus size — and per merge
+  * runs one pair-count aggregation on it plus a single-row argmax to the
+  * driver. Nothing corpus-scale is ever collected or iterated.
+  *
+  * Semantics (deterministic by construction):
+  *  - symbols start as Unicode code points of each whitespace token
+  *    (lowercased, mirroring [[TextStats.tokens]]);
+  *  - a merge candidate's count is its number of ADJACENT occurrences
+  *    (overlapping counted: "aaa" contributes 2 to (a,a)), weighted by
+  *    word frequency;
+  *  - ties break lexicographically on (left, right) symbol;
+  *  - applying a merge rewrites each word left-to-right greedily and
+  *    non-overlapping ("aaa" + (a,a) → ["aa","a"]);
+  *  - training stops early when no pair reaches `minPairCount`.
+  */
+object Bpe {
+
+  /** Code points of a word, as one-symbol strings (surrogate-safe). */
+  private[graft] def charsOf(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** One greedy left-to-right, non-overlapping merge pass. */
+  private[graft] def mergeOnce(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    val n = syms.length
+    while (i < n) {
+      if (i + 1 < n && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Apply a trained merge list to one word (merges in training order,
+    * one greedy pass each).
+    */
+  private[graft] def applyToWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = charsOf(word)
+    merges.foreach { case (a, b) => if (syms.length > 1) syms = mergeOnce(syms, a, b) }
+    syms
+  }
+
+  private def charsUdf: UserDefinedFunction = udf { (w: String) => charsOf(w) }
+
+  private def mergeUdf(a: String, b: String): UserDefinedFunction =
+    udf { (syms: Seq[String]) => mergeOnce(syms, a, b) }
+
+  /** Train `nMerges` BPE merges on a text column. Returns the merge list
+    * in training order.
+    */
+  def trainMerges(df: DataFrame, textCol: String, nMerges: Int,
+                  minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(nMerges >= 0, "nMerges must be >= 0")
+    // Corpus-scale pass #1 (the only one): word frequencies.
+    var vocab = df
+      .select(explode(TextStats.tokens(col(textCol))).as("_w"))
+      .where(length(col("_w")) > 0)
+      .groupBy(col("_w")).agg(count(lit(1)).as("freq"))
+      .select(charsUdf(col("_w")).as("syms"), col("freq"))
+      .coalesce(8) // vocab-scale loop: job overhead dominates, not data
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var round = 0
+    while (!done && round < nMerges) {
+      // Adjacent-pair counts over the vocab, weighted by word freq;
+      // deterministic argmax (count desc, then (a, b) asc).
+      val top = vocab
+        .where(size(col("syms")) > 1)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1), i =>
+            struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        vocab = vocab
+          .withColumn("syms", mergeUdf(a, b)(col("syms")))
+          .localCheckpoint() // flat lineage across rounds
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Tokenize a text column with a trained merge list: one compiled
+    * narrow pass (merges ride the closure — broadcast once per task),
+    * emitting per-document BPE stats and the roundtrip proof.
+    *
+    * Columns: n_words, n_symbols (pre-merge code points over all
+    * words), n_bpe_tokens (post-merge), roundtrip_ok (re-concatenating
+    * every word's pieces reproduces the word — BPE merges only ever
+    * concatenate, so this must hold for every document).
+    */
+  def tokenizeStats(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val statsUdf = udf { (ws: Seq[String]) =>
+      var nw = 0; var nSym = 0L; var nTok = 0L; var ok = true
+      ws.foreach { w =>
+        if (w.nonEmpty) {
+          nw += 1
+          val pieces = applyToWord(w, merges)
+          nSym += charsOf(w).length
+          nTok += pieces.length
+          if (pieces.mkString != w) ok = false
+        }
+      }
+      (nw, nSym, nTok, ok)
+    }
+    df.select(col(idCol), statsUdf(TextStats.tokens(col(textCol))).as("_s"))
+      .select(col(idCol),
+        col("_s._1").as("n_words"),
+        col("_s._2").as("n_symbols"),
+        col("_s._3").as("n_bpe_tokens"),
+        col("_s._4").as("roundtrip_ok"))
+  }
+}

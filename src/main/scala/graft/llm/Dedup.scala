@@ -317,12 +317,19 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
+    // Materialize the pair list FIRST: the union below references it on
+    // both branches, which would otherwise evaluate the (potentially
+    // expensive) upstream pair-detection pipeline twice.
     val e0 = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-    // Symmetrized, deduped edge list; materialized once, reused per round.
+      .localCheckpoint()
+    // Symmetrized, deduped edge list; node-scale, so the iterated frames
+    // are coalesced to a few partitions — per-round job overhead, not
+    // data volume, dominates this loop (the pair graph is orders of
+    // magnitude smaller than the corpus).
     val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      .where(col("u") =!= col("v")).distinct().coalesce(8).localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      .withColumn("comp", col("id")).coalesce(8).localCheckpoint()
     var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
     var it = 0
     var converged = false
@@ -342,12 +349,15 @@ object Dedup {
         .join(stepped.select(col("id").as("comp"), col("comp").as("_pc")),
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("_pc"), col("comp")).as("comp"))
+        .coalesce(8)
         .localCheckpoint() // truncate the iterative lineage
       val s = next.agg(sum(col("comp"))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
       labels = next
       it += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $it sum=$s converged=$converged t=${System.nanoTime() / 1000000}")
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds (pathological graph?)")

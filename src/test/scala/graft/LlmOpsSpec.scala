@@ -540,6 +540,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(s3 == 1.0 && mx3 == 0.0 && me3 == 0.0)
   }
 
+  test("BPE training picks the classic merges in deterministic order") {
+    import graft.llm.Bpe
+    // freqs: low×3, lower×2, newest×4, widest×1. Adjacent pair counts:
+    // (w,e)=6, (l,o)=5, (o,w)=5, (e,s)=5, (s,t)=5, (n,e)=4, (e,w)=4, ...
+    // merge 1 = (w,e); after it (l,o)=5,(s,t)=5 tie → lexicographic (l,o);
+    // merge 3 = (s,t).
+    val docs = Seq((1L, "low low low lower lower"),
+      (2L, "newest newest newest newest widest")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 3)
+    assert(merges == Seq(("w", "e"), ("l", "o"), ("s", "t")))
+  }
+
+  test("BPE merge application is greedy, non-overlapping, roundtrip-exact") {
+    import graft.llm.Bpe
+    assert(Bpe.mergeOnce(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.applyToWord("lowest",
+      Seq(("w", "e"), ("l", "o"), ("s", "t"))) == Seq("lo", "we", "st"))
+    // surrogate pair survives symbol splitting
+    assert(Bpe.charsOf("a😀b") == Seq("a", "😀", "b"))
+  }
+
+  test("BPE tokenizeStats: compression + roundtrip on a real-ish corpus") {
+    import graft.llm.Bpe
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "the bat and the rat"),
+      (3L, "that hat is the best hat"), (4L, "")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 10)
+    val out = Bpe.tokenizeStats(docs, "doc_id", "text", merges)
+      .as[(Long, Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    out.foreach { case (_, _, nSym, nTok, ok) =>
+      assert(ok); assert(nTok <= nSym)
+    }
+    // "the" (freq 5) must have collapsed to a single token somewhere:
+    assert(out.map(_._4).sum < out.map(_._3).sum)
+    // empty doc: zero words, zero tokens, roundtrip trivially true
+    assert(out.last == ((4L, 0, 0L, 0L, true)))
+  }
+
   test("redactPii replaces emails and IPv4s, counts match") {
     val docs = Seq(
       (1L, "contact alice@example.com or 10.0.0.1 now"),
