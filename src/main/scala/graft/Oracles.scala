@@ -588,6 +588,67 @@ object Oracles {
          round(sum("value"), 4) AS volume
          FROM events GROUP BY 1, 2""",
     // -- LLM ops ---------------------------------------------------- //
+    // q74/q75/q76 run the SAME SQL text on both engines.
+    "q74_stats_moments" -> Queries.statsMomentsSql,
+    "q75_lateral_topk" -> Queries.lateralTopkSql,
+    "q76_recursive_reach" -> Queries.recursiveReachSql,
+    // BM25 against probe terms; constants written as the same double
+    // arithmetic the Spark side folds (1.2 + 1.0, 1.0 - 0.75).
+    "q70_bm25_rank" ->
+      s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),
+         dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM tok),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, w AS term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(ws) AS w FROM tok)
+                WHERE w IN ('join', 'vector', 'slow') GROUP BY 1, 2),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+         SELECT doc_id,
+           round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         GROUP BY doc_id""",
+    "q71_dup_spans" ->
+      s"""WITH sp AS (SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest((length(lower(text)) - 40) // 20 + 1, 0)),
+             i -> ${pHash("substr(lower(text), (i - 1) * 20 + 1, 40)")})) AS span_hash
+         FROM documents)
+         SELECT span_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
+    "q72_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),
+         g AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 5 THEN []::VARCHAR[] ELSE
+                 list_transform(generate_series(1, len(ws) - 4),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) END) AS g
+               FROM tok),
+         gh AS (SELECT DISTINCT doc_id, ${pHash("g")} AS gram_hash FROM g),
+         bench AS (SELECT DISTINCT gram_hash FROM gh WHERE doc_id % 50 = 0)
+         SELECT a.doc_id, count(*) AS n_contaminated
+         FROM (SELECT doc_id, gram_hash FROM gh WHERE doc_id % 50 <> 0) a
+         JOIN bench b USING (gram_hash)
+         GROUP BY 1""",
+    "q73_source_cap" ->
+      s"""WITH r AS (SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+             ORDER BY ${pHash("doc_id::VARCHAR || '|cap'")} % 10000, doc_id) AS rn
+         FROM documents)
+         SELECT doc_id, source FROM r WHERE rn <= 20""",
+    // q78/q79: property oracles (q6B/q63 pattern) — planted-pair count /
+    // query census computable blind; the boolean gates carry the recall.
+    "q78_semdedup_recall" ->
+      """SELECT count(*)::BIGINT AS n_exact, true AS recall_ok
+         FROM embeddings WHERE vec_id < 2000 AND vec_id % 25 = 0""",
+    "q79_pq_topk_recall" ->
+      """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries, true AS recall_ok
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
+    // q7A: the Spark side round-trips a REAL WAV encode+decode+DFT; the
+    // oracle computes the square wave's fundamental bin in closed form.
+    "q7A_wav_spectral" ->
+      """SELECT doc_id, 800::BIGINT AS n_samples,
+         (400 // (CASE doc_id % 8 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 5
+                  WHEN 3 THEN 8 WHEN 4 THEN 10 WHEN 5 THEN 16 WHEN 6 THEN 20
+                  ELSE 25 END))::BIGINT AS dominant_bin
+         FROM documents""",
     "q50_exact_dedup" ->
       """SELECT lower(trim(text)) AS norm_text, min(doc_id) AS doc_id,
          count(*) AS dup_count

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.llm.{Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
 import graft.ops.TimeSeries
 import graft.store.CandleStore
 
@@ -23,6 +23,62 @@ import graft.store.CandleStore
   */
 object Queries {
   private def T = Tables
+
+  /** q74's SQL — shared VERBATIM with the DuckDB oracle (identical
+    * association order → identical IEEE arithmetic; the l_quantity
+    * moment sums are integer-valued, exact under any summation order,
+    * so skew/kurt match bit-for-bit and the mixed-price moments are
+    * knife-edge-safe under round(4)). All output types pinned by CAST.
+    */
+  private[graft] val statsMomentsSql: String = {
+    def r(e: String) = Portable.roundSql(e, 4)
+    val mu = "(sx / n)"
+    s"""WITH s AS (
+      SELECT l_returnflag,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(CAST(l_quantity AS DOUBLE)) AS sx,
+        sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sxx,
+        sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sx3,
+        sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sx4,
+        sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+        sum(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS syy,
+        sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+      CAST(n AS BIGINT) AS n_rows,
+      ${r("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS corr_qty_price,
+      ${r("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS regr_slope,
+      ${r("sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)")} AS regr_intercept,
+      ${r(s"((sx3 / n) - 3 * $mu * (sxx / n) + 2 * $mu * $mu * $mu) / pow((sxx / n) - $mu * $mu, 1.5)")} AS skew_qty,
+      ${r(s"((sx4 / n) - 4 * $mu * (sx3 / n) + 6 * $mu * $mu * (sxx / n) - 3 * pow($mu, 4.0)) / pow((sxx / n) - $mu * $mu, 2.0) - 3.0")} AS kurt_qty
+    FROM s"""
+  }
+
+  /** q75's SQL — shared VERBATIM with the DuckDB oracle. */
+  private[graft] val lateralTopkSql: String =
+    s"""SELECT n_name, c_name, ${Portable.roundSql("c_acctbal", 2)} AS acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) t"""
+
+  /** q76's SQL — shared VERBATIM with the DuckDB oracle. Reachability
+    * with depth over a synthetic successor graph on nation keys; the
+    * anchor + depth-bounded recursive-step shape. Types pinned BIGINT.
+    */
+  private[graft] val recursiveReachSql: String =
+    """WITH RECURSIVE reach AS (
+         SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+         UNION ALL
+         SELECT e.dst AS node, r.depth + 1 AS depth
+         FROM reach r
+         JOIN (SELECT CAST(n_nationkey AS BIGINT) AS src,
+                      CAST((n_nationkey * 3 + 7) % 25 AS BIGINT) AS dst
+               FROM nation) e
+           ON e.src = r.node
+         WHERE r.depth < 12)
+       SELECT node, min(depth) AS min_depth, count(*) AS n_visits
+       FROM reach GROUP BY node"""
 
   // ---------------------------------------------------------------- //
   // Relational surface (§2.2)                                        //
@@ -324,6 +380,31 @@ object Queries {
             "(SELECT coalesce(sum(o.o_totalprice), 0.0) FROM orders o WHERE o.o_custkey = c.c_custkey)", 2)} AS total_spend
         FROM customer c
         WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)""")
+    }),
+    // Statistical aggregate portfolio from raw power sums — correlation,
+    // regression slope/intercept, skewness, excess kurtosis. One
+    // partial-agg shuffle; the moments are derived as projections. The
+    // SQL is shared verbatim with the oracle (same association order →
+    // same IEEE arithmetic; the quantity moments are integer-valued
+    // sums, exact under any summation order).
+    "q74_stats_moments" -> ((s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(statsMomentsSql)
+    }),
+    // LATERAL correlated subquery: per-nation top-2 customers by
+    // account balance — Catalyst plans the lateral as a join after
+    // DecorrelateInnerQuery; the SQL surface is the capability.
+    "q75_lateral_topk" -> ((s, d) => {
+      T.nation(s, d).createOrReplaceTempView("nation")
+      T.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(lateralTopkSql)
+    }),
+    // Recursive CTE (WITH RECURSIVE, Spark 4): reachability with depth
+    // over a synthetic successor graph on nation keys — the anchor +
+    // recursive-step union shape, depth-bounded.
+    "q76_recursive_reach" -> ((s, d) => {
+      T.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(recursiveReachSql)
     }),
     // Exact interpolated percentiles (median / p90) per group.
     "q27_percentiles" -> ((s, d) => {
@@ -798,6 +879,87 @@ object Queries {
     // regexp chain, scan speed.
     "q6G_pii_redact" -> ((s, d) => {
       TextStats.piiStats(T.documents(s, d), "doc_id", "text")
+    }),
+    // Okapi BM25 scoring against a probe term set (Lucene idf form) —
+    // the retrieval/topic-probe scoring pass of corpus curation. Term
+    // filter runs scan-side; corpus stats broadcast.
+    "q70_bm25_rank" -> ((s, d) => {
+      Ranking.bm25(T.documents(s, d), "doc_id", "text",
+        Seq("join", "vector", "slow"))
+    }),
+    // Corpus-wide duplicated character spans (exact-substring dedup
+    // signal, stride-bucketed): only (id, 60-bit hash) pairs shuffle.
+    "q71_dup_spans" -> ((s, d) => {
+      Dedup.duplicatedSpans(T.documents(s, d), "doc_id", "text",
+        width = 40, stride = 20)
+    }),
+    // Benchmark decontamination: corpus docs sharing any word 5-gram
+    // with the held-out benchmark slice (doc_id % 50 == 0).
+    "q72_decontaminate" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.decontaminate(docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), "doc_id", "text", shingleN = 5)
+    }),
+    // Deterministic per-source cap: at most 20 docs per source, chosen
+    // by hash order (engine-portable; oracle mirrors the md5 rank).
+    "q73_source_cap" -> ((s, d) => {
+      Sampling.capPerKey(T.documents(s, d), "doc_id", "source", maxPerKey = 20)
+        .select(col("doc_id"), col("source"))
+    }),
+    // SemDeDup recall gate (q6B's planted-pair pattern): k-means
+    // clustering + intra-cluster exact cosine must recover ≥ 80% of the
+    // planted near-copies (misses only cluster-straddling pairs;
+    // measured recall is 1.0 at all SFs, floor leaves k-means margin).
+    "q78_semdedup_recall" -> ((s, d) => {
+      val emb = T.embeddings(s, d).where(col("vec_id") < 2000)
+        .select("vec_id", "embedding")
+      val planted = emb.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + when(i % 2 === 0, lit(0.001f)).otherwise(lit(-0.001f))).as("embedding"))
+      val corpus = emb.unionByName(planted).localCheckpoint()
+      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val exact = a.join(b, col("id_a") < col("id_b"))
+        .where(Similarity.cosineNative(col("va"), col("vb")) >= 0.99)
+        .select("id_a", "id_b").localCheckpoint()
+      val sem = Similarity.semanticNearDupPairs(corpus, "vec_id", "embedding",
+        minCosine = 0.99, nClusters = 16, iters = 4)
+      val hits = exact.join(sem, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double") >= 0.8)
+            .as("recall_ok"))
+    }),
+    // PQ-ADC + exact-rerank recall gate (q63's pattern): product-
+    // quantized codes (m=4 bytes per 64-dim vector) must put enough of
+    // the true top-10 into the rerank candidate set.
+    "q79_pq_topk_recall" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val approx = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 10,
+          m = 4, ks = 16, iters = 4, rerank = 40)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          (sum(col("n_hit")).cast("double") /
+            (count(lit(1)) * 10).cast("double") >= 0.5).as("recall_ok"))
+    }),
+    // REAL audio frequency analysis, oracle-checked end-to-end: WAV
+    // encode → decode → DFT; the dominant bin must equal the square
+    // wave's fundamental N/(2·halfPeriod), closed-form in doc_id.
+    "q7A_wav_spectral" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val media = T.documents(s, d).select(col("doc_id"),
+        Multimodal.syntheticWavUdf(col("doc_id")).as("payload"))
+      Multimodal.wavDominantFrequency(media, "doc_id", "payload")
     }),
     // Dedup as a corpus materialization: keep the lowest-id doc per
     // normalized text, all columns carried.

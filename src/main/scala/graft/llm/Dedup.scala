@@ -65,6 +65,63 @@ object Dedup {
     else (0 to ws.size - n).map(i => ws.slice(i, i + n).mkString(" "))
   }
 
+  /** Corpus-wide duplicated character spans (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" exact-
+    * substring signal, bucketed): fixed-`width` windows at `stride`
+    * offsets over the lowercased text, hashed; a span hash appearing in
+    * ≥ 2 distinct documents marks boilerplate / licensing headers /
+    * templated text that document-level dedup cannot see.
+    *
+    * Returns (span_hash, n_docs, n_occ). Scale posture: only
+    * (id, 60-bit hash) pairs enter the shuffle — document text never
+    * moves; the group-by gets map-side partial aggregation. A full
+    * suffix-array pass is strictly stronger but needs global sorting of
+    * the corpus; stride-bucketed windows are the standard scalable
+    * approximation (any duplicated run ≥ width+stride chars is
+    * guaranteed to share at least one full window).
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      width: Int = 40, stride: Int = 20): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val t = lower(col(textCol))
+    // Column `/` is double division; floor+cast gives the integer count
+    // (length >= width here, so floor == truncation == DuckDB's `//`).
+    val nSpans = when(length(t) >= width,
+      floor((length(t) - width) / stride).cast("int") + 1).otherwise(lit(0))
+    df.select(col(idCol).as("_id"),
+        explode(when(nSpans > lit(0),
+          transform(sequence(lit(1), nSpans),
+            i => TextStats.portableHash(t.substr((i - lit(1)) * stride + lit(1), lit(width)))))
+          .otherwise(array().cast("array<bigint>"))).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 2)
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * `shingleN`-gram with a held-out benchmark set (the standard
+    * n-gram-overlap contamination check run before training). Returns
+    * (idCol, n_contaminated) — the count of DISTINCT shared n-grams per
+    * flagged document; clean documents are absent.
+    *
+    * Scale posture: both sides reduce to (id, 60-bit gram hash) before
+    * any join; the benchmark gram set is tiny next to the corpus, so
+    * the semi-join broadcasts. Corpus text never shuffles.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 5): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("_id"),
+        explode(shinglesUdf(shingleN)(TextStats.tokens(col(textCol)))).as("_g"))
+      .select(col("_id"), TextStats.portableHash(col("_g")).as("gram_hash"))
+      .distinct()
+    grams(corpus)
+      .join(grams(bench).select("gram_hash").distinct(), Seq("gram_hash"), "left_semi")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** MinHash permutation constants: k pairs (a_i, b_i) for
     * h_i(x) = (a_i * x + b_i) mod (2^31-1). Deterministic, seeded.
     */

@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Portable
+
+/** Corpus ranking / retrieval scoring (SURVEY.md §2.4 extension):
+  * document-frequency statistics and Okapi BM25 scoring of a corpus
+  * against a fixed term set — the "score every document against the
+  * quality/topic probe terms" pass of a training-data pipeline.
+  *
+  * Scale posture (100 TB): the term filter applies BEFORE any shuffle,
+  * so only tokens matching the probe terms (a vanishing fraction of the
+  * corpus) ever enter the tf aggregation; document lengths are a
+  * compiled projection; corpus-level stats (N, avgdl) and per-term
+  * document frequencies are scalar/tiny frames joined by broadcast.
+  * The only corpus-keyed shuffle is the (id)-join of tf against doc
+  * length.
+  *
+  * Engine parity: idf uses the always-positive Lucene form
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))`; document length and avgdl are
+  * integer-valued doubles (exact under any summation order), so the
+  * DuckDB oracle reproduces the arithmetic bit-for-bit up to the final
+  * rounded sum.
+  */
+object Ranking {
+
+  /** Per-(doc, term) term frequencies for `terms` only. The `isin`
+    * filter runs scan-side — matching tokens are the only rows shuffled.
+    */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String]): DataFrame =
+    df.select(col(idCol), explode(TextStats.tokens(col(textCol))).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Okapi BM25 score of every matching document against `terms`
+    * (k1/b are the standard defaults). Returns (idCol, bm25) for
+    * documents containing at least one term.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val docLen = df.select(col(idCol),
+      size(TextStats.tokens(col(textCol))).cast("double").as("dl"))
+    val stats = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = termFrequencies(df, idCol, textCol, terms)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(docLen, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(Portable.round(sum(col("contrib")), 4).as("bm25"))
+  }
+}

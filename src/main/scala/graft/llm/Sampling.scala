@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset curation: train/val/test splitting, stratified
@@ -58,6 +59,29 @@ object Sampling {
       when(col(strataCol) === k, r).otherwise(els)
     }
     df.where(h < rateExpr * 10000.0)
+  }
+
+  /** Deterministic per-stratum cap: keep at most `maxPerKey` rows per
+    * value of `keyCol`, chosen by hash order (then id as tiebreak) —
+    * "at most N documents per domain/source", the over-represented-
+    * source guard of web-corpus curation. Hash order makes the kept set
+    * a pure function of (id, salt): reproducible across runs, engines
+    * (oracle-mirrored), and input partitionings, and changing the cap
+    * only grows/shrinks the kept set monotonically.
+    *
+    * One shuffle on `keyCol` (rank within stratum). Skew note: a single
+    * pathological stratum concentrates its rows in one task; at 100 TB
+    * cap enforcement for such strata should pre-aggregate counts — for
+    * strata under ~10M rows the window is the right plan.
+    */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String, maxPerKey: Int,
+                salt: String = "cap"): DataFrame = {
+    require(maxPerKey > 0, "maxPerKey must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unitHash(col(idCol), salt), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxPerKey)
+      .drop("_rn")
   }
 
   /** Greedy sequence packing: assign documents to fixed-token-budget

@@ -412,6 +412,236 @@ object Similarity {
         col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate pairs via k-means clustering + intra-cluster exact
+    * cosine. The quadratic all-pairs cost is confined to each cluster:
+    * at 100 TB, nClusters scales with corpus size so cluster populations
+    * stay bounded, and the only corpus-wide operations are the
+    * (broadcast-centroid) assignment projection and one shuffle on
+    * `cluster_id` for the self-join.
+    *
+    * Approximate by construction: a pair straddling a cluster boundary
+    * is missed (the paper accepts this; recall is property-gated by
+    * q78's planted-pair fixture). All emitted pairs are exact-verified.
+    */
+  def semanticNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                           minCosine: Double, nClusters: Int = 16,
+                           iters: Int = 4,
+                           maxClusterSize: Int = Int.MaxValue): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)
+      .sortBy(_._1)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      var bestCell = Long.MinValue; var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val s = round6(cosFD(v, cents(i)._2))
+        if (s > bestSim) { bestSim = s; bestCell = cents(i)._1 }
+        i += 1
+      }
+      bestCell
+    }
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("cv"))
+      .withColumn("cluster_id", assignUdf(col("cv")))
+      .localCheckpoint() // k-means already scanned the corpus; assign once
+    // Degenerate-cluster guard (mirrors lshNearDupPairs.maxBucketSize).
+    val sized =
+      if (maxClusterSize == Int.MaxValue) assigned
+      else assigned.join(
+        assigned.groupBy("cluster_id").agg(count(lit(1)).as("_n"))
+          .where(col("_n") <= maxClusterSize).select("cluster_id"),
+        Seq("cluster_id"), "left_semi")
+    val a = sized.select(col("cluster_id"), col("id").as("id_a"), col("cv").as("cv_a"))
+    val b = sized.select(col("cluster_id"), col("id").as("id_b"), col("cv").as("cv_b"))
+    a.join(b, Seq("cluster_id"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Portable.round(cosineNative(col("cv_a"), col("cv_b")), 4))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  // -------------------------------------------------------------- //
+  // Product quantization (Jégou et al. 2011): codebooks + ADC top-k //
+  // -------------------------------------------------------------- //
+
+  /** Per-subspace L2 k-means codebooks over L2-NORMALIZED vectors:
+    * `m` subspaces of dim/m dims, `ks` centroids each. Same Spark shape
+    * as [[kmeansCentroids]] (broadcast-centroid assignment, one
+    * mapPartitions stats pass per iteration, driver reduces m×ks×subdim
+    * doubles) but L2 distance on subvectors — the PQ objective. Init is
+    * deterministic (subvectors of the first `ks` vectors by id).
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ks: Int, iters: Int = 4): Array[Array[Array[Double]]] = {
+    import corpus.sparkSession.implicits._
+    val base = corpus.select(col(vecCol)).as[Seq[Float]]
+    val dim = sampleCentroids(corpus, idCol, vecCol, 1).headOption
+      .map(_._2.length)
+      .getOrElse(return Array.fill(m)(Array.empty[Array[Double]]))
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    // books(s)(c)(j): init from the first ks corpus vectors (normalized).
+    val init = sampleCentroids(corpus, idCol, vecCol, ks).map(_._2)
+      .map(v => { val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n) })
+    val books = Array.tabulate(m, ks)((s, c) =>
+      init(c % init.length).slice(s * sub, (s + 1) * sub))
+    var it = 0
+    while (it < iters) {
+      val cur = books.map(_.map(_.clone()))
+      val stats = base.mapPartitions { rows =>
+        val sums = Array.ofDim[Double](m * ks, sub)
+        val counts = new Array[Long](m * ks)
+        rows.foreach { raw =>
+          // L2-normalize so ADC dot == cosine downstream.
+          var nn = 0.0
+          raw.foreach(x => nn += x.toDouble * x.toDouble)
+          val inv = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
+          var s = 0
+          while (s < m) {
+            var bi = 0; var bd = Double.MaxValue
+            var c = 0
+            while (c < ks) {
+              var d2 = 0.0
+              var j = 0
+              while (j < sub) {
+                val x = raw(s * sub + j).toDouble * inv - cur(s)(c)(j)
+                d2 += x * x
+                j += 1
+              }
+              if (d2 < bd) { bd = d2; bi = c }
+              c += 1
+            }
+            counts(s * ks + bi) += 1
+            var j = 0
+            while (j < sub) {
+              sums(s * ks + bi)(j) += raw(s * sub + j).toDouble * inv
+              j += 1
+            }
+            s += 1
+          }
+        }
+        Iterator.single((sums.flatten, counts))
+      }.collect()
+      val totSums = Array.ofDim[Double](m * ks, sub)
+      val totCounts = new Array[Long](m * ks)
+      stats.foreach { case (flat, cnts) =>
+        var c = 0
+        while (c < m * ks) {
+          totCounts(c) += cnts(c)
+          var j = 0
+          while (j < sub) { totSums(c)(j) += flat(c * sub + j); j += 1 }
+          c += 1
+        }
+      }
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ks) {
+          if (totCounts(s * ks + c) > 0) {
+            var j = 0
+            while (j < sub) {
+              books(s)(c)(j) = totSums(s * ks + c)(j) / totCounts(s * ks + c)
+              j += 1
+            }
+          } // empty cells keep their previous centroid
+          c += 1
+        }
+        s += 1
+      }
+      it += 1
+    }
+    books
+  }
+
+  /** PQ-ADC approximate top-k by cosine: encode the (normalized) corpus
+    * as `m` one-byte codes, score query→vector as the sum of per-
+    * subspace dot products looked up in the query's precomputed table
+    * (asymmetric distance computation), take the ADC top `rerank`
+    * candidates through the bounded heap, then exact-cosine rerank to
+    * the final k — the standard IVF-PQ serving shape.
+    *
+    * Scale posture: codes are a write-once materialization 4 bytes wide
+    * (dim×4 → m bytes, a 64× IO cut at m=4/dim=64); the scoring pass is
+    * a broadcast-queries × codes narrow scan whose shuffle carries ≤
+    * rerank rows per (map partition, query); the rerank join fetches
+    * only candidate vectors.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 4, ks: Int = 16,
+             iters: Int = 4, rerank: Int = 40): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, ks, iters)
+    val sub = books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+    val encodeUdf = udf { (raw: Seq[Float]) =>
+      var nn = 0.0
+      raw.foreach(x => nn += x.toDouble * x.toDouble)
+      val inv = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
+      Array.tabulate(m) { s =>
+        var bi = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < ks) {
+          var d2 = 0.0
+          var j = 0
+          while (j < sub) {
+            val x = raw(s * sub + j).toDouble * inv - books(s)(c)(j)
+            d2 += x * x
+            j += 1
+          }
+          if (d2 < bd) { bd = d2; bi = c }
+          c += 1
+        }
+        bi
+      }
+    }
+    // Query LUT: lut(s*ks + c) = dot(normalized q's subspace s, books(s)(c)).
+    val lutUdf = udf { (raw: Seq[Float]) =>
+      var nn = 0.0
+      raw.foreach(x => nn += x.toDouble * x.toDouble)
+      val inv = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
+      val lut = new Array[Double](m * ks)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ks) {
+          var d = 0.0
+          var j = 0
+          while (j < sub) { d += raw(s * sub + j).toDouble * inv * books(s)(c)(j); j += 1 }
+          lut(s * ks + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      lut
+    }
+    val adcUdf = udf { (lut: Seq[Double], code: Seq[Int]) =>
+      var t = 0.0
+      var s = 0
+      while (s < m) { t += lut(s * ks + code(s)); s += 1 }
+      t
+    }
+    val codes = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), encodeUdf(col(vecCol)).as("code"))
+    val q = broadcast(queries
+      .select(col(idCol).cast("long").as("query_id"), lutUdf(col(vecCol)).as("lut")))
+    val heap = udaf(new TopK.TopKAggregator(rerank))
+    val cand = q.join(codes, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", Portable.round(adcUdf(col("lut"), col("code")), 6))
+      .groupBy(col("query_id"))
+      .agg(heap(col("neighbor_id"), col("adc")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    // Exact rerank on candidates only.
+    val qv = broadcast(queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv")))
+    val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+    val topk = udaf(new TopK.TopKAggregator(k))
+    cand.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+      .withColumn("score", Portable.round(cosineNative(col("qv"), col("cv")), 4))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("score")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4× memory/IO cut for ANN serving (scale = max|x|/127 per vector;
     * q_i = round-half-away(x_i/scale) ∈ [−127,127]).

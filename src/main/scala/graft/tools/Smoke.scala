@@ -173,6 +173,35 @@ object Smoke {
     check("real PNG decode features", feats.where(
       $"width" =!= lit(16) + pmod($"doc_id", lit(16)).cast("int")).count() == 0)
 
+    // --- Round-4 additions: retrieval scoring, span dedup, PQ, spectra ---
+    val bm = graft.llm.Ranking.bm25(docs, "doc_id", "text", Seq("join", "vector", "slow"))
+    check("bm25 scores matching docs only", bm.count() > 0 && bm.count() <= docs.count())
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", width = 40, stride = 20)
+    check("duplicatedSpans n_docs>=2", spans.where($"n_docs" < 2).count() == 0)
+    val decon = Dedup.decontaminate(docs.where($"doc_id" % 50 =!= 0),
+      docs.where($"doc_id" % 50 === 0), "doc_id", "text", shingleN = 5)
+    check("decontaminate never flags benchmark ids",
+      decon.where($"doc_id" % 50 === 0).count() == 0)
+    val capped = graft.llm.Sampling.capPerKey(docs, "doc_id", "source", 20)
+    check("capPerKey bound holds",
+      capped.groupBy("source").count().agg(max("count")).as[Long].head() <= 20)
+    val semPairs = Similarity.semanticNearDupPairs(
+      emb.select("vec_id", "embedding").unionByName(emb.where($"vec_id" < 10)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding")),
+      "vec_id", "embedding", minCosine = 0.999, nClusters = 8, iters = 2)
+    check("semDeDup finds planted copies", semPairs.count() >= 10)
+    val pq = Similarity.pqTopK(emb, queriesDf, "vec_id", "embedding", k = 5,
+      m = 4, ks = 16, iters = 2, rerank = 20)
+    check("pqTopK k rows per query",
+      pq.groupBy("query_id").count().agg(max("count")).as[Long].head() == 5)
+    val wavMedia = docs.limit(16).select($"doc_id",
+      graft.llm.Multimodal.syntheticWavUdf($"doc_id").as("payload"))
+    val spectra = graft.llm.Multimodal.wavDominantFrequency(wavMedia, "doc_id", "payload")
+    check("wav spectral fundamental", spectra.where(
+      $"dominant_bin" =!= lit(400) / element_at(
+        typedLit(graft.llm.Multimodal.WavHalfPeriods.toSeq),
+        pmod($"doc_id", lit(8)).cast("int") + 1)).count() == 0)
+
     println(if (failures == 0) "[smoke] ALL OK" else s"[smoke] $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

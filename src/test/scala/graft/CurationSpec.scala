@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Ranking, Sampling, Similarity}
+
+/** Round-4 curation/retrieval operators: BM25, duplicated spans,
+  * decontamination, per-source caps, SemDeDup, PQ-ADC, WAV spectra.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  implicit val sp: org.apache.spark.sql.SparkSession = spark
+
+  // ---------------------------------------------------------------- //
+  // BM25                                                             //
+  // ---------------------------------------------------------------- //
+
+  test("bm25 matches a hand-computed fixture") {
+    // 4 docs, term "cat": df=2, N=4, dl = 3,3,2,4; avgdl = 3.0
+    val docs = Seq(
+      (1L, "cat dog bird"),      // tf(cat)=1, dl=3
+      (2L, "cat cat dog fish"),  // tf(cat)=2, dl=4
+      (3L, "dog fish"),
+      (4L, "bird bird bird")
+    ).toDF("doc_id", "text")
+    val out = Ranking.bm25(docs, "doc_id", "text", Seq("cat"), k1 = 1.2, b = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val idf = math.log(1.0 + (4.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    def score(tf: Double, dl: Double): Double =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    assert(math.abs(out(1L) - score(1, 3)) < 1e-4)
+    assert(math.abs(out(2L) - score(2, 4)) < 1e-4)
+    // more occurrences => higher score at comparable length
+    assert(out(2L) > out(1L))
+  }
+
+  test("bm25 of a universal term is near zero but positive (Lucene idf)") {
+    val docs = Seq((1L, "x a"), (2L, "x b"), (3L, "x c")).toDF("doc_id", "text")
+    val out = Ranking.bm25(docs, "doc_id", "text", Seq("x"))
+      .collect().map(_.getDouble(1))
+    assert(out.length == 3 && out.forall(s => s > 0 && s < 0.5))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Duplicated spans                                                 //
+  // ---------------------------------------------------------------- //
+
+  test("duplicatedSpans finds a shared window and ignores short docs") {
+    val boiler = "this license header is identical across both documents!"
+    // doc 3 is shorter than width -> contributes nothing
+    val docs = Seq(
+      (1L, boiler + " unique tail one"),
+      (2L, boiler + " other ending entirely"),
+      (3L, "short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", width = 40, stride = 20)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "shared 40-char prefix windows must be reported")
+    assert(rows.forall(_.getLong(1) == 2L)) // n_docs == 2 for every shared span
+  }
+
+  test("duplicatedSpans: no cross-doc duplicates -> empty") {
+    val docs = Seq(
+      (1L, "a" * 100), (2L, "b" * 100)
+    ).toDF("doc_id", "text")
+    // within-doc repeats collapse to one hash but n_docs==1 -> filtered
+    assert(Dedup.duplicatedSpans(docs, "doc_id", "text").count() == 0)
+  }
+
+  // ---------------------------------------------------------------- //
+  // Decontamination                                                  //
+  // ---------------------------------------------------------------- //
+
+  test("decontaminate flags only docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix text the quick brown fox jumps over suffix"), // shares 5-grams
+      (2L, "completely unrelated content with no overlap at all"),
+      (3L, "the quick brown fox leaps differently here")          // only 4-gram overlap
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text", shingleN = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert(out == Map(1L -> 2L))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Per-key cap                                                      //
+  // ---------------------------------------------------------------- //
+
+  test("capPerKey keeps at most N per key, deterministically, append-stably") {
+    val df = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val kept = Sampling.capPerKey(df, "id", "src", maxPerKey = 10)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.forall(_ == 10) && bySrc.size == 4)
+    // deterministic: same input -> same kept set
+    val again = Sampling.capPerKey(df, "id", "src", maxPerKey = 10)
+    assert(kept.select("id").except(again.select("id")).count() == 0)
+    // a larger cap strictly contains the smaller cap's kept set
+    val wider = Sampling.capPerKey(df, "id", "src", maxPerKey = 20)
+    assert(kept.select("id").except(wider.select("id")).count() == 0)
+  }
+
+  // ---------------------------------------------------------------- //
+  // SemDeDup                                                         //
+  // ---------------------------------------------------------------- //
+
+  test("semanticNearDupPairs recovers planted near-copies") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 60L).map { i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val planted = base.take(6).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 1e-4f))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDupPairs(corpus, "vec_id", "embedding",
+      minCosine = 0.999, nClusters = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 6L).map(i => (i, i + 1000L)).toSet
+    // every reported pair is exact-verified (precision 1); recall here
+    // must be total — 16-dim gaussians are far apart vs a 1e-4 nudge
+    assert(expected.subsetOf(pairs), s"missing: ${expected -- pairs}")
+    assert(pairs.forall { case (a, b) => expected.contains((a, b)) })
+  }
+
+  // ---------------------------------------------------------------- //
+  // Product quantization                                             //
+  // ---------------------------------------------------------------- //
+
+  test("pqCodebooks: m*ks centroids of subdim, deterministic across calls") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 80L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val b1 = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8, iters = 2)
+    assert(b1.length == 4 && b1.forall(_.length == 8) &&
+      b1.forall(_.forall(_.length == 4)))
+  }
+
+  test("pqTopK top-1 finds an exact duplicate; ranks are 1..k") {
+    val rnd = new scala.util.Random(9)
+    val base = (0L until 64L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    // vector 500 duplicates vector 3 exactly -> its true NN
+    val corpus = (base :+ ((500L, base(3)._2))).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") === 500L)
+    val out = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, m = 4, ks = 8, iters = 3, rerank = 16).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    val top = out.find(_.getInt(3) == 1).get
+    assert(top.getLong(1) == 3L && top.getDouble(2) == 1.0)
+  }
+
+  // ---------------------------------------------------------------- //
+  // WAV spectra                                                      //
+  // ---------------------------------------------------------------- //
+
+  test("wavDominantFrequency: square-wave fundamental for every half-period") {
+    val media = (0L until 8L).toDF("doc_id")
+      .select(col("doc_id"), Multimodal.syntheticWavUdf(col("doc_id")).as("payload"))
+    val out = Multimodal.wavDominantFrequency(media, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 8)
+    out.foreach { case (id, n, bin) =>
+      assert(n == 800L)
+      val h = Multimodal.WavHalfPeriods((id % 8).toInt)
+      assert(bin == 400L / h, s"doc $id: bin $bin != ${400 / h} (h=$h)")
+    }
+  }
+
+  test("wavDominantFrequency: pure sine lands on its own bin") {
+    // 8 cycles over 800 samples -> bin 8
+    val samples = Array.tabulate(800)(i =>
+      (12000 * math.sin(2 * math.Pi * 8 * i / 800)).toShort)
+    val wav = Multimodal.wavBytes(samples)
+    val media = Seq((1L, wav)).toDF("doc_id", "payload")
+    val out = Multimodal.wavDominantFrequency(media, "doc_id", "payload").collect()
+    assert(out.head.getLong(2) == 8L)
+  }
+}
