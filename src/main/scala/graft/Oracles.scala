@@ -633,6 +633,29 @@ object Oracles {
              ORDER BY ${pHash("doc_id::VARCHAR || '|cap'")} % 10000, doc_id) AS rn
          FROM documents)
          SELECT doc_id, source FROM r WHERE rn <= 20""",
+    "q77_bigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($WS) AS w FROM documents),
+         cnt AS (SELECT w, count(*)::DOUBLE AS cw FROM tok GROUP BY w),
+         tot AS (SELECT count(*)::DOUBLE AS n FROM tok),
+         tl AS (SELECT doc_id, $WS AS ws FROM documents),
+         pr AS (SELECT doc_id, unnest(generate_series(2, len(ws))) AS i, ws
+                FROM tl WHERE len(ws) >= 2),
+         pw AS (SELECT doc_id, ws[i-1] AS w1, ws[i] AS w2 FROM pr),
+         bc AS (SELECT w1, w2, count(*)::DOUBLE AS cb FROM pw GROUP BY 1, 2)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(log10(0.75 * (cb / c1.cw) + (1.0 - 0.75) * (c2.cw / n))), 4) AS avg_logp
+         FROM pw
+         JOIN bc USING (w1, w2)
+         JOIN cnt c1 ON pw.w1 = c1.w
+         JOIN cnt c2 ON pw.w2 = c2.w
+         CROSS JOIN tot
+         GROUP BY doc_id""",
+    // q7B: perceptual-hash pair census — the closed form is the pattern
+    // census (doc_id % 30), reached ONLY if byte-distinct re-encodes
+    // hash identically and no two patterns collide.
+    "q7B_image_phash" ->
+      """SELECT sum(c * (c - 1) // 2)::BIGINT AS n_pairs, true AS all_same_pattern
+         FROM (SELECT doc_id % 30 AS r, count(*) AS c FROM documents GROUP BY 1)""",
     // q78/q79: property oracles (q6B/q63 pattern) — planted-pair count /
     // query census computable blind; the boolean gates carry the recall.
     "q78_semdedup_recall" ->

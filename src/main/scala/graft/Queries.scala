@@ -906,6 +906,27 @@ object Queries {
       Sampling.capPerKey(T.documents(s, d), "doc_id", "source", maxPerKey = 20)
         .select(col("doc_id"), col("source"))
     }),
+    // Corpus-trained interpolated bigram LM score (sharper perplexity
+    // proxy than q6C's unigram; λ=0.75 conditional + 0.25 unigram).
+    "q77_bigram_lm" -> ((s, d) => {
+      TextStats.bigramLmScore(T.documents(s, d), "doc_id", "text")
+    }),
+    // REAL image perceptual-hash near-dup: textured PNGs planted so
+    // byte-distinct re-encodes (one-pixel perturbation) of a pattern
+    // share an aHash; pair census must equal the closed-form pattern
+    // census AND no two patterns may collide.
+    "q7B_image_phash" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val media = T.documents(s, d).select(col("doc_id"),
+        Multimodal.syntheticTexturedPngUdf(col("doc_id")).as("payload"))
+      Multimodal.imagePerceptualHash(media, "doc_id", "payload")
+        .withColumn("r", pmod(col("doc_id"), lit(30)))
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("c"), countDistinct(col("r")).as("npat"))
+        .agg(sum(col("c") * (col("c") - 1) / lit(2)).cast("long").as("n_pairs"),
+          (max(when(col("c") >= 2, col("npat")).otherwise(lit(1L))) === 1L)
+            .as("all_same_pattern"))
+    }),
     // SemDeDup recall gate (q6B's planted-pair pattern): k-means
     // clustering + intra-cluster exact cosine must recover ≥ 80% of the
     // planted near-copies (misses only cluster-straddling pairs;

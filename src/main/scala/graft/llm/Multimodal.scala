@@ -255,6 +255,91 @@ object Multimodal {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Deterministic textured PNG: block-aligned pseudo-random texture
+    * keyed by `pattern` (4×4-pixel solid blocks whose colors are a hash
+    * of (pattern, block)), so each pattern's block-mean aHash is
+    * effectively a random 64-bit value — distinct patterns collide with
+    * probability ~2⁻⁶⁴ (a plain gradient family would not: aHash is
+    * invariant to uniform luminance offsets, so offset-shifted gradients
+    * alias). With `perturb`, one pixel's blue channel shifts by +1 — the
+    * payload BYTES change but the perceptual hash must not (the
+    * image-near-dup planting device for q7B).
+    */
+  def syntheticTexturedPng(pattern: Long, perturb: Boolean): Array[Byte] =
+    pngBytes(32, 32, (x, y) => {
+      val seed = pattern * 1000003L + (x >> 2) * 8191L + (y >> 2) * 131L
+      val mixed = (seed ^ (seed >>> 13)) * 2654435761L
+      val r = ((mixed >>> 8) & 0xff).toInt
+      val g = ((mixed >>> 16) & 0xff).toInt
+      var b = ((mixed >>> 24) & 0xff).toInt
+      if (perturb && x == 5 && y == 7) b = math.min(b + 1, 255)
+      (r << 16) | (g << 8) | b
+    })
+
+  val syntheticTexturedPngUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long) => syntheticTexturedPng(id % 30, id % 2 == 1) }
+
+  final case class PHashRow(doc_id: Long, width: Int, height: Int, phash: Long)
+
+  /** REAL image perceptual hash (block-mean aHash): decode, reduce to a
+    * `grid`×`grid` block-mean luminance thumbnail (ITU-R 601 gray in
+    * double), emit one bit per block — 1 iff the block mean strictly
+    * exceeds the mean of all block means — packed into a LONG. Byte-
+    * level changes that don't move block luminance (recompression,
+    * single-pixel noise) keep the hash; different content flips bits.
+    * Near-dup detection is then hash equality (or banded Hamming, as
+    * SimHash) — the image twin of document fingerprinting.
+    * `mapPartitions`, executor-side, one decode + one pixel pass per row.
+    */
+  def imagePerceptualHash(df: DataFrame, idCol: String, payloadCol: String,
+                          grid: Int = 8)
+                         (implicit spark: SparkSession): DataFrame = {
+    require(grid >= 2 && grid * grid <= 64, "grid^2 bits must pack into a LONG")
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for id=$id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = Array.ofDim[Double](grid * grid)
+          val counts = new Array[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            val by = y * grid / h
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val gray = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+                0.114 * (p & 0xff)
+              val bi = by * grid + x * grid / w
+              sums(bi) += gray; counts(bi) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var mean = 0.0
+          var i = 0
+          while (i < grid * grid) {
+            sums(i) = if (counts(i) == 0) 0.0 else sums(i) / counts(i)
+            mean += sums(i)
+            i += 1
+          }
+          mean /= (grid * grid)
+          var hash = 0L
+          i = 0
+          while (i < grid * grid) {
+            if (sums(i) > mean) hash |= (1L << i)
+            i += 1
+          }
+          PHashRow(id, w, h, hash)
+        }
+      }
+      .toDF()
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   final case class SpectralFeatures(doc_id: Long, n_samples: Long,
                                     dominant_bin: Long)
 

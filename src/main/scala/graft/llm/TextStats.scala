@@ -366,6 +366,41 @@ object TextStats {
         Portable.round(avg(log10(col("_c") / col("_n"))), 4).as("avg_logp"))
   }
 
+  /** Corpus-trained interpolated bigram LM score: mean log10 of
+    * λ·P(w_i|w_{i-1}) + (1−λ)·P(w_i) over each document's adjacent
+    * token pairs (λ = 0.75) — a sharper perplexity proxy than
+    * [[unigramLmScore]] (word-salad documents score low even when their
+    * unigrams are common). Documents with fewer than 2 tokens are
+    * absent.
+    *
+    * Scale: two count shuffles (unigram + bigram vocab) and the
+    * pair→count joins; both joins are Zipf-skewed on frequent pairs —
+    * AQE's skew-join handling applies, same note as q6C.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("_w"))
+    val vocab = tok.groupBy(col("_w")).agg(count(lit(1)).cast("double").as("_cw"))
+    val total = vocab.agg(sum(col("_cw")).as("_n"))
+    val pairs = df.select(col(idCol), tokens(col(textCol)).as("_ws"))
+      .where(size(col("_ws")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(2), size(col("_ws"))),
+        i => struct(element_at(col("_ws"), i - 1).as("w1"),
+          element_at(col("_ws"), i).as("w2")))).as("_p"))
+      .select(col(idCol), col("_p.w1").as("_w1"), col("_p.w2").as("_w2"))
+    val bigrams = pairs.groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).cast("double").as("_cb"))
+    pairs
+      .join(bigrams, Seq("_w1", "_w2"))
+      .join(vocab.select(col("_w").as("_w1"), col("_cw").as("_c1")), Seq("_w1"))
+      .join(vocab.select(col("_w").as("_w2"), col("_cw").as("_c2")), Seq("_w2"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Portable.round(avg(log10(
+          lit(0.75) * (col("_cb") / col("_c1")) +
+            lit(1.0 - 0.75) * (col("_c2") / col("_n")))), 4).as("avg_logp"))
+  }
+
   /** PII redaction: replace e-mail addresses and IPv4 literals with
     * typed placeholders. A pure codegen'd `regexp_replace` chain using
     * RE2-compatible patterns (no backrefs/lookarounds) so the pass runs

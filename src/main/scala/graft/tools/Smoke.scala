@@ -194,6 +194,13 @@ object Smoke {
       m = 4, ks = 16, iters = 2, rerank = 20)
     check("pqTopK k rows per query",
       pq.groupBy("query_id").count().agg(max("count")).as[Long].head() == 5)
+    val blm = graft.llm.TextStats.bigramLmScore(docs, "doc_id", "text")
+    check("bigramLm scores multi-token docs", blm.count() > 0 && blm.count() <= docs.count())
+    val phashMedia = docs.limit(60).select($"doc_id",
+      graft.llm.Multimodal.syntheticTexturedPngUdf($"doc_id").as("payload"))
+    val ph = graft.llm.Multimodal.imagePerceptualHash(phashMedia, "doc_id", "payload")
+    check("phash groups by pattern", ph.select("phash").distinct().count() ==
+      ph.select(pmod($"doc_id", lit(30))).distinct().count())
     val wavMedia = docs.limit(16).select($"doc_id",
       graft.llm.Multimodal.syntheticWavUdf($"doc_id").as("payload"))
     val spectra = graft.llm.Multimodal.wavDominantFrequency(wavMedia, "doc_id", "payload")

@@ -155,6 +155,53 @@ class CurationSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------- //
+  // Bigram LM                                                        //
+  // ---------------------------------------------------------------- //
+
+  test("bigramLmScore: repeated bigrams score higher than unseen-pair salad") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat sat"),
+      (4L, "sat ran the")  // same unigrams, unseen/rare bigram order
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextStats.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._1 == 2L) // 3 tokens -> 2 bigrams
+    // "the cat" occurs 3x; doc 4's bigrams occur once each
+    assert(out(1L)._2 > out(4L)._2)
+    assert(out(1L)._2 == out(3L)._2) // identical docs, identical score
+  }
+
+  test("bigramLmScore: sub-2-token docs are absent") {
+    val docs = Seq((1L, "single"), (2L, "two tokens")).toDF("doc_id", "text")
+    val out = graft.llm.TextStats.bigramLmScore(docs, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Image perceptual hash                                            //
+  // ---------------------------------------------------------------- //
+
+  test("imagePerceptualHash: byte-distinct perturbation keeps the hash, patterns differ") {
+    // all 30 q7B patterns, clean + perturbed
+    val rows = (0L until 30L).flatMap { p =>
+      Seq((p * 2, Multimodal.syntheticTexturedPng(p, perturb = false)),
+        (p * 2 + 1, Multimodal.syntheticTexturedPng(p, perturb = true)))
+    }
+    // the perturbed payload really is byte-distinct
+    assert(!java.util.Arrays.equals(rows(0)._2, rows(1)._2))
+    val out = Multimodal.imagePerceptualHash(
+      rows.toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    (0L until 30L).foreach { p =>
+      assert(out(p * 2) == out(p * 2 + 1),
+        s"pattern $p: single-pixel noise must not move the aHash")
+    }
+    assert((0L until 30L).map(p => out(p * 2)).distinct.size == 30,
+      "all 30 patterns must hash apart")
+  }
+
+  // ---------------------------------------------------------------- //
   // WAV spectra                                                      //
   // ---------------------------------------------------------------- //
 
