@@ -69,6 +69,13 @@ object Oracles {
   /** Engine-portable 60-bit hash (mirrors TextStats.portableHash). */
   private def pHash(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
 
+  /** Count-Min fragments (mirror Sketches.bucketOf / cmsCoeffs). */
+  private val cmsW = 1024
+  private def cmsBucketSql(hExpr: String, j: Int): String = {
+    val (a, b) = graft.llm.Sketches.cmsCoeffs(4)(j)
+    s"((($a * (($hExpr) % 2147483647)) + $b) % 2147483647) % $cmsW"
+  }
+
   /** Hourly OHLCV candles per event_type (mirrors eventCandles). */
   private def hourlyCandles(where: String): String =
     s"""SELECT event_type AS code, date_trunc('hour', ts) AS ts,
@@ -633,6 +640,31 @@ object Oracles {
              ORDER BY ${pHash("doc_id::VARCHAR || '|cap'")} % 10000, doc_id) AS rn
          FROM documents)
          SELECT doc_id, source FROM r WHERE rn <= 20""",
+    // q7C: the Count-Min sketch is deterministic (seeded hashes over the
+    // portable md5), so the oracle rebuilds the identical 4×1024 table
+    // and the estimates hash-match exactly — plus the one-sided bound.
+    "q7C_count_min" -> {
+      val probes = Seq("the", "data", "join", "vector", "graftabsentword")
+      val probeList = probes.map(p => s"'$p'").mkString(", ")
+      val arms = (0 until 4).map(j =>
+        s"SELECT $j AS row, ${cmsBucketSql("ph", j)} AS bucket, count(*) AS cnt FROM ph GROUP BY 2")
+        .mkString(" UNION ALL ")
+      val probeArms = (0 until 4).map(j =>
+        s"SELECT word, $j AS row, ${cmsBucketSql(pHash("word"), j)} AS bucket FROM probes")
+        .mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT unnest($WS) AS w FROM documents),
+         ph AS (SELECT ${pHash("w")} AS ph FROM tok),
+         cms AS ($arms),
+         probes AS (SELECT unnest([$probeList]) AS word),
+         pb AS ($probeArms),
+         est AS (SELECT word, min(coalesce(cnt, 0)) AS cms_est
+                 FROM pb LEFT JOIN cms USING (row, bucket) GROUP BY 1),
+         exact AS (SELECT w AS word, count(*) AS exact_cnt FROM tok
+                   WHERE w IN ($probeList) GROUP BY 1)
+         SELECT word, coalesce(exact_cnt, 0) AS exact_cnt, cms_est,
+           cms_est >= coalesce(exact_cnt, 0) AS lower_bound_ok
+         FROM est LEFT JOIN exact USING (word)"""
+    },
     "q77_bigram_lm" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WS) AS w FROM documents),
          cnt AS (SELECT w, count(*)::DOUBLE AS cw FROM tok GROUP BY w),

@@ -906,6 +906,14 @@ object Queries {
       Sampling.capPerKey(T.documents(s, d), "doc_id", "source", maxPerKey = 20)
         .select(col("doc_id"), col("source"))
     }),
+    // Count-Min sketch frequency estimates (the third classic sketch
+    // next to HLL q29 and approx-percentile q4G): deterministic seeded
+    // hashes make the whole 4×1024 table + estimates oracle-checkable
+    // bit-for-bit, plus the analytic one-sided bound est >= exact.
+    "q7C_count_min" -> ((s, d) => {
+      graft.llm.Sketches.countMinEstimates(T.documents(s, d), "text",
+        Seq("the", "data", "join", "vector", "graftabsentword"))
+    }),
     // Corpus-trained interpolated bigram LM score (sharper perplexity
     // proxy than q6C's unigram; λ=0.75 conditional + 0.25 unigram).
     "q77_bigram_lm" -> ((s, d) => {

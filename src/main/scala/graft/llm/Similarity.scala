@@ -593,7 +593,7 @@ object Similarity {
       }
     }
     // Query LUT: lut(s*ks + c) = dot(normalized q's subspace s, books(s)(c)).
-    val lutUdf = udf { (raw: Seq[Float]) =>
+    def lutOf(raw: Seq[Float]): Array[Double] = {
       var nn = 0.0
       raw.foreach(x => nn += x.toDouble * x.toDouble)
       val inv = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
@@ -612,19 +612,31 @@ object Similarity {
       }
       lut
     }
-    val adcUdf = udf { (lut: Seq[Double], code: Seq[Int]) =>
+    // Queries are broadcast-small by construction (as in bruteForceTopK):
+    // collect them once, precompute every query's LUT, and ship the LUT
+    // table to executors in the scoring UDF's closure. The candidate
+    // frame then carries only (query_id, neighbor_id, m bytes of code) —
+    // NOT a per-row m×ks-double LUT (an earlier revision joined the LUT
+    // through the candidate expansion and deserialized 64 boxed doubles
+    // per scored row: ~10× slower at identical results).
+    val luts: Map[Long, Array[Double]] = queries
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> lutOf(r.getSeq[Float](1))).toMap
+    val qIdsLit = array(luts.keys.toSeq.sorted.map(lit(_)): _*)
+    val adcUdf = udf { (qid: Long, code: Seq[Int]) =>
+      val lut = luts(qid)
       var t = 0.0
       var s = 0
       while (s < m) { t += lut(s * ks + code(s)); s += 1 }
-      t
+      round6(t)
     }
     val codes = corpus
       .select(col(idCol).cast("long").as("neighbor_id"), encodeUdf(col(vecCol)).as("code"))
-    val q = broadcast(queries
-      .select(col(idCol).cast("long").as("query_id"), lutUdf(col(vecCol)).as("lut")))
     val heap = udaf(new TopK.TopKAggregator(rerank))
-    val cand = q.join(codes, col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", Portable.round(adcUdf(col("lut"), col("code")), 6))
+    val cand = codes
+      .withColumn("query_id", explode(qIdsLit))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adcUdf(col("query_id"), col("code")))
       .groupBy(col("query_id"))
       .agg(heap(col("neighbor_id"), col("adc")).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("c"))

@@ -195,6 +195,18 @@ object Ingest {
     keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
   }
 
+  /** Stream–static enrichment join (SURVEY.md §2.3 extension): join a
+    * stream against a static dimension table. The static side is
+    * broadcast (dimension tables are small by definition), so the
+    * streaming side never shuffles — each micro-batch plans a
+    * broadcast-hash join, the only viable shape for per-event dimension
+    * enrichment on an unbounded stream. Left join keeps events with no
+    * dimension row (`unknown` handling stays with the caller).
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** Streaming OHLCV aggregation: ticks → tumbling-window candles with a
     * watermark (append mode emits each candle once its window closes).
     */

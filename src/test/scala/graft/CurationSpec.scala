@@ -155,6 +155,32 @@ class CurationSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------- //
+  // Count-Min sketch                                                 //
+  // ---------------------------------------------------------------- //
+
+  test("countMin: exact on collision-free data, lower bound always") {
+    val docs = Seq((1L, "alpha alpha alpha beta beta gamma")).toDF("doc_id", "text")
+    val out = graft.llm.Sketches.countMinEstimates(docs, "text",
+      Seq("alpha", "beta", "gamma", "absent"), width = 1 << 16, depth = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // 6 tokens in a 65536-wide sketch: collisions are impossible to
+    // matter here — estimates are exact, and the bound holds by design
+    assert(out("alpha") == ((3L, 3L, true)))
+    assert(out("beta") == ((2L, 2L, true)))
+    assert(out("gamma") == ((1L, 1L, true)))
+    assert(out("absent")._1 == 0L && out("absent")._3)
+  }
+
+  test("countMin table is depth x <=width and mass-preserving per row") {
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val t = graft.llm.Sketches.countMinTable(docs, "text", width = 64, depth = 3)
+    val rows = t.groupBy("row").agg(sum("cnt").as("mass")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every row of the sketch sees every token exactly once
+    assert(rows == Map(0 -> 10L, 1 -> 10L, 2 -> 10L))
+  }
+
+  // ---------------------------------------------------------------- //
   // Bigram LM                                                        //
   // ---------------------------------------------------------------- //
 

@@ -21,6 +21,32 @@ class StreamingSpec extends SparkSpec {
   private def c(code: String, t: String, o: Double): Candle =
     Candle("UPBIT", code, 60, ts(t), o, o + 1, o - 1, o + 0.5, 10.0, 0L)
 
+  test("stream-static enrichment join == batch join, static side broadcast") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("BTC", "Bitcoin"), ("ETH", "Ether")).toDF("code", "name")
+    val rows = Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2022-01-01 10:01:00", 2), c("DOGE", "2022-01-01 10:02:00", 3))
+    val stream = MemoryStream[Candle]
+    val joined = Ingest.enrichWithStatic(stream.toDF(), dim, Seq("code"))
+    val sink = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val query = joined.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // (the batch handed to foreachBatch re-plans from the already-
+        // joined rows, so the join plan is asserted batch-side below)
+        sink ++= batch.select("code", "name").collect()
+          .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("∅")))
+        ()
+      }.start()
+    stream.addData(rows); query.processAllAvailable(); query.stop()
+    assert(sink.toSet == Set(("BTC", "Bitcoin"), ("ETH", "Ether"), ("DOGE", "∅")))
+    // the same operator on a batch frame must plan a broadcast join —
+    // the per-micro-batch plan uses the same join strategy
+    val batchPlan = Ingest.enrichWithStatic(rows.toDF(), dim, Seq("code"))
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"),
+      s"stream-static enrichment must broadcast the dim:\n$batchPlan")
+  }
+
   test("micro-batched foreachBatch upsert == batch upsert of concatenation") {
     implicit val sqlCtx = spark.sqlContext
     val b1 = Seq(c("BTC", "2022-01-01 10:00:00", 1), c("BTC", "2022-01-01 10:01:00", 2))
