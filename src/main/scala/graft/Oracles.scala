@@ -640,6 +640,17 @@ object Oracles {
              ORDER BY ${pHash("doc_id::VARCHAR || '|cap'")} % 10000, doc_id) AS rn
          FROM documents)
          SELECT doc_id, source FROM r WHERE rn <= 20""",
+    "q7D_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+           len($WS)::INT AS n_words,
+           len(regexp_extract_all(text, '[.!?]+'))::INT AS n_sentences,
+           len(regexp_extract_all(lower(text), '[aeiouy]+'))::INT AS n_syllables
+         FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+             - 1.015 * (greatest(n_words, 1)::DOUBLE / greatest(n_sentences, 1)::DOUBLE)
+             - 84.6 * (n_syllables::DOUBLE / greatest(n_words, 1)::DOUBLE), 4) AS flesch
+         FROM c""",
     // q7C: the Count-Min sketch is deterministic (seeded hashes over the
     // portable md5), so the oracle rebuilds the identical 4×1024 table
     // and the estimates hash-match exactly — plus the one-sided bound.

@@ -906,6 +906,11 @@ object Queries {
       Sampling.capPerKey(T.documents(s, d), "doc_id", "source", maxPerKey = 20)
         .select(col("doc_id"), col("source"))
     }),
+    // Flesch reading-ease: regex-count sentences/words/syllable groups,
+    // codegen'd, scan speed; formula arithmetic mirrored in the oracle.
+    "q7D_readability" -> ((s, d) => {
+      TextStats.readabilityStats(T.documents(s, d), "doc_id", "text")
+    }),
     // Count-Min sketch frequency estimates (the third classic sketch
     // next to HLL q29 and approx-percentile q4G): deterministic seeded
     // hashes make the whole 4×1024 table + estimates oracle-checkable

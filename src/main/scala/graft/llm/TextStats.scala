@@ -401,6 +401,33 @@ object TextStats {
             lit(1.0 - 0.75) * (col("_c2") / col("_n")))), 4).as("avg_logp"))
   }
 
+  /** Flesch reading-ease score from portable regex counts: sentences =
+    * `[.!?]+` runs, words = whitespace tokens, syllables = `[aeiouy]+`
+    * vowel groups per word (the standard heuristic). All three counts
+    * and the formula are plain codegen'd expressions with exact DuckDB
+    * mirrors, so the score is oracle-checkable bit-for-bit. Zero-word /
+    * zero-sentence docs floor the denominators at 1 (both engines).
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    */
+  def readability(text: Column): Column = {
+    val words = greatest(size(tokens(text)), lit(1)).cast("double")
+    val sentences = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1)).cast("double")
+    val syllables = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("double")
+    lit(206.835) - lit(1.015) * (words / sentences) - lit(84.6) * (syllables / words)
+  }
+
+  /** Per-document readability frame (q7D): the raw counts + the score. */
+  def readabilityStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      size(tokens(t)).as("n_words"),
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).as("n_sentences"),
+      size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))).as("n_syllables"),
+      Portable.round(readability(t), 4).as("flesch"))
+  }
+
   /** PII redaction: replace e-mail addresses and IPv4 literals with
     * typed placeholders. A pure codegen'd `regexp_replace` chain using
     * RE2-compatible patterns (no backrefs/lookarounds) so the pass runs

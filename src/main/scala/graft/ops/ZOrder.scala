@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering for multi-dimensional data
+  * skipping. Parquet prunes row groups by per-file min/max statistics;
+  * a single-column sort gives tight bounds in ONE dimension and useless
+  * bounds in every other. Interleaving the bits of two key columns and
+  * range-partitioning on the result gives every output file a compact
+  * bounding box in BOTH dimensions, so range predicates on either (or
+  * both) skip most files — the standard layout optimization for
+  * "filter by time AND key" scans at 100 TB (Delta/Iceberg OPTIMIZE
+  * ZORDER; here as a plain DataFrame transform ahead of any parquet
+  * write).
+  *
+  * The z-value kernel is a compiled UDF (the repo's convention for hot
+  * per-row kernels); clustering is one range-repartition shuffle —
+  * exactly the cost of the single-column sort it replaces.
+  */
+object ZOrder {
+
+  /** Bit-interleave two non-negative coordinates: x takes even bits,
+    * y odd. `bitsPerDim` ≤ 31 keeps the result positive in a LONG.
+    */
+  private[graft] def interleave(x: Long, y: Long, bitsPerDim: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bitsPerDim) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  /** Morton z-value of two non-negative integer columns. */
+  def zValueUdf(bitsPerDim: Int = 21): UserDefinedFunction = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 31, "bitsPerDim in [1,31]")
+    udf { (x: Long, y: Long) =>
+      require(x >= 0 && y >= 0, "z-order coordinates must be non-negative")
+      interleave(x, y, bitsPerDim)
+    }
+  }
+
+  /** Cluster a frame along the z-curve of (xCol, yCol) into `nFiles`
+    * range partitions, each sorted by z-value — written as-is, every
+    * parquet file covers a contiguous z-range, i.e. a small bounding
+    * box in both dimensions. One shuffle (range repartition).
+    */
+  def cluster(df: DataFrame, xCol: String, yCol: String, nFiles: Int,
+              bitsPerDim: Int = 21): DataFrame = {
+    require(nFiles > 0, "nFiles must be positive")
+    val z = zValueUdf(bitsPerDim)(col(xCol).cast("long"), col(yCol).cast("long"))
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+}

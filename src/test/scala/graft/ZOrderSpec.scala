@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ZOrder
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave: known values and 2-D locality") {
+    assert(ZOrder.interleave(0L, 0L, 8) == 0L)
+    assert(ZOrder.interleave(3L, 0L, 8) == 5L)   // x -> even bits: 0b0101
+    assert(ZOrder.interleave(0L, 3L, 8) == 10L)  // y -> odd bits:  0b1010
+    assert(ZOrder.interleave(7L, 7L, 8) == 63L)
+    // prefix property: points in the same 2^k-aligned tile share z-prefix
+    val z = (x: Long, y: Long) => ZOrder.interleave(x, y, 16)
+    assert((z(17L, 42L) >> 8) == (z(19L, 40L) >> 8), "same 16x16 tile, same z-prefix")
+  }
+
+  test("z-order files bound BOTH dims; x-sort leaves y unbounded") {
+    // 64x64 grid, one point per cell, scrambled input order
+    val pts = scala.util.Random.shuffle((0 until 4096).toList)
+      .map(i => (i % 64, i / 64)).toDF("x", "y")
+    val nFiles = 16
+    val xDir = tmpDir("zorder-x")
+    val zDir = tmpDir("zorder-z")
+    pts.repartitionByRange(nFiles, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir)
+    ZOrder.cluster(pts, "x", "y", nFiles, bitsPerDim = 6)
+      .write.mode("overwrite").parquet(zDir)
+
+    def fileBounds(dir: String): Seq[(Int, Int, Int, Int)] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min("x"), max("x"), min("y"), max("y")).head()
+          (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+        }
+    }
+    val xb = fileBounds(xDir)
+    val zb = fileBounds(zDir)
+    assert(xb.size == nFiles && zb.size == nFiles)
+    // probe: y in [8, 16) — a pure-y range predicate
+    def hits(bs: Seq[(Int, Int, Int, Int)]) =
+      bs.count { case (_, _, yMin, yMax) => yMax >= 8 && yMin < 16 }
+    val xHits = hits(xb)
+    val zHits = hits(zb)
+    // x-sorted files each span all of y: nothing prunes
+    assert(xHits == nFiles, s"x-sorted layout should not prune y probes ($xHits)")
+    // z-ordered files have compact y ranges: most files prune
+    assert(zHits <= nFiles / 2, s"z-order must prune most files on a y probe ($zHits/$nFiles)")
+    // per-file y-extent: x-sorted slabs span ALL of y; z-order tiles
+    // stay compact in y too (both tilings cover the same total area —
+    // the win is bounded extent in EVERY dimension, not less area)
+    def yExtents(bs: Seq[(Int, Int, Int, Int)]) =
+      bs.map { case (_, _, yMin, yMax) => yMax - yMin + 1 }
+    assert(yExtents(xb).forall(_ == 64), "x-sorted files span all of y")
+    assert(yExtents(zb).forall(_ <= 20),
+      s"z-order files must stay compact in y (extents=${yExtents(zb)})")
+  }
+}
