@@ -615,12 +615,15 @@ object Oracles {
          FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
          GROUP BY doc_id""",
     "q71_dup_spans" ->
-      s"""WITH sp AS (SELECT doc_id,
-           unnest(list_transform(
-             generate_series(1, greatest((length(lower(text)) - 40) // 20 + 1, 0)),
-             i -> ${pHash("substr(lower(text), (i - 1) * 20 + 1, 40)")})) AS span_hash
-         FROM documents)
-         SELECT span_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+      s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),
+         sp AS (SELECT doc_id,
+           unnest(CASE WHEN len(ws) < 8 THEN []::VARCHAR[] ELSE
+             list_transform(generate_series(1, len(ws) - 7), i ->
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+               ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]) END) AS s
+         FROM tok)
+         SELECT ${pHash("s")} AS span_hash,
+           count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
          FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
     "q72_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),

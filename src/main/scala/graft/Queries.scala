@@ -887,11 +887,11 @@ object Queries {
       Ranking.bm25(T.documents(s, d), "doc_id", "text",
         Seq("join", "vector", "slow"))
     }),
-    // Corpus-wide duplicated character spans (exact-substring dedup
-    // signal, stride-bucketed): only (id, 60-bit hash) pairs shuffle.
+    // Corpus-wide duplicated word spans (exact-substring dedup signal,
+    // shift-invariant): only (id, 60-bit hash) pairs shuffle.
     "q71_dup_spans" -> ((s, d) => {
       Dedup.duplicatedSpans(T.documents(s, d), "doc_id", "text",
-        width = 40, stride = 20)
+        widthWords = 8)
     }),
     // Benchmark decontamination: corpus docs sharing any word 5-gram
     // with the held-out benchmark slice (doc_id % 50 == 0).

@@ -118,7 +118,21 @@ object Bpe {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        // Tie-break in UTF-8 BYTE order — the order Spark's orderBy on
+        // strings uses (UTF8String binary compare) and the vocab-cap
+        // orderBy above still uses; JVM String.compareTo is UTF-16
+        // code-unit order, which diverges on supplementary-plane chars.
+        def utf8Lt(p: String, q: String): Boolean =
+          java.util.Arrays.compareUnsigned(
+            p.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            q.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+        val ((a, b), cnt) = counts.reduceLeft { (best, cur) =>
+          val ((bx, by), bc) = best
+          val ((cx, cy), cc) = cur
+          val curWins = cc > bc || (cc == bc && (utf8Lt(cx, bx) ||
+            (cx == bx && utf8Lt(cy, by))))
+          if (curWins) cur else best
+        }
         if (cnt < minPairCount) done = true
         else {
           merges += ((a, b))

@@ -65,34 +65,35 @@ object Dedup {
     else (0 to ws.size - n).map(i => ws.slice(i, i + n).mkString(" "))
   }
 
-  /** Corpus-wide duplicated character spans (the Lee et al. 2022
-    * "Deduplicating Training Data Makes Language Models Better" exact-
-    * substring signal, bucketed): fixed-`width` windows at `stride`
-    * offsets over the lowercased text, hashed; a span hash appearing in
-    * ≥ 2 distinct documents marks boilerplate / licensing headers /
-    * templated text that document-level dedup cannot see.
+  /** Corpus-wide duplicated spans (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" exact-substring
+    * signal, bucketed at word granularity): every `widthWords`-word
+    * window of the lowercased token stream, hashed; a span hash
+    * appearing in ≥ 2 distinct documents marks boilerplate / licensing
+    * headers / templated text that document-level dedup cannot see.
+    *
+    * Windows are anchored on WORD boundaries at every position, which
+    * makes detection shift-invariant: however a duplicated run is
+    * offset inside its document (extra prefix text, reflowed
+    * whitespace), any shared run of ≥ widthWords words shares all its
+    * full windows. (A previous revision used fixed character offsets —
+    * document-start-aligned, so copies at offsets differing mod stride
+    * shared no window and went undetected.)
     *
     * Returns (span_hash, n_docs, n_occ). Scale posture: only
     * (id, 60-bit hash) pairs enter the shuffle — document text never
-    * moves; the group-by gets map-side partial aggregation. A full
-    * suffix-array pass is strictly stronger but needs global sorting of
-    * the corpus; stride-bucketed windows are the standard scalable
-    * approximation (any duplicated run ≥ width+stride chars is
-    * guaranteed to share at least one full window).
+    * moves; the group-by gets map-side partial aggregation; the window
+    * pass is the same compiled shingle kernel the MinHash pipeline
+    * runs. A full suffix-array pass is strictly stronger but needs a
+    * global sort of the corpus; word-window bucketing is the standard
+    * scalable approximation.
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                      width: Int = 40, stride: Int = 20): DataFrame = {
-    require(width > 0 && stride > 0, "width and stride must be positive")
-    val t = lower(col(textCol))
-    // Column `/` is double division; floor+cast gives the integer count
-    // (length >= width here, so floor == truncation == DuckDB's `//`).
-    val nSpans = when(length(t) >= width,
-      floor((length(t) - width) / stride).cast("int") + 1).otherwise(lit(0))
+                      widthWords: Int = 8): DataFrame = {
+    require(widthWords > 0, "widthWords must be positive")
     df.select(col(idCol).as("_id"),
-        explode(when(nSpans > lit(0),
-          transform(sequence(lit(1), nSpans),
-            i => TextStats.portableHash(t.substr((i - lit(1)) * stride + lit(1), lit(width)))))
-          .otherwise(array().cast("array<bigint>"))).as("span_hash"))
+        explode(shinglesUdf(widthWords)(TextStats.tokens(col(textCol)))).as("_s"))
+      .select(col("_id"), TextStats.portableHash(col("_s")).as("span_hash"))
       .groupBy(col("span_hash"))
       .agg(countDistinct(col("_id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .where(col("n_docs") >= 2)

@@ -9,13 +9,12 @@ import graft.Portable
   * against a fixed term set — the "score every document against the
   * quality/topic probe terms" pass of a training-data pipeline.
   *
-  * Scale posture (100 TB): the term filter applies BEFORE any shuffle,
-  * so only tokens matching the probe terms (a vanishing fraction of the
-  * corpus) ever enter the tf aggregation; document lengths are a
-  * compiled projection; corpus-level stats (N, avgdl) and per-term
-  * document frequencies are scalar/tiny frames joined by broadcast.
-  * The only corpus-keyed shuffle is the (id)-join of tf against doc
-  * length.
+  * Scale posture (100 TB): the corpus tokenizes once; the term filter
+  * applies BEFORE any shuffle, so only tokens matching the probe terms
+  * (a vanishing fraction of the corpus) ever enter the tf aggregation —
+  * which carries the document length along, so no corpus-keyed length
+  * join exists; corpus-level stats (N, avgdl) and per-term document
+  * frequencies are scalar/tiny frames joined by broadcast.
   *
   * Engine parity: idf uses the always-positive Lucene form
   * `ln(1 + (N - df + 0.5)/(df + 0.5))`; document length and avgdl are
@@ -38,18 +37,26 @@ object Ranking {
   /** Okapi BM25 score of every matching document against `terms`
     * (k1/b are the standard defaults). Returns (idCol, bm25) for
     * documents containing at least one term.
+    *
+    * The document length rides the tf aggregation (tokenize once,
+    * `first(dl)` inside the group), so there is no corpus-keyed
+    * length join — the only corpus-keyed shuffle is the (doc, term)
+    * aggregation of term-matching tokens.
     */
   def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val docLen = df.select(col(idCol),
-      size(TextStats.tokens(col(textCol))).cast("double").as("dl"))
-    val stats = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val tf = termFrequencies(df, idCol, textCol, terms)
+    val toks = df.select(col(idCol), TextStats.tokens(col(textCol)).as("_ws"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("_ws")).cast("double")).as("avgdl"))
+    val tf = toks
+      .select(col(idCol), size(col("_ws")).cast("double").as("dl"),
+        explode(col("_ws")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfreq), "term")
-      .join(docLen, Seq(idCol))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

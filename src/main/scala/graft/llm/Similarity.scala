@@ -475,14 +475,14 @@ object Similarity {
                   m: Int, ks: Int, iters: Int = 4): Array[Array[Array[Double]]] = {
     import corpus.sparkSession.implicits._
     val base = corpus.select(col(vecCol)).as[Seq[Float]]
-    val dim = sampleCentroids(corpus, idCol, vecCol, 1).headOption
-      .map(_._2.length)
-      .getOrElse(return Array.fill(m)(Array.empty[Array[Double]]))
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
-    // books(s)(c)(j): init from the first ks corpus vectors (normalized).
+    // books(s)(c)(j): init from the first ks corpus vectors (normalized);
+    // the same collect supplies the dimension (one job, not two).
     val init = sampleCentroids(corpus, idCol, vecCol, ks).map(_._2)
       .map(v => { val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n) })
+    if (init.isEmpty) return Array.fill(m)(Array.empty[Array[Double]])
+    val dim = init.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
     val books = Array.tabulate(m, ks)((s, c) =>
       init(c % init.length).slice(s * sub, (s + 1) * sub))
     var it = 0

@@ -72,7 +72,9 @@ object Sketches {
         struct(lit(j).as("row"), bucketOf(col("word"), j, width, coeffs).as("bucket"))): _*))
         .as("_rb"))
       .select(col("word"), col("_rb.row").as("row"), col("_rb.bucket").as("bucket"))
-    val est = broadcast(probeBuckets).join(table, Seq("row", "bucket"), "left")
+    // the CMS table is the build side: it is bounded by depth×width rows
+    // (constant), and a LEFT outer join can only broadcast its right side
+    val est = probeBuckets.join(broadcast(table), Seq("row", "bucket"), "left")
       .groupBy(col("word"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
     val exact = df.select(explode(TextStats.tokens(col(textCol))).as("word"))

@@ -40,6 +40,11 @@ object ZOrder {
     require(bitsPerDim >= 1 && bitsPerDim <= 31, "bitsPerDim in [1,31]")
     udf { (x: Long, y: Long) =>
       require(x >= 0 && y >= 0, "z-order coordinates must be non-negative")
+      // out-of-range coordinates would silently drop their high bits,
+      // collapsing far-apart values onto one z-value — fail loudly
+      require(x < (1L << bitsPerDim) && y < (1L << bitsPerDim),
+        s"z-order coordinate out of range: ($x, $y) >= 2^$bitsPerDim — " +
+          "rescale (e.g. bucket timestamps) or raise bitsPerDim")
       interleave(x, y, bitsPerDim)
     }
   }

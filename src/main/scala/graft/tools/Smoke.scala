@@ -176,7 +176,7 @@ object Smoke {
     // --- Round-4 additions: retrieval scoring, span dedup, PQ, spectra ---
     val bm = graft.llm.Ranking.bm25(docs, "doc_id", "text", Seq("join", "vector", "slow"))
     check("bm25 scores matching docs only", bm.count() > 0 && bm.count() <= docs.count())
-    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", width = 40, stride = 20)
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", widthWords = 8)
     check("duplicatedSpans n_docs>=2", spans.where($"n_docs" < 2).count() == 0)
     val decon = Dedup.decontaminate(docs.where($"doc_id" % 50 =!= 0),
       docs.where($"doc_id" % 50 === 0), "doc_id", "text", shingleN = 5)

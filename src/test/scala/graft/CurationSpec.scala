@@ -47,23 +47,28 @@ class CurationSpec extends SparkSpec {
   // Duplicated spans                                                 //
   // ---------------------------------------------------------------- //
 
-  test("duplicatedSpans finds a shared window and ignores short docs") {
-    val boiler = "this license header is identical across both documents!"
-    // doc 3 is shorter than width -> contributes nothing
+  test("duplicatedSpans is shift-invariant: offset copies still share spans") {
+    val boiler = "this license header is identical across both documents " +
+      "and it keeps going for quite a few more words here"
+    // doc 2 carries the SAME run at a shifted offset (extra prefix);
+    // doc 3 is shorter than the window -> contributes nothing
     val docs = Seq(
       (1L, boiler + " unique tail one"),
-      (2L, boiler + " other ending entirely"),
-      (3L, "short")
+      (2L, "x " + boiler + " other ending entirely"),
+      (3L, "short doc")
     ).toDF("doc_id", "text")
-    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", width = 40, stride = 20)
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", widthWords = 8)
     val rows = out.collect()
-    assert(rows.nonEmpty, "shared 40-char prefix windows must be reported")
+    assert(rows.nonEmpty, "shifted duplicate runs must still share word windows")
     assert(rows.forall(_.getLong(1) == 2L)) // n_docs == 2 for every shared span
+    // every full 8-word window of the shared run is reported
+    val runWindows = boiler.split("\\s+").length - 7
+    assert(rows.length == runWindows, s"${rows.length} != $runWindows")
   }
 
   test("duplicatedSpans: no cross-doc duplicates -> empty") {
     val docs = Seq(
-      (1L, "a" * 100), (2L, "b" * 100)
+      (1L, ("aa " * 20).trim), (2L, ("bb " * 20).trim)
     ).toDF("doc_id", "text")
     // within-doc repeats collapse to one hash but n_docs==1 -> filtered
     assert(Dedup.duplicatedSpans(docs, "doc_id", "text").count() == 0)

@@ -18,8 +18,9 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("z-order files bound BOTH dims; x-sort leaves y unbounded") {
-    // 64x64 grid, one point per cell, scrambled input order
-    val pts = scala.util.Random.shuffle((0 until 4096).toList)
+    // 64x64 grid, one point per cell, scrambled input order (seeded:
+    // RangePartitioner bounds are sample-derived from input order)
+    val pts = new scala.util.Random(42).shuffle((0 until 4096).toList)
       .map(i => (i % 64, i / 64)).toDF("x", "y")
     val nFiles = 16
     val xDir = tmpDir("zorder-x")
@@ -58,7 +59,9 @@ class ZOrderSpec extends SparkSpec {
     def yExtents(bs: Seq[(Int, Int, Int, Int)]) =
       bs.map { case (_, _, yMin, yMax) => yMax - yMin + 1 }
     assert(yExtents(xb).forall(_ == 64), "x-sorted files span all of y")
-    assert(yExtents(zb).forall(_ <= 20),
+    // bound 32 (not the ideal 16): sampled range bounds can straddle a
+    // Morton tile transition, unioning two adjacent tiles' y ranges
+    assert(yExtents(zb).forall(_ <= 32),
       s"z-order files must stay compact in y (extents=${yExtents(zb)})")
   }
 }
