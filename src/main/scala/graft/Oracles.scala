@@ -643,6 +643,17 @@ object Oracles {
              ORDER BY ${pHash("doc_id::VARCHAR || '|cap'")} % 10000, doc_id) AS rn
          FROM documents)
          SELECT doc_id, source FROM r WHERE rn <= 20""",
+    // q7E: as-of-tx-2 state = last-wins of the first two committed
+    // slices (tx2 = event_id%3==2 beats tx1 = event_id%3==1); the third
+    // commit is invisible.
+    "q7E_store_asof" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 = 1")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 2")}),
+         u AS (SELECT *, 1 AS src FROM b UNION ALL SELECT *, 0 AS src FROM a),
+         r AS (SELECT *, row_number() OVER (PARTITION BY code, ts ORDER BY src DESC) AS rn FROM u)
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume
+         FROM r WHERE rn = 1""",
     "q7D_readability" ->
       s"""WITH c AS (SELECT doc_id,
            len($WS)::INT AS n_words,

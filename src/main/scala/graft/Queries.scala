@@ -639,6 +639,24 @@ object Queries {
     CandleStore(s, path)
   }
 
+  private val vstoreCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build (once per sfDir) a versioned store from three disjoint
+    * event slices committed in tx order 1, 2, 3.
+    */
+  private def versionedStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
+    val path = vstoreCache.getOrElseUpdate(d, {
+      val p = Files.createTempDirectory("graft-qvstore").toString + "/v"
+      val ev = T.events(s, d)
+      val st = graft.store.VersionedCandleStore(s, p)
+      st.commit(eventCandles(ev.where(col("event_id") % 3 === 1)))
+      st.commit(eventCandles(ev.where(col("event_id") % 3 === 2)))
+      st.commit(eventCandles(ev.where(col("event_id") % 3 === 0)))
+      p
+    })
+    graft.store.VersionedCandleStore(s, path)
+  }
+
   private val streamCache = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Structured-Streaming ingest differential: split the events table
@@ -795,6 +813,18 @@ object Queries {
           java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
           java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
         .select(col("ts"), Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // Versioned store, read AS OF tx 2 of 3: time travel over the
+    // append-only tx-stamped layout (reference LastTxId semantics,
+    // page/header.go:13-23 + wal/counter.go). The oracle reconstructs
+    // the first-two-batches last-wins state; the third committed batch
+    // must be invisible.
+    "q7E_store_asof" -> ((s, d) => {
+      versionedStore(s, d).scanAsOf(2L)
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
     }),
     // Series catalog: the reference's page-header fields per series-year

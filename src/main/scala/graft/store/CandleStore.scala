@@ -49,17 +49,8 @@ final class CandleStore(spark: SparkSession, val path: String) {
     * it on the store's construction-time session would leave streaming
     * upserts on INT96 and silently degrade the footer-metadata reads).
     */
-  private def withMicrosTimestamps[T](df: DataFrame)(f: => T): T = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = conf.getOption(key)
-    conf.set(key, "TIMESTAMP_MICROS")
-    try f
-    finally prev match {
-      case Some(v) => conf.set(key, v)
-      case None => conf.unset(key)
-    }
-  }
+  private def withMicrosTimestamps[T](df: DataFrame)(f: => T): T =
+    CandleStore.withMicrosTimestamps(df)(f)
 
   /** Full table scan (schema-on-read; callers filter for pruning). */
   def scan(): DataFrame = spark.read.parquet(path)
@@ -381,4 +372,20 @@ final class CandleStore(spark: SparkSession, val path: String) {
 object CandleStore {
   def apply(spark: SparkSession, path: String): CandleStore =
     new CandleStore(spark, path)
+
+  /** See the doc on the class-side alias: store writes are pinned to
+    * TIMESTAMP_MICROS on the session executing the write (the batch
+    * frame's own session — a per-batch clone under foreachBatch).
+    */
+  private[store] def withMicrosTimestamps[T](df: DataFrame)(f: => T): T = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = conf.getOption(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try f
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
 }

@@ -209,6 +209,13 @@ object Smoke {
         typedLit(graft.llm.Multimodal.WavHalfPeriods.toSeq),
         pmod($"doc_id", lit(8)).cast("int") + 1)).count() == 0)
 
+    val vst = graft.store.VersionedCandleStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-smoke-vstore").toString + "/v")
+    vst.commit(b1)
+    vst.commit(b2)
+    check("versioned store as-of tx1 != latest",
+      vst.scanAsOf(1L).count() == 3 && vst.scan().count() == 4 && vst.latestTxId == 2L)
+
     println(if (failures == 0) "[smoke] ALL OK" else s"[smoke] $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)
