@@ -614,6 +614,19 @@ object Oracles {
              * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))), 4) AS bm25
          FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
          GROUP BY doc_id""",
+    "q7F_top_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($WS) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE length(term) > 0 GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         sc AS (SELECT doc_id, term, tf * ln((n_docs + 1.0) / (df + 1.0)) AS s
+                FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, s,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rn
+               FROM sc)
+         SELECT doc_id, term, rn::INT AS rank, round(s, 4) AS tfidf
+         FROM r WHERE rn <= 5""",
     "q71_dup_spans" ->
       s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),
          sp AS (SELECT doc_id,

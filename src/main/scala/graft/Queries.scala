@@ -917,6 +917,12 @@ object Queries {
       Ranking.bm25(T.documents(s, d), "doc_id", "text",
         Seq("join", "vector", "slow"))
     }),
+    // Per-document top-5 TF-IDF keywords (smoothed idf; deterministic
+    // term-ascending tie-break — scores are single products of exact
+    // integers, bit-identical across engines).
+    "q7F_top_terms" -> ((s, d) => {
+      Ranking.topTerms(T.documents(s, d), "doc_id", "text", k = 5)
+    }),
     // Corpus-wide duplicated word spans (exact-substring dedup signal,
     // shift-invariant): only (id, 60-bit hash) pairs shuffle.
     "q71_dup_spans" -> ((s, d) => {

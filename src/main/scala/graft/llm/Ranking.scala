@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Portable
 
@@ -65,5 +66,37 @@ object Ranking {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col(idCol))
       .agg(Portable.round(sum(col("contrib")), 4).as("bm25"))
+  }
+
+  /** Per-document top-`k` keywords by TF-IDF (smoothed idf
+    * `ln((N+1)/(df+1))`) — keyword extraction / topic tagging for
+    * dataset cards. Ties break on term (ascending), so ranks are
+    * deterministic and engine-portable: every score is a single
+    * tf·ln(ratio) of exact integers — no sums, bit-identical across
+    * engines.
+    *
+    * Scale: the (doc, term) tf aggregation is the inherent corpus-scale
+    * shuffle of keyword extraction; the df join is term-keyed
+    * (Zipf-skewed — AQE skew handling applies); the per-doc top-k
+    * window partitions on the high-cardinality doc id.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = df
+      .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_s").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("_s", col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("rank"),
+        Portable.round(col("_s"), 4).as("tfidf"))
   }
 }

@@ -36,6 +36,24 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) > out(1L))
   }
 
+  test("topTerms: distinctive words outrank ubiquitous ones, k bounds rows") {
+    val docs = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common common common aardvark"),
+      (3L, "common words only here")
+    ).toDF("doc_id", "text")
+    val out = Ranking.topTerms(docs, "doc_id", "text", k = 2)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // "common" appears in every doc -> idf ln(4/4)=0 -> score 0;
+    // doc-specific words win rank 1
+    assert(rows.contains((1L, "zebra", 1)))
+    assert(rows.contains((2L, "aardvark", 1)))
+    assert(out.groupBy("doc_id").count().agg(max("count")).as[Long].head() <= 2)
+    // rank-1 tfidf strictly positive for the distinctive words
+    val z = out.where($"doc_id" === 1L && $"rank" === 1).select("tfidf").as[Double].head()
+    assert(z > 0.0)
+  }
+
   test("bm25 of a universal term is near zero but positive (Lucene idf)") {
     val docs = Seq((1L, "x a"), (2L, "x b"), (3L, "x c")).toDF("doc_id", "text")
     val out = Ranking.bm25(docs, "doc_id", "text", Seq("x"))
