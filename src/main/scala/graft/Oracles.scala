@@ -627,6 +627,34 @@ object Oracles {
                FROM sc)
          SELECT doc_id, term, rn::INT AS rank, round(s, 4) AS tfidf
          FROM r WHERE rn <= 5""",
+    // q80: mixture weights must be written as the same IEEE-double
+    // arithmetic the Spark side evaluates (frac(w)*10000).
+    "q80_domain_mix" ->
+      s"""WITH w AS (SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                       WHEN 'src2' THEN 0.0 ELSE 1.0 END AS w,
+           ${pHash("doc_id::VARCHAR || '|mix'")} % 10000 AS hv
+         FROM documents),
+         c AS (SELECT doc_id, source,
+                 (floor(w)::INT + CASE WHEN hv < (w - floor(w)) * 10000
+                                       THEN 1 ELSE 0 END) AS copies
+               FROM w)
+         SELECT doc_id, source,
+           CAST(unnest(generate_series(0, copies - 1)) AS INT) AS epoch
+         FROM c WHERE copies > 0""",
+    "q81_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source, len($WS)::INT AS n_tokens,
+           ${pHash("doc_id::VARCHAR || '|budget'")} % 10000 AS hv
+         FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens::BIGINT) OVER (PARTITION BY source
+                   ORDER BY hv, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+               FROM t)
+         SELECT doc_id, source, n_tokens, cum_tokens
+         FROM c
+         WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
+                                         WHEN 'src1' THEN 0 ELSE 700 END""",
     "q71_dup_spans" ->
       s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),
          sp AS (SELECT doc_id,

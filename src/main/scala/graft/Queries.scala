@@ -923,6 +923,25 @@ object Queries {
     "q7F_top_terms" -> ((s, d) => {
       Ranking.topTerms(T.documents(s, d), "doc_id", "text", k = 5)
     }),
+    // Training-mixture construction: per-source sampling weights with
+    // epoch repetition (2.5 epochs of src0, 40% of src1, drop src2) —
+    // deterministic, shuffle-free explode projection.
+    "q80_domain_mix" -> ((s, d) => {
+      Sampling.mixture(T.documents(s, d).select("doc_id", "source"),
+          "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0))
+        .select(col("doc_id"), col("source"), col("epoch").cast("int").as("epoch"))
+    }),
+    // Per-source token-budget enforcement: keep docs in hash order
+    // while the running token total fits the domain budget.
+    "q81_token_budget" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"), col("source"),
+        TextStats.tokenCount(col("text")).cast("int").as("n_tokens"))
+      Sampling.tokenBudget(docs, "doc_id", "source", "n_tokens",
+          Map("src0" -> 300L, "src1" -> 0L), defaultBudget = 700L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens").cast("bigint").as("cum_tokens"))
+    }),
     // Corpus-wide duplicated word spans (exact-substring dedup signal,
     // shift-invariant): only (id, 60-bit hash) pairs shuffle.
     "q71_dup_spans" -> ((s, d) => {

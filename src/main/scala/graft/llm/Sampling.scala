@@ -84,6 +84,63 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Deterministic training-mixture construction: each key (source /
+    * domain) gets a sampling weight `w >= 0`; `w <= 1` downsamples (keep
+    * the hash-chosen `w` share), `w > 1` upsamples by repetition —
+    * `floor(w)` full copies of every row plus one more copy for the
+    * hash-chosen `frac(w)` share. Emits an `epoch` column (0-based copy
+    * ordinal), so downstream shuffling/packing can treat repeats as
+    * distinct examples. Keys without a configured weight use
+    * `defaultWeight`.
+    *
+    * Deterministic (pure function of id + salt) and shuffle-free: a
+    * weight-lookup CASE chain plus a `sequence`/`explode` projection —
+    * the 100 TB shape for "2.5 epochs of books, 0.4 of web".
+    */
+  def mixture(df: DataFrame, idCol: String, keyCol: String,
+              weights: Map[String, Double], defaultWeight: Double = 1.0,
+              salt: String = "mix"): DataFrame = {
+    require((weights.values.toSeq :+ defaultWeight).forall(_ >= 0),
+      "weights must be >= 0")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (els, (k, v)) =>
+      when(col(keyCol) === k, v).otherwise(els)
+    }
+    val h = unitHash(col(idCol), salt)
+    // frac(w)*10000 evaluates identically in any IEEE-double engine, so
+    // the fractional-copy draw is oracle-mirrorable bit-for-bit.
+    val copies = floor(w).cast("int") +
+      when(h < (w - floor(w)) * 10000.0, 1).otherwise(0)
+    df.withColumn("_copies", copies)
+      .where(col("_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("_copies") - 1)))
+      .drop("_copies")
+  }
+
+  /** Deterministic per-key token budget: keep documents in hash order
+    * (then id) within each key while the running token total stays
+    * within the key's budget — a document is kept iff it fits entirely.
+    * "Take ~1M tokens per domain", the mixture-target enforcement step
+    * of corpus assembly. Adds a `cum_tokens` running total.
+    *
+    * One shuffle on `keyCol` (cumulative-sum window); same skew caveat
+    * as [[capPerKey]] — strata beyond ~10M rows want a pre-aggregated
+    * two-pass budget cut.
+    */
+  def tokenBudget(df: DataFrame, idCol: String, keyCol: String,
+                  nTokensCol: String, budgets: Map[String, Long],
+                  defaultBudget: Long, salt: String = "budget"): DataFrame = {
+    require((budgets.values.toSeq :+ defaultBudget).forall(_ >= 0),
+      "budgets must be >= 0")
+    val b = budgets.foldLeft(lit(defaultBudget)) { case (els, (k, v)) =>
+      when(col(keyCol) === k, v).otherwise(els)
+    }
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unitHash(col(idCol), salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(nTokensCol).cast("long")).over(w))
+      .where(col("cum_tokens") <= b)
+  }
+
   /** Greedy sequence packing: assign documents to fixed-token-budget
     * bins (pretraining batch construction). Deterministic and
     * partition-independent: docs are bucketed by `id % nBuckets`, each

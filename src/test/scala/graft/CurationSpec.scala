@@ -54,6 +54,43 @@ class CurationSpec extends SparkSpec {
     assert(z > 0.0)
   }
 
+  test("mixture: integer epochs replicate, zero weight drops, fraction bounded") {
+    val docs = (1L to 40L).map(i => (i, if (i <= 10) "books"
+      else if (i <= 20) "web" else if (i <= 30) "junk" else "misc"))
+      .toDF("doc_id", "source")
+    val out = Sampling.mixture(docs, "doc_id", "source",
+      Map("books" -> 2.5, "web" -> 0.4, "junk" -> 0.0)).cache()
+    val byKey = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    // w=2.5: every doc gets epochs {0,1}, a hash-chosen subset gets 2
+    assert(byKey("books") >= 20 && byKey("books") <= 30)
+    assert(out.where($"source" === "books" && $"epoch" === 1).count() === 10)
+    // w=0 drops the stratum entirely; absent key defaults to one epoch
+    assert(!byKey.contains("junk"))
+    assert(byKey("misc") === 10)
+    assert(out.where($"source" === "misc" && $"epoch" =!= 0).count() === 0)
+    // w=0.4 keeps a strict subset, epoch 0 only
+    assert(byKey.getOrElse("web", 0L) < 10)
+    // determinism: pure function of (id, salt)
+    val again = Sampling.mixture(docs, "doc_id", "source",
+      Map("books" -> 2.5, "web" -> 0.4, "junk" -> 0.0))
+    assert(out.unpersist().exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("tokenBudget: running total respects per-key budget, monotone in budget") {
+    val docs = (1L to 30L).map(i => (i, if (i % 2 == 0) "a" else "b", 10))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.tokenBudget(docs, "doc_id", "source", "n_tokens",
+      Map("a" -> 40L), defaultBudget = 70L)
+    val kept = out.select("source", "cum_tokens").as[(String, Long)].collect()
+    assert(kept.filter(_._1 == "a").map(_._2).max <= 40L)
+    assert(kept.count(_._1 == "a") === 4)  // 4 docs of 10 tokens fit in 40
+    assert(kept.count(_._1 == "b") === 7)
+    // shrinking a budget only removes rows, never reorders the kept set
+    val smaller = Sampling.tokenBudget(docs, "doc_id", "source", "n_tokens",
+      Map("a" -> 20L), defaultBudget = 70L)
+    assert(smaller.exceptAll(out).isEmpty)
+  }
+
   test("bm25 of a universal term is near zero but positive (Lucene idf)") {
     val docs = Seq((1L, "x a"), (2L, "x b"), (3L, "x c")).toDF("doc_id", "text")
     val out = Ranking.bm25(docs, "doc_id", "text", Seq("x"))
