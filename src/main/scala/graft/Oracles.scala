@@ -647,9 +647,9 @@ object Oracles {
            ${pHash("doc_id::VARCHAR || '|budget'")} % 10000 AS hv
          FROM documents),
          c AS (SELECT doc_id, source, n_tokens,
-                 sum(n_tokens::BIGINT) OVER (PARTITION BY source
+                 (sum(n_tokens::BIGINT) OVER (PARTITION BY source
                    ORDER BY hv, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
                FROM t)
          SELECT doc_id, source, n_tokens, cum_tokens
          FROM c
@@ -688,6 +688,16 @@ object Oracles {
     // slices (tx2 = event_id%3==2 beats tx1 = event_id%3==1); the third
     // commit is invisible.
     "q7E_store_asof" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 = 1")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 2")}),
+         u AS (SELECT *, 1 AS src FROM b UNION ALL SELECT *, 0 AS src FROM a),
+         r AS (SELECT *, row_number() OVER (PARTITION BY code, ts ORDER BY src DESC) AS rn FROM u)
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume
+         FROM r WHERE rn = 1""",
+    // q82: wall-clock time travel resolves to the same as-of-tx-2 state
+    // (commit 2 is journaled at 2024-07-02 00:00, commit 3 at 07-03).
+    "q82_store_asof_time" ->
       s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 = 1")}),
          b AS (${hourlyCandles("WHERE event_id % 3 = 2")}),
          u AS (SELECT *, 1 AS src FROM b UNION ALL SELECT *, 0 AS src FROM a),

@@ -649,9 +649,13 @@ object Queries {
       val p = Files.createTempDirectory("graft-qvstore").toString + "/v"
       val ev = T.events(s, d)
       val st = graft.store.VersionedCandleStore(s, p)
-      st.commit(eventCandles(ev.where(col("event_id") % 3 === 1)))
-      st.commit(eventCandles(ev.where(col("event_id") % 3 === 2)))
-      st.commit(eventCandles(ev.where(col("event_id") % 3 === 0)))
+      // explicit journal wall-clocks make scanAsOfTime deterministic (q82)
+      st.commit(eventCandles(ev.where(col("event_id") % 3 === 1)),
+        committedAt = Some(java.sql.Timestamp.valueOf("2024-07-01 00:00:00")))
+      st.commit(eventCandles(ev.where(col("event_id") % 3 === 2)),
+        committedAt = Some(java.sql.Timestamp.valueOf("2024-07-02 00:00:00")))
+      st.commit(eventCandles(ev.where(col("event_id") % 3 === 0)),
+        committedAt = Some(java.sql.Timestamp.valueOf("2024-07-03 00:00:00")))
       p
     })
     graft.store.VersionedCandleStore(s, path)
@@ -822,6 +826,17 @@ object Queries {
     // must be invisible.
     "q7E_store_asof" -> ((s, d) => {
       versionedStore(s, d).scanAsOf(2L)
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // Time travel by WALL CLOCK: the same as-of-tx-2 state addressed
+    // the way users actually ask ("as of 2024-07-02 12:00") — resolved
+    // through the journal's committed_at, then the tx-gated fold.
+    "q82_store_asof_time" -> ((s, d) => {
+      versionedStore(s, d)
+        .scanAsOfTime(java.sql.Timestamp.valueOf("2024-07-02 12:00:00"))
         .select(col("code"), col("ts"),
           Portable.round(col("open"), 4).as("open"),
           Portable.round(col("close"), 4).as("close"),

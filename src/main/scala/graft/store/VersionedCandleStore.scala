@@ -1,23 +1,54 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.model.Candle
 
 /** Append-only, versioned candle store: every commit stamps its rows
   * with a monotonically increasing `tx_id`, and reads reconstruct the
-  * table AS OF any transaction — the Spark-native materialization of
-  * the reference's `LastTxId` versioning (`page/header.go:13-23`: every
-  * page records the last transaction applied to it) and its persistent
-  * tx counter (`wal/counter.go:13-94`), which [[CandleStore]]'s
-  * overwrite-in-place upsert deliberately flattens away.
+  * table AS OF any transaction or wall-clock instant — the Spark-native
+  * materialization of the reference's `LastTxId` versioning
+  * (`page/header.go:13-23`: every page records the last transaction
+  * applied to it) and its persistent tx counter (`wal/counter.go:13-94`),
+  * which [[CandleStore]]'s overwrite-in-place upsert deliberately
+  * flattens away.
   *
-  * Layout: `path/data` is the same Hive-partitioned Parquet layout as
-  * [[CandleStore]] plus a `tx_id` data column (row-group stats prune
-  * as-of filters); `path/_txlog` is a tiny append-only journal with one
-  * row per commit — the persistent-counter analog: `latestTxId` reads
-  * the journal, never the data.
+  * Concurrency (reference: persistent counter + lock manager,
+  * `wal/counter.go:59-69`, `database/concurrency/db.go:68-156`):
+  *  - tx ids are allocated via ATOMIC create of a reserve file under
+  *    `_txn/` (`FileSystem.create(overwrite = false)` — atomic on the
+  *    HDFS namenode and on local file systems; object stores would use
+  *    a conditional put). Two concurrent committers always mint
+  *    DISTINCT ids.
+  *  - each commit writes its data to a private `_stage/tx-N` directory
+  *    (no shared-output-committer contention), then moves the files
+  *    into the live generation with metadata renames, then publishes a
+  *    single journal file `txlog/tx-N-commit.parquet` (again a rename —
+  *    no two commits ever write the same file).
+  *  - readers gate on the journal's COMMITTED SET (broadcast semi-join
+  *    on `tx_id`, not a `<= max` filter), so a torn commit — data moved,
+  *    journal row missing — is invisible even when a later tx has
+  *    already journaled. Redo-on-retry converges (mirrors the
+  *    reference's committed-only replay, `wal/flusher.go:110-128`).
+  *  - [[compact]] requires exclusive access w.r.t. writers (the
+  *    reference takes the DB-exclusive flush lock); concurrent compacts
+  *    are excluded by an atomic `_compact.lock`, and a commit that
+  *    slips in mid-compaction is detected and aborts the swap.
+  *
+  * Layout: `path/data-gNNNNNNNNN/` generations of the same
+  * Hive-partitioned Parquet layout as [[CandleStore]] plus a `tx_id`
+  * data column (row-group stats prune as-of filters). A generation is
+  * live once its `_GRAFT_COMMITTED` marker exists; readers resolve the
+  * highest committed generation, so the compaction swap is one atomic
+  * marker create — never a delete→rename visibility gap. `path/txlog`
+  * is a tiny append-only journal with one file per commit —
+  * the persistent-counter analog: `latestTxId` reads the journal,
+  * never the data.
   *
   * Scale posture (100 TB): commits are pure appends of the deduped
   * batch (no read-modify-write of existing partitions at all — cheaper
@@ -29,40 +60,195 @@ import graft.model.Candle
   */
 final class VersionedCandleStore(spark: SparkSession, val path: String) {
 
-  private val dataPath = s"$path/data"
-  private val txLogPath = s"$path/_txlog"
+  private val txLogPath = s"$path/txlog"
+  private val txnPath = s"$path/_txn"
+  private val stagePath = s"$path/_stage"
+  private val CommitMarker = "_GRAFT_COMMITTED"
 
-  private def exists(p: String): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(hp) && fs.listStatus(hp).nonEmpty
+  private def hp(s: String): Path = new Path(s)
+  private def fs: FileSystem =
+    hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Atomic create-if-absent: the one primitive the whole tx protocol
+    * leans on (the reference's counter file lock, `wal/counter.go:59-69`).
+    */
+  private def tryCreate(f: FileSystem, p: Path): Boolean =
+    try { f.create(p, false).close(); true }
+    catch { case _: java.io.IOException => false }
+
+  // ------------------------------------------------------------------ //
+  // Journal                                                            //
+  // ------------------------------------------------------------------ //
+
+  private val txLogSchema = StructType(Seq(
+    StructField("tx_id", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = true),
+    StructField("kind", StringType, nullable = false),
+    StructField("batch_id", LongType, nullable = true)))
+
+  private def txLogExists: Boolean = {
+    val f = fs
+    f.exists(hp(txLogPath)) && f.listStatus(hp(txLogPath)).nonEmpty
   }
 
-  /** Highest committed tx id (0 when empty) — journal-only read. */
-  def latestTxId: Long =
-    if (!exists(txLogPath)) 0L
-    else spark.read.parquet(txLogPath).agg(max("tx_id")).head().getLong(0)
-
-  /** The commit journal: (tx_id, n_rows) per commit, the reference's
-    * persistent counter + WAL index analog.
+  /** The commit journal: one row per commit (`kind = 'commit'`) or
+    * compaction (`kind = 'compact'`) — the reference's persistent
+    * counter + WAL index analog. `batch_id` carries the streaming
+    * micro-batch id when the commit came from a stream (exactly-once
+    * replay guard); null for batch commits.
     */
   def txLog(): DataFrame =
-    if (!exists(txLogPath))
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("tx_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("n_rows",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-    else spark.read.parquet(txLogPath)
+    if (!txLogExists)
+      spark.createDataFrame(new java.util.ArrayList[Row](), txLogSchema)
+    else spark.read.schema(txLogSchema).parquet(txLogPath)
+
+  /** Highest committed tx id (0 when empty) — journal-only read. */
+  def latestTxId: Long = {
+    val r = txLog().where(col("kind") === "commit").agg(max("tx_id")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Highest tx id squashed away by [[compact]] (0 if never compacted):
+    * as-of reads below this point would see partial history and FAIL
+    * LOUDLY instead.
+    */
+  def squashFloorTxId: Long = {
+    val r = txLog().where(col("kind") === "compact").agg(max("tx_id")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Publish one journal row as its own `txlog` file: written to a
+    * private stage dir by an isolated Spark job, then RENAMED in — two
+    * concurrent committers never touch the same output directory, so
+    * there is no shared FileOutputCommitter `_temporary` to race on.
+    */
+  private def writeJournalRow(tx: Long, nRows: Long, at: Timestamp,
+                              kind: String, batchId: Option[Long]): Unit = {
+    import spark.implicits._
+    val stage = s"$stagePath/txlog-$kind-$tx"
+    Seq((tx, nRows, at, kind, batchId))
+      .toDF("tx_id", "n_rows", "committed_at", "kind", "batch_id")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+    val f = fs
+    f.mkdirs(hp(txLogPath))
+    val part = f.listStatus(hp(stage)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no journal part file in $stage"))
+    f.rename(part, new Path(txLogPath, f"tx-$tx%020d-$kind.parquet"))
+    f.delete(hp(stage), true)
+    ()
+  }
+
+  // ------------------------------------------------------------------ //
+  // Tx-id allocation                                                   //
+  // ------------------------------------------------------------------ //
+
+  private val ReserveName = "tx-(\\d{20})\\.reserve".r
+
+  /** Allocate the next tx id atomically: starting past both the journal
+    * max and the highest outstanding reservation, race to create
+    * `_txn/tx-N.reserve`; the creator owns N, losers probe N+1. Distinct
+    * ids for any number of concurrent committers, monotone with commit
+    * order up to in-flight reordering (ids are reserved in order; the
+    * journal records whichever data lands).
+    */
+  private[graft] def reserveTxId(): Long = {
+    val f = fs
+    f.mkdirs(hp(txnPath))
+    val reservedMax = f.listStatus(hp(txnPath)).map(_.getPath.getName)
+      .collect { case ReserveName(id) => id.toLong }
+      .foldLeft(0L)(math.max)
+    var tx = math.max(latestTxId, reservedMax) + 1
+    while (!tryCreate(f, new Path(txnPath, f"tx-$tx%020d.reserve"))) tx += 1
+    tx
+  }
+
+  // ------------------------------------------------------------------ //
+  // Generations                                                        //
+  // ------------------------------------------------------------------ //
+
+  private val GenName = "data-g(\\d{9})".r
+  private def genDirName(g: Long): String = f"data-g$g%09d"
+
+  /** Committed generations, ascending. A generation without its marker
+    * (compaction in flight / crashed) is invisible.
+    */
+  private def generations(): Seq[(Long, Path)] = {
+    val f = fs
+    if (!f.exists(hp(path))) Seq.empty
+    else f.listStatus(hp(path)).filter(_.isDirectory).flatMap { st =>
+      st.getPath.getName match {
+        case GenName(g) if f.exists(new Path(st.getPath, CommitMarker)) =>
+          Some((g.toLong, st.getPath))
+        case _ => None
+      }
+    }.sortBy(_._1).toSeq
+  }
+
+  private def currentGen(): Option[(Long, Path)] = generations().lastOption
+
+  private def ensureGen(): Path = currentGen() match {
+    case Some((_, p)) => p
+    case None =>
+      val p = hp(s"$path/${genDirName(1L)}")
+      val f = fs
+      f.mkdirs(p)
+      tryCreate(f, new Path(p, CommitMarker)) // idempotent race: both land on gen 1
+      p
+  }
+
+  /** Move every data file under `src` into the mirrored directory under
+    * `dst`, prefixing names with the tx id (uniqueness across commits).
+    * Pure metadata renames — no data copy on HDFS/local.
+    */
+  private def moveTree(f: FileSystem, src: Path, dst: Path, prefix: String): Unit = {
+    f.listStatus(src).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        val sub = new Path(dst, name)
+        f.mkdirs(sub)
+        moveTree(f, st.getPath, sub, prefix)
+      } else if (!name.startsWith("_") && !name.startsWith(".")) {
+        f.rename(st.getPath, new Path(dst, s"$prefix-$name"))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ //
+  // Commit                                                             //
+  // ------------------------------------------------------------------ //
 
   /** Commit one batch as the next transaction; returns its tx id.
     * Within-batch duplicates resolve exactly as [[CandleStore.upsert]]
     * (higher ordinal wins, else content tie-break); cross-batch
-    * last-wins happens at read time via tx ordering.
+    * last-wins happens at read time via tx ordering. Safe under
+    * concurrent committers (distinct tx ids, isolated staging, journal
+    * gating — see class doc).
+    *
+    * @param committedAt journal wall-clock for [[scanAsOfTime]];
+    *   defaults to now. Pass explicitly for deterministic replays.
+    * @param batchId streaming micro-batch id: when a commit with the
+    *   same batch id is already journaled, the call is a no-op
+    *   returning the prior tx id — the exactly-once replay guard for
+    *   `foreachBatch` retries (the reference's WAL replay skips
+    *   already-applied tx ids the same way, `wal/flusher.go:110-128`).
     */
-  def commit(batch: DataFrame, ordinalCol: Option[String] = None): Long = {
-    val tx = latestTxId + 1
+  def commit(batch: DataFrame, ordinalCol: Option[String] = None,
+             committedAt: Option[Timestamp] = None,
+             batchId: Option[Long] = None): Long = {
+    val replayed = batchId.flatMap { b =>
+      txLog()
+        .where(col("kind") === "commit" && col("batch_id") === b)
+        .select("tx_id").limit(1).collect().headOption.map(_.getLong(0))
+    }
+    replayed.getOrElse(doCommit(batch, ordinalCol, committedAt, batchId))
+  }
+
+  private def doCommit(batch: DataFrame, ordinalCol: Option[String],
+                       committedAt: Option[Timestamp],
+                       batchId: Option[Long]): Long = {
+    val tx = reserveTxId()
     val contentStruct = struct(col("open"), col("high"), col("low"),
       col("close"), col("volume"), col("bit_fields"))
     val batchOrd = ordinalCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
@@ -76,70 +262,183 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
       .agg(max_by(col("_c"), struct(col("_ord"), col("_c"))).as("_w"))
       .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
       .withColumn("tx_id", lit(tx))
-    val written = CandleStore.withMicrosTimestamps(deduped) {
+    val stage = s"$stagePath/tx-$tx"
+    CandleStore.withMicrosTimestamps(deduped) {
       deduped
         .hint("rebalance", Candle.partitionCols: _*)
         .sortWithinPartitions((Candle.partitionCols :+ "ts").map(col): _*)
         .write
         .partitionBy(Candle.partitionCols: _*)
-        .mode(SaveMode.Append)
-        .parquet(dataPath)
-      deduped.count()
+        .mode(SaveMode.Overwrite)
+        .parquet(stage)
     }
-    // Journal entry AFTER the data append: a torn commit (data written,
-    // journal not) is invisible to readers that resolve `latestTxId`
-    // from the journal and filter `tx_id <= latest` — redo-on-retry
-    // converges, mirroring the reference's committed-only replay
-    // (`wal/flusher.go:110-128`).
-    import spark.implicits._
-    Seq((tx, written)).toDF("tx_id", "n_rows")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(txLogPath)
+    // row count from the staged footers (metadata read), not a second
+    // execution of the dedup aggregation
+    val written = spark.read.parquet(stage).count()
+    val f = fs
+    val gen = ensureGen()
+    moveTree(f, hp(stage), gen, f"tx$tx%020d")
+    f.delete(hp(stage), true)
+    // Journal entry AFTER the data move: a torn commit (data moved,
+    // journal not) is invisible to readers, which admit only tx ids
+    // present in the journal's committed set.
+    writeJournalRow(tx, written,
+      committedAt.getOrElse(new Timestamp(System.currentTimeMillis())),
+      "commit", batchId)
     tx
   }
 
+  // ------------------------------------------------------------------ //
+  // Reads                                                              //
+  // ------------------------------------------------------------------ //
+
+  /** Data-file schema (partition columns included): passed explicitly to
+    * every generation read — no schema inference job, and an
+    * empty-but-published generation stays readable.
+    */
+  private val dataSchema = StructType(
+    Candle.schema.fields.toSeq :+ StructField("year", IntegerType) :+
+      StructField("tx_id", LongType))
+
+  /** Output column order of every scan: key, ts, year, then content. */
+  private val scanCols = Seq("market", "code", "candle_length", "ts", "year",
+    "open", "high", "low", "close", "volume", "bit_fields")
+
+  private def emptyTable(): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      StructType(scanCols.map(n =>
+        dataSchema.fields.find(_.name == n).get)))
+
   /** The table as of transaction `txId` (inclusive): per (series key,
-    * ts), the row from the highest tx ≤ txId wins. One hash aggregation
-    * (map-side combine), no sort window; commits dedup within batch, so
-    * (key, ts, tx_id) is unique and the fold is deterministic.
+    * ts), the row from the highest COMMITTED tx ≤ txId wins. One hash
+    * aggregation (map-side combine), no sort window; commits dedup
+    * within batch, so (key, ts, tx_id) is unique and the fold is
+    * deterministic. The committed set comes from the journal via a
+    * broadcast semi-join (metadata-sized), so data from torn or
+    * in-flight commits is invisible regardless of id ordering; the
+    * plain `tx_id <= txId` predicate additionally prunes Parquet
+    * row groups.
+    *
+    * Fails loudly when `txId` predates the [[compact]] squash floor —
+    * that history has been discarded, and an empty result would be a
+    * silent lie.
     */
   def scanAsOf(txId: Long): DataFrame = {
-    val contentStruct = struct(col("open"), col("high"), col("low"),
-      col("close"), col("volume"), col("bit_fields"))
-    spark.read.parquet(dataPath)
-      // journal-gated: ignore data from torn commits beyond the journal
-      .where(col("tx_id") <= least(lit(txId), lit(latestTxId)))
-      .withColumn("_c", contentStruct)
-      .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
-      .agg(max_by(col("_c"), col("tx_id")).as("_w"))
-      .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
+    val floor = squashFloorTxId
+    require(txId >= floor,
+      s"as-of tx $txId predates the compaction squash point (tx $floor): " +
+        "that history has been discarded by compact()")
+    currentGen() match {
+      case None => emptyTable()
+      case Some((_, genDir)) =>
+        val committed = txLog()
+          .where(col("kind") === "commit" && col("tx_id") <= txId)
+          .select("tx_id")
+        val contentStruct = struct(col("open"), col("high"), col("low"),
+          col("close"), col("volume"), col("bit_fields"))
+        spark.read.schema(dataSchema).parquet(genDir.toString)
+          .where(col("tx_id") <= txId)
+          .join(broadcast(committed), Seq("tx_id"), "left_semi")
+          .withColumn("_c", contentStruct)
+          .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
+          .agg(max_by(col("_c"), col("tx_id")).as("_w"))
+          .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
+    }
+  }
+
+  /** The table as of a wall-clock instant: highest commit whose
+    * journal `committed_at` ≤ `t` (the reference's WAL-ordered history
+    * addressed the way users actually ask — "as of yesterday 18:00").
+    * Before the first commit (or before any `committed_at` ≤ `t`) the
+    * result is empty; below the squash floor it fails loudly like
+    * [[scanAsOf]].
+    */
+  def scanAsOfTime(t: Timestamp): DataFrame = {
+    val r = txLog()
+      .where(col("kind") === "commit" && col("committed_at") <= lit(t))
+      .agg(max("tx_id")).head()
+    val tx = if (r.isNullAt(0)) 0L else r.getLong(0)
+    if (tx == 0L) emptyTable() else scanAsOf(tx)
   }
 
   /** Latest committed state. */
   def scan(): DataFrame = scanAsOf(Long.MaxValue)
 
-  /** Squash history: rewrite the data to exactly one version per key at
-    * `latestTxId` (the reference's WAL group flush, op M3 — fold
-    * accumulated log into clean pages). As-of reads earlier than the
-    * squash point afterwards see the squashed state; the journal is
-    * kept, so tx ids keep increasing monotonically.
+  // ------------------------------------------------------------------ //
+  // Compaction                                                         //
+  // ------------------------------------------------------------------ //
+
+  /** Squash history: rewrite the data to one version per key — each
+    * surviving row KEEPS its original `tx_id` (so as-of reads at or
+    * after the squash floor are exact; reads below it throw — see
+    * [[scanAsOf]]). The swap is atomic: the squashed copy is written to
+    * the NEXT generation directory and published by creating its
+    * `_GRAFT_COMMITTED` marker; readers that already resolved the old
+    * generation keep a consistent view (the previous generation is
+    * retained; only older ones are deleted). The journal is kept, so tx
+    * ids keep increasing monotonically.
+    *
+    * Mutual exclusion: concurrent compacts are excluded by an atomic
+    * `_compact.lock`; a commit that lands mid-compaction is detected
+    * (journal re-check before publish) and the compaction aborts
+    * without swapping — rerun it. (The reference holds the DB-exclusive
+    * lock for its WAL group flush, `database/concurrency/db.go:68-156`.)
     */
-  def compact(): Long = {
-    val latest = latestTxId
-    if (latest == 0L) return 0L
-    val squashed = scanAsOf(latest).withColumn("tx_id", lit(latest))
-    val tmp = s"$path/_compact-$latest"
-    CandleStore.withMicrosTimestamps(squashed) {
-      squashed
-        .hint("rebalance", Candle.partitionCols: _*)
-        .sortWithinPartitions((Candle.partitionCols :+ "ts").map(col): _*)
-        .write.partitionBy(Candle.partitionCols: _*)
-        .mode(SaveMode.Overwrite).parquet(tmp)
-    }
-    val fs = new org.apache.hadoop.fs.Path(dataPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dataPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dataPath))
-    latest
+  def compact(committedAt: Option[Timestamp] = None): Long = {
+    val f = fs
+    f.mkdirs(hp(path))
+    val lock = hp(s"$path/_compact.lock")
+    if (!tryCreate(f, lock))
+      throw new IllegalStateException(s"another compaction holds $lock")
+    try {
+      val latest = latestTxId
+      if (latest == 0L) return 0L
+      val (curGenId, curGenDir) = currentGen().get
+      val committed = txLog()
+        .where(col("kind") === "commit" && col("tx_id") <= latest)
+        .select("tx_id")
+      // one version per key, WINNING row's tx_id preserved (content and
+      // tx travel together in one struct, picked by tx order)
+      val withTx = struct(col("open"), col("high"), col("low"),
+        col("close"), col("volume"), col("bit_fields"), col("tx_id"))
+      val squashed = spark.read.schema(dataSchema).parquet(curGenDir.toString)
+        .join(broadcast(committed), Seq("tx_id"), "left_semi")
+        .withColumn("_c", withTx)
+        .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
+        .agg(max_by(col("_c"), col("tx_id")).as("_w"))
+        .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
+      val newGen = hp(s"$path/${genDirName(curGenId + 1)}")
+      CandleStore.withMicrosTimestamps(squashed) {
+        squashed
+          .hint("rebalance", Candle.partitionCols: _*)
+          .sortWithinPartitions((Candle.partitionCols :+ "ts").map(col): _*)
+          .write.partitionBy(Candle.partitionCols: _*)
+          .mode(SaveMode.Overwrite).parquet(newGen.toString)
+      }
+      if (latestTxId != latest) {
+        f.delete(newGen, true)
+        throw new IllegalStateException(
+          "a commit raced the compaction; no swap performed — rerun compact()")
+      }
+      val nRows = spark.read.parquet(newGen.toString).count()
+      tryCreate(f, new Path(newGen, CommitMarker)) // atomic publish
+      writeJournalRow(latest, nRows,
+        committedAt.getOrElse(new Timestamp(System.currentTimeMillis())),
+        "compact", None)
+      // GC: keep the new and previous generations (in-flight readers of
+      // the old one stay consistent); drop anything older, plus reserve
+      // files at or below the floor (allocation starts past the journal
+      // max, so they can never be re-minted).
+      generations().dropRight(2).foreach { case (_, p) => f.delete(p, true) }
+      if (f.exists(hp(txnPath)))
+        f.listStatus(hp(txnPath)).map(_.getPath).foreach { p =>
+          p.getName match {
+            case ReserveName(id) if id.toLong <= latest => f.delete(p, false)
+            case _ => ()
+          }
+        }
+      latest
+    } finally { f.delete(lock, false); () }
   }
 }
 

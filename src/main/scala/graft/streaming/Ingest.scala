@@ -102,6 +102,38 @@ object Ingest {
     upsertWriter(stream, store, checkpointDir, transform, lateHorizonSec)
       .trigger(trigger).start()
 
+  /** Micro-batch ingest into a [[graft.store.VersionedCandleStore]]:
+    * each micro-batch becomes ONE journaled transaction, so streaming
+    * ingest produces time-travelable history — the reference's WAL *is*
+    * its streaming ingest (`wal/file.go:37-48`: every record carries a
+    * tx envelope), and here every micro-batch carries one. Exactly-once
+    * in the history too, not just the final state: the micro-batch id
+    * rides along as the journal's `batch_id`, so a `foreachBatch` retry
+    * of an already-committed batch is a no-op returning the prior tx
+    * (see `VersionedCandleStore.commit`) instead of minting a phantom
+    * transaction.
+    */
+  def versionedCommitWriter(stream: DataFrame,
+                            store: graft.store.VersionedCandleStore,
+                            checkpointDir: String,
+                            transform: DataFrame => DataFrame = identity): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          store.commit(transform(batch), batchId = Some(batchId)); ()
+        }
+      }
+
+  def startVersionedIngest(stream: DataFrame,
+                           store: graft.store.VersionedCandleStore,
+                           checkpointDir: String,
+                           trigger: Trigger = Trigger.AvailableNow(),
+                           transform: DataFrame => DataFrame = identity): StreamingQuery =
+    versionedCommitWriter(stream, store, checkpointDir, transform)
+      .trigger(trigger).start()
+
   /** Streaming session windows: events sessionized by inactivity gap,
     * per user (SURVEY.md §2.3 extension row; batch analog is
     * `TimeSeries.sessionize`). Append mode emits a session once the

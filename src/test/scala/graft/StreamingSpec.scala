@@ -75,6 +75,37 @@ class StreamingSpec extends SparkSpec {
       .select("open").as[Double].head() == 20.0)
   }
 
+  test("versioned streaming ingest: one commit per micro-batch, as-of mid-stream states match") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(c("BTC", "2022-01-01 10:00:00", 1), c("BTC", "2022-01-01 10:01:00", 2))
+    val b2 = Seq(c("BTC", "2022-01-01 10:01:00", 20), c("ETH", "2021-06-01 00:00:00", 5))
+    val b3 = Seq(c("BTC", "2022-01-01 10:00:00", 100))
+
+    val vst = graft.store.VersionedCandleStore(spark, tmpDir("st-vstream") + "/v")
+    val stream = MemoryStream[Candle]
+    val query = Ingest.versionedCommitWriter(stream.toDF(), vst, tmpDir("st-vckpt"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    Seq(b1, b2, b3).foreach { b => stream.addData(b); query.processAllAvailable() }
+    query.stop()
+
+    // 3 micro-batches == 3 journaled transactions
+    assert(vst.latestTxId == 3L)
+    assert(vst.txLog().where($"kind" === "commit").count() == 3)
+
+    // mid-stream as-of states equal the batch-store states after the
+    // same prefix of upserts
+    def opens(df: org.apache.spark.sql.DataFrame): Map[(String, Timestamp), Double] =
+      df.select("code", "ts", "open").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+    val batch = CandleStore(spark, tmpDir("st-vbatch") + "/t")
+    batch.upsert(b1.toDF())
+    assert(opens(vst.scanAsOf(1L)) == opens(batch.scan()))
+    batch.upsert(b2.toDF())
+    assert(opens(vst.scanAsOf(2L)) == opens(batch.scan()))
+    batch.upsert(b3.toDF())
+    assert(opens(vst.scan()) == opens(batch.scan()))
+  }
+
   test("late-row counter tallies rows a watermark would have dropped") {
     implicit val sqlCtx = spark.sqlContext
     val store = CandleStore(spark, tmpDir("st-late") + "/t")

@@ -7,7 +7,11 @@ import graft.store.VersionedCandleStore
 
 /** Versioned store semantics: tx-stamped appends, as-of reads, journal
   * counter, compaction (reference LastTxId + persistent counter,
-  * `page/header.go:13-23`, `wal/counter.go:13-94`).
+  * `page/header.go:13-23`, `wal/counter.go:13-94`), plus the
+  * concurrency guarantees of the reference's lock manager
+  * (`database/concurrency/db.go:68-156`): distinct tx ids under
+  * concurrent committers, torn-commit invisibility, atomic compaction
+  * swap.
   */
 class VersionedStoreSpec extends SparkSpec {
   import spark.implicits._
@@ -43,7 +47,8 @@ class VersionedStoreSpec extends SparkSpec {
     // as-of beyond the journal == latest (journal-gated)
     assert(opens(st.scanAsOf(99L)) == opens(st.scan()))
     // journal records one row per commit
-    assert(st.txLog().select("tx_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(st.txLog().where($"kind" === "commit")
+      .select("tx_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
   test("within-batch ordinal last-wins matches CandleStore.upsert semantics") {
@@ -56,18 +61,91 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st.scan().select("open").as[Double].head() == 22.0)
   }
 
-  test("compact squashes history to one version per key, scan unchanged") {
+  test("concurrent committers mint distinct monotonic tx ids; both batches readable") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-conc") + "/v")
+    val perThread = 2
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Long]]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        gate.await()
+        val ids = (0 until perThread).map { i =>
+          st.commit(Seq(c(s"K$w", s"2022-01-01 10:0$i:00", w * 100 + i + 1)).toDF())
+        }
+        results.put(w, ids)
+        ()
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    val all = (0 until 2).flatMap(results.get(_))
+    // distinct ids overall, monotonic within each committer
+    assert(all.distinct.size == 4 && all.toSet == Set(1L, 2L, 3L, 4L))
+    (0 until 2).foreach(w => assert(results.get(w) == results.get(w).sorted))
+    // every committed row is present: 2 keys × 2 timestamps
+    assert(st.scan().count() == 4)
+    assert(st.txLog().where($"kind" === "commit").count() == 4)
+  }
+
+  test("tx-id reservation is atomic and skips outstanding reservations") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-res") + "/v")
+    // interleaved reservations before any data lands
+    assert(st.reserveTxId() == 1L)
+    assert(st.reserveTxId() == 2L)
+    // a commit now must not reuse a reserved-but-uncommitted id
+    assert(st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()) == 3L)
+  }
+
+  test("compact preserves winning tx ids, swaps atomically, fails loudly below floor") {
     val st = VersionedCandleStore(spark, tmpDir("vstore-compact") + "/v")
     st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
     st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2)).toDF())
-    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 3)).toDF())
+    st.commit(Seq(c("ETH", "2022-01-01 10:00:00", 3)).toDF())
     val before = st.scan().collect().toSeq
+    val handle = st.scan() // resolved against the pre-compaction generation
     assert(st.compact() == 3L)
     assert(st.scan().collect().toSeq == before)
-    // exactly one stored version remains
-    assert(spark.read.parquet(st.path + "/data").count() == 1)
+    // the pre-compaction read handle stays consistent (old generation
+    // retained) — never an empty or partial view mid-swap
+    assert(handle.collect().toSeq == before)
+    // storage keeps exactly one version per key, with ORIGINAL tx ids
+    // (BTC's winner was tx 2, ETH's tx 3 — not restamped to latest)
+    val stored = spark.read.parquet(st.path + "/data-g000000002")
+      .select("code", "tx_id").as[(String, Long)].collect().toMap
+    assert(stored == Map("BTC" -> 2L, "ETH" -> 3L))
+    // as-of at/after the squash floor is exact; below it fails loudly
+    assert(st.scanAsOf(3L).count() == 2)
+    intercept[IllegalArgumentException](st.scanAsOf(2L))
     // the counter keeps going after compaction
     assert(st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 4)).toDF()) == 4L)
-    assert(st.scan().select("open").as[Double].head() == 4.0)
+    assert(st.scan().where($"code" === "BTC").select("open").as[Double].head() == 4.0)
+    // second compaction GCs generations older than the previous one
+    assert(st.compact() == 4L)
+    val gens = new java.io.File(st.path).listFiles()
+      .map(_.getName).filter(_.startsWith("data-g")).sorted.toSeq
+    assert(gens == Seq("data-g000000002", "data-g000000003"))
+  }
+
+  test("scanAsOfTime addresses history by journal wall-clock") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-time") + "/v")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF(),
+      committedAt = Some(ts("2024-05-01 12:00:00")))
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2)).toDF(),
+      committedAt = Some(ts("2024-05-02 12:00:00")))
+    def openAt(t: String): Seq[Double] =
+      st.scanAsOfTime(ts(t)).select("open").as[Double].collect().toSeq
+    assert(openAt("2024-04-30 00:00:00") == Seq.empty) // before first commit
+    assert(openAt("2024-05-01 18:00:00") == Seq(1.0))  // between commits
+    assert(openAt("2024-05-01 12:00:00") == Seq(1.0))  // inclusive boundary
+    assert(openAt("2024-06-01 00:00:00") == Seq(2.0))  // after both
+  }
+
+  test("streaming batch-id replay is a no-op returning the prior tx") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-replay") + "/v")
+    val b = Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()
+    val t1 = st.commit(b, batchId = Some(7L))
+    val t2 = st.commit(b, batchId = Some(7L)) // foreachBatch retry
+    assert(t1 == t2 && st.latestTxId == t1)
+    assert(st.txLog().where($"kind" === "commit").count() == 1)
+    assert(st.scan().count() == 1)
   }
 }
