@@ -772,6 +772,9 @@ object Oracles {
     "q79_pq_topk_recall" ->
       """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries, true AS recall_ok
          FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
+    "q83_ivfpq_topk_recall" ->
+      """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries, true AS recall_ok
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
     // q7A: the Spark side round-trips a REAL WAV encode+decode+DFT; the
     // oracle computes the square wave's fundamental bin in closed form.
     "q7A_wav_spectral" ->

@@ -1056,6 +1056,30 @@ object Queries {
           (sum(col("n_hit")).cast("double") /
             (count(lit(1)) * 10).cast("double") >= 0.5).as("recall_ok"))
     }),
+    // IVFADC recall gate (q79's pattern, composed): the IVF coarse
+    // quantizer in front of PQ-ADC — ADC scans only probed cells
+    // (~nProbe/nCells of the corpus), the 100 TB ANN serving shape.
+    // Exact rerank inside the candidate set; floor 0.3 with margin:
+    // measured recall@10 is 0.46-0.50 across sf0.001/sf0.01
+    // (tools/RecallCheck ivfpq_p4), and k-means centroid sums are
+    // order-dependent run to run.
+    "q83_ivfpq_topk_recall" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val approx = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+          k = 10, nCells = 16, nProbe = 4, m = 4, ks = 16, iters = 4, rerank = 40)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          (sum(col("n_hit")).cast("double") /
+            (count(lit(1)) * 10).cast("double") >= 0.3).as("recall_ok"))
+    }),
     // REAL audio frequency analysis, oracle-checked end-to-end: WAV
     // encode → decode → DFT; the dominant bin must equal the square
     // wave's fundamental N/(2·halfPeriod), closed-form in doc_id.

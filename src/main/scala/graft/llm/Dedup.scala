@@ -359,36 +359,49 @@ object Dedup {
     *   2. pointer jump: label ← label(label) (one self-join), which
     *      halves chain depths so convergence is O(log d) rounds, not
     *      O(diameter).
-    * Labels only ever DECREASE, so `sum(label)` is strictly monotone
-    * while anything changes — convergence is detected with one scalar
-    * aggregate per round, no row-level diff join.
+    * Each round runs as ONE Spark action (the eager checkpoint that
+    * truncates the iterative lineage): convergence is detected by a
+    * changed-label accumulator folded into that same materialization —
+    * no separate per-round aggregate job. Task retries can only
+    * over-count `changed` (forcing one extra round, which then counts
+    * zero), never under-count, so termination is exact.
     *
     * Scale posture: the iterated frame is one row per node OF THE PAIR
     * GRAPH (near-dup docs only — orders of magnitude smaller than the
     * corpus); the static edge list is checkpointed once; every round is
-    * two shuffles on (node, label) pairs. Nothing is ever quadratic and
-    * nothing collects to the driver except the per-round scalar.
+    * two shuffles on (node, label) pairs, with AQE sizing the shuffle
+    * partitioning from actual bytes (billions of edges fan out across
+    * the cluster; fixture-scale graphs coalesce to a few partitions) —
+    * no hardcoded width. Nothing is ever quadratic and nothing collects
+    * to the driver except the per-round accumulator value.
     *
+    * @param numPartitions explicit partitioning for the edge/label
+    *        frames; default lets AQE size every round's shuffles.
     * @return (id, component) — component = min node id of the cluster;
     *         only nodes that appear in `pairs` are returned (isolated
     *         documents are their own implicit singleton clusters).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          numPartitions: Option[Int] = None): DataFrame = {
+    val spark = pairs.sparkSession
     // Materialize the pair list FIRST: the union below references it on
     // both branches, which would otherwise evaluate the (potentially
     // expensive) upstream pair-detection pipeline twice.
     val e0 = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .localCheckpoint()
-    // Symmetrized, deduped edge list; node-scale, so the iterated frames
-    // are coalesced to a few partitions — per-round job overhead, not
-    // data volume, dominates this loop (the pair graph is orders of
-    // magnitude smaller than the corpus).
-    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-      .where(col("u") =!= col("v")).distinct().coalesce(8).localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id")).coalesce(8).localCheckpoint()
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    val width = (df: DataFrame) =>
+      numPartitions.map(df.repartition(_)).getOrElse(df)
+    // Symmetrized, deduped edge list, checkpointed once.
+    val edges = width(
+      e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+        .where(col("u") =!= col("v")).distinct()).localCheckpoint()
+    var labels = width(edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))).localCheckpoint()
+    // Convergence accumulator: bumped row-by-row DURING the round's one
+    // materialization job, read on the driver after it.
+    val changed = spark.sparkContext.longAccumulator("graft.cc.changed")
+    val bump = udf { (ch: Boolean) => if (ch) changed.add(1L); ch }.asNondeterministic()
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -398,29 +411,36 @@ object Dedup {
         .groupBy(col("u")).agg(min(col("_nc")).as("_nmin"))
         .select(col("u").as("id"), col("_nmin"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("_old"),
           least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"))
       // (2) pointer jump: comp ← comp(comp). Every label is a node id
       // (mins over ids), so the lookup always resolves; coalesce guards
       // the root nodes whose label row is themselves.
-      val next = stepped
-        .join(stepped.select(col("id").as("comp"), col("comp").as("_pc")),
-          Seq("comp"), "left")
-        .select(col("id"), coalesce(col("_pc"), col("comp")).as("comp"))
-        .coalesce(8)
-        .localCheckpoint() // truncate the iterative lineage
-      val s = next.agg(sum(col("comp"))).head().getLong(0)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
+      changed.reset()
+      val next = width(stepped
+        .join(stepped.select(col("comp").as("_jk"), col("id").as("_ji")),
+          col("comp") === col("_ji"), "left")
+        .select(col("id"), col("_old"), coalesce(col("_jk"), col("comp")).as("comp"))
+        .withColumn("_ch", bump(col("comp") =!= col("_old")))
+        .select(col("id"), col("comp"), col("_ch")))
+        .localCheckpoint() // the round's ONE action; also counts changes
+      converged = changed.value == 0L
+      labels = next.select(col("id"), col("comp"))
       it += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $it sum=$s converged=$converged t=${System.nanoTime() / 1000000}")
+        System.err.println(s"[cc] round $it changed=${changed.value} t=${System.nanoTime() / 1000000}")
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds (pathological graph?)")
+    lastCcRounds.set(it)
     labels.select(col("id"), col("comp").as("component"))
   }
+
+  /** Rounds taken by the most recent [[connectedComponents]] call on
+    * this JVM — instrumentation for specs/ops dashboards (pointer
+    * jumping should stay O(log diameter)).
+    */
+  val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Near-duplicate dedup END TO END: detect pairs (MinHash+LSH), resolve
     * clusters ([[connectedComponents]]), keep the lowest-id document of

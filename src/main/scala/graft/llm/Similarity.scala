@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
 import graft.Portable
 
@@ -380,27 +380,12 @@ object Similarity {
     // cell_id wins csim ties (the row_number (csim DESC, cell_id ASC)
     // contract the DuckDB oracle mirrors).
     val cents = centroids.sortBy(_._1)
-    val assignUdf = udf { (v: Seq[Float]) =>
-      var bestCell = Long.MinValue; var bestSim = Double.NegativeInfinity
-      var i = 0
-      while (i < cents.length) {
-        val s = round6(cosFD(v, cents(i)._2))
-        if (s > bestSim) { bestSim = s; bestCell = cents(i)._1 }
-        i += 1
-      }
-      bestCell
-    }
-    val probeUdf = udf { (v: Seq[Float]) =>
-      cents.map { case (cid, cv) => (round6(cosFD(v, cv)), cid) }
-        .sortBy { case (s, cid) => (-s, cid) }
-        .take(nProbe).map(_._2).toSeq
-    }
     val assigned = corpus
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell_id", assignUdf(col("cv")))
+      .withColumn("cell_id", ivfAssignUdf(cents)(col("cv")))
     val probes = queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell_id", explode(probeUdf(col("qv"))))
+      .withColumn("cell_id", explode(ivfProbeUdf(cents, nProbe)(col("qv"))))
     val topk = udaf(new TopK.TopKAggregator(k))
     broadcast(probes).join(assigned, Seq("cell_id"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -570,8 +555,109 @@ object Similarity {
              vecCol: String, k: Int, m: Int = 4, ks: Int = 16,
              iters: Int = 4, rerank: Int = 40): DataFrame = {
     val books = pqCodebooks(corpus, idCol, vecCol, m, ks, iters)
-    val sub = books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
-    val encodeUdf = udf { (raw: Seq[Float]) =>
+    // Queries are broadcast-small by construction (as in bruteForceTopK):
+    // collect them once, precompute every query's LUT, and ship the LUT
+    // table to executors in the scoring UDF's closure. The candidate
+    // frame then carries only (query_id, neighbor_id, m bytes of code) —
+    // NOT a per-row m×ks-double LUT (an earlier revision joined the LUT
+    // through the candidate expansion and deserialized 64 boxed doubles
+    // per scored row: ~10× slower at identical results).
+    val luts = pqQueryLuts(queries, idCol, vecCol, books, m, ks)
+    val qIdsLit = array(luts.keys.toSeq.sorted.map(lit(_)): _*)
+    val codes = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        pqEncodeUdf(books, m, ks)(col(vecCol)).as("code"))
+    val heap = udaf(new TopK.TopKAggregator(rerank))
+    val cand = codes
+      .withColumn("query_id", explode(qIdsLit))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", pqAdcUdf(luts, m, ks)(col("query_id"), col("code")))
+      .groupBy(col("query_id"))
+      .agg(heap(col("neighbor_id"), col("adc")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    exactRerank(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** IVFADC (Jégou, Douze, Schmid, PAMI 2011 — "Product Quantization
+    * for Nearest Neighbor Search" §IV): the IVF coarse quantizer IN
+    * FRONT of PQ-ADC scoring, so each query's ADC pass scans only its
+    * `nProbe` probed cells (~nProbe/nCells of the corpus) instead of
+    * every code row — the composition [[ivfWithCentroids]] and
+    * [[pqTopK]] provide separately, and the 100 TB serving shape: the
+    * exhaustive-ADC cost of plain [[pqTopK]] is the scale wall round 4
+    * flagged. Codes quantize the (normalized) raw vectors in cosine
+    * space rather than per-cell residuals: cosine ADC tables are then
+    * centroid-independent — ONE m×ks LUT per query serves every probed
+    * cell — and the recall loss vs residual coding is absorbed by the
+    * exact rerank (gated end-to-end by q83).
+    *
+    * Plan shape: one write-once (cell_id, code) materialization pass
+    * over the corpus (broadcast centroids + codebooks, no shuffle);
+    * per query a broadcast probe join on `cell_id`, the in-cell ADC
+    * bounded heap (shuffle ≤ rerank rows per map partition per query),
+    * then exact rerank fetching only candidate vectors.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 4, ks: Int = 16, iters: Int = 4,
+                rerank: Int = 40): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters).sortBy(_._1)
+    val books = pqCodebooks(corpus, idCol, vecCol, m, ks, iters)
+    val luts = pqQueryLuts(queries, idCol, vecCol, books, m, ks)
+    val codes = corpus.select(
+      col(idCol).cast("long").as("neighbor_id"),
+      ivfAssignUdf(cents)(col(vecCol)).as("cell_id"),
+      pqEncodeUdf(books, m, ks)(col(vecCol)).as("code"))
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell_id", explode(ivfProbeUdf(cents, nProbe)(col("qv"))))
+      .select("query_id", "cell_id")
+    val heap = udaf(new TopK.TopKAggregator(rerank))
+    val cand = broadcast(probes).join(codes, Seq("cell_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", pqAdcUdf(luts, m, ks)(col("query_id"), col("code")))
+      .groupBy(col("query_id"))
+      .agg(heap(col("neighbor_id"), col("adc")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    exactRerank(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Nearest-centroid assignment (sorted cents; lowest cell_id wins
+    * ties — the row_number (csim DESC, cell_id ASC) oracle contract).
+    */
+  private def ivfAssignUdf(cents: Array[(Long, Array[Double])]): UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      var bestCell = Long.MinValue; var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val s = round6(cosFD(v, cents(i)._2))
+        if (s > bestSim) { bestSim = s; bestCell = cents(i)._1 }
+        i += 1
+      }
+      bestCell
+    }
+
+  /** The nProbe closest cells for a query vector. */
+  private def ivfProbeUdf(cents: Array[(Long, Array[Double])],
+                          nProbe: Int): UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      cents.map { case (cid, cv) => (round6(cosFD(v, cv)), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }
+        .take(nProbe).map(_._2).toSeq
+    }
+
+  private def pqSubDim(books: Array[Array[Array[Double]]]): Int =
+    books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+
+  /** PQ encoder: nearest codebook entry per subspace of the normalized
+    * vector — m small integers per row.
+    */
+  private def pqEncodeUdf(books: Array[Array[Array[Double]]],
+                          m: Int, ks: Int): UserDefinedFunction = {
+    val sub = pqSubDim(books)
+    udf { (raw: Seq[Float]) =>
       var nn = 0.0
       raw.foreach(x => nn += x.toDouble * x.toDouble)
       val inv = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
@@ -592,7 +678,15 @@ object Similarity {
         bi
       }
     }
-    // Query LUT: lut(s*ks + c) = dot(normalized q's subspace s, books(s)(c)).
+  }
+
+  /** Query LUTs, one per collected query:
+    * lut(s*ks + c) = dot(normalized q's subspace s, books(s)(c)).
+    */
+  private def pqQueryLuts(queries: DataFrame, idCol: String, vecCol: String,
+                          books: Array[Array[Array[Double]]],
+                          m: Int, ks: Int): Map[Long, Array[Double]] = {
+    val sub = pqSubDim(books)
     def lutOf(raw: Seq[Float]): Array[Double] = {
       var nn = 0.0
       raw.foreach(x => nn += x.toDouble * x.toDouble)
@@ -612,36 +706,27 @@ object Similarity {
       }
       lut
     }
-    // Queries are broadcast-small by construction (as in bruteForceTopK):
-    // collect them once, precompute every query's LUT, and ship the LUT
-    // table to executors in the scoring UDF's closure. The candidate
-    // frame then carries only (query_id, neighbor_id, m bytes of code) —
-    // NOT a per-row m×ks-double LUT (an earlier revision joined the LUT
-    // through the candidate expansion and deserialized 64 boxed doubles
-    // per scored row: ~10× slower at identical results).
-    val luts: Map[Long, Array[Double]] = queries
-      .select(col(idCol).cast("long"), col(vecCol)).collect()
+    queries.select(col(idCol).cast("long"), col(vecCol)).collect()
       .map(r => r.getLong(0) -> lutOf(r.getSeq[Float](1))).toMap
-    val qIdsLit = array(luts.keys.toSeq.sorted.map(lit(_)): _*)
-    val adcUdf = udf { (qid: Long, code: Seq[Int]) =>
+  }
+
+  /** ADC score: m LUT lookups per (query, code) row. */
+  private def pqAdcUdf(luts: Map[Long, Array[Double]],
+                       m: Int, ks: Int): UserDefinedFunction =
+    udf { (qid: Long, code: Seq[Int]) =>
       val lut = luts(qid)
       var t = 0.0
       var s = 0
       while (s < m) { t += lut(s * ks + code(s)); s += 1 }
       round6(t)
     }
-    val codes = corpus
-      .select(col(idCol).cast("long").as("neighbor_id"), encodeUdf(col(vecCol)).as("code"))
-    val heap = udaf(new TopK.TopKAggregator(rerank))
-    val cand = codes
-      .withColumn("query_id", explode(qIdsLit))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adcUdf(col("query_id"), col("code")))
-      .groupBy(col("query_id"))
-      .agg(heap(col("neighbor_id"), col("adc")).as("tk"))
-      .select(col("query_id"), explode(col("tk")).as("c"))
-      .select(col("query_id"), col("c.id").as("neighbor_id"))
-    // Exact rerank on candidates only.
+
+  /** Exact-cosine rerank of an ANN candidate set down to the final k —
+    * joins fetch only candidate vectors; queries stay broadcast.
+    */
+  private def exactRerank(cand: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, idCol: String, vecCol: String,
+                          k: Int): DataFrame = {
     val qv = broadcast(queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv")))
     val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
     val topk = udaf(new TopK.TopKAggregator(k))

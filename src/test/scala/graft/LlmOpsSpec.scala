@@ -145,6 +145,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(hit.toDouble / total >= 0.9, s"recall $hit/$total")
   }
 
+  test("ivfPqTopK (IVFADC) recovers planted clusters with recall >= 0.8") {
+    val rnd = new scala.util.Random(29)
+    // same planted-cluster shape as the kmeans IVF gate: a query's exact
+    // top-10 are its own cluster; the coarse quantizer must route the
+    // probe there and PQ-ADC + exact rerank must keep the neighbors.
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until 8; i <- 0 until 40) yield
+      ((c * 40 + i).toLong,
+        centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" % 40 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+    // rerank > cluster size: near-identical cluster members share a PQ
+    // code, so the ADC heap must be wide enough to keep the whole tie
+    // group for the exact rerank to resolve.
+    val approx = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        10, nCells = 8, nProbe = 2, m = 4, ks = 8, iters = 4, rerank = 60)
+      .select("query_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val total = exact.count()
+    assert(hit.toDouble / total >= 0.8, s"recall $hit/$total")
+    // exactly k rows per query, ranks 1..k
+    val perQuery = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        3, nCells = 8, nProbe = 2, m = 4, ks = 8, iters = 4, rerank = 60)
+      .groupBy($"query_id").agg(count(lit(1)).as("n"), max($"rank").as("mx"))
+    assert(perQuery.where($"n" =!= 3 || $"mx" =!= 3).count() == 0)
+  }
+
   test("lshNearDupPairs == brute-force threshold pairs on planted near-dups") {
     val rnd = new scala.util.Random(23)
     // 60 random 32-d vectors plus a near-copy of every 5th: the only
@@ -484,6 +513,19 @@ class LlmOpsSpec extends SparkSpec {
     val out = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
     assert(out == expected)
+  }
+
+  test("connectedComponents honors explicit partitioning, converges in O(log d) rounds") {
+    // 64-node chain (diameter 63): naive min propagation would need ~63
+    // rounds; pointer jumping must stay logarithmic.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val df = Dedup.connectedComponents(chain, "id_a", "id_b",
+      numPartitions = Some(16))
+    // wider than the old hardcoded 8-way coalesce
+    assert(df.rdd.getNumPartitions > 8)
+    assert(df.as[(Long, Long)].collect().toMap == (0L to 63L).map(_ -> 0L).toMap)
+    val rounds = Dedup.lastCcRounds.get()
+    assert(rounds <= 10, s"pointer jumping should need ~log2(63)+1 rounds, took $rounds")
   }
 
   test("dedupNearDup keeps one representative per near-dup cluster") {
