@@ -758,11 +758,35 @@ object Oracles {
          JOIN cnt c2 ON pw.w2 = c2.w
          CROSS JOIN tot
          GROUP BY doc_id""",
+    // q60: the multimodal stub's byte arithmetic, mirrored exactly —
+    // UTF-8 bytes recovered via hex(), rolling checksum via
+    // list_reduce, stride-0 mean in double (integer byte sums + one
+    // double division on both sides).
+    "q60_multimodal_features" ->
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         bl AS (
+           SELECT doc_id, n,
+             list_transform(generate_series(1, n), i ->
+               (position(substr(h, 2*i-1, 1) IN '0123456789ABCDEF') - 1) * 16 +
+               (position(substr(h, 2*i, 1) IN '0123456789ABCDEF') - 1)) AS bytes
+           FROM b)
+         SELECT doc_id AS id, n::INT AS n_bytes,
+           list_reduce(list_prepend(0::BIGINT, bytes),
+             (a, x) -> (a * 131 + x) % 1000000007)::BIGINT AS checksum,
+           CASE WHEN n = 0 THEN 0.0 ELSE
+             round(list_sum(list_transform(generate_series(1, n, 8),
+               i -> bytes[i]))::DOUBLE / n, 4)
+           END AS f0
+         FROM bl""",
     // q7B: perceptual-hash pair census — the closed form is the pattern
     // census (doc_id % 30), reached ONLY if byte-distinct re-encodes
     // hash identically and no two patterns collide.
     "q7B_image_phash" ->
-      """SELECT sum(c * (c - 1) // 2)::BIGINT AS n_pairs, true AS all_same_pattern
+      """SELECT sum(c * (c - 1) // 2)::BIGINT AS n_pairs, true AS all_same_pattern,
+                true AS has_byte_distinct
          FROM (SELECT doc_id % 30 AS r, count(*) AS c FROM documents GROUP BY 1)""",
     // q78/q79: property oracles (q6B/q63 pattern) — planted-pair count /
     // query census computable blind; the boolean gates carry the recall.

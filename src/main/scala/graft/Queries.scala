@@ -1003,12 +1003,18 @@ object Queries {
       val media = T.documents(s, d).select(col("doc_id"),
         Multimodal.syntheticTexturedPngUdf(col("doc_id")).as("payload"))
       Multimodal.imagePerceptualHash(media, "doc_id", "payload")
+        .join(media.select(col("doc_id"), md5(col("payload")).as("pmd5")), Seq("doc_id"))
         .withColumn("r", pmod(col("doc_id"), lit(30)))
         .groupBy(col("phash"))
-        .agg(count(lit(1)).as("c"), countDistinct(col("r")).as("npat"))
+        .agg(count(lit(1)).as("c"), countDistinct(col("r")).as("npat"),
+          countDistinct(col("pmd5")).as("npay"))
         .agg(sum(col("c") * (col("c") - 1) / lit(2)).cast("long").as("n_pairs"),
           (max(when(col("c") >= 2, col("npat")).otherwise(lit(1L))) === 1L)
-            .as("all_same_pattern"))
+            .as("all_same_pattern"),
+          // the near-dup property is only non-vacuous if hash groups
+          // contain BYTE-DISTINCT payloads (perturbed + unperturbed)
+          coalesce(min(when(col("c") >= 2, col("npay"))) >= 2, lit(false))
+            .as("has_byte_distinct"))
     }),
     // SemDeDup recall gate (q6B's planted-pair pattern): k-means
     // clustering + intra-cluster exact cosine must recover ≥ 80% of the
@@ -1228,8 +1234,12 @@ object Queries {
         .where(col("score") >= 0.25)
         .select("id_a", "id_b", "score")
     }),
-    // Multimodal plumbing (rows-only: stubbed decode kernel is not
-    // SQL-expressible; the schema/partitioning/batch shape is the test).
+    // Multimodal plumbing, oracle-checked end-to-end: the stub decode
+    // kernel is deterministic byte arithmetic (rolling checksum +
+    // stride-mean features), which the DuckDB oracle mirrors from
+    // hex-decoded UTF-8 bytes — schema, partitioning, batch shape AND
+    // values are all gated. (The REAL codec paths are proven separately
+    // by q65/q6A/q7A/q7B.)
     "q60_multimodal_features" -> ((s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._

@@ -27,7 +27,7 @@ object Multimodal {
   final case class MediaRow(id: Long, payload: Array[Byte], mime: String,
                             width: Int, height: Int)
   final case class MediaFeatures(id: Long, n_bytes: Int, checksum: Long,
-                                 features: Array[Float])
+                                 features: Array[Double])
 
   /** Wrap a text corpus as fake media rows: payload = UTF-8 bytes,
     * metadata derived deterministically. Real pipelines would read
@@ -46,9 +46,11 @@ object Multimodal {
 
   /** STUB decode + feature extraction: a real pipeline would decode the
     * image/audio here (libjpeg/ffmpeg via a vectorized UDF); this stub
-    * derives a deterministic `dim`-float feature vector from byte
-    * content. Runs as `mapPartitions` — batch-at-a-time, partition-
-    * parallel, zero driver involvement (the shape that matters at scale).
+    * derives a deterministic `dim`-double feature vector from byte
+    * content (integer byte sums + one double division — no float32
+    * accumulation, so the DuckDB oracle mirrors it bit-for-bit). Runs
+    * as `mapPartitions` — batch-at-a-time, partition-parallel, zero
+    * driver involvement (the shape that matters at scale).
     */
   def decodeFeaturesStub(ds: Dataset[MediaRow], dim: Int = 8)
                         (implicit spark: SparkSession): Dataset[MediaFeatures] = {
@@ -57,11 +59,13 @@ object Multimodal {
       it.map { m =>
         val bytes = m.payload
         val checksum = bytes.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L)
-        // STUB: stand-in for the decoded-content feature extractor.
+        // STUB: stand-in for the decoded-content feature extractor —
+        // feature i = (sum of bytes at positions ≡ i mod dim) / n_bytes.
+        val sums = new Array[Long](dim)
+        var j = 0
+        while (j < bytes.length) { sums(j % dim) += bytes(j) & 0xff; j += 1 }
         val feats = Array.tabulate(dim) { i =>
-          if (bytes.isEmpty) 0f
-          else bytes.indices.collect { case j if j % dim == i => (bytes(j) & 0xff).toFloat }
-            .sum / bytes.length
+          if (bytes.isEmpty) 0.0 else sums(i).toDouble / bytes.length
         }
         MediaFeatures(m.id, bytes.length, checksum, feats)
       }
@@ -276,8 +280,17 @@ object Multimodal {
       (r << 16) | (g << 8) | b
     })
 
+  /** perturb is keyed to (id / 30) % 2 — DECOUPLED from the pattern
+    * (id % 30): 30 is even, so `id % 2` would be constant within every
+    * pattern class and no pattern would ever carry both a perturbed and
+    * an unperturbed payload, making the byte-distinct-same-phash
+    * property vacuous. With the quotient key, consecutive id blocks of
+    * the same pattern alternate the perturbation, so every pattern class
+    * (given ≥ 31 docs) contains genuinely byte-distinct near-duplicates
+    * that must hash equal.
+    */
   val syntheticTexturedPngUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (id: Long) => syntheticTexturedPng(id % 30, id % 2 == 1) }
+    udf { (id: Long) => syntheticTexturedPng(id % 30, (id / 30) % 2 == 1) }
 
   final case class PHashRow(doc_id: Long, width: Int, height: Int, phash: Long)
 

@@ -178,10 +178,16 @@ object Smoke {
     check("bm25 scores matching docs only", bm.count() > 0 && bm.count() <= docs.count())
     val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", widthWords = 8)
     check("duplicatedSpans n_docs>=2", spans.where($"n_docs" < 2).count() == 0)
-    val decon = Dedup.decontaminate(docs.where($"doc_id" % 50 =!= 0),
-      docs.where($"doc_id" % 50 === 0), "doc_id", "text", shingleN = 5)
-    check("decontaminate never flags benchmark ids",
-      decon.where($"doc_id" % 50 === 0).count() == 0)
+    // Falsifiable decontamination gate: run over the FULL corpus so the
+    // benchmark slice's own docs are planted 100%-overlap contamination —
+    // every one must be flagged (a no-op decontaminate fails this), and
+    // nothing outside the corpus may appear.
+    val benchSlice = docs.where($"doc_id" % 50 === 0)
+    val decon = Dedup.decontaminate(docs, benchSlice, "doc_id", "text", shingleN = 5)
+    check("decontaminate flags every planted benchmark overlap",
+      decon.where($"doc_id" % 50 === 0 && $"n_contaminated" >= 1).count() ==
+        benchSlice.count() &&
+        decon.join(docs, Seq("doc_id"), "left_anti").count() == 0)
     val capped = graft.llm.Sampling.capPerKey(docs, "doc_id", "source", 20)
     check("capPerKey bound holds",
       capped.groupBy("source").count().agg(max("count")).as[Long].head() <= 20)
