@@ -799,6 +799,12 @@ object Oracles {
     "q83_ivfpq_topk_recall" ->
       """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries, true AS recall_ok
          FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
+    // q84: planted-accuracy gate for the char-trigram language-ID model
+    // (held-out sentences, language keyed by doc_id) — census blind,
+    // boolean carries the accuracy.
+    "q84_langid_ngram" ->
+      """SELECT count(*)::BIGINT AS n_docs, true AS all_correct
+         FROM documents""",
     // q7A: the Spark side round-trips a REAL WAV encode+decode+DFT; the
     // oracle computes the square wave's fundamental bin in closed form.
     "q7A_wav_spectral" ->

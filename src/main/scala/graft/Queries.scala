@@ -1251,6 +1251,35 @@ object Queries {
         .select(col("id"), col("n_bytes"), col("checksum"),
           Portable.round(element_at(col("features"), 1), 4).as("f0"))
     }),
+    // Char-trigram Naive-Bayes language ID (q79-style property gate):
+    // plant one held-out sentence per doc — language keyed by doc_id%4,
+    // sentence variant by (doc_id/4)%2, none of them in the model's
+    // seed corpora — and require EVERY prediction correct. The model's
+    // float log-sums aren't SQL-mirrorable; the planted accuracy is
+    // computable blind.
+    "q84_langid_ngram" -> ((s, d) => {
+      val holdout = Seq(
+        Seq("she opened the window and looked at the rain falling on the quiet street below",
+          "they walked along the beach in the evening and talked about their plans for the future"),
+        Seq("sie öffnete das fenster und schaute auf den regen der auf die stille straße fiel",
+          "sie gingen am abend den strand entlang und sprachen über ihre pläne für die zukunft"),
+        Seq("elle ouvrit la fenêtre et regarda la pluie tomber sur la rue tranquille en bas",
+          "ils marchaient le long de la plage le soir et parlaient de leurs projets pour l avenir"),
+        Seq("ella abrió la ventana y miró la lluvia caer sobre la calle tranquila de abajo",
+          "caminaban por la playa por la tarde y hablaban de sus planes para el futuro"))
+      val langsArr = array(Seq("en", "de", "fr", "es").map(lit(_)): _*)
+      val textsArr = array(holdout.map(v => array(v.map(lit(_)): _*)): _*)
+      val li = pmod(col("doc_id"), lit(4)).cast("int")
+      val vi = pmod(floor(col("doc_id") / 4).cast("long"), lit(2)).cast("int")
+      T.documents(s, d)
+        .select(col("doc_id"),
+          element_at(langsArr, li + 1).as("expected"),
+          element_at(element_at(textsArr, li + 1), vi + 1).as("planted"))
+        .withColumn("pred", TextStats.langIdNgramUdf(col("planted")))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(when(col("pred") =!= col("expected"), 1).otherwise(0)) === 0)
+            .as("all_correct"))
+    }),
     // Gopher-style repetition/formatting stats + keep rule: duplicate
     // lines, bullet/ellipsis lines, symbol ratio, top-2-gram fraction —
     // one compiled pass per doc; keep thresholds the ROUNDED fields.

@@ -98,6 +98,94 @@ object TextStats {
     }
   }
 
+  // ------------------------------------------------------------------ //
+  // Char-trigram language-ID model                                     //
+  // ------------------------------------------------------------------ //
+
+  /** Seed corpora for the trigram model — small texts authored for this
+    * repo (one per language), embedded so the model is deterministic
+    * and self-contained (no external data, no network).
+    */
+  private[llm] val langSeedTexts: Map[String, String] = Map(
+    "en" -> ("the quick brown fox jumps over the lazy dog while the children " +
+      "watch the ships from the harbour wall and everything that could be " +
+      "said about the weather was said with great enthusiasm by the old " +
+      "fisherman who knew the tides better than anyone in the village " +
+      "this is a story about the sea and the people who live beside it"),
+    "de" -> ("der schnelle braune fuchs springt über den faulen hund während " +
+      "die kinder die schiffe von der hafenmauer aus beobachten und alles " +
+      "was über das wetter gesagt werden konnte wurde mit großer " +
+      "begeisterung von dem alten fischer erzählt der die gezeiten besser " +
+      "kannte als irgendjemand im dorf dies ist eine geschichte über das " +
+      "meer und die menschen die daneben wohnen"),
+    "fr" -> ("le rapide renard brun saute par dessus le chien paresseux " +
+      "pendant que les enfants regardent les navires depuis le mur du port " +
+      "et tout ce qui pouvait être dit sur le temps fut dit avec beaucoup " +
+      "d enthousiasme par le vieux pêcheur qui connaissait les marées mieux " +
+      "que quiconque au village ceci est une histoire sur la mer et les " +
+      "gens qui vivent à côté"),
+    "es" -> ("el rápido zorro marrón salta sobre el perro perezoso mientras " +
+      "los niños miran los barcos desde el muro del puerto y todo lo que " +
+      "podía decirse sobre el tiempo fue dicho con gran entusiasmo por el " +
+      "viejo pescador que conocía las mareas mejor que nadie en el pueblo " +
+      "esta es una historia sobre el mar y la gente que vive al lado"))
+
+  /** Fixed prediction order (ties break toward the earlier entry). */
+  private[llm] val langModelOrder: Seq[String] = Seq("en", "de", "fr", "es")
+
+  private def charTrigrams(text: String): Seq[String] = {
+    val norm = " " + text.toLowerCase
+      .replaceAll("[^\\p{L}]+", " ").trim + " "
+    if (norm.length < 3) Seq.empty else norm.sliding(3).toSeq
+  }
+
+  /** Per-language add-one-smoothed trigram log-probabilities + the
+    * unseen-gram fallback, built once at class load.
+    */
+  private lazy val langTrigramModel: Map[String, (Map[String, Double], Double)] = {
+    val counts = langSeedTexts.view.mapValues(t =>
+      charTrigrams(t).groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
+    val vocab = counts.values.flatMap(_.keys).toSet.size.toDouble
+    counts.map { case (lang, c) =>
+      val total = c.values.sum.toDouble
+      val logProbs = c.map { case (g, n) =>
+        g -> math.log((n + 1.0) / (total + vocab))
+      }
+      lang -> ((logProbs, math.log(1.0 / (total + vocab))))
+    }
+  }
+
+  /** Char-trigram Naive-Bayes language ID — the MODEL upgrade over the
+    * stopword-marker heuristic [[langId]] (which is kept as the
+    * oracle-parity operator: this scorer's float log-sums are not
+    * SQL-mirrorable, so it is gated by the planted-accuracy property
+    * query q84 and by spec instead). Scoring: add-one-smoothed
+    * log-likelihood of the text's char trigrams per language, argmax
+    * with the fixed order en > de > fr > es; texts with no trigram
+    * (empty / non-letter) → "und". Deterministic, executor-side, one
+    * narrow pass — the same classification shape fastText-style n-gram
+    * models run at corpus scale.
+    */
+  val langIdNgramUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) "und"
+      else {
+        val grams = charTrigrams(text)
+        if (grams.isEmpty) "und"
+        else {
+          var bestLang = "und"
+          var bestScore = Double.NegativeInfinity
+          langModelOrder.foreach { lang =>
+            val (lp, fallback) = langTrigramModel(lang)
+            var s = 0.0
+            grams.foreach(g => s += lp.getOrElse(g, fallback))
+            if (s > bestScore) { bestScore = s; bestLang = lang }
+          }
+          bestLang
+        }
+      }
+    }
+
   /** Rolling-hash document fingerprint: polynomial fold over the portable
     * word hashes, mod 1e9+7. Order-sensitive (it is a sequence
     * fingerprint, not a bag fingerprint).

@@ -21,19 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Bit-interleave two non-negative coordinates: x takes even bits,
-    * y odd. `bitsPerDim` ≤ 31 keeps the result positive in a LONG.
+  /** Bit-interleave `d` non-negative coordinates: coordinate k's bit i
+    * lands at output bit `i*d + k` (for d=2 this is the classic
+    * even/odd-bit Morton interleave). `bitsPerDim * d` ≤ 63 keeps the
+    * result positive in a LONG.
     */
-  private[graft] def interleave(x: Long, y: Long, bitsPerDim: Int): Long = {
+  private[graft] def interleaveN(coords: Array[Long], bitsPerDim: Int): Long = {
+    val d = coords.length
     var z = 0L
     var i = 0
     while (i < bitsPerDim) {
-      z |= ((x >> i) & 1L) << (2 * i)
-      z |= ((y >> i) & 1L) << (2 * i + 1)
+      var k = 0
+      while (k < d) {
+        z |= ((coords(k) >> i) & 1L) << (i * d + k)
+        k += 1
+      }
       i += 1
     }
     z
   }
+
+  /** Bit-interleave two non-negative coordinates: x takes even bits,
+    * y odd. `bitsPerDim` ≤ 31 keeps the result positive in a LONG.
+    */
+  private[graft] def interleave(x: Long, y: Long, bitsPerDim: Int): Long =
+    interleaveN(Array(x, y), bitsPerDim)
 
   /** Morton z-value of two non-negative integer columns. */
   def zValueUdf(bitsPerDim: Int = 21): UserDefinedFunction = {
@@ -49,15 +61,45 @@ object ZOrder {
     }
   }
 
+  /** Morton z-value of any number of non-negative integer columns
+    * (pass them as one array column). `bitsPerDim × nDims ≤ 63`.
+    */
+  def zValueNUdf(nDims: Int, bitsPerDim: Int): UserDefinedFunction = {
+    require(nDims >= 1, "nDims must be positive")
+    require(bitsPerDim >= 1 && bitsPerDim * nDims <= 63,
+      s"bitsPerDim * nDims must be in [1,63], got $bitsPerDim * $nDims")
+    udf { (coords: Seq[Long]) =>
+      require(coords.length == nDims, s"expected $nDims coordinates, got ${coords.length}")
+      coords.foreach { c =>
+        require(c >= 0, "z-order coordinates must be non-negative")
+        require(c < (1L << bitsPerDim),
+          s"z-order coordinate out of range: $c >= 2^$bitsPerDim — " +
+            "rescale (e.g. bucket timestamps) or raise bitsPerDim")
+      }
+      interleaveN(coords.toArray, bitsPerDim)
+    }
+  }
+
   /** Cluster a frame along the z-curve of (xCol, yCol) into `nFiles`
     * range partitions, each sorted by z-value — written as-is, every
     * parquet file covers a contiguous z-range, i.e. a small bounding
     * box in both dimensions. One shuffle (range repartition).
     */
   def cluster(df: DataFrame, xCol: String, yCol: String, nFiles: Int,
-              bitsPerDim: Int = 21): DataFrame = {
+              bitsPerDim: Int = 21): DataFrame =
+    clusterN(df, Seq(xCol, yCol), nFiles, bitsPerDim)
+
+  /** N-dimensional [[cluster]]: z-curve over any number of key columns
+    * (3-D "filter by time AND key AND region" layouts and beyond). Same
+    * single range-repartition shuffle; `bitsPerDim` defaults shrink as
+    * dimensions grow to keep the z-value in a LONG.
+    */
+  def clusterN(df: DataFrame, cols: Seq[String], nFiles: Int,
+               bitsPerDim: Int = 21): DataFrame = {
     require(nFiles > 0, "nFiles must be positive")
-    val z = zValueUdf(bitsPerDim)(col(xCol).cast("long"), col(yCol).cast("long"))
+    require(cols.nonEmpty, "at least one key column required")
+    val z = zValueNUdf(cols.length, bitsPerDim)(
+      array(cols.map(c => col(c).cast("long")): _*))
     df.withColumn("_z", z)
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions(col("_z"))

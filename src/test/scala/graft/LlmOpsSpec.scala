@@ -423,6 +423,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "de", "und"))
   }
 
+  test("langIdNgram classifies held-out sentences; und on empty/non-letter input") {
+    // none of these sentences appear in the model's seed corpora
+    val cases = Seq(
+      ("the children were reading books in the library all afternoon", "en"),
+      ("wir haben gestern einen langen brief an unsere großmutter geschrieben", "de"),
+      ("nous avons mangé du pain avec du fromage dans le petit jardin", "fr"),
+      ("los estudiantes escribieron una carta muy larga a su profesor", "es"),
+      ("", "und"), ("12345 !!! ???", "und"))
+    val out = cases.map(_._1).toDF("text")
+      .select(TextStats.langIdNgramUdf(col("text"))).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+    // deterministic across evaluations
+    val again = cases.map(_._1).toDF("text")
+      .select(TextStats.langIdNgramUdf(col("text"))).as[String].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("fingerprint is order-sensitive and stable") {
     val out = Seq("a b c", "c b a", "a b c").toDF("text")
       .select(TextStats.fingerprint(col("text"))).as[Long].collect()

@@ -17,6 +17,46 @@ class ZOrderSpec extends SparkSpec {
     assert((z(17L, 42L) >> 8) == (z(19L, 40L) >> 8), "same 16x16 tile, same z-prefix")
   }
 
+  test("interleaveN: 2-D agrees with interleave; 3-D known values and tile prefix") {
+    // d=2 must be the classic even/odd interleave
+    for ((x, y) <- Seq((0L, 0L), (3L, 0L), (0L, 3L), (7L, 7L), (17L, 42L)))
+      assert(ZOrder.interleaveN(Array(x, y), 8) == ZOrder.interleave(x, y, 8))
+    // d=3: coordinate k's bit i lands at bit 3i+k
+    assert(ZOrder.interleaveN(Array(1L, 0L, 0L), 4) == 1L)
+    assert(ZOrder.interleaveN(Array(0L, 1L, 0L), 4) == 2L)
+    assert(ZOrder.interleaveN(Array(0L, 0L, 1L), 4) == 4L)
+    assert(ZOrder.interleaveN(Array(7L, 7L, 7L), 4) == 511L) // 2^9 - 1
+    // prefix property: points in the same 2^k-aligned 3-D tile share
+    // the z-prefix above 3k bits
+    val z = (c: Array[Long]) => ZOrder.interleaveN(c, 8)
+    assert((z(Array(17L, 42L, 9L)) >> 9) == (z(Array(19L, 40L, 14L)) >> 9),
+      "same 8x8x8 tile, same z-prefix")
+  }
+
+  test("3-D clusterN files bound every dimension") {
+    // 16x16x16 grid, scrambled; cluster on all three dims
+    val pts = new scala.util.Random(7).shuffle((0 until 4096).toList)
+      .map(i => (i % 16, (i / 16) % 16, i / 256)).toDF("x", "y", "w")
+    val dir = tmpDir("zorder-3d")
+    ZOrder.clusterN(pts, Seq("x", "y", "w"), 16, bitsPerDim = 4)
+      .write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bounds = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(min("x"), max("x"), min("y"), max("y"), min("w"), max("w")).head()
+        Seq(r.getInt(1) - r.getInt(0), r.getInt(3) - r.getInt(2),
+          r.getInt(5) - r.getInt(4)).map(_ + 1)
+      }
+    // every file must be compact in EVERY dimension (a 1-D sort would
+    // leave two dimensions at full 16-extent in every file); 12 allows
+    // a sampled range bound straddling a Morton tile transition
+    assert(bounds.forall(_.forall(_ <= 12)),
+      s"3-D z-order files must bound all dims (extents=$bounds)")
+  }
+
   test("z-order files bound BOTH dims; x-sort leaves y unbounded") {
     // 64x64 grid, one point per cell, scrambled input order (seeded:
     // RangePartitioner bounds are sample-derived from input order)
