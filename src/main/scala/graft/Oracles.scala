@@ -594,6 +594,19 @@ object Oracles {
          round(arg_min("value", ts), 4) AS open, round(arg_max("value", ts), 4) AS close,
          round(sum("value"), 4) AS volume
          FROM events GROUP BY 1, 2""",
+    // q85: as-of tx 2 of the streamed versioned store == candles of the
+    // first two time slices. cut2 mirrors the fixture's Long arithmetic:
+    // second-aligned 2/3 point of the ns range (integer division).
+    "q85_stream_asof" ->
+      """SELECT event_type AS code, date_trunc('second', ts) AS ts,
+         round(arg_min("value", ts), 4) AS open, round(arg_max("value", ts), 4) AS close,
+         round(sum("value"), 4) AS volume
+         FROM events
+         WHERE epoch_ns(ts) <
+           (SELECT (min(epoch_ns(ts)) + 2 * (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 3)
+                   // 1000000000 * 1000000000
+            FROM events)
+         GROUP BY 1, 2""",
     // -- LLM ops ---------------------------------------------------- //
     // q74/q75/q76 run the SAME SQL text on both engines.
     "q74_stats_moments" -> Queries.statsMomentsSql,

@@ -673,60 +673,84 @@ object Queries {
     * state equals the one-shot batch aggregation (the oracle) regardless
     * of file order.
     */
+  /** Split the events table into three second-aligned time slices as
+    * single files b0/b1/b2 under `base/stream-src`, with STRICTLY
+    * INCREASING mtimes (FileStreamSource admits files ordered by
+    * (mtime, path); the staging job's task-finish order would otherwise
+    * leak into micro-batch order and break mid-stream as-of checks).
+    * Returns (srcDir, raw schema): slice i covers `[cut_i, cut_i+1)`
+    * with cut1/cut2 at 1/3 and 2/3 of the ns time range, floored to
+    * whole seconds (so no 1s candle bucket spans two slices).
+    */
+  private def sliceEventFiles(s: SparkSession, d: String, base: String):
+      (String, org.apache.spark.sql.types.StructType) = {
+    // events.ts is TIMESTAMP(NANOS): the conf must be set on THIS
+    // session before any read of the file (Tables.load does it for the
+    // batch path; the stream path must not depend on call order).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$d/events.parquet") // ts = raw epoch nanos
+    val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    def secondAligned(ns: Long): Long = ns / 1000000000L * 1000000000L
+    val cut1 = secondAligned(mn + (mx - mn) / 3)
+    val cut2 = secondAligned(mn + 2 * (mx - mn) / 3)
+    val srcDir = s"$base/stream-src"
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    // One job writes all three slices: slice id → its own task via
+    // repartition(slice) (hash of 3 distinct values; a collision just
+    // means one task writes two slice dirs — still one file each) →
+    // partitionBy(slice) dirs, renamed to flat b<i>.parquet files.
+    val staging = s"$base/staging"
+    raw.withColumn("_slice",
+        when(col("ts") < cut1, 0).when(col("ts") < cut2, 1).otherwise(2))
+      .repartition(col("_slice"))
+      .write.partitionBy("_slice").parquet(staging)
+    val t0 = System.currentTimeMillis()
+    (0 to 2).foreach { i =>
+      val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+      // partitionBy only creates dirs for non-empty slices: an empty
+      // slice means the events distribution cannot exercise 3
+      // micro-batches — fail with the diagnostic, not a raw FNFE.
+      if (!fs.exists(sliceDir))
+        sys.error(s"time slice $i is empty — events too clustered for a 3-batch differential")
+      val part = fs.listStatus(sliceDir)
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+        case Array(one) => one
+        case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+      }
+      val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
+      fs.rename(part, dst)
+      // rename preserves the SOURCE mtime (task-finish order, arbitrary)
+      fs.setTimes(dst, t0 + i * 1000L, -1)
+    }
+    (srcDir, raw.schema)
+  }
+
+  /** The per-micro-batch tick→1s-candle transform shared by the plain
+    * and versioned streaming fixtures.
+    */
+  private def eventCandleTransform(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    TimeSeries.candlesFromTicks(batch, "ts", "value", Some("value"),
+        Seq("event_type"), 1)
+      .select(lit("EVS").as("market"), col("event_type").as("code"),
+        lit(1).as("candle_length"), timestamp_seconds(col("bucket")).as("ts"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"),
+        lit(0L).as("bit_fields"))
+
   private def streamedStore(s: SparkSession, d: String): CandleStore = {
     val path = streamCache.getOrElseUpdate(d, {
       val base = Files.createTempDirectory("graft-qstream").toString
       val p = s"$base/candles"
-      // events.ts is TIMESTAMP(NANOS): the conf must be set on THIS
-      // session before any read of the file (Tables.load does it for the
-      // batch path; the stream path must not depend on call order).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$d/events.parquet") // ts = raw epoch nanos
-      val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
-      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
-      def secondAligned(ns: Long): Long = ns / 1000000000L * 1000000000L
-      val cut1 = secondAligned(mn + (mx - mn) / 3)
-      val cut2 = secondAligned(mn + 2 * (mx - mn) / 3)
-      val srcDir = s"$base/stream-src"
-      val fs = new org.apache.hadoop.fs.Path(srcDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
-      // One job writes all three slices: slice id → its own task via
-      // repartition(slice) (hash of 3 distinct values; a collision just
-      // means one task writes two slice dirs — still one file each) →
-      // partitionBy(slice) dirs, renamed to flat b<i>.parquet files.
-      val staging = s"$base/staging"
-      raw.withColumn("_slice",
-          when(col("ts") < cut1, 0).when(col("ts") < cut2, 1).otherwise(2))
-        .repartition(col("_slice"))
-        .write.partitionBy("_slice").parquet(staging)
-      (0 to 2).foreach { i =>
-        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
-        // partitionBy only creates dirs for non-empty slices: an empty
-        // slice means the events distribution cannot exercise 3
-        // micro-batches — fail with the diagnostic, not a raw FNFE.
-        if (!fs.exists(sliceDir))
-          sys.error(s"time slice $i is empty — events too clustered for a 3-batch differential")
-        val part = fs.listStatus(sliceDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
-          case Array(one) => one
-          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
-        }
-        fs.rename(part, new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet"))
-      }
-      val stream = s.readStream.schema(raw.schema)
+      val (srcDir, schema) = sliceEventFiles(s, d, base)
+      val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val st = CandleStore(s, p)
       val q = graft.streaming.Ingest.startUpsertIngest(stream, st, s"$base/ckpt",
-        transform = batch =>
-          TimeSeries.candlesFromTicks(batch, "ts", "value", Some("value"),
-              Seq("event_type"), 1)
-            .select(lit("EVS").as("market"), col("event_type").as("code"),
-              lit(1).as("candle_length"), timestamp_seconds(col("bucket")).as("ts"),
-              col("open"), col("high"), col("low"), col("close"), col("volume"),
-              lit(0L).as("bit_fields")))
+        transform = eventCandleTransform)
       q.awaitTermination()
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 3,
@@ -734,6 +758,34 @@ object Queries {
       p
     })
     CandleStore(s, path)
+  }
+
+  private val vstreamCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streamed VERSIONED store: the same 3-slice differential, but each
+    * micro-batch becomes one journaled transaction — streaming ingest
+    * that produces time-travelable history (the reference's WAL is its
+    * streaming ingest). Slice order is mtime-pinned, so `scanAsOf(2)`
+    * is exactly the first two time slices.
+    */
+  private def streamedVersionedStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
+    val path = vstreamCache.getOrElseUpdate(d, {
+      val base = Files.createTempDirectory("graft-qvstream").toString
+      val p = s"$base/v"
+      val (srcDir, schema) = sliceEventFiles(s, d, base)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val vst = graft.store.VersionedCandleStore(s, p)
+      val q = graft.streaming.Ingest.startVersionedIngest(stream, vst, s"$base/ckpt",
+        transform = eventCandleTransform)
+      q.awaitTermination()
+      require(vst.latestTxId == 3L,
+        s"streamed versioned ingest must journal 3 txs, saw ${vst.latestTxId}")
+      p
+    })
+    graft.store.VersionedCandleStore(s, path)
   }
 
   private val bucketCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
@@ -850,6 +902,17 @@ object Queries {
           Portable.round(col("min_low"), 4).as("min_low"),
           Portable.round(col("max_high"), 4).as("max_high"),
           Portable.round(col("total_volume"), 4).as("total_volume"))
+    }),
+    // Streaming → VERSIONED store (§2.3 × time travel): 3 micro-batches
+    // == 3 journaled txs; as-of tx 2 must equal the 1s-candle
+    // aggregation of the first two time slices (ts < cut2) — the
+    // mid-stream state, reconstructed after the stream finished.
+    "q85_stream_asof" -> ((s, d) => {
+      streamedVersionedStore(s, d).scanAsOf(2L)
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
     }),
     // Streaming ingest end-to-end (§2.3): file stream → foreachBatch
     // candle upsert → final state.
@@ -1075,7 +1138,8 @@ object Queries {
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint()
       val approx = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
-          k = 10, nCells = 16, nProbe = 4, m = 4, ks = 16, iters = 4, rerank = 40)
+          k = 10, nCells = 16, nProbe = 4, m = 4, ks = 16, iters = 4,
+          rerank = 40, sampleMod = 4)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint()
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))

@@ -601,8 +601,11 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
                 m: Int = 4, ks: Int = 16, iters: Int = 4,
-                rerank: Int = 40): DataFrame = {
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters).sortBy(_._1)
+                rerank: Int = 40, sampleMod: Int = 1): DataFrame = {
+    // sampleMod trains the coarse quantizer on an id-sampled subset —
+    // at 100 TB you always train on a sample and assign the full corpus
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters,
+      sampleMod).sortBy(_._1)
     val books = pqCodebooks(corpus, idCol, vecCol, m, ks, iters)
     val luts = pqQueryLuts(queries, idCol, vecCol, books, m, ks)
     val codes = corpus.select(

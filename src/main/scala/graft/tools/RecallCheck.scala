@@ -24,7 +24,8 @@ object RecallCheck {
       val sHit = exact.join(sApprox, Seq("query_id", "neighbor_id"), "left_semi").count()
       println(f"[recall] $d sample_p4 ${sHit.toDouble / exact.count()}%.3f")
       val pqApprox = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
-        k = 10, nCells = 16, nProbe = 4, m = 4, ks = 16, iters = 4, rerank = 40)
+        k = 10, nCells = 16, nProbe = 4, m = 4, ks = 16, iters = 4, rerank = 40,
+        sampleMod = 4)
         .select("query_id", "neighbor_id")
       val pqHit = exact.join(pqApprox, Seq("query_id", "neighbor_id"), "left_semi").count()
       println(f"[recall] $d ivfpq_p4 ${pqHit.toDouble / exact.count()}%.3f")
