@@ -733,7 +733,11 @@ object Similarity {
     val qv = broadcast(queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv")))
     val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
     val topk = udaf(new TopK.TopKAggregator(k))
-    cand.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+    // cand is ≤ queries × rerank rows by construction — broadcast it into
+    // the corpus-side vector fetch instead of sort-merge-shuffling the
+    // corpus (the aggregation upstream hides its size from static
+    // planning, so the hint is load-bearing at scale).
+    broadcast(cand.join(qv, Seq("query_id"))).join(cv, Seq("neighbor_id"))
       .withColumn("score", Portable.round(cosineNative(col("qv"), col("cv")), 4))
       .groupBy(col("query_id"))
       .agg(topk(col("neighbor_id"), col("score")).as("tk"))
