@@ -440,6 +440,48 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
       latest
     } finally { f.delete(lock, false); () }
   }
+
+  private val DataFileName = "tx(\\d{20})-.*".r
+
+  /** Garbage-collect TORN commits: data files that were moved into a
+    * generation but never journaled (writer crashed between the move and
+    * the journal append). They are invisible to every read (committed-set
+    * gating), so this is pure space reclamation — the reference's
+    * discard-uncommitted-on-replay (`wal/flusher.go:93-131`) as a
+    * maintenance op. Also drops reserve files with no journal entry.
+    * Requires the same writer exclusivity as [[compact]] (shares its
+    * lock); returns the number of files removed.
+    */
+  def vacuum(): Int = {
+    val f = fs
+    if (!f.exists(hp(path))) return 0
+    val lock = hp(s"$path/_compact.lock")
+    if (!tryCreate(f, lock))
+      throw new IllegalStateException(s"another maintenance op holds $lock")
+    try {
+      val journaled = txLog().select("tx_id").collect().map(_.getLong(0)).toSet
+      var removed = 0
+      def sweep(dir: Path): Unit =
+        f.listStatus(dir).foreach { st =>
+          if (st.isDirectory) sweep(st.getPath)
+          else st.getPath.getName match {
+            case DataFileName(id) if !journaled(id.toLong) =>
+              f.delete(st.getPath, false); removed += 1
+            case _ => ()
+          }
+        }
+      generations().foreach { case (_, p) => sweep(p) }
+      if (f.exists(hp(txnPath)))
+        f.listStatus(hp(txnPath)).map(_.getPath).foreach { p =>
+          p.getName match {
+            case ReserveName(id) if !journaled(id.toLong) =>
+              f.delete(p, false); removed += 1
+            case _ => ()
+          }
+        }
+      removed
+    } finally { f.delete(lock, false); () }
+  }
 }
 
 object VersionedCandleStore {

@@ -139,6 +139,36 @@ class VersionedStoreSpec extends SparkSpec {
     assert(openAt("2024-06-01 00:00:00") == Seq(2.0))  // after both
   }
 
+  test("vacuum removes torn-commit orphans that reads never saw") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-vac") + "/v")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    st.commit(Seq(c("ETH", "2022-01-01 10:00:00", 2)).toDF())
+    // simulate a torn commit: copy a committed data file under a tx id
+    // that reserved + moved but never journaled
+    val gen = new java.io.File(st.path)
+      .listFiles().filter(_.getName.startsWith("data-g")).head
+    def dataFiles = {
+      val buf = scala.collection.mutable.ArrayBuffer[java.io.File]()
+      def walk(d: java.io.File): Unit = d.listFiles().foreach { x =>
+        if (x.isDirectory) walk(x)
+        else if (x.getName.startsWith("tx") && x.getName.endsWith(".parquet")) buf += x
+      }
+      walk(gen); buf.toSeq
+    }
+    val src = dataFiles.head
+    val torn = new java.io.File(src.getParentFile,
+      "tx00000000000000000009-" + src.getName.split("-", 2)(1))
+    java.nio.file.Files.copy(src.toPath, torn.toPath)
+    // invisible to reads (committed-set gating)…
+    assert(st.scan().count() == 2)
+    assert(st.latestTxId == 2L)
+    // …and reclaimed by vacuum; committed data untouched
+    assert(st.vacuum() >= 1)
+    assert(!torn.exists())
+    assert(st.scan().count() == 2)
+    assert(st.vacuum() == 0) // idempotent; reserves of committed txs stay
+  }
+
   test("streaming batch-id replay is a no-op returning the prior tx") {
     val st = VersionedCandleStore(spark, tmpDir("vstore-replay") + "/v")
     val b = Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()
