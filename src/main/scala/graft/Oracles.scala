@@ -812,6 +812,18 @@ object Oracles {
     "q83_ivfpq_topk_recall" ->
       """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries, true AS recall_ok
          FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
+    // q86: NFC normalization mirrored via utf8proc — the planted
+    // decomposed suffix must compose on both engines identically.
+    "q86_nfc_normalize" ->
+      """WITH p AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 2 = 0
+                        THEN ' e' || chr(769) || 'cole' ELSE ' plain' END AS t
+         FROM documents)
+         SELECT doc_id,
+           octet_length(encode(t))::INT AS n_bytes_raw,
+           octet_length(encode(nfc_normalize(t)))::INT AS n_bytes_nfc,
+           t <> nfc_normalize(t) AS changed
+         FROM p""",
     // q84: planted-accuracy gate for the char-trigram language-ID model
     // (held-out sentences, language keyed by doc_id) — census blind,
     // boolean carries the accuracy.

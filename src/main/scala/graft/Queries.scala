@@ -1344,6 +1344,23 @@ object Queries {
           (sum(when(col("pred") =!= col("expected"), 1).otherwise(0)) === 0)
             .as("all_correct"))
     }),
+    // Unicode NFC normalization, oracle-checked byte-for-byte: plant a
+    // DECOMPOSED suffix (e + combining acute U+0301) on even doc_ids —
+    // normalization must compose it (bytes shrink, string changes) and
+    // leave the plain suffix untouched; JDK Normalizer vs DuckDB
+    // utf8proc implement the same Unicode standard.
+    "q86_nfc_normalize" -> ((s, d) => {
+      val planted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(" e\u0301cole")) // decomposed: e + combining acute
+          .otherwise(lit(" plain")))
+      T.documents(s, d)
+        .select(col("doc_id"), planted.as("_p"))
+        .withColumn("_n", TextStats.nfcNormalizeUdf(col("_p")))
+        .select(col("doc_id"),
+          octet_length(col("_p")).as("n_bytes_raw"),
+          octet_length(col("_n")).as("n_bytes_nfc"),
+          (col("_p") =!= col("_n")).as("changed"))
+    }),
     // Gopher-style repetition/formatting stats + keep rule: duplicate
     // lines, bullet/ellipsis lines, symbol ratio, top-2-gram fraction —
     // one compiled pass per doc; keep thresholds the ROUNDED fields.

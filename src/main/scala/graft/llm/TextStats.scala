@@ -98,6 +98,29 @@ object TextStats {
     }
   }
 
+  /** Unicode NFC normalization — the canonical-composition cleanup every
+    * text pipeline runs before hashing/dedup (decomposed "é" and
+    * composed "é" must not count as distinct content). JDK
+    * `java.text.Normalizer` implements the same Unicode standard as
+    * DuckDB's utf8proc `nfc_normalize`, so the op is oracle-checkable
+    * byte-for-byte (q86). Null-safe; idempotent.
+    */
+  val nfcNormalizeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+
+  /** NFKC variant: compatibility folding (ligatures, full-width forms,
+    * superscripts) on top of canonical composition — the aggressive
+    * pretraining-dedup normalizer. Spec-gated (DuckDB ships no NFKC).
+    */
+  val nfkcNormalizeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+    }
+
   // ------------------------------------------------------------------ //
   // Char-trigram language-ID model                                     //
   // ------------------------------------------------------------------ //

@@ -440,6 +440,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("NFC/NFKC normalization: composition, idempotence, compatibility folding") {
+    val decomposed = "e\u0301cole" // e + combining acute U+0301
+    val composed = "\u00e9cole"    // precomposed \u00e9
+    val ligature = "\ufb01le"      // \ufb01 ligature: NFC keeps, NFKC folds to "fi"
+    val rows = Seq(decomposed, composed, ligature, "")
+      .toDF("t")
+      .select(col("t"),
+        TextStats.nfcNormalizeUdf(col("t")).as("nfc"),
+        TextStats.nfkcNormalizeUdf(col("t")).as("nfkc"))
+      .collect()
+    assert(rows(0).getString(1) == composed && rows(0).getString(2) == composed)
+    assert(rows(1).getString(1) == composed)
+    assert(rows(2).getString(1) == ligature && rows(2).getString(2) == "file")
+    assert(rows(3).getString(1) == "")
+    // idempotent: normalizing a normalized string is a no-op
+    val again = Seq(decomposed).toDF("t")
+      .select(TextStats.nfcNormalizeUdf(TextStats.nfcNormalizeUdf(col("t"))))
+      .as[String].head()
+    assert(again == composed)
+  }
+
   test("fingerprint is order-sensitive and stable") {
     val out = Seq("a b c", "c b a", "a b c").toDF("text")
       .select(TextStats.fingerprint(col("text"))).as[Long].collect()
