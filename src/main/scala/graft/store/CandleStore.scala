@@ -311,6 +311,15 @@ final class CandleStore(spark: SparkSession, val path: String) {
     * invariant and Parquet row-group pruning efficiency. Returns the
     * number of partitions compacted.
     *
+    * Visibility contract: this store is OVERWRITE-IN-PLACE (dynamic
+    * partition overwrite deletes the replaced files) — a DataFrame
+    * handle resolved before an upsert/compact of the partitions it
+    * covers must be re-created afterwards, exactly like the reference's
+    * in-place page replace (`disk/disk.go:65-86`). Readers needing
+    * snapshot isolation across maintenance use
+    * [[VersionedCandleStore]], whose generation-swap compaction keeps
+    * the previous generation readable.
+    *
     * Scale: the file census is a metadata-cheap aggregation over
     * `input_file_name`, the rewrite reads/writes only the offending
     * partitions (broadcast semi-join + dynamic overwrite), and nothing
