@@ -56,6 +56,17 @@ object StoreBench {
       store.rangeScan("UPBIT", "SYM1", 60,
         java.sql.Timestamp.valueOf("2021-03-01 00:00:00"),
         java.sql.Timestamp.valueOf("2021-04-01 00:00:00")).count())
+
+    // Versioned store: append-only commits (no read-modify-write — the
+    // LSM trade) vs the read-time history fold + compaction they buy.
+    val vdir = java.nio.file.Files.createTempDirectory("graft-storebench-v").toString + "/v"
+    val vst = graft.store.VersionedCandleStore(spark, vdir)
+    time("versioned commit 1")(vst.commit(candles(0, n)))
+    time("versioned commit 2 (overlap)")(vst.commit(candles(n / 2, n)))
+    time("versioned scan (fold 2 txs)")(vst.scan().count())
+    time("versioned as-of tx 1")(vst.scanAsOf(1L).count())
+    time("versioned compact")(vst.compact())
+    time("versioned scan post-compact")(vst.scan().count())
     spark.stop()
   }
 
