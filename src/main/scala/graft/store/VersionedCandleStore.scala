@@ -309,41 +309,64 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
       StructType(scanCols.map(n =>
         dataSchema.fields.find(_.name == n).get)))
 
+  /** One driver-side journal read serving a whole scan: (squash floor,
+    * committed tx ids). The journal is metadata-scale by construction —
+    * one row per commit, exactly like the reference's memory-resident
+    * WAL index (`wal/reader.go:29-75`).
+    */
+  private def journalSnapshot(): (Long, Array[Long]) = {
+    val rows = txLog().select("tx_id", "kind").collect()
+    val floor = rows.iterator.filter(_.getString(1) == "compact")
+      .map(_.getLong(0)).foldLeft(0L)(math.max)
+    val committed = rows.iterator.filter(_.getString(1) == "commit")
+      .map(_.getLong(0)).toArray.sorted
+    (floor, committed)
+  }
+
   /** The table as of transaction `txId` (inclusive): per (series key,
     * ts), the row from the highest COMMITTED tx ≤ txId wins. One hash
     * aggregation (map-side combine), no sort window; commits dedup
     * within batch, so (key, ts, tx_id) is unique and the fold is
-    * deterministic. The committed set comes from the journal via a
-    * broadcast semi-join (metadata-sized), so data from torn or
-    * in-flight commits is invisible regardless of id ordering; the
-    * plain `tx_id <= txId` predicate additionally prunes Parquet
-    * row groups.
+    * deterministic. Committed-set gating — data from torn or in-flight
+    * commits stays invisible regardless of id ordering — compiles to
+    * PURE SCAN PREDICATES: `tx_id <= cap` plus a NOT IN over the (almost
+    * always empty) torn-commit gaps, both pushed into the Parquet
+    * reader for row-group pruning. No join stage, and one journal read
+    * per scan.
     *
     * Fails loudly when `txId` predates the [[compact]] squash floor —
     * that history has been discarded, and an empty result would be a
     * silent lie.
     */
   def scanAsOf(txId: Long): DataFrame = {
-    val floor = squashFloorTxId
+    val (floor, committed) = journalSnapshot()
     require(txId >= floor,
       s"as-of tx $txId predates the compaction squash point (tx $floor): " +
         "that history has been discarded by compact()")
     currentGen() match {
       case None => emptyTable()
       case Some((_, genDir)) =>
-        val committed = txLog()
-          .where(col("kind") === "commit" && col("tx_id") <= txId)
-          .select("tx_id")
-        val contentStruct = struct(col("open"), col("high"), col("low"),
-          col("close"), col("volume"), col("bit_fields"))
-        spark.read.schema(dataSchema).parquet(genDir.toString)
-          .where(col("tx_id") <= txId)
-          .join(broadcast(committed), Seq("tx_id"), "left_semi")
-          .withColumn("_c", contentStruct)
-          .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
-          .agg(max_by(col("_c"), col("tx_id")).as("_w"))
-          .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
+        val cap = if (committed.isEmpty) 0L
+          else math.min(txId, committed.last)
+        // torn commits = gaps in [1, cap] missing from the journal
+        val present = committed.iterator.takeWhile(_ <= cap).toSet
+        val torn = (1L to cap).filterNot(present)
+        val gate =
+          if (torn.isEmpty) col("tx_id") <= cap
+          else col("tx_id") <= cap && !col("tx_id").isInCollection(torn)
+        foldLatest(spark.read.schema(dataSchema).parquet(genDir.toString)
+          .where(gate))
     }
+  }
+
+  /** Last-wins history fold shared by reads and compaction-lite paths. */
+  private def foldLatest(df: DataFrame): DataFrame = {
+    val contentStruct = struct(col("open"), col("high"), col("low"),
+      col("close"), col("volume"), col("bit_fields"))
+    df.withColumn("_c", contentStruct)
+      .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
+      .agg(max_by(col("_c"), col("tx_id")).as("_w"))
+      .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
   }
 
   /** The table as of a wall-clock instant: highest commit whose
@@ -391,18 +414,22 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     if (!tryCreate(f, lock))
       throw new IllegalStateException(s"another compaction holds $lock")
     try {
-      val latest = latestTxId
+      val (_, committedIds) = journalSnapshot()
+      val latest = committedIds.lastOption.getOrElse(0L)
       if (latest == 0L) return 0L
       val (curGenId, curGenDir) = currentGen().get
-      val committed = txLog()
-        .where(col("kind") === "commit" && col("tx_id") <= latest)
-        .select("tx_id")
+      // same pure-predicate committed gate as scanAsOf
+      val present = committedIds.toSet
+      val torn = (1L to latest).filterNot(present)
+      val gate =
+        if (torn.isEmpty) col("tx_id") <= latest
+        else col("tx_id") <= latest && !col("tx_id").isInCollection(torn)
       // one version per key, WINNING row's tx_id preserved (content and
       // tx travel together in one struct, picked by tx order)
       val withTx = struct(col("open"), col("high"), col("low"),
         col("close"), col("volume"), col("bit_fields"), col("tx_id"))
       val squashed = spark.read.schema(dataSchema).parquet(curGenDir.toString)
-        .join(broadcast(committed), Seq("tx_id"), "left_semi")
+        .where(gate)
         .withColumn("_c", withTx)
         .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
         .agg(max_by(col("_c"), col("tx_id")).as("_w"))
