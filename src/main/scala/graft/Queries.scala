@@ -682,7 +682,18 @@ object Queries {
     * with cut1/cut2 at 1/3 and 2/3 of the ns time range, floored to
     * whole seconds (so no 1s candle bucket spans two slices).
     */
+  private val sliceCache =
+    scala.collection.concurrent.TrieMap[String, (String, org.apache.spark.sql.types.StructType)]()
+
+  /** Slices depend only on the dataset — share one srcDir between the
+    * plain and versioned streaming fixtures instead of re-reading and
+    * re-staging the events table per store.
+    */
   private def sliceEventFiles(s: SparkSession, d: String, base: String):
+      (String, org.apache.spark.sql.types.StructType) =
+    sliceCache.getOrElseUpdate(d, buildSliceFiles(s, d, base))
+
+  private def buildSliceFiles(s: SparkSession, d: String, base: String):
       (String, org.apache.spark.sql.types.StructType) = {
     // events.ts is TIMESTAMP(NANOS): the conf must be set on THIS
     // session before any read of the file (Tables.load does it for the

@@ -72,7 +72,9 @@ object ZOrder {
       require(coords.length == nDims, s"expected $nDims coordinates, got ${coords.length}")
       coords.foreach { c =>
         require(c >= 0, "z-order coordinates must be non-negative")
-        require(c < (1L << bitsPerDim),
+        // shift-based check: `c < (1L << bitsPerDim)` would overflow to
+        // Long.MinValue at bitsPerDim = 63 and reject every coordinate
+        require((c >>> bitsPerDim) == 0L,
           s"z-order coordinate out of range: $c >= 2^$bitsPerDim — " +
             "rescale (e.g. bucket timestamps) or raise bitsPerDim")
       }
@@ -91,14 +93,16 @@ object ZOrder {
 
   /** N-dimensional [[cluster]]: z-curve over any number of key columns
     * (3-D "filter by time AND key AND region" layouts and beyond). Same
-    * single range-repartition shuffle; `bitsPerDim` defaults shrink as
-    * dimensions grow to keep the z-value in a LONG.
+    * single range-repartition shuffle. `bitsPerDim` ≤ 0 (the default)
+    * auto-sizes to `min(21, 63 / nDims)` so the z-value always fits a
+    * LONG regardless of dimension count.
     */
   def clusterN(df: DataFrame, cols: Seq[String], nFiles: Int,
-               bitsPerDim: Int = 21): DataFrame = {
+               bitsPerDim: Int = 0): DataFrame = {
     require(nFiles > 0, "nFiles must be positive")
     require(cols.nonEmpty, "at least one key column required")
-    val z = zValueNUdf(cols.length, bitsPerDim)(
+    val bits = if (bitsPerDim > 0) bitsPerDim else math.min(21, 63 / cols.length)
+    val z = zValueNUdf(cols.length, bits)(
       array(cols.map(c => col(c).cast("long")): _*))
     df.withColumn("_z", z)
       .repartitionByRange(nFiles, col("_z"))

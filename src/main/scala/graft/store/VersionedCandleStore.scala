@@ -35,10 +35,12 @@ import graft.model.Candle
   *    journal row missing — is invisible even when a later tx has
   *    already journaled. Redo-on-retry converges (mirrors the
   *    reference's committed-only replay, `wal/flusher.go:110-128`).
-  *  - [[compact]] requires exclusive access w.r.t. writers (the
-  *    reference takes the DB-exclusive flush lock); concurrent compacts
-  *    are excluded by an atomic `_compact.lock`, and a commit that
-  *    slips in mid-compaction is detected and aborts the swap.
+  *  - [[compact]] excludes concurrent compacts via an atomic
+  *    `_compact.lock` (the reference takes the DB-exclusive flush
+  *    lock); commits may run concurrently with it — a commit landing
+  *    in the superseded generation is carried forward by metadata
+  *    renames (compact's post-publish sweep + the writer's post-move
+  *    re-check cover both interleavings).
   *
   * Layout: `path/data-gNNNNNNNNN/` generations of the same
   * Hive-partitioned Parquet layout as [[CandleStore]] plus a `tx_id`
@@ -71,10 +73,16 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
 
   /** Atomic create-if-absent: the one primitive the whole tx protocol
     * leans on (the reference's counter file lock, `wal/counter.go:59-69`).
+    * Returns false ONLY for already-exists; genuine IO failures
+    * (disk-full, permissions) rethrow — swallowing them would spin
+    * [[reserveTxId]] forever and misreport maintenance-lock contention.
     */
   private def tryCreate(f: FileSystem, p: Path): Boolean =
     try { f.create(p, false).close(); true }
-    catch { case _: java.io.IOException => false }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException => if (f.exists(p)) false else throw e
+    }
 
   // ------------------------------------------------------------------ //
   // Journal                                                            //
@@ -135,7 +143,12 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     val part = f.listStatus(hp(stage)).map(_.getPath)
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"no journal part file in $stage"))
-    f.rename(part, new Path(txLogPath, f"tx-$tx%020d-$kind.parquet"))
+    val dst = new Path(txLogPath, f"tx-$tx%020d-$kind.parquet")
+    // rename returns false instead of throwing on some filesystems — an
+    // unjournaled "successful" commit would be invisible forever and
+    // vacuum()ed away, so a failed publish must fail the commit.
+    if (!f.rename(part, dst))
+      throw new java.io.IOException(s"journal publish failed: $part -> $dst")
     f.delete(hp(stage), true)
     ()
   }
@@ -195,7 +208,9 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
       val f = fs
       f.mkdirs(p)
       tryCreate(f, new Path(p, CommitMarker)) // idempotent race: both land on gen 1
-      p
+      // return the LISTED path (scheme-qualified) so generation
+      // identity compares canonically across calls
+      currentGen().map(_._2).getOrElse(p)
   }
 
   /** Move every data file under `src` into the mirrored directory under
@@ -210,7 +225,11 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
         f.mkdirs(sub)
         moveTree(f, st.getPath, sub, prefix)
       } else if (!name.startsWith("_") && !name.startsWith(".")) {
-        f.rename(st.getPath, new Path(dst, s"$prefix-$name"))
+        val to = new Path(dst, s"$prefix-$name")
+        // a silently dropped data file would journal an incomplete
+        // commit as successful — fail the commit instead
+        if (!f.rename(st.getPath, to))
+          throw new java.io.IOException(s"data move failed: ${st.getPath} -> $to")
       }
     }
   }
@@ -279,6 +298,17 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     val gen = ensureGen()
     moveTree(f, hp(stage), gen, f"tx$tx%020d")
     f.delete(hp(stage), true)
+    // Compaction-race re-check: if a compaction published a NEW
+    // generation while this commit was moving into the old one, carry
+    // our own files forward before journaling. Together with compact()'s
+    // post-publish sweep this closes the race completely: either our
+    // move preceded the sweep (compact carries us), or the marker was
+    // visible by now (we carry ourselves) — the re-check happens after
+    // our move, so both cannot miss.
+    val genNow = ensureGen()
+    if (genNow.toUri.getPath != gen.toUri.getPath) {
+      carryFiles(f, gen, genNow, _ == tx); ()
+    }
     // Journal entry AFTER the data move: a torn commit (data moved,
     // journal not) is invisible to readers, which admit only tx ids
     // present in the journal's committed set.
@@ -310,29 +340,56 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
         dataSchema.fields.find(_.name == n).get)))
 
   /** One driver-side journal read serving a whole scan: (squash floor,
-    * committed tx ids). The journal is metadata-scale by construction —
-    * one row per commit, exactly like the reference's memory-resident
-    * WAL index (`wal/reader.go:29-75`).
+    * committed (tx id, committed_at) pairs sorted by id). The journal is
+    * metadata-scale by construction — one row per commit, exactly like
+    * the reference's memory-resident WAL index (`wal/reader.go:29-75`).
     */
-  private def journalSnapshot(): (Long, Array[Long]) = {
-    val rows = txLog().select("tx_id", "kind").collect()
+  private def journalSnapshot(): (Long, Array[(Long, Timestamp)]) = {
+    val rows = txLog().select("tx_id", "kind", "committed_at").collect()
     val floor = rows.iterator.filter(_.getString(1) == "compact")
       .map(_.getLong(0)).foldLeft(0L)(math.max)
     val committed = rows.iterator.filter(_.getString(1) == "commit")
-      .map(_.getLong(0)).toArray.sorted
+      .map(r => (r.getLong(0), r.getTimestamp(2))).toArray.sortBy(_._1)
     (floor, committed)
+  }
+
+  /** Scan of the current generation admitting exactly `admitted` tx ids:
+    * compiled to PURE SCAN PREDICATES — `tx_id <= cap` plus a NOT IN
+    * over the excluded ids below cap (torn-commit gaps and, for
+    * time-addressed reads, later-journaled commits) — both pushed into
+    * the Parquet reader for row-group pruning. No join stage.
+    */
+  private def gatedScan(admitted: Array[Long]): DataFrame =
+    currentGen() match {
+      case None => emptyTable()
+      case Some((_, genDir)) =>
+        val cap = if (admitted.isEmpty) 0L else admitted.max
+        val present = admitted.toSet
+        val excluded = (1L to cap).filterNot(present)
+        val gate =
+          if (excluded.isEmpty) col("tx_id") <= cap
+          else col("tx_id") <= cap && !col("tx_id").isInCollection(excluded)
+        foldLatest(spark.read.schema(dataSchema).parquet(genDir.toString)
+          .where(gate))
+    }
+
+  /** Last-wins history fold shared by reads and compaction. */
+  private def foldLatest(df: DataFrame): DataFrame = {
+    val contentStruct = struct(col("open"), col("high"), col("low"),
+      col("close"), col("volume"), col("bit_fields"))
+    df.withColumn("_c", contentStruct)
+      .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
+      .agg(max_by(col("_c"), col("tx_id")).as("_w"))
+      .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
   }
 
   /** The table as of transaction `txId` (inclusive): per (series key,
     * ts), the row from the highest COMMITTED tx ≤ txId wins. One hash
     * aggregation (map-side combine), no sort window; commits dedup
     * within batch, so (key, ts, tx_id) is unique and the fold is
-    * deterministic. Committed-set gating — data from torn or in-flight
-    * commits stays invisible regardless of id ordering — compiles to
-    * PURE SCAN PREDICATES: `tx_id <= cap` plus a NOT IN over the (almost
-    * always empty) torn-commit gaps, both pushed into the Parquet
-    * reader for row-group pruning. No join stage, and one journal read
-    * per scan.
+    * deterministic. Committed-set gating makes data from torn or
+    * in-flight commits invisible regardless of id ordering (see
+    * [[gatedScan]]); one journal read per scan.
     *
     * Fails loudly when `txId` predates the [[compact]] squash floor —
     * that history has been discarded, and an empty result would be a
@@ -343,45 +400,32 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     require(txId >= floor,
       s"as-of tx $txId predates the compaction squash point (tx $floor): " +
         "that history has been discarded by compact()")
-    currentGen() match {
-      case None => emptyTable()
-      case Some((_, genDir)) =>
-        val cap = if (committed.isEmpty) 0L
-          else math.min(txId, committed.last)
-        // torn commits = gaps in [1, cap] missing from the journal
-        val present = committed.iterator.takeWhile(_ <= cap).toSet
-        val torn = (1L to cap).filterNot(present)
-        val gate =
-          if (torn.isEmpty) col("tx_id") <= cap
-          else col("tx_id") <= cap && !col("tx_id").isInCollection(torn)
-        foldLatest(spark.read.schema(dataSchema).parquet(genDir.toString)
-          .where(gate))
-    }
+    gatedScan(committed.map(_._1).filter(_ <= txId))
   }
 
-  /** Last-wins history fold shared by reads and compaction-lite paths. */
-  private def foldLatest(df: DataFrame): DataFrame = {
-    val contentStruct = struct(col("open"), col("high"), col("low"),
-      col("close"), col("volume"), col("bit_fields"))
-    df.withColumn("_c", contentStruct)
-      .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
-      .agg(max_by(col("_c"), col("tx_id")).as("_w"))
-      .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
-  }
-
-  /** The table as of a wall-clock instant: highest commit whose
+  /** The table as of a wall-clock instant: exactly the commits whose
     * journal `committed_at` ≤ `t` (the reference's WAL-ordered history
     * addressed the way users actually ask — "as of yesterday 18:00").
-    * Before the first commit (or before any `committed_at` ≤ `t`) the
+    * Under concurrent committers journal ids and wall-clocks can
+    * disagree (tx 2 may journal after tx 3), so the gate admits the
+    * time-eligible SET — a later-journaled lower id is excluded even
+    * when a higher id is admitted, reproducing what a reader at time
+    * `t` could actually have seen. Before the first eligible commit the
     * result is empty; below the squash floor it fails loudly like
     * [[scanAsOf]].
     */
   def scanAsOfTime(t: Timestamp): DataFrame = {
-    val r = txLog()
-      .where(col("kind") === "commit" && col("committed_at") <= lit(t))
-      .agg(max("tx_id")).head()
-    val tx = if (r.isNullAt(0)) 0L else r.getLong(0)
-    if (tx == 0L) emptyTable() else scanAsOf(tx)
+    val (floor, committed) = journalSnapshot()
+    val eligible = committed.filter { case (_, at) =>
+      at != null && !at.after(t)
+    }.map(_._1)
+    if (eligible.isEmpty) emptyTable()
+    else {
+      require(eligible.max >= floor,
+        s"as-of time $t resolves below the compaction squash point (tx $floor): " +
+          "that history has been discarded by compact()")
+      gatedScan(eligible)
+    }
   }
 
   /** Latest committed state. */
@@ -402,10 +446,13 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     * ids keep increasing monotonically.
     *
     * Mutual exclusion: concurrent compacts are excluded by an atomic
-    * `_compact.lock`; a commit that lands mid-compaction is detected
-    * (journal re-check before publish) and the compaction aborts
-    * without swapping — rerun it. (The reference holds the DB-exclusive
-    * lock for its WAL group flush, `database/concurrency/db.go:68-156`.)
+    * `_compact.lock`. Commits may run concurrently: a commit landing in
+    * the superseded generation is reconciled by metadata renames — the
+    * post-publish carry-forward sweep here plus the writer-side
+    * re-check in `doCommit` cover both interleavings, so no committed
+    * row is ever stranded in a superseded generation. (The reference
+    * instead holds the DB-exclusive lock for its WAL group flush,
+    * `database/concurrency/db.go:68-156`.)
     */
   def compact(committedAt: Option[Timestamp] = None): Long = {
     val f = fs
@@ -414,7 +461,7 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     if (!tryCreate(f, lock))
       throw new IllegalStateException(s"another compaction holds $lock")
     try {
-      val (_, committedIds) = journalSnapshot()
+      val committedIds = journalSnapshot()._2.map(_._1)
       val latest = committedIds.lastOption.getOrElse(0L)
       if (latest == 0L) return 0L
       val (curGenId, curGenDir) = currentGen().get
@@ -442,13 +489,19 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
           .write.partitionBy(Candle.partitionCols: _*)
           .mode(SaveMode.Overwrite).parquet(newGen.toString)
       }
-      if (latestTxId != latest) {
-        f.delete(newGen, true)
-        throw new IllegalStateException(
-          "a commit raced the compaction; no swap performed — rerun compact()")
-      }
       val nRows = spark.read.parquet(newGen.toString).count()
       tryCreate(f, new Path(newGen, CommitMarker)) // atomic publish
+      // Reconcile commits that raced the compaction: any data file in
+      // the old generation whose tx is NOT part of the squash snapshot
+      // (journaled later, or still torn) is carried forward by metadata
+      // rename — file names embed their tx id, so no data is read.
+      // This sweep runs AFTER publish; combined with the writer-side
+      // re-check in doCommit (a writer that moved into a superseded
+      // generation carries its own files before journaling), every
+      // racing commit ends up in the new generation: either the
+      // writer's move preceded this sweep (swept here), or the writer's
+      // post-move re-check saw the published marker (self-carried).
+      carryFiles(f, curGenDir, newGen, txId => !present(txId))
       writeJournalRow(latest, nRows,
         committedAt.getOrElse(new Timestamp(System.currentTimeMillis())),
         "compact", None)
@@ -469,6 +522,38 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
   }
 
   private val DataFileName = "tx(\\d{20})-.*".r
+
+  /** Move every data file under `from` whose embedded tx id satisfies
+    * `shouldMove` into the mirrored path under `to` — pure metadata
+    * renames; returns files moved. The compaction-race reconciliation
+    * primitive (names are globally unique: tx prefix + task uuid).
+    */
+  private def carryFiles(f: FileSystem, from: Path, to: Path,
+                         shouldMove: Long => Boolean): Int = {
+    if (from.toUri.getPath == to.toUri.getPath) return 0
+    var moved = 0
+    def walk(src: Path, dst: Path): Unit =
+      f.listStatus(src).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, new Path(dst, name))
+        else name match {
+          case DataFileName(id) if shouldMove(id.toLong) =>
+            f.mkdirs(dst)
+            val target = new Path(dst, name)
+            if (f.rename(st.getPath, target)) moved += 1
+            // the compactor's sweep and the writer's self-carry can race
+            // on the same file: the loser's rename fails with the file
+            // already at (or on its way to) the destination — benign.
+            // Only a rename that left the file NOWHERE is an error.
+            else if (!f.exists(target) && f.exists(st.getPath))
+              throw new java.io.IOException(
+                s"carry-forward failed: ${st.getPath} -> $target")
+          case _ => ()
+        }
+      }
+    if (f.exists(from)) walk(from, to)
+    moved
+  }
 
   /** Garbage-collect TORN commits: data files that were moved into a
     * generation but never journaled (writer crashed between the move and

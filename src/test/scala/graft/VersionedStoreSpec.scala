@@ -139,6 +139,35 @@ class VersionedStoreSpec extends SparkSpec {
     assert(openAt("2024-06-01 00:00:00") == Seq(2.0))  // after both
   }
 
+  test("commits racing a compaction are never stranded in the superseded generation") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-race") + "/v")
+    st.commit(Seq(c("SEED", "2022-01-01 10:00:00", 0)).toDF())
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val committer = new Thread(() => {
+      gate.await()
+      (0 until 4).foreach { i =>
+        try st.commit(Seq(c(s"K$i", "2022-01-01 10:00:00", i + 1)).toDF())
+        catch { case t: Throwable => failures.add(t); () }
+      }
+    })
+    val compactor = new Thread(() => {
+      gate.await()
+      (0 until 3).foreach { _ =>
+        try { st.compact(); () }
+        catch { case t: Throwable => failures.add(t); () }
+      }
+    })
+    committer.start(); compactor.start(); gate.countDown()
+    committer.join(); compactor.join()
+    assert(failures.isEmpty, s"unexpected failures: ${failures.toArray.mkString(", ")}")
+    // every journaled commit's rows must be readable — nothing stranded
+    assert(st.txLog().where($"kind" === "commit").count() == 5)
+    val codes = st.scan().select("code").as[String].collect().toSet
+    assert(codes == Set("SEED", "K0", "K1", "K2", "K3"),
+      s"stranded commits: ${Set("SEED", "K0", "K1", "K2", "K3") -- codes}")
+  }
+
   test("vacuum removes torn-commit orphans that reads never saw") {
     val st = VersionedCandleStore(spark, tmpDir("vstore-vac") + "/v")
     st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
