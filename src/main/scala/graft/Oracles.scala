@@ -119,10 +119,11 @@ object Oracles {
   /** The full MinHash+LSH candidate/verify pipeline (mirrors
     * `Dedup.minhashNearDupPairs` with q52's parameters) as a chain of
     * CTE definitions ending in `jj(id_a, id_b, i, nn)`. Shared by q52
-    * (pairs) and q69 (connected components over the pair graph).
+    * (pairs), q69 (connected components over the pair graph), and q87
+    * (the composed curation pipeline, over its deduped CTE).
     */
-  private def minhashPairsCtes: String =
-    s"""tok AS (SELECT doc_id AS id, $WS AS ws FROM documents),
+  private def minhashPairsCtes(from: String = "documents"): String =
+    s"""tok AS (SELECT doc_id AS id, $WS AS ws FROM $from),
        shl AS (SELECT id, ${shingleExpr("ws")} AS sh FROM tok),
        f AS (SELECT id, sh FROM shl WHERE len(sh) > 0),
        hs AS (SELECT id, sh, list_transform(sh, s -> ${pHash("s")} % 2147483647) AS h FROM f),
@@ -812,6 +813,74 @@ object Oracles {
     "q83_ivfpq_topk_recall" ->
       """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries, true AS recall_ok
          FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
+    // q87: the composed curation pipeline, mirrored as one chain —
+    // exact dedup, MinHash near-dup connected components, q45's quality
+    // gate, q72's 5-gram decontamination, q81's token budget.
+    "q87_curation_pipeline" ->
+      s"""WITH RECURSIVE
+         corp0 AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+         k0 AS (SELECT min(doc_id) AS doc_id FROM corp0 GROUP BY lower(trim(text))),
+         dd AS (SELECT c.* FROM corp0 c JOIN k0 USING (doc_id)),
+         ${minhashPairsCtes("dd")},
+         px AS (SELECT id_a, id_b FROM jj WHERE i / (nn - i) >= 0.3),
+         edges AS (SELECT id_a AS u, id_b AS v FROM px
+                   UNION SELECT id_b, id_a FROM px),
+         reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+                         UNION
+                         SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+         nd AS (SELECT * FROM dd WHERE doc_id NOT IN
+                  (SELECT id FROM comp WHERE id <> component)),
+         t AS (SELECT doc_id, source, text, $WS AS ws FROM nd),
+         m AS (SELECT doc_id, source, text, ws, len(ws) AS ntok,
+           len(list_filter(ws, w -> list_contains(['the','and','of','is','with'], w))) AS s_en,
+           len(list_filter(ws, w -> list_contains(['der','die','und','ist','mit'], w))) AS s_de,
+           len(list_filter(ws, w -> list_contains(['le','la','et','est','avec'], w))) AS s_fr,
+           len(list_filter(ws, w -> list_contains(['el','la','y','es','con'], w))) AS s_es,
+           len(list_filter(ws, w -> list_contains(['de','shi','he','zai','le'], w))) AS s_zh,
+           CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+             len(list_filter(ws, w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w)))::DOUBLE
+               / len(ws)::DOUBLE END AS stop_ratio,
+           CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+             list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)::DOUBLE END AS mwl
+         FROM t),
+         q AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best,
+           round(least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+             + least(stop_ratio * 10.0, 1.0) * 0.3
+             + CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 0.3 ELSE 0.1 END, 4) AS quality
+         FROM m),
+         keepq AS (SELECT doc_id, source, text FROM q
+           WHERE ntok BETWEEN 20 AND 10000 AND quality >= 0.6
+             AND (CASE WHEN s_en = best AND best > 0 THEN 'en'
+                       WHEN s_de = best AND best > 0 THEN 'de'
+                       WHEN s_fr = best AND best > 0 THEN 'fr'
+                       WHEN s_es = best AND best > 0 THEN 'es'
+                       WHEN s_zh = best AND best > 0 THEN 'zh'
+                       ELSE 'und' END) = 'en'),
+         cg AS (SELECT DISTINCT doc_id, ${pHash("g")} AS gram_hash FROM
+                 (SELECT doc_id, unnest(CASE WHEN len(ws) < 5 THEN []::VARCHAR[] ELSE
+                    list_transform(generate_series(1, len(ws) - 4),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) END) AS g
+                  FROM (SELECT doc_id, $WS AS ws FROM keepq))),
+         bg AS (SELECT DISTINCT ${pHash("g")} AS gram_hash FROM
+                 (SELECT unnest(CASE WHEN len(ws) < 5 THEN []::VARCHAR[] ELSE
+                    list_transform(generate_series(1, len(ws) - 4),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) END) AS g
+                  FROM (SELECT $WS AS ws FROM documents WHERE doc_id % 50 = 0))),
+         contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram_hash)),
+         clean AS (SELECT * FROM keepq
+                   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         tb AS (SELECT doc_id, source, len($WS)::INT AS n_tokens,
+                  ${pHash("doc_id::VARCHAR || '|budget'")} % 10000 AS hv
+                FROM clean),
+         cb AS (SELECT doc_id, source, n_tokens,
+                  (sum(n_tokens::BIGINT) OVER (PARTITION BY source
+                    ORDER BY hv, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+                FROM tb)
+         SELECT doc_id, source, n_tokens, cum_tokens FROM cb
+         WHERE cum_tokens <= CASE source WHEN 'src0' THEN 5000
+                                         WHEN 'src1' THEN 3000 ELSE 8000 END""",
     // q86: NFC normalization mirrored via utf8proc — the planted
     // decomposed suffix must compose on both engines identically.
     "q86_nfc_normalize" ->
@@ -854,7 +923,7 @@ object Oracles {
          FROM px JOIN sz sa ON px.id_a = sa.id JOIN sz sb ON px.id_b = sb.id
          WHERE i / (sa.n + sb.n - i) >= 0.1""",
     "q52_minhash_pairs" ->
-      s"""WITH $minhashPairsCtes
+      s"""WITH ${minhashPairsCtes()}
          SELECT id_a, id_b, round(i / (nn - i), 4) AS jaccard
          FROM jj WHERE i / (nn - i) >= 0.3""",
     // Connected components over the q52 pair graph, by enumeration of
@@ -862,7 +931,7 @@ object Oracles {
     // the declarative ground truth for the engine's distributed
     // label-propagation operator.
     "q69_dup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairsCtes,
+      s"""WITH RECURSIVE ${minhashPairsCtes()},
          px AS (SELECT id_a, id_b FROM jj WHERE i / (nn - i) >= 0.3),
          edges AS (SELECT id_a AS u, id_b AS v FROM px
                    UNION SELECT id_b, id_a FROM px),

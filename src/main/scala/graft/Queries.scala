@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
+import graft.llm.{Curation, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
 import graft.ops.TimeSeries
 import graft.store.CandleStore
 
@@ -1354,6 +1354,21 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"),
           (sum(when(col("pred") =!= col("expected"), 1).otherwise(0)) === 0)
             .as("all_correct"))
+    }),
+    // The CAPSTONE composition: the full curation pipeline — exact
+    // dedup → MinHash near-dup clusters → quality gate → benchmark
+    // decontamination → per-source token budget — as ONE call, mirrored
+    // end-to-end by a single DuckDB chain. Proves the stages compose
+    // deterministically, not just pass in isolation.
+    "q87_curation_pipeline" -> ((s, d) => {
+      val all = T.documents(s, d)
+      Curation.standardPipeline(
+          all.where(col("doc_id") % 50 =!= 0),
+          all.where(col("doc_id") % 50 === 0),
+          budgets = Map("src0" -> 5000L, "src1" -> 3000L),
+          defaultBudget = 8000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens").cast("bigint").as("cum_tokens"))
     }),
     // Unicode NFC normalization, oracle-checked byte-for-byte: plant a
     // DECOMPOSED suffix (e + combining acute U+0301) on even doc_ids —

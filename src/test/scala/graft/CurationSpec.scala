@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Ranking, Sampling, Similarity}
+import graft.llm.{Curation, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
 
 /** Round-4 curation/retrieval operators: BM25, duplicated spans,
   * decontamination, per-source caps, SemDeDup, PQ-ADC, WAV spectra.
@@ -312,5 +312,48 @@ class CurationSpec extends SparkSpec {
     val media = Seq((1L, wav)).toDF("doc_id", "payload")
     val out = Multimodal.wavDominantFrequency(media, "doc_id", "payload").collect()
     assert(out.head.getLong(2) == 8L)
+  }
+
+  test("standardPipeline == manual chaining of its five stages") {
+    // per-doc text: a unique 20-token core (near-dup jaccard across
+    // docs stays far below 0.3) framed by template runs of < 5 constant
+    // consecutive tokens (so no doc shares a word 5-gram with the
+    // benchmark except the planted one)
+    val prose = (i: Int) =>
+      s"the quick story $i is about " +
+        (0 until 20).map(j => s"w${i}x$j").mkString(" ") +
+        s" and day $i is the end"
+    val rows = (0L until 40L).map(i => (i, s"src${i % 2}", prose(i.toInt))) ++
+      Seq((100L, "src0", prose(3)),                      // exact dup of 3
+        (101L, "src1", prose(7) + " extra"),             // near dup of 7
+        (102L, "src0", "short"),                         // fails quality
+        (103L, "src1", prose(900)))                      // clean survivor
+    val docs = rows.toDF("doc_id", "source", "text")
+    val bench = Seq((9000L, "b", prose(11))).toDF("doc_id", "source", "text")
+
+    val pipeline = Curation.standardPipeline(docs, bench,
+      budgets = Map("src0" -> 2000L), defaultBudget = 3000L)
+
+    val exact = Dedup.dedupedCorpus(docs, "doc_id", "text")
+    val noDup = Dedup.dedupNearDup(exact, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, threshold = 0.3)
+    val clean = TextStats.qualityFilter(noDup, "text", 20, 10000, 0.6, Seq("en"))
+    val flagged = Dedup.decontaminate(clean, bench, "doc_id", "text", shingleN = 5)
+      .where($"n_contaminated" >= 1).select("doc_id")
+    val manual = Sampling.tokenBudget(
+      clean.join(flagged, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"source",
+          TextStats.tokenCount($"text").cast("int").as("n_tokens")),
+      "doc_id", "source", "n_tokens", Map("src0" -> 2000L), 3000L)
+
+    val a = pipeline.orderBy("doc_id").collect().toSeq
+    val b = manual.orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    val ids = pipeline.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(100L), "exact duplicate must be dropped")
+    assert(!ids.contains(101L), "near duplicate must be dropped")
+    assert(!ids.contains(102L), "low-quality doc must be dropped")
+    assert(!ids.contains(11L), "benchmark-contaminated doc must be dropped")
+    assert(ids.contains(103L), "clean survivor must remain")
   }
 }
