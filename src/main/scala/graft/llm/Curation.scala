@@ -47,8 +47,11 @@ object Curation {
     val exact = Dedup.dedupedCorpus(docs, idCol, textCol)
     val noDup = Dedup.dedupNearDup(exact, idCol, textCol,
       shingleN = 3, k = 32, bands = 8, threshold = nearDupThreshold)
+    // materialize before branching: both the decontamination pass and
+    // the anti-join below read `clean`, which would otherwise re-run
+    // the dedup + quality lineage twice per action
     val clean = TextStats.qualityFilter(noDup, textCol,
-      minTokens, maxTokens, minQuality, langs)
+      minTokens, maxTokens, minQuality, langs).localCheckpoint()
     val contaminated = Dedup.decontaminate(clean, bench, idCol, textCol, shingleN = 5)
       .where(col("n_contaminated") >= 1)
       .select(col(idCol))

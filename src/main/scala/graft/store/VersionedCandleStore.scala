@@ -298,16 +298,21 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     val gen = ensureGen()
     moveTree(f, hp(stage), gen, f"tx$tx%020d")
     f.delete(hp(stage), true)
-    // Compaction-race re-check: if a compaction published a NEW
-    // generation while this commit was moving into the old one, carry
-    // our own files forward before journaling. Together with compact()'s
-    // post-publish sweep this closes the race completely: either our
-    // move preceded the sweep (compact carries us), or the marker was
-    // visible by now (we carry ourselves) — the re-check happens after
-    // our move, so both cannot miss.
-    val genNow = ensureGen()
-    if (genNow.toUri.getPath != gen.toUri.getPath) {
-      carryFiles(f, gen, genNow, _ == tx); ()
+    // Compaction-race re-check LOOP: if compactions published newer
+    // generations while this commit was moving into an older one, carry
+    // our own files along the generation chain until it is stable.
+    // Together with compact()'s post-publish sweep this closes the race
+    // for any number of overlapping compactions: a sweep that ran
+    // before our files landed is covered by our next loop iteration
+    // (the marker it published is visible to us), and files we leave in
+    // a superseded generation before stalling are relayed by the next
+    // compaction's sweep of that generation.
+    var genSeen = gen
+    var genNow = ensureGen()
+    while (genNow.toUri.getPath != genSeen.toUri.getPath) {
+      carryFiles(f, genSeen, genNow, _ == tx)
+      genSeen = genNow
+      genNow = ensureGen()
     }
     // Journal entry AFTER the data move: a torn commit (data moved,
     // journal not) is invisible to readers, which admit only tx ids
@@ -421,6 +426,18 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     }.map(_._1)
     if (eligible.isEmpty) emptyTable()
     else {
+      // compact() squashes [1, floor] into one row per key: any
+      // time-EXCLUDED tx at or below the floor means the state at `t`
+      // needed pre-squash history that no longer exists — partial
+      // results would be a silent lie, so fail loudly (same contract as
+      // scanAsOf below the floor).
+      val eligibleSet = eligible.toSet
+      val discarded = committed.map(_._1)
+        .filter(id => id <= floor && !eligibleSet(id))
+      require(discarded.isEmpty,
+        s"as-of time $t excludes tx(s) ${discarded.mkString(",")} at or below " +
+          s"the compaction squash point (tx $floor): that interleaving's " +
+          "history has been discarded by compact()")
       require(eligible.max >= floor,
         s"as-of time $t resolves below the compaction squash point (tx $floor): " +
           "that history has been discarded by compact()")
@@ -461,9 +478,14 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     if (!tryCreate(f, lock))
       throw new IllegalStateException(s"another compaction holds $lock")
     try {
-      val committedIds = journalSnapshot()._2.map(_._1)
+      val snapshot = journalSnapshot()
+      val committedIds = snapshot._2.map(_._1)
       val latest = committedIds.lastOption.getOrElse(0L)
       if (latest == 0L) return 0L
+      // no-op early-out: everything up to `latest` is already squashed
+      // (also avoids publishing a duplicate tx-<latest>-compact journal
+      // file, whose rename would fail on rename-no-overwrite filesystems)
+      if (latest == snapshot._1) return latest
       val (curGenId, curGenDir) = currentGen().get
       // same pure-predicate committed gate as scanAsOf
       val present = committedIds.toSet
@@ -523,36 +545,42 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
 
   private val DataFileName = "tx(\\d{20})-.*".r
 
-  /** Move every data file under `from` whose embedded tx id satisfies
-    * `shouldMove` into the mirrored path under `to` — pure metadata
-    * renames; returns files moved. The compaction-race reconciliation
-    * primitive (names are globally unique: tx prefix + task uuid).
+  /** COPY every data file under `from` whose embedded tx id satisfies
+    * `shouldCarry` into the mirrored path under `to`; returns files
+    * carried. The compaction-race reconciliation primitive. Copies, not
+    * renames: in-flight readers that already listed the source
+    * generation must keep every file they saw (a moved-away file is a
+    * FileNotFoundException at execution time), and a duplicate of the
+    * same tx's rows across generations is harmless — every read
+    * resolves exactly ONE generation. Raced files are rare and small
+    * (one commit's worth), so the copy cost is bounded. A concurrent
+    * carry of the same file is benign: names are globally unique
+    * (tx prefix + task uuid), and whoever lands last wins with
+    * identical bytes.
     */
   private def carryFiles(f: FileSystem, from: Path, to: Path,
-                         shouldMove: Long => Boolean): Int = {
+                         shouldCarry: Long => Boolean): Int = {
     if (from.toUri.getPath == to.toUri.getPath) return 0
-    var moved = 0
+    var carried = 0
+    val conf = spark.sparkContext.hadoopConfiguration
     def walk(src: Path, dst: Path): Unit =
       f.listStatus(src).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) walk(st.getPath, new Path(dst, name))
         else name match {
-          case DataFileName(id) if shouldMove(id.toLong) =>
+          case DataFileName(id) if shouldCarry(id.toLong) =>
             f.mkdirs(dst)
             val target = new Path(dst, name)
-            if (f.rename(st.getPath, target)) moved += 1
-            // the compactor's sweep and the writer's self-carry can race
-            // on the same file: the loser's rename fails with the file
-            // already at (or on its way to) the destination — benign.
-            // Only a rename that left the file NOWHERE is an error.
-            else if (!f.exists(target) && f.exists(st.getPath))
-              throw new java.io.IOException(
-                s"carry-forward failed: ${st.getPath} -> $target")
+            if (!f.exists(target)) {
+              org.apache.hadoop.fs.FileUtil.copy(f, st.getPath, f, target,
+                false, true, conf)
+              carried += 1
+            }
           case _ => ()
         }
       }
     if (f.exists(from)) walk(from, to)
-    moved
+    carried
   }
 
   /** Garbage-collect TORN commits: data files that were moved into a
@@ -561,10 +589,16 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     * gating), so this is pure space reclamation — the reference's
     * discard-uncommitted-on-replay (`wal/flusher.go:93-131`) as a
     * maintenance op. Also drops reserve files with no journal entry.
-    * Requires the same writer exclusivity as [[compact]] (shares its
-    * lock); returns the number of files removed.
+    * Returns the number of files removed.
+    *
+    * An IN-FLIGHT commit looks exactly like a torn one (files moved,
+    * journal pending), so candidates younger than `minAgeMs` are
+    * skipped — deleting a live commit's files would journal an empty
+    * transaction and free its reserve for re-minting. The default
+    * (24 h) is far beyond any real commit duration; pass 0 ONLY when
+    * the caller guarantees no concurrent writers.
     */
-  def vacuum(): Int = {
+  def vacuum(minAgeMs: Long = 24L * 3600 * 1000): Int = {
     val f = fs
     if (!f.exists(hp(path))) return 0
     val lock = hp(s"$path/_compact.lock")
@@ -572,22 +606,25 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
       throw new IllegalStateException(s"another maintenance op holds $lock")
     try {
       val journaled = txLog().select("tx_id").collect().map(_.getLong(0)).toSet
+      val cutoff = System.currentTimeMillis() - minAgeMs
       var removed = 0
       def sweep(dir: Path): Unit =
         f.listStatus(dir).foreach { st =>
           if (st.isDirectory) sweep(st.getPath)
           else st.getPath.getName match {
-            case DataFileName(id) if !journaled(id.toLong) =>
+            case DataFileName(id) if !journaled(id.toLong) &&
+                st.getModificationTime <= cutoff =>
               f.delete(st.getPath, false); removed += 1
             case _ => ()
           }
         }
       generations().foreach { case (_, p) => sweep(p) }
       if (f.exists(hp(txnPath)))
-        f.listStatus(hp(txnPath)).map(_.getPath).foreach { p =>
-          p.getName match {
-            case ReserveName(id) if !journaled(id.toLong) =>
-              f.delete(p, false); removed += 1
+        f.listStatus(hp(txnPath)).foreach { st =>
+          st.getPath.getName match {
+            case ReserveName(id) if !journaled(id.toLong) &&
+                st.getModificationTime <= cutoff =>
+              f.delete(st.getPath, false); removed += 1
             case _ => ()
           }
         }

@@ -123,6 +123,37 @@ class VersionedStoreSpec extends SparkSpec {
     val gens = new java.io.File(st.path).listFiles()
       .map(_.getName).filter(_.startsWith("data-g")).sorted.toSeq
     assert(gens == Seq("data-g000000002", "data-g000000003"))
+    // re-running with nothing new to squash is a no-op (no generation
+    // churn, no duplicate journal row)
+    assert(st.compact() == 4L)
+    val gens2 = new java.io.File(st.path).listFiles()
+      .map(_.getName).filter(_.startsWith("data-g")).sorted.toSeq
+    assert(gens2 == gens)
+    assert(st.txLog().where($"kind" === "compact").count() == 2)
+  }
+
+  test("scanAsOfTime fails loudly when compaction discarded a time-excluded interleaving") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-timefloor") + "/v")
+    // tx2 journals LATER than tx3 (out-of-order wall clocks, as under
+    // concurrent committers)
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF(),
+      committedAt = Some(ts("2024-05-01 10:00:00")))
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2)).toDF(),
+      committedAt = Some(ts("2024-05-01 13:00:00")))
+    st.commit(Seq(c("ETH", "2022-01-01 10:00:00", 3)).toDF(),
+      committedAt = Some(ts("2024-05-01 12:00:00")))
+    // before compaction the mid-instant state is reconstructible:
+    // tx2 not yet journaled at 12:30 — BTC shows tx1's row
+    val mid = st.scanAsOfTime(ts("2024-05-01 12:30:00"))
+      .select("code", "open").as[(String, Double)].collect().toMap
+    assert(mid == Map("BTC" -> 1.0, "ETH" -> 3.0))
+    st.compact()
+    // after squashing, that interleaving's history is gone: tx2 (time-
+    // excluded but below the floor) must fail loudly, not lie silently
+    intercept[IllegalArgumentException](
+      st.scanAsOfTime(ts("2024-05-01 12:30:00")).collect())
+    // instants admitting ALL commits still read fine
+    assert(st.scanAsOfTime(ts("2024-05-01 14:00:00")).count() == 2)
   }
 
   test("scanAsOfTime addresses history by journal wall-clock") {
@@ -191,11 +222,15 @@ class VersionedStoreSpec extends SparkSpec {
     // invisible to reads (committed-set gating)…
     assert(st.scan().count() == 2)
     assert(st.latestTxId == 2L)
-    // …and reclaimed by vacuum; committed data untouched
-    assert(st.vacuum() >= 1)
+    // …default vacuum SKIPS young candidates (an in-flight commit looks
+    // exactly like a torn one — age is the discriminator)…
+    assert(st.vacuum() == 0 && torn.exists())
+    // …and with the age guard waived (caller guarantees no in-flight
+    // writers) the orphan is reclaimed; committed data untouched
+    assert(st.vacuum(minAgeMs = 0) >= 1)
     assert(!torn.exists())
     assert(st.scan().count() == 2)
-    assert(st.vacuum() == 0) // idempotent; reserves of committed txs stay
+    assert(st.vacuum(minAgeMs = 0) == 0) // idempotent; committed reserves stay
   }
 
   test("streaming batch-id replay is a no-op returning the prior tx") {
