@@ -61,6 +61,66 @@ object Sampling {
     df.where(h < rateExpr * 10000.0)
   }
 
+  /** Exact per-key running totals WITHOUT `Window.partitionBy(key)` —
+    * which funnels every row of a key through ONE task and is the skew
+    * wall when one source holds most of a 100 TB corpus. The classic
+    * distributed prefix-sum instead: range-partition + sort by
+    * (key, order…) so a key spans CONSECUTIVE partitions, collect
+    * per-(partition, key) partial sums (tiny: partitions × keys rows),
+    * turn them into exclusive prefix offsets on the driver, and add a
+    * local running sum in one `mapPartitions` pass. Bit-identical to
+    * the window formulation for any partitioning (spec-gated), with
+    * parallelism = shuffle partitions instead of = distinct keys.
+    * The arranged frame is materialized once (`localCheckpoint`):
+    * range boundaries are sample-derived, and the partials pass and
+    * the value pass must see the SAME layout.
+    *
+    * `valueCol` must be non-null (token counts / literals here).
+    */
+  private[graft] def keyedPrefixSum(df: DataFrame, keyCol: String,
+                                  orderCols: Seq[String], valueCol: String,
+                                  outCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sortCols = (keyCol +: orderCols).map(col)
+    val arranged = df
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val partials = arranged
+      .groupBy(col("_pid"), col(keyCol))
+      .agg(sum(col(valueCol).cast("long")).as("_s"))
+      .collect()
+      .map(r => ((r.getInt(0), r.get(1)), r.getLong(2)))
+    val offsets: Map[(Int, Any), Long] = partials
+      .groupBy(_._1._2)
+      .iterator.flatMap { case (k, seq) =>
+        var acc = 0L
+        seq.sortBy(_._1._1).map { case ((pid, _), s) =>
+          val e = ((pid, k), acc); acc += s; e
+        }
+      }.toMap
+    val pidIdx = arranged.schema.fieldIndex("_pid")
+    val keyIdx = arranged.schema.fieldIndex(keyCol)
+    val valIdx = arranged.schema.fieldIndex(valueCol)
+    val keep = arranged.schema.fields.zipWithIndex
+      .filterNot(_._1.name == "_pid").map(_._2).toSeq
+    val outSchema = StructType(
+      arranged.schema.fields.filterNot(_.name == "_pid").toSeq :+
+        StructField(outCol, LongType, nullable = false))
+    arranged.mapPartitions { it =>
+      val running = scala.collection.mutable.HashMap[Any, Long]()
+      it.map { r =>
+        val k = r.get(keyIdx)
+        val cur = running.getOrElse(k,
+          offsets.getOrElse((r.getInt(pidIdx), k), 0L))
+        val nv = cur + r.getAs[Number](valIdx).longValue()
+        running(k) = nv
+        org.apache.spark.sql.Row.fromSeq(keep.map(r.get) :+ nv)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Deterministic per-stratum cap: keep at most `maxPerKey` rows per
     * value of `keyCol`, chosen by hash order (then id as tiebreak) —
     * "at most N documents per domain/source", the over-represented-
@@ -69,19 +129,18 @@ object Sampling {
     * (oracle-mirrored), and input partitionings, and changing the cap
     * only grows/shrinks the kept set monotonically.
     *
-    * One shuffle on `keyCol` (rank within stratum). Skew note: a single
-    * pathological stratum concentrates its rows in one task; at 100 TB
-    * cap enforcement for such strata should pre-aggregate counts — for
-    * strata under ~10M rows the window is the right plan.
+    * Rank = the [[keyedPrefixSum]] of ones in hash order — no per-key
+    * single-reducer window, so one stratum holding most of the corpus
+    * is spread across the full shuffle width.
     */
   def capPerKey(df: DataFrame, idCol: String, keyCol: String, maxPerKey: Int,
                 salt: String = "cap"): DataFrame = {
     require(maxPerKey > 0, "maxPerKey must be positive")
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(unitHash(col(idCol), salt), col(idCol))
-    df.withColumn("_rn", row_number().over(w))
+    keyedPrefixSum(
+      df.withColumn("_h", unitHash(col(idCol), salt)).withColumn("_one", lit(1L)),
+      keyCol, Seq("_h", idCol), "_one", "_rn")
       .where(col("_rn") <= maxPerKey)
-      .drop("_rn")
+      .drop("_h", "_one", "_rn")
   }
 
   /** Deterministic training-mixture construction: each key (source /
@@ -122,9 +181,9 @@ object Sampling {
     * "Take ~1M tokens per domain", the mixture-target enforcement step
     * of corpus assembly. Adds a `cum_tokens` running total.
     *
-    * One shuffle on `keyCol` (cumulative-sum window); same skew caveat
-    * as [[capPerKey]] — strata beyond ~10M rows want a pre-aggregated
-    * two-pass budget cut.
+    * The running total is the [[keyedPrefixSum]] — a distributed
+    * prefix sum, not a per-key window, so a dominant source never
+    * serializes through one task.
     */
   def tokenBudget(df: DataFrame, idCol: String, keyCol: String,
                   nTokensCol: String, budgets: Map[String, Long],
@@ -134,10 +193,10 @@ object Sampling {
     val b = budgets.foldLeft(lit(defaultBudget)) { case (els, (k, v)) =>
       when(col(keyCol) === k, v).otherwise(els)
     }
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(unitHash(col(idCol), salt), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(col(nTokensCol).cast("long")).over(w))
+    keyedPrefixSum(
+      df.withColumn("_h", unitHash(col(idCol), salt)),
+      keyCol, Seq("_h", idCol), nTokensCol, "cum_tokens")
+      .drop("_h")
       .where(col("cum_tokens") <= b)
   }
 

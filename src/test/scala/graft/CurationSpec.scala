@@ -150,6 +150,32 @@ class CurationSpec extends SparkSpec {
   // Per-key cap                                                      //
   // ---------------------------------------------------------------- //
 
+  test("keyedPrefixSum == window cumulative sum, including a dominant key") {
+    import org.apache.spark.sql.expressions.Window
+    // 90% of rows in ONE key — the skew shape the distributed prefix
+    // sum exists for — plus small keys and a key spanning partitions
+    val rows = (0L until 2000L).map { i =>
+      val k = if (i % 10 < 9) "hot" else s"cold${i % 3}"
+      (i, k, (i % 7 + 1).toInt)
+    }
+    val df = rows.toDF("id", "key", "v").repartition(13) // scrambled input
+    val viaPrefix = Sampling.keyedPrefixSum(
+        df.withColumn("_h", Sampling.unitHash(col("id"), "t")),
+        "key", Seq("_h", "id"), "v", "cum")
+      .select("id", "cum")
+    val w = Window.partitionBy(col("key"))
+      .orderBy(Sampling.unitHash(col("id"), "t"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = df.withColumn("cum", sum(col("v").cast("long")).over(w))
+      .select("id", "cum")
+    assert(viaPrefix.as[(Long, Long)].collect().toMap ==
+      viaWindow.as[(Long, Long)].collect().toMap)
+    // structural scale property: no Window node anywhere — the per-key
+    // single-reducer sort is gone from the plan entirely
+    val plan = viaPrefix.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"prefix sum must not plan a window:\n$plan")
+  }
+
   test("capPerKey keeps at most N per key, deterministically, append-stably") {
     val df = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
     val kept = Sampling.capPerKey(df, "id", "src", maxPerKey = 10)
