@@ -129,18 +129,30 @@ object Sampling {
     * (oracle-mirrored), and input partitionings, and changing the cap
     * only grows/shrinks the kept set monotonically.
     *
-    * Rank = the [[keyedPrefixSum]] of ones in hash order — no per-key
-    * single-reducer window, so one stratum holding most of the corpus
-    * is spread across the full shuffle width.
+    * `distributed = true` computes the rank as the [[keyedPrefixSum]]
+    * of ones — no per-key single-reducer window, so one stratum holding
+    * most of a 100 TB corpus spreads across the full shuffle width.
+    * Identical results either way (spec-gated differential); the switch
+    * is explicit because size estimation on derived frames is
+    * unreliable (an auto-probe via `.rdd` materializes AQE stages, and
+    * checkpointed inputs report unknown stats). Default = window: 3
+    * fewer jobs, right for node-scale strata.
     */
   def capPerKey(df: DataFrame, idCol: String, keyCol: String, maxPerKey: Int,
-                salt: String = "cap"): DataFrame = {
+                salt: String = "cap", distributed: Boolean = false): DataFrame = {
     require(maxPerKey > 0, "maxPerKey must be positive")
-    keyedPrefixSum(
-      df.withColumn("_h", unitHash(col(idCol), salt)).withColumn("_one", lit(1L)),
-      keyCol, Seq("_h", idCol), "_one", "_rn")
-      .where(col("_rn") <= maxPerKey)
-      .drop("_h", "_one", "_rn")
+    if (!distributed) {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(unitHash(col(idCol), salt), col(idCol))
+      df.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= maxPerKey)
+        .drop("_rn")
+    } else
+      keyedPrefixSum(
+        df.withColumn("_h", unitHash(col(idCol), salt)).withColumn("_one", lit(1L)),
+        keyCol, Seq("_h", idCol), "_one", "_rn")
+        .where(col("_rn") <= maxPerKey)
+        .drop("_h", "_one", "_rn")
   }
 
   /** Deterministic training-mixture construction: each key (source /
@@ -181,23 +193,32 @@ object Sampling {
     * "Take ~1M tokens per domain", the mixture-target enforcement step
     * of corpus assembly. Adds a `cum_tokens` running total.
     *
-    * The running total is the [[keyedPrefixSum]] — a distributed
-    * prefix sum, not a per-key window, so a dominant source never
-    * serializes through one task.
+    * `distributed = true` computes the running total as the
+    * [[keyedPrefixSum]] — not a per-key window, so a dominant source
+    * never serializes through one task. Identical results either way
+    * (spec-gated); see [[capPerKey]] for why the switch is explicit.
     */
   def tokenBudget(df: DataFrame, idCol: String, keyCol: String,
                   nTokensCol: String, budgets: Map[String, Long],
-                  defaultBudget: Long, salt: String = "budget"): DataFrame = {
+                  defaultBudget: Long, salt: String = "budget",
+                  distributed: Boolean = false): DataFrame = {
     require((budgets.values.toSeq :+ defaultBudget).forall(_ >= 0),
       "budgets must be >= 0")
     val b = budgets.foldLeft(lit(defaultBudget)) { case (els, (k, v)) =>
       when(col(keyCol) === k, v).otherwise(els)
     }
-    keyedPrefixSum(
-      df.withColumn("_h", unitHash(col(idCol), salt)),
-      keyCol, Seq("_h", idCol), nTokensCol, "cum_tokens")
-      .drop("_h")
-      .where(col("cum_tokens") <= b)
+    val cum =
+      if (!distributed) {
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(unitHash(col(idCol), salt), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("cum_tokens", sum(col(nTokensCol).cast("long")).over(w))
+      } else
+        keyedPrefixSum(
+          df.withColumn("_h", unitHash(col(idCol), salt)),
+          keyCol, Seq("_h", idCol), nTokensCol, "cum_tokens")
+          .drop("_h")
+    cum.where(col("cum_tokens") <= b)
   }
 
   /** Greedy sequence packing: assign documents to fixed-token-budget

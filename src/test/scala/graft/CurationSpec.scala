@@ -176,6 +176,22 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"prefix sum must not plan a window:\n$plan")
   }
 
+  test("tokenBudget/capPerKey: distributed prefix-sum path == window path") {
+    val rows = (0L until 600L).map(i => (i, s"src${i % 3}", (i % 5 + 1).toInt))
+    val df = rows.toDF("id", "src", "n").repartition(13) // scrambled layout
+    val bN = Sampling.tokenBudget(df, "id", "src", "n", Map("src0" -> 50L), 80L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    val bW = Sampling.tokenBudget(df, "id", "src", "n", Map("src0" -> 50L), 80L,
+        distributed = true)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(bN == bW)
+    val cN = Sampling.capPerKey(df, "id", "src", 25).select("id")
+      .as[Long].collect().toSet
+    val cW = Sampling.capPerKey(df, "id", "src", 25, distributed = true)
+      .select("id").as[Long].collect().toSet
+    assert(cN == cW && cN.nonEmpty)
+  }
+
   test("capPerKey keeps at most N per key, deterministically, append-stably") {
     val df = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
     val kept = Sampling.capPerKey(df, "id", "src", maxPerKey = 10)
