@@ -112,6 +112,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: versioned scan == driver-side last-wins fold, any commit/compact interleaving") {
+    import graft.store.VersionedCandleStore
+    batches(3, 20).zipWithIndex.foreach { case (all, i) =>
+      val st = VersionedCandleStore(spark, tmpDir(s"prop-vst$i") + "/v")
+      // split into 4 commit batches; compact after a seed-chosen one
+      val parts = all.grouped(5).toSeq
+      val compactAfter = i % parts.size
+      // driver-side oracle: per (code, second-truncated ts), the row
+      // from the highest tx wins; within a batch the content struct
+      // max wins (no ordinal — mirrors commit()'s tie-break)
+      val expect = scala.collection.mutable.Map[(String, Long), (Long, (Double, Double, Double, Double, Double, Long))]()
+      parts.zipWithIndex.foreach { case (b, j) =>
+        st.commit(b.toDF())
+        b.groupBy(c => (c.code, c.ts.getTime / 1000L * 1000L)).foreach {
+          case ((code, tsec), rows) =>
+            val w = rows.map(c => (c.open, c.high, c.low, c.close, c.volume, c.bit_fields)).max
+            expect((code, tsec)) = ((j + 1).toLong, w)
+        }
+        if (j == compactAfter) st.compact()
+      }
+      val got = st.scan().collect().map { r =>
+        (r.getAs[String]("code"), r.getAs[Timestamp]("ts").getTime) ->
+          (r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+            r.getAs[Double]("close"), r.getAs[Double]("volume"), r.getAs[Long]("bit_fields"))
+      }.toMap
+      val want = expect.map { case ((code, tsec), (_, w)) => (code, tsec) -> w }.toMap
+      assert(got == want, s"seed ${i + 1}: scan != driver fold")
+      // journal-addressed history: as-of the first commit == fold of batch 1
+      val asOf1 = st.txLog().where(col("kind") === "commit")
+        .agg(min("tx_id")).head().getLong(0)
+      if (compactAfter == 0) { // floor == 1: as-of tx 1 still readable
+        val h = st.scanAsOf(asOf1).count()
+        val firstKeys = parts.head.map(c => (c.code, c.ts.getTime / 1000L)).distinct.size
+        assert(h == firstKeys, s"seed ${i + 1}: as-of first tx row count")
+      }
+    }
+  }
+
   test("property: gapFill leaves no holes and preserves present rows") {
     batches(2, 25).zipWithIndex.foreach { case (b, i) =>
       val candles = b.map(c => (c.code, c.ts, c.close)).toDF("code", "ts", "close")
