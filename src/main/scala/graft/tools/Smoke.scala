@@ -215,10 +215,35 @@ object Smoke {
 
     val vst = graft.store.VersionedCandleStore(spark,
       java.nio.file.Files.createTempDirectory("graft-smoke-vstore").toString + "/v")
-    vst.commit(b1)
-    vst.commit(b2)
+    vst.commit(b1, committedAt = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    vst.commit(b2, committedAt = Some(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
     check("versioned store as-of tx1 != latest",
       vst.scanAsOf(1L).count() == 3 && vst.scan().count() == 4 && vst.latestTxId == 2L)
+
+    // --- Round-5 additions: time travel, IVFADC, lang model, curation ---
+    check("versioned store wall-clock time travel",
+      vst.scanAsOfTime(java.sql.Timestamp.valueOf("2024-01-01 12:00:00")).count() == 3 &&
+        vst.vacuum() == 0) // nothing torn; young-file guard holds
+    val ivfpq = Similarity.ivfPqTopK(emb, queriesDf, "vec_id", "embedding", k = 5,
+      nCells = 8, nProbe = 2, m = 4, ks = 8, iters = 2, rerank = 20)
+    check("ivfPqTopK k rows per query",
+      ivfpq.groupBy($"query_id").count().where($"count" =!= 5).count() == 0)
+    val langPred = Seq("she walked to the market and bought some bread",
+      "er ging mit dem hund durch den park und über die brücke")
+      .toDF("text").select(graft.llm.TextStats.langIdNgramUdf($"text")).as[String].collect()
+    check("char-trigram language id", langPred.toSeq == Seq("en", "de"))
+    check("nfc normalization composes", Seq("e\u0301cole").toDF("t")
+      .select(graft.llm.TextStats.nfcNormalizeUdf($"t")).as[String].head() == "\u00e9cole")
+    val curated = graft.llm.Curation.standardPipeline(
+      docs.where($"doc_id" % 50 =!= 0), docs.where($"doc_id" % 50 === 0),
+      budgets = Map("src0" -> 2000L), defaultBudget = 4000L)
+    check("curation pipeline survivors within budget",
+      curated.count() > 0 && curated.where($"cum_tokens" >
+        when($"source" === "src0", 2000L).otherwise(4000L)).count() == 0)
+    val z3 = graft.ops.ZOrder.clusterN(
+      docs.limit(64).select(($"doc_id" % 16).as("x"), ($"doc_id" % 7).as("y"),
+        ($"doc_id" % 3).as("w")), Seq("x", "y", "w"), nFiles = 4)
+    check("3-D z-order clusters", z3.count() == 64)
 
     println(if (failures == 0) "[smoke] ALL OK" else s"[smoke] $failures FAILURES")
     spark.stop()
