@@ -1133,8 +1133,13 @@ object Queries {
         .join(hits, Seq("query_id"), "left")
         .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
         .agg(count(lit(1)).as("n_queries"),
+          // Floor 0.4 with margin (q63's policy): measured recall@10 is
+          // 0.48-0.52 at sf0.001/sf0.01 (tools/RecallCheck pq_plain) on
+          // the near-uniform-random testdata embeddings, and codebook
+          // training sums are float-order-dependent run to run — a 0.5
+          // floor sat 0.024 from the measured value.
           (sum(col("n_hit")).cast("double") /
-            (count(lit(1)) * 10).cast("double") >= 0.5).as("recall_ok"))
+            (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
     }),
     // IVFADC recall gate (q79's pattern, composed): the IVF coarse
     // quantizer in front of PQ-ADC — ADC scans only probed cells

@@ -29,6 +29,11 @@ object RecallCheck {
         .select("query_id", "neighbor_id")
       val pqHit = exact.join(pqApprox, Seq("query_id", "neighbor_id"), "left_semi").count()
       println(f"[recall] $d ivfpq_p4 ${pqHit.toDouble / exact.count()}%.3f")
+      val pqPlain = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 10, m = 4, ks = 16, iters = 4, rerank = 40)
+        .select("query_id", "neighbor_id")
+      val ppHit = exact.join(pqPlain, Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"[recall] $d pq_plain ${ppHit.toDouble / exact.count()}%.3f")
     }
     spark.stop()
   }
