@@ -76,13 +76,29 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     * Returns false ONLY for already-exists; genuine IO failures
     * (disk-full, permissions) rethrow — swallowing them would spin
     * [[reserveTxId]] forever and misreport maintenance-lock contention.
+    *
+    * On `file:` filesystems this MUST go through
+    * `java.io.File.createNewFile` (POSIX O_CREAT|O_EXCL — atomic):
+    * Hadoop's RawLocalFileSystem `create(overwrite = false)` is a
+    * non-atomic exists-check-then-open, and two racing committers can
+    * both win it — the concurrency soak caught exactly that (duplicate
+    * tx ids sharing one staging dir). HDFS `create` is atomic on the
+    * namenode; object stores would use a conditional put.
     */
-  private def tryCreate(f: FileSystem, p: Path): Boolean =
-    try { f.create(p, false).close(); true }
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case e: java.io.IOException => if (f.exists(p)) false else throw e
-    }
+  private def tryCreate(f: FileSystem, p: Path): Boolean = {
+    val resolved = f.makeQualified(p)
+    if (resolved.toUri.getScheme == "file") {
+      val file = new java.io.File(resolved.toUri.getPath)
+      val parent = file.getParentFile
+      if (parent != null) { parent.mkdirs(); () }
+      file.createNewFile()
+    } else
+      try { f.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (f.exists(p)) false else throw e
+      }
+  }
 
   // ------------------------------------------------------------------ //
   // Journal                                                            //

@@ -86,6 +86,24 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st.txLog().where($"kind" === "commit").count() == 4)
   }
 
+  test("tx-id reservation hammer: 8 threads x 20 reservations, all distinct") {
+    // tight loop, no Spark jobs between reservations — maximal contention
+    // on the atomic create (RawLocalFileSystem's create(overwrite=false)
+    // is NOT atomic; this spec pins the File.createNewFile path)
+    val st = VersionedCandleStore(spark, tmpDir("vstore-hammer") + "/v")
+    val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val dup = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 8).map(_ => new Thread(() => {
+      gate.await()
+      (0 until 20).foreach { _ =>
+        if (!ids.add(st.reserveTxId())) dup.set(true)
+      }
+    }))
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(!dup.get() && ids.size == 160, s"distinct=${ids.size}/160")
+  }
+
   test("tx-id reservation is atomic and skips outstanding reservations") {
     val st = VersionedCandleStore(spark, tmpDir("vstore-res") + "/v")
     // interleaved reservations before any data lands
