@@ -1118,7 +1118,10 @@ object Queries {
     }),
     // PQ-ADC + exact-rerank recall gate (q63's pattern): product-
     // quantized codes (m=4 bytes per 64-dim vector) must put enough of
-    // the true top-10 into the rerank candidate set.
+    // the true top-10 into the rerank candidate set. Params are fixed
+    // for the sf0.01 correctness contract; recall on a larger corpus
+    // needs rerank/ks grown with it (at sf0.1 the fixed-width candidate
+    // set halves recall — production sizes rerank ∝ corpus/cells).
     "q79_pq_topk_recall" -> ((s, d) => {
       val emb = T.embeddings(s, d)
       val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
