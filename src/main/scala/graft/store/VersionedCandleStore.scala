@@ -3,7 +3,7 @@ package graft.store
 import java.sql.Timestamp
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -24,33 +24,57 @@ import graft.model.Candle
   *    `_txn/` (`FileSystem.create(overwrite = false)` — atomic on the
   *    HDFS namenode and on local file systems; object stores would use
   *    a conditional put). Two concurrent committers always mint
-  *    DISTINCT ids.
+  *    DISTINCT ids. Streaming replay guards reserve a BATCH-keyed file
+  *    the same way, so two concurrent retries of one micro-batch can
+  *    never mint two transactions.
   *  - each commit writes its data to a private `_stage/tx-N` directory
   *    (no shared-output-committer contention), then moves the files
-  *    into the live generation with metadata renames, then publishes a
-  *    single journal file `txlog/tx-N-commit.parquet` (again a rename —
-  *    no two commits ever write the same file).
-  *  - readers gate on the journal's COMMITTED SET (broadcast semi-join
-  *    on `tx_id`, not a `<= max` filter), so a torn commit — data moved,
-  *    journal row missing — is invisible even when a later tx has
-  *    already journaled. Redo-on-retry converges (mirrors the
+  *    into the live generation with metadata renames, VERIFIES its
+  *    files are present in the latest generation (re-carrying them if
+  *    compactions superseded it), and only then publishes a single
+  *    journal file `txlog/tx-N-commit.parquet` (again a rename — no two
+  *    commits ever write the same file). A commit whose files cannot be
+  *    located in the latest generation FAILS instead of journaling —
+  *    an unjournaled move is invisible (torn-commit semantics) and
+  *    reclaimed by [[vacuum]], never silent data loss.
+  *  - readers gate on the journal's COMMITTED SET (pure scan predicates
+  *    over `tx_id`, not a `<= max` filter), so a torn commit — data
+  *    moved, journal row missing — is invisible even when a later tx
+  *    has already journaled. Redo-on-retry converges (mirrors the
   *    reference's committed-only replay, `wal/flusher.go:110-128`).
   *  - [[compact]] excludes concurrent compacts via an atomic
   *    `_compact.lock` (the reference takes the DB-exclusive flush
   *    lock); commits may run concurrently with it — a commit landing
-  *    in the superseded generation is carried forward by metadata
-  *    renames (compact's post-publish sweep + the writer's post-move
-  *    re-check cover both interleavings).
+  *    in a superseded generation is carried forward by metadata
+  *    renames (compact's post-publish sweep walks ALL retained older
+  *    generations, and the writer's post-move verification re-carries
+  *    and re-counts its own files before journaling).
   *
   * Layout: `path/data-gNNNNNNNNN/` generations of the same
   * Hive-partitioned Parquet layout as [[CandleStore]] plus a `tx_id`
   * data column (row-group stats prune as-of filters). A generation is
   * live once its `_GRAFT_COMMITTED` marker exists; readers resolve the
   * highest committed generation, so the compaction swap is one atomic
-  * marker create — never a delete→rename visibility gap. `path/txlog`
-  * is a tiny append-only journal with one file per commit —
-  * the persistent-counter analog: `latestTxId` reads the journal,
-  * never the data.
+  * marker create — never a delete→rename visibility gap. A
+  * `_graft_format_v1` marker names the layout version: opening a path
+  * that holds data in an unrecognized layout fails loudly instead of
+  * reading as an empty store.
+  *
+  * Journal: `path/txlog` holds one file per commit — the
+  * persistent-counter analog: `latestTxId` reads the journal, never the
+  * data. To keep the journal listing O(checkpoint interval) rather than
+  * O(total commits) — the reference rotates its WAL every 256 commits
+  * for the same reason (`wal/persist.go:14,74-79`), and a streaming
+  * table committing a micro-batch a minute would otherwise accrete ~525k
+  * files/year — the journal is periodically ROLLED UP into a single
+  * `checkpoint-N.parquet` (Delta's `_last_checkpoint` shape): reads
+  * resolve the latest checkpoint plus the per-commit tail files, and
+  * each new checkpoint deletes exactly the tail files already absorbed
+  * by the PREVIOUS one (one-checkpoint lag, so in-flight readers that
+  * resolved the previous checkpoint keep every tail they listed).
+  * Checkpoints are written under `_compact.lock` — opportunistically
+  * after every `checkpointEvery` commits, and inside [[compact]] /
+  * [[vacuum]].
   *
   * Scale posture (100 TB): commits are pure appends of the deduped
   * batch (no read-modify-write of existing partitions at all — cheaper
@@ -58,14 +82,19 @@ import graft.model.Candle
   * history with one hash aggregation over the partitions they scan.
   * [[compact]] bounds that fold: it squashes history up to the latest
   * tx back to one version per key. The classic LSM trade, chosen per
-  * table by how history-hungry its readers are.
+  * table by how history-hungry its readers are. Read-side driver work
+  * is journal-sized everywhere: the committed gate derives excluded ids
+  * from gaps between adjacent journal entries, never by iterating
+  * `1..maxTxId`.
   */
-final class VersionedCandleStore(spark: SparkSession, val path: String) {
+final class VersionedCandleStore(spark: SparkSession, val path: String,
+                                 val checkpointEvery: Int = 100) {
 
   private val txLogPath = s"$path/txlog"
   private val txnPath = s"$path/_txn"
   private val stagePath = s"$path/_stage"
   private val CommitMarker = "_GRAFT_COMMITTED"
+  private val FormatMarker = "_graft_format_v1"
 
   private def hp(s: String): Path = new Path(s)
   private def fs: FileSystem =
@@ -101,6 +130,38 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
   }
 
   // ------------------------------------------------------------------ //
+  // Layout versioning                                                  //
+  // ------------------------------------------------------------------ //
+
+  @volatile private var layoutVerified = false
+
+  /** Fail loudly when `path` holds data in a layout this code does not
+    * recognize (e.g. a store written by an earlier format with
+    * `path/data` + `_txlog`) — silently reading such a store as EMPTY
+    * would be data loss from the caller's point of view. A brand-new /
+    * empty path is fine; the format marker is stamped on first commit.
+    * Pre-marker stores written by THIS layout (generation dirs /
+    * `txlog`) stay readable — the marker is added the next time they
+    * are written.
+    */
+  private def verifyLayout(f: FileSystem): Unit = {
+    if (layoutVerified) return
+    if (!f.exists(hp(path))) { layoutVerified = true; return }
+    val names = f.listStatus(hp(path)).map(_.getPath.getName)
+    val recognized = names.isEmpty || names.exists {
+      case FormatMarker | "txlog" | "_txn" | "_stage" | "_compact.lock" => true
+      case GenName(_) => true
+      case _ => false
+    }
+    if (!recognized)
+      throw new IllegalStateException(
+        s"$path contains data in an unrecognized layout " +
+          s"(entries: ${names.take(8).mkString(", ")}); expected a graft " +
+          s"versioned store (format marker $FormatMarker)")
+    layoutVerified = true
+  }
+
+  // ------------------------------------------------------------------ //
   // Journal                                                            //
   // ------------------------------------------------------------------ //
 
@@ -111,21 +172,49 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     StructField("kind", StringType, nullable = false),
     StructField("batch_id", LongType, nullable = true)))
 
-  private def txLogExists: Boolean = {
-    val f = fs
-    f.exists(hp(txLogPath)) && f.listStatus(hp(txLogPath)).nonEmpty
+  private val TailName = "tx-(\\d{20})-(commit|compact)\\.parquet".r
+  private val CheckpointName = "checkpoint-(\\d{20})\\.parquet".r
+
+  /** One listing of the journal directory: (latest checkpoint, tail
+    * files, ALL checkpoints ascending). Tails are the per-commit files
+    * not yet absorbed-and-deleted; after each rollup at most
+    * ~`checkpointEvery` plus the still-retained previous interval
+    * remain, so the listing is O(interval), never O(total commits).
+    */
+  private def listJournal(f: FileSystem)
+      : (Option[(Long, Path)], Seq[Path], Seq[(Long, Path)]) = {
+    if (!f.exists(hp(txLogPath))) return (None, Seq.empty, Seq.empty)
+    val entries = f.listStatus(hp(txLogPath)).map(_.getPath)
+    val checkpoints = entries.flatMap { p =>
+      p.getName match {
+        case CheckpointName(n) => Some((n.toLong, p))
+        case _ => None
+      }
+    }.sortBy(_._1).toSeq
+    val tails = entries.filter(p => TailName.pattern.matcher(p.getName).matches()).toSeq
+    (checkpoints.lastOption, tails, checkpoints)
   }
 
   /** The commit journal: one row per commit (`kind = 'commit'`) or
     * compaction (`kind = 'compact'`) — the reference's persistent
     * counter + WAL index analog. `batch_id` carries the streaming
     * micro-batch id when the commit came from a stream (exactly-once
-    * replay guard); null for batch commits.
+    * replay guard); null for batch commits. Physically: the latest
+    * checkpoint rollup plus the per-commit tail files, deduplicated on
+    * (tx_id, kind) — a tail stays on disk (one checkpoint of lag) after
+    * being absorbed, and journal files for one (tx, kind) are written
+    * exactly once, so duplicates are byte-identical.
     */
-  def txLog(): DataFrame =
-    if (!txLogExists)
+  def txLog(): DataFrame = {
+    val f = fs
+    verifyLayout(f)
+    val (cp, tails, _) = listJournal(f)
+    val paths = cp.map(_._2).toSeq ++ tails
+    if (paths.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), txLogSchema)
-    else spark.read.schema(txLogSchema).parquet(txLogPath)
+    else spark.read.schema(txLogSchema).parquet(paths.map(_.toString): _*)
+      .dropDuplicates("tx_id", "kind")
+  }
 
   /** Highest committed tx id (0 when empty) — journal-only read. */
   def latestTxId: Long = {
@@ -146,9 +235,11 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     * private stage dir by an isolated Spark job, then RENAMED in — two
     * concurrent committers never touch the same output directory, so
     * there is no shared FileOutputCommitter `_temporary` to race on.
+    * (`private[graft]` so scale specs can drive journal growth without
+    * paying a full data commit per row.)
     */
-  private def writeJournalRow(tx: Long, nRows: Long, at: Timestamp,
-                              kind: String, batchId: Option[Long]): Unit = {
+  private[graft] def writeJournalRow(tx: Long, nRows: Long, at: Timestamp,
+                                     kind: String, batchId: Option[Long]): Unit = {
     import spark.implicits._
     val stage = s"$stagePath/txlog-$kind-$tx"
     Seq((tx, nRows, at, kind, batchId))
@@ -170,10 +261,103 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
   }
 
   // ------------------------------------------------------------------ //
+  // Journal checkpointing (WAL rotation analog)                        //
+  // ------------------------------------------------------------------ //
+
+  /** Roll the journal up into one `checkpoint-N.parquet` (N = highest
+    * absorbed tx id), regardless of how few tails have accrued. Returns
+    * the checkpoint's tx id (0 when there is nothing to roll up).
+    * Normally this runs by itself — opportunistically after every
+    * [[checkpointEvery]] commits and inside [[compact]]/[[vacuum]] —
+    * the reference's WAL rotation (`wal/persist.go:14,74-79`) as a
+    * maintenance op.
+    */
+  def checkpointJournal(): Long = {
+    val f = fs
+    verifyLayout(f)
+    val lock = hp(s"$path/_compact.lock")
+    if (!tryCreate(f, lock))
+      throw new IllegalStateException(s"another maintenance op holds $lock")
+    try checkpointLocked(f, force = true)
+    finally { f.delete(lock, false); () }
+  }
+
+  /** Checkpoint body — caller MUST hold `_compact.lock` (excludes
+    * concurrent checkpoints AND concurrent `compact` journal rows, so
+    * no tail with tx ≤ the new checkpoint can appear mid-rollup; commit
+    * tails always carry a tx above every journaled id at reservation
+    * time, hence above the rollup's N).
+    *
+    * Tail deletion runs one checkpoint BEHIND: publishing checkpoint C
+    * deletes exactly the tails whose (tx, kind) row is in the PREVIOUS
+    * checkpoint — an in-flight reader that resolved the previous
+    * checkpoint still finds every tail it listed. (Same 2-version
+    * retention as data generations.)
+    */
+  private def checkpointLocked(f: FileSystem, force: Boolean): Long = {
+    val (cp, tails, allCps) = listJournal(f)
+    if (tails.isEmpty || (!force && tails.size < checkpointEvery))
+      return cp.map(_._1).getOrElse(0L)
+    // journal is metadata-scale (one row per commit interval retained):
+    // collect both sides driver-side, dedup, rebuild
+    val cpRows: Array[Row] = cp match {
+      case Some((_, p)) =>
+        spark.read.schema(txLogSchema).parquet(p.toString).collect()
+      case None => Array.empty
+    }
+    val tailRows: Array[Row] = spark.read.schema(txLogSchema)
+      .parquet(tails.map(_.toString): _*).collect()
+    val cpKeys = cpRows.map(r => (r.getLong(0), r.getString(3))).toSet
+    val merged = cpRows ++ tailRows.filterNot(r =>
+      cpKeys((r.getLong(0), r.getString(3))))
+    val maxTx = merged.iterator.map(_.getLong(0)).max
+    if (cp.exists(_._1 >= maxTx)) return cp.get._1 // nothing newer to absorb
+    val stage = s"$stagePath/txlog-checkpoint-$maxTx"
+    spark.createDataFrame(java.util.Arrays.asList(merged: _*), txLogSchema)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+    val part = f.listStatus(hp(stage)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no checkpoint part file in $stage"))
+    val dst = new Path(txLogPath, f"checkpoint-$maxTx%020d.parquet")
+    if (!f.rename(part, dst))
+      throw new java.io.IOException(s"checkpoint publish failed: $part -> $dst")
+    f.delete(hp(stage), true)
+    // delete tails already absorbed by the PREVIOUS checkpoint (exact
+    // row membership, not a filename-range guess — an out-of-order or
+    // compact tail whose tx sits below the previous N but whose row is
+    // NOT in it must survive until it is)
+    tails.foreach { p =>
+      p.getName match {
+        case TailName(id, kind) if cpKeys((id.toLong, kind)) =>
+          f.delete(p, false); ()
+        case _ => ()
+      }
+    }
+    // keep the new and previous checkpoints; drop older ones
+    allCps.filter(_._1 < cp.map(_._1).getOrElse(0L))
+      .foreach { case (_, p) => f.delete(p, false) }
+    maxTx
+  }
+
+  /** Opportunistic rollup after a commit: skipped (not blocked) when a
+    * maintenance op holds the lock — the next commit past the threshold
+    * retries.
+    */
+  private def maybeCheckpoint(f: FileSystem): Unit = {
+    val (_, tails, _) = listJournal(f)
+    if (tails.size < checkpointEvery) return
+    val lock = hp(s"$path/_compact.lock")
+    if (!tryCreate(f, lock)) return
+    try { checkpointLocked(f, force = false); () }
+    finally { f.delete(lock, false); () }
+  }
+
+  // ------------------------------------------------------------------ //
   // Tx-id allocation                                                   //
   // ------------------------------------------------------------------ //
 
   private val ReserveName = "tx-(\\d{20})\\.reserve".r
+  private val BatchReserveName = "batch-(\\d{20})\\.reserve".r
 
   /** Allocate the next tx id atomically: starting past both the journal
     * max and the highest outstanding reservation, race to create
@@ -231,23 +415,42 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
 
   /** Move every data file under `src` into the mirrored directory under
     * `dst`, prefixing names with the tx id (uniqueness across commits).
-    * Pure metadata renames — no data copy on HDFS/local.
+    * Pure metadata renames — no data copy on HDFS/local. Returns the
+    * number of files moved, which the commit verifies against the final
+    * generation before journaling.
     */
-  private def moveTree(f: FileSystem, src: Path, dst: Path, prefix: String): Unit = {
+  private def moveTree(f: FileSystem, src: Path, dst: Path, prefix: String): Int = {
+    var moved = 0
     f.listStatus(src).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory) {
         val sub = new Path(dst, name)
         f.mkdirs(sub)
-        moveTree(f, st.getPath, sub, prefix)
+        moved += moveTree(f, st.getPath, sub, prefix)
       } else if (!name.startsWith("_") && !name.startsWith(".")) {
         val to = new Path(dst, s"$prefix-$name")
         // a silently dropped data file would journal an incomplete
         // commit as successful — fail the commit instead
         if (!f.rename(st.getPath, to))
           throw new java.io.IOException(s"data move failed: ${st.getPath} -> $to")
+        moved += 1
       }
     }
+    moved
+  }
+
+  /** Count data files under `gen` belonging to transaction `tx`. */
+  private def countTxFiles(f: FileSystem, gen: Path, tx: Long): Int = {
+    var n = 0
+    def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else st.getPath.getName match {
+        case DataFileName(id) if id.toLong == tx => n += 1
+        case _ => ()
+      }
+    }
+    if (f.exists(gen)) walk(gen)
+    n
   }
 
   // ------------------------------------------------------------------ //
@@ -268,17 +471,48 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     *   returning the prior tx id — the exactly-once replay guard for
     *   `foreachBatch` retries (the reference's WAL replay skips
     *   already-applied tx ids the same way, `wal/flusher.go:110-128`).
+    *   The guard is ATOMIC: the committer must win the batch-keyed
+    *   reserve file under `_txn/` before minting a tx, so two
+    *   concurrent retries of one batch can never both commit; the loser
+    *   returns the winner's tx (or fails loudly if the winner is still
+    *   in flight / crashed — a crashed guard is age-reclaimed by
+    *   [[vacuum]]).
     */
   def commit(batch: DataFrame, ordinalCol: Option[String] = None,
              committedAt: Option[Timestamp] = None,
              batchId: Option[Long] = None): Long = {
-    val replayed = batchId.flatMap { b =>
-      txLog()
-        .where(col("kind") === "commit" && col("batch_id") === b)
-        .select("tx_id").limit(1).collect().headOption.map(_.getLong(0))
+    verifyLayout(fs)
+    batchId match {
+      case None => doCommit(batch, ordinalCol, committedAt, None)
+      case Some(b) =>
+        journaledBatch(b).getOrElse {
+          val f = fs
+          f.mkdirs(hp(txnPath))
+          val guard = new Path(txnPath, f"batch-$b%020d.reserve")
+          if (tryCreate(f, guard))
+            try doCommit(batch, ordinalCol, committedAt, batchId)
+            catch {
+              // release the guard on a live failure so the caller's
+              // retry can proceed (a crashed JVM's guard is reclaimed
+              // by vacuum's age sweep instead)
+              case t: Throwable => f.delete(guard, false); throw t
+            }
+          else
+            // lost the guard race: either the winner already journaled
+            // (return its tx) or it is mid-commit/crashed — fail loudly
+            // rather than duplicate the batch; vacuum() age-reclaims a
+            // crashed winner's guard so a later retry can proceed.
+            journaledBatch(b).getOrElse(throw new IllegalStateException(
+              s"batch $b: another commit holds the replay guard but has not " +
+                "journaled; retry after it completes (or vacuum() if it crashed)"))
+        }
     }
-    replayed.getOrElse(doCommit(batch, ordinalCol, committedAt, batchId))
   }
+
+  private def journaledBatch(b: Long): Option[Long] =
+    txLog()
+      .where(col("kind") === "commit" && col("batch_id") === b)
+      .select("tx_id").limit(1).collect().headOption.map(_.getLong(0))
 
   private def doCommit(batch: DataFrame, ordinalCol: Option[String],
                        committedAt: Option[Timestamp],
@@ -311,31 +545,51 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     // execution of the dedup aggregation
     val written = spark.read.parquet(stage).count()
     val f = fs
+    tryCreate(f, hp(s"$path/$FormatMarker")) // stamp layout version (idempotent)
     val gen = ensureGen()
-    moveTree(f, hp(stage), gen, f"tx$tx%020d")
+    val moved = moveTree(f, hp(stage), gen, f"tx$tx%020d")
     f.delete(hp(stage), true)
     // Compaction-race re-check LOOP: if compactions published newer
     // generations while this commit was moving into an older one, carry
-    // our own files along the generation chain until it is stable.
-    // Together with compact()'s post-publish sweep this closes the race
-    // for any number of overlapping compactions: a sweep that ran
-    // before our files landed is covered by our next loop iteration
-    // (the marker it published is visible to us), and files we leave in
-    // a superseded generation before stalling are relayed by the next
-    // compaction's sweep of that generation.
-    var genSeen = gen
-    var genNow = ensureGen()
-    while (genNow.toUri.getPath != genSeen.toUri.getPath) {
-      carryFiles(f, genSeen, genNow, _ == tx)
-      genSeen = genNow
-      genNow = ensureGen()
+    // our own files along the generation chain until it is stable, then
+    // VERIFY every moved file is present under the final generation
+    // before journaling. The verification closes the residual race
+    // (files landing in a superseded generation after its final sweep
+    // and GC'd with it): such a commit re-carries from any retained
+    // generation, and if the files are truly gone it FAILS — nothing is
+    // journaled, so the half-moved data is invisible (torn-commit
+    // semantics) and reclaimed by vacuum(), never silently lost.
+    var genCur = gen
+    var settled = false
+    while (!settled) {
+      val genNow = ensureGen()
+      if (genNow.toUri.getPath != genCur.toUri.getPath) {
+        carryFiles(f, genCur, genNow, _ == tx)
+        genCur = genNow
+      } else if (moved == 0 || countTxFiles(f, genNow, tx) >= moved) {
+        settled = true
+      } else {
+        // self-heal: relay from every retained older generation (a
+        // compaction sweep may have parked our files one hop back)
+        generations().map(_._2)
+          .filter(_.toUri.getPath != genNow.toUri.getPath)
+          .foreach(p => carryFiles(f, p, genNow, _ == tx))
+        if (countTxFiles(f, genNow, tx) >= moved) settled = true
+        else if (ensureGen().toUri.getPath == genNow.toUri.getPath)
+          throw new java.io.IOException(
+            s"commit tx $tx: only ${countTxFiles(f, genNow, tx)} of $moved " +
+              "data files reached the live generation (lost to a concurrent " +
+              "compaction GC); commit aborted before journaling — retry it")
+        // else: another generation appeared mid-heal; loop and re-carry
+      }
     }
-    // Journal entry AFTER the data move: a torn commit (data moved,
-    // journal not) is invisible to readers, which admit only tx ids
-    // present in the journal's committed set.
+    // Journal entry AFTER the data move + verification: a torn commit
+    // (data moved, journal not) is invisible to readers, which admit
+    // only tx ids present in the journal's committed set.
     writeJournalRow(tx, written,
       committedAt.getOrElse(new Timestamp(System.currentTimeMillis())),
       "commit", batchId)
+    maybeCheckpoint(f)
     tx
   }
 
@@ -362,8 +616,9 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
 
   /** One driver-side journal read serving a whole scan: (squash floor,
     * committed (tx id, committed_at) pairs sorted by id). The journal is
-    * metadata-scale by construction — one row per commit, exactly like
-    * the reference's memory-resident WAL index (`wal/reader.go:29-75`).
+    * metadata-scale by construction — one row per commit in the retained
+    * checkpoint interval, exactly like the reference's memory-resident
+    * WAL index (`wal/reader.go:29-75`).
     */
   private def journalSnapshot(): (Long, Array[(Long, Timestamp)]) = {
     val rows = txLog().select("tx_id", "kind", "committed_at").collect()
@@ -374,24 +629,50 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     (floor, committed)
   }
 
-  /** Scan of the current generation admitting exactly `admitted` tx ids:
-    * compiled to PURE SCAN PREDICATES — `tx_id <= cap` plus a NOT IN
-    * over the excluded ids below cap (torn-commit gaps and, for
-    * time-addressed reads, later-journaled commits) — both pushed into
-    * the Parquet reader for row-group pruning. No join stage.
+  /** Maximum NOT-IN literal before the gate flips to IN-over-admitted. */
+  private val MaxGapLiteral = 1000L
+
+  /** The committed-set gate compiled to PURE SCAN PREDICATES, with
+    * driver work bounded by the JOURNAL, never by the highest tx id:
+    * excluded ids below the cap (torn-commit gaps; for time-addressed
+    * reads, later-journaled commits) are derived from the gaps between
+    * ADJACENT admitted ids — O(#commits + #gaps). Dense journals (gaps
+    * rare) compile to `tx_id <= cap AND tx_id NOT IN (gaps)`; sparse
+    * ones (more than [[MaxGapLiteral]] gaps — e.g. a counter that
+    * jumped) flip to `tx_id IN (admitted)`, whose literal is
+    * journal-sized. Both push into the Parquet reader for row-group
+    * pruning. (A `1L to cap` enumeration — the previous shape — would
+    * allocate and iterate up to the max tx id ever minted: millions of
+    * driver-side steps per read under streaming ingest.)
+    *
+    * @param admitted committed tx ids, ascending.
+    */
+  private def committedGate(admitted: Array[Long]): Column = {
+    if (admitted.isEmpty) return col("tx_id") <= 0L
+    val cap = admitted.last
+    val excludedCount = cap - admitted.length // ids are distinct in [1, cap]
+    if (excludedCount == 0L) col("tx_id") <= cap
+    else if (excludedCount <= MaxGapLiteral) {
+      val gaps = Array.newBuilder[Long]
+      var prev = 0L
+      admitted.foreach { id =>
+        var g = prev + 1
+        while (g < id) { gaps += g; g += 1 }
+        prev = id
+      }
+      col("tx_id") <= cap && !col("tx_id").isInCollection(gaps.result().toSeq)
+    } else col("tx_id").isInCollection(admitted.toSeq)
+  }
+
+  /** Scan of the current generation admitting exactly `admitted`
+    * (ascending) tx ids — see [[committedGate]]. No join stage.
     */
   private def gatedScan(admitted: Array[Long]): DataFrame =
     currentGen() match {
       case None => emptyTable()
       case Some((_, genDir)) =>
-        val cap = if (admitted.isEmpty) 0L else admitted.max
-        val present = admitted.toSet
-        val excluded = (1L to cap).filterNot(present)
-        val gate =
-          if (excluded.isEmpty) col("tx_id") <= cap
-          else col("tx_id") <= cap && !col("tx_id").isInCollection(excluded)
         foldLatest(spark.read.schema(dataSchema).parquet(genDir.toString)
-          .where(gate))
+          .where(committedGate(admitted)))
     }
 
   /** Last-wins history fold shared by reads and compaction. */
@@ -480,15 +761,18 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     *
     * Mutual exclusion: concurrent compacts are excluded by an atomic
     * `_compact.lock`. Commits may run concurrently: a commit landing in
-    * the superseded generation is reconciled by metadata renames — the
-    * post-publish carry-forward sweep here plus the writer-side
-    * re-check in `doCommit` cover both interleavings, so no committed
-    * row is ever stranded in a superseded generation. (The reference
-    * instead holds the DB-exclusive lock for its WAL group flush,
-    * `database/concurrency/db.go:68-156`.)
+    * a superseded generation is reconciled by metadata renames — the
+    * post-publish carry-forward sweep here walks EVERY retained older
+    * generation (not just the immediately superseded one, so a commit
+    * parked one hop back by an earlier compaction is still relayed
+    * before GC can delete it), and `doCommit` independently verifies
+    * its files under the final generation before journaling. (The
+    * reference instead holds the DB-exclusive lock for its WAL group
+    * flush, `database/concurrency/db.go:68-156`.)
     */
   def compact(committedAt: Option[Timestamp] = None): Long = {
     val f = fs
+    verifyLayout(f)
     f.mkdirs(hp(path))
     val lock = hp(s"$path/_compact.lock")
     if (!tryCreate(f, lock))
@@ -503,18 +787,14 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
       // file, whose rename would fail on rename-no-overwrite filesystems)
       if (latest == snapshot._1) return latest
       val (curGenId, curGenDir) = currentGen().get
-      // same pure-predicate committed gate as scanAsOf
       val present = committedIds.toSet
-      val torn = (1L to latest).filterNot(present)
-      val gate =
-        if (torn.isEmpty) col("tx_id") <= latest
-        else col("tx_id") <= latest && !col("tx_id").isInCollection(torn)
       // one version per key, WINNING row's tx_id preserved (content and
-      // tx travel together in one struct, picked by tx order)
+      // tx travel together in one struct, picked by tx order); same
+      // pure-predicate committed gate as scanAsOf
       val withTx = struct(col("open"), col("high"), col("low"),
         col("close"), col("volume"), col("bit_fields"), col("tx_id"))
       val squashed = spark.read.schema(dataSchema).parquet(curGenDir.toString)
-        .where(gate)
+        .where(committedGate(committedIds))
         .withColumn("_c", withTx)
         .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
         .agg(max_by(col("_c"), col("tx_id")).as("_w"))
@@ -530,16 +810,18 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
       val nRows = spark.read.parquet(newGen.toString).count()
       tryCreate(f, new Path(newGen, CommitMarker)) // atomic publish
       // Reconcile commits that raced the compaction: any data file in
-      // the old generation whose tx is NOT part of the squash snapshot
-      // (journaled later, or still torn) is carried forward by metadata
-      // rename — file names embed their tx id, so no data is read.
-      // This sweep runs AFTER publish; combined with the writer-side
-      // re-check in doCommit (a writer that moved into a superseded
-      // generation carries its own files before journaling), every
-      // racing commit ends up in the new generation: either the
-      // writer's move preceded this sweep (swept here), or the writer's
-      // post-move re-check saw the published marker (self-carried).
-      carryFiles(f, curGenDir, newGen, txId => !present(txId))
+      // ANY retained older generation whose tx is NOT part of the squash
+      // snapshot (journaled later, or still torn) is carried forward by
+      // metadata rename — file names embed their tx id, so no data is
+      // read. Walking every retained generation (not just the
+      // immediately superseded one) covers a writer stalled across
+      // multiple compactions whose files were parked one hop back by an
+      // earlier sweep; the writer's own pre-journal verification covers
+      // files landing after this sweep.
+      val newGenQualified = f.makeQualified(newGen).toUri.getPath
+      generations()
+        .filter { case (_, p) => f.makeQualified(p).toUri.getPath != newGenQualified }
+        .foreach { case (_, p) => carryFiles(f, p, newGen, id => !present(id)) }
       writeJournalRow(latest, nRows,
         committedAt.getOrElse(new Timestamp(System.currentTimeMillis())),
         "compact", None)
@@ -555,6 +837,7 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
             case _ => ()
           }
         }
+      checkpointLocked(f, force = false) // rollup rides the same lock
       latest
     } finally { f.delete(lock, false); () }
   }
@@ -604,8 +887,10 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
     * the journal append). They are invisible to every read (committed-set
     * gating), so this is pure space reclamation — the reference's
     * discard-uncommitted-on-replay (`wal/flusher.go:93-131`) as a
-    * maintenance op. Also drops reserve files with no journal entry.
-    * Returns the number of files removed.
+    * maintenance op. Also drops tx reserve files with no journal entry
+    * and streaming batch-guard files whose batch never journaled (a
+    * crashed replay-guard winner — reclaiming it un-wedges later
+    * retries). Returns the number of files removed.
     *
     * An IN-FLIGHT commit looks exactly like a torn one (files moved,
     * journal pending), so candidates younger than `minAgeMs` are
@@ -617,11 +902,15 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
   def vacuum(minAgeMs: Long = 24L * 3600 * 1000): Int = {
     val f = fs
     if (!f.exists(hp(path))) return 0
+    verifyLayout(f)
     val lock = hp(s"$path/_compact.lock")
     if (!tryCreate(f, lock))
       throw new IllegalStateException(s"another maintenance op holds $lock")
     try {
-      val journaled = txLog().select("tx_id").collect().map(_.getLong(0)).toSet
+      val journalRows = txLog().select("tx_id", "batch_id").collect()
+      val journaled = journalRows.map(_.getLong(0)).toSet
+      val journaledBatches = journalRows.iterator
+        .filterNot(_.isNullAt(1)).map(_.getLong(1)).toSet
       val cutoff = System.currentTimeMillis() - minAgeMs
       var removed = 0
       def sweep(dir: Path): Unit =
@@ -641,9 +930,13 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
             case ReserveName(id) if !journaled(id.toLong) &&
                 st.getModificationTime <= cutoff =>
               f.delete(st.getPath, false); removed += 1
+            case BatchReserveName(b) if !journaledBatches(b.toLong) &&
+                st.getModificationTime <= cutoff =>
+              f.delete(st.getPath, false); removed += 1
             case _ => ()
           }
         }
+      checkpointLocked(f, force = false) // rollup rides the same lock
       removed
     } finally { f.delete(lock, false); () }
   }
@@ -652,4 +945,8 @@ final class VersionedCandleStore(spark: SparkSession, val path: String) {
 object VersionedCandleStore {
   def apply(spark: SparkSession, path: String): VersionedCandleStore =
     new VersionedCandleStore(spark, path)
+
+  def apply(spark: SparkSession, path: String,
+            checkpointEvery: Int): VersionedCandleStore =
+    new VersionedCandleStore(spark, path, checkpointEvery)
 }

@@ -251,6 +251,162 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st.vacuum(minAgeMs = 0) == 0) // idempotent; committed reserves stay
   }
 
+  test("journal checkpointing keeps the txlog listing O(interval) across 500+ commits") {
+    val st = new VersionedCandleStore(spark, tmpDir("vstore-ckpt") + "/v",
+      checkpointEvery = 50)
+    // a few REAL commits so scans have data to reconstruct…
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    st.commit(Seq(c("ETH", "2022-01-01 10:00:00", 2)).toDF())
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 3)).toDF())
+    // …then drive the journal the way a year of streaming ingest would
+    // (one commit per micro-batch), without paying a data write per row
+    val total = 523
+    var tx = st.latestTxId
+    (1 to 5).foreach { round =>
+      val upto = 3 + round * 104
+      while (tx < upto) {
+        tx += 1
+        st.writeJournalRow(tx, 0L, ts("2024-05-01 10:00:00"), "commit", None)
+      }
+      st.checkpointJournal()
+    }
+    assert(tx == total)
+    // listing is bounded by the checkpoint interval retained (latest +
+    // previous checkpoints, plus tails not yet absorbed by the previous
+    // one) — NOT by the 523 commits ever journaled
+    // (filter the local FS's hidden .crc checksum twins — a DFS listing
+    // would not show them)
+    val files = new java.io.File(st.path + "/txlog").listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(files.length < 150, s"txlog listing has ${files.length} files")
+    assert(files.count(_.startsWith("checkpoint-")) == 2) // latest + previous retained
+    // the journal's CONTENT is exact: every commit, no duplicates
+    assert(st.txLog().where($"kind" === "commit").count() == total)
+    assert(st.latestTxId == total.toLong)
+    // reads reconstruct through the checkpointed journal
+    assert(st.scan().select("code", "open").as[(String, Double)].collect().toMap
+      == Map("BTC" -> 3.0, "ETH" -> 2.0))
+    assert(st.scanAsOf(1L).select("open").as[Double].collect().toSeq == Seq(1.0))
+    // auto-rollup: a real commit past the threshold checkpoints by itself
+    val tailsBefore = files.count(_.startsWith("tx-"))
+    assert(tailsBefore >= 50)
+    st.commit(Seq(c("SOL", "2022-01-01 10:00:00", 4)).toDF())
+    val filesAfter = new java.io.File(st.path + "/txlog").listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(filesAfter.count(_.startsWith("tx-")) < tailsBefore,
+      "commit past the threshold should have rolled the journal up")
+    assert(st.latestTxId == total + 1L)
+    assert(st.scan().count() == 3)
+  }
+
+  test("committed gate is journal-sized: a sparse journal (tx ids 1 and 1e9) plans instantly") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-sparse") + "/v")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 7)).toDF())
+    // a counter that jumped: the next journaled commit is tx 10^9 (no
+    // data — journal-only). The old gate enumerated (1 to 10^9) on the
+    // driver per read; the journal-sized gate flips to IN(admitted).
+    st.writeJournalRow(1000000000L, 0L, ts("2024-05-01 10:00:00"), "commit", None)
+    val t0 = System.nanoTime()
+    val rows = st.scan().select("code", "open").as[(String, Double)].collect()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(rows.toSeq == Seq(("BTC", 7.0)))
+    assert(elapsedSec < 30.0, f"sparse-journal scan took $elapsedSec%.1f s")
+    assert(st.latestTxId == 1000000000L)
+  }
+
+  test("compact sweeps ALL retained generations, not just the immediately superseded one") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-sweep") + "/v")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    st.commit(Seq(c("ETH", "2022-01-01 10:00:00", 2)).toDF())
+    st.compact() // gen1 -> gen2 (gen1 retained)
+    // a writer stalled mid-commit parked its (unjournaled) file in gen1 —
+    // the generation TWO compactions will have superseded. Simulate with
+    // a copied data file under an unjournaled tx id (valid parquet; its
+    // rows are committed-gated out of reads, and foldLatest absorbs the
+    // duplicate key).
+    def gen(n: Int) = new java.io.File(st.path + f"/data-g$n%09d")
+    def dataFiles(d: java.io.File): Seq[java.io.File] = {
+      val buf = scala.collection.mutable.ArrayBuffer[java.io.File]()
+      def walk(x: java.io.File): Unit = x.listFiles().foreach { f =>
+        if (f.isDirectory) walk(f)
+        else if (f.getName.startsWith("tx") && f.getName.endsWith(".parquet")) buf += f
+      }
+      walk(d); buf.toSeq
+    }
+    val src = dataFiles(gen(1)).head
+    val stalled = new java.io.File(src.getParentFile,
+      "tx00000000000000000099-" + src.getName.split("-", 2)(1))
+    java.nio.file.Files.copy(src.toPath, stalled.toPath)
+    // a third commit so the next compact isn't a no-op, then compact:
+    // gen2 -> gen3, GC deletes gen1 — but ONLY after the sweep walked it
+    st.commit(Seq(c("SOL", "2022-01-01 10:00:00", 3)).toDF())
+    st.compact()
+    assert(!gen(1).exists() && gen(2).exists() && gen(3).exists())
+    val relayed = dataFiles(gen(3)).filter(_.getName.startsWith("tx00000000000000000099-"))
+    assert(relayed.nonEmpty,
+      "unjournaled file parked two generations back was lost by the GC")
+    // it stays invisible (unjournaled) and reads are unchanged
+    assert(st.scan().count() == 3)
+  }
+
+  test("batch replay guard is atomic: one journal row per batch under concurrent retries") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-bguard") + "/v")
+    val b = Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 2).map(_ => new Thread(() => {
+      gate.await()
+      try results.add(Right(st.commit(b, batchId = Some(9L))))
+      catch { case t: Throwable => results.add(Left(t)) }
+      ()
+    }))
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    // exactly ONE transaction minted for the batch, no duplicate history
+    val journaled = st.txLog()
+      .where($"kind" === "commit" && $"batch_id" === 9L)
+      .select("tx_id").as[Long].collect()
+    assert(journaled.length == 1)
+    // every SUCCESSFUL committer returned that tx; a loser that found the
+    // winner mid-flight failed loudly (never silently duplicated)
+    val (losses, wins) = results.toArray(Array.empty[Either[Throwable, Long]])
+      .partition(_.isLeft)
+    assert(wins.nonEmpty && wins.forall(_ == Right(journaled.head)))
+    losses.foreach { l =>
+      assert(l.swap.toOption.get.isInstanceOf[IllegalStateException])
+    }
+    assert(st.scan().count() == 1)
+  }
+
+  test("a crashed batch-guard winner is vacuum-reclaimed, un-wedging retries") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-bcrash") + "/v")
+    // simulate a winner that reserved the guard then died before journaling
+    val guard = new java.io.File(st.path + "/_txn/batch-00000000000000000005.reserve")
+    guard.getParentFile.mkdirs()
+    guard.createNewFile()
+    val b = Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()
+    intercept[IllegalStateException](st.commit(b, batchId = Some(5L)))
+    assert(st.vacuum(minAgeMs = 0) >= 1 && !guard.exists())
+    assert(st.commit(b, batchId = Some(5L)) == 1L)
+    assert(st.txLog().where($"batch_id" === 5L).count() == 1)
+  }
+
+  test("opening a path with data in an unrecognized layout fails loudly, never reads empty") {
+    val dir = new java.io.File(tmpDir("vstore-fmt") + "/old")
+    new java.io.File(dir, "_txlog").mkdirs() // a previous format's journal dir
+    new java.io.File(dir, "_txlog/log.parquet").createNewFile()
+    val st = VersionedCandleStore(spark, dir.toString)
+    val ex = intercept[IllegalStateException](st.txLog())
+    assert(ex.getMessage.contains("unrecognized layout"))
+    intercept[IllegalStateException](st.scan())
+    intercept[IllegalStateException](
+      st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()))
+    // a CURRENT-layout store stamps its format marker on first commit
+    val st2 = VersionedCandleStore(spark, tmpDir("vstore-fmt2") + "/v")
+    st2.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    assert(new java.io.File(st2.path + "/_graft_format_v1").exists())
+    assert(st2.scan().count() == 1)
+  }
+
   test("streaming batch-id replay is a no-op returning the prior tx") {
     val st = VersionedCandleStore(spark, tmpDir("vstore-replay") + "/v")
     val b = Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()
