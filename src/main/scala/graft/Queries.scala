@@ -1117,18 +1117,18 @@ object Queries {
             .as("recall_ok"))
     }),
     // PQ-ADC + exact-rerank recall gate (q63's pattern): product-
-    // quantized codes (m=4 bytes per 64-dim vector) must put enough of
-    // the true top-10 into the rerank candidate set. Params are fixed
-    // for the sf0.01 correctness contract; recall on a larger corpus
-    // needs rerank/ks grown with it (at sf0.1 the fixed-width candidate
-    // set halves recall — production sizes rerank ∝ corpus/cells).
+    // quantized codes must put enough of the true top-10 into the
+    // rerank candidate set. m=8/ks=256 codebooks sized to the corpus
+    // and a DERIVED rerank width (grows with the corpus — see
+    // Similarity.pqTopK) hold recall across scale factors instead of
+    // decaying past a fixed literal.
     "q79_pq_topk_recall" -> ((s, d) => {
       val emb = T.embeddings(s, d)
       val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint()
       val approx = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 10,
-          m = 4, ks = 16, iters = 4, rerank = 40)
+          m = 8, ks = 256, iters = 4)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint()
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
@@ -1136,29 +1136,29 @@ object Queries {
         .join(hits, Seq("query_id"), "left")
         .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
         .agg(count(lit(1)).as("n_queries"),
-          // Floor 0.4 with margin (q63's policy): measured recall@10 is
-          // 0.48-0.52 at sf0.001/sf0.01 (tools/RecallCheck pq_plain) on
-          // the near-uniform-random testdata embeddings, and codebook
-          // training sums are float-order-dependent run to run — a 0.5
-          // floor sat 0.024 from the measured value.
+          // Floor 0.9 with margin (q63's policy): measured recall@10 is
+          // 0.987-0.988 at sf0.001/0.01/0.1 (tools/RecallCheck
+          // pq_m8ks256_auto), and codebook training sums are
+          // float-order-dependent run to run.
           (sum(col("n_hit")).cast("double") /
-            (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
+            (count(lit(1)) * 10).cast("double") >= 0.9).as("recall_ok"))
     }),
     // IVFADC recall gate (q79's pattern, composed): the IVF coarse
     // quantizer in front of PQ-ADC — ADC scans only probed cells
     // (~nProbe/nCells of the corpus), the 100 TB ANN serving shape.
-    // Exact rerank inside the candidate set; floor 0.3 with margin:
-    // measured recall@10 is 0.46-0.50 across sf0.001/sf0.01
-    // (tools/RecallCheck ivfpq_p4), and k-means centroid sums are
-    // order-dependent run to run.
+    // Residual coding (Jégou §IV.A) + m=8/ks=256 books + derived rerank
+    // make the ADC+rerank stage near-lossless, so recall ≈ the ROUTING
+    // recall of nProbe=10/16 cells on the near-random fixture (the
+    // kmeans_p* ceiling in tools/RecallCheck — on clustered production
+    // data the same probe fraction routes far better).
     "q83_ivfpq_topk_recall" -> ((s, d) => {
       val emb = T.embeddings(s, d)
       val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint()
       val approx = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
-          k = 10, nCells = 16, nProbe = 4, m = 4, ks = 16, iters = 4,
-          rerank = 40, sampleMod = 4)
+          k = 10, nCells = 16, nProbe = 10, m = 8, ks = 256, iters = 4,
+          sampleMod = 4)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint()
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
@@ -1166,8 +1166,12 @@ object Queries {
         .join(hits, Seq("query_id"), "left")
         .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
         .agg(count(lit(1)).as("n_queries"),
+          // Floor 0.7 with margin (q63's policy): measured recall@10 is
+          // 0.848-0.900 across sf0.001/0.01/0.1 (tools/RecallCheck /
+          // P10 grid), and k-means centroid sums are order-dependent
+          // run to run.
           (sum(col("n_hit")).cast("double") /
-            (count(lit(1)) * 10).cast("double") >= 0.3).as("recall_ok"))
+            (count(lit(1)) * 10).cast("double") >= 0.7).as("recall_ok"))
     }),
     // REAL audio frequency analysis, oracle-checked end-to-end: WAV
     // encode → decode → DFT; the dominant bin must equal the square

@@ -449,6 +449,49 @@ object Similarity {
   // Product quantization (Jégou et al. 2011): codebooks + ADC top-k //
   // -------------------------------------------------------------- //
 
+  /** L2-normalized copy of a float vector as doubles (zero vectors map
+    * to all-zero) — the shared "cosine space" prep of every PQ path.
+    */
+  private def normalized(raw: Seq[Float]): Array[Double] = {
+    var nn = 0.0
+    raw.foreach(x => nn += x.toDouble * x.toDouble)
+    val inv = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
+    val out = new Array[Double](raw.length)
+    var i = 0
+    while (i < raw.length) { out(i) = raw(i).toDouble * inv; i += 1 }
+    out
+  }
+
+  /** Index of the nearest centroid by (round6) cosine — the single
+    * assignment rule shared by IVF assignment, residual training, and
+    * residual encoding, so a vector's serving-time cell always equals
+    * its encoding-time cell (cents sorted by cell id; lowest id wins
+    * ties, the row_number (csim DESC, cell_id ASC) oracle contract).
+    */
+  private def assignIndex(v: Seq[Float], cents: Array[(Long, Array[Double])]): Int = {
+    var bi = 0; var bs = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val s = round6(cosFD(v, cents(i)._2))
+      if (s > bs) { bs = s; bi = i }
+      i += 1
+    }
+    bi
+  }
+
+  /** Per-cell residual of the normalized vector (Jégou et al. 2011
+    * §IV.A: r(x) = x − q_c(x)): what IVFADC's product quantizer codes.
+    */
+  private def residualOf(raw: Seq[Float],
+                         cents: Array[(Long, Array[Double])]): Array[Double] = {
+    val x = normalized(raw)
+    val c = cents(assignIndex(raw, cents))._2
+    val n = math.min(x.length, c.length)
+    var i = 0
+    while (i < n) { x(i) -= c(i); i += 1 }
+    x
+  }
+
   /** Per-subspace L2 k-means codebooks over L2-NORMALIZED vectors:
     * `m` subspaces of dim/m dims, `ks` centroids each. Same Spark shape
     * as [[kmeansCentroids]] (broadcast-centroid assignment, one
@@ -457,13 +500,32 @@ object Similarity {
     * deterministic (subvectors of the first `ks` vectors by id).
     */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-                  m: Int, ks: Int, iters: Int = 4): Array[Array[Array[Double]]] = {
+                  m: Int, ks: Int, iters: Int = 4): Array[Array[Array[Double]]] =
+    trainPqBooks(corpus, idCol, vecCol, m, ks, iters, normalized)
+
+  /** Residual codebooks for IVFADC: trained on per-cell residuals of
+    * the normalized corpus, so `ks` entries per subspace spend their
+    * resolution on the (much smaller) residual cloud instead of the
+    * whole sphere — the recall gap between raw-vector and residual
+    * coding in Jégou et al. 2011 §IV.A.
+    */
+  private def residualPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                                  m: Int, ks: Int, iters: Int,
+                                  cents: Array[(Long, Array[Double])]): Array[Array[Array[Double]]] =
+    trainPqBooks(corpus, idCol, vecCol, m, ks, iters, residualOf(_, cents))
+
+  /** Shared PQ trainer over `prep`-transformed vectors (normalized raw
+    * vectors, or per-cell residuals).
+    */
+  private def trainPqBooks(corpus: DataFrame, idCol: String, vecCol: String,
+                           m: Int, ks: Int, iters: Int,
+                           prep: Seq[Float] => Array[Double]): Array[Array[Array[Double]]] = {
     import corpus.sparkSession.implicits._
     val base = corpus.select(col(vecCol)).as[Seq[Float]]
-    // books(s)(c)(j): init from the first ks corpus vectors (normalized);
-    // the same collect supplies the dimension (one job, not two).
-    val init = sampleCentroids(corpus, idCol, vecCol, ks).map(_._2)
-      .map(v => { val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n) })
+    // books(s)(c)(j): init from the first ks corpus vectors by id
+    // (prep-transformed); deterministic like sampleCentroids.
+    val init = corpus.orderBy(col(idCol).asc).limit(ks).select(col(vecCol))
+      .collect().map(r => prep(r.getSeq[Float](0)))
     if (init.isEmpty) return Array.fill(m)(Array.empty[Array[Double]])
     val dim = init.head.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -477,10 +539,7 @@ object Similarity {
         val sums = Array.ofDim[Double](m * ks, sub)
         val counts = new Array[Long](m * ks)
         rows.foreach { raw =>
-          // L2-normalize so ADC dot == cosine downstream.
-          var nn = 0.0
-          raw.foreach(x => nn += x.toDouble * x.toDouble)
-          val inv = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
+          val x = prep(raw)
           var s = 0
           while (s < m) {
             var bi = 0; var bd = Double.MaxValue
@@ -489,8 +548,8 @@ object Similarity {
               var d2 = 0.0
               var j = 0
               while (j < sub) {
-                val x = raw(s * sub + j).toDouble * inv - cur(s)(c)(j)
-                d2 += x * x
+                val t = x(s * sub + j) - cur(s)(c)(j)
+                d2 += t * t
                 j += 1
               }
               if (d2 < bd) { bd = d2; bi = c }
@@ -499,7 +558,7 @@ object Similarity {
             counts(s * ks + bi) += 1
             var j = 0
             while (j < sub) {
-              sums(s * ks + bi)(j) += raw(s * sub + j).toDouble * inv
+              sums(s * ks + bi)(j) += x(s * sub + j)
               j += 1
             }
             s += 1
@@ -552,8 +611,14 @@ object Similarity {
     * only candidate vectors.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, m: Int = 4, ks: Int = 16,
-             iters: Int = 4, rerank: Int = 40): DataFrame = {
+             vecCol: String, k: Int, m: Int = 8, ks: Int = 256,
+             iters: Int = 4, rerank: Int = -1): DataFrame = {
+    // rerank ≤ 0 → derive from the corpus: the candidate set must GROW
+    // with what the ADC pass scans (here: everything) or recall decays
+    // as the corpus outgrows a fixed width — the round-5 finding.
+    val effRerank =
+      if (rerank > 0) rerank
+      else math.max(4 * k, math.ceil(corpus.count() * RerankFraction).toInt)
     val books = pqCodebooks(corpus, idCol, vecCol, m, ks, iters)
     // Queries are broadcast-small by construction (as in bruteForceTopK):
     // collect them once, precompute every query's LUT, and ship the LUT
@@ -567,7 +632,7 @@ object Similarity {
     val codes = corpus
       .select(col(idCol).cast("long").as("neighbor_id"),
         pqEncodeUdf(books, m, ks)(col(vecCol)).as("code"))
-    val heap = udaf(new TopK.TopKAggregator(rerank))
+    val heap = udaf(new TopK.TopKAggregator(effRerank))
     val cand = codes
       .withColumn("query_id", explode(qIdsLit))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -586,46 +651,95 @@ object Similarity {
     * every code row — the composition [[ivfWithCentroids]] and
     * [[pqTopK]] provide separately, and the 100 TB serving shape: the
     * exhaustive-ADC cost of plain [[pqTopK]] is the scale wall round 4
-    * flagged. Codes quantize the (normalized) raw vectors in cosine
-    * space rather than per-cell residuals: cosine ADC tables are then
-    * centroid-independent — ONE m×ks LUT per query serves every probed
-    * cell — and the recall loss vs residual coding is absorbed by the
-    * exact rerank (gated end-to-end by q83).
+    * flagged.
+    *
+    * Codes quantize PER-CELL RESIDUALS (§IV.A: r(x) = x̂ − c), so the
+    * `ks` entries per subspace resolve the residual cloud instead of
+    * the whole sphere. In dot form the decomposition keeps the LUT
+    * centroid-independent anyway: q̂·x̂ = q̂·c + q̂·r, so each probe
+    * carries one scalar `qc = q̂·c` and ONE m×ks residual LUT per query
+    * serves every probed cell. (`residual = false` falls back to
+    * raw-vector coding for comparison.)
+    *
+    * `rerank ≤ 0` derives the candidate width from the corpus —
+    * `max(4k, RerankFraction × nProbe × |corpus| / nCells)` — so recall
+    * holds as the corpus grows instead of silently decaying past a
+    * fixed width (the round-5 finding: a fixed rerank is a recall cliff
+    * at 100× scale).
     *
     * Plan shape: one write-once (cell_id, code) materialization pass
     * over the corpus (broadcast centroids + codebooks, no shuffle);
     * per query a broadcast probe join on `cell_id`, the in-cell ADC
     * bounded heap (shuffle ≤ rerank rows per map partition per query),
     * then exact rerank fetching only candidate vectors.
+    *
+    * Recall ceiling note: exact rerank makes recall equal the ROUTING
+    * recall — the fraction of true neighbors living in probed cells —
+    * times the ADC heap's hit rate. On weakly clustered corpora route
+    * quality, not code quality, binds; size `nProbe` accordingly (q83
+    * gates the composition at nProbe/nCells = 1/2 on the near-random
+    * fixture).
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-                m: Int = 4, ks: Int = 16, iters: Int = 4,
-                rerank: Int = 40, sampleMod: Int = 1): DataFrame = {
+                m: Int = 8, ks: Int = 256, iters: Int = 4,
+                rerank: Int = -1, sampleMod: Int = 1,
+                residual: Boolean = true): DataFrame = {
+    val effRerank =
+      if (rerank > 0) rerank
+      else math.max(4 * k,
+        math.ceil(nProbe.toDouble * corpus.count() / nCells * RerankFraction).toInt)
     // sampleMod trains the coarse quantizer on an id-sampled subset —
     // at 100 TB you always train on a sample and assign the full corpus
     val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters,
       sampleMod).sortBy(_._1)
-    val books = pqCodebooks(corpus, idCol, vecCol, m, ks, iters)
+    val books =
+      if (residual) residualPqCodebooks(corpus, idCol, vecCol, m, ks, iters, cents)
+      else pqCodebooks(corpus, idCol, vecCol, m, ks, iters)
     val luts = pqQueryLuts(queries, idCol, vecCol, books, m, ks)
-    val codes = corpus.select(
-      col(idCol).cast("long").as("neighbor_id"),
-      ivfAssignUdf(cents)(col(vecCol)).as("cell_id"),
-      pqEncodeUdf(books, m, ks)(col(vecCol)).as("code"))
-    val probes = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell_id", explode(ivfProbeUdf(cents, nProbe)(col("qv"))))
-      .select("query_id", "cell_id")
-    val heap = udaf(new TopK.TopKAggregator(rerank))
-    val cand = broadcast(probes).join(codes, Seq("cell_id"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", pqAdcUdf(luts, m, ks)(col("query_id"), col("code")))
+    val heap = udaf(new TopK.TopKAggregator(effRerank))
+    val cand =
+      if (residual) {
+        val codes = corpus.select(
+          col(idCol).cast("long").as("neighbor_id"),
+          ivfPqEncodeUdf(cents, books, m, ks)(col(vecCol)).as("cc"))
+          .select(col("neighbor_id"), col("cc._1").as("cell_id"),
+            col("cc._2").as("code"))
+        val probes = queries
+          .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+          .withColumn("p", explode(ivfProbeQcUdf(cents, nProbe)(col("qv"))))
+          .select(col("query_id"), col("p._1").as("cell_id"), col("p._2").as("qc"))
+        broadcast(probes).join(codes, Seq("cell_id"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .withColumn("adc",
+            pqAdcQcUdf(luts, m, ks)(col("query_id"), col("code"), col("qc")))
+      } else {
+        val codes = corpus.select(
+          col(idCol).cast("long").as("neighbor_id"),
+          ivfAssignUdf(cents)(col(vecCol)).as("cell_id"),
+          pqEncodeUdf(books, m, ks)(col(vecCol)).as("code"))
+        val probes = queries
+          .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+          .withColumn("cell_id", explode(ivfProbeUdf(cents, nProbe)(col("qv"))))
+          .select("query_id", "cell_id")
+        broadcast(probes).join(codes, Seq("cell_id"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .withColumn("adc", pqAdcUdf(luts, m, ks)(col("query_id"), col("code")))
+      }
+    val picked = cand
       .groupBy(col("query_id"))
       .agg(heap(col("neighbor_id"), col("adc")).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("c"))
       .select(col("query_id"), col("c.id").as("neighbor_id"))
-    exactRerank(cand, corpus, queries, idCol, vecCol, k)
+    exactRerank(picked, corpus, queries, idCol, vecCol, k)
   }
+
+  /** Fraction of the ADC-scanned candidate set kept for exact rerank
+    * when `rerank` is derived (≤ 0): width grows with the corpus so the
+    * recall the gates measure holds under scale-up instead of decaying
+    * past a fixed literal.
+    */
+  private val RerankFraction = 0.1
 
   /** Nearest-centroid assignment (sorted cents; lowest cell_id wins
     * ties — the row_number (csim DESC, cell_id ASC) oracle contract).
@@ -651,8 +765,49 @@ object Similarity {
         .take(nProbe).map(_._2).toSeq
     }
 
+  /** The nProbe closest cells PLUS the query-to-centroid dot term
+    * `qc = q̂·c` each probe contributes to the residual decomposition
+    * q̂·x̂ = q̂·c + q̂·r — the per-(query, cell) scalar that makes ONE
+    * residual LUT serve every probed cell.
+    */
+  private def ivfProbeQcUdf(cents: Array[(Long, Array[Double])],
+                            nProbe: Int): UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      val q = normalized(v)
+      cents.map { case (cid, cv) =>
+        var d = 0.0
+        val n = math.min(q.length, cv.length)
+        var i = 0
+        while (i < n) { d += q(i) * cv(i); i += 1 }
+        (round6(cosFD(v, cv)), cid, d)
+      }.sortBy { case (s, cid, _) => (-s, cid) }
+        .take(nProbe).map(t => (t._2, t._3)).toSeq
+    }
+
   private def pqSubDim(books: Array[Array[Array[Double]]]): Int =
     books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+
+  /** Nearest codebook entry per subspace of an (already prepped)
+    * vector — m small integers.
+    */
+  private def encodeVec(x: Array[Double], books: Array[Array[Array[Double]]],
+                        m: Int, ks: Int, sub: Int): Array[Int] =
+    Array.tabulate(m) { s =>
+      var bi = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < ks) {
+        var d2 = 0.0
+        var j = 0
+        while (j < sub) {
+          val t = x(s * sub + j) - books(s)(c)(j)
+          d2 += t * t
+          j += 1
+        }
+        if (d2 < bd) { bd = d2; bi = c }
+        c += 1
+      }
+      bi
+    }
 
   /** PQ encoder: nearest codebook entry per subspace of the normalized
     * vector — m small integers per row.
@@ -660,26 +815,25 @@ object Similarity {
   private def pqEncodeUdf(books: Array[Array[Array[Double]]],
                           m: Int, ks: Int): UserDefinedFunction = {
     val sub = pqSubDim(books)
+    udf { (raw: Seq[Float]) => encodeVec(normalized(raw), books, m, ks, sub) }
+  }
+
+  /** IVFADC encoder: one pass assigning the vector's coarse cell AND
+    * product-quantizing its per-cell residual — the same `assignIndex`
+    * the probe side uses, so encode-time and serve-time cells agree.
+    */
+  private def ivfPqEncodeUdf(cents: Array[(Long, Array[Double])],
+                             books: Array[Array[Array[Double]]],
+                             m: Int, ks: Int): UserDefinedFunction = {
+    val sub = pqSubDim(books)
     udf { (raw: Seq[Float]) =>
-      var nn = 0.0
-      raw.foreach(x => nn += x.toDouble * x.toDouble)
-      val inv = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
-      Array.tabulate(m) { s =>
-        var bi = 0; var bd = Double.MaxValue
-        var c = 0
-        while (c < ks) {
-          var d2 = 0.0
-          var j = 0
-          while (j < sub) {
-            val x = raw(s * sub + j).toDouble * inv - books(s)(c)(j)
-            d2 += x * x
-            j += 1
-          }
-          if (d2 < bd) { bd = d2; bi = c }
-          c += 1
-        }
-        bi
-      }
+      val ci = assignIndex(raw, cents)
+      val x = normalized(raw)
+      val c = cents(ci)._2
+      val n = math.min(x.length, c.length)
+      var i = 0
+      while (i < n) { x(i) -= c(i); i += 1 }
+      (cents(ci)._1, encodeVec(x, books, m, ks, sub))
     }
   }
 
@@ -719,6 +873,19 @@ object Similarity {
     udf { (qid: Long, code: Seq[Int]) =>
       val lut = luts(qid)
       var t = 0.0
+      var s = 0
+      while (s < m) { t += lut(s * ks + code(s)); s += 1 }
+      round6(t)
+    }
+
+  /** Residual ADC score: the probed cell's `qc` term plus m residual-LUT
+    * lookups — q̂·x̂ ≈ q̂·c + Σ lut[code] (Jégou 2011 §IV.A in dot form).
+    */
+  private def pqAdcQcUdf(luts: Map[Long, Array[Double]],
+                         m: Int, ks: Int): UserDefinedFunction =
+    udf { (qid: Long, code: Seq[Int], qc: Double) =>
+      val lut = luts(qid)
+      var t = qc
       var s = 0
       while (s < m) { t += lut(s * ks + code(s)); s += 1 }
       round6(t)
