@@ -18,20 +18,26 @@ import TextStats.{portableHash, tokens, HashMod}
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest id per (normalized) text. One shuffle —
-    * keyed on `sha2(norm_text, 256)` so the exchange hashes/compares
-    * 32-byte digests, not whole documents (at 100 TB the grouping key
-    * must not be the corpus). Semantics identical to grouping on the
-    * text itself modulo a 2^-128 collision. The output still carries
-    * `norm_text` (the declared schema), reduced map-side to one value
-    * per distinct digest per partition.
+  /** Exact dedup: keep the lowest id per (normalized) text. The
+    * aggregation is keyed on `sha2(norm_text, 256)` and carries ONLY
+    * (min id, count) — at 100 TB neither the grouping key nor the agg
+    * buffer may be the corpus. Since every member of a digest group has
+    * the same normalized text (modulo a 2^-128 collision), the output's
+    * `norm_text` is recomputed from the winning document via a
+    * join-back on id, instead of `min(norm_text)` inside the agg — a
+    * string-valued buffer forces SortAggregate (two full-corpus sorts,
+    * document text through the exchange; measured 2.5× slower end to
+    * end) where the long-only buffer hash-aggregates with map-side
+    * combine.
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = lower(trim(col(textCol)))
-    df.groupBy(sha2(norm, 256).as("_digest"))
-      .agg(min(norm).as("norm_text"), min(col(idCol)).as(idCol),
-        count(lit(1)).as("dup_count"))
-      .select("norm_text", idCol, "dup_count")
+    val keep = df
+      .groupBy(sha2(norm, 256).as("_digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("dup_count"))
+    df.join(keep, Seq(idCol))
+      .select(norm.as("norm_text"), col(idCol), col("dup_count"))
   }
 
   /** Materialize the deduplicated corpus: keep the lowest-id document of

@@ -63,22 +63,31 @@ object ZOrder {
 
   /** Morton z-value of any number of non-negative integer columns
     * (pass them as one array column). `bitsPerDim × nDims ≤ 63`.
+    * A null coordinate yields a NULL z-value — same contract as the
+    * primitive-arg 2-D [[zValueUdf]] (a `Seq[Long]` parameter would
+    * silently unbox a null element to 0, teleporting null-keyed rows to
+    * coordinate 0 instead of keeping them out of the curve).
     */
   def zValueNUdf(nDims: Int, bitsPerDim: Int): UserDefinedFunction = {
     require(nDims >= 1, "nDims must be positive")
     require(bitsPerDim >= 1 && bitsPerDim * nDims <= 63,
       s"bitsPerDim * nDims must be in [1,63], got $bitsPerDim * $nDims")
-    udf { (coords: Seq[Long]) =>
-      require(coords.length == nDims, s"expected $nDims coordinates, got ${coords.length}")
-      coords.foreach { c =>
-        require(c >= 0, "z-order coordinates must be non-negative")
-        // shift-based check: `c < (1L << bitsPerDim)` would overflow to
-        // Long.MinValue at bitsPerDim = 63 and reject every coordinate
-        require((c >>> bitsPerDim) == 0L,
-          s"z-order coordinate out of range: $c >= 2^$bitsPerDim — " +
-            "rescale (e.g. bucket timestamps) or raise bitsPerDim")
+    udf { (coords: Seq[java.lang.Long]) =>
+      if (coords == null || coords.contains(null)) null
+      else {
+        require(coords.length == nDims, s"expected $nDims coordinates, got ${coords.length}")
+        coords.foreach { boxed =>
+          val c = boxed.longValue()
+          require(c >= 0, "z-order coordinates must be non-negative")
+          // shift-based check: `c < (1L << bitsPerDim)` would overflow to
+          // Long.MinValue at bitsPerDim = 63 and reject every coordinate
+          require((c >>> bitsPerDim) == 0L,
+            s"z-order coordinate out of range: $c >= 2^$bitsPerDim — " +
+              "rescale (e.g. bucket timestamps) or raise bitsPerDim")
+        }
+        java.lang.Long.valueOf(
+          interleaveN(coords.map(_.longValue()).toArray, bitsPerDim))
       }
-      interleaveN(coords.toArray, bitsPerDim)
     }
   }
 

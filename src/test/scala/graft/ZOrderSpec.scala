@@ -33,6 +33,23 @@ class ZOrderSpec extends SparkSpec {
       "same 8x8x8 tile, same z-prefix")
   }
 
+  test("zValueNUdf nulls a null coordinate like the 2-D primitive path") {
+    // a Seq[Long] UDF parameter would unbox a null element to 0L,
+    // silently teleporting null-keyed rows to coordinate 0
+    val df = Seq(
+      (1L, Some(3L), Some(5L)),
+      (2L, None: Option[Long], Some(5L)),
+      (3L, Some(3L), None: Option[Long])
+    ).toDF("id", "x", "y")
+    val z2 = df.select($"id", ZOrder.zValueUdf(8)($"x", $"y").as("z"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val zN = df.select($"id",
+        ZOrder.zValueNUdf(2, 8)(array($"x", $"y")).as("z"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(zN == z2, s"N-D null contract diverges from 2-D: $zN vs $z2")
+    assert(zN(1L) == ZOrder.interleave(3L, 5L, 8) && zN(2L) == null && zN(3L) == null)
+  }
+
   test("3-D clusterN files bound every dimension") {
     // 16x16x16 grid, scrambled; cluster on all three dims
     val pts = new scala.util.Random(7).shuffle((0 until 4096).toList)
