@@ -709,6 +709,16 @@ object Oracles {
          SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
            round(volume, 4) AS volume
          FROM r WHERE rn = 1""",
+    // q88: the DataSource/SQL reader over the same wall-clock as-of
+    // state as q82 — identical oracle by construction.
+    "q88_vstore_reader_sql" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 = 1")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 2")}),
+         u AS (SELECT *, 1 AS src FROM b UNION ALL SELECT *, 0 AS src FROM a),
+         r AS (SELECT *, row_number() OVER (PARTITION BY code, ts ORDER BY src DESC) AS rn FROM u)
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume
+         FROM r WHERE rn = 1""",
     // q82: wall-clock time travel resolves to the same as-of-tx-2 state
     // (commit 2 is journaled at 2024-07-02 00:00, commit 3 at 07-03).
     "q82_store_asof_time" ->

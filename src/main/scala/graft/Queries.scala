@@ -905,6 +905,23 @@ object Queries {
           Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
     }),
+    // Time travel through the SQL/DataFrame reader surface (round 6):
+    // the SAME as-of state as q82, but consumed the way Spark users
+    // consume versioned tables — spark.read.format("graft-vstore")
+    // .option("asOfTime", …) → temp view → plain SQL. Closes the
+    // round-5 "Scala-API-only time travel" gap; key-column predicates
+    // push below the last-wins fold into the Parquet scan.
+    "q88_vstore_reader_sql" -> ((s, d) => {
+      val st = versionedStore(s, d)
+      s.read.format("graft-vstore")
+        .option("asOfTime", "2024-07-02 12:00:00").load(st.path)
+        .createOrReplaceTempView("vstore_asof")
+      s.sql("SELECT code, ts, open, close, volume FROM vstore_asof")
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
     // Series catalog: the reference's page-header fields per series-year
     // (Count/Start/End + extremes) as one aggregation.
     "q4F_store_catalog" -> ((s, d) => {

@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.store.VersionedCandleStore
+
+/** Spark DataSource over [[VersionedCandleStore]] — the way Spark users
+  * consume a versioned table (Delta's pre-catalog `timestampAsOf` shape):
+  *
+  * {{{
+  * spark.read.format("graft-vstore").load(path)                       // latest
+  * spark.read.format("graft-vstore").option("asOfTx", 2).load(path)   // VERSION AS OF
+  * spark.read.format("graft-vstore")
+  *   .option("asOfTime", "2024-07-02 12:00:00").load(path)            // TIMESTAMP AS OF
+  * }}}
+  *
+  * then `createOrReplaceTempView` for plain SQL. Until now time travel
+  * was a Scala-only API (`scanAsOf`/`scanAsOfTime`); this closes the
+  * SQL/DataSource gap the round-5 review called out.
+  *
+  * Filter pushdown: every pushed filter is applied to the FOLDED
+  * as-of frame — Catalyst then pushes predicates that reference only
+  * the fold's GROUPING keys (market/code/candle_length/ts/year) below
+  * the last-wins aggregate into the Parquet scan (partition pruning +
+  * row-group stats), while predicates on content columns (open/close/…)
+  * stay above the fold, where they are semantically required to run: a
+  * content filter below the fold could delete the WINNING version of a
+  * key and resurrect an older one. Spark re-evaluates every filter on
+  * the returned rows (this source declares none handled), so pushdown
+  * is purely an optimization, never a semantics risk.
+  */
+final class VStoreSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-vstore"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-vstore requires a path: spark.read.format(\"graft-vstore\").load(path)"))
+    val asOfTx = parameters.get("asOfTx").orElse(parameters.get("asoftx")).map(_.toLong)
+    val asOfTime = parameters.get("asOfTime").orElse(parameters.get("asoftime"))
+      .map(Timestamp.valueOf)
+    require(asOfTx.isEmpty || asOfTime.isEmpty,
+      "asOfTx and asOfTime are mutually exclusive")
+    new VStoreRelation(sqlContext, path, asOfTx, asOfTime)
+  }
+}
+
+private[sources] final class VStoreRelation(override val sqlContext: SQLContext,
+                                            path: String,
+                                            asOfTx: Option[Long],
+                                            asOfTime: Option[Timestamp])
+  extends BaseRelation with PrunedFilteredScan {
+
+  private def store = VersionedCandleStore(sqlContext.sparkSession, path)
+
+  override val schema: StructType = store.tableSchema
+
+  /** The as-of frame this relation serves (journal is re-read per query
+    * execution — a temp view over the source always sees the store's
+    * CURRENT committed state, like any file-based source).
+    */
+  private def asOfFrame(): DataFrame = (asOfTx, asOfTime) match {
+    case (Some(tx), _) => store.scanAsOf(tx)
+    case (_, Some(t)) => store.scanAsOfTime(t)
+    case _ => store.scan()
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val base = filters.flatMap(toColumn).foldLeft(asOfFrame())(_.where(_))
+    // empty projection (e.g. count(*)) still needs the row CARDINALITY
+    val projected =
+      if (requiredColumns.isEmpty) base.select()
+      else base.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.rdd
+  }
+
+  /** Best-effort source-side translation; untranslated filters simply
+    * stay unpushed (Spark re-applies all of them above this scan).
+    */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isInCollection(vs.toIndexedSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}

@@ -610,9 +610,13 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     "open", "high", "low", "close", "volume", "bit_fields")
 
   private def emptyTable(): DataFrame =
-    spark.createDataFrame(new java.util.ArrayList[Row](),
-      StructType(scanCols.map(n =>
-        dataSchema.fields.find(_.name == n).get)))
+    spark.createDataFrame(new java.util.ArrayList[Row](), tableSchema)
+
+  /** The schema every scan returns — static, no IO (the DataSource
+    * relation needs it before any read).
+    */
+  def tableSchema: StructType =
+    StructType(scanCols.map(n => dataSchema.fields.find(_.name == n).get))
 
   /** One driver-side journal read serving a whole scan: (squash floor,
     * committed (tx id, committed_at) pairs sorted by id). The journal is

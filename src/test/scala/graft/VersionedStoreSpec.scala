@@ -407,6 +407,42 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st2.scan().count() == 1)
   }
 
+  test("graft-vstore DataSource: latest/as-of reads, SQL view, pushdown, fold-safe filters") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-dsv") + "/v")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2021-06-01 00:00:00", 5)).toDF(),
+      committedAt = Some(ts("2024-05-01 10:00:00")))
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 20)).toDF(), // overwrite
+      committedAt = Some(ts("2024-05-02 10:00:00")))
+    def viaFormat(opts: (String, String)*) = {
+      val r = spark.read.format("graft-vstore")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(st.path)
+    }
+    // latest == scan(); VERSION AS OF == scanAsOf; TIMESTAMP AS OF == scanAsOfTime
+    assert(viaFormat().collect().toSet == st.scan().collect().toSet)
+    assert(viaFormat("asOfTx" -> "1").collect().toSet == st.scanAsOf(1L).collect().toSet)
+    assert(viaFormat("asOfTime" -> "2024-05-01 12:00:00").collect().toSet
+      == st.scanAsOfTime(ts("2024-05-01 12:00:00")).collect().toSet)
+    intercept[IllegalArgumentException](
+      viaFormat("asOfTx" -> "1", "asOfTime" -> "2024-05-01 12:00:00").collect())
+    // plain SQL over a temp view
+    viaFormat().createOrReplaceTempView("vstore_sql")
+    assert(spark.sql("SELECT code, open FROM vstore_sql WHERE code = 'BTC'")
+      .as[(String, Double)].collect().toSeq == Seq(("BTC", 20.0)))
+    // key-column predicates reach the Parquet scan BELOW the last-wins
+    // fold (year is both a grouping key and a partition column)
+    val pruned = viaFormat().where($"year" === 2021 && $"code" === "ETH")
+    assert(pruned.select("open").as[Double].collect().toSeq == Seq(5.0))
+    // a CONTENT filter must run ABOVE the fold: open > 10 matches tx2's
+    // BTC winner — if it ran below, tx1's open=1 row would resurrect
+    val content = viaFormat().where($"open" > 10.0)
+    assert(content.select("code", "open").as[(String, Double)].collect().toSeq
+      == Seq(("BTC", 20.0)))
+    val noMatch = viaFormat().where($"open" > 100.0)
+    assert(noMatch.count() == 0, "content filter below the fold resurrected an old version")
+  }
+
   test("streaming batch-id replay is a no-op returning the prior tx") {
     val st = VersionedCandleStore(spark, tmpDir("vstore-replay") + "/v")
     val b = Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()
