@@ -336,6 +336,25 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     // keep the new and previous checkpoints; drop older ones
     allCps.filter(_._1 < cp.map(_._1).getOrElse(0L))
       .foreach { case (_, p) => f.delete(p, false) }
+    // GC reservation files the rollup made permanent: tx reserves at or
+    // below the checkpoint can never be re-minted (allocation starts
+    // past the journal max), and batch guards whose batch is journaled
+    // are answered by the journal row before the guard is consulted.
+    // Without this, streaming ingest that never compacts accretes one
+    // _txn file per commit forever — the same metadata wall the journal
+    // rollup exists to remove.
+    if (f.exists(hp(txnPath))) {
+      val journaledBatches = merged.iterator
+        .filterNot(_.isNullAt(4)).map(_.getLong(4)).toSet
+      f.listStatus(hp(txnPath)).map(_.getPath).foreach { p =>
+        p.getName match {
+          case ReserveName(id) if id.toLong <= maxTx => f.delete(p, false); ()
+          case BatchReserveName(b) if journaledBatches(b.toLong) =>
+            f.delete(p, false); ()
+          case _ => ()
+        }
+      }
+    }
     maxTx
   }
 

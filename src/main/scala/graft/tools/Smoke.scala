@@ -245,6 +245,16 @@ object Smoke {
         ($"doc_id" % 3).as("w")), Seq("x", "y", "w"), nFiles = 4)
     check("3-D z-order clusters", z3.count() == 64)
 
+    // --- Round-6 additions: SQL reader surface, journal rollup ---
+    val dsRead = spark.read.format("graft-vstore")
+      .option("asOfTime", "2024-01-01 12:00:00").load(vst.path)
+    check("graft-vstore reader TIMESTAMP AS OF",
+      dsRead.count() == 3 &&
+        spark.read.format("graft-vstore").load(vst.path).count() == 4)
+    val ck = vst.checkpointJournal()
+    check("journal checkpoint rolls up and stays exact",
+      ck == vst.latestTxId && vst.txLog().count() == 2 && vst.scan().count() == 4)
+
     println(if (failures == 0) "[smoke] ALL OK" else s"[smoke] $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -297,6 +297,12 @@ class VersionedStoreSpec extends SparkSpec {
       "commit past the threshold should have rolled the journal up")
     assert(st.latestTxId == total + 1L)
     assert(st.scan().count() == 3)
+    // the rollup also GCs tx reserves it made permanent — otherwise
+    // streaming ingest that never compacts accretes one _txn file per
+    // commit forever
+    val reserves = new java.io.File(st.path + "/_txn").listFiles()
+      .map(_.getName).filter(_.endsWith(".reserve"))
+    assert(reserves.isEmpty, s"reserves not GC'd by checkpoint: ${reserves.length}")
   }
 
   test("committed gate is journal-sized: a sparse journal (tx ids 1 and 1e9) plans instantly") {
