@@ -3,7 +3,7 @@ package graft.sources
 import java.sql.Timestamp
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -35,7 +35,8 @@ import graft.store.VersionedCandleStore
   * the returned rows (this source declares none handled), so pushdown
   * is purely an optimization, never a semantics risk.
   */
-final class VStoreSource extends RelationProvider with DataSourceRegister {
+final class VStoreSource extends RelationProvider
+  with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-vstore"
 
@@ -50,6 +51,40 @@ final class VStoreSource extends RelationProvider with DataSourceRegister {
     require(asOfTx.isEmpty || asOfTime.isEmpty,
       "asOfTx and asOfTime are mutually exclusive")
     new VStoreRelation(sqlContext, path, asOfTx, asOfTime)
+  }
+
+  /** Writer surface: `df.write.format("graft-vstore").mode("append")
+    * .save(path)` journals the batch as ONE transaction (optionally
+    * ordered within the batch via `.option("ordinalCol", …)`).
+    * `Append` is the only mutating mode — the store is append-only by
+    * design (history IS the data model); `Overwrite` would need
+    * tombstone semantics the reference doesn't have either, so it fails
+    * loudly rather than silently truncating history.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-vstore requires a path: df.write.format(\"graft-vstore\").save(path)"))
+    val store = VersionedCandleStore(sqlContext.sparkSession, path)
+    val ordinal = parameters.get("ordinalCol").orElse(parameters.get("ordinalcol"))
+    def append(): Unit = { store.commit(data, ordinalCol = ordinal); () }
+    mode match {
+      case SaveMode.Append => append()
+      case SaveMode.ErrorIfExists =>
+        if (store.latestTxId > 0)
+          throw new IllegalStateException(
+            s"graft-vstore at $path already has committed data; use mode(\"append\")")
+        append()
+      case SaveMode.Ignore => if (store.latestTxId == 0) append()
+      case SaveMode.Overwrite =>
+        throw new UnsupportedOperationException(
+          "graft-vstore is append-only (versioned history); Overwrite would " +
+            "silently discard it — commit with mode(\"append\") and compact(), " +
+            "or write to a fresh path")
+    }
+    new VStoreRelation(sqlContext, path, None, None)
   }
 }
 

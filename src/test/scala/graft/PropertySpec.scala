@@ -115,7 +115,11 @@ class PropertySpec extends SparkSpec {
   test("property: versioned scan == driver-side last-wins fold, any commit/compact interleaving") {
     import graft.store.VersionedCandleStore
     batches(3, 20).zipWithIndex.foreach { case (all, i) =>
-      val st = VersionedCandleStore(spark, tmpDir(s"prop-vst$i") + "/v")
+      // checkpointEvery=2 forces journal rollups to interleave with the
+      // commits and compactions under test: every read below goes
+      // through checkpoint + tail resolution, not a flat file list
+      val st = new VersionedCandleStore(spark, tmpDir(s"prop-vst$i") + "/v",
+        checkpointEvery = 2)
       // split into 4 commit batches; compact after a seed-chosen one
       val parts = all.grouped(5).toSeq
       val compactAfter = i % parts.size

@@ -449,6 +449,31 @@ class VersionedStoreSpec extends SparkSpec {
     assert(noMatch.count() == 0, "content filter below the fold resurrected an old version")
   }
 
+  test("graft-vstore writer: append commits one tx; append-only modes enforced") {
+    val path = tmpDir("vstore-dsw") + "/v"
+    val b1 = Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()
+    val b2 = Seq(c("BTC", "2022-01-01 10:00:00", 2),
+      c("ETH", "2021-06-01 00:00:00", 5)).toDF()
+    // default ErrorIfExists writes a fresh store…
+    b1.write.format("graft-vstore").save(path)
+    val st = VersionedCandleStore(spark, path)
+    assert(st.latestTxId == 1L && st.scan().count() == 1)
+    // …and refuses a non-empty one; Ignore no-ops; Append journals tx 2
+    intercept[IllegalStateException](b2.write.format("graft-vstore").save(path))
+    b2.write.format("graft-vstore").mode("ignore").save(path)
+    assert(st.latestTxId == 1L)
+    b2.write.format("graft-vstore").mode("append").save(path)
+    assert(st.latestTxId == 2L)
+    assert(st.scan().where($"code" === "BTC").select("open").as[Double].head() == 2.0)
+    assert(st.scanAsOf(1L).select("open").as[Double].collect().toSeq == Seq(1.0))
+    // Overwrite would discard history — fails loudly
+    intercept[UnsupportedOperationException](
+      b1.write.format("graft-vstore").mode("overwrite").save(path))
+    // round trip entirely through the DataSource
+    val rt = spark.read.format("graft-vstore").option("asOfTx", "2").load(path)
+    assert(rt.collect().toSet == st.scanAsOf(2L).collect().toSet)
+  }
+
   test("streaming batch-id replay is a no-op returning the prior tx") {
     val st = VersionedCandleStore(spark, tmpDir("vstore-replay") + "/v")
     val b = Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()
