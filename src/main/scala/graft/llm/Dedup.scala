@@ -20,23 +20,27 @@ object Dedup {
 
   /** Exact dedup: keep the lowest id per (normalized) text. The
     * aggregation is keyed on `sha2(norm_text, 256)` and carries ONLY
-    * (min id, count) — at 100 TB neither the grouping key nor the agg
-    * buffer may be the corpus. Since every member of a digest group has
-    * the same normalized text (modulo a 2^-128 collision), the output's
+    * (min id, count) in its buffer — a string-valued buffer (the old
+    * `min(norm_text)`) forces SortAggregate (two full-corpus sorts;
+    * measured 2.5× slower end to end) where the long-only buffer
+    * hash-aggregates with map-side combine and its exchange carries
+    * 48-byte rows. Since every member of a digest group has the same
+    * normalized text (modulo a 2^-128 collision), the output's
     * `norm_text` is recomputed from the winning document via a
-    * join-back on id, instead of `min(norm_text)` inside the agg — a
-    * string-valued buffer forces SortAggregate (two full-corpus sorts,
-    * document text through the exchange; measured 2.5× slower end to
-    * end) where the long-only buffer hash-aggregates with map-side
-    * combine.
+    * join-back on (digest, id) — digest included so a non-unique id
+    * can only ever match its OWN group's winner row. The join moves
+    * each surviving document's text once (broadcast when the winner
+    * set fits, shuffle otherwise) — output-sized, which no shape
+    * avoids when the output carries the text.
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = lower(trim(col(textCol)))
+    val digest = sha2(norm, 256)
     val keep = df
-      .groupBy(sha2(norm, 256).as("_digest"))
+      .groupBy(digest.as("_digest"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
-      .select(col(idCol), col("dup_count"))
-    df.join(keep, Seq(idCol))
+    df.withColumn("_digest", digest)
+      .join(keep, Seq("_digest", idCol))
       .select(norm.as("norm_text"), col(idCol), col("dup_count"))
   }
 

@@ -616,9 +616,7 @@ object Similarity {
     // rerank ≤ 0 → derive from the corpus: the candidate set must GROW
     // with what the ADC pass scans (here: everything) or recall decays
     // as the corpus outgrows a fixed width — the round-5 finding.
-    val effRerank =
-      if (rerank > 0) rerank
-      else math.max(4 * k, math.ceil(corpus.count() * RerankFraction).toInt)
+    val effRerank = derivedRerank(rerank, k, corpus.count() * RerankFraction)
     val books = pqCodebooks(corpus, idCol, vecCol, m, ks, iters)
     // Queries are broadcast-small by construction (as in bruteForceTopK):
     // collect them once, precompute every query's LUT, and ship the LUT
@@ -685,10 +683,8 @@ object Similarity {
                 m: Int = 8, ks: Int = 256, iters: Int = 4,
                 rerank: Int = -1, sampleMod: Int = 1,
                 residual: Boolean = true): DataFrame = {
-    val effRerank =
-      if (rerank > 0) rerank
-      else math.max(4 * k,
-        math.ceil(nProbe.toDouble * corpus.count() / nCells * RerankFraction).toInt)
+    val effRerank = derivedRerank(rerank, k,
+      nProbe.toDouble * corpus.count() / nCells * RerankFraction)
     // sampleMod trains the coarse quantizer on an id-sampled subset —
     // at 100 TB you always train on a sample and assign the full corpus
     val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters,
@@ -740,6 +736,21 @@ object Similarity {
     * past a fixed literal.
     */
   private val RerankFraction = 0.1
+
+  /** The derived width is CLAMPED at 2^20 candidates per query — past
+    * that the per-query heap itself becomes the memory problem (a
+    * naive `.toInt` would silently saturate at Int.MaxValue around a
+    * 21-billion-row scan and unbound the heap entirely). Hitting the
+    * clamp means the scanned-per-query set is ≥10M rows: the right
+    * lever is more cells / fewer probes, not a wider rerank, so the
+    * clamp is the signal, not a silent recall cliff.
+    */
+  private val MaxDerivedRerank = 1 << 20
+
+  private def derivedRerank(rerank: Int, k: Int, scaled: Double): Int =
+    if (rerank > 0) rerank
+    else math.max(4L * k,
+      math.min(math.ceil(scaled).toLong, MaxDerivedRerank.toLong)).toInt
 
   /** Nearest-centroid assignment (sorted cents; lowest cell_id wins
     * ties — the row_number (csim DESC, cell_id ASC) oracle contract).

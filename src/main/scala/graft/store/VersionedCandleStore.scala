@@ -195,26 +195,56 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     (checkpoints.lastOption, tails, checkpoints)
   }
 
+  /** Journal rows, collected driver-side (the journal is metadata-scale
+    * by construction), deduplicated on (tx_id, kind) — a tail stays on
+    * disk one checkpoint of lag after being absorbed, and journal files
+    * for one (tx, kind) are written exactly once, so duplicates are
+    * byte-identical. Lock-free readers can race a concurrent rollup's
+    * tail deletion (the deleted tail's rows are already in the
+    * checkpoint that rollup published), so a missing-file failure
+    * RE-LISTS and re-reads instead of surfacing — the retry always sees
+    * a complete journal.
+    */
+  private def journalRows(): Array[Row] = {
+    val f = fs
+    verifyLayout(f)
+    var attempt = 0
+    while (true) {
+      val (cp, tails, _) = listJournal(f)
+      val paths = cp.map(_._2).toSeq ++ tails
+      if (paths.isEmpty) return Array.empty
+      try {
+        val rows = spark.read.schema(txLogSchema)
+          .parquet(paths.map(_.toString): _*).collect()
+        val seen = scala.collection.mutable.HashSet[(Long, String)]()
+        return rows.filter(r => seen.add((r.getLong(0), r.getString(3))))
+      } catch {
+        case e: Throwable if attempt < 3 && missingFile(e) => attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def missingFile(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        (t.getMessage != null &&
+          (t.getMessage.contains("does not exist") ||
+            t.getMessage.contains("PATH_NOT_FOUND") ||
+            t.getMessage.contains("FileNotFoundException")))
+    }
+
   /** The commit journal: one row per commit (`kind = 'commit'`) or
     * compaction (`kind = 'compact'`) — the reference's persistent
     * counter + WAL index analog. `batch_id` carries the streaming
     * micro-batch id when the commit came from a stream (exactly-once
     * replay guard); null for batch commits. Physically: the latest
-    * checkpoint rollup plus the per-commit tail files, deduplicated on
-    * (tx_id, kind) — a tail stays on disk (one checkpoint of lag) after
-    * being absorbed, and journal files for one (tx, kind) are written
-    * exactly once, so duplicates are byte-identical.
+    * checkpoint rollup plus the per-commit tail files (see
+    * [[journalRows]]).
     */
-  def txLog(): DataFrame = {
-    val f = fs
-    verifyLayout(f)
-    val (cp, tails, _) = listJournal(f)
-    val paths = cp.map(_._2).toSeq ++ tails
-    if (paths.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), txLogSchema)
-    else spark.read.schema(txLogSchema).parquet(paths.map(_.toString): _*)
-      .dropDuplicates("tx_id", "kind")
-  }
+  def txLog(): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(journalRows(): _*), txLogSchema)
 
   /** Highest committed tx id (0 when empty) — journal-only read. */
   def latestTxId: Long = {
@@ -294,9 +324,23 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * checkpoint still finds every tail it listed. (Same 2-version
     * retention as data generations.)
     */
+  /** Tails not yet absorbed by checkpoint `cpN` (by filename tx — the
+    * threshold heuristic; absorption for DELETION is decided by exact
+    * row membership, never by this). Counting all tails instead would
+    * re-trigger a full rollup one commit after each checkpoint (the
+    * absorbed interval is retained on disk for one more cycle) and
+    * collapse the one-interval retention lag to a single commit.
+    */
+  private def tailsAbove(tails: Seq[Path], cpN: Long): Int =
+    tails.count(p => p.getName match {
+      case TailName(id, _) => id.toLong > cpN
+      case _ => true
+    })
+
   private def checkpointLocked(f: FileSystem, force: Boolean): Long = {
     val (cp, tails, allCps) = listJournal(f)
-    if (tails.isEmpty || (!force && tails.size < checkpointEvery))
+    val fresh = tailsAbove(tails, cp.map(_._1).getOrElse(0L))
+    if (tails.isEmpty || (!force && fresh < checkpointEvery))
       return cp.map(_._1).getOrElse(0L)
     // journal is metadata-scale (one row per commit interval retained):
     // collect both sides driver-side, dedup, rebuild
@@ -363,8 +407,8 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * retries.
     */
   private def maybeCheckpoint(f: FileSystem): Unit = {
-    val (_, tails, _) = listJournal(f)
-    if (tails.size < checkpointEvery) return
+    val (cp, tails, _) = listJournal(f)
+    if (tailsAbove(tails, cp.map(_._1).getOrElse(0L)) < checkpointEvery) return
     val lock = hp(s"$path/_compact.lock")
     if (!tryCreate(f, lock)) return
     try { checkpointLocked(f, force = false); () }
@@ -435,41 +479,31 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
   /** Move every data file under `src` into the mirrored directory under
     * `dst`, prefixing names with the tx id (uniqueness across commits).
     * Pure metadata renames — no data copy on HDFS/local. Returns the
-    * number of files moved, which the commit verifies against the final
-    * generation before journaling.
+    * dst-RELATIVE paths moved: the commit verifies exactly these under
+    * the final generation before journaling — O(files in THIS commit),
+    * never a walk of the whole generation (which grows with table age).
     */
-  private def moveTree(f: FileSystem, src: Path, dst: Path, prefix: String): Int = {
-    var moved = 0
-    f.listStatus(src).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory) {
-        val sub = new Path(dst, name)
-        f.mkdirs(sub)
-        moved += moveTree(f, st.getPath, sub, prefix)
-      } else if (!name.startsWith("_") && !name.startsWith(".")) {
-        val to = new Path(dst, s"$prefix-$name")
-        // a silently dropped data file would journal an incomplete
-        // commit as successful — fail the commit instead
-        if (!f.rename(st.getPath, to))
-          throw new java.io.IOException(s"data move failed: ${st.getPath} -> $to")
-        moved += 1
+  private def moveTree(f: FileSystem, src: Path, dst: Path,
+                       prefix: String): Seq[String] = {
+    val moved = Seq.newBuilder[String]
+    def walk(s: Path, d: Path, rel: String): Unit =
+      f.listStatus(s).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          val sub = new Path(d, name)
+          f.mkdirs(sub)
+          walk(st.getPath, sub, s"$rel$name/")
+        } else if (!name.startsWith("_") && !name.startsWith(".")) {
+          val to = new Path(d, s"$prefix-$name")
+          // a silently dropped data file would journal an incomplete
+          // commit as successful — fail the commit instead
+          if (!f.rename(st.getPath, to))
+            throw new java.io.IOException(s"data move failed: ${st.getPath} -> $to")
+          moved += s"$rel$prefix-$name"
+        }
       }
-    }
-    moved
-  }
-
-  /** Count data files under `gen` belonging to transaction `tx`. */
-  private def countTxFiles(f: FileSystem, gen: Path, tx: Long): Int = {
-    var n = 0
-    def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
-      if (st.isDirectory) walk(st.getPath)
-      else st.getPath.getName match {
-        case DataFileName(id) if id.toLong == tx => n += 1
-        case _ => ()
-      }
-    }
-    if (f.exists(gen)) walk(gen)
-    n
+    walk(src, dst, "")
+    moved.result()
   }
 
   // ------------------------------------------------------------------ //
@@ -578,6 +612,8 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     // generation, and if the files are truly gone it FAILS — nothing is
     // journaled, so the half-moved data is invisible (torn-commit
     // semantics) and reclaimed by vacuum(), never silently lost.
+    def missingIn(gen: Path): Seq[String] =
+      moved.filterNot(rel => f.exists(new Path(gen, rel)))
     var genCur = gen
     var settled = false
     while (!settled) {
@@ -585,7 +621,7 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       if (genNow.toUri.getPath != genCur.toUri.getPath) {
         carryFiles(f, genCur, genNow, _ == tx)
         genCur = genNow
-      } else if (moved == 0 || countTxFiles(f, genNow, tx) >= moved) {
+      } else if (missingIn(genNow).isEmpty) {
         settled = true
       } else {
         // self-heal: relay from every retained older generation (a
@@ -593,11 +629,12 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
         generations().map(_._2)
           .filter(_.toUri.getPath != genNow.toUri.getPath)
           .foreach(p => carryFiles(f, p, genNow, _ == tx))
-        if (countTxFiles(f, genNow, tx) >= moved) settled = true
+        val missing = missingIn(genNow)
+        if (missing.isEmpty) settled = true
         else if (ensureGen().toUri.getPath == genNow.toUri.getPath)
           throw new java.io.IOException(
-            s"commit tx $tx: only ${countTxFiles(f, genNow, tx)} of $moved " +
-              "data files reached the live generation (lost to a concurrent " +
+            s"commit tx $tx: ${missing.size} of ${moved.size} data files " +
+              "never reached the live generation (lost to a concurrent " +
               "compaction GC); commit aborted before journaling — retry it")
         // else: another generation appeared mid-heal; loop and re-carry
       }

@@ -287,15 +287,22 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st.scan().select("code", "open").as[(String, Double)].collect().toMap
       == Map("BTC" -> 3.0, "ETH" -> 2.0))
     assert(st.scanAsOf(1L).select("open").as[Double].collect().toSeq == Seq(1.0))
-    // auto-rollup: a real commit past the threshold checkpoints by itself
-    val tailsBefore = files.count(_.startsWith("tx-"))
-    assert(tailsBefore >= 50)
+    // auto-rollup triggers on FRESH tails (above the latest checkpoint)
+    // only — retained absorbed tails must not re-trigger a rollup one
+    // commit after each checkpoint. 60 fresh commits > interval 50:
+    while (tx < total + 60) {
+      tx += 1
+      st.writeJournalRow(tx, 0L, ts("2024-05-01 10:00:00"), "commit", None)
+    }
+    val tailsBefore = new java.io.File(st.path + "/txlog").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).count(_.startsWith("tx-"))
+    assert(tailsBefore >= 60)
     st.commit(Seq(c("SOL", "2022-01-01 10:00:00", 4)).toDF())
     val filesAfter = new java.io.File(st.path + "/txlog").listFiles().map(_.getName)
       .filterNot(_.startsWith("."))
     assert(filesAfter.count(_.startsWith("tx-")) < tailsBefore,
       "commit past the threshold should have rolled the journal up")
-    assert(st.latestTxId == total + 1L)
+    assert(st.latestTxId == total + 61L)
     assert(st.scan().count() == 3)
     // the rollup also GCs tx reserves it made permanent — otherwise
     // streaming ingest that never compacts accretes one _txn file per
@@ -303,6 +310,19 @@ class VersionedStoreSpec extends SparkSpec {
     val reserves = new java.io.File(st.path + "/_txn").listFiles()
       .map(_.getName).filter(_.endsWith(".reserve"))
     assert(reserves.isEmpty, s"reserves not GC'd by checkpoint: ${reserves.length}")
+    // one commit later NO second rollup fires (1 fresh tail < interval):
+    // retained absorbed tails must not count toward the threshold, or
+    // every checkpoint would re-roll the full history one commit later
+    // and collapse the one-interval retention lag readers depend on
+    st.commit(Seq(c("ADA", "2022-01-01 10:00:00", 5)).toDF())
+    val files2 = new java.io.File(st.path + "/txlog").listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(files2.count(_.startsWith("checkpoint-"))
+      == filesAfter.count(_.startsWith("checkpoint-")))
+    assert(files2.count(_.startsWith("tx-"))
+      == filesAfter.count(_.startsWith("tx-")) + 1,
+      "a single fresh commit re-triggered a rollup")
+    assert(st.scan().count() == 4)
   }
 
   test("committed gate is journal-sized: a sparse journal (tx ids 1 and 1e9) plans instantly") {
