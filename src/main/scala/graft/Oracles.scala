@@ -719,6 +719,17 @@ object Oracles {
          SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
            round(volume, 4) AS volume
          FROM r WHERE rn = 1""",
+    // q89: the change feed after tx 1 = slices 2 and 3's candles,
+    // unfolded, stamped with their commit's tx id (commits run in slice
+    // order 1, 2, 3 — see Queries.versionedStore).
+    "q89_vstore_changes" ->
+      s"""WITH b AS (${hourlyCandles("WHERE event_id % 3 = 2")}),
+         c0 AS (${hourlyCandles("WHERE event_id % 3 = 0")})
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume, 2::BIGINT AS tx_id FROM b
+         UNION ALL
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume, 3::BIGINT AS tx_id FROM c0""",
     // q82: wall-clock time travel resolves to the same as-of-tx-2 state
     // (commit 2 is journaled at 2024-07-02 00:00, commit 3 at 07-03).
     "q82_store_asof_time" ->

@@ -922,6 +922,18 @@ object Queries {
           Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
     }),
+    // Change feed (round 6): everything committed AFTER tx 1, unfolded,
+    // with tx stamps — the CDC primitive an incremental consumer tails
+    // instead of re-folding the table (Delta CDF shape, append/update
+    // only by construction).
+    "q89_vstore_changes" -> ((s, d) => {
+      versionedStore(s, d).changesSince(1L)
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"),
+          col("tx_id"))
+    }),
     // Series catalog: the reference's page-header fields per series-year
     // (Count/Start/End + extremes) as one aggregation.
     "q4F_store_catalog" -> ((s, d) => {

@@ -18,6 +18,8 @@ import graft.store.VersionedCandleStore
   * spark.read.format("graft-vstore").option("asOfTx", 2).load(path)   // VERSION AS OF
   * spark.read.format("graft-vstore")
   *   .option("asOfTime", "2024-07-02 12:00:00").load(path)            // TIMESTAMP AS OF
+  * spark.read.format("graft-vstore")
+  *   .option("changesSince", 2).load(path)                            // change feed (CDF)
   * }}}
   *
   * then `createOrReplaceTempView` for plain SQL. Until now time travel
@@ -48,9 +50,15 @@ final class VStoreSource extends RelationProvider
     val asOfTx = parameters.get("asOfTx").orElse(parameters.get("asoftx")).map(_.toLong)
     val asOfTime = parameters.get("asOfTime").orElse(parameters.get("asoftime"))
       .map(Timestamp.valueOf)
-    require(asOfTx.isEmpty || asOfTime.isEmpty,
-      "asOfTx and asOfTime are mutually exclusive")
-    new VStoreRelation(sqlContext, path, asOfTx, asOfTime)
+    val since = parameters.get("changesSince").orElse(parameters.get("changessince"))
+      .map(_.toLong)
+    val until = parameters.get("changesUntil").orElse(parameters.get("changesuntil"))
+      .map(_.toLong)
+    require(Seq(asOfTx, asOfTime, since).count(_.nonEmpty) <= 1,
+      "asOfTx, asOfTime and changesSince are mutually exclusive")
+    require(until.isEmpty || since.nonEmpty,
+      "changesUntil requires changesSince")
+    new VStoreRelation(sqlContext, path, asOfTx, asOfTime, since, until)
   }
 
   /** Writer surface: `df.write.format("graft-vstore").mode("append")
@@ -91,20 +99,29 @@ final class VStoreSource extends RelationProvider
 private[sources] final class VStoreRelation(override val sqlContext: SQLContext,
                                             path: String,
                                             asOfTx: Option[Long],
-                                            asOfTime: Option[Timestamp])
+                                            asOfTime: Option[Timestamp],
+                                            changesSince: Option[Long] = None,
+                                            changesUntil: Option[Long] = None)
   extends BaseRelation with PrunedFilteredScan {
 
   private def store = VersionedCandleStore(sqlContext.sparkSession, path)
 
-  override val schema: StructType = store.tableSchema
+  override val schema: StructType =
+    if (changesSince.nonEmpty)
+      store.tableSchema.add("tx_id", org.apache.spark.sql.types.LongType)
+    else store.tableSchema
 
-  /** The as-of frame this relation serves (journal is re-read per query
+  /** The frame this relation serves (journal is re-read per query
     * execution — a temp view over the source always sees the store's
-    * CURRENT committed state, like any file-based source).
+    * CURRENT committed state, like any file-based source). The change
+    * feed (`changesSince`) is UNFOLDED rows with `tx_id`; every filter
+    * pushed into it is safe below (there is no fold).
     */
-  private def asOfFrame(): DataFrame = (asOfTx, asOfTime) match {
-    case (Some(tx), _) => store.scanAsOf(tx)
-    case (_, Some(t)) => store.scanAsOfTime(t)
+  private def asOfFrame(): DataFrame = (changesSince, asOfTx, asOfTime) match {
+    case (Some(s), _, _) =>
+      store.changesSince(s, changesUntil.getOrElse(Long.MaxValue))
+    case (_, Some(tx), _) => store.scanAsOf(tx)
+    case (_, _, Some(t)) => store.scanAsOfTime(t)
     case _ => store.scan()
   }
 

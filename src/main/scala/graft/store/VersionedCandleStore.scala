@@ -805,6 +805,42 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
   /** Latest committed state. */
   def scan(): DataFrame = scanAsOf(Long.MaxValue)
 
+  /** Change feed (CDC primitive): every row committed by transactions
+    * in `(sinceTx, untilTx]`, UNFOLDED — one row per (key, ts, tx), with
+    * the `tx_id` column retained so consumers can apply last-wins
+    * incrementally. This is how an incremental pipeline tails the store
+    * (Delta's CDF shape without tombstones: commits are pure upserts,
+    * so the feed is append/update-only by construction).
+    *
+    * Fails loudly when `sinceTx` predates the [[compact]] squash floor:
+    * squashing keeps one winner per key, so per-tx change history below
+    * the floor no longer exists. (`sinceTx = floor` is fine — the floor
+    * tx itself is preserved exactly.)
+    */
+  def changesSince(sinceTx: Long, untilTx: Long = Long.MaxValue): DataFrame = {
+    val (floor, committed) = journalSnapshot()
+    require(sinceTx >= floor,
+      s"changes since tx $sinceTx predate the compaction squash point " +
+        s"(tx $floor): per-tx history below it has been discarded by compact()")
+    val admitted = committed.map(_._1).filter(id => id > sinceTx && id <= untilTx)
+    val changeSchema =
+      StructType((scanCols :+ "tx_id").map(n => dataSchema.fields.find(_.name == n).get))
+    currentGen() match {
+      case None =>
+        spark.createDataFrame(new java.util.ArrayList[Row](), changeSchema)
+      case Some(_) if admitted.isEmpty =>
+        spark.createDataFrame(new java.util.ArrayList[Row](), changeSchema)
+      case Some((_, genDir)) =>
+        // the range conjunct keeps the gate exact even though
+        // committedGate's gap list starts at tx 1; for an old `sinceTx`
+        // the gap math flips to the journal-sized IN(admitted) branch,
+        // so driver work stays O(window), never O(sinceTx)
+        spark.read.schema(dataSchema).parquet(genDir.toString)
+          .where(committedGate(admitted) && col("tx_id") > sinceTx)
+          .select((scanCols :+ "tx_id").map(col): _*)
+    }
+  }
+
   // ------------------------------------------------------------------ //
   // Compaction                                                         //
   // ------------------------------------------------------------------ //

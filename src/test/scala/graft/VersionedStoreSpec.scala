@@ -494,6 +494,37 @@ class VersionedStoreSpec extends SparkSpec {
     assert(rt.collect().toSet == st.scanAsOf(2L).collect().toSet)
   }
 
+  test("changesSince tails per-tx history; floor guarded; CDF via the DataSource") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-cdf") + "/v")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2), // overwrite
+      c("ETH", "2021-06-01 00:00:00", 5)).toDF())
+    st.commit(Seq(c("SOL", "2023-03-01 00:00:00", 7)).toDF())
+    def feed(since: Long, until: Long = Long.MaxValue) =
+      st.changesSince(since, until).select("code", "open", "tx_id")
+        .as[(String, Double, Long)].collect().toSet
+    // unfolded: BOTH BTC versions appear, each with its tx
+    assert(feed(0L) == Set(("BTC", 1.0, 1L), ("BTC", 2.0, 2L),
+      ("ETH", 5.0, 2L), ("SOL", 7.0, 3L)))
+    assert(feed(1L) == Set(("BTC", 2.0, 2L), ("ETH", 5.0, 2L), ("SOL", 7.0, 3L)))
+    assert(feed(1L, until = 2L) == Set(("BTC", 2.0, 2L), ("ETH", 5.0, 2L)))
+    assert(feed(3L) == Set.empty)
+    // the same feed through the reader surface
+    val ds = spark.read.format("graft-vstore")
+      .option("changesSince", "1").option("changesUntil", "2").load(st.path)
+      .select("code", "open", "tx_id").as[(String, Double, Long)].collect().toSet
+    assert(ds == feed(1L, until = 2L))
+    intercept[IllegalArgumentException](spark.read.format("graft-vstore")
+      .option("changesSince", "1").option("asOfTx", "2").load(st.path))
+    // compaction squashes per-tx history below the floor: tailing from
+    // the floor is exact, tailing from below it fails loudly
+    st.compact()
+    assert(st.changesSince(3L).count() == 0)
+    intercept[IllegalArgumentException](st.changesSince(2L))
+    st.commit(Seq(c("ADA", "2022-05-01 00:00:00", 9)).toDF())
+    assert(feed(3L) == Set(("ADA", 9.0, 4L)))
+  }
+
   test("streaming batch-id replay is a no-op returning the prior tx") {
     val st = VersionedCandleStore(spark, tmpDir("vstore-replay") + "/v")
     val b = Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()
