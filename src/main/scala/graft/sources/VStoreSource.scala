@@ -38,9 +38,35 @@ import graft.store.VersionedCandleStore
   * is purely an optimization, never a semantics risk.
   */
 final class VStoreSource extends RelationProvider
-  with CreatableRelationProvider with DataSourceRegister {
+  with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-vstore"
+
+  // ------------------------------------------------------------------ //
+  // Streaming: tail the change feed (see VStoreStreamSource)           //
+  // ------------------------------------------------------------------ //
+
+  private def streamPath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-vstore requires a path: spark.readStream.format(\"graft-vstore\").load(path)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), VStoreStreamSource.changeSchema(
+      VersionedCandleStore(sqlContext.sparkSession, streamPath(parameters)).tableSchema))
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new VStoreStreamSource(sqlContext, streamPath(parameters),
+      parameters.get("changesSince").orElse(parameters.get("changessince"))
+        .map(_.toLong).getOrElse(0L),
+      parameters.get("maxTxsPerBatch").orElse(parameters.get("maxtxsperbatch"))
+        .map(_.toLong))
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

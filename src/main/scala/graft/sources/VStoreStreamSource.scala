@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+import graft.store.VersionedCandleStore
+
+/** Structured-Streaming tail of a [[VersionedCandleStore]] change feed:
+  *
+  * {{{
+  * spark.readStream.format("graft-vstore")
+  *   .option("changesSince", 0)        // start tx (exclusive); default 0
+  *   .option("maxTxsPerBatch", 100)    // optional micro-batch pacing
+  *   .load(path)
+  * }}}
+  *
+  * Offsets ARE transaction ids — the journal is the offset log, so a
+  * micro-batch `(a, b]` is exactly [[VersionedCandleStore.changesSince]]
+  * of that window: deterministic on replay (checkpoint recovery re-reads
+  * the same journal window), unfolded rows with `tx_id` stamps. Together
+  * with `Ingest.versionedCommitWriter` this closes the loop: streams
+  * write the store one journaled tx per micro-batch, and downstream
+  * pipelines tail those same txs as a stream.
+  *
+  * Single-serialized-committer assumption (the reference's WAL reader
+  * makes the same one): the offset is the journal's MAX committed tx, so
+  * under CONCURRENT batch committers a lower tx journaling after a higher
+  * one was already emitted would be skipped. Streaming ingest — one
+  * writer, one tx per micro-batch — satisfies the assumption by
+  * construction. Replaying a window squashed by `compact()` fails loudly
+  * (changesSince's floor guard) rather than silently under-delivering.
+  */
+final class VStoreStreamSource(sqlContext: SQLContext, path: String,
+                               startTx: Long, maxTxsPerBatch: Option[Long])
+  extends Source {
+
+  private def store = VersionedCandleStore(sqlContext.sparkSession, path)
+
+  override val schema: StructType = VStoreStreamSource.changeSchema(
+    store.tableSchema)
+
+  /** Highest tx already handed to the engine — seeds micro-batch pacing.
+    * Recovery keeps it monotone: the engine replays the pending batch
+    * (getBatch) and/or acks committed offsets (commit) before polling
+    * getOffset, and both paths raise this watermark.
+    */
+  @volatile private var known: Long = startTx
+
+  private def offsetValue(o: V1Offset): Long = o match {
+    case lo: LongOffset => lo.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val latest = store.latestTxId
+    val capped = maxTxsPerBatch match {
+      case Some(m) => math.min(latest, math.max(known, startTx) + m)
+      case None => latest
+    }
+    if (capped <= startTx) None else Some(LongOffset(capped))
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(offsetValue).getOrElse(startTx)
+    val until = offsetValue(end)
+    if (until > known) known = until
+    // the engine asserts isStreaming on the returned frame
+    org.apache.spark.sql.graft.ColumnBridge.asStreaming(
+      sqlContext.sparkSession, store.changesSince(from, until))
+  }
+
+  override def commit(end: V1Offset): Unit = {
+    val v = offsetValue(end)
+    if (v > known) known = v
+  }
+
+  override def stop(): Unit = ()
+}
+
+object VStoreStreamSource {
+  def changeSchema(table: StructType): StructType =
+    table.add("tx_id", org.apache.spark.sql.types.LongType)
+}

@@ -22,4 +22,15 @@ object ColumnBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-tag a batch frame as STREAMING (`internalCreateDataFrame` is
+    * `private[sql]`): what a v1 streaming `Source.getBatch` must return
+    * — the engine asserts `isStreaming` on it (MemoryStream and
+    * FileStreamSource build their micro-batch frames the same way).
+    */
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -106,6 +106,48 @@ class StreamingSpec extends SparkSpec {
     assert(opens(vst.scan()) == opens(batch.scan()))
   }
 
+  test("streaming change-feed tail: offsets are tx ids, exactly-once across restart, pacing") {
+    val vst = graft.store.VersionedCandleStore(spark, tmpDir("st-cdf") + "/v")
+    vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2),
+      c("ETH", "2021-06-01 00:00:00", 5)).toDF())
+    vst.commit(Seq(c("SOL", "2023-03-01 00:00:00", 7)).toDF())
+    // a RECOVERABLE sink (parquet) so the restart leg resumes from the
+    // checkpointed tx offset instead of starting over
+    val ckpt = tmpDir("st-cdf-ckpt")
+    val outDir = tmpDir("st-cdf-out")
+    def tailToParquet() = {
+      val q = spark.readStream.format("graft-vstore").load(vst.path)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(outDir).select("code", "open", "tx_id")
+        .as[(String, Double, Long)].collect().toSet
+    }
+    // the full unfolded history, tx-stamped — both BTC versions present
+    assert(tailToParquet() == Set(("BTC", 1.0, 1L), ("BTC", 2.0, 2L),
+      ("ETH", 5.0, 2L), ("SOL", 7.0, 3L)))
+    // two more commits; restarting from the same checkpoint delivers
+    // ONLY the new txs (offsets are tx ids in the checkpoint WAL) —
+    // cumulative output has each row exactly once
+    vst.commit(Seq(c("ADA", "2022-05-01 00:00:00", 9)).toDF())
+    vst.commit(Seq(c("DOT", "2022-06-01 00:00:00", 11)).toDF())
+    assert(tailToParquet() == Set(("BTC", 1.0, 1L), ("BTC", 2.0, 2L),
+      ("ETH", 5.0, 2L), ("SOL", 7.0, 3L), ("ADA", 9.0, 4L), ("DOT", 11.0, 5L)))
+    assert(spark.read.parquet(outDir).count() == 6, "restart duplicated rows")
+    // pacing: a fresh tail with maxTxsPerBatch=1 splits the 5 txs into
+    // ≥5 micro-batches (one tx per offset step)
+    val ckpt2 = tmpDir("st-cdf-ckpt2")
+    val q3 = spark.readStream.format("graft-vstore").option("maxTxsPerBatch", "1")
+      .load(vst.path).writeStream.format("memory").queryName("cdf3")
+      .option("checkpointLocation", ckpt2).start()
+    q3.processAllAvailable()
+    val batches = q3.recentProgress.count(_.numInputRows > 0)
+    q3.stop()
+    assert(spark.table("cdf3").count() == 6) // all 6 unfolded rows
+    assert(batches >= 5, s"pacing produced only $batches micro-batches")
+  }
+
   test("late-row counter tallies rows a watermark would have dropped") {
     implicit val sqlCtx = spark.sqlContext
     val store = CandleStore(spark, tmpDir("st-late") + "/t")
