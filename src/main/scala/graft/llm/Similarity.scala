@@ -747,10 +747,18 @@ object Similarity {
     */
   private val MaxDerivedRerank = 1 << 20
 
-  private def derivedRerank(rerank: Int, k: Int, scaled: Double): Int =
-    if (rerank > 0) rerank
-    else math.max(4L * k,
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.llm.Similarity")
+
+  private def derivedRerank(rerank: Int, k: Int, scaled: Double): Int = {
+    if (rerank > 0) return rerank
+    if (math.ceil(scaled) > MaxDerivedRerank)
+      logger.warn(
+        s"derived ANN rerank width ${math.ceil(scaled).toLong} clamped to " +
+          s"$MaxDerivedRerank candidates/query — recall may degrade; raise " +
+          "nCells (or lower nProbe) so each probe scans fewer rows")
+    math.max(4L * k,
       math.min(math.ceil(scaled).toLong, MaxDerivedRerank.toLong)).toInt
+  }
 
   /** Nearest-centroid assignment (sorted cents; lowest cell_id wins
     * ties — the row_number (csim DESC, cell_id ASC) oracle contract).

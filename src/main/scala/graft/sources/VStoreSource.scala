@@ -46,9 +46,17 @@ final class VStoreSource extends RelationProvider
   // Streaming: tail the change feed (see VStoreStreamSource)           //
   // ------------------------------------------------------------------ //
 
-  private def streamPath(parameters: Map[String, String]): String =
+  private def streamPath(parameters: Map[String, String]): String = {
+    // fail at load() time, not on the stream thread mid-start
+    require(!parameters.contains("changesUntil") && !parameters.contains("changesuntil"),
+      "changesUntil is a batch-reader option; a stream tails indefinitely " +
+        "(bound it with .option(\"maxTxsPerBatch\", …) or stop the query)")
+    parameters.get("maxTxsPerBatch").orElse(parameters.get("maxtxsperbatch"))
+      .map(_.toLong).foreach(m => require(m > 0,
+        s"maxTxsPerBatch must be positive, got $m (0 would stall the stream forever)"))
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-vstore requires a path: spark.readStream.format(\"graft-vstore\").load(path)"))
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
@@ -61,12 +69,13 @@ final class VStoreSource extends RelationProvider
                             metadataPath: String,
                             schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     new VStoreStreamSource(sqlContext, streamPath(parameters),
       parameters.get("changesSince").orElse(parameters.get("changessince"))
         .map(_.toLong).getOrElse(0L),
       parameters.get("maxTxsPerBatch").orElse(parameters.get("maxtxsperbatch"))
         .map(_.toLong))
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -130,7 +139,7 @@ private[sources] final class VStoreRelation(override val sqlContext: SQLContext,
                                             changesUntil: Option[Long] = None)
   extends BaseRelation with PrunedFilteredScan {
 
-  private def store = VersionedCandleStore(sqlContext.sparkSession, path)
+  private val store = VersionedCandleStore(sqlContext.sparkSession, path)
 
   override val schema: StructType =
     if (changesSince.nonEmpty)

@@ -26,17 +26,24 @@ import graft.store.VersionedCandleStore
   *
   * Single-serialized-committer assumption (the reference's WAL reader
   * makes the same one): the offset is the journal's MAX committed tx, so
-  * under CONCURRENT batch committers a lower tx journaling after a higher
-  * one was already emitted would be skipped. Streaming ingest — one
-  * writer, one tx per micro-batch — satisfies the assumption by
-  * construction. Replaying a window squashed by `compact()` fails loudly
-  * (changesSince's floor guard) rather than silently under-delivering.
+  * under CONCURRENT batch committers a lower tx could journal after a
+  * higher one was already emitted. The source ENFORCES the assumption
+  * instead of silently skipping such a tx: every poll diffs the
+  * committed ids at-or-below the emitted offset against the snapshot the
+  * last batch delivered, and a late arrival FAILS the query loudly (the
+  * store's posture everywhere). Streaming ingest — one writer, one tx
+  * per micro-batch — satisfies the assumption by construction. Replaying
+  * a window squashed by `compact()` fails loudly too (changesSince's
+  * floor guard).
   */
 final class VStoreStreamSource(sqlContext: SQLContext, path: String,
                                startTx: Long, maxTxsPerBatch: Option[Long])
   extends Source {
 
-  private def store = VersionedCandleStore(sqlContext.sparkSession, path)
+  maxTxsPerBatch.foreach(m => require(m > 0,
+    s"maxTxsPerBatch must be positive, got $m (0 would stall the stream forever)"))
+
+  private val store = VersionedCandleStore(sqlContext.sparkSession, path)
 
   override val schema: StructType = VStoreStreamSource.changeSchema(
     store.tableSchema)
@@ -48,13 +55,31 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
     */
   @volatile private var known: Long = startTx
 
+  /** Committed ids ≤ the last delivered offset, pinned at delivery time:
+    * the reference set for the out-of-order-committer check. Null until
+    * the first batch of this incarnation (a violation that happened
+    * entirely while the query was down is indistinguishable from
+    * history and not detectable).
+    */
+  @volatile private var deliveredBelow: Set[Long] = null
+
   private def offsetValue(o: V1Offset): Long = o match {
     case lo: LongOffset => lo.offset
     case other => other.json.trim.toLong
   }
 
   override def getOffset: Option[V1Offset] = {
-    val latest = store.latestTxId
+    val (_, ids) = store.journalCommitted()
+    if (deliveredBelow != null) {
+      val late = ids.filter(id => id <= known && !deliveredBelow(id))
+      if (late.nonEmpty)
+        throw new IllegalStateException(
+          s"tx ${late.mkString(",")} journaled at or below the already-emitted " +
+            s"offset $known: concurrent committers violate this stream's " +
+            "single-serialized-committer assumption; restart the tail from an " +
+            "earlier changesSince to re-deliver")
+    }
+    val latest = ids.lastOption.getOrElse(0L)
     val capped = maxTxsPerBatch match {
       case Some(m) => math.min(latest, math.max(known, startTx) + m)
       case None => latest
@@ -65,10 +90,15 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(offsetValue).getOrElse(startTx)
     val until = offsetValue(end)
+    // ONE journal snapshot serves both the delivered frame and the
+    // bookkeeping set, so the out-of-order check can never flag a tx
+    // this very batch delivered
+    val (floor, ids) = store.journalCommitted()
     if (until > known) known = until
+    deliveredBelow = ids.filter(_ <= until).toSet
     // the engine asserts isStreaming on the returned frame
     org.apache.spark.sql.graft.ColumnBridge.asStreaming(
-      sqlContext.sparkSession, store.changesSince(from, until))
+      sqlContext.sparkSession, store.changesWindow(from, until, floor, ids))
   }
 
   override def commit(end: V1Offset): Unit = {

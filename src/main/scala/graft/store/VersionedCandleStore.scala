@@ -818,19 +818,28 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * tx itself is preserved exactly.)
     */
   def changesSince(sinceTx: Long, untilTx: Long = Long.MaxValue): DataFrame = {
+    val (floor, ids) = journalCommitted()
+    changesWindow(sinceTx, untilTx, floor, ids)
+  }
+
+  /** (squash floor, committed tx ids ascending) — one journal read.
+    * `private[graft]` so the streaming source can pin ONE snapshot per
+    * micro-batch across its bookkeeping and the delivered frame.
+    */
+  private[graft] def journalCommitted(): (Long, Array[Long]) = {
     val (floor, committed) = journalSnapshot()
+    (floor, committed.map(_._1))
+  }
+
+  /** [[changesSince]] against a caller-pinned journal snapshot. */
+  private[graft] def changesWindow(sinceTx: Long, untilTx: Long,
+                                   floor: Long, committedIds: Array[Long]): DataFrame = {
     require(sinceTx >= floor,
       s"changes since tx $sinceTx predate the compaction squash point " +
         s"(tx $floor): per-tx history below it has been discarded by compact()")
-    val admitted = committed.map(_._1).filter(id => id > sinceTx && id <= untilTx)
-    val changeSchema =
-      StructType((scanCols :+ "tx_id").map(n => dataSchema.fields.find(_.name == n).get))
+    val admitted = committedIds.filter(id => id > sinceTx && id <= untilTx)
     currentGen() match {
-      case None =>
-        spark.createDataFrame(new java.util.ArrayList[Row](), changeSchema)
-      case Some(_) if admitted.isEmpty =>
-        spark.createDataFrame(new java.util.ArrayList[Row](), changeSchema)
-      case Some((_, genDir)) =>
+      case Some((_, genDir)) if admitted.nonEmpty =>
         // the range conjunct keeps the gate exact even though
         // committedGate's gap list starts at tx 1; for an old `sinceTx`
         // the gap math flips to the journal-sized IN(admitted) branch,
@@ -838,8 +847,13 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
         spark.read.schema(dataSchema).parquet(genDir.toString)
           .where(committedGate(admitted) && col("tx_id") > sinceTx)
           .select((scanCols :+ "tx_id").map(col): _*)
+      case _ =>
+        spark.createDataFrame(new java.util.ArrayList[Row](), changeSchema)
     }
   }
+
+  private def changeSchema: StructType =
+    StructType((scanCols :+ "tx_id").map(n => dataSchema.fields.find(_.name == n).get))
 
   // ------------------------------------------------------------------ //
   // Compaction                                                         //

@@ -148,6 +148,34 @@ class StreamingSpec extends SparkSpec {
     assert(batches >= 5, s"pacing produced only $batches micro-batches")
   }
 
+  test("change-feed tail fails loudly on an out-of-order committer; option guards at load()") {
+    val vst = graft.store.VersionedCandleStore(spark, tmpDir("st-cdf-ooo") + "/v")
+    vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    vst.commit(Seq(c("ETH", "2021-06-01 00:00:00", 5)).toDF())
+    // a slow concurrent committer reserved tx 3 but hasn't journaled;
+    // tx 4 (journal-only) lands first — the emitted offset passes 3
+    vst.writeJournalRow(4L, 0L, ts("2024-05-01 10:00:00"), "commit", None)
+    val q = spark.readStream.format("graft-vstore").load(vst.path)
+      .writeStream.format("memory").queryName("cdfooo")
+      .option("checkpointLocation", tmpDir("st-cdf-ooo-ckpt")).start()
+    q.processAllAvailable()
+    assert(spark.table("cdfooo").count() == 2) // txs 1, 2 (4 carried no rows)
+    // …now tx 3 journals BELOW the already-emitted offset: the source
+    // must kill the query loudly, never silently skip the tx
+    vst.writeJournalRow(3L, 0L, ts("2024-05-01 10:01:00"), "commit", None)
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    assert(ex.getMessage != null &&
+      (ex.getMessage.contains("single-serialized-committer") ||
+        Option(ex.getCause).exists(_.getMessage.contains("single-serialized-committer"))),
+      s"expected the out-of-order guard, got: ${ex.getMessage}")
+    q.stop()
+    // option misuse fails synchronously at load(), not on the stream thread
+    intercept[IllegalArgumentException](spark.readStream.format("graft-vstore")
+      .option("maxTxsPerBatch", "0").load(vst.path))
+    intercept[IllegalArgumentException](spark.readStream.format("graft-vstore")
+      .option("changesSince", "1").option("changesUntil", "2").load(vst.path))
+  }
+
   test("late-row counter tallies rows a watermark would have dropped") {
     implicit val sqlCtx = spark.sqlContext
     val store = CandleStore(spark, tmpDir("st-late") + "/t")
