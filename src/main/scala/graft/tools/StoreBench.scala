@@ -23,6 +23,9 @@ object StoreBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(5000000L)
     if (args.contains("skew")) { skewSoak(n); return }
+    if (args.contains("journal")) {
+      journalSoak(args.headOption.flatMap(_.toIntOption).getOrElse(600)); return
+    }
     val spark = GraftSession.builder(appName = "graft-storebench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = java.nio.file.Files.createTempDirectory("graft-storebench").toString + "/t"
@@ -67,6 +70,50 @@ object StoreBench {
     time("versioned as-of tx 1")(vst.scanAsOf(1L).count())
     time("versioned compact")(vst.compact())
     time("versioned scan post-compact")(vst.scan().count())
+    spark.stop()
+  }
+
+  /** Journal soak: the metadata wall a long-lived streaming table hits —
+    * N commits' journal rows with vs without checkpoint rollup; measures
+    * the txlog listing size and the journal-read latency every scan pays.
+    */
+  private def journalSoak(commits: Int): Unit = {
+    val spark = GraftSession.builder(appName = "graft-journalbench").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def seed(rows: Long) = spark.range(rows).select(
+      lit("UPBIT").as("market"), lit("SYM0").as("code"),
+      lit(60).as("candle_length"),
+      timestamp_seconds(lit(1609459200L) + col("id") * 60).as("ts"),
+      (rand(42) * 100).as("open"), (rand(43) * 100 + 100).as("high"),
+      (rand(44) * 50).as("low"), (rand(45) * 100).as("close"),
+      (rand(46) * 10).as("volume"), lit(0L).as("bit_fields"))
+    for ((label, every) <- Seq(("rollup-100", 100), ("no-rollup", Int.MaxValue))) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-journalbench")
+        .toString + "/v"
+      val st = new graft.store.VersionedCandleStore(spark, dir, checkpointEvery = every)
+      st.commit(seed(1000))
+      var tx = st.latestTxId
+      val t0 = System.nanoTime()
+      while (tx < commits) {
+        tx += 1
+        st.writeJournalRow(tx, 0L,
+          new java.sql.Timestamp(1700000000000L), "commit", None)
+        if (every != Int.MaxValue && tx % every == 0) { st.checkpointJournal(); () }
+      }
+      val driveSec = (System.nanoTime() - t0) / 1e9
+      val files = new java.io.File(dir + "/txlog").listFiles()
+        .count(f => !f.getName.startsWith("."))
+      def med(reps: Int)(f: => Unit): Double = {
+        val xs = (1 to reps).map { _ =>
+          val a = System.nanoTime(); f; (System.nanoTime() - a) / 1e9
+        }
+        xs.sorted.apply(reps / 2)
+      }
+      val readSec = med(5) { st.latestTxId; () }
+      val scanSec = med(3) { st.scan().count(); () }
+      println(f"[journalbench] $label%-10s commits=$commits txlog_files=$files " +
+        f"drive=${driveSec}%.1f s latestTxId=${readSec * 1000}%.0f ms scan=${scanSec}%.2f s")
+    }
     spark.stop()
   }
 
