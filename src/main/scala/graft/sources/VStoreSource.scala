@@ -46,35 +46,46 @@ final class VStoreSource extends RelationProvider
   // Streaming: tail the change feed (see VStoreStreamSource)           //
   // ------------------------------------------------------------------ //
 
-  private def streamPath(parameters: Map[String, String]): String = {
-    // fail at load() time, not on the stream thread mid-start
+  /** Parse + validate every streaming option in ONE place — called from
+    * `sourceSchema` so misuse fails synchronously at `load()`, never
+    * asynchronously on the stream thread mid-start. Returns
+    * (path, startTx, maxTxsPerBatch).
+    */
+  private def streamOptions(parameters: Map[String, String]): (String, Long, Option[Long]) = {
     require(!parameters.contains("changesUntil") && !parameters.contains("changesuntil"),
       "changesUntil is a batch-reader option; a stream tails indefinitely " +
         "(bound it with .option(\"maxTxsPerBatch\", …) or stop the query)")
-    parameters.get("maxTxsPerBatch").orElse(parameters.get("maxtxsperbatch"))
-      .map(_.toLong).foreach(m => require(m > 0,
-        s"maxTxsPerBatch must be positive, got $m (0 would stall the stream forever)"))
-    parameters.getOrElse("path", throw new IllegalArgumentException(
+    def longOpt(name: String): Option[Long] =
+      parameters.get(name).orElse(parameters.get(name.toLowerCase)).map { s =>
+        s.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"$name must be a number, got '$s'"))
+      }
+    val startTx = longOpt("changesSince").getOrElse(0L)
+    require(startTx >= 0, s"changesSince must be >= 0, got $startTx")
+    val maxTxs = longOpt("maxTxsPerBatch")
+    maxTxs.foreach(m => require(m > 0,
+      s"maxTxsPerBatch must be positive, got $m (0 would stall the stream forever)"))
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-vstore requires a path: spark.readStream.format(\"graft-vstore\").load(path)"))
+    (path, startTx, maxTxs)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
+                            parameters: Map[String, String]): (String, StructType) = {
+    val (path, _, _) = streamOptions(parameters)
     (shortName(), VStoreStreamSource.changeSchema(
-      VersionedCandleStore(sqlContext.sparkSession, streamPath(parameters)).tableSchema))
+      VersionedCandleStore(sqlContext.sparkSession, path).tableSchema))
+  }
 
   override def createSource(sqlContext: SQLContext,
                             metadataPath: String,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
-    new VStoreStreamSource(sqlContext, streamPath(parameters),
-      parameters.get("changesSince").orElse(parameters.get("changessince"))
-        .map(_.toLong).getOrElse(0L),
-      parameters.get("maxTxsPerBatch").orElse(parameters.get("maxtxsperbatch"))
-        .map(_.toLong))
+    val (path, startTx, maxTxs) = streamOptions(parameters)
+    new VStoreStreamSource(sqlContext, path, startTx, maxTxs)
   }
 
   override def createRelation(sqlContext: SQLContext,

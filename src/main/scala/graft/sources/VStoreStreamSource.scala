@@ -40,9 +40,6 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
                                startTx: Long, maxTxsPerBatch: Option[Long])
   extends Source {
 
-  maxTxsPerBatch.foreach(m => require(m > 0,
-    s"maxTxsPerBatch must be positive, got $m (0 would stall the stream forever)"))
-
   private val store = VersionedCandleStore(sqlContext.sparkSession, path)
 
   override val schema: StructType = VStoreStreamSource.changeSchema(
@@ -68,17 +65,25 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
     case other => other.json.trim.toLong
   }
 
+  /** The loud-fail check: a committed id inside the already-delivered
+    * region that no batch delivered means a concurrent committer
+    * journaled out of order — its rows would otherwise be skipped
+    * silently forever.
+    */
+  private def failOnLateCommit(ids: Array[Long], below: Long): Unit = {
+    if (deliveredBelow == null) return
+    val late = ids.filter(id => id <= below && !deliveredBelow(id))
+    if (late.nonEmpty)
+      throw new IllegalStateException(
+        s"tx ${late.mkString(",")} journaled at or below the already-emitted " +
+          s"offset $below: concurrent committers violate this stream's " +
+          "single-serialized-committer assumption; restart the tail from an " +
+          "earlier changesSince to re-deliver")
+  }
+
   override def getOffset: Option[V1Offset] = {
     val (_, ids) = store.journalCommitted()
-    if (deliveredBelow != null) {
-      val late = ids.filter(id => id <= known && !deliveredBelow(id))
-      if (late.nonEmpty)
-        throw new IllegalStateException(
-          s"tx ${late.mkString(",")} journaled at or below the already-emitted " +
-            s"offset $known: concurrent committers violate this stream's " +
-            "single-serialized-committer assumption; restart the tail from an " +
-            "earlier changesSince to re-deliver")
-    }
+    failOnLateCommit(ids, known)
     val latest = ids.lastOption.getOrElse(0L)
     val capped = maxTxsPerBatch match {
       case Some(m) => math.min(latest, math.max(known, startTx) + m)
@@ -91,11 +96,17 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
     val from = start.map(offsetValue).getOrElse(startTx)
     val until = offsetValue(end)
     // ONE journal snapshot serves both the delivered frame and the
-    // bookkeeping set, so the out-of-order check can never flag a tx
-    // this very batch delivered
+    // bookkeeping set, so the check can never flag a tx this very batch
+    // delivers. Check against the PREVIOUS set before extending it — a
+    // late tx landing between getOffset and this call must fail here,
+    // not be absorbed as if delivered (this batch's window starts at
+    // `from`, so an id ≤ from in this snapshot is NOT in the frame).
     val (floor, ids) = store.journalCommitted()
+    failOnLateCommit(ids, from)
     if (until > known) known = until
-    deliveredBelow = ids.filter(_ <= until).toSet
+    deliveredBelow =
+      if (deliveredBelow == null) ids.filter(_ <= until).toSet
+      else deliveredBelow ++ ids.filter(id => id > from && id <= until)
     // the engine asserts isStreaming on the returned frame
     org.apache.spark.sql.graft.ColumnBridge.asStreaming(
       sqlContext.sparkSession, store.changesWindow(from, until, floor, ids))

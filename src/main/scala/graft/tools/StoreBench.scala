@@ -21,7 +21,8 @@ import graft.store.CandleStore
   */
 object StoreBench {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(5000000L)
+    // non-numeric first arg (bare `journal`/`skew`) falls back to defaults
+    val n = args.headOption.flatMap(_.toLongOption).getOrElse(5000000L)
     if (args.contains("skew")) { skewSoak(n); return }
     if (args.contains("journal")) {
       journalSoak(args.headOption.flatMap(_.toIntOption).getOrElse(600)); return
