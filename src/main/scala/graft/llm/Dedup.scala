@@ -41,6 +41,11 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
     df.withColumn("_digest", digest)
       .join(keep, Seq("_digest", idCol))
+      // A corpus with EXACT duplicate rows sharing an id matches its
+      // group's winner (digest, id) more than once; collapse back to
+      // the one-row-per-digest contract. Deterministic: every matched
+      // row projects identical (norm_text, id, dup_count).
+      .dropDuplicates("_digest")
       .select(norm.as("norm_text"), col(idCol), col("dup_count"))
   }
 

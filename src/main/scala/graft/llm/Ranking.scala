@@ -76,24 +76,33 @@ object Ranking {
     * engines.
     *
     * Scale: the (doc, term) tf aggregation is the inherent corpus-scale
-    * shuffle of keyword extraction; the df join is term-keyed
-    * (Zipf-skewed — AQE skew handling applies); the per-doc top-k
-    * window partitions on the high-cardinality doc id.
+    * shuffle of keyword extraction, and it runs ONCE (`tf` is
+    * materialized before fanning out to the df aggregation and the
+    * scoring join — otherwise the tokenize+aggregate pipeline would
+    * re-evaluate per consumer). Document frequencies are a vocabulary-
+    * sized frame joined by BROADCAST, so the Zipf-skewed term key never
+    * shuffles the corpus-scale tf rows; the corpus size folds to a
+    * literal via one count action (a metadata-only scan for parquet
+    * sources) instead of a 1-row nested-loop join. Net plan: tf
+    * aggregation + df aggregation + per-doc top-k window = 3 exchanges,
+    * no NestedLoopJoin.
     */
   def topTerms(df: DataFrame, idCol: String, textCol: String,
                k: Int = 5): DataFrame = {
     require(k > 0, "k must be positive")
+    // One count action; (n_docs + 1.0) is an exact-integer double, so
+    // folding it driver-side is bit-identical to computing it in-plan.
+    val nDocs = df.count().toDouble
     val toks = df
       .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("_s").desc, col("term").asc)
-    tf.join(dfreq, "term")
-      .crossJoin(broadcast(nDocs))
-      .withColumn("_s", col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("_s", col("tf") * log(lit(nDocs + 1.0) / (col("df") + 1.0)))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(idCol), col("term"), col("rank"),

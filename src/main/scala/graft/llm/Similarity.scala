@@ -749,7 +749,10 @@ object Similarity {
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.llm.Similarity")
 
-  private def derivedRerank(rerank: Int, k: Int, scaled: Double): Int = {
+  // `scaled` is by-name: when an explicit rerank is passed, the derived
+  // width (whose computation costs a corpus.count() Spark job at the
+  // call sites) must never be evaluated.
+  private def derivedRerank(rerank: Int, k: Int, scaled: => Double): Int = {
     if (rerank > 0) return rerank
     if (math.ceil(scaled) > MaxDerivedRerank)
       logger.warn(

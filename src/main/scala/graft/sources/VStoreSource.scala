@@ -93,13 +93,24 @@ final class VStoreSource extends RelationProvider
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-vstore requires a path: spark.read.format(\"graft-vstore\").load(path)"))
-    val asOfTx = parameters.get("asOfTx").orElse(parameters.get("asoftx")).map(_.toLong)
+    // same descriptive-failure contract as streamOptions' longOpt — a
+    // bare NumberFormatException names neither the option nor the value
+    def longOpt(name: String): Option[Long] =
+      parameters.get(name).orElse(parameters.get(name.toLowerCase)).map { s =>
+        s.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"$name must be a number, got '$s'"))
+      }
+    val asOfTx = longOpt("asOfTx")
     val asOfTime = parameters.get("asOfTime").orElse(parameters.get("asoftime"))
-      .map(Timestamp.valueOf)
-    val since = parameters.get("changesSince").orElse(parameters.get("changessince"))
-      .map(_.toLong)
-    val until = parameters.get("changesUntil").orElse(parameters.get("changesuntil"))
-      .map(_.toLong)
+      .map { s =>
+        try Timestamp.valueOf(s)
+        catch {
+          case _: IllegalArgumentException => throw new IllegalArgumentException(
+            s"asOfTime must be a 'yyyy-mm-dd hh:mm:ss[.f…]' timestamp, got '$s'")
+        }
+      }
+    val since = longOpt("changesSince")
+    val until = longOpt("changesUntil")
     require(Seq(asOfTx, asOfTime, since).count(_.nonEmpty) <= 1,
       "asOfTx, asOfTime and changesSince are mutually exclusive")
     require(until.isEmpty || since.nonEmpty,

@@ -52,27 +52,30 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
     */
   @volatile private var known: Long = startTx
 
-  /** Committed ids ≤ the last delivered offset, pinned at delivery time:
-    * the reference set for the out-of-order-committer check. Null until
-    * the first batch of this incarnation (a violation that happened
-    * entirely while the query was down is indistinguishable from
-    * history and not detectable).
+  /** Incremental committed-set view: O(#gap runs) driver memory for the
+    * life of the query (never a per-delivered-id set) and a steady-state
+    * poll is one journal-directory listing, not an O(total commits)
+    * collect — see [[VersionedCandleStore.JournalView]]. Its seeding
+    * poll reports nothing new, preserving the documented blind spot: a
+    * violation that happened entirely while the query was down is
+    * indistinguishable from history and not detectable.
     */
-  @volatile private var deliveredBelow: Set[Long] = null
+  private val journal = store.newJournalView()
 
   private def offsetValue(o: V1Offset): Long = o match {
     case lo: LongOffset => lo.offset
     case other => other.json.trim.toLong
   }
 
-  /** The loud-fail check: a committed id inside the already-delivered
-    * region that no batch delivered means a concurrent committer
-    * journaled out of order — its rows would otherwise be skipped
-    * silently forever.
+  /** The loud-fail check: a NEWLY observed committed id inside the
+    * already-delivered region means a concurrent committer journaled
+    * out of order — its rows would otherwise be skipped silently
+    * forever. (Ids the view already knew were delivered by an earlier
+    * batch; the view never forgets, so "new and ≤ the delivered
+    * watermark" is exactly "no batch delivered it".)
     */
-  private def failOnLateCommit(ids: Array[Long], below: Long): Unit = {
-    if (deliveredBelow == null) return
-    val late = ids.filter(id => id <= below && !deliveredBelow(id))
+  private def failOnLateCommit(newIds: Array[Long], below: Long): Unit = {
+    val late = newIds.filter(_ <= below)
     if (late.nonEmpty)
       throw new IllegalStateException(
         s"tx ${late.mkString(",")} journaled at or below the already-emitted " +
@@ -82,9 +85,8 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
   }
 
   override def getOffset: Option[V1Offset] = {
-    val (_, ids) = store.journalCommitted()
-    failOnLateCommit(ids, known)
-    val latest = ids.lastOption.getOrElse(0L)
+    failOnLateCommit(journal.poll(), known)
+    val latest = journal.maxCommitted
     val capped = maxTxsPerBatch match {
       case Some(m) => math.min(latest, math.max(known, startTx) + m)
       case None => latest
@@ -95,21 +97,17 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(offsetValue).getOrElse(startTx)
     val until = offsetValue(end)
-    // ONE journal snapshot serves both the delivered frame and the
-    // bookkeeping set, so the check can never flag a tx this very batch
-    // delivers. Check against the PREVIOUS set before extending it — a
-    // late tx landing between getOffset and this call must fail here,
-    // not be absorbed as if delivered (this batch's window starts at
-    // `from`, so an id ≤ from in this snapshot is NOT in the frame).
-    val (floor, ids) = store.journalCommitted()
-    failOnLateCommit(ids, from)
+    // Poll against `from`, the window's start: a late tx landing between
+    // getOffset and this call must fail here, not be absorbed as if
+    // delivered (an id ≤ from is NOT in this batch's frame); an id in
+    // (from, until] IS delivered by this very batch, so it never flags.
+    failOnLateCommit(journal.poll(), from)
     if (until > known) known = until
-    deliveredBelow =
-      if (deliveredBelow == null) ids.filter(_ <= until).toSet
-      else deliveredBelow ++ ids.filter(id => id > from && id <= until)
     // the engine asserts isStreaming on the returned frame
     org.apache.spark.sql.graft.ColumnBridge.asStreaming(
-      sqlContext.sparkSession, store.changesWindow(from, until, floor, ids))
+      sqlContext.sparkSession,
+      store.changesWindow(from, until, journal.floorTx,
+        journal.admittedIn(from, until)))
   }
 
   override def commit(end: V1Offset): Unit = {

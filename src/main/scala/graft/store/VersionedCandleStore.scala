@@ -831,6 +831,138 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     (floor, committed.map(_._1))
   }
 
+  private[graft] def newJournalView(): JournalView = new JournalView
+
+  /** Incremental, driver-memory-bounded journal view for LONG-LIVED
+    * tail readers (the streaming source). A full [[journalCommitted]]
+    * per poll collects O(total commits) rows driver-side — unbounded
+    * per-poll latency for the high-commit-rate tables the checkpoint
+    * rollup targets (~525k commits/year). This view instead:
+    *
+    *  - holds the committed set as (maxSeen, gap intervals): with
+    *    sequential tx allocation, gaps are only aborted reservations
+    *    and counter jumps, so memory is O(#gap runs), never
+    *    O(#commits);
+    *  - absorbs per-commit tail files from their NAMES alone
+    *    (`tx-N-kind.parquet` — the listing is the read), so a
+    *    steady-state poll is one directory listing;
+    *  - re-reads checkpoint parquet only when a NEW rollup appears —
+    *    amortized one row per commit, and new-vs-seen diffing keeps a
+    *    rollup that races the reader (absorbing tails it already
+    *    counted) a no-op.
+    *
+    * The first poll SEEDS the view and reports nothing new (a
+    * violation that predates the reader's incarnation is
+    * indistinguishable from history); later polls return the ids newly
+    * observed since the previous poll, which is exactly the
+    * out-of-order-committer signal the stream's loud-fail check needs.
+    * Not thread-safe: one view per streaming source, driven from the
+    * engine's single query thread.
+    */
+  private[graft] final class JournalView {
+    private var seeded = false
+    private var maxSeen = 0L
+    private var floor = 0L
+    private var lastCpAbsorbed = 0L
+    // gap runs [lo, hi] (inclusive), keyed by lo; disjoint by
+    // construction (runs are only ever created above maxSeen)
+    private val gapRuns = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+
+    /** Highest squash floor observed (compact journal rows). */
+    def floorTx: Long = floor
+
+    /** Highest committed tx id observed. */
+    def maxCommitted: Long = maxSeen
+
+    private def gapContains(id: Long): Boolean = {
+      val e = gapRuns.floorEntry(id)
+      e != null && id <= e.getValue
+    }
+
+    private def removeGap(id: Long): Unit = {
+      val e = gapRuns.floorEntry(id)
+      val lo = e.getKey.longValue
+      val hi = e.getValue.longValue
+      gapRuns.remove(e.getKey)
+      if (lo < id) { gapRuns.put(lo, id - 1); () }
+      if (id < hi) { gapRuns.put(id + 1, hi); () }
+    }
+
+    private def observe(tx: Long, newIds: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+      if (tx > maxSeen) {
+        if (tx > maxSeen + 1) { gapRuns.put(maxSeen + 1, tx - 1); () }
+        maxSeen = tx
+        newIds += tx
+        ()
+      } else if (gapContains(tx)) {
+        removeGap(tx)
+        newIds += tx
+        ()
+      } // already observed: tail retained one rollup behind its checkpoint
+    }
+
+    /** Committed ids in `(from, until]`, ascending — O(window + gap
+      * runs), the exact `admitted` array [[changesWindow]]'s gate needs.
+      */
+    def admittedIn(from: Long, until: Long): Array[Long] = {
+      val out = Array.newBuilder[Long]
+      val hi = math.min(until, maxSeen)
+      var id = math.max(from, 0L) + 1
+      while (id <= hi) {
+        val e = gapRuns.floorEntry(id)
+        if (e != null && id <= e.getValue) id = e.getValue.longValue + 1
+        else { out += id; id += 1 }
+      }
+      out.result()
+    }
+
+    /** Absorb journal growth; returns commit ids newly observed since
+      * the last poll (ascending; empty on the seeding poll). Retries
+      * the checkpoint read when a concurrent rollup swaps files under
+      * the listing (same lock-free posture as [[journalRows]]) — a
+      * failed read mutates nothing, so retry is safe.
+      */
+    def poll(): Array[Long] = {
+      val f = fs
+      verifyLayout(f)
+      var attempt = 0
+      while (true) {
+        val (cp, tails, _) = listJournal(f)
+        val newIds = scala.collection.mutable.ArrayBuffer[Long]()
+        try {
+          cp.foreach { case (n, p) =>
+            if (n > lastCpAbsorbed) {
+              // collect BEFORE mutating: the only throwing step leaves
+              // the view untouched for the retry
+              val rows = spark.read.schema(txLogSchema).parquet(p.toString)
+                .select("tx_id", "kind").collect()
+              rows.foreach { r =>
+                if (r.getString(1) == "compact") {
+                  if (r.getLong(0) > floor) floor = r.getLong(0)
+                } else observe(r.getLong(0), newIds)
+              }
+              lastCpAbsorbed = n
+            }
+          }
+          tails.foreach { p =>
+            p.getName match {
+              case TailName(id, kind) =>
+                val tx = id.toLong
+                if (kind == "compact") { if (tx > floor) floor = tx }
+                else observe(tx, newIds)
+              case _ => ()
+            }
+          }
+          val fresh = newIds.sorted.toArray
+          return if (seeded) fresh else { seeded = true; Array.empty[Long] }
+        } catch {
+          case e: Throwable if attempt < 3 && missingFile(e) => attempt += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
   /** [[changesSince]] against a caller-pinned journal snapshot. */
   private[graft] def changesWindow(sinceTx: Long, untilTx: Long,
                                    floor: Long, committedIds: Array[Long]): DataFrame = {

@@ -21,11 +21,14 @@ import graft.store.CandleStore
   */
 object StoreBench {
   def main(args: Array[String]): Unit = {
-    // non-numeric first arg (bare `journal`/`skew`) falls back to defaults
-    val n = args.headOption.flatMap(_.toLongOption).getOrElse(5000000L)
+    // mode words and the numeric size may come in either order
+    // (`journal 300` and `300 journal` both work): the size is the
+    // FIRST numeric token anywhere in args, defaulted per mode
+    val num = args.flatMap(_.toLongOption).headOption
+    val n = num.getOrElse(5000000L)
     if (args.contains("skew")) { skewSoak(n); return }
     if (args.contains("journal")) {
-      journalSoak(args.headOption.flatMap(_.toIntOption).getOrElse(600)); return
+      journalSoak(num.map(_.toInt).getOrElse(600)); return
     }
     val spark = GraftSession.builder(appName = "graft-storebench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -176,6 +176,83 @@ class StreamingSpec extends SparkSpec {
       .option("changesSince", "1").option("changesUntil", "2").load(vst.path))
   }
 
+  test("journal rollup racing a slow change-feed tail: exactly-once across many rotations") {
+    // rollup interval (5) ≪ commit count (~130): the tail's unabsorbed
+    // window repeatedly rotates into checkpoint files (tails deleted one
+    // rollup behind) WHILE the paced reader is still below them — the
+    // reader must keep delivering every tx exactly once, never wedge,
+    // and never fail (rollup moves no squash floor; only compact does).
+    val vst = graft.store.VersionedCandleStore(
+      spark, tmpDir("st-cdf-roll") + "/v", checkpointEvery = 5)
+    vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()) // tx 1
+    val q = spark.readStream.format("graft-vstore")
+      .option("maxTxsPerBatch", "7").load(vst.path)
+      .writeStream.format("memory").queryName("cdfroll")
+      .option("checkpointLocation", tmpDir("st-cdf-roll-ckpt")).start()
+    q.processAllAvailable()
+    var nextTx = 2L
+    var expected = Set(("BTC", 1.0, 1L))
+    (1 to 4).foreach { round =>
+      // a burst of row-less journal commits (the ~525k-commits/year
+      // shape driven journal-only, as the scale specs do) …
+      (1 to 30).foreach { _ =>
+        vst.writeJournalRow(nextTx, 0L, ts("2024-05-01 10:00:00"), "commit", None)
+        nextTx += 1
+      }
+      // … force a rotation mid-burst (the opportunistic path only runs
+      // inside commit()), then land one real commit the sink can see
+      vst.checkpointJournal()
+      vst.commit(Seq(c("ETH", "2021-06-01 00:00:00", round.toDouble)).toDF())
+      expected += (("ETH", round.toDouble, nextTx))
+      nextTx += 1
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(vst.latestTxId == nextTx - 1)
+    val got = spark.table("cdfroll").select("code", "open", "tx_id")
+      .as[(String, Double, Long)].collect()
+    assert(got.length == got.toSet.size, "rollup race duplicated a delivery")
+    assert(got.toSet == expected,
+      s"delivered ${got.toSet.size} rows, expected ${expected.size}")
+  }
+
+  test("compact() squashing past a slow tail's next offset kills the query loudly") {
+    val vst = graft.store.VersionedCandleStore(spark, tmpDir("st-cdf-sq") + "/v")
+    vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())  // tx 1
+    vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2)).toDF())  // tx 2
+    // pace 1 tx/batch, deliver everything committed so far, then STOP —
+    // a live query would race the commits below and advance past them
+    val ckpt = tmpDir("st-cdf-sq-ckpt")
+    val outDir = tmpDir("st-cdf-sq-out")
+    // parquet sink: recoverable from the checkpoint (memory is not)
+    val q = spark.readStream.format("graft-vstore")
+      .option("maxTxsPerBatch", "1").load(vst.path)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(outDir).count() == 2)
+    // while the tail is down, two more commits land and compact()
+    // squashes per-tx history up to tx 4: the resumed reader's next
+    // window (2, 3] starts below the squash floor, whose history no
+    // longer exists — the stream must die loudly (silent resume would
+    // skip the squashed interleaving), same posture as the batch
+    // changesSince guard.
+    vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 3)).toDF())  // tx 3
+    vst.commit(Seq(c("ETH", "2021-06-01 00:00:00", 5)).toDF())  // tx 4
+    assert(vst.compact() == 4L)
+    val ex = intercept[Exception] {
+      val q2 = spark.readStream.format("graft-vstore")
+        .option("maxTxsPerBatch", "1").load(vst.path)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def mentions(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(e => e.getMessage != null && e.getMessage.contains("compact"))
+    assert(mentions(ex), s"expected the squash-floor guard, got: ${ex.getMessage}")
+  }
+
   test("late-row counter tallies rows a watermark would have dropped") {
     implicit val sqlCtx = spark.sqlContext
     val store = CandleStore(spark, tmpDir("st-late") + "/t")
