@@ -21,21 +21,30 @@ object Bench {
     try SparkEntry.queries.get("q02_filter_case")
       .foreach { fn => fn(spark, sfDir).count(); () }
     catch { case _: Throwable => () }
+    // Optional noise control: SPARK_GRAFT_BENCH_REPS=N times each query
+    // N times and reports the MEDIAN — one GC pause or page-cache miss
+    // stops reading as a 3-6x "regression" on a sub-second query.
+    // Default 1 keeps the run inside the driver's time budget.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // A failed query reports -1, never a plausible elapsed time — a
       // regression must look like one, not like a speedup.
-      val sec =
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
         }
+      }
+      val sec =
+        if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2)
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

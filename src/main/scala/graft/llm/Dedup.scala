@@ -390,29 +390,60 @@ object Dedup {
     * no hardcoded width. Nothing is ever quadratic and nothing collects
     * to the driver except the per-round accumulator value.
     *
+    * Checkpoint durability: per-round materialization defaults to
+    * `localCheckpoint` — executor-local blocks, the right (and fast)
+    * choice in local mode and for short jobs. Local checkpoints die
+    * with their executor AND truncate lineage, so on a real cluster an
+    * executor loss mid-convergence fails the job unrecoverably; pass
+    * `reliableEvery = k` (requires `sparkContext.setCheckpointDir`) to
+    * write every k-th round's labels — and the static edge list — to
+    * the RELIABLE checkpoint dir instead, bounding recomputation after
+    * an executor loss to < k cheap rounds. Superseded rounds are
+    * unpersisted eagerly either way: block-manager footprint stays at
+    * O(one round), not O(rounds), independent of driver GC timing.
+    *
     * @param numPartitions explicit partitioning for the edge/label
     *        frames; default lets AQE size every round's shuffles.
+    * @param reliableEvery 0 (default) = localCheckpoint every round;
+    *        k > 0 = every k-th round (and the edge list) checkpoints to
+    *        the reliable checkpoint dir, surviving executor loss.
     * @return (id, component) — component = min node id of the cluster;
     *         only nodes that appear in `pairs` are returned (isolated
     *         documents are their own implicit singleton clusters).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50,
-                          numPartitions: Option[Int] = None): DataFrame = {
+                          numPartitions: Option[Int] = None,
+                          reliableEvery: Int = 0): DataFrame = {
     val spark = pairs.sparkSession
+    require(reliableEvery == 0 || spark.sparkContext.getCheckpointDir.nonEmpty,
+      "reliableEvery > 0 needs a reliable checkpoint dir: call " +
+        "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first")
+    val unpersist = org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint _
+    def ckpt(df: DataFrame, reliable: Boolean): DataFrame =
+      if (reliable && reliableEvery > 0) df.checkpoint() else df.localCheckpoint()
     // Materialize the pair list FIRST: the union below references it on
     // both branches, which would otherwise evaluate the (potentially
-    // expensive) upstream pair-detection pipeline twice.
-    val e0 = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .localCheckpoint()
+    // expensive) upstream pair-detection pipeline twice. (Reliable mode
+    // checkpoints it too: a localCheckpoint lost before `edges`
+    // materializes is unrecoverable — lineage is already truncated.)
+    val e0 = ckpt(pairs.select(
+      col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")),
+      reliable = true)
     val width = (df: DataFrame) =>
       numPartitions.map(df.repartition(_)).getOrElse(df)
-    // Symmetrized, deduped edge list, checkpointed once.
-    val edges = width(
+    // Symmetrized, deduped edge list, checkpointed once — RELIABLY in
+    // reliable mode: every round re-reads it, so its loss at any point
+    // of the convergence loop would kill the job.
+    val edges = ckpt(width(
       e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-        .where(col("u") =!= col("v")).distinct()).localCheckpoint()
-    var labels = width(edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))).localCheckpoint()
+        .where(col("u") =!= col("v")).distinct()), reliable = true)
+    unpersist(e0) // consumed exactly once, by the edge build above
+    // `labelsCp` is the CHECKPOINTED handle (what unpersist must see);
+    // `labels` may be a projection over it.
+    var labelsCp = ckpt(width(edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))), reliable = true)
+    var labels = labelsCp
     // Convergence accumulator: bumped row-by-row DURING the round's one
     // materialization job, read on the driver after it.
     val changed = spark.sparkContext.longAccumulator("graft.cc.changed")
@@ -432,14 +463,17 @@ object Dedup {
       // (mins over ids), so the lookup always resolves; coalesce guards
       // the root nodes whose label row is themselves.
       changed.reset()
-      val next = width(stepped
+      val next = ckpt(width(stepped
         .join(stepped.select(col("comp").as("_jk"), col("id").as("_ji")),
           col("comp") === col("_ji"), "left")
         .select(col("id"), col("_old"), coalesce(col("_jk"), col("comp")).as("comp"))
         .withColumn("_ch", bump(col("comp") =!= col("_old")))
-        .select(col("id"), col("comp"), col("_ch")))
-        .localCheckpoint() // the round's ONE action; also counts changes
+        .select(col("id"), col("comp"), col("_ch"))),
+        reliable = (it + 1) % math.max(reliableEvery, 1) == 0)
+        // ^ the round's ONE action; also counts changes
       converged = changed.value == 0L
+      unpersist(labelsCp) // superseded the moment `next` materialized
+      labelsCp = next
       labels = next.select(col("id"), col("comp"))
       it += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))

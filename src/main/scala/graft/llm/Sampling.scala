@@ -71,27 +71,52 @@ object Sampling {
     * local running sum in one `mapPartitions` pass. Bit-identical to
     * the window formulation for any partitioning (spec-gated), with
     * parallelism = shuffle partitions instead of = distinct keys.
-    * The arranged frame is materialized once (`localCheckpoint`):
-    * range boundaries are sample-derived, and the partials pass and
-    * the value pass must see the SAME layout.
+    * The arranged frame is materialized once: range boundaries are
+    * sample-derived, and the partials pass and the value pass must see
+    * the SAME layout. Default is `localCheckpoint` (executor-local
+    * blocks — fast, but lost with an executor AND lineage-truncated,
+    * so an executor loss between the two passes fails the job);
+    * `reliable = true` (requires `sparkContext.setCheckpointDir`)
+    * checkpoints to fault-tolerant storage instead — pay the extra
+    * write on a real cluster, skip it in local mode.
+    *
+    * Driver-side cardinality contract: the offsets pass collects
+    * nPartitions × nKeys partial sums and ships them in a task
+    * closure. That is the DESIGN (keys here are sources/domains/
+    * strata — dozens, not millions); the guard below fails loudly if a
+    * caller feeds a high-cardinality key instead of silently melting
+    * the driver.
     *
     * `valueCol` must be non-null (token counts / literals here).
     */
+  private[graft] val MaxPrefixSumPartials: Long = 1000000L
+
   private[graft] def keyedPrefixSum(df: DataFrame, keyCol: String,
                                   orderCols: Seq[String], valueCol: String,
-                                  outCol: String): DataFrame = {
+                                  outCol: String,
+                                  reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(!reliable || df.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+      "reliable = true needs a reliable checkpoint dir: call " +
+        "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first")
     val sortCols = (keyCol +: orderCols).map(col)
-    val arranged = df
+    val arrangedPlan = df
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+    val arranged =
+      if (reliable) arrangedPlan.checkpoint() else arrangedPlan.localCheckpoint()
     val partials = arranged
       .groupBy(col("_pid"), col(keyCol))
       .agg(sum(col(valueCol).cast("long")).as("_s"))
       .collect()
       .map(r => ((r.getInt(0), r.get(1)), r.getLong(2)))
+    require(partials.length <= MaxPrefixSumPartials,
+      s"keyedPrefixSum collected ${partials.length} (partition, key) " +
+        s"partials (> $MaxPrefixSumPartials): '$keyCol' is too high-" +
+        "cardinality for the driver-side offset table — this path is " +
+        "designed for source/domain-scale keys; use a window or reduce " +
+        "the key space")
     val offsets: Map[(Int, Any), Long] = partials
       .groupBy(_._1._2)
       .iterator.flatMap { case (k, seq) =>
@@ -139,7 +164,8 @@ object Sampling {
     * fewer jobs, right for node-scale strata.
     */
   def capPerKey(df: DataFrame, idCol: String, keyCol: String, maxPerKey: Int,
-                salt: String = "cap", distributed: Boolean = false): DataFrame = {
+                salt: String = "cap", distributed: Boolean = false,
+                reliableCheckpoint: Boolean = false): DataFrame = {
     require(maxPerKey > 0, "maxPerKey must be positive")
     if (!distributed) {
       val w = Window.partitionBy(col(keyCol))
@@ -150,7 +176,7 @@ object Sampling {
     } else
       keyedPrefixSum(
         df.withColumn("_h", unitHash(col(idCol), salt)).withColumn("_one", lit(1L)),
-        keyCol, Seq("_h", idCol), "_one", "_rn")
+        keyCol, Seq("_h", idCol), "_one", "_rn", reliable = reliableCheckpoint)
         .where(col("_rn") <= maxPerKey)
         .drop("_h", "_one", "_rn")
   }
@@ -201,7 +227,8 @@ object Sampling {
   def tokenBudget(df: DataFrame, idCol: String, keyCol: String,
                   nTokensCol: String, budgets: Map[String, Long],
                   defaultBudget: Long, salt: String = "budget",
-                  distributed: Boolean = false): DataFrame = {
+                  distributed: Boolean = false,
+                  reliableCheckpoint: Boolean = false): DataFrame = {
     require((budgets.values.toSeq :+ defaultBudget).forall(_ >= 0),
       "budgets must be >= 0")
     val b = budgets.foldLeft(lit(defaultBudget)) { case (els, (k, v)) =>
@@ -216,7 +243,8 @@ object Sampling {
       } else
         keyedPrefixSum(
           df.withColumn("_h", unitHash(col(idCol), salt)),
-          keyCol, Seq("_h", idCol), nTokensCol, "cum_tokens")
+          keyCol, Seq("_h", idCol), nTokensCol, "cum_tokens",
+          reliable = reliableCheckpoint)
           .drop("_h")
     cum.where(col("cum_tokens") <= b)
   }

@@ -30,6 +30,7 @@ object StoreBench {
     if (args.contains("journal")) {
       journalSoak(num.map(_.toInt).getOrElse(600)); return
     }
+    if (args.contains("cc")) { ccSoak(num.getOrElse(10000000L)); return }
     val spark = GraftSession.builder(appName = "graft-storebench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = java.nio.file.Files.createTempDirectory("graft-storebench").toString + "/t"
@@ -118,6 +119,44 @@ object StoreBench {
       println(f"[journalbench] $label%-10s commits=$commits txlog_files=$files " +
         f"drive=${driveSec}%.1f s latestTxId=${readSec * 1000}%.0f ms scan=${scanSec}%.2f s")
     }
+    spark.stop()
+  }
+
+  /** Connected-components soak (`StoreBench cc [nEdges]`): a graph far
+    * past oracle scale — `nEdges` random edges over nEdges/5 nodes
+    * (supercritical: one giant component emerges, the hard regime for
+    * min-label propagation) PLUS a 4096-node chain so pointer jumping's
+    * O(log d) round count is actually exercised. Runs the default
+    * localCheckpoint path and the reliable-checkpoint path and reports
+    * wall time, rounds, and component count for each (the two must
+    * match exactly).
+    */
+  private def ccSoak(nEdges: Long): Unit = {
+    val spark = GraftSession.builder(appName = "graft-ccbench").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val nNodes = math.max(nEdges / 5, 2L)
+    val chainBase = nNodes + 1000000L
+    val random = spark.range(nEdges).select(
+      pmod(hash(col("id")), lit(nNodes)).cast("long").as("id_a"),
+      pmod(hash(col("id") * 7 + 3), lit(nNodes)).cast("long").as("id_b"))
+    val chain = spark.range(4095).select(
+      (col("id") + chainBase).as("id_a"), (col("id") + chainBase + 1).as("id_b"))
+    val edges = random.unionByName(chain).where(col("id_a") =!= col("id_b"))
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ccbench-ckpt").toString)
+    var components = Map.empty[String, Long]
+    for ((label, reliableEvery) <- Seq(("localCheckpoint", 0), ("reliable-k3", 3))) {
+      val t0 = System.nanoTime()
+      val nComp = graft.llm.Dedup.connectedComponents(
+        edges, "id_a", "id_b", reliableEvery = reliableEvery)
+        .agg(countDistinct(col("component"))).head().getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      components += label -> nComp
+      println(f"[ccbench] $label%-16s edges=$nEdges nodes~$nNodes " +
+        f"rounds=${graft.llm.Dedup.lastCcRounds.get()} components=$nComp sec=$sec%.1f")
+    }
+    require(components.values.toSet.size == 1,
+      s"reliable and local paths disagree: $components")
     spark.stop()
   }
 

@@ -23,6 +23,21 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Free the block-manager storage behind a `localCheckpoint()`ed or
+    * `checkpoint()`ed frame NOW (`LogicalRDD` is `private[sql]`).
+    * Iterative algorithms that checkpoint per round would otherwise
+    * accumulate every superseded round's blocks until the driver GC
+    * happens to collect the Dataset — under memory pressure that is
+    * exactly when eviction thrash starts. No-op for frames that are not
+    * checkpoint results.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Re-tag a batch frame as STREAMING (`internalCreateDataFrame` is
     * `private[sql]`): what a v1 streaming `Source.getBatch` must return
     * — the engine asserts `isStreaming` on it (MemoryStream and

@@ -192,6 +192,18 @@ class CurationSpec extends SparkSpec {
     assert(cN == cW && cN.nonEmpty)
   }
 
+  test("keyedPrefixSum reliable-checkpoint path: identical sums; cardinality guard documented") {
+    val rows = (0L until 500L).map(i => (i, s"src${i % 4}", (i % 5 + 1).toInt))
+    val df = rows.toDF("id", "src", "n").repartition(11)
+    spark.sparkContext.setCheckpointDir(tmpDir("kps-reliable-ckpt"))
+    val viaLocal = Sampling.capPerKey(df, "id", "src", 30, distributed = true)
+      .select("id").as[Long].collect().toSet
+    val viaReliable = Sampling.capPerKey(df, "id", "src", 30,
+        distributed = true, reliableCheckpoint = true)
+      .select("id").as[Long].collect().toSet
+    assert(viaLocal == viaReliable && viaLocal.nonEmpty)
+  }
+
   test("capPerKey keeps at most N per key, deterministically, append-stably") {
     val df = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
     val kept = Sampling.capPerKey(df, "id", "src", maxPerKey = 10)

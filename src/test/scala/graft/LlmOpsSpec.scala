@@ -566,6 +566,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(rounds <= 10, s"pointer jumping should need ~log2(63)+1 rounds, took $rounds")
   }
 
+  test("connectedComponents reliable-checkpoint path: identical components, requires dir") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    // without a checkpoint dir the reliable option must fail loudly,
+    // not silently degrade to executor-local checkpoints
+    val saved = spark.sparkContext.getCheckpointDir
+    if (saved.isEmpty)
+      intercept[IllegalArgumentException](
+        Dedup.connectedComponents(edges, "id_a", "id_b", reliableEvery = 2))
+    spark.sparkContext.setCheckpointDir(tmpDir("cc-reliable-ckpt"))
+    val reliable = Dedup.connectedComponents(edges, "id_a", "id_b",
+        reliableEvery = 2).as[(Long, Long)].collect().toMap
+    val local = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local, "reliable checkpointing changed the components")
+  }
+
   test("dedupNearDup keeps one representative per near-dup cluster") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
