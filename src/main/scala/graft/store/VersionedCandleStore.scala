@@ -724,25 +724,47 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     } else col("tx_id").isInCollection(admitted.toSeq)
   }
 
+  /** Content (non-key) columns, in scan order — what the fold's winner
+    * struct carries and what a pruned read may shrink.
+    */
+  private[graft] val contentCols =
+    Seq("open", "high", "low", "close", "volume", "bit_fields")
+
   /** Scan of the current generation admitting exactly `admitted`
     * (ascending) tx ids — see [[committedGate]]. No join stage.
     */
-  private def gatedScan(admitted: Array[Long]): DataFrame =
+  private def gatedScan(admitted: Array[Long],
+                        content: Seq[String] = contentCols): DataFrame =
     currentGen() match {
       case None => emptyTable()
       case Some((_, genDir)) =>
         foldLatest(spark.read.schema(dataSchema).parquet(genDir.toString)
-          .where(committedGate(admitted)))
+          .where(committedGate(admitted)), content)
     }
 
-  /** Last-wins history fold shared by reads and compaction. */
-  private def foldLatest(df: DataFrame): DataFrame = {
-    val contentStruct = struct(col("open"), col("high"), col("low"),
-      col("close"), col("volume"), col("bit_fields"))
-    df.withColumn("_c", contentStruct)
-      .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
-      .agg(max_by(col("_c"), col("tx_id")).as("_w"))
-      .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
+  /** Last-wins history fold shared by reads and compaction. `content`
+    * prunes the winner struct to the columns a consumer actually reads
+    * (scan-order subset of [[contentCols]]): the fold then references
+    * nothing else, so Catalyst's column pruning shrinks the Parquet
+    * ReadSchema BELOW the aggregation — "read 2 of 6 value columns"
+    * touches 2 columns of I/O, which is the difference that matters on
+    * a 100 TB history. An empty `content` (key-only projection)
+    * degenerates to DISTINCT over the gated keys — no winner needed
+    * when nobody reads the winner.
+    */
+  private def foldLatest(df: DataFrame,
+                         content: Seq[String] = contentCols): DataFrame = {
+    val keys = (Candle.keyCols ++ Seq("ts", "year")).map(col)
+    if (content.isEmpty)
+      df.select(keys: _*).distinct()
+    else {
+      val contentStruct = struct(content.map(col): _*)
+      df.withColumn("_c", contentStruct)
+        .groupBy(keys: _*)
+        .agg(max_by(col("_c"), col("tx_id")).as("_w"))
+        .select("market",
+          Candle.keyCols.tail ++ Seq("ts", "year") ++ content.map("_w." + _): _*)
+    }
   }
 
   /** The table as of transaction `txId` (inclusive): per (series key,
@@ -757,12 +779,17 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * that history has been discarded, and an empty result would be a
     * silent lie.
     */
-  def scanAsOf(txId: Long): DataFrame = {
+  def scanAsOf(txId: Long): DataFrame = scanAsOf(txId, contentCols)
+
+  /** [[scanAsOf]] with the fold's content pruned to `content` — the
+    * DataSource relation's column-pruning entry point.
+    */
+  private[graft] def scanAsOf(txId: Long, content: Seq[String]): DataFrame = {
     val (floor, committed) = journalSnapshot()
     require(txId >= floor,
       s"as-of tx $txId predates the compaction squash point (tx $floor): " +
         "that history has been discarded by compact()")
-    gatedScan(committed.map(_._1).filter(_ <= txId))
+    gatedScan(committed.map(_._1).filter(_ <= txId), content)
   }
 
   /** The table as of a wall-clock instant: exactly the commits whose
@@ -776,7 +803,10 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * result is empty; below the squash floor it fails loudly like
     * [[scanAsOf]].
     */
-  def scanAsOfTime(t: Timestamp): DataFrame = {
+  def scanAsOfTime(t: Timestamp): DataFrame = scanAsOfTime(t, contentCols)
+
+  /** [[scanAsOfTime]] with the fold's content pruned to `content`. */
+  private[graft] def scanAsOfTime(t: Timestamp, content: Seq[String]): DataFrame = {
     val (floor, committed) = journalSnapshot()
     val eligible = committed.filter { case (_, at) =>
       at != null && !at.after(t)
@@ -798,12 +828,16 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       require(eligible.max >= floor,
         s"as-of time $t resolves below the compaction squash point (tx $floor): " +
           "that history has been discarded by compact()")
-      gatedScan(eligible)
+      gatedScan(eligible, content)
     }
   }
 
   /** Latest committed state. */
   def scan(): DataFrame = scanAsOf(Long.MaxValue)
+
+  /** Latest committed state, fold content pruned to `content`. */
+  private[graft] def scan(content: Seq[String]): DataFrame =
+    scanAsOf(Long.MaxValue, content)
 
   /** Change feed (CDC primitive): every row committed by transactions
     * in `(sinceTx, untilTx]`, UNFOLDED — one row per (key, ts, tx), with

@@ -469,6 +469,54 @@ class VersionedStoreSpec extends SparkSpec {
     assert(noMatch.count() == 0, "content filter below the fold resurrected an old version")
   }
 
+  test("graft-vstore reader prunes unused content columns BELOW the fold") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-prune") + "/v")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2021-06-01 00:00:00", 5)).toDF())
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 20)).toDF())
+    val rel = new graft.sources.VStoreRelation(
+      spark.sqlContext, st.path, None, None)
+    def readSchema(frame: org.apache.spark.sql.DataFrame): String =
+      frame.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    // a 2-content-column projection reads 2 content columns of parquet:
+    // the fold's winner struct carries ONLY (open, close), so column
+    // pruning reaches the scan below the aggregation
+    val slim = rel.scanFrame(Array("market", "code", "ts", "open", "close"),
+      Array.empty)
+    val slimSchema = readSchema(slim)
+    assert(slimSchema.contains("open") && slimSchema.contains("close"),
+      s"requested content must be read:\n$slimSchema")
+    for (dropped <- Seq("high", "low", "volume", "bit_fields"))
+      assert(!slimSchema.contains(dropped),
+        s"unused content column '$dropped' not pruned below the fold:\n$slimSchema")
+    assert(slim.queryExecution.executedPlan.toString.contains("max_by")
+      || slim.queryExecution.optimizedPlan.toString.contains("max_by"),
+      "pruned read must still fold last-wins")
+    // values are the folded winners, not stale versions
+    assert(slim.select("code", "open").as[(String, Double)].collect().toSet
+      == Set(("BTC", 20.0), ("ETH", 5.0)))
+    // a content column referenced ONLY by a filter is still read (and
+    // the filter still runs above the fold)
+    val filtered = rel.scanFrame(Array("code"),
+      Array(org.apache.spark.sql.sources.GreaterThan("open", 10.0)))
+    assert(readSchema(filtered).contains("open"),
+      "filter-referenced content column must survive pruning")
+    assert(filtered.as[String].collect().toSeq == Seq("BTC"))
+    // key-only projection: no content read at all, cardinality exact
+    val keysOnly = rel.scanFrame(Array("code", "ts"), Array.empty)
+    val keysSchema = readSchema(keysOnly)
+    for (dropped <- st.contentCols)
+      assert(!keysSchema.contains(dropped),
+        s"key-only read still scans '$dropped':\n$keysSchema")
+    assert(keysOnly.count() == 2)
+    // the end-to-end reader (through Spark's planner) stays correct
+    val viaFormat = spark.read.format("graft-vstore").load(st.path)
+      .select("code", "open")
+    assert(viaFormat.as[(String, Double)].collect().toSet
+      == Set(("BTC", 20.0), ("ETH", 5.0)))
+  }
+
   test("graft-vstore writer: append commits one tx; append-only modes enforced") {
     val path = tmpDir("vstore-dsw") + "/v"
     val b1 = Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()
