@@ -37,7 +37,8 @@ object Similarity {
     * scoring paths; the expression form remains for composition.
     */
   val cosineUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (a: Seq[Float], b: Seq[Float]) =>
+    udf { (as: Seq[Float], bs: Seq[Float]) =>
+      val a = toFA(as); val b = toFA(bs)
       val n = math.min(a.length, b.length)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -159,7 +160,8 @@ object Similarity {
     * one fused JVM pass instead of nPlanes interpreted aggregates.
     */
   def signBitsUdf(planes: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (v: Seq[Float]) =>
+    udf { (vs: Seq[Float]) =>
+      val v = toFA(vs)
       val sb = new java.lang.StringBuilder(planes.length)
       planes.foreach { p =>
         val n = math.min(v.length, p.length)
@@ -241,7 +243,19 @@ object Similarity {
     * float-to-double-cast vector (same sequential accumulation order,
     * same zero-norm guard).
     */
-  private def cosFD(a: Seq[Float], b: Array[Double]): Double = {
+  /** One-shot unbox of a deserialized vector. UDF inputs arrive as an
+    * ArraySeq over a primitive array (zero-copy here); Dataset-encoder
+    * rows arrive as List — whose apply(i) is O(i), turning every
+    * indexed kernel loop QUADRATIC in dim (a 10-30x slowdown measured
+    * on the PQ trainer). Every kernel below takes Array[Float]; entry
+    * points convert exactly once per row.
+    */
+  private def toFA(v: Seq[Float]): Array[Float] = v match {
+    case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+    case other => other.toArray
+  }
+
+  private def cosFD(a: Array[Float], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -305,7 +319,7 @@ object Similarity {
     import corpus.sparkSession.implicits._
     val base = (if (sampleMod <= 1) corpus
                 else corpus.where(col(idCol) % sampleMod === 0))
-      .select(col(vecCol)).as[Seq[Float]]
+      .select(col(vecCol)).as[Array[Float]]
     var cents: Array[Array[Double]] =
       sampleCentroids(corpus, idCol, vecCol, nCells).map(_._2)
     val k = cents.length
@@ -415,7 +429,8 @@ object Similarity {
                            maxClusterSize: Int = Int.MaxValue): DataFrame = {
     val cents = kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)
       .sortBy(_._1)
-    val assignUdf = udf { (v: Seq[Float]) =>
+    val assignUdf = udf { (vs: Seq[Float]) =>
+      val v = toFA(vs)
       var bestCell = Long.MinValue; var bestSim = Double.NegativeInfinity
       var i = 0
       while (i < cents.length) {
@@ -452,7 +467,7 @@ object Similarity {
   /** L2-normalized copy of a float vector as doubles (zero vectors map
     * to all-zero) — the shared "cosine space" prep of every PQ path.
     */
-  private def normalized(raw: Seq[Float]): Array[Double] = {
+  private def normalized(raw: Array[Float]): Array[Double] = {
     var nn = 0.0
     raw.foreach(x => nn += x.toDouble * x.toDouble)
     val inv = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
@@ -468,7 +483,7 @@ object Similarity {
     * its encoding-time cell (cents sorted by cell id; lowest id wins
     * ties, the row_number (csim DESC, cell_id ASC) oracle contract).
     */
-  private def assignIndex(v: Seq[Float], cents: Array[(Long, Array[Double])]): Int = {
+  private def assignIndex(v: Array[Float], cents: Array[(Long, Array[Double])]): Int = {
     var bi = 0; var bs = Double.NegativeInfinity
     var i = 0
     while (i < cents.length) {
@@ -482,7 +497,7 @@ object Similarity {
   /** Per-cell residual of the normalized vector (Jégou et al. 2011
     * §IV.A: r(x) = x − q_c(x)): what IVFADC's product quantizer codes.
     */
-  private def residualOf(raw: Seq[Float],
+  private def residualOf(raw: Array[Float],
                          cents: Array[(Long, Array[Double])]): Array[Double] = {
     val x = normalized(raw)
     val c = cents(assignIndex(raw, cents))._2
@@ -519,13 +534,13 @@ object Similarity {
     */
   private def trainPqBooks(corpus: DataFrame, idCol: String, vecCol: String,
                            m: Int, ks: Int, iters: Int,
-                           prep: Seq[Float] => Array[Double]): Array[Array[Array[Double]]] = {
+                           prep: Array[Float] => Array[Double]): Array[Array[Array[Double]]] = {
     import corpus.sparkSession.implicits._
-    val base = corpus.select(col(vecCol)).as[Seq[Float]]
+    val base = corpus.select(col(vecCol)).as[Array[Float]]
     // books(s)(c)(j): init from the first ks corpus vectors by id
     // (prep-transformed); deterministic like sampleCentroids.
     val init = corpus.orderBy(col(idCol).asc).limit(ks).select(col(vecCol))
-      .collect().map(r => prep(r.getSeq[Float](0)))
+      .collect().map(r => prep(r.getSeq[Float](0).toArray))
     if (init.isEmpty) return Array.fill(m)(Array.empty[Array[Double]])
     val dim = init.head.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -767,7 +782,8 @@ object Similarity {
     * ties — the row_number (csim DESC, cell_id ASC) oracle contract).
     */
   private def ivfAssignUdf(cents: Array[(Long, Array[Double])]): UserDefinedFunction =
-    udf { (v: Seq[Float]) =>
+    udf { (vs: Seq[Float]) =>
+      val v = toFA(vs)
       var bestCell = Long.MinValue; var bestSim = Double.NegativeInfinity
       var i = 0
       while (i < cents.length) {
@@ -781,7 +797,8 @@ object Similarity {
   /** The nProbe closest cells for a query vector. */
   private def ivfProbeUdf(cents: Array[(Long, Array[Double])],
                           nProbe: Int): UserDefinedFunction =
-    udf { (v: Seq[Float]) =>
+    udf { (vs: Seq[Float]) =>
+      val v = toFA(vs)
       cents.map { case (cid, cv) => (round6(cosFD(v, cv)), cid) }
         .sortBy { case (s, cid) => (-s, cid) }
         .take(nProbe).map(_._2).toSeq
@@ -794,7 +811,8 @@ object Similarity {
     */
   private def ivfProbeQcUdf(cents: Array[(Long, Array[Double])],
                             nProbe: Int): UserDefinedFunction =
-    udf { (v: Seq[Float]) =>
+    udf { (vs: Seq[Float]) =>
+      val v = toFA(vs)
       val q = normalized(v)
       cents.map { case (cid, cv) =>
         var d = 0.0
@@ -837,7 +855,7 @@ object Similarity {
   private def pqEncodeUdf(books: Array[Array[Array[Double]]],
                           m: Int, ks: Int): UserDefinedFunction = {
     val sub = pqSubDim(books)
-    udf { (raw: Seq[Float]) => encodeVec(normalized(raw), books, m, ks, sub) }
+    udf { (raw: Seq[Float]) => encodeVec(normalized(toFA(raw)), books, m, ks, sub) }
   }
 
   /** IVFADC encoder: one pass assigning the vector's coarse cell AND
@@ -848,7 +866,8 @@ object Similarity {
                              books: Array[Array[Array[Double]]],
                              m: Int, ks: Int): UserDefinedFunction = {
     val sub = pqSubDim(books)
-    udf { (raw: Seq[Float]) =>
+    udf { (raws: Seq[Float]) =>
+      val raw = toFA(raws)
       val ci = assignIndex(raw, cents)
       val x = normalized(raw)
       val c = cents(ci)._2
@@ -866,7 +885,7 @@ object Similarity {
                           books: Array[Array[Array[Double]]],
                           m: Int, ks: Int): Map[Long, Array[Double]] = {
     val sub = pqSubDim(books)
-    def lutOf(raw: Seq[Float]): Array[Double] = {
+    def lutOf(raw: Array[Float]): Array[Double] = {
       var nn = 0.0
       raw.foreach(x => nn += x.toDouble * x.toDouble)
       val inv = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
@@ -886,7 +905,7 @@ object Similarity {
       lut
     }
     queries.select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map(r => r.getLong(0) -> lutOf(r.getSeq[Float](1))).toMap
+      .map(r => r.getLong(0) -> lutOf(r.getSeq[Float](1).toArray)).toMap
   }
 
   /** ADC score: m LUT lookups per (query, code) row. */

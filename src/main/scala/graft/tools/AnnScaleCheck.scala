@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.llm.Similarity
+
+/** ANN recall soak ACROSS CORPUS SIZES (`AnnScaleCheck [n1 n2 …]`,
+  * default 20k and 200k — 10× and 100× the oracle fixture): the q79/q83
+  * recall gates measure at ≤ sf0.1, which leaves open whether the
+  * documented parameter derivation actually holds the recall floor as
+  * the corpus grows. This drives it: synthetic clustered corpora
+  * (64 true centers + OVERLAPPING Gaussian noise — sigma sized so
+  * routing genuinely binds instead of gifting recall 1.0; fully
+  * deterministic, seeded JVM RNG per id, no Spark RNG partition
+  * dependence), ground truth by
+  * brute force on a 100-query sample, and IVFADC with the derivation's
+  * scaling applied — `nCells ∝ corpus` (constant per-cell occupancy, so
+  * each probe scans a constant share), `nProbe = nCells/4` (constant
+  * probe ratio ⇒ routing recall holds), `rerank` derived (the
+  * `RerankFraction × nProbe × |corpus| / nCells` rule — constant per
+  * query once nCells tracks the corpus). Pass = recall@10 ≥ 0.7 at
+  * every size (the q83 floor). Results land in BASELINE.md.
+  */
+object AnnScaleCheck {
+  private val Dim = 32
+  private val Clusters = 64
+
+  def main(args: Array[String]): Unit = {
+    val sizes = {
+      val ns = args.flatMap(_.toLongOption)
+      if (ns.nonEmpty) ns.toSeq else Seq(20000L, 200000L)
+    }
+    val spark = GraftSession.builder(appName = "graft-annscale").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val centers: Array[Array[Float]] = Array.tabulate(Clusters) { c =>
+      val r = new java.util.Random(9000L + c)
+      Array.fill(Dim)(r.nextGaussian().toFloat)
+    }
+    val gen = udf { (id: Long) =>
+      val r = new java.util.Random(id * 2654435761L + 17)
+      val base = centers((id % Clusters).toInt)
+      Array.tabulate(Dim)(j => base(j) + 0.9f * r.nextGaussian().toFloat).toSeq
+    }
+
+    for (n <- sizes) {
+      val corpus = spark.range(n)
+        .select(col("id").as("vec_id"), gen(col("id")).as("embedding"))
+        .repartition(32).localCheckpoint()
+      val step = math.max(n / 100, 1L)
+      val queries = corpus.where(col("vec_id") % step === 0)
+      val exact = Similarity.bruteForceTopK(corpus, queries,
+          "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id").localCheckpoint()
+      val total = exact.count()
+      // derivation scaling: cells track the corpus, probe ratio constant
+      val nCells = math.max(32, (32L * n / 20000L).toInt)
+      val nProbe = math.max(8, nCells / 4)
+      val t0 = System.nanoTime()
+      val approx = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        k = 10, nCells = nCells, nProbe = nProbe, m = 8, ks = 256, iters = 4,
+        sampleMod = 4)
+      val hit = exact.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = hit.toDouble / total
+      println(f"[annscale] n=$n nCells=$nCells nProbe=$nProbe " +
+        f"recall@10=$recall%.3f ($hit/$total) sec=$sec%.1f")
+      require(recall >= 0.7,
+        f"IVFADC recall@10=$recall%.3f fell below the 0.7 floor at corpus size $n " +
+          "— the nCells/nProbe/rerank derivation does not hold at this scale")
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(corpus)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(exact)
+    }
+    spark.stop()
+  }
+}
