@@ -39,12 +39,19 @@ object Bench {
       }
       val sec =
         if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2)
-      name -> sec
+      (name, sec, times.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map(r => (r._1, r._2)))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    // reps > 1: medians measure STEADY-STATE query cost (one-time
+    // fixture builds — stores, streams, bucketed tables — amortize into
+    // rep 1); "first" preserves the cold numbers a single-shot run
+    // (the driver's) would report, so the two stay comparable.
+    val firstField =
+      if (reps > 1) s""","first":${jmap(results.map(r => (r._1, r._3)))}""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$firstField}""")
     spark.stop()
   }
 }
