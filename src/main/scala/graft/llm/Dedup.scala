@@ -395,12 +395,17 @@ object Dedup {
     * choice in local mode and for short jobs. Local checkpoints die
     * with their executor AND truncate lineage, so on a real cluster an
     * executor loss mid-convergence fails the job unrecoverably; pass
-    * `reliableEvery = k` (requires `sparkContext.setCheckpointDir`) to
-    * write every k-th round's labels — and the static edge list — to
-    * the RELIABLE checkpoint dir instead, bounding recomputation after
-    * an executor loss to < k cheap rounds. Superseded rounds are
-    * unpersisted eagerly either way: block-manager footprint stays at
-    * O(one round), not O(rounds), independent of driver GC timing.
+    * `reliableEvery = k` (requires `sparkContext.setCheckpointDir`)
+    * for the fault-tolerant mode: every k-th round's labels — and the
+    * static edge list — write to the RELIABLE checkpoint dir, and the
+    * rounds BETWEEN them persist WITHOUT lineage truncation (cache,
+    * not localCheckpoint — a lost block recomputes through ≤ k−1
+    * rounds of joins down to reliable checkpoint files, where a
+    * truncated local checkpoint would be unrecoverable). k bounds both
+    * the recompute depth and the analyzed-plan depth. Superseded
+    * rounds are unpersisted eagerly in every mode: block-manager
+    * footprint stays at O(one round), not O(rounds), independent of
+    * driver GC timing.
     *
     * @param numPartitions explicit partitioning for the edge/label
     *        frames; default lets AQE size every round's shuffles.
@@ -419,9 +424,22 @@ object Dedup {
     require(reliableEvery == 0 || spark.sparkContext.getCheckpointDir.nonEmpty,
       "reliableEvery > 0 needs a reliable checkpoint dir: call " +
         "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first")
-    val unpersist = org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint _
+    // Frees whichever storage a round used: CacheManager entry for
+    // persisted frames, block-manager RDD blocks for checkpointed ones.
+    def unpersist(df: DataFrame): Unit = {
+      df.unpersist(blocking = false)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(df)
+    }
     def ckpt(df: DataFrame, reliable: Boolean): DataFrame =
-      if (reliable && reliableEvery > 0) df.checkpoint() else df.localCheckpoint()
+      if (reliableEvery <= 0) df.localCheckpoint()
+      else if (reliable) df.checkpoint()
+      else {
+        // between reliable rounds: materialize via cache + count so the
+        // lineage back to the last reliable checkpoint stays intact
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
     // Materialize the pair list FIRST: the union below references it on
     // both branches, which would otherwise evaluate the (potentially
     // expensive) upstream pair-detection pipeline twice. (Reliable mode

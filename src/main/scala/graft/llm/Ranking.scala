@@ -79,16 +79,26 @@ object Ranking {
     * shuffle of keyword extraction, and it runs ONCE (`tf` is
     * materialized before fanning out to the df aggregation and the
     * scoring join — otherwise the tokenize+aggregate pipeline would
-    * re-evaluate per consumer). Document frequencies are a vocabulary-
-    * sized frame joined by BROADCAST, so the Zipf-skewed term key never
-    * shuffles the corpus-scale tf rows; the corpus size folds to a
-    * literal via one count action (a metadata-only scan for parquet
-    * sources) instead of a 1-row nested-loop join. Net plan: tf
-    * aggregation + df aggregation + per-doc top-k window = 3 exchanges,
-    * no NestedLoopJoin.
+    * re-evaluate per consumer; the materialized blocks live until the
+    * returned frame is garbage-collected, the standard lifetime of
+    * every eager intermediate in this package). Document frequencies
+    * are a vocabulary-sized frame joined by BROADCAST by default, so
+    * the Zipf-skewed term key never shuffles the corpus-scale tf rows;
+    * the corpus size folds to a literal via one count action (a
+    * metadata-only scan for parquet sources) instead of a 1-row
+    * nested-loop join. Net plan: tf aggregation + df aggregation +
+    * per-doc top-k window = 3 exchanges, no NestedLoopJoin.
+    *
+    * @param broadcastDf broadcast the (term, df) vocabulary (default).
+    *        The vocabulary must fit the driver and the broadcast limit
+    *        — fine up to ~tens of millions of distinct terms. For a
+    *        web-scale corpus whose raw vocabulary (URLs, typos, hashes)
+    *        exceeds that, pass `false`: the join shuffles both sides on
+    *        term and AQE's skew handling takes over — more exchanges,
+    *        no driver-side vocabulary.
     */
   def topTerms(df: DataFrame, idCol: String, textCol: String,
-               k: Int = 5): DataFrame = {
+               k: Int = 5, broadcastDf: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
     // One count action; (n_docs + 1.0) is an exact-integer double, so
     // folding it driver-side is bit-identical to computing it in-plan.
@@ -101,7 +111,7 @@ object Ranking {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("_s").desc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    tf.join(if (broadcastDf) broadcast(dfreq) else dfreq, "term")
       .withColumn("_s", col("tf") * log(lit(nDocs + 1.0) / (col("df") + 1.0)))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

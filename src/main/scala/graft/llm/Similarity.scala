@@ -766,16 +766,17 @@ object Similarity {
 
   // `scaled` is by-name: when an explicit rerank is passed, the derived
   // width (whose computation costs a corpus.count() Spark job at the
-  // call sites) must never be evaluated.
+  // call sites) must never be evaluated — and when it IS needed, it is
+  // bound exactly once below (each reference would re-run the count).
   private def derivedRerank(rerank: Int, k: Int, scaled: => Double): Int = {
     if (rerank > 0) return rerank
-    if (math.ceil(scaled) > MaxDerivedRerank)
+    val width = math.ceil(scaled).toLong
+    if (width > MaxDerivedRerank)
       logger.warn(
-        s"derived ANN rerank width ${math.ceil(scaled).toLong} clamped to " +
+        s"derived ANN rerank width $width clamped to " +
           s"$MaxDerivedRerank candidates/query — recall may degrade; raise " +
           "nCells (or lower nProbe) so each probe scans fewer rows")
-    math.max(4L * k,
-      math.min(math.ceil(scaled).toLong, MaxDerivedRerank.toLong)).toInt
+    math.max(4L * k, math.min(width, MaxDerivedRerank.toLong)).toInt
   }
 
   /** Nearest-centroid assignment (sorted cents; lowest cell_id wins

@@ -880,10 +880,13 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     *  - absorbs per-commit tail files from their NAMES alone
     *    (`tx-N-kind.parquet` — the listing is the read), so a
     *    steady-state poll is one directory listing;
-    *  - re-reads checkpoint parquet only when a NEW rollup appears —
-    *    amortized one row per commit, and new-vs-seen diffing keeps a
-    *    rollup that races the reader (absorbing tails it already
-    *    counted) a no-op.
+    *  - reads checkpoint parquet only when a NEW rollup appears, and
+    *    then only its NOVEL rows: novelty compiles to scan predicates
+    *    (commit ids above the watermark or inside a known gap run;
+    *    compact ids above the floor), so a rollup costs O(new + gap
+    *    runs) driver rows — never O(journal age), even though the
+    *    checkpoint file itself is cumulative. A rollup that races the
+    *    reader (absorbing tails it already counted) is a no-op.
     *
     * The first poll SEEDS the view and reports nothing new (a
     * violation that predates the reader's incarnation is
@@ -966,10 +969,29 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
         try {
           cp.foreach { case (n, p) =>
             if (n > lastCpAbsorbed) {
+              // Exact novelty predicate, pushed into the parquet read:
+              // a commit row can be new to the view only above the
+              // watermark or inside a known gap run; a compact row only
+              // above the floor. Everything else was observed before —
+              // the cumulative file's old rows are pruned in the scan,
+              // so the driver receives O(new + gap runs) rows.
+              val gapPred = {
+                var c = lit(false)
+                val it = gapRuns.entrySet().iterator()
+                while (it.hasNext) {
+                  val e = it.next()
+                  c = c || (col("tx_id") >= e.getKey.longValue &&
+                    col("tx_id") <= e.getValue.longValue)
+                }
+                c
+              }
+              val novel =
+                (col("kind") === "commit" && (col("tx_id") > maxSeen || gapPred)) ||
+                  (col("kind") === "compact" && col("tx_id") > floor)
               // collect BEFORE mutating: the only throwing step leaves
               // the view untouched for the retry
               val rows = spark.read.schema(txLogSchema).parquet(p.toString)
-                .select("tx_id", "kind").collect()
+                .where(novel).select("tx_id", "kind").collect()
               rows.foreach { r =>
                 if (r.getString(1) == "compact") {
                   if (r.getLong(0) > floor) floor = r.getLong(0)
