@@ -216,6 +216,44 @@ class StreamingSpec extends SparkSpec {
       s"delivered ${got.toSet.size} rows, expected ${expected.size}")
   }
 
+  test("late commit visible ONLY through a rollup checkpoint is still detected") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    // Drive the source directly (a live query polls continuously and
+    // would see the late TAIL before any rollup; this pins the
+    // checkpoint-only path): the journal view reads new checkpoints
+    // with a novelty predicate — ids above the watermark OR inside a
+    // known gap run — and a late id surfacing only via the (cumulative)
+    // checkpoint must match the gap branch, not be pruned with the
+    // already-observed rows.
+    val vst = graft.store.VersionedCandleStore(spark, tmpDir("st-cdf-cproll") + "/v")
+    vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())  // tx 1
+    vst.commit(Seq(c("ETH", "2021-06-01 00:00:00", 5)).toDF())  // tx 2
+    val src = new graft.sources.VStoreStreamSource(
+      spark.sqlContext, vst.path, 0L, None)
+    assert(src.getOffset.map(_.json.trim) == Some("2"))
+    src.getBatch(None, LongOffset(2L))                    // delivered ≤ 2
+    // a slow concurrent committer reserved tx 3; tx 4 journals first
+    vst.writeJournalRow(4L, 0L, ts("2024-05-01 10:00:00"), "commit", None)
+    assert(src.getOffset.map(_.json.trim) == Some("4"))
+    src.getBatch(Some(LongOffset(2L)), LongOffset(4L))    // delivered ≤ 4; gap {3}
+    // …now tx 3 journals late, and TWO rollups run before the reader
+    // polls again: the second deletes tx 3's tail (absorbed by the
+    // first), so the only trace of the violation is inside the
+    // cumulative checkpoint file
+    vst.writeJournalRow(3L, 0L, ts("2024-05-01 10:01:00"), "commit", None)
+    vst.checkpointJournal()
+    vst.writeJournalRow(5L, 0L, ts("2024-05-01 10:02:00"), "commit", None)
+    vst.checkpointJournal()
+    val tailNames = new java.io.File(vst.path + "/txlog").listFiles()
+      .map(_.getName).filter(_.startsWith("tx-"))
+    assert(!tailNames.exists(_.contains("3-commit")),
+      s"precondition: tx 3's tail must be rolled up and deleted, got ${tailNames.toSeq}")
+    val ex = intercept[IllegalStateException] { src.getOffset }
+    assert(ex.getMessage.contains("single-serialized-committer")
+      && ex.getMessage.contains("tx 3"),
+      s"expected the checkpoint-path late-commit guard, got: ${ex.getMessage}")
+  }
+
   test("compact() squashing past a slow tail's next offset kills the query loudly") {
     val vst = graft.store.VersionedCandleStore(spark, tmpDir("st-cdf-sq") + "/v")
     vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())  // tx 1
