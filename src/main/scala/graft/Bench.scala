@@ -27,7 +27,15 @@ object Bench {
     // Default 1 keeps the run inside the driver's time budget.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+    // Opt-in SPARK_GRAFT_BENCH_GC=1: force a driver GC between queries
+    // so the ContextCleaner reclaims earlier queries' dead checkpoint
+    // blocks at a uniform point instead of whenever the heap fills.
+    // MEASURED NON-DEFAULT: on this corpus the full GCs also flush
+    // reusable broadcast/codegen state and cost +18% total (89→105 s),
+    // so it stays off unless memory-pressure effects are under study.
+    val gcBetween = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (gcBetween) System.gc()
       // A failed query reports -1, never a plausible elapsed time — a
       // regression must look like one, not like a speedup.
       val times = (1 to reps).map { _ =>
