@@ -34,8 +34,10 @@ object Bench {
     // reusable broadcast/codegen state and cost +18% total (89→105 s),
     // so it stays off unless memory-pressure effects are under study.
     val gcBetween = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (gcBetween) System.gc()
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), qi) =>
+      // not before the FIRST query: that would flush the JIT/codegen
+      // state the untimed warmup just built
+      if (gcBetween && qi > 0) System.gc()
       // A failed query reports -1, never a plausible elapsed time — a
       // regression must look like one, not like a speedup.
       val times = (1 to reps).map { _ =>
@@ -45,9 +47,12 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
         }
       }
-      val sec =
-        if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2)
-      (name, sec, times.head)
+      // ANY failed rep poisons both protocols: a fixture that succeeds
+      // cold but fails on re-run is a failure, and "first" must not
+      // report it as a healthy elapsed time.
+      val failed = times.contains(-1.0)
+      val sec = if (failed) -1.0 else times.sorted.apply(reps / 2)
+      (name, sec, if (failed) -1.0 else times.head)
     }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

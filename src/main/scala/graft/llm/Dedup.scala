@@ -424,6 +424,16 @@ object Dedup {
     require(reliableEvery == 0 || spark.sparkContext.getCheckpointDir.nonEmpty,
       "reliableEvery > 0 needs a reliable checkpoint dir: call " +
         "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first")
+    // Between reliable checkpoints lineage is NOT truncated, and each
+    // round references its predecessor ~4x (labels feeds both the
+    // neighbor-min join and the pointer-jump self-join), so the
+    // analyzed plan grows ~4^k between truncations. k ≤ 5 keeps that
+    // at ~1k leaf references — past it, per-round analysis time
+    // explodes long before any fault-tolerance benefit accrues.
+    require(reliableEvery <= 5,
+      s"reliableEvery = $reliableEvery: untruncated lineage quadruples " +
+        "per round, so the analyzed plan grows ~4^k between reliable " +
+        "checkpoints — use k in [1, 5]")
     // Frees whichever storage a round used: CacheManager entry for
     // persisted frames, block-manager RDD blocks for checkpointed ones.
     def unpersist(df: DataFrame): Unit = {

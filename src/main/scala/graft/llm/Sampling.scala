@@ -106,22 +106,25 @@ object Sampling {
       .withColumn("_pid", spark_partition_id())
     val arranged =
       if (reliable) arrangedPlan.checkpoint() else arrangedPlan.localCheckpoint()
+    // guard BEFORE the collect it protects: persist the (legitimately
+    // tiny) aggregate so the distributed count and the collect pay the
+    // aggregation pass once, and a high-cardinality key fails loudly
+    // here instead of OOMing the driver mid-collect
     val partialsDf = arranged
       .groupBy(col("_pid"), col(keyCol))
       .agg(sum(col(valueCol).cast("long")).as("_s"))
-    // guard BEFORE the collect it protects: the count aggregates
-    // distributed (arranged is materialized, so this re-reads blocks,
-    // not the input), and a high-cardinality key fails loudly here
-    // instead of OOMing the driver mid-collect
-    val nPartials = partialsDf.count()
-    require(nPartials <= MaxPrefixSumPartials,
-      s"keyedPrefixSum would collect $nPartials (partition, key) " +
-        s"partials (> $MaxPrefixSumPartials): '$keyCol' is too high-" +
-        "cardinality for the driver-side offset table — this path is " +
-        "designed for source/domain-scale keys; use a window or reduce " +
-        "the key space")
-    val partials = partialsDf.collect()
-      .map(r => ((r.getInt(0), r.get(1)), r.getLong(2)))
+      .persist()
+    val partials =
+      try {
+        val nPartials = partialsDf.count()
+        require(nPartials <= MaxPrefixSumPartials,
+          s"keyedPrefixSum would collect $nPartials (partition, key) " +
+            s"partials (> $MaxPrefixSumPartials): '$keyCol' is too high-" +
+            "cardinality for the driver-side offset table — this path is " +
+            "designed for source/domain-scale keys; use a window or reduce " +
+            "the key space")
+        partialsDf.collect().map(r => ((r.getInt(0), r.get(1)), r.getLong(2)))
+      } finally { partialsDf.unpersist(blocking = false); () }
     val offsets: Map[(Int, Any), Long] = partials
       .groupBy(_._1._2)
       .iterator.flatMap { case (k, seq) =>

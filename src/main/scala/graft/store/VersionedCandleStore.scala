@@ -974,17 +974,29 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
               // watermark or inside a known gap run; a compact row only
               // above the floor. Everything else was observed before —
               // the cumulative file's old rows are pruned in the scan,
-              // so the driver receives O(new + gap runs) rows.
-              val gapPred = {
-                var c = lit(false)
+              // so the driver receives O(new + gap runs) rows. Gap
+              // clauses reduce as a BALANCED or-tree (depth log n, a
+              // left-nested chain would stack-overflow Catalyst on
+              // pathological gap counts), and past 1000 runs the gap
+              // branch degrades to "any id ≤ watermark" — a full read,
+              // slower but still exact (observe() dedups).
+              val gapClauses = {
+                val b = Seq.newBuilder[org.apache.spark.sql.Column]
                 val it = gapRuns.entrySet().iterator()
                 while (it.hasNext) {
                   val e = it.next()
-                  c = c || (col("tx_id") >= e.getKey.longValue &&
+                  b += (col("tx_id") >= e.getKey.longValue &&
                     col("tx_id") <= e.getValue.longValue)
                 }
-                c
+                b.result()
               }
+              def orTree(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+                if (cs.isEmpty) lit(false)
+                else if (cs.length == 1) cs.head
+                else orTree(cs.grouped(2).map(_.reduce(_ || _)).toSeq)
+              val gapPred =
+                if (gapClauses.length > 1000) col("tx_id") <= maxSeen
+                else orTree(gapClauses)
               val novel =
                 (col("kind") === "commit" && (col("tx_id") > maxSeen || gapPred)) ||
                   (col("kind") === "compact" && col("tx_id") > floor)
