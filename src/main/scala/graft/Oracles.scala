@@ -719,6 +719,21 @@ object Oracles {
          SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
            round(volume, 4) AS volume
          FROM r WHERE rn = 1""",
+    // q8A: the bloom prefilter + exact verify is row-identical to the
+    // exact path by construction (no false negatives, FPs verified
+    // away) — the oracle IS q72's.
+    "q8A_bloom_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),
+         g AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 5 THEN []::VARCHAR[] ELSE
+                 list_transform(generate_series(1, len(ws) - 4),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) END) AS g
+               FROM tok),
+         gh AS (SELECT DISTINCT doc_id, ${pHash("g")} AS gram_hash FROM g),
+         bench AS (SELECT DISTINCT gram_hash FROM gh WHERE doc_id % 50 = 0)
+         SELECT a.doc_id, count(*) AS n_contaminated
+         FROM (SELECT doc_id, gram_hash FROM gh WHERE doc_id % 50 <> 0) a
+         JOIN bench b USING (gram_hash)
+         GROUP BY 1""",
     // q89: the change feed after tx 1 = slices 2 and 3's candles,
     // unfolded, stamped with their commit's tx id (commits run in slice
     // order 1, 2, 3 — see Queries.versionedStore).

@@ -926,6 +926,16 @@ object Queries {
     // with tx stamps — the CDC primitive an incremental consumer tails
     // instead of re-folding the table (Delta CDF shape, append/update
     // only by construction).
+    // Bloom-prefiltered decontamination (the blocklist-at-scale shape):
+    // the benchmark's 5-gram set compiles to a bitmap probed scan-side
+    // via Spark's native bloom expressions, exact-verified after — the
+    // output is row-identical to q72's exact path, so it shares q72's
+    // oracle.
+    "q8A_bloom_decontaminate" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.bloomDecontaminate(docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), "doc_id", "text", shingleN = 5)
+    }),
     "q89_vstore_changes" -> ((s, d) => {
       versionedStore(s, d).changesSince(1L)
         .select(col("code"), col("ts"),

@@ -138,6 +138,60 @@ object Dedup {
       .withColumnRenamed("_id", idCol)
   }
 
+  /** [[decontaminate]] behind a BLOOM-FILTER prefilter — the
+    * blocklist-at-scale shape. The benchmark's n-gram set compiles to a
+    * compact bitmap via Spark's native `BloomFilterAggregate`, and the
+    * bitmap ships in the plan as a literal probed by the codegen'd
+    * `BloomFilterMightContain` (the same expression pair Spark's
+    * runtime row-level join filtering uses). The probe runs SCAN-SIDE,
+    * BEFORE any shuffle: only bloom hits enter the (id, gram) distinct
+    * and the exact verify, so the exact path's corpus-scale gram
+    * shuffle shrinks to candidate grams — at 100 TB the difference
+    * between shuffling every 5-gram of the corpus and shuffling the
+    * contaminated sliver. Blooms never false-negative and the exact
+    * semi-join verify kills their false positives, so the output is
+    * row-identical to [[decontaminate]] (q8A shares q72's oracle).
+    *
+    * @param fpp false-positive rate of the prefilter: trades bitmap
+    *        size (~1.44·log2(1/fpp) bits per benchmark gram; 1e-3 ≈
+    *        14.4 bits ≈ 1.8 MB per million grams) against wasted exact
+    *        verification of false-positive candidates.
+    */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, shingleN: Int = 5,
+                         fpp: Double = 0.001): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val B = org.apache.spark.sql.graft.ColumnBridge
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("_id"),
+        explode(shinglesUdf(shingleN)(TextStats.tokens(col(textCol)))).as("_g"))
+      .select(col("_id"), TextStats.portableHash(col("_g")).as("gram_hash"))
+    // benchmark side: small by definition; materialized once, consumed
+    // by the count, the bloom build, and the exact verify
+    val benchGrams = grams(bench).select("gram_hash").distinct().localCheckpoint()
+    val nGrams = math.max(benchGrams.count(), 1L)
+    val numBits = math.max(64L,
+      math.ceil(nGrams * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = benchGrams
+      .select(B.column(new BloomFilterAggregate(
+          B.expression(xxhash64(col("gram_hash"))),
+          Literal(nGrams), Literal(numBits))
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = B.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      B.expression(xxhash64(col("gram_hash")))))
+    grams(corpus)
+      .where(mightContain) // scan-side prefilter: shuffles candidates only
+      .distinct()
+      .join(benchGrams, Seq("gram_hash"), "left_semi") // exact FP kill
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** MinHash permutation constants: k pairs (a_i, b_i) for
     * h_i(x) = (a_i * x + b_i) mod (2^31-1). Deterministic, seeded.
     */

@@ -146,6 +146,33 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> 2L))
   }
 
+  test("bloomDecontaminate == exact decontaminate, even at an FP-heavy fpp") {
+    // a corpus big enough that a sloppy bloom WILL produce false
+    // positives, so the exact-verify stage is actually exercised
+    val bench = (0L until 20L)
+      .map(i => (1000L + i, s"benchmark heldout passage number $i with shared token stream $i"))
+      .toDF("doc_id", "text")
+    val corpus = (0L until 300L).map { i =>
+      val text =
+        if (i % 7 == 0) s"benchmark heldout passage number ${i % 20} with shared token stream ${i % 20}"
+        else s"organic document $i carrying its own distinct vocabulary line ${i * 31} and filler ${i * 17}"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text", shingleN = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBloom = Dedup.bloomDecontaminate(corpus, bench, "doc_id", "text",
+        shingleN = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBloom == exact && exact.nonEmpty)
+    // fpp 0.5: roughly every other clean gram becomes a bloom
+    // candidate — the verify must still kill every false positive
+    val sloppy = Dedup.bloomDecontaminate(corpus, bench, "doc_id", "text",
+        shingleN = 5, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sloppy == exact,
+      "false positives leaked past the exact verification stage")
+  }
+
   // ---------------------------------------------------------------- //
   // Per-key cap                                                      //
   // ---------------------------------------------------------------- //
