@@ -719,6 +719,30 @@ object Oracles {
          SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
            round(volume, 4) AS volume
          FROM r WHERE rn = 1""",
+    // q8B: remove corpus-duplicated 8-word spans — covered positions
+    // derive from the same windows as q71; clean_text rebuilds from
+    // surviving tokens (both engines join the identical token lists
+    // with single spaces).
+    "q8B_remove_dup_spans" ->
+      s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),
+         st AS (SELECT doc_id, ws,
+                  unnest(CASE WHEN len(ws) < 8 THEN []::BIGINT[] ELSE
+                    generate_series(1, len(ws) - 7) END) AS s
+                FROM tok),
+         sp AS (SELECT doc_id, s,
+                  ${pHash("array_to_string(ws[s:s+7], ' ')")} AS h
+                FROM st),
+         dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         cv AS (SELECT doc_id, s + unnest(generate_series(0, 7)) AS p
+                FROM sp JOIN dup USING (h)),
+         cov AS (SELECT doc_id, list(DISTINCT p) AS cov FROM cv GROUP BY doc_id)
+         SELECT t.doc_id,
+           coalesce(array_to_string(list_transform(
+             list_filter(generate_series(1, len(t.ws)),
+               p -> c.cov IS NULL OR NOT list_contains(c.cov, p)),
+             p -> t.ws[p]), ' '), '') AS clean_text,
+           coalesce(len(c.cov), 0)::INT AS n_removed
+         FROM tok t LEFT JOIN cov c USING (doc_id)""",
     // q8A: the bloom prefilter + exact verify is row-identical to the
     // exact path by construction (no false negatives, FPs verified
     // away) — the oracle IS q72's.

@@ -926,6 +926,15 @@ object Queries {
     // with tx stamps — the CDC primitive an incremental consumer tails
     // instead of re-folding the table (Delta CDF shape, append/update
     // only by construction).
+    // Exact-substring dedup as a TRANSFORM (Lee et al. 2022 §4.2): cut
+    // every token covered by a corpus-duplicated 8-word window; q71
+    // detects these spans, this removes them. Output text is
+    // whitespace-normalized (tokenizer tokens re-joined) for engine
+    // parity.
+    "q8B_remove_dup_spans" -> ((s, d) => {
+      Dedup.removeDuplicatedSpans(T.documents(s, d), "doc_id", "text",
+        widthWords = 8)
+    }),
     // Bloom-prefiltered decontamination (the blocklist-at-scale shape):
     // the benchmark's 5-gram set compiles to a bitmap probed scan-side
     // via Spark's native bloom expressions, exact-verified after — the

@@ -114,6 +114,62 @@ object Dedup {
       .where(col("n_docs") >= 2)
   }
 
+  /** The exact-substring-dedup TRANSFORM (Lee et al. 2022 §4.2 applied
+    * at word-window granularity): [[duplicatedSpans]] DETECTS corpus-
+    * duplicated windows; this REMOVES them — every token covered by a
+    * `widthWords`-window whose hash appears in ≥ `minDocs` distinct
+    * documents is cut, and the document's text is rebuilt from the
+    * surviving tokens (whitespace-normalized: the output joins the
+    * tokenizer's tokens with single spaces, for every document).
+    * Returns (idCol, clean_text, n_removed) for ALL documents —
+    * untouched ones keep n_removed = 0.
+    *
+    * Scale posture: span detection shuffles only (id, position, 60-bit
+    * hash) rows — text never rides it; covered positions fold to one
+    * per-document array bounded by document length; the single
+    * text-keyed shuffle is the final id join of those arrays back to
+    * the documents, which any global rewrite needs (AQE broadcasts the
+    * covered side when boilerplate is rare). The cut itself is one
+    * compiled pass per document.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            widthWords: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(widthWords > 0, "widthWords must be positive")
+    require(minDocs >= 2, "minDocs < 2 would delete every document's every span")
+    val toks = df.select(col(idCol).as("_id"), TextStats.tokens(col(textCol)).as("_ws"))
+    // (id, 1-based window start, span hash) — posexplode is 0-based
+    val spans = toks
+      .select(col("_id"), posexplode(shinglesUdf(widthWords)(col("_ws"))))
+      .select(col("_id"), (col("pos") + 1).cast("int").as("_start"),
+        TextStats.portableHash(col("col")).as("_h"))
+    val dupHashes = spans.groupBy(col("_h"))
+      .agg(countDistinct(col("_id")).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select("_h")
+    val covered = spans.join(dupHashes, Seq("_h"), "left_semi")
+      .select(col("_id"),
+        explode(sequence(col("_start"), col("_start") + (widthWords - 1))).as("_p"))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_set(col("_p"))).as("_cov"))
+    val cut = udf { (ws: Seq[String], cov: Seq[Int]) =>
+      if (cov == null || cov.isEmpty) ws.mkString(" ")
+      else {
+        val drop = cov.toSet
+        val b = new StringBuilder
+        var i = 0
+        ws.foreach { w =>
+          i += 1
+          if (!drop(i)) { if (b.nonEmpty) b.append(' '); b.append(w); () }
+        }
+        b.toString
+      }
+    }
+    toks.join(covered, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        cut(col("_ws"), col("_cov")).as("clean_text"),
+        coalesce(size(col("_cov")), lit(0)).cast("int").as("n_removed"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * `shingleN`-gram with a held-out benchmark set (the standard
     * n-gram-overlap contamination check run before training). Returns

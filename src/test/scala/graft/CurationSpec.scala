@@ -146,6 +146,29 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> 2L))
   }
 
+  test("removeDuplicatedSpans cuts cross-doc spans, keeps intra-doc repeats and clean docs") {
+    val boiler = "subscribe to our newsletter for updates and exclusive offers today"
+    val docs = Seq(
+      (1L, s"alpha unique opening words here $boiler"),
+      (2L, s"$boiler beta closing remark entirely different"),
+      (3L, "gamma document with nothing shared across the corpus at all"),
+      // the SAME 8-gram repeated twice inside ONE doc only: n_docs = 1,
+      // below minDocs — intra-doc repetition alone must survive
+      (4L, "delta repeat one two three four five six seven eight " +
+        "repeat one two three four five six seven eight tail")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", widthWords = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // the 10-word boilerplate is 3 overlapping 8-windows shared by docs
+    // 1 and 2 → all 10 boilerplate tokens are covered in both
+    assert(out(1L) == (("alpha unique opening words here", 10)))
+    assert(out(2L) == (("beta closing remark entirely different", 10)))
+    assert(out(3L) == (("gamma document with nothing shared across the corpus at all", 0)))
+    assert(out(4L)._2 == 0, "intra-doc-only repetition must not be removed")
+    // every doc present exactly once
+    assert(out.size == 4)
+  }
+
   test("bloomDecontaminate == exact decontaminate, even at an FP-heavy fpp") {
     // a corpus big enough that a sloppy bloom WILL produce false
     // positives, so the exact-verify stage is actually exercised
