@@ -22,6 +22,20 @@ import graft.model.Candle
   * file commit + idempotent upsert supply those guarantees in Spark's
   * execution model (SURVEY.md §2.1 T1-T4, M1-M4).
   *
+  * Multi-partition CRASH atomicity (the reference wraps a multi-year
+  * batch in ONE WAL transaction — `database/database.go:27-51`,
+  * `database/transaction.go:28-59` — and recovery replays it whole):
+  * [[upsert]]/[[compact]] install through a roll-forward commit intent.
+  * The merged output is staged under `_staging/<txid>/`, a manifest of
+  * exact file deletes+moves is PUBLISHED atomically (tmp + rename) to
+  * `_txlog/<txid>.intent`, and only then executed; [[recover]] — run
+  * automatically by [[scan]]/[[upsert]]/[[compact]] — re-executes any
+  * published intent idempotently, so a crash at ANY point converges to
+  * the full batch (the WAL-replay analog: publish is the commit point).
+  * READER isolation during the seconds-wide install window is out of
+  * scope here, exactly as in the reference (its readers take page locks;
+  * ours use [[VersionedCandleStore]] for snapshot reads).
+  *
   * Scale posture (100 TB): every operation below is a narrow scan of only
   * the partitions a batch touches, a single shuffle for the merge window,
   * and a dynamic-partition-overwrite of only those partitions. Nothing is
@@ -34,7 +48,12 @@ final class CandleStore(spark: SparkSession, val path: String) {
   private def exists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    // metadata dirs (_txlog, _staging, _SUCCESS…) don't make a table:
+    // a store whose first commit crashed pre-install must read as empty
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** Store files are written as TIMESTAMP_MICROS (scoped to OUR writes —
@@ -52,8 +71,11 @@ final class CandleStore(spark: SparkSession, val path: String) {
   private def withMicrosTimestamps[T](df: DataFrame)(f: => T): T =
     CandleStore.withMicrosTimestamps(df)(f)
 
-  /** Full table scan (schema-on-read; callers filter for pruning). */
-  def scan(): DataFrame = spark.read.parquet(path)
+  /** Full table scan (schema-on-read; callers filter for pruning).
+    * Opens with [[recover]] — the reference's "open the database replays
+    * the WAL" contract — so a reader never sees a crash-torn batch.
+    */
+  def scan(): DataFrame = { recover(); spark.read.parquet(path) }
 
   /** Point lookup of one series-year "page" — pure partition pruning
     * (reference: `Storage.checkAndLoad`, `storage.go:78-96`).
@@ -200,6 +222,175 @@ final class CandleStore(spark: SparkSession, val path: String) {
         min("low").as("min_low"), max("high").as("max_high"),
         sum("volume").as("total_volume"))
 
+  // ----- atomic multi-partition commit (one "WAL tx" per batch) -----
+
+  private def hadoopFs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def rootP = new org.apache.hadoop.fs.Path(path)
+  private def txlogP = new org.apache.hadoop.fs.Path(path, "_txlog")
+  private def stagingRootP = new org.apache.hadoop.fs.Path(path, "_staging")
+
+  /** Store-root-relative path (URI-path comparison — scheme-qualified
+    * listStatus results vs hand-built paths, see spark-gotchas).
+    */
+  private def relativize(p: org.apache.hadoop.fs.Path): String = {
+    val root = hadoopFs.makeQualified(rootP).toUri.getPath
+    val f = hadoopFs.makeQualified(p).toUri.getPath
+    require(f.startsWith(root + "/"), s"$f is outside store root $root")
+    f.stripPrefix(root + "/")
+  }
+
+  /** Stage `out` (a fully merged, partition-complete frame for every
+    * partition it touches) under `_staging/<txid>/`, then atomically
+    * publish the exact file-level install plan — delete every live data
+    * file of a touched partition, move every staged file in — as
+    * `_txlog/<txid>.intent`. The PUBLISH (one rename) is the commit
+    * point: before it the batch is invisible and its staging is garbage;
+    * after it [[recover]] rolls the install forward to completion no
+    * matter where a crash lands. Staged part-file names embed the write
+    * job's UUID, so a move destination can never collide with a live
+    * file.
+    */
+  private def stageAndPublish(out: DataFrame): CommitIntent = {
+    val fs = hadoopFs
+    val txid = f"tx-${System.currentTimeMillis}%013d-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(stagingRootP, txid)
+    withMicrosTimestamps(out) {
+      out.write
+        .partitionBy(Candle.partitionCols: _*)
+        .mode(SaveMode.ErrorIfExists)
+        .parquet(staging.toString)
+    }
+    def isData(name: String): Boolean =
+      !name.startsWith("_") && !name.startsWith(".")
+    val stagedPrefix = s"_staging/$txid/"
+    val moves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val it = fs.listFiles(staging, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && isData(f.getPath.getName)) {
+        val srcRel = relativize(f.getPath)
+        moves += ((srcRel, srcRel.stripPrefix(stagedPrefix)))
+      }
+    }
+    // live files of every touched partition dir — listed AFTER the
+    // staged write completed, so the set equals exactly what the merge
+    // read (single writer; concurrent writers are out of contract here,
+    // as for the reference's single-process store)
+    val deletes = moves.map { case (_, destRel) =>
+      destRel.take(destRel.lastIndexOf('/'))
+    }.distinct.flatMap { partRel =>
+      val dir = new org.apache.hadoop.fs.Path(rootP, partRel)
+      if (fs.exists(dir))
+        fs.listStatus(dir).filter(s => s.isFile && isData(s.getPath.getName))
+          .map(s => relativize(s.getPath)).toSeq
+      else Seq.empty[String]
+    }
+    val intent = CommitIntent(txid, deletes.toSeq, moves.toSeq)
+    val tmp = new org.apache.hadoop.fs.Path(txlogP, txid + ".tmp")
+    fs.mkdirs(txlogP)
+    val os = fs.create(tmp, false)
+    try os.write(CommitIntent.encode(intent).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(txlogP, txid + ".intent")))
+      sys.error(s"could not publish commit intent for $txid")
+    intent
+  }
+
+  /** Execute a published intent: deletes, then moves, then cleanup.
+    * Idempotent at every step — a delete target already gone is done, a
+    * move whose source is gone but destination exists is done (rename is
+    * atomic, so exactly one of src/dest exists at all times); a move with
+    * NEITHER side present means staged data was lost and fails loudly.
+    * `maxOps` (tests only) stops after that many delete/move steps
+    * WITHOUT cleanup, simulating a crash at an arbitrary install point.
+    */
+  private[graft] def installPublished(intent: CommitIntent,
+                                      maxOps: Int = Int.MaxValue): Unit = {
+    val fs = hadoopFs
+    val ops: Seq[Either[String, (String, String)]] =
+      intent.deletes.map(Left(_)) ++ intent.moves.map(Right(_))
+    val n = math.min(maxOps, ops.length)
+    var i = 0
+    while (i < n) {
+      ops(i) match {
+        case Left(rel) =>
+          val p = new org.apache.hadoop.fs.Path(rootP, rel)
+          if (fs.exists(p)) fs.delete(p, false)
+        case Right((srcRel, destRel)) =>
+          val src = new org.apache.hadoop.fs.Path(rootP, srcRel)
+          val dest = new org.apache.hadoop.fs.Path(rootP, destRel)
+          if (fs.exists(src)) {
+            fs.mkdirs(dest.getParent)
+            // a false rename is only legal if a concurrent recover won
+            if (!fs.rename(src, dest) && !fs.exists(dest))
+              sys.error(s"atomic install $intent: rename $srcRel -> $destRel failed")
+          } else require(fs.exists(dest),
+            s"atomic install ${intent.txid}: $srcRel and $destRel both " +
+              "missing — staged data lost, cannot roll forward")
+      }
+      i += 1
+    }
+    if (n < ops.length) return // simulated crash: leave intent in place
+    fs.delete(new org.apache.hadoop.fs.Path(stagingRootP, intent.txid), true)
+    fs.delete(new org.apache.hadoop.fs.Path(txlogP, intent.txid + ".intent"), false)
+  }
+
+  /** Roll forward every published-but-incomplete commit intent (the WAL
+    * replay of `database/database.go:56-77`). Cheap when clean: one
+    * existence probe + one (usually empty) listing. Unpublished `.tmp`
+    * intents and their staging are NOT touched — they are uncommitted
+    * and invisible, and [[vacuum]] age-guards their removal (a mtime-
+    * fresh staging dir may be an in-flight writer, see spark-gotchas on
+    * torn-vs-in-flight GC).
+    */
+  def recover(): Int = {
+    val fs = hadoopFs
+    if (!fs.exists(txlogP)) return 0
+    val intents = fs.listStatus(txlogP).map(_.getPath)
+      .filter(_.getName.endsWith(".intent")).sortBy(_.getName)
+    var done = 0
+    intents.foreach { p =>
+      val text =
+        try {
+          val in = fs.open(p)
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => null // concurrent recover finished it
+        }
+      if (text != null) { installPublished(CommitIntent.decode(text)); done += 1 }
+    }
+    done
+  }
+
+  /** Remove crash debris that never reached the commit point: staging
+    * dirs with no published intent and orphaned `.tmp` intents, both
+    * only when older than `minAgeMs` (an mtime-fresh staging dir may be
+    * an in-flight writer's). Returns the number of entries removed.
+    */
+  def vacuum(minAgeMs: Long = 3600000L): Int = {
+    val fs = hadoopFs
+    val cutoff = System.currentTimeMillis - minAgeMs
+    var removed = 0
+    if (fs.exists(stagingRootP)) fs.listStatus(stagingRootP).foreach { s =>
+      val published = fs.exists(
+        new org.apache.hadoop.fs.Path(txlogP, s.getPath.getName + ".intent"))
+      if (!published && s.getModificationTime < cutoff) {
+        fs.delete(s.getPath, true); removed += 1
+      }
+    }
+    if (fs.exists(txlogP)) fs.listStatus(txlogP).foreach { s =>
+      if (s.getPath.getName.endsWith(".tmp") && s.getModificationTime < cutoff) {
+        fs.delete(s.getPath, false); removed += 1
+      }
+    }
+    removed
+  }
+
   /** Upsert-merge a candle batch: the reference's `Page.Add`
     * (`page/page.go:61-142`) + year split (`common/candle.go:70-80`) +
     * insert command (`database/command/insert.go:107-123`) as ONE
@@ -224,8 +415,27 @@ final class CandleStore(spark: SparkSession, val path: String) {
     *   the batch; rows later in the batch win ties on (key, ts). When
     *   absent, ties break on the natural column order of the row itself
     *   (deterministic for any input).
+    * @param atomic install through the crash-atomic commit-intent
+    *   protocol (default; see class doc). `false` keeps Spark's dynamic
+    *   partition overwrite — same result, but a crash mid-commit can
+    *   leave some touched years new and others old permanently.
     */
-  def upsert(batch: DataFrame, ordinalCol: Option[String] = None): DataFrame = {
+  def upsert(batch: DataFrame, ordinalCol: Option[String] = None,
+             atomic: Boolean = true): DataFrame = {
+    upsertInternal(batch, ordinalCol, atomic, Int.MaxValue)
+    scan()
+  }
+
+  /** Test seam: run an atomic upsert but stop the install after `maxOps`
+    * delete/move steps, simulating a crash there; returns the published
+    * intent so the spec can enumerate crash points. */
+  private[graft] def upsertWithCrash(batch: DataFrame,
+                                     maxOps: Int): CommitIntent =
+    upsertInternal(batch, None, atomic = true, maxOps).get
+
+  private def upsertInternal(batch: DataFrame, ordinalCol: Option[String],
+                             atomic: Boolean, maxOps: Int): Option[CommitIntent] = {
+    recover() // a crash-torn predecessor must be completed before we read
     // Tie-break columns, typed identically on both union branches:
     // `_src` new-beats-old, `_ord` later-in-batch-beats-earlier (when an
     // ordinal is supplied), `_cstruct` content tie-break (when not).
@@ -289,18 +499,23 @@ final class CandleStore(spark: SparkSession, val path: String) {
     // hot key. Unlike repartitionByRange (used here in round 2) it
     // needs NO boundary-sampling pass — the merge aggregation above is
     // evaluated exactly once, with no persist/materialization.
-    withMicrosTimestamps(deduped) {
-      deduped
-        .hint("rebalance", Candle.partitionCols: _*)
-        .sortWithinPartitions((Candle.partitionCols :+ "ts").map(col): _*)
-        .write
-        .partitionBy(Candle.partitionCols: _*)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode(SaveMode.Overwrite)
-        .parquet(path)
+    val out = deduped
+      .hint("rebalance", Candle.partitionCols: _*)
+      .sortWithinPartitions((Candle.partitionCols :+ "ts").map(col): _*)
+    if (atomic) {
+      val intent = stageAndPublish(out)
+      installPublished(intent, maxOps)
+      Some(intent)
+    } else {
+      withMicrosTimestamps(out) {
+        out.write
+          .partitionBy(Candle.partitionCols: _*)
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(SaveMode.Overwrite)
+          .parquet(path)
+      }
+      None
     }
-
-    scan()
   }
 
   /** Compaction — the reference's WAL group-flush analog (op M3,
@@ -325,7 +540,8 @@ final class CandleStore(spark: SparkSession, val path: String) {
     * partitions (broadcast semi-join + dynamic overwrite), and nothing
     * is proportional to table size.
     */
-  def compact(maxFilesPerPartition: Int = 4): Int = {
+  def compact(maxFilesPerPartition: Int = 4, atomic: Boolean = true): Int = {
+    recover()
     if (!exists) return 0
     val crowded = scan()
       .select(Candle.partitionCols.map(col) :+ input_file_name().as("_f"): _*)
@@ -335,16 +551,19 @@ final class CandleStore(spark: SparkSession, val path: String) {
       .select(Candle.partitionCols.map(col): _*)
       .localCheckpoint() // small; avoid re-census during the rewrite scan
     val n = crowded.count().toInt
-    if (n > 0) withMicrosTimestamps(crowded) {
-      scan()
+    if (n > 0) {
+      val out = scan()
         .join(broadcast(crowded), Candle.partitionCols, "left_semi")
         .repartition(Candle.partitionCols.map(col): _*)
         .sortWithinPartitions("ts")
-        .write
-        .partitionBy(Candle.partitionCols: _*)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode(SaveMode.Overwrite)
-        .parquet(path)
+      if (atomic) installPublished(stageAndPublish(out))
+      else withMicrosTimestamps(crowded) {
+        out.write
+          .partitionBy(Candle.partitionCols: _*)
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(SaveMode.Overwrite)
+          .parquet(path)
+      }
     }
     n
   }
@@ -396,5 +615,48 @@ object CandleStore {
       case Some(v) => conf.set(key, v)
       case None => conf.unset(key)
     }
+  }
+}
+
+/** File-level install plan of one atomic batch commit — the analog of one
+  * reference WAL transaction record (`database/transaction.go:28-59`):
+  * `deletes` are the live data files of every touched partition, `moves`
+  * install the staged replacements. All paths are store-root-relative,
+  * so the intent stays valid if the table directory moves.
+  */
+private[graft] final case class CommitIntent(
+    txid: String, deletes: Seq[String], moves: Seq[(String, String)]) {
+  def opCount: Int = deletes.length + moves.length
+}
+
+private[graft] object CommitIntent {
+  private val Header = "graft-intent-v1"
+
+  /** Line-oriented, tab-separated: partition values are path-escaped on
+    * disk (Spark's writer escapes tab/newline), so fields can't collide
+    * with the separators.
+    */
+  def encode(i: CommitIntent): String = {
+    val sb = new StringBuilder
+    sb.append(Header).append('\n').append(i.txid).append('\n')
+    i.deletes.foreach(d => sb.append("D\t").append(d).append('\n'))
+    i.moves.foreach { case (s, d) =>
+      sb.append("M\t").append(s).append('\t').append(d).append('\n')
+    }
+    sb.toString
+  }
+
+  def decode(text: String): CommitIntent = {
+    val lines = text.split('\n').filter(_.nonEmpty)
+    require(lines.length >= 2 && lines(0) == Header,
+      s"unrecognized commit-intent format: '${lines.headOption.getOrElse("")}'")
+    val ops = lines.drop(2).map(_.split('\t'))
+    ops.find(p => p.length < 2 || (p(0) != "D" && p(0) != "M")).foreach { bad =>
+      sys.error(s"corrupt commit-intent line: '${bad.mkString("\t")}'")
+    }
+    CommitIntent(
+      lines(1),
+      ops.filter(_(0) == "D").map(_(1)).toSeq,
+      ops.filter(_(0) == "M").map(p => (p(1), p(2))).toSeq)
   }
 }

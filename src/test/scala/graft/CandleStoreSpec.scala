@@ -179,4 +179,81 @@ class CandleStoreSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("code"),
       s"expected partition filters in:\n$plan")
   }
+
+  private def snap(s: CandleStore): Seq[String] =
+    s.scan().select("code", "year", "ts", "open")
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  test("atomic upsert: a crash at EVERY install step rolls forward to the " +
+    "full multi-year batch (one WAL tx per batch, ref transaction.go:28-59 " +
+    "+ replay database.go:56-77)") {
+    val base = tmpDir("cs-atomic")
+    val batchA = Seq(
+      c("BTC", "2021-06-01 00:00:00", 1), c("BTC", "2022-06-01 00:00:00", 2),
+      c("ETH", "2022-06-01 00:00:00", 3)).toDF()
+    def batchB = Seq(
+      c("BTC", "2021-06-01 00:00:00", 10), c("BTC", "2022-07-01 00:00:00", 20),
+      c("BTC", "2023-01-01 00:00:00", 30)).toDF()
+    // expected end state: a store that applied both batches cleanly
+    val ref = CandleStore(spark, base + "/ref")
+    ref.upsert(batchA); ref.upsert(batchB)
+    val want = snap(ref)
+    // ≥2 replaced partitions (BTC 2021+2022) + ≥3 installed files: a
+    // crash can tear the batch across years in every prefix below
+    val probe = CandleStore(spark, base + "/probe")
+    probe.upsert(batchA)
+    val total = probe.upsertWithCrash(batchB, maxOps = 0).opCount
+    assert(total >= 5, s"expected >=2 deletes + >=3 moves, got $total ops")
+    for (k <- 0 to total) {
+      val s = CandleStore(spark, base + s"/t$k")
+      s.upsert(batchA)
+      s.upsertWithCrash(batchB, maxOps = k)
+      // a plain read repairs and sees the WHOLE batch — open replays the WAL
+      assert(snap(s) == want, s"crash after $k of $total install ops")
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val txlog = new org.apache.hadoop.fs.Path(base + s"/t$k", "_txlog")
+      assert(!fs.exists(txlog) || fs.listStatus(txlog).isEmpty,
+        s"intent debris after recovery at crash point $k")
+      val staging = new org.apache.hadoop.fs.Path(base + s"/t$k", "_staging")
+      assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty,
+        s"staging debris after recovery at crash point $k")
+    }
+  }
+
+  test("atomic and dynamic-overwrite installs produce identical tables") {
+    val base = tmpDir("cs-atomic-eq")
+    val b1 = Seq(c("BTC", "2021-06-01 00:00:00", 1), c("ETH", "2022-06-01 00:00:00", 2)).toDF()
+    val b2 = Seq(c("BTC", "2021-06-01 00:00:00", 9), c("BTC", "2023-06-01 00:00:00", 4)).toDF()
+    val a = CandleStore(spark, base + "/a")
+    val b = CandleStore(spark, base + "/b")
+    a.upsert(b1); a.upsert(b2)
+    b.upsert(b1, atomic = false); b.upsert(b2, atomic = false)
+    assert(snap(a) == snap(b))
+    assert(a.compact(maxFilesPerPartition = 1) == b.compact(maxFilesPerPartition = 1, atomic = false))
+    assert(snap(a) == snap(b))
+  }
+
+  test("vacuum age-guards staging debris (in-flight vs torn, spark-gotchas)") {
+    val base = tmpDir("cs-vacuum")
+    val store = CandleStore(spark, base + "/t")
+    store.upsert(Seq(c("BTC", "2022-03-01 10:00:00", 1)).toDF())
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // unpublished debris: a staging dir and a .tmp intent, both "old"
+    val orphan = new org.apache.hadoop.fs.Path(base + "/t", "_staging/tx-000-dead")
+    fs.mkdirs(orphan)
+    val tmp = new org.apache.hadoop.fs.Path(base + "/t", "_txlog/tx-000-dead.tmp")
+    fs.create(tmp, true).close()
+    val old = System.currentTimeMillis - 7200000L
+    fs.setTimes(orphan, old, -1); fs.setTimes(tmp, old, -1)
+    // a FRESH staging dir (a possibly in-flight writer) must survive
+    val fresh = new org.apache.hadoop.fs.Path(base + "/t", "_staging/tx-111-live")
+    fs.mkdirs(fresh)
+    assert(store.vacuum(minAgeMs = 3600000L) == 2)
+    assert(!fs.exists(orphan) && !fs.exists(tmp) && fs.exists(fresh))
+    // recover() never touches unpublished debris
+    assert(store.recover() == 0)
+    assert(fs.exists(fresh))
+  }
 }
