@@ -743,6 +743,33 @@ object Oracles {
              p -> t.ws[p]), ' '), '') AS clean_text,
            coalesce(len(c.cov), 0)::INT AS n_removed
          FROM tok t LEFT JOIN cov c USING (doc_id)""",
+    // q8C: DSIR importance weights — identical hashed-ngram buckets
+    // (unigrams + space-joined bigrams through the portable md5 hash),
+    // identical add-0.5-smoothed target/raw fits, identical per-doc
+    // log-likelihood-ratio sums; only the final weight is rounded.
+    "q8C_dsir_weights" ->
+      s"""WITH tl AS (SELECT doc_id, source, $WS AS ws FROM documents),
+         uni AS (SELECT doc_id, source, unnest(ws) AS g FROM tl),
+         pr AS (SELECT doc_id, source, ws[i-1] || ' ' || ws[i] AS g
+                FROM (SELECT doc_id, source, ws,
+                        unnest(generate_series(2, len(ws))) AS i
+                      FROM tl WHERE len(ws) >= 2)),
+         grams AS (SELECT doc_id, source, ${pHash("g")} % 1024 AS b
+                   FROM (SELECT * FROM uni UNION ALL SELECT * FROM pr)),
+         tc AS (SELECT b, count(*) AS c FROM grams
+                WHERE source IN ('src0', 'src1', 'src2') GROUP BY b),
+         rc AS (SELECT b, count(*) AS c FROM grams GROUP BY b),
+         tt AS (SELECT sum(c)::DOUBLE AS t FROM tc),
+         rt AS (SELECT sum(c)::DOUBLE AS r FROM rc),
+         llr AS (SELECT rc.b,
+                   ln((coalesce(tc.c, 0) + 0.5) / (t + 0.5 * 1024)) -
+                   ln((rc.c + 0.5) / (r + 0.5 * 1024)) AS llr
+                 FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN rt),
+         bag AS (SELECT doc_id, b, count(*) AS c FROM grams GROUP BY 1, 2)
+         SELECT doc_id, sum(c)::BIGINT AS n_grams,
+           ${graft.Portable.roundSql("sum(c * llr)", 4)} AS weight
+         FROM bag JOIN llr USING (b)
+         GROUP BY doc_id""",
     // q8A: the bloom prefilter + exact verify is row-identical to the
     // exact path by construction (no false negatives, FPs verified
     // away) — the oracle IS q72's.

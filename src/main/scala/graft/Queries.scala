@@ -945,6 +945,16 @@ object Queries {
       Dedup.bloomDecontaminate(docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0), "doc_id", "text", shingleN = 5)
     }),
+    // DSIR importance weights (Xie et al. 2023): score every raw doc by
+    // hashed-ngram log-likelihood ratio toward a target tranche
+    // (src0-src2 stand in for the curated corpus). Fully differential:
+    // buckets, smoothed fits, and weights are md5-portable.
+    "q8C_dsir_weights" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Sampling.dsirWeights(
+        docs, docs.where(col("source").isin("src0", "src1", "src2")),
+        "doc_id", "text", nBuckets = 1024)
+    }),
     "q89_vstore_changes" -> ((s, d) => {
       versionedStore(s, d).changesSince(1L)
         .select(col("code"), col("ts"),

@@ -288,4 +288,86 @@ object Sampling {
       }
       .toDF(idCol, nTokensCol, "bucket", "bin_id")
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed n-gram bag is under a
+    * TARGET corpus' distribution than under the raw corpus' own.
+    *
+    *   weight(d) = Σ_b c_{d,b} · (ln p_b − ln q_b)
+    *
+    * where c_{d,b} counts the document's unigrams+bigrams hashed into
+    * bucket b, and p/q are add-λ-smoothed bucket distributions fit on
+    * the target/raw corpora. Selecting the top-weight documents is
+    * importance resampling toward the target distribution — the
+    * standard "make web data look like the curated corpus" step.
+    *
+    * Engine-portable and differentially testable: grams use the md5
+    * [[TextStats.portableHash]], so the DuckDB oracle rebuilds identical
+    * buckets, distributions, and weights (q8C).
+    *
+    * Scale posture: one explode/shuffle over grams per corpus for the
+    * two B-bucket fits (map-side combined to ≤ B rows each, B default
+    * 4096), one explode/shuffle over raw grams for the per-doc bags,
+    * and a BROADCAST join of the B-row log-ratio table — no all-pairs,
+    * no driver data-plane collect (the two grand totals are single-row
+    * aggregates folded to literals, the q7F pattern). At 100 TB the
+    * cost is the same one-pass gram shuffle every text op here pays.
+    *
+    * @return (idCol, n_grams, weight) — weight rounded to 4 decimals
+    *         for cross-engine float parity.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, nBuckets: Int = 4096,
+                  lambda: Double = 0.5): DataFrame = {
+    require(nBuckets > 0 && lambda > 0, "nBuckets and lambda must be positive")
+    val B = nBuckets.toLong
+    // unigrams + bigrams of the lowercased whitespace tokens, hashed to
+    // [0, B). Bigram text joins with a space: words contain no
+    // whitespace post-split, so the encoding is unambiguous.
+    def buckets(df: DataFrame): DataFrame = {
+      val ws = TextStats.tokens(col(textCol))
+      val grams = concat(
+        ws,
+        when(size(ws) >= 2,
+          zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>")))
+      df.select(col(idCol).cast("long").as("_id"), explode(grams).as("_g"))
+        .select(col("_id"), pmod(TextStats.portableHash(col("_g")), lit(B)).as("_b"))
+    }
+    // ONE gram pass over the raw corpus: the per-doc bags; the raw fit
+    // is their bucket-wise sum (identical counts, and the (id, bucket)
+    // exchange below it is reused by both consumers), and the two grand
+    // totals stay IN the DAG as broadcast 1-row aggregates — no extra
+    // actions, no re-explode per total.
+    val bag = buckets(raw)
+      .groupBy(col("_id"), col("_b")).agg(count(lit(1)).as("_c"))
+    val rCnt = bag.groupBy(col("_b")).agg(sum(col("_c")).as("_rc"))
+    val tCnt = buckets(target).groupBy(col("_b")).agg(count(lit(1)).as("_tc"))
+    val tTot = tCnt.agg(sum(col("_tc")).cast("double").as("_tt"))
+    val rTot = rCnt.agg(sum(col("_rc")).cast("double").as("_rt"))
+    // B-row log-likelihood-ratio table: full outer so buckets seen in
+    // only one corpus still contribute their smoothed mass
+    val llr = tCnt.join(rCnt, Seq("_b"), "full_outer")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("_b"),
+        (log((coalesce(col("_tc"), lit(0L)) + lambda) / (col("_tt") + lambda * B)) -
+          log((coalesce(col("_rc"), lit(0L)) + lambda) / (col("_rt") + lambda * B))).as("_llr"))
+    bag
+      .join(broadcast(llr), Seq("_b"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_c")).as("n_grams"),
+        graft.Portable.round(sum(col("_c") * col("_llr")), 4).as("weight"))
+      .select(col("_id").as(idCol), col("n_grams"), col("weight"))
+  }
+
+  /** DSIR selection: the `n` raw documents most target-like by
+    * [[dsirWeights]], ties broken by id (deterministic).
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, n: Int, nBuckets: Int = 4096): DataFrame =
+    dsirWeights(raw, target, idCol, textCol, nBuckets)
+      .orderBy(col("weight").desc, col(idCol))
+      .limit(n)
 }

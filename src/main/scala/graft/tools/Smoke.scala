@@ -150,6 +150,14 @@ object Smoke {
     val packed = graft.llm.Sampling.packGreedy(
       TextStats.documentStats(docs, "doc_id", "text"), "doc_id", "n_tokens", 256, 8)
     check("packGreedy preserves ids", packed.count() == docs.count())
+    val dsir = graft.llm.Sampling.dsirWeights(
+      docs, docs.where($"source".isin("src0", "src1", "src2")),
+      "doc_id", "text", nBuckets = 1024)
+    check("dsirWeights scores every raw doc", dsir.count() == docs.count())
+    check("dsirSelect returns n most target-like",
+      graft.llm.Sampling.dsirSelect(docs,
+        docs.where($"source".isin("src0", "src1", "src2")),
+        "doc_id", "text", n = 25, nBuckets = 1024).count() == 25)
     val ind = TimeSeries.indicators(
       candles.withColumn("ts", to_timestamp(from_unixtime($"bucket")))
         .withColumnRenamed("event_type", "code"),

@@ -460,4 +460,34 @@ class CurationSpec extends SparkSpec {
     assert(!ids.contains(11L), "benchmark-contaminated doc must be dropped")
     assert(ids.contains(103L), "clean survivor must remain")
   }
+
+  test("dsirWeights: target-like docs outweigh off-target ones " +
+    "(importance resampling toward the target distribution, Xie et al. 2023)") {
+    val target = Seq(
+      (100L, "alpha beta gamma alpha beta"),
+      (101L, "beta gamma alpha")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma"),       // on-target vocabulary
+      (2L, "alpha beta gamma beta"),  // on-target
+      (3L, "zeta eta theta"),         // off-target
+      (4L, "theta zeta eta zeta")     // off-target
+    ).toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(raw, target, "doc_id", "text", nBuckets = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(w.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // n_grams = unigrams + bigrams = 2·len − 1
+    assert(w.map(_._2).toSeq == Seq(5L, 7L, 5L, 7L), w.mkString(","))
+    val wm = w.map(x => x._1 -> x._3).toMap
+    // doc 1's grams ALL occur in the target => positive LLR; docs 3/4
+    // share no vocabulary with it => negative. (Doc 2 carries one
+    // target-unseen bigram "gamma beta", so only ordering is asserted —
+    // a sum of per-gram LLRs legitimately dips below zero.)
+    assert(wm(1L) > 0, s"all-target-gram doc must score positive: $wm")
+    assert(wm(3L) < 0 && wm(4L) < 0, s"off-target docs must score negative: $wm")
+    assert(math.min(wm(1L), wm(2L)) > math.max(wm(3L), wm(4L)),
+      s"on-target docs must outweigh off-target ones: $wm")
+    val sel = Sampling.dsirSelect(raw, target, "doc_id", "text", n = 2, nBuckets = 256)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel == Set(1L, 2L), s"top-2 selection must be the on-target docs, got $sel")
+  }
 }
