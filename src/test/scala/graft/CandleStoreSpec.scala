@@ -234,6 +234,23 @@ class CandleStoreSpec extends SparkSpec {
     assert(snap(a) == snap(b))
   }
 
+  test("a corrupt published intent fails recovery loudly (never silently skipped)") {
+    val base = tmpDir("cs-corrupt")
+    val store = CandleStore(spark, base + "/t")
+    store.upsert(Seq(c("BTC", "2022-03-01 10:00:00", 1)).toDF())
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bad = new org.apache.hadoop.fs.Path(base + "/t", "_txlog/tx-999-bad.intent")
+    val os = fs.create(bad, true)
+    os.write("not an intent\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    os.close()
+    val e = intercept[Exception] { store.scan() }
+    assert(e.getMessage != null && e.getMessage.contains("commit-intent"),
+      s"expected a commit-intent format error, got: ${e.getMessage}")
+    fs.delete(bad, false)
+    assert(store.scan().count() == 1) // table healthy once debris is cleared
+  }
+
   test("vacuum age-guards staging debris (in-flight vs torn, spark-gotchas)") {
     val base = tmpDir("cs-vacuum")
     val store = CandleStore(spark, base + "/t")
