@@ -304,38 +304,67 @@ final class CandleStore(spark: SparkSession, val path: String) {
     * move whose source is gone but destination exists is done (rename is
     * atomic, so exactly one of src/dest exists at all times); a move with
     * NEITHER side present means staged data was lost and fails loudly.
-    * `maxOps` (tests only) stops after that many delete/move steps
-    * WITHOUT cleanup, simulating a crash at an arbitrary install point.
+    *
+    * Each phase runs its ops in PARALLEL (bounded pool; ops within a
+    * phase are independent, the delete→move barrier is what recovery
+    * relies on): a 100 TB batch touching thousands of series-year
+    * partitions pays two pipelined metadata rounds, not one sequential
+    * driver-side rename loop. `maxOps` (tests only) stops after that
+    * many delete/move steps WITHOUT cleanup, simulating a crash at an
+    * arbitrary install point — that path stays sequential so every
+    * crash prefix is deterministic.
     */
   private[graft] def installPublished(intent: CommitIntent,
                                       maxOps: Int = Int.MaxValue): Unit = {
     val fs = hadoopFs
-    val ops: Seq[Either[String, (String, String)]] =
-      intent.deletes.map(Left(_)) ++ intent.moves.map(Right(_))
-    val n = math.min(maxOps, ops.length)
-    var i = 0
-    while (i < n) {
-      ops(i) match {
-        case Left(rel) =>
-          val p = new org.apache.hadoop.fs.Path(rootP, rel)
-          if (fs.exists(p)) fs.delete(p, false)
-        case Right((srcRel, destRel)) =>
-          val src = new org.apache.hadoop.fs.Path(rootP, srcRel)
-          val dest = new org.apache.hadoop.fs.Path(rootP, destRel)
-          if (fs.exists(src)) {
-            fs.mkdirs(dest.getParent)
-            // a false rename is only legal if a concurrent recover won
-            if (!fs.rename(src, dest) && !fs.exists(dest))
-              sys.error(s"atomic install $intent: rename $srcRel -> $destRel failed")
-          } else require(fs.exists(dest),
-            s"atomic install ${intent.txid}: $srcRel and $destRel both " +
-              "missing — staged data lost, cannot roll forward")
-      }
-      i += 1
+    def del(rel: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(rootP, rel)
+      if (fs.exists(p)) fs.delete(p, false)
     }
-    if (n < ops.length) return // simulated crash: leave intent in place
+    def mv(srcRel: String, destRel: String): Unit = {
+      val src = new org.apache.hadoop.fs.Path(rootP, srcRel)
+      val dest = new org.apache.hadoop.fs.Path(rootP, destRel)
+      if (fs.exists(src)) {
+        fs.mkdirs(dest.getParent)
+        // a false rename is only legal if a concurrent recover won
+        if (!fs.rename(src, dest) && !fs.exists(dest))
+          sys.error(s"atomic install ${intent.txid}: rename $srcRel -> $destRel failed")
+      } else require(fs.exists(dest),
+        s"atomic install ${intent.txid}: $srcRel and $destRel both " +
+          "missing — staged data lost, cannot roll forward")
+    }
+    if (maxOps < intent.opCount) { // simulated crash: sequential prefix, no cleanup
+      val ops: Seq[Either[String, (String, String)]] =
+        intent.deletes.map(Left(_)) ++ intent.moves.map(Right(_))
+      ops.take(maxOps).foreach {
+        case Left(rel) => del(rel)
+        case Right((s, d)) => mv(s, d)
+      }
+      return
+    }
+    inParallel(intent.deletes)(del)
+    inParallel(intent.moves) { case (s, d) => mv(s, d) }
     fs.delete(new org.apache.hadoop.fs.Path(stagingRootP, intent.txid), true)
     fs.delete(new org.apache.hadoop.fs.Path(txlogP, intent.txid + ".intent"), false)
+  }
+
+  /** Run independent metadata ops on a bounded pool; first failure
+    * propagates (unwrapped). Hadoop FileSystem instances are
+    * thread-safe by contract.
+    */
+  private def inParallel[T](items: Seq[T])(f: T => Unit): Unit = {
+    if (items.lengthCompare(4) <= 0) { items.foreach(f); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, items.length))
+    try {
+      val futures = items.map { i =>
+        pool.submit(new Runnable { def run(): Unit = f(i) })
+      }
+      try futures.foreach(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    } finally pool.shutdownNow()
   }
 
   /** Roll forward every published-but-incomplete commit intent (the WAL
