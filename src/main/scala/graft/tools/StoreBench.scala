@@ -31,6 +31,7 @@ object StoreBench {
       journalSoak(num.map(_.toInt).getOrElse(600)); return
     }
     if (args.contains("cc")) { ccSoak(num.getOrElse(10000000L)); return }
+    if (args.contains("fanout")) { fanoutSoak(num.getOrElse(2000000L)); return }
     val spark = GraftSession.builder(appName = "graft-storebench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = java.nio.file.Files.createTempDirectory("graft-storebench").toString + "/t"
@@ -82,6 +83,41 @@ object StoreBench {
     * N commits' journal rows with vs without checkpoint rollup; measures
     * the txlog listing size and the journal-read latency every scan pays.
     */
+  /** Atomic-install soak at HIGH partition fan-out: one batch touching
+    * 500 codes × 4 years = 2,000 series-year partitions, where the
+    * commit's metadata phase (deletes + moves per partition file) is the
+    * scaling concern rather than row volume — the install runs its
+    * phases on a bounded parallel pool, so wall time should stay far
+    * below one-fs-op-per-partition-sequential latency.
+    */
+  private def fanoutSoak(n: Long): Unit = {
+    val spark = GraftSession.builder(appName = "graft-storebench-fanout").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fanout").toString + "/t"
+    def candles(offset: Long) = spark.range(n)
+      .select(
+        lit("UPBIT").as("market"),
+        concat(lit("SYM"), (col("id") % 500).cast("string")).as("code"),
+        lit(60).as("candle_length"),
+        timestamp_seconds(lit(1609459200L) +
+          (col("id") + offset) / 500 * 21600).as("ts"), // ~4 years / 500 codes
+        (rand(42) * 100).as("open"), (rand(43) * 100 + 100).as("high"),
+        (rand(44) * 50).as("low"), (rand(45) * 100).as("close"),
+        (rand(46) * 10).as("volume"), lit(0L).as("bit_fields"))
+    val store = graft.store.CandleStore(spark, dir)
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[storebench] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    time(s"fanout initial upsert ($n rows)")(store.upsert(candles(0)))
+    val parts = store.listSeries().count()
+    time(s"fanout re-upsert ($parts partitions)")(store.upsert(candles(n / 2)))
+    println(s"[storebench] rows=${store.scan().count()} series-years=$parts")
+    spark.stop()
+  }
+
   private def journalSoak(commits: Int): Unit = {
     val spark = GraftSession.builder(appName = "graft-journalbench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
