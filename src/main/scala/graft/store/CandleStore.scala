@@ -277,17 +277,21 @@ final class CandleStore(spark: SparkSession, val path: String) {
     // live files of every touched partition dir — listed AFTER the
     // staged write completed, so the set equals exactly what the merge
     // read (single writer; concurrent writers are out of contract here,
-    // as for the reference's single-process store)
-    val deletes = moves.map { case (_, destRel) =>
+    // as for the reference's single-process store). Listings run on the
+    // bounded pool: at high partition fan-out the pre-publish census
+    // would otherwise be the same sequential-metadata wall the parallel
+    // install phases avoid.
+    val touched = moves.map { case (_, destRel) =>
       destRel.take(destRel.lastIndexOf('/'))
-    }.distinct.flatMap { partRel =>
+    }.distinct.toSeq
+    val deletes = inParallel(touched) { partRel =>
       val dir = new org.apache.hadoop.fs.Path(rootP, partRel)
       if (fs.exists(dir))
         fs.listStatus(dir).filter(s => s.isFile && isData(s.getPath.getName))
           .map(s => relativize(s.getPath)).toSeq
       else Seq.empty[String]
-    }
-    val intent = CommitIntent(txid, deletes.toSeq, moves.toSeq)
+    }.flatten
+    val intent = CommitIntent(txid, deletes, moves.toSeq)
     val tmp = new org.apache.hadoop.fs.Path(txlogP, txid + ".tmp")
     fs.mkdirs(txlogP)
     val os = fs.create(tmp, false)
@@ -333,7 +337,9 @@ final class CandleStore(spark: SparkSession, val path: String) {
         s"atomic install ${intent.txid}: $srcRel and $destRel both " +
           "missing — staged data lost, cannot roll forward")
     }
-    if (maxOps < intent.opCount) { // simulated crash: sequential prefix, no cleanup
+    if (maxOps != Int.MaxValue) { // simulated crash: sequential prefix, no
+      // cleanup — maxOps == opCount is the crash BETWEEN the last move
+      // and the cleanup deletes (intent + staging left behind)
       val ops: Seq[Either[String, (String, String)]] =
         intent.deletes.map(Left(_)) ++ intent.moves.map(Right(_))
       ops.take(maxOps).foreach {
@@ -344,23 +350,30 @@ final class CandleStore(spark: SparkSession, val path: String) {
     }
     inParallel(intent.deletes)(del)
     inParallel(intent.moves) { case (s, d) => mv(s, d) }
-    fs.delete(new org.apache.hadoop.fs.Path(stagingRootP, intent.txid), true)
-    fs.delete(new org.apache.hadoop.fs.Path(txlogP, intent.txid + ".intent"), false)
+    // verified cleanup: an intent that silently survives (delete returns
+    // false but the path remains) would replay against a table whose
+    // next commit has already replaced these files — fail loudly NOW
+    // instead of bricking a later recover()
+    def cleanup(p: org.apache.hadoop.fs.Path, recursive: Boolean): Unit =
+      if (!fs.delete(p, recursive) && fs.exists(p))
+        sys.error(s"atomic install ${intent.txid}: could not remove $p")
+    cleanup(new org.apache.hadoop.fs.Path(stagingRootP, intent.txid), recursive = true)
+    cleanup(new org.apache.hadoop.fs.Path(txlogP, intent.txid + ".intent"), recursive = false)
   }
 
-  /** Run independent metadata ops on a bounded pool; first failure
-    * propagates (unwrapped). Hadoop FileSystem instances are
-    * thread-safe by contract.
+  /** Run independent metadata ops on a bounded pool, preserving input
+    * order in the results; first failure propagates (unwrapped). Hadoop
+    * FileSystem instances are thread-safe by contract.
     */
-  private def inParallel[T](items: Seq[T])(f: T => Unit): Unit = {
-    if (items.lengthCompare(4) <= 0) { items.foreach(f); return }
+  private def inParallel[T, R](items: Seq[T])(f: T => R): Seq[R] = {
+    if (items.lengthCompare(4) <= 0) return items.map(f)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(32, items.length))
     try {
       val futures = items.map { i =>
-        pool.submit(new Runnable { def run(): Unit = f(i) })
+        pool.submit(new java.util.concurrent.Callable[R] { def call(): R = f(i) })
       }
-      try futures.foreach(_.get())
+      try futures.map(_.get())
       catch {
         case e: java.util.concurrent.ExecutionException => throw e.getCause
       }
@@ -398,17 +411,33 @@ final class CandleStore(spark: SparkSession, val path: String) {
 
   /** Remove crash debris that never reached the commit point: staging
     * dirs with no published intent and orphaned `.tmp` intents, both
-    * only when older than `minAgeMs` (an mtime-fresh staging dir may be
-    * an in-flight writer's). Returns the number of entries removed.
+    * only when older than `minAgeMs`. Staleness is judged by the NEWEST
+    * mtime anywhere under the candidate (a deep staged write touches
+    * nested files continuously, while the root dir's mtime reflects only
+    * its first children — the torn-vs-in-flight distinction from
+    * spark-gotchas), and the publish check is repeated immediately
+    * before each delete to shrink the race against a writer publishing
+    * mid-vacuum. A writer whose staged write stalls longer than
+    * `minAgeMs` between file creations is still out of contract — run
+    * vacuum only when no writer is active, like the reference's offline
+    * maintenance. Returns the number of entries removed.
     */
   def vacuum(minAgeMs: Long = 3600000L): Int = {
     val fs = hadoopFs
     val cutoff = System.currentTimeMillis - minAgeMs
+    def newestMtime(root: org.apache.hadoop.fs.FileStatus): Long = {
+      var newest = root.getModificationTime
+      if (root.isDirectory) {
+        val it = fs.listFiles(root.getPath, true)
+        while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      }
+      newest
+    }
     var removed = 0
     if (fs.exists(stagingRootP)) fs.listStatus(stagingRootP).foreach { s =>
-      val published = fs.exists(
+      def published = fs.exists(
         new org.apache.hadoop.fs.Path(txlogP, s.getPath.getName + ".intent"))
-      if (!published && s.getModificationTime < cutoff) {
+      if (!published && newestMtime(s) < cutoff && !published) {
         fs.delete(s.getPath, true); removed += 1
       }
     }
@@ -680,7 +709,13 @@ private[graft] object CommitIntent {
     require(lines.length >= 2 && lines(0) == Header,
       s"unrecognized commit-intent format: '${lines.headOption.getOrElse("")}'")
     val ops = lines.drop(2).map(_.split('\t'))
-    ops.find(p => p.length < 2 || (p(0) != "D" && p(0) != "M")).foreach { bad =>
+    ops.find { p =>
+      p(0) match {
+        case "D" => p.length != 2
+        case "M" => p.length != 3 // a truncated move line is corruption too
+        case _ => true
+      }
+    }.foreach { bad =>
       sys.error(s"corrupt commit-intent line: '${bad.mkString("\t")}'")
     }
     CommitIntent(

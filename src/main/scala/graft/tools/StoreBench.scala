@@ -79,16 +79,13 @@ object StoreBench {
     spark.stop()
   }
 
-  /** Journal soak: the metadata wall a long-lived streaming table hits —
-    * N commits' journal rows with vs without checkpoint rollup; measures
-    * the txlog listing size and the journal-read latency every scan pays.
-    */
   /** Atomic-install soak at HIGH partition fan-out: one batch touching
-    * 500 codes × 4 years = 2,000 series-year partitions, where the
-    * commit's metadata phase (deletes + moves per partition file) is the
-    * scaling concern rather than row volume — the install runs its
-    * phases on a bounded parallel pool, so wall time should stay far
-    * below one-fs-op-per-partition-sequential latency.
+    * 500 codes × 3 calendar years (1,000 days of 6-hour bars) = 1,500
+    * series-year partitions, where the commit's metadata phase (deletes
+    * + moves per partition file) is the scaling concern rather than row
+    * volume — the install and its pre-publish census run on a bounded
+    * parallel pool, so wall time stays far below
+    * one-fs-op-per-partition-sequential latency.
     */
   private def fanoutSoak(n: Long): Unit = {
     val spark = GraftSession.builder(appName = "graft-storebench-fanout").getOrCreate()
@@ -100,7 +97,7 @@ object StoreBench {
         concat(lit("SYM"), (col("id") % 500).cast("string")).as("code"),
         lit(60).as("candle_length"),
         timestamp_seconds(lit(1609459200L) +
-          (col("id") + offset) / 500 * 21600).as("ts"), // ~4 years / 500 codes
+          (col("id") + offset) / 500 * 21600).as("ts"), // 6 h bars: n/500 steps ≈ 1,000 days
         (rand(42) * 100).as("open"), (rand(43) * 100 + 100).as("high"),
         (rand(44) * 50).as("low"), (rand(45) * 100).as("close"),
         (rand(46) * 10).as("volume"), lit(0L).as("bit_fields"))
@@ -113,11 +110,15 @@ object StoreBench {
     }
     time(s"fanout initial upsert ($n rows)")(store.upsert(candles(0)))
     val parts = store.listSeries().count()
-    time(s"fanout re-upsert ($parts partitions)")(store.upsert(candles(n / 2)))
-    println(s"[storebench] rows=${store.scan().count()} series-years=$parts")
+    time(s"fanout re-upsert (over $parts live partitions)")(store.upsert(candles(n / 2)))
+    println(s"[storebench] rows=${store.scan().count()} series-years=${store.listSeries().count()}")
     spark.stop()
   }
 
+  /** Journal soak: the metadata wall a long-lived streaming table hits —
+    * N commits' journal rows with vs without checkpoint rollup; measures
+    * the txlog listing size and the journal-read latency every scan pays.
+    */
   private def journalSoak(commits: Int): Unit = {
     val spark = GraftSession.builder(appName = "graft-journalbench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -204,15 +204,25 @@ class CandleStoreSpec extends SparkSpec {
     probe.upsert(batchA)
     val total = probe.upsertWithCrash(batchB, maxOps = 0).opCount
     assert(total >= 5, s"expected >=2 deletes + >=3 moves, got $total ops")
+    // k == total is the crash AFTER the last move but BEFORE cleanup:
+    // intent + emptied staging left behind, recovery must still converge
     for (k <- 0 to total) {
       val s = CandleStore(spark, base + s"/t$k")
       s.upsert(batchA)
       s.upsertWithCrash(batchB, maxOps = k)
-      // a plain read repairs and sees the WHOLE batch — open replays the WAL
-      assert(snap(s) == want, s"crash after $k of $total install ops")
       val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       val txlog = new org.apache.hadoop.fs.Path(base + s"/t$k", "_txlog")
+      assert(fs.listStatus(txlog).exists(_.getPath.getName.endsWith(".intent")),
+        s"crash simulation at $k must leave the published intent behind")
+      if (k == total) {
+        // also cover the crash BETWEEN the two cleanup deletes:
+        // staging gone, intent still published
+        val staged = new org.apache.hadoop.fs.Path(base + s"/t$k", "_staging")
+        fs.delete(staged, true)
+      }
+      // a plain read repairs and sees the WHOLE batch — open replays the WAL
+      assert(snap(s) == want, s"crash after $k of $total install ops")
       assert(!fs.exists(txlog) || fs.listStatus(txlog).isEmpty,
         s"intent debris after recovery at crash point $k")
       val staging = new org.apache.hadoop.fs.Path(base + s"/t$k", "_staging")
