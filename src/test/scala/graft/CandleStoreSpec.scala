@@ -231,6 +231,30 @@ class CandleStoreSpec extends SparkSpec {
     }
   }
 
+  test("atomic upsert over a multi-file partition: crash mid-delete still rolls forward") {
+    val base = tmpDir("cs-multifile")
+    def build(path: String): CandleStore = {
+      val s = CandleStore(spark, path)
+      // two append-only writes → ≥2 live files in the BTC/2022 partition,
+      // so the intent's delete phase has >1 op for ONE partition
+      s.appendNewer(Seq(c("BTC", "2022-03-01 10:00:00", 1)).toDF())
+      s.appendNewer(Seq(c("BTC", "2022-03-01 11:00:00", 2)).toDF())
+      s
+    }
+    val batch = Seq(c("BTC", "2022-03-01 10:00:00", 9), c("BTC", "2023-01-01 00:00:00", 3)).toDF()
+    val ref = build(base + "/ref")
+    ref.upsert(batch)
+    val want = snap(ref)
+    val probe = build(base + "/probe")
+    val intent = probe.upsertWithCrash(batch, maxOps = 0)
+    assert(intent.deletes.length >= 2,
+      s"fixture must produce a multi-file delete list, got ${intent.deletes}")
+    // crash with HALF the partition's files deleted (max torn state)
+    val s = build(base + "/t")
+    s.upsertWithCrash(batch, maxOps = 1)
+    assert(snap(s) == want, "recovery must complete the multi-file replace")
+  }
+
   test("atomic and dynamic-overwrite installs produce identical tables") {
     val base = tmpDir("cs-atomic-eq")
     val b1 = Seq(c("BTC", "2021-06-01 00:00:00", 1), c("ETH", "2022-06-01 00:00:00", 2)).toDF()
