@@ -137,11 +137,15 @@ object Dedup {
     require(widthWords > 0, "widthWords must be positive")
     require(minDocs >= 2, "minDocs < 2 would delete every document's every span")
     val toks = df.select(col(idCol).as("_id"), TextStats.tokens(col(textCol)).as("_ws"))
-    // (id, 1-based window start, span hash) — posexplode is 0-based
+    // (id, 1-based window start, span hash) — posexplode is 0-based.
+    // Materialized ONCE (the minhashNearDupPairs convention): the dup
+    // census and the coverage join both consume it, and without the
+    // checkpoint the expensive shingle pass would re-run per branch.
     val spans = toks
       .select(col("_id"), posexplode(shinglesUdf(widthWords)(col("_ws"))))
       .select(col("_id"), (col("pos") + 1).cast("int").as("_start"),
         TextStats.portableHash(col("col")).as("_h"))
+      .localCheckpoint()
     val dupHashes = spans.groupBy(col("_h"))
       .agg(countDistinct(col("_id")).as("_nd"))
       .where(col("_nd") >= minDocs)
@@ -150,16 +154,26 @@ object Dedup {
       .select(col("_id"),
         explode(sequence(col("_start"), col("_start") + (widthWords - 1))).as("_p"))
       .groupBy(col("_id"))
-      .agg(sort_array(collect_set(col("_p"))).as("_cov"))
+      .agg(collect_set(col("_p")).as("_cov")) // order is never observed
     val cut = udf { (ws: Seq[String], cov: Seq[Int]) =>
-      if (cov == null || cov.isEmpty) ws.mkString(" ")
+      // null text → "" — matches the oracle's coalesce(array_to_string
+      // (NULL…), ''), so both engines emit the same row for null docs
+      if (ws == null) ""
+      else if (cov == null || cov.isEmpty) ws.mkString(" ")
       else {
         val drop = cov.toSet
         val b = new StringBuilder
         var i = 0
+        var first = true
+        // separator handling must mirror mkString(" ") exactly: a kept
+        // EMPTY token (leading-whitespace text) still claims its
+        // separator, or the q8B full-text hash diverges cross-engine
         ws.foreach { w =>
           i += 1
-          if (!drop(i)) { if (b.nonEmpty) b.append(' '); b.append(w); () }
+          if (!drop(i)) {
+            if (first) first = false else b.append(' ')
+            b.append(w); ()
+          }
         }
         b.toString
       }
@@ -180,15 +194,21 @@ object Dedup {
     * any join; the benchmark gram set is tiny next to the corpus, so
     * the semi-join broadcasts. Corpus text never shuffles.
     */
+  /** (id, 60-bit gram hash) projection shared by the decontamination
+    * paths — one definition so the tokenizer/hash can never drift
+    * between the exact and bloom-prefiltered variants.
+    */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int): DataFrame = df
+    .select(col(idCol).as("_id"),
+      explode(shinglesUdf(shingleN)(TextStats.tokens(col(textCol)))).as("_g"))
+    .select(col("_id"), TextStats.portableHash(col("_g")).as("gram_hash"))
+
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 5): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col(idCol).as("_id"),
-        explode(shinglesUdf(shingleN)(TextStats.tokens(col(textCol)))).as("_g"))
-      .select(col("_id"), TextStats.portableHash(col("_g")).as("gram_hash"))
-      .distinct()
-    grams(corpus)
-      .join(grams(bench).select("gram_hash").distinct(), Seq("gram_hash"), "left_semi")
+    gramHashes(corpus, idCol, textCol, shingleN).distinct()
+      .join(gramHashes(bench, idCol, textCol, shingleN)
+        .select("gram_hash").distinct(), Seq("gram_hash"), "left_semi")
       .groupBy(col("_id"))
       .agg(count(lit(1)).as("n_contaminated"))
       .withColumnRenamed("_id", idCol)
@@ -220,16 +240,28 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val B = org.apache.spark.sql.graft.ColumnBridge
-    def grams(df: DataFrame) = df
-      .select(col(idCol).as("_id"),
-        explode(shinglesUdf(shingleN)(TextStats.tokens(col(textCol)))).as("_g"))
-      .select(col("_id"), TextStats.portableHash(col("_g")).as("gram_hash"))
     // benchmark side: small by definition; materialized once, consumed
     // by the count, the bloom build, and the exact verify
-    val benchGrams = grams(bench).select("gram_hash").distinct().localCheckpoint()
+    val benchGrams = gramHashes(bench, idCol, textCol, shingleN)
+      .select("gram_hash").distinct().localCheckpoint()
     val nGrams = math.max(benchGrams.count(), 1L)
     val numBits = math.max(64L,
       math.ceil(nGrams * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate SILENTLY clamps its size to these confs
+    // (Math.min before its own require, so the clamp never errors): a
+    // benchmark past the cap would saturate the bitmap and quietly
+    // realize a far worse false-positive rate than `fpp` — fail loudly
+    // instead and let the caller raise the confs or the fpp.
+    val sconf = corpus.sparkSession.conf
+    val maxItems = sconf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = sconf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(nGrams <= maxItems && numBits <= maxBits,
+      s"benchmark gram set needs $nGrams items / $numBits bits at fpp=$fpp, " +
+        s"over the silent BloomFilterAggregate caps ($maxItems items / $maxBits " +
+        "bits): raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+        "maxNumBits or use a larger fpp")
     val bloomBytes = benchGrams
       .select(B.column(new BloomFilterAggregate(
           B.expression(xxhash64(col("gram_hash"))),
@@ -239,10 +271,12 @@ object Dedup {
     val mightContain = B.column(BloomFilterMightContain(
       Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
       B.expression(xxhash64(col("gram_hash")))))
-    grams(corpus)
+    gramHashes(corpus, idCol, textCol, shingleN)
       .where(mightContain) // scan-side prefilter: shuffles candidates only
       .distinct()
-      .join(benchGrams, Seq("gram_hash"), "left_semi") // exact FP kill
+      // exact FP kill; explicit broadcast — the checkpointed bench side
+      // reports unknown stats, so static planning would SMJ without it
+      .join(broadcast(benchGrams), Seq("gram_hash"), "left_semi")
       .groupBy(col("_id"))
       .agg(count(lit(1)).as("n_contaminated"))
       .withColumnRenamed("_id", idCol)

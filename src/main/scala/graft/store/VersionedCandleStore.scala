@@ -980,23 +980,25 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
               // pathological gap counts), and past 1000 runs the gap
               // branch degrades to "any id ≤ watermark" — a full read,
               // slower but still exact (observe() dedups).
-              val gapClauses = {
-                val b = Seq.newBuilder[org.apache.spark.sql.Column]
-                val it = gapRuns.entrySet().iterator()
-                while (it.hasNext) {
-                  val e = it.next()
-                  b += (col("tx_id") >= e.getKey.longValue &&
-                    col("tx_id") <= e.getValue.longValue)
-                }
-                b.result()
-              }
               def orTree(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
                 if (cs.isEmpty) lit(false)
                 else if (cs.length == 1) cs.head
                 else orTree(cs.grouped(2).map(_.reduce(_ || _)).toSeq)
+              // check the degradation threshold BEFORE building any
+              // Column trees — the pathological case is the one where
+              // constructing 100k clauses just to discard them hurts
               val gapPred =
-                if (gapClauses.length > 1000) col("tx_id") <= maxSeen
-                else orTree(gapClauses)
+                if (gapRuns.size() > 1000) col("tx_id") <= maxSeen
+                else {
+                  val b = Seq.newBuilder[org.apache.spark.sql.Column]
+                  val it = gapRuns.entrySet().iterator()
+                  while (it.hasNext) {
+                    val e = it.next()
+                    b += (col("tx_id") >= e.getKey.longValue &&
+                      col("tx_id") <= e.getValue.longValue)
+                  }
+                  orTree(b.result())
+                }
               val novel =
                 (col("kind") === "commit" && (col("tx_id") > maxSeen || gapPred)) ||
                   (col("kind") === "compact" && col("tx_id") > floor)

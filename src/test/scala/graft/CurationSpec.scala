@@ -169,6 +169,23 @@ class CurationSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("removeDuplicatedSpans: leading-whitespace and null texts keep the " +
+    "oracle's join semantics (kept empty token claims its separator; null → \"\")") {
+    val boiler = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s" x $boiler"), // leading whitespace → tokens ["", "x", one..eight]
+      (2L, boiler),        // makes the 8-window corpus-duplicated
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", widthWords = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // doc 1 keeps ["", "x"] — mkString(" ") semantics preserve the
+    // leading space exactly as DuckDB's array_to_string does
+    assert(out(1L) == ((" x", 8)), s"got ${out(1L)}")
+    assert(out(2L) == (("", 8)))
+    assert(out(3L) == (("", 0)), "null text must yield the oracle's ''")
+  }
+
   test("bloomDecontaminate == exact decontaminate, even at an FP-heavy fpp") {
     // a corpus big enough that a sloppy bloom WILL produce false
     // positives, so the exact-verify stage is actually exercised
