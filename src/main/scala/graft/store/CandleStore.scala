@@ -102,6 +102,7 @@ final class CandleStore(spark: SparkSession, val path: String) {
     * lacks usable ts statistics (e.g. legacy INT96 files).
     */
   def minMaxTs(market: String, code: String, candleLength: Int, year: Int): DataFrame = {
+    recover() // footer reads bypass scan(): complete any torn install first
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("first_ts", TimestampType), StructField("last_ts", TimestampType)))
@@ -169,6 +170,7 @@ final class CandleStore(spark: SparkSession, val path: String) {
     * like the reference's single-node walk).
     */
   def pageHeaders(): DataFrame = {
+    recover() // metadata census bypasses scan(): repair before walking
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("market", StringType), StructField("candle_length", IntegerType),
@@ -633,6 +635,10 @@ final class CandleStore(spark: SparkSession, val path: String) {
     * Skips reading existing data entirely.
     */
   def appendNewer(batch: DataFrame, ordinalCol: Option[String] = None): Unit = {
+    // appends never read the table, but completing a torn install first
+    // keeps the "all-new rows" contract judged against the COMMITTED
+    // state rather than a half-installed one
+    recover()
     val contentStruct = struct(col("open"), col("high"), col("low"),
       col("close"), col("volume"), col("bit_fields"))
     val ord = ordinalCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
