@@ -743,6 +743,27 @@ object Oracles {
              p -> t.ws[p]), ' '), '') AS clean_text,
            coalesce(len(c.cov), 0)::INT AS n_removed
          FROM tok t LEFT JOIN cov c USING (doc_id)""",
+    // q8D: q69's clusters (same recursive-CTE reach) resolved to the
+    // survivor corpus — per component keep the longest text, ties to
+    // the lowest id (row_number ORDER BY n_chars DESC, id ASC mirrors
+    // Spark's max_by over the (quality, -id) struct).
+    "q8D_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes()},
+         px AS (SELECT id_a, id_b FROM jj WHERE i / (nn - i) >= 0.3),
+         edges AS (SELECT id_a AS u, id_b AS v FROM px
+                   UNION SELECT id_b, id_a FROM px),
+         reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+                         UNION
+                         SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+         jq AS (SELECT c.id, c.component, d.n_chars
+                FROM comp c JOIN documents d ON d.doc_id = c.id),
+         rk AS (SELECT id, row_number() OVER (PARTITION BY component
+                  ORDER BY n_chars DESC, id ASC) AS rn FROM jq),
+         dr AS (SELECT id FROM rk WHERE rn > 1)
+         SELECT d.doc_id, d.lang, d.source, d.n_chars
+         FROM documents d LEFT JOIN dr ON d.doc_id = dr.id
+         WHERE dr.id IS NULL""",
     // q8C: DSIR importance weights — identical hashed-ngram buckets
     // (unigrams + space-joined bigrams through the portable md5 hash),
     // identical add-0.5-smoothed target/raw fits, identical per-doc

@@ -945,6 +945,14 @@ object Queries {
       Dedup.bloomDecontaminate(docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0), "doc_id", "text", shingleN = 5)
     }),
+    // Near-dup cluster dedup keeping the BEST member (longest text,
+    // ties to lowest id) — q69's clusters resolved to the survivor
+    // corpus under the standard keep-most-complete-copy policy.
+    "q8D_dedup_keep_best" -> ((s, d) => {
+      Dedup.dedupNearDupKeepBest(T.documents(s, d), "doc_id", "text", "n_chars",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.3)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
     // DSIR importance weights (Xie et al. 2023): score every raw doc by
     // hashed-ngram log-likelihood ratio toward a target tranche
     // (src0-src2 stand in for the curated corpus). Fully differential:

@@ -677,6 +677,39 @@ object Dedup {
     df.join(drop, df(idCol).cast("long") === col("_drop_id"), "left_anti")
   }
 
+  /** [[dedupNearDup]] keeping the BEST member of every near-dup cluster
+    * instead of the lowest-id one — the standard curation policy:
+    * near-dup copies usually differ by truncation/boilerplate, so
+    * retaining the highest-`qualityCol` member (e.g. length, a quality
+    * score) keeps the most complete copy. Ties resolve to the lowest
+    * id, making the keep choice total and engine-portable.
+    *
+    * Scale posture: identical to [[dedupNearDup]] (banded candidates,
+    * exact verify, O(log d) cluster resolution) plus ONE
+    * cluster-count-sized argmax aggregation (map-side combined) and one
+    * id anti-join — nothing new is corpus-quadratic and text never
+    * rides the added shuffles.
+    */
+  def dedupNearDupKeepBest(df: DataFrame, idCol: String, textCol: String,
+                           qualityCol: String, shingleN: Int = 3,
+                           k: Int = 32, bands: Int = 8,
+                           threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN, k, bands, threshold)
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+    val quality = df.select(col(idCol).cast("long").as("id"),
+      col(qualityCol).as("_q"))
+    // winner per cluster: max quality, ties → lowest id (the negated id
+    // makes one lexicographic struct comparison express both)
+    val winners = comp.join(quality, Seq("id"))
+      .groupBy(col("component"))
+      .agg(max_by(col("id"), struct(col("_q"), (-col("id")).as("_nid"))).as("_keep"))
+      .select(col("_keep").as("id"))
+    val drop = comp.select(col("id"))
+      .join(winners, Seq("id"), "left_anti")
+      .select(col("id").as("_drop_id"))
+    df.join(drop, df(idCol).cast("long") === col("_drop_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard over all pairs of a (bounded) document set.
     * This is the quadratic ground-truth used to validate the LSH path;
     * callers MUST bound the input (it cross-joins). For production scale

@@ -158,6 +158,10 @@ object Smoke {
       graft.llm.Sampling.dsirSelect(docs,
         docs.where($"source".isin("src0", "src1", "src2")),
         "doc_id", "text", n = 25, nBuckets = 1024).count() == 25)
+    val keepBest = graft.llm.Dedup.dedupNearDupKeepBest(
+      docs, "doc_id", "text", "n_chars", threshold = 0.3)
+    check("dedupNearDupKeepBest bounded by corpus",
+      keepBest.count() <= docs.count() && keepBest.count() > 0)
     val ind = TimeSeries.indicators(
       candles.withColumn("ts", to_timestamp(from_unixtime($"bucket")))
         .withColumnRenamed("event_type", "code"),

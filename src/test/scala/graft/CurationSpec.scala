@@ -478,6 +478,26 @@ class CurationSpec extends SparkSpec {
     assert(ids.contains(103L), "clean survivor must remain")
   }
 
+  test("dedupNearDupKeepBest keeps the longest member per cluster, ties to lowest id") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base, 66),                             // lowest id but NOT longest
+      (2L, base + " extra tail words here", 88),  // longest in the cluster → kept
+      (3L, base + " extra", 72),                  // near-dup, mid length → dropped
+      (10L, "completely different content with nothing shared at all", 55), // singleton
+      (20L, "tie one two three four five six seven eight nine ten eleven", 60),
+      (21L, "tie one two three four five six seven eight nine ten eleven", 60) // equal quality → lowest id wins
+    ).toDF("doc_id", "text", "n_chars")
+    val best = Dedup.dedupNearDupKeepBest(docs, "doc_id", "text", "n_chars",
+      threshold = 0.3).select("doc_id").as[Long].collect().toSet
+    assert(best == Set(2L, 10L, 20L), s"got $best")
+    // the keep-lowest-id policy keeps doc 1 instead — the two policies
+    // genuinely diverge on this cluster
+    val first = Dedup.dedupNearDup(docs, "doc_id", "text", threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == Set(1L, 10L, 20L), s"got $first")
+  }
+
   test("dsirWeights: target-like docs outweigh off-target ones " +
     "(importance resampling toward the target distribution, Xie et al. 2023)") {
     val target = Seq(
