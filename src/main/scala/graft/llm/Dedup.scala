@@ -674,8 +674,14 @@ object Dedup {
     val drop = connectedComponents(pairs, "id_a", "id_b")
       .where(col("id") =!= col("component"))
       .select(col("id").cast("long").as("_drop_id"))
-    df.join(drop, df(idCol).cast("long") === col("_drop_id"), "left_anti")
+    dropIds(df, idCol, drop)
   }
+
+  /** Anti-join tail shared by the near-dup dedup policies: drop every
+    * row of `df` whose id appears in `drop` (one long `_drop_id` col).
+    */
+  private def dropIds(df: DataFrame, idCol: String, drop: DataFrame): DataFrame =
+    df.join(drop, df(idCol).cast("long") === col("_drop_id"), "left_anti")
 
   /** [[dedupNearDup]] keeping the BEST member of every near-dup cluster
     * instead of the lowest-id one — the standard curation policy:
@@ -707,7 +713,7 @@ object Dedup {
     val drop = comp.select(col("id"))
       .join(winners, Seq("id"), "left_anti")
       .select(col("id").as("_drop_id"))
-    df.join(drop, df(idCol).cast("long") === col("_drop_id"), "left_anti")
+    dropIds(df, idCol, drop)
   }
 
   /** Exact n-gram Jaccard over all pairs of a (bounded) document set.

@@ -75,7 +75,12 @@ final class CandleStore(spark: SparkSession, val path: String) {
     * Opens with [[recover]] — the reference's "open the database replays
     * the WAL" contract — so a reader never sees a crash-torn batch.
     */
-  def scan(): DataFrame = { recover(); spark.read.parquet(path) }
+  def scan(): DataFrame = { recover(); scanNoRecover() }
+
+  /** [[scan]] minus the recovery probe — for internal callers that
+    * already ran [[recover]] in the same operation.
+    */
+  private def scanNoRecover(): DataFrame = spark.read.parquet(path)
 
   /** Point lookup of one series-year "page" — pure partition pruning
     * (reference: `Storage.checkAndLoad`, `storage.go:78-96`).
@@ -111,7 +116,9 @@ final class CandleStore(spark: SparkSession, val path: String) {
         spark.createDataFrame(
           java.util.Arrays.asList(org.apache.spark.sql.Row(mn, mx)), schema)
       case None =>
-        readPage(market, code, candleLength, year)
+        scanNoRecover() // recovery already ran at entry
+          .where(col("market") === market && col("code") === code &&
+            col("candle_length") === candleLength && col("year") === year)
           .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
     }
   }

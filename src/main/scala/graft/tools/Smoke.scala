@@ -160,8 +160,9 @@ object Smoke {
         "doc_id", "text", n = 25, nBuckets = 1024).count() == 25)
     val keepBest = graft.llm.Dedup.dedupNearDupKeepBest(
       docs, "doc_id", "text", "n_chars", threshold = 0.3)
+    val nKeepBest = keepBest.count() // one action: the CC loop is multi-job
     check("dedupNearDupKeepBest bounded by corpus",
-      keepBest.count() <= docs.count() && keepBest.count() > 0)
+      nKeepBest <= docs.count() && nKeepBest > 0)
     val ind = TimeSeries.indicators(
       candles.withColumn("ts", to_timestamp(from_unixtime($"bucket")))
         .withColumnRenamed("event_type", "code"),
