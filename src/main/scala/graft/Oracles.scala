@@ -764,6 +764,16 @@ object Oracles {
          SELECT d.doc_id, d.lang, d.source, d.n_chars
          FROM documents d LEFT JOIN dr ON d.doc_id = dr.id
          WHERE dr.id IS NULL""",
+    // q8G: per-epoch training order — identical md5(salt|epoch|id)
+    // sort keys, so the per-epoch permutations match row-for-row; the
+    // oracle's window rank mirrors Spark's distributed prefix sum.
+    "q8G_train_order" ->
+      s"""WITH e AS (SELECT doc_id,
+             unnest(generate_series(0, 1)) AS epoch FROM documents)
+         SELECT doc_id, epoch::INT AS epoch,
+           row_number() OVER (PARTITION BY epoch
+             ORDER BY ${pHash("'order|' || epoch || '|' || doc_id")}, doc_id) AS pos
+         FROM e""",
     // q8C: DSIR importance weights — identical hashed-ngram buckets
     // (unigrams + space-joined bigrams through the portable md5 hash),
     // identical add-0.5-smoothed target/raw fits, identical per-doc

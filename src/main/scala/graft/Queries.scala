@@ -963,6 +963,15 @@ object Queries {
         docs, docs.where(col("source").isin("src0", "src1", "src2")),
         "doc_id", "text", nBuckets = 1024)
     }),
+    // Deterministic per-epoch training order (round 7): every
+    // (epoch, doc) pair gets a global md5-derived position — the
+    // reproducible "shuffle the corpus each epoch" step of batch
+    // assembly. The rank is a distributed prefix sum: an epoch is a
+    // 100%-hot key, so a per-epoch row_number window would serialize
+    // the whole corpus through one task.
+    "q8G_train_order" -> ((s, d) => {
+      Sampling.trainOrder(T.documents(s, d), "doc_id", epochs = 2)
+    }),
     "q89_vstore_changes" -> ((s, d) => {
       versionedStore(s, d).changesSince(1L)
         .select(col("code"), col("ts"),

@@ -370,4 +370,41 @@ object Sampling {
     dsirWeights(raw, target, idCol, textCol, nBuckets)
       .orderBy(col("weight").desc, col(idCol))
       .limit(n)
+
+  /** Deterministic training-order stream: emit every (epoch, doc) pair
+    * with a global 1-based position within its epoch, ordered by
+    * md5(salt|epoch|id) — the "shuffle the corpus every epoch" step of
+    * pretraining batch assembly, as a pure function of ids + salt. Each
+    * epoch is an independent pseudo-random permutation (the epoch
+    * ordinal is inside the hash), the whole stream is reproducible
+    * across runs, partitionings, and engines, and appending documents
+    * perturbs only where the new ids land, not the relative order of
+    * existing ones.
+    *
+    * Positions come from [[keyedPrefixSum]] with the epoch as the key:
+    * an epoch IS a 100%-hot key, so the obvious
+    * `row_number over Window.partitionBy(epoch)` would funnel the
+    * entire corpus through ONE task per epoch — the distributed prefix
+    * sum keeps the rank computation at full shuffle width (the same
+    * skew argument as [[capPerKey]]'s `distributed` path, except here
+    * the skew is total, so there is no window variant at all).
+    *
+    * Columns other than `idCol` are dropped: the order stream is a
+    * (position → id) mapping consumers join back to the corpus, so
+    * document payloads never ride the rank shuffle.
+    */
+  def trainOrder(df: DataFrame, idCol: String, epochs: Int = 1,
+                 salt: String = "order",
+                 reliableCheckpoint: Boolean = false): DataFrame = {
+    require(epochs >= 1, "epochs must be >= 1")
+    val keyed = df.select(col(idCol))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("_h", TextStats.portableHash(concat(
+        lit(salt + "|"), col("epoch").cast("string"), lit("|"),
+        col(idCol).cast("string"))))
+      .withColumn("_one", lit(1L))
+    keyedPrefixSum(keyed, "epoch", Seq("_h", idCol), "_one", "pos",
+      reliable = reliableCheckpoint)
+      .select(col(idCol), col("epoch"), col("pos"))
+  }
 }

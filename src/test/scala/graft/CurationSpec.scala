@@ -285,6 +285,42 @@ class CurationSpec extends SparkSpec {
     assert(kept.select("id").except(wider.select("id")).count() == 0)
   }
 
+  test("trainOrder: each epoch is a permutation, epochs differ, " +
+      "layout-independent, == window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 400L).map(i => (i, s"t$i")).toDF("id", "text")
+    val order = Sampling.trainOrder(df, "id", epochs = 3)
+      .as[(Long, Int, Long)].collect()
+    // bijection per epoch: positions are exactly 1..n, ids complete
+    val byEpoch = order.groupBy(_._2)
+    assert(byEpoch.keySet == Set(0, 1, 2))
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to 400L))
+      assert(rows.map(_._1).toSet == (0L until 400L).toSet)
+    }
+    // epochs are DIFFERENT permutations (the epoch ordinal is hashed)
+    val pos0 = byEpoch(0).map(r => r._1 -> r._3).toMap
+    val pos1 = byEpoch(1).map(r => r._1 -> r._3).toMap
+    assert((0L until 400L).exists(id => pos0(id) != pos1(id)))
+    // layout-independent: a scrambled repartition yields the identical stream
+    val again = Sampling.trainOrder(df.repartition(17), "id", epochs = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(again.sorted.toSeq == order.sorted.toSeq)
+    // differential vs the naive per-epoch window rank (the oracle's form)
+    val h = TextStats.portableHash(concat(
+      lit("order|"), col("epoch").cast("string"), lit("|"), col("id").cast("string")))
+    val viaWindow = df.select(col("id"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(2))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch")).orderBy(h, col("id"))).cast("long"))
+      .as[(Long, Int, Long)].collect()
+    assert(viaWindow.sorted.toSeq == order.sorted.toSeq)
+    // and the scale property: no Window node in the shipped plan
+    val plan = Sampling.trainOrder(df, "id", epochs = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"trainOrder must not plan a window:\n$plan")
+  }
+
   // ---------------------------------------------------------------- //
   // SemDeDup                                                         //
   // ---------------------------------------------------------------- //
