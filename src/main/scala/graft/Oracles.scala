@@ -764,6 +764,26 @@ object Oracles {
          SELECT d.doc_id, d.lang, d.source, d.n_chars
          FROM documents d LEFT JOIN dr ON d.doc_id = dr.id
          WHERE dr.id IS NULL""",
+    // q8E: n-gram novelty — identical 5-token windows and 60-bit
+    // hashes as q71/q8B; singleton grams attribute to min(doc_id),
+    // mirroring Spark's in-census owner.
+    "q8E_ngram_novelty" ->
+      s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),
+         st AS (SELECT doc_id, ws,
+                  unnest(CASE WHEN len(ws) < 5 THEN []::BIGINT[] ELSE
+                    generate_series(1, len(ws) - 4) END) AS s
+                FROM tok),
+         g AS (SELECT DISTINCT doc_id,
+                 ${pHash("array_to_string(ws[s:s+4], ' ')")} AS h
+               FROM st),
+         bg AS (SELECT h, count(*) AS df, min(doc_id) AS owner
+                FROM g GROUP BY h),
+         nv AS (SELECT owner AS doc_id, count(*) AS n_novel
+                FROM bg WHERE df = 1 GROUP BY 1),
+         tt AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1)
+         SELECT t.doc_id, t.n_grams, coalesce(n.n_novel, 0)::BIGINT AS n_novel,
+           round(coalesce(n.n_novel, 0) / t.n_grams::DOUBLE, 4) AS novelty_frac
+         FROM tt t LEFT JOIN nv n USING (doc_id)""",
     // q8G: per-epoch training order — identical md5(salt|epoch|id)
     // sort keys, so the per-epoch permutations match row-for-row; the
     // oracle's window rank mirrors Spark's distributed prefix sum.

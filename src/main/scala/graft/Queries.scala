@@ -963,6 +963,13 @@ object Queries {
         docs, docs.where(col("source").isin("src0", "src1", "src2")),
         "doc_id", "text", nBuckets = 1024)
     }),
+    // Per-doc n-gram novelty (round 7): the share of each document's
+    // distinct 5-grams found nowhere else — the diversity/memorization
+    // signal; the planted near-dup families are exactly the low-novelty
+    // tail. Only (id, hash) pairs shuffle.
+    "q8E_ngram_novelty" -> ((s, d) => {
+      Dedup.ngramNovelty(T.documents(s, d), "doc_id", "text", n = 5)
+    }),
     // Deterministic per-epoch training order (round 7): every
     // (epoch, doc) pair gets a global md5-derived position — the
     // reproducible "shuffle the corpus each epoch" step of batch

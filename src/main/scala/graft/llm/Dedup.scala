@@ -114,6 +114,45 @@ object Dedup {
       .where(col("n_docs") >= 2)
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's DISTINCT
+    * word `n`-grams appearing in no other document — the inverse of the
+    * duplication signal ([[duplicatedSpans]] finds what is shared; this
+    * scores what is not), the standard diversity/memorization-risk
+    * metric of the dedup literature (Lee et al. 2022 report models
+    * regenerate exactly the low-novelty tail). Returns
+    * (idCol, n_grams, n_novel, novelty_frac) for every document with at
+    * least one n-gram; `novelty_frac` is rounded to 4 decimals for
+    * cross-engine parity (q8E).
+    *
+    * Scale posture: only (id, 60-bit hash) pairs shuffle — text never
+    * leaves the scan. Singleton grams are attributed to their one owner
+    * via `min(id)` INSIDE the census aggregation, so novelty needs no
+    * second corpus-wide join: the novel-count shuffle carries at most
+    * one row per singleton gram, keyed by document. The distinct-pair
+    * exchange feeds both the census and the per-doc totals (plan-level
+    * exchange reuse, the q8C pattern).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5): DataFrame = {
+    require(n > 0, "n must be positive")
+    val pairs = df.select(col(idCol).cast("long").as("_id"),
+        explode(shinglesUdf(n)(tokens(col(textCol)))).as("_s"))
+      .select(col("_id"), portableHash(col("_s")).as("_h"))
+      .distinct()
+    val novel = pairs.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_df"), min(col("_id")).as("_owner"))
+      .where(col("_df") === 1)
+      .groupBy(col("_owner").as("_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    pairs.groupBy(col("_id")).agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        Portable.round(
+          coalesce(col("n_novel"), lit(0L)) / col("n_grams"), 4)
+          .as("novelty_frac"))
+  }
+
   /** The exact-substring-dedup TRANSFORM (Lee et al. 2022 §4.2 applied
     * at word-window granularity): [[duplicatedSpans]] DETECTS corpus-
     * duplicated windows; this REMOVES them — every token covered by a

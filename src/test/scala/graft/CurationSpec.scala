@@ -129,6 +129,32 @@ class CurationSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(docs, "doc_id", "text").count() == 0)
   }
 
+  test("ngramNovelty: copies share grams, unique docs score 1.0, " +
+      "short docs absent, fractions exact") {
+    val shared = "one two three four five six seven eight nine"   // 9 tokens
+    val docs = Seq(
+      (1L, shared + " alpha"),   // 10 tokens -> 6 windows
+      (2L, shared + " beta"),    // shares the 5 windows inside `shared`
+      (3L, "wholly distinct words appearing nowhere else in corpus"), // 8 -> 4 windows
+      (4L, "too short")          // < 5 tokens -> no grams -> absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // 9-token shared run -> 5 shared windows; each doc's tail adds 1
+    // novel window (…nine alpha / …nine beta)
+    assert(out(1L) == ((6L, 1L, 0.1667)))
+    assert(out(2L) == ((6L, 1L, 0.1667)))
+    assert(out(3L) == ((4L, 4L, 1.0)))
+    // exact duplicates: BOTH copies' grams are shared -> novelty 0 for
+    // the pair, including the min-id owner (df==2 kills min-attribution)
+    val dup = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val d = Dedup.ngramNovelty(dup, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(d == Map(1L -> 0.0, 2L -> 0.0))
+  }
+
   // ---------------------------------------------------------------- //
   // Decontamination                                                  //
   // ---------------------------------------------------------------- //
