@@ -764,6 +764,14 @@ object Oracles {
          SELECT d.doc_id, d.lang, d.source, d.n_chars
          FROM documents d LEFT JOIN dr ON d.doc_id = dr.id
          WHERE dr.id IS NULL""",
+    // q8F: trained classifier — not SQL-expressible; blind census +
+    // booleans carrying the learning property (the q84 pattern):
+    // every document scores, probabilities are probabilities, and the
+    // held-out halves separate by > 0.5 mean probability.
+    "q8F_quality_classifier" ->
+      """SELECT count(*)::BIGINT AS n_scored, true AS probs_in_range,
+         true AS separates
+         FROM documents""",
     // q8E: n-gram novelty — identical 5-token windows and 60-bit
     // hashes as q71/q8B; singleton grams attribute to min(doc_id),
     // mirroring Spark's in-census owner.

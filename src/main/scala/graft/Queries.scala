@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Curation, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
+import graft.llm.{Classifier, Curation, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
 import graft.ops.TimeSeries
 import graft.store.CandleStore
 
@@ -962,6 +962,37 @@ object Queries {
       Sampling.dsirWeights(
         docs, docs.where(col("source").isin("src0", "src1", "src2")),
         "doc_id", "text", nBuckets = 1024)
+    }),
+    // Fasttext-style quality classifier (round 7): logistic regression
+    // on hashed-ngram features, trained "target tranche vs rest" on a
+    // deterministic hash-sample, scored distributed. The fixture's
+    // sources/langs are statistically uniform (verified: per-source
+    // word frequencies differ only by sampling noise), so the query
+    // PLANTS the covariate shift it must recover: target := docs whose
+    // relative frequency of the word "spark" clears a threshold — a
+    // real distribution shift the classifier must learn from gram
+    // buckets and generalize to the held-out half. The census is
+    // blind-computable; the booleans carry the learning property (the
+    // q84 pattern for non-SQL-expressible trained models).
+    "q8F_quality_classifier" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val ws = TextStats.tokens(col("text"))
+      val isTarget =
+        (size(filter(ws, _ === lit("spark"))).cast("double") / size(ws)) >= 0.035
+      val scored = Classifier.qualityClassifier(docs, docs.where(isTarget),
+        "doc_id", "text", nBuckets = 1024, trainFrac = 0.5, salt = "qc")
+      val lab = docs.select(col("doc_id"), isTarget.as("_t"),
+        (Sampling.unitHash(col("doc_id"), "qc") < 5000.0).as("_tr"))
+      scored.join(lab, "doc_id")
+        .agg(count(lit(1)).as("n_scored"),
+          expr("bool_and(quality_prob >= 0 AND quality_prob <= 1)")
+            .as("probs_in_range"),
+          // measured held-out mean-prob gap: 0.754 / 0.819 / 0.880 at
+          // sf0.001/0.01/0.1 — floor 0.5 per the recall-gate margin
+          // policy (floor ≈ measured − 0.1, here wider)
+          ((avg(when(col("_t") && !col("_tr"), col("quality_prob"))) -
+            avg(when(!col("_t") && !col("_tr"), col("quality_prob")))) > 0.5)
+            .as("separates"))
     }),
     // Per-doc n-gram novelty (round 7): the share of each document's
     // distinct 5-grams found nowhere else — the diversity/memorization

@@ -322,20 +322,7 @@ object Sampling {
                   lambda: Double = 0.5): DataFrame = {
     require(nBuckets > 0 && lambda > 0, "nBuckets and lambda must be positive")
     val B = nBuckets.toLong
-    // unigrams + bigrams of the lowercased whitespace tokens, hashed to
-    // [0, B). Bigram text joins with a space: words contain no
-    // whitespace post-split, so the encoding is unambiguous.
-    def buckets(df: DataFrame): DataFrame = {
-      val ws = TextStats.tokens(col(textCol))
-      val grams = concat(
-        ws,
-        when(size(ws) >= 2,
-          zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-            (a, b) => concat(a, lit(" "), b)))
-          .otherwise(array().cast("array<string>")))
-      df.select(col(idCol).cast("long").as("_id"), explode(grams).as("_g"))
-        .select(col("_id"), pmod(TextStats.portableHash(col("_g")), lit(B)).as("_b"))
-    }
+    def buckets(df: DataFrame): DataFrame = gramBuckets(df, idCol, textCol, B)
     // ONE gram pass over the raw corpus: the per-doc bags; the raw fit
     // is their bucket-wise sum (identical counts, and the (id, bucket)
     // exchange below it is reused by both consumers), and the two grand
@@ -360,6 +347,28 @@ object Sampling {
       .agg(sum(col("_c")).as("n_grams"),
         graft.Portable.round(sum(col("_c") * col("_llr")), 4).as("weight"))
       .select(col("_id").as(idCol), col("n_grams"), col("weight"))
+  }
+
+  /** Hashed-ngram feature projection shared by [[dsirWeights]] and
+    * [[Classifier.qualityClassifier]]: one (_id, _b) row per unigram
+    * and bigram occurrence of the lowercased whitespace tokens, hashed
+    * to [0, B) via the md5 [[TextStats.portableHash]] (so DuckDB
+    * oracles rebuild identical buckets). Bigram text joins with a
+    * space: words contain no whitespace post-split, so the encoding is
+    * unambiguous.
+    */
+  private[llm] def gramBuckets(df: DataFrame, idCol: String,
+                               textCol: String, nBuckets: Long): DataFrame = {
+    val ws = TextStats.tokens(col(textCol))
+    val grams = concat(
+      ws,
+      when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>")))
+    df.select(col(idCol).cast("long").as("_id"), explode(grams).as("_g"))
+      .select(col("_id"),
+        pmod(TextStats.portableHash(col("_g")), lit(nBuckets)).as("_b"))
   }
 
   /** DSIR selection: the `n` raw documents most target-like by

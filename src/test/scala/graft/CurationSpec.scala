@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Curation, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
+import graft.llm.{Classifier, Curation, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
 
 /** Round-4 curation/retrieval operators: BM25, duplicated spans,
   * decontamination, per-source caps, SemDeDup, PQ-ADC, WAV spectra.
@@ -538,6 +538,48 @@ class CurationSpec extends SparkSpec {
     assert(!ids.contains(102L), "low-quality doc must be dropped")
     assert(!ids.contains(11L), "benchmark-contaminated doc must be dropped")
     assert(ids.contains(103L), "clean survivor must remain")
+  }
+
+  test("qualityClassifier separates held-out planted tranches, " +
+      "probs in range, deterministic") {
+    // positives carry curated-register markers, negatives webby ones;
+    // a shared backbone keeps the problem non-trivial
+    val back = (i: Long) => s"common words here item $i with shared phrasing across all"
+    val pos = (0L until 60L).map(i =>
+      (i, back(i) + " thoughtful prose citation study archive evidence"))
+    val neg = (100L until 160L).map(i =>
+      (i, back(i) + " click subscribe free offer deal winner jackpot"))
+    val raw = (pos ++ neg).toDF("doc_id", "text")
+    val target = raw.where($"doc_id" < 60L)
+    val scored = Classifier.qualityClassifier(raw, target, "doc_id", "text",
+      nBuckets = 256, trainFrac = 0.6, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored.size == 120 && scored.values.forall(p => p >= 0 && p <= 1))
+    // held-out = docs the hash sample excluded from training
+    val held = raw.where(Sampling.unitHash($"doc_id", "t") >= 6000.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(held.nonEmpty, "fixture must leave a held-out set")
+    def mean(s: Iterable[Double]) = s.sum / s.size
+    val pHeldPos = mean(held.filter(_ < 60L).map(scored))
+    val pHeldNeg = mean(held.filter(_ >= 100L).map(scored))
+    assert(pHeldPos - pHeldNeg > 0.5,
+      s"held-out separation too weak: $pHeldPos vs $pHeldNeg")
+    // deterministic across runs and input layout
+    val again = Classifier.qualityClassifier(raw.repartition(13), target,
+      "doc_id", "text", nBuckets = 256, trainFrac = 0.6, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == scored)
+  }
+
+  test("qualityClassifier: oversized train sample fails loudly") {
+    val df = (0L until 100L).map(i => (i, s"doc $i words")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Classifier.qualityClassifier(df, df.where($"doc_id" < 50),
+        "doc_id", "text", nBuckets = 64, trainFrac = 1.0,
+        maxTrainDocs = 10L).count()
+      ()
+    }
+    assert(err.getMessage.contains("exceeds 10"))
   }
 
   test("dedupNearDupKeepBest keeps the longest member per cluster, ties to lowest id") {
