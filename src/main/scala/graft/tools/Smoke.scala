@@ -163,6 +163,19 @@ object Smoke {
     val nKeepBest = keepBest.count() // one action: the CC loop is multi-job
     check("dedupNearDupKeepBest bounded by corpus",
       nKeepBest <= docs.count() && nKeepBest > 0)
+    val novelty = Dedup.ngramNovelty(docs, "doc_id", "text", n = 5)
+    check("ngramNovelty fractions in [0,1], novel <= total",
+      novelty.where($"novelty_frac" < 0 || $"novelty_frac" > 1 ||
+        $"n_novel" > $"n_grams").count() == 0 && novelty.count() > 0)
+    val qc = graft.llm.Classifier.qualityClassifier(
+      docs, docs.where($"doc_id" % 3 === 0), "doc_id", "text",
+      nBuckets = 256, trainFrac = 0.5)
+    check("qualityClassifier scores every doc with a probability",
+      qc.count() == docs.count() &&
+        qc.where($"quality_prob" < 0 || $"quality_prob" > 1).count() == 0)
+    val ord = graft.llm.Sampling.trainOrder(docs, "doc_id", epochs = 2)
+    check("trainOrder: epochs x corpus rows, positive positions",
+      ord.count() == 2 * docs.count() && ord.where($"pos" < 1).count() == 0)
     val ind = TimeSeries.indicators(
       candles.withColumn("ts", to_timestamp(from_unixtime($"bucket")))
         .withColumnRenamed("event_type", "code"),
