@@ -129,16 +129,26 @@ object Dedup {
     * via `min(id)` INSIDE the census aggregation, so novelty needs no
     * second corpus-wide join: the novel-count shuffle carries at most
     * one row per singleton gram, keyed by document. The distinct-pair
-    * exchange feeds both the census and the per-doc totals (plan-level
-    * exchange reuse, the q8C pattern).
+    * set feeds both the census and the per-doc totals, so it is
+    * materialized ONCE (the [[removeDuplicatedSpans]] convention — the
+    * planner does NOT dedupe the two identical subtrees; verified on
+    * the executed q8E plan): `localCheckpoint` by default,
+    * `reliableCheckpoint = true` (requires `setCheckpointDir`) for
+    * fault-tolerant storage on a real cluster.
     */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 5): DataFrame = {
+                   n: Int = 5, reliableCheckpoint: Boolean = false): DataFrame = {
     require(n > 0, "n must be positive")
-    val pairs = df.select(col(idCol).cast("long").as("_id"),
+    require(!reliableCheckpoint ||
+      df.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+      "reliableCheckpoint = true needs a reliable checkpoint dir: call " +
+        "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first")
+    val pairsPlan = df.select(col(idCol).cast("long").as("_id"),
         explode(shinglesUdf(n)(tokens(col(textCol)))).as("_s"))
       .select(col("_id"), portableHash(col("_s")).as("_h"))
       .distinct()
+    val pairs =
+      if (reliableCheckpoint) pairsPlan.checkpoint() else pairsPlan.localCheckpoint()
     val novel = pairs.groupBy(col("_h"))
       .agg(count(lit(1)).as("_df"), min(col("_id")).as("_owner"))
       .where(col("_df") === 1)
