@@ -802,6 +802,63 @@ object Oracles {
            row_number() OVER (PARTITION BY epoch
              ORDER BY ${pHash("'order|' || epoch || '|' || doc_id")}, doc_id) AS pos
          FROM e""",
+    // q8H: weighted sample — identical md5-derived 9-digit race
+    // priorities, identical IEEE division by the weight, identical
+    // (priority, id) tie-break, so the selected 500-row SET matches
+    // exactly (no transcendental touches the selection boundary).
+    "q8H_weighted_sample" ->
+      s"""SELECT doc_id, source, n_chars,
+           ${graft.Portable.roundSql("pri", 6)} AS priority
+         FROM (SELECT doc_id, source, n_chars,
+                 (${pHash("doc_id::VARCHAR || '|wsample'")} % 1000000000)::DOUBLE
+                   / n_chars::DOUBLE AS pri
+               FROM documents WHERE n_chars > 0
+               ORDER BY pri, doc_id LIMIT 500)""",
+    // q8I: source drift — identical unigram buckets (md5 % 1024),
+    // identical histogram divisions, the same JS decomposition with
+    // absent-bucket mass folded in as (1 − Σ_present q)·ln 2; only the
+    // final divergence is rounded (the bucket-order summation skew is
+    // ~1e-13, far below round-4 resolution — the q8C llr precedent).
+    "q8I_source_drift" ->
+      s"""WITH tok AS (SELECT source, unnest($WS) AS w FROM documents),
+         cnt AS (SELECT source, ${pHash("w")} % 1024 AS b, count(*) AS c
+                 FROM tok GROUP BY 1, 2),
+         st AS (SELECT source, sum(c) AS ns FROM cnt GROUP BY 1),
+         tt AS (SELECT sum(c)::DOUBLE AS n FROM cnt),
+         bt AS (SELECT b, sum(c) AS cb FROM cnt GROUP BY 1),
+         terms AS (SELECT source, ns, c::DOUBLE / ns::DOUBLE AS p,
+                     cb::DOUBLE / n AS q
+                   FROM cnt JOIN st USING (source) JOIN bt USING (b)
+                   CROSS JOIN tt)
+         SELECT source, ns::BIGINT AS n_grams,
+           ${graft.Portable.roundSql(
+             "0.5 * (sum(p * ln(2 * p / (p + q))) + " +
+             "sum(q * ln(2 * q / (p + q))) + (1 - sum(q)) * ln(2))", 4)}
+             AS js_div
+         FROM terms GROUP BY source, ns""",
+    // q8J: source-pair Jaccard — identical 3-gram shingles and 60-bit
+    // hashes as q8A/q71, per-source DISTINCT sets, every unordered
+    // pair reported with zero-overlap pairs kept via the left join.
+    "q8J_source_jaccard" ->
+      s"""WITH tok AS (SELECT source, $WS AS ws FROM documents),
+         g AS (SELECT source, unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[] ELSE
+                 list_transform(generate_series(1, len(ws) - 2),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS g
+               FROM tok),
+         sets AS (SELECT DISTINCT source, ${pHash("g")} AS h FROM g),
+         sz AS (SELECT source, count(*) AS n FROM sets GROUP BY 1),
+         inter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS cm
+                   FROM sets a JOIN sets b
+                     ON a.h = b.h AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT x.source AS src_a, y.source AS src_b,
+           x.n::BIGINT AS n_a, y.n::BIGINT AS n_b,
+           coalesce(cm, 0)::BIGINT AS n_common,
+           ${graft.Portable.roundSql(
+             "coalesce(cm, 0)::DOUBLE / (x.n + y.n - coalesce(cm, 0))::DOUBLE",
+             4)} AS jaccard
+         FROM sz x JOIN sz y ON x.source < y.source
+         LEFT JOIN inter ON sa = x.source AND sb = y.source""",
     // q8C: DSIR importance weights — identical hashed-ngram buckets
     // (unigrams + space-joined bigrams through the portable md5 hash),
     // identical add-0.5-smoothed target/raw fits, identical per-doc

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Classifier, Curation, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
+import graft.llm.{Classifier, Corpus, Curation, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
 import graft.ops.TimeSeries
 import graft.store.CandleStore
 
@@ -1009,6 +1009,30 @@ object Queries {
     // the whole corpus through one task.
     "q8G_train_order" -> ((s, d) => {
       Sampling.trainOrder(T.documents(s, d), "doc_id", epochs = 2)
+    }),
+    // Deterministic weighted sampling (round 7): 500 docs drawn with
+    // probability increasing in n_chars via an integer-race priority —
+    // the selection boundary is one exact IEEE division, never a
+    // transcendental, so the kept SET matches the oracle bit-for-bit.
+    // Plans as TakeOrderedAndProject: per-partition heaps, no shuffle.
+    "q8H_weighted_sample" -> ((s, d) => {
+      Sampling.weightedSample(T.documents(s, d), "doc_id", "n_chars", k = 500)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          Portable.round(col("priority"), 6).as("priority"))
+    }),
+    // Per-source distribution drift (round 7): JS divergence of each
+    // source's hashed-unigram histogram vs the corpus mix — the
+    // per-ingest-batch "did this crawl shift?" monitor. One corpus
+    // tokenize pass; everything downstream is a sources×1024 frame.
+    "q8I_source_drift" -> ((s, d) => {
+      Corpus.sourceDrift(T.documents(s, d), "text", "source")
+    }),
+    // Source-pair similarity matrix (round 7): Jaccard over distinct
+    // 3-gram hash sets, every pair reported (zero overlap included) —
+    // the "which feeds duplicate each other?" report. Only (source,
+    // hash) pairs shuffle; the join fan-out is bounded by sources².
+    "q8J_source_jaccard" -> ((s, d) => {
+      Corpus.sourceJaccard(T.documents(s, d), "text", "source")
     }),
     "q89_vstore_changes" -> ((s, d) => {
       versionedStore(s, d).changesSince(1L)

@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Portable
+
+/** Corpus-level source diagnostics for curation monitoring: the
+  * "did this crawl snapshot drift?" and "which sources overlap?"
+  * reports a training-data pipeline runs per ingest batch
+  * (SURVEY.md §2.4 extensions).
+  *
+  * Both operators reduce the corpus to bounded sketches before any
+  * join: drift works on a (source × bucket) histogram (sources ×
+  * nBuckets rows, thousands at most), similarity on distinct
+  * (source, 60-bit gram hash) pairs — document text never shuffles.
+  * All hashes are the engine-portable md5-derived
+  * [[TextStats.portableHash]], so the DuckDB oracle mirrors every
+  * intermediate exactly.
+  */
+object Corpus {
+
+  /** Per-source distribution drift vs the whole corpus:
+    * Jensen-Shannon divergence between each source's hashed-unigram
+    * distribution P and the corpus-wide distribution Q over `nBuckets`
+    * hash buckets. JS(P, Q) = (Σ p·ln(2p/(p+q)) + Σ q·ln(2q/(p+q)))/2
+    * ∈ [0, ln 2]; a source matching the corpus mix scores ≈ 0, a
+    * divergent one approaches ln 2 ≈ 0.693.
+    *
+    * Scale shape: ONE corpus-wide tokenize pass feeds a partial-agg
+    * shuffle on (source, bucket); everything after operates on the
+    * sources × nBuckets histogram, materialized once (the three
+    * downstream branches — per-source totals, per-bucket totals, the
+    * term sums — would each re-run the corpus scan otherwise; the
+    * planner does not dedupe twin aggregate subtrees). Buckets a
+    * source never hits contribute exactly q·ln 2 each, folded in as
+    * (1 − Σ_present q)·ln 2 — no zero-row generation.
+    */
+  def sourceDrift(df: DataFrame, textCol: String, sourceCol: String,
+                  nBuckets: Long = 1024L): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val cnt = df
+      .select(col(sourceCol).as("source"),
+        explode(TextStats.tokens(col(textCol))).as("_w"))
+      .groupBy(col("source"),
+        pmod(TextStats.portableHash(col("_w")), lit(nBuckets)).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val total = cnt.agg(sum(col("_c"))).first().getLong(0).toDouble
+    val srcTot = cnt.groupBy(col("source")).agg(sum(col("_c")).as("_ns"))
+    val bTot = cnt.groupBy(col("_b")).agg(sum(col("_c")).as("_cb"))
+    val p = col("_c").cast("double") / col("_ns").cast("double")
+    val q = col("_cb").cast("double") / lit(total)
+    cnt.join(bTot, "_b").join(srcTot, "source")
+      .select(col("source"), col("_ns"), p.as("_p"), q.as("_q"))
+      .groupBy(col("source"), col("_ns"))
+      .agg(
+        sum(col("_p") * log(lit(2.0) * col("_p") / (col("_p") + col("_q"))))
+          .as("_t1"),
+        sum(col("_q") * log(lit(2.0) * col("_q") / (col("_p") + col("_q"))))
+          .as("_t2"),
+        sum(col("_q")).as("_qc"))
+      .select(col("source"), col("_ns").as("n_grams"),
+        Portable.round(
+          lit(0.5) * (col("_t1") + col("_t2") +
+            (lit(1.0) - col("_qc")) * log(lit(2.0))), 4).as("js_div"))
+  }
+
+  /** Pairwise source similarity: Jaccard over each source's DISTINCT
+    * word-`shingleN`-gram hash set — the "are these two crawls the
+    * same feed?" overlap matrix. Every unordered source pair gets a
+    * row (zero-overlap pairs included, n_common = 0).
+    *
+    * Scale shape: the corpus reduces to distinct (source, hash) pairs
+    * — only 16-byte rows shuffle, text stays at the scan. The
+    * intersection self-join keys on the hash: a gram shared by m
+    * sources expands to m(m−1)/2 pair rows, bounded by the source
+    * count squared, never by corpus size. The pair frame itself is
+    * sources², driver-trivial. The distinct pass is materialized once
+    * (both self-join sides and the size census read it; the planner
+    * does not dedupe the twin subtrees).
+    */
+  def sourceJaccard(df: DataFrame, textCol: String, sourceCol: String,
+                    shingleN: Int = 3): DataFrame = {
+    require(shingleN > 0, "shingleN must be positive")
+    val sets = df
+      .select(col(sourceCol).as("_src"),
+        explode(Dedup.shinglesUdf(shingleN)(TextStats.tokens(col(textCol))))
+          .as("_g"))
+      .select(col("_src"), TextStats.portableHash(col("_g")).as("_h"))
+      .distinct()
+      .localCheckpoint()
+    val sz = sets.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+    val inter = sets.as("a")
+      .join(sets.as("b"),
+        col("a._h") === col("b._h") && col("a._src") < col("b._src"))
+      .groupBy(col("a._src").as("_sa"), col("b._src").as("_sb"))
+      .agg(count(lit(1)).as("_common"))
+    val pairs = sz.as("x").join(sz.as("y"), col("x._src") < col("y._src"))
+      .select(col("x._src").as("src_a"), col("y._src").as("src_b"),
+        col("x._n").as("_na"), col("y._n").as("_nb"))
+    val common = coalesce(col("_common"), lit(0L))
+    pairs.join(inter,
+        pairs("src_a") === inter("_sa") && pairs("src_b") === inter("_sb"),
+        "left")
+      .select(col("src_a"), col("src_b"),
+        col("_na").as("n_a"), col("_nb").as("n_b"),
+        common.as("n_common"),
+        Portable.round(common.cast("double") /
+          (col("_na") + col("_nb") - common).cast("double"), 4).as("jaccard"))
+  }
+}

@@ -61,6 +61,38 @@ object Sampling {
     df.where(h < rateExpr * 10000.0)
   }
 
+  /** Deterministic weighted sampling without replacement: keep the `k`
+    * rows with the smallest race priority
+    * `hash(id|salt) % 1e9 / weight` (ties broken by id). Higher weight
+    * → stochastically smaller priority → more likely kept, and the
+    * priorities are independent across rows, so this is a weighted
+    * order-statistic sample that is a pure function of (id, salt) —
+    * reproducible across runs, partitionings, and engines.
+    *
+    * The race key is deliberately NOT the classic Gumbel /
+    * Efraimidis–Spirakis `u^(1/w)`: that puts a transcendental (`ln`)
+    * in the SELECTION boundary, where a 1-ulp libm difference between
+    * engines can flip a near-tie at rank k. Here the key is one
+    * IEEE-754 double division of a 9-digit integer hash by the weight
+    * — correctly rounded identically everywhere, so the selected SET
+    * is exact cross-engine, not just probable. Rows with
+    * non-positive weight are excluded.
+    *
+    * Scale shape: `orderBy(priority).limit(k)` plans as
+    * TakeOrderedAndProject — a bounded heap per partition plus a
+    * driver merge of k rows; no global sort, no corpus shuffle.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     salt: String = "wsample"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = TextStats.portableHash(
+      concat(col(idCol).cast("string"), lit("|" + salt))) % 1000000000L
+    df.where(col(weightCol) > 0)
+      .withColumn("priority", h.cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Exact per-key running totals WITHOUT `Window.partitionBy(key)` —
     * which funnels every row of a key through ONE task and is the skew
     * wall when one source holds most of a 100 TB corpus. The classic

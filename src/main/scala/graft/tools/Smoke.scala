@@ -176,6 +176,20 @@ object Smoke {
     val ord = graft.llm.Sampling.trainOrder(docs, "doc_id", epochs = 2)
     check("trainOrder: epochs x corpus rows, positive positions",
       ord.count() == 2 * docs.count() && ord.where($"pos" < 1).count() == 0)
+    val ws = graft.llm.Sampling.weightedSample(docs, "doc_id", "n_chars", k = 50)
+    check("weightedSample draws exactly k with positive priorities",
+      ws.count() == 50 && ws.where($"priority" <= 0).count() == 0)
+    val drift = graft.llm.Corpus.sourceDrift(docs, "text", "source")
+    check("sourceDrift: one row per source, js in [0, ln 2]",
+      drift.count() == docs.select($"source").distinct().count() &&
+        drift.where($"js_div" < 0 || $"js_div" > math.log(2.0) + 1e-3)
+          .count() == 0)
+    val sj = graft.llm.Corpus.sourceJaccard(docs, "text", "source")
+    val nSrc = docs.select($"source").distinct().count()
+    check("sourceJaccard: all unordered pairs, jaccard in [0,1]",
+      sj.count() == nSrc * (nSrc - 1) / 2 &&
+        sj.where($"jaccard" < 0 || $"jaccard" > 1 ||
+          $"n_common" > least($"n_a", $"n_b")).count() == 0)
     val ind = TimeSeries.indicators(
       candles.withColumn("ts", to_timestamp(from_unixtime($"bucket")))
         .withColumnRenamed("event_type", "code"),

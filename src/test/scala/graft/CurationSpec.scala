@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Classifier, Curation, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
+import graft.llm.{Classifier, Corpus, Curation, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
 
 /** Round-4 curation/retrieval operators: BM25, duplicated spans,
   * decontamination, per-source caps, SemDeDup, PQ-ADC, WAV spectra.
@@ -309,6 +309,93 @@ class CurationSpec extends SparkSpec {
     // a larger cap strictly contains the smaller cap's kept set
     val wider = Sampling.capPerKey(df, "id", "src", maxPerKey = 20)
     assert(kept.select("id").except(wider.select("id")).count() == 0)
+  }
+
+  test("weightedSample: exact top-k race, weight bias, layout-independent, " +
+      "bad weights excluded, bounded-heap plan") {
+    def pHash(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val weights = (0L until 300L).map(i =>
+      i -> (if (i == 7L) 1000000L else 1L + i % 3)).toMap
+    val df = weights.toSeq.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 20)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 20)
+    // driver-side replay of the integer race: selection must be EXACT
+    val expect = weights.toSeq
+      .map { case (i, w) =>
+        ((pHash(s"$i|wsample") % 1000000000L).toDouble / w, i) }
+      .sorted.take(20).map(_._2).toSet
+    assert(got == expect)
+    // the overwhelming weight is drawn (priority <= 1 vs ~1e9-scale)
+    assert(got.contains(7L))
+    // layout-independent
+    val again = Sampling.weightedSample(df.repartition(13), "id", "w", k = 20)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+    // zero/negative weights can never be selected
+    val bad = df.withColumn("w",
+      when($"id" < 290L, $"w").otherwise(lit(-1L)))
+    val sel = Sampling.weightedSample(bad, "id", "w", k = 300)
+      .select("id").as[Long].collect()
+    assert(sel.length == 290 && sel.forall(_ < 290L))
+    // scale shape: bounded per-partition heaps, not a global sort
+    val plan = Sampling.weightedSample(df, "id", "w", k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("sourceDrift: matched sources agree near 0, divergent source high, " +
+      "bounded by ln 2, layout-independent") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val rows =
+      (0 until 50).map(i => ("srcA", s"${words(i % 5)} ${words((i + 1) % 5)}")) ++
+      (0 until 50).map(i => ("srcB", s"${words(i % 5)} ${words((i + 1) % 5)}")) ++
+      // small divergent tranche: the corpus mix stays ≈ the matched
+      // sources' distribution, so THEIR drift reads near 0 while the
+      // disjoint-vocab source reads high
+      (0 until 10).map(_ => ("srcC", "zeta eta theta"))
+    val df = rows.toDF("source", "text")
+    val out = Corpus.sourceDrift(df, "text", "source", nBuckets = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val js = out.map(r => r._1 -> r._3).toMap
+    val n = out.map(r => r._1 -> r._2).toMap
+    assert(n("srcA") == 100L && n("srcB") == 100L && n("srcC") == 30L)
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= math.log(2.0) + 1e-3))
+    // identical distributions -> identical divergence (round-4 outputs)
+    assert(math.abs(js("srcA") - js("srcB")) <= 2e-4)
+    // the disjoint-vocab source reads as drifted
+    assert(js("srcC") > js("srcA") + 0.1)
+    // layout-independent
+    val again = Corpus.sourceDrift(df.repartition(11), "text", "source",
+        nBuckets = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.forall(r => again(r._1) == r._3))
+  }
+
+  test("sourceJaccard: identical sets 1.0, disjoint pairs present at 0, " +
+      "exact partial overlap, all pairs reported") {
+    val df = Seq(
+      ("srcA", "a b c d"),     // grams {a b c, b c d}
+      ("srcB", "a b c d"),     // identical set -> J = 1
+      ("srcC", "a b c x y z"), // grams {a b c, b c x, c x y, x y z}
+      ("srcD", "p q r s")      // disjoint
+    ).toDF("source", "text")
+    val out = Corpus.sourceJaccard(df, "text", "source", shingleN = 3)
+    val rows = out.collect().map(r => ((r.getString(0), r.getString(1)),
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows.size == 6) // 4C2 unordered pairs, zero-overlap included
+    assert(rows(("srcA", "srcB")) == ((2L, 2L, 2L, 1.0)))
+    assert(rows(("srcA", "srcC")) == ((2L, 4L, 1L, 0.2))) // 1 / (2+4-1)
+    assert(rows(("srcA", "srcD")) == ((2L, 2L, 0L, 0.0)))
+    assert(rows(("srcC", "srcD")) == ((4L, 2L, 0L, 0.0)))
+    // layout-independent
+    val again = Corpus.sourceJaccard(df.repartition(7), "text", "source",
+        shingleN = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    assert(rows.forall { case (k, v) => again(k) == v._4 })
   }
 
   test("trainOrder: each epoch is a permutation, epochs differ, " +
