@@ -859,6 +859,31 @@ object Oracles {
              4)} AS jaccard
          FROM sz x JOIN sz y ON x.source < y.source
          LEFT JOIN inter ON sa = x.source AND sb = y.source""",
+    // q8L: quantile gate — DuckDB's quantile_cont and Spark's exact
+    // percentile share the p·(n−1) interpolation; both engines gate on
+    // the ROUND-4 threshold so the boundary can't hinge on an ulp.
+    "q8L_quantile_gate" ->
+      s"""WITH t AS (SELECT lang,
+             ${graft.Portable.roundSql("quantile_cont(n_chars, 0.9)", 4)} AS p90
+           FROM documents GROUP BY 1)
+         SELECT doc_id, lang, n_chars, p90
+         FROM documents JOIN t USING (lang)
+         WHERE n_chars >= p90""",
+    // q8K: winnowing — identical 5-gram hashes (the q8A shingle
+    // pattern), identical 4-wide window minima (pure integer min, no
+    // arithmetic at all), distinct per doc.
+    "q8K_winnow_fingerprints" ->
+      s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),
+         hs AS (SELECT doc_id, list_transform(
+                  generate_series(1, len(ws) - 4),
+                  i -> ${pHash("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]")})
+                  AS hs
+                FROM tok WHERE len(ws) >= 5),
+         wins AS (SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(hs) - 3),
+                    i -> list_min(hs[i:i+3]))) AS fp_hash
+                  FROM hs WHERE len(hs) >= 4)
+         SELECT DISTINCT doc_id, fp_hash FROM wins""",
     // q8C: DSIR importance weights — identical hashed-ngram buckets
     // (unigrams + space-joined bigrams through the portable md5 hash),
     // identical add-0.5-smoothed target/raw fits, identical per-doc

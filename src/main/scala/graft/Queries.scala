@@ -1034,6 +1034,24 @@ object Queries {
     "q8J_source_jaccard" -> ((s, d) => {
       Corpus.sourceJaccard(T.documents(s, d), "text", "source")
     }),
+    // Per-stratum quantile gate (round 7): keep each language's
+    // longest decile — exact per-lang P90 broadcast back as a hash
+    // join; the cut compares the ROUNDED threshold so the keep/drop
+    // boundary never hinges on an interpolation ulp.
+    "q8L_quantile_gate" -> ((s, d) => {
+      Sampling.quantileFilter(T.documents(s, d), "lang", "n_chars", p = 0.9)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("q_threshold").as("p90"))
+    }),
+    // Winnowing fingerprints (round 7, Schleimer et al. 2003): window
+    // minima over the 5-gram hash sequence — any ≥8-token shared run
+    // between docs is guaranteed to share a fingerprint, at ~40% of
+    // the full gram-set density. One codegen'd pass; only (id, hash)
+    // rows leave the scan.
+    "q8K_winnow_fingerprints" -> ((s, d) => {
+      Dedup.winnowFingerprints(T.documents(s, d), "doc_id", "text",
+        k = 5, window = 4)
+    }),
     "q89_vstore_changes" -> ((s, d) => {
       versionedStore(s, d).changesSince(1L)
         .select(col("code"), col("ts"),

@@ -163,6 +163,36 @@ object Dedup {
           .as("novelty_frac"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+    * §4 — the MOSS algorithm): hash every word `k`-gram, slide a
+    * `window`-wide window over the hash sequence, and keep the MINIMUM
+    * hash of each window (the set form; distinct per document). The
+    * winnowing guarantee: any shared run of at least `window + k − 1`
+    * tokens between two documents is certain to share at least one
+    * selected fingerprint — local, position-robust dedup/plagiarism
+    * candidates at a density of ~2/(window+1) of the full gram set.
+    *
+    * One codegen'd pass per document (gram hashes + window minima are
+    * array expressions — no UDF in the hot path beyond the shared
+    * shingle kernel); only distinct (id, 60-bit hash) rows leave the
+    * scan, the standard posture of the dedup family. Documents shorter
+    * than `window + k − 1` tokens emit nothing.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, window: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(window > 0, "window must be positive")
+    val hs = transform(shinglesUdf(k)(tokens(col(textCol))),
+      s => portableHash(s))
+    df.select(col(idCol), hs.as("_hs"))
+      .where(size(col("_hs")) >= window)
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("_hs")) - window),
+          i => array_min(slice(col("_hs"), i + lit(1), lit(window))))))
+          .as("fp_hash"))
+  }
+
   /** The exact-substring-dedup TRANSFORM (Lee et al. 2022 §4.2 applied
     * at word-window granularity): [[duplicatedSpans]] DETECTS corpus-
     * duplicated windows; this REMOVES them — every token covered by a

@@ -93,6 +93,36 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-stratum quantile gate: keep rows whose `valueCol` reaches
+    * their stratum's exact interpolated `p`-quantile — "keep each
+    * language's longest decile" and friends. Two passes, no window:
+    * one exact-percentile aggregation (strata-count rows) broadcast
+    * back over the corpus as a hash join + filter.
+    *
+    * The gate compares against the quantile ROUNDED to 4 decimals
+    * (emitted as `q_threshold`): the raw interpolation `lower + frac ×
+    * (upper − lower)` is engine-order-sensitive in its last ulp, and a
+    * keep/drop boundary must not hinge on an ulp — rounding pins the
+    * cut identically everywhere (the [[graft.Portable.round]]
+    * contract).
+    *
+    * Scale note: exact `percentile` builds a value→count map per
+    * stratum — right for bounded-cardinality metrics (lengths, token
+    * counts, scores at fixed precision). For unbounded-cardinality
+    * values at corpus scale, gate on `percentile_approx` instead and
+    * accept the documented error band; this operator keeps the exact
+    * form because its output is oracle-gated.
+    */
+  def quantileFilter(df: DataFrame, strataCol: String, valueCol: String,
+                     p: Double): DataFrame = {
+    require(p > 0 && p < 1, "p must be in (0, 1)")
+    val thr = df.groupBy(col(strataCol))
+      .agg(graft.Portable.round(
+        percentile(col(valueCol), lit(p)), 4).as("q_threshold"))
+    df.join(broadcast(thr), Seq(strataCol))
+      .where(col(valueCol) >= col("q_threshold"))
+  }
+
   /** Exact per-key running totals WITHOUT `Window.partitionBy(key)` —
     * which funnels every row of a key through ONE task and is the skew
     * wall when one source holds most of a 100 TB corpus. The classic

@@ -184,6 +184,14 @@ object Smoke {
       drift.count() == docs.select($"source").distinct().count() &&
         drift.where($"js_div" < 0 || $"js_div" > math.log(2.0) + 1e-3)
           .count() == 0)
+    val wf = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, window = 4)
+    val wfAgg = wf.groupBy($"doc_id").count()
+    check("winnowFingerprints sparser than the gram stream, nonempty",
+      wf.count() > 0 && wfAgg.agg(max($"count")).head().getLong(0) > 0)
+    val qg = graft.llm.Sampling.quantileFilter(docs, "lang", "n_chars", p = 0.9)
+    check("quantileFilter keeps a minority at/above threshold",
+      qg.count() > 0 && qg.count() < docs.count() / 2 &&
+        qg.where($"n_chars" < $"q_threshold").count() == 0)
     val sj = graft.llm.Corpus.sourceJaccard(docs, "text", "source")
     val nSrc = docs.select($"source").distinct().count()
     check("sourceJaccard: all unordered pairs, jaccard in [0,1]",

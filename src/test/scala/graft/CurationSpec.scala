@@ -398,6 +398,60 @@ class CurationSpec extends SparkSpec {
     assert(rows.forall { case (k, v) => again(k) == v._4 })
   }
 
+  test("quantileFilter: per-stratum interpolated cut, strata independent, " +
+      "threshold emitted rounded") {
+    // lang A: values 1..11 -> p90 index 0.9*10 = 9 -> exactly 10
+    // lang B: values 10,20,30,44 -> p75... use p=0.9: idx 2.7 -> 30+0.7*14=39.8
+    val df = ((1 to 11).map(v => ("A", v.toLong)) ++
+      Seq(("B", 10L), ("B", 20L), ("B", 30L), ("B", 44L)))
+      .zipWithIndex.map { case ((l, v), i) => (i.toLong, l, v) }
+      .toDF("id", "lang", "v")
+    val out = Sampling.quantileFilter(df, "lang", "v", p = 0.9)
+      .select($"lang", $"v", $"q_threshold")
+      .as[(String, Long, Double)].collect()
+    val a = out.filter(_._1 == "A")
+    val b = out.filter(_._1 == "B")
+    // A: threshold exactly 10.0 -> keeps 10 and 11
+    assert(a.map(_._2).sorted.toSeq == Seq(10L, 11L))
+    assert(a.forall(_._3 == 10.0))
+    // B: threshold 39.8 -> keeps only 44
+    assert(b.map(_._2).toSeq == Seq(44L))
+    assert(b.forall(_._3 == 39.8))
+    // p out of range fails loudly
+    intercept[IllegalArgumentException] {
+      Sampling.quantileFilter(df, "lang", "v", p = 1.0)
+    }
+  }
+
+  test("winnowFingerprints: driver-replayed window minima, shared-run " +
+      "guarantee, short docs empty") {
+    def pHash(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val words = "the quick brown fox jumps over a lazy dog today".split(" ")
+    val df = Seq(
+      (1L, words.mkString(" ")),
+      // shares the 6-token run "brown fox jumps over a lazy" with doc 1
+      // >= window + k - 1 = 4 tokens -> MUST share a fingerprint
+      (2L, "completely different prefix brown fox jumps over a lazy end"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowFingerprints(df, "doc_id", "text", k = 2, window = 3)
+      .as[(Long, Long)].collect()
+    // driver replay for doc 1: 2-gram hashes, then 3-window minima
+    val grams = words.sliding(2).map(_.mkString(" ")).map(pHash).toVector
+    val expect1 = grams.sliding(3).map(_.min).toSet
+    assert(out.filter(_._1 == 1L).map(_._2).toSet == expect1)
+    // winnowing guarantee: the shared run yields a shared fingerprint
+    val fp1 = out.filter(_._1 == 1L).map(_._2).toSet
+    val fp2 = out.filter(_._1 == 2L).map(_._2).toSet
+    assert((fp1 & fp2).nonEmpty)
+    // short doc emits nothing; selected set is sparser than the grams
+    assert(!out.exists(_._1 == 3L))
+    assert(fp1.size < grams.size)
+  }
+
   test("trainOrder: each epoch is a permutation, epochs differ, " +
       "layout-independent, == window rank") {
     import org.apache.spark.sql.expressions.Window
