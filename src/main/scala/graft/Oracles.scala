@@ -859,6 +859,49 @@ object Oracles {
              4)} AS jaccard
          FROM sz x JOIN sz y ON x.source < y.source
          LEFT JOIN inter ON sa = x.source AND sb = y.source""",
+    // q8N: centroid alignment — identical (label, dim) double sums
+    // (dimension pairing is engine-internal, so 0- vs 1-based
+    // positions don't matter), identical mean divisions and cosine;
+    // only the final value is rounded.
+    "q8N_centroid_drift" ->
+      s"""WITH ex AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                unnest(generate_series(1, len(embedding))) AS pos
+              FROM embeddings),
+         lm AS (SELECT label, pos, sum(v) AS s FROM ex GROUP BY 1, 2),
+         ln AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+         gn AS (SELECT count(*)::DOUBLE AS g FROM embeddings),
+         lmean AS (SELECT label, pos, s / n_vecs AS m
+                   FROM lm JOIN ln USING (label)),
+         gmean AS (SELECT pos, sum(s) / any_value(g) AS gm
+                   FROM lm CROSS JOIN gn GROUP BY pos),
+         c AS (SELECT label,
+                 sum(m * gm) / (sqrt(sum(m * m)) * sqrt(sum(gm * gm))) AS c
+               FROM lmean JOIN gmean USING (pos) GROUP BY label)
+         SELECT label, n_vecs::BIGINT AS n_vecs,
+           ${graft.Portable.roundSql("c", 4)} AS centroid_cos
+         FROM c JOIN ln USING (label)""",
+    // q8M: leakage-free split — q8D's LSH + recursive-CC mirror keys
+    // every doc by its component's min id (own id when unclustered),
+    // then q67's md5 split arithmetic on that key.
+    "q8M_leakfree_split" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes()},
+         px AS (SELECT id_a, id_b FROM jj WHERE i / (nn - i) >= 0.3),
+         edges AS (SELECT id_a AS u, id_b AS v FROM px
+                   UNION SELECT id_b, id_a FROM px),
+         reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+                         UNION
+                         SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+         keyed AS (SELECT d.doc_id, d.lang,
+                     coalesce(c.component, d.doc_id) AS split_key
+                   FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         h AS (SELECT doc_id, lang, split_key,
+                 ${pHash("split_key::VARCHAR || '|split'")} % 10000 AS hv
+               FROM keyed)
+         SELECT doc_id, lang, split_key,
+           CASE WHEN hv < 8000 THEN 'train' WHEN hv < 9000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM h""",
     // q8L: quantile gate — DuckDB's quantile_cont and Spark's exact
     // percentile share the p·(n−1) interpolation; both engines gate on
     // the ROUND-4 threshold so the boundary can't hinge on an ulp.

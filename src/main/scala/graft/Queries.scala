@@ -1034,6 +1034,22 @@ object Queries {
     "q8J_source_jaccard" -> ((s, d) => {
       Corpus.sourceJaccard(T.documents(s, d), "text", "source")
     }),
+    // Per-label centroid alignment (round 7): cosine of each label's
+    // mean embedding to the corpus mean — the embedding-space drift
+    // report. One posexplode pass; downstream is labels × dims.
+    "q8N_centroid_drift" -> ((s, d) => {
+      Corpus.labelCentroidDrift(T.embeddings(s, d), "embedding", "label")
+    }),
+    // Leakage-free split (round 7): near-dup clusters draw ONE split
+    // assignment (keyed by their component's min id), so eval text
+    // can't leak into train through a near-copy. Same LSH config as
+    // q8D; unclustered docs key by their own id.
+    "q8M_leakfree_split" -> ((s, d) => {
+      Sampling.leakageFreeSplit(T.documents(s, d), "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        shingleN = 3, k = 32, bands = 8, threshold = 0.3)
+        .select(col("doc_id"), col("lang"), col("split_key"), col("split"))
+    }),
     // Per-stratum quantile gate (round 7): keep each language's
     // longest decile — exact per-lang P90 broadcast back as a hash
     // join; the cut compares the ROUNDED threshold so the keep/drop

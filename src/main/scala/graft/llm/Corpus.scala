@@ -66,6 +66,43 @@ object Corpus {
             (lit(1.0) - col("_qc")) * log(lit(2.0))), 4).as("js_div"))
   }
 
+  /** Per-label embedding-centroid alignment: the cosine of each
+    * label's mean vector to the corpus-wide mean — the embedding-space
+    * analog of [[sourceDrift]] ("is this tranche's semantic center
+    * where the corpus is?"). Low cosine = the tranche occupies its own
+    * region; uniform tranches read ≈ 1.
+    *
+    * Scale shape: one posexplode pass → partial-agg shuffle on
+    * (label, dim) — everything downstream is a labels × dims frame,
+    * materialized once (the per-label and global branches both read
+    * it). Sums run in double; only the final cosine is rounded (the
+    * dimension-order summation skew is ~1e-13, the q8I/q8C argument).
+    */
+  def labelCentroidDrift(df: DataFrame, vecCol: String,
+                         labelCol: String): DataFrame = {
+    val lm = df
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("_s"))
+      .localCheckpoint()
+    val ln = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val gn = df.count().toDouble
+    val lmean = lm.join(ln, "label")
+      .select(col("label"), col("pos"), (col("_s") / col("n_vecs")).as("_m"))
+    val gmean = lm.groupBy(col("pos"))
+      .agg((sum(col("_s")) / lit(gn)).as("_g"))
+    lmean.join(gmean, "pos")
+      .groupBy(col("label"))
+      .agg((sum(col("_m") * col("_g")) /
+        (sqrt(sum(col("_m") * col("_m"))) * sqrt(sum(col("_g") * col("_g")))))
+        .as("_c"))
+      .join(ln, "label")
+      .select(col("label"), col("n_vecs"),
+        Portable.round(col("_c"), 4).as("centroid_cos"))
+  }
+
   /** Pairwise source similarity: Jaccard over each source's DISTINCT
     * word-`shingleN`-gram hash set — the "are these two crawls the
     * same feed?" overlap matrix. Every unordered source pair gets a

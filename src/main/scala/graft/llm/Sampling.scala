@@ -44,6 +44,39 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-free train/val/test split: near-duplicate documents must
+    * land on the SAME side of a split, or the held-out set leaks
+    * training text and eval scores inflate. Resolves MinHash-LSH
+    * near-dup clusters ([[Dedup.minhashNearDupPairs]] →
+    * [[Dedup.connectedComponents]]), keys every document by its
+    * cluster representative (the component's min id; unclustered docs
+    * key by their own id, exposed as `split_key`), and assigns the
+    * split by [[hashSplit]] on that key — one draw per CLUSTER, so
+    * membership stays a pure function of (corpus, salt).
+    *
+    * Scale shape: everything corpus-sized is the dedup family's
+    * banded-LSH + O(log d) component resolution (never all-pairs);
+    * the split itself adds one left join against the component table
+    * (clustered ids only — AQE broadcasts it when near-dups are rare)
+    * and a hash projection.
+    */
+  def leakageFreeSplit(df: DataFrame, idCol: String, textCol: String,
+                       weights: Seq[(String, Double)],
+                       salt: String = "split", shingleN: Int = 3,
+                       k: Int = 32, bands: Int = 8,
+                       threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(df, idCol, textCol, shingleN,
+      k, bands, threshold)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "_cid")
+    val keyed = df
+      .join(comp, col(idCol).cast("long") === col("_cid"), "left")
+      .withColumn("split_key",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .drop("_cid", "component")
+    hashSplit(keyed, "split_key", weights, salt)
+  }
+
   /** Deterministic stratified sampling: keep a row iff its unit hash
     * falls under its stratum's rate (strata with no configured rate use
     * `defaultRate`). One broadcast-map lookup + projection — the 100 TB

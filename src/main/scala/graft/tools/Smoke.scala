@@ -184,6 +184,17 @@ object Smoke {
       drift.count() == docs.select($"source").distinct().count() &&
         drift.where($"js_div" < 0 || $"js_div" > math.log(2.0) + 1e-3)
           .count() == 0)
+    val lfs = graft.llm.Sampling.leakageFreeSplit(docs, "doc_id", "text",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.3)
+    check("leakageFreeSplit assigns every doc exactly once",
+      lfs.count() == docs.count() &&
+        lfs.groupBy($"split_key").agg(countDistinct($"split").as("k"))
+          .where($"k" > 1).count() == 0)
+    val cd = graft.llm.Corpus.labelCentroidDrift(
+      graft.Tables.embeddings(spark, sfDir), "embedding", "label")
+    check("labelCentroidDrift: one row per label, cosine in [-1, 1]",
+      cd.count() > 0 &&
+        cd.where($"centroid_cos" < -1 || $"centroid_cos" > 1).count() == 0)
     val wf = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, window = 4)
     val wfAgg = wf.groupBy($"doc_id").count()
     check("winnowFingerprints sparser than the gram stream, nonempty",

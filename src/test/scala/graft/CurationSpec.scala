@@ -398,6 +398,55 @@ class CurationSpec extends SparkSpec {
     assert(rows.forall { case (k, v) => again(k) == v._4 })
   }
 
+  test("labelCentroidDrift: hand-computed cosines, aligned label reads 1") {
+    // A's centroid (1,0), B's (0,1) -> global mean (0.5, 0.5);
+    // cos(A, g) = cos(B, g) = 0.5 / sqrt(0.5) = 0.7071...
+    // C sits ON the global direction -> cosine exactly 1
+    val df = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),
+      (3L, Seq(0f, 1f), 1), (4L, Seq(0f, 1f), 1),
+      (5L, Seq(2f, 2f), 2), (6L, Seq(4f, 4f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Corpus.labelCentroidDrift(df, "embedding", "label")
+      .as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(0, 1, 2))
+    assert(out.values.forall(_._1 == 2L))
+    // global mean = (7/6, 7/6); A/B symmetric off-axis, C on-axis
+    assert(out(0)._2 == out(1)._2)
+    assert(out(0)._2 == 0.7071) // round4(1/sqrt 2)
+    assert(out(2)._2 == 1.0)
+  }
+
+  test("leakageFreeSplit: near-dup clusters move as one, singletons match " +
+      "hashSplit, every doc assigned once") {
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val df = (
+      // a 3-copy near-dup family (ids 0,1,2): one trailing-word tweak
+      Seq((0L, base), (1L, base + " x"), (2L, base + " y")) ++
+      // unrelated singletons with distinct vocabularies
+      (10L until 40L).map(i =>
+        (i, (0 until 15).map(j => s"w${i}_$j").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val out = Sampling.leakageFreeSplit(df, "doc_id", "text",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.3)
+      .select($"doc_id", $"split_key", $"split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 33 && out.map(_._1).distinct.length == 33)
+    // the family shares one key (the min id) and one split
+    val fam = out.filter(_._1 <= 2L)
+    assert(fam.map(_._2).toSet == Set(0L))
+    assert(fam.map(_._3).toSet.size == 1)
+    // singletons key by their own id and match plain hashSplit
+    val singles = out.filter(_._1 >= 10L)
+    assert(singles.forall(r => r._2 == r._1))
+    val plain = Sampling.hashSplit(
+        df.where($"doc_id" >= 10L), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(singles.forall(r => plain(r._1) == r._3))
+  }
+
   test("quantileFilter: per-stratum interpolated cut, strata independent, " +
       "threshold emitted rounded") {
     // lang A: values 1..11 -> p90 index 0.9*10 = 9 -> exactly 10
