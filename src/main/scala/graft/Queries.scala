@@ -695,14 +695,16 @@ object Queries {
 
   private def buildSliceFiles(s: SparkSession, d: String, base: String):
       (String, org.apache.spark.sql.types.StructType) = {
-    // events.ts is TIMESTAMP(NANOS): the conf must be set on THIS
-    // session before any read of the file (Tables.load does it for the
-    // batch path; the stream path must not depend on call order).
+    // events.ts encoding varies across driver regenerations (raw
+    // nanos / NTZ µs — see Tables.normalizeEventTs); canonicalize
+    // FIRST, then slice on epoch micros, so the written slices always
+    // carry µs UTC timestamps and the stream needs no conversion.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet") // ts = raw epoch nanos
-    val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
+    val raw = Tables.normalizeEventTs(s.read.parquet(s"$d/events.parquet"))
+    val tsUs = unix_micros(col("ts"))
+    val mm = raw.agg(min(tsUs), max(tsUs)).head()
     val (mn, mx) = (mm.getLong(0), mm.getLong(1))
-    def secondAligned(ns: Long): Long = ns / 1000000000L * 1000000000L
+    def secondAligned(us: Long): Long = us / 1000000L * 1000000L
     val cut1 = secondAligned(mn + (mx - mn) / 3)
     val cut2 = secondAligned(mn + 2 * (mx - mn) / 3)
     val srcDir = s"$base/stream-src"
@@ -715,7 +717,7 @@ object Queries {
     // partitionBy(slice) dirs, renamed to flat b<i>.parquet files.
     val staging = s"$base/staging"
     raw.withColumn("_slice",
-        when(col("ts") < cut1, 0).when(col("ts") < cut2, 1).otherwise(2))
+        when(tsUs < cut1, 0).when(tsUs < cut2, 1).otherwise(2))
       .repartition(col("_slice"))
       .write.partitionBy("_slice").parquet(staging)
     val t0 = System.currentTimeMillis()
@@ -757,8 +759,7 @@ object Queries {
       val (srcDir, schema) = sliceEventFiles(s, d, base)
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(srcDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .parquet(srcDir) // slices already carry canonical µs UTC ts
       val st = CandleStore(s, p)
       val q = graft.streaming.Ingest.startUpsertIngest(stream, st, s"$base/ckpt",
         transform = eventCandleTransform)
@@ -786,8 +787,7 @@ object Queries {
       val (srcDir, schema) = sliceEventFiles(s, d, base)
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(srcDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .parquet(srcDir) // slices already carry canonical µs UTC ts
       val vst = graft.store.VersionedCandleStore(s, p)
       val q = graft.streaming.Ingest.startVersionedIngest(stream, vst, s"$base/ckpt",
         transform = eventCandleTransform)

@@ -7,18 +7,35 @@ import org.apache.spark.sql.types.LongType
 /** Loaders for the driver-provided testdata tables (TESTDATA.md).
   * One parquet file per table under `{sfDir}/{name}.parquet`.
   *
-  * `events.ts` is Parquet TIMESTAMP(NANOS), which Spark rejects by
-  * default; we read it as raw nanos (`nanosAsLong`) and truncate to
-  * microseconds — the exact value DuckDB produces for the same file
-  * (its TIMESTAMP is µs), so oracle comparisons stay bit-identical.
+  * `events.ts` has shipped in different encodings across driver
+  * regenerations — Parquet TIMESTAMP(NANOS) (readable only as raw
+  * nanos via `nanosAsLong`) and naive `timestamp[us]` (inferred as
+  * TIMESTAMP_NTZ) — so every load canonicalizes it to µs-precision
+  * UTC TimestampType via [[normalizeEventTs]]. The VALUES are
+  * identical in every encoding (DuckDB reads the same file at µs),
+  * so oracle comparisons stay bit-identical either way.
   */
 object Tables {
+
+  /** Canonicalize an events frame's `ts` to µs UTC TimestampType:
+    * raw-nanos LongType is truncated to µs; TIMESTAMP_NTZ is cast
+    * (value-preserving under the session's UTC zone); TimestampType
+    * passes through.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
