@@ -122,6 +122,20 @@ object Oracles {
     * (pairs), q69 (connected components over the pair graph), and q87
     * (the composed curation pipeline, over its deduped CTE).
     */
+  /** The recursive-CC mirror shared by every cluster-consuming oracle
+    * (q69/q87/q8D/q8M): LSH pair threshold → undirected edges →
+    * reachability closure → min-reachable-id component. Appends the
+    * px/edges/reach/comp CTE chain after [[minhashPairsCtes]]'s `jj`.
+    */
+  private def ccCtes(threshold: Double = 0.3): String =
+    s"""px AS (SELECT id_a, id_b FROM jj WHERE i / (nn - i) >= $threshold),
+       edges AS (SELECT id_a AS u, id_b AS v FROM px
+                 UNION SELECT id_b, id_a FROM px),
+       reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+                       UNION
+                       SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u)"""
+
   private def minhashPairsCtes(from: String = "documents"): String =
     s"""tok AS (SELECT doc_id AS id, $WS AS ws FROM $from),
        shl AS (SELECT id, ${shingleExpr("ws")} AS sh FROM tok),
@@ -749,13 +763,7 @@ object Oracles {
     // Spark's max_by over the (quality, -id) struct).
     "q8D_dedup_keep_best" ->
       s"""WITH RECURSIVE ${minhashPairsCtes()},
-         px AS (SELECT id_a, id_b FROM jj WHERE i / (nn - i) >= 0.3),
-         edges AS (SELECT id_a AS u, id_b AS v FROM px
-                   UNION SELECT id_b, id_a FROM px),
-         reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
-                         UNION
-                         SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
-         comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+         ${ccCtes()},
          jq AS (SELECT c.id, c.component, d.n_chars
                 FROM comp c JOIN documents d ON d.doc_id = c.id),
          rk AS (SELECT id, row_number() OVER (PARTITION BY component
@@ -885,13 +893,7 @@ object Oracles {
     // then q67's md5 split arithmetic on that key.
     "q8M_leakfree_split" ->
       s"""WITH RECURSIVE ${minhashPairsCtes()},
-         px AS (SELECT id_a, id_b FROM jj WHERE i / (nn - i) >= 0.3),
-         edges AS (SELECT id_a AS u, id_b AS v FROM px
-                   UNION SELECT id_b, id_a FROM px),
-         reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
-                         UNION
-                         SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
-         comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+         ${ccCtes()},
          keyed AS (SELECT d.doc_id, d.lang,
                      coalesce(c.component, d.doc_id) AS split_key
                    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
@@ -1093,13 +1095,7 @@ object Oracles {
          k0 AS (SELECT min(doc_id) AS doc_id FROM corp0 GROUP BY lower(trim(text))),
          dd AS (SELECT c.* FROM corp0 c JOIN k0 USING (doc_id)),
          ${minhashPairsCtes("dd")},
-         px AS (SELECT id_a, id_b FROM jj WHERE i / (nn - i) >= 0.3),
-         edges AS (SELECT id_a AS u, id_b AS v FROM px
-                   UNION SELECT id_b, id_a FROM px),
-         reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
-                         UNION
-                         SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
-         comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+         ${ccCtes()},
          nd AS (SELECT * FROM dd WHERE doc_id NOT IN
                   (SELECT id FROM comp WHERE id <> component)),
          t AS (SELECT doc_id, source, text, $WS AS ws FROM nd),
@@ -1203,13 +1199,8 @@ object Oracles {
     // label-propagation operator.
     "q69_dup_clusters" ->
       s"""WITH RECURSIVE ${minhashPairsCtes()},
-         px AS (SELECT id_a, id_b FROM jj WHERE i / (nn - i) >= 0.3),
-         edges AS (SELECT id_a AS u, id_b AS v FROM px
-                   UNION SELECT id_b, id_a FROM px),
-         reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
-                         UNION
-                         SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
-         SELECT u AS id, min(v) AS component FROM reach GROUP BY u""",
+         ${ccCtes()}
+         SELECT id, component FROM comp""",
     "q6C_unigram_lm" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WS) AS w FROM documents),
          cnt AS (SELECT w, count(*)::DOUBLE AS c FROM tok GROUP BY w),

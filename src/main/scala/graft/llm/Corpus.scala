@@ -20,6 +20,21 @@ import graft.Portable
   */
 object Corpus {
 
+  /** The dedup-family checkpoint contract (see `Dedup.ngramNovelty`):
+    * default `localCheckpoint` (executor-local blocks — fast, but an
+    * executor loss between the materialization and its last reader
+    * fails the job); `reliable = true` checkpoints to the configured
+    * fault-tolerant checkpoint dir instead — pay the extra write on a
+    * real cluster, skip it in local mode.
+    */
+  private def materialize(df: DataFrame, reliable: Boolean): DataFrame = {
+    require(!reliable ||
+      df.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+      "reliableCheckpoint = true needs a reliable checkpoint dir: call " +
+        "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first")
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+  }
+
   /** Per-source distribution drift vs the whole corpus:
     * Jensen-Shannon divergence between each source's hashed-unigram
     * distribution P and the corpus-wide distribution Q over `nBuckets`
@@ -37,16 +52,20 @@ object Corpus {
     * (1 − Σ_present q)·ln 2 — no zero-row generation.
     */
   def sourceDrift(df: DataFrame, textCol: String, sourceCol: String,
-                  nBuckets: Long = 1024L): DataFrame = {
+                  nBuckets: Long = 1024L,
+                  reliableCheckpoint: Boolean = false): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val cnt = df
+    val cntPlan = df
       .select(col(sourceCol).as("source"),
         explode(TextStats.tokens(col(textCol))).as("_w"))
       .groupBy(col("source"),
         pmod(TextStats.portableHash(col("_w")), lit(nBuckets)).as("_b"))
       .agg(count(lit(1)).as("_c"))
-      .localCheckpoint()
-    val total = cnt.agg(sum(col("_c"))).first().getLong(0).toDouble
+    val cnt = materialize(cntPlan, reliableCheckpoint)
+    // null-safe: an empty corpus sums to NULL and must yield an empty
+    // frame, not an NPE (downstream is empty once cnt is empty)
+    val total = Option(cnt.agg(sum(col("_c"))).first().get(0))
+      .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
     val srcTot = cnt.groupBy(col("source")).agg(sum(col("_c")).as("_ns"))
     val bTot = cnt.groupBy(col("_b")).agg(sum(col("_c")).as("_cb"))
     val p = col("_c").cast("double") / col("_ns").cast("double")
@@ -78,21 +97,24 @@ object Corpus {
     * it). Sums run in double; only the final cosine is rounded (the
     * dimension-order summation skew is ~1e-13, the q8I/q8C argument).
     */
-  def labelCentroidDrift(df: DataFrame, vecCol: String,
-                         labelCol: String): DataFrame = {
-    val lm = df
+  def labelCentroidDrift(df: DataFrame, vecCol: String, labelCol: String,
+                         reliableCheckpoint: Boolean = false): DataFrame = {
+    val lmPlan = df
       .select(col(labelCol).as("label"),
         posexplode(col(vecCol).cast("array<double>")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("col")).as("_s"))
-      .localCheckpoint()
+    val lm = materialize(lmPlan, reliableCheckpoint)
     val ln = df.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_vecs"))
-    val gn = df.count().toDouble
     val lmean = lm.join(ln, "label")
       .select(col("label"), col("pos"), (col("_s") / col("n_vecs")).as("_m"))
-    val gmean = lm.groupBy(col("pos"))
-      .agg((sum(col("_s")) / lit(gn)).as("_g"))
+    // corpus size stays in the DAG (sum of the per-label census joined
+    // in as a 1-row broadcast) — no extra count action over the source
+    val gTot = ln.agg(sum(col("n_vecs")).cast("double").as("_gn"))
+    val gmean = lm.groupBy(col("pos")).agg(sum(col("_s")).as("_gs"))
+      .crossJoin(gTot)
+      .select(col("pos"), (col("_gs") / col("_gn")).as("_g"))
     lmean.join(gmean, "pos")
       .groupBy(col("label"))
       .agg((sum(col("_m") * col("_g")) /
@@ -108,6 +130,10 @@ object Corpus {
     * same feed?" overlap matrix. Every unordered source pair gets a
     * row (zero-overlap pairs included, n_common = 0).
     *
+    * Sources whose every document is shorter than `shingleN` tokens
+    * have an empty gram set; they still appear in every pair row
+    * (n = 0), and an empty-union pair reads Jaccard 0.
+    *
     * Scale shape: the corpus reduces to distinct (source, hash) pairs
     * — only 16-byte rows shuffle, text stays at the scan. The
     * intersection self-join keys on the hash: a gram shared by m
@@ -118,16 +144,22 @@ object Corpus {
     * does not dedupe the twin subtrees).
     */
   def sourceJaccard(df: DataFrame, textCol: String, sourceCol: String,
-                    shingleN: Int = 3): DataFrame = {
+                    shingleN: Int = 3,
+                    reliableCheckpoint: Boolean = false): DataFrame = {
     require(shingleN > 0, "shingleN must be positive")
-    val sets = df
+    val setsPlan = df
       .select(col(sourceCol).as("_src"),
         explode(Dedup.shinglesUdf(shingleN)(TextStats.tokens(col(textCol))))
           .as("_g"))
       .select(col("_src"), TextStats.portableHash(col("_g")).as("_h"))
       .distinct()
-      .localCheckpoint()
-    val sz = sets.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+    val sets = materialize(setsPlan, reliableCheckpoint)
+    // census over ALL sources (not just those with >= shingleN-token
+    // docs), so gramless sources still appear in every pair row
+    val sz = df.select(col(sourceCol).as("_src")).distinct()
+      .join(sets.groupBy(col("_src")).agg(count(lit(1)).as("_g_n")),
+        Seq("_src"), "left")
+      .select(col("_src"), coalesce(col("_g_n"), lit(0L)).as("_n"))
     val inter = sets.as("a")
       .join(sets.as("b"),
         col("a._h") === col("b._h") && col("a._src") < col("b._src"))
@@ -143,7 +175,10 @@ object Corpus {
       .select(col("src_a"), col("src_b"),
         col("_na").as("n_a"), col("_nb").as("n_b"),
         common.as("n_common"),
-        Portable.round(common.cast("double") /
-          (col("_na") + col("_nb") - common).cast("double"), 4).as("jaccard"))
+        // two gramless sources have an empty union: define J = 0, not NaN
+        when(col("_na") + col("_nb") - common === 0, lit(0.0))
+          .otherwise(Portable.round(common.cast("double") /
+            (col("_na") + col("_nb") - common).cast("double"), 4))
+          .as("jaccard"))
   }
 }

@@ -69,10 +69,16 @@ object Sampling {
       k, bands, threshold)
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "_cid")
+    // a null / non-castable id would silently hash to the LAST split
+    // (null unit hash fails every boundary test) — fail loudly instead
+    val idKey = when(col(idCol).cast("long").isNotNull, col(idCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"leakageFreeSplit: $idCol value '"),
+        coalesce(col(idCol).cast("string"), lit("null")),
+        lit("' is null or not castable to long"))).cast("long"))
     val keyed = df
       .join(comp, col(idCol).cast("long") === col("_cid"), "left")
-      .withColumn("split_key",
-        coalesce(col("component"), col(idCol).cast("long")))
+      .withColumn("split_key", coalesce(col("component"), idKey))
       .drop("_cid", "component")
     hashSplit(keyed, "split_key", weights, salt)
   }

@@ -196,9 +196,12 @@ object Smoke {
       cd.count() > 0 &&
         cd.where($"centroid_cos" < -1 || $"centroid_cos" > 1).count() == 0)
     val wf = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, window = 4)
-    val wfAgg = wf.groupBy($"doc_id").count()
+    val nWinnow = wf.count()
+    val nGrams = docs.select(sum(greatest(
+      size(graft.llm.TextStats.tokens($"text")) - lit(4), lit(0))))
+      .head().getLong(0)
     check("winnowFingerprints sparser than the gram stream, nonempty",
-      wf.count() > 0 && wfAgg.agg(max($"count")).head().getLong(0) > 0)
+      nWinnow > 0 && nWinnow < nGrams)
     val qg = graft.llm.Sampling.quantileFilter(docs, "lang", "n_chars", p = 0.9)
     check("quantileFilter keeps a minority at/above threshold",
       qg.count() > 0 && qg.count() < docs.count() / 2 &&

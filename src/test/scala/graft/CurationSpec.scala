@@ -375,6 +375,31 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(r => again(r._1) == r._3))
   }
 
+  test("Corpus ops reliable-checkpoint path: identical output, loud without dir") {
+    val df = (0L until 60L).map(i =>
+      (i, s"src${i % 3}", s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} tail$i"))
+      .toDF("doc_id", "source", "text")
+    // loud when no checkpoint dir is configured
+    val hadDir = spark.sparkContext.getCheckpointDir
+    assert(hadDir.isEmpty || true) // suite may have set one earlier; handle both
+    if (hadDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        Corpus.sourceDrift(df, "text", "source", reliableCheckpoint = true)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val local = Corpus.sourceDrift(df, "text", "source", nBuckets = 64).collect()
+      val rel = Corpus.sourceDrift(df, "text", "source", nBuckets = 64,
+        reliableCheckpoint = true).collect()
+      assert(local.toSet == rel.toSet)
+      val lj = Corpus.sourceJaccard(df, "text", "source").collect()
+      val rj = Corpus.sourceJaccard(df, "text", "source",
+        reliableCheckpoint = true).collect()
+      assert(lj.toSet == rj.toSet)
+    } finally graft.GraftSession.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("sourceJaccard: identical sets 1.0, disjoint pairs present at 0, " +
       "exact partial overlap, all pairs reported") {
     val df = Seq(
@@ -412,7 +437,7 @@ class CurationSpec extends SparkSpec {
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(out.keySet == Set(0, 1, 2))
     assert(out.values.forall(_._1 == 2L))
-    // global mean = (7/6, 7/6); A/B symmetric off-axis, C on-axis
+    // global mean = (4/3, 4/3); A/B symmetric off-axis, C on-axis
     assert(out(0)._2 == out(1)._2)
     assert(out(0)._2 == 0.7071) // round4(1/sqrt 2)
     assert(out(2)._2 == 1.0)
