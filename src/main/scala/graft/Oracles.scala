@@ -867,6 +867,35 @@ object Oracles {
              4)} AS jaccard
          FROM sz x JOIN sz y ON x.source < y.source
          LEFT JOIN inter ON sa = x.source AND sb = y.source""",
+    // q8O: the round-7 capstone chains mirrors that already exist
+    // stage-for-stage: q50's min-id-per-normalized-text dedup, q8L's
+    // rounded median gate, q8M's CC split key + q67's split
+    // arithmetic, q8H's race sample.
+    "q8O_curation_v2" ->
+      s"""WITH RECURSIVE
+         k0 AS (SELECT min(doc_id) AS doc_id FROM documents
+                GROUP BY lower(trim(text))),
+         dd AS (SELECT d.* FROM documents d JOIN k0 USING (doc_id)),
+         thr AS (SELECT lang,
+                   ${graft.Portable.roundSql("quantile_cont(n_chars, 0.5)", 4)}
+                     AS p50
+                 FROM dd GROUP BY 1),
+         qg AS (SELECT dd.* FROM dd JOIN thr USING (lang)
+                WHERE n_chars >= p50),
+         ${minhashPairsCtes("qg")},
+         ${ccCtes()},
+         keyed AS (SELECT q.doc_id, q.lang, q.source, q.n_chars,
+                     coalesce(c.component, q.doc_id) AS split_key
+                   FROM qg q LEFT JOIN comp c ON c.id = q.doc_id),
+         tr AS (SELECT doc_id, lang, source, n_chars FROM keyed
+                WHERE ${pHash("split_key::VARCHAR || '|split'")} % 10000 < 8000)
+         SELECT doc_id, lang, source, n_chars,
+           ${graft.Portable.roundSql("pri", 6)} AS priority
+         FROM (SELECT doc_id, lang, source, n_chars,
+                 (${pHash("doc_id::VARCHAR || '|wsample'")} % 1000000000)::DOUBLE
+                   / n_chars::DOUBLE AS pri
+               FROM tr WHERE n_chars > 0
+               ORDER BY pri, doc_id LIMIT 100)""",
     // q8N: centroid alignment — identical (label, dim) double sums
     // (dimension pairing is engine-internal, so 0- vs 1-based
     // positions don't matter), identical mean divisions and cosine;

@@ -1034,6 +1034,23 @@ object Queries {
     "q8J_source_jaccard" -> ((s, d) => {
       Corpus.sourceJaccard(T.documents(s, d), "text", "source")
     }),
+    // Round-7 capstone: the new curation operators composed end-to-end
+    // — exact dedup → per-lang median length gate → leakage-free split
+    // → weighted sample of the train side. The gated corpus is
+    // materialized once (the split's LSH branch and its assignment
+    // join would otherwise re-run dedup + percentile per subtree).
+    "q8O_curation_v2" -> ((s, d) => {
+      val dd = Dedup.dedupedCorpus(T.documents(s, d), "doc_id", "text")
+      val qg = Sampling.quantileFilter(dd, "lang", "n_chars", p = 0.5)
+        .localCheckpoint()
+      val split = Sampling.leakageFreeSplit(qg, "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        shingleN = 3, k = 32, bands = 8, threshold = 0.3)
+      Sampling.weightedSample(split.where(col("split") === "train"),
+          "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          Portable.round(col("priority"), 6).as("priority"))
+    }),
     // Per-label centroid alignment (round 7): cosine of each label's
     // mean embedding to the corpus mean — the embedding-space drift
     // report. One posexplode pass; downstream is labels × dims.

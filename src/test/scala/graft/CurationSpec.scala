@@ -472,6 +472,32 @@ class CurationSpec extends SparkSpec {
     assert(singles.forall(r => plain(r._1) == r._3))
   }
 
+  test("curation chain composes: dedup -> quantile gate -> leakage-free " +
+      "split -> weighted sample, gates hold on the output") {
+    val df = (0L until 200L).map { i =>
+      val text = (0 until (5 + (i % 20)).toInt).map(j => s"w${i}_$j").mkString(" ")
+      (i, if (i % 2 == 0) "en" else "de", s"src${i % 4}", text, text.length.toLong)
+    }.toDF("doc_id", "lang", "source", "text", "n_chars")
+    def chain() = {
+      val dd = Dedup.dedupedCorpus(df, "doc_id", "text")
+      val qg = Sampling.quantileFilter(dd, "lang", "n_chars", p = 0.5)
+      val split = Sampling.leakageFreeSplit(qg, "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.3)
+      Sampling.weightedSample(split.where($"split" === "train"),
+        "doc_id", "n_chars", k = 30)
+    }
+    val out = chain()
+    val rows = out.select($"doc_id", $"n_chars", $"q_threshold", $"split")
+      .as[(Long, Long, Double, String)].collect()
+    assert(rows.length == 30)
+    // every sampled doc still satisfies its stratum's gate, train only
+    assert(rows.forall(r => r._2 >= r._3))
+    assert(rows.forall(_._4 == "train"))
+    // the chain is a pure function of (corpus, salts)
+    assert(chain().select("doc_id").as[Long].collect().toSet ==
+      rows.map(_._1).toSet)
+  }
+
   test("quantileFilter: per-stratum interpolated cut, strata independent, " +
       "threshold emitted rounded") {
     // lang A: values 1..11 -> p90 index 0.9*10 = 9 -> exactly 10
