@@ -1363,6 +1363,22 @@ object Oracles {
              list_prepend(0::BIGINT, list_transform(ws, w -> ${pHash("w")} % 1000003)),
              (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
          FROM g""",
+    // q8P: hard negatives — q56's exact mirror with the different-label
+    // join condition; identical round-4 scores and (score desc, id)
+    // tie-break.
+    "q8P_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             label AS ql FROM embeddings WHERE vec_id % 20 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             label AS cl FROM embeddings),
+         sc AS (SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 4) AS score
+           FROM q CROSS JOIN c WHERE ql <> cl),
+         r AS (SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC)::INT AS rank
+           FROM sc)
+         SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5""",
     "q56_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000),

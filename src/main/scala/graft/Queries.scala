@@ -1427,6 +1427,14 @@ object Queries {
       val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
     }),
+    // Hard-negative mining (round 7): the top-5 most-similar
+    // DIFFERENT-label vectors per query — contrastive training's
+    // "closest wrong answers". Bounded query set, exact ground truth.
+    "q8P_hard_negatives" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", "label", k = 5)
+    }),
     // Per-vector stats.
     "q57_embedding_stats" -> ((s, d) => {
       val v = col("embedding")

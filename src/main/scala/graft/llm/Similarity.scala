@@ -90,6 +90,34 @@ object Similarity {
         col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the `k` most-cosine-similar corpus vectors with a
+    * DIFFERENT label — the "closest wrong answers" an embedding model
+    * trains against. Same exact bounded-input shape as
+    * [[bruteForceTopK]] (broadcast queries, one corpus scan, bounded-
+    * heap top-k — the q56/q58 ground-truth family; callers MUST bound
+    * the query set). At corpus scale, run the IVF probe instead and
+    * post-filter labels, widening nProbe/k to cover the same-label
+    * fraction the filter discards.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    roundScore: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("_ql")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("_cl"))
+    val scored = q.join(c, col("_ql") =!= col("_cl"))
+      .withColumn("score",
+        Portable.round(cosineNative(col("qv"), col("cv")), roundScore))
+    val topk = udaf(new TopK.TopKAggregator(k))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("score")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic random hyperplanes: `nPlanes` unit-free direction
     * vectors of dimension `dim` (seeded; constants baked into the plan).
     */

@@ -423,6 +423,36 @@ class CurationSpec extends SparkSpec {
     assert(rows.forall { case (k, v) => again(k) == v._4 })
   }
 
+  test("hardNegatives: same-label neighbors excluded, ranks by cosine") {
+    val df = Seq(
+      (1L, Seq(1f, 0f), "A"),      // query
+      (2L, Seq(0.99f, 0.14f), "A"),// nearest overall — but same label
+      (3L, Seq(0.9f, 0.44f), "B"), // hard negative rank 1
+      (4L, Seq(0f, 1f), "B"),      // orthogonal -> rank 2
+      (5L, Seq(-1f, 0f), "C")      // opposite -> rank 3
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df, df.where($"vec_id" === 1L),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy($"rank").as[(Long, Long, Double, Int)].collect()
+    assert(out.map(_._2).toSeq == Seq(3L, 4L, 5L))
+    assert(!out.exists(_._2 == 2L)) // same-label never mined
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.reverse.toSeq)
+  }
+
+  test("weightedSample: selection invariant under weight scaling and layout") {
+    val df = (0L until 150L).map(i => (i, 1.0 + (i % 7))).toDF("id", "w")
+    val base = Sampling.weightedSample(df, "id", "w", k = 25)
+      .select("id").as[Long].collect().toSet
+    // scaling every weight by a constant preserves the race order
+    val scaled = Sampling.weightedSample(
+        df.withColumn("w", $"w" * 1000.0), "id", "w", k = 25)
+      .select("id").as[Long].collect().toSet
+    assert(scaled == base)
+    val perm = Sampling.weightedSample(df.orderBy(rand(7)), "id", "w", k = 25)
+      .select("id").as[Long].collect().toSet
+    assert(perm == base)
+  }
+
   test("labelCentroidDrift: hand-computed cosines, aligned label reads 1") {
     // A's centroid (1,0), B's (0,1) -> global mean (0.5, 0.5);
     // cos(A, g) = cos(B, g) = 0.5 / sqrt(0.5) = 0.7071...
