@@ -62,10 +62,10 @@ object Corpus {
         pmod(TextStats.portableHash(col("_w")), lit(nBuckets)).as("_b"))
       .agg(count(lit(1)).as("_c"))
     val cnt = materialize(cntPlan, reliableCheckpoint)
-    // null-safe: an empty corpus sums to NULL and must yield an empty
+    // coalesce: an empty corpus sums to NULL and must yield an empty
     // frame, not an NPE (downstream is empty once cnt is empty)
-    val total = Option(cnt.agg(sum(col("_c"))).first().get(0))
-      .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+    val total = cnt.agg(coalesce(sum(col("_c")), lit(0L)))
+      .first().getLong(0).toDouble
     val srcTot = cnt.groupBy(col("source")).agg(sum(col("_c")).as("_ns"))
     val bTot = cnt.groupBy(col("_b")).agg(sum(col("_c")).as("_cb"))
     val p = col("_c").cast("double") / col("_ns").cast("double")

@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The 60-bit engine-portable hash of (id, salt) every sampling op
+    * derives its draws from: md5 of `"<id>|<salt>"`.
+    */
+  private def saltedHash(id: Column, salt: String): Column =
+    TextStats.portableHash(concat(id.cast("string"), lit("|" + salt)))
+
   /** Hash of (id, salt) mapped to [0, 10000) — 4 decimal digits of
     * assignment resolution, engine-portable.
     */
   def unitHash(id: Column, salt: String): Column =
-    TextStats.portableHash(concat(id.cast("string"), lit("|" + salt))) % 10000L
+    saltedHash(id, salt) % 10000L
 
   /** Deterministic split assignment: adds a `split` column, e.g.
     * `hashSplit(df, "doc_id", Seq("train" -> 0.8, "val" -> 0.1,
@@ -124,8 +130,7 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
                      salt: String = "wsample"): DataFrame = {
     require(k > 0, "k must be positive")
-    val h = TextStats.portableHash(
-      concat(col(idCol).cast("string"), lit("|" + salt))) % 1000000000L
+    val h = saltedHash(col(idCol), salt) % 1000000000L
     df.where(col(weightCol) > 0)
       .withColumn("priority", h.cast("double") / col(weightCol).cast("double"))
       .orderBy(col("priority"), col(idCol))

@@ -190,15 +190,14 @@ object Smoke {
       lfs.count() == docs.count() &&
         lfs.groupBy($"split_key").agg(countDistinct($"split").as("k"))
           .where($"k" > 1).count() == 0)
-    val hn = Similarity.hardNegatives(
-      Tables.embeddings(spark, sfDir),
-      Tables.embeddings(spark, sfDir).where($"vec_id" % 50 === 0),
+    val hnEmb = Tables.embeddings(spark, sfDir)
+    val hn = Similarity.hardNegatives(hnEmb,
+      hnEmb.where($"vec_id" % 50 === 0),
       "vec_id", "embedding", "label", k = 3)
     check("hardNegatives: k rows per query, no self matches",
       hn.groupBy($"query_id").count().agg(max("count")).head().getLong(0) <= 3 &&
         hn.where($"query_id" === $"neighbor_id").count() == 0 && hn.count() > 0)
-    val cd = graft.llm.Corpus.labelCentroidDrift(
-      graft.Tables.embeddings(spark, sfDir), "embedding", "label")
+    val cd = graft.llm.Corpus.labelCentroidDrift(hnEmb, "embedding", "label")
     check("labelCentroidDrift: one row per label, cosine in [-1, 1]",
       cd.count() > 0 &&
         cd.where($"centroid_cos" < -1 || $"centroid_cos" > 1).count() == 0)

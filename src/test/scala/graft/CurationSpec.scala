@@ -10,6 +10,12 @@ import graft.llm.{Classifier, Corpus, Curation, Dedup, Multimodal, Ranking, Samp
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Driver-side mirror of TextStats.portableHash (md5, first 15 hex). */
+  private def pHash(s: String): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .substring(0, 15), 16)
+
   implicit val sp: org.apache.spark.sql.SparkSession = spark
 
   // ---------------------------------------------------------------- //
@@ -313,10 +319,6 @@ class CurationSpec extends SparkSpec {
 
   test("weightedSample: exact top-k race, weight bias, layout-independent, " +
       "bad weights excluded, bounded-heap plan") {
-    def pHash(s: String): Long = java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .substring(0, 15), 16)
     val weights = (0L until 300L).map(i =>
       i -> (if (i == 7L) 1000000L else 1L + i % 3)).toMap
     val df = weights.toSeq.toDF("id", "w")
@@ -555,10 +557,6 @@ class CurationSpec extends SparkSpec {
 
   test("winnowFingerprints: driver-replayed window minima, shared-run " +
       "guarantee, short docs empty") {
-    def pHash(s: String): Long = java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .substring(0, 15), 16)
     val words = "the quick brown fox jumps over a lazy dog today".split(" ")
     val df = Seq(
       (1L, words.mkString(" ")),
