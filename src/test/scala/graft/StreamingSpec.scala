@@ -21,6 +21,45 @@ class StreamingSpec extends SparkSpec {
   private def c(code: String, t: String, o: Double): Candle =
     Candle("UPBIT", code, 60, ts(t), o, o + 1, o - 1, o + 0.5, 10.0, 0L)
 
+  test("in-flight curation at ingest: hash split + stratified sample + " +
+      "quality gate on a stream == the same projections in batch") {
+    // The curation projections are stateless pure functions of each
+    // row, so applying them under readStream must yield EXACTLY the
+    // batch assignment — the property that lets a pipeline curate at
+    // ingest and re-derive the same decisions offline.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 120L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de",
+        (0 until 8).map(j => s"w${(i * 31 + j) % 90}").mkString(" ")))
+    val stream = MemoryStream[(Long, String, String)]
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val split = graft.llm.Sampling.hashSplit(
+        df.toDF("doc_id", "lang", "text"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.1))
+      val sampled = graft.llm.Sampling.stratifiedSample(split, "doc_id",
+        "lang", Map("de" -> 0.5), defaultRate = 1.0)
+      sampled.withColumn("q",
+        graft.llm.TextStats.qualityScore(org.apache.spark.sql.functions.col("text")))
+        .where(org.apache.spark.sql.functions.col("q") > 0.0)
+    }
+    val query = curate(stream.toDF()).writeStream
+      .format("memory").queryName("curate").outputMode("append").start()
+    stream.addData(docs.take(60): _*)
+    query.processAllAvailable()
+    stream.addData(docs.drop(60): _*)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("curate")
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val batch = curate(docs.toDF())
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // the sample dropped some de docs but kept every en doc
+    val keptLangs = spark.table("curate").groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(keptLangs("en") == 60L && keptLangs("de") < 60L)
+  }
+
   test("stream-static enrichment join == batch join, static side broadcast") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("BTC", "Bitcoin"), ("ETH", "Ether")).toDF("code", "name")
