@@ -867,6 +867,16 @@ object Oracles {
              4)} AS jaccard
          FROM sz x JOIN sz y ON x.source < y.source
          LEFT JOIN inter ON sa = x.source AND sb = y.source""",
+    // q8Q: per-source length profile — integer sums are exact in
+    // double under any order, and quantile_cont ≡ Spark percentile
+    // (the q8L parity), all rounded.
+    "q8Q_length_profile" ->
+      s"""SELECT source, count(*) AS n_docs,
+           ${graft.Portable.roundSql("avg(n_chars)", 4)} AS mean_chars,
+           ${graft.Portable.roundSql("quantile_cont(n_chars, 0.1)", 4)} AS p10,
+           ${graft.Portable.roundSql("quantile_cont(n_chars, 0.5)", 4)} AS p50,
+           ${graft.Portable.roundSql("quantile_cont(n_chars, 0.9)", 4)} AS p90
+         FROM documents GROUP BY source""",
     // q8O: the round-7 capstone chains mirrors that already exist
     // stage-for-stage: q50's min-id-per-normalized-text dedup, q8L's
     // rounded median gate, q8M's CC split key + q67's split
