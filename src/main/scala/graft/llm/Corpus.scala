@@ -166,8 +166,14 @@ object Corpus {
     // collect_set form ran 20–22 s vs 15 s — an 8M-key object-hash
     // aggregation with array buffers falls back to sort-based
     // aggregation, costing more than the SMJ's sorts
-    val inter = sets.as("a")
-      .join(sets.as("b"),
+    // the merge hint pins the join strategy: the checkpointed set's
+    // size statistics can read small enough that the planner tries to
+    // BROADCAST one side — at 500k docs that is 41M rows and kills the
+    // driver ("not enough memory to build and broadcast", reproduced
+    // by the CurationScaleCheck soak); SMJ is also the measured-faster
+    // shape (see above)
+    val inter = sets.as("a").hint("merge")
+      .join(sets.as("b").hint("merge"),
         col("a._h") === col("b._h") && col("a._src") < col("b._src"))
       .groupBy(col("a._src").as("_sa"), col("b._src").as("_sb"))
       .agg(count(lit(1)).as("_common"))
