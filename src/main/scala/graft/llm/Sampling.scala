@@ -82,8 +82,14 @@ object Sampling {
         lit(s"leakageFreeSplit: $idCol value '"),
         coalesce(col(idCol).cast("string"), lit("null")),
         lit("' is null or not castable to long"))).cast("long"))
+    // merge hint: both sides can be checkpoint-backed (the CC labels
+    // always are; callers may checkpoint the corpus), and checkpoint
+    // stats can misread as broadcastable — a static broadcast of the
+    // text-laden corpus is the q8J soak failure class. AQE still
+    // upgrades to a broadcast at runtime from REAL sizes when the
+    // component table is genuinely small.
     val keyed = df
-      .join(comp, col(idCol).cast("long") === col("_cid"), "left")
+      .join(comp.hint("merge"), col(idCol).cast("long") === col("_cid"), "left")
       .withColumn("split_key", coalesce(col("component"), idKey))
       .drop("_cid", "component")
     hashSplit(keyed, "split_key", weights, salt)
