@@ -854,7 +854,13 @@ object Oracles {
                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS g
                FROM tok),
          sets AS (SELECT DISTINCT source, ${pHash("g")} AS h FROM g),
-         sz AS (SELECT source, count(*) AS n FROM sets GROUP BY 1),
+         -- census over ALL distinct sources (mirrors Corpus.sourceJaccard:
+         -- a source whose every doc has < 3 tokens still appears in every
+         -- pair row with n = 0, and an empty union pins J = 0, not 0/0)
+         gsz AS (SELECT source, count(*) AS n FROM sets GROUP BY 1),
+         sz AS (SELECT d.source, coalesce(gsz.n, 0) AS n
+                FROM (SELECT DISTINCT source FROM documents) d
+                LEFT JOIN gsz USING (source)),
          inter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS cm
                    FROM sets a JOIN sets b
                      ON a.h = b.h AND a.source < b.source
@@ -862,9 +868,10 @@ object Oracles {
          SELECT x.source AS src_a, y.source AS src_b,
            x.n::BIGINT AS n_a, y.n::BIGINT AS n_b,
            coalesce(cm, 0)::BIGINT AS n_common,
-           ${graft.Portable.roundSql(
-             "coalesce(cm, 0)::DOUBLE / (x.n + y.n - coalesce(cm, 0))::DOUBLE",
-             4)} AS jaccard
+           CASE WHEN x.n + y.n - coalesce(cm, 0) = 0 THEN 0.0
+             ELSE ${graft.Portable.roundSql(
+               "coalesce(cm, 0)::DOUBLE / (x.n + y.n - coalesce(cm, 0))::DOUBLE",
+               4)} END AS jaccard
          FROM sz x JOIN sz y ON x.source < y.source
          LEFT JOIN inter ON sa = x.source AND sb = y.source""",
     // q8Q: per-source length profile — integer sums are exact in
@@ -1378,7 +1385,8 @@ object Oracles {
     // tie-break.
     "q8P_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
-             label AS ql FROM embeddings WHERE vec_id % 20 = 0),
+             label AS ql FROM embeddings
+           WHERE vec_id % 20 = 0 AND vec_id < 10000),
          c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
              label AS cl FROM embeddings),
          sc AS (SELECT query_id, neighbor_id,

@@ -1443,7 +1443,8 @@ object Queries {
     // "closest wrong answers". Bounded query set, exact ground truth.
     "q8P_hard_negatives" -> ((s, d) => {
       val emb = T.embeddings(s, d)
-      Similarity.hardNegatives(emb, emb.where(col("vec_id") % 20 === 0),
+      Similarity.hardNegatives(emb,
+        emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000),
         "vec_id", "embedding", "label", k = 5)
     }),
     // Per-vector stats.

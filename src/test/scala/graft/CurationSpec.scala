@@ -388,18 +388,21 @@ class CurationSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Corpus.sourceDrift(df, "text", "source", reliableCheckpoint = true)
       }
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    spark.sparkContext.setCheckpointDir(dir)
-    try {
-      val local = Corpus.sourceDrift(df, "text", "source", nBuckets = 64).collect()
-      val rel = Corpus.sourceDrift(df, "text", "source", nBuckets = 64,
-        reliableCheckpoint = true).collect()
-      assert(local.toSet == rel.toSet)
-      val lj = Corpus.sourceJaccard(df, "text", "source").collect()
-      val rj = Corpus.sourceJaccard(df, "text", "source",
-        reliableCheckpoint = true).collect()
-      assert(lj.toSet == rj.toSet)
-    } finally graft.GraftSession.deleteRecursively(java.nio.file.Paths.get(dir))
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    // the session's checkpoint dir can't be un-set, so deleting it here
+    // would leave later reliable-checkpoint tests pointing at a dead
+    // path — defer cleanup to JVM exit (same pattern as the warehouse)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => graft.GraftSession.deleteRecursively(dirPath)))
+    spark.sparkContext.setCheckpointDir(dirPath.toString)
+    val local = Corpus.sourceDrift(df, "text", "source", nBuckets = 64).collect()
+    val rel = Corpus.sourceDrift(df, "text", "source", nBuckets = 64,
+      reliableCheckpoint = true).collect()
+    assert(local.toSet == rel.toSet)
+    val lj = Corpus.sourceJaccard(df, "text", "source").collect()
+    val rj = Corpus.sourceJaccard(df, "text", "source",
+      reliableCheckpoint = true).collect()
+    assert(lj.toSet == rj.toSet)
   }
 
   test("sourceJaccard: identical sets 1.0, disjoint pairs present at 0, " +
