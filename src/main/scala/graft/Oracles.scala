@@ -1446,6 +1446,11 @@ object Oracles {
     "q63_ivf_kmeans_recall" ->
       """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries, true AS recall_ok
          FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
+    // q9A: same property-oracle shape — the IVF hard-negative recall
+    // gate must compute true to hash-match.
+    "q9A_hard_neg_ivf_recall" ->
+      """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries, true AS recall_ok
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
     "q57_embedding_stats" ->
       """SELECT vec_id, len(embedding)::INT AS dim,
          round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,

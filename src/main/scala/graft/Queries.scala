@@ -1447,6 +1447,35 @@ object Queries {
         emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000),
         "vec_id", "embedding", "label", k = 5)
     }),
+    // IVF-scale hard negatives (round 8): q8P's semantics through the
+    // k-means IVF index with the per-label probe widening — the path
+    // for queries ≈ corpus. Recall-property gate (q63's pattern:
+    // k-means centroids are float-sum order-dependent, so the oracle
+    // pins the query count and literal true; mean recall@5 vs the
+    // exact path must clear a floor the operator beats with margin).
+    "q9A_hard_neg_ivf_recall" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
+      val exact = Similarity.hardNegatives(emb, queries,
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val approx = Similarity.hardNegativesIvf(emb, queries,
+          "vec_id", "embedding", "label", k = 5, nCells = 16, nProbe = 4,
+          iters = 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          // Floor 0.4 with margin: measured mean recall@5 is 0.61-0.71
+          // across sf0.001/0.01/0.1 (tools/RecallCheck hard_neg_ivf_p4;
+          // near-uniform fixture vectors — the q63 regime; the
+          // clustered spec fixture gates >= 0.9).
+          (sum(col("n_hit")).cast("double") /
+            (count(lit(1)) * 5).cast("double") >= 0.4).as("recall_ok"))
+    }),
     // Per-vector stats.
     "q57_embedding_stats" -> ((s, d) => {
       val v = col("embedding")

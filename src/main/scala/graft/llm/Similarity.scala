@@ -96,9 +96,10 @@ object Similarity {
     * trains against. Same exact bounded-input shape as
     * [[bruteForceTopK]] (broadcast queries, one corpus scan, bounded-
     * heap top-k — the q56/q58 ground-truth family; callers MUST bound
-    * the query set). At corpus scale, run the IVF probe instead and
-    * post-filter labels, widening nProbe/k to cover the same-label
-    * fraction the filter discards.
+    * the query set). At corpus scale — where negatives are mined for
+    * EVERY training doc, i.e. queries ≈ corpus — use
+    * [[hardNegativesIvf]], the IVF-probe path with the label
+    * post-filter and the per-label probe widening.
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int,
@@ -112,6 +113,90 @@ object Similarity {
         Portable.round(cosineNative(col("qv"), col("cv")), roundScore))
     val topk = udaf(new TopK.TopKAggregator(k))
     scored.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("score")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Bound on distinct labels: the per-label fraction table is a
+    * driver-side collect, legitimate only because label cardinality is
+    * tiny (class labels, not ids). The guard is loud, not truncating.
+    */
+  private val MaxHardNegativeLabels = 10000
+
+  /** IVF-scale hard-negative mining — [[hardNegatives]] for the
+    * queries ≈ corpus regime, where the broadcast brute-force path is
+    * quadratic. Same index shape as [[ivfTopKKMeans]] (broadcast-
+    * centroid assignment projection — zero shuffle — then an equi-join
+    * on `cell_id`), with two changes:
+    *
+    *  - the label-disequality filter runs BEFORE the bounded-heap
+    *    top-k, so the heap still carries exactly `k` rows per
+    *    (map partition, query) through partial aggregation;
+    *  - each query's probe count widens by the fraction of candidates
+    *    the filter discards: a query with label `l` of corpus fraction
+    *    `f(l)` keeps only `1 − f(l)` of each probed cell, so it probes
+    *    `ceil(nProbe / (1 − f(l)))` cells (capped at `nCells`; a label
+    *    covering ≥ 95% of the corpus probes every cell). The fraction
+    *    table is one tiny count-by-label aggregate, loudly capped at
+    *    [[MaxHardNegativeLabels]].
+    *
+    * Unlike the bounded ground-truth family, `queries` is NOT
+    * broadcast: at mining scale both sides are corpus-sized and the
+    * probe join is a shuffle equi-join on `cell_id`, whose key
+    * cardinality tracks `nCells` — which the AnnScaleCheck derivation
+    * scales with the corpus (`nCells ∝ N`), so per-cell populations
+    * and join-key skew stay constant as the corpus grows.
+    *
+    * Approximate by construction (cell routing can miss a true
+    * neighbor); recall vs the exact path is gated by SimilaritySpec
+    * (≥ 0.9 on the clustered fixture) and by AnnScaleCheck at 10× the
+    * oracle corpus.
+    */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, labelCol: String, k: Int,
+                       nCells: Int = 16, nProbe: Int = 2, iters: Int = 5,
+                       roundScore: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+      .sortBy(_._1)
+    // per-label corpus fractions (class-label cardinality; loud cap)
+    val labelRows = corpus.groupBy(col(labelCol).cast("string").as("_l"))
+      .agg(count(lit(1)).as("_n"))
+      .limit(MaxHardNegativeLabels + 1).collect()
+    require(labelRows.length <= MaxHardNegativeLabels,
+      s"hardNegativesIvf saw > $MaxHardNegativeLabels distinct labels — " +
+        "the per-label widening table is driver-side and sized for class " +
+        "labels; pre-bucket high-cardinality labels first")
+    val total = labelRows.map(_.getLong(1)).sum.toDouble
+    val probeOf: Map[String, Int] = labelRows.map { r =>
+      val f = r.getLong(1).toDouble / total
+      val np = if (f >= 0.95) cents.length
+               else math.min(cents.length, math.ceil(nProbe / (1.0 - f)).toInt)
+      r.getString(0) -> np
+    }.toMap
+    val probeUdf = udf { (vs: Seq[Float], l: String) =>
+      val v = toFA(vs)
+      val np = probeOf.getOrElse(l, nProbe)
+      cents.map { case (cid, cv) => (round6(cosFD(v, cv)), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }
+        .take(np).map(_._2).toSeq
+    }
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("_cl"))
+      .withColumn("cell_id", ivfAssignUdf(cents)(col("cv")))
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("_ql"))
+      .withColumn("cell_id",
+        explode(probeUdf(col("qv"), col("_ql").cast("string"))))
+    val topk = udaf(new TopK.TopKAggregator(k))
+    probes.join(assigned, Seq("cell_id"))
+      .where(col("_ql") =!= col("_cl") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        Portable.round(cosineNative(col("qv"), col("cv")), roundScore))
+      .groupBy(col("query_id"))
       .agg(topk(col("neighbor_id"), col("score")).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),

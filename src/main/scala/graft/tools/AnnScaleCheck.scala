@@ -70,6 +70,34 @@ object AnnScaleCheck {
       require(recall >= 0.7,
         f"IVFADC recall@10=$recall%.3f fell below the 0.7 floor at corpus size $n " +
           "— the nCells/nProbe/rerank derivation does not hold at this scale")
+      // hard-negative mining at the same derivation point: label =
+      // (id/Clusters) % 8 is uniform within each cluster, ground truth
+      // by the exact broadcast path on the same 100-query sample.
+      // hardNegativesIvf reranks probed cells with exact cosine, so its
+      // recall is routing recall — gate at the same 0.7 floor.
+      val lc = corpus.withColumn("label",
+        ((col("vec_id") / Clusters).cast("long") % 8).cast("int"))
+        .localCheckpoint()
+      val lq = lc.where(col("vec_id") % step === 0)
+      val exactHn = Similarity.hardNegatives(lc, lq,
+          "vec_id", "embedding", "label", k = 10)
+        .select("query_id", "neighbor_id").localCheckpoint()
+      val hnTotal = exactHn.count()
+      val t1 = System.nanoTime()
+      val approxHn = Similarity.hardNegativesIvf(lc, lq,
+        "vec_id", "embedding", "label", k = 10,
+        nCells = nCells, nProbe = nProbe, iters = 4)
+      val hnHit = exactHn.join(approxHn.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      val hnSec = (System.nanoTime() - t1) / 1e9
+      val hnRecall = hnHit.toDouble / hnTotal
+      println(f"[annscale] n=$n hardNegativesIvf recall@10=$hnRecall%.3f " +
+        f"($hnHit/$hnTotal) sec=$hnSec%.1f")
+      require(hnRecall >= 0.7,
+        f"hardNegativesIvf recall@10=$hnRecall%.3f fell below the 0.7 floor " +
+          s"at corpus size $n")
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(lc)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(exactHn)
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(corpus)
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(exact)
     }

@@ -48,6 +48,18 @@ object RecallCheck {
         "vec_id", "embedding", k = 10, m = 8, ks = 256, iters = 4))
       recall("pq_r5_m4ks16_rr40")(Similarity.pqTopK(emb, queries,
         "vec_id", "embedding", k = 10, m = 4, ks = 16, iters = 4, rerank = 40))
+      // IVF hard negatives vs the exact different-label path (the q9A
+      // gate's config) — its own ground truth, k=5.
+      val exactHn = Similarity.hardNegatives(emb, queries,
+          "vec_id", "embedding", "label", k = 5)
+        .select("query_id", "neighbor_id").localCheckpoint()
+      val hnTotal = exactHn.count()
+      val hnHit = exactHn.join(
+        Similarity.hardNegativesIvf(emb, queries, "vec_id", "embedding",
+          "label", k = 5, nCells = 16, nProbe = 4, iters = 5)
+          .select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"[recall] $d hard_neg_ivf_p4 ${hnHit.toDouble / hnTotal}%.3f ($hnHit/$hnTotal)")
     }
     spark.stop()
   }

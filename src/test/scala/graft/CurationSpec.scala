@@ -444,6 +444,48 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._3).toSeq == out.map(_._3).sorted.reverse.toSeq)
   }
 
+  test("hardNegativesIvf: recall >= 0.9 vs exact, labels honored, k bounded") {
+    val dim = 16; val nClu = 8
+    val centers = Array.tabulate(nClu) { c =>
+      val r = new java.util.Random(500L + c)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    // clustered corpus; label = (id/8) % 4 is uniform WITHIN each
+    // cluster, so a query's hard negatives live in its own cell and
+    // the gate measures the label plumbing, not routing luck
+    val rows = (0L until 800L).map { id =>
+      val r = new java.util.Random(id * 2654435761L + 3)
+      val base = centers((id % nClu).toInt)
+      (id, base.map(x => x + 0.25f * r.nextGaussian().toFloat).toSeq,
+        ((id / 8) % 4).toInt)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .repartition(4).localCheckpoint()
+    val queries = df.where($"vec_id" % 8 === 1)
+    val exact = Similarity.hardNegatives(df, queries,
+        "vec_id", "embedding", "label", k = 5)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val approx = Similarity.hardNegativesIvf(df, queries,
+        "vec_id", "embedding", "label", k = 5, nCells = 8, nProbe = 3,
+        iters = 4)
+      .localCheckpoint()
+    val total = exact.count()
+    val hit = exact.join(approx.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(total == 100L * 5L)
+    assert(hit.toDouble / total >= 0.9,
+      s"hardNegativesIvf recall ${hit.toDouble / total} < 0.9")
+    // mined neighbors never share the query's label; ranks stay in [1,k]
+    val lbl = df.select($"vec_id", $"label")
+    val samePairs = approx
+      .join(lbl.select($"vec_id".as("query_id"), $"label".as("ql")), Seq("query_id"))
+      .join(lbl.select($"vec_id".as("neighbor_id"), $"label".as("cl")), Seq("neighbor_id"))
+      .where($"ql" === $"cl").count()
+    assert(samePairs == 0L)
+    assert(approx.where($"rank" < 1 || $"rank" > 5).count() == 0L)
+    assert(approx.groupBy($"query_id").count().where($"count" > 5).count() == 0L)
+  }
+
   test("weightedSample: selection invariant under weight scaling and layout") {
     val df = (0L until 150L).map(i => (i, 1.0 + (i % 7))).toDF("id", "w")
     val base = Sampling.weightedSample(df, "id", "w", k = 25)
