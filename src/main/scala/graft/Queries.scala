@@ -1036,14 +1036,12 @@ object Queries {
     }),
     // Per-source length profile (round 7): the corpus-dashboard report
     // — count, mean, exact p10/p50/p90 per source in one aggregation
-    // (percentile parity with the oracle per the q8L derivation).
+    // (percentile parity with the oracle per the q8L derivation;
+    // Corpus.lengthProfile's exact path — the approx path is the
+    // 100 TB-stratum option, spec- and soak-gated).
     "q8Q_length_profile" -> ((s, d) => {
-      T.documents(s, d).groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          Portable.round(avg(col("n_chars")), 4).as("mean_chars"),
-          Portable.round(percentile(col("n_chars"), lit(0.1)), 4).as("p10"),
-          Portable.round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
-          Portable.round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"))
+      Corpus.lengthProfile(T.documents(s, d), "source", "n_chars")
+        .withColumnRenamed("mean_val", "mean_chars")
     }),
     // Round-7 capstone: the new curation operators composed end-to-end
     // — exact dedup → per-lang median length gate → leakage-free split

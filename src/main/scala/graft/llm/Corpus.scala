@@ -35,6 +35,40 @@ object Corpus {
     if (reliable) df.checkpoint() else df.localCheckpoint()
   }
 
+  /** Per-stratum length/value profile — the corpus-dashboard report
+    * (count, mean, interpolated percentiles per source/lang/domain) in
+    * ONE aggregation pass. Output: (strataCol, n_docs, mean_val, and
+    * one `p<pct>` column per requested percentile), all rounded to 4
+    * decimals (the q8L/q8Q cross-engine percentile parity).
+    *
+    * `exact = true` (default) uses exact interpolated `percentile` —
+    * right for bounded-cardinality metrics, oracle-gated. For
+    * unbounded-cardinality values at 100 TB strata pass
+    * `exact = false`: `percentile_approx` with the
+    * [[Sampling.quantileFilter]] error contract (an actual stratum
+    * element whose rank is within n/approxAccuracy of the target;
+    * memory O(accuracy · log n) per stratum, independent of value
+    * cardinality).
+    */
+  def lengthProfile(df: DataFrame, strataCol: String, valueCol: String,
+                    percentiles: Seq[Double] = Seq(0.1, 0.5, 0.9),
+                    exact: Boolean = true,
+                    approxAccuracy: Int = 10000): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p > 0 && p < 1),
+      "percentiles must be in (0, 1)")
+    require(approxAccuracy > 0, "approxAccuracy must be positive")
+    val pctCols = percentiles.map { p =>
+      val q =
+        if (exact) percentile(col(valueCol), lit(p))
+        else percentile_approx(col(valueCol), lit(p), lit(approxAccuracy))
+      Portable.round(q, 4)
+        .as("p" + math.round(p * 100).toString)
+    }
+    df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (Portable.round(avg(col(valueCol)), 4).as("mean_val") +: pctCols): _*)
+  }
+
   /** Per-source distribution drift vs the whole corpus:
     * Jensen-Shannon divergence between each source's hashed-unigram
     * distribution P and the corpus-wide distribution Q over `nBuckets`

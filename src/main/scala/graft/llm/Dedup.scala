@@ -449,6 +449,25 @@ object Dedup {
     * Returns (id_a, id_b, jaccard). Candidates-only verification keeps
     * the join linear in (docs × bands), never quadratic in corpus size.
     *
+    * Tuning (bands, rows): with `rows = k / bands` signature rows per
+    * band, a pair at Jaccard J becomes a candidate with probability
+    * `1 − (1 − J^rows)^bands` — the LSH s-curve, whose inflection sits
+    * at `J* ≈ (1/bands)^(1/rows)`. The defaults (k=32, bands=8,
+    * rows=4) put J* ≈ 0.59: right for ≥0.5-threshold dedup, but a pair
+    * at J = 0.8 (a mid-document edit on a ~30-token doc) is still
+    * missed with probability (1 − 0.8⁴)^8 ≈ 1%, which is quiet
+    * eval-into-train leakage when this feeds
+    * [[Sampling.leakageFreeSplit]].
+    * For that consumer, widen to bands=16/rows=2 (J* = 0.25): the same
+    * J = 0.8 pair is missed with probability (1 − 0.64)¹⁶ ≈ 1e-7, at
+    * the cost of more (exactly-verified) candidates. The false-
+    * candidate floor also drops to J*, so pair cost grows — the
+    * operating point is a recall/cost dial, gated at scale by
+    * `tools.CurationScaleCheck` (0 straddled families at the declared
+    * point).
+    *
+    * @param bands number of LSH bands; `k` must divide evenly into
+    *   them (`rows = k / bands` exactly)
     * @param maxBucketSize skip band buckets larger than this before the
     *   quadratic in-bucket pair expansion — the standard LSH guard
     *   against degenerate buckets (boilerplate shingles, empty-ish
@@ -460,6 +479,8 @@ object Dedup {
                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                           threshold: Double = 0.5,
                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must split evenly into bands=$bands (rows = k / bands)")
     val rows = k / bands
     // Slim docs: (id, shingles). Shingle arrays are only ever joined to
     // the FINAL candidate pairs — never shuffled through the band join.

@@ -65,6 +65,15 @@ object Sampling {
     * the split itself adds one left join against the component table
     * (clustered ids only — AQE broadcasts it when near-dups are rare)
     * and a hash projection.
+    *
+    * Banding operating point: the defaults (k=32, bands=8) miss a
+    * J = 0.8 near-dup pair ~1% of the time (the LSH s-curve —
+    * [[Dedup.minhashNearDupPairs]]'s tuning note), which HERE means
+    * quiet eval-into-train leakage at the margin. Corpora with short
+    * documents or mid-document edits should pass `bands = 16`
+    * (rows = 2, miss ≈ 1e-7 at J = 0.8) — the operating point
+    * `tools.CurationScaleCheck` gates at 0 straddled families on a
+    * 500k-doc corpus with planted mid-edit short-doc families.
     */
   def leakageFreeSplit(df: DataFrame, idCol: String, textCol: String,
                        weights: Seq[(String, Double)],
@@ -158,17 +167,29 @@ object Sampling {
     *
     * Scale note: exact `percentile` builds a value→count map per
     * stratum — right for bounded-cardinality metrics (lengths, token
-    * counts, scores at fixed precision). For unbounded-cardinality
-    * values at corpus scale, gate on `percentile_approx` instead and
-    * accept the documented error band; this operator keeps the exact
-    * form because its output is oracle-gated.
+    * counts, scores at fixed precision), but a wall when a 100 TB
+    * stratum carries unbounded-cardinality values (raw scores, unique
+    * lengths): the per-group map grows with DISTINCT values. For that
+    * regime pass `exact = false`: the threshold comes from
+    * `percentile_approx` (Greenwald–Khanna sketch, memory
+    * O(accuracy · log n) per stratum regardless of cardinality), whose
+    * returned value is an ACTUAL element of the stratum with rank
+    * within `n / approxAccuracy` of `⌈p·n⌉` — i.e. the kept fraction
+    * deviates from `1 − p` by at most `1/approxAccuracy` (plus ties).
+    * The exact form stays the default because its output is
+    * oracle-gated; both paths round the threshold to 4 decimals so a
+    * keep/drop never hinges on an ulp.
     */
   def quantileFilter(df: DataFrame, strataCol: String, valueCol: String,
-                     p: Double): DataFrame = {
+                     p: Double, exact: Boolean = true,
+                     approxAccuracy: Int = 10000): DataFrame = {
     require(p > 0 && p < 1, "p must be in (0, 1)")
+    require(approxAccuracy > 0, "approxAccuracy must be positive")
+    val q =
+      if (exact) percentile(col(valueCol), lit(p))
+      else percentile_approx(col(valueCol), lit(p), lit(approxAccuracy))
     val thr = df.groupBy(col(strataCol))
-      .agg(graft.Portable.round(
-        percentile(col(valueCol), lit(p)), 4).as("q_threshold"))
+      .agg(graft.Portable.round(q, 4).as("q_threshold"))
     df.join(broadcast(thr), Seq(strataCol))
       .where(col(valueCol) >= col("q_threshold"))
   }

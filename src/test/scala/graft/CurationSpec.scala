@@ -600,6 +600,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("quantileFilter approx path: rank within the documented error " +
+      "band; exact path unchanged; lengthProfile approx tracks exact") {
+    // one stratum, 10,000 DISTINCT values (the unbounded-cardinality
+    // regime the approx path exists for)
+    val df = (1L to 10000L).map(v => (v, "A", v)).toDF("id", "lang", "v")
+    val exactKept = Sampling.quantileFilter(df, "lang", "v", p = 0.9)
+      .count()
+    assert(exactKept == 1000L) // threshold = interpolated 9000.1 -> 9001..10000
+    val approx = Sampling.quantileFilter(df, "lang", "v", p = 0.9,
+      exact = false, approxAccuracy = 10000)
+    // contract: kept fraction within 1/accuracy (+ ties; values unique
+    // here) of 1-p, and the threshold is an ACTUAL element
+    val approxKept = approx.count()
+    assert(math.abs(approxKept - 1000L) <= 10000L / 10000 + 1,
+      s"approx kept $approxKept, expected 1000 +/- rank error")
+    val thr = approx.select($"q_threshold").head().getDouble(0)
+    assert(thr == math.floor(thr) && thr >= 1 && thr <= 10000)
+    // lengthProfile: exact matches hand-computed percentile; approx
+    // lands within the same rank band
+    val prof = Corpus.lengthProfile(df, "lang", "v").collect().head
+    assert(prof.getLong(1) == 10000L)
+    assert(prof.getDouble(3) == 1000.9) // p10 of 1..10000: 1 + 0.1*9999
+    val profA = Corpus.lengthProfile(df, "lang", "v", exact = false)
+      .collect().head
+    assert(math.abs(profA.getDouble(4) - 5000.0) <= 2.0) // p50 rank +/- n/acc
+    intercept[IllegalArgumentException] {
+      Corpus.lengthProfile(df, "lang", "v", percentiles = Seq(1.5))
+    }
+  }
+
   test("winnowFingerprints: driver-replayed window minima, shared-run " +
       "guarantee, short docs empty") {
     val words = "the quick brown fox jumps over a lazy dog today".split(" ")

@@ -73,6 +73,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("banding operating point: bands=16 catches planted mid-edit " +
+      "families the s-curve predicts; invalid bands fail loudly") {
+    // 40 families of 30-token docs, each with a MID-document one-token
+    // edit copy (pair jaccard ~0.8 — the 8-band/4-row ~1% miss regime;
+    // at bands=16/rows=2 the miss probability is ~1e-7, so ALL 40
+    // planted pairs must surface)
+    val rows = (0 until 40).flatMap { f =>
+      val words = Array.tabulate(30)(i => s"w${f * 100 + i}")
+      val edited = words.clone(); edited(15) = s"mid$f"
+      Seq((f * 2L, words.mkString(" ")), (f * 2L + 1, edited.mkString(" ")))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val found = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.5, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 40).map(f => (f * 2L, f * 2L + 1L)).toSet
+    assert(planted.subsetOf(found),
+      s"missed ${(planted -- found).size} of 40 planted J~0.8 pairs at bands=16")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text", bands = 5)
+    }
+  }
+
   test("simhash: identical docs -> hamming 0; banding finds them") {
     val t = "one two three four five six seven eight nine ten"
     val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
