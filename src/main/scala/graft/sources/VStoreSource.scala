@@ -44,25 +44,106 @@ import graft.store.VersionedCandleStore
   * does 2 columns of I/O against a 100 TB history (spec-asserted on
   * the executed plan).
   *
-  * Why the V1 relation API (not DataSource V2): a versioned read is a
-  * COMPUTED plan — committed-set gate + last-wins aggregation — not a
-  * bag of per-partition row readers, and V2's `Batch`/`PartitionReader`
-  * contract requires the source itself to produce the partitions; a
-  * global fold cannot run inside per-partition readers without
-  * changing its semantics. The V1 `PrunedFilteredScan` + internal-plan
-  * bridge lets Catalyst plan the fold (codegen, AQE, broadcast
-  * decisions included) while still delivering the two capabilities V2
-  * would be reached for — column pruning and filter pushdown through
-  * the time-travel reader (both implemented above; `needConversion =
-  * false` hands the inner plan's InternalRows through without a
-  * per-row conversion). Delta Lake's read path makes the same call
-  * (V1 `HadoopFsRelation` under a V2-looking table) for the same
-  * reason.
+  * Architecture (DataSource V2 with the V1Scan execution bridge): a
+  * versioned read is a COMPUTED plan — committed-set gate + last-wins
+  * aggregation — not a bag of per-partition row readers, and V2's
+  * `Batch`/`PartitionReader` contract requires the source itself to
+  * produce the partitions; a global fold cannot run inside
+  * per-partition readers without changing its semantics. So batch
+  * reads resolve through the V2 [[VStoreTable]] — ScanBuilder-driven
+  * filter/column/AGGREGATE pushdown, `Table` identity for catalog
+  * surfaces — while execution crosses Spark's official
+  * `connector.read.V1Scan` bridge into the computed plan (Catalyst
+  * plans the fold: codegen, AQE, broadcast decisions included;
+  * `needConversion = false` hands InternalRows through). This is the
+  * JDBC-V2 shape (`JDBCScan extends V1Scan`) for the same reason: the
+  * source's read is a query, not a file listing. Writes and streaming
+  * deliberately stay on the V1 provider interfaces (the table declares
+  * neither `BATCH_WRITE` nor `MICRO_BATCH_READ`, and Spark falls back
+  * to `CreatableRelationProvider` / `StreamSourceProvider` on this
+  * class): the journaled append-only writer needs the whole batch as
+  * ONE transaction, and the change-feed source pins per-micro-batch
+  * journal snapshots — both computed, neither per-partition.
   */
-final class VStoreSource extends RelationProvider
+final class VStoreSource extends org.apache.spark.sql.connector.catalog.TableProvider
+  with RelationProvider
   with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-vstore"
+
+  // ------------------------------------------------------------------ //
+  // DataSource V2: batch reads (planning via VStoreTable, execution    //
+  // via the V1Scan bridge)                                             //
+  // ------------------------------------------------------------------ //
+
+  /** Options parsed to (path, asOfTx, asOfTime, since, until) — keys
+    * matched case-insensitively (V2 hands the provider the
+    * case-SENSITIVE map; the V1 path already matched both spellings).
+    */
+  private def batchOptions(parameters: Map[String, String])
+      : (String, Option[Long], Option[Timestamp], Option[Long], Option[Long]) = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = lower.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-vstore requires a path: spark.read.format(\"graft-vstore\").load(path)"))
+    def longOpt(name: String): Option[Long] =
+      lower.get(name.toLowerCase).map { s =>
+        s.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"$name must be a number, got '$s'"))
+      }
+    val asOfTx = longOpt("asOfTx")
+    val asOfTime = lower.get("asoftime")
+      .map { s =>
+        try Timestamp.valueOf(s)
+        catch {
+          case _: IllegalArgumentException => throw new IllegalArgumentException(
+            s"asOfTime must be a 'yyyy-mm-dd hh:mm:ss[.f…]' timestamp, got '$s'")
+        }
+      }
+    val since = longOpt("changesSince")
+    val until = longOpt("changesUntil")
+    require(Seq(asOfTx, asOfTime, since).count(_.nonEmpty) <= 1,
+      "asOfTx, asOfTime and changesSince are mutually exclusive")
+    require(until.isEmpty || since.nonEmpty,
+      "changesUntil requires changesSince")
+    (path, asOfTx, asOfTime, since, until)
+  }
+
+  private def scalaOptions(options: java.util.Map[String, String]): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    options.forEach((k, v) => b += (k -> v))
+    b.result()
+  }
+
+  override def inferSchema(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    val params = scalaOptions(options) // CaseInsensitiveStringMap iterates lowercase keys
+    val spark = org.apache.spark.sql.SparkSession.active
+    val path = params.getOrElse("path", throw new IllegalArgumentException(
+      "graft-vstore requires a path"))
+    val base = VersionedCandleStore(spark, path).tableSchema
+    if (params.contains("changessince"))
+      base.add("tx_id", org.apache.spark.sql.types.LongType)
+    else base
+  }
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+                        properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
+    val params = scalaOptions(properties)
+    val lower = params.map { case (k, v) => k.toLowerCase -> v }
+    val spark = org.apache.spark.sql.SparkSession.active
+    // a readStream probe carries stream-only options; build the table
+    // leniently there (capabilities route it back to the V1 source)
+    if (lower.contains("maxtxsperbatch")) {
+      val path = lower.getOrElse("path", throw new IllegalArgumentException(
+        "graft-vstore requires a path"))
+      new VStoreTable(spark, path, None, None,
+        lower.get("changessince").flatMap(_.toLongOption), None)
+    } else {
+      val (path, asOfTx, asOfTime, since, until) = batchOptions(params)
+      new VStoreTable(spark, path, asOfTx, asOfTime, since, until)
+    }
+  }
 
   // ------------------------------------------------------------------ //
   // Streaming: tail the change feed (see VStoreStreamSource)           //

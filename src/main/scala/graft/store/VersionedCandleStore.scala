@@ -785,11 +785,39 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * DataSource relation's column-pruning entry point.
     */
   private[graft] def scanAsOf(txId: Long, content: Seq[String]): DataFrame = {
+    gatedScan(admittedAsOf(txId), content)
+  }
+
+  /** Admitted tx-id set for a VERSION AS OF read (shared by the folded
+    * scan and the fold-bypassing key scan; keeps the squash-floor
+    * contract in one place).
+    */
+  private def admittedAsOf(txId: Long): Array[Long] = {
     val (floor, committed) = journalSnapshot()
     require(txId >= floor,
       s"as-of tx $txId predates the compaction squash point (tx $floor): " +
         "that history has been discarded by compact()")
-    gatedScan(committed.map(_._1).filter(_ <= txId), content)
+    committed.map(_._1).filter(_ <= txId)
+  }
+
+  /** Raw committed KEY tuples (gated, PRE-fold) — the fold-bypassing
+    * frame behind the DataSource's aggregate pushdown. The last-wins
+    * fold replaces CONTENT, never keys: the folded table's key set is
+    * exactly the distinct key tuples of the gated raw rows. Therefore
+    * `min`/`max` over a grouping column and `count(DISTINCT keys)`
+    * computed HERE equal the same aggregates over [[scanAsOf]]'s
+    * result — without building a winner struct or shuffling content,
+    * and with the min/max a pure scan-side partial aggregation.
+    */
+  private[graft] def keyRowsAsOf(txId: Long): DataFrame = {
+    val keys = (Candle.keyCols ++ Seq("ts", "year")).map(col)
+    currentGen() match {
+      case None => emptyTable().select(keys: _*)
+      case Some((_, genDir)) =>
+        spark.read.schema(dataSchema).parquet(genDir.toString)
+          .where(committedGate(admittedAsOf(txId)))
+          .select(keys: _*)
+    }
   }
 
   /** The table as of a wall-clock instant: exactly the commits whose

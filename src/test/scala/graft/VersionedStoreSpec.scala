@@ -517,6 +517,73 @@ class VersionedStoreSpec extends SparkSpec {
       == Set(("BTC", 20.0), ("ETH", 5.0)))
   }
 
+  test("graft-vstore V2: batch reads resolve through the Table, pruning " +
+      "holds under the ScanBuilder, aggregates bypass the fold") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-v2") + "/v")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2021-06-01 00:00:00", 5)).toDF())
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 20)).toDF()) // overwrite
+    val reader = spark.read.format("graft-vstore").load(st.path)
+    // the batch path is DataSource V2: the analyzed plan carries a
+    // DataSourceV2Relation over VStoreTable (execution crosses V1Scan)
+    val analyzed = reader.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft-vstore"),
+      s"expected a V2 relation in:\n$analyzed")
+    assert(reader.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.nonEmpty, "batch read must plan as a V2 scan relation")
+    // results identical to the store API
+    assert(reader.collect().toSet == st.scan().collect().toSet)
+    // column pruning under the V2 ScanBuilder: drive it exactly as
+    // Spark does (pushFilters -> pruneColumns -> build) and assert the
+    // inner plan's Parquet ReadSchema below the fold
+    val table = new graft.sources.VStoreTable(spark, st.path,
+      None, None, None, None)
+    val sb = new graft.sources.VStoreScanBuilder(spark, table)
+    val post = sb.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThan("open", 10.0)))
+    assert(post.length == 1, "all filters are post-scan (re-evaluated)")
+    sb.pruneColumns(org.apache.spark.sql.types.StructType(
+      table.schema().filter(f => Seq("code", "open").contains(f.name))))
+    val inner = sb.build().asInstanceOf[graft.sources.VStoreScan].innerFrame()
+    val readSchema = inner.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchema.contains("open"), s"filtered content read:\n$readSchema")
+    for (dropped <- Seq("high", "low", "volume", "bit_fields"))
+      assert(!readSchema.contains(dropped),
+        s"unused content column '$dropped' not pruned below the fold:\n$readSchema")
+    assert(inner.select("code", "open").as[(String, Double)].collect().toSet
+      == Set(("BTC", 20.0)))
+    // aggregate pushdown: global min/max on fold keys + count(*) skip
+    // the last-wins fold entirely (no max_by anywhere in the plan) and
+    // still see FOLDED semantics (count = live keys, not raw rows)
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val aggDf = reader.agg(min($"ts"), max($"year"), count(lit(1)))
+    val aggPlan = aggDf.queryExecution.optimizedPlan.toString
+    // pushdown fired: the V2 relation's OUTPUT is the pushed aggregate
+    // columns (min_ts/max_year/cnt), so the scan serves pre-aggregated
+    // rows from the fold-bypassing key frame (no winner struct built)
+    assert(aggPlan.contains("min_ts") && aggPlan.contains("max_year")
+      && aggPlan.contains("cnt"),
+      s"key aggregates must push into the scan:\n$aggPlan")
+    assert(aggDf.as[(java.sql.Timestamp, Int, Long)].head() ==
+      ((ts("2021-06-01 00:00:00"), 2022, 2L)))
+    // a content aggregate does NOT push (its min/max does not commute
+    // with last-wins): the outer Aggregate stays above the relation and
+    // the fold inside the scan serves WINNERS (20.0, not raw max 20.0
+    // vs superseded 1.0 — the value proves the fold ran)
+    val contentAgg = reader.agg(max($"open"))
+    val contentPlan = contentAgg.queryExecution.optimizedPlan.toString
+    assert(contentPlan.contains("max(open") && !contentPlan.contains("max_open"),
+      s"content aggregate must stay above the scan:\n$contentPlan")
+    assert(contentAgg.as[Double].head() == 20.0)
+    // VERSION AS OF through V2 still folds per the addressed snapshot
+    assert(spark.read.format("graft-vstore").option("asOfTx", "1")
+      .load(st.path).count() == 2L)
+    assert(spark.read.format("graft-vstore").option("asOfTx", "1")
+      .load(st.path).agg(max($"open")).as[Double].head() == 5.0)
+  }
+
   test("graft-vstore writer: append commits one tx; append-only modes enforced") {
     val path = tmpDir("vstore-dsw") + "/v"
     val b1 = Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()
