@@ -706,6 +706,32 @@ object Oracles {
          FROM (SELECT doc_id, gram_hash FROM gh WHERE doc_id % 50 <> 0) a
          JOIN bench b USING (gram_hash)
          GROUP BY 1""",
+    // q9B: the streamed decontaminating ingest's quarantine == the
+    // SEQUENTIAL exact fold over the same micro-batch split: batch 0
+    // all survives; batch i's docs are flagged (with their DISTINCT
+    // shared-gram count) against the grams of every EARLIER batch's
+    // survivors. Same 5-gram machinery as q72.
+    "q9B_stream_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),
+         g AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 5 THEN []::VARCHAR[] ELSE
+                 list_transform(generate_series(1, len(ws) - 4),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) END) AS g
+               FROM tok),
+         gh AS (SELECT DISTINCT doc_id, ${pHash("g")} AS gram_hash FROM g),
+         h0 AS (SELECT DISTINCT gram_hash FROM gh WHERE doc_id % 3 = 0),
+         f1 AS (SELECT a.doc_id, count(*) AS n_contaminated
+                FROM (SELECT doc_id, gram_hash FROM gh WHERE doc_id % 3 = 1) a
+                JOIN h0 USING (gram_hash) GROUP BY 1),
+         h1 AS (SELECT gram_hash FROM h0
+                UNION
+                SELECT gram_hash FROM gh WHERE doc_id % 3 = 1
+                  AND doc_id NOT IN (SELECT doc_id FROM f1)),
+         f2 AS (SELECT a.doc_id, count(*) AS n_contaminated
+                FROM (SELECT doc_id, gram_hash FROM gh WHERE doc_id % 3 = 2) a
+                JOIN h1 USING (gram_hash) GROUP BY 1)
+         SELECT doc_id, n_contaminated FROM f1
+         UNION ALL
+         SELECT doc_id, n_contaminated FROM f2""",
     "q73_source_cap" ->
       s"""WITH r AS (SELECT doc_id, source,
            row_number() OVER (PARTITION BY source

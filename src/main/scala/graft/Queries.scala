@@ -1129,7 +1129,62 @@ object Queries {
         .select(col("code"), col("ts"),
           Portable.round(col("open"), 4).as("open"), Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // Stateful in-flight curation (round 8): bloom decontamination AT
+    // INGEST against everything already ingested — documents streamed
+    // in 3 mtime-pinned micro-batches (doc_id % 3), each batch flagged
+    // vs the accumulated gram state of prior SURVIVORS and quarantined
+    // with its shared-gram count. The oracle replays the same
+    // sequential fold in SQL (exact, no bloom) — the bloom+verify path
+    // must be row-identical to it at every boundary.
+    "q9B_stream_decontaminate" -> ((s, d) => {
+      val state = streamedDeconState(s, d)
+      s.read.parquet(s"$state/quarantine/batch_*")
+        .select(col("doc_id"), col("n_contaminated"))
     }))
+
+  private val deconCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streamed decontaminating-ingest fixture: documents sliced into 3
+    * micro-batches by `doc_id % 3` (mtime-pinned file order), cleaned
+    * in-flight by [[graft.streaming.Ingest.startDecontaminatingIngest]].
+    * Returns the state dir (docs/quarantine/grams per batch).
+    */
+  private def streamedDeconState(s: SparkSession, d: String): String =
+    deconCache.getOrElseUpdate(d, {
+      val base = Files.createTempDirectory("graft-qdecon").toString
+      val srcDir = s"$base/src"
+      val fs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val staging = s"$base/staging"
+      docs.withColumn("_slice", (col("doc_id") % 3).cast("int"))
+        .repartition(col("_slice"))
+        .write.partitionBy("_slice").parquet(staging)
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+        val part = fs.listStatus(sliceDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+          case Array(one) => one
+          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+        }
+        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val stateDir = s"$base/state"
+      val q = graft.streaming.Ingest.startDecontaminatingIngest(
+        stream, stateDir, s"$base/ckpt")
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"streamed decontamination must see 3 micro-batches, saw $batches")
+      stateDir
+    })
 
   // ---------------------------------------------------------------- //
   // LLM data-pipeline surface (§2.4)                                 //

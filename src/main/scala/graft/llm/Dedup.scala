@@ -277,6 +277,15 @@ object Dedup {
     * paths — one definition so the tokenizer/hash can never drift
     * between the exact and bloom-prefiltered variants.
     */
+  /** (_id, gram_hash) — exposed within the library for external gram-
+    * state maintenance (the streaming decontaminating ingest keeps its
+    * history as these hashes so text is tokenized exactly once).
+    */
+  private[graft] def textGramHashes(df: DataFrame, idCol: String,
+                                    textCol: String,
+                                    shingleN: Int): DataFrame =
+    gramHashes(df, idCol, textCol, shingleN)
+
   private def gramHashes(df: DataFrame, idCol: String, textCol: String,
                          shingleN: Int): DataFrame = df
     .select(col(idCol).as("_id"),
@@ -315,15 +324,35 @@ object Dedup {
   def bloomDecontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, shingleN: Int = 5,
                          fpp: Double = 0.001): DataFrame = {
-    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val B = org.apache.spark.sql.graft.ColumnBridge
     // benchmark side: small by definition; materialized once, consumed
     // by the count, the bloom build, and the exact verify
     val benchGrams = gramHashes(bench, idCol, textCol, shingleN)
       .select("gram_hash").distinct().localCheckpoint()
-    val nGrams = math.max(benchGrams.count(), 1L)
+    decontaminateAgainstHashes(corpus, benchGrams, idCol, textCol,
+      shingleN, fpp)
+  }
+
+  /** [[bloomDecontaminate]] against a PRE-COMPUTED distinct gram-hash
+    * frame (`gram_hash: LONG`) — the streaming-ingest entry point
+    * ([[graft.streaming.Ingest]]'s decontaminating writer), where the
+    * "benchmark" is the accumulated gram table of everything already
+    * ingested and is maintained incrementally instead of being re-
+    * tokenized from raw history text per micro-batch. An EMPTY hash
+    * set returns no flagged rows (nothing to contaminate against).
+    */
+  def decontaminateAgainstHashes(corpus: DataFrame, benchGrams: DataFrame,
+                                 idCol: String, textCol: String,
+                                 shingleN: Int = 5,
+                                 fpp: Double = 0.001): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val B = org.apache.spark.sql.graft.ColumnBridge
+    val rawGrams = benchGrams.count()
+    if (rawGrams == 0L)
+      return corpus.select(col(idCol)).limit(0)
+        .withColumn("n_contaminated", lit(0L))
+    val nGrams = math.max(rawGrams, 1L)
     val numBits = math.max(64L,
       math.ceil(nGrams * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong)
     // BloomFilterAggregate SILENTLY clamps its size to these confs

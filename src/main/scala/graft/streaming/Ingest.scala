@@ -134,6 +134,103 @@ object Ingest {
     versionedCommitWriter(stream, store, checkpointDir, transform)
       .trigger(trigger).start()
 
+  /** STATEFUL in-flight curation: bloom decontamination at ingest
+    * (SURVEY.md §2.3's in-flight-curation row, extended past stateless
+    * projections). Each micro-batch of documents is flagged against
+    * the n-grams of EVERYTHING ALREADY INGESTED —
+    * [[graft.llm.Dedup.decontaminateAgainstHashes]]: a bloom bitmap
+    * rebuilt from the accumulated gram table at each micro-batch
+    * boundary (refreshed per checkpoint) probes the batch scan-side,
+    * and the exact semi-join verify kills bloom false positives, so a
+    * batch's survivors are row-identical to running the exact
+    * decontamination against the full history (spec-gated
+    * differential). Survivors append to the state; flagged rows land
+    * in a quarantine feed with their shared-gram counts.
+    *
+    * The evolving state is the reference's WAL-is-ingest analogy
+    * (`wal/file.go:37-48`) applied to curation: the history IS the
+    * benchmark. State layout under `stateDir`:
+    *  - `grams/batch_<id>/` — each batch's NEW distinct gram hashes
+    *    (LONG) — the incrementally-maintained bench table, so history
+    *    text is never re-tokenized;
+    *  - `docs/batch_<id>/` — surviving documents (the clean feed);
+    *  - `quarantine/batch_<id>/` — flagged (id, n_contaminated).
+    *
+    * Exactly-once: every per-batch directory is written with OVERWRITE
+    * under its own batch id, and a batch reads only directories of
+    * STRICTLY EARLIER batches — a foreachBatch retry rewrites its own
+    * outputs byte-identically and never sees its own partial state.
+    *
+    * Scale posture: per micro-batch the corpus-sized work is one scan
+    * of the batch (bloom-probed before any shuffle) plus one
+    * gram-table aggregation for the bitmap (O(history grams), the
+    * documented bloom-build cost — at 14.4 bits/gram a billion-gram
+    * history is a ~1.8 GB build input and a ~MB-scale bitmap literal);
+    * the exact verify joins CANDIDATE grams only.
+    */
+  def decontaminatingIngestWriter(stream: DataFrame, stateDir: String,
+                                  checkpointDir: String,
+                                  idCol: String = "doc_id",
+                                  textCol: String = "text",
+                                  shingleN: Int = 5,
+                                  fpp: Double = 0.001): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(batch, batchId, stateDir, idCol, textCol, shingleN, fpp)
+      }
+
+  /** One micro-batch of the decontaminating ingest — split out so the
+    * differential spec can drive it directly.
+    */
+  private[graft] def curateBatch(batch: DataFrame, batchId: Long,
+                                 stateDir: String, idCol: String,
+                                 textCol: String, shingleN: Int,
+                                 fpp: Double): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir),
+      spark.sparkContext.hadoopConfiguration)
+    val gramsRoot = new org.apache.hadoop.fs.Path(s"$stateDir/grams")
+    // strictly-earlier batches only: a retry must not see its own state
+    val histDirs =
+      if (!fs.exists(gramsRoot)) Seq.empty[String]
+      else fs.listStatus(gramsRoot).toSeq
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("batch_") &&
+          p.getName.stripPrefix("batch_").toLongOption.exists(_ < batchId))
+        .map(_.toString)
+    val b = batch.localCheckpoint() // read by flag + anti-join + gram dump
+    val flagged =
+      if (histDirs.isEmpty)
+        b.select(col(idCol)).limit(0).withColumn("n_contaminated", lit(0L))
+      else graft.llm.Dedup.decontaminateAgainstHashes(b,
+        spark.read.parquet(histDirs: _*), idCol, textCol, shingleN, fpp)
+    val flaggedM = flagged.localCheckpoint()
+    val survivors = b.join(flaggedM.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    survivors.write.mode("overwrite")
+      .parquet(s"$stateDir/docs/batch_$batchId")
+    flaggedM.write.mode("overwrite")
+      .parquet(s"$stateDir/quarantine/batch_$batchId")
+    graft.llm.Dedup.textGramHashes(survivors, idCol, textCol, shingleN)
+      .select("gram_hash").distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/grams/batch_$batchId")
+    ()
+  }
+
+  def startDecontaminatingIngest(stream: DataFrame, stateDir: String,
+                                 checkpointDir: String,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 shingleN: Int = 5,
+                                 fpp: Double = 0.001,
+                                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    decontaminatingIngestWriter(stream, stateDir, checkpointDir, idCol,
+      textCol, shingleN, fpp).trigger(trigger).start()
+
   /** Streaming session windows: events sessionized by inactivity gap,
     * per user (SURVEY.md §2.3 extension row; batch analog is
     * `TimeSeries.sessionize`). Append mode emits a session once the

@@ -60,6 +60,77 @@ class StreamingSpec extends SparkSpec {
     assert(keptLangs("en") == 60L && keptLangs("de") < 60L)
   }
 
+  test("stateful decontaminating ingest: streamed clean == exact batch " +
+      "clean at every micro-batch boundary; retry idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val stateDir = tmpDir("decon-state")
+    val ckpt = tmpDir("decon-ckpt")
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val base = (0 until 8).map(j => s"w${j}")
+    // batch 1: two clean docs; batch 2: one doc sharing a 3-gram run
+    // with doc 0 (contaminated) + one clean; batch 3: one sharing with
+    // batch 2's SURVIVOR (history accumulates), one clean
+    val b1 = Seq(doc(1L, base), doc(2L, (10 until 18).map(j => s"x$j")))
+    val b2 = Seq(doc(3L, Seq("z1", "z2") ++ base.take(3) ++ Seq("z3")),
+      doc(4L, (20 until 28).map(j => s"y$j")))
+    val b3 = Seq(doc(5L, Seq("q1") ++ (20 until 23).map(j => s"y$j") ++ Seq("q2")),
+      doc(6L, (30 until 38).map(j => s"v$j")))
+    val stream = MemoryStream[(Long, String)]
+    val query = Ingest.startDecontaminatingIngest(
+      stream.toDF().toDF("doc_id", "text"), stateDir, ckpt,
+      shingleN = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    // batch-side mirror: exact (non-bloom) decontamination folded over
+    // the same micro-batches — the differential the operator must match
+    var hist: Option[org.apache.spark.sql.DataFrame] = None
+    var quarantined = Set.empty[Long]
+    for (b <- Seq(b1, b2, b3)) {
+      stream.addData(b: _*)
+      query.processAllAvailable()
+      val bdf = b.toDF("doc_id", "text")
+      val flagged = hist match {
+        case None => Set.empty[Long]
+        case Some(h) => graft.llm.Dedup.decontaminate(bdf, h,
+            "doc_id", "text", shingleN = 3)
+          .select("doc_id").as[Long].collect().toSet
+      }
+      val surv = bdf.where(!col("doc_id").isin(flagged.toSeq: _*))
+      hist = Some(hist.map(_.unionByName(surv)).getOrElse(surv)
+        .localCheckpoint())
+      quarantined ++= flagged
+      // boundary differential: streamed survivor/quarantine state ==
+      // the exact batch fold at THIS boundary
+      val streamedDocs = spark.read.parquet(s"$stateDir/docs/batch_*")
+        .select("doc_id").as[Long].collect().toSet
+      val mirrorDocs = hist.get.select("doc_id").as[Long].collect().toSet
+      assert(streamedDocs == mirrorDocs,
+        s"survivors diverged: streamed=$streamedDocs mirror=$mirrorDocs")
+      val streamedQuar = spark.read.parquet(s"$stateDir/quarantine/batch_*")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamedQuar == quarantined,
+        s"quarantine diverged: streamed=$streamedQuar mirror=$quarantined")
+    }
+    query.stop()
+    // the planted structure resolved as designed
+    assert(quarantined == Set(3L, 5L))
+    // n_contaminated counts DISTINCT shared grams (doc 3 shares exactly
+    // one 3-gram: "w0 w1 w2")
+    val nc = spark.read.parquet(s"$stateDir/quarantine/batch_*")
+      .as[(Long, Long)].collect().toMap
+    assert(nc(3L) == 1L && nc(5L) == 1L)
+    // retry idempotence: re-running the LAST batch over the existing
+    // state must converge to identical state (overwrite semantics +
+    // strictly-earlier history reads)
+    val lastBatch = new java.io.File(s"$stateDir/docs").listFiles()
+      .map(_.getName.stripPrefix("batch_").toLong).max
+    Ingest.curateBatch(b3.toDF("doc_id", "text"), lastBatch, stateDir,
+      "doc_id", "text", 3, 0.001)
+    val afterRetry = spark.read.parquet(s"$stateDir/docs/batch_*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(afterRetry == hist.get.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("stream-static enrichment join == batch join, static side broadcast") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("BTC", "Bitcoin"), ("ETH", "Ether")).toDF("code", "name")
