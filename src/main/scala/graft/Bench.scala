@@ -64,7 +64,29 @@ object Bench {
     // (the driver's) would report, so the two stay comparable.
     val firstField =
       if (reps > 1) s""","first":${jmap(results.map(r => (r._1, r._3)))}""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$firstField}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$firstField}"""
+    println(line)
+    // Persist the COMPLETE per-query map on full runs: the driver keeps
+    // only the stdout tail (~2,000 chars), which drops ~half of the
+    // per-query values — round-over-round regression adjudication needs
+    // all of them. Round number = max existing BENCH_r*.json + 1 (the
+    // driver writes BENCH_r{N} AFTER the round, so during round N the
+    // max on disk is N-1); SPARK_GRAFT_BENCH_OUT overrides the path.
+    if (only.isEmpty) {
+      val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val prev = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        val n = (if (prev.isEmpty) 0 else prev.max) + 1
+        f"BENCH_LOCAL_r$n%02d.json"
+      }
+      try {
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+        System.err.println(s"[bench] full per-query artifact -> $outPath")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -447,6 +447,14 @@ object Sampling {
     * aggregates folded to literals, the q7F pattern). At 100 TB the
     * cost is the same one-pass gram shuffle every text op here pays.
     *
+    * Plan note (measured r8, sf0.01): the STATIC plan shows 10
+    * exchanges because the totals duplicate the fit subtrees, but the
+    * FINAL adaptive plan has 7 real exchanges + 2 ReusedExchange —
+    * AQE's stage cache reuses the (id, bucket) gram exchange and the
+    * add-λ fit exchange for tTot/rTot at runtime, so the one-gram-pass
+    * design holds as executed. Verified via `Explain q8C_dsir_weights
+    * <sf> plan` (which runs the query to plan finality).
+    *
     * @return (idCol, n_grams, weight) — weight rounded to 4 decimals
     *         for cross-engine float parity.
     */

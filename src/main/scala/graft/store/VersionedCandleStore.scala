@@ -1109,14 +1109,51 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * its files under the final generation before journaling. (The
     * reference instead holds the DB-exclusive lock for its WAL group
     * flush, `database/concurrency/db.go:68-156`.)
+    *
+    * Crash safety (spec-enumerated: every prefix of the step sequence
+    * below is simulated in VersionedStoreSpec): the journal `compact`
+    * row is written BEFORE the new generation's commit marker, so the
+    * squash floor always advances no later than the generation swap.
+    * A crash between the two leaves the floor at `latest` while reads
+    * still resolve the OLD (full-history) generation: as-of reads
+    * below `latest` then fail LOUDLY ("predates the squash point")
+    * instead of silently returning squashed rows — the opposite order
+    * would expose a window where `scanAsOf(T)` drops every key whose
+    * winning tx exceeds T, with no error. Each crash prefix leaves a
+    * store whose scan()/journal reads are exact, and a re-run
+    * `compact()` (after [[breakStaleLock]]) converges; an unpublished
+    * next-generation dir left by a crash is clobbered by the next
+    * compaction's SaveMode.Overwrite.
     */
-  def compact(committedAt: Option[Timestamp] = None): Long = {
+  def compact(committedAt: Option[Timestamp] = None): Long =
+    compactInternal(committedAt, crashAfter = Int.MaxValue)
+
+  /** Test seam: run [[compact]] but simulate a HARD crash after step
+    * `crashAfter` of its install sequence — the step's effects are on
+    * disk, nothing later runs, and the `_compact.lock` is LEFT BEHIND
+    * (a kill -9 does not run finally blocks). Steps:
+    * 1 snapshot taken · 2 squashed generation written (unpublished) ·
+    * 3 journal `compact` row written · 4 commit marker published ·
+    * 5 carry-forward sweep done · 6 old generations GC'd ·
+    * 7 reserve files swept (checkpoint rollup never runs).
+    */
+  private[graft] def compactWithCrash(crashAfter: Int,
+                                      committedAt: Option[Timestamp] = None): Long =
+    compactInternal(committedAt, crashAfter)
+
+  private def compactInternal(committedAt: Option[Timestamp],
+                              crashAfter: Int): Long = {
     val f = fs
     verifyLayout(f)
     f.mkdirs(hp(path))
     val lock = hp(s"$path/_compact.lock")
     if (!tryCreate(f, lock))
       throw new IllegalStateException(s"another compaction holds $lock")
+    var hardCrash = false
+    def crash(step: Int): Unit = if (step == crashAfter) {
+      hardCrash = true
+      throw VersionedCandleStore.SimulatedCrash(step)
+    }
     try {
       val snapshot = journalSnapshot()
       val committedIds = snapshot._2.map(_._1)
@@ -1126,6 +1163,7 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       // (also avoids publishing a duplicate tx-<latest>-compact journal
       // file, whose rename would fail on rename-no-overwrite filesystems)
       if (latest == snapshot._1) return latest
+      crash(1)
       val (curGenId, curGenDir) = currentGen().get
       val present = committedIds.toSet
       // one version per key, WINNING row's tx_id preserved (content and
@@ -1148,7 +1186,22 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
           .mode(SaveMode.Overwrite).parquet(newGen.toString)
       }
       val nRows = spark.read.parquet(newGen.toString).count()
+      crash(2)
+      // Journal the squash floor BEFORE publishing the generation: see
+      // the crash-safety note in the scaladoc — floor-then-publish makes
+      // the crash window fail loud (as-of below `latest` refused while
+      // the old generation is still current) instead of silently wrong
+      // (squashed generation current with a stale floor admitting
+      // discarded history). The cost is benign: a crash here leaves the
+      // floor early and the next compact early-outs until new commits
+      // arrive, with the unpublished generation dir clobbered by that
+      // compact's Overwrite.
+      writeJournalRow(latest, nRows,
+        committedAt.getOrElse(new Timestamp(System.currentTimeMillis())),
+        "compact", None)
+      crash(3)
       tryCreate(f, new Path(newGen, CommitMarker)) // atomic publish
+      crash(4)
       // Reconcile commits that raced the compaction: any data file in
       // ANY retained older generation whose tx is NOT part of the squash
       // snapshot (journaled later, or still torn) is carried forward by
@@ -1162,14 +1215,13 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       generations()
         .filter { case (_, p) => f.makeQualified(p).toUri.getPath != newGenQualified }
         .foreach { case (_, p) => carryFiles(f, p, newGen, id => !present(id)) }
-      writeJournalRow(latest, nRows,
-        committedAt.getOrElse(new Timestamp(System.currentTimeMillis())),
-        "compact", None)
+      crash(5)
       // GC: keep the new and previous generations (in-flight readers of
       // the old one stay consistent); drop anything older, plus reserve
       // files at or below the floor (allocation starts past the journal
       // max, so they can never be re-minted).
       generations().dropRight(2).foreach { case (_, p) => f.delete(p, true) }
+      crash(6)
       if (f.exists(hp(txnPath)))
         f.listStatus(hp(txnPath)).map(_.getPath).foreach { p =>
           p.getName match {
@@ -1177,9 +1229,25 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
             case _ => ()
           }
         }
+      crash(7)
       checkpointLocked(f, force = false) // rollup rides the same lock
       latest
-    } finally { f.delete(lock, false); () }
+    } finally { if (!hardCrash) { f.delete(lock, false); () } }
+  }
+
+  /** Remove a `_compact.lock` left behind by a maintenance op that died
+    * hard (kill -9 / lost executor — finally blocks never ran). Safe
+    * ONLY when the caller knows no live compact/vacuum/checkpoint is
+    * running: the lock carries no liveness information (an atomic
+    * create, the same primitive the reference's counter file lock
+    * leans on), so breaking it under a live op would let two
+    * maintenance ops interleave. Commits are unaffected either way —
+    * they never take this lock. Returns true if a lock was removed.
+    */
+  def breakStaleLock(): Boolean = {
+    val f = fs
+    val lock = hp(s"$path/_compact.lock")
+    f.exists(lock) && f.delete(lock, false)
   }
 
   private val DataFileName = "tx(\\d{20})-.*".r
@@ -1289,4 +1357,11 @@ object VersionedCandleStore {
   def apply(spark: SparkSession, path: String,
             checkpointEvery: Int): VersionedCandleStore =
     new VersionedCandleStore(spark, path, checkpointEvery)
+
+  /** Thrown by the [[VersionedCandleStore.compactWithCrash]] test seam
+    * at the requested step; carries the step so specs can assert they
+    * crashed where they meant to.
+    */
+  private[graft] final case class SimulatedCrash(step: Int)
+    extends RuntimeException(s"simulated hard crash after compact step $step")
 }

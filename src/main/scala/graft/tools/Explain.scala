@@ -29,8 +29,16 @@ object Explain {
     val t2 = System.nanoTime()
     val n2 = fn(spark, sfDir).count()
     println(f"[explain] $name rows=$n2 warm=${(System.nanoTime() - t2) / 1e9}%.2fs")
-    if (showPlan) println(df.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode))
+    if (showPlan) {
+      // Execute THIS df's own plan so AQE finalizes it — count(),
+      // write(), even foreach() all wrap the logical plan in a NEW
+      // QueryExecution, leaving the printed one initial
+      // (isFinalPlan=false) with runtime exchange/stage reuse
+      // invisible. toRdd is the one RDD bound to this QueryExecution.
+      df.queryExecution.toRdd.foreachPartition(_ => ())
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
     spark.stop()
   }
 }

@@ -416,6 +416,64 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st.txLog().where($"batch_id" === 5L).count() == 1)
   }
 
+  test("compact interrupted at EVERY crash prefix converges — reads exact or " +
+    "loud, never silently squashed (generation-swap analog of the plain-store " +
+    "intent-replay specs)") {
+    val base = tmpDir("vstore-ccrash")
+    def build(path: String): VersionedCandleStore = {
+      val st = VersionedCandleStore(spark, path)
+      st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+      st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2),
+        c("ETH", "2022-01-01 10:00:00", 3)).toDF())
+      st.commit(Seq(c("SOL", "2023-01-01 10:00:00", 4)).toDF())
+      st
+    }
+    def snap(st: VersionedCandleStore): Seq[String] =
+      st.scan().select("code", "ts", "open")
+        .collect().map(_.mkString("|")).sorted.toSeq
+    def opens(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.select("code", "open").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val asOf2Exact = Map("BTC" -> 2.0, "ETH" -> 3.0)
+    // expected terminal state: crash → converge → one more commit+compact
+    val ref = build(base + "/ref")
+    val want = snap(ref)
+    ref.compact()
+    ref.commit(Seq(c("BTC", "2022-01-01 10:00:00", 9)).toDF())
+    ref.compact()
+    val wantFinal = snap(ref)
+    for (k <- 1 to 7) {
+      val st = build(base + s"/t$k")
+      val ex = intercept[VersionedCandleStore.SimulatedCrash](st.compactWithCrash(k))
+      assert(ex.step == k)
+      // a hard crash leaves the lock (kill -9 runs no finally): a fresh
+      // compact refuses until the operator breaks the stale lock
+      intercept[IllegalStateException](st.compact())
+      assert(st.breakStaleLock(), s"k=$k: stale lock must exist")
+      assert(!st.breakStaleLock(), s"k=$k: second break must be a no-op")
+      // latest-state reads are exact at every prefix
+      assert(snap(st) == want, s"k=$k: scan after crash")
+      // as-of below the squash point is exact while history is intact
+      // (journal row not yet written, k<=2) and REFUSED after — never
+      // the silently-squashed wrong answer the publish-before-journal
+      // order would give
+      if (k <= 2) assert(opens(st.scanAsOf(2L)) == asOf2Exact, s"k=$k: as-of intact")
+      else {
+        val e = intercept[IllegalArgumentException](st.scanAsOf(2L))
+        assert(e.getMessage.contains("predates"), s"k=$k: as-of must refuse loudly")
+      }
+      // re-running compact converges (full re-run below the journal row,
+      // early-out at/after it) and stays exact
+      assert(st.compact() == 3L, s"k=$k: re-run compact")
+      assert(snap(st) == want, s"k=$k: scan after converged compact")
+      assert(opens(st.scanAsOf(3L)) == Map("BTC" -> 2.0, "ETH" -> 3.0, "SOL" -> 4.0))
+      // the store keeps working: counter monotonic, next compact exact
+      assert(st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 9)).toDF()) == 4L)
+      assert(st.compact() == 4L)
+      assert(snap(st) == wantFinal, s"k=$k: terminal state")
+    }
+  }
+
   test("opening a path with data in an unrecognized layout fails loudly, never reads empty") {
     val dir = new java.io.File(tmpDir("vstore-fmt") + "/old")
     new java.io.File(dir, "_txlog").mkdirs() // a previous format's journal dir
