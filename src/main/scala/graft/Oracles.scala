@@ -732,6 +732,17 @@ object Oracles {
          SELECT doc_id, n_contaminated FROM f1
          UNION ALL
          SELECT doc_id, n_contaminated FROM f2""",
+    // q9C: the streamed first-wins near-dup flags == the BATCH MinHash
+    // +LSH pipeline's drop-later set over the whole corpus (arrival
+    // order is id order by construction): id_b of every verified
+    // (id_a < id_b) pair at threshold 0.3, aggregated to
+    // (n_pairs, max_jaccard). Same CTE chain as q52.
+    "q9C_stream_neardup" ->
+      s"""WITH ${minhashPairsCtes()}
+         SELECT id_b AS doc_id, count(*) AS n_pairs,
+           round(max(i / (nn - i)), 4) AS max_jaccard
+         FROM jj WHERE i / (nn - i) >= 0.3
+         GROUP BY 1""",
     "q73_source_cap" ->
       s"""WITH r AS (SELECT doc_id, source,
            row_number() OVER (PARTITION BY source

@@ -1141,6 +1141,18 @@ object Queries {
       val state = streamedDeconState(s, d)
       s.read.parquet(s"$state/quarantine/batch_*")
         .select(col("doc_id"), col("n_contaminated"))
+    }),
+    // Stateful in-flight near-dup marking (round 8): first-wins
+    // MinHash+LSH dedup AT INGEST against everything already seen —
+    // documents streamed in 3 id-ordered micro-batches; a doc is
+    // flagged iff it has a verified near-dup among earlier arrivals
+    // (history or lower-id same-batch). Arrival order == id order, so
+    // the oracle is the BATCH pair pipeline's drop-later set: id_b of
+    // every verified (id_a < id_b) pair, aggregated.
+    "q9C_stream_neardup" -> ((s, d) => {
+      val state = streamedNearDupState(s, d)
+      s.read.parquet(s"$state/flags/batch_*")
+        .select(col("doc_id"), col("n_pairs"), col("max_jaccard"))
     }))
 
   private val deconCache = scala.collection.concurrent.TrieMap[String, String]()
@@ -1183,6 +1195,52 @@ object Queries {
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 3,
         s"streamed decontamination must see 3 micro-batches, saw $batches")
+      stateDir
+    })
+
+  private val nearDupCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streamed near-dup-ingest fixture: documents sliced into 3
+    * micro-batches in doc_id ORDER (ntile over doc_id; mtime-pinned
+    * file order), marked in-flight by
+    * [[graft.streaming.Ingest.startNearDupIngest]] at q52's LSH
+    * operating point. Id-ordered arrival is what makes the batch
+    * drop-later oracle exact. Returns the state dir.
+    */
+  private def streamedNearDupState(s: SparkSession, d: String): String =
+    nearDupCache.getOrElseUpdate(d, {
+      val base = Files.createTempDirectory("graft-qneardup").toString
+      val srcDir = s"$base/src"
+      val fs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val staging = s"$base/staging"
+      docs.withColumn("_slice", ntile(3).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))) - 1)
+        .repartition(col("_slice"))
+        .write.partitionBy("_slice").parquet(staging)
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+        val part = fs.listStatus(sliceDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+          case Array(one) => one
+          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+        }
+        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val stateDir = s"$base/state"
+      val q = graft.streaming.Ingest.startNearDupIngest(
+        stream, stateDir, s"$base/ckpt", threshold = 0.3)
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"streamed near-dup must see 3 micro-batches, saw $batches")
       stateDir
     })
 

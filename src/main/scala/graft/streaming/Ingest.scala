@@ -231,6 +231,155 @@ object Ingest {
     decontaminatingIngestWriter(stream, stateDir, checkpointDir, idCol,
       textCol, shingleN, fpp).trigger(trigger).start()
 
+  /** STATEFUL in-flight near-dup marking at ingest: first-wins MinHash
+    * +LSH dedup against EVERYTHING ALREADY SEEN. Each micro-batch
+    * document is flagged iff it has an exact-Jaccard-verified near-dup
+    * (≥ `threshold`) among (a) any document of an earlier micro-batch
+    * or (b) a lower-id document of its own batch — the streaming
+    * semantic: you can only drop the LATER arrival, never retroactively
+    * re-adjudicate history. ALL seen documents (flagged or not)
+    * contribute band state, so transitive chains keep matching exactly
+    * as the batch operator's pair set does.
+    *
+    * Parity (spec-gated differential): when ids are arrival-monotonic,
+    * the union of per-batch flags equals the batch
+    * [[graft.llm.Dedup.minhashNearDupPairs]] drop-later set — i.e.
+    * `{id_b | (id_a < id_b) verified pair}` grouped to
+    * (id, n_pairs, max_jaccard) — because banding over "history ×
+    * batch ∪ within-batch" unions to exactly the banding over the
+    * whole prefix, and both sides verify with the same exact Jaccard.
+    * (Unlike `dedupNearDup`'s connected-components policy, a "hub"
+    * doc whose only pairs are LATER arrivals survives here — CC is a
+    * batch-only luxury; first-wins is what an unbounded stream can
+    * honor.)
+    *
+    * State layout under `stateDir` (per-batch dirs, OVERWRITE-written,
+    * read strictly-earlier — the same exactly-once discipline as
+    * [[curateBatch]]):
+    *  - `bands/batch_<id>/` — (band, id) for every shingled doc;
+    *  - `all/batch_<id>/`   — (id, text): verify-side source;
+    *  - `docs/batch_<id>/`  — surviving rows (the clean feed);
+    *  - `flags/batch_<id>/` — (idCol, n_pairs, max_jaccard).
+    *
+    * Scale posture: per micro-batch the history-sized work is ONE
+    * parquet scan of the slim (band, id) table with the batch's bands
+    * BROADCAST (no history shuffle; Spark's runtime bloom filter can
+    * additionally prune the scan), plus a candidate-pruned semi-join
+    * into the history text (candidate ids broadcast). Banding,
+    * signatures, and the in-bucket pair expansion are batch-sized.
+    * Documents never ride a shuffle; only (band, id) pairs and
+    * candidate ids move. At extreme history sizes, partition the band
+    * state by a band-hash prefix and compact `bands/` periodically —
+    * the per-batch dirs are already the unit of that rewrite.
+    */
+  def nearDupIngestWriter(stream: DataFrame, stateDir: String,
+                          checkpointDir: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          shingleN: Int = 3, k: Int = 32,
+                          bands: Int = 8,
+                          threshold: Double = 0.5): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupBatch(batch, batchId, stateDir, idCol, textCol, shingleN,
+          k, bands, threshold)
+      }
+
+  /** One micro-batch of the near-dup-marking ingest — split out so the
+    * differential spec can drive it directly.
+    */
+  private[graft] def nearDupBatch(batch: DataFrame, batchId: Long,
+                                  stateDir: String, idCol: String,
+                                  textCol: String, shingleN: Int, k: Int,
+                                  bands: Int, threshold: Double): Unit = {
+    import graft.llm.Dedup
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must split evenly into bands=$bands (rows = k / bands)")
+    if (batch.isEmpty) return
+    val rowsPerBand = k / bands
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    // strictly-earlier batches only: a retry must not see its own state
+    def earlier(sub: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("batch_") &&
+          p.getName.stripPrefix("batch_").toLongOption.exists(_ < batchId))
+        .map(_.toString)
+    }
+    val b = batch.localCheckpoint() // read by state dump + flags anti-join
+    // ONE tokenize+shingle pass for the batch; reused by banding + verify
+    val docs = b.select(col(idCol).cast("long").as("id"),
+      Dedup.shinglesUdf(shingleN)(graft.llm.TextStats.tokens(col(textCol))).as("sh"))
+      .where(size(col("sh")) > 0)
+      .localCheckpoint()
+    val banded = docs.select(col("id"), explode(Dedup.lshBandKeys(
+      Dedup.minhashSignatureUdf(k)(col("sh")), bands, rowsPerBand)).as("band"))
+      .localCheckpoint() // reused: within-batch buckets, cross join, state dump
+    // within-batch candidates: the batch operator's in-bucket expansion
+    val within = banded.groupBy(col("band")).agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // cross candidates: history bands scanned ONCE, batch side broadcast
+    val histBandDirs = earlier("bands")
+    val cross =
+      if (histBandDirs.isEmpty) within.limit(0)
+      else spark.read.parquet(histBandDirs: _*)
+        .select(col("band"), col("id").as("id_a"))
+        .join(broadcast(banded.select(col("band"), col("id").as("id_b"))),
+          Seq("band"))
+        .select(col("id_a"), col("id_b"))
+    val cand = within.unionByName(cross).distinct().localCheckpoint()
+    // exact-Jaccard verify on candidates only; history shingles are
+    // recomputed for CANDIDATE ids alone (semi-join, candidate ids
+    // broadcast — history text never shuffles)
+    val histAllDirs = earlier("all")
+    val candA = cand.select(col("id_a").as("id")).distinct()
+    val histSh =
+      if (histAllDirs.isEmpty) docs.limit(0)
+      else spark.read.parquet(histAllDirs: _*)
+        .join(broadcast(candA), Seq("id"), "left_semi")
+        .select(col("id"),
+          Dedup.shinglesUdf(shingleN)(graft.llm.TextStats.tokens(col("text"))).as("sh"))
+    val shA = docs.unionByName(histSh) // batch ids resolve from `docs`
+    val flags = cand
+      .join(shA.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("_j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("_j") >= threshold)
+      .groupBy(col("id_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.Portable.round(max(col("_j")), 4).as("max_jaccard"))
+      .select(col("id_b").as("_fid"), col("n_pairs"), col("max_jaccard"))
+      .localCheckpoint()
+    flags.select(col("_fid").as(idCol), col("n_pairs"), col("max_jaccard"))
+      .write.mode("overwrite").parquet(s"$stateDir/flags/batch_$batchId")
+    b.join(flags, b(idCol).cast("long") === col("_fid"), "left_anti")
+      .write.mode("overwrite").parquet(s"$stateDir/docs/batch_$batchId")
+    b.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .write.mode("overwrite").parquet(s"$stateDir/all/batch_$batchId")
+    banded.select(col("band"), col("id"))
+      .write.mode("overwrite").parquet(s"$stateDir/bands/batch_$batchId")
+    ()
+  }
+
+  def startNearDupIngest(stream: DataFrame, stateDir: String,
+                         checkpointDir: String,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                         threshold: Double = 0.5,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    nearDupIngestWriter(stream, stateDir, checkpointDir, idCol, textCol,
+      shingleN, k, bands, threshold).trigger(trigger).start()
+
   /** Streaming session windows: events sessionized by inactivity gap,
     * per user (SURVEY.md §2.3 extension row; batch analog is
     * `TimeSeries.sessionize`). Append mode emits a session once the

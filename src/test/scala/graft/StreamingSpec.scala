@@ -131,6 +131,73 @@ class StreamingSpec extends SparkSpec {
     assert(afterRetry == hist.get.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("stateful near-dup ingest: streamed first-wins flags == batch " +
+      "drop-later pair set at every micro-batch boundary; retry idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val stateDir = tmpDir("neardup-state")
+    val ckpt = tmpDir("neardup-ckpt")
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val base = (0 until 30).map(j => s"w$j") // 28 shingles: 1-word edit → J≈0.81
+    // batch 1: doc 1 + an unrelated doc; batch 2: doc 3 = near-dup of
+    // doc 1 (one word changed), doc 4 clean; batch 3: doc 5 = near-dup
+    // of doc 3 (chains THROUGH a flagged doc — all-seen state, not
+    // survivors-only), doc 6 = within-batch near-dup of doc 5, doc 7
+    // clean. Ids are arrival-monotonic, so the batch drop-later set is
+    // the differential.
+    val b1 = Seq(doc(1L, base), doc(2L, (40 until 70).map(j => s"x$j")))
+    val b2 = Seq(doc(3L, base.updated(15, "EDIT")), doc(4L, (80 until 110).map(j => s"y$j")))
+    val b3 = Seq(doc(5L, base.updated(15, "EDIT").updated(25, "EDIT2")),
+      doc(6L, base.updated(15, "EDIT").updated(25, "EDIT2").updated(0, "EDIT3")),
+      doc(7L, (120 until 150).map(j => s"z$j")))
+    val stream = MemoryStream[(Long, String)]
+    val query = Ingest.startNearDupIngest(
+      stream.toDF().toDF("doc_id", "text"), stateDir, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    var seen = Seq.empty[(Long, String)]
+    for (b <- Seq(b1, b2, b3)) {
+      stream.addData(b: _*)
+      query.processAllAvailable()
+      seen ++= b
+      // boundary differential: streamed flags == the batch operator's
+      // drop-later set over the WHOLE prefix (same LSH params)
+      val mirror = graft.llm.Dedup.minhashNearDupPairs(
+        seen.toDF("doc_id", "text"), "doc_id", "text")
+        .groupBy(col("id_b")).count()
+        .select("id_b", "count").as[(Long, Long)].collect().toMap
+      val streamed = spark.read.parquet(s"$stateDir/flags/batch_*")
+        .select("doc_id", "n_pairs").as[(Long, Long)].collect().toMap
+      assert(streamed == mirror,
+        s"flags diverged at prefix ${seen.map(_._1)}: streamed=$streamed mirror=$mirror")
+    }
+    query.stop()
+    // planted structure: exactly the three later near-dups are flagged
+    // (pair COUNTS depend on which lower-J pairs the deterministic LSH
+    // admits — the differential above already pins them to the batch
+    // operator, so here we assert the flag SET)
+    val flags = spark.read.parquet(s"$stateDir/flags/batch_*")
+      .select("doc_id", "n_pairs").as[(Long, Long)].collect().toMap
+    assert(flags.keySet == Set(3L, 5L, 6L), s"got $flags")
+    assert(flags(3L) == 1L) // doc 3's only earlier near-dup is doc 1
+    // clean feed = everything minus the flagged later-arrivals
+    val survivors = spark.read.parquet(s"$stateDir/docs/batch_*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 4L, 7L))
+    // max_jaccard is the exact verified pair jaccard, rounded
+    val mj = spark.read.parquet(s"$stateDir/flags/batch_*")
+      .select("doc_id", "max_jaccard").as[(Long, Double)].collect().toMap
+    assert(mj.values.forall(j => j >= 0.5 && j <= 1.0), s"got $mj")
+    // retry idempotence: re-running the LAST batch over existing state
+    // converges to identical flags (overwrite + strictly-earlier reads)
+    val lastBatch = new java.io.File(s"$stateDir/flags").listFiles()
+      .map(_.getName.stripPrefix("batch_").toLong).max
+    Ingest.nearDupBatch(b3.toDF("doc_id", "text"), lastBatch, stateDir,
+      "doc_id", "text", 3, 32, 8, 0.5)
+    val afterRetry = spark.read.parquet(s"$stateDir/flags/batch_*")
+      .select("doc_id", "n_pairs").as[(Long, Long)].collect().toMap
+    assert(afterRetry == flags)
+  }
+
   test("stream-static enrichment join == batch join, static side broadcast") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("BTC", "Bitcoin"), ("ETH", "Ether")).toDF("code", "name")
