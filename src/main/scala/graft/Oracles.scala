@@ -743,6 +743,58 @@ object Oracles {
            round(max(i / (nn - i)), 4) AS max_jaccard
          FROM jj WHERE i / (nn - i) >= 0.3
          GROUP BY 1""",
+    // q9E: the streamed drift monitor's per-batch JSD == the
+    // sequential fold over the same doc_id % 3 micro-batch split:
+    // batch k's hashed-unigram histogram vs the summed histograms of
+    // batches < k, with the q8I zero-side handling (a bucket absent on
+    // one side contributes mass·ln 2 via the surviving CASE arm).
+    // Batch 0 has no history: js_div = 0.0, alarm = false.
+    "q9E_stream_drift" ->
+      s"""WITH tok AS (SELECT doc_id % 3 AS b,
+           unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents),
+         h AS (SELECT b, ${pHash("w")} % 256 AS bucket, count(*)::BIGINT AS cnt
+               FROM tok GROUP BY 1, 2),
+         nd AS (SELECT doc_id % 3 AS b, count(*)::BIGINT AS n_docs
+                FROM documents GROUP BY 1),
+         ng AS (SELECT b, sum(cnt)::BIGINT AS n_grams FROM h GROUP BY 1),
+         ks AS (SELECT unnest([1, 2]) AS k),
+         cur AS (SELECT ks.k, h.bucket, h.cnt FROM ks JOIN h ON h.b = ks.k),
+         hist AS (SELECT ks.k, h.bucket, sum(h.cnt) AS hcnt
+                  FROM ks JOIN h ON h.b < ks.k GROUP BY 1, 2),
+         u AS (SELECT coalesce(c.k, hh.k) AS k, coalesce(c.cnt, 0)::DOUBLE AS cnt,
+                 coalesce(hh.hcnt, 0)::DOUBLE AS hcnt
+               FROM cur c FULL JOIN hist hh
+                 ON c.k = hh.k AND c.bucket = hh.bucket),
+         tots AS (SELECT k, sum(cnt) AS tb, sum(hcnt) AS th FROM u GROUP BY 1),
+         js AS (SELECT u.k AS b, 0.5 * sum(
+                  CASE WHEN cnt > 0 THEN (cnt/tb) * ln(2*(cnt/tb)/((cnt/tb)+(hcnt/th))) ELSE 0 END +
+                  CASE WHEN hcnt > 0 THEN (hcnt/th) * ln(2*(hcnt/th)/((cnt/tb)+(hcnt/th))) ELSE 0 END) AS js_raw
+                FROM u JOIN tots USING (k) GROUP BY 1)
+         SELECT b::BIGINT AS batch_id, nd.n_docs, ng.n_grams,
+           CASE WHEN b = 0 THEN 0.0
+                ELSE ${graft.Portable.roundSql("js.js_raw", 4)} END AS js_div,
+           CASE WHEN b = 0 THEN false ELSE js.js_raw >= 0.1 END AS alarm
+         FROM nd JOIN ng USING (b) LEFT JOIN js USING (b)""",
+    // q9D: greedy packing is a sequential fold per bucket — replayed
+    // exactly as a recursive CTE stepping bucket-local row_number,
+    // carrying (bin_id, used) and rolling the bin on overflow with the
+    // same used>0 guard as Sampling.packGreedy.
+    "q9D_pack_bins" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, len($WS)::INT AS n_tokens,
+           (doc_id % 8)::INT AS bucket FROM documents),
+         o AS (SELECT doc_id, n_tokens, bucket, least(n_tokens, 120) AS need,
+                 row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+               FROM t),
+         p AS (SELECT bucket, rn, doc_id, n_tokens, 0 AS bin_id, need AS used
+               FROM o WHERE rn = 1
+               UNION ALL
+               SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+                 CASE WHEN p.used > 0 AND p.used + o.need > 120
+                      THEN p.bin_id + 1 ELSE p.bin_id END AS bin_id,
+                 CASE WHEN p.used > 0 AND p.used + o.need > 120
+                      THEN o.need ELSE p.used + o.need END AS used
+               FROM p JOIN o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+         SELECT doc_id, n_tokens, bucket, bin_id::INT AS bin_id FROM p""",
     "q73_source_cap" ->
       s"""WITH r AS (SELECT doc_id, source,
            row_number() OVER (PARTITION BY source

@@ -1153,6 +1153,29 @@ object Queries {
       val state = streamedNearDupState(s, d)
       s.read.parquet(s"$state/flags/batch_*")
         .select(col("doc_id"), col("n_pairs"), col("max_jaccard"))
+    }),
+    // Stateful in-flight drift monitoring (round 8): each micro-batch's
+    // hashed-unigram histogram JSD-compared against the ACCUMULATED
+    // histogram of every earlier batch — the "is today's crawl still
+    // yesterday's distribution?" alarm at ingest. Batches are the same
+    // 3 mtime-pinned doc_id % 3 slices as q9B; the oracle replays the
+    // sequential fold in SQL with the q8I JSD formula.
+    "q9E_stream_drift" -> ((s, d) => {
+      val state = streamedDriftState(s, d)
+      s.read.parquet(s"$state/drift/batch_*")
+        .select(col("batch_id"), col("n_docs"), col("n_grams"),
+          col("js_div"), col("alarm"))
+    }),
+    // Greedy sequence packing (pretraining batch construction): docs
+    // bucketed by id % 8, each bucket packed in id order into
+    // 120-token bins. The assignment is deterministic and
+    // partition-independent by construction, so the oracle replays the
+    // same sequential fold as a recursive CTE.
+    "q9D_pack_bins" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("int").as("n_tokens"))
+      Sampling.packGreedy(docs, "doc_id", "n_tokens",
+        maxTokens = 120, nBuckets = 8)
     }))
 
   private val deconCache = scala.collection.concurrent.TrieMap[String, String]()
@@ -1195,6 +1218,50 @@ object Queries {
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 3,
         s"streamed decontamination must see 3 micro-batches, saw $batches")
+      stateDir
+    })
+
+  private val driftCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streamed drift-monitor fixture: documents sliced into 3
+    * micro-batches by `doc_id % 3` (mtime-pinned file order), each
+    * batch JSD-scored in-flight against the accumulated history by
+    * [[graft.streaming.Ingest.startDriftMonitorIngest]]. Returns the
+    * state dir (drift/hist per batch).
+    */
+  private def streamedDriftState(s: SparkSession, d: String): String =
+    driftCache.getOrElseUpdate(d, {
+      val base = Files.createTempDirectory("graft-qdrift").toString
+      val srcDir = s"$base/src"
+      val fs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val staging = s"$base/staging"
+      docs.withColumn("_slice", (col("doc_id") % 3).cast("int"))
+        .repartition(col("_slice"))
+        .write.partitionBy("_slice").parquet(staging)
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+        val part = fs.listStatus(sliceDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+          case Array(one) => one
+          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+        }
+        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val stateDir = s"$base/state"
+      val q = graft.streaming.Ingest.startDriftMonitorIngest(
+        stream, stateDir, s"$base/ckpt")
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"streamed drift monitor must see 3 micro-batches, saw $batches")
       stateDir
     })
 

@@ -380,6 +380,113 @@ object Ingest {
     nearDupIngestWriter(stream, stateDir, checkpointDir, idCol, textCol,
       shingleN, k, bands, threshold).trigger(trigger).start()
 
+  /** STATEFUL distribution-drift monitoring at ingest: each
+    * micro-batch's hashed-unigram histogram is compared (Jensen-
+    * Shannon divergence, the [[graft.llm.Corpus.sourceDrift]] measure)
+    * against the ACCUMULATED histogram of every earlier batch — the
+    * "is today's crawl still the corpus I trained the filters on?"
+    * alarm, evaluated in-flight rather than in a nightly batch job.
+    *
+    * Per batch the monitor emits one row `(batch_id, n_docs, n_grams,
+    * js_div, alarm)`; the first batch has no history and reads
+    * `js_div = 0.0, alarm = false` (the no-history baseline). State
+    * under `stateDir`:
+    *  - `hist/batch_<id>/` — the batch's (bucket, cnt) histogram, the
+    *    ONLY thing history contributes (text is never re-read);
+    *  - `drift/batch_<id>/` — the one-row drift report.
+    *
+    * Exactly-once: per-batch dirs OVERWRITE-written, history reads
+    * strictly-earlier batches only — the [[curateBatch]] discipline.
+    *
+    * Scale posture: history-sized state is nBuckets rows per batch
+    * (compactable by summing dirs), so the per-batch cost is one scan
+    * of the BATCH (tokenize + partial-agg to ≤ nBuckets rows) plus a
+    * union of tiny histogram files; the JSD itself is an
+    * nBuckets-row join. Nothing corpus-sized ever recomputes, and no
+    * text rides a shuffle.
+    */
+  def driftMonitorIngestWriter(stream: DataFrame, stateDir: String,
+                               checkpointDir: String,
+                               textCol: String = "text",
+                               nBuckets: Long = 256L,
+                               alarmAt: Double = 0.1): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        driftBatch(batch, batchId, stateDir, textCol, nBuckets, alarmAt)
+      }
+
+  /** One micro-batch of the drift monitor — split out so the
+    * differential spec can drive it directly.
+    */
+  private[graft] def driftBatch(batch: DataFrame, batchId: Long,
+                                stateDir: String, textCol: String,
+                                nBuckets: Long, alarmAt: Double): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    // strictly-earlier batches only: a retry must not see its own state
+    val histRoot = new org.apache.hadoop.fs.Path(s"$stateDir/hist")
+    val histDirs =
+      if (!fs.exists(histRoot)) Seq.empty[String]
+      else fs.listStatus(histRoot).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("batch_") &&
+          p.getName.stripPrefix("batch_").toLongOption.exists(_ < batchId))
+        .map(_.toString)
+    val b = batch.localCheckpoint() // read by histogram + doc count
+    val hist = b
+      .select(explode(graft.llm.TextStats.tokens(col(textCol))).as("_w"))
+      .groupBy(pmod(graft.llm.TextStats.portableHash(col("_w")),
+        lit(nBuckets)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // reused: JSD join, totals, state dump
+    val nDocs = b.count()
+    val nGrams = hist.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .first().getLong(0)
+    val jsDiv: Double =
+      if (histDirs.isEmpty || nGrams == 0L) 0.0
+      else {
+        val h = spark.read.parquet(histDirs: _*)
+          .groupBy(col("bucket")).agg(sum(col("cnt")).as("hcnt"))
+        val tb = nGrams.toDouble
+        val th = h.agg(sum(col("hcnt"))).first().getLong(0).toDouble
+        val p = coalesce(col("cnt"), lit(0L)).cast("double") / lit(tb)
+        val q = coalesce(col("hcnt"), lit(0L)).cast("double") / lit(th)
+        hist.join(h, Seq("bucket"), "full_outer")
+          .select(p.as("_p"), q.as("_q"))
+          .agg(sum(
+            when(col("_p") > 0,
+              col("_p") * log(lit(2.0) * col("_p") / (col("_p") + col("_q"))))
+              .otherwise(lit(0.0)) +
+            when(col("_q") > 0,
+              col("_q") * log(lit(2.0) * col("_q") / (col("_p") + col("_q"))))
+              .otherwise(lit(0.0))).as("_s"))
+          .select((lit(0.5) * col("_s")).as("_js"))
+          .first().getDouble(0)
+      }
+    val report = spark.range(1).select(
+      lit(batchId).as("batch_id"),
+      lit(nDocs).as("n_docs"),
+      lit(nGrams).as("n_grams"),
+      graft.Portable.round(lit(jsDiv), 4).as("js_div"),
+      lit(jsDiv >= alarmAt && histDirs.nonEmpty).as("alarm"))
+    report.write.mode("overwrite").parquet(s"$stateDir/drift/batch_$batchId")
+    hist.write.mode("overwrite").parquet(s"$stateDir/hist/batch_$batchId")
+    ()
+  }
+
+  def startDriftMonitorIngest(stream: DataFrame, stateDir: String,
+                              checkpointDir: String,
+                              textCol: String = "text",
+                              nBuckets: Long = 256L,
+                              alarmAt: Double = 0.1,
+                              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    driftMonitorIngestWriter(stream, stateDir, checkpointDir, textCol,
+      nBuckets, alarmAt).trigger(trigger).start()
+
   /** Streaming session windows: events sessionized by inactivity gap,
     * per user (SURVEY.md §2.3 extension row; batch analog is
     * `TimeSeries.sessionize`). Append mode emits a session once the

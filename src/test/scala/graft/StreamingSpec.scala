@@ -198,6 +198,79 @@ class StreamingSpec extends SparkSpec {
     assert(afterRetry == flags)
   }
 
+  test("stateful drift-monitor ingest: streamed JSD == independent exact " +
+      "fold at every boundary; drifted batch alarms; retry idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = tmpDir("drift-state")
+    val ckpt = tmpDir("drift-ckpt")
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    // batch 1: alpha-heavy; batch 2: the SAME vocabulary, mildly
+    // reweighted (low JSD, no alarm); batch 3: all-new vocabulary
+    // (JSD → ln 2, alarm)
+    val b1 = Seq(doc(1L, Seq.fill(20)("alpha") ++ Seq.fill(10)("beta")),
+      doc(2L, Seq.fill(10)("gamma")))
+    val b2 = Seq(doc(3L,
+      Seq.fill(18)("alpha") ++ Seq.fill(12)("beta") ++ Seq.fill(8)("gamma")))
+    val b3 = Seq(doc(4L, (0 until 40).map(j => s"new$j")))
+    // independent mirror: pure-Scala 60-bit md5 hash, histogram, JSD
+    def bucketOf(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 256L
+    }
+    def hist(b: Seq[(Long, String)]): Map[Long, Long] =
+      b.flatMap(_._2.toLowerCase.split("\\s+")).map(bucketOf)
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def jsd(pb: Map[Long, Long], qb: Map[Long, Long]): Double = {
+      val (tp, tq) = (pb.values.sum.toDouble, qb.values.sum.toDouble)
+      (pb.keySet ++ qb.keySet).toSeq.map { k =>
+        val p = pb.getOrElse(k, 0L) / tp
+        val q = qb.getOrElse(k, 0L) / tq
+        (if (p > 0) p * math.log(2 * p / (p + q)) else 0.0) +
+          (if (q > 0) q * math.log(2 * q / (p + q)) else 0.0)
+      }.sum * 0.5
+    }
+    def round4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val stream = MemoryStream[(Long, String)]
+    val query = Ingest.startDriftMonitorIngest(
+      stream.toDF().toDF("doc_id", "text"), stateDir, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    var history = Map.empty[Long, Long]
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long, Double, Boolean)]
+    for ((b, i) <- Seq(b1, b2, b3).zipWithIndex) {
+      stream.addData(b: _*)
+      query.processAllAvailable()
+      val hb = hist(b)
+      val js = if (history.isEmpty) 0.0 else jsd(hb, history)
+      expected(i.toLong) =
+        (b.size.toLong, hb.values.sum, round4(js), i > 0 && js >= 0.1)
+      history = (history.keySet ++ hb.keySet).iterator
+        .map(k => k -> (history.getOrElse(k, 0L) + hb.getOrElse(k, 0L))).toMap
+      // boundary differential: streamed drift report == the exact fold
+      val streamed = spark.read.parquet(s"$stateDir/drift/batch_*")
+        .select("batch_id", "n_docs", "n_grams", "js_div", "alarm")
+        .as[(Long, Long, Long, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(streamed == expected.toMap,
+        s"drift diverged at batch $i: streamed=$streamed expected=$expected")
+    }
+    query.stop()
+    // planted structure: the reweighted batch stays quiet, the
+    // new-vocabulary batch alarms
+    assert(!expected(1L)._4 && expected(2L)._4)
+    assert(expected(2L)._3 > 0.5) // disjoint support → JSD near ln 2
+    // retry idempotence: re-running the LAST batch over existing state
+    // converges (overwrite + strictly-earlier history reads)
+    Ingest.driftBatch(b3.toDF("doc_id", "text"), 2L, stateDir,
+      "text", 256L, 0.1)
+    val afterRetry = spark.read.parquet(s"$stateDir/drift/batch_*")
+      .select("batch_id", "js_div", "alarm")
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(afterRetry(2L) == ((expected(2L)._3, true)))
+  }
+
   test("stream-static enrichment join == batch join, static side broadcast") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("BTC", "Bitcoin"), ("ETH", "Ether")).toDF("code", "name")
