@@ -1,0 +1,63 @@
+package graft
+
+/** Regression gates over PHYSICAL PLAN SHAPE: PLANS.md's audit rows as
+  * assertions, so a plan regression (lost pushdown, a join falling back
+  * to nested-loop, a shuffle creeping into a shuffle-free operator)
+  * fails the suite instead of waiting for a bench round to notice.
+  * Static plans on sf0.001; q8C additionally executes so AQE finalizes
+  * and the measured exchange reuse stays load-bearing.
+  */
+class PlanGateSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  private def exchanges(p: String): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(p).size
+
+  test("q02: filter reaches the parquet scan, no shuffle") {
+    val p = plan("q02_filter_case")
+    assert(p.contains("PushedFilters: ["), s"pushdown lost:\n$p")
+    assert(exchanges(p) == 0, s"filter+project must not shuffle:\n$p")
+  }
+
+  test("q03: dimension joins broadcast, never sort-merge") {
+    val p = plan("q03_join_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join regressed to SMJ:\n$p")
+  }
+
+  test("q28: 1-column projection prunes the document scan to text only") {
+    val p = plan("q28_word_counts")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      s"column pruning lost — scan reads more than `text`:\n$p")
+  }
+
+  test("q7F: tf-idf top-terms keeps the r6 fix — hash join, no nested loop") {
+    val p = plan("q7F_top_terms")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"r6 NLJ regression returned:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(exchanges(p) <= 2, s"q7F grew shuffles (audited at 2):\n$p")
+  }
+
+  test("q8H: weighted sampling plans as per-partition heaps, zero shuffles") {
+    val p = plan("q8H_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample must plan as TakeOrderedAndProject:\n$p")
+    assert(exchanges(p) == 0, s"race sampling must not shuffle:\n$p")
+  }
+
+  test("q8C: AQE reuses the gram/fit exchanges in the FINAL plan") {
+    val df = SparkEntry.queries("q8C_dsir_weights")(spark, sf)
+    // execute THIS QueryExecution so the adaptive plan finalizes —
+    // count() would re-plan from the logical plan and hide reuse
+    df.queryExecution.toRdd.foreachPartition(_ => ())
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ReusedExchange"),
+      s"the measured one-gram-pass reuse is gone from the final plan:\n$p")
+  }
+}
