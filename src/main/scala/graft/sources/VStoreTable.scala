@@ -83,15 +83,17 @@ private[graft] final class VStoreTable(spark: SparkSession,
   *    references) prunes the fold's winner struct, so the Parquet
   *    ReadSchema below the aggregation carries exactly the content
   *    columns actually read.
-  *  - **Aggregates** ([[SupportsPushDownAggregates]]): global (no
-  *    group-by, no filters) `MIN`/`MAX` over fold KEY columns and
-  *    `COUNT(*)` bypass the fold entirely — the fold replaces content,
-  *    never keys, so these aggregates commute with it
-  *    ([[VersionedCandleStore.keyRowsAsOf]]): `min(ts)`/`max(ts)`
-  *    become a scan-side partial aggregation with no winner-struct
-  *    shuffle, and `count(*)` a distinct over key tuples only. Content
-  *    aggregates and the change feed never push (the fold/feed must
-  *    run).
+  *  - **Aggregates** ([[SupportsPushDownAggregates]]): `MIN`/`MAX`
+  *    over fold KEY columns and `COUNT(*)` — global or GROUPED BY fold
+  *    keys — bypass the fold entirely: the fold replaces content,
+  *    never keys, and grouping by key columns only partitions the key
+  *    tuples, so per-group key min/max and distinct-key counts commute
+  *    with last-wins exactly as the global ones do
+  *    ([[VersionedCandleStore.keyRowsAsOf]]). `SELECT code, max(ts),
+  *    count(*) … GROUP BY code` — the catalog listing — is served as a
+  *    scan-side aggregation with no winner-struct shuffle. Content
+  *    aggregates, non-fold-key groupings, and the change feed never
+  *    push (the fold/feed must run).
   */
 private[graft] final class VStoreScanBuilder(spark: SparkSession,
                                              table: VStoreTable)
@@ -102,6 +104,7 @@ private[graft] final class VStoreScanBuilder(spark: SparkSession,
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[Seq[org.apache.spark.sql.Column]] = None
+  private var pushedGroups: Seq[String] = Seq.empty
   private var aggSchema: Option[StructType] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -131,21 +134,32 @@ private[graft] final class VStoreScanBuilder(spark: SparkSession,
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     translateAggregation(aggregation) match {
-      case Some((cols, schema)) =>
-        pushedAgg = Some(cols); aggSchema = Some(schema); true
+      case Some((groups, cols, schema)) =>
+        pushedGroups = groups; pushedAgg = Some(cols); aggSchema = Some(schema)
+        true
       case None => false
     }
 
-  /** (aggregate columns over the raw key frame, their output schema),
-    * or None when the aggregation cannot bypass the fold.
+  /** (group-by key columns, aggregate columns over the raw key frame,
+    * the scan's output schema — group columns first, per the complete-
+    * pushdown contract), or None when the aggregation cannot bypass
+    * the fold.
     */
   private def translateAggregation(aggregation: Aggregation)
-      : Option[(Seq[org.apache.spark.sql.Column], StructType)] = {
-    // only the latest/VERSION-AS-OF folded snapshot; only global aggs;
-    // only when no filters were pushed (Spark already guarantees no
-    // post-scan filters before calling us, but the guard is ours too)
+      : Option[(Seq[String], Seq[org.apache.spark.sql.Column], StructType)] = {
+    // only the latest/VERSION-AS-OF folded snapshot; only when no
+    // filters were pushed (Spark already guarantees no post-scan
+    // filters before calling us, but the guard is ours too). GROUP BY
+    // is admitted when every group key is a FOLD key: grouping
+    // partitions the key tuples, so per-group key min/max and
+    // distinct-key counts commute with last-wins exactly as the global
+    // ones do — the "catalog listing" shape
+    // (`SELECT code, max(ts) … GROUP BY code`) never builds a winner.
     if (table.isChangeFeed || table.isTimeTravelByTime) return None
-    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty) return None
+    if (pushed.nonEmpty) return None
+    val groupNames = aggregation.groupByExpressions.toSeq.map(singleName)
+    if (groupNames.exists(n => n.isEmpty || !foldKeys(n.get))) return None
+    val groups = groupNames.flatten
     val keyTuple = struct(
       (graft.model.Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
     val translated = aggregation.aggregateExpressions.toSeq.map {
@@ -164,11 +178,14 @@ private[graft] final class VStoreScanBuilder(spark: SparkSession,
       case _ => None
     }
     if (translated.exists(_.isEmpty)) None
-    else Some((translated.flatten.map(_._1), StructType(translated.flatten.map(_._2))))
+    else Some((groups, translated.flatten.map(_._1),
+      StructType(groups.map(n => fullSchema(fullSchema.fieldIndex(n))) ++
+        translated.flatten.map(_._2))))
   }
 
   override def build(): Scan =
-    new VStoreScan(spark, table, required, pushed, pushedAgg, aggSchema)
+    new VStoreScan(spark, table, required, pushed, pushedAgg, pushedGroups,
+      aggSchema)
 }
 
 /** The planned scan: [[V1Scan]] hands execution to the computed
@@ -182,6 +199,7 @@ private[graft] final class VStoreScan(spark: SparkSession,
                                       required: StructType,
                                       filters: Array[Filter],
                                       agg: Option[Seq[org.apache.spark.sql.Column]],
+                                      aggGroups: Seq[String],
                                       aggSchema: Option[StructType])
   extends V1Scan {
 
@@ -196,6 +214,10 @@ private[graft] final class VStoreScan(spark: SparkSession,
     * EXECUTED plan (the outer query shows only the opaque scan).
     */
   private[graft] def innerFrame(): DataFrame = agg match {
+    case Some(aggCols) if aggGroups.nonEmpty =>
+      table.keyFrame(spark)
+        .groupBy(aggGroups.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
     case Some(aggCols) =>
       table.keyFrame(spark)
         .agg(aggCols.head, aggCols.tail: _*)

@@ -626,6 +626,26 @@ class VersionedStoreSpec extends SparkSpec {
       s"key aggregates must push into the scan:\n$aggPlan")
     assert(aggDf.as[(java.sql.Timestamp, Int, Long)].head() ==
       ((ts("2021-06-01 00:00:00"), 2022, 2L)))
+    // GROUPED pushdown on fold keys: the catalog listing
+    // `code, max(ts), count(*)` is served scan-side (group cols first
+    // in the pushed schema), with per-group count = LIVE keys (BTC's
+    // superseded version must not double-count)
+    import org.apache.spark.sql.functions.col
+    val catDf = reader.groupBy(col("code")).agg(max($"ts"), count(lit(1)))
+    val catPlan = catDf.queryExecution.optimizedPlan.toString
+    assert(catPlan.contains("max_ts") && catPlan.contains("cnt"),
+      s"fold-key GROUP BY aggregates must push into the scan:\n$catPlan")
+    assert(catDf.as[(String, java.sql.Timestamp, Long)].collect().toSet ==
+      Set(("BTC", ts("2022-01-01 10:00:00"), 1L),
+        ("ETH", ts("2021-06-01 00:00:00"), 1L)))
+    // a CONTENT group key does not push: open is fold-replaced, so
+    // grouping by it must run the fold (and sees winner 20.0, not 1.0)
+    val byContent = reader.groupBy(col("open")).agg(count(lit(1)))
+    val byContentPlan = byContent.queryExecution.optimizedPlan.toString
+    assert(!byContentPlan.contains("cnt"),
+      s"content-key grouping must stay above the scan:\n$byContentPlan")
+    assert(byContent.as[(Double, Long)].collect().toSet ==
+      Set((20.0, 1L), (5.0, 1L)))
     // a content aggregate does NOT push (its min/max does not commute
     // with last-wins): the outer Aggregate stays above the relation and
     // the fold inside the scan serves WINNERS (20.0, not raw max 20.0
