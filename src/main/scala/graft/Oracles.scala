@@ -743,6 +743,17 @@ object Oracles {
            round(max(i / (nn - i)), 4) AS max_jaccard
          FROM jj WHERE i / (nn - i) >= 0.3
          GROUP BY 1""",
+    // q9F: the cross-corpus near-dup join == the union banding's pair
+    // set restricted to opposite-parity pairs (band keys are
+    // deterministic per doc, so cross-side band matches are exactly
+    // the union's mixed pairs), with the even id as history.
+    "q9F_cross_corpus_neardup" ->
+      s"""WITH ${minhashPairsCtes()}
+         SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS hist_id,
+           CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS new_id,
+           round(i / (nn - i), 4) AS jaccard
+         FROM jj
+         WHERE i / (nn - i) >= 0.3 AND (id_a % 2) <> (id_b % 2)""",
     // q9E: the streamed drift monitor's per-batch JSD == the
     // sequential fold over the same doc_id % 3 micro-batch split:
     // batch k's hashed-unigram histogram vs the summed histograms of

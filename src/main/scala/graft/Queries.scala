@@ -1166,6 +1166,18 @@ object Queries {
         .select(col("batch_id"), col("n_docs"), col("n_grams"),
           col("js_div"), col("alarm"))
     }),
+    // Cross-corpus near-dup join (the "is today's crawl already in the
+    // corpus?" batch operator): incoming docs (odd ids) paired with
+    // their verified near-dups among history docs (even ids). History
+    // contributes one slim band table and never shuffles; the oracle is
+    // the union banding's pair set restricted to opposite-parity pairs.
+    "q9F_cross_corpus_neardup" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.crossCorpusNearDupPairs(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", threshold = 0.3)
+    }),
     // Greedy sequence packing (pretraining batch construction): docs
     // bucketed by id % 8, each bucket packed in id order into
     // 120-token bins. The assignment is deterministic and

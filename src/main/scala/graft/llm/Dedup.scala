@@ -555,6 +555,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), Portable.round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-corpus near-dup join: every `incoming` document paired with
+    * its verified near-dups in `history` — the "is today's crawl
+    * already in the corpus?" batch operator (the streaming sibling is
+    * [[graft.streaming.Ingest.nearDupIngestWriter]]; within-corpus
+    * pairs are [[minhashNearDupPairs]]'s job, not this one's).
+    *
+    * Scale shape: the HISTORY side contributes exactly one slim
+    * (band, id) table — one tokenize+shingle+signature pass, no
+    * history self-pairing, and at an established corpus this table is
+    * precisely the per-batch `bands/` state the streaming ingest
+    * already persists, so a deployment joins against the stored bands
+    * without touching history text. The incoming side (a crawl DAY vs
+    * a corpus HISTORY — orders of magnitude smaller) is BROADCAST into
+    * the band join, so history never shuffles. Exact-Jaccard verify
+    * recomputes shingles for CANDIDATE docs only, history side via a
+    * broadcast semi-join of candidate ids.
+    *
+    * @return (hist_id, new_id, jaccard) — verified pairs at
+    *         `jaccard >= threshold`, round-4.
+    */
+  def crossCorpusNearDupPairs(incoming: DataFrame, history: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleN: Int = 3, k: Int = 32,
+                              bands: Int = 8,
+                              threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must split evenly into bands=$bands (rows = k / bands)")
+    val rows = k / bands
+    def banded(df: DataFrame): DataFrame = df
+      .select(col(idCol).cast("long").as("id"),
+        shinglesUdf(shingleN)(tokens(col(textCol))).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), explode(lshBandKeys(
+        minhashSignatureUdf(k)(col("sh")), bands, rows)).as("band"))
+    val cand = banded(history).select(col("band"), col("id").as("hist_id"))
+      .join(broadcast(banded(incoming)
+        .select(col("band"), col("id").as("new_id"))), Seq("band"))
+      .select(col("hist_id"), col("new_id")).distinct()
+      .localCheckpoint() // candidates are small; feeds three subtrees
+    def candShingles(df: DataFrame, side: String): DataFrame = df
+      .select(col(idCol).cast("long").as(side), col(textCol).as("_text"))
+      .join(broadcast(cand.select(col(side)).distinct()), Seq(side), "left_semi")
+      .select(col(side),
+        shinglesUdf(shingleN)(tokens(col("_text"))).as(s"sh_$side"))
+    cand
+      .join(candShingles(history, "hist_id"), Seq("hist_id"))
+      .join(candShingles(incoming, "new_id"), Seq("new_id"))
+      .withColumn("jaccard", jaccard(col("sh_hist_id"), col("sh_new_id")))
+      .where(col("jaccard") >= threshold)
+      .select(col("hist_id"), col("new_id"),
+        Portable.round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** 32-bit SimHash over token hashes: bit j of the fingerprint is 1 iff
     * the sum over tokens of ±1 votes (sign of bit j of the token hash)
     * is positive. Pure expression, no shuffle.

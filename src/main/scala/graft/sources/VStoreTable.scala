@@ -160,6 +160,10 @@ private[graft] final class VStoreScanBuilder(spark: SparkSession,
     val groupNames = aggregation.groupByExpressions.toSeq.map(singleName)
     if (groupNames.exists(n => n.isEmpty || !foldKeys(n.get))) return None
     val groups = groupNames.flatten
+    // an aggregate-free grouping (Spark prunes the agg list when only
+    // group existence is consumed, e.g. a count() on top) is DISTINCT
+    // over the group keys — valid with groups, meaningless without
+    if (aggregation.aggregateExpressions.isEmpty && groups.isEmpty) return None
     val keyTuple = struct(
       (graft.model.Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
     val translated = aggregation.aggregateExpressions.toSeq.map {
@@ -214,6 +218,9 @@ private[graft] final class VStoreScan(spark: SparkSession,
     * EXECUTED plan (the outer query shows only the opaque scan).
     */
   private[graft] def innerFrame(): DataFrame = agg match {
+    case Some(aggCols) if aggCols.isEmpty =>
+      // aggregate-free grouping: distinct live group-key tuples
+      table.keyFrame(spark).select(aggGroups.map(col): _*).distinct()
     case Some(aggCols) if aggGroups.nonEmpty =>
       table.keyFrame(spark)
         .groupBy(aggGroups.map(col): _*)

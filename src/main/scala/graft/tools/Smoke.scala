@@ -325,6 +325,18 @@ object Smoke {
     check("journal checkpoint rolls up and stays exact",
       ck == vst.latestTxId && vst.txLog().count() == 2 && vst.scan().count() == 4)
 
+    // --- Round-8 additions: cross-corpus dedup, grouped pushdown ---
+    val xPairs = Dedup.crossCorpusNearDupPairs(
+      docs.where($"doc_id" % 2 === 1), docs.where($"doc_id" % 2 === 0),
+      "doc_id", "text", threshold = 0.3)
+    check("crossCorpusNearDupPairs emits only opposite-parity pairs",
+      xPairs.where($"hist_id" % 2 =!= 0 || $"new_id" % 2 =!= 1).count() == 0)
+    val catalog = spark.read.format("graft-vstore").load(vst.path)
+      .groupBy($"code").agg(max($"ts").as("mx"), count(lit(1)).as("n"))
+    check("vstore grouped pushdown serves the catalog listing",
+      catalog.queryExecution.optimizedPlan.toString.contains("max_ts") &&
+        catalog.count() >= 1)
+
     println(if (failures == 0) "[smoke] ALL OK" else s"[smoke] $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -975,4 +975,32 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(sel == Set(1L, 2L), s"top-2 selection must be the on-target docs, got $sel")
   }
+
+  test("crossCorpusNearDupPairs: cross pairs only, within-side near-dups " +
+      "stay silent, incoming side broadcast") {
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val base = (0 until 30).map(j => s"w$j")
+    val novel = (0 until 30).map(j => s"v$j")
+    val history = Seq(doc(2L, base), doc(4L, (50 until 80).map(j => s"x$j")))
+      .toDF("doc_id", "text")
+    // doc 1 near-dups history doc 2; docs 3/5 near-dup EACH OTHER but
+    // share nothing with history — a within-incoming pair the cross
+    // operator must not emit
+    val incoming = Seq(doc(1L, base.updated(15, "EDIT")),
+      doc(3L, novel), doc(5L, novel.updated(10, "EDIT"))).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDupPairs(incoming, history,
+      "doc_id", "text")
+    val pairs = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((2L, 1L)),
+      s"expected exactly the planted cross pair, got ${pairs.toSeq}")
+    // the jaccard is the exact verified one (28-shingle docs, one edit
+    // kills 3 shingles: J = 25/31)
+    assert(math.abs(pairs.head._3 - 25.0 / 31.0) < 1e-3, pairs.head.toString)
+    // the incoming band table broadcasts — history must never shuffle
+    // through the candidate join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"incoming bands must broadcast into the history band scan:\n$plan")
+  }
 }

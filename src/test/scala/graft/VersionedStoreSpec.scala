@@ -638,6 +638,9 @@ class VersionedStoreSpec extends SparkSpec {
     assert(catDf.as[(String, java.sql.Timestamp, Long)].collect().toSet ==
       Set(("BTC", ts("2022-01-01 10:00:00"), 1L),
         ("ETH", ts("2021-06-01 00:00:00"), 1L)))
+    // aggregate-free grouping (an outer count() prunes the agg list):
+    // the scan serves DISTINCT live group keys
+    assert(reader.groupBy(col("code")).agg(max($"ts")).count() == 2L)
     // a CONTENT group key does not push: open is fold-replaced, so
     // grouping by it must run the fold (and sees winner 20.0, not 1.0)
     val byContent = reader.groupBy(col("open")).agg(count(lit(1)))
