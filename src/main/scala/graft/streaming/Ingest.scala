@@ -173,11 +173,17 @@ object Ingest {
                                   idCol: String = "doc_id",
                                   textCol: String = "text",
                                   shingleN: Int = 5,
-                                  fpp: Double = 0.001): DataStreamWriter[Row] =
+                                  fpp: Double = 0.001,
+                                  compactEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // compact BEFORE the batch (upTo = batchId is strictly earlier
+        // even for a retry of this very batch), so history listing and
+        // small-file count stay O(compactEvery) on a long-lived stream
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactDecontaminationState(batch.sparkSession, stateDir, batchId)
         curateBatch(batch, batchId, stateDir, idCol, textCol, shingleN, fpp)
       }
 
@@ -193,15 +199,8 @@ object Ingest {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir),
       spark.sparkContext.hadoopConfiguration)
-    val gramsRoot = new org.apache.hadoop.fs.Path(s"$stateDir/grams")
     // strictly-earlier batches only: a retry must not see its own state
-    val histDirs =
-      if (!fs.exists(gramsRoot)) Seq.empty[String]
-      else fs.listStatus(gramsRoot).toSeq
-        .map(_.getPath)
-        .filter(p => p.getName.startsWith("batch_") &&
-          p.getName.stripPrefix("batch_").toLongOption.exists(_ < batchId))
-        .map(_.toString)
+    val histDirs = historyDirs(fs, stateDir, "grams", batchId)
     val b = batch.localCheckpoint() // read by flag + anti-join + gram dump
     val flagged =
       if (histDirs.isEmpty)
@@ -278,11 +277,14 @@ object Ingest {
                           textCol: String = "text",
                           shingleN: Int = 3, k: Int = 32,
                           bands: Int = 8,
-                          threshold: Double = 0.5): DataStreamWriter[Row] =
+                          threshold: Double = 0.5,
+                          compactEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactNearDupState(batch.sparkSession, stateDir, batchId)
         nearDupBatch(batch, batchId, stateDir, idCol, textCol, shingleN,
           k, bands, threshold)
       }
@@ -303,14 +305,8 @@ object Ingest {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     // strictly-earlier batches only: a retry must not see its own state
-    def earlier(sub: String): Seq[String] = {
-      val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("batch_") &&
-          p.getName.stripPrefix("batch_").toLongOption.exists(_ < batchId))
-        .map(_.toString)
-    }
+    def earlier(sub: String): Seq[String] =
+      historyDirs(fs, stateDir, sub, batchId)
     val b = batch.localCheckpoint() // read by state dump + flags anti-join
     // ONE tokenize+shingle pass for the batch; reused by banding + verify
     val docs = b.select(col(idCol).cast("long").as("id"),
@@ -409,11 +405,14 @@ object Ingest {
                                checkpointDir: String,
                                textCol: String = "text",
                                nBuckets: Long = 256L,
-                               alarmAt: Double = 0.1): DataStreamWriter[Row] =
+                               alarmAt: Double = 0.1,
+                               compactEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactDriftState(batch.sparkSession, stateDir, batchId)
         driftBatch(batch, batchId, stateDir, textCol, nBuckets, alarmAt)
       }
 
@@ -429,13 +428,7 @@ object Ingest {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     // strictly-earlier batches only: a retry must not see its own state
-    val histRoot = new org.apache.hadoop.fs.Path(s"$stateDir/hist")
-    val histDirs =
-      if (!fs.exists(histRoot)) Seq.empty[String]
-      else fs.listStatus(histRoot).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("batch_") &&
-          p.getName.stripPrefix("batch_").toLongOption.exists(_ < batchId))
-        .map(_.toString)
+    val histDirs = historyDirs(fs, stateDir, "hist", batchId)
     val b = batch.localCheckpoint() // read by histogram + doc count
     val hist = b
       .select(explode(graft.llm.TextStats.tokens(col(textCol))).as("_w"))
@@ -486,6 +479,106 @@ object Ingest {
                               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     driftMonitorIngestWriter(stream, stateDir, checkpointDir, textCol,
       nBuckets, alarmAt).trigger(trigger).start()
+
+  // ------------- curation-state compaction (WAL-rotate analog) ------- //
+
+  /** History inputs for micro-batch `batchId` of a curation stream:
+    * the newest `_SUCCESS`-complete `compact_upto_<k>` generation with
+    * `k <= batchId` (it holds batches `[0, k)` merged — strictly
+    * earlier even for a retry of batch `k` itself) plus the per-batch
+    * dirs `[k, batchId)` above the floor. Torn compactions (no
+    * `_SUCCESS`) and stale batch dirs below an adopted floor are
+    * ignored, so a crash at ANY point of [[compactCurationState]]
+    * leaves every reader exact.
+    */
+  private def historyDirs(fs: org.apache.hadoop.fs.FileSystem,
+                          stateDir: String, sub: String,
+                          batchId: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+    if (!fs.exists(root)) return Seq.empty
+    val entries = fs.listStatus(root).toSeq.map(_.getPath)
+    val compacts = entries
+      .filter(_.getName.startsWith("compact_upto_"))
+      .flatMap { p =>
+        p.getName.stripPrefix("compact_upto_").toLongOption
+          .filter(k => k <= batchId &&
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          .map(k => (k, p.toString))
+      }
+    val (floor, compactDir) = compacts
+      .maxByOption(_._1).map { case (k, p) => (k, Seq(p)) }
+      .getOrElse((0L, Seq.empty[String]))
+    compactDir ++ entries
+      .filter(p => p.getName.startsWith("batch_") &&
+        p.getName.stripPrefix("batch_").toLongOption
+          .exists(j => j >= floor && j < batchId))
+      .map(_.toString)
+  }
+
+  /** Compact one state substream's batches `[0, upTo)` into a single
+    * `compact_upto_<upTo>` generation — the streaming-curation analog
+    * of the store's journal rollup (reference precedent: WAL rotate +
+    * group flush, `wal/wal.go:81-135`): without it, a long-lived
+    * ingest's history listing and small-file count grow per batch
+    * forever; with it they are O(compaction interval).
+    *
+    * Crash-atomic: the merged generation is written first (readers
+    * accept it only once its `_SUCCESS` lands); superseded inputs are
+    * GC'd after, best-effort — a crash anywhere leaves either the old
+    * floor or the new one fully readable, never a mix. Idempotent: an
+    * existing complete generation at `upTo` makes the call a no-op, so
+    * a foreachBatch retry that re-triggers compaction converges.
+    * Single-writer (call from the ingest writer or between batches) —
+    * the per-batch state writes themselves never touch compacted dirs.
+    */
+  private[graft] def compactCurationState(spark: org.apache.spark.sql.SparkSession,
+                                          stateDir: String, sub: String,
+                                          upTo: Long,
+                                          merge: DataFrame => DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(
+      s"$stateDir/$sub/compact_upto_$upTo")
+    if (fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) return
+    val inputs = historyDirs(fs, stateDir, sub, upTo)
+    if (inputs.isEmpty) return
+    merge(spark.read.parquet(inputs: _*))
+      .write.mode("overwrite").parquet(target.toString)
+    // GC superseded inputs — best-effort: readers already ignore them
+    inputs.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    ()
+  }
+
+  /** Compact the decontaminating ingest's gram state up to (excluding)
+    * batch `upTo`: the merged generation is the DISTINCT union of the
+    * per-batch gram tables — byte-equivalent history for the bloom
+    * build and the exact verify.
+    */
+  def compactDecontaminationState(spark: org.apache.spark.sql.SparkSession,
+                                  stateDir: String, upTo: Long): Unit =
+    compactCurationState(spark, stateDir, "grams", upTo, _.distinct())
+
+  /** Compact the near-dup ingest's band + text state up to (excluding)
+    * batch `upTo`. Bands merge by distinct (ids are batch-unique, so
+    * this is a pure small-file rewrite); the verify-side text table
+    * concatenates unchanged.
+    */
+  def compactNearDupState(spark: org.apache.spark.sql.SparkSession,
+                          stateDir: String, upTo: Long): Unit = {
+    compactCurationState(spark, stateDir, "bands", upTo, _.distinct())
+    compactCurationState(spark, stateDir, "all", upTo, identity)
+  }
+
+  /** Compact the drift monitor's histogram state up to (excluding)
+    * batch `upTo`: per-batch histograms SUM into one nBuckets-row
+    * table — the reader re-sums, so the fold is associative and the
+    * compacted history is value-identical.
+    */
+  def compactDriftState(spark: org.apache.spark.sql.SparkSession,
+                        stateDir: String, upTo: Long): Unit =
+    compactCurationState(spark, stateDir, "hist", upTo,
+      _.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt")))
 
   /** Streaming session windows: events sessionized by inactivity gap,
     * per user (SURVEY.md §2.3 extension row; batch analog is

@@ -233,9 +233,14 @@ class StreamingSpec extends SparkSpec {
     }
     def round4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
     val stream = MemoryStream[(Long, String)]
-    val query = Ingest.startDriftMonitorIngest(
+    // compactEvery = 1: every batch folds all earlier history into one
+    // generation first — the differential below then ALSO proves the
+    // auto-compaction path exact at every boundary
+    val query = Ingest.driftMonitorIngestWriter(
       stream.toDF().toDF("doc_id", "text"), stateDir, ckpt,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      compactEvery = 1)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
     var history = Map.empty[Long, Long]
     val expected = scala.collection.mutable.Map.empty[Long, (Long, Long, Double, Boolean)]
     for ((b, i) <- Seq(b1, b2, b3).zipWithIndex) {
@@ -269,6 +274,91 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Double, Boolean)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(afterRetry(2L) == ((expected(2L)._3, true)))
+  }
+
+  test("curation-state compaction: drift history folds to one generation, " +
+      "reports stay exact; torn compaction ignored; retry converges") {
+    import org.apache.spark.sql.functions.col
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val batches = Seq(
+      Seq(doc(1L, Seq.fill(12)("alpha") ++ Seq.fill(6)("beta"))),
+      Seq(doc(2L, Seq.fill(8)("beta") ++ Seq.fill(8)("gamma"))),
+      Seq(doc(3L, Seq.fill(10)("alpha") ++ Seq.fill(5)("delta"))),
+      Seq(doc(4L, (0 until 20).map(j => s"new$j"))))
+    val plain = tmpDir("drift-plain")
+    val compacted = tmpDir("drift-compact")
+    def reports(dir: String) = spark.read.parquet(s"$dir/drift/batch_*")
+      .select("batch_id", "n_docs", "n_grams", "js_div", "alarm")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    for ((b, i) <- batches.zipWithIndex) {
+      val bdf = b.toDF("doc_id", "text")
+      Ingest.driftBatch(bdf, i.toLong, plain, "text", 256L, 0.1)
+      // compact B's history right before batch 2 — batches [0, 2) fold
+      if (i == 2) Ingest.compactDriftState(spark, compacted, 2L)
+      // …and plant a TORN compaction (no _SUCCESS) with garbage
+      // content right before batch 3 — readers must ignore it
+      if (i == 3) {
+        Seq((0L, 999999L)).toDF("bucket", "cnt").write
+          .parquet(s"$compacted/hist/compact_upto_3")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(compacted),
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$compacted/hist/compact_upto_3/_SUCCESS"), false)
+      }
+      Ingest.driftBatch(bdf, i.toLong, compacted, "text", 256L, 0.1)
+      assert(reports(compacted) == reports(plain),
+        s"compaction changed the drift fold at batch $i")
+    }
+    // the generation adopted: merged dirs are GC'd, the floor file set
+    // is O(1) regardless of batch count
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(compacted), spark.sparkContext.hadoopConfiguration)
+    val histNames = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$compacted/hist"))
+      .map(_.getPath.getName).toSet
+    assert(histNames.contains("compact_upto_2"), histNames.toString)
+    assert(!histNames.contains("batch_0") && !histNames.contains("batch_1"),
+      s"merged batch dirs must be GC'd: $histNames")
+    // a retry of the compaction call is a no-op; a retry of the last
+    // batch reads through the generation and converges
+    Ingest.compactDriftState(spark, compacted, 2L)
+    Ingest.driftBatch(batches(3).toDF("doc_id", "text"), 3L, compacted,
+      "text", 256L, 0.1)
+    assert(reports(compacted) == reports(plain))
+  }
+
+  test("curation-state compaction: decon grams and near-dup bands match " +
+      "across a compaction boundary") {
+    import org.apache.spark.sql.functions.col
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val base = (0 until 30).map(j => s"w$j")
+    // --- decon: batch 2's contamination source lives BELOW the floor
+    val dState = tmpDir("decon-compact")
+    Ingest.curateBatch(Seq(doc(1L, base)).toDF("doc_id", "text"), 0L,
+      dState, "doc_id", "text", 3, 0.001)
+    Ingest.curateBatch(Seq(doc(2L, (40 until 70).map(j => s"x$j")))
+      .toDF("doc_id", "text"), 1L, dState, "doc_id", "text", 3, 0.001)
+    Ingest.compactDecontaminationState(spark, dState, 2L)
+    Ingest.curateBatch(Seq(doc(3L, Seq("z1") ++ base.take(3) ++ Seq("z2")),
+      doc(4L, (80 until 110).map(j => s"y$j"))).toDF("doc_id", "text"), 2L,
+      dState, "doc_id", "text", 3, 0.001)
+    val quarantined = spark.read.parquet(s"$dState/quarantine/batch_*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(quarantined == Set(3L),
+      s"gram match through the compacted generation lost: $quarantined")
+    // --- near-dup: the flagged pair crosses the compaction boundary
+    val nState = tmpDir("neardup-compact")
+    Ingest.nearDupBatch(Seq(doc(1L, base),
+      doc(2L, (40 until 70).map(j => s"x$j"))).toDF("doc_id", "text"), 0L,
+      nState, "doc_id", "text", 3, 32, 8, 0.5)
+    Ingest.compactNearDupState(spark, nState, 1L)
+    Ingest.nearDupBatch(Seq(doc(3L, base.updated(15, "EDIT")))
+      .toDF("doc_id", "text"), 1L, nState, "doc_id", "text", 3, 32, 8, 0.5)
+    val flags = spark.read.parquet(s"$nState/flags/batch_*")
+      .select("doc_id", "n_pairs").as[(Long, Long)].collect().toMap
+    assert(flags == Map(3L -> 1L),
+      s"band match through the compacted generation lost: $flags")
   }
 
   test("stream-static enrichment join == batch join, static side broadcast") {
