@@ -158,6 +158,41 @@ object CurationScaleCheck {
         perStratum.forall(r => math.abs(r.getLong(1) - 0.1 * stratumN) <= band),
       perStratum.map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
 
+    // --- streaming drift-state compaction over a long-lived ingest ---
+    // 24 micro-batches, compaction every 8: the compacted state must
+    // produce bit-identical drift reports while its history listing
+    // stays O(interval) where the plain state's grows per batch forever
+    val nb = 24
+    val driftDocs = docs.where(col("doc_id") < 24000).localCheckpoint()
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("curscale-drift-plain").toString
+    val compDir = java.nio.file.Files
+      .createTempDirectory("curscale-drift-comp").toString
+    timed(s"driftBatch x$nb (+compact/8)") {
+      (0 until nb).foreach { i =>
+        val bdf = driftDocs.where(col("doc_id") % nb === i)
+          .select(col("doc_id"), col("text"))
+        graft.streaming.Ingest.driftBatch(bdf, i.toLong, plainDir,
+          "text", 256L, 0.1)
+        if (i > 0 && i % 8 == 0)
+          graft.streaming.Ingest.compactDriftState(spark, compDir, i.toLong)
+        graft.streaming.Ingest.driftBatch(bdf, i.toLong, compDir,
+          "text", 256L, 0.1)
+      }
+    }
+    def driftReports(dir: String) = spark.read.parquet(s"$dir/drift/batch_*")
+      .select(col("batch_id"), col("n_grams"), col("js_div"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    check("compacted drift reports identical",
+      driftReports(compDir) == driftReports(plainDir))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(compDir), spark.sparkContext.hadoopConfiguration)
+    val histEntries = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$compDir/hist")).length
+    check("compacted hist listing O(interval)", histEntries <= 10,
+      s"$histEntries dirs vs $nb uncompacted")
+
     println(s"[curscale] ${if (failures == 0) "ALL OK" else s"$failures FAILURES"} (n=$n)")
     if (failures > 0) sys.exit(1)
   }
