@@ -743,6 +743,21 @@ object Oracles {
            round(max(i / (nn - i)), 4) AS max_jaccard
          FROM jj WHERE i / (nn - i) >= 0.3
          GROUP BY 1""",
+    // q9G: Zipf slope per source — identical ranking (count desc, word
+    // asc) and the same covar_pop/var_pop least-squares in both
+    // engines (DuckDB regr_slope is population-moment based).
+    "q9G_zipf_fit" ->
+      s"""WITH wc AS (SELECT source, w, count(*) AS cnt
+           FROM (SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS w
+                 FROM documents)
+           GROUP BY 1, 2),
+         rk AS (SELECT source, cnt,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY cnt DESC, w ASC) AS r
+                FROM wc)
+         SELECT source, count(*) AS n_ranks,
+           round(regr_slope(ln(cnt::DOUBLE), ln(r::DOUBLE)), 4) AS slope
+         FROM rk WHERE r <= 200 GROUP BY 1""",
     // q9F: the cross-corpus near-dup join == the union banding's pair
     // set restricted to opposite-parity pairs (band keys are
     // deterministic per doc, so cross-side band matches are exactly

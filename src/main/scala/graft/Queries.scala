@@ -1166,6 +1166,25 @@ object Queries {
         .select(col("batch_id"), col("n_docs"), col("n_grams"),
           col("js_div"), col("alarm"))
     }),
+    // Zipf fit per source (corpus-health diagnostic): least-squares
+    // slope of ln(freq) on ln(rank) over each source's top-200 words —
+    // natural text reads ≈ -1; template/boilerplate sources flatten.
+    // Ranking ties break on the word so both engines rank identically.
+    "q9G_zipf_fit" -> ((s, d) => {
+      val ranked = T.documents(s, d)
+        .select(col("source"), explode(TextStats.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("cnt").desc, col("w").asc)))
+        .where(col("r") <= 200)
+        .select(col("source"), log(col("r").cast("double")).as("lr"),
+          log(col("cnt").cast("double")).as("lf"))
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_ranks"),
+          Portable.round(covar_pop(col("lr"), col("lf")) / var_pop(col("lr")), 4)
+            .as("slope"))
+    }),
     // Cross-corpus near-dup join (the "is today's crawl already in the
     // corpus?" batch operator): incoming docs (odd ids) paired with
     // their verified near-dups among history docs (even ids). History
