@@ -530,6 +530,13 @@ object Ingest {
     * a foreachBatch retry that re-triggers compaction converges.
     * Single-writer (call from the ingest writer or between batches) —
     * the per-batch state writes themselves never touch compacted dirs.
+    *
+    * Ordering constraint: never compact past the stream's CURRENT
+    * batch (the `compactEvery` wiring uses `upTo = batchId` of the
+    * in-flight batch). Streaming offsets are monotonic — a retry only
+    * ever targets the current batch — so every floor a reader can
+    * need satisfies `k <= batchId` and is still on disk; compacting
+    * ahead of the offset log would break that guarantee.
     */
   private[graft] def compactCurationState(spark: org.apache.spark.sql.SparkSession,
                                           stateDir: String, sub: String,

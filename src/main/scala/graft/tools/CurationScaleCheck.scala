@@ -139,6 +139,27 @@ object CurationScaleCheck {
     check("sample skews heavy", sampled > corpusMean,
       f"sampleMean=$sampled%.1f corpusMean=$corpusMean%.1f")
 
+    // --- cross-corpus near-dup join at scale: the crawl-vs-corpus
+    // shape, hard case planted — every family's MID-EDIT copy
+    // (variant 2, pair J ≈ 0.8 on 30-token docs) goes to INCOMING,
+    // base + append-copy stay in HISTORY; at the declared bands=16
+    // operating point every incoming copy must find its family and
+    // nothing may match across families
+    val incoming = docs.where(col("doc_id") % 100 === 2)
+    val history = docs.where(col("doc_id") % 100 =!= 2)
+    val xp = timed("crossCorpusNearDup (bands=16)") {
+      val p = Dedup.crossCorpusNearDupPairs(incoming, history,
+        "doc_id", "text", bands = 16, threshold = 0.5).localCheckpoint()
+      p.count(); p
+    }
+    val matchedIncoming = xp.select(col("new_id")).distinct().count()
+    val famMismatch = xp.where(col("hist_id") - col("hist_id") % 100 =!=
+      col("new_id") - col("new_id") % 100).count()
+    check("all planted incoming copies matched", matchedIncoming == n / 100,
+      s"$matchedIncoming of ${n / 100} families found")
+    check("cross pairs stay family-internal", famMismatch == 0,
+      s"$famMismatch stray pairs")
+
     // --- approx quantile gate on a HIGH-CARDINALITY stratum ---
     // value = doc_id is unique per row (the unbounded-cardinality
     // regime exact percentile cannot afford at 100 TB strata): the
