@@ -683,6 +683,20 @@ object Oracles {
          FROM c
          WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
                                          WHEN 'src1' THEN 0 ELSE 700 END""",
+    "q9H_stream_quota" ->
+      s"""WITH t AS (SELECT doc_id, source, len($WS)::INT AS n_tokens,
+           doc_id % 3 AS b,
+           ${pHash("doc_id::VARCHAR || '|budget'")} % 10000 AS hv
+         FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+                 (sum(n_tokens::BIGINT) OVER (PARTITION BY source
+                   ORDER BY b, hv, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+               FROM t)
+         SELECT doc_id, source, n_tokens, cum_tokens
+         FROM c
+         WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
+                                         WHEN 'src1' THEN 0 ELSE 700 END""",
     "q71_dup_spans" ->
       s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),
          sp AS (SELECT doc_id,

@@ -1166,6 +1166,18 @@ object Queries {
         .select(col("batch_id"), col("n_docs"), col("n_grams"),
           col("js_div"), col("alarm"))
     }),
+    // Stateful per-source token-budget enforcement at ingest (round 8):
+    // q81's budget table applied as a RUNNING quota across 3 mtime-
+    // pinned doc_id % 3 micro-batches — a source closes the moment its
+    // all-seen token total passes its budget, and stays closed in every
+    // later batch. The oracle replays the same sequential fold in SQL
+    // (cum over (batch, hash, id) per source).
+    "q9H_stream_quota" -> ((s, d) => {
+      val state = streamedQuotaState(s, d)
+      s.read.parquet(s"$state/docs/batch_*")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens").cast("bigint").as("cum_tokens"))
+    }),
     // Zipf fit per source (corpus-health diagnostic): least-squares
     // slope of ln(freq) on ln(rank) over each source's top-200 words —
     // natural text reads ≈ -1; template/boilerplate sources flatten.
@@ -1293,6 +1305,53 @@ object Queries {
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 3,
         s"streamed drift monitor must see 3 micro-batches, saw $batches")
+      stateDir
+    })
+
+  private val quotaCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streamed quota-ingest fixture: documents sliced into 3
+    * micro-batches by `doc_id % 3` (mtime-pinned file order), each
+    * batch admitted against the running per-source token totals by
+    * [[graft.streaming.Ingest.startQuotaIngest]] under q81's budget
+    * table. Returns the state dir (docs/dropped/totals per batch).
+    */
+  private def streamedQuotaState(s: SparkSession, d: String): String =
+    quotaCache.getOrElseUpdate(d, {
+      val base = Files.createTempDirectory("graft-qquota").toString
+      val srcDir = s"$base/src"
+      val fs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val docs = T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      val staging = s"$base/staging"
+      docs.withColumn("_slice", (col("doc_id") % 3).cast("int"))
+        .repartition(col("_slice"))
+        .write.partitionBy("_slice").parquet(staging)
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+        val part = fs.listStatus(sliceDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+          case Array(one) => one
+          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+        }
+        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")).cast("int"))
+        .drop("text")
+      val stateDir = s"$base/state"
+      val q = graft.streaming.Ingest.startQuotaIngest(
+        stream, stateDir, s"$base/ckpt",
+        budgets = Map("src0" -> 300L, "src1" -> 0L), defaultBudget = 700L)
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"streamed quota ingest must see 3 micro-batches, saw $batches")
       stateDir
     })
 

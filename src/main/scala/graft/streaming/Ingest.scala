@@ -480,6 +480,115 @@ object Ingest {
     driftMonitorIngestWriter(stream, stateDir, checkpointDir, textCol,
       nBuckets, alarmAt).trigger(trigger).start()
 
+  /** STATEFUL per-source token-budget enforcement at ingest: each
+    * source admits documents in arrival order (micro-batch, then the
+    * batch operator's hash order within the batch) while the source's
+    * RUNNING token total — across every batch ever seen — stays within
+    * its budget. The streaming form of
+    * [[graft.llm.Sampling.tokenBudget]] with the same "kept iff the
+    * cumulative total still fits" predicate: the cum counts ALL seen
+    * rows (dropped documents' tokens included), so the test is a pure
+    * monotone prefix and a single-batch stream equals the batch
+    * operator row-for-row. Mixture-target enforcement ("stop taking
+    * web after 1B tokens") evaluated in-flight instead of in a nightly
+    * re-pass.
+    *
+    * State under `stateDir` (per-batch dirs, OVERWRITE-written, read
+    * strictly-earlier — the [[curateBatch]] exactly-once discipline):
+    *  - `totals/batch_<id>/` — (key, tokens): the batch's per-source
+    *    token totals, the ONLY history (O(sources) rows per batch;
+    *    compacts by key-sum — [[compactQuotaState]]);
+    *  - `docs/batch_<id>/`    — admitted rows + global `cum_tokens`;
+    *  - `dropped/batch_<id>/` — (id, key, tokens) of the rejects.
+    *
+    * Scale posture: history-sized state is O(sources) rows per batch
+    * and rides a broadcast; the corpus-sized work is one scan of the
+    * BATCH. The within-batch running sum is a per-source window — the
+    * micro-batch is the unit of that serialization, so a batch
+    * dominated by one gigantic source should pre-chunk its trigger (or
+    * run the batch operator's distributed prefix sum offline); at
+    * streaming batch sizes the window is the right tool.
+    */
+  def quotaIngestWriter(stream: DataFrame, stateDir: String,
+                        checkpointDir: String,
+                        idCol: String = "doc_id",
+                        keyCol: String = "source",
+                        nTokensCol: String = "n_tokens",
+                        budgets: Map[String, Long] = Map.empty,
+                        defaultBudget: Long = Long.MaxValue,
+                        salt: String = "budget",
+                        compactEvery: Int = 0): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactQuotaState(batch.sparkSession, stateDir, batchId)
+        quotaBatch(batch, batchId, stateDir, idCol, keyCol, nTokensCol,
+          budgets, defaultBudget, salt)
+      }
+
+  /** One micro-batch of the quota ingest — split out so the
+    * differential spec can drive it directly.
+    */
+  private[graft] def quotaBatch(batch: DataFrame, batchId: Long,
+                                stateDir: String, idCol: String,
+                                keyCol: String, nTokensCol: String,
+                                budgets: Map[String, Long],
+                                defaultBudget: Long, salt: String): Unit = {
+    require((budgets.values.toSeq :+ defaultBudget).forall(_ >= 0),
+      "budgets must be >= 0")
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    // strictly-earlier batches only: a retry must not see its own state
+    val histDirs = historyDirs(fs, stateDir, "totals", batchId)
+    val b = batch.localCheckpoint() // read by cum pass + totals dump
+    val prior =
+      if (histDirs.isEmpty)
+        b.select(col(keyCol).as("_k")).limit(0)
+          .withColumn("_prior", lit(0L))
+      else spark.read.parquet(histDirs: _*)
+        .groupBy(col("key").as("_k")).agg(sum(col("tokens")).as("_prior"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(graft.llm.Sampling.unitHash(col(idCol), salt), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (els, (k, v)) =>
+      when(col(keyCol) === k, v).otherwise(els)
+    }
+    val cum = b
+      .withColumn("_within", sum(col(nTokensCol).cast("long")).over(w))
+      .join(broadcast(prior), col(keyCol) === col("_k"), "left")
+      .withColumn("cum_tokens",
+        col("_within") + coalesce(col("_prior"), lit(0L)))
+      .drop("_k", "_prior", "_within")
+      .localCheckpoint() // read by admitted + dropped dumps
+    cum.where(col("cum_tokens") <= budget)
+      .write.mode("overwrite").parquet(s"$stateDir/docs/batch_$batchId")
+    cum.where(col("cum_tokens") > budget)
+      .select(col(idCol), col(keyCol), col(nTokensCol))
+      .write.mode("overwrite").parquet(s"$stateDir/dropped/batch_$batchId")
+    b.groupBy(col(keyCol).as("key"))
+      .agg(sum(col(nTokensCol).cast("long")).as("tokens"))
+      .write.mode("overwrite").parquet(s"$stateDir/totals/batch_$batchId")
+    ()
+  }
+
+  def startQuotaIngest(stream: DataFrame, stateDir: String,
+                       checkpointDir: String,
+                       idCol: String = "doc_id",
+                       keyCol: String = "source",
+                       nTokensCol: String = "n_tokens",
+                       budgets: Map[String, Long] = Map.empty,
+                       defaultBudget: Long = Long.MaxValue,
+                       salt: String = "budget",
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    quotaIngestWriter(stream, stateDir, checkpointDir, idCol, keyCol,
+      nTokensCol, budgets, defaultBudget, salt).trigger(trigger).start()
+
   // ------------- curation-state compaction (WAL-rotate analog) ------- //
 
   /** History inputs for micro-batch `batchId` of a curation stream:
@@ -586,6 +695,16 @@ object Ingest {
                         stateDir: String, upTo: Long): Unit =
     compactCurationState(spark, stateDir, "hist", upTo,
       _.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt")))
+
+  /** Compact the quota ingest's per-source totals up to (excluding)
+    * batch `upTo`: per-batch (key, tokens) rows SUM into one
+    * O(sources)-row table — the reader re-sums, so the fold is
+    * associative and the compacted history is value-identical.
+    */
+  def compactQuotaState(spark: org.apache.spark.sql.SparkSession,
+                        stateDir: String, upTo: Long): Unit =
+    compactCurationState(spark, stateDir, "totals", upTo,
+      _.groupBy(col("key")).agg(sum(col("tokens")).as("tokens")))
 
   /** Streaming session windows: events sessionized by inactivity gap,
     * per user (SURVEY.md §2.3 extension row; batch analog is

@@ -276,6 +276,85 @@ class StreamingSpec extends SparkSpec {
     assert(afterRetry(2L) == ((expected(2L)._3, true)))
   }
 
+  test("stateful quota ingest: streamed per-source token budget == " +
+      "independent sequential fold at every boundary; one-batch stream == " +
+      "batch tokenBudget; retry idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = tmpDir("quota-state")
+    val ckpt = tmpDir("quota-ckpt")
+    // (doc_id, source, n_tokens): source a budget 50, b budget 25
+    val budgets = Map("a" -> 50L, "b" -> 25L)
+    val b1 = Seq((1L, "a", 15), (2L, "b", 8), (3L, "a", 20), (4L, "b", 9))
+    val b2 = Seq((5L, "a", 10), (6L, "b", 5), (7L, "a", 12)) // a crosses 50 mid-batch
+    val b3 = Seq((8L, "a", 1), (9L, "b", 2)) // a closed (cum counts dropped rows), b still open
+    // independent mirror: md5 60-bit unit hash, then the arrival-order
+    // fold — within a batch, per source, order by (hash, id); cum sums
+    // ALL seen tokens; admit iff cum <= budget
+    def uHash(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id|budget".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 10000L
+    }
+    val seen = scala.collection.mutable.Map.empty[String, Long]
+    val expAdmitted = scala.collection.mutable.Map.empty[Long, Long] // id -> cum
+    val expDropped = scala.collection.mutable.Set.empty[Long]
+    def foldBatch(b: Seq[(Long, String, Int)]): Unit =
+      b.groupBy(_._2).foreach { case (src, rows) =>
+        var cum = seen.getOrElse(src, 0L)
+        rows.sortBy(r => (uHash(r._1), r._1)).foreach { case (id, _, n) =>
+          cum += n
+          if (cum <= budgets(src)) expAdmitted(id) = cum else expDropped += id
+        }
+        seen(src) = cum
+      }
+    val stream = MemoryStream[(Long, String, Int)]
+    // compactEvery = 1: every boundary also proves the totals
+    // compaction exact under the same differential
+    val query = Ingest.quotaIngestWriter(
+      stream.toDF().toDF("doc_id", "source", "n_tokens"), stateDir, ckpt,
+      budgets = budgets, defaultBudget = 0L, compactEvery = 1)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    for ((b, i) <- Seq(b1, b2, b3).zipWithIndex) {
+      stream.addData(b: _*)
+      query.processAllAvailable()
+      foldBatch(b)
+      val admitted = spark.read.parquet(s"$stateDir/docs/batch_*")
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+      val dropped = spark.read.parquet(s"$stateDir/dropped/batch_*")
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == expAdmitted.toMap,
+        s"admitted diverged at batch $i: $admitted vs $expAdmitted")
+      assert(dropped == expDropped.toSet,
+        s"dropped diverged at batch $i: $dropped vs $expDropped")
+    }
+    query.stop()
+    // the planted structure: a closed by batch 2's overflow and stays
+    // closed for a 1-token doc; b admits to the end
+    assert(expDropped.contains(7L) || expDropped.contains(5L))
+    assert(expDropped.contains(8L) && expAdmitted.contains(9L))
+    // retry idempotence: re-running the LAST batch over existing state
+    // converges (overwrite + strictly-earlier history reads)
+    Ingest.quotaBatch(b3.toDF("doc_id", "source", "n_tokens"), 2L,
+      stateDir, "doc_id", "source", "n_tokens", budgets, 0L, "budget")
+    val afterRetry = spark.read.parquet(s"$stateDir/docs/batch_*")
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(afterRetry == expAdmitted.toMap)
+    // one-batch stream == the batch operator (same hash order, no
+    // history): the parity anchor to Sampling.tokenBudget
+    val oneDir = tmpDir("quota-one")
+    val all = b1 ++ b2 ++ b3
+    Ingest.quotaBatch(all.toDF("doc_id", "source", "n_tokens"), 0L,
+      oneDir, "doc_id", "source", "n_tokens", budgets, 0L, "budget")
+    val oneShot = spark.read.parquet(s"$oneDir/docs/batch_0")
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    val batchOp = graft.llm.Sampling.tokenBudget(
+      all.toDF("doc_id", "source", "n_tokens"), "doc_id", "source",
+      "n_tokens", budgets, defaultBudget = 0L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(oneShot == batchOp && batchOp.nonEmpty)
+  }
+
   test("curation-state compaction: drift history folds to one generation, " +
       "reports stay exact; torn compaction ignored; retry converges") {
     import org.apache.spark.sql.functions.col
