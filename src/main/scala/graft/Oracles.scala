@@ -683,6 +683,15 @@ object Oracles {
          FROM c
          WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
                                          WHEN 'src1' THEN 0 ELSE 700 END""",
+    // q9I: catalog-name SQL VERSION AS OF 2 == q7E's as-of state.
+    "q9I_vstore_catalog_sql" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 = 1")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 2")}),
+         u AS (SELECT *, 1 AS src FROM b UNION ALL SELECT *, 0 AS src FROM a),
+         r AS (SELECT *, row_number() OVER (PARTITION BY code, ts ORDER BY src DESC) AS rn FROM u)
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume
+         FROM r WHERE rn = 1""",
     "q9H_stream_quota" ->
       s"""WITH t AS (SELECT doc_id, source, len($WS)::INT AS n_tokens,
            doc_id % 3 AS b,

@@ -1166,6 +1166,24 @@ object Queries {
         .select(col("batch_id"), col("n_docs"), col("n_grams"),
           col("js_div"), col("alarm"))
     }),
+    // Catalog-resolved SQL time travel (round 8): the versioned store
+    // addressed as a first-class SQL name through the VStoreCatalog
+    // plugin — `FROM <catalog>.v VERSION AS OF 2` resolves via the
+    // catalog's loadTable(ident, version) hook into the SAME computed
+    // fold as q7E's scanAsOf(2), pushdown surface included.
+    "q9I_vstore_catalog_sql" -> ((s, d) => {
+      versionedStore(s, d) // build the fixture store
+      val base = vstoreCache(d).stripSuffix("/v")
+      val cat = "gvc" + (d.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.VStoreCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"SELECT * FROM $cat.v VERSION AS OF 2")
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
     // Stateful per-source token-budget enforcement at ingest (round 8):
     // q81's budget table applied as a RUNNING quota across 3 mtime-
     // pinned doc_id % 3 micro-batches — a source closes the moment its

@@ -100,6 +100,19 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
   private def fs: FileSystem =
     hp(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Stamp `path` as an (empty) store — the catalog's CREATE TABLE
+    * seam: mkdirs + format marker, nothing else (journal and first
+    * generation appear on first commit, exactly as they do for a
+    * store born from a write). Idempotent; [[verifyLayout]] still
+    * refuses to stamp over an unrecognized foreign layout.
+    */
+  private[graft] def initEmpty(): Unit = {
+    val f = fs
+    verifyLayout(f)
+    tryCreate(f, hp(s"$path/$FormatMarker"))
+    ()
+  }
+
   /** Atomic create-if-absent: the one primitive the whole tx protocol
     * leans on (the reference's counter file lock, `wal/counter.go:59-69`).
     * Returns false ONLY for already-exists; genuine IO failures
@@ -1353,6 +1366,17 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
 object VersionedCandleStore {
   def apply(spark: SparkSession, path: String): VersionedCandleStore =
     new VersionedCandleStore(spark, path)
+
+  /** Does `path` hold (or mark) a versioned store? — format marker,
+    * journal, or a committed generation dir. The catalog's table
+    * predicate: a directory failing this is NOT listed/loaded as a
+    * table, so foreign data never silently reads as an empty store.
+    */
+  private[graft] def looksLikeStore(f: FileSystem, p: Path): Boolean =
+    f.exists(new Path(p, "_graft_format_v1")) ||
+      f.exists(new Path(p, "txlog")) ||
+      (f.exists(p) && f.listStatus(p).exists(
+        _.getPath.getName.matches("data-g\\d{9}")))
 
   def apply(spark: SparkSession, path: String,
             checkpointEvery: Int): VersionedCandleStore =

@@ -336,6 +336,16 @@ object Smoke {
     check("vstore grouped pushdown serves the catalog listing",
       catalog.queryExecution.optimizedPlan.toString.contains("max_ts") &&
         catalog.count() >= 1)
+    // catalog plugin: stores as SQL names, catalog-resolved time travel
+    spark.conf.set("spark.sql.catalog.gvsmoke",
+      classOf[graft.sources.VStoreCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvsmoke.base",
+      new java.io.File(vst.path).getParent)
+    val vname = new java.io.File(vst.path).getName
+    check("vstore catalog resolves SQL names + VERSION AS OF",
+      spark.sql(s"SELECT * FROM gvsmoke.`$vname`").count() == 4 &&
+        spark.sql(s"SELECT * FROM gvsmoke.`$vname` VERSION AS OF 1").count() ==
+          vst.scanAsOf(1L).count())
 
     println(if (failures == 0) "[smoke] ALL OK" else s"[smoke] $failures FAILURES")
     spark.stop()

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.col
+
+import graft.model.Candle
+import graft.store.VersionedCandleStore
+
+/** The vstore catalog plugin (SURVEY.md §2 storage modernization):
+  * versioned stores as first-class SQL names — listing, reads, SQL
+  * time travel, CREATE/DROP — with the directory tree as the catalog
+  * and [[VersionedCandleStore.looksLikeStore]] as the table predicate.
+  */
+class VStoreCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c(code: String, t: String, o: Double): Candle =
+    Candle("UPBIT", code, 60, ts(t), o, o + 1, o - 1, o + 0.5, 10.0, 0L)
+
+  // one catalog per suite over one base tree
+  private lazy val base: String = {
+    val b = tmpDir("vstore-catalog")
+    spark.conf.set("spark.sql.catalog.vc", classOf[graft.sources.VStoreCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vc.base", b)
+    b
+  }
+
+  private def opens(df: org.apache.spark.sql.DataFrame): Map[(String, Timestamp), Double] =
+    df.select("code", "ts", "open").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+
+  test("catalog read == path read; SQL VERSION/TIMESTAMP AS OF time-travel " +
+      "through the catalog; foreign dirs never list or load") {
+    val st = VersionedCandleStore(spark, s"$base/markets/btc")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("BTC", "2022-01-01 10:01:00", 2)).toDF())
+    Thread.sleep(5) // tx wall-clocks must be distinguishable for AS OF
+    val t1Wall = st.txLog().where($"kind" === "commit")
+      .select("committed_at").as[Timestamp].collect().max
+    st.commit(Seq(c("BTC", "2022-01-01 10:01:00", 20),
+      c("ETH", "2021-06-01 00:00:00", 5)).toDF())
+
+    // a foreign directory next to the stores: not a table, not a namespace entry
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/markets/notastore"))
+
+    val listed = spark.sql("SHOW TABLES IN vc.markets")
+      .select("tableName").as[String].collect().toSet
+    assert(listed == Set("btc"), s"got $listed")
+
+    assert(opens(spark.sql("SELECT * FROM vc.markets.btc")) == opens(st.scan()))
+    assert(opens(spark.sql("SELECT * FROM vc.markets.btc VERSION AS OF 1")) ==
+      opens(st.scanAsOf(1L)))
+    assert(opens(spark.sql(
+      s"SELECT * FROM vc.markets.btc TIMESTAMP AS OF '$t1Wall'")) ==
+      opens(st.scanAsOfTime(t1Wall)))
+    // catalog reads plan through the SAME pushdown surface as .load(path):
+    // the grouped fold-key aggregate is served scan-side (no winner fold)
+    val agg = spark.sql(
+      "SELECT code, max(ts) AS last_ts, count(*) AS n FROM vc.markets.btc GROUP BY code")
+    val optimized = agg.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("max_ts") && !optimized.contains("Aggregate"),
+      s"aggregate not pushed (expected scan-served max_ts, no Aggregate):\n$optimized")
+    assert(agg.collect().map(r => r.getString(0) -> r.getLong(2)).toMap ==
+      Map("BTC" -> 2L, "ETH" -> 1L))
+    // the foreign dir is invisible and unloadable
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM vc.markets.notastore").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+  }
+
+  test("CREATE TABLE stamps an empty store the writer then appends to; " +
+      "DROP TABLE deletes only real stores") {
+    base // force catalog registration
+    spark.sql("CREATE TABLE vc.markets.eth")
+    assert(spark.sql("SELECT * FROM vc.markets.eth").count() == 0L)
+    // the stamped dir IS a store: the path-based writer appends tx 1
+    Seq(c("ETH", "2023-01-01 00:00:00", 7)).toDF()
+      .write.format("graft-vstore").mode("append").save(s"$base/markets/eth")
+    assert(opens(spark.sql("SELECT * FROM vc.markets.eth")) ==
+      Map(("ETH", ts("2023-01-01 00:00:00")) -> 7.0))
+    // fixed schema: a mismatched column list is refused
+    intercept[Exception] {
+      spark.sql("CREATE TABLE vc.markets.bad (x INT, y STRING)")
+    }
+    // DROP deletes the store…
+    spark.sql("DROP TABLE vc.markets.eth")
+    assert(!new java.io.File(s"$base/markets/eth").exists())
+    // …but a foreign dir under the same name space is refused (returns
+    // false → Spark reports NoSuchTable; the dir survives)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/markets/plaindir"))
+    intercept[Exception] { spark.sql("DROP TABLE vc.markets.plaindir") }
+    assert(new java.io.File(s"$base/markets/plaindir").exists())
+  }
+
+  test("namespace listing walks directories, skips stores") {
+    base
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vc.research")
+    val namespaces = spark.sql("SHOW NAMESPACES IN vc")
+      .select("namespace").as[String].collect().toSet
+    assert(namespaces.contains("markets") && namespaces.contains("research"),
+      s"got $namespaces")
+    // a store dir is a table, never a namespace
+    assert(!namespaces.contains("btc"))
+  }
+}
