@@ -683,6 +683,34 @@ object Oracles {
          FROM c
          WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
                                          WHEN 'src1' THEN 0 ELSE 700 END""",
+    // q9J: the KMV bottom-k sketch replayed exactly — per-source
+    // bottom-256 of the portable gram hashes, merged-bottom-k pair
+    // estimator (gramless sources pair with empty sketches, J = 0).
+    "q9J_sketch_jaccard" ->
+      s"""WITH tok AS (SELECT source, $WS AS ws FROM documents),
+         g AS (SELECT source, unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[] ELSE
+                 list_transform(generate_series(1, len(ws) - 2),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS g
+               FROM tok),
+         sets AS (SELECT DISTINCT source, ${pHash("g")} AS h FROM g),
+         r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+               FROM sets),
+         sk AS (SELECT source, list(h ORDER BY h) AS arr
+                FROM r WHERE rn <= 256 GROUP BY 1),
+         allsk AS (SELECT d.source, coalesce(sk.arr, []::BIGINT[]) AS arr
+                   FROM (SELECT DISTINCT source FROM documents) d
+                   LEFT JOIN sk USING (source)),
+         m AS (SELECT x.source AS src_a, y.source AS src_b,
+                 x.arr AS a, y.arr AS b,
+                 list_sort(list_distinct(list_concat(x.arr, y.arr)))[1:256] AS mg
+               FROM allsk x JOIN allsk y ON x.source < y.source)
+         SELECT src_a, src_b, len(mg)::BIGINT AS n_sample,
+           len(list_intersect(list_intersect(mg, a), b))::BIGINT AS n_common_sample,
+           CASE WHEN len(mg) = 0 THEN 0.0 ELSE ${graft.Portable.roundSql(
+             "len(list_intersect(list_intersect(mg, a), b))::DOUBLE / len(mg)::DOUBLE",
+             4)} END AS jaccard_est
+         FROM m""",
     // q9I: catalog-name SQL VERSION AS OF 2 == q7E's as-of state.
     "q9I_vstore_catalog_sql" ->
       s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 = 1")}),

@@ -1166,6 +1166,15 @@ object Queries {
         .select(col("batch_id"), col("n_docs"), col("n_grams"),
           col("js_div"), col("alarm"))
     }),
+    // Sketch-based source-pair Jaccard (round 8): the 100 TB shape of
+    // q8J — each source reduced to a bottom-256 KMV sketch inside the
+    // bounded partial aggregation (no distinct-gram shuffle), pairs
+    // estimated from sketches alone. Deterministic, so the oracle
+    // replays the estimator bit-for-bit.
+    "q9J_sketch_jaccard" -> ((s, d) => {
+      Corpus.sourceJaccardSketch(T.documents(s, d), "text", "source",
+        shingleN = 3, k = 256)
+    }),
     // Catalog-resolved SQL time travel (round 8): the versioned store
     // addressed as a first-class SQL name through the VStoreCatalog
     // plugin — `FROM <catalog>.v VERSION AS OF 2` resolves via the

@@ -227,4 +227,64 @@ object Corpus {
             (col("_na") + col("_nb") - common).cast("double"), 4))
           .as("jaccard"))
   }
+
+  /** Sketch-based source-pair Jaccard — the 100 TB shape of
+    * [[sourceJaccard]]: each source is reduced to a bottom-k KMV
+    * sketch of its distinct gram hashes (the k minimum values of a
+    * uniform 60-bit hash), and every pair is estimated from the two
+    * sketches alone. One gram pass, NO distinct-gram shuffle at all:
+    * [[TopK.BottomKAggregator]] dedups inside the bounded partial
+    * buffers, so the shuffle carries `partitions × sources × k` longs
+    * where the exact operator shuffles every distinct (source, gram)
+    * pair — at a billion grams per source that is the difference
+    * between megabytes and the corpus itself. Downstream frames are
+    * sources × k and sources² rows (bounded by construction).
+    *
+    * Estimator (Beyer et al.'s KMV / Broder's min-sketch): the
+    * bottom-k of A∪B is computable from the two sketches
+    * (`bottomK(skA ∪ skB)`), and each of its members lies in A∩B iff
+    * it appears in BOTH sketches, so
+    * `J ≈ |bottomK(skA ∪ skB) ∩ skA ∩ skB| / |bottomK(skA ∪ skB)|`
+    * — an unbiased sample of k union elements with standard error
+    * ≈ sqrt(J(1-J)/k). When a pair's true union holds ≤ k distinct
+    * grams the "sketch" IS the union and the estimate is exact.
+    * Deterministic (pure function of the portable hash), so the
+    * DuckDB oracle replays it bit-for-bit — the estimate is
+    * cross-engine gated even though it approximates [[sourceJaccard]].
+    *
+    * Returns one row per unordered source pair:
+    * `(src_a, src_b, n_sample, n_common_sample, jaccard_est)`.
+    */
+  def sourceJaccardSketch(df: DataFrame, textCol: String, sourceCol: String,
+                          shingleN: Int = 3, k: Int = 256): DataFrame = {
+    require(shingleN > 0 && k > 0, "shingleN and k must be positive")
+    val bottomK = udaf(new TopK.BottomKAggregator(k))
+    val sk = df
+      .select(col(sourceCol).as("_src"),
+        explode(Dedup.shinglesUdf(shingleN)(TextStats.tokens(col(textCol))))
+          .as("_g"))
+      .select(col("_src"), TextStats.portableHash(col("_g")).as("_h"))
+      .groupBy(col("_src")).agg(bottomK(col("_h")).as("_sk"))
+    // census over ALL sources (the q8J gramless-source contract):
+    // a source with no >=shingleN-token doc still pairs, with an
+    // empty sketch and J pinned to 0
+    val allSk = df.select(col(sourceCol).as("_src")).distinct()
+      .join(sk, Seq("_src"), "left")
+      .select(col("_src"),
+        coalesce(col("_sk"), array().cast("array<bigint>")).as("_sk"))
+    // sources² pair frame — bounded by construction
+    val merged = slice(array_sort(array_union(col("_a"), col("_b"))), 1, k)
+    val common = size(array_intersect(array_intersect(merged, col("_a")),
+      col("_b")))
+    allSk.as("x").join(allSk.as("y"), col("x._src") < col("y._src"))
+      .select(col("x._src").as("src_a"), col("y._src").as("src_b"),
+        col("x._sk").as("_a"), col("y._sk").as("_b"))
+      .select(col("src_a"), col("src_b"),
+        size(merged).cast("bigint").as("n_sample"),
+        common.cast("bigint").as("n_common_sample"),
+        when(size(merged) === 0, lit(0.0))
+          .otherwise(Portable.round(common.cast("double") /
+            size(merged).cast("double"), 4))
+          .as("jaccard_est"))
+  }
 }

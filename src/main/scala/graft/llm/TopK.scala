@@ -46,4 +46,39 @@ object TopK {
     override def outputEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
+
+  /** Bounded bottom-k DISTINCT sketch over long hashes — the KMV
+    * (k-minimum-values) sketch buffer: ascending-sorted, duplicate
+    * values inserted once, never more than k long. Partial aggregation
+    * keeps every map-side buffer ≤ k, so a billion-gram source ships
+    * `partitions × k` longs through the shuffle instead of its gram
+    * set — no upstream `distinct()` pass needed (the sketch dedups).
+    */
+  final class BottomKAggregator(k: Int)
+      extends Aggregator[Long, List[Long], Seq[Long]] {
+    require(k > 0, "k must be positive")
+    override def zero: List[Long] = Nil
+
+    override def reduce(buf: List[Long], x: Long): List[Long] = insert(buf, x)
+
+    override def merge(a: List[Long], b: List[Long]): List[Long] =
+      b.foldLeft(a)(insert)
+
+    private def insert(buf: List[Long], x: Long): List[Long] = {
+      // buf is ascending and at most k long; x >= last of a full
+      // buffer can neither enter nor be an unseen smaller value
+      if (buf.sizeIs >= k && x >= buf.last) buf
+      else {
+        val (front, back) = buf.span(_ < x)
+        if (back.headOption.contains(x)) buf // distinct: drop the dup
+        else (front ::: x :: back).take(k)
+      }
+    }
+
+    override def finish(buf: List[Long]): Seq[Long] = buf
+    override def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

@@ -428,6 +428,50 @@ class CurationSpec extends SparkSpec {
     assert(rows.forall { case (k, v) => again(k) == v._4 })
   }
 
+  test("sourceJaccardSketch: exact below k, within KMV error of the exact " +
+      "operator above k, gramless sources pair at 0, layout-independent") {
+    // small-union regime: every pair's union fits in k -> the sketch
+    // IS the union and the estimate equals the exact jaccard
+    val small = Seq(
+      ("srcA", "a b c d"), ("srcB", "a b c d"),
+      ("srcC", "a b c x y z"), ("srcD", "p q r s"),
+      ("srcE", "x")) // gramless: < 3 tokens
+      .toDF("source", "text")
+    val sk = Corpus.sourceJaccardSketch(small, "text", "source",
+        shingleN = 3, k = 16)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    val exact = Corpus.sourceJaccard(small, "text", "source", shingleN = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    assert(sk.size == 10 && exact.size == 10) // 5C2, gramless included
+    assert(sk == exact, s"below-k sketch must be exact: $sk vs $exact")
+    assert(sk(("srcA", "srcE")) == 0.0)
+    // large-union regime: planted overlap ~1/3 across 2000-gram
+    // sources; k = 256 gives stderr ~ sqrt(J(1-J)/k) ~ 0.03 — gate at
+    // 5 sigma. Distinct single-token "words" make gram counts exact.
+    val big = (0 until 3000).map { i =>
+      val src = if (i % 3 == 0) "common" else if (i % 3 == 1) "only1" else "only2"
+      val words = (0 until 6).map(j => s"t${i}_$j").mkString(" ")
+      (src, words)
+    }
+    val bigDf = (big.collect { case ("common", w) => ("s1", w) } ++
+      big.collect { case ("common", w) => ("s2", w) } ++
+      big.collect { case ("only1", w) => ("s1", w) } ++
+      big.collect { case ("only2", w) => ("s2", w) }).toDF("source", "text")
+    val est = Corpus.sourceJaccardSketch(bigDf, "text", "source",
+        shingleN = 3, k = 256)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    val ex = Corpus.sourceJaccard(bigDf, "text", "source", shingleN = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    val (je, jx) = (est(("s1", "s2")), ex(("s1", "s2")))
+    assert(math.abs(je - jx) < 0.15,
+      f"sketch J=$je%.4f vs exact J=$jx%.4f drifted beyond the KMV bound")
+    // deterministic across layouts (pure function of the hash)
+    val again = Corpus.sourceJaccardSketch(bigDf.repartition(13), "text",
+        "source", shingleN = 3, k = 256)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    assert(again == est)
+  }
+
   test("hardNegatives: same-label neighbors excluded, ranks by cosine") {
     val df = Seq(
       (1L, Seq(1f, 0f), "A"),      // query
