@@ -356,13 +356,93 @@ object Multimodal {
   final case class SpectralFeatures(doc_id: Long, n_samples: Long,
                                     dominant_bin: Long)
 
+  private[graft] def smallestPrimeFactor(n: Int): Int = {
+    if (n % 2 == 0) return 2
+    var p = 3
+    while (p.toLong * p <= n) {
+      if (n % p == 0) return p
+      p += 2
+    }
+    n
+  }
+
+  /** Forward mixed-radix Cooley-Tukey FFT (X[k] = Σ x[j]·e^{-2πi jk/n})
+    * for ANY length: n splits on its smallest prime factor per level,
+    * so a smooth length (800 = 2⁵·5², the common audio frame case)
+    * runs O(n · Σ prime factors) while a prime length degrades
+    * gracefully to that level's naive O(n²) — never worse than the
+    * table DFT this replaced. All twiddles index the ONE root-length
+    * cos/sin table via stride = rootN / n (e^{-2πi t/n} =
+    * e^{-2πi (t·stride)/rootN}), so no per-level trig.
+    */
+  private[graft] def fftAnyN(re: Array[Double], im: Array[Double],
+                      cosT: Array[Double], sinT: Array[Double],
+                      stride: Int): (Array[Double], Array[Double]) = {
+    val n = re.length
+    if (n == 1) return (re, im)
+    val p = smallestPrimeFactor(n)
+    val or = new Array[Double](n)
+    val oi = new Array[Double](n)
+    if (p == n) {
+      // prime length: naive DFT at this level
+      var k = 0
+      while (k < n) {
+        var sr = 0.0; var si = 0.0
+        var j = 0; var t = 0
+        while (j < n) {
+          val c = cosT(t * stride); val s = sinT(t * stride)
+          sr += re(j) * c + im(j) * s
+          si += im(j) * c - re(j) * s
+          t += k; if (t >= n) t -= n
+          j += 1
+        }
+        or(k) = sr; oi(k) = si
+        k += 1
+      }
+    } else {
+      val m = n / p
+      val subStride = stride * p
+      val subRe = new Array[Array[Double]](p)
+      val subIm = new Array[Array[Double]](p)
+      var r = 0
+      while (r < p) {
+        val sr = new Array[Double](m); val si = new Array[Double](m)
+        var j = 0
+        while (j < m) { sr(j) = re(j * p + r); si(j) = im(j * p + r); j += 1 }
+        val (fr, fi) = fftAnyN(sr, si, cosT, sinT, subStride)
+        subRe(r) = fr; subIm(r) = fi
+        r += 1
+      }
+      // X[k] = Σ_r e^{-2πi rk/n} · Y_r[k mod m]
+      var k = 0
+      while (k < n) {
+        val k2 = k % m
+        var sr = 0.0; var si = 0.0
+        var rr = 0; var t = 0
+        while (rr < p) {
+          val c = cosT(t * stride); val s = sinT(t * stride)
+          val yr = subRe(rr)(k2); val yi = subIm(rr)(k2)
+          sr += yr * c + yi * s
+          si += yi * c - yr * s
+          t += k; if (t >= n) t -= n
+          rr += 1
+        }
+        or(k) = sr; oi(k) = si
+        k += 1
+      }
+    }
+    (or, oi)
+  }
+
   /** REAL audio frequency analysis: decode PCM (as
-    * [[decodeWavFeatures]]), then a full-length DFT over the clip and
-    * the dominant frequency bin (argmax magnitude over bins 1..N/2,
-    * ties to the lowest bin). The DFT uses a precomputed N-point
-    * cos/sin table — O(N²/2) lookups per clip, executor-side,
-    * partition-parallel; real pipelines would swap in an FFT kernel
-    * without changing the plumbing.
+    * [[decodeWavFeatures]]), then a full-length transform over the
+    * clip and the dominant frequency bin (argmax magnitude over bins
+    * 1..N/2, ties to the lowest bin). The spectrum comes from
+    * [[fftAnyN]] — mixed-radix Cooley-Tukey over a precomputed
+    * N-point cos/sin table, O(N·Σ prime factors) per clip instead of
+    * the naive table DFT's O(N²/2) (a ~20× kernel cut at the 800-
+    * sample fixture; prime lengths fall back per level, never worse
+    * than the DFT) — executor-side, partition-parallel.
     *
     * For q7A's synthetic square waves the period divides N, so the
     * spectrum is exactly line-structured and the dominant bin is the
@@ -404,19 +484,11 @@ object Multimodal {
             }
             (c, sn)
           })
+          val (fr, fi) = fftAnyN(s, new Array[Double](n), cosT, sinT, 1)
           var bestBin = 0L; var bestMag = -1.0
           var m = 1
           while (m <= n / 2) {
-            var re = 0.0; var im = 0.0
-            var j = 0
-            var idx = 0
-            while (j < n) {
-              re += s(j) * cosT(idx)
-              im -= s(j) * sinT(idx)
-              idx += m; if (idx >= n) idx -= n
-              j += 1
-            }
-            val mag = re * re + im * im
+            val mag = fr(m) * fr(m) + fi(m) * fi(m)
             if (mag > bestMag + 1e-9) { bestMag = mag; bestBin = m.toLong }
             m += 1
           }

@@ -116,4 +116,28 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.sameElements(Array(0, 1, 2, 3)))
     assert(frames.where(col("frame_n_bytes") <= 0).count() == 0)
   }
+
+  test("fftAnyN == naive DFT at smooth, prime, and degenerate lengths") {
+    def naive(x: Array[Double]): (Array[Double], Array[Double]) = {
+      val n = x.length
+      val re = new Array[Double](n); val im = new Array[Double](n)
+      for (k <- 0 until n; j <- 0 until n) {
+        val th = 2.0 * math.Pi * j * k / n
+        re(k) += x(j) * math.cos(th)
+        im(k) -= x(j) * math.sin(th)
+      }
+      (re, im)
+    }
+    for (n <- Seq(1, 6, 17, 800)) { // 17 prime; 800 = 2^5 * 5^2
+      val x = Array.tabulate(n)(j => math.sin(0.7 * j) + 0.3 * math.cos(2.1 * j))
+      val cosT = Array.tabulate(n)(t => math.cos(2.0 * math.Pi * t / n))
+      val sinT = Array.tabulate(n)(t => math.sin(2.0 * math.Pi * t / n))
+      val (fr, fi) = graft.llm.Multimodal.fftAnyN(
+        x.clone(), new Array[Double](n), cosT, sinT, 1)
+      val (nr, ni) = naive(x)
+      val err = (0 until n).map(k =>
+        math.abs(fr(k) - nr(k)) + math.abs(fi(k) - ni(k))).max
+      assert(err < 1e-8 * math.max(1, n), s"n=$n max coefficient error $err")
+    }
+  }
 }
