@@ -683,6 +683,27 @@ object Oracles {
          FROM c
          WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
                                          WHEN 'src1' THEN 0 ELSE 700 END""",
+    // q9K: the farthest-first greedy trajectory replayed as a
+    // recursive CTE — each step's argmax (ties to lowest id) over the
+    // same index-ordered double distances the Spark rounds compute.
+    "q9K_kcenter_sample" ->
+      s"""WITH RECURSIVE sel(r, id, d, ids) AS (
+           SELECT 1::BIGINT, (SELECT min(vec_id) FROM embeddings),
+                  0.0::DOUBLE, [(SELECT min(vec_id) FROM embeddings)]
+           UNION ALL
+           SELECT sel.r + 1, nxt.vec_id, nxt.md, list_append(sel.ids, nxt.vec_id)
+           FROM sel, LATERAL (
+             SELECT c.vec_id, (
+                 SELECT min(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                   i -> (c.embedding[i]::DOUBLE - s.embedding[i]::DOUBLE)
+                      * (c.embedding[i]::DOUBLE - s.embedding[i]::DOUBLE))))
+                 FROM embeddings s WHERE list_contains(sel.ids, s.vec_id)) AS md
+             FROM embeddings c WHERE NOT list_contains(sel.ids, c.vec_id)
+             ORDER BY md DESC, c.vec_id ASC LIMIT 1) nxt
+           WHERE sel.r < 12)
+         SELECT r AS sel_rank, id AS vec_id,
+           ${graft.Portable.roundSql("d", 4)} AS min_dist
+         FROM sel""",
     // q9J: the KMV bottom-k sketch replayed exactly — per-source
     // bottom-256 of the portable gram hashes, merged-bottom-k pair
     // estimator (gramless sources pair with empty sketches, J = 0).

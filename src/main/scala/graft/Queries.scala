@@ -1166,6 +1166,15 @@ object Queries {
         .select(col("batch_id"), col("n_docs"), col("n_grams"),
           col("js_div"), col("alarm"))
     }),
+    // Greedy k-center diversity sample (round 8): farthest-first
+    // traversal over the embeddings — k rounds of one-broadcast-center
+    // map + struct-max all-reduce, no sort, no candidate collect. The
+    // whole greedy trajectory is deterministic, so the oracle replays
+    // it as a recursive CTE.
+    "q9K_kcenter_sample" -> ((s, d) => {
+      Similarity.kCenterSample(T.embeddings(s, d), "vec_id", "embedding",
+        k = 12)
+    }),
     // Sketch-based source-pair Jaccard (round 8): the 100 TB shape of
     // q8J — each source reduced to a bottom-256 KMV sketch inside the
     // bounded partial aggregation (no distinct-gram shuffle), pairs

@@ -1107,4 +1107,80 @@ object Similarity {
       Portable.round(l2norm(col(vecCol)), 4).as("l2_norm"),
       Portable.round(aggregate(col(vecCol), lit(0.0), (a, x) => a + x.cast("double")) /
         size(col(vecCol)).cast("double"), 6).as("mean_component"))
+
+  /** Greedy k-center diversity sampling (Gonzalez's farthest-first
+    * traversal, the classic 2-approximation): select `k` vectors
+    * covering the embedding space — each round picks the vector
+    * FARTHEST (squared euclidean) from every center chosen so far.
+    * The diversity-subset primitive of embedding-space curation:
+    * exemplar selection, coreset seeding, "don't train on 10k copies
+    * of the same cluster".
+    *
+    * Distributed shape — k rounds, each one map + one all-reduce over
+    * the corpus: the running min-distance column folds in ONE
+    * broadcast center (O(corpus · dim) map work, no shuffle), and the
+    * next center is a single `max(struct(min_d, -id, vec))` aggregate
+    * — no sort, no top-N, no candidate collect; the driver ever holds
+    * k rows. State is the corpus-sized (id, vec, min_d) frame,
+    * checkpointed every `checkpointEvery` rounds to bound lineage.
+    * At 100 TB, cost = k corpus scans of a 3-column frame — the
+    * textbook distributed farthest-first, and k is small by intent.
+    *
+    * Deterministic cross-engine: seed = lowest id, argmax ties break
+    * to the lowest id, distances accumulate in double in index order —
+    * the DuckDB recursive-CTE oracle (q9K) replays the whole greedy
+    * trajectory bit-for-bit.
+    *
+    * Returns `(sel_rank, vec_id, min_dist)` — rank 1..k in selection
+    * order, `min_dist` the (rounded) squared distance to the prior
+    * centers at selection time (0 for the seed; monotonically
+    * non-increasing — the k-center radius curve).
+    */
+  def kCenterSample(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    checkpointEvery: Int = 4): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    val seed = base.orderBy(col("id")).limit(1)
+      .as[(Long, Array[Float])].collect()
+    require(seed.nonEmpty, "kCenterSample needs a non-empty input")
+    var lastVec: Array[Float] = seed(0)._2
+    var selectedIds = List(seed(0)._1)
+    val out = scala.collection.mutable.ListBuffer((1L, seed(0)._1, 0.0))
+    var cur = base.withColumn("min_d", lit(Double.MaxValue))
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val cv = lastVec
+      val distToCenter = udf { (v: Seq[Float]) =>
+        var s = 0.0; var i = 0
+        while (i < cv.length) {
+          val d = v(i).toDouble - cv(i).toDouble; s += d * d; i += 1
+        }
+        s
+      }
+      cur = cur.withColumn("min_d", least(col("min_d"), distToCenter(col("vec"))))
+      if ((r - 2) % checkpointEvery == checkpointEvery - 1)
+        cur = cur.localCheckpoint()
+      val next = cur.where(!col("id").isin(selectedIds: _*))
+        .select(max(struct(col("min_d"), (-col("id")).as("nid"), col("vec"))).as("m"))
+        .where(col("m").isNotNull)
+        .select(col("m.min_d"), col("m.nid"), col("m.vec"))
+        .as[(Double, Long, Array[Float])].collect()
+      if (next.isEmpty) exhausted = true // k exceeds the corpus
+      else {
+        val (d, nid, v) = next(0)
+        out += ((r.toLong, -nid, d))
+        selectedIds = -nid :: selectedIds
+        lastVec = v
+        r += 1
+      }
+    }
+    out.toSeq.toDF("sel_rank", "vec_id", "_d")
+      .select(col("sel_rank"), col("vec_id"),
+        Portable.round(col("_d"), 4).as("min_dist"))
+  }
 }

@@ -472,6 +472,42 @@ class CurationSpec extends SparkSpec {
     assert(again == est)
   }
 
+  test("kCenterSample: farthest-first picks the extremes, radius curve " +
+      "non-increasing, k > n stops, layout-independent") {
+    // four tight clusters at the corners of a square + one outlier far
+    // out; seed = lowest id (in cluster A), then the outlier, then the
+    // remaining corners before ANY second member of a covered cluster
+    def v(x: Double, y: Double): Seq[Float] = Seq(x.toFloat, y.toFloat)
+    val pts = Seq(
+      (1L, v(0, 0)), (2L, v(0.1, 0)), (3L, v(0, 0.1)),       // cluster A
+      (10L, v(10, 0)), (11L, v(10.1, 0)),                     // cluster B
+      (20L, v(0, 10)), (21L, v(0, 10.1)),                     // cluster C
+      (30L, v(10, 10)), (31L, v(10.1, 10)),                   // cluster D
+      (99L, v(100, 100)))                                     // outlier
+      .toDF("vec_id", "embedding")
+    val sel = graft.llm.Similarity.kCenterSample(pts, "vec_id", "embedding", k = 5)
+      .orderBy("sel_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sel.map(_._2).head == 1L) // seed = lowest id
+    assert(sel(1)._2 == 99L)         // farthest from A = the outlier
+    // ranks 3..5 cover B, C, D (order among them by distance) before
+    // any duplicate-cluster member appears
+    assert(sel.drop(2).map(_._2).toSet.subsetOf(Set(10L, 11L, 20L, 21L, 30L, 31L)))
+    assert(sel.drop(2).map(_._2 / 10).distinct.size == 3, sel.mkString(","))
+    // the k-center radius curve never increases after the seed
+    val radii = sel.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a }, radii.toSeq)
+    // k beyond the corpus stops at n rows
+    assert(graft.llm.Similarity.kCenterSample(
+      pts.limit(3), "vec_id", "embedding", k = 99).count() == 3)
+    // deterministic across layouts (checkpoint boundary included)
+    val again = graft.llm.Similarity.kCenterSample(
+      pts.repartition(7), "vec_id", "embedding", k = 5, checkpointEvery = 2)
+      .orderBy("sel_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == sel.toSeq)
+  }
+
   test("hardNegatives: same-label neighbors excluded, ranks by cosine") {
     val df = Seq(
       (1L, Seq(1f, 0f), "A"),      // query
