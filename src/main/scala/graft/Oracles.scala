@@ -683,6 +683,18 @@ object Oracles {
          FROM c
          WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
                                          WHEN 'src1' THEN 0 ELSE 700 END""",
+    // q9L: per-source temperature rates (p_min/p_k)^(1-alpha), round-4,
+    // unit-hash draw — the same arithmetic on both engines.
+    "q9L_temperature_sample" ->
+      s"""WITH n AS (SELECT lang, count(*)::DOUBLE AS nk
+           FROM documents GROUP BY 1),
+         r AS (SELECT lang, ${graft.Portable.roundSql(
+           "pow((SELECT min(nk) FROM n) / nk, 0.5)", 4)} AS keep_rate
+               FROM n)
+         SELECT d.doc_id, d.lang, r.keep_rate
+         FROM documents d JOIN r USING (lang)
+         WHERE ${pHash("d.doc_id::VARCHAR || '|temp'")} % 10000
+           < r.keep_rate * 10000""",
     // q9K: the farthest-first greedy trajectory replayed as a
     // recursive CTE — each step's argmax (ties to lowest id) over the
     // same index-ordered double distances the Spark rounds compute.

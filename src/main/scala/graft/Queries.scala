@@ -1166,6 +1166,16 @@ object Queries {
         .select(col("batch_id"), col("n_docs"), col("n_grams"),
           col("js_div"), col("alarm"))
     }),
+    // Temperature mixture rebalancing (round 8): the multilingual p^α
+    // rule at α = 0.5 over the (skewed) lang strata — keep rates
+    // (p_min/p_k)^(1-α)
+    // broadcast back, draws by unit hash. Rates round-4 before the
+    // keep test so selection never hinges on a pow ulp.
+    "q9L_temperature_sample" -> ((s, d) => {
+      Sampling.temperatureSample(T.documents(s, d), "doc_id", "lang",
+          alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("keep_rate"))
+    }),
     // Greedy k-center diversity sample (round 8): farthest-first
     // traversal over the embeddings — k rounds of one-broadcast-center
     // map + struct-max all-reduce, no sort, no candidate collect. The

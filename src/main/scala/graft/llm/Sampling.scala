@@ -121,6 +121,39 @@ object Sampling {
     df.where(h < rateExpr * 10000.0)
   }
 
+  /** Temperature-based mixture rebalancing (the multilingual-corpus
+    * `p^α` rule of mT5/XLM-R): source `k` with corpus share `p_k` is
+    * downsampled at rate `(p_min / p_k)^(1-α)`, so the sampled corpus
+    * follows the flattened distribution `∝ p_k^α` — `α = 1` keeps
+    * everything, `α = 0` equalizes source sizes, values between trade
+    * head-source dominance against tail-source starvation. Downsample-
+    * only by construction (the smallest source keeps rate 1), and the
+    * draw is the [[unitHash]] of (id, salt) — a pure function of the
+    * row, reproducible across runs, partitionings, and engines.
+    *
+    * The rate is rounded to 4 decimals BEFORE the keep test (the q8L
+    * convention): `pow` is transcendental, and an unrounded rate would
+    * put a possible 1-ulp cross-engine difference in the selection
+    * boundary.
+    *
+    * Scale shape: one count aggregation (sources rows) + a broadcast
+    * join of the rate table — no shuffle of the corpus itself. Adds
+    * `keep_rate`.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, keyCol: String,
+                        alpha: Double, salt: String = "temp"): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("double").as("_nk"))
+    val minN = counts.agg(min(col("_nk")).as("_nmin"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(keyCol),
+        graft.Portable.round(
+          pow(col("_nmin") / col("_nk"), lit(1.0 - alpha)), 4).as("keep_rate"))
+    df.join(broadcast(rates), Seq(keyCol))
+      .where(unitHash(col(idCol), salt) < col("keep_rate") * 10000.0)
+  }
+
   /** Deterministic weighted sampling without replacement: keep the `k`
     * rows with the smallest race priority
     * `hash(id|salt) % 1e9 / weight` (ties broken by id). Higher weight

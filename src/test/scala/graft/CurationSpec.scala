@@ -472,6 +472,42 @@ class CurationSpec extends SparkSpec {
     assert(again == est)
   }
 
+  test("temperatureSample: p^alpha flattening — alpha=1 keeps all, alpha=0 " +
+      "equalizes in expectation, smallest stratum always keeps rate 1") {
+    // planted 8:2:1 skew over 1100 docs
+    val docs = (0L until 1100L).map { i =>
+      val k = if (i < 800) "big" else if (i < 1000) "mid" else "small"
+      (i, k)
+    }.toDF("doc_id", "stratum")
+    val all = graft.llm.Sampling.temperatureSample(
+      docs, "doc_id", "stratum", alpha = 1.0)
+    assert(all.count() == 1100L) // rate 1 everywhere
+    val flat = graft.llm.Sampling.temperatureSample(
+      docs, "doc_id", "stratum", alpha = 0.0)
+    val byK = flat.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 0: expected size = min stratum (100) for every stratum;
+    // the hash draw is binomial — allow 4 sigma (sqrt(100*(1-p)) ~ 9)
+    assert(byK("small") == 100L) // rate 1.0 exactly: every row kept
+    assert(math.abs(byK("big") - 100L) < 40 &&
+      math.abs(byK("mid") - 100L) < 40, byK.toString)
+    // rates carried and round-4: big = (100/800)^1 = 0.125
+    val rates = flat.select("stratum", "keep_rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("big") == 0.125 && rates("small") == 1.0, rates.toString)
+    // half temperature sits between: (1/8)^0.5 = 0.3536
+    val half = graft.llm.Sampling.temperatureSample(
+        docs, "doc_id", "stratum", alpha = 0.5)
+      .select("stratum", "keep_rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(half("big") == 0.3536, half.toString)
+    // deterministic across layouts
+    val again = graft.llm.Sampling.temperatureSample(
+      docs.repartition(13), "doc_id", "stratum", alpha = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == flat.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("kCenterSample: farthest-first picks the extremes, radius curve " +
       "non-increasing, k > n stops, layout-independent") {
     // four tight clusters at the corners of a square + one outlier far
