@@ -683,6 +683,13 @@ object Oracles {
          FROM c
          WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
                                          WHEN 'src1' THEN 0 ELSE 700 END""",
+    // q9M: property oracle (q63's shape) — the row hash-matches only
+    // if the stream-built index equals the batch assignment AND the
+    // recall gate computes true.
+    "q9M_stream_ivf_index" ->
+      """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries,
+         true AS index_identical, true AS recall_ok
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
     // q9L: per-source temperature rates (p_min/p_k)^(1-alpha), round-4,
     // unit-hash draw — the same arithmetic on both engines.
     "q9L_temperature_sample" ->

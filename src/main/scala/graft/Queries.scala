@@ -1166,6 +1166,46 @@ object Queries {
         .select(col("batch_id"), col("n_docs"), col("n_grams"),
           col("js_div"), col("alarm"))
     }),
+    // Stateful streaming ANN indexing (round 8): the IVF index built
+    // incrementally across 3 micro-batches — centroids frozen after
+    // the first batch, later vectors assigned scan-side. The row
+    // hash-matches the oracle ONLY if (a) the stream-built cell state
+    // is IDENTICAL to the batch assignment under the stored centroids
+    // and (b) probe recall vs brute force clears the q63 floor.
+    "q9M_stream_ivf_index" -> ((s, d) => {
+      import s.implicits._
+      val state = streamedIvfIndexState(s, d)
+      val emb = T.embeddings(s, d)
+      val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
+      val cents = s.read.parquet(s"$state/centroids/batch_*")
+        .select(col("cell_id"), col("centroid"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val streamed = s.read.parquet(s"$state/cells/batch_*")
+        .select(col("cell_id"), col("id")).localCheckpoint()
+      val batchAssigned = emb.select(
+        Similarity.ivfAssignUdf(cents)(col("embedding")).as("cell_id"),
+        col("vec_id").cast("long").as("id"))
+      val diff = streamed.exceptAll(batchAssigned)
+        .unionAll(batchAssigned.exceptAll(streamed)).count()
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val approx = graft.streaming.Ingest.ivfIndexTopK(s, state, queries,
+          "vec_id", "embedding", k = 10, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          lit(diff == 0L).as("index_identical"),
+          // q63's floor: measured mean recall@10 0.54-0.62 with full-
+          // corpus training; first-batch training lands in the same
+          // band (the quantizer sees a 1/3 uniform sample)
+          (sum(col("n_hit")).cast("double") /
+            (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
+    }),
     // Temperature mixture rebalancing (round 8): the multilingual p^α
     // rule at α = 0.5 over the (skewed) lang strata — keep rates
     // (p_min/p_k)^(1-α)
@@ -1398,6 +1438,50 @@ object Queries {
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 3,
         s"streamed quota ingest must see 3 micro-batches, saw $batches")
+      stateDir
+    })
+
+  private val ivfIdxCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streamed IVF-index fixture: embeddings sliced into 3 micro-batches
+    * by `vec_id % 3` (mtime-pinned file order); centroids train on the
+    * first batch, later batches are assigned incrementally by
+    * [[graft.streaming.Ingest.startIvfIndexIngest]]. Returns the state
+    * dir (centroids/cells per batch).
+    */
+  private def streamedIvfIndexState(s: SparkSession, d: String): String =
+    ivfIdxCache.getOrElseUpdate(d, {
+      val base = Files.createTempDirectory("graft-qivfidx").toString
+      val srcDir = s"$base/src"
+      val fs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val staging = s"$base/staging"
+      emb.withColumn("_slice", (col("vec_id") % 3).cast("int"))
+        .repartition(col("_slice"))
+        .write.partitionBy("_slice").parquet(staging)
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+        val part = fs.listStatus(sliceDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+          case Array(one) => one
+          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+        }
+        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val stateDir = s"$base/state"
+      val q = graft.streaming.Ingest.startIvfIndexIngest(
+        stream, stateDir, s"$base/ckpt")
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"streamed IVF indexing must see 3 micro-batches, saw $batches")
       stateDir
     })
 

@@ -510,6 +510,19 @@ object Similarity {
     val assigned = corpus
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cell_id", ivfAssignUdf(cents)(col("cv")))
+    probeAssignedCells(assigned, queries, idCol, vecCol, k, nProbe, cents)
+  }
+
+  /** Probe + exact-cosine rerank over an ALREADY-ASSIGNED
+    * (cell_id, neighbor_id, cv) frame — the shared back half of
+    * [[ivfWithCentroids]], also serving indexes whose assignment was
+    * materialized elsewhere (the stream-built IVF state).
+    */
+  private[graft] def probeAssignedCells(assigned: DataFrame,
+                                        queries: DataFrame, idCol: String,
+                                        vecCol: String, k: Int, nProbe: Int,
+                                        centroids: Array[(Long, Array[Double])]): DataFrame = {
+    val cents = centroids.sortBy(_._1)
     val probes = queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell_id", explode(ivfProbeUdf(cents, nProbe)(col("qv"))))
@@ -895,7 +908,7 @@ object Similarity {
   /** Nearest-centroid assignment (sorted cents; lowest cell_id wins
     * ties — the row_number (csim DESC, cell_id ASC) oracle contract).
     */
-  private def ivfAssignUdf(cents: Array[(Long, Array[Double])]): UserDefinedFunction =
+  private[graft] def ivfAssignUdf(cents: Array[(Long, Array[Double])]): UserDefinedFunction =
     udf { (vs: Seq[Float]) =>
       val v = toFA(vs)
       var bestCell = Long.MinValue; var bestSim = Double.NegativeInfinity
@@ -909,7 +922,7 @@ object Similarity {
     }
 
   /** The nProbe closest cells for a query vector. */
-  private def ivfProbeUdf(cents: Array[(Long, Array[Double])],
+  private[graft] def ivfProbeUdf(cents: Array[(Long, Array[Double])],
                           nProbe: Int): UserDefinedFunction =
     udf { (vs: Seq[Float]) =>
       val v = toFA(vs)

@@ -589,6 +589,118 @@ object Ingest {
     quotaIngestWriter(stream, stateDir, checkpointDir, idCol, keyCol,
       nTokensCol, budgets, defaultBudget, salt).trigger(trigger).start()
 
+  /** STATEFUL streaming ANN indexing at ingest: the IVF index built
+    * incrementally as embedding batches arrive — "index the crawl as
+    * it lands" instead of a nightly rebuild. Centroids are k-means-
+    * trained ONCE on the first non-empty batch (the IVF convention:
+    * the coarse quantizer is trained on a sample, then frozen — later
+    * vectors are assigned, never re-clustered) and every batch's
+    * vectors are cell-assigned scan-side against the BROADCAST
+    * centroids — a pure projection, no shuffle — and appended as
+    * `(cell_id, id, vec)` state. [[ivfIndexTopK]] then answers
+    * queries over the accumulated state with the same probe/rerank
+    * plan as the batch index, so a stream-built and a batch-built
+    * index over the same corpus + centroids return IDENTICAL top-k
+    * (spec-gated differential, q9M property-gated).
+    *
+    * State under `stateDir` (per-batch dirs, OVERWRITE-written, read
+    * strictly-earlier — the [[curateBatch]] discipline):
+    *  - `centroids/batch_<id>/` — (cell_id, centroid) from the one
+    *    training batch (readers take the earliest dir; a retry of the
+    *    training batch retrains on identical input deterministically);
+    *  - `cells/batch_<id>/`    — the batch's (cell_id, id, vec) rows;
+    *    compacts by plain concatenation ([[compactIvfIndexState]]).
+    *
+    * Scale posture: per batch the work is one scan of the BATCH (the
+    * assignment projection); history is never re-read. At query time
+    * the probed cells are pruned from the accumulated state exactly as
+    * in the batch index; at extreme scale, partition `cells/` state by
+    * cell_id so probes prune at the file level.
+    */
+  def ivfIndexIngestWriter(stream: DataFrame, stateDir: String,
+                           checkpointDir: String,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           nCells: Int = 16, iters: Int = 5,
+                           compactEvery: Int = 0): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactIvfIndexState(batch.sparkSession, stateDir, batchId)
+        ivfIndexBatch(batch, batchId, stateDir, idCol, vecCol, nCells, iters)
+      }
+
+  /** One micro-batch of the IVF-index ingest — split out so the
+    * differential spec can drive it directly.
+    */
+  private[graft] def ivfIndexBatch(batch: DataFrame, batchId: Long,
+                                   stateDir: String, idCol: String,
+                                   vecCol: String, nCells: Int,
+                                   iters: Int): Unit = {
+    import graft.llm.Similarity
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val b = batch.localCheckpoint() // read by train (maybe) + assignment
+    // the frozen coarse quantizer: strictly-earlier centroid state, or
+    // train NOW iff no earlier batch ever trained (first non-empty
+    // batch; a retry retrains on the identical input)
+    val histCents = historyDirs(fs, stateDir, "centroids", batchId)
+    val cents: Array[(Long, Array[Double])] =
+      if (histCents.nonEmpty)
+        spark.read.parquet(histCents: _*)
+          .select(col("cell_id"), col("centroid"))
+          .as[(Long, Array[Double])].collect().sortBy(_._1)
+      else {
+        val trained = Similarity.kmeansCentroids(b, idCol, vecCol, nCells, iters)
+        trained.toSeq.toDF("cell_id", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/centroids/batch_$batchId")
+        trained
+      }
+    b.select(Similarity.ivfAssignUdf(cents)(col(vecCol)).as("cell_id"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .write.mode("overwrite").parquet(s"$stateDir/cells/batch_$batchId")
+    ()
+  }
+
+  /** Query the stream-built IVF index: same probe + exact-cosine
+    * rerank plan as the batch [[graft.llm.Similarity.ivfTopKKMeans]],
+    * reading the accumulated cell state instead of assigning a corpus.
+    */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession,
+                   stateDir: String, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    import graft.llm.Similarity
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$stateDir/centroids/batch_*")
+      .select(col("cell_id"), col("centroid"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    // read through the compaction floor (a batch_* glob would miss
+    // compact_upto_* generations and double-count GC survivors)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val cellDirs = historyDirs(fs, stateDir, "cells", Long.MaxValue)
+    require(cellDirs.nonEmpty, s"no IVF cell state under $stateDir/cells")
+    val assigned = spark.read.parquet(cellDirs: _*)
+      .select(col("cell_id"), col("id").as("neighbor_id"), col("vec").as("cv"))
+    Similarity.probeAssignedCells(assigned, queries, idCol, vecCol, k,
+      nProbe, cents)
+  }
+
+  def startIvfIndexIngest(stream: DataFrame, stateDir: String,
+                          checkpointDir: String,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          nCells: Int = 16, iters: Int = 5,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ivfIndexIngestWriter(stream, stateDir, checkpointDir, idCol, vecCol,
+      nCells, iters).trigger(trigger).start()
+
   // ------------- curation-state compaction (WAL-rotate analog) ------- //
 
   /** History inputs for micro-batch `batchId` of a curation stream:
@@ -695,6 +807,15 @@ object Ingest {
                         stateDir: String, upTo: Long): Unit =
     compactCurationState(spark, stateDir, "hist", upTo,
       _.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt")))
+
+  /** Compact the IVF-index ingest's cell state up to (excluding) batch
+    * `upTo`: per-batch (cell_id, id, vec) rows concatenate unchanged —
+    * a pure small-file rewrite (the centroid state is a single frozen
+    * dir and never compacts).
+    */
+  def compactIvfIndexState(spark: org.apache.spark.sql.SparkSession,
+                           stateDir: String, upTo: Long): Unit =
+    compactCurationState(spark, stateDir, "cells", upTo, identity)
 
   /** Compact the quota ingest's per-source totals up to (excluding)
     * batch `upTo`: per-batch (key, tokens) rows SUM into one

@@ -355,6 +355,55 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot == batchOp && batchOp.nonEmpty)
   }
 
+  test("stateful IVF-index ingest: centroids freeze after the first batch, " +
+      "stream-built index answers == batch index, compaction + retry exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Ingest
+    val stateDir = tmpDir("ivfidx-state")
+    // three clusters; arrivals interleave so every batch touches all
+    def v(id: Long, cx: Float, cy: Float): (Long, Seq[Float]) =
+      (id, Seq(cx + (id % 5) * 0.01f, cy + (id % 7) * 0.01f))
+    val all = (0L until 90L).map { i =>
+      val c = i % 3
+      v(i, if (c == 0) 1f else if (c == 1) -1f else 0f,
+        if (c == 2) 1f else 0.1f * c)
+    }
+    val batches = all.grouped(30).toSeq
+    for ((b, i) <- batches.zipWithIndex) {
+      Ingest.ivfIndexBatch(b.toDF("vec_id", "embedding"), i.toLong,
+        stateDir, "vec_id", "embedding", nCells = 3, iters = 4)
+      // compact cells mid-stream (before batch 2)
+      if (i == 1) Ingest.compactIvfIndexState(spark, stateDir, 2L)
+    }
+    // exactly ONE centroid generation: training happened once, on batch 0
+    val centDirs = new java.io.File(s"$stateDir/centroids").listFiles().map(_.getName)
+    assert(centDirs.toSeq == Seq("batch_0"), centDirs.toSeq.toString)
+    val cents = spark.read.parquet(s"$stateDir/centroids/batch_0")
+      .select("cell_id", "centroid")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    assert(cents.length == 3)
+    // differential: stream-index answers == the batch IVF plan over the
+    // full corpus with the SAME centroids
+    val queries = all.take(9).toDF("vec_id", "embedding")
+    val fromStream = Ingest.ivfIndexTopK(spark, stateDir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val fromBatch = graft.llm.Similarity.ivfWithCentroids(
+        all.toDF("vec_id", "embedding"), queries,
+        "vec_id", "embedding", k = 5, nProbe = 2, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(fromStream == fromBatch && fromBatch.nonEmpty)
+    // retry of the LAST batch converges (overwrite + strictly-earlier
+    // reads; centroids stay frozen)
+    Ingest.ivfIndexBatch(batches(2).toDF("vec_id", "embedding"), 2L,
+      stateDir, "vec_id", "embedding", nCells = 3, iters = 4)
+    assert(new java.io.File(s"$stateDir/centroids").listFiles().length == 1)
+    val afterRetry = Ingest.ivfIndexTopK(spark, stateDir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(afterRetry == fromStream)
+  }
+
   test("curation-state compaction: drift history folds to one generation, " +
       "reports stay exact; torn compaction ignored; retry converges") {
     import org.apache.spark.sql.functions.col
