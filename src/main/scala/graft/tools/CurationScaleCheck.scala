@@ -214,6 +214,49 @@ object CurationScaleCheck {
     check("compacted hist listing O(interval)", histEntries <= 10,
       s"$histEntries dirs vs $nb uncompacted")
 
+    // --- KMV sketch Jaccard vs the exact operator at scale ---
+    // same 28 pairs, estimates inside the 5-sigma KMV band
+    // (sigma = sqrt(J(1-J)/k) <= 0.031 at k = 256 -> band 0.16), and
+    // the one-pass no-distinct-shuffle path must also be the CHEAPER
+    // one (its shuffle is partitions x sources x 256 longs vs the
+    // exact operator's full distinct (source, gram) table)
+    val skj = timed("sourceJaccardSketch (k=256)") {
+      Corpus.sourceJaccardSketch(docs, "text", "source", k = 256).collect()
+    }
+    val exactJ = sj.map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    val estJ = skj.map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    val maxErr = estJ.map { case (p, v) => math.abs(v - exactJ(p)) }.max
+    check("sketch jaccard inside 5-sigma KMV band",
+      skj.length == 28 && maxErr <= 0.16, f"maxErr=$maxErr%.4f over 28 pairs")
+
+    // --- k-center diversity sampling at scale ---
+    // 200k vectors in 16 well-separated corner clusters (corner gap
+    // >= sqrt(800), intra-cluster gaussian noise sigma = 1): farthest-
+    // first must visit every cluster before re-entering any, and the
+    // radius curve must never increase
+    val kcN = math.min(n, 200000L)
+    val vgen = udf { (id: Long) =>
+      val c = (id % 16).toInt
+      val r = new java.util.Random(id * 0x9E3779B97L + 7)
+      Array.tabulate(8)(d =>
+        (((c >> (d % 4)) & 1) * 20.0 + r.nextGaussian()).toFloat)
+    }
+    val vecs = spark.range(kcN)
+      .select(col("id").as("vec_id"), vgen(col("id")).as("embedding"))
+      .localCheckpoint()
+    val sel = timed(s"kCenterSample k=16 @$kcN") {
+      graft.llm.Similarity.kCenterSample(vecs, "vec_id", "embedding", k = 16)
+        .orderBy(col("sel_rank")).collect()
+        .map(r => (r.getLong(1), r.getDouble(2)))
+    }
+    val clustersHit = sel.map(_._1 % 16).distinct.length
+    val radii = sel.drop(1).map(_._2)
+    check("k-center covers all 16 planted clusters", clustersHit == 16,
+      s"$clustersHit of 16 clusters represented")
+    check("k-center radius curve non-increasing",
+      radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      radii.mkString(","))
+
     println(s"[curscale] ${if (failures == 0) "ALL OK" else s"$failures FAILURES"} (n=$n)")
     if (failures > 0) sys.exit(1)
   }
