@@ -683,6 +683,25 @@ object Oracles {
          FROM c
          WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
                                          WHEN 'src1' THEN 0 ELSE 700 END""",
+    // q9N: CDC boundaries (8-gram hash % 64 == 0) + chunk hashes
+    // replayed token-for-token — chunk_idx = boundaries strictly
+    // before the token, chunk hash = md5-60 of the joined tokens.
+    "q9N_cdc_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),
+         pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM tok),
+         b AS (SELECT doc_id, i, ws[i] AS tk,
+                 CASE WHEN i >= 8 AND ${pHash(
+                   "ws[i-7] || ' ' || ws[i-6] || ' ' || ws[i-5] || ' ' || ws[i-4]" +
+                   " || ' ' || ws[i-3] || ' ' || ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]")} % 64 = 0
+                   THEN 1 ELSE 0 END AS bnd
+               FROM pos),
+         c AS (SELECT doc_id, i, tk,
+                 coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+               FROM b)
+         SELECT doc_id, chunk_idx::INT AS chunk_idx, count(*)::INT AS n_tokens,
+           ${pHash("string_agg(tk, ' ' ORDER BY i)")} AS chunk_hash
+         FROM c GROUP BY doc_id, chunk_idx""",
     // q9M: property oracle (q63's shape) — the row hash-matches only
     // if the stream-built index equals the batch assignment AND the
     // recall gate computes true.

@@ -1166,6 +1166,15 @@ object Queries {
         .select(col("batch_id"), col("n_docs"), col("n_grams"),
           col("js_div"), col("alarm"))
     }),
+    // Content-defined chunking (round 8): rolling-hash boundaries
+    // (last-8-token gram hash % 64 == 0) make chunk identity a pure
+    // function of local content — the shift-invariant chunk-level
+    // dedup primitive. One per-doc UDF pass; boundaries AND chunk
+    // hashes replayed exactly by the oracle.
+    "q9N_cdc_chunks" -> ((s, d) => {
+      TextStats.cdcChunks(T.documents(s, d), "doc_id", "text",
+        window = 8, divisor = 64L)
+    }),
     // Stateful streaming ANN indexing (round 8): the IVF index built
     // incrementally across 3 micro-batches — centroids frozen after
     // the first batch, later vectors assigned scan-side. The row

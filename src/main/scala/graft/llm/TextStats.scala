@@ -246,6 +246,56 @@ object TextStats {
         size(col("_chunk")).as("n_chunk_tokens"))
   }
 
+  /** Content-defined chunking (the LBFS/FastCDC idea at token
+    * granularity): a chunk boundary falls after token `i` iff the
+    * portable 60-bit hash of the last `window` tokens satisfies
+    * `hash % divisor == 0` — a pure function of LOCAL content, so an
+    * edit or insertion perturbs only the chunk it lands in (boundaries
+    * re-synchronize at the next content match), where fixed-stride
+    * chunking shifts every later chunk. The chunk-level-dedup
+    * primitive: identical passages in different documents yield
+    * identical `chunk_hash` values regardless of their offsets.
+    * Expected chunk length ≈ `divisor` tokens.
+    *
+    * One per-document UDF pass over the tokens — no token explode, no
+    * shuffle; chunk state never leaves the executor. Both the boundary
+    * grams and the chunk hashes are the engine-portable md5-60
+    * [[portableHash]], so the DuckDB oracle replays boundaries AND
+    * chunk identities exactly.
+    *
+    * Emits `(id, chunk_idx, n_tokens, chunk_hash)`.
+    */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, window: Int = 8,
+                divisor: Long = 64L): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && divisor > 0, "window and divisor must be positive")
+    val w = window
+    val d = divisor
+    val chunker = udf { (ws: Seq[String]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+      var start = 0
+      var idx = 0
+      var i = 0
+      val n = ws.length
+      while (i < n) {
+        val boundary = i >= w - 1 &&
+          hash60(md, ws.slice(i - w + 1, i + 1).mkString(" ")) % d == 0L
+        if (boundary || i == n - 1) {
+          out += ((idx, i - start + 1,
+            hash60(md, ws.slice(start, i + 1).mkString(" "))))
+          idx += 1
+          start = i + 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    df.select(col(idCol), explode(chunker(tokens(col(textCol)))).as("_c"))
+      .select(col(idCol), col("_c._1").as("chunk_idx"),
+        col("_c._2").as("n_tokens"), col("_c._3").as("chunk_hash"))
+  }
+
   // ------------------------------------------------------------------ //
   // Compiled single-tokenize pass                                      //
   // ------------------------------------------------------------------ //

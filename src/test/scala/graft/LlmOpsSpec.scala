@@ -256,6 +256,36 @@ class LlmOpsSpec extends SparkSpec {
       .toSeq == Seq((1L, 2L)))
   }
 
+  test("cdcChunks: boundaries are content-defined — a head insertion " +
+      "re-synchronizes, identical passages share chunk hashes") {
+    // 400 deterministic pseudo-random tokens; divisor 16 -> ~25 chunks
+    val words = (0 until 400).map(i => s"t${(i * 2654435761L % 9973)}")
+    val base = words.mkString(" ")
+    val shifted = "xx yy zz " + base // 3-token head insertion
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = TextStats.cdcChunks(docs, "doc_id", "text",
+        window = 4, divisor = 16L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val c1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    val c2 = chunks.filter(_._1 == 2L).sortBy(_._2)
+    assert(c1.length > 5, s"expected many chunks, got ${c1.length}")
+    // token counts reassemble losslessly
+    assert(c1.map(_._3).sum == 400 && c2.map(_._3).sum == 403)
+    // shift invariance: boundaries are local content, so after the
+    // first shared boundary the two docs' chunk hash SETS overlap on
+    // every later chunk — all of doc 1's chunks except (at most) its
+    // first appear verbatim in doc 2
+    val h1 = c1.map(_._4).toSet
+    val h2 = c2.map(_._4).toSet
+    assert((h1 -- h2).size <= 1,
+      s"${(h1 -- h2).size} of ${h1.size} chunks lost after a head insertion")
+    // determinism across layouts
+    val again = TextStats.cdcChunks(docs.repartition(5), "doc_id", "text",
+        window = 4, divisor = 16L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(again.sortBy(x => (x._1, x._2)).toSeq == chunks.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
   test("chunkDocuments: window boundaries, overlap, and lossless reassembly") {
     val text = (1 to 25).map(i => s"w$i").mkString(" ") // 25 tokens
     val docs = Seq((1L, text), (2L, "short doc")).toDF("doc_id", "text")
