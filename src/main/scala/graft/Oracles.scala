@@ -683,6 +683,20 @@ object Oracles {
          FROM c
          WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
                                          WHEN 'src1' THEN 0 ELSE 700 END""",
+    // q9O: the stream fixture's corpus (documents + planted copies in
+    // the last batch) deduped by the first-wins fold — row_number over
+    // (batch, id) per normalized text, rn > 1 dropped.
+    "q9O_stream_exact_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, lower(trim(text)) AS nt, doc_id % 3 AS b
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, lower(trim(text)), 2
+           FROM documents WHERE doc_id % 7 = 0),
+         r AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY nt ORDER BY b, doc_id) AS rn
+               FROM t)
+         SELECT doc_id FROM r WHERE rn > 1""",
     // q9N: CDC boundaries (8-gram hash % 64 == 0) + chunk hashes
     // replayed token-for-token — chunk_idx = boundaries strictly
     // before the token, chunk hash = md5-60 of the joined tokens.

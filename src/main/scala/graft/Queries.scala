@@ -1166,6 +1166,15 @@ object Queries {
         .select(col("batch_id"), col("n_docs"), col("n_grams"),
           col("js_div"), col("alarm"))
     }),
+    // Stateful exact dedup at ingest (round 8): first-wins duplicate
+    // dropping by normalized text digest across 3 micro-batches, with
+    // planted copies (doc_id + 1e6 of every doc_id % 7 == 0 doc, last
+    // batch) that must fall both cross-batch and within-batch. The
+    // oracle replays the (batch, id)-ordered drop-later fold in SQL.
+    "q9O_stream_exact_dedup" -> ((s, d) => {
+      val state = streamedExactDedupState(s, d)
+      s.read.parquet(s"$state/dups/batch_*").select(col("doc_id"))
+    }),
     // Content-defined chunking (round 8): rolling-hash boundaries
     // (last-8-token gram hash % 64 == 0) make chunk identity a pure
     // function of local content — the shift-invariant chunk-level
@@ -1447,6 +1456,54 @@ object Queries {
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 3,
         s"streamed quota ingest must see 3 micro-batches, saw $batches")
+      stateDir
+    })
+
+  private val exactDedupCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streamed exact-dedup fixture: documents sliced into 3 mtime-pinned
+    * micro-batches by `doc_id % 3`, PLUS a planted copy (doc_id +
+    * 1,000,000, identical text) of every `doc_id % 7 == 0` document
+    * routed into the LAST batch — so the dedup must drop copies both
+    * across batches (original in slice 0/1) and within the final batch
+    * (original in slice 2, lower id wins). Returns the state dir.
+    */
+  private def streamedExactDedupState(s: SparkSession, d: String): String =
+    exactDedupCache.getOrElseUpdate(d, {
+      val base = Files.createTempDirectory("graft-qexdedup").toString
+      val srcDir = s"$base/src"
+      val fs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val withCopies = docs.withColumn("_slice", (col("doc_id") % 3).cast("int"))
+        .unionByName(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .withColumn("_slice", lit(2)))
+      val staging = s"$base/staging"
+      withCopies.repartition(col("_slice"))
+        .write.partitionBy("_slice").parquet(staging)
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+        val part = fs.listStatus(sliceDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+          case Array(one) => one
+          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+        }
+        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val stateDir = s"$base/state"
+      val q = graft.streaming.Ingest.startExactDedupIngest(
+        stream, stateDir, s"$base/ckpt")
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"streamed exact dedup must see 3 micro-batches, saw $batches")
       stateDir
     })
 

@@ -589,6 +589,90 @@ object Ingest {
     quotaIngestWriter(stream, stateDir, checkpointDir, idCol, keyCol,
       nTokensCol, budgets, defaultBudget, salt).trigger(trigger).start()
 
+  /** STATEFUL exact dedup at ingest: first-wins duplicate dropping by
+    * normalized text digest against EVERYTHING ALREADY SEEN — the
+    * cheapest and most common ingest-time curation step
+    * ([[graft.llm.Dedup.exactDedup]]'s `sha2(lower(trim(text)))` key
+    * with the streaming semantic: the earliest arrival survives,
+    * batch order first, then lowest id within a batch). Every seen
+    * digest blocks all later copies, so the state is ONE slim distinct
+    * digest column per batch (text never re-read, compacts by
+    * distinct — [[compactExactDedupState]]).
+    *
+    * State under `stateDir` (per-batch dirs, OVERWRITE-written, read
+    * strictly-earlier — the [[curateBatch]] discipline):
+    *  - `hashes/batch_<id>/` — the batch's distinct digests;
+    *  - `docs/batch_<id>/`   — surviving rows (the clean feed);
+    *  - `dups/batch_<id>/`   — (id) of dropped later copies.
+    *
+    * Scale posture: per micro-batch the history-sized work is one scan
+    * of the digest state joined against the BATCH's digests (batch
+    * side broadcast — history never shuffles); everything else is
+    * batch-sized. At extreme history, bucket `hashes/` by digest
+    * prefix so the probe prunes at the file level.
+    */
+  def exactDedupIngestWriter(stream: DataFrame, stateDir: String,
+                             checkpointDir: String,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             compactEvery: Int = 0): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactExactDedupState(batch.sparkSession, stateDir, batchId)
+        exactDedupBatch(batch, batchId, stateDir, idCol, textCol)
+      }
+
+  /** One micro-batch of the exact-dedup ingest — split out so the
+    * differential spec can drive it directly.
+    */
+  private[graft] def exactDedupBatch(batch: DataFrame, batchId: Long,
+                                     stateDir: String, idCol: String,
+                                     textCol: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    // strictly-earlier batches only: a retry must not see its own state
+    val histDirs = historyDirs(fs, stateDir, "hashes", batchId)
+    val b = batch
+      .withColumn("_digest", sha2(lower(trim(col(textCol))), 256))
+      .localCheckpoint() // read by winners + state dump
+    // within-batch winner per digest = lowest id
+    val winners = b.groupBy(col("_digest"))
+      .agg(min(col(idCol).cast("long")).as("_win"))
+    // any digest seen in an earlier batch blocks the whole batch group
+    val blocked =
+      if (histDirs.isEmpty)
+        b.select(col("_digest")).limit(0)
+      else spark.read.parquet(histDirs: _*)
+        .join(broadcast(b.select(col("_digest")).distinct()),
+          Seq("_digest"), "left_semi")
+    val flagged = b
+      .join(winners, Seq("_digest"))
+      .join(broadcast(blocked.withColumn("_blk", lit(true))),
+        Seq("_digest"), "left")
+      .where(col("_blk") || col(idCol).cast("long") =!= col("_win"))
+      .select(col(idCol))
+      .localCheckpoint()
+    b.join(flagged, Seq(idCol), "left_anti").drop("_digest")
+      .write.mode("overwrite").parquet(s"$stateDir/docs/batch_$batchId")
+    flagged.write.mode("overwrite").parquet(s"$stateDir/dups/batch_$batchId")
+    b.select(col("_digest")).distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/hashes/batch_$batchId")
+    ()
+  }
+
+  def startExactDedupIngest(stream: DataFrame, stateDir: String,
+                            checkpointDir: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    exactDedupIngestWriter(stream, stateDir, checkpointDir, idCol, textCol)
+      .trigger(trigger).start()
+
   /** STATEFUL streaming ANN indexing at ingest: the IVF index built
     * incrementally as embedding batches arrive — "index the crawl as
     * it lands" instead of a nightly rebuild. Centroids are k-means-
@@ -807,6 +891,14 @@ object Ingest {
                         stateDir: String, upTo: Long): Unit =
     compactCurationState(spark, stateDir, "hist", upTo,
       _.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt")))
+
+  /** Compact the exact-dedup ingest's digest state up to (excluding)
+    * batch `upTo`: per-batch digest tables fold by DISTINCT — the
+    * reader only tests membership, so the fold is value-identical.
+    */
+  def compactExactDedupState(spark: org.apache.spark.sql.SparkSession,
+                             stateDir: String, upTo: Long): Unit =
+    compactCurationState(spark, stateDir, "hashes", upTo, _.distinct())
 
   /** Compact the IVF-index ingest's cell state up to (excluding) batch
     * `upTo`: per-batch (cell_id, id, vec) rows concatenate unchanged —

@@ -355,6 +355,62 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot == batchOp && batchOp.nonEmpty)
   }
 
+  test("stateful exact-dedup ingest: first-wins by (batch, id) at every " +
+      "boundary; digest compaction exact; retry idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = tmpDir("exdedup-state")
+    val ckpt = tmpDir("exdedup-ckpt")
+    // batch 1: two distinct docs + a DOUBLE-SPACED near-copy of doc 1
+    // (id 3 — exact dedup must NOT drop it: trim+lower does not
+    // collapse inner whitespace); batch 2: a cross-batch copy (id 4 =
+    // doc 2's text, edge-whitespace-padded — normalization must catch
+    // it) + a fresh doc; batch 3: a copy of the batch-2 fresh doc and
+    // a copy of doc 1's text (id 7)
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "Alpha  Beta".toLowerCase))
+    val b2 = Seq((4L, "  gamma delta "), (5L, "epsilon zeta"))
+    val b3 = Seq((6L, "epsilon zeta"), (7L, "alpha beta"), (8L, "eta theta"))
+    // NOTE: doc 3's text "alpha  beta" (double space) normalizes to a
+    // DIFFERENT digest than "alpha beta" under sha2(lower(trim())) —
+    // mirror the operator exactly with a trim+lower fold
+    def norm(t: String) = t.trim.toLowerCase
+    val stream = MemoryStream[(Long, String)]
+    val query = Ingest.exactDedupIngestWriter(
+      stream.toDF().toDF("doc_id", "text"), stateDir, ckpt,
+      compactEvery = 1)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expDropped = scala.collection.mutable.Set.empty[Long]
+    for ((b, i) <- Seq(b1, b2, b3).zipWithIndex) {
+      stream.addData(b: _*)
+      query.processAllAvailable()
+      b.groupBy(r => norm(r._2)).foreach { case (nt, rows) =>
+        val sorted = rows.sortBy(_._1)
+        val winner = if (seen(nt)) None else Some(sorted.head._1)
+        sorted.foreach { case (id, _) =>
+          if (!winner.contains(id)) expDropped += id
+        }
+        seen += nt
+      }
+      val dropped = spark.read.parquet(s"$stateDir/dups/batch_*")
+        .select("doc_id").as[Long].collect().toSet
+      assert(dropped == expDropped.toSet,
+        s"batch $i: dropped=$dropped expected=$expDropped")
+    }
+    query.stop()
+    // planted resolution: 4 (cross-batch after trim), 6 (cross-batch),
+    // 7 (copy of doc 1's text); the double-spaced near-copy 3 survives
+    assert(expDropped == Set(4L, 6L, 7L), expDropped.toString)
+    val survivors = spark.read.parquet(s"$stateDir/docs/batch_*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L, 5L, 8L))
+    // retry of the last batch converges
+    Ingest.exactDedupBatch(b3.toDF("doc_id", "text"), 2L, stateDir,
+      "doc_id", "text")
+    val afterRetry = spark.read.parquet(s"$stateDir/dups/batch_*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(afterRetry == expDropped.toSet)
+  }
+
   test("stateful IVF-index ingest: centroids freeze after the first batch, " +
       "stream-built index answers == batch index, compaction + retry exact") {
     implicit val sqlCtx = spark.sqlContext
