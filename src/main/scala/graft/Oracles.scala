@@ -683,6 +683,13 @@ object Oracles {
          FROM c
          WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
                                          WHEN 'src1' THEN 0 ELSE 700 END""",
+    // q9P: property oracle — the stream-union estimates must sit
+    // within 5% of both the one-shot batch sketch and the exact
+    // distinct counts.
+    "q9P_stream_hll_distinct" ->
+      """SELECT count(DISTINCT source)::BIGINT AS n_sources,
+         true AS stream_near_batch, true AS within_band
+         FROM documents""",
     // q9O: the stream fixture's corpus (documents + planted copies in
     // the last batch) deduped by the first-wins fold — row_number over
     // (batch, id) per normalized text, rn > 1 dropped.

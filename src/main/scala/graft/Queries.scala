@@ -1166,6 +1166,33 @@ object Queries {
         .select(col("batch_id"), col("n_docs"), col("n_grams"),
           col("js_div"), col("alarm"))
     }),
+    // Stateful HLL distinct-counting at ingest (round 8): per-source
+    // mergeable DataSketches HLL sketches accumulated across 3 micro-
+    // batches. The row hash-matches the oracle ONLY if the stream's
+    // final running estimates land within 5% of BOTH the one-shot
+    // batch sketch over the whole corpus and the exact distinct counts
+    // (HLL union preserves the accuracy class, but sparse-to-dense
+    // promotion during union can move an estimate slightly off the
+    // one-shot build's, so parity is a band, not equality).
+    "q9P_stream_hll_distinct" -> ((s, d) => {
+      val state = streamedHllState(s, d)
+      val streamed = s.read.parquet(s"$state/counts/batch_2")
+        .select(col("key"), col("distinct_tokens").as("stream_est"))
+      val docs = T.documents(s, d)
+      val toks = docs.select(col("source").as("key"),
+        explode(TextStats.tokens(col("text"))).as("_w"))
+      val batchSide = toks.groupBy(col("key"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("_w"), 12)).as("batch_est"),
+          countDistinct(col("_w")).as("exact_n"))
+      streamed.join(batchSide, Seq("key"))
+        .agg(count(lit(1)).as("n_sources"),
+          (sum(when(abs(col("stream_est") - col("batch_est")).cast("double") /
+            col("batch_est").cast("double") <= 0.05, 0L).otherwise(1L)) === 0L)
+            .as("stream_near_batch"),
+          (sum(when(abs(col("stream_est") - col("exact_n")).cast("double") /
+            col("exact_n").cast("double") <= 0.05, 0L).otherwise(1L)) === 0L)
+            .as("within_band"))
+    }),
     // Stateful exact dedup at ingest (round 8): first-wins duplicate
     // dropping by normalized text digest across 3 micro-batches, with
     // planted copies (doc_id + 1e6 of every doc_id % 7 == 0 doc, last
@@ -1456,6 +1483,50 @@ object Queries {
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 3,
         s"streamed quota ingest must see 3 micro-batches, saw $batches")
+      stateDir
+    })
+
+  private val hllCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streamed HLL-distinct fixture: documents sliced into 3 mtime-pinned
+    * micro-batches by `doc_id % 3`, each batch folded into per-source
+    * mergeable HLL sketches by
+    * [[graft.streaming.Ingest.startHllDistinctIngest]]. Returns the
+    * state dir (sketches/counts per batch).
+    */
+  private def streamedHllState(s: SparkSession, d: String): String =
+    hllCache.getOrElseUpdate(d, {
+      val base = Files.createTempDirectory("graft-qhll").toString
+      val srcDir = s"$base/src"
+      val fs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val docs = T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      val staging = s"$base/staging"
+      docs.withColumn("_slice", (col("doc_id") % 3).cast("int"))
+        .repartition(col("_slice"))
+        .write.partitionBy("_slice").parquet(staging)
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+        val part = fs.listStatus(sliceDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+          case Array(one) => one
+          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+        }
+        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val stateDir = s"$base/state"
+      val q = graft.streaming.Ingest.startHllDistinctIngest(
+        stream, stateDir, s"$base/ckpt")
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"streamed HLL distinct must see 3 micro-batches, saw $batches")
       stateDir
     })
 

@@ -673,6 +673,79 @@ object Ingest {
     exactDedupIngestWriter(stream, stateDir, checkpointDir, idCol, textCol)
       .trigger(trigger).start()
 
+  /** STATEFUL distinct-counting at ingest via MERGEABLE HLL sketches
+    * (Apache DataSketches, Spark's `hll_sketch_agg` family): each
+    * micro-batch reduces to one HLL sketch per key (source), and the
+    * running per-source distinct-token count is the estimate of the
+    * UNION of all batch sketches — the textbook mergeable-summary
+    * shape: state is O(keys × 2^lgK) bytes regardless of corpus size
+    * and batches fold commutatively. Union preserves the sketch's
+    * ACCURACY CLASS, not bit-identity: sparse→dense promotion during a
+    * union can nudge an estimate a register off the one-shot build
+    * (measured: 501 vs 499 on a 500-token set at lgK=12), so parity
+    * with the batch sketch — and compaction invariance — are banded
+    * properties, not equalities. "How many distinct tokens has each
+    * source ever sent?" answered in-flight, at sketch cost.
+    *
+    * State under `stateDir` (per-batch dirs, OVERWRITE-written, read
+    * strictly-earlier — the [[curateBatch]] discipline):
+    *  - `sketches/batch_<id>/` — (key, sketch BINARY) for the batch;
+    *  - `counts/batch_<id>/`   — the running (key, distinct_tokens)
+    *    report as of this batch.
+    */
+  def hllDistinctIngestWriter(stream: DataFrame, stateDir: String,
+                              checkpointDir: String,
+                              textCol: String = "text",
+                              keyCol: String = "source",
+                              lgK: Int = 12,
+                              compactEvery: Int = 0): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactHllState(batch.sparkSession, stateDir, batchId)
+        hllDistinctBatch(batch, batchId, stateDir, textCol, keyCol, lgK)
+      }
+
+  /** One micro-batch of the HLL-distinct ingest — split out so the
+    * differential spec can drive it directly.
+    */
+  private[graft] def hllDistinctBatch(batch: DataFrame, batchId: Long,
+                                      stateDir: String, textCol: String,
+                                      keyCol: String, lgK: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    // strictly-earlier batches only: a retry must not see its own state
+    val histDirs = historyDirs(fs, stateDir, "sketches", batchId)
+    val sk = batch
+      .select(col(keyCol).as("key"),
+        explode(graft.llm.TextStats.tokens(col(textCol))).as("_w"))
+      .groupBy(col("key"))
+      .agg(hll_sketch_agg(col("_w"), lgK).as("sketch"))
+      .localCheckpoint() // read by the state dump + the running report
+    sk.write.mode("overwrite").parquet(s"$stateDir/sketches/batch_$batchId")
+    val all =
+      if (histDirs.isEmpty) sk
+      else sk.unionByName(spark.read.parquet(histDirs: _*))
+    all.groupBy(col("key"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("distinct_tokens"))
+      .write.mode("overwrite").parquet(s"$stateDir/counts/batch_$batchId")
+    ()
+  }
+
+  def startHllDistinctIngest(stream: DataFrame, stateDir: String,
+                             checkpointDir: String,
+                             textCol: String = "text",
+                             keyCol: String = "source",
+                             lgK: Int = 12,
+                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    hllDistinctIngestWriter(stream, stateDir, checkpointDir, textCol,
+      keyCol, lgK).trigger(trigger).start()
+
   /** STATEFUL streaming ANN indexing at ingest: the IVF index built
     * incrementally as embedding batches arrive — "index the crawl as
     * it lands" instead of a nightly rebuild. Centroids are k-means-
@@ -899,6 +972,17 @@ object Ingest {
   def compactExactDedupState(spark: org.apache.spark.sql.SparkSession,
                              stateDir: String, upTo: Long): Unit =
     compactCurationState(spark, stateDir, "hashes", upTo, _.distinct())
+
+  /** Compact the HLL-distinct ingest's sketch state up to (excluding)
+    * batch `upTo`: per-batch sketches fold by `hll_union_agg` per key.
+    * Union keeps the accuracy class; regrouping the fold can move an
+    * estimate within the sketch's error band (see
+    * [[hllDistinctIngestWriter]]), which the spec gates.
+    */
+  def compactHllState(spark: org.apache.spark.sql.SparkSession,
+                      stateDir: String, upTo: Long): Unit =
+    compactCurationState(spark, stateDir, "sketches", upTo,
+      _.groupBy(col("key")).agg(hll_union_agg(col("sketch")).as("sketch")))
 
   /** Compact the IVF-index ingest's cell state up to (excluding) batch
     * `upTo`: per-batch (cell_id, id, vec) rows concatenate unchanged —

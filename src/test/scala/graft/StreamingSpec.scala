@@ -355,6 +355,61 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot == batchOp && batchOp.nonEmpty)
   }
 
+  test("stateful HLL-distinct ingest: stream union tracks the one-shot " +
+      "sketch and exact counts at every boundary; compaction stays in " +
+      "band; retry idempotent") {
+    import graft.streaming.Ingest
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, explode, col, lit}
+    val stateDir = tmpDir("hll-state")
+    // vocab overlaps across batches: shared tokens must count once
+    def doc(id: Long, src: String, words: Seq[String]) = (id, src, words.mkString(" "))
+    val b1 = Seq(doc(1L, "a", (0 until 300).map(i => s"w$i")),
+      doc(2L, "b", (0 until 50).map(i => s"x$i")))
+    val b2 = Seq(doc(3L, "a", (200 until 500).map(i => s"w$i"))) // 100 overlap
+    val b3 = Seq(doc(4L, "b", (0 until 80).map(i => s"x$i")),    // 50 overlap
+      doc(5L, "a", Seq("w0", "w1", "zz1")))                      // mostly seen
+    val prefix = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    for ((b, i) <- Seq(b1, b2, b3).zipWithIndex) {
+      Ingest.hllDistinctBatch(b.toDF("doc_id", "source", "text"), i.toLong,
+        stateDir, "text", "source", 12)
+      prefix ++= b
+      // boundary differential: the running stream estimate tracks the
+      // ONE-SHOT sketch over the whole prefix (union keeps the
+      // accuracy class; promotion during union may nudge a register)
+      val streamed = spark.read.parquet(s"$stateDir/counts/batch_$i")
+        .select("key", "distinct_tokens")
+        .as[(String, Long)].collect().toMap
+      val oneShot = prefix.toSeq.toDF("doc_id", "source", "text")
+        .select(col("source").as("key"),
+          explode(graft.llm.TextStats.tokens(col("text"))).as("_w"))
+        .groupBy(col("key"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("_w"), 12)).as("est"))
+        .as[(String, Long)].collect().toMap
+      def near(a: Long, b: Long) = math.abs(a - b) <= math.max(1L, (0.02 * b).toLong)
+      assert(streamed.keySet == oneShot.keySet &&
+        streamed.forall { case (k, v) => near(v, oneShot(k)) },
+        s"batch $i: $streamed vs $oneShot")
+      val exact = prefix.toSeq.groupBy(_._2).map { case (k, rows) =>
+        k -> rows.flatMap(_._3.split(" ")).distinct.size.toLong
+      }
+      assert(streamed.forall { case (k, v) => near(v, exact(k)) },
+        s"batch $i: $streamed vs exact $exact")
+    }
+    // compaction regroups the union fold; the report stays in band
+    val before = spark.read.parquet(s"$stateDir/counts/batch_2")
+      .as[(String, Long)].collect().toMap
+    Ingest.compactHllState(spark, stateDir, 2L)
+    Ingest.hllDistinctBatch(b3.toDF("doc_id", "source", "text"), 2L,
+      stateDir, "text", "source", 12) // retry reads through the floor
+    val after = spark.read.parquet(s"$stateDir/counts/batch_2")
+      .as[(String, Long)].collect().toMap
+    assert(after.keySet == before.keySet && after.forall { case (k, v) =>
+      math.abs(v - before(k)) <= math.max(1L, (0.02 * before(k)).toLong) },
+      s"$after vs $before")
+    val names = new java.io.File(s"$stateDir/sketches").listFiles().map(_.getName).toSet
+    assert(names.contains("compact_upto_2") && !names.contains("batch_0"), names.toString)
+  }
+
   test("stateful exact-dedup ingest: first-wins by (batch, id) at every " +
       "boundary; digest compaction exact; retry idempotent") {
     implicit val sqlCtx = spark.sqlContext
