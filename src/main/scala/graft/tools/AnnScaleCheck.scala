@@ -96,6 +96,49 @@ object AnnScaleCheck {
       require(hnRecall >= 0.7,
         f"hardNegativesIvf recall@10=$hnRecall%.3f fell below the 0.7 floor " +
           s"at corpus size $n")
+      // streamed IVF index at the same derivation point: centroids
+      // train on the FIRST of 5 arrival slices then freeze; the
+      // stream-built cell state must EQUAL the batch assignment under
+      // the stored centroids (deterministic), and probing the
+      // accumulated state must hold the recall floor even though the
+      // quantizer never saw 4/5 of the corpus.
+      import spark.implicits._
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("annscale-ivfidx").toString
+      val t2 = System.nanoTime()
+      (0 until 5).foreach { i =>
+        graft.streaming.Ingest.ivfIndexBatch(
+          corpus.where(col("vec_id") % 5 === i), i.toLong, idxDir,
+          "vec_id", "embedding", nCells = nCells, iters = 4)
+      }
+      val buildSec = (System.nanoTime() - t2) / 1e9
+      val cents = spark.read.parquet(s"$idxDir/centroids/batch_0")
+        .select(col("cell_id"), col("centroid"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val streamedAsg = spark.read.parquet(s"$idxDir/cells/batch_*")
+        .select(col("cell_id"), col("id"))
+      val batchAsg = corpus.select(
+        Similarity.ivfAssignUdf(cents)(col("embedding")).as("cell_id"),
+        col("vec_id").as("id"))
+      val asgDiff = streamedAsg.exceptAll(batchAsg)
+        .unionAll(batchAsg.exceptAll(streamedAsg)).count()
+      require(asgDiff == 0L,
+        s"stream-built IVF state diverged from the batch assignment " +
+          s"($asgDiff rows) at corpus size $n")
+      val t3 = System.nanoTime()
+      val idxTopK = graft.streaming.Ingest.ivfIndexTopK(spark, idxDir,
+        queries, "vec_id", "embedding", k = 10, nProbe = nProbe)
+      val idxHit = exact.join(idxTopK.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      val idxSec = (System.nanoTime() - t3) / 1e9
+      val idxRecall = idxHit.toDouble / total
+      println(f"[annscale] n=$n streamedIvfIndex build=$buildSec%.1f s " +
+        f"recall@10=$idxRecall%.3f ($idxHit/$total) query=$idxSec%.1f s")
+      require(idxRecall >= 0.7,
+        f"streamed-IVF-index recall@10=$idxRecall%.3f fell below the 0.7 " +
+          s"floor at corpus size $n — first-batch centroid training does " +
+          "not hold the derivation at this scale")
+      graft.GraftSession.deleteRecursively(java.nio.file.Paths.get(idxDir))
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(lc)
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(exactHn)
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(corpus)
