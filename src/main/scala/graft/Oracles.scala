@@ -704,6 +704,30 @@ object Oracles {
                  row_number() OVER (PARTITION BY nt ORDER BY b, doc_id) AS rn
                FROM t)
          SELECT doc_id FROM r WHERE rn > 1""",
+    // q9Q: the q9N chunking at (window 4, divisor 8) + the >=2-distinct
+    // -doc census, folded to per-doc duplication rates.
+    "q9Q_chunk_dup_rate" ->
+      s"""WITH tok AS (SELECT doc_id, $WS AS ws FROM documents),
+         pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM tok),
+         b AS (SELECT doc_id, i, ws[i] AS tk,
+                 CASE WHEN i >= 4 AND ${pHash(
+                   "ws[i-3] || ' ' || ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]")} % 8 = 0
+                   THEN 1 ELSE 0 END AS bnd
+               FROM pos),
+         c AS (SELECT doc_id, i, tk,
+                 coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+               FROM b),
+         ch AS (SELECT doc_id, ci,
+                  ${pHash("string_agg(tk, ' ' ORDER BY i)")} AS h
+                FROM c GROUP BY doc_id, ci),
+         dup AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+         SELECT doc_id, count(*)::BIGINT AS n_chunks,
+           count(dup.h)::BIGINT AS n_dup_chunks,
+           ${graft.Portable.roundSql(
+             "count(dup.h)::DOUBLE / count(*)::DOUBLE", 4)} AS dup_rate
+         FROM ch LEFT JOIN dup USING (h)
+         GROUP BY doc_id""",
     // q9N: CDC boundaries (8-gram hash % 64 == 0) + chunk hashes
     // replayed token-for-token — chunk_idx = boundaries strictly
     // before the token, chunk hash = md5-60 of the joined tokens.

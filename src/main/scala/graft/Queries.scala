@@ -1202,6 +1202,15 @@ object Queries {
       val state = streamedExactDedupState(s, d)
       s.read.parquet(s"$state/dups/batch_*").select(col("doc_id"))
     }),
+    // Chunk-level duplication rate (round 8): CDC chunks + corpus
+    // census — the granularity between doc-level exact dedup and
+    // span-level q71. Shift-invariant boundaries mean passages shared
+    // at different offsets still collide; only (id, chunk_hash) longs
+    // ride the census shuffle.
+    "q9Q_chunk_dup_rate" -> ((s, d) => {
+      Dedup.chunkDupRate(T.documents(s, d), "doc_id", "text",
+        window = 4, divisor = 8L)
+    }),
     // Content-defined chunking (round 8): rolling-hash boundaries
     // (last-8-token gram hash % 64 == 0) make chunk identity a pure
     // function of local content — the shift-invariant chunk-level

@@ -103,6 +103,39 @@ object Dedup {
     * global sort of the corpus; word-window bucketing is the standard
     * scalable approximation.
     */
+  /** Chunk-level duplication rate — the granularity between document-
+    * level exact dedup and span-level [[duplicatedSpans]]: documents
+    * are cut into content-defined chunks
+    * ([[TextStats.cdcChunks]] — shift-invariant boundaries, so a
+    * passage shared at DIFFERENT offsets still yields identical chunk
+    * hashes), a corpus census marks every chunk appearing in ≥ 2
+    * distinct documents, and each document reports what fraction of
+    * its chunks is duplicated — the "mostly boilerplate?" signal
+    * driving partial-dedup decisions.
+    *
+    * Scale shape: the chunking pass is per-doc local; only
+    * (id, chunk_hash) longs ride the census shuffle and the flag
+    * join — text never moves.
+    *
+    * Returns `(id, n_chunks, n_dup_chunks, dup_rate)`.
+    */
+  def chunkDupRate(df: DataFrame, idCol: String, textCol: String,
+                   window: Int = 8, divisor: Long = 64L): DataFrame = {
+    val chunks = TextStats.cdcChunks(df, idCol, textCol, window, divisor)
+      .localCheckpoint() // read by the census AND the flag join
+    val dup = chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= 2)
+      .select(col("chunk_hash"))
+    chunks.join(dup.withColumn("_dup", lit(1L)), Seq("chunk_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        coalesce(sum(col("_dup")), lit(0L)).as("n_dup_chunks"))
+      .select(col(idCol), col("n_chunks"), col("n_dup_chunks"),
+        graft.Portable.round(col("n_dup_chunks").cast("double") /
+          col("n_chunks").cast("double"), 4).as("dup_rate"))
+  }
+
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       widthWords: Int = 8): DataFrame = {
     require(widthWords > 0, "widthWords must be positive")

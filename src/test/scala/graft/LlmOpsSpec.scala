@@ -286,6 +286,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(again.sortBy(x => (x._1, x._2)).toSeq == chunks.sortBy(x => (x._1, x._2)).toSeq)
   }
 
+  test("chunkDupRate: a passage shared at DIFFERENT offsets flags both " +
+      "docs; disjoint docs read 0") {
+    val shared = (0 until 120).map(i => s"s${(i * 7919) % 997}").mkString(" ")
+    val docs = Seq(
+      (1L, shared),                                  // the passage alone
+      (2L, "pre1 pre2 pre3 pre4 pre5 " + shared),    // shifted by 5 tokens
+      (3L, (0 until 120).map(i => s"u$i").mkString(" "))) // disjoint
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDupRate(docs, "doc_id", "text",
+        window = 4, divisor = 8L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // CDC boundaries re-synchronize inside the shared passage, so both
+    // carriers report duplicated chunks despite the offset
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0, out.toString)
+    assert(out(1L)._3 > 0.5, s"most of doc 1 is the shared passage: $out")
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0.0)
+    // rates are fractions of each doc's own chunk count
+    assert(out.values.forall { case (n, d, r) => d <= n && r <= 1.0 })
+  }
+
   test("chunkDocuments: window boundaries, overlap, and lossless reassembly") {
     val text = (1 to 25).map(i => s"w$i").mkString(" ") // 25 tokens
     val docs = Seq((1L, text), (2L, "short doc")).toDF("doc_id", "text")
