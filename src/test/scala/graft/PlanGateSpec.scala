@@ -50,6 +50,22 @@ class PlanGateSpec extends SparkSpec {
     assert(exchanges(p) == 0, s"race sampling must not shuffle:\n$p")
   }
 
+  test("q9N: content-defined chunking stays a pure per-doc pass — zero " +
+      "shuffles, scan pruned to (doc_id, text)") {
+    val p = plan("q9N_cdc_chunks")
+    assert(exchanges(p) == 0, s"CDC chunking must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read only (doc_id, text):\n$p")
+  }
+
+  test("q9L: temperature rates ride a broadcast join, never sort-merge") {
+    val p = plan("q9L_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the sources-sized rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"rate join regressed to SMJ:\n$p")
+  }
+
   test("q8C: AQE reuses the gram/fit exchanges in the FINAL plan") {
     val df = SparkEntry.queries("q8C_dsir_weights")(spark, sf)
     // execute THIS QueryExecution so the adaptive plan finalizes —
