@@ -355,6 +355,91 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot == batchOp && batchOp.nonEmpty)
   }
 
+  test("torn compactions are invisible to every round-8 ingest stream: " +
+      "quota totals, exact-dedup digests, IVF cells, HLL sketches") {
+    import graft.streaming.Ingest
+    import org.apache.spark.sql.functions.col
+    // plant a _SUCCESS-less compact_upto_2 with GARBAGE content in each
+    // stream's state substream after 2 real batches; batch 2 must read
+    // the per-batch history unchanged (readers only adopt complete
+    // generations), and a SUBSEQUENT real compaction converges
+    def tear(stateDir: String, sub: String, garbage: org.apache.spark.sql.DataFrame): Unit = {
+      garbage.write.parquet(s"$stateDir/$sub/compact_upto_2")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$stateDir/$sub/compact_upto_2/_SUCCESS"), false)
+      ()
+    }
+    // --- quota ---
+    val qDir = tmpDir("torn-quota")
+    val qb = Seq(Seq((1L, "a", 30), (2L, "b", 5)), Seq((3L, "a", 30)),
+      Seq((4L, "a", 1), (5L, "b", 1)))
+    qb.take(2).zipWithIndex.foreach { case (b, i) =>
+      Ingest.quotaBatch(b.toDF("doc_id", "source", "n_tokens"), i.toLong,
+        qDir, "doc_id", "source", "n_tokens", Map("a" -> 50L, "b" -> 25L), 0L, "budget")
+    }
+    // garbage that WOULD change behavior if adopted: b jumps past its budget
+    tear(qDir, "totals", Seq(("b", 999999L)).toDF("key", "tokens"))
+    Ingest.quotaBatch(qb(2).toDF("doc_id", "source", "n_tokens"), 2L,
+      qDir, "doc_id", "source", "n_tokens", Map("a" -> 50L, "b" -> 25L), 0L, "budget")
+    // a=60 seen after batch 1 -> doc 4 drops; garbage would drop doc 5 too
+    val qDropped = spark.read.parquet(s"$qDir/dropped/batch_*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(qDropped == Set(3L, 4L), s"torn quota compaction leaked: $qDropped")
+    Ingest.compactQuotaState(spark, qDir, 2L) // real compaction heals it
+    Ingest.quotaBatch(qb(2).toDF("doc_id", "source", "n_tokens"), 2L,
+      qDir, "doc_id", "source", "n_tokens", Map("a" -> 50L, "b" -> 25L), 0L, "budget")
+    assert(spark.read.parquet(s"$qDir/dropped/batch_*")
+      .select("doc_id").as[Long].collect().toSet == Set(3L, 4L))
+    // --- exact dedup ---
+    val eDir = tmpDir("torn-exdedup")
+    val eb = Seq(Seq((1L, "aa bb")), Seq((2L, "cc dd")), Seq((3L, "aa bb"), (4L, "ee ff")))
+    eb.take(2).zipWithIndex.foreach { case (b, i) =>
+      Ingest.exactDedupBatch(b.toDF("doc_id", "text"), i.toLong, eDir, "doc_id", "text")
+    }
+    // garbage that WOULD drop doc 4 if adopted: the digest of "ee ff"
+    tear(eDir, "hashes", Seq("ee ff").toDF("t")
+      .select(org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.trim(col("t"))), 256).as("_digest")))
+    Ingest.exactDedupBatch(eb(2).toDF("doc_id", "text"), 2L, eDir, "doc_id", "text")
+    val eDropped = spark.read.parquet(s"$eDir/dups/batch_*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(eDropped == Set(3L), s"torn dedup compaction leaked: $eDropped")
+    // --- HLL ---
+    val hDir = tmpDir("torn-hll")
+    val hb = Seq(Seq((1L, "a", "w1 w2 w3")), Seq((2L, "a", "w3 w4")),
+      Seq((3L, "a", "w5")))
+    hb.take(2).zipWithIndex.foreach { case (b, i) =>
+      Ingest.hllDistinctBatch(b.toDF("doc_id", "source", "text"), i.toLong,
+        hDir, "text", "source", 12)
+    }
+    tear(hDir, "sketches", Seq(("a", Array[Byte](1, 2, 3))).toDF("key", "sketch"))
+    Ingest.hllDistinctBatch(hb(2).toDF("doc_id", "source", "text"), 2L,
+      hDir, "text", "source", 12)
+    val hCount = spark.read.parquet(s"$hDir/counts/batch_2")
+      .select("distinct_tokens").as[Long].head()
+    assert(math.abs(hCount - 5L) <= 1L,
+      s"torn HLL compaction corrupted the union: $hCount")
+    // --- IVF cells ---
+    val iDir = tmpDir("torn-ivf")
+    val ib = (0L until 30L).map(i => (i, Seq((i % 3).toFloat, 1f))).grouped(10).toSeq
+    ib.take(2).zipWithIndex.foreach { case (b, i) =>
+      Ingest.ivfIndexBatch(b.toDF("vec_id", "embedding"), i.toLong, iDir,
+        "vec_id", "embedding", nCells = 3, iters = 2)
+    }
+    tear(iDir, "cells", Seq((99L, 999L, Seq(9f, 9f))).toDF("cell_id", "id", "vec"))
+    Ingest.ivfIndexBatch(ib(2).toDF("vec_id", "embedding"), 2L, iDir,
+      "vec_id", "embedding", nCells = 3, iters = 2)
+    val ids = Ingest.ivfIndexTopK(spark, iDir,
+        ib.head.take(1).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 40, nProbe = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!ids.contains(999L) && ids.size == 29,
+      s"torn IVF compaction leaked garbage rows: ${ids.size} ids")
+  }
+
   test("stateful HLL-distinct ingest: stream union tracks the one-shot " +
       "sketch and exact counts at every boundary; compaction stays in " +
       "band; retry idempotent") {
