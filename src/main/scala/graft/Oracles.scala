@@ -704,6 +704,50 @@ object Oracles {
                  row_number() OVER (PARTITION BY nt ORDER BY b, doc_id) AS rn
                FROM t)
          SELECT doc_id FROM r WHERE rn > 1""",
+    // q9R: the full late-session chain — exact dedup, the q9Q chunk
+    // census gate at 0.5 over the DEDUPED corpus, q9L's temperature
+    // rates over lang, q81's budget fold — replayed end to end.
+    "q9R_curation_v3" ->
+      s"""WITH dd AS (SELECT d.* FROM documents d
+           JOIN (SELECT min(doc_id) AS doc_id FROM documents
+                 GROUP BY lower(trim(text))) k USING (doc_id)),
+         tok AS (SELECT doc_id, $WS AS ws FROM dd),
+         pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM tok),
+         bb AS (SELECT doc_id, i, ws[i] AS tk,
+                 CASE WHEN i >= 4 AND ${pHash(
+                   "ws[i-3] || ' ' || ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]")} % 8 = 0
+                   THEN 1 ELSE 0 END AS bnd
+               FROM pos),
+         cc AS (SELECT doc_id, i, tk,
+                 coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+               FROM bb),
+         ch AS (SELECT doc_id, ci, ${pHash("string_agg(tk, ' ' ORDER BY i)")} AS h
+                FROM cc GROUP BY doc_id, ci),
+         dup AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         rate AS (SELECT doc_id,
+                    count(dup.h)::DOUBLE / count(*)::DOUBLE AS dr
+                  FROM ch LEFT JOIN dup USING (h) GROUP BY doc_id),
+         gated AS (SELECT dd.* FROM dd JOIN rate USING (doc_id)
+                   WHERE ${graft.Portable.roundSql("dr", 4)} <= 0.5),
+         n AS (SELECT lang, count(*)::DOUBLE AS nk FROM gated GROUP BY 1),
+         r AS (SELECT lang, ${graft.Portable.roundSql(
+           "pow((SELECT min(nk) FROM n) / nk, 0.5)", 4)} AS kr FROM n),
+         samp AS (SELECT g.* FROM gated g JOIN r USING (lang)
+                  WHERE ${pHash("g.doc_id::VARCHAR || '|temp'")} % 10000
+                    < r.kr * 10000),
+         t AS (SELECT doc_id, source, len($WS)::INT AS n_tokens,
+                 ${pHash("doc_id::VARCHAR || '|budget'")} % 10000 AS hv
+               FROM samp),
+         c2 AS (SELECT doc_id, source, n_tokens,
+                 (sum(n_tokens::BIGINT) OVER (PARTITION BY source
+                   ORDER BY hv, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+               FROM t)
+         SELECT doc_id, source, n_tokens, cum_tokens
+         FROM c2
+         WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
+                                         WHEN 'src1' THEN 0 ELSE 700 END""",
     // q9Q: the q9N chunking at (window 4, divisor 8) + the >=2-distinct
     // -doc census, folded to per-doc duplication rates.
     "q9Q_chunk_dup_rate" ->

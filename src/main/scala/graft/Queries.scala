@@ -1202,6 +1202,29 @@ object Queries {
       val state = streamedExactDedupState(s, d)
       s.read.parquet(s"$state/dups/batch_*").select(col("doc_id"))
     }),
+    // Curation capstone v3 (round 8): the LATE-SESSION operators
+    // composed in pipeline order — exact dedup → chunk-level dup gate
+    // (drop docs more than half boilerplate) → temperature rebalance
+    // over lang → per-source token budget. Every stage has an exact
+    // SQL mirror, so the WHOLE chain is one oracle. The gated corpus
+    // is materialized once (the q8O twin-subtree lesson).
+    "q9R_curation_v3" -> ((s, d) => {
+      val dd = Dedup.dedupedCorpus(T.documents(s, d), "doc_id", "text")
+        .localCheckpoint()
+      val rate = Dedup.chunkDupRate(dd, "doc_id", "text",
+        window = 4, divisor = 8L)
+      val gated = dd.join(rate.where(col("dup_rate") <= 0.5)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val rebal = Sampling.temperatureSample(gated, "doc_id", "lang",
+        alpha = 0.5)
+      val withTokens = rebal.select(col("doc_id"), col("source"),
+        TextStats.tokenCount(col("text")).cast("int").as("n_tokens"))
+      Sampling.tokenBudget(withTokens, "doc_id", "source", "n_tokens",
+          Map("src0" -> 300L, "src1" -> 0L), defaultBudget = 700L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens").cast("bigint").as("cum_tokens"))
+    }),
     // Chunk-level duplication rate (round 8): CDC chunks + corpus
     // census — the granularity between doc-level exact dedup and
     // span-level q71. Shift-invariant boundaries mean passages shared
