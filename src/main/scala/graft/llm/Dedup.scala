@@ -103,6 +103,17 @@ object Dedup {
     * global sort of the corpus; word-window bucketing is the standard
     * scalable approximation.
     */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      widthWords: Int = 8): DataFrame = {
+    require(widthWords > 0, "widthWords must be positive")
+    df.select(col(idCol).as("_id"),
+        explode(shinglesUdf(widthWords)(TextStats.tokens(col(textCol)))).as("_s"))
+      .select(col("_id"), TextStats.portableHash(col("_s")).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 2)
+  }
+
   /** Chunk-level duplication rate — the granularity between document-
     * level exact dedup and span-level [[duplicatedSpans]]: documents
     * are cut into content-defined chunks
@@ -136,16 +147,6 @@ object Dedup {
           col("n_chunks").cast("double"), 4).as("dup_rate"))
   }
 
-  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                      widthWords: Int = 8): DataFrame = {
-    require(widthWords > 0, "widthWords must be positive")
-    df.select(col(idCol).as("_id"),
-        explode(shinglesUdf(widthWords)(TextStats.tokens(col(textCol)))).as("_s"))
-      .select(col("_id"), TextStats.portableHash(col("_s")).as("span_hash"))
-      .groupBy(col("span_hash"))
-      .agg(countDistinct(col("_id")).as("n_docs"), count(lit(1)).as("n_occ"))
-      .where(col("n_docs") >= 2)
-  }
 
   /** Per-document n-gram NOVELTY: the fraction of a document's DISTINCT
     * word `n`-grams appearing in no other document — the inverse of the
@@ -775,10 +776,40 @@ object Dedup {
     *         only nodes that appear in `pairs` are returned (isolated
     *         documents are their own implicit singleton clusters).
     */
+  /** Per-partition union-find for the local-contraction prepass: folds
+    * a partition's edges in memory (O(nodes-in-partition) map — the
+    * same order as the partition's own edge buffer) and emits each
+    * seen node with its LOCAL cluster root, where the root is the
+    * cluster's minimum id (union always hangs the larger root under
+    * the smaller, path compression keeps finds amortized-constant).
+    */
+  private def localUnionFind(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent.update(c, r); c = n
+      }
+      r
+    }
+    it.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.update(rv, ru) else parent.update(ru, rv)
+      }
+      if (!parent.contains(u)) parent.update(u, u)
+      if (!parent.contains(v)) parent.update(v, v)
+    }
+    parent.keys.iterator.map(n => (n, find(n)))
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50,
                           numPartitions: Option[Int] = None,
-                          reliableEvery: Int = 0): DataFrame = {
+                          reliableEvery: Int = 0,
+                          localContract: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     require(reliableEvery == 0 || spark.sparkContext.getCheckpointDir.nonEmpty,
       "reliableEvery > 0 needs a reliable checkpoint dir: call " +
@@ -826,50 +857,97 @@ object Dedup {
       e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
         .where(col("u") =!= col("v")).distinct()), reliable = true)
     unpersist(e0) // consumed exactly once, by the edge build above
-    // `labelsCp` is the CHECKPOINTED handle (what unpersist must see);
-    // `labels` may be a projection over it.
-    var labelsCp = ckpt(width(edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))), reliable = true)
-    var labels = labelsCp
-    // Convergence accumulator: bumped row-by-row DURING the round's one
-    // materialization job, read on the driver after it.
-    val changed = spark.sparkContext.longAccumulator("graft.cc.changed")
-    val bump = udf { (ch: Boolean) => if (ch) changed.add(1L); ch }.asNondeterministic()
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      // (1) neighbor-min
-      val nbrMin = edges
-        .join(labels.select(col("id").as("v"), col("comp").as("_nc")), Seq("v"))
-        .groupBy(col("u")).agg(min(col("_nc")).as("_nmin"))
-        .select(col("u").as("id"), col("_nmin"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("_old"),
-          least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"))
-      // (2) pointer jump: comp ← comp(comp). Every label is a node id
-      // (mins over ids), so the lookup always resolves; coalesce guards
-      // the root nodes whose label row is themselves.
-      changed.reset()
-      val next = ckpt(width(stepped
-        .join(stepped.select(col("comp").as("_jk"), col("id").as("_ji")),
-          col("comp") === col("_ji"), "left")
-        .select(col("id"), col("_old"), coalesce(col("_jk"), col("comp")).as("comp"))
-        .withColumn("_ch", bump(col("comp") =!= col("_old")))
-        .select(col("id"), col("comp"), col("_ch"))),
-        reliable = (it + 1) % math.max(reliableEvery, 1) == 0)
-        // ^ the round's ONE action; also counts changes
-      converged = changed.value == 0L
-      unpersist(labelsCp) // superseded the moment `next` materialized
-      labelsCp = next
-      labels = next.select(col("id"), col("comp"))
-      it += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $it changed=${changed.value} t=${System.nanoTime() / 1000000}")
+    // The min-label + pointer-jump convergence loop over a symmetric,
+    // deduped edge frame — runs on the raw edges (localContract =
+    // false) or on the contracted root graph (default).
+    def ccIterate(loopEdges: DataFrame): DataFrame = {
+      // `labelsCp` is the CHECKPOINTED handle (what unpersist must
+      // see); `labels` may be a projection over it.
+      var labelsCp = ckpt(width(loopEdges.select(col("u").as("id")).distinct()
+        .withColumn("comp", col("id"))), reliable = true)
+      var labels = labelsCp
+      // Convergence accumulator: bumped row-by-row DURING the round's
+      // one materialization job, read on the driver after it.
+      val changed = spark.sparkContext.longAccumulator("graft.cc.changed")
+      val bump = udf { (ch: Boolean) => if (ch) changed.add(1L); ch }.asNondeterministic()
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIter) {
+        // (1) neighbor-min
+        val nbrMin = loopEdges
+          .join(labels.select(col("id").as("v"), col("comp").as("_nc")), Seq("v"))
+          .groupBy(col("u")).agg(min(col("_nc")).as("_nmin"))
+          .select(col("u").as("id"), col("_nmin"))
+        val stepped = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("comp").as("_old"),
+            least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"))
+        // (2) pointer jump: comp ← comp(comp). Every label is a node id
+        // (mins over ids), so the lookup always resolves; coalesce
+        // guards the root nodes whose label row is themselves.
+        changed.reset()
+        val next = ckpt(width(stepped
+          .join(stepped.select(col("comp").as("_jk"), col("id").as("_ji")),
+            col("comp") === col("_ji"), "left")
+          .select(col("id"), col("_old"), coalesce(col("_jk"), col("comp")).as("comp"))
+          .withColumn("_ch", bump(col("comp") =!= col("_old")))
+          .select(col("id"), col("comp"), col("_ch"))),
+          reliable = (it + 1) % math.max(reliableEvery, 1) == 0)
+          // ^ the round's ONE action; also counts changes
+        converged = changed.value == 0L
+        unpersist(labelsCp) // superseded the moment `next` materialized
+        labelsCp = next
+        labels = next.select(col("id"), col("comp"))
+        it += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] round $it changed=${changed.value} t=${System.nanoTime() / 1000000}")
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds (pathological graph?)")
+      lastCcRounds.set(it)
+      labels.select(col("id"), col("comp"))
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds (pathological graph?)")
-    lastCcRounds.set(it)
-    labels.select(col("id"), col("comp").as("component"))
+    if (!localContract)
+      return ccIterate(edges).select(col("id"), col("comp").as("component"))
+    // Local-contraction prepass (the two-level CC of Kiveris et al.,
+    // "Connected Components in MapReduce and Beyond"): each partition
+    // union-finds its own edges IN MEMORY and emits (node → local
+    // root); the distributed loop then runs on the star edges linking
+    // the local roots that share a node. Labels stay EXACTLY min-id:
+    // a local root is its cluster's min, so the min over a component's
+    // roots is the min over its nodes. MEASURED NON-DEFAULT: on the
+    // dedup fixtures (small families) the prepass is a wash — the LSH
+    // pair generation dominates, and the extra mapping/star shuffles
+    // cancel the loop savings (q69/q8D/q8M within noise) — while on
+    // the adversarial supercritical soak (one giant component spanning
+    // every partition) the star graph stays node-scale and the warm
+    // 10M-edge run REGRESSED 68 → 144 s. Opt in only when components
+    // are known to be small and partition-local (then the contracted
+    // loop is orders of magnitude smaller than the input).
+    import spark.implicits._
+    val mapping = ckpt(width(edges.select(col("u"), col("v"))
+      .as[(Long, Long)].mapPartitions(localUnionFind).toDF("n", "r")),
+      reliable = true)
+    // nodeRoots feeds the star edges AND the final resolve join
+    val nodeRoots = ckpt(width(mapping.groupBy(col("n"))
+      .agg(min(col("r")).as("r0"), collect_set(col("r")).as("_rs"))),
+      reliable = true)
+    unpersist(mapping)
+    unpersist(edges) // consumed by the mapping build alone
+    val star = nodeRoots
+      .select(col("r0").as("u"), explode(col("_rs")).as("v"))
+      .where(col("u") =!= col("v"))
+    val cEdges = ckpt(width(star
+      .unionByName(star.select(col("v").as("u"), col("u").as("v")))
+      .distinct()), reliable = true)
+    val comp = ccIterate(cEdges)
+    // roots with no cross-partition link never enter the loop; they ARE
+    // their component (coalesce). width() honors an explicit
+    // numPartitions on the OUTPUT too (the contracted frame is often
+    // tiny and AQE would coalesce it below the caller's ask).
+    width(nodeRoots.select(col("n").as("id"), col("r0"))
+      .join(comp.select(col("id").as("_rid"), col("comp").as("_c")),
+        col("r0") === col("_rid"), "left")
+      .select(col("id"), coalesce(col("_c"), col("r0")).as("component")))
   }
 
   /** Rounds taken by the most recent [[connectedComponents]] call on

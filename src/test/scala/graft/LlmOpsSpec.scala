@@ -627,6 +627,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("connectedComponents localContract option: identical min-id labels " +
+      "on random graphs, chains, and cross-partition families") {
+    val rnd = new scala.util.Random(37)
+    // random graph + a 200-node chain + planted 3-node families
+    val edges = (Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b } ++
+      (1000L until 1199L).map(i => (i, i + 1)) ++
+      (0 until 30).flatMap { f =>
+        val b = 5000L + f * 10; Seq((b, b + 1), (b + 1, b + 2))
+      }).toDF("id_a", "id_b")
+    // deliberately scattered input partitioning: families straddle
+    // partitions, so the star-edge path genuinely runs
+    val scattered = edges.repartition(13)
+    val plain = Dedup.connectedComponents(scattered, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val contracted = Dedup.connectedComponents(scattered, "id_a", "id_b",
+        localContract = true)
+      .as[(Long, Long)].collect().toMap
+    assert(contracted == plain && plain.nonEmpty)
+    // chain label is its min; family labels are their bases
+    assert(contracted(1199L) == 1000L)
+    assert((0 until 30).forall(f => contracted(5000L + f * 10 + 2) == 5000L + f * 10))
+  }
+
   test("connectedComponents honors explicit partitioning, converges in O(log d) rounds") {
     // 64-node chain (diameter 63): naive min propagation would need ~63
     // rounds; pointer jumping must stay logarithmic.
