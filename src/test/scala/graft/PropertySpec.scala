@@ -208,6 +208,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: BottomKAggregator == sorted distinct take-k under any " +
+      "split and merge order") {
+    for (seed <- 1 to 5) {
+      val xs = Gen.listOfN(300, Gen.choose(0L, 120L))
+        .apply(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+      val k = 1 + seed * 7
+      val agg = new graft.llm.TopK.BottomKAggregator(k)
+      // arbitrary split into partial buffers, arbitrary merge order
+      val rnd = new scala.util.Random(seed)
+      val chunks = xs.grouped(1 + rnd.nextInt(40)).toSeq
+      val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+      val expected = xs.distinct.sorted.take(k)
+      assert(agg.finish(merged) == expected,
+        s"seed $seed k=$k: ${agg.finish(merged)} vs $expected")
+    }
+  }
+
+  test("property: cdcChunks reassembles losslessly and chunk identity is " +
+      "a pure function of content for any token sequence") {
+    for (seed <- 1 to 4) {
+      val words = Gen.listOfN(250, Gen.choose(0, 40).map(i => s"w$i"))
+        .apply(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+      val text = words.mkString(" ")
+      val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val out = graft.llm.TextStats.cdcChunks(docs, "doc_id", "text",
+          window = 3, divisor = 4L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+      val c2 = out.filter(_._1 == 2L).sortBy(_._2)
+      // identical content -> identical chunking, byte for byte
+      assert(c1.map(x => (x._2, x._3, x._4)).toSeq ==
+        c2.map(x => (x._2, x._3, x._4)).toSeq, s"seed $seed")
+      // lossless: token counts sum to the doc length; indexes contiguous
+      assert(c1.map(_._3).sum == words.length, s"seed $seed")
+      assert(c1.map(_._2).toSeq == c1.indices.toSeq, s"seed $seed")
+      assert(c1.forall(_._3 > 0), s"seed $seed: empty chunk")
+    }
+  }
+
   test("property: resample preserves volume sum, bounds high/low (F5 invariants)") {
     batches(3, 60).zipWithIndex.foreach { case (b, i) =>
       val df = b.toDF()
