@@ -138,7 +138,9 @@ object Sampling {
     *
     * Scale shape: one count aggregation (sources rows) + a broadcast
     * join of the rate table — no shuffle of the corpus itself. Adds
-    * `keep_rate`.
+    * `keep_rate`. NULL-keyed rows have no stratum share and are
+    * DROPPED by the rate join — coalesce the key to a sentinel first
+    * if they should participate.
     */
   def temperatureSample(df: DataFrame, idCol: String, keyCol: String,
                         alpha: Double, salt: String = "temp"): DataFrame = {

@@ -272,6 +272,7 @@ object TextStats {
     val w = window
     val d = divisor
     val chunker = udf { (ws: Seq[String]) =>
+      if (ws == null) Seq.empty[(Int, Int, Long)] else {
       val md = java.security.MessageDigest.getInstance("MD5")
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
       var start = 0
@@ -290,6 +291,7 @@ object TextStats {
         i += 1
       }
       out.toSeq
+      }
     }
     df.select(col(idCol), explode(chunker(tokens(col(textCol)))).as("_c"))
       .select(col(idCol), col("_c._1").as("chunk_idx"),
