@@ -704,6 +704,20 @@ object Oracles {
                  row_number() OVER (PARTITION BY nt ORDER BY b, doc_id) AS rn
                FROM t)
          SELECT doc_id FROM r WHERE rn > 1""",
+    // q9S: hash-order global prefix sum + start-shard division —
+    // explicit floor on BOTH sides (DuckDB's ::BIGINT cast ROUNDS
+    // where Spark's truncates).
+    "q9S_token_shards" ->
+      s"""WITH t AS (SELECT doc_id, len($WS)::INT AS n_tokens,
+           ${pHash("doc_id::VARCHAR || '|shard'")} % 10000 AS hv
+         FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                 (sum(n_tokens::BIGINT) OVER (ORDER BY hv, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+               FROM t)
+         SELECT doc_id, n_tokens, cum_tokens,
+           floor((cum_tokens - n_tokens) / 2000.0)::BIGINT AS shard
+         FROM c""",
     // q9R: the full late-session chain — exact dedup, the q9Q chunk
     // census gate at 0.5 over the DEDUPED corpus, q9L's temperature
     // rates over lang, q81's budget fold — replayed end to end.

@@ -1202,6 +1202,18 @@ object Queries {
       val state = streamedExactDedupState(s, d)
       s.read.parquet(s"$state/dups/batch_*").select(col("doc_id"))
     }),
+    // Token-balanced output sharding (round 8): the corpus cut into
+    // ~2000-token shards along the distributed hash-order prefix sum
+    // (one global 100%-hot key — no single-reducer window). The oracle
+    // replays the cumulative fold and the start-shard division.
+    "q9S_token_shards" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("int").as("n_tokens"))
+      Sampling.shardByTokens(docs, "doc_id", "n_tokens",
+          targetTokens = 2000L)
+        .select(col("doc_id"), col("n_tokens"),
+          col("cum_tokens").cast("bigint").as("cum_tokens"), col("shard"))
+    }),
     // Curation capstone v3 (round 8): the LATE-SESSION operators
     // composed in pipeline order — exact dedup → chunk-level dup gate
     // (drop docs more than half boilerplate) → temperature rebalance

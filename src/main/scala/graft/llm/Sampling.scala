@@ -425,6 +425,39 @@ object Sampling {
     cum.where(col("cum_tokens") <= b)
   }
 
+  /** Deterministic token-balanced sharding — the OUTPUT stage of a
+    * curation pipeline ("write the corpus as equal-token shards,
+    * stably"): documents order by the (id, salt) unit hash (then id),
+    * the running token total is the distributed [[keyedPrefixSum]]
+    * under one global key — the 100%-hot-key shape `trainOrder`
+    * already exercises, so the corpus-wide cumulative sum spreads
+    * across the full shuffle width instead of one reducer — and
+    * `shard = (cum − n_tokens) / targetTokens` (the shard the document
+    * STARTS in). Every full shard's token sum lands within one
+    * max-document of the target on either side (a straddling document
+    * both extends its own shard and eats into the next's range);
+    * assignment
+    * is a pure function of (corpus, salt) — deterministic across runs
+    * and layouts, though NOT append-stable (new documents reseat the
+    * hash order; re-shard per corpus snapshot).
+    *
+    * Adds `cum_tokens` and `shard`.
+    */
+  def shardByTokens(df: DataFrame, idCol: String, nTokensCol: String,
+                    targetTokens: Long, salt: String = "shard",
+                    reliableCheckpoint: Boolean = false): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    keyedPrefixSum(
+      df.withColumn("_h", unitHash(col(idCol), salt))
+        .withColumn("_k", lit(1)),
+      "_k", Seq("_h", idCol), nTokensCol, "cum_tokens",
+      reliable = reliableCheckpoint)
+      .withColumn("shard",
+        floor((col("cum_tokens") - col(nTokensCol).cast("long")) /
+          lit(targetTokens.toDouble)).cast("long"))
+      .drop("_h", "_k")
+  }
+
   /** Greedy sequence packing: assign documents to fixed-token-budget
     * bins (pretraining batch construction). Deterministic and
     * partition-independent: docs are bucketed by `id % nBuckets`, each

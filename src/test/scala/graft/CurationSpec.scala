@@ -472,6 +472,38 @@ class CurationSpec extends SparkSpec {
     assert(again == est)
   }
 
+  test("shardByTokens: every full shard lands within maxDoc of target; " +
+      "layout-independent; shards contiguous in hash order") {
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 400L).map(i => (i, 10 + rnd.nextInt(90)))
+      .toDF("doc_id", "n_tokens")
+    val target = 500L
+    val out = graft.llm.Sampling.shardByTokens(docs, "doc_id", "n_tokens", target)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 400)
+    val maxDoc = out.map(_._2).max
+    val byShard = out.groupBy(_._4)
+    val lastShard = byShard.keys.max
+    byShard.foreach { case (s, rows) =>
+      val tokens = rows.map(_._2.toLong).sum
+      // a straddler can both extend a shard past target and eat into
+      // the NEXT shard's range, so full shards land within one max-doc
+      // of the target on either side
+      if (s != lastShard)
+        assert(tokens > target - maxDoc && tokens < target + maxDoc,
+          s"shard $s holds $tokens tokens (target $target, maxDoc $maxDoc)")
+      else assert(tokens < target + maxDoc, s"last shard overfull: $tokens")
+    }
+    // shards are contiguous runs of the cum order
+    val ordered = out.sortBy(_._3)
+    assert(ordered.map(_._4).toSeq == ordered.map(_._4).toSeq.sorted)
+    // deterministic across layouts
+    val again = graft.llm.Sampling.shardByTokens(
+        docs.repartition(11), "doc_id", "n_tokens", target)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(again == out.map(r => (r._1, r._4)).toMap)
+  }
+
   test("temperatureSample: p^alpha flattening — alpha=1 keeps all, alpha=0 " +
       "equalizes in expectation, smallest stratum always keeps rate 1") {
     // planted 8:2:1 skew over 1100 docs
