@@ -859,7 +859,8 @@ object Dedup {
     unpersist(e0) // consumed exactly once, by the edge build above
     // The min-label + pointer-jump convergence loop over a symmetric,
     // deduped edge frame — runs on the raw edges (localContract =
-    // false) or on the contracted root graph (default).
+    // false, the default) or on the contracted root graph (opt-in;
+    // measured slower on the supercritical soak, see prepass notes).
     def ccIterate(loopEdges: DataFrame): DataFrame = {
       // `labelsCp` is the CHECKPOINTED handle (what unpersist must
       // see); `labels` may be a projection over it.

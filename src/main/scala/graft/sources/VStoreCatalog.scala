@@ -3,6 +3,8 @@ package graft.sources
 import java.sql.Timestamp
 import java.util
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
@@ -130,6 +132,17 @@ final class VStoreCatalog extends TableCatalog with SupportsNamespaces {
     require(partitions.isEmpty,
       "graft-vstore tables have fixed (market, code, candle_length, year) " +
         "partitioning; PARTITIONED BY is not supported")
+    // TBLPROPERTIES would be silently dropped (the store has nowhere to
+    // keep them) — refuse user-supplied entries rather than lose them.
+    // Spark itself injects reserved/engine keys (owner, provider, ...)
+    // on every CREATE; those are not user data and pass through.
+    val engineKeys = Set("owner", "provider", "location", "comment",
+      "external", "is_managed_location", "option.path", "path")
+    val userProps = properties.asScala.keys
+      .filterNot(k => engineKeys.contains(k.toLowerCase(java.util.Locale.ROOT)))
+    require(userProps.isEmpty,
+      s"graft-vstore tables do not persist TBLPROPERTIES; " +
+        s"got ${userProps.toSeq.sorted.mkString(", ")}")
     val dir = dirOf(ident.namespace.toSeq, ident.name)
     val store = VersionedCandleStore(spark, dir)
     if (schema.nonEmpty) {

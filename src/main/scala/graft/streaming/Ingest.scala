@@ -445,7 +445,13 @@ object Ingest {
         val h = spark.read.parquet(histDirs: _*)
           .groupBy(col("bucket")).agg(sum(col("cnt")).as("hcnt"))
         val tb = nGrams.toDouble
-        val th = h.agg(sum(col("hcnt"))).first().getLong(0).toDouble
+        // coalesce: every earlier hist/ dir can be EMPTY (a non-empty
+        // batch whose docs tokenize to zero grams still writes its dir),
+        // and sum over zero rows is NULL; th == 0 is then the
+        // no-usable-history case, not a divide-by-zero
+        val th = h.agg(coalesce(sum(col("hcnt")), lit(0L)))
+          .first().getLong(0).toDouble
+        if (th == 0.0) 0.0 else {
         val p = coalesce(col("cnt"), lit(0L)).cast("double") / lit(tb)
         val q = coalesce(col("hcnt"), lit(0L)).cast("double") / lit(th)
         hist.join(h, Seq("bucket"), "full_outer")
@@ -459,6 +465,7 @@ object Ingest {
               .otherwise(lit(0.0))).as("_s"))
           .select((lit(0.5) * col("_s")).as("_js"))
           .first().getDouble(0)
+        }
       }
     val report = spark.range(1).select(
       lit(batchId).as("batch_id"),
@@ -650,6 +657,13 @@ object Ingest {
       else spark.read.parquet(histDirs: _*)
         .join(broadcast(b.select(col("_digest")).distinct()),
           Seq("_digest"), "left_semi")
+        // a digest present in >=2 uncompacted history dirs appears once
+        // per dir after the semi-join; the flag join below is a LEFT
+        // join, so without this distinct each such digest would fan the
+        // batch rows out and dups/ would record a dropped id twice —
+        // and only until compaction distincts the state, breaking the
+        // value-identical-compaction contract
+        .distinct()
     val flagged = b
       .join(winners, Seq("_digest"))
       .join(broadcast(blocked.withColumn("_blk", lit(true))),

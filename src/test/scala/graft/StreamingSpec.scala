@@ -551,6 +551,63 @@ class StreamingSpec extends SparkSpec {
     assert(afterRetry == expDropped.toSet)
   }
 
+  test("exact-dedup ingest: a digest spanning TWO uncompacted history " +
+      "batches flags a later copy ONCE, and compaction is value-identical") {
+    // Regression: hashes/ records ALL batch digests (including blocked
+    // copies), so a duplicate text seen in batches 0 AND 1 leaves its
+    // digest in two history dirs; the blocked-probe must dedup or the
+    // flag LEFT join fans out and dups/batch_2 logs the drop twice —
+    // only until compaction distincts the state.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Ingest
+    val stateDir = tmpDir("exdedup-fanout")
+    val batches = Seq(
+      Seq((1L, "same text"), (2L, "other one")),
+      Seq((3L, "same text"), (4L, "third doc")), // dup of b0 -> digest now in hashes/batch_0 AND batch_1
+      Seq((5L, "same text"), (6L, "fresh doc")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Ingest.exactDedupBatch(b.toDF("doc_id", "text"), i.toLong, stateDir,
+        "doc_id", "text")
+    }
+    val dups2 = spark.read.parquet(s"$stateDir/dups/batch_2")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(dups2 == Seq(5L),
+      s"doc 5 must be flagged exactly once, got $dups2")
+    val preCompact = spark.read.parquet(s"$stateDir/dups/batch_*")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // compact history then retry batch 2: values must not change
+    Ingest.compactExactDedupState(spark, stateDir, 2L)
+    Ingest.exactDedupBatch(batches(2).toDF("doc_id", "text"), 2L, stateDir,
+      "doc_id", "text")
+    val postCompact = spark.read.parquet(s"$stateDir/dups/batch_*")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(postCompact == preCompact,
+      s"compaction changed dup values: $preCompact -> $postCompact")
+    assert(preCompact == Seq(3L, 5L), preCompact.toString)
+  }
+
+  test("drift-monitor ingest: zero-gram history dirs and an all-empty " +
+      "history yield js_div 0, not an NPE") {
+    // Regression: a non-empty batch whose docs tokenize to NO grams
+    // still writes an (empty) hist dir; sum over it is NULL.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Ingest
+    val stateDir = tmpDir("drift-empty-hist")
+    // batch 0: null-text docs -> explode over a null token array ->
+    // zero gram rows -> an EMPTY hist dir (but a non-empty batch)
+    Ingest.driftBatch(
+      Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"),
+      0L, stateDir, "text", nBuckets = 64, alarmAt = 0.5)
+    // batch 1 has real grams; its only history is the empty dir
+    Ingest.driftBatch(Seq((3L, "alpha beta")).toDF("doc_id", "text"),
+      1L, stateDir, "text", nBuckets = 64, alarmAt = 0.5)
+    val r = spark.read.parquet(s"$stateDir/drift/batch_1")
+      .select("js_div", "alarm").head()
+    assert(r.getDouble(0) == 0.0 && !r.getBoolean(1),
+      s"empty history must read as no-history: $r")
+  }
+
   test("stateful IVF-index ingest: centroids freeze after the first batch, " +
       "stream-built index answers == batch index, compaction + retry exact") {
     implicit val sqlCtx = spark.sqlContext
