@@ -598,6 +598,24 @@ object Oracles {
     // The .ysf round trip must reproduce the hourly candles the pages
     // were built from; DuckDB aggregates the raw events directly and
     // never touches the binary format.
+    // q9T: the migrated store must equal the TRUE hourly candles — the
+    // stale halved 'click' pages exist only to be corrected by the
+    // committed WAL tx, and the poisoned uncommitted 'view' tx must
+    // vanish; DuckDB aggregates raw events and sees neither artifact.
+    "q9T_wal_replay" ->
+      """SELECT event_type AS code, date_trunc('hour', ts) AS ts,
+         round(arg_min("value", ts), 4) AS open, round(max("value"), 4) AS high,
+         round(min("value"), 4) AS low, round(arg_max("value", ts), 4) AS close,
+         round(sum("value"), 4) AS volume
+         FROM events GROUP BY 1, 2""",
+    // q9U: the dropped tail is exactly the poisoned 'view' candles
+    // (+1000 on every value field) of the never-committed tx.
+    "q9U_wal_tail" ->
+      """SELECT event_type AS code, date_trunc('hour', ts) AS ts,
+         round(arg_min("value", ts) + 1000, 4) AS open, round(max("value") + 1000, 4) AS high,
+         round(min("value") + 1000, 4) AS low, round(arg_max("value", ts) + 1000, 4) AS close,
+         round(sum("value") + 1000, 4) AS volume
+         FROM events WHERE event_type = 'view' GROUP BY 1, 2""",
     "q62_ysf_roundtrip" ->
       """SELECT event_type AS code, date_trunc('hour', ts) AS ts,
          round(arg_min("value", ts), 4) AS open, round(max("value"), 4) AS high,

@@ -835,7 +835,84 @@ object Queries {
       p
     })
 
+  private val moraRootCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build (once per sfDir) a full mora deployment directory: flushed
+    * `.ysf` pages holding a STALE version of the 'click' candles
+    * (values halved — binary-exact, no precision loss), plus WAL logs
+    * carrying (a) a COMMITTED correction tx with the true 'click'
+    * candles and (b) an UNCOMMITTED tx of poisoned 'view' candles
+    * (+1000 everywhere) that replay must drop. After migration the
+    * store must equal the plain hourly-candle oracle — which only
+    * holds if WAL decode, committed-only gating, AND wal-over-pages
+    * ordering all work. Driver-side collect is bounded by construction:
+    * hourly buckets of one event_type (≤ 8784/year/series).
+    */
+  private def moraRootDir(s: SparkSession, d: String): String =
+    moraRootCache.getOrElseUpdate(d, {
+      import graft.sources.MoraWal
+      val p = Files.createTempDirectory("graft-morawal").toString
+      val candles = eventCandles(T.events(s, d)).cache()
+      val half = (c: org.apache.spark.sql.Column) =>
+        when(col("code") === "click", c * 0.5d).otherwise(c)
+      graft.sources.Ysf.write(
+        candles.select(col("market"), col("code"), col("candle_length"),
+          col("ts"), half(col("open")).as("open"), half(col("high")).as("high"),
+          half(col("low")).as("low"), half(col("close")).as("close"),
+          half(col("volume")).as("volume"), col("bit_fields")), p)
+      def walCandles(code: String, shift: Double): Map[Int, Seq[MoraWal.WalCandle]] =
+        candles.where(col("code") === code)
+          .select(col("ts"), col("open"), col("high"), col("low"),
+            col("close"), col("volume"), col("bit_fields"))
+          .collect().toSeq
+          .map { r =>
+            val sec = r.getTimestamp(0).getTime / 1000L
+            (java.time.Instant.ofEpochSecond(sec)
+              .atZone(java.time.ZoneOffset.UTC).getYear,
+              MoraWal.WalCandle(sec, r.getDouble(1) + shift, r.getDouble(2) + shift,
+                r.getDouble(3) + shift, r.getDouble(4) + shift,
+                r.getDouble(5) + shift, r.getLong(6)))
+          }
+          .groupBy(_._1).map { case (y, rs) => (y, rs.map(_._2)) }
+      // file 1: the committed correction (one insert per year + commit)
+      MoraWal.writeLog(s, s"$p/wal/wal.100000101.log",
+        walCandles("click", 0.0).toSeq.sortBy(_._1).map { case (y, cs) =>
+          MoraWal.WalInsert(101L, "EV", "click", 3600, y, cs)
+        } :+ MoraWal.WalCommit(101L))
+      // file 2: the in-flight tail — inserts, NO commit record
+      MoraWal.writeLog(s, s"$p/wal/wal.100000102.log",
+        walCandles("view", 1000.0).toSeq.sortBy(_._1).map { case (y, cs) =>
+          MoraWal.WalInsert(102L, "EV", "view", 3600, y, cs)
+        })
+      candles.unpersist()
+      p
+    })
+
   private def store: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // mora WAL-log interop: migrate a deployment dir whose pages hold
+    // stale 'click' candles corrected only by an unflushed committed
+    // WAL tx, with an uncommitted poison tx alongside. Matching the
+    // plain hourly-candle oracle proves decode + committed-only gating
+    // + wal-over-pages redo order, end to end.
+    "q9T_wal_replay" -> ((s, d) => {
+      graft.sources.MoraWal
+        .migrateFromMora(s, moraRootDir(s, d),
+          Files.createTempDirectory("graft-walstore").toString + "/s")
+        .scan()
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"), Portable.round(col("high"), 4).as("high"),
+          Portable.round(col("low"), 4).as("low"), Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // The dropped tail, surfaced: rows of the never-committed tx — what
+    // mora's own recovery would discard, reported instead of lost.
+    "q9U_wal_tail" -> ((s, d) => {
+      graft.sources.MoraWal.uncommittedTail(s, s"${moraRootDir(s, d)}/wal")
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"), Portable.round(col("high"), 4).as("high"),
+          Portable.round(col("low"), 4).as("low"), Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
     // .ysf interop round trip: encode event-derived candles as reference
     // page files (60B header + daily index + 48B blocks), decode them
     // back, and match the hourly-candle oracle computed from raw events.

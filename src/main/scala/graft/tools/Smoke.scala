@@ -236,6 +236,30 @@ object Smoke {
     check("ysf round trip", graft.sources.Ysf.read(spark, ysfDir).count() == store.scan().count())
     check("ysf pruned read",
       graft.sources.Ysf.readSeries(spark, ysfDir, "UPBIT", 60, "ETH").count() == 1)
+    // mora WAL interop: committed tx replays over pages, tail reported
+    locally {
+      import graft.sources.MoraWal
+      val firstTs = store.scan()
+        .where($"market" === "UPBIT" && $"code" === "ETH" && $"candle_length" === 60)
+        .select(min($"ts")).head().getTimestamp(0)
+      val sec = firstTs.getTime / 1000L
+      val yr = java.time.Instant.ofEpochSecond(sec)
+        .atZone(java.time.ZoneOffset.UTC).getYear
+      MoraWal.writeLog(spark, s"$ysfDir/wal/wal.1.log", Seq(
+        MoraWal.WalInsert(500L, "UPBIT", "ETH", 60, yr,
+          Seq(MoraWal.WalCandle(sec, 77.0, 78.0, 76.0, 77.5, 770.0, 0L))),
+        MoraWal.WalCommit(500L),
+        MoraWal.WalInsert(501L, "UPBIT", "ETH", 60, yr,
+          Seq(MoraWal.WalCandle(sec, -1.0, -1.0, -1.0, -1.0, -1.0, 0L)))))
+      val migrated = MoraWal.migrateFromMora(spark, ysfDir,
+        java.nio.file.Files.createTempDirectory("graft-smoke-walstore").toString + "/s")
+      check("mora WAL migrate: committed correction wins, row count kept",
+        migrated.scan().count() == store.scan().count() &&
+          migrated.scan().where($"ts" === firstTs && $"code" === "ETH")
+            .select($"open").head().getDouble(0) == 77.0)
+      check("mora WAL migrate: uncommitted tail reported, not applied",
+        MoraWal.uncommittedTail(spark, s"$ysfDir/wal").count() == 1)
+    }
     implicit val sp: SparkSession = spark
     val media = docs.limit(20).select($"doc_id",
       graft.llm.Multimodal.syntheticPngUdf($"doc_id").as("payload"))
