@@ -52,7 +52,11 @@ object Bench {
       // report it as a healthy elapsed time.
       val failed = times.contains(-1.0)
       val sec = if (failed) -1.0 else times.sorted.apply(reps / 2)
-      (name, sec, if (failed) -1.0 else times.head)
+      // spread = max - min across reps: a single-shot spike (cold page
+      // cache, GC pause) is self-refuting when its own spread row shows
+      // the query's reps disagreeing by the same magnitude.
+      val spread = if (failed) -1.0 else times.max - times.min
+      (name, sec, if (failed) -1.0 else times.head, spread)
     }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -63,7 +67,10 @@ object Bench {
     // rep 1); "first" preserves the cold numbers a single-shot run
     // (the driver's) would report, so the two stay comparable.
     val firstField =
-      if (reps > 1) s""","first":${jmap(results.map(r => (r._1, r._3)))}""" else ""
+      if (reps > 1)
+        s""","first":${jmap(results.map(r => (r._1, r._3)))}""" +
+          s""","spread":${jmap(results.map(r => (r._1, r._4)))}"""
+      else ""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$firstField}"""
     println(line)
     // Persist the COMPLETE per-query map on full runs: the driver keeps

@@ -5,7 +5,25 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // --all-sf <testdataRoot> <outRoot>: dump the whole corpus at EVERY
+    // sf* under the root (one subdir each), so the 3-SF parity run is a
+    // repeatable gate, not a one-off session claim. Compare each with
+    // `tools/oracle_check.py <root>/<sf> <outRoot>/<sf>` (or run
+    // `tools/verify_all_sf.sh` which does both steps).
+    if (args.headOption.contains("--all-sf")) {
+      val Array(_, root, outRoot) = args
+      val sfs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+        .map(_.getName).sorted
+      require(sfs.nonEmpty, s"no sf* dirs under $root")
+      sfs.foreach(sf => run(s"$root/$sf", s"$outRoot/$sf"))
+      return
+    }
     val Array(sfDir, outDir) = args
+    run(sfDir, outDir)
+  }
+
+  private def run(sfDir: String, outDir: String): Unit = {
     val spark = GraftSession.builder(appName = "graft-verify").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
