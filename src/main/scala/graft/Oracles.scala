@@ -502,6 +502,12 @@ object Oracles {
       s"""$storeEndState
          SELECT ts, round(close, 4) AS close, round(volume, 4) AS volume
          FROM r WHERE rn = 1 AND code = 'click' AND year(ts) = 2024""",
+    // q9V: the catalog-name read of the same store must equal q41's
+    // pruned page lookup.
+    "q9V_candle_catalog" ->
+      s"""$storeEndState
+         SELECT ts, round(close, 4) AS close, round(volume, 4) AS volume
+         FROM r WHERE rn = 1 AND code = 'click' AND year(ts) = 2024""",
     "q42_store_range" ->
       s"""$storeEndState
          SELECT ts, round(close, 4) AS close, round(volume, 4) AS volume

@@ -913,6 +913,20 @@ object Queries {
           Portable.round(col("low"), 4).as("low"), Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
     }),
+    // Plain-store catalog read: the same partition-pruned point "page"
+    // lookup as q41, but addressed as a SQL NAME through CandleCatalog
+    // (pruning under the catalog is plan-asserted in CandleCatalogSpec).
+    "q9V_candle_catalog" -> ((s, d) => {
+      val storePath = eventStore(s, d).path
+      val base = storePath.substring(0, storePath.lastIndexOf('/'))
+      s.conf.set("spark.sql.catalog.gcand", classOf[graft.sources.CandleCatalog].getName)
+      s.conf.set("spark.sql.catalog.gcand.base", base)
+      s.sql(
+        """SELECT ts, round(close, 4) AS close, round(volume, 4) AS volume
+           FROM gcand.candles
+           WHERE market = 'EV' AND code = 'click'
+             AND candle_length = 3600 AND year = 2024""")
+    }),
     // .ysf interop round trip: encode event-derived candles as reference
     // page files (60B header + daily index + 48B blocks), decode them
     // back, and match the hourly-candle oracle computed from raw events.

@@ -306,7 +306,7 @@ private[graft] final class VStoreRelation(override val sqlContext: SQLContext,
     // when the projection drops it)
     val referenced = requiredColumns.toSet ++ filters.flatMap(_.references)
     val content = store.contentCols.filter(referenced)
-    val base = filters.flatMap(toColumn).foldLeft(asOfFrame(content))(_.where(_))
+    val base = filters.flatMap(V1Filters.toColumn).foldLeft(asOfFrame(content))(_.where(_))
     // empty projection (e.g. count(*)) still needs the row CARDINALITY
     if (requiredColumns.isEmpty) base.select()
     else base.select(requiredColumns.map(col).toIndexedSeq: _*)
@@ -318,22 +318,4 @@ private[graft] final class VStoreRelation(override val sqlContext: SQLContext,
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 
-  /** Best-effort source-side translation; untranslated filters simply
-    * stay unpushed (Spark re-applies all of them above this scan).
-    */
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === v)
-    case GreaterThan(a, v) => Some(col(a) > v)
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
-    case LessThan(a, v) => Some(col(a) < v)
-    case LessThanOrEqual(a, v) => Some(col(a) <= v)
-    case In(a, vs) => Some(col(a).isInCollection(vs.toIndexedSeq))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
-    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
-    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
-    case Not(c) => toColumn(c).map(!_)
-    case _ => None
-  }
 }

@@ -4,12 +4,13 @@ import java.sql.Timestamp
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, count_distinct, max, min, struct}
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -34,7 +35,7 @@ private[graft] final class VStoreTable(spark: SparkSession,
                                        asOfTime: Option[Timestamp],
                                        changesSince: Option[Long],
                                        changesUntil: Option[Long])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   private def store = VersionedCandleStore(spark, path)
 
@@ -60,11 +61,57 @@ private[graft] final class VStoreTable(spark: SparkSession,
     if (changesSince.nonEmpty) store.tableSchema.add("tx_id", LongType)
     else store.tableSchema
 
+  /** Writes are declared ONLY on the latest-snapshot addressing: a
+    * `VERSION AS OF` / `TIMESTAMP AS OF` / change-feed table reports
+    * `BATCH_READ` alone, so `INSERT INTO` it fails at ANALYSIS with
+    * Spark's clear capability error instead of mutating history
+    * through a read-only lens.
+    */
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (asOfTx.isEmpty && asOfTime.isEmpty && changesSince.isEmpty)
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VStoreScanBuilder(spark, this)
+
+  /** SQL `INSERT INTO` — the journaled one-tx append, through Spark's
+    * official [[V1Write]] bridge (the write-side twin of the read
+    * path's [[V1Scan]]: commit is one driver-coordinated transaction
+    * over an ordinary Catalyst plan, not a bag of per-partition V2
+    * writers — a partial partition-level commit would be exactly the
+    * torn write the journal exists to prevent). The builder implements
+    * no truncate/overwrite mixin, so `INSERT OVERWRITE` is refused by
+    * Spark at planning (the store is append-only: history IS the data
+    * model, matching the V1 path's loud Overwrite rejection).
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                "graft-vstore is append-only (versioned history); " +
+                  "INSERT OVERWRITE would silently discard it")
+              // The table schema carries the storage-derived `year`, so
+              // positional INSERT supplies one — but commit() re-derives
+              // year from ts. A disagreeing value would be silently
+              // ignored; refuse it loudly instead (one validation pass,
+              // insert batches are journaled-tx sized).
+              import org.apache.spark.sql.functions.year
+              val bad = data.where(col("year").isNotNull &&
+                col("year") =!= year(col("ts"))).limit(1).collect()
+              if (bad.nonEmpty) throw new IllegalArgumentException(
+                s"year=${bad.head.getAs[Any]("year")} disagrees with " +
+                  s"year(ts)=${bad.head.getAs[java.sql.Timestamp]("ts")} — " +
+                  "year is derived from ts (UTC); pass the matching year or NULL")
+              VersionedCandleStore(data.sparkSession, path).commit(data.drop("year"))
+              ()
+            }
+          }
+      }
+    }
 }
 
 /** ScanBuilder with the three pushdowns the fold admits:

@@ -672,6 +672,35 @@ object CandleStore {
   def apply(spark: SparkSession, path: String): CandleStore =
     new CandleStore(spark, path)
 
+  /** Format marker stamped by [[graft.sources.CandleCatalog]] CREATE
+    * TABLE, so an EMPTY store still reads as a table (data-bearing
+    * stores are recognized by their partition/metadata layout alone).
+    */
+  private[graft] val FormatMarker = "_graft_candles_v1"
+
+  /** Catalog table-predicate: a directory is a plain candle store iff
+    * it carries the format marker, the commit-intent log, or at least
+    * one `market=` Hive partition dir. Disjoint from
+    * [[VersionedCandleStore.looksLikeStore]] (that layout has `txlog`
+    * — no underscore — or `data-g#########` generations), so the two
+    * catalogs never claim each other's directories.
+    */
+  private[graft] def looksLikeStore(f: org.apache.hadoop.fs.FileSystem,
+                                    p: org.apache.hadoop.fs.Path): Boolean =
+    f.exists(new org.apache.hadoop.fs.Path(p, FormatMarker)) ||
+      f.exists(new org.apache.hadoop.fs.Path(p, "_txlog")) ||
+      (f.exists(p) && f.listStatus(p).exists(
+        _.getPath.getName.startsWith("market=")))
+
+  /** Stamp `path` as a valid empty store (see [[FormatMarker]]). */
+  private[graft] def initEmpty(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, FormatMarker)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    out.close()
+  }
+
   /** See the doc on the class-side alias: store writes are pinned to
     * TIMESTAMP_MICROS on the session executing the write (the batch
     * frame's own session — a per-batch clone under foreachBatch).

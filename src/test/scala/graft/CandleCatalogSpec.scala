@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.model.Candle
+import graft.store.CandleStore
+
+/** The plain-store catalog plugin (the non-versioned twin of
+  * VStoreCatalogSpec): candle stores as SQL names, with the partition
+  * pruning of the path API preserved UNDER the catalog, one-atomic-
+  * upsert INSERT INTO, and the foreign-directory guards.
+  */
+class CandleCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c(code: String, t: String, o: Double): Candle =
+    Candle("UPBIT", code, 60, ts(t), o, o + 1, o - 1, o + 0.5, 10.0, 0L)
+
+  private lazy val base: String = {
+    val b = tmpDir("candle-catalog")
+    spark.conf.set("spark.sql.catalog.cc", classOf[graft.sources.CandleCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cc.base", b)
+    b
+  }
+
+  test("catalog read == path read; partition pruning survives the " +
+      "catalog; foreign dirs never list; vstore dirs are not claimed") {
+    val st = CandleStore(spark, s"$base/markets/btc")
+    st.upsert(Seq(
+      c("BTC", "2023-12-31 23:59:00", 1), // year 2023 partition
+      c("BTC", "2024-01-01 10:00:00", 2),
+      c("ETH", "2024-01-01 10:00:00", 3)).toDF())
+    // foreign dir + a VERSIONED store next door: neither is a cc table
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/markets/notastore"))
+    graft.store.VersionedCandleStore(spark, s"$base/markets/versioned")
+      .commit(Seq(c("SOL", "2024-01-01 00:00:00", 9)).toDF())
+
+    val listed = spark.sql("SHOW TABLES IN cc.markets")
+      .select("tableName").as[String].collect().toSet
+    assert(listed == Set("btc"), s"got $listed")
+
+    val got = spark.sql("SELECT * FROM cc.markets.btc").collect()
+    assert(got.length == 3 &&
+      got.map(_.getAs[Int]("year")).sorted.toSeq == Seq(2023, 2024, 2024))
+
+    // pruning: the EXECUTED inner plan of a year+code-filtered catalog
+    // read scans only the one matching partition (same construction the
+    // SQL path executes through the V1Scan bridge)
+    val sql = spark.sql(
+      """SELECT ts, close FROM cc.markets.btc
+         WHERE market = 'UPBIT' AND code = 'BTC' AND candle_length = 60 AND year = 2024""")
+    assert(sql.collect().length == 1)
+    val tbl = new graft.sources.CandleTable(spark, s"$base/markets/btc")
+    val sb = tbl.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      .asInstanceOf[graft.sources.CandleScanBuilder]
+    sb.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("market", "UPBIT"),
+      org.apache.spark.sql.sources.EqualTo("code", "BTC"),
+      org.apache.spark.sql.sources.EqualTo("candle_length", 60),
+      org.apache.spark.sql.sources.EqualTo("year", 2024)))
+    val inner = sb.build().asInstanceOf[graft.sources.CandleScan].innerFrame()
+    inner.collect()
+    val scans = inner.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScan in the inner plan")
+    val meta = scans.head.metadata.getOrElse("PartitionFilters", "")
+    assert(meta.contains("code") && meta.contains("year"),
+      s"partition filters not pushed: $meta")
+    assert(scans.head.metrics("numFiles").value == 1L,
+      s"expected 1 pruned file, scanned ${scans.head.metrics("numFiles").value}")
+  }
+
+  test("INSERT INTO runs one atomic upsert (new row lands, same-(key,ts) " +
+      "row is REPLACED); INSERT OVERWRITE refused; CREATE stamps an " +
+      "empty readable store") {
+    base
+    spark.sql("CREATE TABLE cc.markets.doge")
+    assert(spark.sql("SELECT * FROM cc.markets.doge").count() == 0L)
+    spark.sql(
+      """INSERT INTO cc.markets.doge VALUES
+         ('UPBIT', 'DOGE', 60, TIMESTAMP '2024-05-01 00:00:00', 1.0, 2.0, 0.5, 1.5, 10.0, 0, 2024)""")
+    assert(spark.sql("SELECT * FROM cc.markets.doge").count() == 1L)
+    // upsert semantics: same (series, ts) replaces, new ts appends
+    spark.sql(
+      """INSERT INTO cc.markets.doge VALUES
+         ('UPBIT', 'DOGE', 60, TIMESTAMP '2024-05-01 00:00:00', 9.0, 9.5, 8.5, 9.2, 90.0, 0, 2024),
+         ('UPBIT', 'DOGE', 60, TIMESTAMP '2024-05-01 00:01:00', 2.0, 3.0, 1.0, 2.5, 20.0, 0, 2024)""")
+    val rows = spark.sql("SELECT ts, open FROM cc.markets.doge ORDER BY ts")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(
+      (ts("2024-05-01 00:00:00"), 9.0), (ts("2024-05-01 00:01:00"), 2.0)),
+      rows.mkString(", "))
+    // a lying year is refused loudly, not silently recomputed
+    val eY = intercept[Exception] {
+      spark.sql(
+        """INSERT INTO cc.markets.doge VALUES
+           ('UPBIT', 'DOGE', 60, TIMESTAMP '2024-05-01 00:02:00', 1.0, 1.0, 1.0, 1.0, 1.0, 0, 1999)""")
+    }
+    assert(eY.getMessage.contains("year"), eY.getMessage)
+    val e = intercept[Exception] {
+      spark.sql(
+        """INSERT OVERWRITE cc.markets.doge VALUES
+           ('UPBIT', 'DOGE', 60, TIMESTAMP '2024-05-01 00:03:00', 1.0, 1.0, 1.0, 1.0, 1.0, 0, 2024)""")
+    }
+    assert(e.getMessage.toLowerCase.matches("(?s).*(overwrite|truncate).*"), e.getMessage)
+    assert(spark.sql("SELECT * FROM cc.markets.doge").count() == 2L)
+    spark.sql("DROP TABLE cc.markets.doge")
+    assert(!new java.io.File(s"$base/markets/doge").exists())
+  }
+}

@@ -98,6 +98,42 @@ class VStoreCatalogSpec extends SparkSpec {
     assert(new java.io.File(s"$base/markets/plaindir").exists())
   }
 
+  test("SQL INSERT INTO appends one journaled tx; INSERT OVERWRITE " +
+      "refused; user TBLPROPERTIES refused at CREATE") {
+    base
+    spark.sql("CREATE TABLE vc.markets.sol")
+    spark.sql(
+      """INSERT INTO vc.markets.sol VALUES
+         ('UPBIT', 'SOL', 60, TIMESTAMP '2024-01-01 00:00:00', 2024, 1.0, 2.0, 0.5, 1.5, 10.0, 0)""")
+    val st = VersionedCandleStore(spark, s"$base/markets/sol")
+    assert(st.latestTxId == 1L, s"one journaled tx expected, got ${st.latestTxId}")
+    assert(opens(spark.sql("SELECT * FROM vc.markets.sol")) ==
+      Map(("SOL", ts("2024-01-01 00:00:00")) -> 1.0))
+    // second INSERT = second tx; VERSION AS OF 1 still sees only the first
+    spark.sql(
+      """INSERT INTO vc.markets.sol VALUES
+         ('UPBIT', 'SOL', 60, TIMESTAMP '2024-01-01 00:01:00', 2024, 2.0, 3.0, 1.5, 2.5, 20.0, 0)""")
+    assert(st.latestTxId == 2L)
+    assert(spark.sql("SELECT * FROM vc.markets.sol").count() == 2L)
+    assert(spark.sql("SELECT * FROM vc.markets.sol VERSION AS OF 1").count() == 1L)
+    // INSERT OVERWRITE: refused (no truncate/overwrite capability)
+    val e1 = intercept[Exception] {
+      spark.sql(
+        """INSERT OVERWRITE vc.markets.sol VALUES
+           ('UPBIT', 'SOL', 60, TIMESTAMP '2024-01-01 00:02:00', 2024, 9.0, 9.0, 9.0, 9.0, 9.0, 0)""")
+    }
+    assert(e1.getMessage.toLowerCase.matches("(?s).*(overwrite|truncate).*"),
+      e1.getMessage)
+    assert(st.latestTxId == 2L, "refused overwrite must not have committed")
+    // user TBLPROPERTIES would be dropped silently -> refused at CREATE
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE vc.markets.props TBLPROPERTIES ('k'='v')")
+    }
+    assert(e2.getMessage.contains("TBLPROPERTIES"), e2.getMessage)
+    assert(!new java.io.File(s"$base/markets/props").exists())
+    spark.sql("DROP TABLE vc.markets.sol")
+  }
+
   test("namespace listing walks directories, skips stores") {
     base
     spark.sql("CREATE NAMESPACE IF NOT EXISTS vc.research")
