@@ -779,26 +779,46 @@ object Ingest {
     *  - `centroids/batch_<id>/` — (cell_id, centroid) from the one
     *    training batch (readers take the earliest dir; a retry of the
     *    training batch retrains on identical input deterministically);
+    *  - `centroids/compact_upto_<k>/` — a REFRESHED quantizer
+    *    generation ([[refreshIvfIndex]]): re-trained over the state
+    *    accumulated in batches `[0, k)`, with the cell state
+    *    re-assigned under it. Readers adopt the newest generation
+    *    whose re-assignment has completed (see [[ivfCentroidDirs]]),
+    *    so a crash between the two publications is invisible;
     *  - `cells/batch_<id>/`    — the batch's (cell_id, id, vec) rows;
-    *    compacts by plain concatenation ([[compactIvfIndexState]]).
+    *    compacts by plain concatenation ([[compactIvfIndexState]]) or
+    *    by re-assignment at a refresh.
+    *
+    * A frozen quantizer under DISTRIBUTION DRIFT (new domains, a new
+    * encoder) routes fresh vectors into ill-fitting cells and probe
+    * recall decays silently — `refreshEvery` (or an external trigger,
+    * e.g. the q9E drift alarm, calling [[refreshIvfIndex]] between
+    * batches) bounds that decay by periodic re-training; q9M's
+    * stationary fixture is unaffected (refresh off by default).
     *
     * Scale posture: per batch the work is one scan of the BATCH (the
-    * assignment projection); history is never re-read. At query time
-    * the probed cells are pruned from the accumulated state exactly as
-    * in the batch index; at extreme scale, partition `cells/` state by
-    * cell_id so probes prune at the file level.
+    * assignment projection); history is never re-read — except at a
+    * refresh, which pays one accumulated-state re-train + re-assign
+    * (amortized over `refreshEvery` batches, the nightly-rebuild cost
+    * moved inline). At query time the probed cells are pruned from the
+    * accumulated state exactly as in the batch index; at extreme
+    * scale, partition `cells/` state by cell_id so probes prune at the
+    * file level.
     */
   def ivfIndexIngestWriter(stream: DataFrame, stateDir: String,
                            checkpointDir: String,
                            idCol: String = "vec_id",
                            vecCol: String = "embedding",
                            nCells: Int = 16, iters: Int = 5,
-                           compactEvery: Int = 0): DataStreamWriter[Row] =
+                           compactEvery: Int = 0,
+                           refreshEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        if (refreshEvery > 0 && batchId > 0 && batchId % refreshEvery == 0)
+          refreshIvfIndex(batch.sparkSession, stateDir, batchId, nCells, iters)
+        else if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactIvfIndexState(batch.sparkSession, stateDir, batchId)
         ivfIndexBatch(batch, batchId, stateDir, idCol, vecCol, nCells, iters)
       }
@@ -817,10 +837,11 @@ object Ingest {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     val b = batch.localCheckpoint() // read by train (maybe) + assignment
-    // the frozen coarse quantizer: strictly-earlier centroid state, or
+    // the coarse quantizer: the adopted centroid generation (see
+    // [[ivfCentroidDirs]] — refresh-aware, re-assignment-gated), or
     // train NOW iff no earlier batch ever trained (first non-empty
     // batch; a retry retrains on the identical input)
-    val histCents = historyDirs(fs, stateDir, "centroids", batchId)
+    val histCents = ivfCentroidDirs(fs, stateDir, batchId)
     val cents: Array[(Long, Array[Double])] =
       if (histCents.nonEmpty)
         spark.read.parquet(histCents: _*)
@@ -848,13 +869,15 @@ object Ingest {
                    vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
     import graft.llm.Similarity
     import spark.implicits._
-    val cents = spark.read.parquet(s"$stateDir/centroids/batch_*")
-      .select(col("cell_id"), col("centroid"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-    // read through the compaction floor (a batch_* glob would miss
-    // compact_upto_* generations and double-count GC survivors)
+    // read through the compaction/refresh floors (a batch_* glob would
+    // miss compact_upto_* generations and double-count GC survivors)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val centDirs = ivfCentroidDirs(fs, stateDir, Long.MaxValue)
+    require(centDirs.nonEmpty, s"no IVF centroid state under $stateDir/centroids")
+    val cents = spark.read.parquet(centDirs: _*)
+      .select(col("cell_id"), col("centroid"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
     val cellDirs = historyDirs(fs, stateDir, "cells", Long.MaxValue)
     require(cellDirs.nonEmpty, s"no IVF cell state under $stateDir/cells")
     val assigned = spark.read.parquet(cellDirs: _*)
@@ -868,9 +891,111 @@ object Ingest {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           nCells: Int = 16, iters: Int = 5,
+                          refreshEvery: Int = 0,
                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     ivfIndexIngestWriter(stream, stateDir, checkpointDir, idCol, vecCol,
-      nCells, iters).trigger(trigger).start()
+      nCells, iters, refreshEvery = refreshEvery).trigger(trigger).start()
+
+  /** The centroid generation a reader at `batchId` must use: the
+    * newest `_SUCCESS`-complete `centroids/compact_upto_<k>` refresh
+    * generation with `k <= batchId` WHOSE CELL RE-ASSIGNMENT HAS
+    * LANDED (`cells/compact_upto_<j>` complete for some `j >= k`) —
+    * falling back to the original strictly-earlier `batch_<id>`
+    * training dir. The re-assignment gate makes refresh adoption
+    * atomic without a two-dir commit: a crash after the centroid
+    * publication but before the cells generation leaves readers on the
+    * OLD quantizer (whose assignments are still on disk — superseded
+    * centroid dirs are GC'd only after the cells generation lands), so
+    * probes and assignments never mix quantizers.
+    */
+  private[graft] def ivfCentroidDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                     stateDir: String,
+                                     batchId: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$stateDir/centroids")
+    if (!fs.exists(root)) return Seq.empty
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    val entries = fs.listStatus(root).toSeq.map(_.getPath)
+    val cellsRoot = new org.apache.hadoop.fs.Path(s"$stateDir/cells")
+    val cellsFloor: Long =
+      if (!fs.exists(cellsRoot)) 0L
+      else fs.listStatus(cellsRoot).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("compact_upto_") && complete(p))
+        .flatMap(_.getName.stripPrefix("compact_upto_").toLongOption)
+        .filter(_ <= batchId)
+        .maxOption.getOrElse(0L)
+    val adopted = entries
+      .filter(p => p.getName.startsWith("compact_upto_") && complete(p))
+      .flatMap(p => p.getName.stripPrefix("compact_upto_").toLongOption
+        .filter(k => k <= batchId && k <= cellsFloor).map(k => (k, p.toString)))
+      .maxByOption(_._1).map(_._2)
+    adopted.map(Seq(_)).getOrElse(
+      entries.filter(p => p.getName.startsWith("batch_") &&
+        p.getName.stripPrefix("batch_").toLongOption.exists(_ < batchId))
+        .map(_.toString))
+  }
+
+  /** Re-train the coarse quantizer over the state accumulated in
+    * batches `[0, upTo)` and re-assign that state under it — the
+    * drift remedy for the streamed IVF index, publishable mid-stream.
+    *
+    * Two `_SUCCESS`-gated publications, crash-safe in every prefix:
+    *  1. `centroids/compact_upto_<upTo>` — the re-trained quantizer
+    *     (skipped if already complete: a foreachBatch retry converges);
+    *  2. `cells/compact_upto_<upTo>` — the accumulated vectors
+    *     re-assigned under it (via [[compactCurationState]], which
+    *     also GCs the superseded per-batch cell dirs);
+    *  3. only then are superseded centroid dirs GC'd.
+    * Readers ([[ivfCentroidDirs]]) adopt generation `upTo` only once
+    * step 2 has landed, so a crash between 1 and 2 leaves them on the
+    * old quantizer with its old assignments — consistent — and the
+    * retry of batch `upTo` completes the refresh before assigning.
+    *
+    * Determinism: the re-train input is the accumulated state (a
+    * deterministic set), k-means init is deterministic, and both
+    * publications are idempotent — a retried refresh is a no-op.
+    */
+  def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      stateDir: String, upTo: Long,
+                      nCells: Int, iters: Int): Unit = {
+    import graft.llm.Similarity
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val cellDirs = historyDirs(fs, stateDir, "cells", upTo)
+    if (cellDirs.isEmpty) return
+    val centTarget = new org.apache.hadoop.fs.Path(
+      s"$stateDir/centroids/compact_upto_$upTo")
+    val centDone = fs.exists(new org.apache.hadoop.fs.Path(centTarget, "_SUCCESS"))
+    // collision guard: a PLAIN cells compaction from an earlier run may
+    // already occupy compact_upto_<upTo>. Publishing new centroids
+    // would then adopt them against un-re-assigned cells (mixed
+    // quantizers); skip this refresh — the old quantizer stays
+    // consistent and the next boundary lands on a fresh floor.
+    if (!centDone && fs.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/cells/compact_upto_$upTo/_SUCCESS"))) return
+    if (!centDone) {
+      val acc = spark.read.parquet(cellDirs: _*).select(col("id"), col("vec"))
+      val trained = Similarity.kmeansCentroids(acc, "id", "vec", nCells, iters)
+      trained.toSeq.toDF("cell_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(centTarget.toString)
+    }
+    val cents = spark.read.parquet(centTarget.toString)
+      .select(col("cell_id"), col("centroid"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    compactCurationState(spark, stateDir, "cells", upTo, df =>
+      df.select(Similarity.ivfAssignUdf(cents)(col("vec")).as("cell_id"),
+        col("id"), col("vec")))
+    // centroid GC LAST: until the cells generation is complete, the old
+    // quantizer must stay readable (see ivfCentroidDirs)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/centroids"))
+      .map(_.getPath)
+      .filter(p => p.getName != s"compact_upto_$upTo" &&
+        (p.getName.startsWith("batch_") ||
+          p.getName.stripPrefix("compact_upto_").toLongOption.exists(_ < upTo)))
+      .foreach(p => fs.delete(p, true))
+    ()
+  }
 
   // ------------- curation-state compaction (WAL-rotate analog) ------- //
 

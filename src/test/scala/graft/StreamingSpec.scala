@@ -657,6 +657,97 @@ class StreamingSpec extends SparkSpec {
     assert(afterRetry == fromStream)
   }
 
+  test("IVF centroid refresh: a planted mid-stream drift sinks the frozen " +
+      "quantizer's recall; the refreshed generation restores it; " +
+      "stationary answers and retry determinism preserved") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Ingest
+    // Subspace drift (assignment is cosine): phase A lives in dims
+    // (0,1) — two clusters; phase B (a NEW ENCODER / domain) lives in
+    // dims (2,3) with only id-noise in the old dims. Frozen centroids
+    // span only the old subspace, so a phase-B vector's cell is decided
+    // by its NOISE components — every new cluster scatters across all
+    // cells and nProbe=1 probes see a slice of it.
+    def jit(id: Long, m: Int): Float = (((id * 7 + m * 13) % 11) - 5) * 0.011f
+    def aVec(id: Long): Seq[Float] =
+      if (id % 2 == 0) Seq(1f + jit(id, 1), jit(id, 2), 0f, 0f)
+      else Seq(jit(id, 3), 1f + jit(id, 4), 0f, 0f)
+    def bVec(id: Long): Seq[Float] =
+      if (id % 2 == 0) Seq(jit(id, 1) * 0.3f, jit(id, 2) * 0.3f, 1f + jit(id, 5), jit(id, 6))
+      else Seq(jit(id, 3) * 0.3f, jit(id, 4) * 0.3f, jit(id, 7), 1f + jit(id, 8))
+    val phaseA = (0L until 60L).map(i => (i, aVec(i)))
+    val phaseB = (60L until 120L).map(i => (i, bVec(i)))
+    val batches = Seq(phaseA.take(30), phaseA.drop(30),
+      phaseB.take(30), phaseB.drop(30))
+    val all = (phaseA ++ phaseB).toDF("vec_id", "embedding")
+    val queries = phaseB.take(10).toDF("vec_id", "embedding")
+    val truth = graft.llm.Similarity
+      .bruteForceTopK(all, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(stateDir: String): Double = {
+      val got = Ingest.ivfIndexTopK(spark, stateDir, queries,
+          "vec_id", "embedding", k = 10, nProbe = 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).count(t).toDouble / t.size
+      }.sum / truth.size
+    }
+    // frozen run: centroids trained on batch 0, never refreshed
+    val frozen = tmpDir("ivf-frozen")
+    for ((b, i) <- batches.zipWithIndex)
+      Ingest.ivfIndexBatch(b.toDF("vec_id", "embedding"), i.toLong,
+        frozen, "vec_id", "embedding", nCells = 4, iters = 4)
+    // refreshed run: identical stream, re-train before batch 3 (the
+    // writer's refreshEvery=3 wiring)
+    val refreshed = tmpDir("ivf-refreshed")
+    for ((b, i) <- batches.zipWithIndex) {
+      if (i == 3) Ingest.refreshIvfIndex(spark, refreshed, 3L, nCells = 4, iters = 4)
+      Ingest.ivfIndexBatch(b.toDF("vec_id", "embedding"), i.toLong,
+        refreshed, "vec_id", "embedding", nCells = 4, iters = 4)
+    }
+    val rFrozen = recall(frozen)
+    val rRefreshed = recall(refreshed)
+    assert(rFrozen < 0.8, f"planted drift did not sink the frozen recall: $rFrozen%.3f")
+    assert(rRefreshed >= 0.9,
+      f"refresh did not restore recall: $rRefreshed%.3f (frozen $rFrozen%.3f)")
+    // the adopted generation is the refresh; superseded dirs are GC'd
+    val centNames = new java.io.File(s"$refreshed/centroids").listFiles().map(_.getName).toSet
+    assert(centNames == Set("compact_upto_3"), centNames.toString)
+    // retry of the refresh boundary batch converges (refresh no-ops,
+    // assignments identical)
+    val before = spark.read.parquet(s"$refreshed/cells/batch_3")
+      .as[(Long, Long, Seq[Float])].collect().sortBy(_._2).toSeq
+    Ingest.refreshIvfIndex(spark, refreshed, 3L, nCells = 4, iters = 4)
+    Ingest.ivfIndexBatch(batches(3).toDF("vec_id", "embedding"), 3L,
+      refreshed, "vec_id", "embedding", nCells = 4, iters = 4)
+    val after = spark.read.parquet(s"$refreshed/cells/batch_3")
+      .as[(Long, Long, Seq[Float])].collect().sortBy(_._2).toSeq
+    assert(after == before, "refresh-boundary retry changed assignments")
+    // crash between the centroid publication and the cell re-assignment:
+    // readers must stay on the OLD quantizer (old dirs still readable)
+    val crashed = tmpDir("ivf-crash")
+    for ((b, i) <- batches.take(3).zipWithIndex)
+      Ingest.ivfIndexBatch(b.toDF("vec_id", "embedding"), i.toLong,
+        crashed, "vec_id", "embedding", nCells = 4, iters = 4)
+    val preCrash = Ingest.ivfIndexTopK(spark, crashed, queries,
+        "vec_id", "embedding", k = 10, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // simulate the torn refresh: centroids generation lands, cells don't
+    val accDirs = spark.read.parquet(s"$crashed/cells/batch_0",
+      s"$crashed/cells/batch_1", s"$crashed/cells/batch_2")
+      .select("id", "vec")
+    graft.llm.Similarity.kmeansCentroids(accDirs, "id", "vec", 4, 4)
+      .toSeq.toDF("cell_id", "centroid")
+      .coalesce(1).write.parquet(s"$crashed/centroids/compact_upto_3")
+    val postCrash = Ingest.ivfIndexTopK(spark, crashed, queries,
+        "vec_id", "embedding", k = 10, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(postCrash == preCrash,
+      "torn refresh (centroids without re-assignment) changed reader answers")
+  }
+
   test("curation-state compaction: drift history folds to one generation, " +
       "reports stay exact; torn compaction ignored; retry converges") {
     import org.apache.spark.sql.functions.col
