@@ -974,6 +974,23 @@ object Oracles {
     // order is id order by construction): id_b of every verified
     // (id_a < id_b) pair at threshold 0.3, aggregated to
     // (n_pairs, max_jaccard). Same CTE chain as q52.
+    // q9W: reconcile report — stream_keep is q9C's "no verified pair
+    // with a smaller id exists" semantics; batch_keep is q8D's
+    // keep-best (n_chars desc, id asc) over the recursive-CC clusters.
+    "q9W_neardup_reconcile" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes()},
+         ${ccCtes()},
+         jq AS (SELECT c.id, c.component, d.n_chars
+                FROM comp c JOIN documents d ON d.doc_id = c.id),
+         rk AS (SELECT id, row_number() OVER (PARTITION BY component
+                  ORDER BY n_chars DESC, id ASC) AS rn FROM jq),
+         sf AS (SELECT DISTINCT id_b AS id FROM jj WHERE i / (nn - i) >= 0.3)
+         SELECT d.doc_id, d.lang, d.n_chars,
+           (sf.id IS NULL) AS stream_keep,
+           (rk.id IS NULL OR rk.rn = 1) AS batch_keep
+         FROM documents d
+         LEFT JOIN sf ON d.doc_id = sf.id
+         LEFT JOIN rk ON d.doc_id = rk.id""",
     "q9C_stream_neardup" ->
       s"""WITH ${minhashPairsCtes()}
          SELECT id_b AS doc_id, count(*) AS n_pairs,

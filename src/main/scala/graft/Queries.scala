@@ -1245,6 +1245,20 @@ object Queries {
       s.read.parquet(s"$state/flags/batch_*")
         .select(col("doc_id"), col("n_pairs"), col("max_jaccard"))
     }),
+    // Offline reconciliation of the streamed first-wins near-dup state
+    // (round 9): the batch pipeline (in-bucket candidates over the
+    // accumulated bands/ state, exact verify, CC, keep-best) replayed
+    // against the stream's own verdicts — both booleans per doc. The
+    // oracle mirrors q8D's recursive-CTE clustering AND q9C's
+    // exists-earlier-pair stream semantics over the full corpus.
+    "q9W_neardup_reconcile" -> ((s, d) => {
+      val state = streamedNearDupState(s, d)
+      graft.streaming.Ingest.reclusterNearDupState(s, state, threshold = 0.3)
+        .join(T.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          col("id") === col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("stream_keep"), col("batch_keep"))
+    }),
     // Stateful in-flight drift monitoring (round 8): each micro-batch's
     // hashed-unigram histogram JSD-compared against the ACCUMULATED
     // histogram of every earlier batch — the "is today's crawl still

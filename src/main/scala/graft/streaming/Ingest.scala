@@ -366,6 +366,86 @@ object Ingest {
     ()
   }
 
+  /** Offline reconciliation for the near-dup ingest state: the
+    * streamed marking is FIRST-WINS — a doc is flagged iff a verified
+    * earlier near-dup exists — which on hub topologies diverges from
+    * the batch clustering (a hub's transitive closure is ONE component
+    * whose keep-best drops docs that are not near-dups of each other,
+    * while first-wins keeps every unflagged spoke). This job runs the
+    * batch pipeline — in-bucket candidate expansion over the
+    * accumulated `bands/` state, exact-Jaccard verify from `all/`
+    * text, [[graft.llm.Dedup.connectedComponents]], keep-best winner
+    * per component (max quality, ties to lowest id — the
+    * [[graft.llm.Dedup.dedupNearDupKeepBest]] policy) — and reports
+    * BOTH verdicts per document:
+    * `(id, component, stream_keep, batch_keep)`.
+    *
+    * The state already contains everything this needs: `bands/` IS the
+    * batch LSH banding of the union of all batches (same minhash
+    * config), `all/` the raw text, `flags/` the streamed verdicts —
+    * no re-tokenization of unflagged history, no re-streaming.
+    *
+    * Scale posture: candidate expansion is the batch operator's
+    * in-bucket shape (only (band, id) rows shuffle); verify recomputes
+    * shingles for CANDIDATE ids only; CC is the O(log d) loop. Quality
+    * defaults to text length (`all/` carries no metadata); pass a
+    * custom `quality` keyed off a join with your corpus for other
+    * policies.
+    */
+  def reclusterNearDupState(spark: org.apache.spark.sql.SparkSession,
+                            stateDir: String,
+                            shingleN: Int = 3,
+                            threshold: Double = 0.5): DataFrame = {
+    import graft.llm.Dedup
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val bandDirs = historyDirs(fs, stateDir, "bands", Long.MaxValue)
+    val allDirs = historyDirs(fs, stateDir, "all", Long.MaxValue)
+    require(bandDirs.nonEmpty && allDirs.nonEmpty,
+      s"no near-dup ingest state under $stateDir")
+    val bands = spark.read.parquet(bandDirs: _*).select(col("band"), col("id"))
+    val texts = spark.read.parquet(allDirs: _*).select(col("id"), col("text"))
+    // in-bucket candidate expansion — the batch operator shape
+    val cand = bands.groupBy(col("band")).agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val sh = texts.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        Dedup.shinglesUdf(shingleN)(graft.llm.TextStats.tokens(col("text"))).as("sh"))
+    val verified = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .where(Dedup.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.connectedComponents(verified, "id_a", "id_b")
+    val winners = comp
+      .join(texts.select(col("id"), length(col("text")).as("_q")), Seq("id"))
+      .groupBy(col("component"))
+      .agg(max_by(col("id"), struct(col("_q"), (-col("id")).as("_nid"))).as("_keep"))
+      .select(col("_keep").as("id"), lit(true).as("_win"))
+    val flagsRaw = spark.read.parquet(s"$stateDir/flags/batch_*")
+    // first column is the caller's id column, whatever it was named
+    val streamedFlagged = flagsRaw
+      .select(col(flagsRaw.columns.head).cast("long").as("id"),
+        lit(true).as("_flagged"))
+      .distinct()
+    texts.select(col("id"))
+      .join(comp, Seq("id"), "left")
+      .join(winners, Seq("id"), "left")
+      .join(streamedFlagged, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"),
+        coalesce(col("_flagged"), lit(false)).unary_!.as("stream_keep"),
+        (col("component").isNull || coalesce(col("_win"), lit(false)))
+          .as("batch_keep"))
+  }
+
   def startNearDupIngest(stream: DataFrame, stateDir: String,
                          checkpointDir: String,
                          idCol: String = "doc_id",

@@ -657,6 +657,49 @@ class StreamingSpec extends SparkSpec {
     assert(afterRetry == fromStream)
   }
 
+  test("near-dup reconciliation: on a hub topology, first-wins keeps the " +
+      "mutually-dissimilar spokes, batch CC keeps one — the report " +
+      "quantifies the divergence from the accumulated state alone") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Ingest
+    // base text of 21 tokens; variant(p) swaps ONE token (same length,
+    // so keep-best quality ties and the keep-min policy decides).
+    // J(variant, base) = 16/22 ≈ 0.727; J(variant_i, variant_j) =
+    // 13/25 = 0.52 — so at threshold 0.6 the spokes are near-dups of
+    // the HUB but not of each other.
+    val base = (0 until 21).map(i => f"tok$i%02d").mkString(" ")
+    def variant(p: Int) =
+      (0 until 21).map(i => if (i == p) f"alt$p%02d" else f"tok$i%02d").mkString(" ")
+    val stateDir = tmpDir("neardup-hub")
+    // spokes arrive FIRST (mutually dissimilar -> all unflagged), the
+    // hub arrives later and is flagged against each of them
+    Ingest.nearDupBatch(
+      Seq((1L, variant(3)), (2L, variant(9)), (3L, variant(15)),
+        (4L, "completely different words here entirely"))
+        .toDF("doc_id", "text"),
+      0L, stateDir, "doc_id", "text", shingleN = 3, k = 32, bands = 8,
+      threshold = 0.6)
+    Ingest.nearDupBatch(
+      Seq((9L, base), (10L, "another unrelated document text"))
+        .toDF("doc_id", "text"),
+      1L, stateDir, "doc_id", "text", shingleN = 3, k = 32, bands = 8,
+      threshold = 0.6)
+    val flagged = spark.read.parquet(s"$stateDir/flags/batch_*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(9L), s"streamed first-wins must flag only the hub: $flagged")
+    val rec = Ingest.reclusterNearDupState(spark, stateDir, threshold = 0.6)
+      .select("id", "stream_keep", "batch_keep")
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+    // streamed keeps every spoke; batch CC folds {1,2,3,9} into ONE
+    // component and keep-best (ties -> keep-min) keeps only doc 1
+    assert(rec == Seq(
+      (1L, true, true), (2L, true, false), (3L, true, false),
+      (4L, true, true), (9L, false, false), (10L, true, true)),
+      rec.toString)
+    val divergent = rec.count(r => r._2 != r._3)
+    assert(divergent == 2, s"hub divergence must be exactly the 2 extra spokes: $divergent")
+  }
+
   test("IVF centroid refresh: a planted mid-stream drift sinks the frozen " +
       "quantizer's recall; the refreshed generation restores it; " +
       "stationary answers and retry determinism preserved") {
