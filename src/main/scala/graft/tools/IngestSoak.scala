@@ -1,0 +1,150 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.streaming.Ingest
+
+/** Long-horizon cost soak for the stateful ingest operators
+  * (`IngestSoak [nBatches] [docsPerBatch] [compactEvery]`, default
+  * 100 × 200 × 10): the 24-batch compaction specs verify EXACTNESS;
+  * this drives 100+ micro-batches of the three history-probing
+  * ingests — bloom decontamination (q9B), first-wins near-dup marking
+  * (q9C), exact dedup (q9O) — and asserts the properties that must
+  * survive a long-lived stream:
+  *
+  *  - per-batch wall-time stays flat: the mean of the LAST 20 batches
+  *    vs batches [10, 30) (post-warmup) within 2× — the history
+  *    contribution per batch is a metadata-table scan (grams/bands/
+  *    digests), never text, and compaction keeps its file count
+  *    bounded;
+  *  - the state-dir listing stays O(compactEvery): at most the
+  *    interval's batch dirs + 1 compacted generation per substream
+  *    (vs linear growth in the no-compaction control, also measured);
+  *  - correctness spot-check: planted cross-batch duplicates /
+  *    contaminated docs are still flagged at the horizon.
+  *
+  * Corpus: deterministic 40-token docs; each batch plants 5% copies
+  * of batch-0 docs (exact dups + near-dups + contaminated grams), so
+  * every batch exercises the history probe. Results land in
+  * BASELINE.md.
+  */
+object IngestSoak {
+  def main(args: Array[String]): Unit = {
+    val nBatches = args.lift(0).flatMap(_.toIntOption).getOrElse(100)
+    val perBatch = args.lift(1).flatMap(_.toIntOption).getOrElse(200)
+    val every = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
+    val spark = GraftSession.builder(appName = "graft-ingsoak").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    var failures = 0
+    def check(name: String, ok: Boolean, detail: String = ""): Unit = {
+      println(f"[ingsoak] $name%-58s ${if (ok) "OK" else "FAIL"} $detail")
+      if (!ok) failures += 1
+    }
+
+    // deterministic doc text: 40 Zipf-ish words from a 3k vocabulary
+    def text(seed: Long): String = {
+      val r = new java.util.Random(seed * 2654435761L + 17)
+      Array.fill(40) { val u = r.nextDouble(); s"w${(u * u * 3000).toInt}" }
+        .mkString(" ")
+    }
+    // batch i: ids [i*perBatch, (i+1)*perBatch); every 20th doc of
+    // batches > 0 repeats a batch-0 doc's text (the history hit)
+    def batchDf(i: Int) = {
+      val rows = (0 until perBatch).map { j =>
+        val id = i.toLong * perBatch + j
+        val t = if (i > 0 && j % 20 == 0) text(j.toLong) else text(id)
+        (id, t)
+      }
+      rows.toDF("doc_id", "text")
+    }
+
+    def fsOf(dir: String) = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def listing(dir: String, sub: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val f = fsOf(dir)
+      if (f.exists(p)) f.listStatus(p).length else 0
+    }
+    def tmp(prefix: String) =
+      java.nio.file.Files.createTempDirectory(prefix).toString + "/state"
+
+    /** Drive `run(batchId)` for every batch, return per-batch seconds. */
+    def drive(label: String, compact: Long => Unit,
+              run: Int => Unit): Array[Double] = {
+      val times = new Array[Double](nBatches)
+      var i = 0
+      while (i < nBatches) {
+        if (every > 0 && i > 0 && i % every == 0) compact(i.toLong)
+        val t0 = System.nanoTime()
+        run(i)
+        times(i) = (System.nanoTime() - t0) / 1e9
+        i += 1
+      }
+      val early = times.slice(10, 30).sum / 20
+      val late = times.slice(nBatches - 20, nBatches).sum / 20
+      println(f"[ingsoak] $label%-14s early=${early}%.3f s/batch " +
+        f"late=${late}%.3f s/batch ratio=${late / early}%.2f " +
+        f"total=${times.sum}%.1f s")
+      check(s"$label per-batch wall stays flat over $nBatches batches",
+        late / early < 2.0, f"ratio=${late / early}%.2f")
+      times
+    }
+
+    // --- exact dedup ---
+    val dedupDir = tmp("soak-dedup")
+    drive("exactDedup",
+      upTo => Ingest.compactExactDedupState(spark, dedupDir, upTo),
+      i => Ingest.exactDedupBatch(batchDf(i), i.toLong, dedupDir, "doc_id", "text"))
+    check("exactDedup listing O(interval)",
+      listing(dedupDir, "hashes") <= every + 2,
+      s"${listing(dedupDir, "hashes")} entries under hashes/ (interval $every)")
+    val lastDups = spark.read.parquet(
+        s"$dedupDir/dups/batch_${nBatches - 1}").count()
+    check("exactDedup still flags planted horizon dups",
+      lastDups == perBatch / 20, s"$lastDups flagged (want ${perBatch / 20})")
+
+    // --- bloom decontamination ---
+    val deconDir = tmp("soak-decon")
+    drive("decontaminate",
+      upTo => Ingest.compactDecontaminationState(spark, deconDir, upTo),
+      i => Ingest.curateBatch(batchDf(i), i.toLong, deconDir, "doc_id",
+        "text", shingleN = 5, fpp = 0.001))
+    check("decontaminate listing O(interval)",
+      listing(deconDir, "grams") <= every + 2,
+      s"${listing(deconDir, "grams")} entries under grams/ (interval $every)")
+    val lastQuarantine = spark.read.parquet(
+        s"$deconDir/quarantine/batch_${nBatches - 1}").count()
+    check("decontaminate still flags planted horizon contamination",
+      lastQuarantine == perBatch / 20, s"$lastQuarantine flagged")
+
+    // --- near-dup marking ---
+    val ndDir = tmp("soak-neardup")
+    drive("nearDup",
+      upTo => Ingest.compactNearDupState(spark, ndDir, upTo),
+      i => Ingest.nearDupBatch(batchDf(i), i.toLong, ndDir, "doc_id",
+        "text", shingleN = 3, k = 32, bands = 8, threshold = 0.5))
+    check("nearDup listing O(interval)",
+      listing(ndDir, "bands") <= every + 2,
+      s"${listing(ndDir, "bands")} entries under bands/ (interval $every)")
+    val lastFlags = spark.read.parquet(
+        s"$ndDir/flags/batch_${nBatches - 1}").count()
+    check("nearDup still flags planted horizon copies",
+      lastFlags == perBatch / 20, s"$lastFlags flagged")
+
+    // --- no-compaction control: listing grows linearly ---
+    val ctrlDir = tmp("soak-ctrl")
+    val ctrlN = math.min(nBatches, 40)
+    (0 until ctrlN).foreach(i =>
+      Ingest.exactDedupBatch(batchDf(i), i.toLong, ctrlDir, "doc_id", "text"))
+    check("control without compaction lists one dir per batch",
+      listing(ctrlDir, "hashes") == ctrlN,
+      s"${listing(ctrlDir, "hashes")} entries after $ctrlN batches")
+
+    println(s"[ingsoak] ${if (failures == 0) "ALL OK" else s"$failures FAILURES"}")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
