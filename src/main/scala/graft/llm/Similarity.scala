@@ -921,6 +921,24 @@ object Similarity {
       bestCell
     }
 
+  /** The best (max) cosine to any centroid — the per-vector
+    * quantization-quality signal the streamed index's drift trigger
+    * folds into a batch mean (a vector the quantizer fits routes at
+    * cos ≈ 1; a drifted one is far from every centroid).
+    */
+  private[graft] def ivfBestCosUdf(cents: Array[(Long, Array[Double])]): UserDefinedFunction =
+    udf { (vs: Seq[Float]) =>
+      val v = toFA(vs)
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val s = round6(cosFD(v, cents(i)._2))
+        if (s > bestSim) bestSim = s
+        i += 1
+      }
+      bestSim
+    }
+
   /** The nProbe closest cells for a query vector. */
   private[graft] def ivfProbeUdf(cents: Array[(Long, Array[Double])],
                           nProbe: Int): UserDefinedFunction =

@@ -891,7 +891,8 @@ object Ingest {
                            vecCol: String = "embedding",
                            nCells: Int = 16, iters: Int = 5,
                            compactEvery: Int = 0,
-                           refreshEvery: Int = 0): DataStreamWriter[Row] =
+                           refreshEvery: Int = 0,
+                           refreshOnDriftFactor: Double = 0.0): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -900,8 +901,91 @@ object Ingest {
           refreshIvfIndex(batch.sparkSession, stateDir, batchId, nCells, iters)
         else if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactIvfIndexState(batch.sparkSession, stateDir, batchId)
+        if (refreshOnDriftFactor > 0)
+          driftTriggeredRefresh(batch, batchId, stateDir, vecCol, nCells,
+            iters, refreshOnDriftFactor)
         ivfIndexBatch(batch, batchId, stateDir, idCol, vecCol, nCells, iters)
       }
+
+  /** SELF-HEALING trigger for [[refreshIvfIndex]], evaluated per batch
+    * in the quantizer's OWN space: the batch's mean best-cosine to any
+    * centroid (quantization quality — a fitting vector routes at
+    * cos ≈ 1, a drifted one is far from every centroid) against the
+    * history's running mean. A drop below `factor × histMean` means
+    * the frozen quantizer no longer describes what is arriving —
+    * re-train BEFORE assigning this batch. This is the embedding-space
+    * sibling of the q9E text-drift alarm, wired inline so the index
+    * heals without an operator in the loop.
+    *
+    * State: `qstats/batch_<id>` — one row `(batch_id, n,
+    * mean_best_cos, hist_mean, refreshed)`, recorded under the FINAL
+    * quantizer the batch assigns with. Determinism on retry: the
+    * trigger reads strictly-earlier qstats + the batch itself;
+    * [[refreshIvfIndex]] is idempotent; `refreshed` reports whether
+    * this batch's refresh generation is complete (same answer on a
+    * retry). Cost when quiet: one batch-sized projection + a 1-row
+    * agg — the assignment work [[ivfIndexBatch]] does anyway, paid
+    * once more.
+    *
+    * Healing lands within a batch or two of onset, not instantly: a
+    * refresh trains on history `[0, batchId)`, so the FIRST drifted
+    * batch's re-train cannot yet describe the drift — but that batch's
+    * vectors enter the state, the still-low quality keeps the trigger
+    * armed, and the NEXT refresh trains on data that includes the
+    * drift (spec-asserted). The factor guard assumes a healthy
+    * history mean > 0; corpora whose best-cos is legitimately ≤ 0
+    * need an absolute external trigger instead.
+    */
+  private[graft] def driftTriggeredRefresh(batch: DataFrame, batchId: Long,
+                                           stateDir: String, vecCol: String,
+                                           nCells: Int, iters: Int,
+                                           factor: Double): Unit = {
+    import graft.llm.Similarity
+    require(factor > 0 && factor < 1,
+      s"refreshOnDriftFactor must be in (0, 1): a batch triggers when its " +
+        s"mean best-cos drops below factor x history mean; got $factor")
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    def adoptedCents(): Array[(Long, Array[Double])] = {
+      val dirs = ivfCentroidDirs(fs, stateDir, batchId)
+      if (dirs.isEmpty) Array.empty
+      else spark.read.parquet(dirs: _*)
+        .select(col("cell_id"), col("centroid"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+    }
+    def batchMean(cents: Array[(Long, Array[Double])]): (Long, Double) = {
+      val r = batch.select(Similarity.ivfBestCosUdf(cents)(col(vecCol)).as("_bc"))
+        .agg(count(lit(1)), avg(col("_bc"))).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val cents0 = adoptedCents()
+    if (cents0.isEmpty) return // quantizer not trained yet (batch 0)
+    val (n, mean0) = batchMean(cents0)
+    // history mean: n-weighted over strictly-earlier qstats rows
+    val histDirsQ = historyDirs(fs, stateDir, "qstats", batchId)
+    val histMean: Double =
+      if (histDirsQ.isEmpty) 0.0
+      else {
+        val r = spark.read.parquet(histDirsQ: _*)
+          .agg(coalesce(sum(col("n") * col("mean_best_cos")), lit(0.0)),
+            coalesce(sum(col("n")), lit(0L))).head()
+        if (r.getLong(1) == 0L) 0.0 else r.getDouble(0) / r.getLong(1)
+      }
+    if (histMean > 0 && mean0 < factor * histMean)
+      refreshIvfIndex(spark, stateDir, batchId, nCells, iters)
+    // record the stats under the FINAL quantizer this batch assigns with
+    val refreshed = fs.exists(new org.apache.hadoop.fs.Path(
+      s"$stateDir/centroids/compact_upto_$batchId/_SUCCESS"))
+    val meanFinal = if (refreshed) batchMean(adoptedCents())._2 else mean0
+    Seq((batchId, n, meanFinal, histMean, refreshed))
+      .toDF("batch_id", "n", "mean_best_cos", "hist_mean", "refreshed")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/qstats/batch_$batchId")
+    ()
+  }
 
   /** One micro-batch of the IVF-index ingest — split out so the
     * differential spec can drive it directly.

@@ -791,6 +791,74 @@ class StreamingSpec extends SparkSpec {
       "torn refresh (centroids without re-assignment) changed reader answers")
   }
 
+  test("drift-TRIGGERED IVF refresh: quantization-quality drop arms the " +
+      "trigger, healing lands once the state contains the drift, " +
+      "stationary streams never refresh") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Ingest
+    // subspace-drift fixture (cf. the manual-refresh spec), with ONE
+    // drifted cluster so the healed 4-cell quantizer clearly owns it
+    def jit(id: Long, m: Int): Float = (((id * 7 + m * 13) % 11) - 5) * 0.011f
+    def aVec(id: Long): Seq[Float] =
+      if (id % 2 == 0) Seq(1f + jit(id, 1), jit(id, 2), 0f, 0f)
+      else Seq(jit(id, 3), 1f + jit(id, 4), 0f, 0f)
+    def bVec(id: Long): Seq[Float] =
+      Seq(jit(id, 1) * 0.3f, jit(id, 2) * 0.3f, 1f + jit(id, 5), jit(id, 6))
+    val phaseA = (0L until 60L).map(i => (i, aVec(i)))
+    val phaseB = (60L until 150L).map(i => (i, bVec(i)))
+    val batches = Seq(phaseA.take(30), phaseA.drop(30),
+      phaseB.take(30), phaseB.slice(30, 60), phaseB.drop(60))
+    def driveBatch(dir: String, b: Seq[(Long, Seq[Float])], i: Int): Unit = {
+      Ingest.driftTriggeredRefresh(b.toDF("vec_id", "embedding"), i.toLong,
+        dir, "embedding", nCells = 4, iters = 4, factor = 0.9)
+      Ingest.ivfIndexBatch(b.toDF("vec_id", "embedding"), i.toLong, dir,
+        "vec_id", "embedding", nCells = 4, iters = 4)
+    }
+    val drifted = tmpDir("ivf-autodrift")
+    for ((b, i) <- batches.zipWithIndex) driveBatch(drifted, b, i)
+    val stats = spark.read.parquet(s"$drifted/qstats/batch_*")
+      .select("batch_id", "mean_best_cos", "refreshed")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    // batch 1: healthy, no history baseline yet -> never refreshes;
+    // the trigger fires on drift onset (batch 2) and stays armed until
+    // a refresh trains on state CONTAINING the drift; the final batch
+    // is quiet again (healed)
+    assert(stats.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(!stats.head._3, "healthy batch 1 must not refresh")
+    assert(stats(1)._3, "drift onset (batch 2) must trigger a refresh")
+    assert(!stats.last._3,
+      s"healed stream must go quiet by the final batch: ${stats.mkString(", ")}")
+    assert(stats.last._2 > 0.9,
+      f"final batch must assign at high quality under the healed quantizer: ${stats.last._2}%.3f")
+    // recall on drifted queries restored by the self-triggered refreshes
+    val all = (phaseA ++ phaseB).toDF("vec_id", "embedding")
+    val queries = phaseB.take(10).toDF("vec_id", "embedding")
+    val truth = graft.llm.Similarity
+      .bruteForceTopK(all, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Ingest.ivfIndexTopK(spark, drifted, queries,
+        "vec_id", "embedding", k = 10, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).count(t).toDouble / t.size }.sum / truth.size
+    assert(recall >= 0.9, f"self-healed recall: $recall%.3f")
+    // retry of a triggering batch converges (idempotent refresh + stats)
+    val statsBefore = spark.read.parquet(s"$drifted/qstats/batch_3").collect().toSeq
+    driveBatch(drifted, batches(3), 3)
+    assert(spark.read.parquet(s"$drifted/qstats/batch_3").collect().toSeq == statsBefore)
+    // stationary control: same wiring, no drift -> zero refreshes
+    val quiet = tmpDir("ivf-quiet")
+    val stationary = (0L until 150L).map(i => (i, aVec(i))).grouped(30).toSeq
+    for ((b, i) <- stationary.zipWithIndex) driveBatch(quiet, b, i)
+    val quietRefreshes = spark.read.parquet(s"$quiet/qstats/batch_*")
+      .where("refreshed").count()
+    assert(quietRefreshes == 0L, s"stationary stream refreshed $quietRefreshes times")
+    assert(new java.io.File(s"$quiet/centroids").listFiles().map(_.getName).toSeq
+      == Seq("batch_0"))
+  }
+
   test("curation-state compaction: drift history folds to one generation, " +
       "reports stay exact; torn compaction ignored; retry converges") {
     import org.apache.spark.sql.functions.col
