@@ -300,6 +300,29 @@ object MoraWal {
     finally out.close()
   }
 
+  /** Export a candle frame as a complete mora deployment directory:
+    * the `.ysf` page tree ([[Ysf.write]], pages stamped with
+    * `lastTxId`) PLUS the `wal/counter` file (u64 LE,
+    * `wal/counter.go:72-94`) holding the same id. Without the counter
+    * a reopening mora self-initializes it to 0 (`counter.go:36-44`)
+    * and mints NEW tx ids BELOW the pages' LastTxId — the counter is
+    * what makes the migration resumable, not just readable. The
+    * reverse of [[migrateFromMora]]; the WAL dir is left with no logs
+    * (everything exported is already "flushed" into pages).
+    */
+  def exportToMora(df: DataFrame, dir: String, lastTxId: Long): Unit = {
+    require(lastTxId >= 0, s"lastTxId must be non-negative, got $lastTxId")
+    Ysf.write(df, dir, lastTxId)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/wal/counter")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(lastTxId)
+      out.write(b.array())
+    } finally out.close()
+  }
+
   // ------------------------------------------------------------- migrate
 
   /** Migrate a whole mora deployment directory — flushed `.ysf` pages

@@ -149,6 +149,31 @@ class MoraWalSpec extends SparkSpec {
     assert(MoraWal.read(spark, s"$root/nope").count() == 0)
   }
 
+  test("exportToMora: page tree + u64-LE wal/counter at lastTxId; the " +
+      "exported deployment migrates back losslessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = tmpDir("morawal-export")
+    val candles = Seq(
+      graft.model.Candle("KRX", "A", 3600, new Timestamp(T0 * 1000L), 1.0, 2.0, 0.5, 1.5, 10.0, 0L),
+      graft.model.Candle("KRX", "B", 3600, new Timestamp((T0 + 3600) * 1000L), 3.0, 4.0, 2.0, 3.5, 30.0, 0L))
+    MoraWal.exportToMora(candles.toDF(), dir, lastTxId = 41L)
+    // counter: exactly 8 bytes, u64 LE (counter.go:72-94)
+    val counterBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "wal", "counter"))
+    assert(counterBytes.length == 8)
+    assert(ByteBuffer.wrap(counterBytes).order(ByteOrder.LITTLE_ENDIAN)
+      .getLong() == 41L)
+    // pages carry the same LastTxId
+    val pageBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "KRX", "3600", "A", "02024.ysf"))
+    assert(graft.sources.Ysf.decodeHeader(pageBytes).lastTxId == 41L)
+    // round trip: the exported deployment migrates back losslessly
+    val back = MoraWal.migrateFromMora(spark, dir, tmpDir("morawal-back") + "/s")
+      .scan().select("code", "open").as[(String, Double)].collect().toSet
+    assert(back == Set(("A", 1.0), ("B", 3.0)))
+  }
+
   test("migrateFromMora: pages + committed WAL tail, WAL wins on " +
       "overlap, uncommitted tail dropped and reportable") {
     val root = tmpDir("morawal-migrate")
