@@ -832,6 +832,13 @@ object Oracles {
     // q9M: property oracle (q63's shape) — the row hash-matches only
     // if the stream-built index equals the batch assignment AND the
     // recall gate computes true.
+    // q9X: drift-triggered refresh gates — blind census + booleans
+    // (the q9M/q84 pattern): trigger fired, stream healed quiet,
+    // drifted-query recall over the floor.
+    "q9X_drift_refresh" ->
+      """SELECT count(*)::BIGINT AS n_queries, true AS trigger_fired,
+         true AS healed_quiet, true AS recall_ok
+         FROM embeddings WHERE vec_id % 20 = 0""",
     "q9M_stream_ivf_index" ->
       """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries,
          true AS index_identical, true AS recall_ok

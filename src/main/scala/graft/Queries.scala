@@ -1400,6 +1400,43 @@ object Queries {
           (sum(col("n_hit")).cast("double") /
             (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
     }),
+    // Drift-TRIGGERED IVF refresh (round 9): a mid-stream encoder swap
+    // (negated embeddings) sinks the quantization-quality signal; the
+    // trigger fires, the refresh re-trains on accumulated state, the
+    // stream goes quiet once the state contains the drift, and probe
+    // recall on drifted queries clears the q63-band floor. Property
+    // oracle (the q9M pattern): the row hash-matches only if all
+    // three gates hold.
+    "q9X_drift_refresh" -> ((s, d) => {
+      import s.implicits._
+      val state = streamedIvfDriftState(s, d)
+      val emb = T.embeddings(s, d)
+      val famA = driftFamily(emb, period = 4, idOffset = 0L)
+      val famB = driftFamily(emb, period = 2, idOffset = 100000L)
+      val union = famA.unionByName(famB)
+      val queries = famB.where(col("vec_id") % 20 === 0)
+      val qs = s.read.parquet(s"$state/qstats/batch_*")
+        .select(col("batch_id"), col("refreshed"))
+        .as[(Long, Boolean)].collect().sortBy(_._1)
+      val fired = qs.exists(_._2)
+      val healedQuiet = qs.nonEmpty && qs.last._1 == 4L && !qs.last._2
+      val exact = Similarity.bruteForceTopK(union, queries, "vec_id",
+          "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val approx = graft.streaming.Ingest.ivfIndexTopK(s, state, queries,
+          "vec_id", "embedding", k = 10, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          lit(fired).as("trigger_fired"),
+          lit(healedQuiet).as("healed_quiet"),
+          (sum(col("n_hit")).cast("double") /
+            (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
+    }),
     // Temperature mixture rebalancing (round 8): the multilingual p^α
     // rule at α = 0.5 over the (skewed) lang strata — keep rates
     // (p_min/p_k)^(1-α)
@@ -1768,6 +1805,63 @@ object Queries {
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 3,
         s"streamed IVF indexing must see 3 micro-batches, saw $batches")
+      stateDir
+    })
+
+  private val ivfDriftCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** One of two TIGHT, mutually-orthogonal vector families keyed by
+    * the corpus's vec_ids (the q7A/q7B synthetic-payload pattern —
+    * testdata supplies the ids, the payload is deterministic):
+    * family A rides the period-4 sign pattern (+ + − −…), family B
+    * the period-2 one (+ − + −…); the patterns are exactly orthogonal
+    * over an even dim count, and per-(id, dim) jitter keeps each
+    * family a tight cosine cluster (within-family cos ≳ 0.87,
+    * cross-family ≲ 0.15). The REAL embeddings are near-isotropic in
+    * cosine (best-cos to 16 trained centroids ≈ 0.21 for originals
+    * AND any drift — measured), so a quality-RATIO trigger cannot see
+    * drift on them; structured families are what give the trigger a
+    * healthy baseline to fall from.
+    */
+  private def driftFamily(emb: DataFrame, period: Int, idOffset: Long): DataFrame = {
+    val dim = 64 // the testdata embedding width
+    val mk = udf { (id: Long) =>
+      (0 until dim).map { j =>
+        val base = if ((j / (period / 2)) % 2 == 0) 1f else -1f
+        base + 0.12f * (((id * 7 + j * 13) % 11) - 5)
+      }
+    }
+    emb.select((col("vec_id") + lit(idOffset)).as("vec_id"),
+      mk(col("vec_id")).as("embedding"))
+  }
+
+  /** Drift-refresh fixture: 2 batches of family A, then 3 batches of
+    * the orthogonal family B ("the encoder changed"). Batches are
+    * driven through the writer's per-batch body directly (the
+    * StreamingSpec pattern) in a PINNED order — a file stream's batch
+    * composition under AvailableNow is scheduler-dependent, and this
+    * fixture's gates are order-sensitive by design (the trigger
+    * compares each batch against strictly-earlier history).
+    */
+  private def streamedIvfDriftState(s: SparkSession, d: String): String =
+    ivfDriftCache.getOrElseUpdate(d, {
+      val base = Files.createTempDirectory("graft-qivfdrift").toString
+      val stateDir = s"$base/state"
+      val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val famA = driftFamily(emb, period = 4, idOffset = 0L)
+      val famB = driftFamily(emb, period = 2, idOffset = 100000L)
+      val batches = Seq(
+        famA.where(pmod(col("vec_id"), lit(2)) === 0),
+        famA.where(pmod(col("vec_id"), lit(2)) === 1),
+        famB.where(pmod(col("vec_id"), lit(3)) === 0),
+        famB.where(pmod(col("vec_id"), lit(3)) === 1),
+        famB.where(pmod(col("vec_id"), lit(3)) === 2))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.Ingest.driftTriggeredRefresh(b, i.toLong, stateDir,
+          "embedding", nCells = 16, iters = 5, factor = 0.9)
+        graft.streaming.Ingest.ivfIndexBatch(b, i.toLong, stateDir,
+          "vec_id", "embedding", nCells = 16, iters = 5)
+      }
       stateDir
     })
 
