@@ -90,23 +90,13 @@ private[graft] final class CandleTable(spark: SparkSession, val path: String)
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              if (overwrite) throw new UnsupportedOperationException(
-                "graft-candles stores upsert by (series, ts); INSERT " +
-                  "OVERWRITE would truncate — insert the correction instead")
-              // positional INSERT supplies `year`, but upsert re-derives
-              // it from ts; refuse a disagreeing value instead of
-              // silently recomputing (same contract as graft-vstore)
-              import org.apache.spark.sql.functions.year
-              val bad = data.where(col("year").isNotNull &&
-                col("year") =!= year(col("ts"))).limit(1).collect()
-              if (bad.nonEmpty) throw new IllegalArgumentException(
-                s"year=${bad.head.getAs[Any]("year")} disagrees with " +
-                  s"year(ts)=${bad.head.getAs[java.sql.Timestamp]("ts")} — " +
-                  "year is derived from ts (UTC); pass the matching year or NULL")
-              CandleStore(data.sparkSession, path).upsert(data.drop("year"))
-              ()
-            }
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              CandleInserts.insert(data, overwrite, "graft-candles",
+                "stores upsert by (series, ts); INSERT OVERWRITE would " +
+                  "truncate — insert the correction instead") { clean =>
+                CandleStore(clean.sparkSession, path).upsert(clean)
+                ()
+              }
           }
       }
     }
@@ -154,6 +144,11 @@ private[graft] final class CandleScan(spark: SparkSession,
     */
   private[graft] def innerFrame(): DataFrame = {
     val store = CandleStore(spark, table.path)
+    // recovery BEFORE the data probe: a first-batch commit whose intent
+    // published but whose install crashed has no market= dir yet — the
+    // probe alone would read the committed batch as an empty table
+    // while the path API (scan() -> recover()) returns it
+    store.recover()
     val p = new Path(table.path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a stamped-but-empty store has no partition dirs to scan
@@ -181,6 +176,28 @@ private[graft] final class CandleV1Bridge(override val sqlContext: SQLContext,
   override val needConversion: Boolean = false
   override def buildScan(): RDD[Row] =
     scan.innerFrame().queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}
+
+/** Shared `INSERT INTO` body for the candle-schema tables (plain and
+  * versioned): refuse overwrite, refuse a `year` that disagrees with
+  * `year(ts)` (the stores re-derive it — a lying value would be
+  * silently recomputed), then hand the year-less batch to the store's
+  * own commit. One validation pass; insert batches are tx-sized.
+  */
+private[graft] object CandleInserts {
+  def insert(data: DataFrame, overwrite: Boolean, formatName: String,
+             overwriteMsg: String)(commit: DataFrame => Unit): Unit = {
+    if (overwrite) throw new UnsupportedOperationException(
+      s"$formatName $overwriteMsg")
+    import org.apache.spark.sql.functions.year
+    val bad = data.where(col("year").isNotNull &&
+      col("year") =!= year(col("ts"))).limit(1).collect()
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"year=${bad.head.getAs[Any]("year")} disagrees with " +
+        s"year(ts)=${bad.head.getAs[java.sql.Timestamp]("ts")} — " +
+        "year is derived from ts (UTC); pass the matching year or NULL")
+    commit(data.drop("year"))
+  }
 }
 
 /** Best-effort V1 `Filter` → `Column` translation, shared by the V1

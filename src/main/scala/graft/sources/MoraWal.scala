@@ -247,8 +247,15 @@ object MoraWal {
     val dir = new org.apache.hadoop.fs.Path(walDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return spark.emptyDataset[WalRow].toDF()
+    // chronological = numeric (millis ++ 5-digit tx) parsed from the
+    // name (`wal/resolver.go:73-75`). The reference's own fields are
+    // fixed-width (`%d%05d`: 13-digit millis until 2286, tx id modded
+    // to 5 digits), so plain string sort agrees — the numeric key just
+    // refuses to be fooled by a hand-named or far-future file.
     val names = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("wal.") && n.endsWith(".log")).sorted
+      .filter(n => n.startsWith("wal.") && n.endsWith(".log"))
+      .sortBy(n => (n.stripPrefix("wal.").stripSuffix(".log")
+        .toLongOption.getOrElse(Long.MaxValue), n))
     if (names.isEmpty) return spark.emptyDataset[WalRow].toDF()
     val rank: Map[String, Int] = names.zipWithIndex.toMap
     spark.read.format("binaryFile")

@@ -90,25 +90,13 @@ private[graft] final class VStoreTable(spark: SparkSession,
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              if (overwrite) throw new UnsupportedOperationException(
-                "graft-vstore is append-only (versioned history); " +
-                  "INSERT OVERWRITE would silently discard it")
-              // The table schema carries the storage-derived `year`, so
-              // positional INSERT supplies one — but commit() re-derives
-              // year from ts. A disagreeing value would be silently
-              // ignored; refuse it loudly instead (one validation pass,
-              // insert batches are journaled-tx sized).
-              import org.apache.spark.sql.functions.year
-              val bad = data.where(col("year").isNotNull &&
-                col("year") =!= year(col("ts"))).limit(1).collect()
-              if (bad.nonEmpty) throw new IllegalArgumentException(
-                s"year=${bad.head.getAs[Any]("year")} disagrees with " +
-                  s"year(ts)=${bad.head.getAs[java.sql.Timestamp]("ts")} — " +
-                  "year is derived from ts (UTC); pass the matching year or NULL")
-              VersionedCandleStore(data.sparkSession, path).commit(data.drop("year"))
-              ()
-            }
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              CandleInserts.insert(data, overwrite, "graft-vstore",
+                "is append-only (versioned history); INSERT OVERWRITE " +
+                  "would silently discard it") { clean =>
+                VersionedCandleStore(clean.sparkSession, path).commit(clean)
+                ()
+              }
           }
       }
     }

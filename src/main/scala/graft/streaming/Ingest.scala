@@ -934,7 +934,11 @@ object Ingest {
     * armed, and the NEXT refresh trains on data that includes the
     * drift (spec-asserted). The factor guard assumes a healthy
     * history mean > 0; corpora whose best-cos is legitimately ≤ 0
-    * need an absolute external trigger instead.
+    * need an absolute external trigger instead. Pair the trigger with
+    * `compactEvery` on long-lived streams: the qstats history (one
+    * 1-row dir per batch) compacts on that boundary
+    * ([[compactIvfIndexState]] folds it n-weighted), like every other
+    * substream's state.
     */
   private[graft] def driftTriggeredRefresh(batch: DataFrame, batchId: Long,
                                            stateDir: String, vecCol: String,
@@ -1287,14 +1291,80 @@ object Ingest {
     compactCurationState(spark, stateDir, "sketches", upTo,
       _.groupBy(col("key")).agg(hll_union_agg(col("sketch")).as("sketch")))
 
+  /** The newest `_SUCCESS`-complete centroid generation `<= upTo`
+    * WITHOUT the cells-re-assignment gate — what a compaction must
+    * assign under (adopted or not: re-assigning under a half-landed
+    * refresh COMPLETES it); readers keep using the gated
+    * [[ivfCentroidDirs]].
+    */
+  private def publishedCentroidDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                    stateDir: String,
+                                    upTo: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$stateDir/centroids")
+    if (!fs.exists(root)) return Seq.empty
+    val entries = fs.listStatus(root).toSeq.map(_.getPath)
+    entries
+      .filter(p => p.getName.startsWith("compact_upto_") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .flatMap(p => p.getName.stripPrefix("compact_upto_").toLongOption
+        .filter(_ <= upTo).map(k => (k, p.toString)))
+      .maxByOption(_._1).map(t => Seq(t._2))
+      .getOrElse(entries.filter(p => p.getName.startsWith("batch_") &&
+        p.getName.stripPrefix("batch_").toLongOption.exists(_ < upTo))
+        .map(_.toString))
+  }
+
   /** Compact the IVF-index ingest's cell state up to (excluding) batch
-    * `upTo`: per-batch (cell_id, id, vec) rows concatenate unchanged —
-    * a pure small-file rewrite (the centroid state is a single frozen
-    * dir and never compacts).
+    * `upTo` — by RE-ASSIGNING the accumulated vectors under the newest
+    * PUBLISHED centroid generation (not an identity concat): if an
+    * externally-triggered [[refreshIvfIndex]] crashed after its
+    * centroid publication but before its cells re-assignment and was
+    * never retried, a plain identity compaction would raise the cells
+    * floor past that orphaned generation and [[ivfCentroidDirs]] would
+    * adopt it against never-re-assigned cells — probes pruning the
+    * wrong cells forever. Re-assignment makes any complete cells floor
+    * consistent with the newest centroid generation at or below it,
+    * healing the orphan instead of activating it. When no refresh has
+    * ever run this is a no-op re-projection of the same assignments.
     */
   def compactIvfIndexState(spark: org.apache.spark.sql.SparkSession,
-                           stateDir: String, upTo: Long): Unit =
-    compactCurationState(spark, stateDir, "cells", upTo, identity)
+                           stateDir: String, upTo: Long): Unit = {
+    import graft.llm.Similarity
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val centDirs = publishedCentroidDirs(fs, stateDir, upTo)
+    if (centDirs.isEmpty)
+      compactCurationState(spark, stateDir, "cells", upTo, identity)
+    else {
+      val cents = spark.read.parquet(centDirs: _*)
+        .select(col("cell_id"), col("centroid"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      compactCurationState(spark, stateDir, "cells", upTo, df =>
+        df.select(Similarity.ivfAssignUdf(cents)(col("vec")).as("cell_id"),
+          col("id"), col("vec")))
+    }
+    compactIvfQstats(spark, stateDir, upTo)
+  }
+
+  /** Compact the drift-trigger's quality history up to (excluding)
+    * batch `upTo`: the trigger reads only the n-weighted mean, so the
+    * per-batch rows fold to ONE row carrying (Σn, Σn·mean/Σn) — the
+    * weighted mean is preserved exactly up to one fp divide/remultiply,
+    * and the threshold compare is insensitive to that ulp. Without
+    * this, `refreshOnDriftFactor` streams list one 1-row dir per batch
+    * forever — the linear small-file growth every other substream
+    * already compacts away.
+    */
+  private def compactIvfQstats(spark: org.apache.spark.sql.SparkSession,
+                               stateDir: String, upTo: Long): Unit =
+    compactCurationState(spark, stateDir, "qstats", upTo, df =>
+      df.agg(max(col("batch_id")).as("batch_id"),
+        sum(col("n")).as("n"),
+        (sum(col("n") * col("mean_best_cos")) / sum(col("n")))
+          .as("mean_best_cos"),
+        max(col("hist_mean")).as("hist_mean"),
+        max(col("refreshed")).as("refreshed")))
 
   /** Compact the quota ingest's per-source totals up to (excluding)
     * batch `upTo`: per-batch (key, tokens) rows SUM into one

@@ -34,6 +34,9 @@ object IngestSoak {
     val nBatches = args.lift(0).flatMap(_.toIntOption).getOrElse(100)
     val perBatch = args.lift(1).flatMap(_.toIntOption).getOrElse(200)
     val every = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
+    require(nBatches >= 12,
+      s"nBatches=$nBatches: the flatness windows need >= 12 batches " +
+        "(10 warmup + a post-warmup and a tail window)")
     val spark = GraftSession.builder(appName = "graft-ingsoak").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -83,8 +86,11 @@ object IngestSoak {
         times(i) = (System.nanoTime() - t0) / 1e9
         i += 1
       }
-      val early = times.slice(10, 30).sum / 20
-      val late = times.slice(nBatches - 20, nBatches).sum / 20
+      // windows clamped to the run length: w batches right after the
+      // 10-batch warmup vs the last w — non-overlapping by construction
+      val w = math.min(20, (nBatches - 10) / 2)
+      val early = times.slice(10, 10 + w).sum / w
+      val late = times.slice(nBatches - w, nBatches).sum / w
       println(f"[ingsoak] $label%-14s early=${early}%.3f s/batch " +
         f"late=${late}%.3f s/batch ratio=${late / early}%.2f " +
         f"total=${times.sum}%.1f s")

@@ -74,6 +74,23 @@ class CandleCatalogSpec extends SparkSpec {
       s"expected 1 pruned file, scanned ${scans.head.metrics("numFiles").value}")
   }
 
+  test("a committed-but-uninstalled first batch is visible through the " +
+      "catalog: the inner scan recovers before probing for data") {
+    // Regression: the catalog's empty-store probe (no market= dirs)
+    // ran BEFORE recovery, so a store whose first upsert published its
+    // commit intent and crashed pre-install read as an EMPTY table
+    // through SQL while the path API returned the batch.
+    base
+    val st = CandleStore(spark, s"$base/markets/torn")
+    st.upsertWithCrash(Seq(c("TORN", "2024-03-01 00:00:00", 5.0)).toDF(), maxOps = 0)
+    // path read recovers and sees the batch; the catalog must agree
+    assert(CandleStore(spark, s"$base/markets/torn").scan().count() == 1L)
+    val viaSql = spark.sql("SELECT code, open FROM cc.markets.torn").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaSql == Seq(("TORN", 5.0)),
+      s"catalog read of a crash-torn store: $viaSql")
+  }
+
   test("INSERT INTO runs one atomic upsert (new row lands, same-(key,ts) " +
       "row is REPLACED); INSERT OVERWRITE refused; CREATE stamps an " +
       "empty readable store") {

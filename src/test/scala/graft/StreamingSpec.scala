@@ -791,6 +791,48 @@ class StreamingSpec extends SparkSpec {
       "torn refresh (centroids without re-assignment) changed reader answers")
   }
 
+  test("orphaned centroid generation: a later plain compaction HEALS it " +
+      "(re-assigns under it) instead of activating it against stale cells") {
+    // Regression: the reader gate accepts gen k once ANY cells floor
+    // j >= k is complete. An identity compaction after an external
+    // refresh crashed between its two publications would raise the
+    // floor past the orphan and adopt new centroids against
+    // never-re-assigned cells; compaction now re-assigns under the
+    // newest PUBLISHED generation, completing the orphaned refresh.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Ingest
+    def v(id: Long): (Long, Seq[Float]) = {
+      val c = id % 3
+      (id, Seq(if (c == 0) 1f else if (c == 1) -1f else 0f,
+        (if (c == 2) 1f else 0.1f * c) + (id % 5) * 0.01f))
+    }
+    val all = (0L until 90L).map(v)
+    val stateDir = tmpDir("ivf-orphan")
+    for ((b, i) <- all.grouped(30).toSeq.zipWithIndex)
+      Ingest.ivfIndexBatch(b.toDF("vec_id", "embedding"), i.toLong,
+        stateDir, "vec_id", "embedding", nCells = 3, iters = 4)
+    // orphan: centroids/compact_upto_2 lands, its cells re-assignment
+    // never does (external refresh crashed; never retried)
+    val acc = spark.read.parquet(s"$stateDir/cells/batch_0",
+      s"$stateDir/cells/batch_1").select("id", "vec")
+    val newCents = graft.llm.Similarity.kmeansCentroids(acc, "id", "vec", 3, 4)
+    newCents.toSeq.toDF("cell_id", "centroid")
+      .coalesce(1).write.parquet(s"$stateDir/centroids/compact_upto_2")
+    // a plain compaction boundary at batch 3
+    Ingest.compactIvfIndexState(spark, stateDir, 3L)
+    // readers now adopt gen 2 — and the cells must be assigned UNDER it
+    val answers = Ingest.ivfIndexTopK(spark,
+        stateDir, all.take(9).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val expected = graft.llm.Similarity.ivfWithCentroids(
+        all.toDF("vec_id", "embedding"), all.take(9).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 5, nProbe = 2, newCents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(answers == expected && expected.nonEmpty,
+      "healed state must answer exactly as the batch index under the orphaned generation")
+  }
+
   test("drift-TRIGGERED IVF refresh: quantization-quality drop arms the " +
       "trigger, healing lands once the state contains the drift, " +
       "stationary streams never refresh") {
@@ -857,6 +899,20 @@ class StreamingSpec extends SparkSpec {
     assert(quietRefreshes == 0L, s"stationary stream refreshed $quietRefreshes times")
     assert(new java.io.File(s"$quiet/centroids").listFiles().map(_.getName).toSeq
       == Seq("batch_0"))
+    // qstats history folds on the compaction boundary: the n-weighted
+    // mean the trigger reads is preserved, the listing is O(interval)
+    def wmean(): Double = {
+      val F = org.apache.spark.sql.functions
+      val r = spark.read.parquet(s"$quiet/qstats/*")
+        .agg(F.sum(F.col("n") * F.col("mean_best_cos")), F.sum(F.col("n"))).head()
+      r.getDouble(0) / r.getLong(1)
+    }
+    val before = wmean()
+    Ingest.compactIvfIndexState(spark, quiet, 5L)
+    val names = new java.io.File(s"$quiet/qstats").listFiles().map(_.getName).toSet
+    assert(names == Set("compact_upto_5"), names.toString)
+    assert(math.abs(wmean() - before) < 1e-12,
+      s"qstats compaction moved the weighted mean: $before -> ${wmean()}")
   }
 
   test("curation-state compaction: drift history folds to one generation, " +

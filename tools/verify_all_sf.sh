@@ -13,7 +13,9 @@ ROOT="${1:-/root/testdata}"
 OUT="${2:-/tmp/verify_all_sf}"
 cd "$(dirname "$0")/.."
 
-sbt -batch "runMain graft.Verify --all-sf $ROOT $OUT" 2>/dev/null | grep '\[verify\]'
+# 2>&1: Verify reports per-query failures on STDERR ("[verify] <name>
+# failed"); discarding stderr would silence exactly those diagnostics
+sbt -batch "runMain graft.Verify --all-sf $ROOT $OUT" 2>&1 | grep '\[verify\]'
 
 fail=0
 total_ok=0
