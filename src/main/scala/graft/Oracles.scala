@@ -832,6 +832,14 @@ object Oracles {
     // q9M: property oracle (q63's shape) — the row hash-matches only
     // if the stream-built index equals the batch assignment AND the
     // recall gate computes true.
+    // q9Y: streamed embedding dedup — blind census + booleans (the
+    // q9M/q84 pattern): one flag per planted identical pair, flags
+    // are exactly the twins, cell census complete.
+    "q9Y_embed_dedup" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0)::BIGINT AS n_planted,
+         (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0)::BIGINT AS n_flagged,
+         true AS one_flag_per_pair, true AS flags_are_the_twins,
+         true AS census_ok""",
     // q9X: drift-triggered refresh gates — blind census + booleans
     // (the q9M/q84 pattern): trigger fired, stream healed quiet,
     // drifted-query recall over the floor.

@@ -1400,6 +1400,33 @@ object Queries {
           (sum(col("n_hit")).cast("double") /
             (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
     }),
+    // Stateful embedding-dedup at ingest (round 9): SemDeDup's
+    // same-cell cosine rule as a first-wins stream over the real
+    // embeddings + planted exact twins. Property oracle: the row
+    // hash-matches only if EXACTLY ONE member of every planted
+    // identical pair is flagged (whichever arrived first — the gate is
+    // arrival-order-insensitive), every flag carries cos ~ 1 (no
+    // organic flags at τ = 0.999 on this near-isotropic corpus), and
+    // the cell state holds the full census.
+    "q9Y_embed_dedup" -> ((s, d) => {
+      import s.implicits._
+      val state = streamedEmbedDedupState(s, d)
+      val flags = s.read.parquet(s"$state/flags/batch_*")
+        .select(col("id"), col("max_cos")).as[(Long, Double)].collect().toMap
+      val planted = T.embeddings(s, d).where(col("vec_id") % 10 === 0)
+        .select(col("vec_id")).as[Long].collect()
+      val onePerPair = planted.forall(v =>
+        flags.contains(v) ^ flags.contains(v + 100000L))
+      val allExact = flags.valuesIterator.forall(_ >= 0.9999)
+      val census = s.read.parquet(s"$state/cells/batch_*").count()
+      val nEmb = T.embeddings(s, d).count()
+      s.range(1).select(
+        lit(planted.length.toLong).as("n_planted"),
+        lit(flags.size.toLong).as("n_flagged"),
+        lit(onePerPair).as("one_flag_per_pair"),
+        lit(allExact && flags.size == planted.length).as("flags_are_the_twins"),
+        lit(census == nEmb + planted.length).as("census_ok"))
+    }),
     // Drift-TRIGGERED IVF refresh (round 9): a mid-stream encoder swap
     // (negated embeddings) sinks the quantization-quality signal; the
     // trigger fires, the refresh re-trains on accumulated state, the
@@ -1862,6 +1889,55 @@ object Queries {
         graft.streaming.Ingest.ivfIndexBatch(b, i.toLong, stateDir,
           "vec_id", "embedding", nCells = 16, iters = 5)
       }
+      stateDir
+    })
+
+  private val embDedupCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streamed embedding-dedup fixture: the real embeddings in 3
+    * ntile slices plus a 4th file of EXACT TWINS (vec_id + 100000,
+    * identical vector) of every 10th embedding, marked in-flight by
+    * [[graft.streaming.Ingest.startEmbedDedupIngest]] at τ = 0.999.
+    * The gates are ARRIVAL-ORDER-INSENSITIVE by design (exactly one
+    * member of each planted identical pair is flagged whichever
+    * arrives first — AvailableNow batch composition is scheduler-
+    * dependent, measured on the q9X fixture), so a real stream drives
+    * this one. Returns the state dir.
+    */
+  private def streamedEmbedDedupState(s: SparkSession, d: String): String =
+    embDedupCache.getOrElseUpdate(d, {
+      val base = Files.createTempDirectory("graft-qembdedup").toString
+      val srcDir = s"$base/src"
+      val fs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val twins = emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding"))
+      val staging = s"$base/staging"
+      emb.withColumn("_slice", (ntile(3).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1).cast("int"))
+        .unionByName(twins.withColumn("_slice", lit(3)))
+        .repartition(col("_slice"))
+        .write.partitionBy("_slice").parquet(staging)
+      val t0 = System.currentTimeMillis()
+      (0 to 3).foreach { i =>
+        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+        val part = fs.listStatus(sliceDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+          case Array(one) => one
+          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+        }
+        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val stateDir = s"$base/state"
+      val q = graft.streaming.Ingest.startEmbedDedupIngest(
+        stream, stateDir, s"$base/ckpt", threshold = 0.999)
+      q.awaitTermination()
       stateDir
     })
 

@@ -1005,27 +1005,39 @@ object Ingest {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     val b = batch.localCheckpoint() // read by train (maybe) + assignment
-    // the coarse quantizer: the adopted centroid generation (see
-    // [[ivfCentroidDirs]] — refresh-aware, re-assignment-gated), or
-    // train NOW iff no earlier batch ever trained (first non-empty
-    // batch; a retry retrains on the identical input)
-    val histCents = ivfCentroidDirs(fs, stateDir, batchId)
-    val cents: Array[(Long, Array[Double])] =
-      if (histCents.nonEmpty)
-        spark.read.parquet(histCents: _*)
-          .select(col("cell_id"), col("centroid"))
-          .as[(Long, Array[Double])].collect().sortBy(_._1)
-      else {
-        val trained = Similarity.kmeansCentroids(b, idCol, vecCol, nCells, iters)
-        trained.toSeq.toDF("cell_id", "centroid")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$stateDir/centroids/batch_$batchId")
-        trained
-      }
+    val cents = ensureCentroids(b, batchId, stateDir, idCol, vecCol, nCells, iters)
     b.select(Similarity.ivfAssignUdf(cents)(col(vecCol)).as("cell_id"),
         col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .write.mode("overwrite").parquet(s"$stateDir/cells/batch_$batchId")
     ()
+  }
+
+  /** The coarse quantizer for batch `batchId`: the adopted centroid
+    * generation (see [[ivfCentroidDirs]] — refresh-aware,
+    * re-assignment-gated), or train NOW iff no earlier batch ever
+    * trained (first non-empty batch; a retry retrains on the identical
+    * input). Shared by the IVF-index and embedding-dedup ingests.
+    */
+  private def ensureCentroids(b: DataFrame, batchId: Long, stateDir: String,
+                              idCol: String, vecCol: String,
+                              nCells: Int, iters: Int): Array[(Long, Array[Double])] = {
+    import graft.llm.Similarity
+    val spark = b.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val histCents = ivfCentroidDirs(fs, stateDir, batchId)
+    if (histCents.nonEmpty)
+      spark.read.parquet(histCents: _*)
+        .select(col("cell_id"), col("centroid"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+    else {
+      val trained = Similarity.kmeansCentroids(b, idCol, vecCol, nCells, iters)
+      trained.toSeq.toDF("cell_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$stateDir/centroids/batch_$batchId")
+      trained
+    }
   }
 
   /** Query the stream-built IVF index: same probe + exact-cosine
@@ -1053,6 +1065,106 @@ object Ingest {
     Similarity.probeAssignedCells(assigned, queries, idCol, vecCol, k,
       nProbe, cents)
   }
+
+  /** STATEFUL embedding near-dup marking at ingest — SemDeDup's
+    * semantics as a stream: each arriving vector is flagged iff an
+    * EARLIER vector (history batch, or a lower id within its own
+    * batch) lies within cosine `threshold` in its IVF cell — "don't
+    * ingest an embedding of something already here". The candidate
+    * rule is SAME-CELL ONLY (the SemDeDup confinement,
+    * [[graft.llm.Similarity.semanticNearDupPairs]]): a near-dup pair
+    * straddling a cell boundary is missed by design, exactly as in the
+    * batch operator — identical vectors can never straddle (identical
+    * assignment), so exact re-embeds are always caught. First-wins,
+    * like the text marker (q9C): flagged vectors still enter the
+    * state, so a chain through a flagged doc is caught.
+    *
+    * State under `stateDir` — the IVF-index layout verbatim
+    * (`centroids/` frozen via [[ensureCentroids]], `cells/batch_<id>`
+    * all-seen; [[compactIvfIndexState]] compacts it) plus
+    * `flags/batch_<id>` `(id, n_dups, max_cos)`. The frozen quantizer
+    * keeps the candidate rule stable across the stream — a refresh
+    * would silently change which pairs are comparable, so this ingest
+    * deliberately has no refresh hook.
+    *
+    * Scale posture: per batch, history contributes ONE equi-join on
+    * cell_id against the slim (cell_id, id, vec) state with the batch
+    * side BROADCAST — history never shuffles; the within-batch pass is
+    * batch-sized. Exact cosine runs only on same-cell candidates.
+    */
+  def embedDedupIngestWriter(stream: DataFrame, stateDir: String,
+                             checkpointDir: String,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             nCells: Int = 16, iters: Int = 5,
+                             threshold: Double = 0.95,
+                             compactEvery: Int = 0): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactIvfIndexState(batch.sparkSession, stateDir, batchId)
+        embedDedupBatch(batch, batchId, stateDir, idCol, vecCol, nCells,
+          iters, threshold)
+      }
+
+  /** One micro-batch of the embedding-dedup ingest — split out so the
+    * differential spec can drive it directly.
+    */
+  private[graft] def embedDedupBatch(batch: DataFrame, batchId: Long,
+                                     stateDir: String, idCol: String,
+                                     vecCol: String, nCells: Int,
+                                     iters: Int, threshold: Double): Unit = {
+    import graft.llm.Similarity
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val b = batch.localCheckpoint()
+    val cents = ensureCentroids(b, batchId, stateDir, idCol, vecCol, nCells, iters)
+    val assigned = b.select(
+        Similarity.ivfAssignUdf(cents)(col(vecCol)).as("cell_id"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .localCheckpoint() // reused: within pass, cross probe, state dump
+    val sim = Similarity.cosineNative(col("va"), col("vb"))
+    // within-batch: same cell, earlier (lower) id wins
+    val within = assigned.select(col("cell_id"), col("id").as("ida"), col("vec").as("va"))
+      .join(assigned.select(col("cell_id"), col("id").as("idb"), col("vec").as("vb")),
+        Seq("cell_id"))
+      .where(col("ida") < col("idb"))
+      .select(col("idb").as("id"), sim.as("cos"))
+      .where(col("cos") >= threshold)
+    // cross-batch: history cells scanned ONCE, batch side broadcast
+    val histDirs = historyDirs(fs, stateDir, "cells", batchId)
+    val cross =
+      if (histDirs.isEmpty) within.limit(0)
+      else spark.read.parquet(histDirs: _*)
+        .select(col("cell_id"), col("vec").as("va"))
+        .join(broadcast(assigned.select(col("cell_id"),
+          col("id"), col("vec").as("vb"))), Seq("cell_id"))
+        .select(col("id"), sim.as("cos"))
+        .where(col("cos") >= threshold)
+    val flags = within.unionByName(cross)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dups"),
+        graft.Portable.round(max(col("cos")), 4).as("max_cos"))
+      .localCheckpoint()
+    flags.write.mode("overwrite").parquet(s"$stateDir/flags/batch_$batchId")
+    // all-seen: flagged vectors still join the state (chain coverage)
+    assigned.write.mode("overwrite").parquet(s"$stateDir/cells/batch_$batchId")
+    ()
+  }
+
+  def startEmbedDedupIngest(stream: DataFrame, stateDir: String,
+                            checkpointDir: String,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            nCells: Int = 16, iters: Int = 5,
+                            threshold: Double = 0.95,
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    embedDedupIngestWriter(stream, stateDir, checkpointDir, idCol, vecCol,
+      nCells, iters, threshold).trigger(trigger).start()
 
   def startIvfIndexIngest(stream: DataFrame, stateDir: String,
                           checkpointDir: String,

@@ -791,6 +791,70 @@ class StreamingSpec extends SparkSpec {
       "torn refresh (centroids without re-assignment) changed reader answers")
   }
 
+  test("stateful embedding-dedup ingest: streamed first-wins flags == " +
+      "sequential same-cell fold; chain through a flagged vector caught; " +
+      "compaction + retry exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Ingest
+    val tau = 0.999
+    def vecAt(deg: Double): Seq[Float] = {
+      val t = math.toRadians(deg)
+      Seq(math.cos(t).toFloat, math.sin(t).toFloat)
+    }
+    // three direction clusters (0/30/60 deg), mates 4 deg apart
+    // (cos 4 deg = 0.9976 < tau — mates never flag); planted near-dups
+    // at +0.05 deg (cos ~ 0.9999996 >= tau)
+    val batches: Seq[Seq[(Long, Double)]] = Seq(
+      Seq((0L, 0.0), (1L, 4.0), (2L, 8.0), (3L, 8.05), // 3 ~ 2 within-batch
+        (10L, 30.0), (11L, 34.0), (20L, 60.0), (21L, 64.0)),
+      Seq((30L, 12.0), (31L, 38.0), (32L, 4.05)),      // 32 ~ 1 cross-batch
+      Seq((40L, 68.0), (41L, 4.08), (42L, 0.0)))       // 41 ~ 32(flagged)+1; 42 == 0 exactly
+    val stateDir = tmpDir("embdedup-state")
+    def drive(i: Int): Unit =
+      Ingest.embedDedupBatch(
+        batches(i).map { case (id, d) => (id, vecAt(d)) }.toDF("vec_id", "embedding"),
+        i.toLong, stateDir, "vec_id", "embedding", nCells = 3, iters = 4,
+        threshold = tau)
+    // independent sequential mirror of the fold: same-cell (from the
+    // operator's own stored assignment), earlier-(batch, id)-wins,
+    // plain-double cosine
+    def mirror(upTo: Int): Set[Long] = {
+      val cells = spark.read.parquet(s"$stateDir/cells/batch_*")
+        .select("id", "cell_id").as[(Long, Long)].collect().toMap
+      val seen = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+      val flagged = scala.collection.mutable.Set[Long]()
+      for (i <- 0 to upTo; (id, d) <- batches(i).sortBy(_._1)) {
+        val v = vecAt(d)
+        def cos(a: Seq[Float], b: Seq[Float]): Double = {
+          val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+          dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+            math.sqrt(b.map(x => x.toDouble * x).sum))
+        }
+        if (seen.exists { case (pid, pv) =>
+          cells(pid) == cells(id) && cos(pv, v) >= tau }) flagged += id
+        seen += ((id, v))
+      }
+      flagged.toSet
+    }
+    for (i <- batches.indices) {
+      drive(i)
+      val got = spark.read.parquet(s"$stateDir/flags/batch_*")
+        .select("id").as[Long].collect().toSet
+      assert(got == mirror(i), s"batch $i: flags $got != mirror ${mirror(i)}")
+    }
+    val finalFlags = spark.read.parquet(s"$stateDir/flags/batch_*")
+      .select("id", "max_cos").as[(Long, Double)].collect().toMap
+    // the planted resolution: within-batch (3), cross-batch (32),
+    // chain THROUGH the flagged 32 (41), exact twin (42, cos 1.0)
+    assert(finalFlags.keySet == Set(3L, 32L, 41L, 42L), finalFlags.toString)
+    assert(finalFlags(42L) == 1.0, s"exact twin must flag at cos 1.0: ${finalFlags(42L)}")
+    // compaction + retry of the last batch converge
+    Ingest.compactIvfIndexState(spark, stateDir, 2L)
+    drive(2)
+    assert(spark.read.parquet(s"$stateDir/flags/batch_*")
+      .select("id").as[Long].collect().toSet == Set(3L, 32L, 41L, 42L))
+  }
+
   test("orphaned centroid generation: a later plain compaction HEALS it " +
       "(re-assigns under it) instead of activating it against stale cells") {
     // Regression: the reader gate accepts gen k once ANY cells floor
