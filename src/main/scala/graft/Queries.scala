@@ -1442,7 +1442,7 @@ object Queries {
       val famB = driftFamily(emb, period = 2, idOffset = 100000L)
       val union = famA.unionByName(famB)
       val queries = famB.where(col("vec_id") % 20 === 0)
-      val qs = s.read.parquet(s"$state/qstats/batch_*")
+      val qs = graft.streaming.Ingest.ivfQstats(s, state)
         .select(col("batch_id"), col("refreshed"))
         .as[(Long, Boolean)].collect().sortBy(_._1)
       val fired = qs.exists(_._2)
@@ -1912,6 +1912,11 @@ object Queries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
       val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // twin ids live at +100000: loud guard against id-space overlap
+      // at a scale factor large enough for real vec_ids to reach it
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      require(maxId < 100000L,
+        s"q9Y twin ids (vec_id + 100000) would collide: max vec_id = $maxId")
       val twins = emb.where(col("vec_id") % 10 === 0)
         .select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding"))
       val staging = s"$base/staging"

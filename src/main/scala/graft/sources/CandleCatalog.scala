@@ -159,7 +159,8 @@ private[graft] final class CandleScan(spark: SparkSession,
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           CandleTable.tableSchema)
       else filters.flatMap(V1Filters.toColumn)
-        .foldLeft(store.scan())(_.where(_))
+        // recovery already ran above; scan() would probe the txlog twice
+        .foldLeft(store.scanNoRecover())(_.where(_))
     if (required.isEmpty) base.select() // count(*) needs cardinality only
     else base.select(required.fieldNames.map(col).toIndexedSeq: _*)
   }

@@ -80,7 +80,7 @@ final class CandleStore(spark: SparkSession, val path: String) {
   /** [[scan]] minus the recovery probe — for internal callers that
     * already ran [[recover]] in the same operation.
     */
-  private def scanNoRecover(): DataFrame = spark.read.parquet(path)
+  private[graft] def scanNoRecover(): DataFrame = spark.read.parquet(path)
 
   /** Point lookup of one series-year "page" — pure partition pruning
     * (reference: `Storage.checkAndLoad`, `storage.go:78-96`).

@@ -940,6 +940,21 @@ object Ingest {
     * ([[compactIvfIndexState]] folds it n-weighted), like every other
     * substream's state.
     */
+  /** Floors-aware read of the drift-trigger's quality history — a
+    * `qstats/batch_*` glob would miss `compact_upto_*` generations
+    * once [[compactIvfIndexState]] has folded them (the merged row
+    * keeps `refreshed = max` and `batch_id = max`, so existence-style
+    * gates survive compaction through this reader).
+    */
+  def ivfQstats(spark: org.apache.spark.sql.SparkSession,
+                stateDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val dirs = historyDirs(fs, stateDir, "qstats", Long.MaxValue)
+    require(dirs.nonEmpty, s"no qstats state under $stateDir/qstats")
+    spark.read.parquet(dirs: _*)
+  }
+
   private[graft] def driftTriggeredRefresh(batch: DataFrame, batchId: Long,
                                            stateDir: String, vecCol: String,
                                            nCells: Int, iters: Int,
@@ -1000,10 +1015,6 @@ object Ingest {
                                    iters: Int): Unit = {
     import graft.llm.Similarity
     if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     val b = batch.localCheckpoint() // read by train (maybe) + assignment
     val cents = ensureCentroids(b, batchId, stateDir, idCol, vecCol, nCells, iters)
     b.select(Similarity.ivfAssignUdf(cents)(col(vecCol)).as("cell_id"),
@@ -1082,7 +1093,11 @@ object Ingest {
     * State under `stateDir` — the IVF-index layout verbatim
     * (`centroids/` frozen via [[ensureCentroids]], `cells/batch_<id>`
     * all-seen; [[compactIvfIndexState]] compacts it) plus
-    * `flags/batch_<id>` `(id, n_dups, max_cos)`. The frozen quantizer
+    * `flags/batch_<id>` `(id, n_dups, max_cos)`. Flags are the
+    * per-batch OUTPUT feed, not probe state (the operator never reads
+    * them back) — consumers tail new dirs and archive old ones
+    * out-of-band, the same contract as the text marker's `flags/` and
+    * the exact-dedup `dups/`. The frozen quantizer
     * keeps the candidate rule stable across the stream — a refresh
     * would silently change which pairs are comparable, so this ingest
     * deliberately has no refresh hook.
@@ -1162,9 +1177,10 @@ object Ingest {
                             vecCol: String = "embedding",
                             nCells: Int = 16, iters: Int = 5,
                             threshold: Double = 0.95,
+                            compactEvery: Int = 0,
                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     embedDedupIngestWriter(stream, stateDir, checkpointDir, idCol, vecCol,
-      nCells, iters, threshold).trigger(trigger).start()
+      nCells, iters, threshold, compactEvery).trigger(trigger).start()
 
   def startIvfIndexIngest(stream: DataFrame, stateDir: String,
                           checkpointDir: String,
