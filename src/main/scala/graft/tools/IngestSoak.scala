@@ -8,10 +8,10 @@ import graft.streaming.Ingest
 /** Long-horizon cost soak for the stateful ingest operators
   * (`IngestSoak [nBatches] [docsPerBatch] [compactEvery]`, default
   * 100 × 200 × 10): the 24-batch compaction specs verify EXACTNESS;
-  * this drives 100+ micro-batches of the three history-probing
+  * this drives 100+ micro-batches of the four history-probing
   * ingests — bloom decontamination (q9B), first-wins near-dup marking
-  * (q9C), exact dedup (q9O) — and asserts the properties that must
-  * survive a long-lived stream:
+  * (q9C), exact dedup (q9O), embedding dedup (q9Y) — and asserts the
+  * properties that must survive a long-lived stream:
   *
   *  - per-batch wall-time stays flat: the mean of the LAST 20 batches
   *    vs batches [10, 30) (post-warmup) within 2× — the history
@@ -139,6 +139,39 @@ object IngestSoak {
         s"$ndDir/flags/batch_${nBatches - 1}").count()
     check("nearDup still flags planted horizon copies",
       lastFlags == perBatch / 20, s"$lastFlags flagged")
+
+    // --- embedding dedup (same-cell cosine, frozen quantizer) ---
+    // deterministic 8-dim vectors in 4 direction clusters; every 20th
+    // doc of batches > 0 repeats a batch-0 vector exactly (the
+    // history hit — identical vectors always co-assign)
+    def vec(seed: Long): Seq[Float] = {
+      val r = new java.util.Random(seed * 2654435761L + 23)
+      val c = (seed % 4).toInt
+      // wide jitter: cluster-mates stay well below the threshold, so
+      // the ONLY pairs above it are the planted exact copies
+      (0 until 8).map(j =>
+        (if (j == c * 2) 1f else 0f) + 0.5f * r.nextFloat())
+    }
+    def embBatch(i: Int) = {
+      val rows = (0 until perBatch).map { j =>
+        val id = i.toLong * perBatch + j
+        val v = if (i > 0 && j % 20 == 0) vec(j.toLong) else vec(id)
+        (id, v)
+      }
+      rows.toDF("vec_id", "embedding")
+    }
+    val edDir = tmp("soak-embdedup")
+    drive("embedDedup",
+      upTo => Ingest.compactIvfIndexState(spark, edDir, upTo),
+      i => Ingest.embedDedupBatch(embBatch(i), i.toLong, edDir, "vec_id",
+        "embedding", nCells = 8, iters = 3, threshold = 0.9999))
+    check("embedDedup listing O(interval)",
+      listing(edDir, "cells") <= every + 2,
+      s"${listing(edDir, "cells")} entries under cells/ (interval $every)")
+    val lastEmbFlags = spark.read.parquet(
+        s"$edDir/flags/batch_${nBatches - 1}").count()
+    check("embedDedup still flags planted horizon twins",
+      lastEmbFlags == perBatch / 20, s"$lastEmbFlags flagged")
 
     // --- no-compaction control: listing grows linearly ---
     val ctrlDir = tmp("soak-ctrl")
