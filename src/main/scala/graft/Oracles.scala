@@ -851,6 +851,14 @@ object Oracles {
       """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries,
          true AS index_identical, true AS recall_ok
          FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
+    // q9Z: streamed IVFADC (PQ) index gates — blind census + booleans
+    // (the q9M pattern): stream codes byte-identical to the batch
+    // encoding under the frozen quantizers, state rows are
+    // (cell_id, id, m-byte code) only, probe recall over the floor.
+    "q9Z_pq_stream_index" ->
+      """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries,
+         true AS codes_identical, true AS state_slim, true AS recall_ok
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
     // q9L: per-source temperature rates (p_min/p_k)^(1-alpha), round-4,
     // unit-hash draw — the same arithmetic on both engines.
     "q9L_temperature_sample" ->

@@ -919,11 +919,15 @@ object Queries {
     "q9V_candle_catalog" -> ((s, d) => {
       val storePath = eventStore(s, d).path
       val base = storePath.substring(0, storePath.lastIndexOf('/'))
-      s.conf.set("spark.sql.catalog.gcand", classOf[graft.sources.CandleCatalog].getName)
-      s.conf.set("spark.sql.catalog.gcand.base", base)
+      // Catalog name derived from the dataset dir: CatalogManager caches
+      // instances per session by name, so a fixed name would pin the
+      // first SF's `base` forever if two sfDirs share a session.
+      val cat = "gcand" + (d.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CandleCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
       s.sql(
-        """SELECT ts, round(close, 4) AS close, round(volume, 4) AS volume
-           FROM gcand.candles
+        s"""SELECT ts, round(close, 4) AS close, round(volume, 4) AS volume
+           FROM $cat.candles
            WHERE market = 'EV' AND code = 'click'
              AND candle_length = 3600 AND year = 2024""")
     }),
@@ -1374,7 +1378,7 @@ object Queries {
       val cents = s.read.parquet(s"$state/centroids/batch_*")
         .select(col("cell_id"), col("centroid"))
         .as[(Long, Array[Double])].collect().sortBy(_._1)
-      val streamed = s.read.parquet(s"$state/cells/batch_*")
+      val streamed = graft.streaming.Ingest.ivfCellState(s, state)
         .select(col("cell_id"), col("id")).localCheckpoint()
       val batchAssigned = emb.select(
         Similarity.ivfAssignUdf(cents)(col("embedding")).as("cell_id"),
@@ -1400,6 +1404,59 @@ object Queries {
           (sum(col("n_hit")).cast("double") /
             (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
     }),
+    // Stateful streaming IVFADC (PQ) indexing (round 10): the q9M
+    // stream with state stored as m-BYTE product-quantized residual
+    // codes instead of raw vectors — the 100 TB state shape (bytes/
+    // vector m + 8, probes prune cell_id=N/ partitions, exact rerank
+    // re-reads candidate vectors from the source table). The row
+    // hash-matches the oracle ONLY if (a) the stream-built code state
+    // is BYTE-IDENTICAL to the batch encoding under the stored frozen
+    // quantizers, (b) state rows carry only (cell_id, id, m-byte
+    // code), and (c) probe recall vs brute force clears the q9M floor.
+    "q9Z_pq_stream_index" -> ((s, d) => {
+      import s.implicits._
+      val state = streamedIvfPqIndexState(s, d)
+      val emb = T.embeddings(s, d)
+      val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
+      val cents = s.read.parquet(s"$state/centroids/batch_*")
+        .select(col("cell_id"), col("centroid"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val bookRows = s.read.parquet(s"$state/books/batch_*")
+        .select(col("s"), col("c"), col("vals"))
+        .as[(Int, Int, Array[Double])].collect()
+      val m = bookRows.map(_._1).max + 1
+      val ks = bookRows.map(_._2).max + 1
+      val books = Array.ofDim[Array[Double]](m, ks)
+      bookRows.foreach { case (sb, c, v) => books(sb)(c) = v }
+      val streamed = graft.streaming.Ingest.ivfPqCodeState(s, state)
+        .select(col("cell_id"), col("id"), col("code")).localCheckpoint()
+      val batchCodes = Similarity.encodeIvfPq(emb, "vec_id", "embedding",
+        cents, books, m, ks)
+      val diff = streamed.exceptAll(batchCodes)
+        .unionAll(batchCodes.exceptAll(streamed)).count()
+      val codeLens = streamed
+        .agg(max(length(col("code"))), min(length(col("code")))).head()
+      val slim = streamed.columns.toSet == Set("cell_id", "id", "code") &&
+        codeLens.getInt(0) == m && codeLens.getInt(1) == m
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val approx = graft.streaming.Ingest.ivfPqIndexTopK(s, state, queries,
+          emb, "vec_id", "embedding", k = 10, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          lit(diff == 0L).as("codes_identical"),
+          lit(slim).as("state_slim"),
+          // q9M's floor: exact rerank makes recall ≈ routing recall,
+          // the same 4/16-probe band first-batch training lands in
+          (sum(col("n_hit")).cast("double") /
+            (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
+    }),
     // Stateful embedding-dedup at ingest (round 9): SemDeDup's
     // same-cell cosine rule as a first-wins stream over the real
     // embeddings + planted exact twins. Property oracle: the row
@@ -1418,7 +1475,7 @@ object Queries {
       val onePerPair = planted.forall(v =>
         flags.contains(v) ^ flags.contains(v + 100000L))
       val allExact = flags.valuesIterator.forall(_ >= 0.9999)
-      val census = s.read.parquet(s"$state/cells/batch_*").count()
+      val census = graft.streaming.Ingest.ivfCellState(s, state).count()
       val nEmb = T.embeddings(s, d).count()
       s.range(1).select(
         lit(planted.length.toLong).as("n_planted"),
@@ -1832,6 +1889,50 @@ object Queries {
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 3,
         s"streamed IVF indexing must see 3 micro-batches, saw $batches")
+      stateDir
+    })
+
+  private val ivfPqIdxCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streamed IVFADC (PQ) index fixture: the [[streamedIvfIndexState]]
+    * slicing (embeddings in 3 mtime-pinned micro-batches) driven
+    * through [[graft.streaming.Ingest.startIvfPqIndexIngest]] — both
+    * quantizers train on the first batch and freeze; state stores
+    * m-byte codes, not vectors. Returns the state dir.
+    */
+  private def streamedIvfPqIndexState(s: SparkSession, d: String): String =
+    ivfPqIdxCache.getOrElseUpdate(d, {
+      val base = Files.createTempDirectory("graft-qivfpqidx").toString
+      val srcDir = s"$base/src"
+      val fs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val staging = s"$base/staging"
+      emb.withColumn("_slice", (col("vec_id") % 3).cast("int"))
+        .repartition(col("_slice"))
+        .write.partitionBy("_slice").parquet(staging)
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+        val part = fs.listStatus(sliceDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+          case Array(one) => one
+          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+        }
+        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val stateDir = s"$base/state"
+      val q = graft.streaming.Ingest.startIvfPqIndexIngest(
+        stream, stateDir, s"$base/ckpt", m = 8, ks = 64)
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"streamed PQ indexing must see 3 micro-batches, saw $batches")
       stateDir
     })
 

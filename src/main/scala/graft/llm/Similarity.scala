@@ -871,6 +871,87 @@ object Similarity {
     exactRerank(picked, corpus, queries, idCol, vecCol, k)
   }
 
+  /** Residual codebooks for a FROZEN quantizer — the stream-built
+    * IVFADC index trains these once on its first batch (alongside the
+    * coarse centroids) and encodes every later batch under them, the
+    * centroid-freezing convention extended to the fine quantizer.
+    */
+  private[graft] def residualBooks(corpus: DataFrame, idCol: String,
+                                   vecCol: String, m: Int, ks: Int,
+                                   iters: Int,
+                                   cents: Array[(Long, Array[Double])]): Array[Array[Array[Double]]] =
+    residualPqCodebooks(corpus, idCol, vecCol, m, ks, iters, cents)
+
+  /** m codebook indexes packed as m BYTES (requires ks ≤ 256) — the
+    * on-disk form of streamed IVFADC state, so state bytes/vector is
+    * m + 8 (code + id) instead of dim × 4 raw floats.
+    */
+  private def codeToBytesUdf: UserDefinedFunction =
+    udf { (xs: Seq[Int]) => xs.map(_.toByte).toArray }
+
+  /** Residual ADC over the byte-packed code form ([[codeToBytesUdf]]). */
+  private def pqAdcQcBytesUdf(luts: Map[Long, Array[Double]],
+                              m: Int, ks: Int): UserDefinedFunction =
+    udf { (qid: Long, code: Array[Byte], qc: Double) =>
+      val lut = luts(qid)
+      var t = qc
+      var s = 0
+      while (s < m) { t += lut(s * ks + (code(s) & 0xFF)); s += 1 }
+      round6(t)
+    }
+
+  /** Encode (id, vec) rows as IVFADC state rows `(cell_id, id, code)`
+    * with the code byte-packed — one broadcast-quantizer projection, no
+    * shuffle; the write-side half of the streamed PQ index.
+    */
+  private[graft] def encodeIvfPq(df: DataFrame, idCol: String, vecCol: String,
+                                 cents: Array[(Long, Array[Double])],
+                                 books: Array[Array[Array[Double]]],
+                                 m: Int, ks: Int): DataFrame = {
+    require(ks <= 256, s"byte-packed codes require ks <= 256, got $ks")
+    df.select(col(idCol).cast("long").as("id"),
+        ivfPqEncodeUdf(cents.sortBy(_._1), books, m, ks)(col(vecCol)).as("cc"))
+      .select(col("cc._1").as("cell_id"), col("id"),
+        codeToBytesUdf(col("cc._2")).as("code"))
+  }
+
+  /** Probe + residual-ADC + exact rerank over an ALREADY-ENCODED
+    * `(cell_id, id, code)` frame — the [[ivfPqTopK]] serving shape with
+    * the encode pass materialized elsewhere (the stream-built PQ
+    * state). `corpus` supplies the raw vectors the exact rerank
+    * re-reads by candidate id — the state itself never stores them.
+    * `rerank ≤ 0` derives the width from the rows the ADC pass
+    * actually scans (the probed cells), so recall holds as the state
+    * accumulates instead of decaying past a fixed literal.
+    */
+  private[graft] def probeEncodedCells(codes: DataFrame, queries: DataFrame,
+                                       corpus: DataFrame, idCol: String,
+                                       vecCol: String, k: Int, nProbe: Int,
+                                       cents: Array[(Long, Array[Double])],
+                                       books: Array[Array[Array[Double]]],
+                                       m: Int, ks: Int,
+                                       rerank: Int = -1): DataFrame = {
+    val sorted = cents.sortBy(_._1)
+    val effRerank = derivedRerank(rerank, k, codes.count() * RerankFraction)
+    val luts = pqQueryLuts(queries, idCol, vecCol, books, m, ks)
+    val heap = udaf(new TopK.TopKAggregator(effRerank))
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("p", explode(ivfProbeQcUdf(sorted, nProbe)(col("qv"))))
+      .select(col("query_id"), col("p._1").as("cell_id"), col("p._2").as("qc"))
+    val cand = broadcast(probes)
+      .join(codes.select(col("cell_id"), col("id").as("neighbor_id"),
+        col("code")), Seq("cell_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        pqAdcQcBytesUdf(luts, m, ks)(col("query_id"), col("code"), col("qc")))
+      .groupBy(col("query_id"))
+      .agg(heap(col("neighbor_id"), col("adc")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    exactRerank(cand, corpus, queries, idCol, vecCol, k)
+  }
+
   /** Fraction of the ADC-scanned candidate set kept for exact rerank
     * when `rerank` is derived (≤ 0): width grows with the corpus so the
     * recall the gates measure holds under scale-up instead of decaying

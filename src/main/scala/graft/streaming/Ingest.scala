@@ -429,7 +429,12 @@ object Ingest {
       .groupBy(col("component"))
       .agg(max_by(col("id"), struct(col("_q"), (-col("id")).as("_nid"))).as("_keep"))
       .select(col("_keep").as("id"), lit(true).as("_win"))
-    val flagsRaw = spark.read.parquet(s"$stateDir/flags/batch_*")
+    // flags/ read through the same floors-aware listing as bands/all:
+    // compactNearDupState never compacts flags/ today, but if it ever
+    // does, a raw batch_* glob would silently miss all pre-floor flags.
+    val flagDirs = historyDirs(fs, stateDir, "flags", Long.MaxValue)
+    require(flagDirs.nonEmpty, s"no flags state under $stateDir")
+    val flagsRaw = spark.read.parquet(flagDirs: _*)
     // first column is the caller's id column, whatever it was named
     val streamedFlagged = flagsRaw
       .select(col(flagsRaw.columns.head).cast("long").as("id"),
@@ -975,14 +980,19 @@ object Ingest {
         .select(col("cell_id"), col("centroid"))
         .as[(Long, Array[Double])].collect().sortBy(_._1)
     }
-    def batchMean(cents: Array[(Long, Array[Double])]): (Long, Double) = {
+    def batchMean(cents: Array[(Long, Array[Double])]): Option[(Long, Double)] = {
       val r = batch.select(Similarity.ivfBestCosUdf(cents)(col(vecCol)).as("_bc"))
         .agg(count(lit(1)), avg(col("_bc"))).head()
-      (r.getLong(0), r.getDouble(1))
+      // avg is NULL when every vector in a non-empty batch is null —
+      // treat as no-signal (skip the trigger) instead of NPEing the stream
+      if (r.isNullAt(1)) None else Some((r.getLong(0), r.getDouble(1)))
     }
     val cents0 = adoptedCents()
     if (cents0.isEmpty) return // quantizer not trained yet (batch 0)
-    val (n, mean0) = batchMean(cents0)
+    val (n, mean0) = batchMean(cents0) match {
+      case Some(nm) => nm
+      case None => return
+    }
     // history mean: n-weighted over strictly-earlier qstats rows
     val histDirsQ = historyDirs(fs, stateDir, "qstats", batchId)
     val histMean: Double =
@@ -998,7 +1008,9 @@ object Ingest {
     // record the stats under the FINAL quantizer this batch assigns with
     val refreshed = fs.exists(new org.apache.hadoop.fs.Path(
       s"$stateDir/centroids/compact_upto_$batchId/_SUCCESS"))
-    val meanFinal = if (refreshed) batchMean(adoptedCents())._2 else mean0
+    val meanFinal =
+      if (refreshed) batchMean(adoptedCents()).map(_._2).getOrElse(mean0)
+      else mean0
     Seq((batchId, n, meanFinal, histMean, refreshed))
       .toDF("batch_id", "n", "mean_best_cos", "hist_mean", "refreshed")
       .coalesce(1).write.mode("overwrite")
@@ -1017,10 +1029,73 @@ object Ingest {
     if (batch.isEmpty) return
     val b = batch.localCheckpoint() // read by train (maybe) + assignment
     val cents = ensureCentroids(b, batchId, stateDir, idCol, vecCol, nCells, iters)
-    b.select(Similarity.ivfAssignUdf(cents)(col(vecCol)).as("cell_id"),
-        col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .write.mode("overwrite").parquet(s"$stateDir/cells/batch_$batchId")
+    writeCellState(
+      b.select(Similarity.ivfAssignUdf(cents)(col(vecCol)).as("cell_id"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
+      s"$stateDir/cells/batch_$batchId")
     ()
+  }
+
+  /** Write one generation of cell-keyed ANN state PARTITIONED BY
+    * `cell_id` (`cell_id=N/` subdirs), so probes prune state files by
+    * probed cell instead of scanning every accumulated batch — the
+    * 100 TB posture the flat per-batch layout lacked. The write-side
+    * `repartition(cell_id)` is a batch-sized shuffle that bounds the
+    * file count to one per (cell, holding task) rather than
+    * tasks × cells.
+    */
+  private def writeCellState(df: DataFrame, dir: String): Unit =
+    df.repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+
+  /** Read cell-keyed state dirs, restoring `cell_id` to LONG (partition
+    * -dir discovery infers INT for small values) and pruning to
+    * `onlyCells` when given — the filter lands on the PARTITION column
+    * before any cast, so Spark's partition pruning skips non-probed
+    * `cell_id=N/` directories at file-listing time.
+    */
+  private[graft] def readCellState(spark: org.apache.spark.sql.SparkSession,
+                                   dirs: Seq[String],
+                                   onlyCells: Option[Seq[Long]] = None): DataFrame = {
+    // one read PER state dir, unioned: sibling partitioned dirs can't
+    // share one multi-root read (Spark's CONFLICTING_DIRECTORY_STRUCTURES
+    // guard), and per-dir roots keep partition pruning exact. The dir
+    // count is O(compaction interval) by the historyDirs contract.
+    dirs.map { d =>
+      val raw = spark.read.parquet(d)
+      val pruned = onlyCells match {
+        case Some(cells) => raw.where(col("cell_id").isin(cells: _*))
+        case None => raw
+      }
+      pruned.withColumn("cell_id", col("cell_id").cast("long"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The accumulated cell census of an IVF-layout ingest (`cells/`
+    * through the compaction/refresh floors), `cell_id` restored to
+    * LONG — the supported way to read the state whole (per-dir globs
+    * break on the partitioned `cell_id=N/` layout).
+    */
+  def ivfCellState(spark: org.apache.spark.sql.SparkSession,
+                   stateDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val dirs = historyDirs(fs, stateDir, "cells", Long.MaxValue)
+    require(dirs.nonEmpty, s"no IVF cell state under $stateDir/cells")
+    readCellState(spark, dirs)
+  }
+
+  /** The accumulated code census of a PQ-index ingest (`codes/` through
+    * the compaction floors) — [[ivfCellState]]'s sibling for the
+    * byte-coded state.
+    */
+  def ivfPqCodeState(spark: org.apache.spark.sql.SparkSession,
+                     stateDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val dirs = historyDirs(fs, stateDir, "codes", Long.MaxValue)
+    require(dirs.nonEmpty, s"no PQ code state under $stateDir/codes")
+    readCellState(spark, dirs)
   }
 
   /** The coarse quantizer for batch `batchId`: the adopted centroid
@@ -1071,10 +1146,180 @@ object Ingest {
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val cellDirs = historyDirs(fs, stateDir, "cells", Long.MaxValue)
     require(cellDirs.nonEmpty, s"no IVF cell state under $stateDir/cells")
-    val assigned = spark.read.parquet(cellDirs: _*)
+    // the probed cell set is bounded by queries × nProbe (queries are
+    // broadcast-small by contract) — collect it and push a partition
+    // filter so the state scan reads ONLY probed cell_id=N/ dirs
+    val probed = queries
+      .select(explode(Similarity.ivfProbeUdf(cents, nProbe)(col(vecCol)))
+        .as("cell_id"))
+      .distinct().as[Long].collect().toSeq
+    val assigned = readCellState(spark, cellDirs, Some(probed))
       .select(col("cell_id"), col("id").as("neighbor_id"), col("vec").as("cv"))
     Similarity.probeAssignedCells(assigned, queries, idCol, vecCol, k,
       nProbe, cents)
+  }
+
+  /** STATEFUL streaming IVFADC (PQ) indexing at ingest — the
+    * [[ivfIndexIngestWriter]] scale variant whose state stores
+    * `(cell_id, id, code)` with `code` the m-byte product-quantized
+    * per-cell residual ([[graft.llm.Similarity.ivfPqTopK]]'s coding,
+    * Jégou et al. 2011 §IV.A) INSTEAD of the raw vector: state
+    * bytes/vector is m + 8, not dim × 4, and the exact rerank re-reads
+    * candidate vectors from the SOURCE table at query time.
+    *
+    * Both quantizers are trained once on the first non-empty batch and
+    * frozen — centroids via [[ensureCentroids]] (shared layout), the
+    * residual codebooks under `books/batch_<id>` — so every batch's
+    * codes are comparable across the stream. Encoding is one
+    * broadcast-quantizer projection per batch, no shuffle except the
+    * cell_id write-partitioning. State lives under
+    * `codes/batch_<id>/cell_id=N/` and compacts by plain concatenation
+    * ([[compactIvfPqIndexState]]); there is deliberately no refresh
+    * hook (a re-trained quantizer would strand the frozen codes —
+    * rebuild offline instead).
+    */
+  def ivfPqIndexIngestWriter(stream: DataFrame, stateDir: String,
+                             checkpointDir: String,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             nCells: Int = 16, iters: Int = 5,
+                             m: Int = 8, ks: Int = 256,
+                             compactEvery: Int = 0): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactIvfPqIndexState(batch.sparkSession, stateDir, batchId)
+        ivfPqIndexBatch(batch, batchId, stateDir, idCol, vecCol, nCells,
+          iters, m, ks)
+      }
+
+  def startIvfPqIndexIngest(stream: DataFrame, stateDir: String,
+                            checkpointDir: String,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            nCells: Int = 16, iters: Int = 5,
+                            m: Int = 8, ks: Int = 256,
+                            compactEvery: Int = 0,
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ivfPqIndexIngestWriter(stream, stateDir, checkpointDir, idCol, vecCol,
+      nCells, iters, m, ks, compactEvery).trigger(trigger).start()
+
+  /** One micro-batch of the PQ-index ingest — split out so the
+    * differential spec can drive it directly.
+    */
+  private[graft] def ivfPqIndexBatch(batch: DataFrame, batchId: Long,
+                                     stateDir: String, idCol: String,
+                                     vecCol: String, nCells: Int,
+                                     iters: Int, m: Int, ks: Int): Unit = {
+    import graft.llm.Similarity
+    if (batch.isEmpty) return
+    val b = batch.localCheckpoint() // read by train (maybe) + encode
+    val cents = ensureCentroids(b, batchId, stateDir, idCol, vecCol, nCells, iters)
+    val books = ensureBooks(b, batchId, stateDir, idCol, vecCol, m, ks,
+      iters, cents)
+    writeCellState(Similarity.encodeIvfPq(b, idCol, vecCol, cents, books, m, ks),
+      s"$stateDir/codes/batch_$batchId")
+    ()
+  }
+
+  /** The residual codebooks for batch `batchId`: the stored generation
+    * (strictly-earlier `books/batch_<id>`), or train NOW iff no earlier
+    * batch ever trained — [[ensureCentroids]]' freeze discipline
+    * applied to the fine quantizer. Serialized one row per
+    * (subspace, code): `(s, c, vals)`.
+    */
+  private def ensureBooks(b: DataFrame, batchId: Long, stateDir: String,
+                          idCol: String, vecCol: String, m: Int, ks: Int,
+                          iters: Int,
+                          cents: Array[(Long, Array[Double])]): Array[Array[Array[Double]]] = {
+    import graft.llm.Similarity
+    val spark = b.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(s"$stateDir/books")
+    val hist =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("batch_") &&
+          p.getName.stripPrefix("batch_").toLongOption.exists(_ < batchId))
+        .map(_.toString)
+    if (hist.nonEmpty) readBooks(spark, hist, m, ks)
+    else {
+      val trained = Similarity.residualBooks(b, idCol, vecCol, m, ks, iters, cents)
+      trained.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (vals, c) => (s, c, vals) }
+      }.toSeq.toDF("s", "c", "vals")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$stateDir/books/batch_$batchId")
+      trained
+    }
+  }
+
+  private def readBooks(spark: org.apache.spark.sql.SparkSession,
+                        dirs: Seq[String], m: Int,
+                        ks: Int): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(dirs: _*)
+      .select(col("s"), col("c"), col("vals"))
+      .as[(Int, Int, Array[Double])].collect()
+    require(rows.nonEmpty, "empty PQ codebook state")
+    val books = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach { case (s, c, vals) => books(s)(c) = vals }
+    require(books.forall(_.forall(_ != null)),
+      s"PQ codebook state incomplete for m=$m ks=$ks")
+    books
+  }
+
+  /** Compact the PQ-index ingest's code state up to (excluding) batch
+    * `upTo` — plain concatenation (codes are immutable under the frozen
+    * quantizers), keeping the `cell_id=N/` layout.
+    */
+  def compactIvfPqIndexState(spark: org.apache.spark.sql.SparkSession,
+                             stateDir: String, upTo: Long): Unit =
+    compactCurationState(spark, stateDir, "codes", upTo, identity,
+      Seq("cell_id"))
+
+  /** Query the stream-built PQ index: probe + residual-ADC over ONLY
+    * the probed `cell_id=N/` state partitions (a collected probe set
+    * pushed as a partition filter — the scan never touches non-probed
+    * cells, spec-asserted), then exact-cosine rerank re-reading
+    * candidate vectors from `corpus` by id — the
+    * [[graft.llm.Similarity.ivfPqTopK]] serving shape over
+    * materialized state.
+    */
+  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession,
+                     stateDir: String, queries: DataFrame,
+                     corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nProbe: Int = 2, rerank: Int = -1): DataFrame = {
+    import graft.llm.Similarity
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val centDirs = ivfCentroidDirs(fs, stateDir, Long.MaxValue)
+    require(centDirs.nonEmpty, s"no IVF centroid state under $stateDir/centroids")
+    val cents = spark.read.parquet(centDirs: _*)
+      .select(col("cell_id"), col("centroid"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bookRoot = new org.apache.hadoop.fs.Path(s"$stateDir/books")
+    require(fs.exists(bookRoot), s"no PQ codebook state under $stateDir/books")
+    val bookDirs = fs.listStatus(bookRoot).toSeq.map(_.getPath.toString)
+    val dims = spark.read.parquet(bookDirs: _*)
+      .agg(max(col("s")), max(col("c"))).head()
+    val (m, ks) = (dims.getInt(0) + 1, dims.getInt(1) + 1)
+    val books = readBooks(spark, bookDirs, m, ks)
+    val codeDirs = historyDirs(fs, stateDir, "codes", Long.MaxValue)
+    require(codeDirs.nonEmpty, s"no PQ code state under $stateDir/codes")
+    val probed = queries
+      .select(explode(Similarity.ivfProbeUdf(cents, nProbe)(col(vecCol)))
+        .as("cell_id"))
+      .distinct().as[Long].collect().toSeq
+    val codes = readCellState(spark, codeDirs, Some(probed))
+      .select(col("cell_id"), col("id"), col("code"))
+    Similarity.probeEncodedCells(codes, queries, corpus, idCol, vecCol, k,
+      nProbe, cents, books, m, ks, rerank)
   }
 
   /** STATEFUL embedding near-dup marking at ingest — SemDeDup's
@@ -1150,11 +1395,16 @@ object Ingest {
       .where(col("ida") < col("idb"))
       .select(col("idb").as("id"), sim.as("cos"))
       .where(col("cos") >= threshold)
-    // cross-batch: history cells scanned ONCE, batch side broadcast
+    // cross-batch: history pruned to the batch's OWN cells (a partition
+    // filter over the cell_id=N/ state layout — at most nCells dirs,
+    // typically far fewer than the accumulated state), batch side
+    // broadcast
     val histDirs = historyDirs(fs, stateDir, "cells", batchId)
+    val batchCells = assigned.select(col("cell_id")).distinct()
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
     val cross =
       if (histDirs.isEmpty) within.limit(0)
-      else spark.read.parquet(histDirs: _*)
+      else readCellState(spark, histDirs, Some(batchCells))
         .select(col("cell_id"), col("vec").as("va"))
         .join(broadcast(assigned.select(col("cell_id"),
           col("id"), col("vec").as("vb"))), Seq("cell_id"))
@@ -1167,7 +1417,7 @@ object Ingest {
       .localCheckpoint()
     flags.write.mode("overwrite").parquet(s"$stateDir/flags/batch_$batchId")
     // all-seen: flagged vectors still join the state (chain coverage)
-    assigned.write.mode("overwrite").parquet(s"$stateDir/cells/batch_$batchId")
+    writeCellState(assigned, s"$stateDir/cells/batch_$batchId")
     ()
   }
 
@@ -1271,7 +1521,7 @@ object Ingest {
     if (!centDone && fs.exists(new org.apache.hadoop.fs.Path(
         s"$stateDir/cells/compact_upto_$upTo/_SUCCESS"))) return
     if (!centDone) {
-      val acc = spark.read.parquet(cellDirs: _*).select(col("id"), col("vec"))
+      val acc = readCellState(spark, cellDirs).select(col("id"), col("vec"))
       val trained = Similarity.kmeansCentroids(acc, "id", "vec", nCells, iters)
       trained.toSeq.toDF("cell_id", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(centTarget.toString)
@@ -1281,7 +1531,7 @@ object Ingest {
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     compactCurationState(spark, stateDir, "cells", upTo, df =>
       df.select(Similarity.ivfAssignUdf(cents)(col("vec")).as("cell_id"),
-        col("id"), col("vec")))
+        col("id"), col("vec")), Seq("cell_id"))
     // centroid GC LAST: until the cells generation is complete, the old
     // quantizer must stay readable (see ivfCentroidDirs)
     fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/centroids"))
@@ -1354,7 +1604,8 @@ object Ingest {
   private[graft] def compactCurationState(spark: org.apache.spark.sql.SparkSession,
                                           stateDir: String, sub: String,
                                           upTo: Long,
-                                          merge: DataFrame => DataFrame): Unit = {
+                                          merge: DataFrame => DataFrame,
+                                          partitionCols: Seq[String] = Nil): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(
@@ -1362,8 +1613,20 @@ object Ingest {
     if (fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) return
     val inputs = historyDirs(fs, stateDir, sub, upTo)
     if (inputs.isEmpty) return
-    merge(spark.read.parquet(inputs: _*))
-      .write.mode("overwrite").parquet(target.toString)
+    // partitioned substreams need per-dir reads (see readCellState)
+    val input =
+      if (partitionCols.isEmpty) spark.read.parquet(inputs: _*)
+      else inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val merged = merge(input)
+    // partitioned substreams (the cell-keyed ANN state) keep their
+    // layout through compaction: repartition bounds files to one per
+    // (partition value, holding task), as in the per-batch writes
+    val sized =
+      if (partitionCols.isEmpty) merged
+      else merged.repartition(partitionCols.map(col): _*)
+    val writer = sized.write.mode("overwrite")
+    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
+      .parquet(target.toString)
     // GC superseded inputs — best-effort: readers already ignore them
     inputs.foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
@@ -1463,14 +1726,15 @@ object Ingest {
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     val centDirs = publishedCentroidDirs(fs, stateDir, upTo)
     if (centDirs.isEmpty)
-      compactCurationState(spark, stateDir, "cells", upTo, identity)
+      compactCurationState(spark, stateDir, "cells", upTo, identity,
+        Seq("cell_id"))
     else {
       val cents = spark.read.parquet(centDirs: _*)
         .select(col("cell_id"), col("centroid"))
         .as[(Long, Array[Double])].collect().sortBy(_._1)
       compactCurationState(spark, stateDir, "cells", upTo, df =>
         df.select(Similarity.ivfAssignUdf(cents)(col("vec")).as("cell_id"),
-          col("id"), col("vec")))
+          col("id"), col("vec")), Seq("cell_id"))
     }
     compactIvfQstats(spark, stateDir, upTo)
   }

@@ -115,7 +115,7 @@ object AnnScaleCheck {
       val cents = spark.read.parquet(s"$idxDir/centroids/batch_0")
         .select(col("cell_id"), col("centroid"))
         .as[(Long, Array[Double])].collect().sortBy(_._1)
-      val streamedAsg = spark.read.parquet(s"$idxDir/cells/batch_*")
+      val streamedAsg = graft.streaming.Ingest.ivfCellState(spark, idxDir)
         .select(col("cell_id"), col("id"))
       val batchAsg = corpus.select(
         Similarity.ivfAssignUdf(cents)(col("embedding")).as("cell_id"),

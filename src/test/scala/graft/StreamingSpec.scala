@@ -761,11 +761,13 @@ class StreamingSpec extends SparkSpec {
     // retry of the refresh boundary batch converges (refresh no-ops,
     // assignments identical)
     val before = spark.read.parquet(s"$refreshed/cells/batch_3")
+      .selectExpr("cast(cell_id as long)", "id", "vec")
       .as[(Long, Long, Seq[Float])].collect().sortBy(_._2).toSeq
     Ingest.refreshIvfIndex(spark, refreshed, 3L, nCells = 4, iters = 4)
     Ingest.ivfIndexBatch(batches(3).toDF("vec_id", "embedding"), 3L,
       refreshed, "vec_id", "embedding", nCells = 4, iters = 4)
     val after = spark.read.parquet(s"$refreshed/cells/batch_3")
+      .selectExpr("cast(cell_id as long)", "id", "vec")
       .as[(Long, Long, Seq[Float])].collect().sortBy(_._2).toSeq
     assert(after == before, "refresh-boundary retry changed assignments")
     // crash between the centroid publication and the cell re-assignment:
@@ -778,8 +780,9 @@ class StreamingSpec extends SparkSpec {
         "vec_id", "embedding", k = 10, nProbe = 1)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     // simulate the torn refresh: centroids generation lands, cells don't
-    val accDirs = spark.read.parquet(s"$crashed/cells/batch_0",
-      s"$crashed/cells/batch_1", s"$crashed/cells/batch_2")
+    val accDirs = Seq(s"$crashed/cells/batch_0", s"$crashed/cells/batch_1",
+        s"$crashed/cells/batch_2")
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
       .select("id", "vec")
     graft.llm.Similarity.kmeansCentroids(accDirs, "id", "vec", 4, 4)
       .toSeq.toDF("cell_id", "centroid")
@@ -819,7 +822,7 @@ class StreamingSpec extends SparkSpec {
     // operator's own stored assignment), earlier-(batch, id)-wins,
     // plain-double cosine
     def mirror(upTo: Int): Set[Long] = {
-      val cells = spark.read.parquet(s"$stateDir/cells/batch_*")
+      val cells = graft.streaming.Ingest.ivfCellState(spark, stateDir)
         .select("id", "cell_id").as[(Long, Long)].collect().toMap
       val seen = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
       val flagged = scala.collection.mutable.Set[Long]()
@@ -877,8 +880,9 @@ class StreamingSpec extends SparkSpec {
         stateDir, "vec_id", "embedding", nCells = 3, iters = 4)
     // orphan: centroids/compact_upto_2 lands, its cells re-assignment
     // never does (external refresh crashed; never retried)
-    val acc = spark.read.parquet(s"$stateDir/cells/batch_0",
-      s"$stateDir/cells/batch_1").select("id", "vec")
+    val acc = Seq(s"$stateDir/cells/batch_0", s"$stateDir/cells/batch_1")
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .select("id", "vec")
     val newCents = graft.llm.Similarity.kmeansCentroids(acc, "id", "vec", 3, 4)
     newCents.toSeq.toDF("cell_id", "centroid")
       .coalesce(1).write.parquet(s"$stateDir/centroids/compact_upto_2")
