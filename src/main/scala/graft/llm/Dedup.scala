@@ -809,7 +809,8 @@ object Dedup {
                           maxIter: Int = 50,
                           numPartitions: Option[Int] = None,
                           reliableEvery: Int = 0,
-                          localContract: Boolean = false): DataFrame = {
+                          localContract: Boolean = false,
+                          broadcastLabels: Int = 1 << 20): DataFrame = {
     val spark = pairs.sparkSession
     require(reliableEvery == 0 || spark.sparkContext.getCheckpointDir.nonEmpty,
       "reliableEvery > 0 needs a reliable checkpoint dir: call " +
@@ -867,13 +868,20 @@ object Dedup {
       var labelsCp = ckpt(width(loopEdges.select(col("u").as("id")).distinct()
         .withColumn("comp", col("id"))), reliable = true)
       var labels = labelsCp
+      lastCcJumpStrategies.set(Nil)
       // Convergence accumulator: bumped row-by-row DURING the round's
       // one materialization job, read on the driver after it.
       val changed = spark.sparkContext.longAccumulator("graft.cc.changed")
       val bump = udf { (ch: Boolean) => if (ch) changed.add(1L); ch }.asNondeterministic()
       var it = 0
       var converged = false
+      // live-label census from the previous round (-1 = unknown, round
+      // 1 never broadcasts); approx_count_distinct — the broadcast
+      // threshold is a soft bound, a few % error is immaterial
+      var liveLabels = -1L
+      lastCcRoundMillis.set(Nil)
       while (!converged && it < maxIter) {
+        val roundT0 = System.nanoTime()
         // (1) neighbor-min
         val nbrMin = loopEdges
           .join(labels.select(col("id").as("v"), col("comp").as("_nc")), Seq("v"))
@@ -885,19 +893,63 @@ object Dedup {
         // (2) pointer jump: comp ← comp(comp). Every label is a node id
         // (mins over ids), so the lookup always resolves; coalesce
         // guards the root nodes whose label row is themselves.
+        //
+        // Skew hardening (the r9 watch-item): the lookup side is
+        // FILTERED to the labels actually referenced (distinct comps;
+        // partial-agg'd, so the giant component's hot key reduces
+        // map-side), and once the previous round MEASURED the live
+        // label set at ≤ broadcastLabels rows the lookup is BROADCAST —
+        // the comp-keyed left shuffle, which near convergence on a
+        // giant-component graph degenerates into a single straggler
+        // partition, disappears entirely for exactly the rounds where
+        // the skew exists. The switch is deterministic and
+        // runtime-measured (AQE cannot adapt this join itself: the
+        // semi-filter fuses with the jump join into one stage over
+        // reused label exchanges, so no stage boundary ever exposes
+        // the lookup's true size to it). Early rounds, when the label
+        // set is still node-scale and comp distribution near-uniform,
+        // stay sort-merge.
         changed.reset()
-        val next = ckpt(width(stepped
-          .join(stepped.select(col("comp").as("_jk"), col("id").as("_ji")),
-            col("comp") === col("_ji"), "left")
+        val refs = stepped.select(col("comp").as("_ji")).distinct()
+        val lookupRaw = stepped.select(col("comp").as("_jk"), col("id").as("_ji"))
+          .join(refs, Seq("_ji"), "left_semi")
+        val lookup =
+          if (broadcastLabels > 0 && liveLabels >= 0 && liveLabels <= broadcastLabels)
+            broadcast(lookupRaw)
+          else lookupRaw
+        val jumped = width(stepped
+          .join(lookup, col("comp") === col("_ji"), "left")
           .select(col("id"), col("_old"), coalesce(col("_jk"), col("comp")).as("comp"))
           .withColumn("_ch", bump(col("comp") =!= col("_old")))
-          .select(col("id"), col("comp"), col("_ch"))),
+          .select(col("id"), col("comp"), col("_ch")))
+        val next = ckpt(jumped,
           reliable = (it + 1) % math.max(reliableEvery, 1) == 0)
-          // ^ the round's ONE action; also counts changes
+          // ^ the round's main action; also counts changes
+        if (broadcastLabels > 0)
+          // one cheap agg over the just-checkpointed frame: the live
+          // label census steering next round's broadcast switch
+          liveLabels = next.select(approx_count_distinct(col("comp"))).head().getLong(0)
+        // per-round join-strategy marker for the skew spec/scale tool
+        // (the executed adaptive plan is final once the action above ran)
+        if (reliableEvery <= 0) {
+          // the jump join is the plan's one LeftOuter join (the lookup
+          // semi-filter is LeftSemi and may broadcast independently)
+          val jumpLine = jumped.queryExecution.executedPlan.toString
+            .linesIterator.find(l => l.contains("Join") && l.contains("LeftOuter"))
+          val marker = jumpLine match {
+            case Some(l) if l.contains("BroadcastHashJoin") => "broadcast"
+            case Some(l) if l.contains("skew=true") => "smj-skew"
+            case Some(_) => "smj"
+            case None => "unknown"
+          }
+          lastCcJumpStrategies.updateAndGet(s => s :+ marker)
+        }
         converged = changed.value == 0L
         unpersist(labelsCp) // superseded the moment `next` materialized
         labelsCp = next
         labels = next.select(col("id"), col("comp"))
+        lastCcRoundMillis.updateAndGet(s =>
+          s :+ (System.nanoTime() - roundT0) / 1000000L)
         it += 1
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           System.err.println(s"[cc] round $it changed=${changed.value} t=${System.nanoTime() / 1000000}")
@@ -956,6 +1008,25 @@ object Dedup {
     * jumping should stay O(log diameter)).
     */
   val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Per-round pointer-jump join strategy of the most recent
+    * [[connectedComponents]] call ("broadcast" / "smj" / "smj-skew") —
+    * instrumentation for the supercritical-skew gate: near convergence
+    * on a giant-component graph the semi-filtered lookup must go
+    * broadcast (no comp-keyed shuffle left to skew). Recorded in
+    * localCheckpoint mode only (the default; cache-mode rounds execute
+    * through a separate count and would mis-attribute the plan).
+    */
+  val lastCcJumpStrategies =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
+  /** Per-round wall (ms) of the most recent [[connectedComponents]]
+    * call — the supercritical scale gate asserts round walls stay flat
+    * as the giant component concentrates onto one label (a comp-keyed
+    * shuffle straggler would show as a late-round blowup).
+    */
+  val lastCcRoundMillis =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Long]](Nil)
 
   /** Near-duplicate dedup END TO END: detect pairs (MinHash+LSH), resolve
     * clusters ([[connectedComponents]]), keep the lowest-id document of

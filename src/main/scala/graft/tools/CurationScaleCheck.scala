@@ -257,6 +257,44 @@ object CurationScaleCheck {
       radii.zip(radii.tail).forall { case (a, b) => b <= a },
       radii.mkString(","))
 
+    // --- supercritical connected components at 5.5M edges (r9 verdict
+    // #2): one giant component holding ~83% of nodes — the graph where
+    // the pointer-jump's comp-keyed shuffle degenerates to a single
+    // straggler partition unless the broadcast switch fires. Gates:
+    // labels exact, late rounds BROADCAST, per-round wall FLAT (the
+    // straggler would show as a late-round blowup). Hub-tree topology
+    // (diameter 4) keeps the round count at the dedup-graph scale;
+    // convergence-rate stress lives in the chain specs.
+    val giantN = 5000000L
+    val ccEdges = spark.range(giantN)
+      .where(col("id") % 1000 =!= 0)
+      .select(col("id").as("id_a"), (col("id") - col("id") % 1000).as("id_b"))
+      .unionByName(spark.range(1L, giantN / 1000)
+        .select((col("id") * 1000).as("id_a"), lit(0L).as("id_b")))
+      .unionByName(spark.range(500000L)
+        .select((col("id") * 2 + giantN).as("id_a"),
+          (col("id") * 2 + giantN + 1).as("id_b")))
+      .repartition(32).localCheckpoint()
+    val nEdges = ccEdges.count()
+    val cc = timed(s"connectedComponents @${nEdges / 1000000.0}M edges") {
+      graft.llm.Dedup.connectedComponents(ccEdges, "id_a", "id_b")
+        .localCheckpoint()
+    }
+    val giantBad = cc.where(col("id") < giantN && col("component") =!= 0L).count()
+    val pairBad = cc.where(col("id") >= giantN &&
+      col("component") =!= col("id") - (col("id") - giantN) % 2).count()
+    check("supercritical giant labeled 0, pairs exact",
+      giantBad == 0L && pairBad == 0L, s"giantBad=$giantBad pairBad=$pairBad")
+    val strategies = graft.llm.Dedup.lastCcJumpStrategies.get()
+    check("late rounds broadcast the pointer-jump lookup",
+      strategies.nonEmpty && strategies.last == "broadcast",
+      strategies.mkString(","))
+    val walls = graft.llm.Dedup.lastCcRoundMillis.get()
+    val flat = walls.size < 2 ||
+      walls.last <= 2 * (walls.sorted.apply(walls.size / 2).max(1L))
+    check("per-round wall flat (no giant-component straggler)",
+      flat, walls.mkString(",") + " ms")
+
     println(s"[curscale] ${if (failures == 0) "ALL OK" else s"$failures FAILURES"} (n=$n)")
     if (failures > 0) sys.exit(1)
   }

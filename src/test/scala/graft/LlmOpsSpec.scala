@@ -682,6 +682,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(reliable == local, "reliable checkpointing changed the components")
   }
 
+  test("connectedComponents supercritical skew: near convergence the " +
+      "pointer-jump lookup goes BROADCAST (no comp-keyed shuffle left " +
+      "to straggle on the giant component)") {
+    // 97%-of-nodes giant component (a 12000-chain) + isolated pairs:
+    // the r9 watch-item graph where one comp key ends up holding most
+    // rows. The pointer-jump lookup is semi-filtered to referenced
+    // labels and switches to an explicit BROADCAST once the measured
+    // live-label census drops under broadcastLabels — asserted via the
+    // per-round strategy markers. broadcastLabels = 4000 scales the
+    // 100 TB size relationship into the fixture: early rounds
+    // (node-scale label set) must NOT broadcast, late rounds must.
+    val chain = (0L until 12000L).map(i => (i, i + 1))
+    val pairs = (15000L until 15400L by 2).map(i => (i, i + 1))
+    val edges = (chain ++ pairs).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(edges, "id_a", "id_b",
+        broadcastLabels = 4000)
+      .as[(Long, Long)].collect().toMap
+    // correctness on the giant + the spokes
+    assert((0L to 12000L).forall(out(_) == 0L), "giant component mislabeled")
+    assert((15000L until 15400L by 2).forall(i =>
+      out(i) == i && out(i + 1) == i), "isolated pairs mislabeled")
+    val strategies = Dedup.lastCcJumpStrategies.get()
+    assert(strategies.nonEmpty, "no per-round jump strategies recorded")
+    assert(strategies.head == "smj",
+      s"round 1's node-scale lookup must not broadcast " +
+        s"(got ${strategies.head}; all: $strategies)")
+    assert(strategies.last == "broadcast",
+      s"near convergence the semi-filtered lookup must go broadcast " +
+        s"(got ${strategies.last}; all: $strategies)")
+    // default threshold (1M labels) broadcasts from round 2 on this
+    // small graph — same labels either way
+    val outDefault = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(outDefault == out, "broadcast switch changed the labels")
+    assert(Dedup.lastCcJumpStrategies.get().drop(1).forall(_ == "broadcast"),
+      s"default threshold should broadcast every measured round: " +
+        s"${Dedup.lastCcJumpStrategies.get()}")
+  }
+
   test("dedupNearDup keeps one representative per near-dup cluster") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
