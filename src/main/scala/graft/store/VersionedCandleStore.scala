@@ -178,12 +178,28 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
   // Journal                                                            //
   // ------------------------------------------------------------------ //
 
+  /** Journal row schema. Two commit row kinds exist on disk:
+    *  - `kind = "commit"`: one commit; `tx_id`, `n_rows`, `committed_at`,
+    *    `batch_id` as written ([[writeJournalRow]]); `min_at` null.
+    *  - `kind = "commits"`: a SUMMARIZED RUN of contiguous committed tx
+    *    ids `[tx_id − n_rows + 1, tx_id]`, produced by the checkpoint
+    *    rollup for commits at or below the compaction squash floor
+    *    (their per-commit detail is unreachable anyway: as-of reads
+    *    below the floor fail loudly). `committed_at`/`min_at` carry the
+    *    run's max/min commit time, `batch_id` its max batch id. This
+    *    keeps [[journalRows]] O(summary runs + commits since the
+    *    floor), never O(total commits) — the WAL-index analog of the
+    *    data squash itself.
+    * `min_at` is absent from per-commit tail files (written before this
+    * column existed and still written 5-wide) and reads as null.
+    */
   private val txLogSchema = StructType(Seq(
     StructField("tx_id", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = false),
     StructField("committed_at", TimestampType, nullable = true),
     StructField("kind", StringType, nullable = false),
-    StructField("batch_id", LongType, nullable = true)))
+    StructField("batch_id", LongType, nullable = true),
+    StructField("min_at", TimestampType, nullable = true)))
 
   private val TailName = "tx-(\\d{20})-(commit|compact)\\.parquet".r
   private val CheckpointName = "checkpoint-(\\d{20})\\.parquet".r
@@ -230,7 +246,18 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
         val rows = spark.read.schema(txLogSchema)
           .parquet(paths.map(_.toString): _*).collect()
         val seen = scala.collection.mutable.HashSet[(Long, String)]()
-        return rows.filter(r => seen.add((r.getLong(0), r.getString(3))))
+        val deduped = rows.filter(r => seen.add((r.getLong(0), r.getString(3))))
+        // a per-commit tail stays on disk one rollup behind the
+        // checkpoint that SUMMARIZED it into a run — the run row is
+        // authoritative, so covered commit rows drop here (without
+        // this, the same id would report as both a run member and a
+        // commit row for one retention cycle)
+        val runCovers = deduped.filter(_.getString(3) == "commits")
+          .map(r => (r.getLong(0) - r.getLong(1) + 1, r.getLong(0)))
+        return if (runCovers.isEmpty) deduped
+        else deduped.filterNot(r => r.getString(3) == "commit" &&
+          runCovers.exists { case (s, e) =>
+            r.getLong(0) >= s && r.getLong(0) <= e })
       } catch {
         case e: Throwable if attempt < 3 && missingFile(e) => attempt += 1
       }
@@ -259,9 +286,12 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     spark.createDataFrame(
       java.util.Arrays.asList(journalRows(): _*), txLogSchema)
 
-  /** Highest committed tx id (0 when empty) — journal-only read. */
+  /** Highest committed tx id (0 when empty) — journal-only read
+    * (summarized run rows end on a committed id, so they count).
+    */
   def latestTxId: Long = {
-    val r = txLog().where(col("kind") === "commit").agg(max("tx_id")).head()
+    val r = txLog().where(col("kind").isin("commit", "commits"))
+      .agg(max("tx_id")).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
@@ -369,8 +399,9 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       cpKeys((r.getLong(0), r.getString(3))))
     val maxTx = merged.iterator.map(_.getLong(0)).max
     if (cp.exists(_._1 >= maxTx)) return cp.get._1 // nothing newer to absorb
+    val summarized = summarizeRows(merged)
     val stage = s"$stagePath/txlog-checkpoint-$maxTx"
-    spark.createDataFrame(java.util.Arrays.asList(merged: _*), txLogSchema)
+    spark.createDataFrame(java.util.Arrays.asList(summarized: _*), txLogSchema)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
     val part = f.listStatus(hp(stage)).map(_.getPath)
       .find(_.getName.endsWith(".parquet"))
@@ -382,10 +413,18 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     // delete tails already absorbed by the PREVIOUS checkpoint (exact
     // row membership, not a filename-range guess — an out-of-order or
     // compact tail whose tx sits below the previous N but whose row is
-    // NOT in it must survive until it is)
+    // NOT in it must survive until it is). A commit tail may have been
+    // absorbed INTO a summarized run rather than as its own row, so
+    // run coverage counts as membership too.
+    val cpRunCovers: Long => Boolean = {
+      val runs = cpRows.filter(_.getString(3) == "commits")
+        .map(r => (r.getLong(0) - r.getLong(1) + 1, r.getLong(0)))
+      id => runs.exists { case (s, e) => id >= s && id <= e }
+    }
     tails.foreach { p =>
       p.getName match {
-        case TailName(id, kind) if cpKeys((id.toLong, kind)) =>
+        case TailName(id, kind) if cpKeys((id.toLong, kind)) ||
+            (kind == "commit" && cpRunCovers(id.toLong)) =>
           f.delete(p, false); ()
         case _ => ()
       }
@@ -403,16 +442,75 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     if (f.exists(hp(txnPath))) {
       val journaledBatches = merged.iterator
         .filterNot(_.isNullAt(4)).map(_.getLong(4)).toSet
+      // batches folded into summarized runs are covered by the run's
+      // max batch id (batch ids are monotone per stream)
+      val maxRunBatch = merged.iterator
+        .filter(r => r.getString(3) == "commits" && !r.isNullAt(4))
+        .map(_.getLong(4)).foldLeft(-1L)(math.max)
       f.listStatus(hp(txnPath)).map(_.getPath).foreach { p =>
         p.getName match {
           case ReserveName(id) if id.toLong <= maxTx => f.delete(p, false); ()
-          case BatchReserveName(b) if journaledBatches(b.toLong) =>
+          case BatchReserveName(b) if journaledBatches(b.toLong) ||
+              b.toLong <= maxRunBatch =>
             f.delete(p, false); ()
           case _ => ()
         }
       }
     }
     maxTx
+  }
+
+  /** Fold commit rows at or below the compaction squash floor into
+    * `kind = "commits"` RUN rows (see [[txLogSchema]]) — the step that
+    * keeps every checkpoint, and therefore every driver-side journal
+    * collect, O(summary runs + commits since the floor) instead of
+    * O(total commits). Only rows whose per-commit detail is already
+    * unreachable are folded: as-of reads below the floor fail loudly,
+    * the change feed refuses `sinceTx < floor`, and the committed GATE
+    * needs only id membership, which runs preserve exactly (a torn
+    * reservation's id sits in the gap between two runs, exactly as it
+    * sat between two commit rows). Compact rows are kept as-is (one
+    * per compact() call — compaction history is not a growth vector).
+    * No floor yet → nothing folds. Idempotent and associative: prior
+    * run rows merge with newly-folded commits into maximal contiguous
+    * runs, so repeated rollups converge.
+    */
+  private def summarizeRows(merged: Array[Row]): Array[Row] = {
+    val floor = merged.iterator.filter(_.getString(3) == "compact")
+      .map(_.getLong(0)).foldLeft(0L)(math.max)
+    if (floor == 0L) return merged
+    val (foldable, keep) = merged.partition(r =>
+      (r.getString(3) == "commit" && r.getLong(0) <= floor) ||
+        r.getString(3) == "commits")
+    if (foldable.isEmpty) return merged
+    def ts(r: Row, i: Int): Timestamp =
+      if (r.isNullAt(i)) null else r.getTimestamp(i)
+    def maxTs(a: Timestamp, b: Timestamp): Timestamp =
+      if (a == null) b else if (b == null) a else if (a.after(b)) a else b
+    def minTs(a: Timestamp, b: Timestamp): Timestamp =
+      if (a == null) b else if (b == null) a else if (a.before(b)) a else b
+    // decode to (start, end, minAt, maxAt, maxBatch) intervals
+    val intervals = foldable.map { r =>
+      if (r.getString(3) == "commits")
+        (r.getLong(0) - r.getLong(1) + 1, r.getLong(0), ts(r, 5), ts(r, 2),
+          if (r.isNullAt(4)) -1L else r.getLong(4))
+      else
+        (r.getLong(0), r.getLong(0), ts(r, 2), ts(r, 2),
+          if (r.isNullAt(4)) -1L else r.getLong(4))
+    }.sortBy(_._1)
+    val runs = scala.collection.mutable.ArrayBuffer[(Long, Long, Timestamp, Timestamp, Long)]()
+    intervals.foreach { case (s, e, mn, mx, b) =>
+      runs.lastOption match {
+        case Some((ps, pe, pmn, pmx, pb)) if s <= pe + 1 =>
+          runs(runs.length - 1) =
+            (ps, math.max(pe, e), minTs(pmn, mn), maxTs(pmx, mx), math.max(pb, b))
+        case _ => runs += ((s, e, mn, mx, b))
+      }
+    }
+    val runRows: Array[Row] = runs.iterator.map { case (s, e, mn, mx, b) =>
+      Row(e, e - s + 1, mx, "commits", if (b < 0) null else java.lang.Long.valueOf(b), mn)
+    }.toArray
+    keep ++ runRows
   }
 
   /** Opportunistic rollup after a commit: skipped (not blocked) when a
@@ -575,10 +673,20 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     }
   }
 
-  private def journaledBatch(b: Long): Option[Long] =
-    txLog()
-      .where(col("kind") === "commit" && col("batch_id") === b)
-      .select("tx_id").limit(1).collect().headOption.map(_.getLong(0))
+  private def journaledBatch(b: Long): Option[Long] = {
+    // one journal read, filtered driver-side (the rows are already local)
+    val rows = journalRows()
+    val exact = rows.iterator
+      .filter(r => r.getString(3) == "commit" && !r.isNullAt(4) && r.getLong(4) == b)
+      .map(_.getLong(0)).nextOption()
+    // batch ids are monotone per stream, so a batch at or below a
+    // summarized run's max batch id was committed before that run was
+    // folded — report the run's end tx as the (approximate) id, which
+    // is all the replay guard needs ("already committed, skip")
+    exact.orElse(rows.iterator
+      .filter(r => r.getString(3) == "commits" && !r.isNullAt(4) && r.getLong(4) >= b)
+      .map(_.getLong(0)).nextOption())
+  }
 
   private def doCommit(batch: DataFrame, ordinalCol: Option[String],
                        committedAt: Option[Timestamp],
@@ -687,55 +795,120 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
   def tableSchema: StructType =
     StructType(scanCols.map(n => dataSchema.fields.find(_.name == n).get))
 
-  /** One driver-side journal read serving a whole scan: (squash floor,
-    * committed (tx id, committed_at) pairs sorted by id). The journal is
-    * metadata-scale by construction — one row per commit in the retained
-    * checkpoint interval, exactly like the reference's memory-resident
-    * WAL index (`wal/reader.go:29-75`).
+  /** One driver-side journal read serving a whole scan — squash floor,
+    * summarized runs (commits folded by the checkpoint rollup, all at
+    * or below the floor) and per-commit recents. Driver memory is
+    * O(runs + commits since the floor), never O(total commits) —
+    * exactly like the reference's memory-resident WAL index
+    * (`wal/reader.go:29-75`), which likewise holds only the unflushed
+    * window.
     */
-  private def journalSnapshot(): (Long, Array[(Long, Timestamp)]) = {
-    val rows = txLog().select("tx_id", "kind", "committed_at").collect()
+  private def journalState(): JournalState = {
+    val rows = txLog()
+      .select("tx_id", "kind", "committed_at", "n_rows", "min_at", "batch_id")
+      .collect()
     val floor = rows.iterator.filter(_.getString(1) == "compact")
       .map(_.getLong(0)).foldLeft(0L)(math.max)
-    val committed = rows.iterator.filter(_.getString(1) == "commit")
+    val runs = rows.iterator.filter(_.getString(1) == "commits")
+      .map { r =>
+        val end = r.getLong(0)
+        TxRun(end - r.getLong(3) + 1, end, r.getTimestamp(4), r.getTimestamp(2),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))
+      }.toArray.sortBy(_.start)
+    val recents = rows.iterator.filter(_.getString(1) == "commit")
       .map(r => (r.getLong(0), r.getTimestamp(2))).toArray.sortBy(_._1)
-    (floor, committed)
+    JournalState(floor, runs, recents)
   }
 
-  /** Maximum NOT-IN literal before the gate flips to IN-over-admitted. */
-  private val MaxGapLiteral = 1000L
+  /** One summarized run of contiguous committed tx ids, with the
+    * run's commit-time extrema (for as-of-time eligibility) and max
+    * batch id (for the streaming replay guard).
+    */
+  private[store] case class TxRun(start: Long, end: Long,
+                                  minAt: Timestamp, maxAt: Timestamp,
+                                  maxBatch: Option[Long])
+
+  /** Admitted-set handle compiled from runs + explicit ids: the scan
+    * gate, membership tests, and extrema without ever materializing
+    * one Long per committed tx.
+    */
+  private[store] case class TxAdmit(runs: Array[(Long, Long)], ids: Array[Long]) {
+    def isEmpty: Boolean = runs.isEmpty && ids.isEmpty
+    def maxId: Long =
+      math.max(runs.lastOption.map(_._2).getOrElse(0L),
+        ids.lastOption.getOrElse(0L))
+    def contains(id: Long): Boolean = {
+      // runs sorted by start, disjoint; ids sorted
+      var lo = 0; var hi = runs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (runs(mid)._2 < id) lo = mid + 1
+        else if (runs(mid)._1 > id) hi = mid - 1
+        else return true
+      }
+      java.util.Arrays.binarySearch(ids, id) >= 0
+    }
+    /** Merged, sorted, disjoint intervals over runs ∪ ids. */
+    def mergedIntervals: Seq[(Long, Long)] = {
+      val all = (runs.toSeq ++ ids.toSeq.map(i => (i, i))).sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      all.foreach { case (s, e) =>
+        out.lastOption match {
+          case Some((ps, pe)) if s <= pe + 1 =>
+            out(out.length - 1) = (ps, math.max(pe, e))
+          case _ => out += ((s, e))
+        }
+      }
+      out.toSeq
+    }
+  }
+
+  private[store] case class JournalState(floor: Long, runs: Array[TxRun],
+                                         recents: Array[(Long, Timestamp)]) {
+    def maxCommitted: Long =
+      math.max(runs.lastOption.map(_.end).getOrElse(0L),
+        recents.lastOption.map(_._1).getOrElse(0L))
+    def admit(ids: Array[Long]): TxAdmit =
+      TxAdmit(runs.map(r => (r.start, r.end)), ids)
+    /** Every committed id (runs + recents) as a gateable set. */
+    def admitAll: TxAdmit = admit(recents.map(_._1))
+    /** Committed ids ≤ txId (run clipping keeps this O(journal)). */
+    def admitUpTo(txId: Long): TxAdmit =
+      TxAdmit(
+        runs.iterator.filter(_.start <= txId)
+          .map(r => (r.start, math.min(r.end, txId))).toArray,
+        recents.map(_._1).filter(_ <= txId))
+  }
 
   /** The committed-set gate compiled to PURE SCAN PREDICATES, with
-    * driver work bounded by the JOURNAL, never by the highest tx id:
-    * excluded ids below the cap (torn-commit gaps; for time-addressed
-    * reads, later-journaled commits) are derived from the gaps between
-    * ADJACENT admitted ids — O(#commits + #gaps). Dense journals (gaps
-    * rare) compile to `tx_id <= cap AND tx_id NOT IN (gaps)`; sparse
-    * ones (more than [[MaxGapLiteral]] gaps — e.g. a counter that
-    * jumped) flip to `tx_id IN (admitted)`, whose literal is
-    * journal-sized. Both push into the Parquet reader for row-group
-    * pruning. (A `1L to cap` enumeration — the previous shape — would
-    * allocate and iterate up to the max tx id ever minted: millions of
-    * driver-side steps per read under streaming ingest.)
-    *
-    * @param admitted committed tx ids, ascending.
+    * driver work bounded by the JOURNAL (summary runs + retained
+    * commit rows), never by the highest tx id or the total commit
+    * count: the admitted set compiles to an OR-of-ranges over its
+    * merged intervals — a dense journal is ONE interval
+    * (`tx_id <= cap`), a torn commit splits one more off, a counter
+    * jump adds one. Range predicates push into the Parquet reader for
+    * row-group pruning via column min/max exactly like the previous
+    * `<= cap AND NOT IN (gaps)` shape. The or-tree reduces balanced
+    * (depth log n) so a pathological gap count cannot stack-overflow
+    * Catalyst.
     */
-  private def committedGate(admitted: Array[Long]): Column = {
-    if (admitted.isEmpty) return col("tx_id") <= 0L
-    val cap = admitted.last
-    val excludedCount = cap - admitted.length // ids are distinct in [1, cap]
-    if (excludedCount == 0L) col("tx_id") <= cap
-    else if (excludedCount <= MaxGapLiteral) {
-      val gaps = Array.newBuilder[Long]
-      var prev = 0L
-      admitted.foreach { id =>
-        var g = prev + 1
-        while (g < id) { gaps += g; g += 1 }
-        prev = id
-      }
-      col("tx_id") <= cap && !col("tx_id").isInCollection(gaps.result().toSeq)
-    } else col("tx_id").isInCollection(admitted.toSeq)
+  private def committedGate(adm: TxAdmit): Column = {
+    val intervals = adm.mergedIntervals
+    if (intervals.isEmpty) return col("tx_id") <= 0L
+    def one(iv: (Long, Long)): Column = iv match {
+      case (s, e) if s == e => col("tx_id") === s
+      case (s, e) if s <= 1L => col("tx_id") <= e
+      case (s, e) => col("tx_id") >= s && col("tx_id") <= e
+    }
+    def orTree(cs: Seq[Column]): Column =
+      if (cs.length == 1) cs.head
+      else orTree(cs.grouped(2).map(_.reduce(_ || _)).toSeq)
+    orTree(intervals.map(one))
   }
+
+  /** Array-of-ids convenience (the streaming source's window gate). */
+  private def committedGate(admitted: Array[Long]): Column =
+    committedGate(TxAdmit(Array.empty, admitted))
 
   /** Content (non-key) columns, in scan order — what the fold's winner
     * struct carries and what a pruned read may shrink.
@@ -743,16 +916,16 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
   private[graft] val contentCols =
     Seq("open", "high", "low", "close", "volume", "bit_fields")
 
-  /** Scan of the current generation admitting exactly `admitted`
-    * (ascending) tx ids — see [[committedGate]]. No join stage.
+  /** Scan of the current generation admitting exactly the `adm` set —
+    * see [[committedGate]]. No join stage.
     */
-  private def gatedScan(admitted: Array[Long],
+  private def gatedScan(adm: TxAdmit,
                         content: Seq[String] = contentCols): DataFrame =
     currentGen() match {
       case None => emptyTable()
       case Some((_, genDir)) =>
         foldLatest(spark.read.schema(dataSchema).parquet(genDir.toString)
-          .where(committedGate(admitted)), content)
+          .where(committedGate(adm)), content)
     }
 
   /** Last-wins history fold shared by reads and compaction. `content`
@@ -805,12 +978,12 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * scan and the fold-bypassing key scan; keeps the squash-floor
     * contract in one place).
     */
-  private def admittedAsOf(txId: Long): Array[Long] = {
-    val (floor, committed) = journalSnapshot()
-    require(txId >= floor,
-      s"as-of tx $txId predates the compaction squash point (tx $floor): " +
+  private def admittedAsOf(txId: Long): TxAdmit = {
+    val state = journalState()
+    require(txId >= state.floor,
+      s"as-of tx $txId predates the compaction squash point (tx ${state.floor}): " +
         "that history has been discarded by compact()")
-    committed.map(_._1).filter(_ <= txId)
+    state.admitUpTo(txId)
   }
 
   /** Raw committed KEY tuples (gated, PRE-fold) — the fold-bypassing
@@ -848,28 +1021,40 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
 
   /** [[scanAsOfTime]] with the fold's content pruned to `content`. */
   private[graft] def scanAsOfTime(t: Timestamp, content: Seq[String]): DataFrame = {
-    val (floor, committed) = journalSnapshot()
-    val eligible = committed.filter { case (_, at) =>
+    val state = journalState()
+    val floor = state.floor
+    // summarized runs carry their commit-time extrema: a run is wholly
+    // eligible (maxAt ≤ t), wholly excluded (minAt > t), or PARTIAL —
+    // and a partial run means some tx at or below the floor is
+    // time-excluded, the exact case the per-commit path refuses below
+    val (runsEligible, runsRest) = state.runs.partition(r =>
+      r.maxAt != null && !r.maxAt.after(t))
+    val (runsExcluded, runsPartial) = runsRest.partition(r =>
+      r.minAt != null && r.minAt.after(t))
+    val eligibleRecents = state.recents.filter { case (_, at) =>
       at != null && !at.after(t)
     }.map(_._1)
-    if (eligible.isEmpty) emptyTable()
+    if (runsEligible.isEmpty && runsPartial.isEmpty && eligibleRecents.isEmpty)
+      emptyTable()
     else {
       // compact() squashes [1, floor] into one row per key: any
       // time-EXCLUDED tx at or below the floor means the state at `t`
       // needed pre-squash history that no longer exists — partial
       // results would be a silent lie, so fail loudly (same contract as
       // scanAsOf below the floor).
-      val eligibleSet = eligible.toSet
-      val discarded = committed.map(_._1)
+      val eligibleSet = eligibleRecents.toSet
+      val discarded = state.recents.map(_._1)
         .filter(id => id <= floor && !eligibleSet(id))
-      require(discarded.isEmpty,
-        s"as-of time $t excludes tx(s) ${discarded.mkString(",")} at or below " +
-          s"the compaction squash point (tx $floor): that interleaving's " +
-          "history has been discarded by compact()")
-      require(eligible.max >= floor,
+      require(discarded.isEmpty && runsPartial.isEmpty && runsExcluded.isEmpty,
+        s"as-of time $t excludes tx(s) at or below the compaction squash " +
+          s"point (tx $floor): that interleaving's history has been " +
+          "discarded by compact()" +
+          (if (discarded.nonEmpty) s" (${discarded.mkString(",")})" else ""))
+      val adm = TxAdmit(runsEligible.map(r => (r.start, r.end)), eligibleRecents)
+      require(adm.maxId >= floor,
         s"as-of time $t resolves below the compaction squash point (tx $floor): " +
           "that history has been discarded by compact()")
-      gatedScan(eligible, content)
+      gatedScan(adm, content)
     }
   }
 
@@ -897,13 +1082,17 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     changesWindow(sinceTx, untilTx, floor, ids)
   }
 
-  /** (squash floor, committed tx ids ascending) — one journal read.
-    * `private[graft]` so the streaming source can pin ONE snapshot per
-    * micro-batch across its bookkeeping and the delivered frame.
+  /** (squash floor, committed tx ids ABOVE the floor ascending) — one
+    * journal read. Ids at or below the floor may be summarized into
+    * runs and are deliberately absent: every caller windows on
+    * `sinceTx >= floor` (the changes-since contract), so the window is
+    * always a subset of the retained per-commit rows. `private[graft]`
+    * so the streaming source can pin ONE snapshot per micro-batch
+    * across its bookkeeping and the delivered frame.
     */
   private[graft] def journalCommitted(): (Long, Array[Long]) = {
-    val (floor, committed) = journalSnapshot()
-    (floor, committed.map(_._1))
+    val state = journalState()
+    (state.floor, state.recents.map(_._1))
   }
 
   private[graft] def newJournalView(): JournalView = new JournalView
@@ -979,6 +1168,41 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       } // already observed: tail retained one rollup behind its checkpoint
     }
 
+    /** Absorb a summarized `commits` RUN `[start, end]` — every id in
+      * it is committed. Novel segments are the part above the
+      * watermark plus any overlap with known gap runs; `record = false`
+      * (the seeding poll) skips the per-id append so seeding from a
+      * long-history checkpoint stays O(runs + gaps) driver work.
+      */
+    private def observeRun(start: Long, end: Long,
+                           newIds: scala.collection.mutable.ArrayBuffer[Long],
+                           record: Boolean): Unit = {
+      // gap overlaps FIRST (segments at or below the current watermark)
+      val overlapping = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val it = gapRuns.headMap(java.lang.Long.valueOf(end), true)
+        .descendingMap().entrySet().iterator()
+      var done = false
+      while (it.hasNext && !done) {
+        val e = it.next()
+        if (e.getValue.longValue < start) done = true
+        else overlapping += ((e.getKey.longValue, e.getValue.longValue))
+      }
+      overlapping.foreach { case (lo, hi) =>
+        gapRuns.remove(lo)
+        val s = math.max(lo, start); val t = math.min(hi, end)
+        if (lo < s) { gapRuns.put(lo, s - 1); () }
+        if (t < hi) { gapRuns.put(t + 1, hi); () }
+        if (record) { var i = s; while (i <= t) { newIds += i; i += 1 } }
+      }
+      // then the piece above the watermark
+      if (end > maxSeen) {
+        val s = math.max(start, maxSeen + 1)
+        if (s > maxSeen + 1) { gapRuns.put(maxSeen + 1, s - 1); () }
+        if (record) { var i = s; while (i <= end) { newIds += i; i += 1 } }
+        maxSeen = end
+      }
+    }
+
     /** Committed ids in `(from, until]`, ascending — O(window + gap
       * runs), the exact `admitted` array [[changesWindow]]'s gate needs.
       */
@@ -1040,17 +1264,37 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
                   }
                   orTree(b.result())
                 }
+              // a summarized run [tx_id − n_rows + 1, tx_id] is novel
+              // iff it extends past the watermark or overlaps a gap run
+              val runGapPred =
+                if (gapRuns.size() > 1000) col("tx_id") - col("n_rows") + 1 <= maxSeen
+                else {
+                  val b = Seq.newBuilder[org.apache.spark.sql.Column]
+                  val git = gapRuns.entrySet().iterator()
+                  while (git.hasNext) {
+                    val e = git.next()
+                    b += (col("tx_id") >= e.getKey.longValue &&
+                      col("tx_id") - col("n_rows") + 1 <= e.getValue.longValue)
+                  }
+                  orTree(b.result())
+                }
               val novel =
                 (col("kind") === "commit" && (col("tx_id") > maxSeen || gapPred)) ||
+                  (col("kind") === "commits" && (col("tx_id") > maxSeen || runGapPred)) ||
                   (col("kind") === "compact" && col("tx_id") > floor)
               // collect BEFORE mutating: the only throwing step leaves
               // the view untouched for the retry
               val rows = spark.read.schema(txLogSchema).parquet(p.toString)
-                .where(novel).select("tx_id", "kind").collect()
+                .where(novel).select("tx_id", "kind", "n_rows").collect()
               rows.foreach { r =>
-                if (r.getString(1) == "compact") {
-                  if (r.getLong(0) > floor) floor = r.getLong(0)
-                } else observe(r.getLong(0), newIds)
+                r.getString(1) match {
+                  case "compact" =>
+                    if (r.getLong(0) > floor) floor = r.getLong(0)
+                  case "commits" =>
+                    observeRun(r.getLong(0) - r.getLong(2) + 1, r.getLong(0),
+                      newIds, record = seeded)
+                  case _ => observe(r.getLong(0), newIds)
+                }
               }
               lastCpAbsorbed = n
             }
@@ -1168,24 +1412,24 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       throw VersionedCandleStore.SimulatedCrash(step)
     }
     try {
-      val snapshot = journalSnapshot()
-      val committedIds = snapshot._2.map(_._1)
-      val latest = committedIds.lastOption.getOrElse(0L)
+      val snapshot = journalState()
+      val admitted = snapshot.admitAll
+      val latest = snapshot.maxCommitted
       if (latest == 0L) return 0L
       // no-op early-out: everything up to `latest` is already squashed
       // (also avoids publishing a duplicate tx-<latest>-compact journal
       // file, whose rename would fail on rename-no-overwrite filesystems)
-      if (latest == snapshot._1) return latest
+      if (latest == snapshot.floor) return latest
       crash(1)
       val (curGenId, curGenDir) = currentGen().get
-      val present = committedIds.toSet
+      val present = admitted
       // one version per key, WINNING row's tx_id preserved (content and
       // tx travel together in one struct, picked by tx order); same
       // pure-predicate committed gate as scanAsOf
       val withTx = struct(col("open"), col("high"), col("low"),
         col("close"), col("volume"), col("bit_fields"), col("tx_id"))
       val squashed = spark.read.schema(dataSchema).parquet(curGenDir.toString)
-        .where(committedGate(committedIds))
+        .where(committedGate(admitted))
         .withColumn("_c", withTx)
         .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
         .agg(max_by(col("_c"), col("tx_id")).as("_w"))
@@ -1227,7 +1471,7 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       val newGenQualified = f.makeQualified(newGen).toUri.getPath
       generations()
         .filter { case (_, p) => f.makeQualified(p).toUri.getPath != newGenQualified }
-        .foreach { case (_, p) => carryFiles(f, p, newGen, id => !present(id)) }
+        .foreach { case (_, p) => carryFiles(f, p, newGen, id => !present.contains(id)) }
       crash(5)
       // GC: keep the new and previous generations (in-flight readers of
       // the old one stay consistent); drop anything older, plus reserve
@@ -1328,10 +1572,22 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     if (!tryCreate(f, lock))
       throw new IllegalStateException(s"another maintenance op holds $lock")
     try {
-      val journalRows = txLog().select("tx_id", "batch_id").collect()
-      val journaled = journalRows.map(_.getLong(0)).toSet
-      val journaledBatches = journalRows.iterator
-        .filterNot(_.isNullAt(1)).map(_.getLong(1)).toSet
+      // run-aware membership: a data file whose tx sits inside a
+      // summarized run is committed — treating it as torn would DELETE
+      // live data
+      val state = journalState()
+      val admitted = state.admitAll
+      val floorIds = txLog().where(col("kind") === "compact")
+        .select("tx_id").collect().map(_.getLong(0)).toSet
+      val journaled: Long => Boolean =
+        id => admitted.contains(id) || floorIds(id)
+      val journaledBatches: Long => Boolean = {
+        val recentBatches = txLog()
+          .where(col("kind") === "commit" && col("batch_id").isNotNull)
+          .select("batch_id").collect().map(_.getLong(0)).toSet
+        val maxRunBatch = state.runs.flatMap(_.maxBatch).foldLeft(-1L)(math.max)
+        b => recentBatches(b) || b <= maxRunBatch
+      }
       val cutoff = System.currentTimeMillis() - minAgeMs
       var removed = 0
       def sweep(dir: Path): Unit =

@@ -143,9 +143,15 @@ class PropertySpec extends SparkSpec {
       }.toMap
       val want = expect.map { case ((code, tsec), (_, w)) => (code, tsec) -> w }.toMap
       assert(got == want, s"seed ${i + 1}: scan != driver fold")
-      // journal-addressed history: as-of the first commit == fold of batch 1
-      val asOf1 = st.txLog().where(col("kind") === "commit")
-        .agg(min("tx_id")).head().getLong(0)
+      // journal-addressed history: as-of the first commit == fold of
+      // batch 1. The first commit's row may be folded into a
+      // summarized `commits` run by the rollup (checkpointEvery=2
+      // guarantees rollups interleave), so the min spans run STARTS
+      // (tx_id − n_rows + 1) as well as plain commit rows.
+      val asOf1 = st.txLog().where(col("kind").isin("commit", "commits"))
+        .select(when(col("kind") === "commits",
+          col("tx_id") - col("n_rows") + 1).otherwise(col("tx_id")).as("t"))
+        .agg(min("t")).head().getLong(0)
       if (compactAfter == 0) { // floor == 1: as-of tx 1 still readable
         val h = st.scanAsOf(asOf1).count()
         val firstKeys = parts.head.map(c => (c.code, c.ts.getTime / 1000L)).distinct.size

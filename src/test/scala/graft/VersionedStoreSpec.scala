@@ -325,6 +325,77 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st.scan().count() == 4)
   }
 
+  test("journal checkpoint SUMMARIZES commits below the squash floor into " +
+      "run rows: collect O(runs + window), reads exact across the boundary, " +
+      "torn-commit gaps preserved") {
+    val st = new VersionedCandleStore(spark, tmpDir("vstore-sum") + "/v",
+      checkpointEvery = 10)
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()) // tx 1
+    st.commit(Seq(c("ETH", "2022-01-01 10:00:00", 2)).toDF()) // tx 2
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 3)).toDF()) // tx 3
+    st.reserveTxId() // burns tx 4: reserved, never journaled — a torn gap
+    st.commit(Seq(c("SOL", "2022-01-01 10:00:00", 5)).toDF()) // tx 5
+    // plant torn DATA under the gap id: a "moved but never journaled"
+    // commit the gate must keep invisible through every rollup shape
+    val gen = new java.io.File(st.path)
+      .listFiles().filter(_.getName.startsWith("data-g")).head
+    val buf = scala.collection.mutable.ArrayBuffer[java.io.File]()
+    def walk(d: java.io.File): Unit = d.listFiles().foreach { x =>
+      if (x.isDirectory) walk(x)
+      else if (x.getName.startsWith("tx") && x.getName.endsWith(".parquet")) buf += x
+    }
+    walk(gen)
+    val src = buf.head
+    java.nio.file.Files.copy(src.toPath, new java.io.File(src.getParentFile,
+      f"tx${4L}%020d-" + src.getName.split("-", 2)(1)).toPath)
+    assert(st.scan().count() == 3)
+    // raise the floor, grow a journal window above it, roll up
+    st.compact() // floor = 5 (carry-forward relays the torn tx-4 file)
+    var tx = st.latestTxId
+    while (tx < 40) { tx += 1
+      st.writeJournalRow(tx, 0L, ts("2024-05-01 10:00:00"), "commit", None) }
+    st.checkpointJournal()
+    val log = st.txLog().collect()
+    // commits ≤ floor folded into runs SPLIT AT THE GAP; window keeps
+    // per-commit rows
+    val runs = log.filter(_.getString(3) == "commits")
+      .map(r => (r.getLong(0) - r.getLong(1) + 1, r.getLong(0))).sorted.toSeq
+    assert(runs == Seq((1L, 3L), (5L, 5L)), s"runs: $runs")
+    assert(!log.exists(r => r.getString(3) == "commit" && r.getLong(0) <= 5L),
+      "summarized commits still present as per-commit rows")
+    assert(log.count(_.getString(3) == "commit") == 35) // 6..40
+    // reads exact across the summarization boundary
+    assert(st.latestTxId == 40L)
+    assert(st.scan().select("code", "open").as[(String, Double)].collect().toMap
+      == Map("BTC" -> 3.0, "ETH" -> 2.0, "SOL" -> 5.0)) // torn 4 invisible
+    assert(st.scanAsOf(40L).count() == 3)
+    intercept[IllegalArgumentException](st.scanAsOf(4L)) // below floor
+    // as-of-time: before everything → empty; mid-window (runs excluded,
+    // some recents eligible) → loud refusal; after everything → full
+    assert(st.scanAsOfTime(ts("2020-01-01 00:00:00")).count() == 0)
+    intercept[IllegalArgumentException](
+      st.scanAsOfTime(ts("2024-06-01 00:00:00")))
+    assert(st.scanAsOfTime(new java.sql.Timestamp(
+      System.currentTimeMillis() + 3600000L)).count() == 3)
+    // a second compact + one commit past it + rollup folds the window
+    // too (a rollup with nothing above the previous checkpoint's max
+    // tx early-outs by design): the journal stabilizes at
+    // O(runs + compacts + fresh window), independent of commit count
+    st.compact() // floor = 40
+    st.commit(Seq(c("ADA", "2022-01-01 10:00:00", 6)).toDF()) // tx 41
+    st.checkpointJournal()
+    val log2 = st.txLog().collect()
+    val runs2 = log2.filter(_.getString(3) == "commits")
+      .map(r => (r.getLong(0) - r.getLong(1) + 1, r.getLong(0))).sorted.toSeq
+    assert(runs2 == Seq((1L, 3L), (5L, 40L)), s"runs2: $runs2")
+    assert(log2.count(_.getString(3) == "commit") == 1) // tx 41 only
+    assert(log2.length <= 5, s"journal rows: ${log2.length}") // 2 runs + 2 compacts + 1
+    assert(st.latestTxId == 41L)
+    assert(st.scan().count() == 4)
+    assert(st.changesSince(41L).count() == 0)
+    assert(st.scanAsOf(40L).count() == 3) // floor itself still readable
+  }
+
   test("committed gate is journal-sized: a sparse journal (tx ids 1 and 1e9) plans instantly") {
     val st = VersionedCandleStore(spark, tmpDir("vstore-sparse") + "/v")
     st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 7)).toDF())
