@@ -877,8 +877,14 @@ object Dedup {
       var converged = false
       // live-label census from the previous round (-1 = unknown, round
       // 1 never broadcasts); approx_count_distinct — the broadcast
-      // threshold is a soft bound, a few % error is immaterial
+      // threshold is a soft bound, a few % error is immaterial. The
+      // census LATCHES: labels only ever drop to existing smaller ids,
+      // so the live-label count is non-increasing — once measured at or
+      // under broadcastLabels the broadcast decision is final and the
+      // per-round census job stops (it also never runs on the converged
+      // round, which has no next round to steer).
       var liveLabels = -1L
+      var censusLatched = false
       lastCcRoundMillis.set(Nil)
       while (!converged && it < maxIter) {
         val roundT0 = System.nanoTime()
@@ -925,26 +931,20 @@ object Dedup {
         val next = ckpt(jumped,
           reliable = (it + 1) % math.max(reliableEvery, 1) == 0)
           // ^ the round's main action; also counts changes
-        if (broadcastLabels > 0)
-          // one cheap agg over the just-checkpointed frame: the live
-          // label census steering next round's broadcast switch
+        converged = changed.value == 0L
+        if (broadcastLabels > 0 && !censusLatched && !converged) {
+          // one agg over the just-checkpointed frame: the live-label
+          // census steering next round's broadcast switch — skipped
+          // once latched (non-increasing ⇒ decision final) and on the
+          // converged round (no next round)
           liveLabels = next.select(approx_count_distinct(col("comp"))).head().getLong(0)
+          if (liveLabels <= broadcastLabels) censusLatched = true
+        }
         // per-round join-strategy marker for the skew spec/scale tool
         // (the executed adaptive plan is final once the action above ran)
-        if (reliableEvery <= 0) {
-          // the jump join is the plan's one LeftOuter join (the lookup
-          // semi-filter is LeftSemi and may broadcast independently)
-          val jumpLine = jumped.queryExecution.executedPlan.toString
-            .linesIterator.find(l => l.contains("Join") && l.contains("LeftOuter"))
-          val marker = jumpLine match {
-            case Some(l) if l.contains("BroadcastHashJoin") => "broadcast"
-            case Some(l) if l.contains("skew=true") => "smj-skew"
-            case Some(_) => "smj"
-            case None => "unknown"
-          }
-          lastCcJumpStrategies.updateAndGet(s => s :+ marker)
-        }
-        converged = changed.value == 0L
+        if (reliableEvery <= 0)
+          lastCcJumpStrategies.updateAndGet(s => s :+ jumpJoinMarker(
+            jumped.queryExecution.executedPlan))
         unpersist(labelsCp) // superseded the moment `next` materialized
         labelsCp = next
         labels = next.select(col("id"), col("comp"))
@@ -1019,6 +1019,35 @@ object Dedup {
     */
   val lastCcJumpStrategies =
     new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
+  /** The strategy marker of a round's pointer-jump join — the plan's
+    * one LeftOuter join (the lookup's semi-filter is LeftSemi and may
+    * broadcast independently) — read off the executed SparkPlan TREE,
+    * descending through AQE wrappers and materialized query stages:
+    * matching physical node types instead of the rendered plan string
+    * keeps the scale gates honest across Spark rendering changes.
+    */
+  private def jumpJoinMarker(plan: org.apache.spark.sql.execution.SparkPlan): String = {
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val through = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: through.flatMap(flatten)
+    }
+    flatten(plan).collectFirst {
+      case j: BroadcastHashJoinExec if j.joinType == LeftOuter => "broadcast"
+      case j: SortMergeJoinExec if j.joinType == LeftOuter =>
+        if (j.isSkewJoin) "smj-skew" else "smj"
+      case j: ShuffledHashJoinExec if j.joinType == LeftOuter =>
+        if (j.isSkewJoin) "shj-skew" else "shj"
+    }.getOrElse("unknown")
+  }
 
   /** Per-round wall (ms) of the most recent [[connectedComponents]]
     * call — the supercritical scale gate asserts round walls stay flat

@@ -74,11 +74,17 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
     * batch; the view never forgets, so "new and ≤ the delivered
     * watermark" is exactly "no batch delivered it".)
     */
-  private def failOnLateCommit(newIds: Array[Long], below: Long): Unit = {
-    val late = newIds.filter(_ <= below)
+  private def failOnLateCommit(newSegs: Array[(Long, Long)], below: Long): Unit = {
+    // the view reports novel COMMITTED ranges as closed segments (see
+    // JournalView.poll) — a segment starting at or below the delivered
+    // watermark is the violation, clipped for the message
+    val late = newSegs.collect {
+      case (lo, hi) if lo <= below => (lo, math.min(hi, below))
+    }
     if (late.nonEmpty)
       throw new IllegalStateException(
-        s"tx ${late.mkString(",")} journaled at or below the already-emitted " +
+        s"tx ${late.map { case (l, h) => if (l == h) s"$l" else s"$l-$h" }
+          .mkString(",")} journaled at or below the already-emitted " +
           s"offset $below: concurrent committers violate this stream's " +
           "single-serialized-committer assumption; restart the tail from an " +
           "earlier changesSince to re-deliver")

@@ -673,19 +673,45 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     }
   }
 
+  /** The prior tx of an already-journaled streaming batch — the replay
+    * guard's "already committed, skip" answer.
+    *
+    * ONE MONOTONE BATCH-ID STREAM PER STORE (enforced here): batch ids
+    * come from a Structured Streaming checkpoint, which replays at most
+    * the latest unacked batch — so a legitimately re-arriving id is
+    * either still in the journal as a per-commit row (exact match) or
+    * is the TIP of a summarized run (the boundary batch folded while
+    * its retry was in flight). An id strictly BELOW the summarized
+    * batch-id tip can only be a SECOND writer stream (its own
+    * checkpoint, ids restarting low); silently answering "skip" would
+    * drop its never-committed batches, so it fails loudly instead —
+    * point the second stream at its own store (or its own journal).
+    */
   private def journaledBatch(b: Long): Option[Long] = {
     // one journal read, filtered driver-side (the rows are already local)
     val rows = journalRows()
     val exact = rows.iterator
       .filter(r => r.getString(3) == "commit" && !r.isNullAt(4) && r.getLong(4) == b)
       .map(_.getLong(0)).nextOption()
-    // batch ids are monotone per stream, so a batch at or below a
-    // summarized run's max batch id was committed before that run was
-    // folded — report the run's end tx as the (approximate) id, which
-    // is all the replay guard needs ("already committed, skip")
-    exact.orElse(rows.iterator
-      .filter(r => r.getString(3) == "commits" && !r.isNullAt(4) && r.getLong(4) >= b)
-      .map(_.getLong(0)).nextOption())
+    exact.orElse {
+      val tip = rows.iterator
+        .filter(r => r.getString(3) == "commits" && !r.isNullAt(4))
+        .map(r => (r.getLong(4), r.getLong(0)))
+        .foldLeft(Option.empty[(Long, Long)]) {
+          case (acc, t) => if (acc.forall(_._1 < t._1)) Some(t) else acc
+        }
+      tip match {
+        case Some((maxB, tx)) if b == maxB => Some(tx)
+        case Some((maxB, _)) if b < maxB =>
+          throw new IllegalStateException(
+            s"batch $b is below this store's summarized batch-id tip " +
+              s"($maxB) and has no per-commit journal row: a Structured " +
+              "Streaming checkpoint never replays that deep, so this is a " +
+              "SECOND writer stream sharing the store — one monotone " +
+              "batch-id stream per store; give each stream its own store")
+        case _ => None
+      }
+    }
   }
 
   private def doCommit(batch: DataFrame, ordinalCol: Option[String],
@@ -1120,10 +1146,13 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     *
     * The first poll SEEDS the view and reports nothing new (a
     * violation that predates the reader's incarnation is
-    * indistinguishable from history); later polls return the ids newly
-    * observed since the previous poll, which is exactly the
-    * out-of-order-committer signal the stream's loud-fail check needs.
-    * Not thread-safe: one view per streaming source, driven from the
+    * indistinguishable from history); later polls return the id RANGES
+    * newly observed since the previous poll — closed segments, never
+    * expanded per id, so a view that fell far behind absorbs a
+    * million-commit summarized run as O(1) driver work, not a
+    * million boxed appends — which is exactly the out-of-order-
+    * committer signal the stream's loud-fail check needs. Not
+    * thread-safe: one view per streaming source, driven from the
     * engine's single query thread.
     */
   private[graft] final class JournalView {
@@ -1155,28 +1184,29 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       if (id < hi) { gapRuns.put(id + 1, hi); () }
     }
 
-    private def observe(tx: Long, newIds: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+    private def observe(tx: Long,
+                        newSegs: scala.collection.mutable.ArrayBuffer[(Long, Long)]): Unit = {
       if (tx > maxSeen) {
         if (tx > maxSeen + 1) { gapRuns.put(maxSeen + 1, tx - 1); () }
         maxSeen = tx
-        newIds += tx
+        newSegs += ((tx, tx))
         ()
       } else if (gapContains(tx)) {
         removeGap(tx)
-        newIds += tx
+        newSegs += ((tx, tx))
         ()
       } // already observed: tail retained one rollup behind its checkpoint
     }
 
     /** Absorb a summarized `commits` RUN `[start, end]` — every id in
-      * it is committed. Novel segments are the part above the
-      * watermark plus any overlap with known gap runs; `record = false`
-      * (the seeding poll) skips the per-id append so seeding from a
-      * long-history checkpoint stays O(runs + gaps) driver work.
+      * it is committed. Novel coverage is the part above the watermark
+      * plus any overlap with known gap runs, reported as closed
+      * SEGMENTS (never expanded per id): a view that fell far behind —
+      * a big compaction+rollup between polls — absorbs a
+      * million-commit run as O(overlapped gap runs) driver work.
       */
     private def observeRun(start: Long, end: Long,
-                           newIds: scala.collection.mutable.ArrayBuffer[Long],
-                           record: Boolean): Unit = {
+                           newSegs: scala.collection.mutable.ArrayBuffer[(Long, Long)]): Unit = {
       // gap overlaps FIRST (segments at or below the current watermark)
       val overlapping = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       val it = gapRuns.headMap(java.lang.Long.valueOf(end), true)
@@ -1192,13 +1222,13 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
         val s = math.max(lo, start); val t = math.min(hi, end)
         if (lo < s) { gapRuns.put(lo, s - 1); () }
         if (t < hi) { gapRuns.put(t + 1, hi); () }
-        if (record) { var i = s; while (i <= t) { newIds += i; i += 1 } }
+        newSegs += ((s, t))
       }
       // then the piece above the watermark
       if (end > maxSeen) {
         val s = math.max(start, maxSeen + 1)
         if (s > maxSeen + 1) { gapRuns.put(maxSeen + 1, s - 1); () }
-        if (record) { var i = s; while (i <= end) { newIds += i; i += 1 } }
+        newSegs += ((s, end))
         maxSeen = end
       }
     }
@@ -1218,19 +1248,20 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       out.result()
     }
 
-    /** Absorb journal growth; returns commit ids newly observed since
-      * the last poll (ascending; empty on the seeding poll). Retries
-      * the checkpoint read when a concurrent rollup swaps files under
-      * the listing (same lock-free posture as [[journalRows]]) — a
-      * failed read mutates nothing, so retry is safe.
+    /** Absorb journal growth; returns the commit-id RANGES newly
+      * observed since the last poll (closed `[lo, hi]` segments,
+      * ascending by `lo`; empty on the seeding poll). Retries the
+      * checkpoint read when a concurrent rollup swaps files under the
+      * listing (same lock-free posture as [[journalRows]]) — a failed
+      * read mutates nothing, so retry is safe.
       */
-    def poll(): Array[Long] = {
+    def poll(): Array[(Long, Long)] = {
       val f = fs
       verifyLayout(f)
       var attempt = 0
       while (true) {
         val (cp, tails, _) = listJournal(f)
-        val newIds = scala.collection.mutable.ArrayBuffer[Long]()
+        val newIds = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
         try {
           cp.foreach { case (n, p) =>
             if (n > lastCpAbsorbed) {
@@ -1292,7 +1323,7 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
                     if (r.getLong(0) > floor) floor = r.getLong(0)
                   case "commits" =>
                     observeRun(r.getLong(0) - r.getLong(2) + 1, r.getLong(0),
-                      newIds, record = seeded)
+                      newIds)
                   case _ => observe(r.getLong(0), newIds)
                 }
               }
@@ -1308,8 +1339,9 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
               case _ => ()
             }
           }
-          val fresh = newIds.sorted.toArray
-          return if (seeded) fresh else { seeded = true; Array.empty[Long] }
+          val fresh = newIds.sortBy(_._1).toArray
+          return if (seeded) fresh
+            else { seeded = true; Array.empty[(Long, Long)] }
         } catch {
           case e: Throwable if attempt < 3 && missingFile(e) => attempt += 1
         }

@@ -1032,7 +1032,7 @@ object Ingest {
     writeCellState(
       b.select(Similarity.ivfAssignUdf(cents)(col(vecCol)).as("cell_id"),
         col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
-      s"$stateDir/cells/batch_$batchId")
+      s"$stateDir/cells/batch_$batchId", nCells)
     ()
   }
 
@@ -1040,34 +1040,62 @@ object Ingest {
     * `cell_id` (`cell_id=N/` subdirs), so probes prune state files by
     * probed cell instead of scanning every accumulated batch — the
     * 100 TB posture the flat per-batch layout lacked. The write-side
-    * `repartition(cell_id)` is a batch-sized shuffle that bounds the
-    * file count to one per (cell, holding task) rather than
-    * tasks × cells.
+    * shuffle is SALTED within cell (`(cell_id, id mod buckets)` with
+    * `buckets ≈ shuffle partitions / nCells`): a plain
+    * `repartition(cell_id)` would funnel the whole batch through at
+    * most nCells tasks — a driver-visible cap on write parallelism at
+    * cluster scale — while the salt keeps parallelism cluster-sized
+    * with files/cell still bounded (≤ buckets per generation).
     */
-  private def writeCellState(df: DataFrame, dir: String): Unit =
-    df.repartition(col("cell_id"))
+  private def writeCellState(df: DataFrame, dir: String, nCells: Int): Unit =
+    saltedByCell(df, nCells)
       .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+
+  /** `df` hash-distributed on `(cell_id, id mod buckets)` where
+    * `buckets = max(1, shuffle partitions / nCells)` — cluster-sized
+    * write parallelism, ≤ buckets files per cell (see
+    * [[writeCellState]]). `nCells <= 0` (unknown) degrades to the
+    * unsalted per-cell shuffle.
+    */
+  private def saltedByCell(df: DataFrame, nCells: Int): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val buckets = if (nCells <= 0) 1 else math.max(1, p / nCells)
+    if (buckets <= 1) df.repartition(col("cell_id"))
+    else df.repartition(col("cell_id"), pmod(col("id"), lit(buckets.toLong)))
+  }
 
   /** Read cell-keyed state dirs, restoring `cell_id` to LONG (partition
     * -dir discovery infers INT for small values) and pruning to
-    * `onlyCells` when given — the filter lands on the PARTITION column
-    * before any cast, so Spark's partition pruning skips non-probed
-    * `cell_id=N/` directories at file-listing time.
+    * `onlyCells` when given — the filter lands on the PARTITION column,
+    * so Spark's partition pruning skips non-probed `cell_id=N/`
+    * directories at file-listing time. The data schema is supplied
+    * (caller-provided, or inferred ONCE from the first dir), never
+    * re-inferred per dir: per-dir footer inference multiplied a fixed
+    * cost across every accumulated generation — the r10 ANN-family
+    * regression.
     */
   private[graft] def readCellState(spark: org.apache.spark.sql.SparkSession,
                                    dirs: Seq[String],
-                                   onlyCells: Option[Seq[Long]] = None): DataFrame = {
+                                   onlyCells: Option[Seq[Long]] = None,
+                                   schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    // cell_id forced to LONG in the user schema: partition values cast
+    // at scan time (partitioned dirs) or match the written type (legacy
+    // flat dirs whose cell_id is a long data column), so the union
+    // needs no per-branch cast and prune literals compare exactly.
+    val base = schema.getOrElse(spark.read.parquet(dirs.head).schema)
+    val fixed = org.apache.spark.sql.types.StructType(base.fields.map(f =>
+      if (f.name == "cell_id") f.copy(dataType = LongType) else f))
     // one read PER state dir, unioned: sibling partitioned dirs can't
     // share one multi-root read (Spark's CONFLICTING_DIRECTORY_STRUCTURES
     // guard), and per-dir roots keep partition pruning exact. The dir
     // count is O(compaction interval) by the historyDirs contract.
     dirs.map { d =>
-      val raw = spark.read.parquet(d)
-      val pruned = onlyCells match {
+      val raw = spark.read.schema(fixed).parquet(d)
+      onlyCells match {
         case Some(cells) => raw.where(col("cell_id").isin(cells: _*))
         case None => raw
       }
-      pruned.withColumn("cell_id", col("cell_id").cast("long"))
     }.reduce(_ unionByName _)
   }
 
@@ -1220,7 +1248,7 @@ object Ingest {
     val books = ensureBooks(b, batchId, stateDir, idCol, vecCol, m, ks,
       iters, cents)
     writeCellState(Similarity.encodeIvfPq(b, idCol, vecCol, cents, books, m, ks),
-      s"$stateDir/codes/batch_$batchId")
+      s"$stateDir/codes/batch_$batchId", nCells)
     ()
   }
 
@@ -1404,7 +1432,10 @@ object Ingest {
       .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
     val cross =
       if (histDirs.isEmpty) within.limit(0)
-      else readCellState(spark, histDirs, Some(batchCells))
+      // the state schema is KNOWN here (it is `assigned`'s own shape) —
+      // pass it so the per-batch history read never re-infers footers
+      else readCellState(spark, histDirs, Some(batchCells),
+          Some(assigned.schema))
         .select(col("cell_id"), col("vec").as("va"))
         .join(broadcast(assigned.select(col("cell_id"),
           col("id"), col("vec").as("vb"))), Seq("cell_id"))
@@ -1417,7 +1448,7 @@ object Ingest {
       .localCheckpoint()
     flags.write.mode("overwrite").parquet(s"$stateDir/flags/batch_$batchId")
     // all-seen: flagged vectors still join the state (chain coverage)
-    writeCellState(assigned, s"$stateDir/cells/batch_$batchId")
+    writeCellState(assigned, s"$stateDir/cells/batch_$batchId", nCells)
     ()
   }
 
@@ -1613,17 +1644,32 @@ object Ingest {
     if (fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) return
     val inputs = historyDirs(fs, stateDir, sub, upTo)
     if (inputs.isEmpty) return
-    // partitioned substreams need per-dir reads (see readCellState)
+    // Partitioned substreams (the cell-keyed ANN state is the only
+    // one) go through readCellState: per-dir reads (sibling partitioned
+    // dirs can't share a multi-root read) with cell_id normalized to
+    // LONG in the user schema — so a legacy FLAT per-batch dir (cell_id
+    // a long data column, pre-partitioning layout) and a partitioned
+    // cell_id=N/ dir compact identically, no implicit union coercion.
+    require(partitionCols.isEmpty || partitionCols == Seq("cell_id"),
+      s"unsupported partitioned curation-state layout: $partitionCols")
     val input =
       if (partitionCols.isEmpty) spark.read.parquet(inputs: _*)
-      else inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      else readCellState(spark, inputs)
     val merged = merge(input)
-    // partitioned substreams (the cell-keyed ANN state) keep their
-    // layout through compaction: repartition bounds files to one per
-    // (partition value, holding task), as in the per-batch writes
+    // partitioned substreams keep their layout through compaction; the
+    // rewrite is the BIG cell-state shuffle, so it takes the same
+    // within-cell salt as the per-batch writes (cluster-sized
+    // parallelism, files/cell bounded) — nCells from the on-disk
+    // cell_id=N/ census, free off the listings already done
     val sized =
       if (partitionCols.isEmpty) merged
-      else merged.repartition(partitionCols.map(col): _*)
+      else {
+        val nCells = inputs.flatMap(d =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(d)).toSeq
+            .map(_.getPath.getName).filter(_.startsWith("cell_id=")))
+          .distinct.size
+        saltedByCell(merged, nCells)
+      }
     val writer = sized.write.mode("overwrite")
     (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
       .parquet(target.toString)
