@@ -1104,6 +1104,18 @@ object Oracles {
              ORDER BY ${pHash("doc_id::VARCHAR || '|cap'")} % 10000, doc_id) AS rn
          FROM documents)
          SELECT doc_id, source FROM r WHERE rn <= 20""",
+    // qA0: the cross-store tx that crashed after its marker is rolled
+    // forward onto BOTH stores (candle side = slice %3=1, vstore side =
+    // slice %3=2); the tx that crashed before its marker (slice %3=0)
+    // is visible on NEITHER — exact-or-nothing per tx.
+    "qA0_cross_store_tx" ->
+      s"""WITH c AS (${hourlyCandles("WHERE event_id % 3 = 1")}),
+         v AS (${hourlyCandles("WHERE event_id % 3 = 2")})
+         SELECT 'candle' AS side, code, count(*) AS n_rows,
+           round(sum(close), 2) AS sum_close FROM c GROUP BY 2
+         UNION ALL
+         SELECT 'vstore' AS side, code, count(*) AS n_rows,
+           round(sum(close), 2) AS sum_close FROM v GROUP BY 2""",
     // q7E: as-of-tx-2 state = last-wins of the first two committed
     // slices (tx2 = event_id%3==2 beats tx1 = event_id%3==1); the third
     // commit is invisible.

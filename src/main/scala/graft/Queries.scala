@@ -661,6 +661,50 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
+  private val xstoreCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** Build (once per sfDir) the CROSS-STORE atomic-commit fixture
+    * (reference: one WAL tx spanning several commands,
+    * `database/database.go:27-51`): tx `xs-commit` — a CandleStore
+    * upsert of the `%3=1` event-candle slice AND a VersionedCandleStore
+    * commit of the `%3=2` slice as ONE tx — simulates a crash right
+    * after its commit marker published (neither store finalized), and
+    * tx `xs-torn` (the `%3=0` slice on both stores) crashes BEFORE its
+    * marker. Recovery then rolls `xs-commit` forward on BOTH stores;
+    * `xs-torn` stays invisible on BOTH. The reads below are therefore
+    * exact-or-nothing per tx — the qA0 oracle sees slice 1 in the
+    * candle store, slice 2 in the versioned store, and slice 0 nowhere.
+    */
+  private def crossStores(s: SparkSession, d: String): (CandleStore, graft.store.VersionedCandleStore) = {
+    import graft.store.CrossStoreTx
+    val (cp, vp) = xstoreCache.getOrElseUpdate(d, {
+      val base = Files.createTempDirectory("graft-xstore").toString
+      val ev = T.events(s, d)
+      val cs = CandleStore(s, s"$base/candles")
+      val vs = graft.store.VersionedCandleStore(s, s"$base/v")
+      val coord = s"$base/txs"
+      def crashed(body: => Unit): Unit =
+        try { body; sys.error("expected simulated crash") }
+        catch { case _: graft.store.CrossStoreTx.SimulatedCrash => () }
+      crashed(CrossStoreTx.executeInternal(s, coord, "xs-commit",
+        Seq(CrossStoreTx.CandleUpsert(cs,
+            eventCandles(ev.where(col("event_id") % 3 === 1))),
+          CrossStoreTx.VersionedCommit(vs,
+            eventCandles(ev.where(col("event_id") % 3 === 2)),
+            committedAt = Some(java.sql.Timestamp.valueOf("2024-07-01 00:00:00")))),
+        crashAfter = 2))
+      crashed(CrossStoreTx.executeInternal(s, coord, "xs-torn",
+        Seq(CrossStoreTx.CandleUpsert(cs,
+            eventCandles(ev.where(col("event_id") % 3 === 0))),
+          CrossStoreTx.VersionedCommit(vs,
+            eventCandles(ev.where(col("event_id") % 3 === 0)))),
+        crashAfter = 1))
+      CrossStoreTx.recover(s, coord)
+      (s"$base/candles", s"$base/v")
+    })
+    (CandleStore(s, cp), graft.store.VersionedCandleStore(s, vp))
+  }
+
   private val streamCache = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Structured-Streaming ingest differential: split the events table
@@ -988,6 +1032,23 @@ object Queries {
           Portable.round(col("open"), 4).as("open"),
           Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // Cross-store atomic commit (reference: one WAL tx spanning several
+    // commands, database/database.go:27-51): a two-store tx crashed
+    // right after its commit marker is rolled forward onto BOTH stores
+    // by recovery, and a second tx crashed before its marker is visible
+    // on NEITHER — the reads here are exact-or-nothing per tx.
+    "qA0_cross_store_tx" -> ((s, d) => {
+      val (cs, vs) = crossStores(s, d)
+      val cSide = cs.scan().groupBy(col("code"))
+        .agg(count(lit(1)).as("n_rows"),
+          Portable.round(sum(col("close")), 2).as("sum_close"))
+        .withColumn("side", lit("candle"))
+      val vSide = vs.scan().groupBy(col("code"))
+        .agg(count(lit(1)).as("n_rows"),
+          Portable.round(sum(col("close")), 2).as("sum_close"))
+        .withColumn("side", lit("vstore"))
+      cSide.unionByName(vSide).select("side", "code", "n_rows", "sum_close")
     }),
     // Time travel by WALL CLOCK: the same as-of-tx-2 state addressed
     // the way users actually ask ("as of 2024-07-02 12:00") — resolved

@@ -261,6 +261,18 @@ final class CandleStore(spark: SparkSession, val path: String) {
     * file.
     */
   private def stageAndPublish(out: DataFrame): CommitIntent = {
+    val intent = stageIntent(out)
+    publishIntent(intent.txid)
+    intent
+  }
+
+  /** [[stageAndPublish]] WITHOUT the publish rename — the intent is
+    * fully staged and written as `_txlog/<txid>.tmp`, which [[recover]]
+    * ignores and [[vacuum]] reclaims: the batch is INVISIBLE and
+    * abortable until [[publishIntent]] renames it. This is the prepare
+    * half of the cross-store transaction protocol ([[CrossStoreTx]]).
+    */
+  private[graft] def stageIntent(out: DataFrame): CommitIntent = {
     val fs = hadoopFs
     val txid = f"tx-${System.currentTimeMillis}%013d-" +
       java.util.UUID.randomUUID.toString.take(8)
@@ -307,9 +319,53 @@ final class CandleStore(spark: SparkSession, val path: String) {
     try os.write(CommitIntent.encode(intent).getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
-    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(txlogP, txid + ".intent")))
-      sys.error(s"could not publish commit intent for $txid")
     intent
+  }
+
+  /** Publish a staged intent — the single-rename commit point. After
+    * it, [[recover]] rolls the install forward no matter where a crash
+    * lands; before it, the staged batch is invisible garbage.
+    * Idempotent: an already-published (or already-installed-and-
+    * cleaned) intent is a no-op, so a cross-store roll-forward can
+    * re-drive it safely.
+    */
+  private[graft] def publishIntent(txid: String): Unit = {
+    val fs = hadoopFs
+    val tmp = new org.apache.hadoop.fs.Path(txlogP, txid + ".tmp")
+    val pub = new org.apache.hadoop.fs.Path(txlogP, txid + ".intent")
+    if (fs.exists(tmp)) {
+      if (!fs.rename(tmp, pub) && !fs.exists(pub))
+        sys.error(s"could not publish commit intent for $txid")
+    }
+    // neither tmp nor intent: already installed and cleaned — done
+  }
+
+  /** Abort a staged-but-unpublished intent: drop its staging and the
+    * `.tmp` file. Only legal BEFORE [[publishIntent]] — a published
+    * intent is committed and must roll forward.
+    */
+  private[graft] def abortStagedIntent(txid: String): Unit = {
+    val fs = hadoopFs
+    require(!fs.exists(new org.apache.hadoop.fs.Path(txlogP, txid + ".intent")),
+      s"intent $txid is published: committed, cannot abort")
+    fs.delete(new org.apache.hadoop.fs.Path(txlogP, txid + ".tmp"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(stagingRootP, txid), true)
+    ()
+  }
+
+  /** Roll a PREPARED upsert forward to full visibility: publish (if the
+    * crash landed before the rename) then install — driven by txid
+    * alone, so a cross-store recovery can finalize from its marker
+    * without the original intent object. Idempotent at every crash
+    * point (`recover()` installs every published intent, this one
+    * included).
+    */
+  private[graft] def finalizeStagedIntent(txid: String): Unit = {
+    publishIntent(txid)
+    if (hadoopFs.exists(new org.apache.hadoop.fs.Path(txlogP, txid + ".intent"))) {
+      recover(); ()
+    }
+    // else: a previous roll-forward already installed and cleaned it
   }
 
   /** Execute a published intent: deletes, then moves, then cleanup.
@@ -500,9 +556,45 @@ final class CandleStore(spark: SparkSession, val path: String) {
                                      maxOps: Int): CommitIntent =
     upsertInternal(batch, None, atomic = true, maxOps).get
 
+  /** Stage an upsert WITHOUT committing it: the full merge pipeline and
+    * staged write of [[upsert]], stopped one rename short of the commit
+    * point. The returned intent is invisible until
+    * [[finalizeStagedIntent]] (or abortable via [[abortStagedIntent]])
+    * — the prepare half of [[CrossStoreTx]]'s two-store atomic commit.
+    */
+  private[graft] def prepareUpsert(batch: DataFrame,
+                                   ordinalCol: Option[String] = None): CommitIntent = {
+    recover() // a crash-torn predecessor must be completed before we read
+    stageIntent(mergeForUpsert(batch, ordinalCol))
+  }
+
   private def upsertInternal(batch: DataFrame, ordinalCol: Option[String],
                              atomic: Boolean, maxOps: Int): Option[CommitIntent] = {
     recover() // a crash-torn predecessor must be completed before we read
+    val out = mergeForUpsert(batch, ordinalCol)
+    if (atomic) {
+      val intent = stageAndPublish(out)
+      installPublished(intent, maxOps)
+      Some(intent)
+    } else {
+      withMicrosTimestamps(out) {
+        out.write
+          .partitionBy(Candle.partitionCols: _*)
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(SaveMode.Overwrite)
+          .parquet(path)
+      }
+      None
+    }
+  }
+
+  /** The upsert merge pipeline: last-wins dedup of `batch` against the
+    * touched partitions of the live store, rebalanced and sorted for
+    * the partitioned install — shared by [[upsert]] and
+    * [[prepareUpsert]].
+    */
+  private def mergeForUpsert(batch: DataFrame,
+                             ordinalCol: Option[String]): DataFrame = {
     // Tie-break columns, typed identically on both union branches:
     // `_src` new-beats-old, `_ord` later-in-batch-beats-earlier (when an
     // ordinal is supplied), `_cstruct` content tie-break (when not).
@@ -566,23 +658,9 @@ final class CandleStore(spark: SparkSession, val path: String) {
     // hot key. Unlike repartitionByRange (used here in round 2) it
     // needs NO boundary-sampling pass — the merge aggregation above is
     // evaluated exactly once, with no persist/materialization.
-    val out = deduped
+    deduped
       .hint("rebalance", Candle.partitionCols: _*)
       .sortWithinPartitions((Candle.partitionCols :+ "ts").map(col): _*)
-    if (atomic) {
-      val intent = stageAndPublish(out)
-      installPublished(intent, maxOps)
-      Some(intent)
-    } else {
-      withMicrosTimestamps(out) {
-        out.write
-          .partitionBy(Candle.partitionCols: _*)
-          .option("partitionOverwriteMode", "dynamic")
-          .mode(SaveMode.Overwrite)
-          .parquet(path)
-      }
-      None
-    }
   }
 
   /** Compaction — the reference's WAL group-flush analog (op M3,

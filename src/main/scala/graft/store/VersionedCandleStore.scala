@@ -717,6 +717,19 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
   private def doCommit(batch: DataFrame, ordinalCol: Option[String],
                        committedAt: Option[Timestamp],
                        batchId: Option[Long]): Long = {
+    val (tx, written) = prepareDataCommit(batch, ordinalCol)
+    finalizeDataCommit(tx, written, committedAt, batchId)
+  }
+
+  /** The data half of a commit: reserve a tx id, stage + move + verify
+    * the batch under the live generation — everything EXCEPT the
+    * journal row. The prepared tx is INVISIBLE (readers admit only
+    * journaled ids) and, if never finalized, is exactly a torn commit:
+    * reclaimed by [[vacuum]]'s age sweep, never readable. The prepare
+    * half of [[CrossStoreTx]]'s two-store atomic commit.
+    */
+  private[graft] def prepareDataCommit(batch: DataFrame,
+                                       ordinalCol: Option[String]): (Long, Long) = {
     val tx = reserveTxId()
     val contentStruct = struct(col("open"), col("high"), col("low"),
       col("close"), col("volume"), col("bit_fields"))
@@ -786,13 +799,26 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
         // else: another generation appeared mid-heal; loop and re-carry
       }
     }
-    // Journal entry AFTER the data move + verification: a torn commit
-    // (data moved, journal not) is invisible to readers, which admit
-    // only tx ids present in the journal's committed set.
-    writeJournalRow(tx, written,
-      committedAt.getOrElse(new Timestamp(System.currentTimeMillis())),
-      "commit", batchId)
-    maybeCheckpoint(f)
+    (tx, written)
+  }
+
+  /** The visibility half of a commit: the journal entry, written AFTER
+    * the data move + verification — a torn commit (data moved, journal
+    * not) is invisible to readers, which admit only tx ids present in
+    * the journal's committed set. Idempotent: a tx the journal already
+    * admits is not re-journaled, so a cross-store roll-forward can
+    * re-drive it after a crash at any point.
+    */
+  private[graft] def finalizeDataCommit(tx: Long, written: Long,
+                                        committedAt: Option[Timestamp],
+                                        batchId: Option[Long]): Long = {
+    val f = fs
+    if (!journalState().admitAll.contains(tx)) {
+      writeJournalRow(tx, written,
+        committedAt.getOrElse(new Timestamp(System.currentTimeMillis())),
+        "commit", batchId)
+      maybeCheckpoint(f)
+    }
     tx
   }
 

@@ -371,6 +371,24 @@ object Smoke {
         spark.sql(s"SELECT * FROM gvsmoke.`$vname` VERSION AS OF 1").count() ==
           vst.scanAsOf(1L).count())
 
+    // --- Round-11 addition: cross-store atomic transaction ---
+    {
+      import graft.store.{CandleStore => CS, CrossStoreTx, VersionedCandleStore => VS}
+      val base = java.nio.file.Files.createTempDirectory("smoke-xtx").toString
+      val cs = CS(spark, s"$base/c"); val vs = VS(spark, s"$base/v")
+      val b1 = Seq(("UPBIT", "BTC", 60, java.sql.Timestamp.valueOf("2022-01-01 10:00:00"),
+        1.0, 2.0, 0.5, 1.5, 10.0, 0L)).toDF(
+        "market", "code", "candle_length", "ts", "open", "high", "low",
+        "close", "volume", "bit_fields")
+      val toks = CrossStoreTx.execute(spark, s"$base/txs", "smoke-1",
+        Seq(CrossStoreTx.CandleUpsert(cs, b1), CrossStoreTx.VersionedCommit(vs, b1)))
+      val replay = CrossStoreTx.execute(spark, s"$base/txs", "smoke-1",
+        Seq(CrossStoreTx.CandleUpsert(cs, b1), CrossStoreTx.VersionedCommit(vs, b1)))
+      check("cross-store tx atomic on both stores, name replay exactly-once",
+        cs.scan().count() == 1 && vs.scan().count() == 1 &&
+          toks == replay && vs.txLog().where($"kind" === "commit").count() == 1)
+    }
+
     println(if (failures == 0) "[smoke] ALL OK" else s"[smoke] $failures FAILURES")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -1,0 +1,136 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.model.Candle
+import graft.store.{CandleStore, CrossStoreTx, VersionedCandleStore}
+import graft.store.CrossStoreTx.{CandleUpsert, VersionedCommit}
+
+/** One logical transaction spanning a CandleStore and a
+  * VersionedCandleStore, all-or-nothing at every crash prefix — the
+  * reference's multi-command WAL tx (`database/database.go:27-51`)
+  * over the file commit protocol. The invariant under test: after a
+  * crash anywhere + recovery, BOTH stores show the whole tx or
+  * NEITHER does — never one side.
+  */
+class CrossStoreTxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c(code: String, t: String, o: Double): Candle =
+    Candle("UPBIT", code, 60, ts(t), o, o + 1, o - 1, o + 0.5, 10.0, 0L)
+
+  private def candleBatch = Seq(
+    c("BTC", "2022-01-01 10:00:00", 1),
+    c("BTC", "2022-01-01 10:01:00", 2)).toDF()
+  private def vBatch = Seq(
+    c("ETH", "2022-03-01 00:00:00", 5),
+    c("SOL", "2022-03-01 00:00:00", 7)).toDF()
+
+  private def fixture() = {
+    val base = tmpDir("xstore")
+    (CandleStore(spark, s"$base/candles"),
+      VersionedCandleStore(spark, s"$base/v"),
+      s"$base/txs")
+  }
+
+  private def visible(cs: CandleStore, vs: VersionedCandleStore): (Long, Long) = {
+    // a prepared-only store holds _staging/_txlog but no data dirs
+    val root = new java.io.File(cs.path)
+    val hasData = root.exists &&
+      root.listFiles().exists(f => f.isDirectory && !f.getName.startsWith("_"))
+    (if (hasData) cs.scan().count() else 0L, vs.scan().count())
+  }
+
+  test("commit lands atomically on both stores; replay by name is exactly-once") {
+    val (cs, vs, coord) = fixture()
+    val toks = CrossStoreTx.execute(spark, coord, "b-0",
+      Seq(CandleUpsert(cs, candleBatch), VersionedCommit(vs, vBatch,
+        committedAt = Some(Timestamp.valueOf("2024-07-01 00:00:00")))))
+    assert(toks.length == 2 && toks(1) == "1")
+    assert(visible(cs, vs) == ((2L, 2L)))
+    // exactly-once: same name re-executes nothing, returns recorded txs
+    val again = CrossStoreTx.execute(spark, coord, "b-0",
+      Seq(CandleUpsert(cs, candleBatch), VersionedCommit(vs, vBatch)))
+    assert(again == toks)
+    assert(visible(cs, vs) == ((2L, 2L)))
+    assert(vs.txLog().where($"kind" === "commit").count() == 1)
+    // a SECOND tx under a new name does commit
+    CrossStoreTx.execute(spark, coord, "b-1",
+      Seq(VersionedCommit(vs, Seq(c("ADA", "2022-03-02 00:00:00", 9)).toDF())))
+    assert(visible(cs, vs) == ((2L, 3L)))
+  }
+
+  test("crash BEFORE the marker: nothing visible on either store; a retry " +
+      "under the same name commits fresh") {
+    val (cs, vs, coord) = fixture()
+    intercept[RuntimeException](CrossStoreTx.executeInternal(spark, coord,
+      "b-0", Seq(CandleUpsert(cs, candleBatch), VersionedCommit(vs, vBatch)),
+      crashAfter = 1))
+    CrossStoreTx.recover(spark, coord) // no marker: nothing to roll forward
+    assert(visible(cs, vs) == ((0L, 0L)), "prepared-only state leaked")
+    // prepared vstore data is torn-commit garbage: age-gated vacuum posture
+    assert(vs.latestTxId == 0L)
+    val toks = CrossStoreTx.execute(spark, coord, "b-0",
+      Seq(CandleUpsert(cs, candleBatch), VersionedCommit(vs, vBatch)))
+    assert(visible(cs, vs) == ((2L, 2L)))
+    assert(toks(1) == "2", "retry minted a fresh vstore tx (old reserve torn)")
+  }
+
+  test("crash at EVERY post-marker prefix: recovery rolls the whole tx " +
+      "forward — exact on both, never half") {
+    for (crashAt <- Seq(2, 3, 4)) {
+      val (cs, vs, coord) = fixture()
+      intercept[RuntimeException](CrossStoreTx.executeInternal(spark, coord,
+        "b-0", Seq(CandleUpsert(cs, candleBatch), VersionedCommit(vs, vBatch)),
+        crashAfter = crashAt))
+      // BEFORE recovery the tx may be half-finalized on disk — but a
+      // restart must run recover() first (documented contract), and
+      // after it both stores are exact
+      val n = CrossStoreTx.recover(spark, coord)
+      assert(n == 1, s"crashAt=$crashAt: marker not rolled forward")
+      assert(visible(cs, vs) == ((2L, 2L)), s"crashAt=$crashAt")
+      assert(vs.scan().select("code").as[String].collect().toSet
+        == Set("ETH", "SOL"), s"crashAt=$crashAt")
+      assert(cs.scan().select("open").as[Double].collect().sorted.toSeq
+        == Seq(1.0, 2.0), s"crashAt=$crashAt")
+      // recovery is idempotent; replay by name returns without re-running
+      assert(CrossStoreTx.recover(spark, coord) == 0)
+      val again = CrossStoreTx.execute(spark, coord, "b-0",
+        Seq(CandleUpsert(cs, candleBatch), VersionedCommit(vs, vBatch)))
+      assert(again.length == 2)
+      assert(vs.txLog().where($"kind" === "commit").count() == 1,
+        s"crashAt=$crashAt: replay double-journaled")
+    }
+  }
+
+  test("recovery from a cold process: marker alone reconstructs the " +
+      "stores and finalizes (no in-memory handles)") {
+    val (cs, vs, coord) = fixture()
+    intercept[RuntimeException](CrossStoreTx.executeInternal(spark, coord,
+      "b-0", Seq(CandleUpsert(cs, candleBatch), VersionedCommit(vs, vBatch)),
+      crashAfter = 2))
+    // fresh store objects, as a restarted driver would build them
+    assert(CrossStoreTx.recover(spark, coord) == 1)
+    val cs2 = CandleStore(spark, cs.path)
+    val vs2 = VersionedCandleStore(spark, vs.path)
+    assert(visible(cs2, vs2) == ((2L, 2L)))
+  }
+
+  test("guards: duplicate store, empty ops, bad name, concurrent same-name " +
+      "marker race") {
+    val (cs, vs, coord) = fixture()
+    intercept[IllegalArgumentException](CrossStoreTx.execute(spark, coord,
+      "x", Seq(CandleUpsert(cs, candleBatch), CandleUpsert(cs, candleBatch))))
+    intercept[IllegalArgumentException](
+      CrossStoreTx.execute(spark, coord, "x", Seq.empty))
+    intercept[IllegalArgumentException](CrossStoreTx.execute(spark, coord,
+      "bad name!", Seq(CandleUpsert(cs, candleBatch))))
+    // a live same-name marker (simulating a concurrent coordinator that
+    // already published): execute treats it as committed — roll forward,
+    // no duplicate
+    CrossStoreTx.execute(spark, coord, "y", Seq(VersionedCommit(vs, vBatch)))
+    val again = CrossStoreTx.execute(spark, coord, "y",
+      Seq(VersionedCommit(vs, vBatch)))
+    assert(again.length == 1 && vs.scan().count() == 2)
+  }
+}
