@@ -18,6 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // AS-OF join plan node lowering (graft.plans.AsOfJoinPlan).
     ext.injectResolutionRule(session => graft.plans.ResolveAsOfJoin(session))
+    // SQL MERGE INTO for graft-vstore targets, lowered to the journaled
+    // one-tx upsert (graft.plans.VStoreMerge) — fires inside the main
+    // resolution fixed point, before Spark's row-level rewrite would
+    // reject the table.
+    ext.injectResolutionRule(session => graft.plans.ResolveVStoreMerge(session))
   }
 }
 

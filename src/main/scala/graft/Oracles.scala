@@ -1104,6 +1104,14 @@ object Oracles {
              ORDER BY ${pHash("doc_id::VARCHAR || '|cap'")} % 10000, doc_id) AS rn
          FROM documents)
          SELECT doc_id, source FROM r WHERE rn <= 20""",
+    // qA1: SQL MERGE (SET * / INSERT *) of batch B over committed batch
+    // A == the q40 two-batch last-wins end state, read off the
+    // versioned store's latest fold.
+    "qA1_vstore_merge_sql" ->
+      s"""$storeEndState
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume
+         FROM r WHERE rn = 1""",
     // qA0: the cross-store tx that crashed after its marker is rolled
     // forward onto BOTH stores (candle side = slice %3=1, vstore side =
     // slice %3=2); the tx that crashed before its marker (slice %3=0)

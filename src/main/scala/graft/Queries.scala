@@ -661,6 +661,41 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
+  private val mergeStoreCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build (once per sfDir) a versioned store whose SECOND batch lands
+    * through SQL `MERGE INTO` (graft.plans.VStoreMerge lowering, via
+    * the vstore catalog) instead of the Scala `commit()`: first the
+    * `%3<>0` event-candle slice commits normally, then the `%3=0`
+    * slice merges with `SET * / INSERT *` — the end state must equal
+    * q40's two-batch upsert oracle exactly.
+    */
+  private def mergeStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
+    val path = mergeStoreCache.getOrElseUpdate(d, {
+      val base = Files.createTempDirectory("graft-qmerge").toString
+      val p = s"$base/v"
+      val ev = T.events(s, d)
+      val st = graft.store.VersionedCandleStore(s, p)
+      st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      // catalog name derived from the dataset dir (CatalogManager caches
+      // instances per session by name — see q9V)
+      val cat = "gvm" + (d.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      eventCandles(ev.where(col("event_id") % 3 === 0))
+        .withColumn("year", year(col("ts")))
+        .createOrReplaceTempView("graft_merge_src")
+      s.sql(
+        s"""MERGE INTO $cat.v t USING graft_merge_src s
+           ON t.market = s.market AND t.code = s.code
+              AND t.candle_length = s.candle_length AND t.ts = s.ts
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+      p
+    })
+    graft.store.VersionedCandleStore(s, path)
+  }
+
   private val xstoreCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   /** Build (once per sfDir) the CROSS-STORE atomic-commit fixture
@@ -1028,6 +1063,17 @@ object Queries {
     // must be invisible.
     "q7E_store_asof" -> ((s, d) => {
       versionedStore(s, d).scanAsOf(2L)
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // SQL MERGE INTO the versioned store (round 11): the second batch
+    // lands through the MERGE lowering instead of Scala commit() — the
+    // end state must equal q40's two-batch last-wins oracle, and the
+    // merge is ONE journaled tx (as-of history intact).
+    "qA1_vstore_merge_sql" -> ((s, d) => {
+      mergeStore(s, d).scan()
         .select(col("code"), col("ts"),
           Portable.round(col("open"), 4).as("open"),
           Portable.round(col("close"), 4).as("close"),

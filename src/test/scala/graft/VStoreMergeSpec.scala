@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.AnalysisException
+
+import graft.model.Candle
+import graft.store.VersionedCandleStore
+
+/** SQL `MERGE INTO` over graft-vstore catalog tables, lowered to the
+  * journaled one-tx upsert (graft.plans.VStoreMerge): the SQL-only
+  * user's keyed-update surface. Semantics gates mirror the Scala
+  * `commit()` differential; refusal gates keep the append-only model
+  * loud (no DELETE, no partial-row update, OVERWRITE still refused).
+  */
+class VStoreMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c(code: String, t: String, o: Double): Candle =
+    Candle("UPBIT", code, 60, ts(t), o, o + 1, o - 1, o + 0.5, 10.0, 0L)
+
+  private lazy val base: String = {
+    val b = tmpDir("vstore-merge")
+    spark.conf.set("spark.sql.catalog.vm", classOf[graft.sources.VStoreCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vm.base", b)
+    b
+  }
+
+  private def opens(df: org.apache.spark.sql.DataFrame): Map[(String, Timestamp), Double] =
+    df.select("code", "ts", "open").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+
+  test("MERGE SET * / INSERT * == the Scala upsert commit: one journaled " +
+      "tx, matched keys updated, new keys inserted") {
+    val st = VersionedCandleStore(spark, s"$base/m/up")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("BTC", "2022-01-01 10:01:00", 2)).toDF())
+    Seq(c("BTC", "2022-01-01 10:01:00", 20), // update
+      c("ETH", "2021-06-01 00:00:00", 5))    // insert
+      .toDF().withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_up")
+    spark.sql(
+      """MERGE INTO vm.m.up t USING src_up s
+         ON t.market = s.market AND t.code = s.code
+            AND t.candle_length = s.candle_length AND t.ts = s.ts
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(opens(st.scan()) == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> 1.0,
+      ("BTC", ts("2022-01-01 10:01:00")) -> 20.0,
+      ("ETH", ts("2021-06-01 00:00:00")) -> 5.0))
+    // ONE tx for the whole merge; history is preserved (as-of tx 1)
+    assert(st.txLog().where($"kind" === "commit").count() == 2)
+    assert(opens(st.scanAsOf(1L)) == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> 1.0,
+      ("BTC", ts("2022-01-01 10:01:00")) -> 2.0))
+  }
+
+  test("UPDATE-only merge touches matched keys ONLY; INSERT-only merge " +
+      "adds new keys ONLY") {
+    val st = VersionedCandleStore(spark, s"$base/m/half")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    Seq(c("BTC", "2022-01-01 10:00:00", 9), c("ETH", "2022-01-01 10:00:00", 7))
+      .toDF().withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_half")
+    val on =
+      """ON t.market = s.market AND t.code = s.code
+         AND t.candle_length = s.candle_length AND t.ts = s.ts"""
+    spark.sql(s"""MERGE INTO vm.m.half t USING src_half s $on
+         WHEN MATCHED THEN UPDATE SET *""")
+    assert(opens(st.scan()) == Map(("BTC", ts("2022-01-01 10:00:00")) -> 9.0),
+      "update-only merge must not insert the unmatched ETH row")
+    spark.sql(s"""MERGE INTO vm.m.half t USING src_half s $on
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(opens(st.scan()) == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> 9.0, // NOT re-updated to src's 9 twice
+      ("ETH", ts("2022-01-01 10:00:00")) -> 7.0))
+    assert(st.txLog().where($"kind" === "commit").count() == 3)
+  }
+
+  test("explicit column assignments lower too, with casts to the table " +
+      "schema; expressions over the source allowed") {
+    val st = VersionedCandleStore(spark, s"$base/m/expr")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    Seq(c("BTC", "2022-01-01 10:00:00", 3)).toDF()
+      .withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_expr")
+    spark.sql(
+      """MERGE INTO vm.m.expr t USING src_expr s
+         ON t.market = s.market AND t.code = s.code
+            AND t.candle_length = s.candle_length AND t.ts = s.ts
+         WHEN MATCHED THEN UPDATE SET
+           market = s.market, code = s.code, candle_length = s.candle_length,
+           ts = s.ts, year = s.year, open = s.open * 10, high = s.high, low = s.low,
+           close = s.close, volume = s.volume + 1, bit_fields = s.bit_fields""")
+    val row = st.scan().select("open", "volume").head()
+    assert(row.getDouble(0) == 30.0 && row.getDouble(1) == 11.0)
+  }
+
+  test("refusals are loud: DELETE, partial SET, non-key ON, target-column " +
+      "values, time-travel target; INSERT OVERWRITE still refused") {
+    val st = VersionedCandleStore(spark, s"$base/m/no")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    Seq(c("BTC", "2022-01-01 10:00:00", 2)).toDF()
+      .withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_no")
+    val on =
+      """ON t.market = s.market AND t.code = s.code
+         AND t.candle_length = s.candle_length AND t.ts = s.ts"""
+    def refused(sql: String, needle: String): Unit = {
+      val e = intercept[AnalysisException](spark.sql(sql))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    refused(s"MERGE INTO vm.m.no t USING src_no s $on WHEN MATCHED THEN DELETE",
+      "DELETE is not supported")
+    refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
+      "WHEN MATCHED THEN UPDATE SET open = s.open",
+      "every table column")
+    refused("MERGE INTO vm.m.no t USING src_no s ON t.code = s.code " +
+      "WHEN MATCHED THEN UPDATE SET *",
+      "fold key")
+    refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
+      "WHEN MATCHED THEN UPDATE SET market = s.market, code = s.code, " +
+      "candle_length = s.candle_length, ts = s.ts, year = s.year, open = t.open + s.open, " +
+      "high = s.high, low = s.low, close = s.close, volume = s.volume, " +
+      "bit_fields = s.bit_fields",
+      "source-only")
+    // a time-travel MERGE target doesn't even parse (the rule's
+    // read-only-lens guard is defense in depth behind this)
+    intercept[Exception](spark.sql(
+      s"MERGE INTO vm.m.no VERSION AS OF 1 t USING src_no s $on " +
+        "WHEN MATCHED THEN UPDATE SET *"))
+    // the append-only INSERT surface is unchanged: OVERWRITE refused
+    intercept[Exception](spark.sql(
+      "INSERT OVERWRITE vm.m.no SELECT * FROM src_no"))
+    assert(opens(st.scan()) == Map(("BTC", ts("2022-01-01 10:00:00")) -> 1.0),
+      "a refused merge must not have committed anything")
+    assert(st.txLog().where($"kind" === "commit").count() == 1)
+  }
+}
