@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** 10× corpus scale probe (`ScaleProbe [sfDir] [factor] [q,names]`):
+  * synthesizes a `factor`× (default 10×) corpus from the real sf0.1
+  * tables — sf≈1, far past oracle scale — runs the most expensive
+  * corpus queries at BOTH scales through the exact `SparkEntry.queries`
+  * entries the driver times, and reports each query's scaling exponent
+  * `log(t_big / t_small) / log(factor)` (1.0 = linear; ≳1.3 flagged
+  * SUPERLINEAR). Results land in BASELINE.md.
+  *
+  * Scaling model (deterministic, no RNG):
+  *  - `documents`: `factor` copies, `doc_id += k · (maxId+1)`; copy
+  *    k > 0 rewrites ~half the words (hash-gated per (word, k)), so
+  *    cross-copy MinHash similarity drops below the dedup thresholds —
+  *    each copy contributes its OWN near-dup families instead of
+  *    collapsing into degenerate factor-sized cliques, which is the
+  *    realistic "bigger corpus" regime for LSH/CC/curation pipelines;
+  *  - `embeddings`: `factor` copies, `vec_id += k · (maxId+1)`, copy
+  *    k > 0 perturbed per-dimension by a small hash-derived delta —
+  *    cluster structure preserved (IVF cells stay balanced), vectors
+  *    distinct.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).flatMap(_.toIntOption).getOrElse(10)
+    val names = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(
+      "q52_minhash_pairs", "q69_dup_clusters", "q87_curation_pipeline",
+      "q8D_dedup_keep_best", "q8M_leakfree_split", "q8O_curation_v2",
+      "q9M_stream_ivf_index", "q9X_drift_refresh", "q9Y_embed_dedup",
+      "q9Z_pq_stream_index"))
+    val spark = GraftSession.builder(appName = "graft-scaleprobe").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val bigDir = java.nio.file.Files.createTempDirectory("graft-sf1").toString
+    val t0 = System.nanoTime()
+    synthesize(spark, sfDir, bigDir, factor)
+    println(f"[scaleprobe] synthesized ${factor}x corpus under $bigDir " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.0f s")
+    for (t <- Seq("documents", "embeddings")) {
+      val n = spark.read.parquet(s"$bigDir/$t.parquet").count()
+      println(s"[scaleprobe] $t rows=$n")
+    }
+
+    def time(name: String, dir: String): Double = {
+      val a = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - a) / 1e9
+    }
+    var worst = List.empty[(String, Double)]
+    names.foreach { q =>
+      val small = time(q, sfDir)
+      val big = time(q, bigDir)
+      val exp = math.log(big / small) / math.log(factor.toDouble)
+      val flag = if (exp > 1.3) "SUPERLINEAR" else if (exp > 1.1) "warm" else "ok"
+      println(f"[scaleprobe] $q%-24s small=${small}%7.2f s big=${big}%8.2f s " +
+        f"exponent=${exp}%5.2f  $flag")
+      if (exp > 1.3) worst ::= (q, exp)
+    }
+    if (worst.nonEmpty)
+      println(s"[scaleprobe] SUPERLINEAR: ${worst.map(_._1).mkString(", ")}")
+    spark.stop()
+  }
+
+  private[tools] def synthesize(spark: SparkSession, sfDir: String,
+                                outDir: String, factor: Int): Unit = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val copies = (0 until factor).map { k =>
+      if (k == 0) docs
+      else {
+        // rewrite ~half the words per copy: word w survives iff
+        // hash(w, k) is even, else becomes a copy-local token — keeps
+        // doc length/shape, breaks most cross-copy shingle overlap
+        val rewritten = array_join(
+          transform(split(col("text"), "\\s+"), w =>
+            when(pmod(hash(w, lit(k)), lit(2)) === 0, w)
+              .otherwise(concat(w, lit(s"x$k")))), " ")
+        docs.withColumn("doc_id", col("doc_id") + lit(k * maxDoc))
+          .withColumn("text", rewritten)
+      }
+    }
+    copies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val embs = graft.Tables.embeddings(spark, sfDir)
+    val maxVec = embs.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val vcopies = (0 until factor).map { k =>
+      if (k == 0) embs
+      else embs.withColumn("vec_id", col("vec_id") + lit(k * maxVec))
+        .withColumn("embedding",
+          transform(col("embedding"), (v, i) =>
+            (v + (pmod(hash(col("vec_id"), i, lit(k)), lit(1000)).cast("float")
+              - lit(500f)) / lit(50000f)).cast("float")))
+    }
+    vcopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+}

@@ -30,6 +30,9 @@ object StoreBench {
     if (args.contains("journal")) {
       journalSoak(num.map(_.toInt).getOrElse(600)); return
     }
+    if (args.contains("vstream")) {
+      vstreamSoak(num.map(_.toInt).getOrElse(500)); return
+    }
     if (args.contains("cc")) { ccSoak(num.getOrElse(10000000L)); return }
     if (args.contains("fanout")) { fanoutSoak(num.getOrElse(2000000L)); return }
     val spark = GraftSession.builder(appName = "graft-storebench").getOrCreate()
@@ -129,22 +132,50 @@ object StoreBench {
       (rand(42) * 100).as("open"), (rand(43) * 100 + 100).as("high"),
       (rand(44) * 50).as("low"), (rand(45) * 100).as("close"),
       (rand(46) * 10).as("volume"), lit(0L).as("bit_fields"))
+    // compact on a FIXED interval (production's posture — the window is
+    // a constant, not a fraction of history): each compact raises the
+    // squash floor, so the following rollup FOLDS everything below it
+    // into run rows — the summarization path is what keeps a 10k-commit
+    // journal O(runs + window) instead of O(commits)
+    val compactEveryN = 500
     for ((label, every) <- Seq(("rollup-100", 100), ("no-rollup", Int.MaxValue))) {
       val dir = java.nio.file.Files.createTempDirectory("graft-journalbench")
         .toString + "/v"
       val st = new graft.store.VersionedCandleStore(spark, dir, checkpointEvery = every)
       st.commit(seed(1000))
+      val tail = st.newJournalView()
+      tail.poll() // seed the incremental tail
+      var tailNew = 0L
       var tx = st.latestTxId
+      // per-quintile drive wall: flat segments == per-commit cost does
+      // not grow with journal age (the soak's main gate)
+      val segWalls = scala.collection.mutable.ArrayBuffer[Double]()
+      val segSize = math.max(commits / 5, 1)
+      var segT0 = System.nanoTime()
       val t0 = System.nanoTime()
       while (tx < commits) {
         tx += 1
         st.writeJournalRow(tx, 0L,
           new java.sql.Timestamp(1700000000000L), "commit", None)
         if (every != Int.MaxValue && tx % every == 0) { st.checkpointJournal(); () }
+        if (every != Int.MaxValue && tx % compactEveryN == 0) { st.compact(); tx = st.latestTxId }
+        if (tx % 500 == 0)
+          // incremental tail absorbs growth as RANGES: O(runs), never
+          // one boxed append per covered id
+          tailNew += tail.poll().map { case (lo, hi) => hi - lo + 1 }.sum
+        if ((tx - (tx / segSize) * segSize) == 0 && segWalls.length < 5) {
+          segWalls += (System.nanoTime() - segT0) / 1e9
+          segT0 = System.nanoTime()
+        }
       }
+      // close the window: one final rollup folds everything below the
+      // last squash floor (the steady-state shape a maintenance cycle
+      // leaves behind)
+      if (every != Int.MaxValue) { st.checkpointJournal(); () }
       val driveSec = (System.nanoTime() - t0) / 1e9
       val files = new java.io.File(dir + "/txlog").listFiles()
         .count(f => !f.getName.startsWith("."))
+      val logRows = st.txLog().count()
       def med(reps: Int)(f: => Unit): Double = {
         val xs = (1 to reps).map { _ =>
           val a = System.nanoTime(); f; (System.nanoTime() - a) / 1e9
@@ -154,9 +185,93 @@ object StoreBench {
       val readSec = med(5) { st.latestTxId; () }
       val scanSec = med(3) { st.scan().count(); () }
       println(f"[journalbench] $label%-10s commits=$commits txlog_files=$files " +
-        f"drive=${driveSec}%.1f s latestTxId=${readSec * 1000}%.0f ms scan=${scanSec}%.2f s")
+        f"journal_rows=$logRows drive=${driveSec}%.1f s " +
+        f"latestTxId=${readSec * 1000}%.0f ms scan=${scanSec}%.2f s")
+      println(f"[journalbench] $label%-10s segment walls (s): " +
+        segWalls.map(w => f"$w%.1f").mkString(" "))
+      if (every != Int.MaxValue) {
+        val flat = segWalls.length >= 2 && segWalls.last <= segWalls.head * 2 + 1.0
+        // window (≤ compactEveryN per-commit rows above the last floor,
+        // folded by the closing rollup) + 2 rows per compact cycle
+        // (run + compact) + slack
+        val bounded = logRows <= compactEveryN + 2L * (commits / compactEveryN) + 20
+        println(s"[journalbench] flat-per-commit=${if (flat) "OK" else "FAIL"} " +
+          s"rows-O(runs+window)=${if (bounded) "OK" else "FAIL"} " +
+          s"tail_ids=$tailNew (expected ${commits - 1})")
+        if (!flat || !bounded) { spark.stop(); sys.exit(1) }
+      }
     }
     spark.stop()
+  }
+
+  /** Versioned streaming soak (`StoreBench vstream [nBatches]`, default
+    * 500): a REAL Structured Streaming query commits one journaled tx
+    * per micro-batch through `Ingest.versionedCommitWriter` (MemoryStream
+    * + processAllAvailable per feed = one batch each), with the store's
+    * auto-rollup keeping the journal O(interval). Gates: per-batch wall
+    * flat across the horizon (tail-20 mean vs batches [10,30) within
+    * 2.5×), journal rows bounded, one commit row per non-empty batch
+    * (exactly-once), and the change-feed tail replays the whole history
+    * exactly.
+    */
+  private def vstreamSoak(nBatches: Int): Unit = {
+    val spark = GraftSession.builder(appName = "graft-vstreambench").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-vstream").toString
+    val st = new graft.store.VersionedCandleStore(spark, s"$base/v",
+      checkpointEvery = 100)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("k", "v").select(
+      lit("UPBIT").as("market"), lit("SYM0").as("code"),
+      lit(60).as("candle_length"),
+      timestamp_seconds(lit(1609459200L) + col("k") * 60).as("ts"),
+      col("v").as("open"), (col("v") + 1).as("high"), (col("v") - 1).as("low"),
+      col("v").as("close"), lit(10.0).as("volume"), lit(0L).as("bit_fields"))
+    val q = graft.streaming.Ingest.versionedCommitWriter(stream, st, s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val walls = new Array[Double](nBatches)
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < nBatches) {
+      val rows = (0 until 50).map(j => ((i * 50 + j).toLong, i * 1.0 + j))
+      val a = System.nanoTime()
+      mem.addData(rows)
+      q.processAllAvailable()
+      walls(i) = (System.nanoTime() - a) / 1e9
+      i += 1
+      if (i % 50 == 0)
+        println(f"[vstream] batch $i/$nBatches wall=${walls(i - 1)}%.2f s " +
+          f"elapsed=${(System.nanoTime() - t0) / 1e9}%.0f s")
+    }
+    q.stop()
+    val commits = st.txLog().where(col("kind") === "commit").count() +
+      st.txLog().where(col("kind") === "commits")
+        .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+    val logRows = st.txLog().count()
+    val scanned = st.scan().count()
+    // the change-feed tail replays every committed row exactly once
+    val tailed = spark.readStream.format("graft-vstore").load(st.path)
+    val tailQ = tailed.writeStream.format("memory").queryName("vstream_tail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/tailckpt").start()
+    tailQ.awaitTermination()
+    val tailRows = spark.table("vstream_tail").count()
+    val w0 = walls.slice(10, 30); val w1 = walls.takeRight(20)
+    val flat = w1.sum / w1.length <= 2.5 * (w0.sum / w0.length)
+    def ok(b: Boolean) = if (b) "OK" else "FAIL"
+    println(f"[vstream] batches=$nBatches commits=$commits journal_rows=$logRows " +
+      f"rows=$scanned tail_rows=$tailRows total=${(System.nanoTime() - t0) / 1e9}%.0f s")
+    println(f"[vstream] early-window=${w0.sum / w0.length}%.2f s " +
+      f"tail-window=${w1.sum / w1.length}%.2f s flat=${ok(flat)} " +
+      s"exactly-once=${ok(commits == nBatches)} " +
+      s"journal-bounded=${ok(logRows <= 220)} " +
+      s"tail-exact=${ok(tailRows == scanned)}")
+    spark.stop()
+    if (!flat || commits != nBatches || logRows > 220 || tailRows != scanned)
+      sys.exit(1)
   }
 
   /** Connected-components soak (`StoreBench cc [nEdges]`): a graph far
