@@ -53,15 +53,23 @@ object ScaleProbe {
       df.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - a) / 1e9
     }
+    // JIT/codegen warm-up: the first query in a fresh JVM pays
+    // compilation that would otherwise masquerade as "small is slow"
+    time(names.head, sfDir)
     var worst = List.empty[(String, Double)]
     names.foreach { q =>
-      val small = time(q, sfDir)
-      val big = time(q, bigDir)
-      val exp = math.log(big / small) / math.log(factor.toDouble)
-      val flag = if (exp > 1.3) "SUPERLINEAR" else if (exp > 1.1) "warm" else "ok"
-      println(f"[scaleprobe] $q%-24s small=${small}%7.2f s big=${big}%8.2f s " +
-        f"exponent=${exp}%5.2f  $flag")
-      if (exp > 1.3) worst ::= (q, exp)
+      // cold = fixture build + query (per dir, the operator end to end);
+      // warm = repeat on the built state (the steady-state query path —
+      // the number that must scale sublinearly for the 100 TB posture)
+      val smallCold = time(q, sfDir); val smallWarm = time(q, sfDir)
+      val bigCold = time(q, bigDir); val bigWarm = time(q, bigDir)
+      def exp(b: Double, s: Double) = math.log(b / s) / math.log(factor.toDouble)
+      val (ec, ew) = (exp(bigCold, smallCold), exp(bigWarm, smallWarm))
+      val flag = if (ew > 1.3) "SUPERLINEAR" else if (ew > 1.1) "watch" else "ok"
+      println(f"[scaleprobe] $q%-24s cold ${smallCold}%6.2f->${bigCold}%7.2f s " +
+        f"(exp ${ec}%5.2f)  warm ${smallWarm}%6.2f->${bigWarm}%7.2f s " +
+        f"(exp ${ew}%5.2f)  $flag")
+      if (ew > 1.3) worst ::= (q, ew)
     }
     if (worst.nonEmpty)
       println(s"[scaleprobe] SUPERLINEAR: ${worst.map(_._1).mkString(", ")}")
