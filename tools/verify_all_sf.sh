@@ -18,14 +18,25 @@ cd "$(dirname "$0")/.."
 # Verify run fails partway.
 rm -rf "$OUT"
 
-# 2>&1: Verify reports per-query failures on STDERR ("[verify] <name>
-# failed"); discarding stderr would silence exactly those diagnostics.
-# pipefail + explicit status check: grep must not swallow sbt failures.
-sbt -batch "runMain graft.Verify --all-sf $ROOT $OUT" 2>&1 | grep '\[verify\]'
-if [ $? -ne 0 ]; then
-  echo "== verify run FAILED (sbt exit or no [verify] output) ==" >&2
+# Verify reports per-query failures on STDERR ("[verify] <name>
+# failed"); keep the full sbt log aside and surface exactly those
+# lines. A clean run has ZERO [verify] lines — so gate on sbt's OWN
+# exit code and on every SF's dump landing, never on grep finding
+# matches (grep exits 1 on a fully-clean log).
+mkdir -p "$OUT"
+sbt -batch "runMain graft.Verify --all-sf $ROOT $OUT" > "$OUT/sbt.log" 2>&1
+rc=$?
+grep '\[verify\]' "$OUT/sbt.log" || true
+if [ $rc -ne 0 ]; then
+  echo "== verify run FAILED (sbt exit $rc; see $OUT/sbt.log) ==" >&2
   exit 2
 fi
+for sf in "$ROOT"/sf*/; do
+  if [ ! -f "$OUT/$(basename "$sf")/oracle_sql.json" ]; then
+    echo "== verify run FAILED (no dump for $(basename "$sf")) ==" >&2
+    exit 2
+  fi
+done
 
 fail=0
 total_ok=0
