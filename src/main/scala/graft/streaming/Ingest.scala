@@ -102,6 +102,44 @@ object Ingest {
     upsertWriter(stream, store, checkpointDir, transform, lateHorizonSec)
       .trigger(trigger).start()
 
+  /** Micro-batch ingest into SEVERAL stores as ONE atomic cross-store
+    * transaction per micro-batch — the streaming shape of the
+    * reference's multi-command tx (`database/database.go:27-51`,
+    * `Execute` commits a command list under one WAL tx). Each batch
+    * runs [[graft.store.CrossStoreTx.execute]] with the tx name
+    * `"$namePrefix-$batchId"`, so a foreachBatch retry of an
+    * already-committed batch replays by name (exactly-once on EVERY
+    * store) and a crash between the stores rolls forward on restart:
+    * call [[graft.store.CrossStoreTx.recover]](coordDir) before
+    * restarting the query — or rely on the next batch's execute, which
+    * recovers first by contract.
+    *
+    * `ops` builds the per-batch op list from the transformed batch —
+    * e.g. a raw-tick append to a versioned store AND the candle
+    * aggregate upsert to a plain store, atomically visible together.
+    */
+  def crossStoreCommitWriter(stream: DataFrame, coordDir: String,
+                             namePrefix: String,
+                             ops: DataFrame => Seq[graft.store.CrossStoreTx.Op]): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$coordDir/_ckpt_$namePrefix")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // read once per op, not per plan
+          graft.store.CrossStoreTx.execute(batch.sparkSession, coordDir,
+            s"$namePrefix-$batchId", ops(b))
+          ()
+        }
+      }
+
+  def startCrossStoreIngest(stream: DataFrame, coordDir: String,
+                            namePrefix: String,
+                            ops: DataFrame => Seq[graft.store.CrossStoreTx.Op],
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    crossStoreCommitWriter(stream, coordDir, namePrefix, ops)
+      .trigger(trigger).start()
+
   /** Micro-batch ingest into a [[graft.store.VersionedCandleStore]]:
     * each micro-batch becomes ONE journaled transaction, so streaming
     * ingest produces time-travelable history — the reference's WAL *is*

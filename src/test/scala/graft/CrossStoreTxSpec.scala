@@ -116,6 +116,36 @@ class CrossStoreTxSpec extends SparkSpec {
     assert(visible(cs2, vs2) == ((2L, 2L)))
   }
 
+  test("streaming: one atomic two-store tx per micro-batch; a replayed " +
+      "batch is exactly-once on BOTH stores") {
+    val (cs, vs, coord) = fixture()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Double)]
+    import org.apache.spark.sql.functions._
+    val rows = mem.toDF().toDF("code", "t", "o").select(
+      lit("UPBIT").as("market"), col("code"),
+      lit(60).as("candle_length"), col("t").cast("timestamp").as("ts"),
+      col("o").as("open"), (col("o") + 1).as("high"), (col("o") - 1).as("low"),
+      col("o").as("close"), lit(10.0).as("volume"), lit(0L).as("bit_fields"))
+    val q = graft.streaming.Ingest.crossStoreCommitWriter(rows, coord, "ing",
+      b => Seq(CandleUpsert(cs, b), VersionedCommit(vs, b)))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    mem.addData(("BTC", "2022-01-01 10:00:00", 1.0))
+    q.processAllAvailable()
+    mem.addData(("ETH", "2022-01-01 10:00:00", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(visible(cs, vs) == ((2L, 2L)))
+    assert(vs.txLog().where($"kind" === "commit").count() == 2)
+    // a foreachBatch retry of batch 1 replays by NAME: no new tx, no
+    // duplicate upsert, on either store
+    CrossStoreTx.execute(spark, coord, "ing-1",
+      Seq(CandleUpsert(cs, rows.sparkSession.emptyDataFrame),
+        VersionedCommit(vs, rows.sparkSession.emptyDataFrame)))
+    assert(visible(cs, vs) == ((2L, 2L)))
+    assert(vs.txLog().where($"kind" === "commit").count() == 2)
+  }
+
   test("guards: duplicate store, empty ops, bad name, concurrent same-name " +
       "marker race") {
     val (cs, vs, coord) = fixture()

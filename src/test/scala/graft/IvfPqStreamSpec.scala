@@ -173,6 +173,58 @@ class IvfPqStreamSpec extends SparkSpec {
       "cell_id partition filter not pushed to the codes-state scan")
   }
 
+  test("mixed-layout compaction: a LEGACY flat per-batch dir (cell_id a " +
+      "long data column) and partitioned cell_id=N/ dirs compact into one " +
+      "identical partitioned generation") {
+    val stateDir = tmpDir("ivf-mixed")
+    // batch 0 via the normal path (trains + freezes the centroids) …
+    Ingest.ivfIndexBatch(batchDf(0L until 80L), 0L, stateDir,
+      "vec_id", "embedding", nCells = 4, iters = 4)
+    // … then rewritten to the PRE-round-10 FLAT layout: one unpartitioned
+    // parquet dir whose cell_id is a LONG data column
+    val legacy = Ingest.readCellState(spark, Seq(s"$stateDir/cells/batch_0"))
+      .select(col("cell_id"), col("id"), col("vec")).collect()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/cells/batch_0"), true)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(legacy.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+      .coalesce(1).write.parquet(s"$stateDir/cells/batch_0")
+    assert(!new java.io.File(s"$stateDir/cells/batch_0").listFiles()
+      .exists(_.getName.startsWith("cell_id=")), "fixture must be FLAT")
+    // batch 1 lands partitioned — the state is now mixed-layout
+    Ingest.ivfIndexBatch(batchDf(80L until 160L), 1L, stateDir,
+      "vec_id", "embedding", nCells = 4, iters = 4)
+    def census(): Set[(Long, Long)] =
+      Ingest.ivfCellState(spark, stateDir)
+        .select(col("cell_id"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = census()
+    assert(before.size == 160, s"${before.size}")
+    Ingest.compactIvfIndexState(spark, stateDir, 2L)
+    assert(new java.io.File(s"$stateDir/cells/compact_upto_2").listFiles()
+      .exists(_.getName.startsWith("cell_id=")),
+      "compacted generation lost the cell_id=N/ layout")
+    assert(census() == before,
+      "mixed-layout compaction changed the (cell_id, id) census")
+    // probes over the compacted state still answer and still prune
+    val res = Ingest.ivfIndexTopK(spark, stateDir, batchDf(Seq(1000L)),
+      "vec_id", "embedding", k = 5, nProbe = 1)
+    assert(res.collect().length == 5)
+    val scans = fileScans(res.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("/cells/"))
+    assert(scans.nonEmpty && scans.forall(
+      _.metadata.getOrElse("PartitionFilters", "").contains("cell_id")))
+  }
+
   test("PQ state is an order-of-magnitude slimmer on disk than the raw-" +
       "vector state over the same 64-dim stream") {
     // 64-dim vectors (the testdata width): raw state carries 64 floats
