@@ -78,7 +78,7 @@ case class ResolveVStoreMerge(session: SparkSession) extends Rule[LogicalPlan]
     // ON: conjunction of target-key = source-expression covering exactly
     // the fold key — anything else cannot lower to the keyed upsert
     val expectedKeys = (graft.model.Candle.keyCols :+ "ts").toSet
-    val keyMap = splitConjunctivePredicates(m.mergeCondition).map {
+    val keyPairs = splitConjunctivePredicates(m.mergeCondition).map {
       case EqualTo(l: AttributeReference, r)
           if targetOut.contains(l) && r.references.subsetOf(sourceOut) =>
         l.name.toLowerCase -> r
@@ -87,7 +87,16 @@ case class ResolveVStoreMerge(session: SparkSession) extends Rule[LogicalPlan]
         r.name.toLowerCase -> l
       case other =>
         fail(s"ON must be target-key = source-expression equalities; got: ${other.sql}")
-    }.toMap
+    }
+    // a key column constrained twice would silently weaken the lowered
+    // match condition to whichever equality toMap kept — refuse
+    keyPairs.groupBy(_._1).collect { case (k, ps) if ps.length > 1 => k } match {
+      case dups if dups.nonEmpty =>
+        fail(s"ON constrains ${dups.mkString(", ")} more than once — one " +
+          "equality per fold-key column")
+      case _ => ()
+    }
+    val keyMap = keyPairs.toMap
     if (keyMap.keySet != expectedKeys)
       fail(s"ON must cover exactly the fold key ${expectedKeys.mkString(", ")}; " +
         s"got ${keyMap.keySet.mkString(", ")}")
@@ -108,6 +117,28 @@ case class ResolveVStoreMerge(session: SparkSession) extends Rule[LogicalPlan]
       if (byName.map(_._1).toSet != tableCols || byName.length != tableCols.size)
         fail(s"$kind must assign every table column exactly once " +
           s"(SET * / INSERT * qualify); got ${byName.map(_._1).mkString(", ")}")
+      // KEY-PRESERVATION: each fold-key assignment must be the ON
+      // condition's source expression for that key (modulo the benign
+      // AssertNotNull/Cast/Alias wrappers star expansion adds). True
+      // MERGE may rewrite a key (replacing the matched row at a NEW
+      // key); the keyed-upsert lowering would instead commit at the new
+      // key and LEAVE the matched row in place — silently wrong, so any
+      // key rewrite is refused (`SET * / INSERT *` with a plain
+      // key-equality ON satisfies this trivially).
+      def strip(e: Expression): Expression = e match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => strip(a.child)
+        case n: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull => strip(n.child)
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => strip(c.child)
+        case other => other
+      }
+      byName.foreach { case (n, e) =>
+        keyMap.get(n).foreach { onExpr =>
+          if (strip(e).canonicalized != strip(onExpr).canonicalized)
+            fail(s"$kind rewrites fold-key column $n away from its ON " +
+              s"expression (${onExpr.sql} vs ${e.sql}) — a keyed upsert " +
+              "cannot replace the matched row at a different key")
+        }
+      }
       byName
     }
     val upd = m.matchedActions match {

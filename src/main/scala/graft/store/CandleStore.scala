@@ -233,6 +233,28 @@ final class CandleStore(spark: SparkSession, val path: String) {
 
   // ----- atomic multi-partition commit (one "WAL tx" per batch) -----
 
+  /** Filesystem + txlog handles for the cross-store coordinator
+    * ([[CrossStoreTx]]): the per-store tx lock and install verification
+    * live next to the intent log.
+    */
+  private[graft] def crossTxFs: org.apache.hadoop.fs.FileSystem = hadoopFs
+  private[graft] def crossTxLockPath: org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(txlogP, "_xtx.lock")
+
+  /** Move destinations of `intent` NOT present under the store root —
+    * empty iff the install (deletes+moves) completed. Used by
+    * [[CrossStoreTx]] to distinguish "already installed and cleaned"
+    * from "prepared data lost before roll-forward".
+    */
+  private[graft] def missingInstallTargets(intent: CommitIntent): Seq[String] = {
+    val fs = hadoopFs
+    intent.moves.collect {
+      case (_, destRel)
+          if !fs.exists(new org.apache.hadoop.fs.Path(rootP, destRel)) =>
+        destRel
+    }
+  }
+
   private def hadoopFs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def rootP = new org.apache.hadoop.fs.Path(path)

@@ -64,11 +64,49 @@ object CrossStoreTx {
     def abortOp(): Unit
     def txToken: String
   }
-  private final case class PreparedCandle(store: CandleStore, txid: String) extends Prepared {
-    def line: String = s"candle\t${store.path}\t$txid"
-    def finalizeOp(): Unit = store.finalizeStagedIntent(txid)
-    def abortOp(): Unit = store.abortStagedIntent(txid)
-    def txToken: String = txid
+  private final case class PreparedCandle(store: CandleStore,
+                                          intent: CommitIntent) extends Prepared {
+    def line: String = {
+      // the FULL intent rides in the marker: finalize can then verify a
+      // "neither tmp nor intent on disk" state really means "already
+      // installed" (every move destination present) instead of silently
+      // accepting prepared data that a mis-ordered vacuum() deleted
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        CommitIntent.encode(intent).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"candle\t${store.path}\t${intent.txid}\t$b64"
+    }
+    def finalizeOp(): Unit =
+      finalizeCandle(store, intent.txid, Some(intent))
+    def abortOp(): Unit = {
+      store.abortStagedIntent(intent.txid)
+      releaseStoreLock(store)
+    }
+    def txToken: String = intent.txid
+  }
+
+  /** Finalize a candle-store half and VERIFY it: publish + install if
+    * the intent is still on disk; if neither `.tmp` nor `.intent`
+    * exists, require every move destination present — prepared data
+    * deleted before roll-forward (a vacuum() run against the documented
+    * "recover first" ordering) fails LOUDLY instead of retiring the
+    * marker over a half-committed tx. Releases the store's cross-tx
+    * lock on success.
+    */
+  private def finalizeCandle(store: CandleStore, txid: String,
+                             intent: Option[CommitIntent]): Unit = {
+    store.finalizeStagedIntent(txid)
+    intent.foreach { i =>
+      val missing = store.missingInstallTargets(i)
+      if (missing.nonEmpty)
+        sys.error(s"cross-store tx $txid committed but ${missing.size} of " +
+          s"${i.moves.size} installed files are absent from ${store.path} " +
+          s"(e.g. ${missing.head}): its prepared data was deleted before " +
+          "roll-forward — run CrossStoreTx.recover BEFORE the store's " +
+          "vacuum(), always. (A store compaction between install and a " +
+          "delayed recovery also trips this check; verify the rows and " +
+          "retire the marker by hand if so.)")
+    }
+    releaseStoreLock(store)
   }
   private final case class PreparedVersioned(store: VersionedCandleStore, tx: Long,
                                              written: Long, committedAt: Option[Timestamp]) extends Prepared {
@@ -84,6 +122,60 @@ object CrossStoreTx {
   /** Crash seam marker thrown by the test-only crash points. */
   private[graft] final class SimulatedCrash(step: String)
     extends RuntimeException(s"simulated crash: $step")
+
+  /** Reclaim age for a crashed holder's per-store tx lock — far beyond
+    * any real prepare→finalize span, mirroring the stores' own vacuum
+    * posture.
+    */
+  private val staleLockMs = 24L * 3600 * 1000
+
+  /** Acquire the candle store's cross-tx lock for tx `name`. A
+    * CandleStore prepare snapshots the partition file sets it will
+    * delete on install; a SECOND cross-store tx committing on the same
+    * store between this tx's prepare and finalize would make that
+    * snapshot stale (duplicate live files after both installs) — so
+    * same-store interleaving fails LOUDLY here instead. The lock file
+    * records the holder's tx name: a retry of the SAME name reclaims
+    * its own crashed predecessor's lock immediately; a different name
+    * reclaims only past the stale age.
+    */
+  private def acquireStoreLock(store: CandleStore, name: String): Unit = {
+    val fs = store.crossTxFs
+    val lock = store.crossTxLockPath
+    fs.mkdirs(lock.getParent)
+    def tryTake(): Boolean =
+      try {
+        val os = fs.create(lock, false)
+        try os.write(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryTake()) return
+    val (holder, age) =
+      try {
+        val st = fs.getFileStatus(lock)
+        val in = fs.open(lock)
+        val text =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        (text, System.currentTimeMillis() - st.getModificationTime)
+      } catch { case _: java.io.FileNotFoundException => ("", Long.MaxValue) }
+    if (holder != name && age < staleLockMs)
+      throw new IllegalStateException(
+        s"cross-store tx '$holder' holds ${store.path}'s tx lock: one " +
+          "in-flight cross-store tx per store — finalize it " +
+          "(CrossStoreTx.recover) or wait; a crashed holder's lock " +
+          s"ages out after ${staleLockMs / 3600000} h")
+    fs.delete(lock, false)
+    if (!tryTake())
+      throw new IllegalStateException(
+        s"lost the race re-taking ${store.path}'s cross-tx lock")
+  }
+
+  private def releaseStoreLock(store: CandleStore): Unit = {
+    store.crossTxFs.delete(store.crossTxLockPath, false); ()
+  }
 
   private def fsFor(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -140,8 +232,11 @@ object CrossStoreTx {
     try
       ops.foreach {
         case CandleUpsert(st, b, ord) =>
-          prepared += PreparedCandle(st, st.prepareUpsert(b, ord).txid)
+          acquireStoreLock(st, name)
+          prepared += PreparedCandle(st, st.prepareUpsert(b, ord))
         case VersionedCommit(st, b, ord, at) =>
+          // no lock needed: concurrent versioned commits are tx-gated
+          // safe by the store's own design
           val (tx, written) = st.prepareDataCommit(b, ord)
           prepared += PreparedVersioned(st, tx, written, at)
       }
@@ -152,8 +247,12 @@ object CrossStoreTx {
     }
     if (crashAfter <= 1) throw new SimulatedCrash("prepared, marker unpublished")
 
-    // COMMIT POINT — create-exclusive tmp + atomic rename
+    // COMMIT POINT — create-exclusive tmp + atomic rename. Any existing
+    // tmp for this name is a crashed predecessor's PRE-commit leftover
+    // (single coordinator per name; recover() only consumes `.commit`),
+    // which would otherwise wedge the name forever — clear it.
     val tmp = markerOf(coordDir, name, "tmp")
+    fs.delete(tmp, false)
     val os = fs.create(tmp, false)
     try os.write((prepared.map(_.line).mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -202,7 +301,10 @@ object CrossStoreTx {
     def txTokenOfLine: String = fields.head
     def finalizeFrom(spark: SparkSession): Unit = kind match {
       case "candle" =>
-        CandleStore(spark, storePath).finalizeStagedIntent(fields.head)
+        val intent = fields.lift(1).map(b64 => CommitIntent.decode(
+          new String(java.util.Base64.getDecoder.decode(b64),
+            java.nio.charset.StandardCharsets.UTF_8)))
+        finalizeCandle(CandleStore(spark, storePath), fields.head, intent)
       case "vstore" =>
         val at = fields(2).toLong match {
           case -1L => None

@@ -53,9 +53,13 @@ object ScaleProbe {
       df.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - a) / 1e9
     }
-    // JIT/codegen warm-up: the first query in a fresh JVM pays
-    // compilation that would otherwise masquerade as "small is slow"
-    time(names.head, sfDir)
+    // JIT/codegen warm-up with a query OUTSIDE the probe set: warming
+    // with names.head would leave that query's small-scale "cold" run
+    // warm (fixture cached + JIT'd) while its big-scale cold still pays
+    // the fixture build — a systematically inflated cold exponent
+    val warmQ = graft.SparkEntry.queries.keys
+      .find(q => !names.contains(q)).getOrElse(names.head)
+    time(warmQ, sfDir)
     var worst = List.empty[(String, Double)]
     names.foreach { q =>
       // cold = fixture build + query (per dir, the operator end to end);

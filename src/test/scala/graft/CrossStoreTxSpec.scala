@@ -146,6 +146,55 @@ class CrossStoreTxSpec extends SparkSpec {
     assert(vs.txLog().where($"kind" === "commit").count() == 2)
   }
 
+  test("self-review holes closed: stale pre-commit tmp never wedges the " +
+      "name; same-store interleaving by a DIFFERENT tx name is refused; " +
+      "prepared data lost before roll-forward fails LOUDLY") {
+    // (1) stale tmp: crash between marker-tmp create and the rename —
+    // simulated by planting the tmp — must not block a retry forever
+    val (cs1, vs1, coord1) = fixture()
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(coord1), spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(coord1))
+    val tmp = new org.apache.hadoop.fs.Path(coord1, "b-0.tmp")
+    val os = f.create(tmp, false); os.write("garbage".getBytes); os.close()
+    val toks = CrossStoreTx.execute(spark, coord1, "b-0",
+      Seq(CandleUpsert(cs1, candleBatch), VersionedCommit(vs1, vBatch)))
+    assert(toks.length == 2 && visible(cs1, vs1) == ((2L, 2L)))
+    assert(!f.exists(tmp), "stale tmp not cleared by the committing retry")
+
+    // (2) same-store lock: tx 'x' crashed holding the candle store's
+    // lock; a DIFFERENT name must refuse loudly (its prepare snapshot
+    // would go stale), while a retry of 'x' itself reclaims
+    val (cs2, vs2, coord2) = fixture()
+    intercept[RuntimeException](CrossStoreTx.executeInternal(spark, coord2,
+      "x", Seq(CandleUpsert(cs2, candleBatch)), crashAfter = 1))
+    val e = intercept[IllegalStateException](CrossStoreTx.execute(spark,
+      coord2, "y", Seq(CandleUpsert(cs2, candleBatch))))
+    assert(e.getMessage.contains("holds"), e.getMessage)
+    CrossStoreTx.execute(spark, coord2, "x", Seq(CandleUpsert(cs2, candleBatch)))
+    assert(cs2.scan().count() == 2)
+    // lock released on finalize: 'y' now proceeds
+    CrossStoreTx.execute(spark, coord2, "y", Seq(VersionedCommit(vs2, vBatch)))
+
+    // (3) vacuum-before-recover: marker committed, then the prepared
+    // candle staging+tmp deleted (what a mis-ordered vacuum does) —
+    // recovery must FAIL loudly, never retire the marker half-committed
+    val (cs3, vs3, coord3) = fixture()
+    intercept[RuntimeException](CrossStoreTx.executeInternal(spark, coord3,
+      "b-0", Seq(CandleUpsert(cs3, candleBatch), VersionedCommit(vs3, vBatch)),
+      crashAfter = 2))
+    val f3 = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(cs3.path), spark.sparkContext.hadoopConfiguration)
+    f3.delete(new org.apache.hadoop.fs.Path(cs3.path, "_staging"), true)
+    f3.listStatus(new org.apache.hadoop.fs.Path(cs3.path, "_txlog"))
+      .map(_.getPath).filter(_.getName.endsWith(".tmp"))
+      .foreach(p => f3.delete(p, false))
+    val e3 = intercept[RuntimeException](CrossStoreTx.recover(spark, coord3))
+    assert(e3.getMessage.contains("deleted before"), e3.getMessage)
+    // the marker is STILL pending (not retired over a half commit)
+    assert(f.exists(new org.apache.hadoop.fs.Path(coord3, "b-0.commit")))
+  }
+
   test("guards: duplicate store, empty ops, bad name, concurrent same-name " +
       "marker race") {
     val (cs, vs, coord) = fixture()

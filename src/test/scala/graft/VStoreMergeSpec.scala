@@ -130,6 +130,26 @@ class VStoreMergeSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       s"MERGE INTO vm.m.no VERSION AS OF 1 t USING src_no s $on " +
         "WHEN MATCHED THEN UPDATE SET *"))
+    // fold-key REWRITE: true MERGE would replace the matched row at the
+    // new key; a keyed upsert can't — refuse, never silently keep both
+    refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
+      "WHEN MATCHED THEN UPDATE SET market = s.market, code = s.code, " +
+      "candle_length = s.candle_length, ts = s.ts + INTERVAL '1' MINUTE, " +
+      "year = s.year, open = s.open, high = s.high, low = s.low, " +
+      "close = s.close, volume = s.volume, bit_fields = s.bit_fields",
+      "rewrites fold-key")
+    // the same divergence through the ON side: SET * keys must equal
+    // the ON expressions, so a shifted ON is refused too
+    refused("MERGE INTO vm.m.no t USING src_no s " +
+      "ON t.market = s.market AND t.code = s.code " +
+      "AND t.candle_length = s.candle_length " +
+      "AND t.ts = s.ts + INTERVAL '1' MINUTE " +
+      "WHEN MATCHED THEN UPDATE SET *",
+      "rewrites fold-key")
+    // a key constrained twice would weaken the lowered match condition
+    refused(s"MERGE INTO vm.m.no t USING src_no s $on AND t.ts = s.ts " +
+      "WHEN MATCHED THEN UPDATE SET *",
+      "more than once")
     // the append-only INSERT surface is unchanged: OVERWRITE refused
     intercept[Exception](spark.sql(
       "INSERT OVERWRITE vm.m.no SELECT * FROM src_no"))
