@@ -45,6 +45,10 @@ import graft.model.Candle
 final class CandleStore(spark: SparkSession, val path: String) {
   import CandleStore._
 
+  // the commit-intent protocol leans on atomic rename + create-exclusive;
+  // refuse filesystems that cannot provide them (see AtomicFs)
+  AtomicFs.requireAtomicCommits(spark, path, "CandleStore")
+
   private def exists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -240,6 +244,17 @@ final class CandleStore(spark: SparkSession, val path: String) {
   private[graft] def crossTxFs: org.apache.hadoop.fs.FileSystem = hadoopFs
   private[graft] def crossTxLockPath: org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(txlogP, "_xtx.lock")
+
+  /** Record that `coordDir`'s [[CrossStoreTx]] coordinator drives
+    * commits into this store, so [[vacuum]] can refuse its sweep while
+    * that coordinator still has pending `.commit` markers referencing
+    * this store — a vacuum between a cross-store commit point and its
+    * roll-forward would delete COMMITTED (marker-published) staging as
+    * crash debris. Idempotent create-if-absent of a tiny record file
+    * under `_txlog/`; the set is O(#coordinators), ever.
+    */
+  private[graft] def recordCrossCoord(coordDir: String): Unit =
+    CrossStoreTx.recordCoordIn(hadoopFs, txlogP, coordDir)
 
   /** Move destinations of `intent` NOT present under the store root —
     * empty iff the install (deletes+moves) completed. Used by
@@ -511,6 +526,7 @@ final class CandleStore(spark: SparkSession, val path: String) {
     */
   def vacuum(minAgeMs: Long = 3600000L): Int = {
     val fs = hadoopFs
+    CrossStoreTx.requireNoPendingCrossTx(spark, fs, txlogP, path)
     val cutoff = System.currentTimeMillis - minAgeMs
     def newestMtime(root: org.apache.hadoop.fs.FileStatus): Long = {
       var newest = root.getModificationTime

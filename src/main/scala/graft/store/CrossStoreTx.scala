@@ -28,10 +28,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     Before it, nothing is visible anywhere; after it, the tx MUST
   *     roll forward everywhere.
   *  3. FINALIZE each op (publish+install the candle intent; journal the
-  *     versioned tx), then rename the marker to `<name>.done`. Every
-  *     finalize is idempotent, so [[recover]] re-drives a crashed
-  *     prefix to completion — a reader that opens either store after
-  *     recovery sees the whole tx or none of it, never half.
+  *     versioned tx), then retire the marker into
+  *     `<coordDir>/_done/<name>.done`. Every finalize is idempotent, so
+  *     [[recover]] re-drives a crashed prefix to completion — a reader
+  *     that opens either store after recovery sees the whole tx or none
+  *     of it, never half.
   *
   * `name` is the tx's idempotence key (the cross-store analog of the
   * streaming batch id): a re-run of `execute` with a name whose marker
@@ -39,11 +40,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * recorded tx ids WITHOUT re-executing — exactly-once per name, so a
   * foreachBatch driving two stores can use `s"ingest-$batchId"`.
   *
-  * Single-coordinator posture per name (the reference holds its
+  * Concurrent same-name coordinators (the reference holds its
   * database-exclusive lock for the same purpose,
-  * `database/concurrency/db.go`): two concurrent `execute` calls with
-  * one name race on the create-exclusive marker tmp — the loser fails
-  * loudly before publishing anything.
+  * `database/concurrency/db.go`) are decided at ONE atomic point: each
+  * attempt stages its marker under a unique `<name>.tmp-<uuid>` and the
+  * single `rename(tmp, <name>.commit)` picks the winner — a rename onto
+  * an existing destination fails, and the loser presumed-aborts its own
+  * prepared (invisible) ops and returns the winner's recorded tokens.
+  * A zombie that renames AFTER the winner already retired its marker is
+  * fenced by the terminal `.done` file: the done-existence check is
+  * re-run straddling the rename, and [[recover]] likewise refuses to
+  * roll forward a `.commit` whose `.done` already exists (it aborts the
+  * zombie's prepared ops instead). `.done` is terminal for a name until
+  * [[vacuumRetired]] GC's it past the replay horizon, after which a
+  * numeric-suffixed name at-or-below the recorded per-prefix horizon is
+  * REFUSED loudly rather than silently re-executed.
+  *
+  * Durability contract: the protocol's atomicity rests on
+  * create-exclusive and atomic-rename filesystem primitives (HDFS and
+  * local semantics). S3-class object stores do not provide them — store
+  * and coordinator constructors refuse such URIs up front (see
+  * [[AtomicFs.requireAtomicCommits]]).
   */
 object CrossStoreTx {
 
@@ -65,7 +82,8 @@ object CrossStoreTx {
     def txToken: String
   }
   private final case class PreparedCandle(store: CandleStore,
-                                          intent: CommitIntent) extends Prepared {
+                                          intent: CommitIntent,
+                                          txName: String) extends Prepared {
     def line: String = {
       // the FULL intent rides in the marker: finalize can then verify a
       // "neither tmp nor intent on disk" state really means "already
@@ -76,10 +94,10 @@ object CrossStoreTx {
       s"candle\t${store.path}\t${intent.txid}\t$b64"
     }
     def finalizeOp(): Unit =
-      finalizeCandle(store, intent.txid, Some(intent))
+      finalizeCandle(store, intent.txid, Some(intent), txName)
     def abortOp(): Unit = {
       store.abortStagedIntent(intent.txid)
-      releaseStoreLock(store)
+      releaseStoreLock(store, txName)
     }
     def txToken: String = intent.txid
   }
@@ -93,7 +111,8 @@ object CrossStoreTx {
     * lock on success.
     */
   private def finalizeCandle(store: CandleStore, txid: String,
-                             intent: Option[CommitIntent]): Unit = {
+                             intent: Option[CommitIntent],
+                             txName: String): Unit = {
     store.finalizeStagedIntent(txid)
     intent.foreach { i =>
       val missing = store.missingInstallTargets(i)
@@ -106,14 +125,15 @@ object CrossStoreTx {
           "delayed recovery also trips this check; verify the rows and " +
           "retire the marker by hand if so.)")
     }
-    releaseStoreLock(store)
+    releaseStoreLock(store, txName)
   }
   private final case class PreparedVersioned(store: VersionedCandleStore, tx: Long,
                                              written: Long, committedAt: Option[Timestamp]) extends Prepared {
     def line: String =
       s"vstore\t${store.path}\t$tx\t$written\t${committedAt.map(_.getTime).getOrElse(-1L)}"
     def finalizeOp(): Unit = {
-      store.finalizeDataCommit(tx, written, committedAt, None); ()
+      store.finalizeDataCommit(tx, written, committedAt, None,
+        verifyData = true); ()
     }
     def abortOp(): Unit = () // torn-commit semantics: invisible; vacuum reclaims
     def txToken: String = tx.toString
@@ -123,11 +143,17 @@ object CrossStoreTx {
   private[graft] final class SimulatedCrash(step: String)
     extends RuntimeException(s"simulated crash: $step")
 
-  /** Reclaim age for a crashed holder's per-store tx lock — far beyond
-    * any real prepare→finalize span, mirroring the stores' own vacuum
-    * posture.
+  /** Reclaim age for a crashed holder's per-store tx lock and for
+    * abandoned pre-commit marker tmps — far beyond any real
+    * prepare→finalize span, mirroring the stores' own vacuum posture.
     */
   private val staleLockMs = 24L * 3600 * 1000
+
+  /** Default retention for retired `.done` markers in [[vacuumRetired]]:
+    * long past any Structured Streaming replay depth (one batch), short
+    * enough that the coordinator dir never grows without bound.
+    */
+  val defaultDoneRetentionMs: Long = 24L * 3600 * 1000
 
   /** Acquire the candle store's cross-tx lock for tx `name`. A
     * CandleStore prepare snapshots the partition file sets it will
@@ -137,7 +163,9 @@ object CrossStoreTx {
     * same-store interleaving fails LOUDLY here instead. The lock file
     * records the holder's tx name: a retry of the SAME name reclaims
     * its own crashed predecessor's lock immediately; a different name
-    * reclaims only past the stale age.
+    * reclaims only past the stale age. The reclaim itself is ATOMIC —
+    * rename-to-tombstone, so of two concurrent reclaimers exactly one
+    * proceeds (a delete+retake pair would let both pass).
     */
   private def acquireStoreLock(store: CandleStore, name: String): Unit = {
     val fs = store.crossTxFs
@@ -167,14 +195,33 @@ object CrossStoreTx {
           "in-flight cross-store tx per store — finalize it " +
           "(CrossStoreTx.recover) or wait; a crashed holder's lock " +
           s"ages out after ${staleLockMs / 3600000} h")
-    fs.delete(lock, false)
+    // atomic reclaim: exactly one contender's rename succeeds; the
+    // tombstone is garbage either way
+    val tomb = new Path(lock.getParent,
+      s"${lock.getName}.reclaim-${java.util.UUID.randomUUID()}")
+    if (fs.rename(lock, tomb)) { fs.delete(tomb, false); () }
     if (!tryTake())
       throw new IllegalStateException(
         s"lost the race re-taking ${store.path}'s cross-tx lock")
   }
 
-  private def releaseStoreLock(store: CandleStore): Unit = {
-    store.crossTxFs.delete(store.crossTxLockPath, false); ()
+  /** Release the store's cross-tx lock ONLY if tx `name` still holds
+    * it. A blind delete here could drop a LATER, different-name tx's
+    * lock — e.g. a fenced zombie's abort running after the winner
+    * already released and a third tx acquired — silently re-opening the
+    * same-store interleaving the lock exists to prevent.
+    */
+  private def releaseStoreLock(store: CandleStore, name: String): Unit = {
+    val fs = store.crossTxFs
+    val lock = store.crossTxLockPath
+    val holder =
+      try {
+        val in = fs.open(lock)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: java.io.IOException => return } // already released
+    if (holder == name) { fs.delete(lock, false); () }
   }
 
   private def fsFor(spark: SparkSession, dir: String) =
@@ -182,6 +229,62 @@ object CrossStoreTx {
 
   private def markerOf(dir: String, name: String, suffix: String) =
     new Path(dir, s"$name.$suffix")
+
+  /** Retired markers live in a subdir so the hot recover()/execute()
+    * listing of pending `.commit` files stays O(pending), not
+    * O(every-tx-ever) — the coordinator's analog of the reference's WAL
+    * rotate-flush-delete (`wal/persist.go:74-103`).
+    */
+  private def doneDirOf(dir: String) = new Path(dir, "_done")
+  private def doneMarkerOf(dir: String, name: String) =
+    new Path(doneDirOf(dir), s"$name.done")
+
+  /** The name's terminal `.done` marker, wherever it lives: the `_done`
+    * subdir, or the coordinator root (pre-`_done` layout; [[recover]]
+    * migrates those as it sees them).
+    */
+  private def findDone(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                       name: String): Option[Path] =
+    Seq(doneMarkerOf(dir, name), markerOf(dir, name, "done"))
+      .find(fs.exists)
+
+  /** Names ending `-<digits>` carry their batch id; the GC records a
+    * per-prefix horizon over retired ones so a too-deep replay is
+    * refused instead of silently re-executed.
+    */
+  private val NumericName = "^(.*)-([0-9]+)$".r
+
+  private def horizonPrefix(pfx: String) = s"_horizon-$pfx-"
+
+  /** Highest retired-and-GC'd batch id recorded for `pfx` (monotone;
+    * kept as create-exclusive versioned files, so raising it needs no
+    * read-modify-write).
+    */
+  private def readHorizon(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                          pfx: String): Option[Long] = {
+    val dd = doneDirOf(dir)
+    if (!fs.exists(dd)) return None
+    val hp = horizonPrefix(pfx)
+    val ids = fs.listStatus(dd).map(_.getPath.getName)
+      .filter(_.startsWith(hp)).flatMap(n => n.stripPrefix(hp).toLongOption)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  private def raiseHorizon(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                           pfx: String, b: Long): Unit = {
+    val cur = readHorizon(fs, dir, pfx)
+    if (cur.forall(_ < b)) {
+      val p = new Path(doneDirOf(dir), f"${horizonPrefix(pfx)}$b%020d")
+      try { val os = fs.create(p, false); os.close() }
+      catch { case _: java.io.IOException => () } // concurrent raise: fine
+      // GC superseded horizon files (crash leaves extras; max still right)
+      val hp = horizonPrefix(pfx)
+      fs.listStatus(doneDirOf(dir)).map(_.getPath)
+        .filter(q => q.getName.startsWith(hp) &&
+          q.getName.stripPrefix(hp).toLongOption.exists(_ < b))
+        .foreach(q => fs.delete(q, false))
+    }
+  }
 
   /** Execute `ops` as ONE atomic cross-store transaction named `name`.
     * Returns each op's tx token (candle intent txid / versioned tx id),
@@ -214,17 +317,34 @@ object CrossStoreTx {
     }
     require(paths.distinct.length == paths.length,
       s"cross-store tx touches a store twice: ${paths.mkString(", ")}")
+    AtomicFs.requireAtomicCommits(spark, coordDir, "cross-store coordinator")
     val fs = fsFor(spark, coordDir)
     fs.mkdirs(new Path(coordDir))
     // roll forward any committed-but-unfinalized predecessor (this
     // name's crashed attempt included) BEFORE reading replay state
     recover(spark, coordDir)
     val committed = markerOf(coordDir, name, "commit")
-    val done = markerOf(coordDir, name, "done")
-    if (fs.exists(done) || fs.exists(committed))
+    def recordedTokens(): Option[Seq[String]] =
+      findDone(fs, coordDir, name).orElse(Some(committed).filter(fs.exists))
+        .map(readMarker(fs, _).map(_._1.txTokenOfLine))
+    recordedTokens() match {
       // already committed (recover() above finalized it): exactly-once
-      return readMarker(fs, if (fs.exists(done)) done else committed)
-        .map(_._1.txTokenOfLine)
+      case Some(toks) => return toks
+      case None => ()
+    }
+    // replay below the GC horizon: the tx committed and its marker was
+    // retired AND vacuumed — re-executing would double-commit, so refuse
+    name match {
+      case NumericName(pfx, b)
+          if readHorizon(fs, coordDir, pfx).exists(_ >= b.toLong) =>
+        throw new IllegalStateException(
+          s"cross-store tx '$name' already committed: its retired marker " +
+            s"was GC'd past the retention horizon (prefix '$pfx' horizon " +
+            s"${readHorizon(fs, coordDir, pfx).get}); refusing to " +
+            "re-execute — recorded tokens are no longer available. Replays " +
+            "deeper than vacuumRetired's retention are out of contract.")
+      case _ => ()
+    }
 
     // PREPARE — a failure here aborts every already-prepared op; the
     // tx never reached its commit point, so nothing is visible
@@ -233,10 +353,12 @@ object CrossStoreTx {
       ops.foreach {
         case CandleUpsert(st, b, ord) =>
           acquireStoreLock(st, name)
-          prepared += PreparedCandle(st, st.prepareUpsert(b, ord))
+          st.recordCrossCoord(coordDir)
+          prepared += PreparedCandle(st, st.prepareUpsert(b, ord), name)
         case VersionedCommit(st, b, ord, at) =>
           // no lock needed: concurrent versioned commits are tx-gated
           // safe by the store's own design
+          st.recordCrossCoord(coordDir)
           val (tx, written) = st.prepareDataCommit(b, ord)
           prepared += PreparedVersioned(st, tx, written, at)
       }
@@ -247,18 +369,48 @@ object CrossStoreTx {
     }
     if (crashAfter <= 1) throw new SimulatedCrash("prepared, marker unpublished")
 
-    // COMMIT POINT — create-exclusive tmp + atomic rename. Any existing
-    // tmp for this name is a crashed predecessor's PRE-commit leftover
-    // (single coordinator per name; recover() only consumes `.commit`),
-    // which would otherwise wedge the name forever — clear it.
-    val tmp = markerOf(coordDir, name, "tmp")
-    fs.delete(tmp, false)
+    // COMMIT POINT — each attempt stages a UNIQUE tmp; the atomic
+    // rename onto `<name>.commit` decides the winner (rename fails if
+    // the destination exists). The loser presumed-aborts its prepared
+    // (still invisible) ops and returns the winner's recorded tokens.
+    // The done-existence check straddles the rename: `.done` is the
+    // terminal fence against a zombie publishing AFTER the winner
+    // already committed and retired.
+    def loseTo(reason: String): Seq[String] = {
+      // read the winner's tokens BEFORE recover() can retire-and-GC race
+      val toks = recordedTokens()
+      // drive the winner TERMINAL first: abortOp releases the (shared
+      // same-name-content) store lock, which is only safe once every
+      // remaining step of the winner's finalize is an idempotent no-op
+      try recover(spark, coordDir) catch { case _: Throwable => () }
+      prepared.foreach(p => try p.abortOp() catch { case _: Throwable => () })
+      toks.orElse(recordedTokens()).getOrElse(
+        sys.error(s"cross-store tx '$name': $reason, but its recorded " +
+          "marker vanished before the loser could read it"))
+    }
+    if (recordedTokens().isDefined)
+      return loseTo("a concurrent same-name coordinator committed first")
+    val tmp = markerOf(coordDir, name,
+      s"tmp-${java.util.UUID.randomUUID()}")
     val os = fs.create(tmp, false)
     try os.write((prepared.map(_.line).mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
-    if (!fs.rename(tmp, committed))
+    if (!fs.rename(tmp, committed)) {
+      fs.delete(tmp, false)
+      if (recordedTokens().isDefined)
+        return loseTo("lost the commit-marker rename race")
       sys.error(s"could not publish cross-store commit marker for $name")
+    }
+    // post-rename fence: if the name is ALREADY terminal, the winner
+    // committed and retired before our rename landed — withdraw our
+    // marker (nothing of ours is visible yet) and abort
+    findDone(fs, coordDir, name) match {
+      case Some(_) =>
+        fs.delete(committed, false)
+        return loseTo("a same-name coordinator already committed and retired")
+      case None => ()
+    }
     if (crashAfter <= 2) throw new SimulatedCrash("marker published, nothing finalized")
 
     // FINALIZE (roll forward) + retire the marker
@@ -268,7 +420,9 @@ object CrossStoreTx {
         throw new SimulatedCrash(s"${i + 1} of ${prepared.length} finalized" +
           (if (i == prepared.length - 1) ", marker unretired" else ""))
     }
-    if (!fs.rename(committed, done))
+    val done = doneMarkerOf(coordDir, name)
+    fs.mkdirs(doneDirOf(coordDir))
+    if (!fs.rename(committed, done) && !fs.exists(done))
       sys.error(s"could not retire cross-store commit marker for $name")
     prepared.map(_.txToken).toSeq
   }
@@ -278,41 +432,223 @@ object CrossStoreTx {
     * it on restart before trusting either store's tail, and ALWAYS
     * before each store's `vacuum()` (a committed tx's unfinalized
     * versioned half looks exactly like a torn commit until rolled
-    * forward). Returns the number of txs completed.
+    * forward). A pending `.commit` whose `.done` already exists is a
+    * fenced-off zombie (same name, published after the real commit
+    * retired): its prepared ops are ABORTED, never finalized. Also
+    * sweeps abandoned pre-commit `.tmp-*` files past the stale age and
+    * migrates pre-`_done`-layout retired markers into `_done/`. Returns
+    * the number of txs completed.
     */
   def recover(spark: SparkSession, coordDir: String): Int = {
     val fs = fsFor(spark, coordDir)
     if (!fs.exists(new Path(coordDir))) return 0
-    val pending = fs.listStatus(new Path(coordDir)).map(_.getPath)
-      .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
-    pending.foreach { p =>
-      readMarker(fs, p).foreach { case (line, _) => line.finalizeFrom(spark) }
-      val retired = new Path(p.getParent,
-        p.getName.stripSuffix(".commit") + ".done")
-      if (!fs.rename(p, retired) && !fs.exists(retired))
-        sys.error(s"could not retire cross-store marker ${p.getName}")
+    val entries = fs.listStatus(new Path(coordDir)).filter(_.isFile)
+    val tmpCutoff = System.currentTimeMillis() - staleLockMs
+    entries.filter(s => s.getPath.getName.contains(".tmp") &&
+        s.getModificationTime <= tmpCutoff)
+      .foreach(s => fs.delete(s.getPath, false))
+    // lazy migration: a legacy top-level `.done` moves into `_done/` so
+    // the steady-state listing holds only pending work
+    entries.map(_.getPath).filter(_.getName.endsWith(".done")).foreach { p =>
+      fs.mkdirs(doneDirOf(coordDir))
+      val dst = new Path(doneDirOf(coordDir), p.getName)
+      if (!fs.rename(p, dst) && fs.exists(dst)) fs.delete(p, false)
     }
-    pending.length
+    val pending = entries.map(_.getPath)
+      .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
+    var completed = 0
+    pending.foreach { p =>
+      val name = p.getName.stripSuffix(".commit")
+      val retired = doneMarkerOf(coordDir, name)
+      val lines =
+        try readMarker(fs, p)
+        catch {
+          case _: java.io.FileNotFoundException
+              if findDone(fs, coordDir, name).isDefined =>
+            Seq.empty // a concurrent coordinator finished it meanwhile
+        }
+      if (findDone(fs, coordDir, name).isDefined) {
+        // zombie marker: this name already committed AND retired — the
+        // pending marker is a fenced loser's; abort its invisible ops
+        lines.foreach { case (line, _) => line.abortFrom(spark, name) }
+        fs.delete(p, false); ()
+      } else if (lines.nonEmpty) {
+        lines.foreach { case (line, _) => line.finalizeFrom(spark, name) }
+        fs.mkdirs(doneDirOf(coordDir))
+        if (!fs.rename(p, retired) && !fs.exists(retired))
+          sys.error(s"could not retire cross-store marker ${p.getName}")
+        completed += 1
+      }
+    }
+    completed
+  }
+
+  /** GC retired `.done` markers so the coordinator dir stays bounded —
+    * the WAL rotate-flush-delete discipline (`wal/persist.go:74-103`)
+    * applied to the coordinator log. A marker is dropped once it is
+    * older than `retainMs`, or (for `prefix-<batchId>` names) once
+    * `batchHorizon = Some((prefix, keepFrom))` declares every batch
+    * below `keepFrom` unreplayable — the streaming writer passes
+    * `batchId - 1`, since a foreachBatch restart replays at most the
+    * last batch. Before any numeric-named marker is dropped its batch
+    * id is folded into the per-prefix horizon file, so a replay from
+    * beyond the retention window is REFUSED by [[execute]] instead of
+    * double-committing. Returns the number of markers removed.
+    *
+    * Exactly-once contract after GC: replays within `retainMs` (or
+    * above the batch horizon) still return recorded tokens; deeper
+    * replays of numeric names fail loudly; deeper replays of
+    * free-form names are out of contract — keep `retainMs` beyond any
+    * possible re-submission of the same name.
+    */
+  def vacuumRetired(spark: SparkSession, coordDir: String,
+                    retainMs: Long = defaultDoneRetentionMs,
+                    batchHorizon: Option[(String, Long)] = None): Int = {
+    val fs = fsFor(spark, coordDir)
+    val dd = doneDirOf(coordDir)
+    if (!fs.exists(dd)) return 0
+    val cutoff = System.currentTimeMillis() - retainMs
+    val doomed = fs.listStatus(dd).filter { s =>
+      val n = s.getPath.getName
+      n.endsWith(".done") && {
+        val name = n.stripSuffix(".done")
+        val byBatch = (name, batchHorizon) match {
+          case (NumericName(pfx, b), Some((hp, keepFrom))) =>
+            pfx == hp && b.toLong < keepFrom
+          case _ => false
+        }
+        byBatch || s.getModificationTime <= cutoff
+      }
+    }.map(_.getPath)
+    // fence FIRST, delete after: a crash in between leaves the marker
+    // in place (replay still exactly-once) with the horizon already up
+    doomed.flatMap(p => p.getName.stripSuffix(".done") match {
+        case NumericName(pfx, b) => Some(pfx -> b.toLong)
+        case _ => None
+      })
+      .groupBy(_._1).view.mapValues(_.map(_._2).max)
+      .foreach { case (pfx, b) => raiseHorizon(fs, coordDir, pfx, b) }
+    doomed.foreach(p => fs.delete(p, false))
+    doomed.length
+  }
+
+  /** Stable filename id for a coordinator dir's record file under a
+    * store's maintenance dir (path-normalized digest — no separators).
+    */
+  private def coordRecordId(coordDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(new Path(coordDir).toUri.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Idempotently record `coordDir` as a coordinator committing into
+    * the store whose maintenance dir is `recDir` — read back by
+    * [[requireNoPendingCrossTx]], the stores' vacuum fence. Cheap on
+    * the hot path: one existence probe once the record exists.
+    */
+  private[graft] def recordCoordIn(fs: org.apache.hadoop.fs.FileSystem,
+                                   recDir: Path, coordDir: String): Unit = {
+    val rec = new Path(recDir, s"xcoord-${coordRecordId(coordDir)}")
+    if (!fs.exists(rec)) {
+      fs.mkdirs(recDir)
+      try {
+        val os = fs.create(rec, false)
+        try os.write(coordDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+      } catch { case _: java.io.IOException => () } // concurrent record: fine
+    }
+  }
+
+  /** The stores' ENFORCED recover-before-vacuum: refuse the sweep while
+    * any coordinator recorded under `recDir` still has a pending
+    * `.commit` marker referencing `storePath`. Such prepared files are
+    * COMMITTED (marker published, roll-forward owed) — an age sweep
+    * would reclaim them as torn garbage, turning the tx into the very
+    * half-commit the protocol exists to prevent. O(#coordinators +
+    * pending markers) metadata reads.
+    */
+  private[graft] def requireNoPendingCrossTx(spark: SparkSession,
+                                             fs: org.apache.hadoop.fs.FileSystem,
+                                             recDir: Path,
+                                             storePath: String): Unit = {
+    if (!fs.exists(recDir)) return
+    fs.listStatus(recDir).map(_.getPath)
+      .filter(_.getName.startsWith("xcoord-"))
+      .flatMap { p =>
+        try {
+          val in = fs.open(p)
+          try Some(new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => None }
+      }
+      .foreach { coordDir =>
+        val pending = pendingMarkersFor(spark, coordDir, storePath)
+        if (pending.nonEmpty)
+          throw new IllegalStateException(
+            s"vacuum refused: cross-store coordinator $coordDir holds " +
+              s"${pending.size} pending commit marker(s) referencing " +
+              s"$storePath (${pending.take(3).mkString(", ")}) — run " +
+              "CrossStoreTx.recover(coordDir) first; an age sweep now " +
+              "could reclaim committed-but-unfinalized data as torn garbage")
+      }
+  }
+
+  /** Pending `.commit` marker names under `coordDir` that reference the
+    * store at `storePath` — the set a store's `vacuum()` must see
+    * rolled forward (recover first!) before its age sweep may run.
+    * O(pending) by the `_done` layout.
+    */
+  private[graft] def pendingMarkersFor(spark: SparkSession, coordDir: String,
+                                       storePath: String): Seq[String] = {
+    val fs = fsFor(spark, coordDir)
+    if (!fs.exists(new Path(coordDir))) return Seq.empty
+    def norm(p: String) = new Path(p).toUri.getPath
+    val target = norm(storePath)
+    fs.listStatus(new Path(coordDir)).map(_.getPath)
+      .filter(_.getName.endsWith(".commit")).toSeq
+      .filter { p =>
+        try readMarker(fs, p).exists { case (l, _) => norm(l.storePath) == target }
+        catch { case _: java.io.FileNotFoundException => false }
+      }
+      .map(_.getName.stripSuffix(".commit"))
   }
 
   /** One decoded marker line. */
   private final case class MarkerLine(kind: String, storePath: String,
                                       fields: Seq[String]) {
     def txTokenOfLine: String = fields.head
-    def finalizeFrom(spark: SparkSession): Unit = kind match {
+    def finalizeFrom(spark: SparkSession, txName: String): Unit = kind match {
       case "candle" =>
         val intent = fields.lift(1).map(b64 => CommitIntent.decode(
           new String(java.util.Base64.getDecoder.decode(b64),
             java.nio.charset.StandardCharsets.UTF_8)))
-        finalizeCandle(CandleStore(spark, storePath), fields.head, intent)
+        finalizeCandle(CandleStore(spark, storePath), fields.head, intent,
+          txName)
       case "vstore" =>
         val at = fields(2).toLong match {
           case -1L => None
           case ms => Some(new Timestamp(ms))
         }
         VersionedCandleStore(spark, storePath)
-          .finalizeDataCommit(fields.head.toLong, fields(1).toLong, at, None)
+          .finalizeDataCommit(fields.head.toLong, fields(1).toLong, at, None,
+            verifyData = true)
         ()
+      case other => sys.error(s"unknown cross-store marker op '$other'")
+    }
+    /** Presumed-abort a fenced zombie's prepared op: everything here is
+      * still invisible (the candle intent unpublished, the vstore tx
+      * unjournaled), so dropping the staging is safe and the vstore
+      * half needs nothing (vacuum reclaims the torn files).
+      */
+    def abortFrom(spark: SparkSession, txName: String): Unit = kind match {
+      case "candle" =>
+        val store = CandleStore(spark, storePath)
+        try store.abortStagedIntent(fields.head)
+        catch { case _: IllegalArgumentException => () } // already published: winner's
+        releaseStoreLock(store, txName)
+      case "vstore" => ()
       case other => sys.error(s"unknown cross-store marker op '$other'")
     }
   }

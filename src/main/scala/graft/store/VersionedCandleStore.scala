@@ -90,6 +90,10 @@ import graft.model.Candle
 final class VersionedCandleStore(spark: SparkSession, val path: String,
                                  val checkpointEvery: Int = 100) {
 
+  // reserve files, journal publish, and generation markers all lean on
+  // create-exclusive + atomic rename; refuse filesystems without them
+  AtomicFs.requireAtomicCommits(spark, path, "VersionedCandleStore")
+
   private val txLogPath = s"$path/txlog"
   private val txnPath = s"$path/_txn"
   private val stagePath = s"$path/_stage"
@@ -802,18 +806,55 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     (tx, written)
   }
 
+  /** Record that `coordDir`'s [[CrossStoreTx]] coordinator drives
+    * commits into this store, so [[vacuum]] can refuse its sweep while
+    * that coordinator still has pending `.commit` markers referencing
+    * this store — a vacuum between a cross-store commit point and its
+    * roll-forward would reclaim COMMITTED (marker-published) prepared
+    * files as torn garbage. Idempotent create-if-absent of a tiny
+    * record file under `_txn/`; the set is O(#coordinators), ever.
+    */
+  private[graft] def recordCrossCoord(coordDir: String): Unit =
+    CrossStoreTx.recordCoordIn(fs, hp(txnPath), coordDir)
+
   /** The visibility half of a commit: the journal entry, written AFTER
     * the data move + verification — a torn commit (data moved, journal
     * not) is invisible to readers, which admit only tx ids present in
     * the journal's committed set. Idempotent: a tx the journal already
     * admits is not re-journaled, so a cross-store roll-forward can
     * re-drive it after a crash at any point.
+    *
+    * @param verifyData require the tx's id-named data files to still be
+    *   present in some retained generation before journaling. A DELAYED
+    *   roll-forward (a cross-store [[graft.store.CrossStoreTx.recover]]
+    *   long after the crash) can race a mis-ordered `vacuum()` that
+    *   already reclaimed the prepared files as torn-commit garbage —
+    *   journaling then would admit an EMPTY commit, silent data loss
+    *   where the candle half (`missingInstallTargets`) fails loudly.
+    *   The check is one metadata glob at the known partition depth, paid
+    *   only on the recovery path — the same-process finalize skips it
+    *   (prepare's settle loop verified the exact file set moments ago).
     */
   private[graft] def finalizeDataCommit(tx: Long, written: Long,
                                         committedAt: Option[Timestamp],
-                                        batchId: Option[Long]): Long = {
+                                        batchId: Option[Long],
+                                        verifyData: Boolean = false): Long = {
     val f = fs
     if (!journalState().admitAll.contains(tx)) {
+      if (verifyData && written > 0) {
+        val pat = f"tx$tx%020d-*"
+        val present = generations().exists { case (_, g) =>
+          val hits = f.globStatus(new Path(g,
+            s"${Candle.partitionCols.map(_ => "*").mkString("/")}/$pat"))
+          hits != null && hits.nonEmpty
+        }
+        if (!present)
+          sys.error(s"roll-forward of tx $tx ($written rows) at $path: its " +
+            "prepared data files are gone from every retained generation — " +
+            "deleted before roll-forward (a vacuum() run against the " +
+            "documented recover-first ordering?); refusing to journal an " +
+            "empty commit. The tx stays torn and invisible; re-run it.")
+      }
       writeJournalRow(tx, written,
         committedAt.getOrElse(new Timestamp(System.currentTimeMillis())),
         "commit", batchId)
@@ -1626,6 +1667,7 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     val f = fs
     if (!f.exists(hp(path))) return 0
     verifyLayout(f)
+    CrossStoreTx.requireNoPendingCrossTx(spark, f, hp(txnPath), path)
     val lock = hp(s"$path/_compact.lock")
     if (!tryCreate(f, lock))
       throw new IllegalStateException(s"another maintenance op holds $lock")

@@ -129,6 +129,13 @@ object Ingest {
           val b = batch.localCheckpoint() // read once per op, not per plan
           graft.store.CrossStoreTx.execute(batch.sparkSession, coordDir,
             s"$namePrefix-$batchId", ops(b))
+          // bound the coordinator log: a foreachBatch restart replays at
+          // most THIS batch, so every earlier batch's retired marker can
+          // go (their GC'd ids fold into the horizon file — a too-deep
+          // replay is refused loudly, never silently re-executed). Keeps
+          // execute()'s recover listing O(pending), not O(total batches).
+          graft.store.CrossStoreTx.vacuumRetired(batch.sparkSession,
+            coordDir, batchHorizon = Some((namePrefix, batchId)))
           ()
         }
       }

@@ -149,18 +149,23 @@ class CrossStoreTxSpec extends SparkSpec {
   test("self-review holes closed: stale pre-commit tmp never wedges the " +
       "name; same-store interleaving by a DIFFERENT tx name is refused; " +
       "prepared data lost before roll-forward fails LOUDLY") {
-    // (1) stale tmp: crash between marker-tmp create and the rename —
-    // simulated by planting the tmp — must not block a retry forever
+    // (1) abandoned pre-commit tmp: crash between marker-tmp create and
+    // the rename — simulated by planting a tmp — must never block a
+    // retry (each attempt stages a UNIQUE tmp), and the debris is swept
+    // once stale-aged, NOT while a live attempt might still rename it
     val (cs1, vs1, coord1) = fixture()
     val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(coord1), spark.sparkContext.hadoopConfiguration)
     f.mkdirs(new org.apache.hadoop.fs.Path(coord1))
-    val tmp = new org.apache.hadoop.fs.Path(coord1, "b-0.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(coord1, "b-0.tmp-dead")
     val os = f.create(tmp, false); os.write("garbage".getBytes); os.close()
     val toks = CrossStoreTx.execute(spark, coord1, "b-0",
       Seq(CandleUpsert(cs1, candleBatch), VersionedCommit(vs1, vBatch)))
     assert(toks.length == 2 && visible(cs1, vs1) == ((2L, 2L)))
-    assert(!f.exists(tmp), "stale tmp not cleared by the committing retry")
+    assert(f.exists(tmp), "a FRESH tmp (possibly a live attempt) was swept")
+    f.setTimes(tmp, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    CrossStoreTx.recover(spark, coord1)
+    assert(!f.exists(tmp), "stale-aged tmp debris not swept by recover")
 
     // (2) same-store lock: tx 'x' crashed holding the candle store's
     // lock; a DIFFERENT name must refuse loudly (its prepare snapshot
@@ -193,6 +198,153 @@ class CrossStoreTxSpec extends SparkSpec {
     assert(e3.getMessage.contains("deleted before"), e3.getMessage)
     // the marker is STILL pending (not retired over a half commit)
     assert(f.exists(new org.apache.hadoop.fs.Path(coord3, "b-0.commit")))
+  }
+
+  test("zombie same-name coordinator is fenced at every point: recover " +
+      "ABORTS a commit marker whose .done already exists — no duplicate " +
+      "rows, no second journal row, and no theft of a third tx's lock") {
+    val (cs, vs, coord) = fixture()
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(coord), spark.sparkContext.hadoopConfiguration)
+    // the WINNER commits and retires normally
+    val toks = CrossStoreTx.execute(spark, coord, "b-0",
+      Seq(CandleUpsert(cs, candleBatch), VersionedCommit(vs, vBatch)))
+    assert(visible(cs, vs) == ((2L, 2L)))
+    // a ZOMBIE same-name coordinator that passed its done-check before
+    // the winner finished: it prepared its OWN ops and now publishes its
+    // marker (the rename succeeds — the winner's .commit was retired).
+    // Simulated by preparing by hand and planting the marker file.
+    val zIntent = cs.prepareUpsert(Seq(
+      c("BTC", "2022-01-01 10:00:00", 99)).toDF()) // conflicting content!
+    val (zTx, zWritten) = vs.prepareDataCommit(Seq(
+      c("ETH", "2022-03-01 00:00:00", 99)).toDF(), None)
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      graft.store.CommitIntent.encode(zIntent).getBytes("UTF-8"))
+    val marker = new org.apache.hadoop.fs.Path(coord, "b-0.commit")
+    val os = f.create(marker, false)
+    os.write((s"candle\t${cs.path}\t${zIntent.txid}\t$b64\n" +
+      s"vstore\t${vs.path}\t$zTx\t$zWritten\t-1\n").getBytes("UTF-8"))
+    os.close()
+    // a third tx 'z' is meanwhile holding the candle store's lock
+    intercept[RuntimeException](CrossStoreTx.executeInternal(spark, coord,
+      "z", Seq(CandleUpsert(cs, candleBatch)), crashAfter = 1))
+    // recover: the zombie marker is ABORTED (done is terminal), not
+    // finalized — and the third tx's lock survives
+    CrossStoreTx.recover(spark, coord)
+    assert(!f.exists(marker), "zombie marker not cleared")
+    assert(visible(cs, vs) == ((2L, 2L)), "zombie ops leaked into view")
+    assert(cs.scan().where($"open" === 99.0).count() == 0)
+    assert(vs.txLog().where($"kind" === "commit").count() == 1,
+      "zombie minted a second journal row")
+    val lock = new org.apache.hadoop.fs.Path(cs.path, "_txlog/_xtx.lock")
+    assert(f.exists(lock), "zombie abort deleted a DIFFERENT tx's lock")
+    // the third tx retries fine and the zombie's replay returns the
+    // winner's tokens
+    CrossStoreTx.execute(spark, coord, "z", Seq(CandleUpsert(cs, candleBatch)))
+    val again = CrossStoreTx.execute(spark, coord, "b-0",
+      Seq(CandleUpsert(cs, candleBatch), VersionedCommit(vs, vBatch)))
+    assert(again == toks)
+  }
+
+  test("retired markers GC: vacuumRetired bounds the coordinator dir, " +
+      "in-window replay stays exactly-once, and a replay from BEYOND the " +
+      "horizon is refused loudly instead of double-committing") {
+    val (_, vs, coord) = fixture()
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(coord), spark.sparkContext.hadoopConfiguration)
+    val toks = (0 to 2).map { i =>
+      CrossStoreTx.execute(spark, coord, s"ing-$i",
+        Seq(VersionedCommit(vs, Seq(
+          c("ETH", s"2022-03-0${i + 1} 00:00:00", i)).toDF())))
+    }
+    val doneDir = new org.apache.hadoop.fs.Path(coord, "_done")
+    assert(f.listStatus(doneDir).count(_.getPath.getName.endsWith(".done")) == 3)
+    // root listing holds NO retired markers (recover stays O(pending))
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(coord))
+      .exists(_.getPath.getName.endsWith(".done")))
+    // GC everything below batch 2 (the streaming writer's per-batch call)
+    assert(CrossStoreTx.vacuumRetired(spark, coord,
+      batchHorizon = Some(("ing", 2))) == 2)
+    // batch 2's marker survives: its replay is exactly-once
+    val again = CrossStoreTx.execute(spark, coord, "ing-2",
+      Seq(VersionedCommit(vs, spark.emptyDataFrame)))
+    assert(again == toks(2))
+    assert(vs.txLog().where($"kind" === "commit").count() == 3)
+    // batch 0 was GC'd: its replay is REFUSED (recorded tokens gone;
+    // re-executing would double-commit)
+    val e = intercept[IllegalStateException](CrossStoreTx.execute(spark,
+      coord, "ing-0", Seq(VersionedCommit(vs, vBatch))))
+    assert(e.getMessage.contains("GC'd"), e.getMessage)
+    assert(vs.txLog().where($"kind" === "commit").count() == 3,
+      "refused replay still committed something")
+    // time-based retention drops the rest; the horizon then covers it too
+    assert(CrossStoreTx.vacuumRetired(spark, coord, retainMs = 0) == 1)
+    intercept[IllegalStateException](CrossStoreTx.execute(spark,
+      coord, "ing-2", Seq(VersionedCommit(vs, vBatch))))
+  }
+
+  test("enforced recover-before-vacuum: BOTH stores refuse their age " +
+      "sweep while a pending cross-store commit marker references them") {
+    val (cs, vs, coord) = fixture()
+    intercept[RuntimeException](CrossStoreTx.executeInternal(spark, coord,
+      "b-0", Seq(CandleUpsert(cs, candleBatch), VersionedCommit(vs, vBatch)),
+      crashAfter = 2)) // marker published, nothing finalized
+    val e1 = intercept[IllegalStateException](cs.vacuum(0))
+    assert(e1.getMessage.contains("vacuum refused"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](vs.vacuum(0))
+    assert(e2.getMessage.contains("vacuum refused"), e2.getMessage)
+    // roll forward, then both sweeps proceed
+    assert(CrossStoreTx.recover(spark, coord) == 1)
+    assert(visible(cs, vs) == ((2L, 2L)))
+    cs.vacuum(0)
+    vs.vacuum(0)
+    assert(visible(cs, vs) == ((2L, 2L)))
+  }
+
+  test("delayed roll-forward over LOST vstore data fails loudly instead " +
+      "of journaling an empty commit") {
+    val (cs, vs, coord) = fixture()
+    intercept[RuntimeException](CrossStoreTx.executeInternal(spark, coord,
+      "b-0", Seq(VersionedCommit(vs, vBatch), CandleUpsert(cs, candleBatch)),
+      crashAfter = 2))
+    // simulate the mis-ordered vacuum: delete the vstore tx's moved data
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(vs.path), spark.sparkContext.hadoopConfiguration)
+    val it = f.listFiles(new org.apache.hadoop.fs.Path(vs.path), true)
+    var dropped = 0
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.startsWith(f"tx${1L}%020d-")) {
+        f.delete(st.getPath, false); dropped += 1
+      }
+    }
+    assert(dropped > 0, "no staged vstore data files found to delete")
+    val e = intercept[RuntimeException](CrossStoreTx.recover(spark, coord))
+    assert(e.getMessage.contains("refusing to journal"), e.getMessage)
+    assert(vs.txLog().where($"kind" === "commit").count() == 0,
+      "an empty commit was journaled over lost data")
+    // the marker is still pending — recovery still owed, nothing retired
+    val fc = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(coord), spark.sparkContext.hadoopConfiguration)
+    assert(fc.exists(new org.apache.hadoop.fs.Path(coord, "b-0.commit")))
+  }
+
+  test("object-store URIs are refused up front by stores and coordinator " +
+      "(no atomic rename / create-exclusive there); the documented unsafe " +
+      "override lifts the refusal") {
+    val (_, vs, _) = fixture()
+    val e = intercept[IllegalArgumentException](
+      CandleStore(spark, "s3a://bucket/candles"))
+    assert(e.getMessage.contains("object store"), e.getMessage)
+    intercept[IllegalArgumentException](
+      VersionedCandleStore(spark, "s3://bucket/v"))
+    intercept[IllegalArgumentException](CrossStoreTx.execute(spark,
+      "gs://bucket/txs", "x", Seq(VersionedCommit(vs, vBatch))))
+    // hdfs / file schemes pass the check (construction only — no IO)
+    CandleStore(spark, "hdfs://nn/candles")
+    spark.conf.set("graft.store.unsafeObjectStoreCommits", "true")
+    try CandleStore(spark, "s3a://bucket/candles") // scheme check lifted
+    finally spark.conf.unset("graft.store.unsafeObjectStoreCommits")
   }
 
   test("guards: duplicate store, empty ops, bad name, concurrent same-name " +
