@@ -27,6 +27,21 @@ object Bench {
     // Default 1 keeps the run inside the driver's time budget.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+    // STATEFUL BUILD queries: the timed body's operator IS an ingest /
+    // upsert / index build into persistent state. A bare re-run would
+    // measure the exactly-once replay no-op (q61 medians of 0.13 s vs a
+    // 7.4 s first), so reps ≥ 2 run inside Queries.withFreshFixtures —
+    // a throwaway fixture world whose state dirs are new, making the
+    // MEDIAN measure the work. Read-only queries keep amortized
+    // fixtures (their op is the read; rebuilding per rep would be the
+    // opposite dishonesty).
+    val statefulBuilds = Set(
+      "q40_store_upsert", "q61_streaming_ingest", "q85_stream_asof",
+      "q9B_stream_decontaminate", "q9C_stream_neardup", "q9E_stream_drift",
+      "q9H_stream_quota", "q9M_stream_ivf_index", "q9O_stream_exact_dedup",
+      "q9P_stream_hll_distinct", "q9W_neardup_reconcile",
+      "q9X_drift_refresh", "q9Y_embed_dedup", "q9Z_pq_stream_index",
+      "qA0_cross_store_tx", "qA1_vstore_merge_sql", "qA2_candle_merge_sql")
     // Opt-in SPARK_GRAFT_BENCH_GC=1: force a driver GC between queries
     // so the ContextCleaner reclaims earlier queries' dead checkpoint
     // blocks at a uniform point instead of whenever the heap fills.
@@ -40,10 +55,13 @@ object Bench {
       if (gcBetween && qi > 0) System.gc()
       // A failed query reports -1, never a plausible elapsed time — a
       // regression must look like one, not like a speedup.
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { r =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+        def once(): Double = { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          if (r > 1 && statefulBuilds(name)) Queries.withFreshFixtures(once())
+          else once()
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
         }
       }

@@ -18,11 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // AS-OF join plan node lowering (graft.plans.AsOfJoinPlan).
     ext.injectResolutionRule(session => graft.plans.ResolveAsOfJoin(session))
-    // SQL MERGE INTO for graft-vstore targets, lowered to the journaled
-    // one-tx upsert (graft.plans.VStoreMerge) — fires inside the main
+    // SQL MERGE INTO for graft-vstore AND graft-candles targets, lowered
+    // to the journaled one-tx commit / crash-atomic upsert
     // resolution fixed point, before Spark's row-level rewrite would
     // reject the table.
-    ext.injectResolutionRule(session => graft.plans.ResolveVStoreMerge(session))
+    ext.injectResolutionRule(session => graft.plans.ResolveGraftMerge(session))
   }
 }
 

@@ -1112,6 +1112,15 @@ object Oracles {
          SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
            round(volume, 4) AS volume
          FROM r WHERE rn = 1""",
+    // qA2: the candle-catalog MERGE end state == q40's two-batch
+    // last-wins upsert (batch B lands via two SQL half-merges instead
+    // of the Scala upsert; same final table by construction).
+    "qA2_candle_merge_sql" ->
+      s"""$storeEndState
+         SELECT code, ts, round(open, 4) AS open, round(high, 4) AS high,
+           round(low, 4) AS low, round(close, 4) AS close,
+           round(volume, 4) AS volume
+         FROM r WHERE rn = 1""",
     // qA0: the cross-store tx that crashed after its marker is rolled
     // forward onto BOTH stores (candle side = slice %3=1, vstore side =
     // slice %3=2); the tx that crashed before its marker (slice %3=0)

@@ -24,6 +24,35 @@ import graft.store.CandleStore
 object Queries {
   private def T = Tables
 
+  // ------------------------------------------------------------------ //
+  // Fixture worlds (bench honesty)                                      //
+  // ------------------------------------------------------------------ //
+
+  /** Every per-sfDir fixture cache resolves its key through [[ek]]: in
+    * the base world (epoch 0) the key is the sfDir itself, so fixtures
+    * amortize across queries and reps exactly as before. Inside
+    * [[withFreshFixtures]] the key carries a never-reused epoch, so
+    * stateful work (streaming ingest, store upsert, index build) REALLY
+    * re-executes into a fresh state dir instead of measuring the
+    * exactly-once replay no-op of state a previous rep built — the
+    * bench-protocol honesty fix for stateful medians.
+    */
+  private val fixtureEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val epochCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def ek(d: String): String = {
+    val e = fixtureEpoch.get
+    if (e == 0) d else s"$d#e$e"
+  }
+
+  /** Run `body` against a THROWAWAY fixture world (fresh epoch), then
+    * restore the base world — other queries keep their amortized
+    * fixtures untouched. Bench-only; sequential use (not re-entrant).
+    */
+  private[graft] def withFreshFixtures[T](body: => T): T = {
+    fixtureEpoch.set(epochCounter.incrementAndGet())
+    try body finally fixtureEpoch.set(0)
+  }
+
   /** q74's SQL — shared VERBATIM with the DuckDB oracle (identical
     * association order → identical IEEE arithmetic; the l_quantity
     * moment sums are integer-valued, exact under any summation order,
@@ -628,7 +657,7 @@ object Queries {
     * on every bucket both batches cover (`page/page.go:114-123` semantics).
     */
   private def eventStore(s: SparkSession, d: String): CandleStore = {
-    val path = storeCache.getOrElseUpdate(d, {
+    val path = storeCache.getOrElseUpdate(ek(d), {
       val p = Files.createTempDirectory("graft-qstore").toString + "/candles"
       val ev = T.events(s, d)
       val st = CandleStore(s, p)
@@ -645,7 +674,7 @@ object Queries {
     * event slices committed in tx order 1, 2, 3.
     */
   private def versionedStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
-    val path = vstoreCache.getOrElseUpdate(d, {
+    val path = vstoreCache.getOrElseUpdate(ek(d), {
       val p = Files.createTempDirectory("graft-qvstore").toString + "/v"
       val ev = T.events(s, d)
       val st = graft.store.VersionedCandleStore(s, p)
@@ -671,7 +700,7 @@ object Queries {
     * q40's two-batch upsert oracle exactly.
     */
   private def mergeStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
-    val path = mergeStoreCache.getOrElseUpdate(d, {
+    val path = mergeStoreCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qmerge").toString
       val p = s"$base/v"
       val ev = T.events(s, d)
@@ -696,6 +725,42 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
+  private val candleMergeCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build (once per sfDir) a PLAIN candle store whose second batch
+    * lands through SQL `MERGE INTO` on the candle catalog (round 13,
+    * qA2 — the candle twin of [[mergeStore]], closing the SQL gap where
+    * the plain catalog had only `INSERT INTO`): batch A (`%3<>0`)
+    * upserts normally, then batch B (`%3=0`) lands as TWO half-merges —
+    * `WHEN MATCHED UPDATE SET *` then `WHEN NOT MATCHED INSERT *` — so
+    * BOTH the semi and the anti split paths of the lowering are
+    * exercised (qA1 covers the no-target-scan `SET * / INSERT *`
+    * shape). The end state must equal q40's two-batch upsert oracle.
+    */
+  private def candleMergeStore(s: SparkSession, d: String): CandleStore = {
+    val path = candleMergeCache.getOrElseUpdate(ek(d), {
+      val base = Files.createTempDirectory("graft-qcmerge").toString
+      val p = s"$base/candles"
+      val ev = T.events(s, d)
+      val st = CandleStore(s, p)
+      st.upsert(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      val cat = "gcm" + (d.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CandleCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      eventCandles(ev.where(col("event_id") % 3 === 0))
+        .withColumn("year", year(col("ts")))
+        .createOrReplaceTempView("graft_cmerge_src")
+      val on = """ON t.market = s.market AND t.code = s.code
+           AND t.candle_length = s.candle_length AND t.ts = s.ts"""
+      s.sql(s"""MERGE INTO $cat.candles t USING graft_cmerge_src s $on
+           WHEN MATCHED THEN UPDATE SET *""")
+      s.sql(s"""MERGE INTO $cat.candles t USING graft_cmerge_src s $on
+           WHEN NOT MATCHED THEN INSERT *""")
+      p
+    })
+    CandleStore(s, path)
+  }
+
   private val xstoreCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   /** Build (once per sfDir) the CROSS-STORE atomic-commit fixture
@@ -712,7 +777,7 @@ object Queries {
     */
   private def crossStores(s: SparkSession, d: String): (CandleStore, graft.store.VersionedCandleStore) = {
     import graft.store.CrossStoreTx
-    val (cp, vp) = xstoreCache.getOrElseUpdate(d, {
+    val (cp, vp) = xstoreCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-xstore").toString
       val ev = T.events(s, d)
       val cs = CandleStore(s, s"$base/candles")
@@ -770,7 +835,7 @@ object Queries {
     */
   private def sliceEventFiles(s: SparkSession, d: String, base: String):
       (String, org.apache.spark.sql.types.StructType) =
-    sliceCache.getOrElseUpdate(d, buildSliceFiles(s, d, base))
+    sliceCache.getOrElseUpdate(ek(d), buildSliceFiles(s, d, base))
 
   private def buildSliceFiles(s: SparkSession, d: String, base: String):
       (String, org.apache.spark.sql.types.StructType) = {
@@ -832,7 +897,7 @@ object Queries {
         lit(0L).as("bit_fields"))
 
   private def streamedStore(s: SparkSession, d: String): CandleStore = {
-    val path = streamCache.getOrElseUpdate(d, {
+    val path = streamCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qstream").toString
       val p = s"$base/candles"
       val (srcDir, schema) = sliceEventFiles(s, d, base)
@@ -860,7 +925,7 @@ object Queries {
     * is exactly the first two time slices.
     */
   private def streamedVersionedStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
-    val path = vstreamCache.getOrElseUpdate(d, {
+    val path = vstreamCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qvstream").toString
       val p = s"$base/v"
       val (srcDir, schema) = sliceEventFiles(s, d, base)
@@ -886,7 +951,7 @@ object Queries {
     * (SURVEY §7.3.1 deferred item, now closed).
     */
   private def bucketedTables(s: SparkSession, d: String): (String, String) = {
-    val built = bucketCache.getOrElseUpdate(d, {
+    val built = bucketCache.getOrElseUpdate(ek(d), {
       val sfx = java.lang.Long.toHexString(d.hashCode & 0xffffffffL)
       val ct = s"graft_b_customer_$sfx"
       val ot = s"graft_b_orders_$sfx"
@@ -908,7 +973,7 @@ object Queries {
     * never sees the binary format.
     */
   private def ysfStoreDir(s: SparkSession, d: String): String =
-    ysfCache.getOrElseUpdate(d, {
+    ysfCache.getOrElseUpdate(ek(d), {
       val p = Files.createTempDirectory("graft-ysf").toString
       graft.sources.Ysf.write(eventCandles(T.events(s, d)), p)
       p
@@ -928,7 +993,7 @@ object Queries {
     * hourly buckets of one event_type (≤ 8784/year/series).
     */
   private def moraRootDir(s: SparkSession, d: String): String =
-    moraRootCache.getOrElseUpdate(d, {
+    moraRootCache.getOrElseUpdate(ek(d), {
       import graft.sources.MoraWal
       val p = Files.createTempDirectory("graft-morawal").toString
       val candles = eventCandles(T.events(s, d)).cache()
@@ -1076,6 +1141,20 @@ object Queries {
       mergeStore(s, d).scan()
         .select(col("code"), col("ts"),
           Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // SQL MERGE INTO the PLAIN candle store (round 13): the second
+    // upsert batch lands through the MERGE lowering on the candle
+    // catalog as TWO half-merges (matched-update, then unmatched-insert
+    // — the semi/anti split paths) — the end state must equal q40's
+    // two-batch last-wins upsert oracle exactly.
+    "qA2_candle_merge_sql" -> ((s, d) => {
+      candleMergeStore(s, d).scan()
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("high"), 4).as("high"),
+          Portable.round(col("low"), 4).as("low"),
           Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
     }),
@@ -1737,7 +1816,7 @@ object Queries {
     * Returns the state dir (docs/quarantine/grams per batch).
     */
   private def streamedDeconState(s: SparkSession, d: String): String =
-    deconCache.getOrElseUpdate(d, {
+    deconCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qdecon").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
@@ -1781,7 +1860,7 @@ object Queries {
     * state dir (drift/hist per batch).
     */
   private def streamedDriftState(s: SparkSession, d: String): String =
-    driftCache.getOrElseUpdate(d, {
+    driftCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qdrift").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
@@ -1825,7 +1904,7 @@ object Queries {
     * table. Returns the state dir (docs/dropped/totals per batch).
     */
   private def streamedQuotaState(s: SparkSession, d: String): String =
-    quotaCache.getOrElseUpdate(d, {
+    quotaCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qquota").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
@@ -1872,7 +1951,7 @@ object Queries {
     * state dir (sketches/counts per batch).
     */
   private def streamedHllState(s: SparkSession, d: String): String =
-    hllCache.getOrElseUpdate(d, {
+    hllCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qhll").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
@@ -1917,7 +1996,7 @@ object Queries {
     * (original in slice 2, lower id wins). Returns the state dir.
     */
   private def streamedExactDedupState(s: SparkSession, d: String): String =
-    exactDedupCache.getOrElseUpdate(d, {
+    exactDedupCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qexdedup").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
@@ -1964,7 +2043,7 @@ object Queries {
     * dir (centroids/cells per batch).
     */
   private def streamedIvfIndexState(s: SparkSession, d: String): String =
-    ivfIdxCache.getOrElseUpdate(d, {
+    ivfIdxCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qivfidx").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
@@ -2008,7 +2087,7 @@ object Queries {
     * m-byte codes, not vectors. Returns the state dir.
     */
   private def streamedIvfPqIndexState(s: SparkSession, d: String): String =
-    ivfPqIdxCache.getOrElseUpdate(d, {
+    ivfPqIdxCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qivfpqidx").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
@@ -2079,7 +2158,7 @@ object Queries {
     * compares each batch against strictly-earlier history).
     */
   private def streamedIvfDriftState(s: SparkSession, d: String): String =
-    ivfDriftCache.getOrElseUpdate(d, {
+    ivfDriftCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qivfdrift").toString
       val stateDir = s"$base/state"
       val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -2113,7 +2192,7 @@ object Queries {
     * this one. Returns the state dir.
     */
   private def streamedEmbedDedupState(s: SparkSession, d: String): String =
-    embDedupCache.getOrElseUpdate(d, {
+    embDedupCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qembdedup").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
@@ -2164,7 +2243,7 @@ object Queries {
     * drop-later oracle exact. Returns the state dir.
     */
   private def streamedNearDupState(s: SparkSession, d: String): String =
-    nearDupCache.getOrElseUpdate(d, {
+    nearDupCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qneardup").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)

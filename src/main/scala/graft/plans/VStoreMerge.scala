@@ -8,19 +8,24 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.StructType
 
 import graft.sources.VStoreTable
-import graft.store.VersionedCandleStore
+import graft.store.{CandleStore, VersionedCandleStore}
 
-/** SQL `MERGE INTO` for graft-vstore tables, lowered into the store's
-  * journaled one-tx upsert (`VersionedCandleStore.commit`) instead of a
-  * row-level rewrite plan: the store's native write IS a keyed
-  * last-wins merge, so the supported MERGE shapes translate to one
-  * `commit()` — SQL-only users get keyed updates, not just
-  * `INSERT INTO`, with the full crash-atomicity/journal semantics of
-  * the Scala path. (Reference precedent: every write is an upsert
-  * command executed under one WAL tx, `database/database.go:53-57`,
-  * `page/page.go:114-123`.)
+/** SQL `MERGE INTO` for graft catalog tables — BOTH store shapes —
+  * lowered into the store's native keyed last-wins write instead of a
+  * row-level rewrite plan:
+  *
+  *  - graft-vstore tables → ONE journaled tx
+  *    ([[VersionedCandleStore.commit]]) — SQL-only users get keyed
+  *    updates with the full crash-atomicity/journal semantics of the
+  *    Scala path;
+  *  - plain graft-candles tables → ONE crash-atomic upsert
+  *    ([[CandleStore.upsert]], the reference's page merge
+  *    `page/page.go:114-123` under one WAL tx `database/database.go:53-57`)
+  *    — closing the SQL surface gap where the candle catalog had only
+  *    `INSERT INTO`.
   *
   * Supported (validated loudly at analysis):
   *  - `ON` must be equality on exactly the store's fold key
@@ -31,22 +36,41 @@ import graft.store.VersionedCandleStore
   *    EVERY table column from source-only expressions (`SET *` /
   *    `INSERT *` qualify) — partial assignments can't lower to a
   *    whole-row upsert and are refused;
-  *  - no DELETE (the store is append-only versioned — history is the
-  *    data model), no `WHEN NOT MATCHED BY SOURCE`, no schema
-  *    evolution, no time-travel/change-feed target (read-only lens).
+  *  - no DELETE (vstore is append-only versioned; the candle store's
+  *    SQL surface is insert/upsert-only like the reference's), no
+  *    `WHEN NOT MATCHED BY SOURCE`, no schema evolution, no
+  *    time-travel/change-feed target (read-only lens).
+  *
+  * CARDINALITY DIVERGENCE (documented, optionally strict): ANSI MERGE
+  * raises an error when several source rows hit one target row; the
+  * keyed-upsert lowering instead resolves them by the store's
+  * deterministic within-batch last-wins dedup (vstore `commit`,
+  * candle `upsert` — both mirror `page/page.go:114-123`). Set
+  * `graft.sql.merge.strictSourceCardinality=true` to refuse a source
+  * with duplicate fold keys loudly (one extra aggregation job).
   *
   * Plan shape: both clauses with identical projections (the canonical
   * `SET * / INSERT *` upsert) commit the projected source DIRECTLY —
-  * no target scan at all, exactly the Scala `commit()` plan. Otherwise
+  * no target scan at all, exactly the Scala path's plan. Otherwise
   * matched/unmatched rows split via ONE broadcast-able semi/anti join
   * against the store's latest key set, then one commit of the union.
   */
-case class ResolveVStoreMerge(session: SparkSession) extends Rule[LogicalPlan]
+case class ResolveGraftMerge(session: SparkSession) extends Rule[LogicalPlan]
   with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m: MergeIntoTable if m.resolved && vstoreOf(m.targetTable).isDefined =>
-      lower(m, vstoreOf(m.targetTable).get)
+      val t = vstoreOf(m.targetTable).get
+      if (t.asOfTxOpt.nonEmpty || t.asOfTimeOpt.nonEmpty ||
+          t.changesSinceOpt.nonEmpty)
+        fail("target is a VERSION AS OF / TIMESTAMP AS OF / change-feed " +
+          "lens — read-only; merge into the latest table")
+      val (keyMap, upd, ins) = MergeLowering.validate(m, t.schema())
+      VStoreMergeCommand(t.path, m.sourceTable, keyMap, upd, ins)
+    case m: MergeIntoTable if m.resolved && candleOf(m.targetTable).isDefined =>
+      val t = candleOf(m.targetTable).get
+      val (keyMap, upd, ins) = MergeLowering.validate(m, t.schema())
+      CandleMergeCommand(t.path, m.sourceTable, keyMap, upd, ins)
   }
 
   private def vstoreOf(plan: LogicalPlan): Option[VStoreTable] = plan match {
@@ -58,19 +82,39 @@ case class ResolveVStoreMerge(session: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
+  private def candleOf(plan: LogicalPlan): Option[graft.sources.CandleTable] =
+    plan match {
+      case SubqueryAlias(_, child) => candleOf(child)
+      case r: DataSourceV2Relation => r.table match {
+        case t: graft.sources.CandleTable => Some(t)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private[plans] def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_0035",
+      messageParameters = Map("message" -> s"MERGE INTO graft table: $msg"))
+}
+
+/** The shared shape validation of both MERGE lowerings: fold-key ON,
+  * whole-row source-only assignments, key preservation.
+  */
+private[plans] object MergeLowering extends PredicateHelper {
+
   private def fail(msg: String): Nothing =
     throw new AnalysisException(
       errorClass = "_LEGACY_ERROR_TEMP_0035",
-      messageParameters = Map("message" -> s"MERGE INTO graft-vstore: $msg"))
+      messageParameters = Map("message" -> s"MERGE INTO graft table: $msg"))
 
-  private def lower(m: MergeIntoTable, table: VStoreTable): LogicalPlan = {
-    if (table.asOfTxOpt.nonEmpty || table.asOfTimeOpt.nonEmpty ||
-        table.changesSinceOpt.nonEmpty)
-      fail("target is a VERSION AS OF / TIMESTAMP AS OF / change-feed " +
-        "lens — read-only; merge into the latest table")
+  def validate(m: MergeIntoTable,
+               tableSchema: StructType): (Seq[(String, Expression)],
+      Option[Seq[(String, Expression)]], Option[Seq[(String, Expression)]]) = {
     if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported (the store has " +
-        "no delete: history is the data model)")
+      fail("WHEN NOT MATCHED BY SOURCE is not supported (no delete: " +
+        "vstore history is the data model; the candle surface is " +
+        "insert/upsert-only)")
     if (m.withSchemaEvolution) fail("schema evolution is not supported")
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
@@ -113,7 +157,7 @@ case class ResolveVStoreMerge(session: SparkSession) extends Rule[LogicalPlan]
             "whole-row upsert needs source-only values")
         name -> a.value
       }
-      val tableCols = table.schema().fields.map(_.name.toLowerCase).toSet
+      val tableCols = tableSchema.fields.map(_.name.toLowerCase).toSet
       if (byName.map(_._1).toSet != tableCols || byName.length != tableCols.size)
         fail(s"$kind must assign every table column exactly once " +
           s"(SET * / INSERT * qualify); got ${byName.map(_._1).mkString(", ")}")
@@ -146,7 +190,7 @@ case class ResolveVStoreMerge(session: SparkSession) extends Rule[LogicalPlan]
       case Seq(UpdateAction(None, assigns, _)) =>
         Some(fullAssignments("UPDATE", assigns))
       case Seq(_: DeleteAction) =>
-        fail("WHEN MATCHED DELETE is not supported (append-only store)")
+        fail("WHEN MATCHED DELETE is not supported")
       case _ => fail("one unconditioned WHEN MATCHED THEN UPDATE clause only")
     }
     val ins = m.notMatchedActions match {
@@ -156,15 +200,92 @@ case class ResolveVStoreMerge(session: SparkSession) extends Rule[LogicalPlan]
       case _ => fail("one unconditioned WHEN NOT MATCHED THEN INSERT clause only")
     }
     if (upd.isEmpty && ins.isEmpty) fail("no UPDATE or INSERT clause")
-    VStoreMergeCommand(table.path, m.sourceTable,
-      keyMap.toSeq.sortBy(_._1), upd, ins)
+    (keyMap.toSeq.sortBy(_._1), upd, ins)
+  }
+
+  /** Shared run body: project the source per clause, split
+    * matched/unmatched against `targetKeys` when the clauses differ,
+    * return the single batch to commit. `targetKeys` is by-name so the
+    * fast `SET * / INSERT *` path never builds it.
+    */
+  def mergedRows(session: SparkSession, source: LogicalPlan,
+                 tableSchema: StructType,
+                 keyMap: Seq[(String, Expression)],
+                 updAssigns: Option[Seq[(String, Expression)]],
+                 insAssigns: Option[Seq[(String, Expression)]])
+                (targetKeys: => DataFrame): DataFrame = {
+    val src = ColumnBridge.ofRows(session, source)
+    def project(assigns: Seq[(String, Expression)]): DataFrame = {
+      val cols = tableSchema.fields.map { f =>
+        val e = assigns.find(_._1 == f.name.toLowerCase).get._2
+        ColumnBridge.column(e).cast(f.dataType).as(f.name)
+      }
+      src.select(cols.toIndexedSeq: _*)
+    }
+    def canon(a: Seq[(String, Expression)]) =
+      a.map { case (n, e) => (n, e.canonicalized) }
+    val rows = (updAssigns, insAssigns) match {
+      case (Some(u), Some(i)) if canon(u) == canon(i) =>
+        // SET * / INSERT *: matched ∪ unmatched = all source rows — no
+        // target scan, exactly the Scala commit()/upsert() plan
+        project(u)
+      case _ =>
+        val tgtKeys = targetKeys
+        def half(assigns: Seq[(String, Expression)], joinType: String) = {
+          val keyed = keyMap.foldLeft(src) { case (df, (n, e)) =>
+            df.withColumn(s"_mk_$n", ColumnBridge.column(e))
+          }
+          val cond = keyMap.map { case (n, _) =>
+            keyed(s"_mk_$n") === tgtKeys(n)
+          }.reduce(_ && _)
+          val kept = keyed.join(tgtKeys, cond, joinType)
+            .drop(keyMap.map(t => s"_mk_${t._1}"): _*)
+          val cols = tableSchema.fields.map { f =>
+            val e = assigns.find(_._1 == f.name.toLowerCase).get._2
+            ColumnBridge.column(e).cast(f.dataType).as(f.name)
+          }
+          kept.select(cols.toIndexedSeq: _*)
+        }
+        (updAssigns.map(half(_, "left_semi")).toSeq ++
+          insAssigns.map(half(_, "left_anti")).toSeq)
+          .reduce(_ unionByName _)
+    }
+    strictCardinalityCheck(session, rows, keyMap.map(_._1))
+    rows
+  }
+
+  /** The ANSI-divergence guard, off by default (see class doc): with
+    * `graft.sql.merge.strictSourceCardinality=true`, a source batch
+    * carrying several rows for one fold key is refused loudly instead
+    * of resolved by the store's last-wins dedup.
+    */
+  private def strictCardinalityCheck(session: SparkSession, rows: DataFrame,
+                                     keyNames: Seq[String]): Unit = {
+    val strict = session.conf
+      .getOption("graft.sql.merge.strictSourceCardinality")
+      .exists(_.equalsIgnoreCase("true"))
+    if (!strict) return
+    val dup = rows.groupBy(keyNames.map(col): _*)
+      .count().where(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_0035",
+        messageParameters = Map("message" ->
+          ("MERGE INTO graft table: several source rows share fold key " +
+            s"(${keyNames.zip(dup.head.toSeq).map { case (k, v) => s"$k=$v" }
+              .mkString(", ")}) — ANSI MERGE raises a cardinality " +
+            "violation here; graft's default lowering resolves it by " +
+            "last-wins dedup. Unset graft.sql.merge.strictSourceCardinality " +
+            "to accept that, or dedup the source.")))
   }
 }
 
-/** The lowered merge: project the source per clause, split
-  * matched/unmatched on the store's latest keys when the clauses
-  * differ, commit ONE journaled tx. Runs on the driver like every
-  * store write (the commit itself is the distributed job).
+/** The lowered vstore merge: one journaled tx. The latest-key set for
+  * the split comes from the gated raw (pre-fold) key scan — the
+  * last-wins fold replaces content, never keys, so the folded table's
+  * keys are exactly the raw rows' distinct key tuples (the
+  * aggregate-pushdown derivation, `keyRowsAsOf`), and the semi/anti
+  * join dedups inherently — no winner fold is paid for the split.
   */
 case class VStoreMergeCommand(path: String, source: LogicalPlan,
                               keyMap: Seq[(String, Expression)],
@@ -176,44 +297,39 @@ case class VStoreMergeCommand(path: String, source: LogicalPlan,
 
   override def run(session: SparkSession): Seq[Row] = {
     val store = VersionedCandleStore(session, path)
-    val src = ColumnBridge.ofRows(session, source)
-    def project(assigns: Seq[(String, Expression)]): DataFrame = {
-      val cols = store.tableSchema.fields.map { f =>
-        val e = assigns.find(_._1 == f.name.toLowerCase).get._2
-        ColumnBridge.column(e).cast(f.dataType).as(f.name)
-      }
-      src.select(cols.toIndexedSeq: _*)
-    }
-    def canon(a: Seq[(String, Expression)]) =
-      a.map { case (n, e) => (n, e.canonicalized) }
-    val rows = (updAssigns, insAssigns) match {
-      case (Some(u), Some(i)) if canon(u) == canon(i) =>
-        // SET * / INSERT *: matched ∪ unmatched = all source rows — no
-        // target scan, exactly the Scala commit() plan
-        project(u)
-      case _ =>
-        val keyNames = keyMap.map(_._1)
-        val tgtKeys = store.scan().select(keyNames.map(col): _*)
-        def half(assigns: Seq[(String, Expression)], joinType: String) = {
-          val keyed = keyMap.foldLeft(src) { case (df, (n, e)) =>
-            df.withColumn(s"_mk_$n", ColumnBridge.column(e))
-          }
-          val cond = keyMap.map { case (n, _) =>
-            keyed(s"_mk_$n") === tgtKeys(n)
-          }.reduce(_ && _)
-          val kept = keyed.join(tgtKeys, cond, joinType)
-            .drop(keyMap.map(t => s"_mk_${t._1}"): _*)
-          val cols = store.tableSchema.fields.map { f =>
-            val e = assigns.find(_._1 == f.name.toLowerCase).get._2
-            ColumnBridge.column(e).cast(f.dataType).as(f.name)
-          }
-          kept.select(cols.toIndexedSeq: _*)
-        }
-        (updAssigns.map(half(_, "left_semi")).toSeq ++
-          insAssigns.map(half(_, "left_anti")).toSeq)
-          .reduce(_ unionByName _)
-    }
+    val keyNames = keyMap.map(_._1)
+    val rows = MergeLowering.mergedRows(session, source, store.tableSchema,
+      keyMap, updAssigns, insAssigns)(
+      store.keyRowsAsOf(Long.MaxValue).select(keyNames.map(col): _*))
     store.commit(rows)
+    Seq.empty
+  }
+}
+
+/** The lowered plain-candle merge: one crash-atomic [[CandleStore.upsert]]
+  * (publish-intent + install). The split's target keys come straight
+  * off the store scan with only the key columns selected — the plain
+  * store holds one live row per key by construction, so the key scan is
+  * a pruned parquet read, no fold. `year` rides through the same
+  * derive-or-verify contract as `INSERT INTO` (a value disagreeing with
+  * `year(ts)` is refused, the store re-derives it).
+  */
+case class CandleMergeCommand(path: String, source: LogicalPlan,
+                              keyMap: Seq[(String, Expression)],
+                              updAssigns: Option[Seq[(String, Expression)]],
+                              insAssigns: Option[Seq[(String, Expression)]])
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val store = CandleStore(session, path)
+    val keyNames = keyMap.map(_._1)
+    val rows = MergeLowering.mergedRows(session, source,
+      graft.sources.CandleTable.tableSchema, keyMap, updAssigns, insAssigns)(
+      store.scan().select(keyNames.map(col): _*))
+    graft.sources.CandleInserts.insert(rows, overwrite = false,
+      "graft-candles", "unreachable") { clean => store.upsert(clean); () }
     Seq.empty
   }
 }

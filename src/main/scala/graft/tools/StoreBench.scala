@@ -33,6 +33,9 @@ object StoreBench {
     if (args.contains("vstream")) {
       vstreamSoak(num.map(_.toInt).getOrElse(500)); return
     }
+    if (args.contains("xstream")) {
+      xstreamSoak(num.map(_.toInt).getOrElse(500)); return
+    }
     if (args.contains("cc")) { ccSoak(num.getOrElse(10000000L)); return }
     if (args.contains("fanout")) { fanoutSoak(num.getOrElse(2000000L)); return }
     val spark = GraftSession.builder(appName = "graft-storebench").getOrCreate()
@@ -304,6 +307,118 @@ object StoreBench {
     spark.stop()
     if (!flat || commits != nBatches || files > 220 || foldedRows > 12 ||
         tailRows != scanned)
+      sys.exit(1)
+  }
+
+  /** Cross-store streaming soak (`StoreBench xstream [nBatches]`,
+    * default 500): a REAL Structured Streaming query drives ONE atomic
+    * two-store transaction per micro-batch through
+    * `Ingest.crossStoreCommitWriter` (candle upsert + versioned commit
+    * under one 2PC marker). Gates:
+    *  - per-batch wall FLAT across the horizon (phase-aligned medians,
+    *    like the vstream soak) — the coordinator must not pay
+    *    O(total-batches) anywhere;
+    *  - coordinator dir BOUNDED: the hot listing (pending `.commit` +
+    *    tmps at the root) stays empty between batches and the retired
+    *    `_done` set stays O(1) under the per-batch batch-horizon GC;
+    *  - exactly-once: one journaled vstore commit per batch, candle row
+    *    count exact;
+    *  - after the drive, an in-window replay returns recorded tokens
+    *    and a beyond-horizon replay is REFUSED (never re-executed).
+    * Each batch lands in its own candle YEAR so the upsert merge stays
+    * O(batch) — the soak isolates coordinator cost, not the (by-design)
+    * partition-merge cost of hammering one year 500 times.
+    */
+  private def xstreamSoak(nBatches: Int): Unit = {
+    val spark = GraftSession.builder(appName = "graft-xstreambench").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft-xstream").toString
+    val cs = CandleStore(spark, s"$base/candles")
+    val vs = new graft.store.VersionedCandleStore(spark, s"$base/v",
+      checkpointEvery = 100)
+    val coord = s"$base/txs"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, Long, Double)]
+    // batch i's rows carry year 1971+i (one candle year per batch)
+    val stream = mem.toDF().toDF("b", "k", "v").select(
+      lit("UPBIT").as("market"), lit("SYM0").as("code"),
+      lit(60).as("candle_length"),
+      timestamp_seconds(unix_timestamp(
+        make_date(col("b") + 1971, lit(1), lit(1)).cast("timestamp")) +
+        col("k") * 60).as("ts"),
+      col("v").as("open"), (col("v") + 1).as("high"), (col("v") - 1).as("low"),
+      col("v").as("close"), lit(10.0).as("volume"), lit(0L).as("bit_fields"))
+    val q = graft.streaming.Ingest.startCrossStoreIngest(stream, coord, "soak",
+      b => Seq(graft.store.CrossStoreTx.CandleUpsert(cs, b),
+        graft.store.CrossStoreTx.VersionedCommit(vs, b)),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val rowsPerBatch = 20
+    val walls = new Array[Double](nBatches)
+    val coordRoot = new java.io.File(coord)
+    val doneDir = new java.io.File(coord, "_done")
+    var maxRootMarkers, maxDone = 0
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < nBatches) {
+      val rows = (0 until rowsPerBatch).map(j => (i, j.toLong, i * 1.0 + j))
+      val a = System.nanoTime()
+      mem.addData(rows)
+      q.processAllAvailable()
+      walls(i) = (System.nanoTime() - a) / 1e9
+      val rootMarkers = Option(coordRoot.listFiles()).map(_.count { f =>
+        f.isFile && (f.getName.endsWith(".commit") || f.getName.contains(".tmp"))
+      }).getOrElse(0)
+      val doneN = Option(doneDir.listFiles()).map(_.length).getOrElse(0)
+      maxRootMarkers = math.max(maxRootMarkers, rootMarkers)
+      maxDone = math.max(maxDone, doneN)
+      i += 1
+      if (i % 50 == 0)
+        println(f"[xstream] batch $i/$nBatches wall=${walls(i - 1)}%.2f s " +
+          f"root_markers=$rootMarkers done_entries=$doneN " +
+          f"elapsed=${(System.nanoTime() - t0) / 1e9}%.0f s")
+    }
+    q.stop()
+    println("[xstream] per-batch walls (s):")
+    walls.grouped(20).zipWithIndex.foreach { case (g, gi) =>
+      println(f"[xstream]  ${gi * 20}%3d+ " + g.map(w => f"$w%5.2f").mkString(" "))
+    }
+    val vCommits = vs.txLog().where(col("kind") === "commit").count() +
+      vs.txLog().where(col("kind") === "commits")
+        .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+    val candleRows = cs.scan().count()
+    // in-window replay (last batch): recorded tokens, no new journal row
+    val lastName = s"soak-${nBatches - 1}"
+    val replay = graft.store.CrossStoreTx.execute(spark, coord, lastName,
+      Seq(graft.store.CrossStoreTx.VersionedCommit(vs, spark.emptyDataFrame)))
+    val vAfterReplay = vs.txLog().where(col("kind") === "commit").count() +
+      vs.txLog().where(col("kind") === "commits")
+        .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+    // beyond-horizon replay: batch 0's marker was GC'd batches ago
+    val refused =
+      try { graft.store.CrossStoreTx.execute(spark, coord, "soak-0",
+        Seq(graft.store.CrossStoreTx.VersionedCommit(vs, spark.emptyDataFrame)))
+        false
+      } catch { case e: IllegalStateException => e.getMessage.contains("GC'd") }
+    def median(a: Array[Double]) = a.sorted.apply(a.length / 2)
+    val w0 = walls.slice(nBatches / 5, nBatches * 3 / 5)
+    val w1 = walls.slice(nBatches * 3 / 5, nBatches)
+    val flat = median(w1) <= 1.5 * median(w0)
+    def ok(b: Boolean) = if (b) "OK" else "FAIL"
+    println(f"[xstream] batches=$nBatches vstore_commits=$vCommits " +
+      f"candle_rows=$candleRows max_root_markers=$maxRootMarkers " +
+      f"max_done_entries=$maxDone total=${(System.nanoTime() - t0) / 1e9}%.0f s")
+    println(f"[xstream] mid-median=${median(w0)}%.2f s " +
+      f"tail-median=${median(w1)}%.2f s flat=${ok(flat)} " +
+      s"exactly-once=${ok(vCommits == nBatches && vAfterReplay == nBatches &&
+        replay.length == 2)} " +
+      s"candle-exact=${ok(candleRows == nBatches.toLong * rowsPerBatch)} " +
+      s"coord-bounded=${ok(maxRootMarkers <= 2 && maxDone <= 6)} " +
+      s"deep-replay-refused=${ok(refused)}")
+    spark.stop()
+    if (!flat || vCommits != nBatches || vAfterReplay != nBatches ||
+        replay.length != 2 || candleRows != nBatches.toLong * rowsPerBatch ||
+        maxRootMarkers > 2 || maxDone > 6 || !refused)
       sys.exit(1)
   }
 

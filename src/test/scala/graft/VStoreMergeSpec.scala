@@ -97,6 +97,100 @@ class VStoreMergeSpec extends SparkSpec {
     assert(row.getDouble(0) == 30.0 && row.getDouble(1) == 11.0)
   }
 
+  test("the split-path latest-key set bypasses the winner fold: the gated " +
+      "raw key scan plans NO fold aggregate/window yet yields scan()'s keys") {
+    val st = VersionedCandleStore(spark, s"$base/m/keys")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2022-01-01 10:00:00", 2)).toDF())
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 9)).toDF()) // overlap
+    val raw = st.keyRowsAsOf(Long.MaxValue)
+    val plan = raw.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("max_by") && !plan.toLowerCase.contains("window"),
+      s"raw key scan pays a fold:\n$plan")
+    assert(raw.count() == 3, "raw scan must see PRE-fold rows (2+1)")
+    assert(raw.select("market", "code", "candle_length", "ts").distinct()
+      .count() == st.scan().count(),
+      "distinct raw keys must equal the folded table's key set")
+  }
+
+  test("MERGE INTO a PLAIN candle-catalog table lowers to the atomic " +
+      "upsert: SET*/INSERT* equals the Scala upsert; half-merges split " +
+      "matched/unmatched; refusals and history semantics match") {
+    spark.conf.set("spark.sql.catalog.cm", classOf[graft.sources.CandleCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cm.base", base)
+    val cs = graft.store.CandleStore(spark, s"$base/pc")
+    cs.upsert(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("BTC", "2022-01-01 10:01:00", 2)).toDF())
+    Seq(c("BTC", "2022-01-01 10:01:00", 20), // update
+      c("ETH", "2021-06-01 00:00:00", 5))    // insert
+      .toDF().withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_pc")
+    val on =
+      """ON t.market = s.market AND t.code = s.code
+         AND t.candle_length = s.candle_length AND t.ts = s.ts"""
+    spark.sql(s"""MERGE INTO cm.pc t USING src_pc s $on
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(opens(cs.scan()) == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> 1.0,
+      ("BTC", ts("2022-01-01 10:01:00")) -> 20.0,
+      ("ETH", ts("2021-06-01 00:00:00")) -> 5.0))
+    // half-merges: update-only touches matched keys, insert-only adds new
+    Seq(c("BTC", "2022-01-01 10:00:00", 7), c("SOL", "2022-02-01 00:00:00", 3))
+      .toDF().withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_pc2")
+    spark.sql(s"""MERGE INTO cm.pc t USING src_pc2 s $on
+         WHEN MATCHED THEN UPDATE SET *""")
+    assert(opens(cs.scan())(("BTC", ts("2022-01-01 10:00:00"))) == 7.0)
+    assert(!opens(cs.scan()).contains(("SOL", ts("2022-02-01 00:00:00"))),
+      "update-only merge must not insert the unmatched SOL row")
+    spark.sql(s"""MERGE INTO cm.pc t USING src_pc2 s $on
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(opens(cs.scan())(("SOL", ts("2022-02-01 00:00:00"))) == 3.0)
+    // refusals mirror the vstore lowering
+    def refusedC(sql: String, needle: String): Unit = {
+      val e = intercept[AnalysisException](spark.sql(sql))
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    refusedC(s"MERGE INTO cm.pc t USING src_pc2 s $on " +
+      "WHEN MATCHED THEN DELETE", "DELETE is not supported")
+    refusedC(s"MERGE INTO cm.pc t USING src_pc2 s $on " +
+      "WHEN MATCHED THEN UPDATE SET open = s.open", "every table column")
+    refusedC("MERGE INTO cm.pc t USING src_pc2 s ON t.code = s.code " +
+      "WHEN MATCHED THEN UPDATE SET *", "exactly the fold key")
+    // a lying year is refused through the same INSERT contract
+    Seq(c("ADA", "2022-01-01 10:00:00", 1)).toDF()
+      .withColumn("year", org.apache.spark.sql.functions.lit(1999))
+      .createOrReplaceTempView("src_pc_bad")
+    intercept[Exception](spark.sql(s"""MERGE INTO cm.pc t USING src_pc_bad s
+         $on WHEN NOT MATCHED THEN INSERT *"""))
+  }
+
+  test("strict source-cardinality mode refuses duplicate fold keys in the " +
+      "source (the documented ANSI divergence); default last-wins dedups") {
+    val st = VersionedCandleStore(spark, s"$base/m/card")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    // TWO source rows on one fold key
+    Seq(c("BTC", "2022-01-01 10:00:00", 5), c("BTC", "2022-01-01 10:00:00", 6))
+      .toDF().withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_card")
+    val m =
+      """MERGE INTO vm.m.card t USING src_card s
+         ON t.market = s.market AND t.code = s.code
+            AND t.candle_length = s.candle_length AND t.ts = s.ts
+         WHEN MATCHED THEN UPDATE SET *"""
+    spark.conf.set("graft.sql.merge.strictSourceCardinality", "true")
+    try {
+      val e = intercept[AnalysisException](spark.sql(m))
+      assert(e.getMessage.contains("cardinality"), e.getMessage)
+      assert(opens(st.scan()) == Map(("BTC", ts("2022-01-01 10:00:00")) -> 1.0),
+        "strict refusal must not have committed")
+    } finally spark.conf.unset("graft.sql.merge.strictSourceCardinality")
+    // default: deterministic last-wins dedup (documented divergence)
+    spark.sql(m)
+    assert(st.scan().count() == 1)
+  }
+
   test("refusals are loud: DELETE, partial SET, non-key ON, target-column " +
       "values, time-travel target; INSERT OVERWRITE still refused") {
     val st = VersionedCandleStore(spark, s"$base/m/no")
