@@ -1658,8 +1658,9 @@ object Queries {
         .select(col("id"), col("max_cos")).as[(Long, Double)].collect().toMap
       val planted = T.embeddings(s, d).where(col("vec_id") % 10 === 0)
         .select(col("vec_id")).as[Long].collect()
+      val off = q9yTwinOffset(s, d)
       val onePerPair = planted.forall(v =>
-        flags.contains(v) ^ flags.contains(v + 100000L))
+        flags.contains(v) ^ flags.contains(v + off))
       val allExact = flags.valuesIterator.forall(_ >= 0.9999)
       val census = graft.streaming.Ingest.ivfCellState(s, state).count()
       val nEmb = T.embeddings(s, d).count()
@@ -2191,6 +2192,17 @@ object Queries {
     * dependent, measured on the q9X fixture), so a real stream drives
     * this one. Returns the state dir.
     */
+  /** Twin-id offset for the q9Y planted pairs, derived identically by
+    * the fixture and the query: the historical +100000 at every
+    * oracle-checked SF (hash-stable), one past the real id space when
+    * a synthetic corpus (ScaleProbe's 10×/100× decades) grows into it —
+    * collision-free at any scale instead of a loud refusal.
+    */
+  private def q9yTwinOffset(s: SparkSession, d: String): Long = {
+    val maxId = T.embeddings(s, d).agg(max(col("vec_id"))).head().getLong(0)
+    if (maxId < 100000L) 100000L else maxId + 1
+  }
+
   private def streamedEmbedDedupState(s: SparkSession, d: String): String =
     embDedupCache.getOrElseUpdate(ek(d), {
       val base = Files.createTempDirectory("graft-qembdedup").toString
@@ -2199,13 +2211,9 @@ object Queries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
       val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      // twin ids live at +100000: loud guard against id-space overlap
-      // at a scale factor large enough for real vec_ids to reach it
-      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-      require(maxId < 100000L,
-        s"q9Y twin ids (vec_id + 100000) would collide: max vec_id = $maxId")
+      val off = q9yTwinOffset(s, d)
       val twins = emb.where(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
       val staging = s"$base/staging"
       emb.withColumn("_slice", (ntile(3).over(
           org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1).cast("int"))

@@ -644,14 +644,18 @@ final class CandleStore(spark: SparkSession, val path: String) {
       return None
     recover()
     val fs = hadoopFs
-    val dirs = tuples.map { r =>
+    val candidates = tuples.map { r =>
       val rel = Candle.partitionCols.indices.map { i =>
         s"${Candle.partitionCols(i)}=" +
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .escapePathName(String.valueOf(r.get(i)))
       }.mkString("/")
       new org.apache.hadoop.fs.Path(rootP, rel)
-    }.filter(fs.exists) // insert-only partitions have no live dir yet
+    }.toSeq
+    // existence probes on the bounded pool — up to the cap's worth of
+    // metadata RPCs, the same wall the stageIntent census avoids
+    val dirs = inParallel(candidates)(d => d -> fs.exists(d))
+      .collect { case (d, true) => d } // insert-only partitions: no dir yet
     val schema = org.apache.spark.sql.types.StructType(
       Candle.schema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
         "year", org.apache.spark.sql.types.IntegerType))
