@@ -325,9 +325,23 @@ case class CandleMergeCommand(path: String, source: LogicalPlan,
   override def run(session: SparkSession): Seq[Row] = {
     val store = CandleStore(session, path)
     val keyNames = keyMap.map(_._1)
+    // stamped-but-empty store (CREATE TABLE then MERGE): no partition
+    // dirs to scan — the key set is empty, every source row unmatched
+    // (the catalog scan's own empty-store guard, mirrored)
+    def targetKeys: DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
+      val hasData = fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("market="))
+      val base =
+        if (hasData) store.scan()
+        else session.createDataFrame(new java.util.ArrayList[Row](),
+          graft.sources.CandleTable.tableSchema)
+      base.select(keyNames.map(col): _*)
+    }
     val rows = MergeLowering.mergedRows(session, source,
       graft.sources.CandleTable.tableSchema, keyMap, updAssigns, insAssigns)(
-      store.scan().select(keyNames.map(col): _*))
+      targetKeys)
     graft.sources.CandleInserts.insert(rows, overwrite = false,
       "graft-candles", "unreachable") { clean => store.upsert(clean); () }
     Seq.empty

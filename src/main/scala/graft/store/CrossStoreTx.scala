@@ -324,9 +324,13 @@ object CrossStoreTx {
     // name's crashed attempt included) BEFORE reading replay state
     recover(spark, coordDir)
     val committed = markerOf(coordDir, name, "commit")
+    // a concurrent vacuumRetired can GC the done marker between the
+    // existence probe and the read — treat it as absent (the horizon
+    // check below then refuses a numeric replay loudly)
     def recordedTokens(): Option[Seq[String]] =
-      findDone(fs, coordDir, name).orElse(Some(committed).filter(fs.exists))
+      try findDone(fs, coordDir, name).orElse(Some(committed).filter(fs.exists))
         .map(readMarker(fs, _).map(_._1.txTokenOfLine))
+      catch { case _: java.io.FileNotFoundException => None }
     recordedTokens() match {
       // already committed (recover() above finalized it): exactly-once
       case Some(toks) => return toks

@@ -134,8 +134,16 @@ object Ingest {
           // go (their GC'd ids fold into the horizon file — a too-deep
           // replay is refused loudly, never silently re-executed). Keeps
           // execute()'s recover listing O(pending), not O(total batches).
+          // HORIZON-ONLY (retainMs = ∞): the writer GC's exactly its own
+          // prefix's provably-unreplayable batches — an age sweep here
+          // could drop a DIFFERENT stream's (or a manual tx's) last
+          // marker in a shared coordinator dir while that stream idles,
+          // turning its in-contract replay into a refusal. Each writer
+          // bounds its own prefix; free-form names are the operator's
+          // vacuumRetired(retainMs) call.
           graft.store.CrossStoreTx.vacuumRetired(batch.sparkSession,
-            coordDir, batchHorizon = Some((namePrefix, batchId)))
+            coordDir, retainMs = Long.MaxValue,
+            batchHorizon = Some((namePrefix, batchId)))
           ()
         }
       }

@@ -262,9 +262,23 @@ class CrossStoreTxSpec extends SparkSpec {
     // root listing holds NO retired markers (recover stays O(pending))
     assert(!f.listStatus(new org.apache.hadoop.fs.Path(coord))
       .exists(_.getPath.getName.endsWith(".done")))
-    // GC everything below batch 2 (the streaming writer's per-batch call)
-    assert(CrossStoreTx.vacuumRetired(spark, coord,
+    // a DIFFERENT stream's marker and a free-form manual tx share the
+    // coordinator: the writer-style horizon-only GC must never touch
+    // them, however old they are (an age sweep could drop an idle
+    // stream's LAST marker and turn its in-contract replay into a
+    // refusal)
+    for (n <- Seq("other-1.done", "manual-x.done")) {
+      val p = new org.apache.hadoop.fs.Path(doneDir, n)
+      val os = f.create(p, false); os.write("x".getBytes); os.close()
+      f.setTimes(p, System.currentTimeMillis() - 90L * 24 * 3600 * 1000, -1)
+    }
+    // GC everything below batch 2 (the streaming writer's per-batch
+    // call: horizon-only, retainMs = ∞)
+    assert(CrossStoreTx.vacuumRetired(spark, coord, retainMs = Long.MaxValue,
       batchHorizon = Some(("ing", 2))) == 2)
+    assert(f.exists(new org.apache.hadoop.fs.Path(doneDir, "other-1.done")) &&
+      f.exists(new org.apache.hadoop.fs.Path(doneDir, "manual-x.done")),
+      "horizon-only GC dropped a foreign prefix's marker")
     // batch 2's marker survives: its replay is exactly-once
     val again = CrossStoreTx.execute(spark, coord, "ing-2",
       Seq(VersionedCommit(vs, spark.emptyDataFrame)))
@@ -277,8 +291,10 @@ class CrossStoreTxSpec extends SparkSpec {
     assert(e.getMessage.contains("GC'd"), e.getMessage)
     assert(vs.txLog().where($"kind" === "commit").count() == 3,
       "refused replay still committed something")
-    // time-based retention drops the rest; the horizon then covers it too
-    assert(CrossStoreTx.vacuumRetired(spark, coord, retainMs = 0) == 1)
+    // time-based retention (the operator's manual call) drops the rest —
+    // ing-2 plus the two planted foreign markers; the horizon then
+    // covers ing-2's replay too
+    assert(CrossStoreTx.vacuumRetired(spark, coord, retainMs = 0) == 3)
     intercept[IllegalStateException](CrossStoreTx.execute(spark,
       coord, "ing-2", Seq(VersionedCommit(vs, vBatch))))
   }

@@ -166,6 +166,30 @@ class VStoreMergeSpec extends SparkSpec {
          $on WHEN NOT MATCHED THEN INSERT *"""))
   }
 
+  test("half-merge into a FRESHLY CREATED empty candle table: the target " +
+      "key set is empty (no schema-inference crash), every row inserts") {
+    spark.conf.set("spark.sql.catalog.cme", classOf[graft.sources.CandleCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cme.base", base)
+    spark.sql("CREATE TABLE cme.fresh")
+    Seq(c("BTC", "2022-01-01 10:00:00", 4)).toDF()
+      .withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_fresh")
+    spark.sql(
+      """MERGE INTO cme.fresh t USING src_fresh s
+         ON t.market = s.market AND t.code = s.code
+            AND t.candle_length = s.candle_length AND t.ts = s.ts
+         WHEN NOT MATCHED THEN INSERT *""")
+    val cs = graft.store.CandleStore(spark, s"$base/fresh")
+    assert(opens(cs.scan()) == Map(("BTC", ts("2022-01-01 10:00:00")) -> 4.0))
+    // update-only against the now one-row store: unmatched rows ignored
+    spark.sql(
+      """MERGE INTO cme.fresh t USING src_fresh s
+         ON t.market = s.market AND t.code = s.code
+            AND t.candle_length = s.candle_length AND t.ts = s.ts
+         WHEN MATCHED THEN UPDATE SET *""")
+    assert(cs.scan().count() == 1)
+  }
+
   test("strict source-cardinality mode refuses duplicate fold keys in the " +
       "source (the documented ANSI divergence); default last-wins dedups") {
     val st = VersionedCandleStore(spark, s"$base/m/card")
