@@ -343,7 +343,9 @@ case class CandleMergeCommand(path: String, source: LogicalPlan,
       graft.sources.CandleTable.tableSchema, keyMap, updAssigns, insAssigns)(
       targetKeys)
     graft.sources.CandleInserts.insert(rows, overwrite = false,
-      "graft-candles", "unreachable") { clean => store.upsert(clean); () }
+      "graft-candles", "MERGE never overwrites") { clean =>
+      store.upsert(clean); ()
+    }
     Seq.empty
   }
 }

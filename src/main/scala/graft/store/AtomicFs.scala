@@ -32,7 +32,12 @@ import org.apache.spark.sql.SparkSession
 object AtomicFs {
 
   /** URI schemes of object stores whose Hadoop connectors do not give
-    * atomic rename / create-exclusive semantics.
+    * atomic rename / create-exclusive semantics. Deliberately
+    * CONSERVATIVE: `abfs`/`abfss` (ADLS Gen2) IS rename-atomic when the
+    * account has hierarchical namespaces enabled — but that is an
+    * account property this scheme-only check cannot see, so those
+    * deployments opt in explicitly via the override conf (a documented,
+    * legitimate use of it) rather than the check silently assuming HNS.
     */
   private val objectStoreSchemes: Set[String] =
     Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
