@@ -706,9 +706,12 @@ object Queries {
       val ev = T.events(s, d)
       val st = graft.store.VersionedCandleStore(s, p)
       st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
-      // catalog name derived from the dataset dir (CatalogManager caches
-      // instances per session by name — see q9V)
-      val cat = "gvm" + (d.hashCode & 0x7fffffff)
+      // catalog name derived from the EPOCH-QUALIFIED cache key, not
+      // the dataset dir alone: CatalogManager caches instances (and
+      // their captured base) per NAME, so a fresh-fixture bench rep
+      // re-setting the same name's base would silently keep merging
+      // into the epoch-0 store — see q9V
+      val cat = "gvm" + (ek(d).hashCode & 0x7fffffff)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.base", base)
       eventCandles(ev.where(col("event_id") % 3 === 0))
@@ -744,7 +747,8 @@ object Queries {
       val ev = T.events(s, d)
       val st = CandleStore(s, p)
       st.upsert(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
-      val cat = "gcm" + (d.hashCode & 0x7fffffff)
+      // epoch-qualified for the same reason as mergeStore's
+      val cat = "gcm" + (ek(d).hashCode & 0x7fffffff)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CandleCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.base", base)
       eventCandles(ev.where(col("event_id") % 3 === 0))
@@ -2198,10 +2202,12 @@ object Queries {
     * a synthetic corpus (ScaleProbe's 10×/100× decades) grows into it —
     * collision-free at any scale instead of a loud refusal.
     */
-  private def q9yTwinOffset(s: SparkSession, d: String): Long = {
-    val maxId = T.embeddings(s, d).agg(max(col("vec_id"))).head().getLong(0)
-    if (maxId < 100000L) 100000L else maxId + 1
-  }
+  private val twinOffsetCache = scala.collection.concurrent.TrieMap[String, Long]()
+  private def q9yTwinOffset(s: SparkSession, d: String): Long =
+    twinOffsetCache.getOrElseUpdate(ek(d), { // constant per dataset: one max() job, not one per evaluation
+      val maxId = T.embeddings(s, d).agg(max(col("vec_id"))).head().getLong(0)
+      if (maxId < 100000L) 100000L else maxId + 1
+    })
 
   private def streamedEmbedDedupState(s: SparkSession, d: String): String =
     embDedupCache.getOrElseUpdate(ek(d), {

@@ -327,8 +327,12 @@ case class CandleMergeCommand(path: String, source: LogicalPlan,
     val keyNames = keyMap.map(_._1)
     // stamped-but-empty store (CREATE TABLE then MERGE): no partition
     // dirs to scan — the key set is empty, every source row unmatched
-    // (the catalog scan's own empty-store guard, mirrored)
+    // (the catalog scan's own empty-store guard, mirrored — INCLUDING
+    // its recover-first: a crashed-install predecessor batch must be
+    // rolled forward before the probe, or its keys read as absent and
+    // a matched-update merge silently drops the updates)
     def targetKeys: DataFrame = {
+      store.recover()
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
       val hasData = fs.exists(p) &&

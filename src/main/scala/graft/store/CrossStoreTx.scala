@@ -132,8 +132,11 @@ object CrossStoreTx {
     def line: String =
       s"vstore\t${store.path}\t$tx\t$written\t${committedAt.map(_.getTime).getOrElse(-1L)}"
     def finalizeOp(): Unit = {
-      store.finalizeDataCommit(tx, written, committedAt, None,
-        verifyData = true); ()
+      // same-process finalize: prepare's settle loop verified the exact
+      // moved file set moments ago — the O(partition-tree) verifyData
+      // glob is the RECOVERY path's fence (finalizeFrom), not a
+      // per-micro-batch cost
+      store.finalizeDataCommit(tx, written, committedAt, None); ()
     }
     def abortOp(): Unit = () // torn-commit semantics: invisible; vacuum reclaims
     def txToken: String = tx.toString
@@ -254,6 +257,17 @@ object CrossStoreTx {
     */
   private val NumericName = "^(.*)-([0-9]+)$".r
 
+  /** [[NumericName]] with the id parsed: a digit run too long for Long
+    * (legal in the name charset) is treated as NON-numeric everywhere —
+    * one consistent rule, never a NumberFormatException wedging the GC.
+    */
+  private object BatchName {
+    def unapply(name: String): Option[(String, Long)] = name match {
+      case NumericName(pfx, b) => b.toLongOption.map(pfx -> _)
+      case _ => None
+    }
+  }
+
   private def horizonPrefix(pfx: String) = s"_horizon-$pfx-"
 
   /** Highest retired-and-GC'd batch id recorded for `pfx` (monotone;
@@ -336,17 +350,24 @@ object CrossStoreTx {
       case Some(toks) => return toks
       case None => ()
     }
-    // replay below the GC horizon: the tx committed and its marker was
-    // retired AND vacuumed — re-executing would double-commit, so refuse
+    // replay at or below the GC horizon: the tx committed and its
+    // marker was retired AND vacuumed — re-executing would
+    // double-commit, so refuse. NAMING CONTRACT: `<prefix>-<digits>` in
+    // a coordinator dir is the per-prefix batch-id namespace (the
+    // streaming writer's); a manual tx reusing a stream's prefix with a
+    // numeric suffix at/below that stream's horizon is refused here
+    // too, indistinguishably — give manual txs their own prefix.
     name match {
-      case NumericName(pfx, b)
-          if readHorizon(fs, coordDir, pfx).exists(_ >= b.toLong) =>
+      case BatchName(pfx, b)
+          if readHorizon(fs, coordDir, pfx).exists(_ >= b) =>
         throw new IllegalStateException(
           s"cross-store tx '$name' already committed: its retired marker " +
             s"was GC'd past the retention horizon (prefix '$pfx' horizon " +
             s"${readHorizon(fs, coordDir, pfx).get}); refusing to " +
             "re-execute — recorded tokens are no longer available. Replays " +
-            "deeper than vacuumRetired's retention are out of contract.")
+            "deeper than vacuumRetired's retention are out of contract " +
+            "(as is a NEW tx reusing a streaming prefix's numeric " +
+            "namespace — use a distinct prefix for manual txs).")
       case _ => ()
     }
 
@@ -448,7 +469,12 @@ object CrossStoreTx {
     if (!fs.exists(new Path(coordDir))) return 0
     val entries = fs.listStatus(new Path(coordDir)).filter(_.isFile)
     val tmpCutoff = System.currentTimeMillis() - staleLockMs
-    entries.filter(s => s.getPath.getName.contains(".tmp") &&
+    // anchored on the tmp SHAPE (`<name>.tmp-<attempt>` / legacy
+    // `<name>.tmp`), never a substring: tx names may contain dots, and
+    // a substring match could delete a committed marker like
+    // `nightly.tmp-reload.commit` — a permanent half-commit
+    val TmpName = ".*\\.tmp(-[^.]+)?$".r
+    entries.filter(s => TmpName.matches(s.getPath.getName) &&
         s.getModificationTime <= tmpCutoff)
       .foreach(s => fs.delete(s.getPath, false))
     // lazy migration: a legacy top-level `.done` moves into `_done/` so
@@ -492,9 +518,10 @@ object CrossStoreTx {
     * applied to the coordinator log. A marker is dropped once it is
     * older than `retainMs`, or (for `prefix-<batchId>` names) once
     * `batchHorizon = Some((prefix, keepFrom))` declares every batch
-    * below `keepFrom` unreplayable — the streaming writer passes
-    * `batchId - 1`, since a foreachBatch restart replays at most the
-    * last batch. Before any numeric-named marker is dropped its batch
+    * below `keepFrom` unreplayable — the streaming writer passes the
+    * just-committed `batchId` (keeping ITS marker), since a
+    * foreachBatch restart replays at most that batch, never an earlier
+    * one. Before any numeric-named marker is dropped its batch
     * id is folded into the per-prefix horizon file, so a replay from
     * beyond the retention window is REFUSED by [[execute]] instead of
     * double-committing. Returns the number of markers removed.
@@ -517,8 +544,8 @@ object CrossStoreTx {
       n.endsWith(".done") && {
         val name = n.stripSuffix(".done")
         val byBatch = (name, batchHorizon) match {
-          case (NumericName(pfx, b), Some((hp, keepFrom))) =>
-            pfx == hp && b.toLong < keepFrom
+          case (BatchName(pfx, b), Some((hp, keepFrom))) =>
+            pfx == hp && b < keepFrom
           case _ => false
         }
         byBatch || s.getModificationTime <= cutoff
@@ -527,7 +554,7 @@ object CrossStoreTx {
     // fence FIRST, delete after: a crash in between leaves the marker
     // in place (replay still exactly-once) with the horizon already up
     doomed.flatMap(p => p.getName.stripSuffix(".done") match {
-        case NumericName(pfx, b) => Some(pfx -> b.toLong)
+        case BatchName(pfx, b) => Some(pfx -> b)
         case _ => None
       })
       .groupBy(_._1).view.mapValues(_.map(_._2).max)
