@@ -44,13 +44,79 @@ object Queries {
     if (e == 0) d else s"$d#e$e"
   }
 
+  /** Every fixture cache registers here so [[withFreshFixtures]] can
+    * drop an epoch's entries on restore — epoch keys are never reused,
+    * so un-dropped entries would accumulate across a long bench run.
+    */
+  private val allFixtureCaches =
+    scala.collection.mutable.ArrayBuffer[scala.collection.concurrent.TrieMap[String, _]]()
+  private def fixtureCache[V](): scala.collection.concurrent.TrieMap[String, V] = {
+    val m = scala.collection.concurrent.TrieMap[String, V]()
+    allFixtureCaches.synchronized { allFixtureCaches += m }
+    m
+  }
+
+  /** Temp dirs and session confs created while a fresh epoch is active,
+    * reclaimed when the epoch ends. In the base world (epoch 0) nothing
+    * registers: base fixtures are meant to live for the whole run.
+    */
+  private val epochTmpDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private val epochConfKeys =
+    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, String)]()
+
+  /** `Files.createTempDirectory`, epoch-aware: a throwaway world's dirs
+    * are deleted when [[withFreshFixtures]] restores the base world —
+    * without this, every stateful bench rep beyond the first leaks a
+    * full fixture world of disk for the life of the JVM.
+    */
+  private def fixtureTmpDir(prefix: String): java.nio.file.Path = {
+    val p = Files.createTempDirectory(prefix)
+    if (fixtureEpoch.get != 0) epochTmpDirs.add(p)
+    p
+  }
+
+  /** Session-conf set, epoch-aware: confs keyed on an epoch-qualified
+    * name (the per-epoch catalog registrations) are unset on restore.
+    */
+  private def setEpochConf(s: SparkSession, key: String, value: String): Unit = {
+    s.conf.set(key, value)
+    if (fixtureEpoch.get != 0) epochConfKeys.add((s, key))
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => try Files.delete(q)
+          catch { case _: java.io.IOException => () })
+      finally walk.close()
+    }
+
   /** Run `body` against a THROWAWAY fixture world (fresh epoch), then
     * restore the base world — other queries keep their amortized
-    * fixtures untouched. Bench-only; sequential use (not re-entrant).
+    * fixtures untouched, while the epoch's cache entries, temp dirs,
+    * and catalog confs are reclaimed (epochs are never reused, so
+    * anything left behind is a leak for the life of the bench JVM).
+    * Bench-only; sequential use (not re-entrant).
     */
   private[graft] def withFreshFixtures[T](body: => T): T = {
-    fixtureEpoch.set(epochCounter.incrementAndGet())
-    try body finally fixtureEpoch.set(0)
+    val e = epochCounter.incrementAndGet()
+    fixtureEpoch.set(e)
+    try body finally {
+      fixtureEpoch.set(0)
+      val tag = s"#e$e"
+      allFixtureCaches.synchronized {
+        allFixtureCaches.foreach(c => c.keySet.filter(_.endsWith(tag)).foreach(c.remove))
+      }
+      var kv = epochConfKeys.poll()
+      while (kv != null) {
+        try kv._1.conf.unset(kv._2) catch { case _: Throwable => () }
+        kv = epochConfKeys.poll()
+      }
+      var p = epochTmpDirs.poll()
+      while (p != null) { deleteRecursively(p); p = epochTmpDirs.poll() }
+    }
   }
 
   /** q74's SQL — shared VERBATIM with the DuckDB oracle (identical
@@ -650,7 +716,7 @@ object Queries {
         col("open"), col("high"), col("low"), col("close"), col("volume"),
         lit(0L).as("bit_fields"))
 
-  private val storeCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val storeCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a real partitioned-parquet CandleStore by
     * upserting two overlapping event-derived batches — batch B must win
@@ -658,7 +724,7 @@ object Queries {
     */
   private def eventStore(s: SparkSession, d: String): CandleStore = {
     val path = storeCache.getOrElseUpdate(ek(d), {
-      val p = Files.createTempDirectory("graft-qstore").toString + "/candles"
+      val p = fixtureTmpDir("graft-qstore").toString + "/candles"
       val ev = T.events(s, d)
       val st = CandleStore(s, p)
       st.upsert(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
@@ -668,14 +734,14 @@ object Queries {
     CandleStore(s, path)
   }
 
-  private val vstoreCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val vstoreCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a versioned store from three disjoint
     * event slices committed in tx order 1, 2, 3.
     */
   private def versionedStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
     val path = vstoreCache.getOrElseUpdate(ek(d), {
-      val p = Files.createTempDirectory("graft-qvstore").toString + "/v"
+      val p = fixtureTmpDir("graft-qvstore").toString + "/v"
       val ev = T.events(s, d)
       val st = graft.store.VersionedCandleStore(s, p)
       // explicit journal wall-clocks make scanAsOfTime deterministic (q82)
@@ -690,7 +756,7 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
-  private val mergeStoreCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val mergeStoreCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a versioned store whose SECOND batch lands
     * through SQL `MERGE INTO` (graft.plans.VStoreMerge lowering, via
@@ -701,7 +767,7 @@ object Queries {
     */
   private def mergeStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
     val path = mergeStoreCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qmerge").toString
+      val base = fixtureTmpDir("graft-qmerge").toString
       val p = s"$base/v"
       val ev = T.events(s, d)
       val st = graft.store.VersionedCandleStore(s, p)
@@ -712,8 +778,8 @@ object Queries {
       // re-setting the same name's base would silently keep merging
       // into the epoch-0 store — see q9V
       val cat = "gvm" + (ek(d).hashCode & 0x7fffffff)
-      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
+      setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
       eventCandles(ev.where(col("event_id") % 3 === 0))
         .withColumn("year", year(col("ts")))
         .createOrReplaceTempView("graft_merge_src")
@@ -728,7 +794,7 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
-  private val candleMergeCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val candleMergeCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a PLAIN candle store whose second batch
     * lands through SQL `MERGE INTO` on the candle catalog (round 13,
@@ -742,15 +808,15 @@ object Queries {
     */
   private def candleMergeStore(s: SparkSession, d: String): CandleStore = {
     val path = candleMergeCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qcmerge").toString
+      val base = fixtureTmpDir("graft-qcmerge").toString
       val p = s"$base/candles"
       val ev = T.events(s, d)
       val st = CandleStore(s, p)
       st.upsert(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
       // epoch-qualified for the same reason as mergeStore's
       val cat = "gcm" + (ek(d).hashCode & 0x7fffffff)
-      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CandleCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.CandleCatalog].getName)
+      setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
       eventCandles(ev.where(col("event_id") % 3 === 0))
         .withColumn("year", year(col("ts")))
         .createOrReplaceTempView("graft_cmerge_src")
@@ -765,7 +831,7 @@ object Queries {
     CandleStore(s, path)
   }
 
-  private val xstoreCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val xstoreCache = fixtureCache[(String, String)]()
 
   /** Build (once per sfDir) the CROSS-STORE atomic-commit fixture
     * (reference: one WAL tx spanning several commands,
@@ -782,7 +848,7 @@ object Queries {
   private def crossStores(s: SparkSession, d: String): (CandleStore, graft.store.VersionedCandleStore) = {
     import graft.store.CrossStoreTx
     val (cp, vp) = xstoreCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-xstore").toString
+      val base = fixtureTmpDir("graft-xstore").toString
       val ev = T.events(s, d)
       val cs = CandleStore(s, s"$base/candles")
       val vs = graft.store.VersionedCandleStore(s, s"$base/v")
@@ -809,7 +875,7 @@ object Queries {
     (CandleStore(s, cp), graft.store.VersionedCandleStore(s, vp))
   }
 
-  private val streamCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val streamCache = fixtureCache[String]()
 
   /** Structured-Streaming ingest differential: split the events table
     * into three disjoint TIME slices (one file each), stream them with
@@ -831,7 +897,7 @@ object Queries {
     * whole seconds (so no 1s candle bucket spans two slices).
     */
   private val sliceCache =
-    scala.collection.concurrent.TrieMap[String, (String, org.apache.spark.sql.types.StructType)]()
+    fixtureCache[(String, org.apache.spark.sql.types.StructType)]()
 
   /** Slices depend only on the dataset — share one srcDir between the
     * plain and versioned streaming fixtures instead of re-reading and
@@ -902,7 +968,7 @@ object Queries {
 
   private def streamedStore(s: SparkSession, d: String): CandleStore = {
     val path = streamCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qstream").toString
+      val base = fixtureTmpDir("graft-qstream").toString
       val p = s"$base/candles"
       val (srcDir, schema) = sliceEventFiles(s, d, base)
       val stream = s.readStream.schema(schema)
@@ -920,7 +986,7 @@ object Queries {
     CandleStore(s, path)
   }
 
-  private val vstreamCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val vstreamCache = fixtureCache[String]()
 
   /** Streamed VERSIONED store: the same 3-slice differential, but each
     * micro-batch becomes one journaled transaction — streaming ingest
@@ -930,7 +996,7 @@ object Queries {
     */
   private def streamedVersionedStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
     val path = vstreamCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qvstream").toString
+      val base = fixtureTmpDir("graft-qvstream").toString
       val p = s"$base/v"
       val (srcDir, schema) = sliceEventFiles(s, d, base)
       val stream = s.readStream.schema(schema)
@@ -947,7 +1013,7 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
-  private val bucketCache = scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val bucketCache = fixtureCache[(String, String)]()
 
   /** Write (once per sfDir) customer and orders as managed tables
     * bucketed on custkey — the join key's shuffle paid once at write
@@ -969,7 +1035,7 @@ object Queries {
     built
   }
 
-  private val ysfCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val ysfCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a `.ysf` page tree from the event-derived
     * hourly candles — the reference's own on-disk format, written and
@@ -978,12 +1044,12 @@ object Queries {
     */
   private def ysfStoreDir(s: SparkSession, d: String): String =
     ysfCache.getOrElseUpdate(ek(d), {
-      val p = Files.createTempDirectory("graft-ysf").toString
+      val p = fixtureTmpDir("graft-ysf").toString
       graft.sources.Ysf.write(eventCandles(T.events(s, d)), p)
       p
     })
 
-  private val moraRootCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val moraRootCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a full mora deployment directory: flushed
     * `.ysf` pages holding a STALE version of the 'click' candles
@@ -999,7 +1065,7 @@ object Queries {
   private def moraRootDir(s: SparkSession, d: String): String =
     moraRootCache.getOrElseUpdate(ek(d), {
       import graft.sources.MoraWal
-      val p = Files.createTempDirectory("graft-morawal").toString
+      val p = fixtureTmpDir("graft-morawal").toString
       val candles = eventCandles(T.events(s, d)).cache()
       val half = (c: org.apache.spark.sql.Column) =>
         when(col("code") === "click", c * 0.5d).otherwise(c)
@@ -1045,7 +1111,7 @@ object Queries {
     "q9T_wal_replay" -> ((s, d) => {
       graft.sources.MoraWal
         .migrateFromMora(s, moraRootDir(s, d),
-          Files.createTempDirectory("graft-walstore").toString + "/s")
+          fixtureTmpDir("graft-walstore").toString + "/s")
         .scan()
         .select(col("code"), col("ts"),
           Portable.round(col("open"), 4).as("open"), Portable.round(col("high"), 4).as("high"),
@@ -1813,7 +1879,7 @@ object Queries {
         maxTokens = 120, nBuckets = 8)
     }))
 
-  private val deconCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val deconCache = fixtureCache[String]()
 
   /** Streamed decontaminating-ingest fixture: documents sliced into 3
     * micro-batches by `doc_id % 3` (mtime-pinned file order), cleaned
@@ -1822,7 +1888,7 @@ object Queries {
     */
   private def streamedDeconState(s: SparkSession, d: String): String =
     deconCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qdecon").toString
+      val base = fixtureTmpDir("graft-qdecon").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1856,7 +1922,7 @@ object Queries {
       stateDir
     })
 
-  private val driftCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val driftCache = fixtureCache[String]()
 
   /** Streamed drift-monitor fixture: documents sliced into 3
     * micro-batches by `doc_id % 3` (mtime-pinned file order), each
@@ -1866,7 +1932,7 @@ object Queries {
     */
   private def streamedDriftState(s: SparkSession, d: String): String =
     driftCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qdrift").toString
+      val base = fixtureTmpDir("graft-qdrift").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1900,7 +1966,7 @@ object Queries {
       stateDir
     })
 
-  private val quotaCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val quotaCache = fixtureCache[String]()
 
   /** Streamed quota-ingest fixture: documents sliced into 3
     * micro-batches by `doc_id % 3` (mtime-pinned file order), each
@@ -1910,7 +1976,7 @@ object Queries {
     */
   private def streamedQuotaState(s: SparkSession, d: String): String =
     quotaCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qquota").toString
+      val base = fixtureTmpDir("graft-qquota").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1947,7 +2013,7 @@ object Queries {
       stateDir
     })
 
-  private val hllCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val hllCache = fixtureCache[String]()
 
   /** Streamed HLL-distinct fixture: documents sliced into 3 mtime-pinned
     * micro-batches by `doc_id % 3`, each batch folded into per-source
@@ -1957,7 +2023,7 @@ object Queries {
     */
   private def streamedHllState(s: SparkSession, d: String): String =
     hllCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qhll").toString
+      val base = fixtureTmpDir("graft-qhll").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1991,7 +2057,7 @@ object Queries {
       stateDir
     })
 
-  private val exactDedupCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val exactDedupCache = fixtureCache[String]()
 
   /** Streamed exact-dedup fixture: documents sliced into 3 mtime-pinned
     * micro-batches by `doc_id % 3`, PLUS a planted copy (doc_id +
@@ -2002,7 +2068,7 @@ object Queries {
     */
   private def streamedExactDedupState(s: SparkSession, d: String): String =
     exactDedupCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qexdedup").toString
+      val base = fixtureTmpDir("graft-qexdedup").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2039,7 +2105,7 @@ object Queries {
       stateDir
     })
 
-  private val ivfIdxCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val ivfIdxCache = fixtureCache[String]()
 
   /** Streamed IVF-index fixture: embeddings sliced into 3 micro-batches
     * by `vec_id % 3` (mtime-pinned file order); centroids train on the
@@ -2049,7 +2115,7 @@ object Queries {
     */
   private def streamedIvfIndexState(s: SparkSession, d: String): String =
     ivfIdxCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qivfidx").toString
+      val base = fixtureTmpDir("graft-qivfidx").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2083,7 +2149,7 @@ object Queries {
       stateDir
     })
 
-  private val ivfPqIdxCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val ivfPqIdxCache = fixtureCache[String]()
 
   /** Streamed IVFADC (PQ) index fixture: the [[streamedIvfIndexState]]
     * slicing (embeddings in 3 mtime-pinned micro-batches) driven
@@ -2093,7 +2159,7 @@ object Queries {
     */
   private def streamedIvfPqIndexState(s: SparkSession, d: String): String =
     ivfPqIdxCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qivfpqidx").toString
+      val base = fixtureTmpDir("graft-qivfpqidx").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2127,7 +2193,7 @@ object Queries {
       stateDir
     })
 
-  private val ivfDriftCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val ivfDriftCache = fixtureCache[String]()
 
   /** One of two TIGHT, mutually-orthogonal vector families keyed by
     * the corpus's vec_ids (the q7A/q7B synthetic-payload pattern —
@@ -2164,7 +2230,7 @@ object Queries {
     */
   private def streamedIvfDriftState(s: SparkSession, d: String): String =
     ivfDriftCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qivfdrift").toString
+      val base = fixtureTmpDir("graft-qivfdrift").toString
       val stateDir = s"$base/state"
       val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val famA = driftFamily(emb, period = 4, idOffset = 0L)
@@ -2184,7 +2250,7 @@ object Queries {
       stateDir
     })
 
-  private val embDedupCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val embDedupCache = fixtureCache[String]()
 
   /** Streamed embedding-dedup fixture: the real embeddings in 3
     * ntile slices plus a 4th file of EXACT TWINS (vec_id + 100000,
@@ -2202,7 +2268,7 @@ object Queries {
     * a synthetic corpus (ScaleProbe's 10×/100× decades) grows into it —
     * collision-free at any scale instead of a loud refusal.
     */
-  private val twinOffsetCache = scala.collection.concurrent.TrieMap[String, Long]()
+  private val twinOffsetCache = fixtureCache[Long]()
   private def q9yTwinOffset(s: SparkSession, d: String): Long =
     twinOffsetCache.getOrElseUpdate(ek(d), { // constant per dataset: one max() job, not one per evaluation
       val maxId = T.embeddings(s, d).agg(max(col("vec_id"))).head().getLong(0)
@@ -2211,7 +2277,7 @@ object Queries {
 
   private def streamedEmbedDedupState(s: SparkSession, d: String): String =
     embDedupCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qembdedup").toString
+      val base = fixtureTmpDir("graft-qembdedup").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2247,7 +2313,7 @@ object Queries {
       stateDir
     })
 
-  private val nearDupCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val nearDupCache = fixtureCache[String]()
 
   /** Streamed near-dup-ingest fixture: documents sliced into 3
     * micro-batches in doc_id ORDER (ntile over doc_id; mtime-pinned
@@ -2258,7 +2324,7 @@ object Queries {
     */
   private def streamedNearDupState(s: SparkSession, d: String): String =
     nearDupCache.getOrElseUpdate(ek(d), {
-      val base = Files.createTempDirectory("graft-qneardup").toString
+      val base = fixtureTmpDir("graft-qneardup").toString
       val srcDir = s"$base/src"
       val fs = new org.apache.hadoop.fs.Path(srcDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -212,19 +212,42 @@ object CrossStoreTx {
     * it. A blind delete here could drop a LATER, different-name tx's
     * lock — e.g. a fenced zombie's abort running after the winner
     * already released and a third tx acquired — silently re-opening the
-    * same-store interleaving the lock exists to prevent.
+    * same-store interleaving the lock exists to prevent. The check is
+    * ATOMIC, mirroring the reclaim path: rename the lock to a private
+    * tombstone, decide on the tombstone's content, rename back if it is
+    * not ours (a read-then-delete pair would leave a window where the
+    * same-name peer releases and a third tx acquires between our read
+    * and our delete).
     */
   private def releaseStoreLock(store: CandleStore, name: String): Unit = {
     val fs = store.crossTxFs
     val lock = store.crossTxLockPath
+    val tomb = new Path(lock.getParent,
+      s"${lock.getName}.release-${java.util.UUID.randomUUID()}")
+    // already released: rename of a missing source is false on HDFS but
+    // a FileNotFoundException on the local FS's copy fallback
+    val displaced =
+      try fs.rename(lock, tomb)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!displaced) return
     val holder =
       try {
-        val in = fs.open(lock)
+        val in = fs.open(tomb)
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
           java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      } catch { case _: java.io.IOException => return } // already released
-    if (holder == name) { fs.delete(lock, false); () }
+      } catch { case _: java.io.IOException => "" }
+    if (holder == name) { fs.delete(tomb, false); () }
+    else if (!fs.rename(tomb, lock)) {
+      // a tx slipped a NEW lock in during the displacement blink: putting
+      // the displaced holder's lock back would double-lock the store —
+      // surface the torn state loudly instead of picking a winner
+      fs.delete(tomb, false)
+      sys.error(s"cross-tx lock on ${store.path}: tx '$holder' was " +
+        s"transiently displaced during '$name's release check and a new " +
+        "lock appeared meanwhile — two coordinators may believe they " +
+        "hold the store; finalize or abort them by hand before retrying")
+    }
   }
 
   private def fsFor(spark: SparkSession, dir: String) =
@@ -269,6 +292,19 @@ object CrossStoreTx {
   }
 
   private def horizonPrefix(pfx: String) = s"_horizon-$pfx-"
+
+  /** True when `name` is a batch name whose id the per-prefix GC horizon
+    * already covers: the tx committed, retired, AND its `.done` was
+    * vacuumed. Terminal exactly like a live `.done` — checked wherever
+    * findDone is, because a zombie coordinator can straddle the GC (its
+    * `.done` fence deleted between the zombie's entry-time check and its
+    * marker rename, which then succeeds against the empty name).
+    */
+  private def horizonFenced(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String, name: String): Boolean = name match {
+    case BatchName(pfx, b) => readHorizon(fs, dir, pfx).exists(_ >= b)
+    case _ => false
+  }
 
   /** Highest retired-and-GC'd batch id recorded for `pfx` (monotone;
     * kept as create-exclusive versioned files, so raising it needs no
@@ -357,19 +393,15 @@ object CrossStoreTx {
     // streaming writer's); a manual tx reusing a stream's prefix with a
     // numeric suffix at/below that stream's horizon is refused here
     // too, indistinguishably — give manual txs their own prefix.
-    name match {
-      case BatchName(pfx, b)
-          if readHorizon(fs, coordDir, pfx).exists(_ >= b) =>
-        throw new IllegalStateException(
-          s"cross-store tx '$name' already committed: its retired marker " +
-            s"was GC'd past the retention horizon (prefix '$pfx' horizon " +
-            s"${readHorizon(fs, coordDir, pfx).get}); refusing to " +
-            "re-execute — recorded tokens are no longer available. Replays " +
-            "deeper than vacuumRetired's retention are out of contract " +
-            "(as is a NEW tx reusing a streaming prefix's numeric " +
-            "namespace — use a distinct prefix for manual txs).")
-      case _ => ()
-    }
+    def refuseBeyondHorizon(): Nothing =
+      throw new IllegalStateException(
+        s"cross-store tx '$name' already committed: its retired marker " +
+          "was GC'd past the retention horizon; refusing to " +
+          "re-execute — recorded tokens are no longer available. Replays " +
+          "deeper than vacuumRetired's retention are out of contract " +
+          "(as is a NEW tx reusing a streaming prefix's numeric " +
+          "namespace — use a distinct prefix for manual txs).")
+    if (horizonFenced(fs, coordDir, name)) refuseBeyondHorizon()
 
     // PREPARE — a failure here aborts every already-prepared op; the
     // tx never reached its commit point, so nothing is visible
@@ -429,11 +461,18 @@ object CrossStoreTx {
     }
     // post-rename fence: if the name is ALREADY terminal, the winner
     // committed and retired before our rename landed — withdraw our
-    // marker (nothing of ours is visible yet) and abort
+    // marker (nothing of ours is visible yet) and abort. Terminal means
+    // a live `.done` OR a batch id at/below the GC horizon: a zombie
+    // that stalled through the winner's whole commit→retire→vacuum span
+    // sees findDone empty, but the horizon file still records the fence.
     findDone(fs, coordDir, name) match {
       case Some(_) =>
         fs.delete(committed, false)
         return loseTo("a same-name coordinator already committed and retired")
+      case None if horizonFenced(fs, coordDir, name) =>
+        fs.delete(committed, false)
+        prepared.foreach(p => try p.abortOp() catch { case _: Throwable => () })
+        refuseBeyondHorizon()
       case None => ()
     }
     if (crashAfter <= 2) throw new SimulatedCrash("marker published, nothing finalized")
@@ -490,16 +529,18 @@ object CrossStoreTx {
     pending.foreach { p =>
       val name = p.getName.stripSuffix(".commit")
       val retired = doneMarkerOf(coordDir, name)
+      def terminal() = findDone(fs, coordDir, name).isDefined ||
+        horizonFenced(fs, coordDir, name)
       val lines =
         try readMarker(fs, p)
         catch {
-          case _: java.io.FileNotFoundException
-              if findDone(fs, coordDir, name).isDefined =>
+          case _: java.io.FileNotFoundException if terminal() =>
             Seq.empty // a concurrent coordinator finished it meanwhile
         }
-      if (findDone(fs, coordDir, name).isDefined) {
-        // zombie marker: this name already committed AND retired — the
-        // pending marker is a fenced loser's; abort its invisible ops
+      if (terminal()) {
+        // zombie marker: this name already committed AND retired (live
+        // `.done`, or already GC'd past the horizon — both terminal) —
+        // the pending marker is a fenced loser's; abort its invisible ops
         lines.foreach { case (line, _) => line.abortFrom(spark, name) }
         fs.delete(p, false); ()
       } else if (lines.nonEmpty) {
@@ -531,6 +572,15 @@ object CrossStoreTx {
     * replays of numeric names fail loudly; deeper replays of
     * free-form names are out of contract — keep `retainMs` beyond any
     * possible re-submission of the same name.
+    *
+    * The age path always RETAINS each numeric prefix's newest marker:
+    * only the batchHorizon path (which knows the caller's replay floor)
+    * may drop a prefix's maximum batch id. An age sweep that dropped an
+    * idle stream's newest marker would fold it into the horizon and turn
+    * that stream's in-contract restart replay of its LAST batch into a
+    * refusal — a wedged query needing a hand-advanced checkpoint. Cost:
+    * one `.done` marker per idle prefix outlives `retainMs` (bounded by
+    * the number of streams, not by history).
     */
   def vacuumRetired(spark: SparkSession, coordDir: String,
                     retainMs: Long = defaultDoneRetentionMs,
@@ -539,17 +589,25 @@ object CrossStoreTx {
     val dd = doneDirOf(coordDir)
     if (!fs.exists(dd)) return 0
     val cutoff = System.currentTimeMillis() - retainMs
-    val doomed = fs.listStatus(dd).filter { s =>
-      val n = s.getPath.getName
-      n.endsWith(".done") && {
-        val name = n.stripSuffix(".done")
-        val byBatch = (name, batchHorizon) match {
-          case (BatchName(pfx, b), Some((hp, keepFrom))) =>
-            pfx == hp && b < keepFrom
-          case _ => false
-        }
-        byBatch || s.getModificationTime <= cutoff
+    val all = fs.listStatus(dd).filter(_.getPath.getName.endsWith(".done"))
+    val prefixMax: Map[String, Long] = all
+      .flatMap(s => s.getPath.getName.stripSuffix(".done") match {
+        case BatchName(pfx, b) => Some(pfx -> b)
+        case _ => None
+      })
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val doomed = all.filter { s =>
+      val name = s.getPath.getName.stripSuffix(".done")
+      val byBatch = (name, batchHorizon) match {
+        case (BatchName(pfx, b), Some((hp, keepFrom))) =>
+          pfx == hp && b < keepFrom
+        case _ => false
       }
+      val newestOfPrefix = name match {
+        case BatchName(pfx, b) => prefixMax.get(pfx).contains(b)
+        case _ => false
+      }
+      byBatch || (s.getModificationTime <= cutoff && !newestOfPrefix)
     }.map(_.getPath)
     // fence FIRST, delete after: a crash in between leaves the marker
     // in place (replay still exactly-once) with the horizon already up

@@ -291,12 +291,72 @@ class CrossStoreTxSpec extends SparkSpec {
     assert(e.getMessage.contains("GC'd"), e.getMessage)
     assert(vs.txLog().where($"kind" === "commit").count() == 3,
       "refused replay still committed something")
-    // time-based retention (the operator's manual call) drops the rest —
-    // ing-2 plus the two planted foreign markers; the horizon then
-    // covers ing-2's replay too
-    assert(CrossStoreTx.vacuumRetired(spark, coord, retainMs = 0) == 3)
+    // time-based retention (the operator's manual call) drops only the
+    // free-form marker: each numeric prefix's NEWEST marker is retained
+    // by the age path (dropping it would fold the stream's last batch
+    // into the horizon and wedge its in-contract restart replay) — only
+    // the batchHorizon path, which knows the replay floor, may drop it
+    assert(CrossStoreTx.vacuumRetired(spark, coord, retainMs = 0) == 1)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(doneDir, "manual-x.done")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(doneDir, "ing-2.done")) &&
+      f.exists(new org.apache.hadoop.fs.Path(doneDir, "other-1.done")),
+      "age sweep dropped a prefix's newest marker")
+    // ing-2's restart replay is STILL exactly-once after the age sweep
+    assert(CrossStoreTx.execute(spark, coord, "ing-2",
+      Seq(VersionedCommit(vs, spark.emptyDataFrame))) == toks(2))
+    // the horizon path (replay floor known) does drop the newest marker,
+    // after which its replay is refused
+    assert(CrossStoreTx.vacuumRetired(spark, coord, retainMs = Long.MaxValue,
+      batchHorizon = Some(("ing", 3))) == 1)
     intercept[IllegalStateException](CrossStoreTx.execute(spark,
       coord, "ing-2", Seq(VersionedCommit(vs, vBatch))))
+  }
+
+  test("zombie that straddles the .done GC is fenced by the horizon: " +
+      "recover ABORTS a pending marker at/below the prefix horizon " +
+      "instead of finalizing the stale prepared ops") {
+    val (cs, vs, coord) = fixture()
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(coord), spark.sparkContext.hadoopConfiguration)
+    // winner commits batch 0 and 1; the streaming writer's per-batch GC
+    // retires-and-vacuums batch 0's .done (horizon now covers 0)
+    CrossStoreTx.execute(spark, coord, "ing-0",
+      Seq(CandleUpsert(cs, candleBatch), VersionedCommit(vs, vBatch)))
+    CrossStoreTx.execute(spark, coord, "ing-1",
+      Seq(VersionedCommit(vs, Seq(c("ADA", "2022-03-02 00:00:00", 3)).toDF())))
+    assert(CrossStoreTx.vacuumRetired(spark, coord, retainMs = Long.MaxValue,
+      batchHorizon = Some(("ing", 1))) == 1)
+    val doneDir = new org.apache.hadoop.fs.Path(coord, "_done")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(doneDir, "ing-0.done")))
+    // a ZOMBIE ing-0 coordinator that stalled after its entry-time
+    // checks (before the winner even finished) now publishes: the
+    // rename SUCCEEDS (no .commit, no .done left) — only the horizon
+    // still records the fence. Simulated by preparing + planting.
+    val zIntent = cs.prepareUpsert(Seq(
+      c("BTC", "2022-01-01 10:00:00", 99)).toDF()) // conflicting content!
+    val (zTx, zWritten) = vs.prepareDataCommit(Seq(
+      c("ETH", "2022-03-01 00:00:00", 99)).toDF(), None)
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      graft.store.CommitIntent.encode(zIntent).getBytes("UTF-8"))
+    val marker = new org.apache.hadoop.fs.Path(coord, "ing-0.commit")
+    val os = f.create(marker, false)
+    os.write((s"candle\t${cs.path}\t${zIntent.txid}\t$b64\n" +
+      s"vstore\t${vs.path}\t$zTx\t$zWritten\t-1\n").getBytes("UTF-8"))
+    os.close()
+    // recover treats at/below-horizon as terminal: ABORT, not finalize —
+    // a finalize here would double-commit batch 0's name with the
+    // zombie's stale content, overwriting batch 1's world
+    CrossStoreTx.recover(spark, coord)
+    assert(!f.exists(marker), "zombie marker not cleared")
+    assert(cs.scan().where($"open" === 99.0).count() == 0,
+      "zombie candle ops leaked into view")
+    assert(vs.scan().where($"open" === 99.0).count() == 0,
+      "zombie vstore ops leaked into view")
+    assert(vs.txLog().where($"kind" === "commit").count() == 2,
+      "zombie minted a journal row")
+    // and the name stays refused at execute
+    intercept[IllegalStateException](CrossStoreTx.execute(spark, coord,
+      "ing-0", Seq(VersionedCommit(vs, vBatch))))
   }
 
   test("enforced recover-before-vacuum: BOTH stores refuse their age " +
