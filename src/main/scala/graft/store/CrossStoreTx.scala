@@ -208,20 +208,44 @@ object CrossStoreTx {
         s"lost the race re-taking ${store.path}'s cross-tx lock")
   }
 
+  /** Torn lock state surfaced by [[releaseStoreLock]]: a lock was
+    * transiently displaced during a release check and a NEW lock
+    * appeared before it could be restored — two coordinators may
+    * believe they hold the store. Distinct from routine abort failures
+    * so abort paths can refuse to swallow it silently.
+    */
+  private[graft] final class TornLockState(msg: String)
+    extends IllegalStateException(msg)
+
   /** Release the store's cross-tx lock ONLY if tx `name` still holds
     * it. A blind delete here could drop a LATER, different-name tx's
     * lock — e.g. a fenced zombie's abort running after the winner
     * already released and a third tx acquired — silently re-opening the
-    * same-store interleaving the lock exists to prevent. The check is
-    * ATOMIC, mirroring the reclaim path: rename the lock to a private
-    * tombstone, decide on the tombstone's content, rename back if it is
-    * not ours (a read-then-delete pair would leave a window where the
-    * same-name peer releases and a third tx acquires between our read
-    * and our delete).
+    * same-store interleaving the lock exists to prevent.
+    *
+    * The check is two-stage. A PRE-READ first: when the lock is absent
+    * or held by a DIFFERENT tx, return immediately without touching it
+    * (displacing a live different-name holder's lock, even for a blink,
+    * would let that holder's own release silently no-op or a third tx
+    * slip in under it). Only when the pre-read says the lock is OURS
+    * does the atomic displace-verify-delete run — rename the lock to a
+    * private tombstone, decide on the tombstone's content, rename back
+    * in the now-rare case it is not ours after all (our same-name peer
+    * released and a third tx acquired between the pre-read and the
+    * rename). A plain read-then-delete would leave that same window
+    * open with no detection at all.
     */
-  private def releaseStoreLock(store: CandleStore, name: String): Unit = {
+  private[graft] def releaseStoreLock(store: CandleStore, name: String): Unit = {
     val fs = store.crossTxFs
     val lock = store.crossTxLockPath
+    val preHolder =
+      try {
+        val in = fs.open(lock)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => return }
+    if (preHolder != name) return
     val tomb = new Path(lock.getParent,
       s"${lock.getName}.release-${java.util.UUID.randomUUID()}")
     // already released: rename of a missing source is false on HDFS but
@@ -230,24 +254,50 @@ object CrossStoreTx {
       try fs.rename(lock, tomb)
       catch { case _: java.io.FileNotFoundException => false }
     if (!displaced) return
-    val holder =
-      try {
-        val in = fs.open(tomb)
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      } catch { case _: java.io.IOException => "" }
+    // NO IOException tolerance on the tombstone read: it is a private
+    // file this tx just created by rename, so a failure here is a torn
+    // state the operator must see — a swallowed error that took the
+    // rename-back branch could silently re-plant our OWN displaced
+    // lock, wedging the store for different-name txs until it ages out
+    val holder = {
+      val in = fs.open(tomb)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
     if (holder == name) { fs.delete(tomb, false); () }
     else if (!fs.rename(tomb, lock)) {
       // a tx slipped a NEW lock in during the displacement blink: putting
       // the displaced holder's lock back would double-lock the store —
       // surface the torn state loudly instead of picking a winner
       fs.delete(tomb, false)
-      sys.error(s"cross-tx lock on ${store.path}: tx '$holder' was " +
-        s"transiently displaced during '$name's release check and a new " +
-        "lock appeared meanwhile — two coordinators may believe they " +
-        "hold the store; finalize or abort them by hand before retrying")
+      throw new TornLockState(s"cross-tx lock on ${store.path}: tx " +
+        s"'$holder' was transiently displaced during '$name's release " +
+        "check and a new lock appeared meanwhile — two coordinators may " +
+        "believe they hold the store; finalize or abort them by hand " +
+        "before retrying")
     }
+  }
+
+  /** Abort each prepared op, swallowing routine failures (presumed
+    * abort: the store's vacuum reclaims anything a failed abort left) —
+    * but a [[TornLockState]] is NEVER silent: it is logged immediately
+    * and the first one is returned so the caller can rethrow it or
+    * attach it as a suppressed cause of the error already in flight.
+    */
+  private def abortAllQuietly(ps: Seq[Prepared]): Option[TornLockState] = {
+    var torn: Option[TornLockState] = None
+    ps.foreach { p =>
+      try p.abortOp()
+      catch {
+        case t: TornLockState =>
+          Console.err.println(s"[graft.CrossStoreTx] TORN LOCK STATE " +
+            s"during abort: ${t.getMessage}")
+          if (torn.isEmpty) torn = Some(t)
+        case _: Throwable => ()
+      }
+    }
+    torn
   }
 
   private def fsFor(spark: SparkSession, dir: String) =
@@ -421,7 +471,7 @@ object CrossStoreTx {
       }
     catch {
       case t: Throwable =>
-        prepared.foreach(p => try p.abortOp() catch { case _: Throwable => () })
+        abortAllQuietly(prepared.toSeq).foreach(t.addSuppressed)
         throw t
     }
     if (crashAfter <= 1) throw new SimulatedCrash("prepared, marker unpublished")
@@ -439,8 +489,11 @@ object CrossStoreTx {
       // drive the winner TERMINAL first: abortOp releases the (shared
       // same-name-content) store lock, which is only safe once every
       // remaining step of the winner's finalize is an idempotent no-op
-      try recover(spark, coordDir) catch { case _: Throwable => () }
-      prepared.foreach(p => try p.abortOp() catch { case _: Throwable => () })
+      try recover(spark, coordDir) catch {
+        case t: TornLockState => throw t
+        case _: Throwable => ()
+      }
+      abortAllQuietly(prepared.toSeq).foreach(throw _)
       toks.orElse(recordedTokens()).getOrElse(
         sys.error(s"cross-store tx '$name': $reason, but its recorded " +
           "marker vanished before the loser could read it"))
@@ -471,8 +524,9 @@ object CrossStoreTx {
         return loseTo("a same-name coordinator already committed and retired")
       case None if horizonFenced(fs, coordDir, name) =>
         fs.delete(committed, false)
-        prepared.foreach(p => try p.abortOp() catch { case _: Throwable => () })
-        refuseBeyondHorizon()
+        val torn = abortAllQuietly(prepared.toSeq)
+        try refuseBeyondHorizon()
+        catch { case e: Throwable => torn.foreach(e.addSuppressed); throw e }
       case None => ()
     }
     if (crashAfter <= 2) throw new SimulatedCrash("marker published, nothing finalized")
@@ -525,19 +579,51 @@ object CrossStoreTx {
     }
     val pending = entries.map(_.getPath)
       .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
+    // ONE `_done` listing memoizes terminal state for the whole pass —
+    // a live findDone+readHorizon per pending marker (and terminal()
+    // ran twice per marker) made recovery O(pending × done) metadata
+    // reads. The snapshot is taken AFTER the legacy migration above and
+    // is safe: while a `.commit` for a name exists no same-name winner
+    // can newly retire (its marker rename would fail on the existing
+    // destination), and a horizon only ever covers already-retired
+    // names the snapshot saw. The one real race — a CONCURRENT recover
+    // finishing a marker mid-pass — surfaces as FileNotFoundException
+    // on the marker read and re-probes LIVE there.
+    val doneListing: Array[String] = {
+      val dd = doneDirOf(coordDir)
+      if (fs.exists(dd)) fs.listStatus(dd).map(_.getPath.getName)
+      else Array.empty
+    }
+    val doneNames = doneListing.filter(_.endsWith(".done")).toSet
+    val horizonCache = scala.collection.mutable.Map.empty[String, Option[Long]]
+    def snapHorizon(pfx: String): Option[Long] =
+      horizonCache.getOrElseUpdate(pfx, {
+        val hp = horizonPrefix(pfx)
+        val ids = doneListing.filter(_.startsWith(hp))
+          .flatMap(_.stripPrefix(hp).toLongOption)
+        if (ids.isEmpty) None else Some(ids.max)
+      })
+    def snapTerminal(name: String): Boolean =
+      doneNames.contains(s"$name.done") || (name match {
+        case BatchName(pfx, b) => snapHorizon(pfx).exists(_ >= b)
+        case _ => false
+      })
     var completed = 0
     pending.foreach { p =>
       val name = p.getName.stripSuffix(".commit")
       val retired = doneMarkerOf(coordDir, name)
-      def terminal() = findDone(fs, coordDir, name).isDefined ||
-        horizonFenced(fs, coordDir, name)
+      var terminal = snapTerminal(name)
       val lines =
         try readMarker(fs, p)
         catch {
-          case _: java.io.FileNotFoundException if terminal() =>
-            Seq.empty // a concurrent coordinator finished it meanwhile
+          case e: java.io.FileNotFoundException =>
+            // marker vanished mid-pass: a concurrent coordinator
+            // finished it — the snapshot predates that, so probe live
+            if (!terminal) terminal = findDone(fs, coordDir, name).isDefined ||
+              horizonFenced(fs, coordDir, name)
+            if (terminal) Seq.empty else throw e
         }
-      if (terminal()) {
+      if (terminal) {
         // zombie marker: this name already committed AND retired (live
         // `.done`, or already GC'd past the horizon — both terminal) —
         // the pending marker is a fenced loser's; abort its invisible ops
@@ -581,10 +667,20 @@ object CrossStoreTx {
     * refusal — a wedged query needing a hand-advanced checkpoint. Cost:
     * one `.done` marker per idle prefix outlives `retainMs` (bounded by
     * the number of streams, not by history).
+    *
+    * `dropPrefixes` is the escape hatch for explicitly DECOMMISSIONED
+    * streams: a listed prefix loses the newest-marker retention, so the
+    * plain time-based sweep can fully clear it without the operator
+    * hand-computing that prefix's batch horizon. Each dropped marker's
+    * batch id is still folded into the horizon file first, so a zombie
+    * replay of the retired stream is refused, never re-executed — only
+    * list a prefix whose stream will NEVER restart from its old
+    * checkpoint.
     */
   def vacuumRetired(spark: SparkSession, coordDir: String,
                     retainMs: Long = defaultDoneRetentionMs,
-                    batchHorizon: Option[(String, Long)] = None): Int = {
+                    batchHorizon: Option[(String, Long)] = None,
+                    dropPrefixes: Set[String] = Set.empty): Int = {
     val fs = fsFor(spark, coordDir)
     val dd = doneDirOf(coordDir)
     if (!fs.exists(dd)) return 0
@@ -604,7 +700,8 @@ object CrossStoreTx {
         case _ => false
       }
       val newestOfPrefix = name match {
-        case BatchName(pfx, b) => prefixMax.get(pfx).contains(b)
+        case BatchName(pfx, b) =>
+          prefixMax.get(pfx).contains(b) && !dropPrefixes.contains(pfx)
         case _ => false
       }
       byBatch || (s.getModificationTime <= cutoff && !newestOfPrefix)

@@ -238,6 +238,11 @@ class CrossStoreTxSpec extends SparkSpec {
       "zombie minted a second journal row")
     val lock = new org.apache.hadoop.fs.Path(cs.path, "_txlog/_xtx.lock")
     assert(f.exists(lock), "zombie abort deleted a DIFFERENT tx's lock")
+    val lockIn = f.open(lock)
+    val lockHolder = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(lockIn), "UTF-8")
+    finally lockIn.close()
+    assert(lockHolder == "z", "zombie abort rewrote a DIFFERENT tx's lock")
     // the third tx retries fine and the zombie's replay returns the
     // winner's tokens
     CrossStoreTx.execute(spark, coord, "z", Seq(CandleUpsert(cs, candleBatch)))
@@ -439,5 +444,69 @@ class CrossStoreTxSpec extends SparkSpec {
     val again = CrossStoreTx.execute(spark, coord, "y",
       Seq(VersionedCommit(vs, vBatch)))
     assert(again.length == 1 && vs.scan().count() == 2)
+  }
+
+  test("lock release pre-reads the holder: a DIFFERENT tx's lock is never " +
+      "touched (not even transiently displaced); our own is deleted; an " +
+      "absent lock is a no-op") {
+    val (cs, _, _) = fixture()
+    val f = cs.crossTxFs
+    val lock = cs.crossTxLockPath
+    // absent lock: no-op, no error
+    CrossStoreTx.releaseStoreLock(cs, "me")
+    assert(!f.exists(lock))
+    // a DIFFERENT tx holds the lock: release must return without
+    // touching it — a displace-then-restore would open a blink where
+    // the live holder's own release no-ops or a third tx slips in
+    f.mkdirs(lock.getParent)
+    val os = f.create(lock, false); os.write("live-tx".getBytes("UTF-8")); os.close()
+    val mtime = f.getFileStatus(lock).getModificationTime
+    CrossStoreTx.releaseStoreLock(cs, "me")
+    assert(f.exists(lock), "different-name holder's lock was dropped")
+    val in = f.open(lock)
+    val content = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    assert(content == "live-tx", "different-name holder's lock was rewritten")
+    assert(f.getFileStatus(lock).getModificationTime == mtime,
+      "different-name holder's lock was displaced and re-planted")
+    // no stray release tombstones left behind
+    assert(!f.listStatus(lock.getParent).exists(
+      _.getPath.getName.contains(".release-")))
+    // our OWN lock: deleted
+    f.delete(lock, false)
+    val os2 = f.create(lock, false); os2.write("me".getBytes("UTF-8")); os2.close()
+    CrossStoreTx.releaseStoreLock(cs, "me")
+    assert(!f.exists(lock), "own lock not released")
+  }
+
+  test("vacuumRetired dropPrefixes: a decommissioned stream's prefix is " +
+      "fully cleared by the plain age sweep, its horizon still refuses a " +
+      "zombie replay, and unlisted prefixes keep newest-marker retention") {
+    val (_, vs, coord) = fixture()
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(coord), spark.sparkContext.hadoopConfiguration)
+    val toksDead = CrossStoreTx.execute(spark, coord, "dead-0",
+      Seq(VersionedCommit(vs, Seq(c("ETH", "2022-03-01 00:00:00", 1)).toDF())))
+    CrossStoreTx.execute(spark, coord, "live-0",
+      Seq(VersionedCommit(vs, Seq(c("SOL", "2022-03-01 00:00:00", 2)).toDF())))
+    val doneDir = new org.apache.hadoop.fs.Path(coord, "_done")
+    // without the hatch, retainMs=0 keeps each prefix's newest marker
+    assert(CrossStoreTx.vacuumRetired(spark, coord, retainMs = 0) == 0)
+    // decommission 'dead': the age sweep may now clear it fully; 'live'
+    // keeps its newest marker
+    assert(CrossStoreTx.vacuumRetired(spark, coord, retainMs = 0,
+      dropPrefixes = Set("dead")) == 1)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(doneDir, "dead-0.done")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(doneDir, "live-0.done")),
+      "dropPrefixes leaked onto an unlisted prefix")
+    // the dropped marker's id was folded into the horizon first: a
+    // zombie replay of the retired stream is refused, never re-executed
+    val e = intercept[IllegalStateException](CrossStoreTx.execute(spark,
+      coord, "dead-0", Seq(VersionedCommit(vs, vBatch))))
+    assert(e.getMessage.contains("GC'd"), e.getMessage)
+    assert(vs.txLog().where($"kind" === "commit").count() == 2,
+      "refused replay of a decommissioned prefix still committed")
+    assert(toksDead.nonEmpty)
   }
 }
