@@ -859,6 +859,16 @@ object Oracles {
       """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries,
          true AS codes_identical, true AS state_slim, true AS recall_ok
          FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
+    // qA4: the q9Z stream re-sharded mid-stream at nCells ≈ √N — blind
+    // census + booleans: the generation is adopted (all three
+    // publications complete, frozen dirs GC'd), its cell count is the
+    // √N derivation, the whole state re-encodes byte-identically under
+    // the adopted quantizers, derived-probe recall over the floor.
+    "qA4_pq_reshard_index" ->
+      """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries,
+         true AS resharded, true AS ncells_sqrt,
+         true AS codes_identical, true AS recall_ok
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
     // q9L: per-source temperature rates (p_min/p_k)^(1-alpha), round-4,
     // unit-hash draw — the same arithmetic on both engines.
     "q9L_temperature_sample" ->

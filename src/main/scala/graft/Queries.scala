@@ -1713,6 +1713,71 @@ object Queries {
           (sum(col("n_hit")).cast("double") /
             (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
     }),
+    // Streamed PQ index RE-SHARD generation (round 15): the q9Z stream
+    // re-sharded mid-stream at nCells ≈ √N — the scale path for the
+    // first-batch-frozen cell count (measured LINEAR at the 100×
+    // decade: per-probe ADC scans grow as N/nCells). The row
+    // hash-matches the oracle ONLY if (a) the re-shard generation is
+    // ADOPTED (all three compact_upto_2 publications complete, frozen
+    // batch_* training dirs GC'd), (b) its cell count is the √N
+    // derivation over the re-sharded membership, (c) the WHOLE state —
+    // re-encoded batches [0,2) plus the incrementally-encoded batch
+    // 2 — is byte-identical to the batch encoding under the adopted
+    // quantizers (one generation, no mixing), and (d) probe recall at
+    // the derived √-family width clears the q9M floor.
+    "qA4_pq_reshard_index" -> ((s, d) => {
+      import s.implicits._
+      val state = reshardedIvfPqIndexState(s, d)
+      val emb = T.embeddings(s, d)
+      val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(state), s.sparkContext.hadoopConfiguration)
+      val (centDirs, bookDirs) =
+        graft.streaming.Ingest.ivfPqQuantizerDirs(fs, state, Long.MaxValue)
+      def names(dirs: Seq[String]) =
+        dirs.map(p => new org.apache.hadoop.fs.Path(p).getName)
+      val adopted =
+        names(centDirs) == Seq("compact_upto_2") &&
+        names(bookDirs) == Seq("compact_upto_2") &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$state/centroids/batch_0"))
+      val cents = s.read.parquet(centDirs: _*)
+        .select(col("cell_id"), col("centroid"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val bookRows = s.read.parquet(bookDirs: _*)
+        .select(col("s"), col("c"), col("vals"))
+        .as[(Int, Int, Array[Double])].collect()
+      val m = bookRows.map(_._1).max + 1
+      val ks = bookRows.map(_._2).max + 1
+      val books = Array.ofDim[Array[Double]](m, ks)
+      bookRows.foreach { case (sb, c, v) => books(sb)(c) = v }
+      val nResharded = emb.where(col("vec_id") % 3 < 2).count()
+      val ncellsSqrt =
+        cents.length == Similarity.sqrtIvfParams(nResharded)._1
+      val streamed = graft.streaming.Ingest.ivfPqCodeState(s, state)
+        .select(col("cell_id"), col("id"), col("code")).localCheckpoint()
+      val batchCodes = Similarity.encodeIvfPq(emb, "vec_id", "embedding",
+        cents, books, m, ks)
+      val diff = streamed.exceptAll(batchCodes)
+        .unionAll(batchCodes.exceptAll(streamed)).count()
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      // nProbe = 0: the serving-side √-family derivation (2·√nCells)
+      val approx = graft.streaming.Ingest.ivfPqIndexTopK(s, state, queries,
+          emb, "vec_id", "embedding", k = 10, nProbe = 0)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          lit(adopted).as("resharded"),
+          lit(ncellsSqrt).as("ncells_sqrt"),
+          lit(diff == 0L).as("codes_identical"),
+          (sum(col("n_hit")).cast("double") /
+            (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
+    }),
     // Stateful embedding-dedup at ingest (round 9): SemDeDup's
     // same-cell cosine rule as a first-wins stream over the real
     // embeddings + planted exact twins. Property oracle: the row
@@ -2190,6 +2255,55 @@ object Queries {
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 3,
         s"streamed PQ indexing must see 3 micro-batches, saw $batches")
+      stateDir
+    })
+
+  private val pqReshardCache = fixtureCache[String]()
+
+  /** Streamed PQ index with a MID-STREAM √N RE-SHARD: the
+    * [[streamedIvfPqIndexState]] slicing with `reshardEvery = 2`, so
+    * before batch 2 the writer re-trains the coarse quantizer at
+    * `nCells ≈ √N` over the accumulated membership, re-encodes it from
+    * the source table, and publishes the three-part generation batch 2
+    * then encodes under ([[graft.streaming.Ingest.reshardIvfPqIndex]])
+    * — the scale remedy for the first-batch-frozen cell count whose
+    * per-probe scans measured LINEAR at the 100× decade. Returns the
+    * state dir.
+    */
+  private def reshardedIvfPqIndexState(s: SparkSession, d: String): String =
+    pqReshardCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qpqreshard").toString
+      val srcDir = s"$base/src"
+      val fs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val staging = s"$base/staging"
+      emb.withColumn("_slice", (col("vec_id") % 3).cast("int"))
+        .repartition(col("_slice"))
+        .write.partitionBy("_slice").parquet(staging)
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+        val part = fs.listStatus(sliceDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+          case Array(one) => one
+          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+        }
+        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val stateDir = s"$base/state"
+      val q = graft.streaming.Ingest.startIvfPqIndexIngest(
+        stream, stateDir, s"$base/ckpt", m = 8, ks = 64,
+        reshardEvery = 2, reshardWith = emb)
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"re-sharded PQ indexing must see 3 micro-batches, saw $batches")
       stateDir
     })
 

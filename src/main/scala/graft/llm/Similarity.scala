@@ -402,9 +402,48 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
-              nProbe: Int = 2): DataFrame =
-    ivfWithCentroids(corpus, queries, idCol, vecCol, k, nProbe,
-      sampleCentroids(corpus, idCol, vecCol, nCells))
+              nProbe: Int = 2, targetCorpusSize: Long = 0): DataFrame = {
+    val (c, p) = resolveIvfParams(targetCorpusSize, nCells, nProbe)
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, p,
+      sampleCentroids(corpus, idCol, vecCol, c))
+  }
+
+  /** √N IVF parameterization, the AnnScaleCheck-validated sublinear
+    * family: `nCells ≈ √N / 2` (per-cell occupancy 2√N grows with the
+    * corpus root, not the corpus) and `nProbe ≈ 2·√nCells` (probe SHARE
+    * shrinks as the corpus grows), so the rows a probe scans grow as
+    * ~N^(3/4) instead of Θ(N). A fixed nlist — or a constant
+    * nProbe/nlist ratio — scans Θ(N) per probe and measures LINEAR at a
+    * 100× decade; this family holds the q83 recall floor at 10× and
+    * 100× the oracle fixture (AnnScaleCheck gates both).
+    *
+    * Pass the (approximate) corpus size you are building for — the
+    * hint OVERRIDES literal nCells/nProbe at the call sites that take
+    * it. An order-of-magnitude estimate is enough: both derived values
+    * move as the fourth root of the error.
+    */
+  def sqrtIvfParams(targetCorpusSize: Long): (Int, Int) = {
+    require(targetCorpusSize > 0,
+      s"targetCorpusSize must be positive, got $targetCorpusSize")
+    val nCells = math.max(1,
+      math.ceil(math.sqrt(targetCorpusSize.toDouble) / 2).toInt)
+    (nCells, sqrtProbeFor(nCells))
+  }
+
+  /** The √-family probe width for a cell count: `2·√nCells`, the
+    * serving-side half of [[sqrtIvfParams]] — used when the cell count
+    * is already fixed by a built index.
+    */
+  private[graft] def sqrtProbeFor(nCells: Int): Int =
+    math.max(1, 2 * math.ceil(math.sqrt(nCells.toDouble)).toInt)
+
+  /** `targetCorpusSize > 0` swaps literal (nCells, nProbe) for the
+    * [[sqrtIvfParams]] derivation.
+    */
+  private def resolveIvfParams(targetCorpusSize: Long, nCells: Int,
+                               nProbe: Int): (Int, Int) =
+    if (targetCorpusSize > 0) sqrtIvfParams(targetCorpusSize)
+    else (nCells, nProbe)
 
   /** Deterministic training-free centroids: the first `nCells` corpus
     * vectors by id (metadata-scale collect, like [[lshTopK]]'s dim probe).
@@ -495,9 +534,12 @@ object Similarity {
     */
   def ivfTopKKMeans(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nCells: Int = 16,
-                    nProbe: Int = 2, iters: Int = 5): DataFrame =
-    ivfWithCentroids(corpus, queries, idCol, vecCol, k, nProbe,
-      kmeansCentroids(corpus, idCol, vecCol, nCells, iters))
+                    nProbe: Int = 2, iters: Int = 5,
+                    targetCorpusSize: Long = 0): DataFrame = {
+    val (c, p) = resolveIvfParams(targetCorpusSize, nCells, nProbe)
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, p,
+      kmeansCentroids(corpus, idCol, vecCol, c, iters))
+  }
 
   private[graft] def ivfWithCentroids(corpus: DataFrame, queries: DataFrame,
                                     idCol: String, vecCol: String, k: Int,
@@ -823,7 +865,18 @@ object Similarity {
                 vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
                 m: Int = 8, ks: Int = 256, iters: Int = 4,
                 rerank: Int = -1, sampleMod: Int = 1,
-                residual: Boolean = true): DataFrame = {
+                residual: Boolean = true,
+                targetCorpusSize: Long = 0): DataFrame = {
+    val (cellsLit, probeLit) = resolveIvfParams(targetCorpusSize, nCells, nProbe)
+    ivfPqTopKResolved(corpus, queries, idCol, vecCol, k, cellsLit, probeLit,
+      m, ks, iters, rerank, sampleMod, residual)
+  }
+
+  private def ivfPqTopKResolved(corpus: DataFrame, queries: DataFrame,
+                                idCol: String, vecCol: String, k: Int,
+                                nCells: Int, nProbe: Int, m: Int, ks: Int,
+                                iters: Int, rerank: Int, sampleMod: Int,
+                                residual: Boolean): DataFrame = {
     val effRerank = derivedRerank(rerank, k,
       nProbe.toDouble * corpus.count() / nCells * RerankFraction)
     // sampleMod trains the coarse quantizer on an id-sampled subset —

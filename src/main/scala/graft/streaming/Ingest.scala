@@ -950,20 +950,26 @@ object Ingest {
                            nCells: Int = 16, iters: Int = 5,
                            compactEvery: Int = 0,
                            refreshEvery: Int = 0,
-                           refreshOnDriftFactor: Double = 0.0): DataStreamWriter[Row] =
+                           refreshOnDriftFactor: Double = 0.0,
+                           targetCorpusSize: Long = 0): DataStreamWriter[Row] = {
+    val cells0 =
+      if (targetCorpusSize > 0)
+        graft.llm.Similarity.sqrtIvfParams(targetCorpusSize)._1
+      else nCells
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (refreshEvery > 0 && batchId > 0 && batchId % refreshEvery == 0)
-          refreshIvfIndex(batch.sparkSession, stateDir, batchId, nCells, iters)
+          refreshIvfIndex(batch.sparkSession, stateDir, batchId, cells0, iters)
         else if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactIvfIndexState(batch.sparkSession, stateDir, batchId)
         if (refreshOnDriftFactor > 0)
-          driftTriggeredRefresh(batch, batchId, stateDir, vecCol, nCells,
+          driftTriggeredRefresh(batch, batchId, stateDir, vecCol, cells0,
             iters, refreshOnDriftFactor)
-        ivfIndexBatch(batch, batchId, stateDir, idCol, vecCol, nCells, iters)
+        ivfIndexBatch(batch, batchId, stateDir, idCol, vecCol, cells0, iters)
       }
+  }
 
   /** SELF-HEALING trigger for [[refreshIvfIndex]], evaluated per batch
     * in the quantizer's OWN space: the batch's mean best-cosine to any
@@ -1227,17 +1233,21 @@ object Ingest {
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val cellDirs = historyDirs(fs, stateDir, "cells", Long.MaxValue)
     require(cellDirs.nonEmpty, s"no IVF cell state under $stateDir/cells")
+    // nProbe <= 0 derives the √-family width 2·√nCells from the built
+    // cell count (the serving side of Similarity.sqrtIvfParams)
+    val effProbe =
+      if (nProbe > 0) nProbe else Similarity.sqrtProbeFor(cents.length)
     // the probed cell set is bounded by queries × nProbe (queries are
     // broadcast-small by contract) — collect it and push a partition
     // filter so the state scan reads ONLY probed cell_id=N/ dirs
     val probed = queries
-      .select(explode(Similarity.ivfProbeUdf(cents, nProbe)(col(vecCol)))
+      .select(explode(Similarity.ivfProbeUdf(cents, effProbe)(col(vecCol)))
         .as("cell_id"))
       .distinct().as[Long].collect().toSeq
     val assigned = readCellState(spark, cellDirs, Some(probed))
       .select(col("cell_id"), col("id").as("neighbor_id"), col("vec").as("cv"))
     Similarity.probeAssignedCells(assigned, queries, idCol, vecCol, k,
-      nProbe, cents)
+      effProbe, cents)
   }
 
   /** STATEFUL streaming IVFADC (PQ) indexing at ingest — the
@@ -1255,9 +1265,18 @@ object Ingest {
     * broadcast-quantizer projection per batch, no shuffle except the
     * cell_id write-partitioning. State lives under
     * `codes/batch_<id>/cell_id=N/` and compacts by plain concatenation
-    * ([[compactIvfPqIndexState]]); there is deliberately no refresh
-    * hook (a re-trained quantizer would strand the frozen codes —
-    * rebuild offline instead).
+    * ([[compactIvfPqIndexState]]).
+    *
+    * An in-place refresh hook would strand the frozen codes (codes are
+    * only comparable under the quantizers that produced them) — the
+    * scale remedy is the RE-SHARD generation instead: `reshardEvery`
+    * boundaries call [[reshardIvfPqIndex]], which re-trains the coarse
+    * quantizer at `nCells ≈ √N`, re-encodes the accumulated membership
+    * from `reshardWith` (the source table — required when
+    * `reshardEvery > 0`), and publishes atomically; this batch and all
+    * later ones then encode under the adopted generation. Without it
+    * the first-batch-frozen cell count makes per-probe ADC scans grow
+    * as Θ(N) — measured linear at a 100× decade.
     */
   def ivfPqIndexIngestWriter(stream: DataFrame, stateDir: String,
                              checkpointDir: String,
@@ -1265,16 +1284,30 @@ object Ingest {
                              vecCol: String = "embedding",
                              nCells: Int = 16, iters: Int = 5,
                              m: Int = 8, ks: Int = 256,
-                             compactEvery: Int = 0): DataStreamWriter[Row] =
+                             compactEvery: Int = 0,
+                             reshardEvery: Int = 0,
+                             reshardWith: DataFrame = null,
+                             targetCorpusSize: Long = 0): DataStreamWriter[Row] = {
+    require(reshardEvery <= 0 || reshardWith != null,
+      "reshardEvery > 0 requires reshardWith: the source table the " +
+        "re-encode reads raw vectors from (state stores only codes)")
+    val cells0 =
+      if (targetCorpusSize > 0)
+        graft.llm.Similarity.sqrtIvfParams(targetCorpusSize)._1
+      else nCells
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (reshardEvery > 0 && batchId > 0 && batchId % reshardEvery == 0)
+          reshardIvfPqIndex(batch.sparkSession, stateDir, reshardWith,
+            idCol, vecCol, batchId, iters = iters)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactIvfPqIndexState(batch.sparkSession, stateDir, batchId)
-        ivfPqIndexBatch(batch, batchId, stateDir, idCol, vecCol, nCells,
+        ivfPqIndexBatch(batch, batchId, stateDir, idCol, vecCol, cells0,
           iters, m, ks)
       }
+  }
 
   def startIvfPqIndexIngest(stream: DataFrame, stateDir: String,
                             checkpointDir: String,
@@ -1283,9 +1316,13 @@ object Ingest {
                             nCells: Int = 16, iters: Int = 5,
                             m: Int = 8, ks: Int = 256,
                             compactEvery: Int = 0,
+                            reshardEvery: Int = 0,
+                            reshardWith: DataFrame = null,
+                            targetCorpusSize: Long = 0,
                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     ivfPqIndexIngestWriter(stream, stateDir, checkpointDir, idCol, vecCol,
-      nCells, iters, m, ks, compactEvery).trigger(trigger).start()
+      nCells, iters, m, ks, compactEvery, reshardEvery, reshardWith,
+      targetCorpusSize).trigger(trigger).start()
 
   /** One micro-batch of the PQ-index ingest — split out so the
     * differential spec can drive it directly.
@@ -1297,46 +1334,117 @@ object Ingest {
     import graft.llm.Similarity
     if (batch.isEmpty) return
     val b = batch.localCheckpoint() // read by train (maybe) + encode
-    val cents = ensureCentroids(b, batchId, stateDir, idCol, vecCol, nCells, iters)
-    val books = ensureBooks(b, batchId, stateDir, idCol, vecCol, m, ks,
-      iters, cents)
+    val (cents, books) = ensurePqQuantizers(b, batchId, stateDir, idCol,
+      vecCol, nCells, iters, m, ks)
     writeCellState(Similarity.encodeIvfPq(b, idCol, vecCol, cents, books, m, ks),
-      s"$stateDir/codes/batch_$batchId", nCells)
+      s"$stateDir/codes/batch_$batchId", cents.length)
     ()
   }
 
-  /** The residual codebooks for batch `batchId`: the stored generation
-    * (strictly-earlier `books/batch_<id>`), or train NOW iff no earlier
-    * batch ever trained — [[ensureCentroids]]' freeze discipline
-    * applied to the fine quantizer. Serialized one row per
-    * (subspace, code): `(s, c, vals)`.
+  /** The PQ index's (coarse quantizer, residual codebooks) for batch
+    * `batchId`: the ADOPTED re-shard generation ([[ivfPqQuantizerDirs]]
+    * — gated on its re-encoded codes having landed), falling back to
+    * the strictly-earlier frozen `batch_<id>` training dirs, or train
+    * NOW iff no earlier batch ever trained. The PQ analog of
+    * [[ensureCentroids]]+the old strictly-earlier book read, made
+    * generation-aware so every batch AFTER a re-shard encodes under the
+    * re-trained quantizers — codes stay comparable within a generation.
     */
-  private def ensureBooks(b: DataFrame, batchId: Long, stateDir: String,
-                          idCol: String, vecCol: String, m: Int, ks: Int,
-                          iters: Int,
-                          cents: Array[(Long, Array[Double])]): Array[Array[Array[Double]]] = {
+  private def ensurePqQuantizers(b: DataFrame, batchId: Long,
+                                 stateDir: String, idCol: String,
+                                 vecCol: String, nCells: Int, iters: Int,
+                                 m: Int, ks: Int): (Array[(Long, Array[Double])], Array[Array[Array[Double]]]) = {
     import graft.llm.Similarity
     val spark = b.sparkSession
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
-    val root = new org.apache.hadoop.fs.Path(s"$stateDir/books")
-    val hist =
-      if (!fs.exists(root)) Seq.empty[String]
-      else fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("batch_") &&
-          p.getName.stripPrefix("batch_").toLongOption.exists(_ < batchId))
-        .map(_.toString)
-    if (hist.nonEmpty) readBooks(spark, hist, m, ks)
-    else {
-      val trained = Similarity.residualBooks(b, idCol, vecCol, m, ks, iters, cents)
-      trained.zipWithIndex.flatMap { case (book, s) =>
-        book.zipWithIndex.map { case (vals, c) => (s, c, vals) }
-      }.toSeq.toDF("s", "c", "vals")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$stateDir/books/batch_$batchId")
-      trained
+    val (centDirs, bookDirs) = ivfPqQuantizerDirs(fs, stateDir, batchId)
+    val cents =
+      if (centDirs.nonEmpty)
+        spark.read.parquet(centDirs: _*)
+          .select(col("cell_id"), col("centroid"))
+          .as[(Long, Array[Double])].collect().sortBy(_._1)
+      else {
+        val trained = Similarity.kmeansCentroids(b, idCol, vecCol, nCells, iters)
+        trained.toSeq.toDF("cell_id", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/centroids/batch_$batchId")
+        trained
+      }
+    val books =
+      if (bookDirs.nonEmpty) readBooks(spark, bookDirs, m, ks)
+      else {
+        val trained = Similarity.residualBooks(b, idCol, vecCol, m, ks, iters, cents)
+        writeBooks(spark, trained, s"$stateDir/books/batch_$batchId")
+        trained
+      }
+    (cents, books)
+  }
+
+  /** The (centroid dirs, codebook dirs) a PQ-index participant at batch
+    * `batchId` must use: the newest re-shard generation
+    * `compact_upto_<k>` (k ≤ batchId) whose codebooks are complete AND
+    * WHOSE RE-ENCODED CODES HAVE LANDED (`codes/compact_upto_<j>`
+    * complete for some j ≥ k) — falling back to the original
+    * strictly-earlier frozen `batch_<id>` training dirs. The
+    * codes-landed gate is [[ivfCentroidDirs]]' re-assignment gate in
+    * PQ form: a crash after the centroid/book publication but before
+    * the re-encode leaves every reader on the OLD quantizers with
+    * their old codes (superseded dirs are GC'd only after the codes
+    * generation lands), so probes and ADC never mix generations.
+    */
+  private[graft] def ivfPqQuantizerDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                        stateDir: String,
+                                        batchId: Long): (Seq[String], Seq[String]) = {
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    val centRoot = new org.apache.hadoop.fs.Path(s"$stateDir/centroids")
+    val bookRoot = new org.apache.hadoop.fs.Path(s"$stateDir/books")
+    val codeRoot = new org.apache.hadoop.fs.Path(s"$stateDir/codes")
+    val codesFloor: Long =
+      if (!fs.exists(codeRoot)) 0L
+      else fs.listStatus(codeRoot).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("compact_upto_") && complete(p))
+        .flatMap(_.getName.stripPrefix("compact_upto_").toLongOption)
+        .filter(_ <= batchId)
+        .maxOption.getOrElse(0L)
+    val centEntries =
+      if (!fs.exists(centRoot)) Seq.empty
+      else fs.listStatus(centRoot).toSeq.map(_.getPath)
+    val adopted = centEntries
+      .filter(p => p.getName.startsWith("compact_upto_") && complete(p))
+      .flatMap(p => p.getName.stripPrefix("compact_upto_").toLongOption
+        .filter(k => k <= batchId && k <= codesFloor &&
+          complete(new org.apache.hadoop.fs.Path(bookRoot, s"compact_upto_$k")))
+        .map(k => (k, p.toString)))
+      .maxByOption(_._1)
+    adopted match {
+      case Some((k, centDir)) =>
+        (Seq(centDir),
+          Seq(new org.apache.hadoop.fs.Path(bookRoot, s"compact_upto_$k").toString))
+      case None =>
+        def earlier(root: org.apache.hadoop.fs.Path): Seq[String] =
+          if (!fs.exists(root)) Seq.empty
+          else fs.listStatus(root).toSeq.map(_.getPath)
+            .filter(p => p.getName.startsWith("batch_") &&
+              p.getName.stripPrefix("batch_").toLongOption.exists(_ < batchId))
+            .map(_.toString)
+        (earlier(centRoot), earlier(bookRoot))
     }
+  }
+
+  /** Serialize residual codebooks as one row per (subspace, code):
+    * `(s, c, vals)` — the layout [[readBooks]] reads back.
+    */
+  private def writeBooks(spark: org.apache.spark.sql.SparkSession,
+                         books: Array[Array[Array[Double]]],
+                         dir: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (vals, c) => (s, c, vals) }
+    }.toSeq.toDF("s", "c", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
   private def readBooks(spark: org.apache.spark.sql.SparkSession,
@@ -1355,13 +1463,175 @@ object Ingest {
   }
 
   /** Compact the PQ-index ingest's code state up to (excluding) batch
-    * `upTo` — plain concatenation (codes are immutable under the frozen
-    * quantizers), keeping the `cell_id=N/` layout.
+    * `upTo` — plain concatenation (codes are immutable under a fixed
+    * quantizer generation), keeping the `cell_id=N/` layout.
+    *
+    * Abandoned-re-shard rollback first: a centroid/book generation
+    * whose re-encoded codes never landed (a [[reshardIvfPqIndex]]
+    * crashed mid-publication and was never retried) must not be
+    * ACTIVATED by this plain concat raising the codes floor past it —
+    * the adoption gate ([[ivfPqQuantizerDirs]]) keys on the codes
+    * floor, so new-quantizer centroids over old-quantizer codes would
+    * silently probe the wrong cells forever. Unlike the raw-vector
+    * index (whose compaction COMPLETES an orphaned refresh by
+    * re-assigning, [[compactIvfIndexState]]), codes cannot be
+    * re-encoded without the source table — so the orphan is ROLLED
+    * BACK instead: it was never adopted (the gate never passed), no
+    * reader ever saw it, and deleting it restores the
+    * single-generation invariant before the floor moves.
     */
   def compactIvfPqIndexState(spark: org.apache.spark.sql.SparkSession,
-                             stateDir: String, upTo: Long): Unit =
+                             stateDir: String, upTo: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val centRoot = new org.apache.hadoop.fs.Path(s"$stateDir/centroids")
+    if (fs.exists(centRoot))
+      fs.listStatus(centRoot).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("compact_upto_"))
+        .foreach { p =>
+          p.getName.stripPrefix("compact_upto_").toLongOption.foreach { k =>
+            if (k <= upTo && !fs.exists(new org.apache.hadoop.fs.Path(
+                s"$stateDir/codes/compact_upto_$k/_SUCCESS"))) {
+              fs.delete(p, true)
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$stateDir/books/compact_upto_$k"), true)
+            }
+          }
+        }
     compactCurationState(spark, stateDir, "codes", upTo, identity,
       Seq("cell_id"))
+  }
+
+  /** Re-shard the streamed PQ index: re-train the coarse quantizer at
+    * `nCells ≈ √N` over the vectors accumulated in batches `[0, upTo)`,
+    * re-train the residual codebooks under it, re-encode the
+    * accumulated membership from `source`, and publish the three as one
+    * `compact_upto_<upTo>` GENERATION — the scale remedy for the
+    * first-batch-frozen cell count, whose per-probe ADC scan grows as
+    * Θ(N/nCells) = Θ(N) and measures LINEAR at a 100× decade. Under the
+    * [[graft.llm.Similarity.sqrtIvfParams]] family the re-sharded probe
+    * scans ~N^(3/4) rows.
+    *
+    * The state stores only m-byte codes, so re-encoding reads raw
+    * vectors by id from the SOURCE table (the same table the serving
+    * path's exact rerank already reads) — one equi-join of the
+    * accumulated id set against the source per re-shard, the cost an
+    * offline rebuild would pay anyway, amortized over `reshardEvery`
+    * batches. Missing ids fail LOUDLY: a source that no longer holds an
+    * indexed vector cannot re-encode it, and silently dropping it would
+    * shrink the index.
+    *
+    * Crash-safe in every prefix, mirroring [[refreshIvfIndex]]'s
+    * two-publication discipline extended to three:
+    *  1. `centroids/compact_upto_<upTo>` (skipped if already complete);
+    *  2. `books/compact_upto_<upTo>` under those centroids;
+    *  3. `codes/compact_upto_<upTo>` — the re-encoded membership;
+    *  4. only then are superseded code/centroid/book dirs GC'd.
+    * Readers ([[ivfPqQuantizerDirs]]) adopt the generation only once
+    * step 3 has landed; a crash before that leaves them on the old
+    * quantizers with their old codes, and the retry converges
+    * (each publication is `_SUCCESS`-idempotent). A floor already taken
+    * by a PLAIN codes compaction refuses the re-shard (returns false) —
+    * publishing centroids there would gate against un-re-encoded codes;
+    * the next boundary lands on a fresh floor.
+    *
+    * `nCells <= 0` derives `√N / 2` from the accumulated membership
+    * ([[graft.llm.Similarity.sqrtIvfParams]]); m/ks are inherited from
+    * the stored codebooks, so codes stay byte-compatible in width.
+    * Single-writer, like every compaction here: call between batches
+    * (the `reshardEvery` wiring) or with the stream stopped.
+    *
+    * @return true iff the generation is complete on return
+    */
+  def reshardIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        stateDir: String, source: DataFrame,
+                        idCol: String, vecCol: String, upTo: Long,
+                        nCells: Int = 0, iters: Int = 5): Boolean = {
+    import graft.llm.Similarity
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val codeDirs = historyDirs(fs, stateDir, "codes", upTo)
+    if (codeDirs.isEmpty) return false
+    def complete(dir: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+    val centTarget = s"$stateDir/centroids/compact_upto_$upTo"
+    val bookTarget = s"$stateDir/books/compact_upto_$upTo"
+    val codeTarget = s"$stateDir/codes/compact_upto_$upTo"
+    // collision guard: a plain compaction already owns this floor —
+    // centroids published now would adopt against un-re-encoded codes
+    if (complete(codeTarget) && !complete(centTarget)) return false
+    if (!(complete(centTarget) && complete(bookTarget) && complete(codeTarget))) {
+      // m/ks inherited from the stored codebooks (width compatibility)
+      val curBooks =
+        if (complete(bookTarget)) Seq(bookTarget)
+        else ivfPqQuantizerDirs(fs, stateDir, upTo)._2
+      require(curBooks.nonEmpty, s"no PQ codebook state under $stateDir/books")
+      val dims = spark.read.parquet(curBooks: _*)
+        .agg(max(col("s")), max(col("c"))).head()
+      val (m, ks) = (dims.getInt(0) + 1, dims.getInt(1) + 1)
+      // accumulated membership, re-read as raw vectors from the source
+      val ids = readCellState(spark, codeDirs).select(col("id")).distinct()
+        .localCheckpoint()
+      val vecs = source
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .join(ids, Seq("id"))
+        .localCheckpoint() // read by k-means iters + book train + encode
+      val (nState, nJoined) = (ids.count(), vecs.count())
+      require(nJoined == nState,
+        s"PQ re-shard under $stateDir: ${nState - nJoined} of $nState " +
+          "indexed ids are missing from the source table — cannot " +
+          "re-encode them; restore the source rows or rebuild the index")
+      val k =
+        if (nCells > 0) nCells else Similarity.sqrtIvfParams(nJoined)._1
+      if (!complete(centTarget)) {
+        // train on an id-sampled subset of ~256 vectors per cell (the
+        // standard IVF training budget): full-membership Lloyd's at
+        // k ≈ √N costs O(N·√N·dim) per iteration — superlinear in the
+        // corpus — while the sampled train is O(N·dim) and the recall
+        // band is unchanged (AnnScaleCheck trains sampled throughout).
+        // Assignment/encoding below still covers every vector.
+        val sampleMod = math.max(1L, nJoined / (256L * k)).toInt
+        val trained = Similarity.kmeansCentroids(vecs, "id", "vec", k,
+          iters, sampleMod)
+        trained.toSeq.toDF("cell_id", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(centTarget)
+      }
+      val cents = spark.read.parquet(centTarget)
+        .select(col("cell_id"), col("centroid"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      if (!complete(bookTarget))
+        writeBooks(spark,
+          Similarity.residualBooks(vecs, "id", "vec", m, ks, iters, cents),
+          bookTarget)
+      val books = readBooks(spark, Seq(bookTarget), m, ks)
+      if (!complete(codeTarget))
+        writeCellState(
+          Similarity.encodeIvfPq(vecs, "id", "vec", cents, books, m, ks),
+          codeTarget, cents.length)
+    }
+    // GC superseded state — best-effort, ONLY after the codes
+    // generation landed (readers ignore everything it supersedes).
+    // Listed from the roots, not from `codeDirs`: a retry that crashed
+    // between publication and GC re-enters here with historyDirs
+    // already floored AT the new generation, so the pre-publication
+    // input list no longer names the superseded dirs.
+    for (sub <- Seq("codes", "centroids", "books")) {
+      val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            if (n.startsWith("batch_"))
+              n.stripPrefix("batch_").toLongOption.exists(_ < upTo)
+            else if (n.startsWith("compact_upto_"))
+              n.stripPrefix("compact_upto_").toLongOption.exists(_ < upTo)
+            else false
+          }
+          .foreach(p => fs.delete(p, true))
+    }
+    true
+  }
 
   /** Query the stream-built PQ index: probe + residual-ADC over ONLY
     * the probed `cell_id=N/` state partitions (a collected probe set
@@ -1379,28 +1649,35 @@ object Ingest {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
-    val centDirs = ivfCentroidDirs(fs, stateDir, Long.MaxValue)
+    // quantizers through the re-shard adoption gate: the newest
+    // generation whose re-encoded codes landed, else the frozen
+    // batch-0 training dirs — never a half-published generation
+    val (centDirs, bookDirs) = ivfPqQuantizerDirs(fs, stateDir, Long.MaxValue)
     require(centDirs.nonEmpty, s"no IVF centroid state under $stateDir/centroids")
+    require(bookDirs.nonEmpty, s"no PQ codebook state under $stateDir/books")
     val cents = spark.read.parquet(centDirs: _*)
       .select(col("cell_id"), col("centroid"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val bookRoot = new org.apache.hadoop.fs.Path(s"$stateDir/books")
-    require(fs.exists(bookRoot), s"no PQ codebook state under $stateDir/books")
-    val bookDirs = fs.listStatus(bookRoot).toSeq.map(_.getPath.toString)
     val dims = spark.read.parquet(bookDirs: _*)
       .agg(max(col("s")), max(col("c"))).head()
     val (m, ks) = (dims.getInt(0) + 1, dims.getInt(1) + 1)
     val books = readBooks(spark, bookDirs, m, ks)
     val codeDirs = historyDirs(fs, stateDir, "codes", Long.MaxValue)
     require(codeDirs.nonEmpty, s"no PQ code state under $stateDir/codes")
+    // nProbe <= 0 derives the √-family width 2·√nCells from the BUILT
+    // cell count — the serving side of sqrtIvfParams, so a re-sharded
+    // index is probed at its design point without the caller knowing
+    // the generation's nCells
+    val effProbe =
+      if (nProbe > 0) nProbe else Similarity.sqrtProbeFor(cents.length)
     val probed = queries
-      .select(explode(Similarity.ivfProbeUdf(cents, nProbe)(col(vecCol)))
+      .select(explode(Similarity.ivfProbeUdf(cents, effProbe)(col(vecCol)))
         .as("cell_id"))
       .distinct().as[Long].collect().toSeq
     val codes = readCellState(spark, codeDirs, Some(probed))
       .select(col("cell_id"), col("id"), col("code"))
     Similarity.probeEncodedCells(codes, queries, corpus, idCol, vecCol, k,
-      nProbe, cents, books, m, ks, rerank)
+      effProbe, cents, books, m, ks, rerank)
   }
 
   /** STATEFUL embedding near-dup marking at ingest — SemDeDup's
@@ -1522,9 +1799,11 @@ object Ingest {
                           vecCol: String = "embedding",
                           nCells: Int = 16, iters: Int = 5,
                           refreshEvery: Int = 0,
+                          targetCorpusSize: Long = 0,
                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     ivfIndexIngestWriter(stream, stateDir, checkpointDir, idCol, vecCol,
-      nCells, iters, refreshEvery = refreshEvery).trigger(trigger).start()
+      nCells, iters, refreshEvery = refreshEvery,
+      targetCorpusSize = targetCorpusSize).trigger(trigger).start()
 
   /** The centroid generation a reader at `batchId` must use: the
     * newest `_SUCCESS`-complete `centroids/compact_upto_<k>` refresh

@@ -76,14 +76,16 @@ object AnnScaleCheck {
       // √nlist scans ~N^(3/4) ROWS PER PROBE. The gate is recall ≥ the
       // same 0.7 floor at every size under that shrinking probe SHARE —
       // evidence that the linear exponent is a parameter point, not a
-      // structural property of the cell-partitioned index.
-      val sCells = math.max(32, (64 * math.sqrt(n / 20000.0)).toInt)
-      val sProbe = math.max(8, (16 * math.sqrt(sCells / 64.0)).toInt)
+      // structural property of the cell-partitioned index. The point
+      // tested is EXACTLY the shipped operator derivation
+      // (Similarity.sqrtIvfParams — the targetCorpusSize hint on
+      // ivfTopK/ivfPqTopK and the reshardIvfPqIndex cell count).
+      val (sCells, sProbe) = Similarity.sqrtIvfParams(n)
       val scanned = sProbe.toLong * n / sCells
       val t0s = System.nanoTime()
       val approxS = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
-        k = 10, nCells = sCells, nProbe = sProbe, m = 8, ks = 256, iters = 4,
-        sampleMod = 4)
+        k = 10, m = 8, ks = 256, iters = 4, sampleMod = 4,
+        targetCorpusSize = n)
       val hitS = exact.join(approxS.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"), "left_semi").count()
       val secS = (System.nanoTime() - t0s) / 1e9
@@ -94,6 +96,30 @@ object AnnScaleCheck {
       require(recallS >= 0.7,
         f"SQRT-derivation recall@10=$recallS%.3f fell below the 0.7 floor at " +
           s"corpus size $n — sublinear probing does not hold here")
+      // derived-beats-fixture gate: against the FIXTURE LITERAL point
+      // (nCells=16 / nProbe=4 — the frozen first-batch parameterization
+      // q9Z measured linear), the √N derivation must scan strictly
+      // fewer rows per query at 10×+ the oracle fixture while holding
+      // the same recall floor — the reason the hint exists.
+      val fixtureScanned = 4L * n / 16
+      val t0f = System.nanoTime()
+      val approxF = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        k = 10, nCells = 16, nProbe = 4, m = 8, ks = 256, iters = 4,
+        sampleMod = 4)
+      val hitF = exact.join(approxF.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      val secF = (System.nanoTime() - t0f) / 1e9
+      println(f"[annscale] n=$n FIXTURE-point nCells=16 nProbe=4 " +
+        f"scanned-rows/probe~$fixtureScanned recall@10=${hitF.toDouble / total}%.3f " +
+        f"($hitF/$total) sec=$secF%.1f")
+      // at ~10× the two points cross over (≈ equal scan width); the
+      // strict win is gated from 50× up, where the N^(3/4) law has a
+      // decade to pull away
+      if (n >= 100000L)
+        require(scanned < fixtureScanned,
+          s"derived point scans $scanned rows/query vs the fixture point's " +
+            s"$fixtureScanned at corpus size $n — the √N derivation should " +
+            "strictly shrink the probe share past the crossover")
       // hard-negative mining at the same derivation point: label =
       // (id/Clusters) % 8 is uniform within each cluster, ground truth
       // by the exact broadcast path on the same 100-query sample.

@@ -33,7 +33,7 @@ object ScaleProbe {
       "q52_minhash_pairs", "q69_dup_clusters", "q87_curation_pipeline",
       "q8D_dedup_keep_best", "q8M_leakfree_split", "q8O_curation_v2",
       "q9M_stream_ivf_index", "q9X_drift_refresh", "q9Y_embed_dedup",
-      "q9Z_pq_stream_index"))
+      "q9Z_pq_stream_index", "qA4_pq_reshard_index"))
     val spark = GraftSession.builder(appName = "graft-scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -225,6 +225,254 @@ class IvfPqStreamSpec extends SparkSpec {
       _.metadata.getOrElse("PartitionFilters", "").contains("cell_id")))
   }
 
+  // ------------------------- re-shard generation ------------------- //
+  // Subspace drift (the StreamingSpec q9X fixture): phase A lives in
+  // dims (0,1) — two clusters; phase B (a new encoder/domain) lives in
+  // dims (2,3) with only id-noise in the old dims, so the frozen coarse
+  // quantizer routes phase-B vectors by their NOISE components.
+  private def jitD(id: Long, mm: Int): Float =
+    (((id * 7 + mm * 13) % 11) - 5) * 0.011f
+  private def aVec(id: Long): Seq[Float] =
+    if (id % 2 == 0) Seq(1f + jitD(id, 1), jitD(id, 2), 0f, 0f)
+    else Seq(jitD(id, 3), 1f + jitD(id, 4), 0f, 0f)
+  private def bVec(id: Long): Seq[Float] =
+    if (id % 2 == 0)
+      Seq(jitD(id, 1) * 0.3f, jitD(id, 2) * 0.3f, 1f + jitD(id, 5), jitD(id, 6))
+    else
+      Seq(jitD(id, 3) * 0.3f, jitD(id, 4) * 0.3f, jitD(id, 7), 1f + jitD(id, 8))
+  private def driftBatches: Seq[Seq[(Long, Seq[Float])]] = {
+    val phaseA = (0L until 60L).map(i => (i, aVec(i)))
+    val phaseB = (60L until 120L).map(i => (i, bVec(i)))
+    Seq(phaseA.take(30), phaseA.drop(30), phaseB.take(30), phaseB.drop(30))
+  }
+
+  private def pqRecall(stateDir: String, corpus: DataFrame,
+                       queries: DataFrame,
+                       truth: Map[Long, Set[Long]]): Double = {
+    val got = Ingest.ivfPqIndexTopK(spark, stateDir, queries, corpus,
+        "vec_id", "embedding", k = 10, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).count(t).toDouble / t.size
+    }.sum / truth.size
+  }
+
+  test("PQ re-shard: planted drift sinks the frozen quantizer's recall; " +
+      "the √N re-shard generation restores it; post-re-shard batches " +
+      "encode under the adopted quantizers; boundary retry converges") {
+    val m = 4; val ks = 16
+    val batches = driftBatches
+    val all = batches.flatten.toDF("vec_id", "embedding")
+    val queries = batches(2).take(10).toDF("vec_id", "embedding")
+    val truth = Similarity
+      .bruteForceTopK(all, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // frozen run: both quantizers trained on batch 0, never re-sharded
+    val frozen = tmpDir("pq-frozen")
+    for ((b, i) <- batches.zipWithIndex)
+      Ingest.ivfPqIndexBatch(b.toDF("vec_id", "embedding"), i.toLong,
+        frozen, "vec_id", "embedding", nCells = 4, iters = 4, m = m, ks = ks)
+    // re-sharded run: identical stream, re-shard before batch 3 (the
+    // writer's reshardEvery wiring, driven directly)
+    val reshard = tmpDir("pq-reshard")
+    for ((b, i) <- batches.zipWithIndex) {
+      if (i == 3) {
+        val src = batches.take(3).flatten.toDF("vec_id", "embedding")
+        assert(Ingest.reshardIvfPqIndex(spark, reshard, src,
+          "vec_id", "embedding", upTo = 3L, iters = 4))
+      }
+      Ingest.ivfPqIndexBatch(b.toDF("vec_id", "embedding"), i.toLong,
+        reshard, "vec_id", "embedding", nCells = 4, iters = 4, m = m, ks = ks)
+    }
+    val rFrozen = pqRecall(frozen, all, queries, truth)
+    val rReshard = pqRecall(reshard, all, queries, truth)
+    assert(rFrozen < 0.8, f"planted drift did not sink frozen recall: $rFrozen%.3f")
+    assert(rReshard >= 0.9,
+      f"re-shard did not restore recall: $rReshard%.3f (frozen $rFrozen%.3f)")
+    // the adopted generation is the re-shard, at the derived √N cell
+    // count; superseded training dirs are GC'd
+    val centNames = new java.io.File(s"$reshard/centroids").listFiles()
+      .map(_.getName).toSet
+    assert(centNames == Set("compact_upto_3"), centNames.toString)
+    val bookNames = new java.io.File(s"$reshard/books").listFiles()
+      .map(_.getName).toSet
+    assert(bookNames == Set("compact_upto_3"), bookNames.toString)
+    val cents = spark.read.parquet(s"$reshard/centroids/compact_upto_3")
+      .select(col("cell_id"), col("centroid"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    assert(cents.length == Similarity.sqrtIvfParams(90)._1,
+      s"re-shard cell count ${cents.length} is not the √N derivation")
+    // the WHOLE state (re-encoded [0,3) + incrementally-encoded batch 3)
+    // is byte-identical to the batch encoding under the adopted
+    // quantizers — one generation, no mixing
+    val rows = spark.read.parquet(s"$reshard/books/compact_upto_3")
+      .select(col("s"), col("c"), col("vals"))
+      .as[(Int, Int, Array[Double])].collect()
+    val books = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach { case (s, c, v) => books(s)(c) = v }
+    val streamed = Ingest.ivfPqCodeState(spark, reshard)
+      .select(col("cell_id"), col("id"), col("code"))
+    val expect = Similarity.encodeIvfPq(all, "vec_id", "embedding",
+      cents, books, m, ks)
+    assert(streamed.exceptAll(expect)
+      .unionAll(expect.exceptAll(streamed)).count() == 0L,
+      "post-re-shard state diverges from the adopted-generation encoding")
+    // boundary retry converges: re-running the re-shard is a no-op and
+    // the boundary batch re-encodes identically
+    val before = streamed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(Ingest.reshardIvfPqIndex(spark, reshard,
+      batches.take(3).flatten.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", upTo = 3L, iters = 4))
+    Ingest.ivfPqIndexBatch(batches(3).toDF("vec_id", "embedding"), 3L,
+      reshard, "vec_id", "embedding", nCells = 4, iters = 4, m = m, ks = ks)
+    val after = Ingest.ivfPqCodeState(spark, reshard)
+      .select(col("cell_id"), col("id"), col("code")).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(after == before, "re-shard boundary retry changed the state")
+  }
+
+  test("torn re-shard is invisible at every crash prefix: centroids " +
+      "alone, centroids+books — readers stay on the old quantizers; the " +
+      "retry completes the generation from the published prefixes") {
+    val m = 4; val ks = 16
+    val batches = driftBatches
+    val stateDir = tmpDir("pq-torn")
+    for ((b, i) <- batches.take(3).zipWithIndex)
+      Ingest.ivfPqIndexBatch(b.toDF("vec_id", "embedding"), i.toLong,
+        stateDir, "vec_id", "embedding", nCells = 4, iters = 4, m = m, ks = ks)
+    val corpus = batches.take(3).flatten.toDF("vec_id", "embedding")
+    val queries = batches(2).take(10).toDF("vec_id", "embedding")
+    def answers(): Set[(Long, Long)] =
+      Ingest.ivfPqIndexTopK(spark, stateDir, queries, corpus,
+          "vec_id", "embedding", k = 10, nProbe = 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pre = answers()
+    // crash prefix 1: the re-trained centroid generation lands alone
+    val cents3 = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      nCells = 5, iters = 4)
+    cents3.toSeq.toDF("cell_id", "centroid").coalesce(1)
+      .write.parquet(s"$stateDir/centroids/compact_upto_3")
+    assert(answers() == pre,
+      "torn re-shard (centroids alone) changed reader answers")
+    // crash prefix 2: the re-trained codebooks land too — codes still
+    // haven't, so the generation must stay invisible
+    val books3 = Similarity.residualBooks(corpus, "vec_id", "embedding",
+      m, ks, 4, cents3.sortBy(_._1))
+    books3.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (vals, c) => (s, c, vals) }
+    }.toSeq.toDF("s", "c", "vals").coalesce(1)
+      .write.parquet(s"$stateDir/books/compact_upto_3")
+    assert(answers() == pre,
+      "torn re-shard (centroids+books, no codes) changed reader answers")
+    // the retry completes the generation FROM the published prefixes
+    // (no retrain — the planted quantizers are adopted verbatim)
+    assert(Ingest.reshardIvfPqIndex(spark, stateDir, corpus,
+      "vec_id", "embedding", upTo = 3L, iters = 4))
+    val centNames = new java.io.File(s"$stateDir/centroids").listFiles()
+      .map(_.getName).toSet
+    assert(centNames == Set("compact_upto_3"), centNames.toString)
+    val adopted = spark.read.parquet(s"$stateDir/centroids/compact_upto_3")
+      .select(col("cell_id"), col("centroid"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    assert(adopted.map(_._1).sameElements(cents3.sortBy(_._1).map(_._1)),
+      "retry re-trained instead of adopting the published centroids")
+    // the completed generation serves: every query still gets k rows
+    assert(answers().groupBy(_._1).forall(_._2.size == 10))
+  }
+
+  test("abandoned re-shard rollback: a plain compaction deletes an " +
+      "orphaned centroid/book generation instead of activating it over " +
+      "un-re-encoded codes; collision guard refuses a re-shard onto a " +
+      "plain floor; missing source ids fail loudly") {
+    val m = 4; val ks = 16
+    val batches = driftBatches
+    val stateDir = tmpDir("pq-orphan")
+    for ((b, i) <- batches.take(2).zipWithIndex)
+      Ingest.ivfPqIndexBatch(b.toDF("vec_id", "embedding"), i.toLong,
+        stateDir, "vec_id", "embedding", nCells = 4, iters = 4, m = m, ks = ks)
+    val corpus = batches.take(2).flatten.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 5)
+    def answers(): Set[(Long, Long)] =
+      Ingest.ivfPqIndexTopK(spark, stateDir, queries, corpus,
+          "vec_id", "embedding", k = 5, nProbe = 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pre = answers()
+    // orphan: centroids+books published at 2, codes never re-encoded,
+    // re-shard never retried (abandoned)
+    val orphanCents = Similarity.kmeansCentroids(corpus, "vec_id",
+      "embedding", nCells = 3, iters = 2)
+    orphanCents.toSeq.toDF("cell_id", "centroid").coalesce(1)
+      .write.parquet(s"$stateDir/centroids/compact_upto_2")
+    Similarity.residualBooks(corpus, "vec_id", "embedding", m, ks, 2,
+        orphanCents.sortBy(_._1))
+      .zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (vals, c) => (s, c, vals) }
+      }.toSeq.toDF("s", "c", "vals").coalesce(1)
+      .write.parquet(s"$stateDir/books/compact_upto_2")
+    // a later plain compaction must ROLL THE ORPHAN BACK before raising
+    // the codes floor past it — activating it would probe new-quantizer
+    // cells over old-quantizer codes
+    Ingest.compactIvfPqIndexState(spark, stateDir, 2L)
+    assert(!new java.io.File(s"$stateDir/centroids/compact_upto_2").exists(),
+      "plain compaction left the orphaned centroid generation in place")
+    assert(!new java.io.File(s"$stateDir/books/compact_upto_2").exists(),
+      "plain compaction left the orphaned codebook generation in place")
+    assert(new java.io.File(s"$stateDir/codes/compact_upto_2/_SUCCESS").exists(),
+      "plain compaction did not land the codes floor")
+    assert(answers() == pre, "orphan rollback + plain compaction changed answers")
+    // collision guard: the plain floor at 2 refuses a re-shard at 2
+    assert(!Ingest.reshardIvfPqIndex(spark, stateDir, corpus,
+      "vec_id", "embedding", upTo = 2L, iters = 2),
+      "re-shard onto a plain-compaction floor must refuse")
+    assert(!new java.io.File(s"$stateDir/centroids/compact_upto_2").exists(),
+      "refused re-shard still published centroids")
+    // a source missing indexed ids cannot re-encode them — loud refusal
+    val e = intercept[IllegalArgumentException](
+      Ingest.reshardIvfPqIndex(spark, stateDir,
+        corpus.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", upTo = 3L, iters = 2))
+    assert(e.getMessage.contains("missing from the source"), e.getMessage)
+  }
+
+  test("writer wiring: reshardEvery re-shards mid-stream through " +
+      "foreachBatch and later micro-batches adopt the generation") {
+    val m = 4; val ks = 16
+    val batches = driftBatches
+    val all = batches.flatten.toDF("vec_id", "embedding")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val stateDir = tmpDir("pq-writer")
+    val ckpt = tmpDir("pq-writer-ckpt")
+    val writer = Ingest.ivfPqIndexIngestWriter(
+      mem.toDF.toDF("vec_id", "embedding"), stateDir, ckpt,
+      nCells = 4, iters = 4, m = m, ks = ks,
+      reshardEvery = 3, reshardWith = all)
+    val q = writer.start()
+    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    // the re-shard fired at batch 3: adopted generation on disk, frozen
+    // training dirs GC'd, batch 3 encoded under it
+    assert(new java.io.File(s"$stateDir/codes/compact_upto_3/_SUCCESS").exists())
+    assert(new java.io.File(s"$stateDir/centroids").listFiles()
+      .map(_.getName).toSet == Set("compact_upto_3"))
+    val queries = batches(2).take(10).toDF("vec_id", "embedding")
+    val truth = Similarity
+      .bruteForceTopK(all, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val r = pqRecall(stateDir, all, queries, truth)
+    assert(r >= 0.9, f"writer-wired re-shard recall $r%.3f")
+    // requireds: reshardEvery without a source is a loud config error
+    val err = intercept[IllegalArgumentException](
+      Ingest.ivfPqIndexIngestWriter(mem.toDF.toDF("vec_id", "embedding"),
+        stateDir, ckpt, reshardEvery = 3))
+    assert(err.getMessage.contains("reshardWith"), err.getMessage)
+  }
+
   test("PQ state is an order-of-magnitude slimmer on disk than the raw-" +
       "vector state over the same 64-dim stream") {
     // 64-dim vectors (the testdata width): raw state carries 64 floats
