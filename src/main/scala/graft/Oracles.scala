@@ -1122,6 +1122,17 @@ object Oracles {
          SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
            round(volume, 4) AS volume
          FROM r WHERE rn = 1""",
+    // qA3: MERGE WHEN MATCHED THEN DELETE — batch A minus the keys the
+    // restricted batch-B delete source matched (anti-join on the fold
+    // key; market/candle_length are constant across the fixture).
+    "qA3_vstore_merge_delete" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")}),
+         b AS (SELECT * FROM (${hourlyCandles("WHERE event_id % 3 = 0")})
+               WHERE hour(ts) % 3 = 1)
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume
+         FROM a WHERE NOT EXISTS (
+           SELECT 1 FROM b WHERE b.code = a.code AND b.ts = a.ts)""",
     // qA2: the candle-catalog MERGE end state == q40's two-batch
     // last-wins upsert (batch B lands via two SQL half-merges instead
     // of the Scala upsert; same final table by construction).

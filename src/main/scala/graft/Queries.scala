@@ -794,6 +794,40 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
+  private val deleteStoreCache = fixtureCache[String]()
+
+  /** Build (once per sfDir) a versioned store whose second statement is
+    * a SQL `MERGE … WHEN MATCHED THEN DELETE` (round 15, qA3): batch A
+    * (`%3<>0` hourly candles) commits normally, then the `%3=0` batch
+    * RESTRICTED to `hour(ts) % 3 = 1` arrives as a delete source — every
+    * key present in BOTH is journaled as a tombstone in one tx. The end
+    * state must equal A minus the matched keys (DuckDB anti-join
+    * oracle); as-of tx 1 still reconstructs full A (spec-gated).
+    */
+  private def deleteStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
+    val path = deleteStoreCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qmergedel").toString
+      val p = s"$base/v"
+      val ev = T.events(s, d)
+      val st = graft.store.VersionedCandleStore(s, p)
+      st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      val cat = "gvd" + (ek(d).hashCode & 0x7fffffff)
+      setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
+      setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
+      eventCandles(ev.where(col("event_id") % 3 === 0))
+        .where(hour(col("ts")) % 3 === 1)
+        .withColumn("year", year(col("ts")))
+        .createOrReplaceTempView("graft_merge_del_src")
+      s.sql(
+        s"""MERGE INTO $cat.v t USING graft_merge_del_src s
+           ON t.market = s.market AND t.code = s.code
+              AND t.candle_length = s.candle_length AND t.ts = s.ts
+           WHEN MATCHED THEN DELETE""")
+      p
+    })
+    graft.store.VersionedCandleStore(s, path)
+  }
+
   private val candleMergeCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a PLAIN candle store whose second batch
@@ -1209,6 +1243,18 @@ object Queries {
     // merge is ONE journaled tx (as-of history intact).
     "qA1_vstore_merge_sql" -> ((s, d) => {
       mergeStore(s, d).scan()
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // SQL MERGE WHEN MATCHED THEN DELETE (round 15): the matched slice
+    // of batch B tombstones its keys in ONE journaled tx — the latest
+    // fold must equal batch A minus the matched keys (DuckDB anti-join
+    // oracle), while pre-delete history stays reconstructable
+    // (VersionedStoreSpec/VStoreMergeSpec gate as-of + change feed).
+    "qA3_vstore_merge_delete" -> ((s, d) => {
+      deleteStore(s, d).scan()
         .select(col("code"), col("ts"),
           Portable.round(col("open"), 4).as("open"),
           Portable.round(col("close"), 4).as("close"),
@@ -2306,6 +2352,15 @@ object Queries {
         s"re-sharded PQ indexing must see 3 micro-batches, saw $batches")
       stateDir
     })
+
+  /** The two streamed-PQ fixture state dirs (frozen q9Z, re-sharded
+    * qA4), built if absent — the serve-path ScaleProbe's entry point:
+    * it times `ivfPqIndexTopK` over these directly, with a FIXED query
+    * set, so the operator's scaling is measured apart from the property
+    * oracles' own Θ(queries·N) brute-force and Θ(N·√N) differential.
+    */
+  private[graft] def pqProbeFixtures(s: SparkSession, d: String): (String, String) =
+    (streamedIvfPqIndexState(s, d), reshardedIvfPqIndexState(s, d))
 
   private val ivfDriftCache = fixtureCache[String]()
 

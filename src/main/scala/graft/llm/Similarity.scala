@@ -985,7 +985,17 @@ object Similarity {
                                        m: Int, ks: Int,
                                        rerank: Int = -1): DataFrame = {
     val sorted = cents.sortBy(_._1)
-    val effRerank = derivedRerank(rerank, k, codes.count() * RerankFraction)
+    // the derived width scales with the rows ONE query's probes scan —
+    // nProbe cells of the average population — not with the pruned
+    // state's total: `codes` is pruned to the UNION of all queries'
+    // probes, which approaches the whole corpus as the query batch
+    // grows, and a width ∝ total state made the per-query exact rerank
+    // Θ(N) regardless of how finely the cells were sharded
+    val effRerank = derivedRerank(rerank, k, {
+      val stats = codes.agg(count(lit(1)), countDistinct(col("cell_id"))).head()
+      val (rows, cells) = (stats.getLong(0), math.max(1L, stats.getLong(1)))
+      nProbe.toDouble * rows / cells * RerankFraction
+    })
     val luts = pqQueryLuts(queries, idCol, vecCol, books, m, ks)
     val heap = udaf(new TopK.TopKAggregator(effRerank))
     val probes = queries

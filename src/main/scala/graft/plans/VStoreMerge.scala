@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, 
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.StructType
 
@@ -36,9 +36,14 @@ import graft.store.{CandleStore, VersionedCandleStore}
   *    EVERY table column from source-only expressions (`SET *` /
   *    `INSERT *` qualify) — partial assignments can't lower to a
   *    whole-row upsert and are refused;
-  *  - no DELETE (vstore is append-only versioned; the candle store's
-  *    SQL surface is insert/upsert-only like the reference's), no
-  *    `WHEN NOT MATCHED BY SOURCE`, no schema evolution, no
+  *  - `WHEN MATCHED THEN DELETE` (unconditioned) on VSTORE targets
+  *    only: matched keys lower to journaled TOMBSTONE rows
+  *    ([[VersionedCandleStore.delete]]'s representation) in the same
+  *    single tx as any NOT MATCHED inserts — as-of reads before the
+  *    delete still see the rows, the change feed carries `_deleted`.
+  *    Candle targets keep refusing DELETE (the reference's surface is
+  *    insert/upsert-only, `database/command/`);
+  *  - no `WHEN NOT MATCHED BY SOURCE`, no schema evolution, no
   *    time-travel/change-feed target (read-only lens).
   *
   * CARDINALITY DIVERGENCE (documented, optionally strict): ANSI MERGE
@@ -65,11 +70,13 @@ case class ResolveGraftMerge(session: SparkSession) extends Rule[LogicalPlan]
           t.changesSinceOpt.nonEmpty)
         fail("target is a VERSION AS OF / TIMESTAMP AS OF / change-feed " +
           "lens — read-only; merge into the latest table")
-      val (keyMap, upd, ins) = MergeLowering.validate(m, t.schema())
-      VStoreMergeCommand(t.path, m.sourceTable, keyMap, upd, ins)
+      val (keyMap, upd, ins, del) =
+        MergeLowering.validate(m, t.schema(), allowDelete = true)
+      VStoreMergeCommand(t.path, m.sourceTable, keyMap, upd, ins, del)
     case m: MergeIntoTable if m.resolved && candleOf(m.targetTable).isDefined =>
       val t = candleOf(m.targetTable).get
-      val (keyMap, upd, ins) = MergeLowering.validate(m, t.schema())
+      val (keyMap, upd, ins, _) =
+        MergeLowering.validate(m, t.schema(), allowDelete = false)
       CandleMergeCommand(t.path, m.sourceTable, keyMap, upd, ins)
   }
 
@@ -108,13 +115,14 @@ private[plans] object MergeLowering extends PredicateHelper {
       errorClass = "_LEGACY_ERROR_TEMP_0035",
       messageParameters = Map("message" -> s"MERGE INTO graft table: $msg"))
 
-  def validate(m: MergeIntoTable,
-               tableSchema: StructType): (Seq[(String, Expression)],
-      Option[Seq[(String, Expression)]], Option[Seq[(String, Expression)]]) = {
+  def validate(m: MergeIntoTable, tableSchema: StructType,
+               allowDelete: Boolean): (Seq[(String, Expression)],
+      Option[Seq[(String, Expression)]], Option[Seq[(String, Expression)]],
+      Boolean) = {
     if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported (no delete: " +
-        "vstore history is the data model; the candle surface is " +
-        "insert/upsert-only)")
+      fail("WHEN NOT MATCHED BY SOURCE is not supported (a target-driven " +
+        "clause needs a full target scan; the matched-key tombstone path " +
+        "is WHEN MATCHED THEN DELETE)")
     if (m.withSchemaEvolution) fail("schema evolution is not supported")
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
@@ -185,13 +193,22 @@ private[plans] object MergeLowering extends PredicateHelper {
       }
       byName
     }
-    val upd = m.matchedActions match {
-      case Seq() => None
+    val (upd, del) = m.matchedActions match {
+      case Seq() => (None, false)
       case Seq(UpdateAction(None, assigns, _)) =>
-        Some(fullAssignments("UPDATE", assigns))
-      case Seq(_: DeleteAction) =>
-        fail("WHEN MATCHED DELETE is not supported")
-      case _ => fail("one unconditioned WHEN MATCHED THEN UPDATE clause only")
+        (Some(fullAssignments("UPDATE", assigns)), false)
+      case Seq(DeleteAction(None)) if allowDelete => (None, true)
+      case Seq(DeleteAction(None)) =>
+        fail("WHEN MATCHED DELETE is not supported on graft-candles " +
+          "(the reference's surface is insert/upsert-only, " +
+          "database/command/ has no delete) — only the VERSIONED store " +
+          "supports journaled tombstone deletes")
+      case Seq(DeleteAction(Some(_))) =>
+        fail("conditioned WHEN MATCHED AND … THEN DELETE is not " +
+          "supported — the tombstone lowering deletes every matched key; " +
+          "move the condition into the source query")
+      case _ => fail("one unconditioned WHEN MATCHED clause only " +
+        "(THEN UPDATE SET …, or THEN DELETE on a vstore target)")
     }
     val ins = m.notMatchedActions match {
       case Seq() => None
@@ -199,8 +216,8 @@ private[plans] object MergeLowering extends PredicateHelper {
         Some(fullAssignments("INSERT", assigns))
       case _ => fail("one unconditioned WHEN NOT MATCHED THEN INSERT clause only")
     }
-    if (upd.isEmpty && ins.isEmpty) fail("no UPDATE or INSERT clause")
-    (keyMap.toSeq.sortBy(_._1), upd, ins)
+    if (upd.isEmpty && ins.isEmpty && !del) fail("no UPDATE, DELETE or INSERT clause")
+    (keyMap.toSeq.sortBy(_._1), upd, ins, del)
   }
 
   /** Shared run body: project the source per clause, split
@@ -212,7 +229,8 @@ private[plans] object MergeLowering extends PredicateHelper {
                  tableSchema: StructType,
                  keyMap: Seq[(String, Expression)],
                  updAssigns: Option[Seq[(String, Expression)]],
-                 insAssigns: Option[Seq[(String, Expression)]])
+                 insAssigns: Option[Seq[(String, Expression)]],
+                 del: Boolean = false)
                 (targetKeys: => DataFrame): DataFrame = {
     val src = ColumnBridge.ofRows(session, source)
     def project(assigns: Seq[(String, Expression)]): DataFrame = {
@@ -224,6 +242,9 @@ private[plans] object MergeLowering extends PredicateHelper {
     }
     def canon(a: Seq[(String, Expression)]) =
       a.map { case (n, e) => (n, e.canonicalized) }
+    def keyed = keyMap.foldLeft(src) { case (df, (n, e)) =>
+      df.withColumn(s"_mk_$n", ColumnBridge.column(e))
+    }
     val rows = (updAssigns, insAssigns) match {
       case (Some(u), Some(i)) if canon(u) == canon(i) =>
         // SET * / INSERT *: matched ∪ unmatched = all source rows — no
@@ -231,14 +252,12 @@ private[plans] object MergeLowering extends PredicateHelper {
         project(u)
       case _ =>
         val tgtKeys = targetKeys
+        def joinCond(k: DataFrame) = keyMap.map { case (n, _) =>
+          k(s"_mk_$n") === tgtKeys(n)
+        }.reduce(_ && _)
         def half(assigns: Seq[(String, Expression)], joinType: String) = {
-          val keyed = keyMap.foldLeft(src) { case (df, (n, e)) =>
-            df.withColumn(s"_mk_$n", ColumnBridge.column(e))
-          }
-          val cond = keyMap.map { case (n, _) =>
-            keyed(s"_mk_$n") === tgtKeys(n)
-          }.reduce(_ && _)
-          val kept = keyed.join(tgtKeys, cond, joinType)
+          val k = keyed
+          val kept = k.join(tgtKeys, joinCond(k), joinType)
             .drop(keyMap.map(t => s"_mk_${t._1}"): _*)
           val cols = tableSchema.fields.map { f =>
             val e = assigns.find(_._1 == f.name.toLowerCase).get._2
@@ -246,8 +265,28 @@ private[plans] object MergeLowering extends PredicateHelper {
           }
           kept.select(cols.toIndexedSeq: _*)
         }
-        (updAssigns.map(half(_, "left_semi")).toSeq ++
-          insAssigns.map(half(_, "left_anti")).toSeq)
+        // WHEN MATCHED THEN DELETE: the matched source keys become
+        // TOMBSTONE rows (zeroed content, `_deleted = true`) — committed
+        // in the SAME tx as any NOT MATCHED inserts, so MERGE stays one
+        // journaled transaction. Deduped: deleting a key twice is one
+        // tombstone.
+        def deleteHalf: DataFrame = {
+          val k = keyed
+          val matched = k.join(tgtKeys, joinCond(k), "left_semi")
+          val cols = tableSchema.fields.map { f =>
+            keyMap.find(_._1 == f.name.toLowerCase) match {
+              case Some((n, _)) =>
+                matched(s"_mk_$n").cast(f.dataType).as(f.name)
+              case None => lit(0).cast(f.dataType).as(f.name)
+            }
+          }
+          matched.select(cols.toIndexedSeq: _*).distinct()
+            .withColumn("_deleted", lit(true))
+        }
+        val upserts = updAssigns.map(half(_, "left_semi")).toSeq ++
+          insAssigns.map(half(_, "left_anti")).toSeq
+        if (!del) upserts.reduce(_ unionByName _)
+        else (upserts.map(_.withColumn("_deleted", lit(false))) :+ deleteHalf)
           .reduce(_ unionByName _)
     }
     strictCardinalityCheck(session, rows, keyMap.map(_._1))
@@ -290,7 +329,8 @@ private[plans] object MergeLowering extends PredicateHelper {
 case class VStoreMergeCommand(path: String, source: LogicalPlan,
                               keyMap: Seq[(String, Expression)],
                               updAssigns: Option[Seq[(String, Expression)]],
-                              insAssigns: Option[Seq[(String, Expression)]])
+                              insAssigns: Option[Seq[(String, Expression)]],
+                              del: Boolean = false)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -299,7 +339,7 @@ case class VStoreMergeCommand(path: String, source: LogicalPlan,
     val store = VersionedCandleStore(session, path)
     val keyNames = keyMap.map(_._1)
     val rows = MergeLowering.mergedRows(session, source, store.tableSchema,
-      keyMap, updAssigns, insAssigns)(
+      keyMap, updAssigns, insAssigns, del)(
       store.keyRowsAsOf(Long.MaxValue).select(keyNames.map(col): _*))
     store.commit(rows)
     Seq.empty

@@ -178,8 +178,8 @@ final class VStoreSource extends org.apache.spark.sql.connector.catalog.TablePro
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val (path, _, _) = streamOptions(parameters)
-    (shortName(), VStoreStreamSource.changeSchema(
-      VersionedCandleStore(sqlContext.sparkSession, path).tableSchema))
+    (shortName(),
+      VersionedCandleStore(sqlContext.sparkSession, path).changeFeedSchema)
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -267,8 +267,7 @@ private[graft] final class VStoreRelation(override val sqlContext: SQLContext,
   private val store = VersionedCandleStore(sqlContext.sparkSession, path)
 
   override val schema: StructType =
-    if (changesSince.nonEmpty)
-      store.tableSchema.add("tx_id", org.apache.spark.sql.types.LongType)
+    if (changesSince.nonEmpty) store.changeFeedSchema
     else store.tableSchema
 
   /** The rows [[buildScan]] hands back are the inner plan's

@@ -42,8 +42,11 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
 
   private val store = VersionedCandleStore(sqlContext.sparkSession, path)
 
-  override val schema: StructType = VStoreStreamSource.changeSchema(
-    store.tableSchema)
+  // pinned at query start: a store that gains its FIRST tombstone
+  // mid-stream widens the feed by `_deleted`, which a running query's
+  // fixed schema cannot absorb — getBatch fails loudly then (restart
+  // picks the widened schema up)
+  override val schema: StructType = store.changeFeedSchema
 
   /** Highest tx already handed to the engine — seeds micro-batch pacing.
     * Recovery keeps it monotone: the engine replays the pending batch
@@ -109,11 +112,18 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
     // (from, until] IS delivered by this very batch, so it never flags.
     failOnLateCommit(journal.poll(), from)
     if (until > known) known = until
+    val frame = store.changesWindow(from, until, journal.floorTx,
+      journal.admittedIn(from, until))
+    if (frame.schema.fieldNames.toSeq != schema.fieldNames.toSeq)
+      throw new IllegalStateException(
+        s"graft-vstore stream at $path: the store gained tombstone " +
+          "deletes after this query started — the change feed now " +
+          "carries `_deleted`, which this query's pinned schema cannot " +
+          "absorb (silently dropping it would feed deletions as zeroed " +
+          "updates). Restart the query to adopt the widened schema.")
     // the engine asserts isStreaming on the returned frame
     org.apache.spark.sql.graft.ColumnBridge.asStreaming(
-      sqlContext.sparkSession,
-      store.changesWindow(from, until, journal.floorTx,
-        journal.admittedIn(from, until)))
+      sqlContext.sparkSession, frame)
   }
 
   override def commit(end: V1Offset): Unit = {
@@ -124,7 +134,4 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
   override def stop(): Unit = ()
 }
 
-object VStoreStreamSource {
-  def changeSchema(table: StructType): StructType =
-    table.add("tx_id", org.apache.spark.sql.types.LongType)
-}
+object VStoreStreamSource

@@ -58,7 +58,7 @@ private[graft] final class VStoreTable(spark: SparkSession,
     changesSince.map(s => s" CHANGES SINCE $s").getOrElse("")
 
   override def schema(): StructType =
-    if (changesSince.nonEmpty) store.tableSchema.add("tx_id", LongType)
+    if (changesSince.nonEmpty) store.changeFeedSchema
     else store.tableSchema
 
   /** Writes are declared ONLY on the latest-snapshot addressing: a

@@ -99,6 +99,32 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
   private val stagePath = s"$path/_stage"
   private val CommitMarker = "_GRAFT_COMMITTED"
   private val FormatMarker = "_graft_format_v1"
+  private val TombstoneMarker = "_graft_tombstones"
+
+  /** Whether this store has EVER committed tombstone rows ([[delete]] /
+    * a `_deleted`-carrying batch). Stamped BEFORE the first such commit
+    * stages data, so a reader that misses the marker can never see a
+    * tombstone row. Monotone: once observed true it is cached (the
+    * marker is never removed — a store that used deletes keeps its
+    * fold-aware reads even after [[compact]] squashes the tombstones
+    * away; a never-deleting store pays nothing, not even a changed
+    * plan). One `exists` probe per scan construction otherwise — noise
+    * next to the journal listing every scan already does.
+    */
+  private[graft] def hasTombstones: Boolean = {
+    if (tombstonesSeen) true
+    else {
+      val h = fs.exists(hp(s"$path/$TombstoneMarker"))
+      if (h) tombstonesSeen = true
+      h
+    }
+  }
+  @volatile private var tombstonesSeen = false
+
+  private def stampTombstones(f: FileSystem): Unit = {
+    tryCreate(f, hp(s"$path/$TombstoneMarker"))
+    tombstonesSeen = true
+  }
 
   private def hp(s: String): Path = new Path(s)
   private def fs: FileSystem =
@@ -166,7 +192,8 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     if (!f.exists(hp(path))) { layoutVerified = true; return }
     val names = f.listStatus(hp(path)).map(_.getPath.getName)
     val recognized = names.isEmpty || names.exists {
-      case FormatMarker | "txlog" | "_txn" | "_stage" | "_compact.lock" => true
+      case FormatMarker | TombstoneMarker | "txlog" | "_txn" | "_stage" |
+           "_compact.lock" => true
       case GenName(_) => true
       case _ => false
     }
@@ -677,6 +704,40 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     }
   }
 
+  /** Tombstone-delete the given `(market, code, candle_length, ts)`
+    * keys as ONE journaled transaction; returns its tx id. The store
+    * stays append-only: the tx appends TOMBSTONE rows (zeroed content,
+    * `_deleted = true`) and the read-side fold drops any key whose
+    * winning version is a tombstone — so [[scan]] no longer shows the
+    * key, [[scanAsOf]] BEFORE the delete still does, a later commit of
+    * the same key resurrects it, and [[changesSince]] feeds the
+    * tombstone with its `_deleted` flag so incremental consumers drop
+    * instead of absorbing zeroes. [[compact]] physically reclaims
+    * squashed-away tombstones. Deleting an absent key is a no-op row
+    * (idempotent); extra columns beyond the key are ignored. The SQL
+    * path is `MERGE … WHEN MATCHED THEN DELETE`
+    * ([[graft.plans.ResolveGraftMerge]]).
+    *
+    * Reference note: mora itself has no delete (`database/command/` is
+    * insert-only — the candle store's SQL surface keeps refusing) —
+    * this is the versioned store's journaled extension, the Delta/
+    * Iceberg tombstone convention expressed through the same tx
+    * machinery as [[commit]] (exactly-once `batchId` replay included).
+    */
+  def delete(keys: DataFrame, committedAt: Option[Timestamp] = None,
+             batchId: Option[Long] = None): Long = {
+    val batch = keys
+      .select(col("market"), col("code"),
+        col("candle_length").cast("int").as("candle_length"),
+        date_trunc("second", col("ts")).cast("timestamp").as("ts"))
+      .distinct()
+      .withColumn("open", lit(0.0)).withColumn("high", lit(0.0))
+      .withColumn("low", lit(0.0)).withColumn("close", lit(0.0))
+      .withColumn("volume", lit(0.0)).withColumn("bit_fields", lit(0L))
+      .withColumn("_deleted", lit(true))
+    commit(batch, None, committedAt, batchId)
+  }
+
   /** The prior tx of an already-journaled streaming batch — the replay
     * guard's "already committed, skip" answer.
     *
@@ -735,8 +796,15 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
   private[graft] def prepareDataCommit(batch: DataFrame,
                                        ordinalCol: Option[String]): (Long, Long) = {
     val tx = reserveTxId()
-    val contentStruct = struct(col("open"), col("high"), col("low"),
-      col("close"), col("volume"), col("bit_fields"))
+    // a batch carrying `_deleted` commits tombstones: stamp the store
+    // marker BEFORE any of its data can exist on disk, so no reader
+    // ever sees a tombstone row through the flagless fast-path schema
+    val hasDel = batch.columns.contains("_deleted")
+    if (hasDel) stampTombstones(fs)
+    val contentStruct = struct((Seq(col("open"), col("high"), col("low"),
+      col("close"), col("volume"), col("bit_fields")) ++
+      (if (hasDel) Seq(coalesce(col("_deleted"), lit(false)).as("_deleted"))
+       else Nil)): _*)
     val batchOrd = ordinalCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
     val deduped = batch
       .withColumn("ts", date_trunc("second", col("ts")).cast("timestamp"))
@@ -874,6 +942,17 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
   private val dataSchema = StructType(
     Candle.schema.fields.toSeq :+ StructField("year", IntegerType) :+
       StructField("tx_id", LongType))
+
+  /** [[dataSchema]] plus the nullable `_deleted` tombstone flag — the
+    * read schema of a store that has ever deleted ([[hasTombstones]]).
+    * Files written by plain commits lack the column and read as NULL
+    * (= live); only [[delete]]/tombstone-carrying commits write it.
+    */
+  private val dataSchemaTomb = StructType(
+    dataSchema.fields :+ StructField("_deleted", BooleanType, nullable = true))
+
+  private def readSchema(tomb: Boolean): StructType =
+    if (tomb) dataSchemaTomb else dataSchema
 
   /** Output column order of every scan: key, ts, year, then content. */
   private val scanCols = Seq("market", "code", "candle_length", "ts", "year",
@@ -1017,8 +1096,9 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     currentGen() match {
       case None => emptyTable()
       case Some((_, genDir)) =>
-        foldLatest(spark.read.schema(dataSchema).parquet(genDir.toString)
-          .where(committedGate(adm)), content)
+        val tomb = hasTombstones
+        foldLatest(spark.read.schema(readSchema(tomb)).parquet(genDir.toString)
+          .where(committedGate(adm)), content, tomb)
     }
 
   /** Last-wins history fold shared by reads and compaction. `content`
@@ -1032,9 +1112,25 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * when nobody reads the winner.
     */
   private def foldLatest(df: DataFrame,
-                         content: Seq[String] = contentCols): DataFrame = {
+                         content: Seq[String] = contentCols,
+                         tomb: Boolean = false): DataFrame = {
     val keys = (Candle.keyCols ++ Seq("ts", "year")).map(col)
-    if (content.isEmpty)
+    if (tomb) {
+      // tombstone-aware fold: the winner carries the `_deleted` flag
+      // (plain-commit rows read it as NULL = live), and a key whose
+      // WINNING version is a tombstone vanishes from the result — a key
+      // deleted then re-committed by a later tx is alive again. The
+      // key-only projection can no longer shortcut to DISTINCT (a
+      // deleted key's raw tuples are still on disk), so it folds too.
+      val contentStruct = struct(content.map(col) :+
+        coalesce(col("_deleted"), lit(false)).as("_deleted"): _*)
+      df.withColumn("_c", contentStruct)
+        .groupBy(keys: _*)
+        .agg(max_by(col("_c"), col("tx_id")).as("_w"))
+        .where(!col("_w._deleted"))
+        .select("market",
+          Candle.keyCols.tail ++ Seq("ts", "year") ++ content.map("_w." + _): _*)
+    } else if (content.isEmpty)
       df.select(keys: _*).distinct()
     else {
       val contentStruct = struct(content.map(col): _*)
@@ -1093,9 +1189,16 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     currentGen() match {
       case None => emptyTable().select(keys: _*)
       case Some((_, genDir)) =>
-        spark.read.schema(dataSchema).parquet(genDir.toString)
+        val tomb = hasTombstones
+        val raw = spark.read.schema(readSchema(tomb)).parquet(genDir.toString)
           .where(committedGate(admittedAsOf(txId)))
-          .select(keys: _*)
+        // tombstones break the fold-never-removes-keys derivation: a
+        // deleted key's raw tuples are still on disk but absent from
+        // the folded table — so a tombstoned store folds its key set
+        // (empty content = keys + the flag only; never-deleting stores
+        // keep the raw pre-fold scan and its pushdown-grade plan)
+        if (tomb) foldLatest(raw, Seq.empty, tomb = true)
+        else raw.select(keys: _*)
     }
   }
 
@@ -1424,22 +1527,41 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       s"changes since tx $sinceTx predate the compaction squash point " +
         s"(tx $floor): per-tx history below it has been discarded by compact()")
     val admitted = committedIds.filter(id => id > sinceTx && id <= untilTx)
+    val tomb = hasTombstones
     currentGen() match {
       case Some((_, genDir)) if admitted.nonEmpty =>
         // the range conjunct keeps the gate exact even though
         // committedGate's gap list starts at tx 1; for an old `sinceTx`
         // the gap math flips to the journal-sized IN(admitted) branch,
         // so driver work stays O(window), never O(sinceTx)
-        spark.read.schema(dataSchema).parquet(genDir.toString)
+        val base = spark.read.schema(readSchema(tomb)).parquet(genDir.toString)
           .where(committedGate(admitted) && col("tx_id") > sinceTx)
-          .select((scanCols :+ "tx_id").map(col): _*)
+        // a tombstoned store's feed carries the flag: an incremental
+        // consumer applying last-wins must DROP a key on a tombstone
+        // row, not absorb its zeroed content as an update. Never-
+        // deleting stores keep the original flagless shape.
+        if (tomb)
+          base.select((scanCols :+ "tx_id").map(col) :+
+            coalesce(col("_deleted"), lit(false)).as("_deleted"): _*)
+        else base.select((scanCols :+ "tx_id").map(col): _*)
       case _ =>
-        spark.createDataFrame(new java.util.ArrayList[Row](), changeSchema)
+        spark.createDataFrame(new java.util.ArrayList[Row](), changeSchema(tomb))
     }
   }
 
-  private def changeSchema: StructType =
-    StructType((scanCols :+ "tx_id").map(n => dataSchema.fields.find(_.name == n).get))
+  private def changeSchema(tomb: Boolean): StructType = {
+    val base = StructType(
+      (scanCols :+ "tx_id").map(n => dataSchema.fields.find(_.name == n).get))
+    if (tomb) base.add(StructField("_deleted", BooleanType, nullable = false))
+    else base
+  }
+
+  /** The change feed's schema for THIS store right now: the scan
+    * columns + `tx_id`, plus `_deleted` once the store has ever
+    * tombstone-deleted — what `changesSince` / the streaming tail / the
+    * SQL change-feed lens return.
+    */
+  private[graft] def changeFeedSchema: StructType = changeSchema(hasTombstones)
 
   // ------------------------------------------------------------------ //
   // Compaction                                                         //
@@ -1524,15 +1646,25 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       val present = admitted
       // one version per key, WINNING row's tx_id preserved (content and
       // tx travel together in one struct, picked by tx order); same
-      // pure-predicate committed gate as scanAsOf
-      val withTx = struct(col("open"), col("high"), col("low"),
-        col("close"), col("volume"), col("bit_fields"), col("tx_id"))
-      val squashed = spark.read.schema(dataSchema).parquet(curGenDir.toString)
+      // pure-predicate committed gate as scanAsOf. A key whose winner is
+      // a TOMBSTONE is dropped entirely — the squash is where deleted
+      // history is physically reclaimed (as-of reads below the floor
+      // already fail loudly, so nothing can miss the dropped rows).
+      val tomb = hasTombstones
+      val withTx = struct((Seq(col("open"), col("high"), col("low"),
+        col("close"), col("volume"), col("bit_fields"), col("tx_id")) ++
+        (if (tomb) Seq(coalesce(col("_deleted"), lit(false)).as("_deleted"))
+         else Nil)): _*)
+      val squashedAll = spark.read.schema(readSchema(tomb))
+        .parquet(curGenDir.toString)
         .where(committedGate(admitted))
         .withColumn("_c", withTx)
         .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
         .agg(max_by(col("_c"), col("tx_id")).as("_w"))
-        .select("market", Candle.keyCols.tail ++ Seq("ts", "year", "_w.*"): _*)
+      val squashed = (if (tomb) squashedAll.where(!col("_w._deleted"))
+                      else squashedAll)
+        .select("market", Candle.keyCols.tail ++ Seq("ts", "year") ++
+          (contentCols :+ "tx_id").map("_w." + _): _*)
       val newGen = hp(s"$path/${genDirName(curGenId + 1)}")
       CandleStore.withMicrosTimestamps(squashed) {
         squashed

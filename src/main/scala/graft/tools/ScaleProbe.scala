@@ -77,6 +77,44 @@ object ScaleProbe {
     }
     if (worst.nonEmpty)
       println(s"[scaleprobe] SUPERLINEAR: ${worst.map(_._1).mkString(", ")}")
+
+    // ---- ANN SERVE-PATH probe (frozen vs re-sharded streamed PQ) ---- //
+    // The q9Z/qA4 HEADLINE timings above conflate the property oracles'
+    // own scaling — brute-force ground truth is Θ(queries·N) with the
+    // query COUNT itself growing across the decade (vec_id < 10000
+    // admits 5× more ids at 100×), and the codes-identical differential
+    // re-encodes the whole corpus against √N centroids (Θ(N^1.5)). This
+    // section times ONLY the operator's serving path, with a FIXED
+    // 100-query set at both scales, on the already-built fixture state:
+    // the number that must scale sublinearly for the 100 TB posture.
+    if (names.exists(n => n.startsWith("q9Z") || n.startsWith("qA4"))) {
+      def serve(dir: String): (Double, Double, Long, Long) = {
+        val (frozen, reshard) = graft.Queries.pqProbeFixtures(spark, dir)
+        val emb = graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding")).localCheckpoint()
+        // FIXED query set: same 100 ids at every scale
+        val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 2000)
+          .localCheckpoint()
+        def time(state: String, nProbe: Int): Double = {
+          val a = System.nanoTime()
+          graft.streaming.Ingest.ivfPqIndexTopK(spark, state, queries, emb,
+              "vec_id", "embedding", k = 10, nProbe = nProbe)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - a) / 1e9
+        }
+        def cells(state: String): Long =
+          spark.read.parquet(s"$state/centroids/*").count()
+        (time(frozen, 4), time(reshard, 0), cells(frozen), cells(reshard))
+      }
+      serve(sfDir) // warm the code paths once
+      val (fS, rS, _, _) = serve(sfDir)
+      val (fB, rB, cF, cR) = serve(bigDir)
+      def exp(b: Double, s: Double) = math.log(b / s) / math.log(factor.toDouble)
+      println(f"[scaleprobe] serve-path frozen(q9Z)   nCells=$cF%-5d " +
+        f"${fS}%6.2f->${fB}%7.2f s (exp ${exp(fB, fS)}%5.2f)")
+      println(f"[scaleprobe] serve-path reshard(qA4)  nCells=$cR%-5d " +
+        f"${rS}%6.2f->${rB}%7.2f s (exp ${exp(rB, rS)}%5.2f)")
+    }
     spark.stop()
   }
 

@@ -215,8 +215,69 @@ class VStoreMergeSpec extends SparkSpec {
     assert(st.scan().count() == 1)
   }
 
-  test("refusals are loud: DELETE, partial SET, non-key ON, target-column " +
-      "values, time-travel target; INSERT OVERWRITE still refused") {
+  test("MERGE WHEN MATCHED THEN DELETE on a vstore target: matched keys " +
+      "tombstoned in ONE journaled tx (with NOT MATCHED inserts in the " +
+      "SAME tx), as-of before the delete intact, change feed flags") {
+    val st = VersionedCandleStore(spark, s"$base/m/del")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("BTC", "2022-01-01 10:01:00", 2),
+      c("ETH", "2021-06-01 00:00:00", 3)).toDF())
+    val on =
+      """ON t.market = s.market AND t.code = s.code
+         AND t.candle_length = s.candle_length AND t.ts = s.ts"""
+    // DELETE-only: drop one matched key; an unmatched source key is a
+    // no-op (nothing inserted, nothing tombstoned for live reads)
+    Seq(c("BTC", "2022-01-01 10:01:00", 99), // matched -> delete
+      c("SOL", "2020-01-01 00:00:00", 7))    // unmatched -> ignored
+      .toDF().withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_del")
+    spark.sql(s"MERGE INTO vm.m.del t USING src_del s $on " +
+      "WHEN MATCHED THEN DELETE")
+    assert(opens(st.scan()) == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> 1.0,
+      ("ETH", ts("2021-06-01 00:00:00")) -> 3.0))
+    assert(opens(spark.sql("SELECT * FROM vm.m.del")) == opens(st.scan()),
+      "SQL scan of the tombstoned store diverges from the Scala scan")
+    // ONE tx; as-of before the delete still shows the key
+    assert(st.txLog().where($"kind" === "commit").count() == 2)
+    assert(opens(st.scanAsOf(1L)).contains(("BTC", ts("2022-01-01 10:01:00"))))
+    // DELETE + INSERT in one statement = one tx: matched keys
+    // tombstoned, unmatched inserted (ANSI: a previously-deleted source
+    // key counts as unmatched and RE-INSERTS)
+    Seq(c("ETH", "2021-06-01 00:00:00", 88), // matched -> delete
+      c("SOL", "2020-01-01 00:00:00", 7))    // unmatched -> insert
+      .toDF().withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_del2")
+    spark.sql(s"MERGE INTO vm.m.del t USING src_del2 s $on " +
+      "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
+    assert(opens(st.scan()) == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> 1.0,
+      ("SOL", ts("2020-01-01 00:00:00")) -> 7.0),
+      "DELETE+INSERT merge: ETH tombstoned, SOL inserted")
+    assert(st.txLog().where($"kind" === "commit").count() == 3,
+      "DELETE+INSERT must be ONE journaled tx")
+    // the change feed carries the tombstone flag; tombstone rows are
+    // flagged, inserts are not
+    val feed = st.changesSince(1L)
+    assert(feed.columns.contains("_deleted"))
+    val flags = feed.select("code", "ts", "tx_id", "_deleted").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)) -> r.getBoolean(3))
+      .toMap
+    assert(flags(("BTC", ts("2022-01-01 10:01:00"), 2L)),
+      "deleted key's feed row must carry _deleted = true")
+    assert(flags(("ETH", ts("2021-06-01 00:00:00"), 3L)))
+    assert(!flags(("SOL", ts("2020-01-01 00:00:00"), 3L)))
+    // re-committing a deleted key resurrects it (append-only history)
+    st.commit(Seq(c("BTC", "2022-01-01 10:01:00", 42)).toDF())
+    assert(opens(st.scan())(("BTC", ts("2022-01-01 10:01:00"))) == 42.0)
+    // the DataSource change-feed lens exposes the flag too
+    assert(spark.read.format("graft-vstore").option("changesSince", "1")
+      .load(st.path).columns.contains("_deleted"))
+  }
+
+  test("refusals are loud: candle DELETE, conditioned DELETE, partial SET, " +
+      "non-key ON, target-column values, time-travel target; INSERT " +
+      "OVERWRITE still refused") {
     val st = VersionedCandleStore(spark, s"$base/m/no")
     st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
     Seq(c("BTC", "2022-01-01 10:00:00", 2)).toDF()
@@ -229,8 +290,25 @@ class VStoreMergeSpec extends SparkSpec {
       val e = intercept[AnalysisException](spark.sql(sql))
       assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
     }
-    refused(s"MERGE INTO vm.m.no t USING src_no s $on WHEN MATCHED THEN DELETE",
-      "DELETE is not supported")
+    // candle targets keep refusing DELETE (mora is insert-only)
+    spark.conf.set("spark.sql.catalog.cmno",
+      classOf[graft.sources.CandleCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cmno.base", base)
+    graft.store.CandleStore(spark, s"$base/plain_no")
+      .upsert(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    refused(s"MERGE INTO cmno.plain_no t USING src_no s $on " +
+      "WHEN MATCHED THEN DELETE",
+      "not supported on graft-candles")
+    // conditioned DELETE refused on the vstore too
+    refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
+      "WHEN MATCHED AND s.open > 1 THEN DELETE",
+      "conditioned WHEN MATCHED")
+    // UPDATE and DELETE together: two matched clauses, refused (the
+    // first conditioned to get past Spark's own last-clause parse rule)
+    refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
+      "WHEN MATCHED AND s.open > 0 THEN UPDATE SET * " +
+      "WHEN MATCHED THEN DELETE",
+      "one unconditioned WHEN MATCHED clause")
     refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
       "WHEN MATCHED THEN UPDATE SET open = s.open",
       "every table column")

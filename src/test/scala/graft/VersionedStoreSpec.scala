@@ -801,4 +801,109 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st.txLog().where($"kind" === "commit").count() == 1)
     assert(st.scan().count() == 1)
   }
+
+  test("tombstone delete: one journaled tx hides the key from scan, as-of " +
+      "before it intact, re-commit resurrects, absent-key delete is a " +
+      "no-op, key scans and SQL aggregates fold the tombstones, batch-id " +
+      "replay exactly-once") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-del") + "/v")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("BTC", "2022-01-01 10:01:00", 2),
+      c("ETH", "2021-06-01 00:00:00", 3)).toDF())
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(String, Timestamp)] =
+      df.select("code", "ts").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1))).toSet
+    val tDel = st.delete(Seq(
+      ("UPBIT", "BTC", 60, ts("2022-01-01 10:01:00")), // live -> tombstone
+      ("UPBIT", "XRP", 60, ts("2020-01-01 00:00:00"))  // absent -> no-op
+    ).toDF("market", "code", "candle_length", "ts"))
+    assert(tDel == 2L)
+    assert(keys(st.scan()) == Set(("BTC", ts("2022-01-01 10:00:00")),
+      ("ETH", ts("2021-06-01 00:00:00"))))
+    assert(!keys(st.scan()).contains(("XRP", ts("2020-01-01 00:00:00"))),
+      "deleting an absent key must not create it")
+    // as-of BEFORE the delete still shows the key; as-of AT it does not
+    assert(keys(st.scanAsOf(1L)).contains(("BTC", ts("2022-01-01 10:01:00"))))
+    assert(!keys(st.scanAsOf(2L)).contains(("BTC", ts("2022-01-01 10:01:00"))))
+    // the fold-bypass key scan agrees with the folded table (the
+    // aggregate-pushdown contract under tombstones)
+    assert(keys(st.keyRowsAsOf(Long.MaxValue)) == keys(st.scan()))
+    assert(st.keyRowsAsOf(Long.MaxValue).count() == 2L)
+    // content of surviving keys untouched
+    assert(st.scan().where($"code" === "ETH").select("open")
+      .as[Double].head() == 3.0)
+    // resurrect: a LATER commit of the deleted key wins over the tombstone
+    st.commit(Seq(c("BTC", "2022-01-01 10:01:00", 42)).toDF())
+    assert(st.scan().where($"code" === "BTC" &&
+      $"ts" === ts("2022-01-01 10:01:00")).select("open")
+      .as[Double].collect().toSeq == Seq(42.0))
+    // batch-keyed delete replay is exactly-once
+    val d1 = st.delete(Seq(("UPBIT", "ETH", 60, ts("2021-06-01 00:00:00")))
+      .toDF("market", "code", "candle_length", "ts"), batchId = Some(9L))
+    val d2 = st.delete(Seq(("UPBIT", "ETH", 60, ts("2021-06-01 00:00:00")))
+      .toDF("market", "code", "candle_length", "ts"), batchId = Some(9L))
+    assert(d1 == d2 && st.txLog().where($"kind" === "commit").count() == 4)
+    assert(keys(st.scan()) == Set(("BTC", ts("2022-01-01 10:00:00")),
+      ("BTC", ts("2022-01-01 10:01:00"))))
+  }
+
+  test("compact() physically reclaims tombstones: the squashed generation " +
+      "holds no deleted keys and no _deleted column data, reads are " +
+      "unchanged, and pre-delete history below the floor refuses loudly") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-del-compact") + "/v")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2021-06-01 00:00:00", 3)).toDF())
+    st.delete(Seq(("UPBIT", "ETH", 60, ts("2021-06-01 00:00:00")))
+      .toDF("market", "code", "candle_length", "ts"))
+    val before = st.scan().select("code", "open").as[(String, Double)]
+      .collect().toSet
+    assert(st.compact() == 2L)
+    assert(st.scan().select("code", "open").as[(String, Double)]
+      .collect().toSet == before)
+    // the squashed generation contains ONE physical row (ETH's tombstone
+    // and its shadowed insert both reclaimed)
+    val genDirs = new java.io.File(st.path).listFiles()
+      .filter(_.getName.startsWith("data-g")).sortBy(_.getName)
+    val latestGen = genDirs.last.getPath
+    assert(spark.read.parquet(latestGen).count() == 1L,
+      "squash must drop tombstoned keys physically")
+    assert(!spark.read.parquet(latestGen).columns.contains("_deleted"),
+      "squashed rows must not carry the tombstone flag")
+    // history below the floor is gone — loudly, as ever
+    intercept[IllegalArgumentException](st.scanAsOf(1L))
+    // post-compact deletes still work (the store keeps its marker)
+    st.delete(Seq(("UPBIT", "BTC", 60, ts("2022-01-01 10:00:00")))
+      .toDF("market", "code", "candle_length", "ts"))
+    assert(st.scan().count() == 0L)
+  }
+
+  test("a change-feed STREAM pinned before the store's first delete fails " +
+      "loudly when the feed widens mid-stream, instead of feeding zeroed " +
+      "updates") {
+    val path = tmpDir("vstore-del-stream") + "/v"
+    val st = VersionedCandleStore(spark, path)
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    val src = new graft.sources.VStoreStreamSource(spark.sqlContext, path,
+      startTx = 0L, maxTxsPerBatch = None)
+    assert(!src.schema.fieldNames.contains("_deleted"))
+    // first batch delivers fine (streaming-flagged frame — schema only)
+    val o1 = src.getOffset.get
+    assert(src.getBatch(None, o1).schema.fieldNames.toSeq ==
+      src.schema.fieldNames.toSeq)
+    // the store gains its first tombstone AFTER the query pinned its
+    // schema — the next batch must refuse, not absorb
+    st.delete(Seq(("UPBIT", "BTC", 60, ts("2022-01-01 10:00:00")))
+      .toDF("market", "code", "candle_length", "ts"))
+    val o2 = src.getOffset.get
+    val e = intercept[IllegalStateException](src.getBatch(Some(o1), o2))
+    assert(e.getMessage.contains("Restart the query"), e.getMessage)
+    // a fresh source adopts the widened schema; the batch feed serves
+    // the tombstone row flagged
+    val src2 = new graft.sources.VStoreStreamSource(spark.sqlContext, path,
+      startTx = 0L, maxTxsPerBatch = None)
+    assert(src2.schema.fieldNames.contains("_deleted"))
+    assert(src2.getBatch(None, src2.getOffset.get).schema.fieldNames
+      .contains("_deleted"))
+    assert(st.changesSince(0L).where($"_deleted").count() == 1L)
+  }
 }
