@@ -331,11 +331,15 @@ object Ingest {
                           shingleN: Int = 3, k: Int = 32,
                           bands: Int = 8,
                           threshold: Double = 0.5,
-                          compactEvery: Int = 0): DataStreamWriter[Row] =
+                          compactEvery: Int = 0,
+                          reclusterEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (reclusterEvery > 0 && batchId > 0 && batchId % reclusterEvery == 0)
+          reclusterNearDupFlags(batch.sparkSession, stateDir, batchId,
+            shingleN, threshold)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactNearDupState(batch.sparkSession, stateDir, batchId)
         nearDupBatch(batch, batchId, stateDir, idCol, textCol, shingleN,
@@ -449,39 +453,11 @@ object Ingest {
                             stateDir: String,
                             shingleN: Int = 3,
                             threshold: Double = 0.5): DataFrame = {
-    import graft.llm.Dedup
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
-    val bandDirs = historyDirs(fs, stateDir, "bands", Long.MaxValue)
-    val allDirs = historyDirs(fs, stateDir, "all", Long.MaxValue)
-    require(bandDirs.nonEmpty && allDirs.nonEmpty,
-      s"no near-dup ingest state under $stateDir")
-    val bands = spark.read.parquet(bandDirs: _*).select(col("band"), col("id"))
-    val texts = spark.read.parquet(allDirs: _*).select(col("id"), col("text"))
-    // in-bucket candidate expansion — the batch operator shape
-    val cand = bands.groupBy(col("band")).agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), x =>
-        transform(filter(col("ids"), y => y > x),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
-    val candIds = cand.select(col("id_a").as("id"))
-      .unionByName(cand.select(col("id_b").as("id"))).distinct()
-    val sh = texts.join(candIds, Seq("id"), "left_semi")
-      .select(col("id"),
-        Dedup.shinglesUdf(shingleN)(graft.llm.TextStats.tokens(col("text"))).as("sh"))
-    val verified = cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .where(Dedup.jaccard(col("sh_a"), col("sh_b")) >= threshold)
-      .select(col("id_a"), col("id_b"))
-    val comp = Dedup.connectedComponents(verified, "id_a", "id_b")
-    val winners = comp
-      .join(texts.select(col("id"), length(col("text")).as("_q")), Seq("id"))
-      .groupBy(col("component"))
-      .agg(max_by(col("id"), struct(col("_q"), (-col("id")).as("_nid"))).as("_keep"))
-      .select(col("_keep").as("id"), lit(true).as("_win"))
+    val (texts, verified, comp, winners) =
+      nearDupCcOverState(spark, stateDir, Long.MaxValue, shingleN, threshold)
+        .getOrElse(sys.error(s"no near-dup ingest state under $stateDir"))
     // flags/ read through the same floors-aware listing as bands/all:
     // compactNearDupState never compacts flags/ today, but if it ever
     // does, a raw batch_* glob would silently miss all pre-floor flags.
@@ -504,15 +480,154 @@ object Ingest {
           .as("batch_keep"))
   }
 
+  /** CC + keep-best over the near-dup state accumulated in batches
+    * `[0, upTo)` — the shared batch-pipeline core of
+    * [[reclusterNearDupState]] (the report) and
+    * [[reclusterNearDupFlags]] (the adopted generation). Returns
+    * (texts, verified pairs, components, winners); None when no state.
+    */
+  private def nearDupCcOverState(spark: org.apache.spark.sql.SparkSession,
+                                 stateDir: String, upTo: Long,
+                                 shingleN: Int, threshold: Double): Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = {
+    import graft.llm.Dedup
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val bandDirs = historyDirs(fs, stateDir, "bands", upTo)
+    val allDirs = historyDirs(fs, stateDir, "all", upTo)
+    if (bandDirs.isEmpty || allDirs.isEmpty) return None
+    val bands = spark.read.parquet(bandDirs: _*).select(col("band"), col("id"))
+    val texts = spark.read.parquet(allDirs: _*).select(col("id"), col("text"))
+    // in-bucket candidate expansion — the batch operator shape
+    val cand = bands.groupBy(col("band")).agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val sh = texts.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        Dedup.shinglesUdf(shingleN)(graft.llm.TextStats.tokens(col("text"))).as("sh"))
+    val verified = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("_j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("_j") >= threshold)
+      .select(col("id_a"), col("id_b"), col("_j"))
+      .localCheckpoint() // read by CC loop + winner join + pair stats
+    val comp = Dedup.connectedComponents(
+      verified.select(col("id_a"), col("id_b")), "id_a", "id_b")
+    val winners = comp
+      .join(texts.select(col("id"), length(col("text")).as("_q")), Seq("id"))
+      .groupBy(col("component"))
+      .agg(max_by(col("id"), struct(col("_q"), (-col("id")).as("_nid"))).as("_keep"))
+      .select(col("_keep").as("id"), lit(true).as("_win"))
+    Some((texts, verified, comp, winners))
+  }
+
+  /** Compaction-time RE-CLUSTER generation for the near-dup ingest —
+    * the consumer of the divergence [[reclusterNearDupState]] reports:
+    * run CC + keep-best over the state accumulated in batches
+    * `[0, upTo)` and PUBLISH the batch-policy verdicts as a
+    * `flags/compact_upto_<upTo>` generation that supersedes the
+    * per-batch first-wins flags below it (the q9X self-healing
+    * pattern applied to the verdict feed).
+    *
+    * First-wins is what an unbounded stream can honor per batch — but
+    * on hub topologies it diverges from the batch clustering (the
+    * early hub survives and every spoke is flagged, while CC + keep-
+    * best keeps exactly one member of the component). The generation
+    * re-states history under the batch policy: a doc is flagged iff
+    * its component's keep-best winner is someone else, with
+    * `(n_pairs, max_jaccard)` recomputed over its VERIFIED pairs.
+    * Verdict-feed consumers read through [[nearDupFlags]] (floors-
+    * aware); the ingest writer adopts via `reclusterEvery` — later
+    * batches keep flagging first-wins against the unchanged
+    * `bands/`+`all/` probe state (the re-cluster rewrites verdicts,
+    * never the probe state, so stream parity for NEW arrivals is
+    * untouched — q9C's differential holds verbatim).
+    *
+    * Crash-safe: the generation is `_SUCCESS`-gated (readers ignore a
+    * torn write; a retry overwrites it) and superseded per-batch flag
+    * dirs are GC'd only after it lands. Idempotent: an existing
+    * complete generation short-circuits to the GC. Single-writer,
+    * like every compaction here. Returns true iff the generation is
+    * complete on return.
+    */
+  def reclusterNearDupFlags(spark: org.apache.spark.sql.SparkSession,
+                            stateDir: String, upTo: Long,
+                            shingleN: Int = 3,
+                            threshold: Double = 0.5): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(
+      s"$stateDir/flags/compact_upto_$upTo")
+    val done = fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+    if (!done) {
+      val parts = nearDupCcOverState(spark, stateDir, upTo, shingleN, threshold)
+      if (parts.isEmpty) return false
+      val (_, verified, comp, winners) = parts.get
+      // the caller's id column name, preserved from the streamed flags
+      // (schema parity for tailing consumers); doc_id when none exist
+      val flagDirs = historyDirs(fs, stateDir, "flags", upTo)
+      val idName =
+        if (flagDirs.nonEmpty) spark.read.parquet(flagDirs.head).columns.head
+        else "doc_id"
+      val pairStats = verified
+        .select(col("id_a").as("id"), col("_j"))
+        .unionByName(verified.select(col("id_b").as("id"), col("_j")))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          graft.Portable.round(max(col("_j")), 4).as("max_jaccard"))
+      comp.join(winners, Seq("id"), "left_anti") // in a component, not its winner
+        .join(pairStats, Seq("id"))
+        .select(col("id").as(idName), col("n_pairs"), col("max_jaccard"))
+        .write.mode("overwrite").parquet(target.toString)
+    }
+    // GC superseded verdicts — only after the generation landed
+    val root = new org.apache.hadoop.fs.Path(s"$stateDir/flags")
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        if (n.startsWith("batch_"))
+          n.stripPrefix("batch_").toLongOption.exists(_ < upTo)
+        else if (n.startsWith("compact_upto_"))
+          n.stripPrefix("compact_upto_").toLongOption.exists(_ < upTo)
+        else false
+      }
+      .foreach(p => fs.delete(p, true))
+    true
+  }
+
+  /** The near-dup verdict feed, read through the re-cluster floors:
+    * the newest `flags/compact_upto_<k>` generation (batch-policy
+    * verdicts for everything below k) plus the per-batch first-wins
+    * flags above it — the supported consumer read (a raw `batch_*`
+    * glob would silently miss every re-stated verdict).
+    */
+  def nearDupFlags(spark: org.apache.spark.sql.SparkSession,
+                   stateDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val dirs = historyDirs(fs, stateDir, "flags", Long.MaxValue)
+    require(dirs.nonEmpty, s"no near-dup flags state under $stateDir")
+    spark.read.parquet(dirs: _*)
+  }
+
   def startNearDupIngest(stream: DataFrame, stateDir: String,
                          checkpointDir: String,
                          idCol: String = "doc_id",
                          textCol: String = "text",
                          shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                          threshold: Double = 0.5,
+                         compactEvery: Int = 0,
+                         reclusterEvery: Int = 0,
                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     nearDupIngestWriter(stream, stateDir, checkpointDir, idCol, textCol,
-      shingleN, k, bands, threshold).trigger(trigger).start()
+      shingleN, k, bands, threshold, compactEvery, reclusterEvery)
+      .trigger(trigger).start()
 
   /** STATEFUL distribution-drift monitoring at ingest: each
     * micro-batch's hashed-unigram histogram is compared (Jensen-

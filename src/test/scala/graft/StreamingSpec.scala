@@ -700,6 +700,74 @@ class StreamingSpec extends SparkSpec {
     assert(divergent == 2, s"hub divergence must be exactly the 2 extra spokes: $divergent")
   }
 
+  test("near-dup RE-CLUSTER generation: a planted hub's spokes converge " +
+      "to the CC keep-best decision once the flags generation lands; " +
+      "later batches keep first-wins against the untouched probe state; " +
+      "retry idempotent, torn generation invisible") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Ingest
+    // the reconciliation test's hub fixture: spokes 1,2,3 first
+    // (mutually dissimilar at 0.6), hub 9 later
+    val base = (0 until 21).map(i => f"tok$i%02d").mkString(" ")
+    def variant(p: Int) =
+      (0 until 21).map(i => if (i == p) f"alt$p%02d" else f"tok$i%02d").mkString(" ")
+    val stateDir = tmpDir("neardup-recluster")
+    def drive(rows: Seq[(Long, String)], id: Long): Unit =
+      Ingest.nearDupBatch(rows.toDF("doc_id", "text"), id, stateDir,
+        "doc_id", "text", shingleN = 3, k = 32, bands = 8, threshold = 0.6)
+    drive(Seq((1L, variant(3)), (2L, variant(9)), (3L, variant(15)),
+      (4L, "completely different words here entirely")), 0L)
+    drive(Seq((9L, base), (10L, "another unrelated document text")), 1L)
+    // streamed verdicts: only the late hub is flagged
+    def flaggedIds(): Set[Long] =
+      Ingest.nearDupFlags(spark, stateDir)
+        .select("doc_id").as[Long].collect().toSet
+    assert(flaggedIds() == Set(9L))
+    // torn generation (no _SUCCESS) is invisible to the floors-aware read
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(s"$stateDir/flags/compact_upto_2")
+    fs.mkdirs(torn)
+    Seq((999L, 1L, 0.9)).toDF("doc_id", "n_pairs", "max_jaccard")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/flags/compact_upto_2/_part")
+    assert(flaggedIds() == Set(9L), "torn generation leaked into the read")
+    fs.delete(torn, true)
+    // the re-cluster generation re-states [0, 2) under CC + keep-best:
+    // component {1,2,3,9}, quality ties -> keep-min keeps doc 1 — the
+    // spokes' verdicts CONVERGE to the batch decision
+    assert(Ingest.reclusterNearDupFlags(spark, stateDir, upTo = 2L,
+      threshold = 0.6))
+    assert(flaggedIds() == Set(2L, 3L, 9L),
+      s"re-cluster must flag the non-winning component members: ${flaggedIds()}")
+    // superseded per-batch verdict dirs are GC'd; the generation carries
+    // recomputed pair stats
+    val flagEntries = new java.io.File(s"$stateDir/flags").listFiles()
+      .map(_.getName).toSet
+    assert(flagEntries == Set("compact_upto_2"), flagEntries.toString)
+    val stats = Ingest.nearDupFlags(spark, stateDir)
+      .select("doc_id", "n_pairs").as[(Long, Long)].collect().toMap
+    assert(stats(9L) == 3L, s"hub pairs with all 3 spokes: $stats")
+    // retry converges (idempotent short-circuit)
+    assert(Ingest.reclusterNearDupFlags(spark, stateDir, upTo = 2L,
+      threshold = 0.6))
+    assert(flaggedIds() == Set(2L, 3L, 9L))
+    // a LATER batch still flags first-wins against the untouched
+    // bands/all probe state: a near-dup of spoke 1 arriving now is
+    // flagged even though the re-cluster kept doc 1
+    drive(Seq((20L, variant(3))), 2L)
+    assert(flaggedIds().contains(20L),
+      "post-generation arrival must keep first-wins flagging")
+    // the q9W report reads the ADOPTED verdicts: stream_keep now equals
+    // batch_keep for the re-stated history (divergence only for the new
+    // arrival topology, which CC also flags -> fully converged here)
+    val rec = Ingest.reclusterNearDupState(spark, stateDir, threshold = 0.6)
+      .select("id", "stream_keep", "batch_keep")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(rec.forall(r => r._2 == r._3),
+      s"adopted generation left divergence: ${rec.filter(r => r._2 != r._3).toSeq}")
+  }
+
   test("IVF centroid refresh: a planted mid-stream drift sinks the frozen " +
       "quantizer's recall; the refreshed generation restores it; " +
       "stationary answers and retry determinism preserved") {
