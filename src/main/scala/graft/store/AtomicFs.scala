@@ -19,15 +19,28 @@ import org.apache.spark.sql.SparkSession
   *  - '''list-after-write consistency''' (recovery trusts a listing).
   *
   * HDFS and local filesystems provide all three. S3-class object
-  * stores provide NONE of them natively (rename is copy+delete,
-  * creates are last-writer-wins, PUT-if-absent is not exposed through
-  * the Hadoop `FileSystem` API) — running the commit protocols there
-  * can publish half-renamed markers and let two "exclusive" creators
-  * both succeed. Until a conditional-put seam exists for those stores,
-  * graft REFUSES their URI schemes at construction time. Deliberate
-  * unsafe override (e.g. a consistent S3-compatible store fronted by a
-  * locking layer): set `graft.store.unsafeObjectStoreCommits=true` in
-  * the Spark conf and accept the documented risk.
+  * stores provide none of them through legacy connector semantics
+  * (rename is copy+delete, plain creates are last-writer-wins) —
+  * running the rename-based commit protocols there can publish
+  * half-renamed markers and let two "exclusive" creators both
+  * succeed. Two SUPPORTED ways in:
+  *
+  *  1. '''Conditional-put primitives''' (the real seam): list the
+  *     scheme in `graft.store.conditionalPutSchemes` to declare its
+  *     connector provides atomic whole-object conditional creates
+  *     (`create(p, overwrite = false)` failing-at-close when `p`
+  *     exists — S3 `If-None-Match: *` conditional writes, GCS
+  *     `if-generation-match: 0`, Azure `If-None-Match: *`) and
+  *     consistent listings. Every commit protocol then runs
+  *     RENAME-FREE through [[ConditionalPutPrimitives]] — the
+  *     protocols' crash prefixes are spec-proven on a
+  *     no-atomic-rename filesystem shim (ObjectStoreSimSpec).
+  *  2. `graft.store.unsafeObjectStoreCommits=true` — the legacy
+  *     unsafe override for stores fronted by an external consistency
+  *     layer; the rename protocol runs as-is, risk accepted.
+  *
+  * Object-store schemes declared under NEITHER conf stay refused at
+  * construction time.
   */
 object AtomicFs {
 
@@ -54,14 +67,18 @@ object AtomicFs {
     val scheme = Option(new Path(path).toUri.getScheme)
       .map(_.toLowerCase(java.util.Locale.ROOT))
     if (scheme.exists(objectStoreSchemes.contains) &&
+        !scheme.exists(CommitPrimitives.conditionalPutSchemes(spark).contains) &&
         !spark.conf.getOption(overrideConf).exists(_.equalsIgnoreCase("true")))
       throw new IllegalArgumentException(
         s"$what at '$path': ${scheme.get}:// is an object store without " +
           "atomic rename / create-exclusive, which graft's crash-atomic " +
           "commit protocols (intent publish, journal reserve, cross-store " +
           "2PC marker) require — a crash there can surface half-committed " +
-          "state. Use HDFS or a posix-consistent filesystem, or set " +
-          s"$overrideConf=true to accept the risk on a store-provided " +
-          "consistency layer.")
+          "state. If the connector supports atomic conditional creates " +
+          "(S3 If-None-Match conditional writes and equivalents), add the " +
+          s"scheme to ${CommitPrimitives.schemesConf} to run the " +
+          "rename-free conditional-put commit protocol; otherwise use " +
+          s"HDFS or a posix-consistent filesystem, or set $overrideConf=" +
+          "true to accept the risk on a store-provided consistency layer.")
   }
 }

@@ -45,9 +45,13 @@ import graft.model.Candle
 final class CandleStore(spark: SparkSession, val path: String) {
   import CandleStore._
 
-  // the commit-intent protocol leans on atomic rename + create-exclusive;
-  // refuse filesystems that cannot provide them (see AtomicFs)
+  // the commit-intent protocol leans on the CommitPrimitives seam
+  // (atomic rename + create-exclusive by default; conditional puts on
+  // declared object-store schemes); refuse filesystems that provide
+  // neither (see AtomicFs)
   AtomicFs.requireAtomicCommits(spark, path, "CandleStore")
+  private[graft] val commitPrims: CommitPrimitives =
+    CommitPrimitives.resolve(spark, path)
 
   private def exists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -371,7 +375,7 @@ final class CandleStore(spark: SparkSession, val path: String) {
     val tmp = new org.apache.hadoop.fs.Path(txlogP, txid + ".tmp")
     val pub = new org.apache.hadoop.fs.Path(txlogP, txid + ".intent")
     if (fs.exists(tmp)) {
-      if (!fs.rename(tmp, pub) && !fs.exists(pub))
+      if (!commitPrims.moveFile(fs, tmp, pub) && !fs.exists(pub))
         sys.error(s"could not publish commit intent for $txid")
     }
     // neither tmp nor intent: already installed and cleaned — done
@@ -432,9 +436,9 @@ final class CandleStore(spark: SparkSession, val path: String) {
       val dest = new org.apache.hadoop.fs.Path(rootP, destRel)
       if (fs.exists(src)) {
         fs.mkdirs(dest.getParent)
-        // a false rename is only legal if a concurrent recover won
-        if (!fs.rename(src, dest) && !fs.exists(dest))
-          sys.error(s"atomic install ${intent.txid}: rename $srcRel -> $destRel failed")
+        // a false move is only legal if a concurrent recover won
+        if (!commitPrims.moveFile(fs, src, dest) && !fs.exists(dest))
+          sys.error(s"atomic install ${intent.txid}: move $srcRel -> $destRel failed")
       } else require(fs.exists(dest),
         s"atomic install ${intent.txid}: $srcRel and $destRel both " +
           "missing — staged data lost, cannot roll forward")

@@ -1,0 +1,324 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The commit-primitive seam: every crash-atomic decision the stores
+  * and the cross-store coordinator make — intent publish, journal
+  * segment publish, data-file install, marker publish/retire, the
+  * per-store cross-tx lock — goes through ONE of the operations here,
+  * with two interchangeable implementations:
+  *
+  *  - [[RenamePrimitives]] (default): the HDFS/POSIX protocol —
+  *    content staged under a unique tmp name and atomically renamed
+  *    into place (rename-fails-if-destination-exists is the winner-
+  *    decides point), locks via create-exclusive + atomic
+  *    rename-to-tombstone displacement.
+  *  - [[ConditionalPutPrimitives]]: the OBJECT-STORE protocol — no
+  *    rename anywhere. Publications are one conditional whole-object
+  *    put (`create(dest, overwrite = false)` materializing atomically
+  *    at close — S3's `If-None-Match: *` conditional write, exposed
+  *    through Hadoop's create-builder on capable connectors); file
+  *    moves are copy-then-delete with the copy itself a conditional
+  *    put (a crash between the two leaves src+dest, which every
+  *    caller already treats as moved — the protocols' dest-exists
+  *    idempotence); the cross-tx lock becomes a UNIQUE-ENTRY protocol
+  *    (each acquirer conditionally puts its own `lock.e-<uuid>` entry
+  *    and the lexicographically-least live entry's holder wins) so
+  *    release/reclaim only ever delete a specific immutable file this
+  *    code previously read — the displaced-lock races the rename
+  *    tombstone dance guards against cannot exist by construction.
+  *
+  * Selection is PER URI SCHEME via
+  * `graft.store.conditionalPutSchemes` (comma-separated, e.g.
+  * `s3a,gs`): listing a scheme declares its connector provides
+  * atomic whole-object conditional creates and consistent listings —
+  * true of S3 (strong consistency since 2020, conditional writes
+  * since 2024), GCS (`x-goog-if-generation-match: 0`), and Azure
+  * Blob (`If-None-Match: *`). Schemes not listed keep the rename
+  * protocol; object-store schemes not listed stay REFUSED by
+  * [[AtomicFs.requireAtomicCommits]].
+  *
+  * Cost note, stated honestly: `moveFile` on the conditional-put side
+  * STREAMS the bytes (the Hadoop FileSystem API has no server-side
+  * copy), which for the data-install paths is the same cost class as
+  * an object store's own "rename" (S3A rename = server COPY+DELETE);
+  * a vendor implementation would override it with a conditional
+  * server-side copy. All protocol decisions ride on small files —
+  * markers, intents, journal rows, locks — where a streamed put is a
+  * put.
+  */
+private[graft] sealed trait CommitPrimitives {
+  def name: String
+
+  /** Publish complete `content` at `dest` atomically — a commit
+    * point. True iff THIS call created `dest`; false iff `dest`
+    * already existed (the caller lost the race); genuine IO failures
+    * propagate.
+    */
+  def publish(fs: FileSystem, dest: Path, content: Array[Byte]): Boolean
+
+  /** Move file `src` to `dest`: on a true return `dest` holds the
+    * data and `src` is gone (or already was); false iff BOTH sides
+    * are missing (lost data — every caller fails loudly). An existing
+    * `dest` counts as already-moved (the protocols' name-keyed
+    * idempotence: a destination name embeds its tx, so same name =
+    * same logical content) and `src` is dropped.
+    */
+  def moveFile(fs: FileSystem, src: Path, dest: Path): Boolean
+
+  /** Acquire the cross-tx store lock at `lock` for tx `name`, or
+    * throw IllegalStateException when a DIFFERENT live holder exists
+    * (stale holders age out after `staleMs`; same-name attempts
+    * share).
+    */
+  def acquireLock(fs: FileSystem, lock: Path, name: String,
+                  staleMs: Long): Unit
+
+  /** Release `lock` iff tx `name` holds it: a different holder's
+    * lock is never touched; an absent lock is a no-op.
+    */
+  def releaseLock(fs: FileSystem, lock: Path, name: String): Unit
+
+  protected final def readUtf8(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  protected final def writeExclusive(fs: FileSystem, p: Path,
+                                     content: Array[Byte]): Boolean =
+    try {
+      val os = fs.create(p, false)
+      try os.write(content) finally os.close()
+      true
+    } catch { case _: FileAlreadyExistsException => false }
+}
+
+/** The HDFS/POSIX implementation — behavior-identical to the code it
+  * was factored out of (tmp + atomic rename, tombstone lock dance).
+  */
+private[graft] object RenamePrimitives extends CommitPrimitives {
+  def name = "rename"
+
+  def publish(fs: FileSystem, dest: Path, content: Array[Byte]): Boolean = {
+    val tmp = new Path(dest.getParent,
+      s"${dest.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val os = fs.create(tmp, false)
+    try os.write(content) finally os.close()
+    if (fs.rename(tmp, dest)) true
+    else {
+      fs.delete(tmp, false)
+      if (fs.exists(dest)) false
+      else throw new java.io.IOException(s"could not publish $dest")
+    }
+  }
+
+  def moveFile(fs: FileSystem, src: Path, dest: Path): Boolean = {
+    val renamed =
+      try fs.rename(src, dest)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (renamed) true
+    else if (fs.exists(dest)) {
+      // name-keyed idempotence: dest already holds this logical file
+      try { fs.delete(src, false); () }
+      catch { case _: java.io.IOException => () }
+      true
+    } else false
+  }
+
+  def acquireLock(fs: FileSystem, lock: Path, name: String,
+                  staleMs: Long): Unit = {
+    fs.mkdirs(lock.getParent)
+    def tryTake(): Boolean =
+      try {
+        val os = fs.create(lock, false)
+        try os.write(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryTake()) return
+    val (holder, age) =
+      try {
+        val st = fs.getFileStatus(lock)
+        (readUtf8(fs, lock), System.currentTimeMillis() - st.getModificationTime)
+      } catch { case _: java.io.FileNotFoundException => ("", Long.MaxValue) }
+    if (holder != name && age < staleMs)
+      throw new IllegalStateException(
+        s"cross-store tx '$holder' holds ${lock.getParent}'s tx lock: one " +
+          "in-flight cross-store tx per store — finalize it " +
+          "(CrossStoreTx.recover) or wait; a crashed holder's lock " +
+          s"ages out after ${staleMs / 3600000} h")
+    // atomic reclaim: exactly one contender's rename succeeds; the
+    // tombstone is garbage either way
+    val tomb = new Path(lock.getParent,
+      s"${lock.getName}.reclaim-${java.util.UUID.randomUUID()}")
+    if (fs.rename(lock, tomb)) { fs.delete(tomb, false); () }
+    if (!tryTake())
+      throw new IllegalStateException(
+        s"lost the race re-taking ${lock.getParent}'s cross-tx lock")
+  }
+
+  def releaseLock(fs: FileSystem, lock: Path, name: String): Unit = {
+    // pre-read: when the lock is absent or held by a DIFFERENT tx,
+    // return without touching it (displacing a live different-name
+    // holder's lock, even for a blink, would let that holder's own
+    // release silently no-op or a third tx slip in under it). Only
+    // when the pre-read says the lock is OURS does the atomic
+    // displace-verify-delete run.
+    val preHolder =
+      try readUtf8(fs, lock)
+      catch { case _: java.io.FileNotFoundException => return }
+    if (preHolder != name) return
+    val tomb = new Path(lock.getParent,
+      s"${lock.getName}.release-${java.util.UUID.randomUUID()}")
+    val displaced =
+      try fs.rename(lock, tomb)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!displaced) return
+    // NO IOException tolerance on the tombstone read: it is a private
+    // file this tx just created by rename, so a failure here is a torn
+    // state the operator must see
+    val holder = readUtf8(fs, tomb)
+    if (holder == name) { fs.delete(tomb, false); () }
+    else if (!fs.rename(tomb, lock)) {
+      fs.delete(tomb, false)
+      throw new CrossStoreTx.TornLockState(
+        s"cross-tx lock at $lock: tx '$holder' was transiently displaced " +
+          s"during '$name's release check and a new lock appeared " +
+          "meanwhile — two coordinators may believe they hold the store; " +
+          "finalize or abort them by hand before retrying")
+    }
+  }
+}
+
+/** The rename-less object-store implementation — see the trait doc. */
+private[graft] object ConditionalPutPrimitives extends CommitPrimitives {
+  def name = "conditional-put"
+
+  def publish(fs: FileSystem, dest: Path, content: Array[Byte]): Boolean = {
+    fs.mkdirs(dest.getParent)
+    // the conditional put IS the commit point: the object materializes
+    // whole at close or not at all (no partial-content window to hide
+    // behind a tmp name)
+    writeExclusive(fs, dest, content)
+  }
+
+  def moveFile(fs: FileSystem, src: Path, dest: Path): Boolean = {
+    if (!fs.exists(src)) return fs.exists(dest)
+    fs.mkdirs(dest.getParent)
+    try {
+      val in = fs.open(src)
+      try {
+        val out = fs.create(dest, false)
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, true)
+      } finally { try in.close() catch { case _: Throwable => () } }
+    } catch {
+      case _: FileAlreadyExistsException => () // already moved by a peer
+      case _: java.io.FileNotFoundException =>
+        return fs.exists(dest) // src vanished mid-copy: a peer moved it
+    }
+    try { fs.delete(src, false); () }
+    catch { case _: java.io.IOException => () } // crash-equivalent: dest
+    // exists, src lingers — every caller treats dest-exists as moved,
+    // and the src is staged garbage its own sweep reclaims
+    true
+  }
+
+  private def entryPrefix(lock: Path) = s"${lock.getName}.e-"
+
+  private def entries(fs: FileSystem,
+                      lock: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(lock.getParent)) return Seq.empty
+    fs.listStatus(lock.getParent).toSeq
+      .filter(_.getPath.getName.startsWith(entryPrefix(lock)))
+  }
+
+  private def holderOf(fs: FileSystem,
+                       e: org.apache.hadoop.fs.FileStatus): Option[String] =
+    try Some(readUtf8(fs, e.getPath))
+    catch { case _: java.io.FileNotFoundException => None }
+
+  /** Unique-entry lock: each acquirer conditionally puts its own
+    * immutable `lock.e-<uuid>` entry carrying its tx name; of
+    * concurrent DIFFERENT-name entries, the lexicographically-least
+    * live entry's holder wins and every loser withdraws its own entry.
+    * Same-name entries share (the protocol's same-name retry/reclaim
+    * semantics). Stale entries are deleted individually — a delete of
+    * a specific write-once file, never a blind delete of "the lock".
+    */
+  def acquireLock(fs: FileSystem, lock: Path, name: String,
+                  staleMs: Long): Unit = {
+    fs.mkdirs(lock.getParent)
+    val now = System.currentTimeMillis()
+    // reclaim: drop entries past the stale age (precise per-entry)
+    entries(fs, lock).foreach { e =>
+      if (now - e.getModificationTime >= staleMs) {
+        try { fs.delete(e.getPath, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+    def liveOthers(): Seq[String] =
+      entries(fs, lock).flatMap(holderOf(fs, _)).filter(_ != name)
+    val others = liveOthers()
+    if (others.nonEmpty)
+      throw new IllegalStateException(
+        s"cross-store tx '${others.head}' holds ${lock.getParent}'s tx " +
+          "lock: one in-flight cross-store tx per store — finalize it " +
+          "(CrossStoreTx.recover) or wait; a crashed holder's lock " +
+          s"ages out after ${staleMs / 3600000} h")
+    val mine = new Path(lock.getParent,
+      s"${entryPrefix(lock)}${java.util.UUID.randomUUID()}")
+    if (!writeExclusive(fs, mine,
+        name.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      throw new IllegalStateException(s"lock entry collision at $mine")
+    // decide: the least-named live entry's holder wins
+    val all = entries(fs, lock)
+      .flatMap(e => holderOf(fs, e).map(h => (e.getPath.getName, h)))
+      .sortBy(_._1)
+    if (all.exists(_._2 != name) && all.headOption.exists(_._2 != name)) {
+      fs.delete(mine, false)
+      throw new IllegalStateException(
+        s"cross-store tx '${all.head._2}' won ${lock.getParent}'s tx " +
+          "lock: one in-flight cross-store tx per store — finalize it " +
+          "(CrossStoreTx.recover) or wait")
+    }
+    if (all.exists(_._2 != name))
+      // we hold the least entry but a different-name loser is still
+      // withdrawing: proceed — it loses the same decision we just won
+      ()
+  }
+
+  def releaseLock(fs: FileSystem, lock: Path, name: String): Unit =
+    // delete exactly the entries THIS name owns: entries are
+    // write-once unique files, so no other tx's lock can ever be
+    // displaced — the torn-lock state of the rename protocol cannot
+    // arise here
+    entries(fs, lock).foreach { e =>
+      if (holderOf(fs, e).contains(name)) {
+        try { fs.delete(e.getPath, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+}
+
+private[graft] object CommitPrimitives {
+  /** Comma-separated URI schemes served by [[ConditionalPutPrimitives]];
+    * everything else uses [[RenamePrimitives]].
+    */
+  val schemesConf = "graft.store.conditionalPutSchemes"
+
+  private[graft] def conditionalPutSchemes(spark: SparkSession): Set[String] =
+    spark.conf.getOption(schemesConf)
+      .map(_.split(",").iterator.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  def resolve(spark: SparkSession, path: String): CommitPrimitives = {
+    val scheme = Option(new Path(path).toUri.getScheme)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("file")
+    if (conditionalPutSchemes(spark).contains(scheme)) ConditionalPutPrimitives
+    else RenamePrimitives
+  }
+}

@@ -56,11 +56,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * numeric-suffixed name at-or-below the recorded per-prefix horizon is
   * REFUSED loudly rather than silently re-executed.
   *
-  * Durability contract: the protocol's atomicity rests on
-  * create-exclusive and atomic-rename filesystem primitives (HDFS and
-  * local semantics). S3-class object stores do not provide them — store
-  * and coordinator constructors refuse such URIs up front (see
-  * [[AtomicFs.requireAtomicCommits]]).
+  * Durability contract: the protocol's atomicity rests on the
+  * [[CommitPrimitives]] seam — create-exclusive + atomic rename on
+  * HDFS/local filesystems, rename-less conditional whole-object puts
+  * on object stores whose scheme is declared in
+  * `graft.store.conditionalPutSchemes`. Object-store URIs NOT so
+  * declared are refused up front ([[AtomicFs.requireAtomicCommits]]).
   */
 object CrossStoreTx {
 
@@ -170,43 +171,9 @@ object CrossStoreTx {
     * rename-to-tombstone, so of two concurrent reclaimers exactly one
     * proceeds (a delete+retake pair would let both pass).
     */
-  private def acquireStoreLock(store: CandleStore, name: String): Unit = {
-    val fs = store.crossTxFs
-    val lock = store.crossTxLockPath
-    fs.mkdirs(lock.getParent)
-    def tryTake(): Boolean =
-      try {
-        val os = fs.create(lock, false)
-        try os.write(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally os.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (tryTake()) return
-    val (holder, age) =
-      try {
-        val st = fs.getFileStatus(lock)
-        val in = fs.open(lock)
-        val text =
-          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        (text, System.currentTimeMillis() - st.getModificationTime)
-      } catch { case _: java.io.FileNotFoundException => ("", Long.MaxValue) }
-    if (holder != name && age < staleLockMs)
-      throw new IllegalStateException(
-        s"cross-store tx '$holder' holds ${store.path}'s tx lock: one " +
-          "in-flight cross-store tx per store — finalize it " +
-          "(CrossStoreTx.recover) or wait; a crashed holder's lock " +
-          s"ages out after ${staleLockMs / 3600000} h")
-    // atomic reclaim: exactly one contender's rename succeeds; the
-    // tombstone is garbage either way
-    val tomb = new Path(lock.getParent,
-      s"${lock.getName}.reclaim-${java.util.UUID.randomUUID()}")
-    if (fs.rename(lock, tomb)) { fs.delete(tomb, false); () }
-    if (!tryTake())
-      throw new IllegalStateException(
-        s"lost the race re-taking ${store.path}'s cross-tx lock")
-  }
+  private def acquireStoreLock(store: CandleStore, name: String): Unit =
+    store.commitPrims.acquireLock(store.crossTxFs, store.crossTxLockPath,
+      name, staleLockMs)
 
   /** Torn lock state surfaced by [[releaseStoreLock]]: a lock was
     * transiently displaced during a release check and a NEW lock
@@ -218,66 +185,17 @@ object CrossStoreTx {
     extends IllegalStateException(msg)
 
   /** Release the store's cross-tx lock ONLY if tx `name` still holds
-    * it. A blind delete here could drop a LATER, different-name tx's
-    * lock — e.g. a fenced zombie's abort running after the winner
-    * already released and a third tx acquired — silently re-opening the
-    * same-store interleaving the lock exists to prevent.
-    *
-    * The check is two-stage. A PRE-READ first: when the lock is absent
-    * or held by a DIFFERENT tx, return immediately without touching it
-    * (displacing a live different-name holder's lock, even for a blink,
-    * would let that holder's own release silently no-op or a third tx
-    * slip in under it). Only when the pre-read says the lock is OURS
-    * does the atomic displace-verify-delete run — rename the lock to a
-    * private tombstone, decide on the tombstone's content, rename back
-    * in the now-rare case it is not ours after all (our same-name peer
-    * released and a third tx acquired between the pre-read and the
-    * rename). A plain read-then-delete would leave that same window
-    * open with no detection at all.
+    * it — a blind delete could drop a LATER, different-name tx's lock
+    * (e.g. a fenced zombie's abort running after the winner already
+    * released and a third tx acquired), silently re-opening the
+    * same-store interleaving the lock exists to prevent. The holder
+    * check's atomicity lives in the [[CommitPrimitives]] backend:
+    * pre-read + rename-to-tombstone displacement on rename
+    * filesystems, per-name unique-entry deletion (displacement-free by
+    * construction) on conditional-put stores.
     */
-  private[graft] def releaseStoreLock(store: CandleStore, name: String): Unit = {
-    val fs = store.crossTxFs
-    val lock = store.crossTxLockPath
-    val preHolder =
-      try {
-        val in = fs.open(lock)
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      } catch { case _: java.io.FileNotFoundException => return }
-    if (preHolder != name) return
-    val tomb = new Path(lock.getParent,
-      s"${lock.getName}.release-${java.util.UUID.randomUUID()}")
-    // already released: rename of a missing source is false on HDFS but
-    // a FileNotFoundException on the local FS's copy fallback
-    val displaced =
-      try fs.rename(lock, tomb)
-      catch { case _: java.io.FileNotFoundException => false }
-    if (!displaced) return
-    // NO IOException tolerance on the tombstone read: it is a private
-    // file this tx just created by rename, so a failure here is a torn
-    // state the operator must see — a swallowed error that took the
-    // rename-back branch could silently re-plant our OWN displaced
-    // lock, wedging the store for different-name txs until it ages out
-    val holder = {
-      val in = fs.open(tomb)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    }
-    if (holder == name) { fs.delete(tomb, false); () }
-    else if (!fs.rename(tomb, lock)) {
-      // a tx slipped a NEW lock in during the displacement blink: putting
-      // the displaced holder's lock back would double-lock the store —
-      // surface the torn state loudly instead of picking a winner
-      fs.delete(tomb, false)
-      throw new TornLockState(s"cross-tx lock on ${store.path}: tx " +
-        s"'$holder' was transiently displaced during '$name's release " +
-        "check and a new lock appeared meanwhile — two coordinators may " +
-        "believe they hold the store; finalize or abort them by hand " +
-        "before retrying")
-    }
-  }
+  private[graft] def releaseStoreLock(store: CandleStore, name: String): Unit =
+    store.commitPrims.releaseLock(store.crossTxFs, store.crossTxLockPath, name)
 
   /** Abort each prepared op, swallowing routine failures (presumed
     * abort: the store's vacuum reclaims anything a failed abort left) —
@@ -500,16 +418,12 @@ object CrossStoreTx {
     }
     if (recordedTokens().isDefined)
       return loseTo("a concurrent same-name coordinator committed first")
-    val tmp = markerOf(coordDir, name,
-      s"tmp-${java.util.UUID.randomUUID()}")
-    val os = fs.create(tmp, false)
-    try os.write((prepared.map(_.line).mkString("\n") + "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
-    if (!fs.rename(tmp, committed)) {
-      fs.delete(tmp, false)
+    val prim = CommitPrimitives.resolve(spark, coordDir)
+    val markerBytes = (prepared.map(_.line).mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!prim.publish(fs, committed, markerBytes)) {
       if (recordedTokens().isDefined)
-        return loseTo("lost the commit-marker rename race")
+        return loseTo("lost the commit-marker publish race")
       sys.error(s"could not publish cross-store commit marker for $name")
     }
     // post-rename fence: if the name is ALREADY terminal, the winner
@@ -540,7 +454,7 @@ object CrossStoreTx {
     }
     val done = doneMarkerOf(coordDir, name)
     fs.mkdirs(doneDirOf(coordDir))
-    if (!fs.rename(committed, done) && !fs.exists(done))
+    if (!prim.moveFile(fs, committed, done) && !fs.exists(done))
       sys.error(s"could not retire cross-store commit marker for $name")
     prepared.map(_.txToken).toSeq
   }
@@ -560,11 +474,13 @@ object CrossStoreTx {
   def recover(spark: SparkSession, coordDir: String): Int = {
     val fs = fsFor(spark, coordDir)
     if (!fs.exists(new Path(coordDir))) return 0
+    val prim = CommitPrimitives.resolve(spark, coordDir)
     val entries = fs.listStatus(new Path(coordDir)).filter(_.isFile)
     val tmpCutoff = System.currentTimeMillis() - staleLockMs
     // anchored on the tmp SHAPE (`<name>.tmp-<attempt>` / legacy
-    // `<name>.tmp`), never a substring: tx names may contain dots, and
-    // a substring match could delete a committed marker like
+    // `<name>.tmp` / the publish primitive's `<name>.commit.tmp-<id>`),
+    // never a substring: tx names may contain dots, and a substring
+    // match could delete a committed marker like
     // `nightly.tmp-reload.commit` — a permanent half-commit
     val TmpName = ".*\\.tmp(-[^.]+)?$".r
     entries.filter(s => TmpName.matches(s.getPath.getName) &&
@@ -575,7 +491,7 @@ object CrossStoreTx {
     entries.map(_.getPath).filter(_.getName.endsWith(".done")).foreach { p =>
       fs.mkdirs(doneDirOf(coordDir))
       val dst = new Path(doneDirOf(coordDir), p.getName)
-      if (!fs.rename(p, dst) && fs.exists(dst)) fs.delete(p, false)
+      prim.moveFile(fs, p, dst)
     }
     val pending = entries.map(_.getPath)
       .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
@@ -632,7 +548,7 @@ object CrossStoreTx {
       } else if (lines.nonEmpty) {
         lines.foreach { case (line, _) => line.finalizeFrom(spark, name) }
         fs.mkdirs(doneDirOf(coordDir))
-        if (!fs.rename(p, retired) && !fs.exists(retired))
+        if (!prim.moveFile(fs, p, retired) && !fs.exists(retired))
           sys.error(s"could not retire cross-store marker ${p.getName}")
         completed += 1
       }

@@ -91,8 +91,12 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
                                  val checkpointEvery: Int = 100) {
 
   // reserve files, journal publish, and generation markers all lean on
-  // create-exclusive + atomic rename; refuse filesystems without them
+  // the CommitPrimitives seam (create-exclusive + atomic rename by
+  // default, conditional puts on declared object-store schemes);
+  // refuse filesystems that provide neither
   AtomicFs.requireAtomicCommits(spark, path, "VersionedCandleStore")
+  private val commitPrims: CommitPrimitives =
+    CommitPrimitives.resolve(spark, path)
 
   private val txLogPath = s"$path/txlog"
   private val txnPath = s"$path/_txn"
@@ -355,10 +359,10 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"no journal part file in $stage"))
     val dst = new Path(txLogPath, f"tx-$tx%020d-$kind.parquet")
-    // rename returns false instead of throwing on some filesystems — an
-    // unjournaled "successful" commit would be invisible forever and
-    // vacuum()ed away, so a failed publish must fail the commit.
-    if (!f.rename(part, dst))
+    // a false move means neither side holds the row — an unjournaled
+    // "successful" commit would be invisible forever and vacuum()ed
+    // away, so a failed publish must fail the commit.
+    if (!commitPrims.moveFile(f, part, dst))
       throw new java.io.IOException(s"journal publish failed: $part -> $dst")
     f.delete(hp(stage), true)
     ()
@@ -438,7 +442,7 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"no checkpoint part file in $stage"))
     val dst = new Path(txLogPath, f"checkpoint-$maxTx%020d.parquet")
-    if (!f.rename(part, dst))
+    if (!commitPrims.moveFile(f, part, dst))
       throw new java.io.IOException(s"checkpoint publish failed: $part -> $dst")
     f.delete(hp(stage), true)
     // delete tails already absorbed by the PREVIOUS checkpoint (exact
@@ -639,7 +643,7 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
           val to = new Path(d, s"$prefix-$name")
           // a silently dropped data file would journal an incomplete
           // commit as successful — fail the commit instead
-          if (!f.rename(st.getPath, to))
+          if (!commitPrims.moveFile(f, st.getPath, to))
             throw new java.io.IOException(s"data move failed: ${st.getPath} -> $to")
           moved += s"$rel$prefix-$name"
         }
