@@ -203,10 +203,14 @@ private[plans] object MergeLowering extends PredicateHelper {
           "(the reference's surface is insert/upsert-only, " +
           "database/command/ has no delete) — only the VERSIONED store " +
           "supports journaled tombstone deletes")
-      case Seq(DeleteAction(Some(_))) =>
+      case Seq(DeleteAction(Some(_))) if allowDelete =>
         fail("conditioned WHEN MATCHED AND … THEN DELETE is not " +
           "supported — the tombstone lowering deletes every matched key; " +
           "move the condition into the source query")
+      case Seq(DeleteAction(Some(_))) =>
+        fail("WHEN MATCHED … THEN DELETE is not supported on " +
+          "graft-candles (the reference's surface is insert/upsert-only) " +
+          "— only the VERSIONED store supports journaled tombstone deletes")
       case _ => fail("one unconditioned WHEN MATCHED clause only " +
         "(THEN UPDATE SET …, or THEN DELETE on a vstore target)")
     }

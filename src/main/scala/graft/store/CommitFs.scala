@@ -226,13 +226,18 @@ private[graft] object ConditionalPutPrimitives extends CommitPrimitives {
     true
   }
 
-  private def entryPrefix(lock: Path) = s"${lock.getName}.e-"
+  private def entryPrefix(lock: Path) = s"${lock.getName}.g-"
+
+  private val GenName = "^.*\\.g-([0-9]{20})$".r
 
   private def entries(fs: FileSystem,
-                      lock: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+                      lock: Path): Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
     if (!fs.exists(lock.getParent)) return Seq.empty
     fs.listStatus(lock.getParent).toSeq
-      .filter(_.getPath.getName.startsWith(entryPrefix(lock)))
+      .flatMap(e => e.getPath.getName match {
+        case GenName(g) => g.toLongOption.map(_ -> e)
+        case _ => None
+      })
   }
 
   private def holderOf(fs: FileSystem,
@@ -240,62 +245,68 @@ private[graft] object ConditionalPutPrimitives extends CommitPrimitives {
     try Some(readUtf8(fs, e.getPath))
     catch { case _: java.io.FileNotFoundException => None }
 
-  /** Unique-entry lock: each acquirer conditionally puts its own
-    * immutable `lock.e-<uuid>` entry carrying its tx name; of
-    * concurrent DIFFERENT-name entries, the lexicographically-least
-    * live entry's holder wins and every loser withdraws its own entry.
-    * Same-name entries share (the protocol's same-name retry/reclaim
-    * semantics). Stale entries are deleted individually — a delete of
-    * a specific write-once file, never a blind delete of "the lock".
+  /** Generation-gated lock, mutually exclusive WITHOUT rename or
+    * conditional delete: the lock's state is the HIGHEST-generation
+    * `lock.g-<n>` gate file present, and every acquisition — fresh
+    * take or stale reclaim — is ONE conditional put of generation
+    * `max+1` (generation 1 when none exist). The conditional put is
+    * the atomic winner decision: two racers computing the same target
+    * generation collide on the same object name and exactly one
+    * creates it; the loser re-evaluates and, finding a LIVE
+    * different-name holder, refuses. Supersession requires staleness
+    * (a loser never out-generations a YOUNG gate), so a lower-
+    * generation gate resurfacing after a release is always stale and
+    * the next acquirer supersedes it. Same-name attempts SHARE the
+    * lock (the protocol's retry/reclaim semantics); release deletes
+    * exactly the gens whose content is the releasing name — gates are
+    * write-once and content-keyed, so a different holder's gate can
+    * never be displaced, and the rename protocol's torn-lock states
+    * cannot arise.
     */
   def acquireLock(fs: FileSystem, lock: Path, name: String,
                   staleMs: Long): Unit = {
     fs.mkdirs(lock.getParent)
-    val now = System.currentTimeMillis()
-    // reclaim: drop entries past the stale age (precise per-entry)
-    entries(fs, lock).foreach { e =>
-      if (now - e.getModificationTime >= staleMs) {
-        try { fs.delete(e.getPath, false); () }
-        catch { case _: java.io.IOException => () }
+    val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val all = entries(fs, lock).sortBy(-_._1)
+      val current = all.headOption
+      val holder = current.flatMap { case (_, e) => holderOf(fs, e) }
+      val age = current.map(c =>
+        System.currentTimeMillis() - c._2.getModificationTime)
+      (holder, age) match {
+        case (Some(h), _) if h == name => return // shared same-name hold
+        case (Some(h), Some(a)) if a < staleMs =>
+          throw new IllegalStateException(
+            s"cross-store tx '$h' holds ${lock.getParent}'s tx lock: one " +
+              "in-flight cross-store tx per store — finalize it " +
+              "(CrossStoreTx.recover) or wait; a crashed holder's lock " +
+              s"ages out after ${staleMs / 3600000} h")
+        case _ => // absent, vanished mid-read, or stale: supersede it
+          val target = current.map(_._1).getOrElse(0L) + 1
+          val gate = new Path(lock.getParent,
+            f"${entryPrefix(lock)}$target%020d")
+          if (writeExclusive(fs, gate, nameBytes)) {
+            // clean superseded generations (stale by construction) so a
+            // later release cannot resurface them as the current state
+            all.foreach { case (_, e) =>
+              try { fs.delete(e.getPath, false); () }
+              catch { case _: java.io.IOException => () }
+            }
+            return
+          }
+        // lost the conditional put: loop and re-evaluate the new state
       }
     }
-    def liveOthers(): Seq[String] =
-      entries(fs, lock).flatMap(holderOf(fs, _)).filter(_ != name)
-    val others = liveOthers()
-    if (others.nonEmpty)
-      throw new IllegalStateException(
-        s"cross-store tx '${others.head}' holds ${lock.getParent}'s tx " +
-          "lock: one in-flight cross-store tx per store — finalize it " +
-          "(CrossStoreTx.recover) or wait; a crashed holder's lock " +
-          s"ages out after ${staleMs / 3600000} h")
-    val mine = new Path(lock.getParent,
-      s"${entryPrefix(lock)}${java.util.UUID.randomUUID()}")
-    if (!writeExclusive(fs, mine,
-        name.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      throw new IllegalStateException(s"lock entry collision at $mine")
-    // decide: the least-named live entry's holder wins
-    val all = entries(fs, lock)
-      .flatMap(e => holderOf(fs, e).map(h => (e.getPath.getName, h)))
-      .sortBy(_._1)
-    if (all.exists(_._2 != name) && all.headOption.exists(_._2 != name)) {
-      fs.delete(mine, false)
-      throw new IllegalStateException(
-        s"cross-store tx '${all.head._2}' won ${lock.getParent}'s tx " +
-          "lock: one in-flight cross-store tx per store — finalize it " +
-          "(CrossStoreTx.recover) or wait")
-    }
-    if (all.exists(_._2 != name))
-      // we hold the least entry but a different-name loser is still
-      // withdrawing: proceed — it loses the same decision we just won
-      ()
+    throw new IllegalStateException(
+      s"lost the race re-taking ${lock.getParent}'s cross-tx lock")
   }
 
   def releaseLock(fs: FileSystem, lock: Path, name: String): Unit =
-    // delete exactly the entries THIS name owns: entries are
-    // write-once unique files, so no other tx's lock can ever be
-    // displaced — the torn-lock state of the rename protocol cannot
-    // arise here
-    entries(fs, lock).foreach { e =>
+    // delete exactly the gates THIS name owns: gates are write-once
+    // content-keyed files, so no other tx's lock can ever be displaced
+    entries(fs, lock).foreach { case (_, e) =>
       if (holderOf(fs, e).contains(name)) {
         try { fs.delete(e.getPath, false); () }
         catch { case _: java.io.IOException => () }

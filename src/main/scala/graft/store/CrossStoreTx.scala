@@ -510,7 +510,13 @@ object CrossStoreTx {
       if (fs.exists(dd)) fs.listStatus(dd).map(_.getPath.getName)
       else Array.empty
     }
-    val doneNames = doneListing.filter(_.endsWith(".done")).toSet
+    // legacy-root `.done` names from the PRE-migration listing are
+    // terminal too: a migration whose move failed transiently must not
+    // make the name look non-terminal — its zombie `.commit` would be
+    // FINALIZED over the winner (the live findDone checked both
+    // locations; the snapshot must as well)
+    val doneNames = doneListing.filter(_.endsWith(".done")).toSet ++
+      entries.map(_.getPath.getName).filter(_.endsWith(".done"))
     val horizonCache = scala.collection.mutable.Map.empty[String, Option[Long]]
     def snapHorizon(pfx: String): Option[Long] =
       horizonCache.getOrElseUpdate(pfx, {

@@ -267,7 +267,8 @@ class ObjectStoreSimSpec extends SparkSpec {
     val fs = cs.crossTxFs
     val lockDir = cs.crossTxLockPath.getParent
     fs.mkdirs(lockDir)
-    val entry = new Path(lockDir, s"${cs.crossTxLockPath.getName}.e-zzheld")
+    val entry = new Path(lockDir,
+      s"${cs.crossTxLockPath.getName}.g-00000000000000000001")
     val os = fs.create(entry, false)
     os.write("other-tx".getBytes("UTF-8")); os.close()
     val refusal = intercept[IllegalStateException](
@@ -283,7 +284,7 @@ class ObjectStoreSimSpec extends SparkSpec {
       Seq(CandleUpsert(cs, candleBatch), VersionedCommit(vs, vBatch)))
     assert(toks.length == 2 && cs.scan().count() == 1 && vs.scan().count() == 1)
     assert(!fs.listStatus(lockDir).exists(
-      _.getPath.getName.contains(".e-")), "lock entries leaked")
+      _.getPath.getName.contains(".g-")), "lock gates leaked")
     // zombie fence: a pending marker whose .done exists is aborted by
     // recover, never finalized (the done fence is backend-independent)
     val doneName = "clean"
@@ -296,6 +297,61 @@ class ObjectStoreSimSpec extends SparkSpec {
     assert(!fsC.exists(pendingAgain), "zombie marker not cleared")
     assert(vs.txLog().where($"tx_id" === 99L).count() == 0,
       "zombie marker was finalized instead of aborted")
+  }
+
+  test("conditional-put lock is mutually exclusive under CONCURRENT " +
+      "different-name acquirers: at most one wins each round, losers " +
+      "refuse loudly, release frees the gate, stale gates supersede") {
+    val cs = CandleStore(spark, simDir("sim-lockrace") + "/c")
+    val fs = cs.crossTxFs
+    val lock = cs.crossTxLockPath
+    val prim = graft.store.ConditionalPutPrimitives
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      for (round <- 0 until 6) {
+        val start = new java.util.concurrent.CyclicBarrier(8)
+        val tasks = (0 until 8).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Option[String]] {
+            def call(): Option[String] = {
+              start.await()
+              val nm = s"r$round-t$i"
+              try { prim.acquireLock(fs, lock, nm, 3600000L); Some(nm) }
+              catch { case _: IllegalStateException => None }
+            }
+          })
+        }
+        val winners = tasks.flatMap(
+          _.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        assert(winners.size == 1,
+          s"round $round: ${winners.size} concurrent different-name " +
+            s"acquirers all believe they hold the lock: $winners")
+        // the loser entries never linger as phantom holders: the ONLY
+        // live gate is the winner's
+        val held = fs.listStatus(lock.getParent)
+          .filter(_.getPath.getName.contains(".g-"))
+        assert(held.length == 1, s"round $round: ${held.length} live gates")
+        prim.releaseLock(fs, lock, winners.head)
+        assert(!fs.listStatus(lock.getParent)
+          .exists(_.getPath.getName.contains(".g-")),
+          s"round $round: release left gates behind")
+      }
+      // stale supersession: an aged-out holder's gate is replaced by ONE
+      // conditional put of the next generation
+      prim.acquireLock(fs, lock, "old", 3600000L)
+      val gate = fs.listStatus(lock.getParent)
+        .filter(_.getPath.getName.contains(".g-")).head.getPath
+      fs.setTimes(gate, System.currentTimeMillis() - 7200000L, -1)
+      prim.acquireLock(fs, lock, "new", 3600000L)
+      val gates = fs.listStatus(lock.getParent)
+        .filter(_.getPath.getName.contains(".g-"))
+      assert(gates.length == 1, s"stale gate not superseded: ${gates.length}")
+      val in = fs.open(gates.head.getPath)
+      val holder = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      assert(holder == "new")
+      prim.releaseLock(fs, lock, "new")
+    } finally pool.shutdown()
   }
 
   test("refusal matrix: undeclared object-store schemes stay refused; a " +
