@@ -29,8 +29,16 @@ class CondPutSimFs extends RawLocalFileSystem {
 
   override def rename(src: Path, dst: Path): Boolean =
     if (src.toUri.getPath.contains("_temporary") ||
-        dst.toUri.getPath.contains("_temporary"))
-      super.rename(src, dst) // Spark's own output committer only
+        dst.toUri.getPath.contains("_temporary") ||
+        src.getName.startsWith("."))
+      // Spark-owned subsystems only: the job committer's `_temporary`
+      // staging and the streaming CheckpointFileManager's hidden
+      // `.name.uuid.tmp` files. A real object store SERVES those
+      // renames (as copy+delete — Spark's checkpoint protocol
+      // tolerates non-atomic rename by design); what this shim must
+      // refuse is any rename from GRAFT's commit protocols, whose
+      // files are never dot-hidden and never under `_temporary`.
+      super.rename(src, dst)
     else throw new UnsupportedOperationException(
       s"object-store sim: atomic rename unavailable ($src -> $dst)")
 
@@ -353,6 +361,57 @@ class ObjectStoreSimSpec extends SparkSpec {
       prim.releaseLock(fs, lock, "new")
     } finally pool.shutdown()
   }
+
+  test("streaming cross-store ingest on the shim: one atomic two-store tx " +
+      "per micro-batch, exactly-once name replay, horizon GC bounds the " +
+      "coordinator, deep replay refused — all rename-free") {
+    val base = simDir("sim-xstream")
+    val coord = s"$base/coord"
+    val cs = CandleStore(spark, s"$base/c")
+    val vs = VersionedCandleStore(spark, s"$base/v")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Double)]
+    import org.apache.spark.sql.functions._
+    val rows = mem.toDF().toDF("code", "t", "o").select(
+      lit("UPBIT").as("market"), col("code"),
+      lit(60).as("candle_length"), col("t").cast("timestamp").as("ts"),
+      col("o").as("open"), (col("o") + 1).as("high"), (col("o") - 1).as("low"),
+      col("o").as("close"), lit(10.0).as("volume"), lit(0L).as("bit_fields"))
+    val q = graft.streaming.Ingest.crossStoreCommitWriter(rows, coord, "ing",
+      b => Seq(CandleUpsert(cs, b), VersionedCommit(vs, b)))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    (0 until 4).foreach { i =>
+      mem.addData((s"C$i", s"2022-01-0${i + 1} 10:00:00", i.toDouble))
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(cs.scan().count() == 4 && vs.scan().count() == 4)
+    assert(vs.txLog().where($"kind" === "commit").count() == 4)
+    // the per-batch horizon GC bounded the coordinator: at most the
+    // newest marker retired-live, everything earlier folded into the
+    // horizon file
+    val fsC = new Path(coord).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doneEntries = fsC.listStatus(new Path(coord, "_done"))
+      .map(_.getPath.getName).filter(_.endsWith(".done"))
+    assert(doneEntries.length <= 2, doneEntries.mkString(","))
+    // in-window replay of the newest batch: exactly-once by name
+    CrossStoreTx.execute(spark, coord, "ing-3",
+      Seq(CandleUpsert(cs, rows.sparkSession.emptyDataFrame),
+        VersionedCommit(vs, rows.sparkSession.emptyDataFrame)))
+    assert(cs.scan().count() == 4 && vs.scan().count() == 4)
+    assert(vs.txLog().where($"kind" === "commit").count() == 4)
+    // beyond-horizon replay refused loudly, never re-executed
+    val deep = intercept[IllegalStateException](
+      CrossStoreTx.execute(spark, coord, "ing-0",
+        Seq(CandleUpsert(cs, candleBatch), VersionedCommit(vs, vBatch))))
+    assert(deep.getMessage.contains("GC'd"), deep.getMessage)
+    assert(vs.txLog().where($"kind" === "commit").count() == 4,
+      "refused deep replay still committed")
+  }
+
+  private def candleBatch = Seq(c("BTC", "2022-02-01 10:00:00", 1)).toDF()
+  private def vBatch = Seq(c("ETH", "2022-02-01 10:00:00", 2)).toDF()
 
   test("refusal matrix: undeclared object-store schemes stay refused; a " +
       "declared conditional-put scheme passes the capability gate") {
