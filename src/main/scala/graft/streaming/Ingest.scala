@@ -1755,6 +1755,14 @@ object Ingest {
     * candidate vectors from `corpus` by id — the
     * [[graft.llm.Similarity.ivfPqTopK]] serving shape over
     * materialized state.
+    *
+    * The derived rerank width (`rerank ≤ 0`) is a FRACTION of the rows
+    * one query's probes scan; on a COARSE codebook (small m·log2(ks)
+    * bits/vector) under heavy duplicate skew, many candidates tie at
+    * the top ADC score and an exact twin can be evicted behind
+    * equal-scored near-twins — widen `m`/`ks` (finer codes
+    * discriminate) or pass an explicit `rerank` when exact-duplicate
+    * retrieval matters more than bytes/vector.
     */
   def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession,
                      stateDir: String, queries: DataFrame,

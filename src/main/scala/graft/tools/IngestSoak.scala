@@ -126,12 +126,21 @@ object IngestSoak {
     check("decontaminate still flags planted horizon contamination",
       lastQuarantine == perBatch / 20, s"$lastQuarantine flagged")
 
-    // --- near-dup marking ---
+    // --- near-dup marking (+ the round-15 RE-CLUSTER generation at
+    // every compaction boundary: CC + keep-best re-states the verdict
+    // history while the probe state keeps compacting) ---
     val ndDir = tmp("soak-neardup")
     drive("nearDup",
-      upTo => Ingest.compactNearDupState(spark, ndDir, upTo),
+      upTo => {
+        Ingest.reclusterNearDupFlags(spark, ndDir, upTo, shingleN = 3,
+          threshold = 0.5)
+        Ingest.compactNearDupState(spark, ndDir, upTo)
+      },
       i => Ingest.nearDupBatch(batchDf(i), i.toLong, ndDir, "doc_id",
         "text", shingleN = 3, k = 32, bands = 8, threshold = 0.5))
+    check("nearDup flags listing bounded under periodic re-cluster",
+      listing(ndDir, "flags") <= every + 2,
+      s"${listing(ndDir, "flags")} entries under flags/ (interval $every)")
     check("nearDup listing O(interval)",
       listing(ndDir, "bands") <= every + 2,
       s"${listing(ndDir, "bands")} entries under bands/ (interval $every)")
@@ -172,6 +181,59 @@ object IngestSoak {
         s"$edDir/flags/batch_${nBatches - 1}").count()
     check("embedDedup still flags planted horizon twins",
       lastEmbFlags == perBatch / 20, s"$lastEmbFlags flagged")
+
+    // --- streamed PQ index with periodic √N RE-SHARD (round 15): the
+    // coarse quantizer re-trains at nCells ≈ √N every `every` batches,
+    // re-encoding the accumulated membership from the source table —
+    // walls must stay flat (the re-shard runs at the boundary, outside
+    // the per-batch window, and is itself bounded by the membership),
+    // generations must stay bounded, and horizon twins must still rank
+    // first under the adopted generation's derived probing ---
+    val pqDir = tmp("soak-pqreshard")
+    val pqSrcDir = tmp("soak-pqsrc")
+    def sourceSoFar() = spark.read.parquet(pqSrcDir)
+    drive("pqReshard",
+      upTo => Ingest.reshardIvfPqIndex(spark, pqDir, sourceSoFar(),
+        "vec_id", "embedding", upTo, iters = 3),
+      i => {
+        val b = embBatch(i).localCheckpoint()
+        b.write.mode("append").parquet(pqSrcDir)
+        // m = dim subspaces: the finest residual codebook this vector
+        // width allows — coarse codes (m=4) tie so many ADC scores at
+        // this duplicate density that the derived rerank heap can evict
+        // true twins behind equal-scored near-twins
+        Ingest.ivfPqIndexBatch(b, i.toLong, pqDir, "vec_id", "embedding",
+          nCells = 8, iters = 3, m = 8, ks = 16)
+      })
+    check("pqReshard centroid generations bounded (one adopted)",
+      listing(pqDir, "centroids") == 1,
+      s"${listing(pqDir, "centroids")} entries under centroids/")
+    check("pqReshard codes listing O(interval)",
+      listing(pqDir, "codes") <= every + 2,
+      s"${listing(pqDir, "codes")} entries under codes/ (interval $every)")
+    val adoptedCells = {
+      val fsP = fsOf(pqDir)
+      val dirs = fsP.listStatus(new org.apache.hadoop.fs.Path(s"$pqDir/centroids"))
+      spark.read.parquet(dirs.head.getPath.toString).count()
+    }
+    // last boundary the drive loop hit: largest multiple of `every`
+    // strictly below nBatches (the hook fires before batch i for i>0)
+    val lastReshardN = (((nBatches - 1) / every) * every).toLong * perBatch
+    check("pqReshard adopted the √N cell count",
+      adoptedCells == graft.llm.Similarity.sqrtIvfParams(lastReshardN)._1,
+      s"$adoptedCells cells for membership $lastReshardN")
+    // horizon serving: batch-0 vectors with planted copies in every
+    // later batch must return an exact twin (cosine 1.0) on top
+    val qIds = (0 until perBatch by 20).take(10)
+    val queries = qIds
+      .map(j => (1000000L + j, vec(j.toLong))).toDF("vec_id", "embedding")
+    val served = Ingest.ivfPqIndexTopK(spark, pqDir, queries, sourceSoFar(),
+        "vec_id", "embedding", k = 3, nProbe = 0)
+      .where($"rank" === 1).select("query_id", "score")
+      .as[(Long, Double)].collect()
+    check("pqReshard horizon queries rank an exact twin first",
+      served.length == qIds.size && served.forall(_._2 >= 0.9999),
+      served.map(t => f"${t._1}:${t._2}%.4f").mkString(","))
 
     // --- no-compaction control: listing grows linearly ---
     val ctrlDir = tmp("soak-ctrl")
