@@ -22,12 +22,17 @@ import org.apache.spark.sql.SparkSession
   *    moves are copy-then-delete with the copy itself a conditional
   *    put (a crash between the two leaves src+dest, which every
   *    caller already treats as moved — the protocols' dest-exists
-  *    idempotence); the cross-tx lock becomes a UNIQUE-ENTRY protocol
-  *    (each acquirer conditionally puts its own `lock.e-<uuid>` entry
-  *    and the lexicographically-least live entry's holder wins) so
-  *    release/reclaim only ever delete a specific immutable file this
-  *    code previously read — the displaced-lock races the rename
-  *    tombstone dance guards against cannot exist by construction.
+  *    idempotence); the cross-tx lock becomes a GENERATION-GATED
+  *    protocol: the lock's state is the highest-generation write-once
+  *    gate file under the lock dir, and every ownership change —
+  *    fresh take or stale reclaim — is ONE conditional put of
+  *    generation `max+1`, so two racers collide on the same object
+  *    name and exactly one wins; supersession requires staleness (a
+  *    loser never out-generations a young gate), and release deletes
+  *    exactly the content-keyed gates the releasing name owns — a
+  *    different holder's gate can never be displaced, so the
+  *    torn-lock races the rename tombstone dance guards against
+  *    cannot arise (see [[ConditionalPutPrimitives.acquireLock]]).
   *
   * Selection is PER URI SCHEME via
   * `graft.store.conditionalPutSchemes` (comma-separated, e.g.
