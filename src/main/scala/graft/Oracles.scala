@@ -869,6 +869,16 @@ object Oracles {
          true AS resharded, true AS ncells_sqrt,
          true AS codes_identical, true AS recall_ok
          FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
+    // qA6: the q9M RAW-vector stream re-sharded mid-stream at
+    // nCells ≈ √N (the qA4 remedy on the raw family) — blind census +
+    // booleans: generation adopted (frozen training dir GC'd), cell
+    // count is the √N derivation, whole state re-assigns identically
+    // under the adopted quantizer, derived-probe recall over the floor.
+    "qA6_ivf_reshard_index" ->
+      """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries,
+         true AS resharded, true AS ncells_sqrt,
+         true AS state_identical, true AS recall_ok
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
     // q9L: per-source temperature rates (p_min/p_k)^(1-alpha), round-4,
     // unit-hash draw — the same arithmetic on both engines.
     "q9L_temperature_sample" ->

@@ -1824,6 +1824,63 @@ object Queries {
           (sum(col("n_hit")).cast("double") /
             (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
     }),
+    // Streamed RAW-vector IVF index RE-SHARD generation (round 16): the
+    // q9M stream re-sharded mid-stream at nCells ≈ √N — the qA4 remedy
+    // applied to the raw family, whose first-batch-frozen nCells=16 was
+    // the last > 0.6 100×-decade exponent. The row hash-matches the
+    // oracle ONLY if (a) the re-shard generation is ADOPTED (centroids
+    // + re-assigned cells compact_upto_2 complete, frozen batch_*
+    // training dir GC'd), (b) its cell count is the √N derivation over
+    // the re-sharded membership, (c) the WHOLE state — re-assigned
+    // batches [0,2) plus the incrementally-assigned batch 2 — matches
+    // the batch assignment under the adopted quantizer (one generation,
+    // no mixing), and (d) probe recall at the derived √-family width
+    // clears the q9M floor.
+    "qA6_ivf_reshard_index" -> ((s, d) => {
+      import s.implicits._
+      val state = reshardedIvfIndexState(s, d)
+      val emb = T.embeddings(s, d)
+      val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(state), s.sparkContext.hadoopConfiguration)
+      val centDirs =
+        graft.streaming.Ingest.ivfCentroidDirs(fs, state, Long.MaxValue)
+      val adopted =
+        centDirs.map(p => new org.apache.hadoop.fs.Path(p).getName) ==
+          Seq("compact_upto_2") &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$state/centroids/batch_0"))
+      val cents = s.read.parquet(centDirs: _*)
+        .select(col("cell_id"), col("centroid"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val nResharded = emb.where(col("vec_id") % 3 < 2).count()
+      val ncellsSqrt =
+        cents.length == Similarity.sqrtIvfParams(nResharded)._1
+      val streamed = graft.streaming.Ingest.ivfCellState(s, state)
+        .select(col("cell_id"), col("id")).localCheckpoint()
+      val batchAssigned = emb.select(
+        Similarity.ivfAssignUdf(cents)(col("embedding")).as("cell_id"),
+        col("vec_id").cast("long").as("id"))
+      val diff = streamed.exceptAll(batchAssigned)
+        .unionAll(batchAssigned.exceptAll(streamed)).count()
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      // nProbe = 0: the serving-side √-family derivation (2·√nCells)
+      val approx = graft.streaming.Ingest.ivfIndexTopK(s, state, queries,
+          "vec_id", "embedding", k = 10, nProbe = 0)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          lit(adopted).as("resharded"),
+          lit(ncellsSqrt).as("ncells_sqrt"),
+          lit(diff == 0L).as("state_identical"),
+          (sum(col("n_hit")).cast("double") /
+            (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
+    }),
     // Stateful embedding-dedup at ingest (round 9): SemDeDup's
     // same-cell cosine rule as a first-wins stream over the real
     // embeddings + planted exact twins. Property oracle: the row
@@ -2361,6 +2418,60 @@ object Queries {
     */
   private[graft] def pqProbeFixtures(s: SparkSession, d: String): (String, String) =
     (streamedIvfPqIndexState(s, d), reshardedIvfPqIndexState(s, d))
+
+  private val ivfReshardCache = fixtureCache[String]()
+
+  /** Streamed RAW-vector IVF index with a MID-STREAM √N RE-SHARD: the
+    * [[streamedIvfIndexState]] slicing with `reshardEvery = 2`, so
+    * before batch 2 the writer re-trains the coarse quantizer at
+    * `nCells ≈ √N` over the accumulated membership and re-assigns it
+    * ([[graft.streaming.Ingest.reshardIvfIndex]] — no source table
+    * needed: the raw state holds the vectors) — the qA4 scale remedy
+    * applied to the q9M family, whose first-batch-frozen nCells=16 was
+    * the last > 0.6 exponent at the 100× decade. Returns the state dir.
+    */
+  private def reshardedIvfIndexState(s: SparkSession, d: String): String =
+    ivfReshardCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qivfreshard").toString
+      val srcDir = s"$base/src"
+      val fs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val staging = s"$base/staging"
+      emb.withColumn("_slice", (col("vec_id") % 3).cast("int"))
+        .repartition(col("_slice"))
+        .write.partitionBy("_slice").parquet(staging)
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+        val part = fs.listStatus(sliceDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+          case Array(one) => one
+          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+        }
+        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val stateDir = s"$base/state"
+      val q = graft.streaming.Ingest.startIvfIndexIngest(
+        stream, stateDir, s"$base/ckpt", reshardEvery = 2)
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"re-sharded IVF indexing must see 3 micro-batches, saw $batches")
+      stateDir
+    })
+
+  /** The two streamed RAW-IVF fixture state dirs (frozen q9M,
+    * re-sharded qA6) — [[pqProbeFixtures]]'s sibling for the raw-vector
+    * family's serve-path ScaleProbe section.
+    */
+  private[graft] def ivfProbeFixtures(s: SparkSession, d: String): (String, String) =
+    (streamedIvfIndexState(s, d), reshardedIvfIndexState(s, d))
 
   private val ivfDriftCache = fixtureCache[String]()
 

@@ -1048,6 +1048,11 @@ object Ingest {
     * e.g. the q9E drift alarm, calling [[refreshIvfIndex]] between
     * batches) bounds that decay by periodic re-training; q9M's
     * stationary fixture is unaffected (refresh off by default).
+    * `refreshEvery` keeps the FROZEN cell count — the scale remedy is
+    * `reshardEvery`, which re-trains at `nCells ≈ √N` over the
+    * accumulated census ([[reshardIvfIndex]]) so per-probe cell scans
+    * stay Θ(√N) as the corpus grows (mutually exclusive with
+    * `refreshEvery`: same boundary, different cell-count policy).
     *
     * Scale posture: per batch the work is one scan of the BATCH (the
     * assignment projection); history is never re-read — except at a
@@ -1066,7 +1071,11 @@ object Ingest {
                            compactEvery: Int = 0,
                            refreshEvery: Int = 0,
                            refreshOnDriftFactor: Double = 0.0,
+                           reshardEvery: Int = 0,
                            targetCorpusSize: Long = 0): DataStreamWriter[Row] = {
+    require(reshardEvery <= 0 || refreshEvery <= 0,
+      "reshardEvery and refreshEvery are the same boundary with different " +
+        "cell counts (√N-derived vs frozen) — set one, not both")
     val cells0 =
       if (targetCorpusSize > 0)
         graft.llm.Similarity.sqrtIvfParams(targetCorpusSize)._1
@@ -1075,7 +1084,9 @@ object Ingest {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (refreshEvery > 0 && batchId > 0 && batchId % refreshEvery == 0)
+        if (reshardEvery > 0 && batchId > 0 && batchId % reshardEvery == 0)
+          reshardIvfIndex(batch.sparkSession, stateDir, batchId, iters)
+        else if (refreshEvery > 0 && batchId > 0 && batchId % refreshEvery == 0)
           refreshIvfIndex(batch.sparkSession, stateDir, batchId, cells0, iters)
         else if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactIvfIndexState(batch.sparkSession, stateDir, batchId)
@@ -1922,10 +1933,11 @@ object Ingest {
                           vecCol: String = "embedding",
                           nCells: Int = 16, iters: Int = 5,
                           refreshEvery: Int = 0,
+                          reshardEvery: Int = 0,
                           targetCorpusSize: Long = 0,
                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     ivfIndexIngestWriter(stream, stateDir, checkpointDir, idCol, vecCol,
-      nCells, iters, refreshEvery = refreshEvery,
+      nCells, iters, refreshEvery = refreshEvery, reshardEvery = reshardEvery,
       targetCorpusSize = targetCorpusSize).trigger(trigger).start()
 
   /** The centroid generation a reader at `batchId` must use: the
@@ -2027,6 +2039,41 @@ object Ingest {
           p.getName.stripPrefix("compact_upto_").toLongOption.exists(_ < upTo)))
       .foreach(p => fs.delete(p, true))
     ()
+  }
+
+  /** √N RE-SHARD of the streamed raw-vector IVF index — the
+    * [[reshardIvfPqIndex]] remedy for the RAW family: re-train the
+    * coarse quantizer at `nCells ≈ √N` over the membership accumulated
+    * in batches `[0, upTo)` and re-assign it, so per-probe cell scans
+    * stay Θ(√N) as the corpus grows instead of Θ(N / frozen-nCells)
+    * (the first-batch-frozen cell count measured LINEAR at the 100×
+    * decade for the PQ family — the raw family shares the layout and
+    * the failure mode).
+    *
+    * Unlike the PQ re-shard, no source table is needed: the state
+    * already holds raw vectors, so this is exactly [[refreshIvfIndex]]
+    * with the cell count derived from the accumulated census
+    * ([[graft.llm.Similarity.sqrtIvfParams]]) instead of frozen — the
+    * same two `_SUCCESS`-gated publications, the same
+    * [[ivfCentroidDirs]] adoption gate (a torn re-shard leaves readers
+    * on the old quantizer), the same plain-compaction collision guard,
+    * and the same idempotence on a foreachBatch retry. The census
+    * count is footer-metadata work (parquet count pushdown), not a
+    * data scan. Serving derives nProbe = 2·√nCells from the ADOPTED
+    * generation when the caller passes ≤ 0 ([[ivfIndexTopK]]).
+    */
+  def reshardIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      stateDir: String, upTo: Long,
+                      iters: Int = 5, nCells: Int = 0): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val cellDirs = historyDirs(fs, stateDir, "cells", upTo)
+    if (cellDirs.isEmpty) return
+    val cells =
+      if (nCells > 0) nCells
+      else graft.llm.Similarity.sqrtIvfParams(
+        readCellState(spark, cellDirs).count())._1
+    refreshIvfIndex(spark, stateDir, upTo, cells, iters)
   }
 
   // ------------- curation-state compaction (WAL-rotate analog) ------- //

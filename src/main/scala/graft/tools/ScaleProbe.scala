@@ -33,7 +33,8 @@ object ScaleProbe {
       "q52_minhash_pairs", "q69_dup_clusters", "q87_curation_pipeline",
       "q8D_dedup_keep_best", "q8M_leakfree_split", "q8O_curation_v2",
       "q9M_stream_ivf_index", "q9X_drift_refresh", "q9Y_embed_dedup",
-      "q9Z_pq_stream_index", "qA4_pq_reshard_index"))
+      "q9Z_pq_stream_index", "qA4_pq_reshard_index",
+      "qA6_ivf_reshard_index"))
     val spark = GraftSession.builder(appName = "graft-scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -113,6 +114,39 @@ object ScaleProbe {
       println(f"[scaleprobe] serve-path frozen(q9Z)   nCells=$cF%-5d " +
         f"${fS}%6.2f->${fB}%7.2f s (exp ${exp(fB, fS)}%5.2f)")
       println(f"[scaleprobe] serve-path reshard(qA4)  nCells=$cR%-5d " +
+        f"${rS}%6.2f->${rB}%7.2f s (exp ${exp(rB, rS)}%5.2f)")
+    }
+    // ---- RAW-IVF SERVE-PATH probe (frozen q9M vs re-sharded qA6) ---- //
+    // Same separation for the raw-vector family: q9M's headline above
+    // carries its property oracle's Θ(queries·N) brute force and a
+    // full-corpus assignment differential; this times ONLY ivfIndexTopK
+    // over the built fixture states with a FIXED 100-query set.
+    if (names.exists(n => n.startsWith("q9M") || n.startsWith("qA6"))) {
+      def serve(dir: String): (Double, Double, Long, Long) = {
+        val (frozen, reshard) = graft.Queries.ivfProbeFixtures(spark, dir)
+        val emb = graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding")).localCheckpoint()
+        // FIXED query set: same 100 ids at every scale
+        val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 2000)
+          .localCheckpoint()
+        def time(state: String, nProbe: Int): Double = {
+          val a = System.nanoTime()
+          graft.streaming.Ingest.ivfIndexTopK(spark, state, queries,
+              "vec_id", "embedding", k = 10, nProbe = nProbe)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - a) / 1e9
+        }
+        def cells(state: String): Long =
+          spark.read.parquet(s"$state/centroids/*").count()
+        (time(frozen, 4), time(reshard, 0), cells(frozen), cells(reshard))
+      }
+      serve(sfDir) // warm the code paths once
+      val (fS, rS, _, _) = serve(sfDir)
+      val (fB, rB, cF, cR) = serve(bigDir)
+      def exp(b: Double, s: Double) = math.log(b / s) / math.log(factor.toDouble)
+      println(f"[scaleprobe] serve-path frozen(q9M)   nCells=$cF%-5d " +
+        f"${fS}%6.2f->${fB}%7.2f s (exp ${exp(fB, fS)}%5.2f)")
+      println(f"[scaleprobe] serve-path reshard(qA6)  nCells=$cR%-5d " +
         f"${rS}%6.2f->${rB}%7.2f s (exp ${exp(rB, rS)}%5.2f)")
     }
     spark.stop()

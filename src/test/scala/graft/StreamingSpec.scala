@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, count, expr, lit}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.model.Candle
@@ -860,6 +860,78 @@ class StreamingSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(postCrash == preCrash,
       "torn refresh (centroids without re-assignment) changed reader answers")
+  }
+
+  test("raw-IVF √N re-shard: nCells derived from the accumulated census; " +
+      "whole state re-assigned under the adopted generation; retry " +
+      "idempotent; refresh/reshard boundary conflict refused") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Ingest
+    import graft.llm.Similarity
+    // 90 accumulated vectors at the boundary → √N derivation = 5 cells,
+    // distinct from the frozen nCells=4 (proves the census is consulted)
+    def vec(id: Long): Seq[Float] = {
+      val m = (id % 3).toInt
+      Seq.tabulate(4)(j => (if (j == m) 1f else 0f) +
+        (((id * 7 + j * 13) % 11) - 5) * 0.011f)
+    }
+    val rows = (0L until 120L).map(i => (i, vec(i)))
+    val batches = rows.grouped(30).toSeq
+    val state = tmpDir("ivf-reshard")
+    for ((b, i) <- batches.zipWithIndex) {
+      if (i == 3) Ingest.reshardIvfIndex(spark, state, 3L, iters = 4)
+      Ingest.ivfIndexBatch(b.toDF("vec_id", "embedding"), i.toLong,
+        state, "vec_id", "embedding", nCells = 4, iters = 4)
+    }
+    val expectedCells = Similarity.sqrtIvfParams(90L)._1
+    assert(expectedCells != 4, "fixture must distinguish derived from frozen")
+    val centNames = new java.io.File(s"$state/centroids")
+      .listFiles().map(_.getName).toSet
+    assert(centNames == Set("compact_upto_3"),
+      s"re-shard generation not adopted / frozen dir not GC'd: $centNames")
+    val cents = spark.read.parquet(s"$state/centroids/compact_upto_3")
+      .select(col("cell_id"), col("centroid"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    assert(cents.length == expectedCells,
+      s"nCells ${cents.length} != √N derivation $expectedCells")
+    // whole state — re-assigned [0,3) plus incrementally-assigned batch
+    // 3 — matches the batch assignment under the adopted quantizer
+    val all = rows.toDF("vec_id", "embedding")
+    val streamed = Ingest.ivfCellState(spark, state)
+      .select(col("cell_id"), col("id"))
+    val batchAssigned = all.select(
+      Similarity.ivfAssignUdf(cents)(col("embedding")).as("cell_id"),
+      col("vec_id").cast("long").as("id"))
+    assert(streamed.exceptAll(batchAssigned)
+      .unionAll(batchAssigned.exceptAll(streamed)).count() == 0L,
+      "re-sharded state diverges from batch assignment under the " +
+        "adopted quantizer")
+    // derived-probe serving answers against the adopted generation
+    val queries = rows.take(5).toDF("vec_id", "embedding")
+    val got = Ingest.ivfIndexTopK(spark, state, queries,
+        "vec_id", "embedding", k = 5, nProbe = 0)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n")).collect()
+    assert(got.length == 5 && got.forall(_.getLong(1) == 5L),
+      "derived-probe serving returned short top-k")
+    // retry of the boundary converges: re-shard no-ops, assignments same
+    val before = spark.read.parquet(s"$state/cells/batch_3")
+      .selectExpr("cast(cell_id as long)", "id").as[(Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    Ingest.reshardIvfIndex(spark, state, 3L, iters = 4)
+    Ingest.ivfIndexBatch(batches(3).toDF("vec_id", "embedding"), 3L,
+      state, "vec_id", "embedding", nCells = 4, iters = 4)
+    val after = spark.read.parquet(s"$state/cells/batch_3")
+      .selectExpr("cast(cell_id as long)", "id").as[(Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    assert(after == before, "re-shard boundary retry changed assignments")
+    // writer refuses the ambiguous double-boundary configuration
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.ivfIndexIngestWriter(
+        spark.readStream.schema(all.schema).parquet(tmpDir("ivf-none")),
+        tmpDir("ivf-conf"), tmpDir("ivf-ckpt"),
+        refreshEvery = 2, reshardEvery = 2)
+    }
+    assert(ex.getMessage.contains("reshardEvery"), ex.getMessage)
   }
 
   test("stateful embedding-dedup ingest: streamed first-wins flags == " +
