@@ -1143,6 +1143,23 @@ object Oracles {
            round(volume, 4) AS volume
          FROM a WHERE NOT EXISTS (
            SELECT 1 FROM b WHERE b.code = a.code AND b.ts = a.ts)""",
+    // qA5: conditioned MERGE DELETE + INSERT in one tx — end state =
+    // (A minus matched keys satisfying hour(ts)%2=0) ∪ (B's unmatched
+    // rows; matched-but-unsatisfied keys untouched, inserts gated only
+    // by NOT MATCHED).
+    "qA5_vstore_merge_delete_cond" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 0")}),
+         d AS (SELECT * FROM b WHERE hour(ts) % 2 = 0)
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume
+         FROM a WHERE NOT EXISTS (
+           SELECT 1 FROM d WHERE d.code = a.code AND d.ts = a.ts)
+         UNION ALL
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume
+         FROM b WHERE NOT EXISTS (
+           SELECT 1 FROM a WHERE a.code = b.code AND a.ts = b.ts)""",
     // qA2: the candle-catalog MERGE end state == q40's two-batch
     // last-wins upsert (batch B lands via two SQL half-merges instead
     // of the Scala upsert; same final table by construction).

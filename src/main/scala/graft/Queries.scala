@@ -828,6 +828,42 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
+  private val condDeleteCache = fixtureCache[String]()
+
+  /** Build (once per sfDir) a versioned store whose second statement is
+    * a CONDITIONED SQL `MERGE … WHEN MATCHED AND <cond> THEN DELETE`
+    * composed with `WHEN NOT MATCHED THEN INSERT *` (round 16, qA5):
+    * batch A (`%3<>0` hourly candles) commits normally, then the FULL
+    * `%3=0` batch arrives as the merge source — matched keys satisfying
+    * `hour(ts) % 2 = 0` are journaled as tombstones, matched keys
+    * failing it are untouched, and unmatched rows insert, ALL in one
+    * tx. End state = (A minus the satisfying matched keys) ∪ (B's
+    * unmatched rows) — the DuckDB mirror in [[Oracles]].
+    */
+  private def condDeleteStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
+    val path = condDeleteCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qmergecdel").toString
+      val p = s"$base/v"
+      val ev = T.events(s, d)
+      val st = graft.store.VersionedCandleStore(s, p)
+      st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      val cat = "gvc" + (ek(d).hashCode & 0x7fffffff)
+      setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
+      setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
+      eventCandles(ev.where(col("event_id") % 3 === 0))
+        .withColumn("year", year(col("ts")))
+        .createOrReplaceTempView("graft_merge_cdel_src")
+      s.sql(
+        s"""MERGE INTO $cat.v t USING graft_merge_cdel_src s
+           ON t.market = s.market AND t.code = s.code
+              AND t.candle_length = s.candle_length AND t.ts = s.ts
+           WHEN MATCHED AND hour(s.ts) % 2 = 0 THEN DELETE
+           WHEN NOT MATCHED THEN INSERT *""")
+      p
+    })
+    graft.store.VersionedCandleStore(s, path)
+  }
+
   private val candleMergeCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a PLAIN candle store whose second batch
@@ -1255,6 +1291,18 @@ object Queries {
     // (VersionedStoreSpec/VStoreMergeSpec gate as-of + change feed).
     "qA3_vstore_merge_delete" -> ((s, d) => {
       deleteStore(s, d).scan()
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // CONDITIONED MERGE DELETE composed with INSERT (round 16): one tx
+    // where matched keys satisfying `hour(ts) % 2 = 0` tombstone,
+    // matched keys failing it stay untouched, and unmatched source rows
+    // insert — the latest fold must equal (A minus the satisfying
+    // matched keys) ∪ (B's unmatched rows), the DuckDB mirror.
+    "qA5_vstore_merge_delete_cond" -> ((s, d) => {
+      condDeleteStore(s, d).scan()
         .select(col("code"), col("ts"),
           Portable.round(col("open"), 4).as("open"),
           Portable.round(col("close"), 4).as("close"),

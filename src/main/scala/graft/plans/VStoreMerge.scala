@@ -36,11 +36,16 @@ import graft.store.{CandleStore, VersionedCandleStore}
   *    EVERY table column from source-only expressions (`SET *` /
   *    `INSERT *` qualify) — partial assignments can't lower to a
   *    whole-row upsert and are refused;
-  *  - `WHEN MATCHED THEN DELETE` (unconditioned) on VSTORE targets
-  *    only: matched keys lower to journaled TOMBSTONE rows
-  *    ([[VersionedCandleStore.delete]]'s representation) in the same
-  *    single tx as any NOT MATCHED inserts — as-of reads before the
-  *    delete still see the rows, the change feed carries `_deleted`.
+  *  - `WHEN MATCHED [AND <cond>] THEN DELETE` on VSTORE targets only:
+  *    matched keys (satisfying the condition, when given) lower to
+  *    journaled TOMBSTONE rows ([[VersionedCandleStore.delete]]'s
+  *    representation) in the same single tx as any NOT MATCHED
+  *    inserts — as-of reads before the delete still see the rows, the
+  *    change feed carries `_deleted`. The condition must reference
+  *    SOURCE columns only (the keyed lowering never scans target
+  *    content — target references are refused loudly, not silently
+  *    mis-evaluated); matched keys failing it are untouched (ANSI's
+  *    matched-but-unsatisfied semantics under one matched clause).
   *    Candle targets keep refusing DELETE (the reference's surface is
   *    insert/upsert-only, `database/command/`);
   *  - no `WHEN NOT MATCHED BY SOURCE`, no schema evolution, no
@@ -118,7 +123,7 @@ private[plans] object MergeLowering extends PredicateHelper {
   def validate(m: MergeIntoTable, tableSchema: StructType,
                allowDelete: Boolean): (Seq[(String, Expression)],
       Option[Seq[(String, Expression)]], Option[Seq[(String, Expression)]],
-      Boolean) = {
+      Option[Option[Expression]]) = {
     if (m.notMatchedBySourceActions.nonEmpty)
       fail("WHEN NOT MATCHED BY SOURCE is not supported (a target-driven " +
         "clause needs a full target scan; the matched-key tombstone path " +
@@ -194,25 +199,33 @@ private[plans] object MergeLowering extends PredicateHelper {
       byName
     }
     val (upd, del) = m.matchedActions match {
-      case Seq() => (None, false)
+      case Seq() => (None, None)
       case Seq(UpdateAction(None, assigns, _)) =>
-        (Some(fullAssignments("UPDATE", assigns)), false)
-      case Seq(DeleteAction(None)) if allowDelete => (None, true)
+        (Some(fullAssignments("UPDATE", assigns)), None)
+      case Seq(DeleteAction(None)) if allowDelete => (None, Some(None))
       case Seq(DeleteAction(None)) =>
         fail("WHEN MATCHED DELETE is not supported on graft-candles " +
           "(the reference's surface is insert/upsert-only, " +
           "database/command/ has no delete) — only the VERSIONED store " +
           "supports journaled tombstone deletes")
-      case Seq(DeleteAction(Some(_))) if allowDelete =>
-        fail("conditioned WHEN MATCHED AND … THEN DELETE is not " +
-          "supported — the tombstone lowering deletes every matched key; " +
-          "move the condition into the source query")
+      case Seq(DeleteAction(Some(cond))) if allowDelete =>
+        // conditioned delete: the keyed lowering never scans target
+        // CONTENT (only the key set), so the condition must be decidable
+        // per SOURCE row — target-column references are refused, not
+        // silently mis-evaluated
+        if (!cond.references.subsetOf(sourceOut))
+          fail("WHEN MATCHED AND … THEN DELETE condition may reference " +
+            "source columns only (the keyed tombstone lowering never " +
+            "scans target content) — got target references in: " +
+            cond.sql + "; move them into the source query")
+        (None, Some(Some(cond)))
       case Seq(DeleteAction(Some(_))) =>
         fail("WHEN MATCHED … THEN DELETE is not supported on " +
           "graft-candles (the reference's surface is insert/upsert-only) " +
           "— only the VERSIONED store supports journaled tombstone deletes")
-      case _ => fail("one unconditioned WHEN MATCHED clause only " +
-        "(THEN UPDATE SET …, or THEN DELETE on a vstore target)")
+      case _ => fail("one WHEN MATCHED clause only " +
+        "(THEN UPDATE SET …, or THEN DELETE — optionally conditioned — " +
+        "on a vstore target)")
     }
     val ins = m.notMatchedActions match {
       case Seq() => None
@@ -220,7 +233,8 @@ private[plans] object MergeLowering extends PredicateHelper {
         Some(fullAssignments("INSERT", assigns))
       case _ => fail("one unconditioned WHEN NOT MATCHED THEN INSERT clause only")
     }
-    if (upd.isEmpty && ins.isEmpty && !del) fail("no UPDATE, DELETE or INSERT clause")
+    if (upd.isEmpty && ins.isEmpty && del.isEmpty)
+      fail("no UPDATE, DELETE or INSERT clause")
     (keyMap.toSeq.sortBy(_._1), upd, ins, del)
   }
 
@@ -234,7 +248,7 @@ private[plans] object MergeLowering extends PredicateHelper {
                  keyMap: Seq[(String, Expression)],
                  updAssigns: Option[Seq[(String, Expression)]],
                  insAssigns: Option[Seq[(String, Expression)]],
-                 del: Boolean = false)
+                 del: Option[Option[Expression]] = None)
                 (targetKeys: => DataFrame): DataFrame = {
     val src = ColumnBridge.ofRows(session, source)
     def project(assigns: Seq[(String, Expression)]): DataFrame = {
@@ -269,13 +283,17 @@ private[plans] object MergeLowering extends PredicateHelper {
           }
           kept.select(cols.toIndexedSeq: _*)
         }
-        // WHEN MATCHED THEN DELETE: the matched source keys become
-        // TOMBSTONE rows (zeroed content, `_deleted = true`) — committed
-        // in the SAME tx as any NOT MATCHED inserts, so MERGE stays one
-        // journaled transaction. Deduped: deleting a key twice is one
-        // tombstone.
-        def deleteHalf: DataFrame = {
-          val k = keyed
+        // WHEN MATCHED [AND cond] THEN DELETE: the matched source keys
+        // become TOMBSTONE rows (zeroed content, `_deleted = true`) —
+        // committed in the SAME tx as any NOT MATCHED inserts, so MERGE
+        // stays one journaled transaction. A condition (validated
+        // source-only) filters the source BEFORE the semi-join — matched
+        // keys failing it are untouched, exactly ANSI's
+        // matched-but-unsatisfied semantics under a single matched
+        // clause. Deduped: deleting a key twice is one tombstone.
+        def deleteHalf(cond: Option[Expression]): DataFrame = {
+          val k = cond.foldLeft(keyed)((df, c) =>
+            df.where(ColumnBridge.column(c)))
           val matched = k.join(tgtKeys, joinCond(k), "left_semi")
           val cols = tableSchema.fields.map { f =>
             keyMap.find(_._1 == f.name.toLowerCase) match {
@@ -289,9 +307,12 @@ private[plans] object MergeLowering extends PredicateHelper {
         }
         val upserts = updAssigns.map(half(_, "left_semi")).toSeq ++
           insAssigns.map(half(_, "left_anti")).toSeq
-        if (!del) upserts.reduce(_ unionByName _)
-        else (upserts.map(_.withColumn("_deleted", lit(false))) :+ deleteHalf)
-          .reduce(_ unionByName _)
+        del match {
+          case None => upserts.reduce(_ unionByName _)
+          case Some(cond) =>
+            (upserts.map(_.withColumn("_deleted", lit(false))) :+
+              deleteHalf(cond)).reduce(_ unionByName _)
+        }
     }
     strictCardinalityCheck(session, rows, keyMap.map(_._1))
     rows
@@ -334,7 +355,7 @@ case class VStoreMergeCommand(path: String, source: LogicalPlan,
                               keyMap: Seq[(String, Expression)],
                               updAssigns: Option[Seq[(String, Expression)]],
                               insAssigns: Option[Seq[(String, Expression)]],
-                              del: Boolean = false)
+                              del: Option[Option[Expression]] = None)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)

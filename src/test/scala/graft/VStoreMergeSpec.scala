@@ -275,9 +275,58 @@ class VStoreMergeSpec extends SparkSpec {
       .load(st.path).columns.contains("_deleted"))
   }
 
-  test("refusals are loud: candle DELETE, conditioned DELETE, partial SET, " +
-      "non-key ON, target-column values, time-travel target; INSERT " +
-      "OVERWRITE still refused") {
+  test("conditioned MERGE WHEN MATCHED AND <cond> THEN DELETE: only " +
+      "matched keys satisfying the source-decidable condition are " +
+      "tombstoned; matched-but-unsatisfied keys untouched; composes " +
+      "with NOT MATCHED INSERT in one tx; change feed exact") {
+    val st = VersionedCandleStore(spark, s"$base/m/cdel")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("BTC", "2022-01-01 10:01:00", 2),
+      c("ETH", "2021-06-01 00:00:00", 3)).toDF())
+    val on =
+      """ON t.market = s.market AND t.code = s.code
+         AND t.candle_length = s.candle_length AND t.ts = s.ts"""
+    // source matches BOTH BTC keys, but the condition admits only the
+    // open > 50 row; the unmatched SOL row must stay ignored under a
+    // DELETE-only merge even when it satisfies the condition
+    Seq(c("BTC", "2022-01-01 10:00:00", 10), // matched, cond FALSE -> kept
+      c("BTC", "2022-01-01 10:01:00", 99),   // matched, cond TRUE  -> delete
+      c("SOL", "2020-01-01 00:00:00", 77))   // unmatched           -> ignored
+      .toDF().withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_cdel")
+    spark.sql(s"MERGE INTO vm.m.cdel t USING src_cdel s $on " +
+      "WHEN MATCHED AND s.open > 50 THEN DELETE")
+    assert(opens(st.scan()) == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> 1.0,
+      ("ETH", ts("2021-06-01 00:00:00")) -> 3.0),
+      "conditioned delete must drop exactly the satisfying matched key")
+    // ONE tx; as-of before it intact
+    assert(st.txLog().where($"kind" === "commit").count() == 2)
+    assert(opens(st.scanAsOf(1L)).contains(("BTC", ts("2022-01-01 10:01:00"))))
+    // conditioned DELETE + INSERT in one statement: the condition gates
+    // only the tombstone half — unmatched rows insert regardless of it
+    Seq(c("ETH", "2021-06-01 00:00:00", 60), // matched, cond TRUE -> delete
+      c("SOL", "2020-01-01 00:00:00", 7))    // unmatched, cond FALSE -> insert
+      .toDF().withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_cdel2")
+    spark.sql(s"MERGE INTO vm.m.cdel t USING src_cdel2 s $on " +
+      "WHEN MATCHED AND s.open > 50 THEN DELETE " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(opens(st.scan()) == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> 1.0,
+      ("SOL", ts("2020-01-01 00:00:00")) -> 7.0),
+      "conditioned DELETE+INSERT: ETH tombstoned, SOL inserted")
+    assert(st.txLog().where($"kind" === "commit").count() == 3,
+      "conditioned DELETE+INSERT must be ONE journaled tx")
+    // feed: exactly the two satisfying keys flagged across both txs
+    val flagged = st.changesSince(1L).where($"_deleted")
+      .select("code").collect().map(_.getString(0)).toSeq.sorted
+    assert(flagged == Seq("BTC", "ETH"), flagged.toString)
+  }
+
+  test("refusals are loud: candle DELETE, target-referencing DELETE " +
+      "condition, partial SET, non-key ON, target-column values, " +
+      "time-travel target; INSERT OVERWRITE still refused") {
     val st = VersionedCandleStore(spark, s"$base/m/no")
     st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
     Seq(c("BTC", "2022-01-01 10:00:00", 2)).toDF()
@@ -299,16 +348,22 @@ class VStoreMergeSpec extends SparkSpec {
     refused(s"MERGE INTO cmno.plain_no t USING src_no s $on " +
       "WHEN MATCHED THEN DELETE",
       "not supported on graft-candles")
-    // conditioned DELETE refused on the vstore too
+    // conditioned DELETE is supported on the vstore — but only with a
+    // SOURCE-decidable condition: target references are refused loudly
+    // (the keyed lowering never scans target content)
     refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
+      "WHEN MATCHED AND t.open > 1 THEN DELETE",
+      "source columns only")
+    // candle targets refuse the conditioned form too
+    refused(s"MERGE INTO cmno.plain_no t USING src_no s $on " +
       "WHEN MATCHED AND s.open > 1 THEN DELETE",
-      "conditioned WHEN MATCHED")
+      "not supported on graft-candles")
     // UPDATE and DELETE together: two matched clauses, refused (the
     // first conditioned to get past Spark's own last-clause parse rule)
     refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
       "WHEN MATCHED AND s.open > 0 THEN UPDATE SET * " +
       "WHEN MATCHED THEN DELETE",
-      "one unconditioned WHEN MATCHED clause")
+      "one WHEN MATCHED clause")
     refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
       "WHEN MATCHED THEN UPDATE SET open = s.open",
       "every table column")
