@@ -455,8 +455,9 @@ object Ingest {
                             threshold: Double = 0.5): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
-    val (texts, verified, comp, winners) =
-      nearDupCcOverState(spark, stateDir, Long.MaxValue, shingleN, threshold)
+    val (texts, _, comp, winners) =
+      nearDupCcOverState(spark, stateDir, Long.MaxValue, shingleN, threshold,
+          withPairStats = false)
         .getOrElse(sys.error(s"no near-dup ingest state under $stateDir"))
     // flags/ read through the same floors-aware listing as bands/all:
     // compactNearDupState never compacts flags/ today, but if it ever
@@ -485,10 +486,20 @@ object Ingest {
     * [[reclusterNearDupState]] (the report) and
     * [[reclusterNearDupFlags]] (the adopted generation). Returns
     * (texts, verified pairs, components, winners); None when no state.
+    *
+    * `withPairStats` scopes the pair-stats extras to the ONE caller
+    * that needs them (the flags generation's `(n_pairs, max_jaccard)`
+    * columns): with it, `verified` carries `_j` and is eagerly
+    * `localCheckpoint`ed so the stats aggregation doesn't re-run the
+    * verify join. Without it (the reconcile REPORT — q9W — which never
+    * reads `verified`), the pairs stay LAZY and `_j`-free: the CC
+    * loop's own edge checkpoint is then the single materialization of
+    * the verify pipeline, the r13 plan shape.
     */
   private def nearDupCcOverState(spark: org.apache.spark.sql.SparkSession,
                                  stateDir: String, upTo: Long,
-                                 shingleN: Int, threshold: Double): Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = {
+                                 shingleN: Int, threshold: Double,
+                                 withPairStats: Boolean = true): Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = {
     import graft.llm.Dedup
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
@@ -510,13 +521,19 @@ object Ingest {
     val sh = texts.join(candIds, Seq("id"), "left_semi")
       .select(col("id"),
         Dedup.shinglesUdf(shingleN)(graft.llm.TextStats.tokens(col("text"))).as("sh"))
-    val verified = cand
+    val verifiedBase = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("_j", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .where(col("_j") >= threshold)
-      .select(col("id_a"), col("id_b"), col("_j"))
-      .localCheckpoint() // read by CC loop + winner join + pair stats
+    val verified =
+      if (withPairStats)
+        // read twice (CC edges + the pair-stats aggregation) — checkpoint
+        verifiedBase.select(col("id_a"), col("id_b"), col("_j"))
+          .localCheckpoint()
+      else
+        // read once, by CC — its own edge checkpoint materializes this
+        verifiedBase.select(col("id_a"), col("id_b"))
     val comp = Dedup.connectedComponents(
       verified.select(col("id_a"), col("id_b")), "id_a", "id_b")
     val winners = comp
