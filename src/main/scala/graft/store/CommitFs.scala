@@ -45,13 +45,15 @@ import org.apache.spark.sql.SparkSession
   * [[AtomicFs.requireAtomicCommits]].
   *
   * Cost note, stated honestly: `moveFile` on the conditional-put side
-  * STREAMS the bytes (the Hadoop FileSystem API has no server-side
-  * copy), which for the data-install paths is the same cost class as
-  * an object store's own "rename" (S3A rename = server COPY+DELETE);
-  * a vendor implementation would override it with a conditional
-  * server-side copy. All protocol decisions ride on small files —
-  * markers, intents, journal rows, locks — where a streamed put is a
-  * put.
+  * STREAMS the bytes by default (the Hadoop FileSystem API has no
+  * server-side copy), which for the data-install paths is the same
+  * cost class as an object store's own "rename" (S3A rename = server
+  * COPY+DELETE). A connector that CAN copy server-side plugs in
+  * through the [[ServerSideCopy]] seam — per-scheme, reflective, no
+  * dependency — and the streamed fallback (with its cost counter)
+  * covers everything else. All protocol decisions ride on small
+  * files — markers, intents, journal rows, locks — where a streamed
+  * put is a put.
   */
 private[graft] sealed trait CommitPrimitives {
   def name: String
@@ -213,16 +215,32 @@ private[graft] object ConditionalPutPrimitives extends CommitPrimitives {
   def moveFile(fs: FileSystem, src: Path, dest: Path): Boolean = {
     if (!fs.exists(src)) return fs.exists(dest)
     fs.mkdirs(dest.getParent)
-    try {
-      val in = fs.open(src)
+    // vendor seam first: a declared connector copies SERVER-SIDE (one
+    // metadata-priced call instead of bytes through this JVM); declined
+    // or unconfigured falls back to the streamed conditional put
+    val copied = ServerSideCopy.forFs(fs) match {
+      case Some(v) =>
+        try v.copy(fs, src, dest)
+        catch {
+          case _: FileAlreadyExistsException => true // moved by a peer
+          case _: java.io.FileNotFoundException =>
+            return fs.exists(dest) // src vanished: a peer moved it
+        }
+      case None => false
+    }
+    if (!copied) {
+      ServerSideCopy.streamedCopies.incrementAndGet()
       try {
-        val out = fs.create(dest, false)
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, true)
-      } finally { try in.close() catch { case _: Throwable => () } }
-    } catch {
-      case _: FileAlreadyExistsException => () // already moved by a peer
-      case _: java.io.FileNotFoundException =>
-        return fs.exists(dest) // src vanished mid-copy: a peer moved it
+        val in = fs.open(src)
+        try {
+          val out = fs.create(dest, false)
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, true)
+        } finally { try in.close() catch { case _: Throwable => () } }
+      } catch {
+        case _: FileAlreadyExistsException => () // already moved by a peer
+        case _: java.io.FileNotFoundException =>
+          return fs.exists(dest) // src vanished mid-copy: a peer moved it
+      }
     }
     try { fs.delete(src, false); () }
     catch { case _: java.io.IOException => () } // crash-equivalent: dest
@@ -337,4 +355,62 @@ private[graft] object CommitPrimitives {
     if (conditionalPutSchemes(spark).contains(scheme)) ConditionalPutPrimitives
     else RenamePrimitives
   }
+}
+
+/** Vendor seam for SERVER-SIDE copy on conditional-put schemes: the
+  * Hadoop `FileSystem` API has no copy primitive, so
+  * [[ConditionalPutPrimitives.moveFile]] streams bytes through this
+  * JVM by default — correct, but for multi-GB data installs a capable
+  * connector (S3 `CopyObject`, GCS `Objects.rewrite`, ABFS
+  * server-side copy) does the same work as ONE metadata-priced call.
+  * Implementations plug in per scheme through the HADOOP conf:
+  *
+  * {{{ graft.store.serverSideCopy.<scheme> = fully.qualified.ClassName }}}
+  *
+  * naming a zero-arg-constructible [[ServerSideCopy]]. The contract
+  * mirrors the streamed path it replaces:
+  *  - the copy must be CONDITIONAL (never overwrite an existing
+  *    `dest` — dest-exists is the moved-by-a-peer case and must
+  *    surface as [[FileAlreadyExistsException]] or a `true` return,
+  *    never a clobber);
+  *  - return `true` iff `dest` now exists with src's complete
+  *    content; return `false` to DECLINE (caller falls back to the
+  *    streamed copy — e.g. cross-bucket moves a connector can't
+  *    rewrite); throw on real IO failures;
+  *  - `src` is never deleted by the implementation (the caller owns
+  *    the delete half of the move and its crash semantics).
+  *
+  * [[ServerSideCopy.streamedCopies]] counts the fallback's uses — the
+  * cost-accounting hook the object-store shim specs assert against
+  * (one streamed copy per data install by default, zero once a vendor
+  * impl is declared).
+  */
+trait ServerSideCopy {
+  def copy(fs: FileSystem, src: Path, dest: Path): Boolean
+}
+
+object ServerSideCopy {
+  /** Hadoop-conf key prefix; append the URI scheme. */
+  val confPrefix = "graft.store.serverSideCopy."
+
+  private val cache =
+    scala.collection.concurrent.TrieMap[String, ServerSideCopy]()
+
+  private[store] def forFs(fs: FileSystem): Option[ServerSideCopy] = {
+    val scheme = Option(fs.getUri.getScheme)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("file")
+    Option(fs.getConf.get(confPrefix + scheme)).map { cls =>
+      cache.getOrElseUpdate(cls,
+        Class.forName(cls).getDeclaredConstructor().newInstance()
+          .asInstanceOf[ServerSideCopy])
+    }
+  }
+
+  /** Streamed-fallback counter (process-wide, monotonic) — cost
+    * accounting for specs and operators: a data install on a declared
+    * conditional-put scheme SHOULD cost zero of these once a vendor
+    * copy is configured.
+    */
+  private[graft] val streamedCopies =
+    new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -2018,7 +2018,8 @@ object Ingest {
     */
   def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       stateDir: String, upTo: Long,
-                      nCells: Int, iters: Int): Unit = {
+                      nCells: Int, iters: Int,
+                      trainSampleMod: Int = 1): Unit = {
     import graft.llm.Similarity
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -2037,7 +2038,8 @@ object Ingest {
         s"$stateDir/cells/compact_upto_$upTo/_SUCCESS"))) return
     if (!centDone) {
       val acc = readCellState(spark, cellDirs).select(col("id"), col("vec"))
-      val trained = Similarity.kmeansCentroids(acc, "id", "vec", nCells, iters)
+      val trained = Similarity.kmeansCentroids(acc, "id", "vec", nCells,
+        iters, trainSampleMod)
       trained.toSeq.toDF("cell_id", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(centTarget.toString)
     }
@@ -2078,6 +2080,14 @@ object Ingest {
     * count is footer-metadata work (parquet count pushdown), not a
     * data scan. Serving derives nProbe = 2·√nCells from the ADOPTED
     * generation when the caller passes ≤ 0 ([[ivfIndexTopK]]).
+    *
+    * Training is id-SAMPLED at ~256 vectors per cell (the
+    * [[reshardIvfPqIndex]] budget): full-membership Lloyd's at
+    * k ≈ √N costs O(N·√N·dim) PER ITERATION — superlinear in the
+    * corpus — while the sampled train is O(N·dim) with the recall
+    * band unchanged. The re-assignment still covers every vector
+    * (one O(N·√N·dim) pass, the inherent flat-quantizer assignment
+    * cost, amortized over `reshardEvery` batches).
     */
   def reshardIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       stateDir: String, upTo: Long,
@@ -2086,11 +2096,12 @@ object Ingest {
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     val cellDirs = historyDirs(fs, stateDir, "cells", upTo)
     if (cellDirs.isEmpty) return
+    val n = readCellState(spark, cellDirs).count()
     val cells =
       if (nCells > 0) nCells
-      else graft.llm.Similarity.sqrtIvfParams(
-        readCellState(spark, cellDirs).count())._1
-    refreshIvfIndex(spark, stateDir, upTo, cells, iters)
+      else graft.llm.Similarity.sqrtIvfParams(n)._1
+    val sampleMod = math.max(1L, n / (256L * cells)).toInt
+    refreshIvfIndex(spark, stateDir, upTo, cells, iters, sampleMod)
   }
 
   // ------------- curation-state compaction (WAL-rotate analog) ------- //

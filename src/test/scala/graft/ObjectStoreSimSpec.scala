@@ -431,4 +431,84 @@ class ObjectStoreSimSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       AtomicFs.requireAtomicCommits(spark, "gs://bucket/t", "test"))
   }
+
+  test("server-side copy vendor seam: data installs on the shim pay " +
+      "accounted STREAMED copies by default and ZERO once a vendor " +
+      "impl is declared for the scheme; end states identical") {
+    import graft.store.ServerSideCopy
+    // default: no vendor declared — installs stream, and the counter
+    // says so (the honesty hook the cost note cites)
+    val s0 = ServerSideCopy.streamedCopies.get()
+    val st1 = CandleStore(spark, simDir("ssc-default"))
+    st1.upsert(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2021-06-01 00:00:00", 3)).toDF())
+    val streamedDefault = ServerSideCopy.streamedCopies.get() - s0
+    assert(streamedDefault >= 1,
+      "default conditional-put installs must account streamed copies")
+    // declare the vendor: same upsert, zero streamed copies, vendor
+    // invoked instead, byte-identical end state
+    val key = ServerSideCopy.confPrefix + "condsim"
+    spark.sparkContext.hadoopConfiguration
+      .set(key, classOf[TestServerSideCopy].getName)
+    try {
+      val s1 = ServerSideCopy.streamedCopies.get()
+      val v0 = TestServerSideCopy.calls.get()
+      val st2 = CandleStore(spark, simDir("ssc-vendor"))
+      st2.upsert(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+        c("ETH", "2021-06-01 00:00:00", 3)).toDF())
+      assert(ServerSideCopy.streamedCopies.get() == s1,
+        "vendor declared: data installs must not stream bytes")
+      assert(TestServerSideCopy.calls.get() > v0,
+        "vendor declared: the vendor copy must have been invoked")
+      assert(snap(st2) == snap(st1),
+        "vendor-copied store diverges from the streamed one")
+      // a DECLINING vendor falls back to the accounted streamed copy
+      spark.sparkContext.hadoopConfiguration
+        .set(key, classOf[DecliningServerSideCopy].getName)
+      val s2 = ServerSideCopy.streamedCopies.get()
+      val st3 = CandleStore(spark, simDir("ssc-decline"))
+      st3.upsert(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+      assert(ServerSideCopy.streamedCopies.get() > s2,
+        "declined vendor copy must fall back to the streamed path")
+      assert(snap(st3).nonEmpty)
+    } finally spark.sparkContext.hadoopConfiguration.unset(key)
+  }
+}
+
+/** Test vendor copy: "server-side" via a local hard-link publish — the
+  * same conditional-at-close semantics the shim's own create gives, so
+  * dest-exists surfaces as FileAlreadyExistsException, never a clobber.
+  */
+class TestServerSideCopy extends graft.store.ServerSideCopy {
+  override def copy(fs: org.apache.hadoop.fs.FileSystem, src: Path,
+                    dest: Path): Boolean = {
+    TestServerSideCopy.calls.incrementAndGet()
+    val sf = new java.io.File(src.toUri.getPath)
+    val df = new java.io.File(dest.toUri.getPath)
+    val parent = df.getParentFile
+    if (parent != null) parent.mkdirs()
+    val tmp = java.io.File.createTempFile(".ssc-", ".tmp", parent)
+    java.nio.file.Files.copy(sf.toPath, tmp.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try java.nio.file.Files.createLink(df.toPath, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete()
+        throw new FileAlreadyExistsException(dest.toString)
+    }
+    tmp.delete()
+    true
+  }
+}
+
+object TestServerSideCopy {
+  val calls = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
+/** A vendor that always declines (e.g. a cross-bucket move its rewrite
+  * API can't serve) — the caller must fall back to streaming.
+  */
+class DecliningServerSideCopy extends graft.store.ServerSideCopy {
+  override def copy(fs: org.apache.hadoop.fs.FileSystem, src: Path,
+                    dest: Path): Boolean = false
 }
