@@ -846,7 +846,7 @@ object Oracles {
     "q9X_drift_refresh" ->
       """SELECT count(*)::BIGINT AS n_queries, true AS trigger_fired,
          true AS healed_quiet, true AS recall_ok
-         FROM embeddings WHERE vec_id % 20 = 0""",
+         FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 10000""",
     "q9M_stream_ivf_index" ->
       """SELECT count(DISTINCT vec_id)::BIGINT AS n_queries,
          true AS index_identical, true AS recall_ok

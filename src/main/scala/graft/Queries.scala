@@ -1971,7 +1971,13 @@ object Queries {
       val famA = driftFamily(emb, period = 4, idOffset = 0L)
       val famB = driftFamily(emb, period = 2, idOffset = 100000L)
       val union = famA.unionByName(famB)
-      val queries = famB.where(col("vec_id") % 20 === 0)
+      // query-set cap (the q9M/q9Z pattern): famB ids are original + the
+      // 100000 offset, so this is the first 10000 originals — WITHOUT it
+      // the property oracle's brute force is Θ(queries·N) with the query
+      // count itself growing in N: measured Θ(N²) at the 100× decade
+      // (warm exp 1.24), all oracle, none of it the operator
+      val queries = famB.where(col("vec_id") % 20 === 0 &&
+        col("vec_id") < 110000L)
       val qs = graft.streaming.Ingest.ivfQstats(s, state)
         .select(col("batch_id"), col("refreshed"))
         .as[(Long, Boolean)].collect().sortBy(_._1)
