@@ -847,7 +847,13 @@ object Queries {
       val ev = T.events(s, d)
       val st = graft.store.VersionedCandleStore(s, p)
       st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
-      val cat = "gvc" + (ek(d).hashCode & 0x7fffffff)
+      // prefix UNIQUE per fixture ("gvq"): q9I already registers
+      // "gvc" + d.hashCode, and CatalogManager caches the catalog
+      // INSTANCE (and its captured base) per NAME — a reused name would
+      // silently route this MERGE into q9I's store (found as a full-
+      // corpus-order-only qA5 mismatch: the merge no-op'd here and
+      // polluted the other store)
+      val cat = "gvq" + (ek(d).hashCode & 0x7fffffff)
       setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
       setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
       eventCandles(ev.where(col("event_id") % 3 === 0))
