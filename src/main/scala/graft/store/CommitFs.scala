@@ -222,7 +222,12 @@ private[graft] object ConditionalPutPrimitives extends CommitPrimitives {
       case Some(v) =>
         try v.copy(fs, src, dest)
         catch {
+          // BOTH dest-exists spellings: Hadoop's and java.nio's — a
+          // vendor impl publishing via Files.copy/createLink naturally
+          // throws the nio type, and the race it signals (a peer
+          // completed the move) is success for every caller
           case _: FileAlreadyExistsException => true // moved by a peer
+          case _: java.nio.file.FileAlreadyExistsException => true
           case _: java.io.FileNotFoundException =>
             return fs.exists(dest) // src vanished: a peer moved it
         }

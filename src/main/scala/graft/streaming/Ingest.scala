@@ -1090,9 +1090,11 @@ object Ingest {
                            refreshOnDriftFactor: Double = 0.0,
                            reshardEvery: Int = 0,
                            targetCorpusSize: Long = 0): DataStreamWriter[Row] = {
-    require(reshardEvery <= 0 || refreshEvery <= 0,
-      "reshardEvery and refreshEvery are the same boundary with different " +
-        "cell counts (√N-derived vs frozen) — set one, not both")
+    require(reshardEvery <= 0 || (refreshEvery <= 0 && refreshOnDriftFactor <= 0),
+      "reshardEvery and refreshEvery/refreshOnDriftFactor are the same " +
+        "re-train with different cell-count policies (√N-derived vs " +
+        "frozen) — a drift-fired refresh after a re-shard would supersede " +
+        "the √N generation back to the frozen width; set one policy only")
     val cells0 =
       if (targetCorpusSize > 0)
         graft.llm.Similarity.sqrtIvfParams(targetCorpusSize)._1

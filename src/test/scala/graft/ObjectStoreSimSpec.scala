@@ -462,6 +462,22 @@ class ObjectStoreSimSpec extends SparkSpec {
         "vendor declared: the vendor copy must have been invoked")
       assert(snap(st2) == snap(st1),
         "vendor-copied store diverges from the streamed one")
+      // moved-by-a-peer race through the vendor: dest already exists,
+      // the nio-based vendor throws java.nio's FileAlreadyExists RAW,
+      // and moveFile must read it as success (dest holds the data,
+      // src dropped)
+      val fs = new Path(simDir("ssc-race")).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val raceDir = new Path(simDir("ssc-race"))
+      val (rsrc, rdest) = (new Path(raceDir, "src"), new Path(raceDir, "dest"))
+      for ((p, bytes) <- Seq(rsrc -> "new", rdest -> "winner")) {
+        val os = fs.create(p, false)
+        try os.write(bytes.getBytes("UTF-8")) finally os.close()
+      }
+      assert(graft.store.ConditionalPutPrimitives.moveFile(fs, rsrc, rdest),
+        "dest-exists race through the vendor must read as moved")
+      assert(!fs.exists(rsrc) && fs.exists(rdest),
+        "race: src must be dropped, dest kept")
       // a DECLINING vendor falls back to the accounted streamed copy
       spark.sparkContext.hadoopConfiguration
         .set(key, classOf[DecliningServerSideCopy].getName)
@@ -476,8 +492,11 @@ class ObjectStoreSimSpec extends SparkSpec {
 }
 
 /** Test vendor copy: "server-side" via a local hard-link publish — the
-  * same conditional-at-close semantics the shim's own create gives, so
-  * dest-exists surfaces as FileAlreadyExistsException, never a clobber.
+  * same conditional-at-close semantics the shim's own create gives.
+  * Deliberately lets java.nio's FileAlreadyExistsException propagate
+  * RAW (not converted to Hadoop's type): the natural nio-based vendor
+  * impl throws exactly this on the moved-by-a-peer race, and the seam
+  * must treat it as success.
   */
 class TestServerSideCopy extends graft.store.ServerSideCopy {
   override def copy(fs: org.apache.hadoop.fs.FileSystem, src: Path,
@@ -491,12 +510,7 @@ class TestServerSideCopy extends graft.store.ServerSideCopy {
     java.nio.file.Files.copy(sf.toPath, tmp.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     try java.nio.file.Files.createLink(df.toPath, tmp.toPath)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        tmp.delete()
-        throw new FileAlreadyExistsException(dest.toString)
-    }
-    tmp.delete()
+    finally tmp.delete()
     true
   }
 }
