@@ -74,9 +74,17 @@ object IngestSoak {
     def tmp(prefix: String) =
       java.nio.file.Files.createTempDirectory(prefix).toString + "/state"
 
-    /** Drive `run(batchId)` for every batch, return per-batch seconds. */
+    /** Drive `run(batchId)` for every batch, return per-batch seconds.
+      * `ratioBound` is the late/early wall gate: 2.0 (flat) for the
+      * frozen-quantizer streams; a √N-re-sharded stream's per-batch
+      * assignment and cell-dir fan-out grow with nCells ≈ √N BY DESIGN
+      * (sublinear — the alternative is the frozen cell count whose
+      * PROBES go linear), so its gate is 1.5 × the √-growth between
+      * the two windows' corpus midpoints: √N-paced passes, linear
+      * (ratio ≈ N_late/N_early) fails.
+      */
     def drive(label: String, compact: Long => Unit,
-              run: Int => Unit): Array[Double] = {
+              run: Int => Unit, sqrtPaced: Boolean = false): Array[Double] = {
       val times = new Array[Double](nBatches)
       var i = 0
       while (i < nBatches) {
@@ -94,8 +102,13 @@ object IngestSoak {
       println(f"[ingsoak] $label%-14s early=${early}%.3f s/batch " +
         f"late=${late}%.3f s/batch ratio=${late / early}%.2f " +
         f"total=${times.sum}%.1f s")
-      check(s"$label per-batch wall stays flat over $nBatches batches",
-        late / early < 2.0, f"ratio=${late / early}%.2f")
+      val sqrtGrowth =
+        math.sqrt((nBatches - w / 2.0) / (10 + w / 2.0))
+      val (bound, kind) =
+        if (sqrtPaced) (1.5 * sqrtGrowth, f"<= √N-paced (${1.5 * sqrtGrowth}%.2f)")
+        else (2.0, "flat (2.00)")
+      check(s"$label per-batch wall stays $kind over $nBatches batches",
+        late / early < bound, f"ratio=${late / early}%.2f")
       times
     }
 
@@ -234,6 +247,40 @@ object IngestSoak {
     check("pqReshard horizon queries rank an exact twin first",
       served.length == qIds.size && served.forall(_._2 >= 0.9999),
       served.map(t => f"${t._1}:${t._2}%.4f").mkString(","))
+
+    // --- streamed RAW-vector IVF index with periodic √N RE-SHARD
+    // (round 16): the qA6 path — no source table needed (state holds
+    // vectors); the re-shard re-trains at nCells ≈ √N over the
+    // accumulated census with ~256/cell sampled training and
+    // re-assigns in place. Walls flat, one adopted generation, √N cell
+    // count, horizon twins first under derived probing ---
+    val rawDir = tmp("soak-ivfreshard")
+    drive("ivfReshard",
+      upTo => Ingest.reshardIvfIndex(spark, rawDir, upTo, iters = 3),
+      i => Ingest.ivfIndexBatch(embBatch(i), i.toLong, rawDir, "vec_id",
+        "embedding", nCells = 8, iters = 3),
+      sqrtPaced = true)
+    check("ivfReshard centroid generations bounded (one adopted)",
+      listing(rawDir, "centroids") == 1,
+      s"${listing(rawDir, "centroids")} entries under centroids/")
+    check("ivfReshard cells listing O(interval)",
+      listing(rawDir, "cells") <= every + 2,
+      s"${listing(rawDir, "cells")} entries under cells/ (interval $every)")
+    val rawAdopted = {
+      val fsR = fsOf(rawDir)
+      val dirs = fsR.listStatus(new org.apache.hadoop.fs.Path(s"$rawDir/centroids"))
+      spark.read.parquet(dirs.head.getPath.toString).count()
+    }
+    check("ivfReshard adopted the √N cell count",
+      rawAdopted == graft.llm.Similarity.sqrtIvfParams(lastReshardN)._1,
+      s"$rawAdopted cells for membership $lastReshardN")
+    val rawServed = Ingest.ivfIndexTopK(spark, rawDir, queries,
+        "vec_id", "embedding", k = 3, nProbe = 0)
+      .where($"rank" === 1).select("query_id", "score")
+      .as[(Long, Double)].collect()
+    check("ivfReshard horizon queries rank an exact twin first",
+      rawServed.length == qIds.size && rawServed.forall(_._2 >= 0.9999),
+      rawServed.map(t => f"${t._1}:${t._2}%.4f").mkString(","))
 
     // --- no-compaction control: listing grows linearly ---
     val ctrlDir = tmp("soak-ctrl")
