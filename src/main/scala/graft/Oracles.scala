@@ -1160,6 +1160,34 @@ object Oracles {
            round(volume, 4) AS volume
          FROM b WHERE NOT EXISTS (
            SELECT 1 FROM a WHERE a.code = b.code AND a.ts = b.ts)""",
+    // qA7: sync-to-source MERGE — matched keys take B's row, unmatched
+    // B rows insert, A's source-absent keys survive only when they
+    // fail the retention condition hour(ts)%2=1.
+    "qA7_vstore_merge_sync" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 0")})
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume
+         FROM b
+         UNION ALL
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume
+         FROM a WHERE NOT EXISTS (
+           SELECT 1 FROM b WHERE b.code = a.code AND b.ts = a.ts)
+           AND hour(ts) % 2 = 0""",
+    // qA8: the incrementally-refreshed view == a full GROUP BY over the
+    // end state (A then B last-wins, minus the hour%3=1 tombstoned
+    // keys) — per (code, day): count, rounded sum(volume), max(close).
+    "qA8_incremental_view" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 0")}),
+         u AS (SELECT *, 0 AS src FROM a UNION ALL SELECT *, 1 AS src FROM b),
+         r AS (SELECT *, row_number() OVER (PARTITION BY code, ts
+           ORDER BY src DESC) AS rn FROM u),
+         live AS (SELECT * FROM r WHERE rn = 1 AND hour(ts) % 3 <> 1)
+         SELECT code, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+           round(sum(volume), 4) AS vol, round(max(close), 4) AS max_close
+         FROM live GROUP BY 1, 2""",
     // qA2: the candle-catalog MERGE end state == q40's two-batch
     // last-wins upsert (batch B lands via two SQL half-merges instead
     // of the Scala upsert; same final table by construction).

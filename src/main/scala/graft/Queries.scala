@@ -870,6 +870,88 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
+  private val syncStoreCache = fixtureCache[String]()
+
+  /** Build (once per sfDir) a versioned store whose second statement is
+    * the classic SYNC-TARGET-TO-SOURCE MERGE (round 16, qA7): batch A
+    * (`%3<>0` hourly candles) commits normally, then the `%3=0` batch
+    * arrives as the full merge source with all THREE arms — matched
+    * keys update (`SET *`), unmatched source rows insert, and target
+    * keys ABSENT from the source tombstone when they satisfy the
+    * fold-key-only retention condition `hour(ts) % 2 = 1` — in ONE
+    * journaled tx. End state = B ∪ (A's source-absent keys surviving
+    * the condition) — the DuckDB mirror in [[Oracles]]. Exercises the
+    * `SET * / INSERT *` fast path COMPOSED with the by-source anti-join
+    * tombstone half (no target content scan either way).
+    */
+  private def syncStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
+    val path = syncStoreCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qmergesync").toString
+      val p = s"$base/v"
+      val ev = T.events(s, d)
+      val st = graft.store.VersionedCandleStore(s, p)
+      st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      // prefix UNIQUE per fixture ("gvs") — CatalogManager caches the
+      // catalog INSTANCE per name (see condDeleteStore's collision note)
+      val cat = "gvs" + (ek(d).hashCode & 0x7fffffff)
+      setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
+      setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
+      eventCandles(ev.where(col("event_id") % 3 === 0))
+        .withColumn("year", year(col("ts")))
+        .createOrReplaceTempView("graft_merge_sync_src")
+      s.sql(
+        s"""MERGE INTO $cat.v t USING graft_merge_sync_src s
+           ON t.market = s.market AND t.code = s.code
+              AND t.candle_length = s.candle_length AND t.ts = s.ts
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE AND hour(t.ts) % 2 = 1 THEN DELETE""")
+      p
+    })
+    graft.store.VersionedCandleStore(s, path)
+  }
+
+  private val incViewCache = fixtureCache[(String, String)]()
+
+  private def mkIncView(s: SparkSession, st: graft.store.VersionedCandleStore,
+                        vp: String): graft.store.IncrementalView =
+    new graft.store.IncrementalView(s, vp, st,
+      Seq("code" -> col("code"), "day" -> to_date(col("ts"))),
+      Seq(count(lit(1)).as("n"),
+        Portable.round(sum(col("volume")), 4).as("vol"),
+        Portable.round(max(col("close")), 4).as("max_close")))
+
+  /** Build (once per sfDir) a versioned store plus an INCREMENTALLY
+    * maintained aggregate view over it (round 16, qA8): batch A
+    * (`%3<>0` hourly candles) commits and the view refreshes (full
+    * build); then batch B (`%3=0`) upserts and every key with
+    * `hour(ts) % 3 = 1` is tombstone-deleted, and the view refreshes
+    * AGAIN — this second refresh is the graded path: it re-aggregates
+    * only the groups the change feed touched (broadcast semi-join +
+    * key-column isin pushdown into the base scan), carries untouched
+    * groups forward from the previous generation, and drops groups
+    * whose every row died. The refreshed view must equal a full
+    * `GROUP BY code, day` recompute of the end state — the DuckDB
+    * mirror in [[Oracles]].
+    */
+  private def incViewStore(s: SparkSession, d: String): graft.store.IncrementalView = {
+    val (sp, vp) = incViewCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qincview").toString
+      val spath = s"$base/v"
+      val vpath = s"$base/view"
+      val ev = T.events(s, d)
+      val st = graft.store.VersionedCandleStore(s, spath)
+      st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      mkIncView(s, st, vpath).refresh()
+      st.commit(eventCandles(ev.where(col("event_id") % 3 === 0)))
+      st.delete(eventCandles(ev).where(hour(col("ts")) % 3 === 1)
+        .select("market", "code", "candle_length", "ts"))
+      mkIncView(s, st, vpath).refresh()
+      (spath, vpath)
+    })
+    mkIncView(s, graft.store.VersionedCandleStore(s, sp), vp)
+  }
+
   private val candleMergeCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a PLAIN candle store whose second batch
@@ -1313,6 +1395,28 @@ object Queries {
           Portable.round(col("open"), 4).as("open"),
           Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // SYNC MERGE (round 16): all three arms in one tx — matched keys
+    // take B's row (SET *), unmatched B rows insert, and A's keys
+    // absent from B tombstone when `hour(ts) % 2 = 1`. The latest fold
+    // must equal B ∪ (A's source-absent keys surviving the retention
+    // condition) — the DuckDB mirror.
+    "qA7_vstore_merge_sync" -> ((s, d) => {
+      syncStore(s, d).scan()
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // INCREMENTAL MATERIALIZED VIEW (round 16): after upserts + deletes
+    // land, refresh() re-aggregates ONLY the touched (code, day) groups
+    // off the change feed; the view must equal a full GROUP BY of the
+    // latest fold — the DuckDB mirror recomputes it from scratch.
+    "qA8_incremental_view" -> ((s, d) => {
+      incViewStore(s, d).read()
+        .select(col("code"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("vol"), col("max_close"))
     }),
     // SQL MERGE INTO the PLAIN candle store (round 13): the second
     // upsert batch lands through the MERGE lowering on the candle

@@ -48,8 +48,19 @@ import graft.store.{CandleStore, VersionedCandleStore}
   *    matched-but-unsatisfied semantics under one matched clause).
   *    Candle targets keep refusing DELETE (the reference's surface is
   *    insert/upsert-only, `database/command/`);
-  *  - no `WHEN NOT MATCHED BY SOURCE`, no schema evolution, no
-  *    time-travel/change-feed target (read-only lens).
+  *  - `WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE` on VSTORE
+  *    targets only: target keys ABSENT from the source lower to
+  *    journaled tombstones in the same tx — the classic
+  *    sync-target-to-source MERGE. The lowering anti-joins the store's
+  *    latest KEY SET (the split's own scan) against the source keys, so
+  *    no target content is read; a condition may therefore reference
+  *    the FOLD-KEY columns only (market, code, candle_length, ts —
+  *    e.g. a `t.ts < retention_cutoff` retention gate). Content-column
+  *    conditions and `… BY SOURCE THEN UPDATE` (whose assignments read
+  *    target content) are refused loudly. Candle targets keep refusing
+  *    (no delete in the reference's surface);
+  *  - no schema evolution, no time-travel/change-feed target
+  *    (read-only lens).
   *
   * CARDINALITY DIVERGENCE (documented, optionally strict): ANSI MERGE
   * raises an error when several source rows hit one target row; the
@@ -75,12 +86,12 @@ case class ResolveGraftMerge(session: SparkSession) extends Rule[LogicalPlan]
           t.changesSinceOpt.nonEmpty)
         fail("target is a VERSION AS OF / TIMESTAMP AS OF / change-feed " +
           "lens — read-only; merge into the latest table")
-      val (keyMap, upd, ins, del) =
+      val (keyMap, upd, ins, del, bySrcDel) =
         MergeLowering.validate(m, t.schema(), allowDelete = true)
-      VStoreMergeCommand(t.path, m.sourceTable, keyMap, upd, ins, del)
+      VStoreMergeCommand(t.path, m.sourceTable, keyMap, upd, ins, del, bySrcDel)
     case m: MergeIntoTable if m.resolved && candleOf(m.targetTable).isDefined =>
       val t = candleOf(m.targetTable).get
-      val (keyMap, upd, ins, _) =
+      val (keyMap, upd, ins, _, _) =
         MergeLowering.validate(m, t.schema(), allowDelete = false)
       CandleMergeCommand(t.path, m.sourceTable, keyMap, upd, ins)
   }
@@ -123,11 +134,7 @@ private[plans] object MergeLowering extends PredicateHelper {
   def validate(m: MergeIntoTable, tableSchema: StructType,
                allowDelete: Boolean): (Seq[(String, Expression)],
       Option[Seq[(String, Expression)]], Option[Seq[(String, Expression)]],
-      Option[Option[Expression]]) = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported (a target-driven " +
-        "clause needs a full target scan; the matched-key tombstone path " +
-        "is WHEN MATCHED THEN DELETE)")
+      Option[Option[Expression]], Option[Option[Expression]]) = {
     if (m.withSchemaEvolution) fail("schema evolution is not supported")
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
@@ -233,9 +240,47 @@ private[plans] object MergeLowering extends PredicateHelper {
         Some(fullAssignments("INSERT", assigns))
       case _ => fail("one unconditioned WHEN NOT MATCHED THEN INSERT clause only")
     }
-    if (upd.isEmpty && ins.isEmpty && del.isEmpty)
+    // WHEN NOT MATCHED BY SOURCE: the one target-driven arm the keyed
+    // lowering CAN serve is DELETE — the split already scans the latest
+    // key set, and target-minus-source-keys is one anti-join on it. A
+    // condition is decidable iff it reads only the key columns that
+    // scan carries; anything touching content (or a BY SOURCE UPDATE,
+    // whose assignments read content) is refused, never mis-evaluated.
+    val bySrcDel: Option[Option[Expression]] = m.notMatchedBySourceActions match {
+      case Seq() => None
+      case Seq(DeleteAction(cond)) if allowDelete =>
+        cond.foreach { c =>
+          if (!c.references.subsetOf(targetOut))
+            fail("WHEN NOT MATCHED BY SOURCE AND … THEN DELETE condition " +
+              "may reference target columns only (the source row is " +
+              "absent by definition); got: " + c.sql)
+          val nonKey = c.references.map(_.name.toLowerCase).toSeq.distinct
+            .filterNot(expectedKeys)
+          if (nonKey.nonEmpty)
+            fail("WHEN NOT MATCHED BY SOURCE AND … THEN DELETE condition " +
+              s"may reference fold-key columns only (${expectedKeys.toSeq.sorted
+                .mkString(", ")}) — the keyed lowering scans the target's " +
+              "key set, never its content; got content columns: " +
+              nonKey.sorted.mkString(", "))
+        }
+        Some(cond)
+      case Seq(_: DeleteAction) =>
+        fail("WHEN NOT MATCHED BY SOURCE … THEN DELETE is not supported " +
+          "on graft-candles (the reference's surface is insert/upsert-" +
+          "only, database/command/ has no delete) — only the VERSIONED " +
+          "store supports journaled tombstone deletes")
+      case Seq(_: UpdateAction) =>
+        fail("WHEN NOT MATCHED BY SOURCE THEN UPDATE is not supported — " +
+          "its assignments read target content the keyed lowering never " +
+          "scans; express content rewrites as a matched merge whose " +
+          "source query computes the new rows")
+      case _ => fail("one WHEN NOT MATCHED BY SOURCE clause only (THEN " +
+        "DELETE — optionally conditioned on fold-key columns — on a " +
+        "vstore target)")
+    }
+    if (upd.isEmpty && ins.isEmpty && del.isEmpty && bySrcDel.isEmpty)
       fail("no UPDATE, DELETE or INSERT clause")
-    (keyMap.toSeq.sortBy(_._1), upd, ins, del)
+    (keyMap.toSeq.sortBy(_._1), upd, ins, del, bySrcDel)
   }
 
   /** Shared run body: project the source per clause, split
@@ -248,7 +293,8 @@ private[plans] object MergeLowering extends PredicateHelper {
                  keyMap: Seq[(String, Expression)],
                  updAssigns: Option[Seq[(String, Expression)]],
                  insAssigns: Option[Seq[(String, Expression)]],
-                 del: Option[Option[Expression]] = None)
+                 del: Option[Option[Expression]] = None,
+                 bySourceDel: Option[Option[Expression]] = None)
                 (targetKeys: => DataFrame): DataFrame = {
     val src = ColumnBridge.ofRows(session, source)
     def project(assigns: Seq[(String, Expression)]): DataFrame = {
@@ -263,57 +309,83 @@ private[plans] object MergeLowering extends PredicateHelper {
     def keyed = keyMap.foldLeft(src) { case (df, (n, e)) =>
       df.withColumn(s"_mk_$n", ColumnBridge.column(e))
     }
-    val rows = (updAssigns, insAssigns) match {
+    // lazy: the SET * / INSERT * fast path with no delete arm never
+    // scans the target at all
+    lazy val tgtKeys = targetKeys
+    def joinCond(k: DataFrame) = keyMap.map { case (n, _) =>
+      k(s"_mk_$n") === tgtKeys(n)
+    }.reduce(_ && _)
+    def half(assigns: Seq[(String, Expression)], joinType: String) = {
+      val k = keyed
+      val kept = k.join(tgtKeys, joinCond(k), joinType)
+        .drop(keyMap.map(t => s"_mk_${t._1}"): _*)
+      val cols = tableSchema.fields.map { f =>
+        val e = assigns.find(_._1 == f.name.toLowerCase).get._2
+        ColumnBridge.column(e).cast(f.dataType).as(f.name)
+      }
+      kept.select(cols.toIndexedSeq: _*)
+    }
+    def tombstoneCols(of: DataFrame, keyCol: String => org.apache.spark.sql.Column) =
+      tableSchema.fields.map { f =>
+        keyMap.find(_._1 == f.name.toLowerCase) match {
+          case Some((n, _)) => keyCol(n).cast(f.dataType).as(f.name)
+          case None => lit(0).cast(f.dataType).as(f.name)
+        }
+      }
+    // WHEN MATCHED [AND cond] THEN DELETE: the matched source keys
+    // become TOMBSTONE rows (zeroed content, `_deleted = true`) —
+    // committed in the SAME tx as any NOT MATCHED inserts, so MERGE
+    // stays one journaled transaction. A condition (validated
+    // source-only) filters the source BEFORE the semi-join — matched
+    // keys failing it are untouched, exactly ANSI's
+    // matched-but-unsatisfied semantics under a single matched
+    // clause. Deduped: deleting a key twice is one tombstone.
+    def deleteHalf(cond: Option[Expression]): DataFrame = {
+      val k = cond.foldLeft(keyed)((df, c) =>
+        df.where(ColumnBridge.column(c)))
+      val matched = k.join(tgtKeys, joinCond(k), "left_semi")
+      matched.select(tombstoneCols(matched,
+        n => matched(s"_mk_$n")).toIndexedSeq: _*).distinct()
+        .withColumn("_deleted", lit(true))
+    }
+    // WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE: target keys
+    // ABSENT from the source tombstone — ONE anti-join of the latest
+    // key set (already scanned for the split) against the distinct
+    // source keys; no target content is read. The condition (validated
+    // fold-key-only) filters the surviving keys — its resolved target
+    // attributes re-bind by NAME against the key-set frame. Deduped:
+    // the raw key scan may carry a key once per batch.
+    def bySourceDeleteHalf(cond: Option[Expression]): DataFrame = {
+      val k = keyed
+      val srcKeys = k.select(keyMap.map { case (n, _) =>
+        k(s"_mk_$n").as(n)
+      }.toIndexedSeq: _*)
+      val absent = tgtKeys.join(srcKeys, keyMap.map(_._1), "left_anti")
+      val kept = cond.foldLeft(absent) { (df, c) =>
+        df.where(ColumnBridge.column(c.transform {
+          case a: AttributeReference =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              .quoted(a.name)
+        }))
+      }
+      kept.select(tombstoneCols(kept, n => kept(n)).toIndexedSeq: _*)
+        .distinct().withColumn("_deleted", lit(true))
+    }
+    val upserts: Seq[DataFrame] = (updAssigns, insAssigns) match {
       case (Some(u), Some(i)) if canon(u) == canon(i) =>
         // SET * / INSERT *: matched ∪ unmatched = all source rows — no
-        // target scan, exactly the Scala commit()/upsert() plan
-        project(u)
+        // target split, exactly the Scala commit()/upsert() plan
+        Seq(project(u))
       case _ =>
-        val tgtKeys = targetKeys
-        def joinCond(k: DataFrame) = keyMap.map { case (n, _) =>
-          k(s"_mk_$n") === tgtKeys(n)
-        }.reduce(_ && _)
-        def half(assigns: Seq[(String, Expression)], joinType: String) = {
-          val k = keyed
-          val kept = k.join(tgtKeys, joinCond(k), joinType)
-            .drop(keyMap.map(t => s"_mk_${t._1}"): _*)
-          val cols = tableSchema.fields.map { f =>
-            val e = assigns.find(_._1 == f.name.toLowerCase).get._2
-            ColumnBridge.column(e).cast(f.dataType).as(f.name)
-          }
-          kept.select(cols.toIndexedSeq: _*)
-        }
-        // WHEN MATCHED [AND cond] THEN DELETE: the matched source keys
-        // become TOMBSTONE rows (zeroed content, `_deleted = true`) —
-        // committed in the SAME tx as any NOT MATCHED inserts, so MERGE
-        // stays one journaled transaction. A condition (validated
-        // source-only) filters the source BEFORE the semi-join — matched
-        // keys failing it are untouched, exactly ANSI's
-        // matched-but-unsatisfied semantics under a single matched
-        // clause. Deduped: deleting a key twice is one tombstone.
-        def deleteHalf(cond: Option[Expression]): DataFrame = {
-          val k = cond.foldLeft(keyed)((df, c) =>
-            df.where(ColumnBridge.column(c)))
-          val matched = k.join(tgtKeys, joinCond(k), "left_semi")
-          val cols = tableSchema.fields.map { f =>
-            keyMap.find(_._1 == f.name.toLowerCase) match {
-              case Some((n, _)) =>
-                matched(s"_mk_$n").cast(f.dataType).as(f.name)
-              case None => lit(0).cast(f.dataType).as(f.name)
-            }
-          }
-          matched.select(cols.toIndexedSeq: _*).distinct()
-            .withColumn("_deleted", lit(true))
-        }
-        val upserts = updAssigns.map(half(_, "left_semi")).toSeq ++
+        updAssigns.map(half(_, "left_semi")).toSeq ++
           insAssigns.map(half(_, "left_anti")).toSeq
-        del match {
-          case None => upserts.reduce(_ unionByName _)
-          case Some(cond) =>
-            (upserts.map(_.withColumn("_deleted", lit(false))) :+
-              deleteHalf(cond)).reduce(_ unionByName _)
-        }
     }
+    val tombstones: Seq[DataFrame] =
+      del.map(deleteHalf).toSeq ++ bySourceDel.map(bySourceDeleteHalf).toSeq
+    val rows =
+      if (tombstones.isEmpty) upserts.reduce(_ unionByName _)
+      else (upserts.map(_.withColumn("_deleted", lit(false))) ++ tombstones)
+        .reduce(_ unionByName _)
     strictCardinalityCheck(session, rows, keyMap.map(_._1))
     rows
   }
@@ -355,7 +427,8 @@ case class VStoreMergeCommand(path: String, source: LogicalPlan,
                               keyMap: Seq[(String, Expression)],
                               updAssigns: Option[Seq[(String, Expression)]],
                               insAssigns: Option[Seq[(String, Expression)]],
-                              del: Option[Option[Expression]] = None)
+                              del: Option[Option[Expression]] = None,
+                              bySourceDel: Option[Option[Expression]] = None)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -364,7 +437,7 @@ case class VStoreMergeCommand(path: String, source: LogicalPlan,
     val store = VersionedCandleStore(session, path)
     val keyNames = keyMap.map(_._1)
     val rows = MergeLowering.mergedRows(session, source, store.tableSchema,
-      keyMap, updAssigns, insAssigns, del)(
+      keyMap, updAssigns, insAssigns, del, bySourceDel)(
       store.keyRowsAsOf(Long.MaxValue).select(keyNames.map(col): _*))
     store.commit(rows)
     Seq.empty

@@ -1,0 +1,205 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Incrementally-maintained aggregate view over a [[VersionedCandleStore]]
+  * — the materialized-view pattern the store's change feed exists to
+  * serve (reference: mora delegates ALL aggregation to callers,
+  * `database/` has no query surface; this is the Spark-side caller).
+  *
+  * The view is `SELECT <groups>, <aggs> FROM store GROUP BY <groups>`,
+  * kept equal to a full recompute WITHOUT re-reading the whole base
+  * table on refresh:
+  *
+  *  1. the refresh pins one committed snapshot (`head` from a single
+  *     journal read) and asks [[VersionedCandleStore.changesSince]] for
+  *     the rows committed after the view's watermark;
+  *  2. the DISTINCT group keys of those rows are the only groups whose
+  *     aggregates can have changed — because group expressions are
+  *     validated to reference FOLD-KEY columns only (market, code,
+  *     candle_length, ts, year). An update replaces content at the
+  *     same key (same group); a tombstone carries its key (same
+  *     group). A content-derived group could not be recovered from a
+  *     tombstone's zeroed content, so it is refused at construction,
+  *     never silently stale;
+  *  3. exactly those groups are re-aggregated from the pinned
+  *     `scanAsOf(head)` — semi-joined on the BROADCAST touched set,
+  *     with an `isin` pushdown on plain key-column groups (bounded by
+  *     `graft.view.pushdownMaxGroups`, default 1000) so the base scan
+  *     partition-prunes instead of folding the whole store;
+  *  4. the new view = (old view ANTI-JOIN touched) ∪ recomputed —
+  *     groups whose every row was deleted vanish (the anti-join drops
+  *     them, the recompute yields nothing).
+  *
+  * Work per refresh is therefore O(changed groups' rows), not O(base
+  * table): at 100 TB the base fold never re-runs for a quiet day's
+  * trickle. The one fallback is a [[VersionedCandleStore.compact]]
+  * squash floor that passed the view's watermark — per-tx history
+  * below the floor no longer exists, so the refresh recomputes in
+  * full (loudly derivable from the returned watermark jump, and the
+  * same cost a cold build pays).
+  *
+  * Storage is a generation directory per refresh
+  * (`<path>/gen_<headTx>`, `_SUCCESS`-gated like every other
+  * generation in this engine): adoption is the highest successful
+  * generation, a torn write is invisible, a retry overwrites it, and
+  * older generations are GC'd after the new one lands. The view is
+  * aggregate-sized (groups, not rows), so a full rewrite per refresh
+  * is the cheap side of the trade — the INCREMENTAL part is what is
+  * read from the 100 TB base, not what is written to the view.
+  */
+final class IncrementalView(
+    spark: SparkSession,
+    val path: String,
+    store: VersionedCandleStore,
+    groupBy: Seq[(String, Column)],
+    aggs: Seq[Column]) {
+
+  require(groupBy.nonEmpty, "at least one group expression")
+  require(aggs.nonEmpty, "at least one aggregate")
+
+  private val groupNames = groupBy.map(_._1)
+
+  /** Key-derived columns a group expression may reference: the fold
+    * key plus the ts-derived partition year — all present (un-zeroed)
+    * on tombstone rows, so the touched-group derivation in step 2
+    * holds under deletes too.
+    */
+  private val keyDerivedCols =
+    (graft.model.Candle.keyCols ++ Seq("ts", "year")).toSet
+
+  /** Group columns that are EXACTLY a key column reference — eligible
+    * for the isin scan pushdown (step 3).
+    */
+  private val plainKeyGroups: Map[String, String] = {
+    // alias the expressions DIRECTLY (no withColumn indirection) so the
+    // top projection's references are the base scan's columns
+    val probe = store.scan()
+      .select(groupBy.map { case (n, c) => c.as(n) }.toIndexedSeq: _*)
+    val proj = probe.queryExecution.analyzed.collectFirst {
+      case p: Project => p
+    }.getOrElse(fail("group expressions did not analyze to a projection"))
+    proj.projectList.zip(groupNames).flatMap { case (ne, n) =>
+      val refs = ne.references.map(_.name.toLowerCase).toSet
+      val bad = refs -- keyDerivedCols
+      if (bad.nonEmpty)
+        fail(s"group expression '$n' references content columns " +
+          s"${bad.toSeq.sorted.mkString(", ")} — a tombstone's content is " +
+          "zeroed, so a content-derived group cannot be maintained " +
+          "incrementally (group on key columns: " +
+          s"${keyDerivedCols.toSeq.sorted.mkString(", ")})")
+      ne match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+          a.child match {
+            case ar: AttributeReference => Some(n -> ar.name.toLowerCase)
+            case _ => None
+          }
+        case ar: AttributeReference => Some(n -> ar.name.toLowerCase)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_0035",
+      messageParameters = Map("message" -> s"IncrementalView($path): $msg"))
+
+  private def withGroups(base: DataFrame): DataFrame =
+    groupBy.foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+
+  /** Aggregate a frame that ALREADY carries the group columns. */
+  private def aggregated(base: DataFrame): DataFrame =
+    base.groupBy(groupNames.map(col).toIndexedSeq: _*)
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+
+  private def fs = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (watermark, generation dir) of the adopted view state: the
+    * highest `gen_<tx>` with `_SUCCESS` — torn refresh writes are
+    * invisible by construction.
+    */
+  private def adoptedGen(): Option[(Long, Path)] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen_"))
+      .flatMap { s =>
+        val tx = s.getPath.getName.stripPrefix("gen_")
+        if (tx.forall(_.isDigit) && tx.nonEmpty &&
+            fs.exists(new Path(s.getPath, "_SUCCESS")))
+          Some(tx.toLong -> s.getPath)
+        else None
+      }
+      .sortBy(_._1).lastOption
+  }
+
+  /** The view's current contents. Refuses before the first refresh. */
+  def read(): DataFrame = adoptedGen() match {
+    case Some((_, dir)) => spark.read.parquet(dir.toString)
+    case None => fail("no refreshed generation yet — call refresh() first")
+  }
+
+  /** The watermark the view reflects (0 before the first refresh). */
+  def watermark(): Long = adoptedGen().map(_._1).getOrElse(0L)
+
+  /** Bring the view up to the store's committed head; returns the new
+    * watermark. No-ops when nothing committed since the last refresh.
+    */
+  def refresh(): Long = {
+    // ONE journal read pins the snapshot: head, and the squash floor
+    // that decides whether the change window still exists
+    val (floor, recents) = store.journalCommitted()
+    val head = if (recents.nonEmpty) recents.max else floor
+    if (head == 0L) return watermark() // nothing committed yet
+    val current = adoptedGen()
+    if (current.exists(_._1 >= head)) return current.get._1
+
+    val next: DataFrame = current match {
+      case Some((last, dir)) if last >= floor =>
+        // changesSince is EXCLUSIVE below: rows of txs in (last, head]
+        val touched = withGroups(store.changesSince(last, head))
+          .select(groupNames.map(col).toIndexedSeq: _*).distinct()
+        val maxPush = spark.conf.getOption("graft.view.pushdownMaxGroups")
+          .map(_.toInt).getOrElse(1000)
+        // bounded driver collect: cap + 1 rows at most, never O(groups)
+        val sample = touched.limit(maxPush + 1).collect()
+        val base0 = store.scanAsOf(head)
+        // isin pushdown on plain key-column groups: the semi-join alone
+        // cannot prune the base scan's partitions; an IN-list on
+        // market/code/candle_length can
+        val base =
+          if (sample.length > maxPush) base0
+          else plainKeyGroups.foldLeft(base0) { case (df, (g, keyCol)) =>
+            val idx = groupNames.indexOf(g)
+            val vals = sample.map(_.get(idx)).distinct.toSeq
+            df.where(col(keyCol).isin(vals: _*))
+          }
+        val recomputed = aggregated(withGroups(base)
+          .join(broadcast(touched), groupNames.toIndexedSeq, "left_semi"))
+        spark.read.parquet(dir.toString)
+          .join(broadcast(touched), groupNames.toIndexedSeq, "left_anti")
+          .unionByName(recomputed)
+      case _ =>
+        // first build, or the compact floor passed the watermark (the
+        // per-tx window below it no longer exists): full recompute of
+        // the pinned snapshot
+        aggregated(withGroups(store.scanAsOf(head)))
+    }
+    val genDir = new Path(path, s"gen_$head")
+    next.write.mode("overwrite").parquet(genDir.toString)
+    // GC superseded generations only AFTER the new one is adopted
+    val keep = genDir.getName
+    fs.listStatus(new Path(path)).foreach { s =>
+      if (s.isDirectory && s.getPath.getName.startsWith("gen_") &&
+          s.getPath.getName != keep)
+        fs.delete(s.getPath, true)
+    }
+    head
+  }
+}

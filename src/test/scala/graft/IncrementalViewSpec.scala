@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Candle
+import graft.store.{IncrementalView, VersionedCandleStore}
+
+/** Incrementally-maintained aggregate views over the versioned store
+  * (graft.store.IncrementalView): after EVERY refresh the view must
+  * equal a full recompute of `GROUP BY` over the latest fold — across
+  * updates, inserts, tombstone deletes, group disappearance, compaction
+  * floors, and torn generations.
+  */
+class IncrementalViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c(code: String, t: String, o: Double, vol: Double = 10.0): Candle =
+    Candle("UPBIT", code, 60, ts(t), o, o + 1, o - 1, o + 0.5, vol, 0L)
+
+  private def view(st: VersionedCandleStore, path: String): IncrementalView =
+    new IncrementalView(spark, path, st,
+      Seq("code" -> col("code"), "day" -> to_date(col("ts"))),
+      Seq(count(lit(1)).as("n"), round(sum(col("volume")), 4).as("vol"),
+        round(max(col("close")), 4).as("max_close")))
+
+  private def full(st: VersionedCandleStore): DataFrame =
+    st.scan().select(col("code"), to_date(col("ts")).as("day"),
+        col("volume"), col("close"))
+      .groupBy("code", "day")
+      .agg(count(lit(1)).as("n"), round(sum(col("volume")), 4).as("vol"),
+        round(max(col("close")), 4).as("max_close"))
+
+  private def rows(df: DataFrame): Set[String] =
+    df.select("code", "day", "n", "vol", "max_close").collect()
+      .map(_.mkString("|")).toSet
+
+  test("refresh equals a full recompute across commits; no-op refresh " +
+      "keeps the watermark; read() refuses before the first refresh") {
+    val st = VersionedCandleStore(spark, tmpDir("iv") + "/v")
+    val v = view(st, tmpDir("iv-view"))
+    val e = intercept[AnalysisException](v.read())
+    assert(e.getMessage.contains("refresh() first"))
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("BTC", "2022-01-01 11:00:00", 2, vol = 5),
+      c("ETH", "2022-01-02 09:00:00", 3)).toDF())
+    assert(v.refresh() == 1L)
+    assert(rows(v.read()) == rows(full(st)))
+    // incremental: an update (same key), an insert (new day), a new code
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 9, vol = 100), // update
+      c("BTC", "2022-01-03 10:00:00", 4),                        // new group
+      c("SOL", "2022-01-01 10:00:00", 5)).toDF())                // new code
+    assert(v.refresh() == 2L)
+    assert(rows(v.read()) == rows(full(st)))
+    // untouched group (ETH) must still be present and exact
+    assert(v.read().where($"code" === "ETH").count() == 1)
+    // no-op refresh: nothing new committed
+    assert(v.refresh() == 2L && v.watermark() == 2L)
+  }
+
+  test("tombstone deletes maintain the view: shrunk aggregates (incl. " +
+      "non-additive max) and VANISHED groups both exact") {
+    val st = VersionedCandleStore(spark, tmpDir("ivd") + "/v")
+    val v = view(st, tmpDir("ivd-view"))
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1, vol = 7),
+      c("BTC", "2022-01-01 11:00:00", 50, vol = 3), // max_close donor
+      c("ETH", "2022-01-02 09:00:00", 3)).toDF())
+    v.refresh()
+    assert(rows(v.read()) == rows(full(st)))
+    // delete the max-donor row: BTC group must shrink AND its max must
+    // DROP (a purely additive maintainer would get this wrong); delete
+    // ETH's only row: the group must vanish
+    st.delete(Seq(("UPBIT", "BTC", 60, ts("2022-01-01 11:00:00")),
+      ("UPBIT", "ETH", 60, ts("2022-01-02 09:00:00")))
+      .toDF("market", "code", "candle_length", "ts"))
+    v.refresh()
+    assert(rows(v.read()) == rows(full(st)))
+    val btc = v.read().where($"code" === "BTC").head()
+    assert(btc.getAs[Long]("n") == 1L &&
+      btc.getAs[Double]("max_close") == 1.5)
+    assert(v.read().where($"code" === "ETH").count() == 0,
+      "a fully-deleted group must vanish from the view")
+  }
+
+  test("a compact() floor past the watermark falls back to a full " +
+      "recompute (the per-tx window no longer exists) and stays exact") {
+    val st = VersionedCandleStore(spark, tmpDir("ivc") + "/v")
+    val v = view(st, tmpDir("ivc-view"))
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    v.refresh()
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2),
+      c("ETH", "2022-01-02 09:00:00", 3)).toDF())
+    st.commit(Seq(c("SOL", "2022-01-03 09:00:00", 4)).toDF())
+    st.compact() // floor = 3 > watermark 1
+    assert(v.refresh() == 3L)
+    assert(rows(v.read()) == rows(full(st)))
+  }
+
+  test("generations are _SUCCESS-gated: a torn higher generation is " +
+      "invisible and a refresh supersedes it; older gens are GC'd") {
+    val st = VersionedCandleStore(spark, tmpDir("ivg") + "/v")
+    val viewDir = tmpDir("ivg-view")
+    val v = view(st, viewDir)
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    v.refresh()
+    // plant a TORN (no _SUCCESS) generation above the adopted one
+    val torn = java.nio.file.Paths.get(viewDir, "gen_99")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.write(torn.resolve("part-torn.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(v.watermark() == 1L, "a torn generation must not be adopted")
+    assert(rows(v.read()) == rows(full(st)))
+    st.commit(Seq(c("ETH", "2022-01-02 09:00:00", 2)).toDF())
+    assert(v.refresh() == 2L)
+    assert(rows(v.read()) == rows(full(st)))
+    // exactly one generation dir survives (GC removed gen_1 and gen_99)
+    val gens = java.nio.file.Files.list(java.nio.file.Paths.get(viewDir))
+      .toArray.map(_.toString).filter(_.contains("gen_"))
+    assert(gens.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+      Set("gen_2"), gens.mkString(", "))
+  }
+
+  test("content-derived group expressions are refused at construction " +
+      "(a tombstone's zeroed content cannot recover its old group)") {
+    val st = VersionedCandleStore(spark, tmpDir("ivr") + "/v")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    val e = intercept[AnalysisException] {
+      new IncrementalView(spark, tmpDir("ivr-view"), st,
+        Seq("bucket" -> (col("close") > 1).cast("int")),
+        Seq(count(lit(1)).as("n")))
+    }
+    assert(e.getMessage.contains("content columns"), e.getMessage)
+  }
+}

@@ -324,6 +324,68 @@ class VStoreMergeSpec extends SparkSpec {
     assert(flagged == Seq("BTC", "ETH"), flagged.toString)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE: the sync-to-source " +
+      "merge — absent target keys tombstoned in the SAME tx as updates " +
+      "and inserts; end state == source; history + feed exact") {
+    val st = VersionedCandleStore(spark, s"$base/m/sync")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1), // absent from src -> delete
+      c("BTC", "2022-01-01 11:00:00", 2),             // absent from src -> delete
+      c("ETH", "2021-06-01 00:00:00", 3)).toDF())     // matched -> update
+    val on =
+      """ON t.market = s.market AND t.code = s.code
+         AND t.candle_length = s.candle_length AND t.ts = s.ts"""
+    Seq(c("ETH", "2021-06-01 00:00:00", 30), // matched   -> SET *
+      c("SOL", "2020-01-01 00:00:00", 7))    // unmatched -> INSERT *
+      .toDF().withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_sync")
+    spark.sql(s"MERGE INTO vm.m.sync t USING src_sync s $on " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(opens(st.scan()) == Map(
+      ("ETH", ts("2021-06-01 00:00:00")) -> 30.0,
+      ("SOL", ts("2020-01-01 00:00:00")) -> 7.0),
+      "full sync merge must leave the target equal to the source")
+    // ONE journaled tx for all three arms; pre-sync history intact
+    assert(st.txLog().where($"kind" === "commit").count() == 2)
+    assert(opens(st.scanAsOf(1L)) == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> 1.0,
+      ("BTC", ts("2022-01-01 11:00:00")) -> 2.0,
+      ("ETH", ts("2021-06-01 00:00:00")) -> 3.0))
+    // feed: exactly the two absent keys flagged, the upserts not
+    val feed = st.changesSince(1L)
+      .select("code", "ts", "_deleted").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getBoolean(2)).toMap
+    assert(feed(("BTC", ts("2022-01-01 10:00:00"))) &&
+      feed(("BTC", ts("2022-01-01 11:00:00"))))
+    assert(!feed(("ETH", ts("2021-06-01 00:00:00"))) &&
+      !feed(("SOL", ts("2020-01-01 00:00:00"))))
+  }
+
+  test("conditioned WHEN NOT MATCHED BY SOURCE AND <fold-key cond> THEN " +
+      "DELETE: a retention gate over the key set — absent keys failing " +
+      "the condition survive; works as the ONLY clause") {
+    val st = VersionedCandleStore(spark, s"$base/m/sync2")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1), // absent, hour 10 even -> kept
+      c("BTC", "2022-01-01 11:00:00", 2),             // absent, hour 11 odd  -> delete
+      c("ETH", "2021-06-01 00:00:00", 3)).toDF())     // matched (no matched clause) -> kept
+    val on =
+      """ON t.market = s.market AND t.code = s.code
+         AND t.candle_length = s.candle_length AND t.ts = s.ts"""
+    Seq(c("ETH", "2021-06-01 00:00:00", 99), // matches ETH only
+      c("SOL", "2020-01-01 00:00:00", 7))    // unmatched (no insert clause) -> ignored
+      .toDF().withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_sync2")
+    spark.sql(s"MERGE INTO vm.m.sync2 t USING src_sync2 s $on " +
+      "WHEN NOT MATCHED BY SOURCE AND hour(t.ts) % 2 = 1 THEN DELETE")
+    assert(opens(st.scan()) == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> 1.0,
+      ("ETH", ts("2021-06-01 00:00:00")) -> 3.0),
+      "only the absent key satisfying the retention condition may go")
+    assert(st.txLog().where($"kind" === "commit").count() == 2,
+      "a pure by-source delete is still one journaled tx")
+  }
+
   test("refusals are loud: candle DELETE, target-referencing DELETE " +
       "condition, partial SET, non-key ON, target-column values, " +
       "time-travel target; INSERT OVERWRITE still refused") {
@@ -357,6 +419,19 @@ class VStoreMergeSpec extends SparkSpec {
     // candle targets refuse the conditioned form too
     refused(s"MERGE INTO cmno.plain_no t USING src_no s $on " +
       "WHEN MATCHED AND s.open > 1 THEN DELETE",
+      "not supported on graft-candles")
+    // NOT MATCHED BY SOURCE: DELETE conditions may read fold-key
+    // columns ONLY (the lowering scans the key set, never content)
+    refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
+      "WHEN NOT MATCHED BY SOURCE AND t.open > 1 THEN DELETE",
+      "content columns")
+    // … BY SOURCE UPDATE reads target content — refused
+    refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET open = 0",
+      "BY SOURCE THEN UPDATE is not supported")
+    // … and candle targets refuse the BY SOURCE arm entirely
+    refused(s"MERGE INTO cmno.plain_no t USING src_no s $on " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE",
       "not supported on graft-candles")
     // UPDATE and DELETE together: two matched clauses, refused (the
     // first conditioned to get past Spark's own last-clause parse rule)
