@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolution fixed point, before Spark's row-level rewrite would
     // reject the table.
     ext.injectResolutionRule(session => graft.plans.ResolveGraftMerge(session))
+    // SQL DELETE FROM / UPDATE on graft targets, lowered to one
+    // tombstone tx / one keyed upsert of the affected rows.
+    ext.injectResolutionRule(session => graft.plans.ResolveGraftDml(session))
   }
 }
 

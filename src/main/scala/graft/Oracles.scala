@@ -1175,6 +1175,16 @@ object Oracles {
          FROM a WHERE NOT EXISTS (
            SELECT 1 FROM b WHERE b.code = a.code AND b.ts = a.ts)
            AND hour(ts) % 2 = 0""",
+    // qA9: SQL DELETE FROM + UPDATE — A minus the hour%3=1 rows, the
+    // hour%3=2 rows' close scaled and volume bumped, hour%3=0 untouched.
+    "qA9_vstore_sql_dml" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")})
+         SELECT code, ts, round(open, 4) AS open,
+           round(CASE WHEN hour(ts) % 3 = 2 THEN close * 1.1 ELSE close END,
+             4) AS close,
+           round(volume + CASE WHEN hour(ts) % 3 = 2 THEN 1 ELSE 0 END,
+             4) AS volume
+         FROM a WHERE hour(ts) % 3 <> 1""",
     // qA8: the incrementally-refreshed view == a full GROUP BY over the
     // end state (A then B last-wins, minus the hour%3=1 tombstoned
     // keys) — per (code, day): count, rounded sum(volume), max(close).

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -870,6 +870,72 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
+  /** Stage an already-`_slice`-labeled frame as single-file streaming
+    * sources `<base>/src/b<i>.parquet` (i in [0, nSlices)) with
+    * STRICTLY INCREASING mtimes — FileStreamSource admits files ordered
+    * by (mtime, path), so without the pin the staging job's task-finish
+    * order would leak into micro-batch order and break mid-stream
+    * differential checks. One job writes every slice
+    * (repartition(_slice) → partitionBy(_slice) — a hash collision just
+    * means one task writes two slice dirs, still one file each); each
+    * part file is then renamed flat and its mtime pinned (rename
+    * preserves the SOURCE mtime, which is task-finish order). An empty
+    * slice fails with the diagnostic, not a raw FNFE. Returns the
+    * source dir. Shared by every streamed-ingest fixture below.
+    */
+  private def stageSliceFiles(s: SparkSession, base: String,
+                              sliced: DataFrame, nSlices: Int): String = {
+    val srcDir = s"$base/src"
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    val staging = s"$base/staging"
+    sliced.repartition(col("_slice"))
+      .write.partitionBy("_slice").parquet(staging)
+    val t0 = System.currentTimeMillis()
+    (0 until nSlices).foreach { i =>
+      val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
+      if (!fs.exists(sliceDir))
+        sys.error(s"slice $i is empty — cannot exercise a " +
+          s"$nSlices-micro-batch differential")
+      val part = fs.listStatus(sliceDir)
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+        case Array(one) => one
+        case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
+      }
+      val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
+      fs.rename(part, dst)
+      fs.setTimes(dst, t0 + i * 1000L, -1)
+    }
+    srcDir
+  }
+
+  /** Shared recall-gate fold of the five streamed-vector property
+    * queries (q9M/q9Z/q9X/qA4/qA6): per-query hits of `approxPairs`
+    * inside the brute-force top-k `exactPairs`, aggregated to ONE row —
+    * (n_queries, <extras>, recall_ok = mean recall@k ≥ floor). Both
+    * sides are localCheckpoint()ed: each feeds two jobs (the semi-join
+    * and the query census) and re-running a stateful probe per job
+    * would double the measured operator.
+    */
+  private def recallGateRow(exactPairs: DataFrame, approxPairs: DataFrame,
+                            extras: Seq[Column], k: Int = 10,
+                            floor: Double = 0.4): DataFrame = {
+    val exact = exactPairs.select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val approx = approxPairs.select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    val aggCols = (count(lit(1)).as("n_queries") +: extras) :+
+      ((sum(col("n_hit")).cast("double") /
+        (count(lit(1)) * k).cast("double") >= floor).as("recall_ok"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
   private val syncStoreCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a versioned store whose second statement is
@@ -906,6 +972,37 @@ object Queries {
            WHEN MATCHED THEN UPDATE SET *
            WHEN NOT MATCHED THEN INSERT *
            WHEN NOT MATCHED BY SOURCE AND hour(t.ts) % 2 = 1 THEN DELETE""")
+      p
+    })
+    graft.store.VersionedCandleStore(s, path)
+  }
+
+  private val sqlDmlCache = fixtureCache[String]()
+
+  /** Build (once per sfDir) a versioned store mutated by the direct
+    * ANSI row-level statements (round 16, qA9): batch A (`%3<>0` hourly
+    * candles) commits, then `DELETE FROM … WHERE hour(ts) % 3 = 1`
+    * tombstones one tx and `UPDATE … SET close = close * 1.1,
+    * volume = volume + 1 WHERE hour(ts) % 3 = 2` rewrites a second —
+    * each one pruned scan + one commit of only the affected rows. End
+    * state = A minus the deleted hours, with the updated hours'
+    * content rewritten — the DuckDB mirror in [[Oracles]].
+    */
+  private def sqlDmlStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
+    val path = sqlDmlCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qsqldml").toString
+      val p = s"$base/v"
+      val ev = T.events(s, d)
+      val st = graft.store.VersionedCandleStore(s, p)
+      st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      // prefix UNIQUE per fixture ("gvl") — CatalogManager caches the
+      // catalog INSTANCE per name (see condDeleteStore's collision note)
+      val cat = "gvl" + (ek(d).hashCode & 0x7fffffff)
+      setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
+      setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"DELETE FROM $cat.v WHERE hour(ts) % 3 = 1")
+      s.sql(s"UPDATE $cat.v SET close = close * 1.1, volume = volume + 1 " +
+        "WHERE hour(ts) % 3 = 2")
       p
     })
     graft.store.VersionedCandleStore(s, path)
@@ -1079,37 +1176,10 @@ object Queries {
     def secondAligned(us: Long): Long = us / 1000000L * 1000000L
     val cut1 = secondAligned(mn + (mx - mn) / 3)
     val cut2 = secondAligned(mn + 2 * (mx - mn) / 3)
-    val srcDir = s"$base/stream-src"
-    val fs = new org.apache.hadoop.fs.Path(srcDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
-    // One job writes all three slices: slice id → its own task via
-    // repartition(slice) (hash of 3 distinct values; a collision just
-    // means one task writes two slice dirs — still one file each) →
-    // partitionBy(slice) dirs, renamed to flat b<i>.parquet files.
-    val staging = s"$base/staging"
-    raw.withColumn("_slice",
-        when(tsUs < cut1, 0).when(tsUs < cut2, 1).otherwise(2))
-      .repartition(col("_slice"))
-      .write.partitionBy("_slice").parquet(staging)
-    val t0 = System.currentTimeMillis()
-    (0 to 2).foreach { i =>
-      val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
-      // partitionBy only creates dirs for non-empty slices: an empty
-      // slice means the events distribution cannot exercise 3
-      // micro-batches — fail with the diagnostic, not a raw FNFE.
-      if (!fs.exists(sliceDir))
-        sys.error(s"time slice $i is empty — events too clustered for a 3-batch differential")
-      val part = fs.listStatus(sliceDir)
-        .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
-        case Array(one) => one
-        case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
-      }
-      val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
-      fs.rename(part, dst)
-      // rename preserves the SOURCE mtime (task-finish order, arbitrary)
-      fs.setTimes(dst, t0 + i * 1000L, -1)
-    }
+    val srcDir = stageSliceFiles(s, base,
+        raw.withColumn("_slice",
+        when(tsUs < cut1, 0).when(tsUs < cut2, 1).otherwise(2)),
+      nSlices = 3)
     (srcDir, raw.schema)
   }
 
@@ -1403,6 +1473,16 @@ object Queries {
     // condition) — the DuckDB mirror.
     "qA7_vstore_merge_sync" -> ((s, d) => {
       syncStore(s, d).scan()
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // SQL row-level DML (round 16): DELETE FROM tombstones one tx,
+    // UPDATE rewrites a second — the latest fold must equal A minus the
+    // hour%3=1 rows with the hour%3=2 rows' content rewritten.
+    "qA9_vstore_sql_dml" -> ((s, d) => {
+      sqlDmlStore(s, d).scan()
         .select(col("code"), col("ts"),
           Portable.round(col("open"), 4).as("open"),
           Portable.round(col("close"), 4).as("close"),
@@ -1829,7 +1909,9 @@ object Queries {
     // the first batch, later vectors assigned scan-side. The row
     // hash-matches the oracle ONLY if (a) the stream-built cell state
     // is IDENTICAL to the batch assignment under the stored centroids
-    // and (b) probe recall vs brute force clears the q63 floor.
+    // and (b) probe recall vs brute force clears the q63 floor
+    // ([[recallGateRow]], shared by all five streamed-vector property
+    // queries).
     "q9M_stream_ivf_index" -> ((s, d) => {
       import s.implicits._
       val state = streamedIvfIndexState(s, d)
@@ -1845,24 +1927,14 @@ object Queries {
         col("vec_id").cast("long").as("id"))
       val diff = streamed.exceptAll(batchAssigned)
         .unionAll(batchAssigned.exceptAll(streamed)).count()
-      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
-          "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
-      val approx = graft.streaming.Ingest.ivfIndexTopK(s, state, queries,
-          "vec_id", "embedding", k = 10, nProbe = 4)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-      exact.select("query_id").distinct()
-        .join(hits, Seq("query_id"), "left")
-        .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-        .agg(count(lit(1)).as("n_queries"),
-          lit(diff == 0L).as("index_identical"),
-          // q63's floor: measured mean recall@10 0.54-0.62 with full-
-          // corpus training; first-batch training lands in the same
-          // band (the quantizer sees a 1/3 uniform sample)
-          (sum(col("n_hit")).cast("double") /
-            (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
+      // q63's floor: measured mean recall@10 0.54-0.62 with full-corpus
+      // training; first-batch training lands in the same band (the
+      // quantizer sees a 1/3 uniform sample)
+      recallGateRow(
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10),
+        graft.streaming.Ingest.ivfIndexTopK(s, state, queries,
+          "vec_id", "embedding", k = 10, nProbe = 4),
+        Seq(lit(diff == 0L).as("index_identical")))
     }),
     // Stateful streaming IVFADC (PQ) indexing (round 10): the q9M
     // stream with state stored as m-BYTE product-quantized residual
@@ -1898,24 +1970,14 @@ object Queries {
         .agg(max(length(col("code"))), min(length(col("code")))).head()
       val slim = streamed.columns.toSet == Set("cell_id", "id", "code") &&
         codeLens.getInt(0) == m && codeLens.getInt(1) == m
-      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
-          "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
-      val approx = graft.streaming.Ingest.ivfPqIndexTopK(s, state, queries,
-          emb, "vec_id", "embedding", k = 10, nProbe = 4)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-      exact.select("query_id").distinct()
-        .join(hits, Seq("query_id"), "left")
-        .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-        .agg(count(lit(1)).as("n_queries"),
-          lit(diff == 0L).as("codes_identical"),
-          lit(slim).as("state_slim"),
-          // q9M's floor: exact rerank makes recall ≈ routing recall,
-          // the same 4/16-probe band first-batch training lands in
-          (sum(col("n_hit")).cast("double") /
-            (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
+      // q9M's floor: exact rerank makes recall ≈ routing recall, the
+      // same 4/16-probe band first-batch training lands in
+      recallGateRow(
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10),
+        graft.streaming.Ingest.ivfPqIndexTopK(s, state, queries,
+          emb, "vec_id", "embedding", k = 10, nProbe = 4),
+        Seq(lit(diff == 0L).as("codes_identical"),
+          lit(slim).as("state_slim")))
     }),
     // Streamed PQ index RE-SHARD generation (round 15): the q9Z stream
     // re-sharded mid-stream at nCells ≈ √N — the scale path for the
@@ -1963,24 +2025,14 @@ object Queries {
         cents, books, m, ks)
       val diff = streamed.exceptAll(batchCodes)
         .unionAll(batchCodes.exceptAll(streamed)).count()
-      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
-          "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
       // nProbe = 0: the serving-side √-family derivation (2·√nCells)
-      val approx = graft.streaming.Ingest.ivfPqIndexTopK(s, state, queries,
-          emb, "vec_id", "embedding", k = 10, nProbe = 0)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-      exact.select("query_id").distinct()
-        .join(hits, Seq("query_id"), "left")
-        .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-        .agg(count(lit(1)).as("n_queries"),
-          lit(adopted).as("resharded"),
+      recallGateRow(
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10),
+        graft.streaming.Ingest.ivfPqIndexTopK(s, state, queries,
+          emb, "vec_id", "embedding", k = 10, nProbe = 0),
+        Seq(lit(adopted).as("resharded"),
           lit(ncellsSqrt).as("ncells_sqrt"),
-          lit(diff == 0L).as("codes_identical"),
-          (sum(col("n_hit")).cast("double") /
-            (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
+          lit(diff == 0L).as("codes_identical")))
     }),
     // Streamed RAW-vector IVF index RE-SHARD generation (round 16): the
     // q9M stream re-sharded mid-stream at nCells ≈ √N — the qA4 remedy
@@ -2020,24 +2072,14 @@ object Queries {
         col("vec_id").cast("long").as("id"))
       val diff = streamed.exceptAll(batchAssigned)
         .unionAll(batchAssigned.exceptAll(streamed)).count()
-      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
-          "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
       // nProbe = 0: the serving-side √-family derivation (2·√nCells)
-      val approx = graft.streaming.Ingest.ivfIndexTopK(s, state, queries,
-          "vec_id", "embedding", k = 10, nProbe = 0)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-      exact.select("query_id").distinct()
-        .join(hits, Seq("query_id"), "left")
-        .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-        .agg(count(lit(1)).as("n_queries"),
-          lit(adopted).as("resharded"),
+      recallGateRow(
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10),
+        graft.streaming.Ingest.ivfIndexTopK(s, state, queries,
+          "vec_id", "embedding", k = 10, nProbe = 0),
+        Seq(lit(adopted).as("resharded"),
           lit(ncellsSqrt).as("ncells_sqrt"),
-          lit(diff == 0L).as("state_identical"),
-          (sum(col("n_hit")).cast("double") /
-            (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
+          lit(diff == 0L).as("state_identical")))
     }),
     // Stateful embedding-dedup at ingest (round 9): SemDeDup's
     // same-cell cosine rule as a first-wins stream over the real
@@ -2093,22 +2135,13 @@ object Queries {
         .as[(Long, Boolean)].collect().sortBy(_._1)
       val fired = qs.exists(_._2)
       val healedQuiet = qs.nonEmpty && qs.last._1 == 4L && !qs.last._2
-      val exact = Similarity.bruteForceTopK(union, queries, "vec_id",
-          "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
-      val approx = graft.streaming.Ingest.ivfIndexTopK(s, state, queries,
-          "vec_id", "embedding", k = 10, nProbe = 8)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-      exact.select("query_id").distinct()
-        .join(hits, Seq("query_id"), "left")
-        .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-        .agg(count(lit(1)).as("n_queries"),
-          lit(fired).as("trigger_fired"),
-          lit(healedQuiet).as("healed_quiet"),
-          (sum(col("n_hit")).cast("double") /
-            (count(lit(1)) * 10).cast("double") >= 0.4).as("recall_ok"))
+      recallGateRow(
+        Similarity.bruteForceTopK(union, queries, "vec_id", "embedding",
+          k = 10),
+        graft.streaming.Ingest.ivfIndexTopK(s, state, queries,
+          "vec_id", "embedding", k = 10, nProbe = 8),
+        Seq(lit(fired).as("trigger_fired"),
+          lit(healedQuiet).as("healed_quiet")))
     }),
     // Temperature mixture rebalancing (round 8): the multilingual p^α
     // rule at α = 0.5 over the (skewed) lang strata — keep rates
@@ -2221,27 +2254,10 @@ object Queries {
   private def streamedDeconState(s: SparkSession, d: String): String =
     deconCache.getOrElseUpdate(ek(d), {
       val base = fixtureTmpDir("graft-qdecon").toString
-      val srcDir = s"$base/src"
-      val fs = new org.apache.hadoop.fs.Path(srcDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-      val staging = s"$base/staging"
-      docs.withColumn("_slice", (col("doc_id") % 3).cast("int"))
-        .repartition(col("_slice"))
-        .write.partitionBy("_slice").parquet(staging)
-      val t0 = System.currentTimeMillis()
-      (0 to 2).foreach { i =>
-        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
-        val part = fs.listStatus(sliceDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
-          case Array(one) => one
-          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
-        }
-        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, t0 + i * 1000L, -1)
-      }
+      val srcDir = stageSliceFiles(s, base,
+        docs.withColumn("_slice", (col("doc_id") % 3).cast("int")),
+        nSlices = 3)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val stateDir = s"$base/state"
@@ -2265,27 +2281,10 @@ object Queries {
   private def streamedDriftState(s: SparkSession, d: String): String =
     driftCache.getOrElseUpdate(ek(d), {
       val base = fixtureTmpDir("graft-qdrift").toString
-      val srcDir = s"$base/src"
-      val fs = new org.apache.hadoop.fs.Path(srcDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-      val staging = s"$base/staging"
-      docs.withColumn("_slice", (col("doc_id") % 3).cast("int"))
-        .repartition(col("_slice"))
-        .write.partitionBy("_slice").parquet(staging)
-      val t0 = System.currentTimeMillis()
-      (0 to 2).foreach { i =>
-        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
-        val part = fs.listStatus(sliceDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
-          case Array(one) => one
-          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
-        }
-        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, t0 + i * 1000L, -1)
-      }
+      val srcDir = stageSliceFiles(s, base,
+        docs.withColumn("_slice", (col("doc_id") % 3).cast("int")),
+        nSlices = 3)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val stateDir = s"$base/state"
@@ -2309,27 +2308,10 @@ object Queries {
   private def streamedQuotaState(s: SparkSession, d: String): String =
     quotaCache.getOrElseUpdate(ek(d), {
       val base = fixtureTmpDir("graft-qquota").toString
-      val srcDir = s"$base/src"
-      val fs = new org.apache.hadoop.fs.Path(srcDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
       val docs = T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
-      val staging = s"$base/staging"
-      docs.withColumn("_slice", (col("doc_id") % 3).cast("int"))
-        .repartition(col("_slice"))
-        .write.partitionBy("_slice").parquet(staging)
-      val t0 = System.currentTimeMillis()
-      (0 to 2).foreach { i =>
-        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
-        val part = fs.listStatus(sliceDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
-          case Array(one) => one
-          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
-        }
-        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, t0 + i * 1000L, -1)
-      }
+      val srcDir = stageSliceFiles(s, base,
+        docs.withColumn("_slice", (col("doc_id") % 3).cast("int")),
+        nSlices = 3)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
         .withColumn("n_tokens", TextStats.tokenCount(col("text")).cast("int"))
@@ -2356,27 +2338,10 @@ object Queries {
   private def streamedHllState(s: SparkSession, d: String): String =
     hllCache.getOrElseUpdate(ek(d), {
       val base = fixtureTmpDir("graft-qhll").toString
-      val srcDir = s"$base/src"
-      val fs = new org.apache.hadoop.fs.Path(srcDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
       val docs = T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
-      val staging = s"$base/staging"
-      docs.withColumn("_slice", (col("doc_id") % 3).cast("int"))
-        .repartition(col("_slice"))
-        .write.partitionBy("_slice").parquet(staging)
-      val t0 = System.currentTimeMillis()
-      (0 to 2).foreach { i =>
-        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
-        val part = fs.listStatus(sliceDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
-          case Array(one) => one
-          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
-        }
-        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, t0 + i * 1000L, -1)
-      }
+      val srcDir = stageSliceFiles(s, base,
+        docs.withColumn("_slice", (col("doc_id") % 3).cast("int")),
+        nSlices = 3)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val stateDir = s"$base/state"
@@ -2401,30 +2366,12 @@ object Queries {
   private def streamedExactDedupState(s: SparkSession, d: String): String =
     exactDedupCache.getOrElseUpdate(ek(d), {
       val base = fixtureTmpDir("graft-qexdedup").toString
-      val srcDir = s"$base/src"
-      val fs = new org.apache.hadoop.fs.Path(srcDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
       val withCopies = docs.withColumn("_slice", (col("doc_id") % 3).cast("int"))
         .unionByName(docs.where(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
           .withColumn("_slice", lit(2)))
-      val staging = s"$base/staging"
-      withCopies.repartition(col("_slice"))
-        .write.partitionBy("_slice").parquet(staging)
-      val t0 = System.currentTimeMillis()
-      (0 to 2).foreach { i =>
-        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
-        val part = fs.listStatus(sliceDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
-          case Array(one) => one
-          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
-        }
-        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, t0 + i * 1000L, -1)
-      }
+      val srcDir = stageSliceFiles(s, base, withCopies, nSlices = 3)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val stateDir = s"$base/state"
@@ -2448,27 +2395,10 @@ object Queries {
   private def streamedIvfIndexState(s: SparkSession, d: String): String =
     ivfIdxCache.getOrElseUpdate(ek(d), {
       val base = fixtureTmpDir("graft-qivfidx").toString
-      val srcDir = s"$base/src"
-      val fs = new org.apache.hadoop.fs.Path(srcDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
       val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val staging = s"$base/staging"
-      emb.withColumn("_slice", (col("vec_id") % 3).cast("int"))
-        .repartition(col("_slice"))
-        .write.partitionBy("_slice").parquet(staging)
-      val t0 = System.currentTimeMillis()
-      (0 to 2).foreach { i =>
-        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
-        val part = fs.listStatus(sliceDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
-          case Array(one) => one
-          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
-        }
-        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, t0 + i * 1000L, -1)
-      }
+      val srcDir = stageSliceFiles(s, base,
+        emb.withColumn("_slice", (col("vec_id") % 3).cast("int")),
+        nSlices = 3)
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val stateDir = s"$base/state"
@@ -2492,27 +2422,10 @@ object Queries {
   private def streamedIvfPqIndexState(s: SparkSession, d: String): String =
     ivfPqIdxCache.getOrElseUpdate(ek(d), {
       val base = fixtureTmpDir("graft-qivfpqidx").toString
-      val srcDir = s"$base/src"
-      val fs = new org.apache.hadoop.fs.Path(srcDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
       val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val staging = s"$base/staging"
-      emb.withColumn("_slice", (col("vec_id") % 3).cast("int"))
-        .repartition(col("_slice"))
-        .write.partitionBy("_slice").parquet(staging)
-      val t0 = System.currentTimeMillis()
-      (0 to 2).foreach { i =>
-        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
-        val part = fs.listStatus(sliceDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
-          case Array(one) => one
-          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
-        }
-        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, t0 + i * 1000L, -1)
-      }
+      val srcDir = stageSliceFiles(s, base,
+        emb.withColumn("_slice", (col("vec_id") % 3).cast("int")),
+        nSlices = 3)
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val stateDir = s"$base/state"
@@ -2540,27 +2453,10 @@ object Queries {
   private def reshardedIvfPqIndexState(s: SparkSession, d: String): String =
     pqReshardCache.getOrElseUpdate(ek(d), {
       val base = fixtureTmpDir("graft-qpqreshard").toString
-      val srcDir = s"$base/src"
-      val fs = new org.apache.hadoop.fs.Path(srcDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
       val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val staging = s"$base/staging"
-      emb.withColumn("_slice", (col("vec_id") % 3).cast("int"))
-        .repartition(col("_slice"))
-        .write.partitionBy("_slice").parquet(staging)
-      val t0 = System.currentTimeMillis()
-      (0 to 2).foreach { i =>
-        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
-        val part = fs.listStatus(sliceDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
-          case Array(one) => one
-          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
-        }
-        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, t0 + i * 1000L, -1)
-      }
+      val srcDir = stageSliceFiles(s, base,
+        emb.withColumn("_slice", (col("vec_id") % 3).cast("int")),
+        nSlices = 3)
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val stateDir = s"$base/state"
@@ -2597,27 +2493,10 @@ object Queries {
   private def reshardedIvfIndexState(s: SparkSession, d: String): String =
     ivfReshardCache.getOrElseUpdate(ek(d), {
       val base = fixtureTmpDir("graft-qivfreshard").toString
-      val srcDir = s"$base/src"
-      val fs = new org.apache.hadoop.fs.Path(srcDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
       val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val staging = s"$base/staging"
-      emb.withColumn("_slice", (col("vec_id") % 3).cast("int"))
-        .repartition(col("_slice"))
-        .write.partitionBy("_slice").parquet(staging)
-      val t0 = System.currentTimeMillis()
-      (0 to 2).foreach { i =>
-        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
-        val part = fs.listStatus(sliceDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
-          case Array(one) => one
-          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
-        }
-        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, t0 + i * 1000L, -1)
-      }
+      val srcDir = stageSliceFiles(s, base,
+        emb.withColumn("_slice", (col("vec_id") % 3).cast("int")),
+        nSlices = 3)
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val stateDir = s"$base/state"
@@ -2722,32 +2601,15 @@ object Queries {
   private def streamedEmbedDedupState(s: SparkSession, d: String): String =
     embDedupCache.getOrElseUpdate(ek(d), {
       val base = fixtureTmpDir("graft-qembdedup").toString
-      val srcDir = s"$base/src"
-      val fs = new org.apache.hadoop.fs.Path(srcDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
       val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val off = q9yTwinOffset(s, d)
       val twins = emb.where(col("vec_id") % 10 === 0)
         .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
-      val staging = s"$base/staging"
-      emb.withColumn("_slice", (ntile(3).over(
+      val srcDir = stageSliceFiles(s, base,
+        emb.withColumn("_slice", (ntile(3).over(
           org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1).cast("int"))
-        .unionByName(twins.withColumn("_slice", lit(3)))
-        .repartition(col("_slice"))
-        .write.partitionBy("_slice").parquet(staging)
-      val t0 = System.currentTimeMillis()
-      (0 to 3).foreach { i =>
-        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
-        val part = fs.listStatus(sliceDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
-          case Array(one) => one
-          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
-        }
-        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, t0 + i * 1000L, -1)
-      }
+        .unionByName(twins.withColumn("_slice", lit(3))),
+        nSlices = 4)
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val stateDir = s"$base/state"
@@ -2769,28 +2631,11 @@ object Queries {
   private def streamedNearDupState(s: SparkSession, d: String): String =
     nearDupCache.getOrElseUpdate(ek(d), {
       val base = fixtureTmpDir("graft-qneardup").toString
-      val srcDir = s"$base/src"
-      val fs = new org.apache.hadoop.fs.Path(srcDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-      val staging = s"$base/staging"
-      docs.withColumn("_slice", ntile(3).over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))) - 1)
-        .repartition(col("_slice"))
-        .write.partitionBy("_slice").parquet(staging)
-      val t0 = System.currentTimeMillis()
-      (0 to 2).foreach { i =>
-        val sliceDir = new org.apache.hadoop.fs.Path(s"$staging/_slice=$i")
-        val part = fs.listStatus(sliceDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
-          case Array(one) => one
-          case other => sys.error(s"expected 1 file for slice $i, got ${other.length}")
-        }
-        val dst = new org.apache.hadoop.fs.Path(s"$srcDir/b$i.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, t0 + i * 1000L, -1)
-      }
+      val srcDir = stageSliceFiles(s, base,
+        docs.withColumn("_slice", ntile(3).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))) - 1),
+        nSlices = 3)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val stateDir = s"$base/state"

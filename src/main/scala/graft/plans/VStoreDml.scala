@@ -1,0 +1,225 @@
+package graft.plans
+
+import org.apache.spark.sql.{AnalysisException, Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.sources.{CandleTable, VStoreTable}
+import graft.store.{CandleStore, VersionedCandleStore}
+
+/** SQL `DELETE FROM` / `UPDATE` for graft catalog tables — the
+  * row-level DML statements MERGE already lowers arm-by-arm, now as
+  * their direct ANSI forms:
+  *
+  *  - `DELETE FROM <vstore> WHERE <cond>` → the latest fold scanned
+  *    under the condition (ANY deterministic column predicate — unlike
+  *    the keyed MERGE lowering this path DOES read content, that is
+  *    what a row-level delete is), matching keys journaled as ONE
+  *    tombstone tx ([[VersionedCandleStore.delete]]). Candle targets
+  *    refuse (the reference's surface is insert/upsert-only,
+  *    `database/command/`);
+  *  - `UPDATE <table> SET <col> = <expr>, … [WHERE <cond>]` on BOTH
+  *    store shapes → matching rows re-projected with the assignments
+  *    (values may reference the row's own columns — `SET close =
+  *    close * 2` works) and committed back as ONE journaled tx
+  *    (vstore) / ONE crash-atomic upsert (candle) — semantically an
+  *    upsert of the rewritten rows, which is exactly the reference's
+  *    write primitive (`page/page.go:114-123`). Fold-key assignments
+  *    (market, code, candle_length, ts) are refused — a keyed upsert
+  *    cannot MOVE a row, and silently leaving the old key in place is
+  *    the one wrong answer; `year` is refused too (derived from ts).
+  *
+  * Conditions and assignment values must be deterministic and
+  * subquery-free (rewrite a subquery delete/update as `MERGE … USING
+  * <source query>`). Zero matching rows is a no-op — no empty tx is
+  * journaled. Time-travel / change-feed lenses refuse as targets.
+  *
+  * Scale note: both statements are one pruned scan of the latest fold
+  * (partition-prunable predicates reach the parquet scan) plus one
+  * commit of only the affected rows — never a rewrite of untouched
+  * data files.
+  */
+case class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case d @ DeleteFromTable(target, condition)
+        if d.resolved && vstoreOf(target).isDefined =>
+      val t = vstoreOf(target).get
+      lensGuard(t, "DELETE FROM")
+      validateExpr(condition, "DELETE condition")
+      VStoreDeleteCommand(t.path, condition)
+    case d @ DeleteFromTable(target, _)
+        if d.resolved && candleOf(target).isDefined =>
+      fail("DELETE FROM is not supported on graft-candles (the " +
+        "reference's surface is insert/upsert-only, database/command/ " +
+        "has no delete) — only the VERSIONED store supports journaled " +
+        "tombstone deletes")
+    case u @ UpdateTable(target, assignments, condition)
+        if u.resolved && vstoreOf(target).isDefined =>
+      val t = vstoreOf(target).get
+      lensGuard(t, "UPDATE")
+      VStoreUpdateCommand(t.path,
+        validateAssignments(assignments, condition), condition)
+    case u @ UpdateTable(target, assignments, condition)
+        if u.resolved && candleOf(target).isDefined =>
+      val t = candleOf(target).get
+      CandleUpdateCommand(t.path,
+        validateAssignments(assignments, condition), condition)
+  }
+
+  private def lensGuard(t: VStoreTable, stmt: String): Unit =
+    if (t.asOfTxOpt.nonEmpty || t.asOfTimeOpt.nonEmpty ||
+        t.changesSinceOpt.nonEmpty)
+      fail(s"$stmt target is a VERSION AS OF / TIMESTAMP AS OF / " +
+        "change-feed lens — read-only; write to the latest table")
+
+  private def validateAssignments(
+      assignments: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment],
+      condition: Option[Expression]): Seq[(String, Expression)] = {
+    condition.foreach(validateExpr(_, "UPDATE condition"))
+    val frozen = (graft.model.Candle.keyCols ++ Seq("ts", "year")).toSet
+    assignments.map { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name.toLowerCase
+        case other => fail(s"UPDATE assigns non-column ${other.sql}")
+      }
+      if (frozen(name))
+        fail(s"UPDATE may not assign $name — fold-key columns cannot " +
+          "move under a keyed upsert (delete + re-insert via two " +
+          "statements or MERGE), and year derives from ts")
+      validateExpr(a.value, s"UPDATE assignment to $name")
+      name -> a.value
+    }
+  }
+
+  private[plans] def fail(msg: String): Nothing = VStoreDml.fail(msg)
+
+  private def validateExpr(e: Expression, what: String): Unit = {
+    if (!e.deterministic)
+      fail(s"$what must be deterministic; got: ${e.sql}")
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      fail(s"$what may not contain a subquery — rewrite as " +
+        s"MERGE INTO … USING <source query>; got: ${e.sql}")
+  }
+
+  private def vstoreOf(plan: LogicalPlan): Option[VStoreTable] = plan match {
+    case SubqueryAlias(_, child) => vstoreOf(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: VStoreTable => Some(t)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def candleOf(plan: LogicalPlan): Option[CandleTable] = plan match {
+    case SubqueryAlias(_, child) => candleOf(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: CandleTable => Some(t)
+      case _ => None
+    }
+    case _ => None
+  }
+}
+
+private[plans] object VStoreDml {
+  def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_0035",
+      messageParameters = Map("message" -> s"DML on graft table: $msg"))
+
+  /** Re-bind a resolved target expression by NAME against a fresh scan
+    * frame (the command runs against its own `store.scan()` plan whose
+    * attribute ids differ from the analyzed statement's).
+    */
+  def rebind(e: Expression): Column =
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  /** The matched rows re-projected with the assignments; unassigned
+    * columns keep their scanned values.
+    */
+  def updatedRows(scan: org.apache.spark.sql.DataFrame,
+                  schema: org.apache.spark.sql.types.StructType,
+                  assignments: Seq[(String, Expression)],
+                  condition: Option[Expression]): org.apache.spark.sql.DataFrame = {
+    val matched = condition.foldLeft(scan)((df, c) => df.where(rebind(c)))
+    matched.select(schema.fields.map { f =>
+      assignments.find(_._1 == f.name.toLowerCase) match {
+        case Some((_, e)) => rebind(e).cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+}
+
+/** `DELETE FROM <vstore> WHERE <cond>`: one pruned scan of the latest
+  * fold under the condition, matching keys tombstoned in ONE journaled
+  * tx. Zero matches journal nothing.
+  */
+case class VStoreDeleteCommand(path: String, condition: Expression)
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val store = VersionedCandleStore(session, path)
+    val keys = store.scan().where(VStoreDml.rebind(condition))
+      .select((graft.model.Candle.keyCols :+ "ts").map(col).toIndexedSeq: _*)
+    if (!keys.isEmpty) store.delete(keys)
+    Seq.empty
+  }
+}
+
+/** `UPDATE <vstore> SET … [WHERE …]`: matched rows re-projected and
+  * committed as ONE journaled tx (history preserved — as-of before the
+  * update reconstructs the old rows). Zero matches journal nothing.
+  */
+case class VStoreUpdateCommand(path: String,
+                               assignments: Seq[(String, Expression)],
+                               condition: Option[Expression])
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val store = VersionedCandleStore(session, path)
+    val rows = VStoreDml.updatedRows(store.scan(), store.tableSchema,
+      assignments, condition)
+    if (!rows.isEmpty) store.commit(rows)
+    Seq.empty
+  }
+}
+
+/** `UPDATE <candle table> SET … [WHERE …]`: matched rows re-projected
+  * and upserted back crash-atomically — the reference's own write
+  * primitive applied to the statement's row set.
+  */
+case class CandleUpdateCommand(path: String,
+                               assignments: Seq[(String, Expression)],
+                               condition: Option[Expression])
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val store = CandleStore(session, path)
+    // recover-first, then the stamped-but-empty guard (CREATE TABLE
+    // then UPDATE): no partition dirs → nothing to match, a no-op —
+    // mirrors CandleMergeCommand's targetKeys
+    store.recover()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("market="))
+    if (!hasData) return Seq.empty
+    val rows = VStoreDml.updatedRows(store.scan(),
+      CandleTable.tableSchema, assignments, condition)
+    if (!rows.isEmpty)
+      graft.sources.CandleInserts.insert(rows, overwrite = false,
+        "graft-candles", "UPDATE never overwrites") { clean =>
+        store.upsert(clean); ()
+      }
+    Seq.empty
+  }
+}

@@ -79,77 +79,65 @@ object ScaleProbe {
     if (worst.nonEmpty)
       println(s"[scaleprobe] SUPERLINEAR: ${worst.map(_._1).mkString(", ")}")
 
-    // ---- ANN SERVE-PATH probe (frozen vs re-sharded streamed PQ) ---- //
-    // The q9Z/qA4 HEADLINE timings above conflate the property oracles'
-    // own scaling — brute-force ground truth is Θ(queries·N) with the
-    // query COUNT itself growing across the decade (vec_id < 10000
-    // admits 5× more ids at 100×), and the codes-identical differential
-    // re-encodes the whole corpus against √N centroids (Θ(N^1.5)). This
-    // section times ONLY the operator's serving path, with a FIXED
-    // 100-query set at both scales, on the already-built fixture state:
-    // the number that must scale sublinearly for the 100 TB posture.
-    if (names.exists(n => n.startsWith("q9Z") || n.startsWith("qA4"))) {
-      def serve(dir: String): (Double, Double, Long, Long) = {
-        val (frozen, reshard) = graft.Queries.pqProbeFixtures(spark, dir)
-        val emb = graft.Tables.embeddings(spark, dir)
-          .select(col("vec_id"), col("embedding")).localCheckpoint()
-        // FIXED query set: same 100 ids at every scale
-        val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 2000)
-          .localCheckpoint()
-        def time(state: String, nProbe: Int): Double = {
-          val a = System.nanoTime()
-          graft.streaming.Ingest.ivfPqIndexTopK(spark, state, queries, emb,
-              "vec_id", "embedding", k = 10, nProbe = nProbe)
-            .write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - a) / 1e9
-        }
-        def cells(state: String): Long =
-          spark.read.parquet(s"$state/centroids/*").count()
-        (time(frozen, 4), time(reshard, 0), cells(frozen), cells(reshard))
-      }
-      serve(sfDir) // warm the code paths once
-      val (fS, rS, _, _) = serve(sfDir)
-      val (fB, rB, cF, cR) = serve(bigDir)
-      def exp(b: Double, s: Double) = math.log(b / s) / math.log(factor.toDouble)
-      println(f"[scaleprobe] serve-path frozen(q9Z)   nCells=$cF%-5d " +
-        f"${fS}%6.2f->${fB}%7.2f s (exp ${exp(fB, fS)}%5.2f)")
-      println(f"[scaleprobe] serve-path reshard(qA4)  nCells=$cR%-5d " +
-        f"${rS}%6.2f->${rB}%7.2f s (exp ${exp(rB, rS)}%5.2f)")
-    }
-    // ---- RAW-IVF SERVE-PATH probe (frozen q9M vs re-sharded qA6) ---- //
-    // Same separation for the raw-vector family: q9M's headline above
-    // carries its property oracle's Θ(queries·N) brute force and a
-    // full-corpus assignment differential; this times ONLY ivfIndexTopK
-    // over the built fixture states with a FIXED 100-query set.
-    if (names.exists(n => n.startsWith("q9M") || n.startsWith("qA6"))) {
-      def serve(dir: String): (Double, Double, Long, Long) = {
-        val (frozen, reshard) = graft.Queries.ivfProbeFixtures(spark, dir)
-        val emb = graft.Tables.embeddings(spark, dir)
-          .select(col("vec_id"), col("embedding")).localCheckpoint()
-        // FIXED query set: same 100 ids at every scale
-        val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 2000)
-          .localCheckpoint()
-        def time(state: String, nProbe: Int): Double = {
-          val a = System.nanoTime()
-          graft.streaming.Ingest.ivfIndexTopK(spark, state, queries,
-              "vec_id", "embedding", k = 10, nProbe = nProbe)
-            .write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - a) / 1e9
-        }
-        def cells(state: String): Long =
-          spark.read.parquet(s"$state/centroids/*").count()
-        (time(frozen, 4), time(reshard, 0), cells(frozen), cells(reshard))
-      }
-      serve(sfDir) // warm the code paths once
-      val (fS, rS, _, _) = serve(sfDir)
-      val (fB, rB, cF, cR) = serve(bigDir)
-      def exp(b: Double, s: Double) = math.log(b / s) / math.log(factor.toDouble)
-      println(f"[scaleprobe] serve-path frozen(q9M)   nCells=$cF%-5d " +
-        f"${fS}%6.2f->${fB}%7.2f s (exp ${exp(fB, fS)}%5.2f)")
-      println(f"[scaleprobe] serve-path reshard(qA6)  nCells=$cR%-5d " +
-        f"${rS}%6.2f->${rB}%7.2f s (exp ${exp(rB, rS)}%5.2f)")
-    }
+    // ---- ANN SERVE-PATH probes (frozen vs re-sharded index) -------- //
+    // The q9Z/qA4 (PQ) and q9M/qA6 (raw IVF) HEADLINE timings above
+    // conflate the property oracles' own scaling — brute-force ground
+    // truth is Θ(queries·N) with the query COUNT itself growing across
+    // the decade (vec_id < 10000 admits 5× more ids at 100×), and the
+    // state-identical differentials re-encode/re-assign the whole
+    // corpus (Θ(N^1.5) against √N centroids). These sections time ONLY
+    // the operator's serving call, with a FIXED 100-query set at both
+    // scales, on the already-built fixture states: the number that must
+    // scale sublinearly for the 100 TB posture.
+    if (names.exists(n => n.startsWith("q9Z") || n.startsWith("qA4")))
+      servePathSection(spark, sfDir, bigDir, factor, "q9Z", "qA4",
+        graft.Queries.pqProbeFixtures,
+        (state, queries, emb, nProbe) => graft.streaming.Ingest
+          .ivfPqIndexTopK(spark, state, queries, emb, "vec_id", "embedding",
+            k = 10, nProbe = nProbe))
+    if (names.exists(n => n.startsWith("q9M") || n.startsWith("qA6")))
+      servePathSection(spark, sfDir, bigDir, factor, "q9M", "qA6",
+        graft.Queries.ivfProbeFixtures,
+        (state, queries, _, nProbe) => graft.streaming.Ingest
+          .ivfIndexTopK(spark, state, queries, "vec_id", "embedding",
+            k = 10, nProbe = nProbe))
     spark.stop()
+  }
+
+  /** One serve-path section: frozen state probed at nProbe=4 (its
+    * fixture width), re-sharded state at nProbe=0 (the √-family
+    * serving derivation), both timed small→big with the SAME
+    * `probe(state, queries, emb, nProbe)` call and a fixed query set.
+    */
+  private def servePathSection(spark: SparkSession, sfDir: String,
+      bigDir: String, factor: Int, labelFrozen: String, labelReshard: String,
+      fixtures: (SparkSession, String) => (String, String),
+      probe: (String, DataFrame, DataFrame, Int) => DataFrame): Unit = {
+    def serve(dir: String): (Double, Double, Long, Long) = {
+      val (frozen, reshard) = fixtures(spark, dir)
+      val emb = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      // FIXED query set: same 100 ids at every scale
+      val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 2000)
+        .localCheckpoint()
+      def time(state: String, nProbe: Int): Double = {
+        val a = System.nanoTime()
+        probe(state, queries, emb, nProbe)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - a) / 1e9
+      }
+      def cells(state: String): Long =
+        spark.read.parquet(s"$state/centroids/*").count()
+      (time(frozen, 4), time(reshard, 0), cells(frozen), cells(reshard))
+    }
+    serve(sfDir) // warm the code paths once
+    val (fS, rS, _, _) = serve(sfDir)
+    val (fB, rB, cF, cR) = serve(bigDir)
+    def exp(b: Double, s: Double) = math.log(b / s) / math.log(factor.toDouble)
+    println(f"[scaleprobe] serve-path frozen($labelFrozen)   nCells=$cF%-5d " +
+      f"${fS}%6.2f->${fB}%7.2f s (exp ${exp(fB, fS)}%5.2f)")
+    println(f"[scaleprobe] serve-path reshard($labelReshard)  nCells=$cR%-5d " +
+      f"${rS}%6.2f->${rB}%7.2f s (exp ${exp(rB, rS)}%5.2f)")
   }
 
   private[tools] def synthesize(spark: SparkSession, sfDir: String,

@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.AnalysisException
+
+import graft.model.Candle
+import graft.store.VersionedCandleStore
+
+/** SQL `DELETE FROM` / `UPDATE` over graft catalog tables
+  * (graft.plans.ResolveGraftDml): the direct ANSI row-level DML forms,
+  * lowered to one tombstone tx / one keyed upsert of the affected rows.
+  */
+class VStoreDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c(code: String, t: String, o: Double): Candle =
+    Candle("UPBIT", code, 60, ts(t), o, o + 1, o - 1, o + 0.5, 10.0, 0L)
+
+  private lazy val base: String = {
+    val b = tmpDir("vstore-dml")
+    spark.conf.set("spark.sql.catalog.vd", classOf[graft.sources.VStoreCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vd.base", b)
+    spark.conf.set("spark.sql.catalog.cd", classOf[graft.sources.CandleCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cd.base", b)
+    b
+  }
+
+  private def opens(df: org.apache.spark.sql.DataFrame): Map[(String, Timestamp), Double] =
+    df.select("code", "ts", "open").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+
+  test("DELETE FROM vstore WHERE <content cond>: matching rows tombstoned " +
+      "in ONE tx; as-of intact; zero-match DELETE journals NOTHING") {
+    val st = VersionedCandleStore(spark, s"$base/d/del")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("BTC", "2022-01-01 11:00:00", 60),
+      c("ETH", "2021-06-01 00:00:00", 3)).toDF())
+    // content predicate — DELETE scans the fold, unlike the keyed MERGE
+    spark.sql("DELETE FROM vd.d.del WHERE open > 50")
+    assert(opens(st.scan()) == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> 1.0,
+      ("ETH", ts("2021-06-01 00:00:00")) -> 3.0))
+    assert(st.txLog().where($"kind" === "commit").count() == 2)
+    assert(opens(st.scanAsOf(1L)).contains(("BTC", ts("2022-01-01 11:00:00"))))
+    // change feed carries the tombstone
+    assert(st.changesSince(1L).where($"_deleted").select("code")
+      .collect().map(_.getString(0)).toSeq == Seq("BTC"))
+    // zero matches: NO empty tx
+    spark.sql("DELETE FROM vd.d.del WHERE open > 1e9")
+    assert(st.txLog().where($"kind" === "commit").count() == 2,
+      "a zero-match DELETE must not journal an empty tx")
+    // unconditioned DELETE empties the table
+    spark.sql("DELETE FROM vd.d.del")
+    assert(st.scan().count() == 0)
+  }
+
+  test("UPDATE vstore SET … WHERE …: matched rows rewritten in ONE tx " +
+      "(self-referencing values allowed), others untouched, history " +
+      "preserved; zero-match UPDATE journals NOTHING") {
+    val st = VersionedCandleStore(spark, s"$base/d/upd")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2),
+      c("ETH", "2021-06-01 00:00:00", 3)).toDF())
+    spark.sql("UPDATE vd.d.upd SET open = open * 10, volume = volume + 5 " +
+      "WHERE code = 'BTC'")
+    assert(opens(st.scan()) == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> 20.0,
+      ("ETH", ts("2021-06-01 00:00:00")) -> 3.0))
+    val btc = st.scan().where($"code" === "BTC").select("volume", "close").head()
+    assert(btc.getDouble(0) == 15.0 && btc.getDouble(1) == 2.5,
+      "assigned columns rewritten, unassigned kept")
+    assert(st.txLog().where($"kind" === "commit").count() == 2)
+    assert(opens(st.scanAsOf(1L))(("BTC", ts("2022-01-01 10:00:00"))) == 2.0)
+    spark.sql("UPDATE vd.d.upd SET open = 0 WHERE code = 'NOPE'")
+    assert(st.txLog().where($"kind" === "commit").count() == 2,
+      "a zero-match UPDATE must not journal an empty tx")
+    // unconditioned UPDATE touches every row
+    spark.sql("UPDATE vd.d.upd SET bit_fields = 7")
+    assert(st.scan().select("bit_fields").collect().forall(_.getLong(0) == 7L))
+  }
+
+  test("UPDATE on a PLAIN candle table lowers to the crash-atomic " +
+      "upsert; DELETE FROM candle refuses; empty stamped table no-ops") {
+    val cs = graft.store.CandleStore(spark, s"$base/pc_dml")
+    cs.upsert(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2022-01-01 10:00:00", 2)).toDF())
+    spark.sql("UPDATE cd.pc_dml SET close = close + 100 WHERE code = 'ETH'")
+    val rows = cs.scan().select("code", "close").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows == Map("BTC" -> 1.5, "ETH" -> 102.5))
+    val e = intercept[AnalysisException](
+      spark.sql("DELETE FROM cd.pc_dml WHERE code = 'BTC'"))
+    assert(e.getMessage.contains("not supported on graft-candles"), e.getMessage)
+    // stamped-but-empty table: UPDATE is a no-op, not a scan crash
+    spark.sql("CREATE TABLE cd.fresh_dml")
+    spark.sql("UPDATE cd.fresh_dml SET close = 0")
+  }
+
+  test("refusals are loud: fold-key/year assignment, subquery condition, " +
+      "non-deterministic condition, time-travel target") {
+    val st = VersionedCandleStore(spark, s"$base/d/no")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    def refused(sql: String, needle: String): Unit = {
+      val e = intercept[AnalysisException](spark.sql(sql))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    refused("UPDATE vd.d.no SET ts = ts + INTERVAL '1' MINUTE",
+      "may not assign ts")
+    refused("UPDATE vd.d.no SET code = 'X'", "may not assign code")
+    refused("UPDATE vd.d.no SET year = 1999", "may not assign year")
+    refused("DELETE FROM vd.d.no WHERE open > (SELECT avg(open) FROM vd.d.no)",
+      "subquery")
+    refused("UPDATE vd.d.no SET open = 0 WHERE rand() > 0.5",
+      "deterministic")
+    refused("DELETE FROM vd.d.no WHERE rand() > 0.5", "deterministic")
+    intercept[Exception](spark.sql(
+      "DELETE FROM vd.d.no VERSION AS OF 1 WHERE open > 0"))
+    assert(opens(st.scan()) == Map(("BTC", ts("2022-01-01 10:00:00")) -> 1.0),
+      "refused statements must not have committed")
+    assert(st.txLog().where($"kind" === "commit").count() == 1)
+  }
+}
