@@ -1143,10 +1143,7 @@ object Queries {
     * of file order.
     */
   /** Split the events table into three second-aligned time slices as
-    * single files b0/b1/b2 under `base/stream-src`, with STRICTLY
-    * INCREASING mtimes (FileStreamSource admits files ordered by
-    * (mtime, path); the staging job's task-finish order would otherwise
-    * leak into micro-batch order and break mid-stream as-of checks).
+    * single files b0/b1/b2 under `base/src` ([[stageSliceFiles]]).
     * Returns (srcDir, raw schema): slice i covers `[cut_i, cut_i+1)`
     * with cut1/cut2 at 1/3 and 2/3 of the ns time range, floored to
     * whole seconds (so no 1s candle bucket spans two slices).

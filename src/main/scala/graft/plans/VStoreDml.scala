@@ -168,9 +168,13 @@ case class VStoreDeleteCommand(path: String, condition: Expression)
 
   override def run(session: SparkSession): Seq[Row] = {
     val store = VersionedCandleStore(session, path)
+    // one fold feeds both the zero-match probe and the tombstone tx
+    // (isEmpty alone would still pay the scan's shuffle map side twice)
     val keys = store.scan().where(VStoreDml.rebind(condition))
       .select((graft.model.Candle.keyCols :+ "ts").map(col).toIndexedSeq: _*)
-    if (!keys.isEmpty) store.delete(keys)
+      .localCheckpoint()
+    try if (!keys.isEmpty) store.delete(keys)
+    finally org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(keys)
     Seq.empty
   }
 }
@@ -186,9 +190,11 @@ case class VStoreUpdateCommand(path: String,
 
   override def run(session: SparkSession): Seq[Row] = {
     val store = VersionedCandleStore(session, path)
+    // one fold feeds both the zero-match probe and the commit
     val rows = VStoreDml.updatedRows(store.scan(), store.tableSchema,
-      assignments, condition)
-    if (!rows.isEmpty) store.commit(rows)
+      assignments, condition).localCheckpoint()
+    try if (!rows.isEmpty) store.commit(rows)
+    finally org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(rows)
     Seq.empty
   }
 }
@@ -213,13 +219,15 @@ case class CandleUpdateCommand(path: String,
     val hasData = fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith("market="))
     if (!hasData) return Seq.empty
-    val rows = VStoreDml.updatedRows(store.scan(),
-      CandleTable.tableSchema, assignments, condition)
-    if (!rows.isEmpty)
+    // recovery already ran above — don't pay it again inside scan()
+    val rows = VStoreDml.updatedRows(store.scanNoRecover(),
+      CandleTable.tableSchema, assignments, condition).localCheckpoint()
+    try if (!rows.isEmpty)
       graft.sources.CandleInserts.insert(rows, overwrite = false,
         "graft-candles", "UPDATE never overwrites") { clean =>
         store.upsert(clean); ()
       }
+    finally org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(rows)
     Seq.empty
   }
 }

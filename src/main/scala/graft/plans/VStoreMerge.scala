@@ -325,7 +325,7 @@ private[plans] object MergeLowering extends PredicateHelper {
       }
       kept.select(cols.toIndexedSeq: _*)
     }
-    def tombstoneCols(of: DataFrame, keyCol: String => org.apache.spark.sql.Column) =
+    def tombstoneCols(keyCol: String => org.apache.spark.sql.Column) =
       tableSchema.fields.map { f =>
         keyMap.find(_._1 == f.name.toLowerCase) match {
           case Some((n, _)) => keyCol(n).cast(f.dataType).as(f.name)
@@ -344,9 +344,8 @@ private[plans] object MergeLowering extends PredicateHelper {
       val k = cond.foldLeft(keyed)((df, c) =>
         df.where(ColumnBridge.column(c)))
       val matched = k.join(tgtKeys, joinCond(k), "left_semi")
-      matched.select(tombstoneCols(matched,
-        n => matched(s"_mk_$n")).toIndexedSeq: _*).distinct()
-        .withColumn("_deleted", lit(true))
+      matched.select(tombstoneCols(n => matched(s"_mk_$n")).toIndexedSeq: _*)
+        .distinct().withColumn("_deleted", lit(true))
     }
     // WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE: target keys
     // ABSENT from the source tombstone — ONE anti-join of the latest
@@ -368,7 +367,7 @@ private[plans] object MergeLowering extends PredicateHelper {
               .quoted(a.name)
         }))
       }
-      kept.select(tombstoneCols(kept, n => kept(n)).toIndexedSeq: _*)
+      kept.select(tombstoneCols(n => kept(n)).toIndexedSeq: _*)
         .distinct().withColumn("_deleted", lit(true))
     }
     val upserts: Seq[DataFrame] = (updAssigns, insAssigns) match {

@@ -150,56 +150,145 @@ final class IncrementalView(
 
   /** Bring the view up to the store's committed head; returns the new
     * watermark. No-ops when nothing committed since the last refresh.
+    *
+    * OUT-OF-ORDER COMMITTERS: tx ids are reserved before they journal,
+    * so a LOWER id can commit after a higher one — a plain
+    * "changes above the watermark" window would skip it forever. Each
+    * generation therefore records the GAP RUNS (reserved-but-
+    * uncommitted ids below its watermark) in a small meta file; the
+    * next refresh checks the journal against them, treats any
+    * newly-committed gap id as LATE, and widens the change window down
+    * to it (re-touching a group twice is idempotent). A gap that was
+    * summarized under a compact() floor before it could be verified —
+    * or a generation missing its meta (torn write) — degrades to a
+    * full recompute, never to silence.
     */
   def refresh(): Long = {
-    // ONE journal read pins the snapshot: head, and the squash floor
-    // that decides whether the change window still exists
+    // ONE journal read pins the snapshot: head, the squash floor that
+    // decides whether the change window still exists, and the
+    // committed-id set the gate and the gap check both ride
     val (floor, recents) = store.journalCommitted()
     val head = if (recents.nonEmpty) recents.max else floor
     if (head == 0L) return watermark() // nothing committed yet
     val current = adoptedGen()
-    if (current.exists(_._1 >= head)) return current.get._1
+    val meta = current.flatMap { case (_, dir) => readMeta(dir) }
+    // late = ids committed NOW inside the last refresh's gap runs
+    // (only decidable while every gap run sits above the squash floor)
+    val late: Option[Seq[Long]] = (current, meta) match {
+      case (Some((w, _)), Some(gaps)) if floor <= w =>
+        if (gaps.exists(_._1 <= floor)) None // gap summarized — undecidable
+        else Some(recents.toSeq.filter(id =>
+          id <= w && gaps.exists(g => id >= g._1 && id <= g._2)))
+      case _ => None
+    }
+    // no-op ONLY when the gen is current AND the gap check ran clean —
+    // an undecidable late set (late == None) must fall through to the
+    // full recompute, never silently no-op
+    if (current.exists(_._1 >= head) && late.exists(_.isEmpty))
+      return current.get._1
+    val newHead = math.max(head, current.map(_._1).getOrElse(0L))
 
-    val next: DataFrame = current match {
-      case Some((last, dir)) if last >= floor =>
-        // changesSince is EXCLUSIVE below: rows of txs in (last, head]
-        val touched = withGroups(store.changesSince(last, head))
+    val next: DataFrame = (current, late) match {
+      case (Some((last, dir)), Some(lateIds)) if last >= floor =>
+        // window (sinceTx, head] against the PINNED snapshot, widened
+        // below any late commit (changesWindow is exclusive below)
+        val sinceTx = lateIds.minOption.map(_ - 1).getOrElse(last)
+        val touched = withGroups(
+            store.changesWindow(sinceTx, head, floor, recents))
           .select(groupNames.map(col).toIndexedSeq: _*).distinct()
-        val maxPush = spark.conf.getOption("graft.view.pushdownMaxGroups")
-          .map(_.toInt).getOrElse(1000)
-        // bounded driver collect: cap + 1 rows at most, never O(groups)
-        val sample = touched.limit(maxPush + 1).collect()
-        val base0 = store.scanAsOf(head)
-        // isin pushdown on plain key-column groups: the semi-join alone
-        // cannot prune the base scan's partitions; an IN-list on
-        // market/code/candle_length can
-        val base =
-          if (sample.length > maxPush) base0
-          else plainKeyGroups.foldLeft(base0) { case (df, (g, keyCol)) =>
-            val idx = groupNames.indexOf(g)
-            val vals = sample.map(_.get(idx)).distinct.toSeq
-            df.where(col(keyCol).isin(vals: _*))
-          }
-        val recomputed = aggregated(withGroups(base)
-          .join(broadcast(touched), groupNames.toIndexedSeq, "left_semi"))
-        spark.read.parquet(dir.toString)
-          .join(broadcast(touched), groupNames.toIndexedSeq, "left_anti")
-          .unionByName(recomputed)
+          .localCheckpoint() // feeds the collect + two broadcast joins
+        try {
+          val maxPush = spark.conf.getOption("graft.view.pushdownMaxGroups")
+            .map(_.toInt).getOrElse(1000)
+          // bounded driver collect: cap + 1 rows, never O(groups)
+          val sample = touched.limit(maxPush + 1).collect()
+          val base0 = store.scanAsOf(head)
+          // isin pushdown on plain key-column groups: the semi-join
+          // alone cannot prune the base scan's partitions; an IN-list
+          // on market/code/candle_length can
+          val base =
+            if (sample.length > maxPush) base0
+            else plainKeyGroups.foldLeft(base0) { case (df, (g, keyCol)) =>
+              val idx = groupNames.indexOf(g)
+              val vals = sample.map(_.get(idx)).distinct.toSeq
+              df.where(col(keyCol).isin(vals: _*))
+            }
+          val recomputed = aggregated(withGroups(base)
+            .join(broadcast(touched), groupNames.toIndexedSeq, "left_semi"))
+          // a late-commit repair re-writes the SAME generation number:
+          // pin the old view's (aggregate-sized) contents first, or the
+          // write would delete the files its own plan reads
+          val old0 = spark.read.parquet(dir.toString)
+          val old = if (newHead <= last) old0.localCheckpoint() else old0
+          try writeGen(newHead, old
+            .join(broadcast(touched), groupNames.toIndexedSeq, "left_anti")
+            .unionByName(recomputed), floor, recents)
+          finally if (newHead <= last)
+            org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(old)
+        } finally org.apache.spark.sql.graft.ColumnBridge
+          .unpersistCheckpoint(touched)
+        return newHead
       case _ =>
-        // first build, or the compact floor passed the watermark (the
-        // per-tx window below it no longer exists): full recompute of
-        // the pinned snapshot
+        // first build; compact floor past the watermark; meta missing
+        // or undecidable gaps: full recompute of the pinned snapshot
         aggregated(withGroups(store.scanAsOf(head)))
     }
-    val genDir = new Path(path, s"gen_$head")
+    writeGen(newHead, next, floor, recents)
+    newHead
+  }
+
+  /** Write `gen_<tx>` + its gap-run meta, then GC superseded gens. */
+  private def writeGen(tx: Long, next: DataFrame, floor: Long,
+                       recents: Array[Long]): Unit = {
+    val genDir = new Path(path, s"gen_$tx")
     next.write.mode("overwrite").parquet(genDir.toString)
+    writeMeta(genDir, gapRuns(floor, tx, recents))
     // GC superseded generations only AFTER the new one is adopted
-    val keep = genDir.getName
     fs.listStatus(new Path(path)).foreach { s =>
       if (s.isDirectory && s.getPath.getName.startsWith("gen_") &&
-          s.getPath.getName != keep)
+          s.getPath.getName != genDir.getName)
         fs.delete(s.getPath, true)
     }
-    head
+  }
+
+  /** Maximal runs of ids in (floor, watermark] NOT committed at
+    * snapshot time — reserved-but-unjournaled ids a later refresh must
+    * watch for. O(#gap runs), typically empty.
+    */
+  private def gapRuns(floor: Long, watermark: Long,
+                      recents: Array[Long]): Seq[(Long, Long)] = {
+    val runs = Seq.newBuilder[(Long, Long)]
+    var expect = floor + 1
+    recents.iterator.takeWhile(_ <= watermark).foreach { id =>
+      if (id > expect) runs += ((expect, id - 1))
+      expect = id + 1
+    }
+    if (expect <= watermark) runs += ((expect, watermark))
+    runs.result()
+  }
+
+  private def metaPath(genDir: Path) = new Path(genDir, "_graft_view_meta.json")
+
+  private def writeMeta(genDir: Path, gaps: Seq[(Long, Long)]): Unit = {
+    val json = gaps.map { case (lo, hi) => s"[$lo,$hi]" }
+      .mkString("""{"gaps":[""", ",", "]}")
+    val out = fs.create(metaPath(genDir), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The generation's recorded gap runs; None for a torn/legacy gen
+    * (treated as undecidable → full recompute).
+    */
+  private def readMeta(genDir: Path): Option[Seq[(Long, Long)]] = {
+    val p = metaPath(genDir)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val raw = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    val pairs = """\[(-?\d+),(-?\d+)\]""".r
+      .findAllMatchIn(raw.dropWhile(_ != '[').drop(1))
+      .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+    Some(pairs)
   }
 }

@@ -120,6 +120,32 @@ class IncrementalViewSpec extends SparkSpec {
       Set("gen_2"), gens.mkString(", "))
   }
 
+  test("an out-of-order committer (lower tx journals AFTER a higher one) " +
+      "is detected via the recorded gap runs and repaired on the next " +
+      "refresh — never silently stale") {
+    val st = VersionedCandleStore(spark, tmpDir("ivo") + "/v")
+    val v = view(st, tmpDir("ivo-view"))
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()) // tx 1
+    // reserve + stage tx 2 but do NOT journal it yet — the cross-store
+    // tx / slow-committer shape the store explicitly supports
+    val (tx2, written) = st.prepareDataCommit(
+      Seq(c("ETH", "2022-01-02 09:00:00", 5)).toDF(), None)
+    st.commit(Seq(c("SOL", "2022-01-03 08:00:00", 7)).toDF()) // tx 3
+    assert(v.refresh() == 3L) // watermark 3, gap run [2,2] recorded
+    assert(v.read().where($"code" === "ETH").count() == 0,
+      "the unjournaled tx must be invisible")
+    st.finalizeDataCommit(tx2, written, None, None) // tx 2 journals LATE
+    // head is still 3 — a naive changes-above-watermark refresh would
+    // no-op here forever; the gap check must widen the window instead
+    assert(v.refresh() == 3L)
+    assert(rows(v.read()) == rows(full(st)))
+    assert(v.read().where($"code" === "ETH").count() == 1,
+      "the late tx's group must appear after the repair refresh")
+    // the repair is once: the re-written gen has no gaps left
+    assert(v.refresh() == 3L)
+    assert(rows(v.read()) == rows(full(st)))
+  }
+
   test("content-derived group expressions are refused at construction " +
       "(a tombstone's zeroed content cannot recover its old group)") {
     val st = VersionedCandleStore(spark, tmpDir("ivr") + "/v")
