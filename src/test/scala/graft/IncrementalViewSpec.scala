@@ -146,6 +146,46 @@ class IncrementalViewSpec extends SparkSpec {
     assert(rows(v.read()) == rows(full(st)))
   }
 
+  test("a live versioned-ingest stream with a per-batch refresh keeps the " +
+      "view exact at EVERY micro-batch (the streaming MV loop)") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = VersionedCandleStore(spark, tmpDir("ivs") + "/v")
+    val v = view(st, tmpDir("ivs-view"))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Double)]
+    val perBatchExact = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val q = stream.toDF().toDF("code", "t", "o").writeStream
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("ivs-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          st.commit(b.select(lit("UPBIT").as("market"), col("code"),
+            lit(60).as("candle_length"),
+            col("t").cast("timestamp").as("ts"),
+            col("o").as("open"), (col("o") + 1).as("high"),
+            (col("o") - 1).as("low"), (col("o") + 0.5).as("close"),
+            lit(10.0).as("volume"), lit(0L).as("bit_fields")),
+            batchId = Some(id))
+          v.refresh()
+          perBatchExact.add(rows(v.read()) == rows(full(st)))
+          ()
+        }
+      }.start()
+    stream.addData(("BTC", "2022-01-01 10:00:00", 1.0),
+      ("ETH", "2022-01-02 09:00:00", 2.0))
+    q.processAllAvailable()
+    stream.addData(("BTC", "2022-01-01 10:00:00", 9.0), // update
+      ("SOL", "2022-01-03 08:00:00", 3.0))              // new group
+    q.processAllAvailable()
+    stream.addData(("BTC", "2022-01-04 11:00:00", 4.0)) // new day
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(perBatchExact.asScala.toSeq == Seq(true, true, true),
+      s"view diverged mid-stream: ${perBatchExact.asScala.toSeq}")
+    assert(v.watermark() == 3L)
+  }
+
   test("content-derived group expressions are refused at construction " +
       "(a tombstone's zeroed content cannot recover its old group)") {
     val st = VersionedCandleStore(spark, tmpDir("ivr") + "/v")
