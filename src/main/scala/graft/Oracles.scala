@@ -1185,6 +1185,16 @@ object Oracles {
            round(volume + CASE WHEN hour(ts) % 3 = 2 THEN 1 ELSE 0 END,
              4) AS volume
          FROM a WHERE hour(ts) % 3 <> 1""",
+    // qAA: key-moving UPDATE — the hour%4=3 rows' ts shifted +30min
+    // (new keys), everything else untouched.
+    "qAA_vstore_update_move" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")})
+         SELECT code,
+           CASE WHEN hour(ts) % 4 = 3 THEN ts + INTERVAL 30 MINUTE
+                ELSE ts END AS ts,
+           round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume
+         FROM a""",
     // qA8: the incrementally-refreshed view == a full GROUP BY over the
     // end state (A then B last-wins, minus the hour%3=1 tombstoned
     // keys) — per (code, day): count, rounded sum(volume), max(close).

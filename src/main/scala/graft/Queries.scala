@@ -1008,6 +1008,34 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
+  private val moveDmlCache = fixtureCache[String]()
+
+  /** Build (once per sfDir) a versioned store whose second statement is
+    * a KEY-MOVING SQL UPDATE (round 16, qAA): batch A (`%3<>0` hourly
+    * candles) commits, then `UPDATE … SET ts = ts + INTERVAL 30 MINUTE
+    * WHERE hour(ts) % 4 = 3` moves every matched row to a new fold key
+    * — old keys tombstoned and rewritten rows inserted in ONE tx (the
+    * hourly grid has no :30 keys, so moves collide with nothing). End
+    * state = A with the matched rows' ts shifted — the DuckDB mirror.
+    */
+  private def moveDmlStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
+    val path = moveDmlCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qmovedml").toString
+      val p = s"$base/v"
+      val ev = T.events(s, d)
+      val st = graft.store.VersionedCandleStore(s, p)
+      st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      // prefix UNIQUE per fixture ("gvw") — see condDeleteStore's note
+      val cat = "gvw" + (ek(d).hashCode & 0x7fffffff)
+      setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
+      setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"UPDATE $cat.v SET ts = ts + INTERVAL '30' MINUTE " +
+        "WHERE hour(ts) % 4 = 3")
+      p
+    })
+    graft.store.VersionedCandleStore(s, path)
+  }
+
   private val incViewCache = fixtureCache[(String, String)]()
 
   private def mkIncView(s: SparkSession, st: graft.store.VersionedCandleStore,
@@ -1480,6 +1508,16 @@ object Queries {
     // hour%3=1 rows with the hour%3=2 rows' content rewritten.
     "qA9_vstore_sql_dml" -> ((s, d) => {
       sqlDmlStore(s, d).scan()
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // KEY-MOVING SQL UPDATE (round 16): matched rows move to new fold
+    // keys — old keys tombstoned + rewritten rows inserted in one tx;
+    // the latest fold must equal A with the hour%4=3 rows' ts shifted.
+    "qAA_vstore_update_move" -> ((s, d) => {
+      moveDmlStore(s, d).scan()
         .select(col("code"), col("ts"),
           Portable.round(col("open"), 4).as("open"),
           Portable.round(col("close"), 4).as("close"),

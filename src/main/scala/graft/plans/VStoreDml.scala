@@ -31,9 +31,12 @@ import graft.store.{CandleStore, VersionedCandleStore}
   *    (vstore) / ONE crash-atomic upsert (candle) — semantically an
   *    upsert of the rewritten rows, which is exactly the reference's
   *    write primitive (`page/page.go:114-123`). Fold-key assignments
-  *    (market, code, candle_length, ts) are refused — a keyed upsert
-  *    cannot MOVE a row, and silently leaving the old key in place is
-  *    the one wrong answer; `year` is refused too (derived from ts).
+  *    (market, code, candle_length, ts) MOVE rows: on the VERSIONED
+  *    store the move lowers to tombstone-old-key + insert-new-key in
+  *    one tx (see [[VStoreUpdateCommand]]); the plain candle store has
+  *    no tombstones, so it refuses key assignments — silently leaving
+  *    the old key in place is the one wrong answer. `year` is refused
+  *    on both (derived from ts).
   *
   * Conditions and assignment values must be deterministic and
   * subquery-free (rewrite a subquery delete/update as `MERGE … USING
@@ -65,12 +68,14 @@ case class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
       val t = vstoreOf(target).get
       lensGuard(t, "UPDATE")
       VStoreUpdateCommand(t.path,
-        validateAssignments(assignments, condition), condition)
+        validateAssignments(assignments, condition, allowKeyMove = true),
+        condition)
     case u @ UpdateTable(target, assignments, condition)
         if u.resolved && candleOf(target).isDefined =>
       val t = candleOf(target).get
       CandleUpdateCommand(t.path,
-        validateAssignments(assignments, condition), condition)
+        validateAssignments(assignments, condition, allowKeyMove = false),
+        condition)
   }
 
   private def lensGuard(t: VStoreTable, stmt: String): Unit =
@@ -81,18 +86,24 @@ case class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def validateAssignments(
       assignments: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment],
-      condition: Option[Expression]): Seq[(String, Expression)] = {
+      condition: Option[Expression],
+      allowKeyMove: Boolean): Seq[(String, Expression)] = {
     condition.foreach(validateExpr(_, "UPDATE condition"))
-    val frozen = (graft.model.Candle.keyCols ++ Seq("ts", "year")).toSet
+    val keys = (graft.model.Candle.keyCols :+ "ts").toSet
     assignments.map { a =>
       val name = a.key match {
         case ar: AttributeReference => ar.name.toLowerCase
         case other => fail(s"UPDATE assigns non-column ${other.sql}")
       }
-      if (frozen(name))
-        fail(s"UPDATE may not assign $name — fold-key columns cannot " +
-          "move under a keyed upsert (delete + re-insert via two " +
-          "statements or MERGE), and year derives from ts")
+      if (name == "year")
+        fail("UPDATE may not assign year — it derives from ts")
+      // fold-key assignments MOVE rows: the versioned store lowers the
+      // move to tombstone-old-key + insert-new-key in ONE tx; the plain
+      // candle store has no tombstones, so it keeps refusing
+      if (keys(name) && !allowKeyMove)
+        fail(s"UPDATE may not assign $name on graft-candles — a keyed " +
+          "upsert cannot move a row and the plain store has no " +
+          "tombstones (the VERSIONED store supports key-moving UPDATE)")
       validateExpr(a.value, s"UPDATE assignment to $name")
       name -> a.value
     }
@@ -182,6 +193,17 @@ case class VStoreDeleteCommand(path: String, condition: Expression)
 /** `UPDATE <vstore> SET … [WHERE …]`: matched rows re-projected and
   * committed as ONE journaled tx (history preserved — as-of before the
   * update reconstructs the old rows). Zero matches journal nothing.
+  *
+  * FOLD-KEY assignments MOVE rows: the matched rows' rewritten
+  * versions insert at their new keys and every key that actually
+  * CHANGED gets a tombstone for its old key — in the SAME tx, with
+  * the new rows ordinally ranked ABOVE the tombstones so a row moving
+  * onto another matched row's vacated key deterministically wins the
+  * within-batch fold. ANSI divergence (the MERGE one): two rows moved
+  * onto one key resolve by last-wins dedup, and a move onto an
+  * EXISTING unmatched key replaces it (keyed-upsert semantics);
+  * `graft.sql.merge.strictSourceCardinality=true` refuses the
+  * duplicate-key batch loudly instead.
   */
 case class VStoreUpdateCommand(path: String,
                                assignments: Seq[(String, Expression)],
@@ -190,12 +212,70 @@ case class VStoreUpdateCommand(path: String,
 
   override def run(session: SparkSession): Seq[Row] = {
     val store = VersionedCandleStore(session, path)
-    // one fold feeds both the zero-match probe and the commit
-    val rows = VStoreDml.updatedRows(store.scan(), store.tableSchema,
-      assignments, condition).localCheckpoint()
-    try if (!rows.isEmpty) store.commit(rows)
-    finally org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(rows)
+    val keyNames = graft.model.Candle.keyCols :+ "ts"
+    val keyAssigns = assignments.filter(a => keyNames.contains(a._1))
+    if (keyAssigns.isEmpty) {
+      // one fold feeds both the zero-match probe and the commit
+      val rows = VStoreDml.updatedRows(store.scan(), store.tableSchema,
+        assignments, condition).localCheckpoint()
+      try if (!rows.isEmpty) store.commit(rows)
+      finally org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(rows)
+      return Seq.empty
+    }
+    // key move: matched rows feed the new rows AND the old-key
+    // tombstones — pin the fold once
+    val matched = condition.foldLeft(store.scan())((df, c) =>
+      df.where(VStoreDml.rebind(c))).localCheckpoint()
+    try {
+      if (!matched.isEmpty) {
+        val newRows = VStoreDml.updatedRows(matched, store.tableSchema,
+          assignments, None)
+        // only keys that actually changed tombstone — a same-key
+        // rewrite must not race its own tombstone in the fold
+        val movedCond = keyAssigns.map { case (n, e) =>
+          val f = store.tableSchema.fields.find(_.name.toLowerCase == n).get
+          !(VStoreDml.rebind(e).cast(f.dataType) <=> col(n))
+        }.reduce(_ || _)
+        val tombstones = matched.where(movedCond)
+          .select(store.tableSchema.fields.map { f =>
+            if (keyNames.contains(f.name.toLowerCase)) col(f.name)
+            else lit(0).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+          .distinct()
+          .withColumn("_deleted", lit(true))
+          // NOT "_ord" — commit() builds its own "_ord" from this column
+          // and drops the caller's name first
+          .withColumn("_move_ord", lit(0L))
+        val batch = newRows
+          .withColumn("_deleted", lit(false)).withColumn("_move_ord", lit(1L))
+          .unionByName(tombstones)
+        strictKeyCheck(session, newRows, keyNames)
+        store.commit(batch, ordinalCol = Some("_move_ord"))
+      }
+    } finally org.apache.spark.sql.graft.ColumnBridge
+      .unpersistCheckpoint(matched)
     Seq.empty
+  }
+
+  /** The MERGE cardinality divergence applied to moves: under
+    * `graft.sql.merge.strictSourceCardinality=true`, two matched rows
+    * rewritten onto ONE fold key refuse loudly instead of last-wins.
+    */
+  private def strictKeyCheck(session: SparkSession,
+                             newRows: org.apache.spark.sql.DataFrame,
+                             keyNames: Seq[String]): Unit = {
+    val strict = session.conf
+      .getOption("graft.sql.merge.strictSourceCardinality")
+      .exists(_.equalsIgnoreCase("true"))
+    if (!strict) return
+    val dup = newRows.groupBy(keyNames.map(col).toIndexedSeq: _*)
+      .count().where(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      VStoreDml.fail("UPDATE moves several rows onto one fold key " +
+        s"(${keyNames.zip(dup.head.toSeq).map { case (k, v) => s"$k=$v" }
+          .mkString(", ")}) — ANSI raises a uniqueness violation here; " +
+        "graft's default lowering resolves it by last-wins dedup. Unset " +
+        "graft.sql.merge.strictSourceCardinality to accept that.")
   }
 }
 

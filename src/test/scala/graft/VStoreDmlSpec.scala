@@ -96,6 +96,55 @@ class VStoreDmlSpec extends SparkSpec {
     spark.sql("UPDATE cd.fresh_dml SET close = 0")
   }
 
+  test("key-moving UPDATE on vstore: rewritten keys insert and vacated " +
+      "keys tombstone in ONE tx; a chain move resolves the contested " +
+      "key to the MOVED row; same-key rewrites tombstone nothing; " +
+      "strict mode refuses fan-in") {
+    val st = VersionedCandleStore(spark, s"$base/d/mv")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("BTC", "2022-01-01 11:00:00", 2),
+      c("ETH", "2021-06-01 00:00:00", 3)).toDF())
+    spark.sql("UPDATE vd.d.mv SET ts = ts + INTERVAL '30' MINUTE " +
+      "WHERE code = 'BTC'")
+    assert(opens(st.scan()) == Map(
+      ("BTC", ts("2022-01-01 10:30:00")) -> 1.0,
+      ("BTC", ts("2022-01-01 11:30:00")) -> 2.0,
+      ("ETH", ts("2021-06-01 00:00:00")) -> 3.0))
+    assert(st.txLog().where($"kind" === "commit").count() == 2,
+      "move + tombstones must be ONE journaled tx")
+    assert(opens(st.scanAsOf(1L)).contains(("BTC", ts("2022-01-01 10:00:00"))))
+    val flagged = st.changesSince(1L).where($"_deleted")
+      .select("ts").collect().map(_.getTimestamp(0)).toSet
+    assert(flagged == Set(ts("2022-01-01 10:00:00"), ts("2022-01-01 11:00:00")),
+      "exactly the vacated keys carry tombstones")
+    // CHAIN move: 10:30 lands on 11:30 just as 11:30 vacates it — the
+    // moved row must win the contested key (new rows rank above
+    // tombstones in the within-batch fold)
+    spark.sql("UPDATE vd.d.mv SET ts = ts + INTERVAL '60' MINUTE " +
+      "WHERE code = 'BTC'")
+    assert(opens(st.scan()) == Map(
+      ("BTC", ts("2022-01-01 11:30:00")) -> 1.0,
+      ("BTC", ts("2022-01-01 12:30:00")) -> 2.0,
+      ("ETH", ts("2021-06-01 00:00:00")) -> 3.0))
+    // same-key rewrite: key assigned but value unchanged — no tombstone
+    spark.sql("UPDATE vd.d.mv SET market = market WHERE code = 'ETH'")
+    assert(opens(st.scan()).size == 3)
+    assert(st.changesSince(3L).where($"_deleted").count() == 0,
+      "a key assignment that does not move must tombstone nothing")
+    // strict mode: two rows moved onto ONE key refuse loudly
+    spark.conf.set("graft.sql.merge.strictSourceCardinality", "true")
+    try {
+      val e = intercept[AnalysisException](spark.sql(
+        "UPDATE vd.d.mv SET ts = timestamp'2030-01-01 00:00:00' " +
+          "WHERE code = 'BTC'"))
+      assert(e.getMessage.contains("last-wins"), e.getMessage)
+    } finally spark.conf.unset("graft.sql.merge.strictSourceCardinality")
+    // default: the fan-in dedups to one row at the target key
+    spark.sql("UPDATE vd.d.mv SET ts = timestamp'2030-01-01 00:00:00' " +
+      "WHERE code = 'BTC'")
+    assert(st.scan().where($"code" === "BTC").count() == 1)
+  }
+
   test("refusals are loud: fold-key/year assignment, subquery condition, " +
       "non-deterministic condition, time-travel target") {
     val st = VersionedCandleStore(spark, s"$base/d/no")
@@ -104,9 +153,12 @@ class VStoreDmlSpec extends SparkSpec {
       val e = intercept[AnalysisException](spark.sql(sql))
       assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
     }
-    refused("UPDATE vd.d.no SET ts = ts + INTERVAL '1' MINUTE",
-      "may not assign ts")
-    refused("UPDATE vd.d.no SET code = 'X'", "may not assign code")
+    // key assignments MOVE rows on the vstore (tested below) but the
+    // plain candle store has no tombstones — refused there
+    refused("UPDATE cd.pc_dml SET ts = ts + INTERVAL '1' MINUTE",
+      "may not assign ts on graft-candles")
+    refused("UPDATE cd.pc_dml SET code = 'X'",
+      "may not assign code on graft-candles")
     refused("UPDATE vd.d.no SET year = 1999", "may not assign year")
     refused("DELETE FROM vd.d.no WHERE open > (SELECT avg(open) FROM vd.d.no)",
       "subquery")
