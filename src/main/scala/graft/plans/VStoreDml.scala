@@ -97,6 +97,23 @@ case class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
       }
       if (name == "year")
         fail("UPDATE may not assign year — it derives from ts")
+      // a LITERAL NULL into a fold key is refused here with a real
+      // message; a data-dependent null cannot be decided statically and
+      // trips Spark's own AssertNotNull at run (the analyzer wraps
+      // assignment values for non-nullable targets) — loud either way,
+      // never a silent null-key collapse
+      def strip(x: Expression): Expression = x match {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias => strip(al.child)
+        case n: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull => strip(n.child)
+        case cst: org.apache.spark.sql.catalyst.expressions.Cast => strip(cst.child)
+        case other => other
+      }
+      if (keys(name) && (strip(a.value) match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value == null
+        case _ => false
+      }))
+        fail(s"UPDATE assigns NULL to a fold-key column ($name) — fold " +
+          "keys are non-null")
       // fold-key assignments MOVE rows: the versioned store lowers the
       // move to tombstone-old-key + insert-new-key in ONE tx; the plain
       // candle store has no tombstones, so it keeps refusing
@@ -230,52 +247,52 @@ case class VStoreUpdateCommand(path: String,
       if (!matched.isEmpty) {
         val newRows = VStoreDml.updatedRows(matched, store.tableSchema,
           assignments, None)
-        // only keys that actually changed tombstone — a same-key
+        // null-key safety: literal NULLs refused at analysis
+        // (validateAssignments); data-dependent nulls trip Spark's own
+        // AssertNotNull at run — no probe here can see them (the
+        // analyzer's wrapper makes isNull constant-fold to false)
+        // MERGE's cardinality divergence applied to moves: strict mode
+        // refuses several rows rewritten onto one fold key
+        StrictKeys.duplicate(session, newRows, keyNames).foreach { dupDesc =>
+          VStoreDml.fail(s"UPDATE moves several rows onto one fold key " +
+            s"($dupDesc) — ANSI raises a cardinality/uniqueness " +
+            "violation here; graft's default lowering resolves it by " +
+            "last-wins dedup. Unset " +
+            "graft.sql.merge.strictSourceCardinality to accept that.")
+        }
+        // only keys that actually CHANGED tombstone — a same-key
         // rewrite must not race its own tombstone in the fold
         val movedCond = keyAssigns.map { case (n, e) =>
           val f = store.tableSchema.fields.find(_.name.toLowerCase == n).get
           !(VStoreDml.rebind(e).cast(f.dataType) <=> col(n))
         }.reduce(_ || _)
-        val tombstones = matched.where(movedCond)
-          .select(store.tableSchema.fields.map { f =>
-            if (keyNames.contains(f.name.toLowerCase)) col(f.name)
-            else lit(0).cast(f.dataType).as(f.name)
-          }.toIndexedSeq: _*)
-          .distinct()
-          .withColumn("_deleted", lit(true))
-          // NOT "_ord" — commit() builds its own "_ord" from this column
-          // and drops the caller's name first
-          .withColumn("_move_ord", lit(0L))
-        val batch = newRows
-          .withColumn("_deleted", lit(false)).withColumn("_move_ord", lit(1L))
-          .unionByName(tombstones)
-        strictKeyCheck(session, newRows, keyNames)
-        store.commit(batch, ordinalCol = Some("_move_ord"))
+        val movedKeys = matched.where(movedCond)
+          .select(keyNames.map(col).toIndexedSeq: _*).localCheckpoint()
+        try {
+          if (movedKeys.isEmpty) {
+            // nothing actually moved: a plain content rewrite — do NOT
+            // ship a _deleted column, which would permanently stamp a
+            // never-deleting store tombstone-aware and widen its feed
+            store.commit(newRows)
+          } else {
+            // the canonical tombstone shape (VersionedCandleStore owns
+            // it); no dedup — the fold's rows are key-unique already.
+            // NOT "_ord": commit() builds its own "_ord" from the
+            // ordinal column and drops the caller's name first
+            val tombstones = store.tombstoneRows(movedKeys, dedup = false)
+              .withColumn("_move_ord", lit(0L))
+            val batch = newRows
+              .withColumn("_deleted", lit(false))
+              .withColumn("_move_ord", lit(1L))
+              .unionByName(tombstones)
+            store.commit(batch, ordinalCol = Some("_move_ord"))
+          }
+        } finally org.apache.spark.sql.graft.ColumnBridge
+          .unpersistCheckpoint(movedKeys)
       }
     } finally org.apache.spark.sql.graft.ColumnBridge
       .unpersistCheckpoint(matched)
     Seq.empty
-  }
-
-  /** The MERGE cardinality divergence applied to moves: under
-    * `graft.sql.merge.strictSourceCardinality=true`, two matched rows
-    * rewritten onto ONE fold key refuse loudly instead of last-wins.
-    */
-  private def strictKeyCheck(session: SparkSession,
-                             newRows: org.apache.spark.sql.DataFrame,
-                             keyNames: Seq[String]): Unit = {
-    val strict = session.conf
-      .getOption("graft.sql.merge.strictSourceCardinality")
-      .exists(_.equalsIgnoreCase("true"))
-    if (!strict) return
-    val dup = newRows.groupBy(keyNames.map(col).toIndexedSeq: _*)
-      .count().where(col("count") > 1).limit(1).collect()
-    if (dup.nonEmpty)
-      VStoreDml.fail("UPDATE moves several rows onto one fold key " +
-        s"(${keyNames.zip(dup.head.toSeq).map { case (k, v) => s"$k=$v" }
-          .mkString(", ")}) — ANSI raises a uniqueness violation here; " +
-        "graft's default lowering resolves it by last-wins dedup. Unset " +
-        "graft.sql.merge.strictSourceCardinality to accept that.")
   }
 }
 

@@ -395,23 +395,37 @@ private[plans] object MergeLowering extends PredicateHelper {
     * of resolved by the store's last-wins dedup.
     */
   private def strictCardinalityCheck(session: SparkSession, rows: DataFrame,
-                                     keyNames: Seq[String]): Unit = {
-    val strict = session.conf
-      .getOption("graft.sql.merge.strictSourceCardinality")
-      .exists(_.equalsIgnoreCase("true"))
-    if (!strict) return
-    val dup = rows.groupBy(keyNames.map(col): _*)
-      .count().where(col("count") > 1).limit(1).collect()
-    if (dup.nonEmpty)
+                                     keyNames: Seq[String]): Unit =
+    StrictKeys.duplicate(session, rows, keyNames).foreach { dupDesc =>
       throw new AnalysisException(
         errorClass = "_LEGACY_ERROR_TEMP_0035",
         messageParameters = Map("message" ->
-          ("MERGE INTO graft table: several source rows share fold key " +
-            s"(${keyNames.zip(dup.head.toSeq).map { case (k, v) => s"$k=$v" }
-              .mkString(", ")}) — ANSI MERGE raises a cardinality " +
-            "violation here; graft's default lowering resolves it by " +
-            "last-wins dedup. Unset graft.sql.merge.strictSourceCardinality " +
-            "to accept that, or dedup the source.")))
+          (s"MERGE INTO graft table: several source rows share fold key " +
+            s"($dupDesc) — ANSI MERGE raises a cardinality violation " +
+            "here; graft's default lowering resolves it by last-wins " +
+            "dedup. Unset graft.sql.merge.strictSourceCardinality to " +
+            "accept that, or dedup the source.")))
+    }
+}
+
+/** The opt-in ANSI-divergence probe shared by the MERGE lowering and
+  * the key-moving UPDATE: under
+  * `graft.sql.merge.strictSourceCardinality=true`, returns a
+  * description of one fold key carried by several rows (None when the
+  * mode is off or the batch is key-unique); callers raise their own
+  * statement-specific message.
+  */
+private[plans] object StrictKeys {
+  def duplicate(session: SparkSession, rows: DataFrame,
+                keyNames: Seq[String]): Option[String] = {
+    val strict = session.conf
+      .getOption("graft.sql.merge.strictSourceCardinality")
+      .exists(_.equalsIgnoreCase("true"))
+    if (!strict) return None
+    rows.groupBy(keyNames.map(col).toIndexedSeq: _*)
+      .count().where(col("count") > 1).limit(1).collect().headOption
+      .map(dup => keyNames.zip(dup.toSeq)
+        .map { case (k, v) => s"$k=$v" }.mkString(", "))
   }
 }
 

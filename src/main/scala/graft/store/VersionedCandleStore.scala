@@ -729,17 +729,28 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * machinery as [[commit]] (exactly-once `batchId` replay included).
     */
   def delete(keys: DataFrame, committedAt: Option[Timestamp] = None,
-             batchId: Option[Long] = None): Long = {
-    val batch = keys
+             batchId: Option[Long] = None): Long =
+    commit(tombstoneRows(keys), None, committedAt, batchId)
+
+  /** The canonical tombstone shape for the given `(market, code,
+    * candle_length, ts)` keys: key columns normalized, content zeroed,
+    * `_deleted = true`. ONE definition — [[delete]] and the key-moving
+    * SQL UPDATE lowering both commit this shape. `dedup = false` skips
+    * the distinct for callers whose key frame is unique by
+    * construction (e.g. the latest fold's rows).
+    */
+  private[graft] def tombstoneRows(keys: DataFrame,
+                                   dedup: Boolean = true): DataFrame = {
+    val normalized = keys
       .select(col("market"), col("code"),
         col("candle_length").cast("int").as("candle_length"),
         date_trunc("second", col("ts")).cast("timestamp").as("ts"))
-      .distinct()
-      .withColumn("open", lit(0.0)).withColumn("high", lit(0.0))
-      .withColumn("low", lit(0.0)).withColumn("close", lit(0.0))
+    (if (dedup) normalized.distinct() else normalized)
+      .withColumn("year", year(col("ts"))) // commit re-derives; present so
+      .withColumn("open", lit(0.0)).withColumn("high", lit(0.0)) // unions
+      .withColumn("low", lit(0.0)).withColumn("close", lit(0.0)) // align
       .withColumn("volume", lit(0.0)).withColumn("bit_fields", lit(0L))
       .withColumn("_deleted", lit(true))
-    commit(batch, None, committedAt, batchId)
   }
 
   /** The prior tx of an already-journaled streaming batch — the replay

@@ -131,6 +131,13 @@ class VStoreDmlSpec extends SparkSpec {
     assert(opens(st.scan()).size == 3)
     assert(st.changesSince(3L).where($"_deleted").count() == 0,
       "a key assignment that does not move must tombstone nothing")
+    // …and on a NEVER-deleting store, a no-move key rewrite must not
+    // stamp the tombstone marker (its feed schema stays flagless)
+    val clean = VersionedCandleStore(spark, s"$base/d/mv2")
+    clean.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    spark.sql("UPDATE vd.d.mv2 SET market = market")
+    assert(!clean.changesSince(1L).columns.contains("_deleted"),
+      "a no-move key rewrite must not widen a clean store's feed schema")
     // strict mode: two rows moved onto ONE key refuse loudly
     spark.conf.set("graft.sql.merge.strictSourceCardinality", "true")
     try {
@@ -154,12 +161,19 @@ class VStoreDmlSpec extends SparkSpec {
       assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
     }
     // key assignments MOVE rows on the vstore (tested below) but the
-    // plain candle store has no tombstones — refused there
-    refused("UPDATE cd.pc_dml SET ts = ts + INTERVAL '1' MINUTE",
+    // plain candle store has no tombstones — refused there (own table:
+    // this test must not depend on another test's fixture)
+    graft.store.CandleStore(spark, s"$base/pc_no")
+      .upsert(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    refused("UPDATE cd.pc_no SET ts = ts + INTERVAL '1' MINUTE",
       "may not assign ts on graft-candles")
-    refused("UPDATE cd.pc_dml SET code = 'X'",
+    refused("UPDATE cd.pc_no SET code = 'X'",
       "may not assign code on graft-candles")
     refused("UPDATE vd.d.no SET year = 1999", "may not assign year")
+    // a NULL key assignment would collapse matched rows into one
+    // unaddressable null-key group — refused at run, nothing committed
+    refused("UPDATE vd.d.no SET ts = CAST(NULL AS TIMESTAMP)",
+      "assigns NULL to a fold-key column")
     refused("DELETE FROM vd.d.no WHERE open > (SELECT avg(open) FROM vd.d.no)",
       "subquery")
     refused("UPDATE vd.d.no SET open = 0 WHERE rand() > 0.5",
