@@ -186,6 +186,36 @@ class IncrementalViewSpec extends SparkSpec {
     assert(v.watermark() == 3L)
   }
 
+  test("the view stays exact across SQL DML on the base store: DELETE " +
+      "FROM drops groups and a key-moving UPDATE relocates rows between " +
+      "groups (tombstone + insert in ONE tx through the feed)") {
+    val b = tmpDir("ivq")
+    spark.conf.set("spark.sql.catalog.ivq",
+      classOf[graft.sources.VStoreCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ivq.base", b)
+    val st = VersionedCandleStore(spark, s"$b/v")
+    val v = view(st, tmpDir("ivq-view"))
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("BTC", "2022-01-01 11:00:00", 2),
+      c("ETH", "2022-01-02 09:00:00", 3)).toDF())
+    v.refresh()
+    assert(rows(v.read()) == rows(full(st)))
+    spark.sql("DELETE FROM ivq.v WHERE code = 'ETH'")
+    v.refresh()
+    assert(rows(v.read()) == rows(full(st)))
+    assert(v.read().where($"code" === "ETH").count() == 0)
+    // the move's one tx touches BOTH the vacated day-1 group (via the
+    // tombstones) and the new day-2 group (via the inserted rows)
+    spark.sql("UPDATE ivq.v SET ts = ts + INTERVAL '25' HOUR " +
+      "WHERE code = 'BTC'")
+    v.refresh()
+    assert(rows(v.read()) == rows(full(st)))
+    val days = v.read().where($"code" === "BTC")
+      .select(org.apache.spark.sql.functions.date_format($"day", "yyyy-MM-dd"))
+      .collect().map(_.getString(0)).toSet
+    assert(days == Set("2022-01-02"), days.toString)
+  }
+
   test("content-derived group expressions are refused at construction " +
       "(a tombstone's zeroed content cannot recover its old group)") {
     val st = VersionedCandleStore(spark, tmpDir("ivr") + "/v")
