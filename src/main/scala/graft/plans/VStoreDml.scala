@@ -90,6 +90,15 @@ case class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
       allowKeyMove: Boolean): Seq[(String, Expression)] = {
     condition.foreach(validateExpr(_, "UPDATE condition"))
     val keys = (graft.model.Candle.keyCols :+ "ts").toSet
+    // ANSI requires an error for duplicate SET targets; updatedRows
+    // resolves by `find`, which would otherwise silently apply the FIRST
+    val dupTargets = assignments.flatMap(_.key match {
+      case ar: AttributeReference => Some(ar.name.toLowerCase)
+      case _ => None
+    }).groupBy(identity).collect { case (n, as) if as.length > 1 => n }
+    if (dupTargets.nonEmpty)
+      fail(s"UPDATE assigns ${dupTargets.toSeq.sorted.mkString(", ")} more " +
+        "than once — one assignment per column (ANSI duplicate SET target)")
     assignments.map { a =>
       val name = a.key match {
         case ar: AttributeReference => ar.name.toLowerCase
@@ -219,8 +228,9 @@ case class VStoreDeleteCommand(path: String, condition: Expression)
   * within-batch fold. ANSI divergence (the MERGE one): two rows moved
   * onto one key resolve by last-wins dedup, and a move onto an
   * EXISTING unmatched key replaces it (keyed-upsert semantics);
-  * `graft.sql.merge.strictSourceCardinality=true` refuses the
-  * duplicate-key batch loudly instead.
+  * `graft.sql.merge.strictSourceCardinality=true` refuses BOTH shapes
+  * loudly instead — within-batch key fan-in AND a move onto an
+  * existing key the WHERE did not match.
   */
 case class VStoreUpdateCommand(path: String,
                                assignments: Seq[(String, Expression)],
@@ -259,6 +269,26 @@ case class VStoreUpdateCommand(path: String,
             "violation here; graft's default lowering resolves it by " +
             "last-wins dedup. Unset " +
             "graft.sql.merge.strictSourceCardinality to accept that.")
+        }
+        // …and a move onto an EXISTING key the WHERE did not match —
+        // ANSI raises a uniqueness violation there too; the default
+        // lowering replaces that row (keyed-upsert semantics)
+        if (StrictKeys.enabled(session)) {
+          val latest = store.keyRowsAsOf(Long.MaxValue)
+            .select(keyNames.map(col).toIndexedSeq: _*)
+          val unmatchedExisting = latest.join(
+            matched.select(keyNames.map(col).toIndexedSeq: _*),
+            keyNames, "left_anti")
+          newRows.select(keyNames.map(col).toIndexedSeq: _*)
+            .join(unmatchedExisting, keyNames, "left_semi")
+            .limit(1).collect().headOption.foreach { r =>
+              VStoreDml.fail("UPDATE moves a row onto an EXISTING fold " +
+                s"key the WHERE did not match (${keyNames.zip(r.toSeq)
+                  .map { case (k, v) => s"$k=$v" }.mkString(", ")}) — ANSI " +
+                "raises a uniqueness violation; graft's default lowering " +
+                "replaces that row (keyed-upsert semantics). Unset " +
+                "graft.sql.merge.strictSourceCardinality to accept that.")
+            }
         }
         // only keys that actually CHANGED tombstone — a same-key
         // rewrite must not race its own tombstone in the fold

@@ -416,12 +416,13 @@ private[plans] object MergeLowering extends PredicateHelper {
   * statement-specific message.
   */
 private[plans] object StrictKeys {
+  def enabled(session: SparkSession): Boolean = session.conf
+    .getOption("graft.sql.merge.strictSourceCardinality")
+    .exists(_.equalsIgnoreCase("true"))
+
   def duplicate(session: SparkSession, rows: DataFrame,
                 keyNames: Seq[String]): Option[String] = {
-    val strict = session.conf
-      .getOption("graft.sql.merge.strictSourceCardinality")
-      .exists(_.equalsIgnoreCase("true"))
-    if (!strict) return None
+    if (!enabled(session)) return None
     rows.groupBy(keyNames.map(col).toIndexedSeq: _*)
       .count().where(col("count") > 1).limit(1).collect().headOption
       .map(dup => keyNames.zip(dup.toSeq)

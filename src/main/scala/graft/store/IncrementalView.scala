@@ -46,11 +46,23 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * Storage is a generation directory per refresh
   * (`<path>/gen_<headTx>`, `_SUCCESS`-gated like every other
   * generation in this engine): adoption is the highest successful
-  * generation, a torn write is invisible, a retry overwrites it, and
-  * older generations are GC'd after the new one lands. The view is
+  * generation, a torn write is invisible, and a retry writes a FRESH
+  * directory — a late-commit repair of the same watermark lands as
+  * `gen_<tx>_r<k>` (adoption orders by (tx, repair rev)), so the
+  * previously adopted state survives any torn write. GC after a
+  * successful refresh retains the single immediately superseded
+  * generation (a DataFrame already resolved by `read()` survives one
+  * subsequent refresh — the store's own compaction convention) and
+  * deletes everything older, torn leftovers included. The view is
   * aggregate-sized (groups, not rows), so a full rewrite per refresh
   * is the cheap side of the trade — the INCREMENTAL part is what is
   * read from the 100 TB base, not what is written to the view.
+  *
+  * Mutual exclusion: concurrent `refresh()`es are excluded by an
+  * atomic `_refresh.lock` (two interleaved refreshers would GC each
+  * other's generations mid-write); a lock left by a hard-killed
+  * refresher is cleared with [[breakStaleLock]] — same discipline as
+  * [[VersionedCandleStore.compact]].
   */
 final class IncrementalView(
     spark: SparkSession,
@@ -120,24 +132,33 @@ final class IncrementalView(
   private def fs = new Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (watermark, generation dir) of the adopted view state: the
-    * highest `gen_<tx>` with `_SUCCESS` — torn refresh writes are
-    * invisible by construction.
+  private val GenName = "gen_(\\d+)(?:_r(\\d+))?".r
+
+  /** Every `gen_*` directory as (watermark tx, repair rev, dir,
+    * adopted?) — adopted means `_SUCCESS`-gated.
     */
-  private def adoptedGen(): Option[(Long, Path)] = {
+  private def listGens(): Seq[(Long, Long, Path, Boolean)] = {
     val root = new Path(path)
-    if (!fs.exists(root)) return None
+    if (!fs.exists(root)) return Seq.empty
     fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen_"))
+      .filter(_.isDirectory)
       .flatMap { s =>
-        val tx = s.getPath.getName.stripPrefix("gen_")
-        if (tx.forall(_.isDigit) && tx.nonEmpty &&
-            fs.exists(new Path(s.getPath, "_SUCCESS")))
-          Some(tx.toLong -> s.getPath)
-        else None
+        s.getPath.getName match {
+          case GenName(tx, rev) =>
+            Some((tx.toLong, Option(rev).map(_.toLong).getOrElse(0L),
+              s.getPath, fs.exists(new Path(s.getPath, "_SUCCESS"))))
+          case _ => None
+        }
       }
-      .sortBy(_._1).lastOption
   }
+
+  /** (watermark, generation dir) of the adopted view state: the
+    * highest (tx, repair rev) with `_SUCCESS` — torn refresh writes
+    * are invisible by construction.
+    */
+  private def adoptedGen(): Option[(Long, Path)] =
+    listGens().filter(_._4).sortBy(g => (g._1, g._2)).lastOption
+      .map(g => (g._1, g._3))
 
   /** The view's current contents. Refuses before the first refresh. */
   def read(): DataFrame = adoptedGen() match {
@@ -164,6 +185,26 @@ final class IncrementalView(
     * full recompute, never to silence.
     */
   def refresh(): Long = {
+    val f = fs
+    f.mkdirs(new Path(path))
+    val lock = new Path(path, "_refresh.lock")
+    if (!VersionedCandleStore.tryCreate(f, lock))
+      throw new IllegalStateException(s"another refresh holds $lock " +
+        "(breakStaleLock() if its owner died hard)")
+    try refreshLocked() finally { f.delete(lock, false); () }
+  }
+
+  /** Remove a `_refresh.lock` left by a refresher that died hard (finally
+    * blocks never ran). Safe only when no live refresh is running — the
+    * same contract as [[VersionedCandleStore.breakStaleLock]]. Returns
+    * true if a lock was removed.
+    */
+  def breakStaleLock(): Boolean = {
+    val lock = new Path(path, "_refresh.lock")
+    fs.exists(lock) && fs.delete(lock, false)
+  }
+
+  private def refreshLocked(): Long = {
     // ONE journal read pins the snapshot: head, the squash floor that
     // decides whether the change window still exists, and the
     // committed-id set the gate and the gap check both ride
@@ -215,16 +256,13 @@ final class IncrementalView(
             }
           val recomputed = aggregated(withGroups(base)
             .join(broadcast(touched), groupNames.toIndexedSeq, "left_semi"))
-          // a late-commit repair re-writes the SAME generation number:
-          // pin the old view's (aggregate-sized) contents first, or the
-          // write would delete the files its own plan reads
-          val old0 = spark.read.parquet(dir.toString)
-          val old = if (newHead <= last) old0.localCheckpoint() else old0
-          try writeGen(newHead, old
+          // the write lands in a FRESH generation dir (a same-watermark
+          // repair bumps the repair rev) and GC retains the dir this
+          // plan reads — no pinning needed
+          val old = spark.read.parquet(dir.toString)
+          writeGen(newHead, old
             .join(broadcast(touched), groupNames.toIndexedSeq, "left_anti")
             .unionByName(recomputed), floor, recents)
-          finally if (newHead <= last)
-            org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(old)
         } finally org.apache.spark.sql.graft.ColumnBridge
           .unpersistCheckpoint(touched)
         return newHead
@@ -237,17 +275,28 @@ final class IncrementalView(
     newHead
   }
 
-  /** Write `gen_<tx>` + its gap-run meta, then GC superseded gens. */
+  /** Write the refresh result to a FRESH generation dir (`gen_<tx>`,
+    * or `gen_<tx>_r<k>` when that name is taken — the late-commit
+    * repair case), publish its gap-run meta, then GC: every other
+    * generation is deleted EXCEPT the immediately superseded adopted
+    * one, so (a) a torn write here never destroys adopted state, and
+    * (b) a DataFrame resolved by `read()` before this refresh still
+    * executes after it (one-hop retention, the store's compaction
+    * convention).
+    */
   private def writeGen(tx: Long, next: DataFrame, floor: Long,
                        recents: Array[Long]): Unit = {
-    val genDir = new Path(path, s"gen_$tx")
+    val prevAdopted = adoptedGen().map(_._2.getName)
+    val taken = listGens().filter(_._1 == tx)
+    val rev = if (taken.isEmpty) 0L else taken.map(_._2).max + 1L
+    val genDir = new Path(path,
+      if (rev == 0L) s"gen_$tx" else s"gen_${tx}_r$rev")
     next.write.mode("overwrite").parquet(genDir.toString)
     writeMeta(genDir, gapRuns(floor, tx, recents))
-    // GC superseded generations only AFTER the new one is adopted
-    fs.listStatus(new Path(path)).foreach { s =>
-      if (s.isDirectory && s.getPath.getName.startsWith("gen_") &&
-          s.getPath.getName != genDir.getName)
-        fs.delete(s.getPath, true)
+    // GC only AFTER the new generation is adopted; keep one hop back
+    val keep = Set(genDir.getName) ++ prevAdopted
+    listGens().foreach { case (_, _, dir, _) =>
+      if (!keep.contains(dir.getName)) fs.delete(dir, true)
     }
   }
 

@@ -161,20 +161,8 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * tx ids sharing one staging dir). HDFS `create` is atomic on the
     * namenode; object stores would use a conditional put.
     */
-  private def tryCreate(f: FileSystem, p: Path): Boolean = {
-    val resolved = f.makeQualified(p)
-    if (resolved.toUri.getScheme == "file") {
-      val file = new java.io.File(resolved.toUri.getPath)
-      val parent = file.getParentFile
-      if (parent != null) { parent.mkdirs(); () }
-      file.createNewFile()
-    } else
-      try { f.create(p, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException => if (f.exists(p)) false else throw e
-      }
-  }
+  private def tryCreate(f: FileSystem, p: Path): Boolean =
+    VersionedCandleStore.tryCreate(f, p)
 
   // ------------------------------------------------------------------ //
   // Layout versioning                                                  //
@@ -1869,6 +1857,25 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
 object VersionedCandleStore {
   def apply(spark: SparkSession, path: String): VersionedCandleStore =
     new VersionedCandleStore(spark, path)
+
+  /** Atomic create-if-absent — the lock primitive every maintenance op
+    * here rides (local fs: `File.createNewFile`, which is atomic where
+    * HDFS-on-file's create+close is not).
+    */
+  private[graft] def tryCreate(f: FileSystem, p: Path): Boolean = {
+    val resolved = f.makeQualified(p)
+    if (resolved.toUri.getScheme == "file") {
+      val file = new java.io.File(resolved.toUri.getPath)
+      val parent = file.getParentFile
+      if (parent != null) { parent.mkdirs(); () }
+      file.createNewFile()
+    } else
+      try { f.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (f.exists(p)) false else throw e
+      }
+  }
 
   /** Does `path` hold (or mark) a versioned store? — format marker,
     * journal, or a committed generation dir. The catalog's table

@@ -110,14 +110,45 @@ class IncrementalViewSpec extends SparkSpec {
       Array[Byte](1, 2, 3))
     assert(v.watermark() == 1L, "a torn generation must not be adopted")
     assert(rows(v.read()) == rows(full(st)))
+    // a reader resolved BEFORE the next refresh must survive it (one-hop
+    // generation retention, the store's compaction convention)
+    val resolvedEarly = v.read()
     st.commit(Seq(c("ETH", "2022-01-02 09:00:00", 2)).toDF())
     assert(v.refresh() == 2L)
     assert(rows(v.read()) == rows(full(st)))
-    // exactly one generation dir survives (GC removed gen_1 and gen_99)
+    assert(resolvedEarly.count() == 1L,
+      "a pre-refresh reader must still execute after ONE refresh")
+    // the adopted gen + its immediate predecessor survive; the torn
+    // gen_99 is GC'd
     val gens = java.nio.file.Files.list(java.nio.file.Paths.get(viewDir))
       .toArray.map(_.toString).filter(_.contains("gen_"))
     assert(gens.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
-      Set("gen_2"), gens.mkString(", "))
+      Set("gen_1", "gen_2"), gens.mkString(", "))
+    // a third refresh GCs gen_1 (two hops back)
+    st.commit(Seq(c("SOL", "2022-01-03 09:00:00", 3)).toDF())
+    assert(v.refresh() == 3L)
+    val gens2 = java.nio.file.Files.list(java.nio.file.Paths.get(viewDir))
+      .toArray.map(_.toString).filter(_.contains("gen_"))
+    assert(gens2.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+      Set("gen_2", "gen_3"), gens2.mkString(", "))
+  }
+
+  test("concurrent refreshes are excluded by _refresh.lock; a stale lock " +
+      "is broken explicitly") {
+    val st = VersionedCandleStore(spark, tmpDir("ivl") + "/v")
+    val viewDir = tmpDir("ivl-view")
+    val v = view(st, viewDir)
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    // plant the lock a hard-killed refresher would leave behind
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(viewDir))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(viewDir, "_refresh.lock"))
+    val e = intercept[IllegalStateException](v.refresh())
+    assert(e.getMessage.contains("_refresh.lock"), e.getMessage)
+    assert(v.breakStaleLock())
+    assert(!v.breakStaleLock(), "second break finds no lock")
+    assert(v.refresh() == 1L)
+    assert(rows(v.read()) == rows(full(st)))
   }
 
   test("an out-of-order committer (lower tx journals AFTER a higher one) " +
@@ -141,6 +172,13 @@ class IncrementalViewSpec extends SparkSpec {
     assert(rows(v.read()) == rows(full(st)))
     assert(v.read().where($"code" === "ETH").count() == 1,
       "the late tx's group must appear after the repair refresh")
+    // the repair landed in a FRESH revision dir and RETAINED the prior
+    // adopted generation — a torn repair write can never destroy it
+    val vDir = v.path
+    val repGens = java.nio.file.Files.list(java.nio.file.Paths.get(vDir))
+      .toArray.map(_.toString).filter(_.contains("gen_"))
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(repGens == Set("gen_3", "gen_3_r1"), repGens.toString)
     // the repair is once: the re-written gen has no gaps left
     assert(v.refresh() == 3L)
     assert(rows(v.read()) == rows(full(st)))

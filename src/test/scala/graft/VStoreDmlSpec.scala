@@ -152,6 +152,34 @@ class VStoreDmlSpec extends SparkSpec {
     assert(st.scan().where($"code" === "BTC").count() == 1)
   }
 
+  test("strict mode also refuses a move onto an EXISTING key the WHERE " +
+      "did not match (ANSI uniqueness); default replaces it (keyed upsert)") {
+    val st = VersionedCandleStore(spark, s"$base/d/mv3")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("BTC", "2022-01-01 11:00:00", 2)).toDF())
+    spark.conf.set("graft.sql.merge.strictSourceCardinality", "true")
+    try {
+      val e = intercept[AnalysisException](spark.sql(
+        "UPDATE vd.d.mv3 SET ts = ts + INTERVAL '60' MINUTE " +
+          "WHERE ts = timestamp'2022-01-01 10:00:00'"))
+      assert(e.getMessage.contains("EXISTING fold key"), e.getMessage)
+      assert(opens(st.scan()).size == 2 &&
+        st.txLog().where($"kind" === "commit").count() == 1,
+        "the refused move must not have committed")
+      // a move onto a VACATED matched key stays allowed under strict
+      // (both rows shift; no unmatched collision, no within-batch dup)
+      spark.sql("UPDATE vd.d.mv3 SET ts = ts + INTERVAL '60' MINUTE")
+      assert(opens(st.scan()) == Map(
+        ("BTC", ts("2022-01-01 11:00:00")) -> 1.0,
+        ("BTC", ts("2022-01-01 12:00:00")) -> 2.0))
+    } finally spark.conf.unset("graft.sql.merge.strictSourceCardinality")
+    // default mode: the same collision replaces the unmatched row
+    spark.sql("UPDATE vd.d.mv3 SET ts = ts + INTERVAL '60' MINUTE " +
+      "WHERE ts = timestamp'2022-01-01 11:00:00'")
+    assert(opens(st.scan()) == Map(
+      ("BTC", ts("2022-01-01 12:00:00")) -> 1.0))
+  }
+
   test("refusals are loud: fold-key/year assignment, subquery condition, " +
       "non-deterministic condition, time-travel target") {
     val st = VersionedCandleStore(spark, s"$base/d/no")
@@ -170,6 +198,7 @@ class VStoreDmlSpec extends SparkSpec {
     refused("UPDATE cd.pc_no SET code = 'X'",
       "may not assign code on graft-candles")
     refused("UPDATE vd.d.no SET year = 1999", "may not assign year")
+    refused("UPDATE vd.d.no SET open = 1, open = 2", "more than once")
     // a NULL key assignment would collapse matched rows into one
     // unaddressable null-key group — refused at run, nothing committed
     refused("UPDATE vd.d.no SET ts = CAST(NULL AS TIMESTAMP)",
