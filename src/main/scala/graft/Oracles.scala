@@ -1195,6 +1195,14 @@ object Oracles {
            round(open, 4) AS open, round(close, 4) AS close,
            round(volume, 4) AS volume
          FROM a""",
+    // qAB: SQL-only maintenance — compact/checkpoint/vacuum must leave
+    // the two-batch last-wins end state untouched, with the squash
+    // floor at tx 2 (two commits, then the squash).
+    "qAB_sql_maintenance" ->
+      s"""$storeEndState
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume, CAST(2 AS BIGINT) AS squash_floor_tx
+         FROM r WHERE rn = 1""",
     // qA8: the incrementally-refreshed view == a full GROUP BY over the
     // end state (A then B last-wins, minus the hour%3=1 tombstoned
     // keys) — per (code, day): count, rounded sum(volume), max(close).

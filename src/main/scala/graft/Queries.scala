@@ -1036,6 +1036,43 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
+  private val maintStoreCache = fixtureCache[String]()
+
+  /** Build (once per sfDir) a versioned store maintained through SQL
+    * ONLY (round 17, qAB): batches A then B commit (last-wins on shared
+    * keys), then `CALL <cat>.system.compact` squashes history to one
+    * version per key (atomic generation swap, floor = 2),
+    * `CALL …checkpoint_journal` rolls the journal tails into one file,
+    * and `CALL …vacuum(min_age_ms => 0)` sweeps debris — the
+    * maintenance surface a SQL-only operator needs ([[graft.sources
+    * .MaintenanceProcedure]]). The graded read is the post-maintenance
+    * catalog read plus the squash floor observed via `CALL …history`
+    * — both must match the two-batch last-wins DuckDB mirror with
+    * floor 2 exactly.
+    */
+  private def maintStore(s: SparkSession, d: String): String = {
+    maintStoreCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qmaint").toString
+      val ev = T.events(s, d)
+      val st = graft.store.VersionedCandleStore(s, s"$base/v")
+      st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      st.commit(eventCandles(ev.where(col("event_id") % 3 === 0)))
+      // prefix UNIQUE per fixture ("gvt") — see condDeleteStore's note
+      val cat = maintCat(s, d, base)
+      s.sql(s"CALL $cat.system.compact('v')")
+      s.sql(s"CALL $cat.system.checkpoint_journal('v')")
+      s.sql(s"CALL $cat.system.vacuum('v', min_age_ms => 0)")
+      base
+    })
+  }
+
+  private def maintCat(s: SparkSession, d: String, base: String): String = {
+    val cat = "gvt" + (ek(d).hashCode & 0x7fffffff)
+    setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
+    setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
+    cat
+  }
+
   private val incViewCache = fixtureCache[(String, String)]()
 
   private def mkIncView(s: SparkSession, st: graft.store.VersionedCandleStore,
@@ -1522,6 +1559,21 @@ object Queries {
           Portable.round(col("open"), 4).as("open"),
           Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // SQL-ONLY MAINTENANCE (round 17): compact + checkpoint_journal +
+    // vacuum run as CALL procedures on the vstore catalog; the
+    // post-maintenance catalog read must equal the two-batch last-wins
+    // mirror, and the squash floor observed via CALL history must be
+    // exactly tx 2 — proving the squash journaled and changed nothing.
+    "qAB_sql_maintenance" -> ((s, d) => {
+      val cat = maintCat(s, d, maintStore(s, d))
+      val floor = s.sql(s"CALL $cat.system.history('v')")
+        .where(col("kind") === "compact")
+        .agg(max(col("tx_id"))).head().getLong(0)
+      s.sql(
+        s"""SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume FROM $cat.v""")
+        .withColumn("squash_floor_tx", lit(floor))
     }),
     // INCREMENTAL MATERIALIZED VIEW (round 16): after upserts + deletes
     // land, refresh() re-aggregates ONLY the touched (code, day) groups

@@ -57,6 +57,13 @@ final class CandleCatalog extends DirTableCatalog {
 
   override protected def stampEmpty(dir: String): Unit =
     CandleStore.initEmpty(spark, dir)
+
+  /** `CALL <cat>.system.{compact,vacuum,recover}(table, …)` — the SQL
+    * face of the plain store's maintenance APIs (see
+    * [[MaintenanceProcedure]]).
+    */
+  override protected def maintenanceProcedures: Seq[MaintenanceProcedure] =
+    MaintenanceProcedure.candleProcedures(resolveTableArg)
 }
 
 private[graft] object CandleTable {

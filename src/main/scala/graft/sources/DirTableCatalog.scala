@@ -5,9 +5,10 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{AnalysisException, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -29,10 +30,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * own open defers all data IO).
   */
 private[sources] abstract class DirTableCatalog
-  extends TableCatalog with SupportsNamespaces {
+  extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   /** Human-facing format name for error messages (e.g. "graft-vstore"). */
   protected def formatName: String
+  /** This catalog's SQL maintenance procedures (`CALL <cat>.system.…`). */
+  protected def maintenanceProcedures: Seq[MaintenanceProcedure]
   /** True iff `p` is a store directory of this catalog's format. */
   protected def isTableDir(f: FileSystem, p: Path): Boolean
   /** The planning table for a verified store directory. */
@@ -145,6 +148,52 @@ private[sources] abstract class DirTableCatalog
     val parent = dst.getParent
     if (parent != null) { f.mkdirs(parent); () }
     require(f.rename(src, dst), s"rename $src -> $dst failed")
+  }
+
+  // ---------------------------- procedures -------------------------- //
+
+  /** Resolve a procedure's dotted table argument (`'ns1.ns2.tbl'`,
+    * catalog-relative) to its store directory through the SAME
+    * format-predicate guard as reads — a foreign or missing directory
+    * refuses, never gets maintained.
+    */
+  protected def resolveTableArg(table: String): String = {
+    val parts = table.split('.').toSeq.filter(_.nonEmpty)
+    if (parts.isEmpty)
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_0035",
+        messageParameters = Map("message" ->
+          s"$formatName procedure: empty table name"))
+    storeDir(Identifier.of(parts.init.toArray, parts.last))
+  }
+
+  /** Maintenance procedures live in the `system` namespace (the Iceberg
+    * `CALL cat.system.proc(...)` convention); the bare
+    * `CALL cat.proc(...)` form resolves too.
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val ns = ident.namespace.toSeq
+    val known = maintenanceProcedures.map(_.name()).sorted
+    if (ns.nonEmpty && ns != Seq("system"))
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_0035",
+        messageParameters = Map("message" ->
+          (s"$formatName procedures live in the 'system' namespace; got " +
+            s"${(ns :+ ident.name).mkString(".")} (known: ${known.mkString(", ")})")))
+    maintenanceProcedures
+      .find(_.name().equalsIgnoreCase(ident.name))
+      .getOrElse(throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_0035",
+        messageParameters = Map("message" ->
+          (s"$formatName has no procedure '${ident.name}' " +
+            s"(known: ${known.mkString(", ")})"))))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && namespace.toSeq != Seq("system"))
+      return Array.empty
+    maintenanceProcedures
+      .map(p => Identifier.of(Array("system"), p.name())).toArray
   }
 
   // ---------------------------- namespaces -------------------------- //

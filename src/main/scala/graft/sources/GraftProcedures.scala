@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.store.{CandleStore, VersionedCandleStore}
+
+/** SQL maintenance statements for graft catalog tables, as DataSource
+  * V2 stored procedures (Spark's own `CALL` machinery — the Iceberg
+  * `CALL cat.system.proc(...)` shape; Delta ships the same surface as
+  * `VACUUM`/`OPTIMIZE`/`DESCRIBE HISTORY` statements):
+  *
+  * {{{
+  * CALL vstore.system.compact(table => 'markets.btc')
+  * CALL vstore.system.vacuum('markets.btc', min_age_ms => 0)
+  * CALL vstore.system.checkpoint_journal('markets.btc')
+  * CALL vstore.system.history('markets.btc')        -- journal rows
+  * CALL vstore.system.break_stale_lock('markets.btc')
+  * CALL candles.system.compact('markets.btc', max_files_per_partition => 4)
+  * CALL candles.system.vacuum('markets.btc')
+  * CALL candles.system.recover('markets.btc')
+  * SHOW PROCEDURES IN vstore.system
+  * DESCRIBE PROCEDURE vstore.system.compact
+  * }}}
+  *
+  * Before this surface existed, `compact()` / `vacuum()` /
+  * `checkpointJournal()` / `txLog()` were Scala-only
+  * ([[graft.store.VersionedCandleStore]]) — a SQL-only operator could
+  * read and write a fully cataloged table but never maintain it.
+  *
+  * Every procedure takes the table as a dotted catalog-relative name
+  * (`'ns1.ns2.tbl'`) and resolves it through the SAME store-format
+  * predicate as reads ([[DirTableCatalog.storeDir]]) — a foreign
+  * directory reachable through the catalog refuses exactly like a
+  * read would, and is never compacted or vacuumed. All safety fences
+  * of the Scala APIs hold unchanged through SQL: vacuum's
+  * no-pending-cross-tx check and age guard, compaction's
+  * `_compact.lock` mutual exclusion, the loud squash-floor contract.
+  *
+  * Results come back as one-row relations (`squash_floor_tx`,
+  * `removed`, …) — `history` returns the full journal, newest first
+  * (metadata-sized: the journal is one row per COMMIT, not per data
+  * row; collecting it driver-side is the same cost `DESCRIBE HISTORY`
+  * pays on Delta).
+  *
+  * Reference note: mora runs maintenance in-process with no query
+  * surface at all (compaction = the WAL group flush, `wal/wal.go:81-135`);
+  * the SQL surface is this engine's addition, sized to what a Delta /
+  * Iceberg operator expects.
+  */
+private[sources] final class MaintenanceProcedure(
+    procName: String,
+    procDescription: String,
+    params: Seq[ProcedureParameter],
+    resultSchema: StructType,
+    body: InternalRow => Array[InternalRow])
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+  override def description(): String = procDescription
+  // binding is static: the parameter list is fixed, coercion is Spark's
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = params.toArray
+  // maintenance mutates store state — never constant-foldable
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val rows = body(input)
+    java.util.Collections
+      .singletonList[Scan](MaintenanceProcedure.RowsScan(resultSchema, rows))
+      .iterator()
+  }
+}
+
+private[sources] object MaintenanceProcedure {
+  /** Driver-local result relation: Spark's `InvokeProcedures` turns a
+    * [[LocalScan]] into a `LocalRelation` — the right shape for
+    * metadata-sized maintenance results.
+    */
+  final case class RowsScan(schema: StructType, resultRows: Array[InternalRow])
+    extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = resultRows
+  }
+
+  def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  def inDefault(name: String, dt: DataType, defaultSql: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(defaultSql).build()
+
+  def oneRow(vals: Any*): Array[InternalRow] =
+    Array(new GenericInternalRow(vals.toArray))
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** The versioned-store maintenance set, bound to a resolver that goes
+    * through the owning catalog's store-format guard.
+    */
+  def vstoreProcedures(resolve: String => String): Seq[MaintenanceProcedure] = {
+    def store(input: InternalRow): VersionedCandleStore =
+      VersionedCandleStore(spark, resolve(input.getUTF8String(0).toString))
+    val table = in("table", StringType)
+    Seq(
+      new MaintenanceProcedure("compact",
+        "Squash history to one version per key (atomic generation swap; " +
+          "as-of reads below the returned floor then fail loudly)",
+        Seq(table),
+        StructType(Seq(StructField("squash_floor_tx", LongType, nullable = false))),
+        input => oneRow(store(input).compact())),
+      new MaintenanceProcedure("vacuum",
+        "Remove torn/unjournaled data files and dead reservations older " +
+          "than min_age_ms (default 24h; pass 0 only with no live writers)",
+        Seq(table, inDefault("min_age_ms", LongType, "86400000")),
+        StructType(Seq(StructField("removed", IntegerType, nullable = false))),
+        input => oneRow(store(input).vacuum(input.getLong(1)))),
+      new MaintenanceProcedure("checkpoint_journal",
+        "Roll per-commit journal tails into one checkpoint file; returns " +
+          "the highest tx absorbed",
+        Seq(table),
+        StructType(Seq(StructField("checkpoint_tx", LongType, nullable = false))),
+        input => oneRow(store(input).checkpointJournal())),
+      new MaintenanceProcedure("history",
+        "The commit journal (one row per commit/compaction), newest first " +
+          "- the DESCRIBE HISTORY equivalent",
+        Seq(table),
+        VersionedCandleStore.txLogSchema,
+        input => store(input).txLog().orderBy(col("tx_id").desc)
+          .queryExecution.executedPlan.executeCollect()),
+      new MaintenanceProcedure("break_stale_lock",
+        "Remove a _compact.lock left by a hard-killed maintenance op; " +
+          "safe ONLY when no live compact/vacuum/checkpoint runs",
+        Seq(table),
+        StructType(Seq(StructField("removed", BooleanType, nullable = false))),
+        input => oneRow(store(input).breakStaleLock())))
+  }
+
+  /** The plain-candle-store maintenance set. */
+  def candleProcedures(resolve: String => String): Seq[MaintenanceProcedure] = {
+    def store(input: InternalRow): CandleStore =
+      CandleStore(spark, resolve(input.getUTF8String(0).toString))
+    val table = in("table", StringType)
+    Seq(
+      new MaintenanceProcedure("compact",
+        "Rewrite partitions holding more than max_files_per_partition " +
+          "files back to one sorted run (crash-atomic install)",
+        Seq(table, inDefault("max_files_per_partition", IntegerType, "4")),
+        StructType(Seq(StructField("partitions_compacted", IntegerType, nullable = false))),
+        input => oneRow(store(input).compact(input.getInt(1)))),
+      new MaintenanceProcedure("vacuum",
+        "Remove unpublished staging dirs / orphaned intent tmp files " +
+          "older than min_age_ms (default 1h; refuses under a pending " +
+          "cross-store tx)",
+        Seq(table, inDefault("min_age_ms", LongType, "3600000")),
+        StructType(Seq(StructField("removed", IntegerType, nullable = false))),
+        input => oneRow(store(input).vacuum(input.getLong(1)))),
+      new MaintenanceProcedure("recover",
+        "Roll forward every published-but-incomplete commit intent " +
+          "(also runs implicitly before every scan)",
+        Seq(table),
+        StructType(Seq(StructField("replayed", IntegerType, nullable = false))),
+        input => oneRow(store(input).recover())))
+  }
+}

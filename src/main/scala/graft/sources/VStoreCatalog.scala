@@ -58,6 +58,13 @@ final class VStoreCatalog extends DirTableCatalog {
     ()
   }
 
+  /** `CALL <cat>.system.{compact,vacuum,checkpoint_journal,history,
+    * break_stale_lock}(table, …)` — the SQL face of the store's
+    * maintenance APIs (see [[MaintenanceProcedure]]).
+    */
+  override protected def maintenanceProcedures: Seq[MaintenanceProcedure] =
+    MaintenanceProcedure.vstoreProcedures(resolveTableArg)
+
   /** SQL `VERSION AS OF <txId>` — the catalog form of `asOfTx`. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val tx = version.toLongOption.getOrElse(throw new IllegalArgumentException(

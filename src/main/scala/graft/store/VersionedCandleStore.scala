@@ -216,13 +216,7 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * `min_at` is absent from per-commit tail files (written before this
     * column existed and still written 5-wide) and reads as null.
     */
-  private val txLogSchema = StructType(Seq(
-    StructField("tx_id", LongType, nullable = false),
-    StructField("n_rows", LongType, nullable = false),
-    StructField("committed_at", TimestampType, nullable = true),
-    StructField("kind", StringType, nullable = false),
-    StructField("batch_id", LongType, nullable = true),
-    StructField("min_at", TimestampType, nullable = true)))
+  private def txLogSchema = VersionedCandleStore.txLogSchema
 
   private val TailName = "tx-(\\d{20})-(commit|compact)\\.parquet".r
   private val CheckpointName = "checkpoint-(\\d{20})\\.parquet".r
@@ -1857,6 +1851,17 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
 object VersionedCandleStore {
   def apply(spark: SparkSession, path: String): VersionedCandleStore =
     new VersionedCandleStore(spark, path)
+
+  /** The commit journal's row shape ([[VersionedCandleStore.txLog]]);
+    * shared with the SQL `CALL <catalog>.system.history(...)` surface.
+    */
+  private[graft] val txLogSchema = StructType(Seq(
+    StructField("tx_id", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = true),
+    StructField("kind", StringType, nullable = false),
+    StructField("batch_id", LongType, nullable = true),
+    StructField("min_at", TimestampType, nullable = true)))
 
   /** Atomic create-if-absent — the lock primitive every maintenance op
     * here rides (local fs: `File.createNewFile`, which is atomic where

@@ -128,4 +128,46 @@ class CandleCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cc.markets.doge")
     assert(!new java.io.File(s"$base/markets/doge").exists())
   }
+
+  test("SQL maintenance procedures: CALL system.compact folds crowded " +
+      "partitions, vacuum sweeps stale debris, recover rolls forward — " +
+      "all behind the store-format guard") {
+    val st = CandleStore(spark, s"$base/maint/m1")
+    (1 to 3).foreach { i =>
+      st.upsert(Seq(c("BTC", s"2022-01-01 10:0$i:00", i.toDouble)).toDF())
+    }
+    val before = spark.sql("SELECT ts, open FROM cc.maint.m1 ORDER BY ts")
+      .collect().map(_.mkString("|")).toSeq
+    // threshold 0 forces the rewrite regardless of file census (batch
+    // upserts already leave one merged file; the multi-file census is
+    // CandleStoreSpec's subject — here the SQL plumbing is)
+    assert(spark.sql(
+      "CALL cc.system.compact('maint.m1', max_files_per_partition => 0)")
+      .head().getInt(0) == 1, "one crowded partition rewritten")
+    assert(spark.sql("SELECT ts, open FROM cc.maint.m1 ORDER BY ts")
+      .collect().map(_.mkString("|")).toSeq == before,
+      "compaction must not change query results")
+
+    // vacuum sweeps an unpublished staging dir (age fence waived: 0)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/maint/m1/_staging/dead"))
+    Thread.sleep(5)
+    assert(spark.sql("CALL cc.system.vacuum('maint.m1', min_age_ms => 0)")
+      .head().getInt(0) >= 1)
+
+    // recover: idempotent roll-forward through SQL (clean store: counts
+    // the already-installed intents it re-verified, never fails)
+    assert(spark.sql("CALL cc.system.recover('maint.m1')")
+      .head().getInt(0) >= 0)
+    assert(spark.sql("SELECT count(*) FROM cc.maint.m1").head().getLong(0) == 3L)
+
+    // the candle catalog's procedure set is its own (no vstore-only ops)
+    val e = intercept[Exception](
+      spark.sql("CALL cc.system.checkpoint_journal('maint.m1')"))
+    assert(e.getMessage.contains("no procedure"), e.getMessage)
+    // foreign dir refuses through the same guard as reads
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/maint/notastore"))
+    intercept[Exception](spark.sql("CALL cc.system.compact('maint.notastore')"))
+  }
 }

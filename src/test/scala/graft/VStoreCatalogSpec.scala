@@ -134,6 +134,75 @@ class VStoreCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE vc.markets.sol")
   }
 
+  test("SQL maintenance procedures: CALL system.history/compact/" +
+      "checkpoint_journal/vacuum/break_stale_lock drive the store's " +
+      "maintenance APIs; foreign tables and unknown procedures refuse") {
+    val st = VersionedCandleStore(spark, s"$base/maint/m1")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2),
+      c("ETH", "2021-06-01 00:00:00", 5)).toDF())
+
+    // history == the journal, newest first (the DESCRIBE HISTORY shape)
+    val h = spark.sql("CALL vc.system.history('maint.m1')")
+    assert(h.columns.toSeq == Seq("tx_id", "n_rows", "committed_at",
+      "kind", "batch_id", "min_at"))
+    val hRows = h.select("tx_id", "kind").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hRows == Seq((2L, "commit"), (1L, "commit")), hRows.toString)
+
+    // a stale lock blocks maintenance; break_stale_lock clears it via SQL
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(s"$base/maint/m1/_compact.lock"),
+      false).close()
+    intercept[IllegalStateException](
+      spark.sql("CALL vc.system.compact('maint.m1')"))
+    assert(spark.sql("CALL vc.system.break_stale_lock('maint.m1')")
+      .head().getBoolean(0))
+    assert(!spark.sql("CALL vc.system.break_stale_lock('maint.m1')")
+      .head().getBoolean(0), "second break finds no lock")
+
+    // compact returns the squash floor; reads stay exact; as-of below
+    // the floor now fails loudly (the Scala contract, through SQL)
+    assert(spark.sql("CALL vc.system.compact('maint.m1')")
+      .head().getLong(0) == 2L)
+    assert(st.squashFloorTxId == 2L)
+    assert(opens(spark.sql("SELECT * FROM vc.maint.m1")) == opens(st.scan()))
+    intercept[Exception](
+      spark.sql("SELECT * FROM vc.maint.m1 VERSION AS OF 1").collect())
+    // bare CALL vc.compact(...) resolves too (no-op: already at floor)
+    assert(spark.sql("CALL vc.compact('maint.m1')").head().getLong(0) == 2L)
+
+    // checkpoint rolls the journal tails into one file
+    assert(spark.sql("CALL vc.system.checkpoint_journal('maint.m1')")
+      .head().getLong(0) >= 2L)
+
+    // vacuum sweeps a dead reservation (min_age_ms => 0: no live writers)
+    st.reserveTxId()
+    assert(spark.sql(
+      "CALL vc.system.vacuum('maint.m1', min_age_ms => 0)")
+      .head().getInt(0) >= 1)
+    assert(opens(spark.sql("SELECT * FROM vc.maint.m1")) == opens(st.scan()))
+
+    // discovery surface
+    val listed = spark.sql("SHOW PROCEDURES IN vc.system").collect()
+      .map(_.mkString("|")).mkString("\n")
+    Seq("compact", "vacuum", "checkpoint_journal", "history",
+      "break_stale_lock").foreach(p => assert(listed.contains(p), listed))
+    val desc = spark.sql("DESCRIBE PROCEDURE vc.system.compact").collect()
+      .map(_.mkString("|")).mkString("\n")
+    assert(desc.toLowerCase.contains("squash"), desc)
+
+    // refusals: unknown procedure, wrong namespace, foreign/missing table
+    val e1 = intercept[Exception](spark.sql("CALL vc.system.nope('maint.m1')"))
+    assert(e1.getMessage.contains("no procedure"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql("CALL vc.other.compact('maint.m1')"))
+    assert(e2.getMessage.contains("system"), e2.getMessage)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/maint/notastore"))
+    intercept[Exception](
+      spark.sql("CALL vc.system.compact('maint.notastore')"))
+  }
+
   test("namespace listing walks directories, skips stores") {
     base
     spark.sql("CREATE NAMESPACE IF NOT EXISTS vc.research")
