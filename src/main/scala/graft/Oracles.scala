@@ -1216,6 +1216,20 @@ object Oracles {
          SELECT code, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
            round(sum(volume), 4) AS vol, round(max(close), 4) AS max_close
          FROM live GROUP BY 1, 2""",
+    // qAC: the content-grouped view == a full GROUP BY (code, day,
+    // open-threshold tier) over the end state (A then B last-wins,
+    // minus the hour%3=1 tombstoned keys).
+    "qAC_content_view" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 0")}),
+         u AS (SELECT *, 0 AS src FROM a UNION ALL SELECT *, 1 AS src FROM b),
+         r AS (SELECT *, row_number() OVER (PARTITION BY code, ts
+           ORDER BY src DESC) AS rn FROM u),
+         live AS (SELECT * FROM r WHERE rn = 1 AND hour(ts) % 3 <> 1)
+         SELECT code, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(open >= 50.123 AS INT) AS tier, count(*) AS n,
+           round(sum(volume), 4) AS vol, round(max(close), 4) AS max_close
+         FROM live GROUP BY 1, 2, 3""",
     // qA2: the candle-catalog MERGE end state == q40's two-batch
     // last-wins upsert (batch B lands via two SQL half-merges instead
     // of the Scala upsert; same final table by construction).

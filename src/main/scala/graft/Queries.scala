@@ -1036,6 +1036,49 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
+  private val contentViewCache = fixtureCache[(String, String)]()
+
+  private def mkContentView(s: SparkSession, st: graft.store.VersionedCandleStore,
+                            vp: String): graft.store.IncrementalView =
+    new graft.store.IncrementalView(s, vp, st,
+      Seq("code" -> col("code"), "day" -> to_date(col("ts")),
+        "tier" -> (col("open") >= 50.123).cast("int")),
+      Seq(count(lit(1)).as("n"),
+        Portable.round(sum(col("volume")), 4).as("vol"),
+        Portable.round(max(col("close")), 4).as("max_close")))
+
+  /** Build (once per sfDir) the CONTENT-derived-group twin of
+    * [[incViewStore]] (round 17, qAC): the view groups on a volume
+    * tier computed FROM ROW CONTENT (`open >= 50.123` — a raw stored
+    * double, so the tier is ulp-stable across engines) alongside the
+    * key-derived (code, day). Batch A commits and the view builds;
+    * then batch B upserts (moving keys between tiers where B's open
+    * crosses the threshold) and every `hour(ts) % 3 = 1` key is
+    * tombstone-deleted; the second refresh is the graded path — it
+    * reads the PRE-IMAGE feed ([[graft.store.VersionedCandleStore
+    * .changesSincePre]]) to learn the tier each changed key LEFT
+    * (a tombstone's zeroed content cannot name it), re-aggregates
+    * exactly the touched (code, day, tier) groups, and must equal the
+    * DuckDB full-recompute mirror.
+    */
+  private def contentViewStore(s: SparkSession, d: String): graft.store.IncrementalView = {
+    val (sp, vp) = contentViewCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qcontview").toString
+      val spath = s"$base/v"
+      val vpath = s"$base/view"
+      val ev = T.events(s, d)
+      val st = graft.store.VersionedCandleStore(s, spath)
+      st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      mkContentView(s, st, vpath).refresh()
+      st.commit(eventCandles(ev.where(col("event_id") % 3 === 0)))
+      st.delete(eventCandles(ev).where(hour(col("ts")) % 3 === 1)
+        .select("market", "code", "candle_length", "ts"))
+      mkContentView(s, st, vpath).refresh()
+      (spath, vpath)
+    })
+    mkContentView(s, graft.store.VersionedCandleStore(s, sp), vp)
+  }
+
   private val maintStoreCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a versioned store maintained through SQL
@@ -1584,6 +1627,17 @@ object Queries {
         .select(col("code"),
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n"), col("vol"), col("max_close"))
+    }),
+    // CONTENT-GROUPED INCREMENTAL VIEW (round 17): the view's tier
+    // group derives from row CONTENT, so the refresh reads the
+    // pre-image feed to learn which tier each changed key left —
+    // updates that cross the threshold shrink their old tier, deletes
+    // drop it, and the result must equal a full recompute.
+    "qAC_content_view" -> ((s, d) => {
+      contentViewStore(s, d).read()
+        .select(col("code"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("tier"), col("n"), col("vol"), col("max_close"))
     }),
     // SQL MERGE INTO the PLAIN candle store (round 13): the second
     // upsert batch lands through the MERGE lowering on the candle

@@ -19,13 +19,18 @@ import org.apache.spark.sql.functions.{broadcast, col}
   *     journal read) and asks [[VersionedCandleStore.changesSince]] for
   *     the rows committed after the view's watermark;
   *  2. the DISTINCT group keys of those rows are the only groups whose
-  *     aggregates can have changed — because group expressions are
-  *     validated to reference FOLD-KEY columns only (market, code,
-  *     candle_length, ts, year). An update replaces content at the
-  *     same key (same group); a tombstone carries its key (same
-  *     group). A content-derived group could not be recovered from a
-  *     tombstone's zeroed content, so it is refused at construction,
-  *     never silently stale;
+  *     aggregates can have changed. For KEY-derived group expressions
+  *     (market, code, candle_length, ts, year — all present un-zeroed
+  *     on tombstone rows) the change rows alone suffice. A
+  *     CONTENT-derived group (a price band, a volume tier) additionally
+  *     needs the group a changed key is LEAVING — a tombstone's zeroed
+  *     content cannot name it — so such views read the PRE-IMAGE feed
+  *     ([[VersionedCandleStore.changesSincePre]]): touched groups =
+  *     groups of the window's live rows ∪ groups of the pre-image rows
+  *     (the superseded winners' old content). Tombstone rows themselves
+  *     contribute no group — their old group rides the pre-image, and a
+  *     key born and deleted inside the window is covered by its own
+  *     insert row;
   *  3. exactly those groups are re-aggregated from the pinned
   *     `scanAsOf(head)` — semi-joined on the BROADCAST touched set,
   *     with an `isin` pushdown on plain key-column groups (bounded by
@@ -84,10 +89,11 @@ final class IncrementalView(
   private val keyDerivedCols =
     (graft.model.Candle.keyCols ++ Seq("ts", "year")).toSet
 
-  /** Group columns that are EXACTLY a key column reference — eligible
-    * for the isin scan pushdown (step 3).
+  /** (plain key-column groups eligible for the isin pushdown,
+    * does any group expression read CONTENT columns?) — one analysis
+    * probe serves both.
     */
-  private val plainKeyGroups: Map[String, String] = {
+  private val (plainKeyGroups: Map[String, String], contentGroups: Boolean) = {
     // alias the expressions DIRECTLY (no withColumn indirection) so the
     // top projection's references are the base scan's columns
     val probe = store.scan()
@@ -95,15 +101,10 @@ final class IncrementalView(
     val proj = probe.queryExecution.analyzed.collectFirst {
       case p: Project => p
     }.getOrElse(fail("group expressions did not analyze to a projection"))
-    proj.projectList.zip(groupNames).flatMap { case (ne, n) =>
+    var content = false
+    val plain = proj.projectList.zip(groupNames).flatMap { case (ne, n) =>
       val refs = ne.references.map(_.name.toLowerCase).toSet
-      val bad = refs -- keyDerivedCols
-      if (bad.nonEmpty)
-        fail(s"group expression '$n' references content columns " +
-          s"${bad.toSeq.sorted.mkString(", ")} — a tombstone's content is " +
-          "zeroed, so a content-derived group cannot be maintained " +
-          "incrementally (group on key columns: " +
-          s"${keyDerivedCols.toSeq.sorted.mkString(", ")})")
+      if ((refs -- keyDerivedCols).nonEmpty) content = true
       ne match {
         case a: org.apache.spark.sql.catalyst.expressions.Alias =>
           a.child match {
@@ -114,6 +115,7 @@ final class IncrementalView(
         case _ => None
       }
     }.toMap
+    (plain, content)
   }
 
   private def fail(msg: String): Nothing =
@@ -207,8 +209,10 @@ final class IncrementalView(
   private def refreshLocked(): Long = {
     // ONE journal read pins the snapshot: head, the squash floor that
     // decides whether the change window still exists, and the
-    // committed-id set the gate and the gap check both ride
-    val (floor, recents) = store.journalCommitted()
+    // committed-id set the gate, the gap check, and (for content-derived
+    // groups) the pre-image fold all ride
+    val snapshot = store.journalSnapshot()
+    val (floor, recents) = (snapshot.floor, snapshot.recents.map(_._1))
     val head = if (recents.nonEmpty) recents.max else floor
     if (head == 0L) return watermark() // nothing committed yet
     val current = adoptedGen()
@@ -232,10 +236,19 @@ final class IncrementalView(
     val next: DataFrame = (current, late) match {
       case (Some((last, dir)), Some(lateIds)) if last >= floor =>
         // window (sinceTx, head] against the PINNED snapshot, widened
-        // below any late commit (changesWindow is exclusive below)
+        // below any late commit (changesWindow is exclusive below).
+        // Content-derived groups read the pre-image feed: the groups a
+        // changed key LEAVES come from the superseded winners' content;
+        // tombstone change rows contribute none (zeroed content)
         val sinceTx = lateIds.minOption.map(_ - 1).getOrElse(last)
-        val touched = withGroups(
-            store.changesWindow(sinceTx, head, floor, recents))
+        val feed =
+          if (contentGroups) {
+            val f = store.changesWindowPre(sinceTx, head, snapshot)
+            if (f.columns.contains("_deleted"))
+              f.where(col("_change_kind") === "preimage" || !col("_deleted"))
+            else f
+          } else store.changesWindow(sinceTx, head, floor, recents)
+        val touched = withGroups(feed)
           .select(groupNames.map(col).toIndexedSeq: _*).distinct()
           .localCheckpoint() // feeds the collect + two broadcast joins
         try {

@@ -1546,6 +1546,77 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     }
   }
 
+  /** [[changesSince]] plus PRE-IMAGE rows (Delta-CDF's
+    * `update_preimage` shape, windowed): for every key the window
+    * touches, one extra row carrying the key's WINNING content as of
+    * `sinceTx` — the version the consumer already holds — marked
+    * `_change_kind = 'preimage'`; the window's own rows carry
+    * `_change_kind = 'change'`. One pre-image per key at WINDOW START,
+    * not per commit: intermediate versions inside the window are
+    * already present as change rows, so the window-start image is the
+    * only state a consumer cannot reconstruct from the feed itself.
+    * A key with no committed history at `sinceTx` (inserted inside the
+    * window, or whose winner then was a tombstone) has no pre-image
+    * row.
+    *
+    * This is what lets an incremental consumer maintain CONTENT-derived
+    * state under updates and deletes (see [[IncrementalView]]): a
+    * tombstone's zeroed content cannot name the group it leaves, its
+    * pre-image can. The extra `_change_kind` column exists ONLY on this
+    * surface — the default [[changesSince]] schema is untouched, so
+    * never-consuming readers pay nothing (the `_deleted` widening
+    * discipline).
+    *
+    * Cost: one additional scan of rows at or below `sinceTx`,
+    * semi-joined on the window's (broadcast) touched keys BEFORE the
+    * fold — O(touched keys' history), never a full-store fold.
+    */
+  def changesSincePre(sinceTx: Long, untilTx: Long = Long.MaxValue): DataFrame =
+    changesWindowPre(sinceTx, untilTx, journalState())
+
+  /** Pinned-snapshot body of [[changesSincePre]] — the incremental
+    * view's entry point (one journal read serves the window, the gap
+    * check, and the pre-image gate).
+    */
+  private[store] def changesWindowPre(sinceTx: Long, untilTx: Long,
+                                      state: JournalState): DataFrame = {
+    val tomb = hasTombstones
+    val changes = changesWindow(sinceTx, untilTx, state.floor,
+      state.recents.map(_._1))
+    val changed = changes.withColumn("_change_kind", lit("change"))
+    currentGen() match {
+      case Some((_, genDir)) =>
+        val keyNames = Candle.keyCols :+ "ts"
+        val touchedKeys = changes.select(keyNames.map(col): _*).distinct()
+        // prune the history scan to the touched keys BEFORE folding
+        val raw = spark.read.schema(readSchema(tomb)).parquet(genDir.toString)
+          .where(committedGate(state.admitUpTo(sinceTx)))
+          .join(broadcast(touchedKeys), keyNames, "left_semi")
+        val winner = struct((contentCols.map(col) :+ col("tx_id")) ++
+          (if (tomb) Seq(coalesce(col("_deleted"), lit(false)).as("_deleted"))
+           else Nil): _*)
+        val foldedAll = raw.withColumn("_c", winner)
+          .groupBy((Candle.keyCols ++ Seq("ts", "year")).map(col): _*)
+          .agg(max_by(col("_c"), col("tx_id")).as("_w"))
+        val folded = if (tomb) foldedAll.where(!col("_w._deleted")) else foldedAll
+        val pre0 = folded.select(
+          (Candle.keyCols ++ Seq("ts", "year")).map(col) ++
+            contentCols.map(c => col(s"_w.$c").as(c)) :+
+            col("_w.tx_id").as("tx_id"): _*)
+          .select((scanCols :+ "tx_id").map(col): _*)
+        val pre = (if (tomb) pre0.withColumn("_deleted", lit(false)) else pre0)
+          .withColumn("_change_kind", lit("preimage"))
+        changed.unionByName(pre)
+      case None => changed
+    }
+  }
+
+  /** One pinned journal snapshot for a consumer that needs the window,
+    * the gap math, and the pre-image gate to agree (the incremental
+    * view's refresh).
+    */
+  private[store] def journalSnapshot(): JournalState = journalState()
+
   private def changeSchema(tomb: Boolean): StructType = {
     val base = StructType(
       (scanCols :+ "tx_id").map(n => dataSchema.fields.find(_.name == n).get))

@@ -254,15 +254,92 @@ class IncrementalViewSpec extends SparkSpec {
     assert(days == Set("2022-01-02"), days.toString)
   }
 
-  test("content-derived group expressions are refused at construction " +
-      "(a tombstone's zeroed content cannot recover its old group)") {
-    val st = VersionedCandleStore(spark, tmpDir("ivr") + "/v")
-    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
-    val e = intercept[AnalysisException] {
-      new IncrementalView(spark, tmpDir("ivr-view"), st,
-        Seq("bucket" -> (col("close") > 1).cast("int")),
-        Seq(count(lit(1)).as("n")))
-    }
-    assert(e.getMessage.contains("content columns"), e.getMessage)
+  test("CONTENT-derived groups maintain incrementally via the pre-image " +
+      "feed: an update moves a row between volume tiers (old tier " +
+      "shrinks, new grows), a delete drops its old tier's contribution, " +
+      "a vanished tier disappears — all equal to a full recompute") {
+    val st = VersionedCandleStore(spark, tmpDir("ivct") + "/v")
+    def tierView = new IncrementalView(spark, tmpDir("ivct-view"), st,
+      Seq("tier" -> (col("volume") >= 50).cast("int")),
+      Seq(count(lit(1)).as("n"), round(sum(col("close")), 4).as("sum_close")))
+    def fullTier = st.scan()
+      .select((col("volume") >= 50).cast("int").as("tier"), col("close"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), round(sum(col("close")), 4).as("sum_close"))
+    def tiers(df: DataFrame) = df.select("tier", "n", "sum_close")
+      .collect().map(_.mkString("|")).toSet
+    val v = tierView
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1, vol = 10),
+      c("BTC", "2022-01-01 11:00:00", 2, vol = 80),
+      c("ETH", "2022-01-02 09:00:00", 3, vol = 70)).toDF())
+    v.refresh()
+    assert(tiers(v.read()) == tiers(fullTier))
+    // UPDATE moves 11:00 from the high tier to the low tier: without
+    // the pre-image, the vacated high tier would keep its stale sum
+    st.commit(Seq(c("BTC", "2022-01-01 11:00:00", 9, vol = 5)).toDF())
+    v.refresh()
+    assert(tiers(v.read()) == tiers(fullTier))
+    assert(v.read().where($"tier" === 1).head().getAs[Long]("n") == 1L,
+      "the high tier must have shrunk to ETH only")
+    // DELETE the last high-tier row: the tier must VANISH — only the
+    // tombstone's pre-image can name the group it leaves
+    st.delete(Seq(("UPBIT", "ETH", 60, ts("2022-01-02 09:00:00")))
+      .toDF("market", "code", "candle_length", "ts"))
+    v.refresh()
+    assert(tiers(v.read()) == tiers(fullTier))
+    assert(v.read().where($"tier" === 1).count() == 0,
+      "a tier whose every row died must vanish")
+    // inserted-then-deleted inside ONE window: covered by the insert row
+    st.commit(Seq(c("SOL", "2022-01-03 08:00:00", 4, vol = 90)).toDF())
+    st.delete(Seq(("UPBIT", "SOL", 60, ts("2022-01-03 08:00:00")))
+      .toDF("market", "code", "candle_length", "ts"))
+    v.refresh()
+    assert(tiers(v.read()) == tiers(fullTier))
+    // compact floor past the watermark: full-recompute fallback stays exact
+    st.commit(Seq(c("DOGE", "2022-01-04 08:00:00", 5, vol = 60)).toDF())
+    st.compact()
+    v.refresh()
+    assert(tiers(v.read()) == tiers(fullTier))
+  }
+
+  test("changesSincePre emits the window's change rows plus ONE " +
+      "window-start pre-image per touched key; never-pre consumers see " +
+      "the unwidened schema") {
+    val st = VersionedCandleStore(spark, tmpDir("ivpre") + "/v")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1, vol = 10),
+      c("ETH", "2022-01-02 09:00:00", 2, vol = 20)).toDF())  // tx 1
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 5, vol = 50)).toDF()) // tx 2
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 7, vol = 70), // tx 3
+      c("SOL", "2022-01-03 08:00:00", 3, vol = 30)).toDF())
+    // window (1, 3]: BTC updated twice, SOL inserted; ETH untouched
+    val feed = st.changesSincePre(1L)
+    assert(feed.columns.contains("_change_kind"))
+    val pre = feed.where($"_change_kind" === "preimage")
+      .select("code", "volume", "tx_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(pre == Seq(("BTC", 10.0, 1L)),
+      s"one pre-image: BTC's tx-1 winner (SOL has no pre-window state); got $pre")
+    val changes = feed.where($"_change_kind" === "change")
+      .select("code", "tx_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(changes == Set(("BTC", 2L), ("BTC", 3L), ("SOL", 3L)), changes.toString)
+    // a tombstoned-then-window key: its pre-image is the live old winner
+    st.delete(Seq(("UPBIT", "ETH", 60, ts("2022-01-02 09:00:00")))
+      .toDF("market", "code", "candle_length", "ts")) // tx 4
+    val feed2 = st.changesSincePre(3L)
+    val pre2 = feed2.where($"_change_kind" === "preimage")
+      .select("code", "volume").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(pre2 == Seq(("ETH", 20.0)), pre2.toString)
+    assert(feed2.where($"_change_kind" === "change" && $"_deleted")
+      .select("code").collect().map(_.getString(0)).toSeq == Seq("ETH"))
+    // a key whose pre-window winner was ALREADY a tombstone gets none
+    st.commit(Seq(c("ETH", "2022-01-02 09:00:00", 8, vol = 80)).toDF()) // tx 5
+    val feed3 = st.changesSincePre(4L)
+    assert(feed3.where($"_change_kind" === "preimage").count() == 0,
+      "a key dead at window start has no pre-image")
+    // the DEFAULT feed schema is untouched by all of the above
+    assert(!st.changesSince(1L).columns.contains("_change_kind"),
+      "pre-images must never widen the default feed")
   }
 }
