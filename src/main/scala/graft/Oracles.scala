@@ -1216,6 +1216,20 @@ object Oracles {
          SELECT code, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
            round(sum(volume), 4) AS vol, round(max(close), 4) AS max_close
          FROM live GROUP BY 1, 2""",
+    // qAD: subquery DML — a minus b's even-hour keys (correlated-EXISTS
+    // DELETE), then volume+1 on codes whose b-count is even (IN-HAVING
+    // UPDATE); integer predicates only, so the mirror is ulp-safe.
+    "qAD_vstore_subquery_dml" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 0")}),
+         surv AS (SELECT * FROM a WHERE NOT EXISTS (
+           SELECT 1 FROM b WHERE b.code = a.code AND b.ts = a.ts
+             AND hour(b.ts) % 2 = 0)),
+         uc AS (SELECT code FROM b GROUP BY code HAVING count(*) % 2 = 0)
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume + CASE WHEN code IN (SELECT code FROM uc)
+             THEN 1 ELSE 0 END, 4) AS volume
+         FROM surv""",
     // qAC: the content-grouped view == a full GROUP BY (code, day,
     // open-threshold tier) over the end state (A then B last-wins,
     // minus the hour%3=1 tombstoned keys).

@@ -1036,6 +1036,43 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
+  private val subqueryDmlCache = fixtureCache[String]()
+
+  /** Build (once per sfDir) a versioned store mutated by SUBQUERY
+    * row-level DML (round 17, qAD): stores `a` (batch `%3<>0`) and `b`
+    * (batch `%3=0`) commit under one catalog; then a correlated-EXISTS
+    * `DELETE FROM a WHERE EXISTS (SELECT 1 FROM b WHERE b.code = a.code
+    * AND b.ts = a.ts AND hour % 2 = 0)` tombstones one tx, and an
+    * IN-subquery `UPDATE a SET volume = volume + 1 WHERE code IN
+    * (SELECT code FROM b GROUP BY code HAVING count(*) % 2 = 0)`
+    * rewrites a second — both lowered through the statement's own
+    * resolved filter plan (Spark's subquery rewrite plans the
+    * semi-join), exact integer predicates only so the mirror is
+    * ulp-safe. End state = a minus b's even-hour keys, with the
+    * even-count codes' volume bumped — the DuckDB mirror in [[Oracles]].
+    */
+  private def subqueryDmlStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
+    val path = subqueryDmlCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qsubdml").toString
+      val ev = T.events(s, d)
+      val stA = graft.store.VersionedCandleStore(s, s"$base/a")
+      stA.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      graft.store.VersionedCandleStore(s, s"$base/b")
+        .commit(eventCandles(ev.where(col("event_id") % 3 === 0)))
+      // prefix UNIQUE per fixture ("gvy") — see condDeleteStore's note
+      val cat = "gvy" + (ek(d).hashCode & 0x7fffffff)
+      setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
+      setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"""DELETE FROM $cat.a WHERE EXISTS (
+           SELECT 1 FROM $cat.b b
+           WHERE b.code = a.code AND b.ts = a.ts AND hour(b.ts) % 2 = 0)""")
+      s.sql(s"""UPDATE $cat.a SET volume = volume + 1 WHERE code IN (
+           SELECT code FROM $cat.b GROUP BY code HAVING count(*) % 2 = 0)""")
+      s"$base/a"
+    })
+    graft.store.VersionedCandleStore(s, path)
+  }
+
   private val contentViewCache = fixtureCache[(String, String)]()
 
   private def mkContentView(s: SparkSession, st: graft.store.VersionedCandleStore,
@@ -1627,6 +1664,17 @@ object Queries {
         .select(col("code"),
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n"), col("vol"), col("max_close"))
+    }),
+    // SUBQUERY ROW-LEVEL DML (round 17): a correlated-EXISTS DELETE and
+    // an IN-subquery UPDATE each lower through the statement's own
+    // resolved filter plan — one tombstone tx + one rewrite tx; the
+    // latest fold must equal the anti-join/HAVING mirror.
+    "qAD_vstore_subquery_dml" -> ((s, d) => {
+      subqueryDmlStore(s, d).scan()
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
     }),
     // CONTENT-GROUPED INCREMENTAL VIEW (round 17): the view's tier
     // group derives from row CONTENT, so the refresh reads the

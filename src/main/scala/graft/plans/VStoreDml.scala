@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{AnalysisException, Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, LogicalPlan, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -38,10 +38,17 @@ import graft.store.{CandleStore, VersionedCandleStore}
   *    the old key in place is the one wrong answer. `year` is refused
   *    on both (derived from ts).
   *
-  * Conditions and assignment values must be deterministic and
-  * subquery-free (rewrite a subquery delete/update as `MERGE … USING
-  * <source query>`). Zero matching rows is a no-op — no empty tx is
-  * journaled. Time-travel / change-feed lenses refuse as targets.
+  * WHERE conditions may contain SUBQUERIES (IN / EXISTS / scalar,
+  * correlated or not, self-referencing included — ANSI's evaluate-
+  * against-pre-delete-state semantics hold because the matching keys
+  * are computed before anything commits): the command carries the
+  * statement's own resolved filter plan and Spark's subquery rewrite
+  * plans it. Everything must stay DETERMINISTIC — including inside
+  * subquery plans, which `Expression.deterministic` does not descend
+  * into. Assignment VALUES stay subquery-free (rewrite as `MERGE …
+  * USING <source query>`). Zero matching rows is a no-op — no empty
+  * tx is journaled. Time-travel / change-feed lenses refuse as
+  * targets.
   *
   * Scale note: both statements are one pruned scan of the latest fold
   * (partition-prunable predicates reach the parquet scan) plus one
@@ -55,8 +62,20 @@ case class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
         if d.resolved && vstoreOf(target).isDefined =>
       val t = vstoreOf(target).get
       lensGuard(t, "DELETE FROM")
-      validateExpr(condition, "DELETE condition")
-      VStoreDeleteCommand(t.path, condition)
+      validateCond(condition, "DELETE condition")
+      // a subquery condition (IN / EXISTS / scalar, correlated or not)
+      // cannot re-bind by name against a fresh scan — carry the
+      // resolved Filter(cond, relation) instead and let the optimizer's
+      // own subquery rewrite plan it (ANSI: the subquery evaluates
+      // against PRE-delete state, which computing the keys first gives).
+      // The command's own condition FIELD must stay subquery-free —
+      // CheckAnalysis only admits subqueries under known node kinds,
+      // and Filter is one
+      if (hasSubquery(condition))
+        VStoreDeleteCommand(t.path,
+          org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral,
+          matchedPlan = Some(Filter(condition, target)))
+      else VStoreDeleteCommand(t.path, condition)
     case d @ DeleteFromTable(target, _)
         if d.resolved && candleOf(target).isDefined =>
       fail("DELETE FROM is not supported on graft-candles (the " +
@@ -67,16 +86,23 @@ case class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
         if u.resolved && vstoreOf(target).isDefined =>
       val t = vstoreOf(target).get
       lensGuard(t, "UPDATE")
+      val subPlan = condition.filter(hasSubquery).map(c => Filter(c, target))
       VStoreUpdateCommand(t.path,
         validateAssignments(assignments, condition, allowKeyMove = true),
-        condition)
+        if (subPlan.isDefined) None else condition,
+        matchedPlan = subPlan)
     case u @ UpdateTable(target, assignments, condition)
         if u.resolved && candleOf(target).isDefined =>
       val t = candleOf(target).get
+      val subPlan = condition.filter(hasSubquery).map(c => Filter(c, target))
       CandleUpdateCommand(t.path,
         validateAssignments(assignments, condition, allowKeyMove = false),
-        condition)
+        if (subPlan.isDefined) None else condition,
+        matchedPlan = subPlan)
   }
+
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[SubqueryExpression])
 
   private def lensGuard(t: VStoreTable, stmt: String): Unit =
     if (t.asOfTxOpt.nonEmpty || t.asOfTimeOpt.nonEmpty ||
@@ -88,7 +114,7 @@ case class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
       assignments: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment],
       condition: Option[Expression],
       allowKeyMove: Boolean): Seq[(String, Expression)] = {
-    condition.foreach(validateExpr(_, "UPDATE condition"))
+    condition.foreach(validateCond(_, "UPDATE condition"))
     val keys = (graft.model.Candle.keyCols :+ "ts").toSet
     // ANSI requires an error for duplicate SET targets; updatedRows
     // resolves by `find`, which would otherwise silently apply the FIRST
@@ -145,6 +171,26 @@ case class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
         s"MERGE INTO … USING <source query>; got: ${e.sql}")
   }
 
+  /** WHERE conditions: subqueries allowed (the command carries the
+    * resolved filter plan), but everything must stay deterministic —
+    * including expressions INSIDE subquery plans, which Spark's own
+    * `Expression.deterministic` does not descend into.
+    */
+  private def validateCond(e: Expression, what: String): Unit = {
+    // the specific message first: a rand() INSIDE a subquery plan also
+    // flips e.deterministic
+    if (subqueryNonDet(e))
+      fail(s"$what contains a non-deterministic subquery; got: ${e.sql}")
+    if (!e.deterministic)
+      fail(s"$what must be deterministic; got: ${e.sql}")
+  }
+
+  private def subqueryNonDet(e: Expression): Boolean =
+    e.collect { case s: SubqueryExpression => s }.exists { s =>
+      s.plan.exists(node => node.expressions.exists(x =>
+        !x.deterministic || subqueryNonDet(x)))
+    }
+
   private def vstoreOf(plan: LogicalPlan): Option[VStoreTable] = plan match {
     case SubqueryAlias(_, child) => vstoreOf(child)
     case r: DataSourceV2Relation => r.table match {
@@ -198,16 +244,27 @@ private[plans] object VStoreDml {
 
 /** `DELETE FROM <vstore> WHERE <cond>`: one pruned scan of the latest
   * fold under the condition, matching keys tombstoned in ONE journaled
-  * tx. Zero matches journal nothing.
+  * tx. Zero matches journal nothing. A subquery condition arrives as
+  * `matchedPlan` — the statement's own resolved `Filter(cond,
+  * relation)`, executed as-is so Spark's subquery rewrite (semi/anti
+  * join, scalar broadcast) plans it; the relation reads the same
+  * latest fold the plain path scans.
   */
-case class VStoreDeleteCommand(path: String, condition: Expression)
+case class VStoreDeleteCommand(path: String, condition: Expression,
+                               matchedPlan: Option[LogicalPlan] = None)
   extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = matchedPlan.toSeq
 
   override def run(session: SparkSession): Seq[Row] = {
     val store = VersionedCandleStore(session, path)
+    val matched = matchedPlan match {
+      case Some(p) => ColumnBridge.ofRows(session, p)
+      case None => store.scan().where(VStoreDml.rebind(condition))
+    }
     // one fold feeds both the zero-match probe and the tombstone tx
     // (isEmpty alone would still pay the scan's shuffle map side twice)
-    val keys = store.scan().where(VStoreDml.rebind(condition))
+    val keys = matched
       .select((graft.model.Candle.keyCols :+ "ts").map(col).toIndexedSeq: _*)
       .localCheckpoint()
     try if (!keys.isEmpty) store.delete(keys)
@@ -234,8 +291,22 @@ case class VStoreDeleteCommand(path: String, condition: Expression)
   */
 case class VStoreUpdateCommand(path: String,
                                assignments: Seq[(String, Expression)],
-                               condition: Option[Expression])
+                               condition: Option[Expression],
+                               matchedPlan: Option[LogicalPlan] = None)
   extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = matchedPlan.toSeq
+
+  /** The matched rows: the carried subquery filter plan when the WHERE
+    * had one, otherwise the condition re-bound over a fresh scan.
+    */
+  private def matchedRows(session: SparkSession,
+                          store: VersionedCandleStore): org.apache.spark.sql.DataFrame =
+    matchedPlan match {
+      case Some(p) => ColumnBridge.ofRows(session, p)
+      case None => condition.foldLeft(store.scan())((df, c) =>
+        df.where(VStoreDml.rebind(c)))
+    }
 
   override def run(session: SparkSession): Seq[Row] = {
     val store = VersionedCandleStore(session, path)
@@ -243,16 +314,15 @@ case class VStoreUpdateCommand(path: String,
     val keyAssigns = assignments.filter(a => keyNames.contains(a._1))
     if (keyAssigns.isEmpty) {
       // one fold feeds both the zero-match probe and the commit
-      val rows = VStoreDml.updatedRows(store.scan(), store.tableSchema,
-        assignments, condition).localCheckpoint()
+      val rows = VStoreDml.updatedRows(matchedRows(session, store),
+        store.tableSchema, assignments, None).localCheckpoint()
       try if (!rows.isEmpty) store.commit(rows)
       finally org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(rows)
       return Seq.empty
     }
     // key move: matched rows feed the new rows AND the old-key
     // tombstones — pin the fold once
-    val matched = condition.foldLeft(store.scan())((df, c) =>
-      df.where(VStoreDml.rebind(c))).localCheckpoint()
+    val matched = matchedRows(session, store).localCheckpoint()
     try {
       if (!matched.isEmpty) {
         val newRows = VStoreDml.updatedRows(matched, store.tableSchema,
@@ -332,8 +402,11 @@ case class VStoreUpdateCommand(path: String,
   */
 case class CandleUpdateCommand(path: String,
                                assignments: Seq[(String, Expression)],
-                               condition: Option[Expression])
+                               condition: Option[Expression],
+                               matchedPlan: Option[LogicalPlan] = None)
   extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = matchedPlan.toSeq
 
   override def run(session: SparkSession): Seq[Row] = {
     val store = CandleStore(session, path)
@@ -346,9 +419,17 @@ case class CandleUpdateCommand(path: String,
     val hasData = fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith("market="))
     if (!hasData) return Seq.empty
-    // recovery already ran above — don't pay it again inside scan()
-    val rows = VStoreDml.updatedRows(store.scanNoRecover(),
-      CandleTable.tableSchema, assignments, condition).localCheckpoint()
+    // recovery already ran above — don't pay it again inside scan();
+    // a subquery WHERE arrives as the statement's own resolved filter
+    // plan (its relation scan re-recovers, which is idempotent)
+    val matched = matchedPlan match {
+      case Some(mp) => VStoreDml.updatedRows(
+        ColumnBridge.ofRows(session, mp), CandleTable.tableSchema,
+        assignments, None)
+      case None => VStoreDml.updatedRows(store.scanNoRecover(),
+        CandleTable.tableSchema, assignments, condition)
+    }
+    val rows = matched.localCheckpoint()
     try if (!rows.isEmpty)
       graft.sources.CandleInserts.insert(rows, overwrite = false,
         "graft-candles", "UPDATE never overwrites") { clean =>

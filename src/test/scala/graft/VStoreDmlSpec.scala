@@ -180,6 +180,54 @@ class VStoreDmlSpec extends SparkSpec {
       ("BTC", ts("2022-01-01 12:00:00")) -> 1.0))
   }
 
+  test("subquery WHERE conditions lower on both statements and stores: " +
+      "IN / correlated EXISTS / self-referencing scalar, each ONE tx " +
+      "evaluated against pre-statement state") {
+    val st = VersionedCandleStore(spark, s"$base/d/sq")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2022-01-01 10:00:00", 10),
+      c("SOL", "2022-01-01 10:00:00", 100)).toDF())
+    // uncorrelated IN over another table
+    Seq("ETH", "SOL").toDF("victim").createOrReplaceTempView("dml_victims")
+    spark.sql("DELETE FROM vd.d.sq WHERE code IN " +
+      "(SELECT victim FROM dml_victims WHERE victim <> 'SOL')")
+    assert(opens(st.scan()).keySet.map(_._1) == Set("BTC", "SOL"))
+    assert(st.txLog().where($"kind" === "commit").count() == 2)
+    // SELF-referencing scalar subquery: ANSI evaluates it against
+    // pre-update state — avg(open) over {1, 100} = 50.5, so only SOL
+    // matches and the new avg must NOT re-enter the predicate
+    spark.sql("UPDATE vd.d.sq SET open = open + 1 " +
+      "WHERE open > (SELECT avg(open) FROM vd.d.sq)")
+    assert(opens(st.scan()) == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> 1.0,
+      ("SOL", ts("2022-01-01 10:00:00")) -> 101.0))
+    // correlated EXISTS
+    spark.sql("DELETE FROM vd.d.sq WHERE EXISTS " +
+      "(SELECT 1 FROM dml_victims v WHERE v.victim = code)")
+    assert(opens(st.scan()).keySet.map(_._1) == Set("BTC"))
+    // zero-match subquery DELETE journals nothing
+    val n = st.txLog().where($"kind" === "commit").count()
+    spark.sql("DELETE FROM vd.d.sq WHERE code IN " +
+      "(SELECT victim FROM dml_victims WHERE victim = 'NOPE')")
+    assert(st.txLog().where($"kind" === "commit").count() == n)
+    // subquery WHERE on a KEY-MOVING update: the move machinery rides
+    // the carried filter plan unchanged
+    Seq("BTC").toDF("keep").createOrReplaceTempView("dml_keep")
+    spark.sql("UPDATE vd.d.sq SET ts = ts + INTERVAL '30' MINUTE " +
+      "WHERE code IN (SELECT keep FROM dml_keep)")
+    assert(opens(st.scan()).keySet ==
+      Set(("BTC", ts("2022-01-01 10:30:00"))))
+    // …and on the PLAIN candle store
+    val cs = graft.store.CandleStore(spark, s"$base/pc_sq")
+    cs.upsert(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2022-01-01 10:00:00", 2)).toDF())
+    spark.sql("UPDATE cd.pc_sq SET close = close + 100 WHERE code IN " +
+      "(SELECT victim FROM dml_victims WHERE victim = 'ETH')")
+    val rows = cs.scan().select("code", "close").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows == Map("BTC" -> 1.5, "ETH" -> 102.5))
+  }
+
   test("refusals are loud: fold-key/year assignment, subquery condition, " +
       "non-deterministic condition, time-travel target") {
     val st = VersionedCandleStore(spark, s"$base/d/no")
@@ -203,8 +251,12 @@ class VStoreDmlSpec extends SparkSpec {
     // unaddressable null-key group — refused at run, nothing committed
     refused("UPDATE vd.d.no SET ts = CAST(NULL AS TIMESTAMP)",
       "assigns NULL to a fold-key column")
-    refused("DELETE FROM vd.d.no WHERE open > (SELECT avg(open) FROM vd.d.no)",
+    // WHERE subqueries are supported; assignment-VALUE subqueries and
+    // non-deterministic subquery PLANS are not
+    refused("UPDATE vd.d.no SET open = (SELECT avg(open) FROM vd.d.no)",
       "subquery")
+    refused("DELETE FROM vd.d.no WHERE open > (SELECT avg(open) " +
+      "FROM vd.d.no WHERE rand() > 0.5)", "non-deterministic subquery")
     refused("UPDATE vd.d.no SET open = 0 WHERE rand() > 0.5",
       "deterministic")
     refused("DELETE FROM vd.d.no WHERE rand() > 0.5", "deterministic")
