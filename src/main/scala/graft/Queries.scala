@@ -977,6 +977,44 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
+  private val syncUpdCache = fixtureCache[String]()
+
+  /** Build (once per sfDir) the BY-SOURCE-UPDATE twin of [[syncStore]]
+    * (round 17, qAE): the three-arm MERGE's by-source arm REWRITES the
+    * source-absent rows from their own content instead of deleting
+    * them — `WHEN NOT MATCHED BY SOURCE AND hour(t.ts) % 2 = 1 THEN
+    * UPDATE SET volume = t.volume + 100` (a PARTIAL assignment reading
+    * target content; the lowering folds the latest rows at the absent
+    * keys). End state = B ∪ (A's source-absent rows, odd hours' volume
+    * bumped) — the DuckDB mirror in [[Oracles]].
+    */
+  private def syncUpdStore(s: SparkSession, d: String): graft.store.VersionedCandleStore = {
+    val path = syncUpdCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qmergesyncupd").toString
+      val p = s"$base/v"
+      val ev = T.events(s, d)
+      val st = graft.store.VersionedCandleStore(s, p)
+      st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      // prefix UNIQUE per fixture ("gvz") — see condDeleteStore's note
+      val cat = "gvz" + (ek(d).hashCode & 0x7fffffff)
+      setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
+      setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
+      eventCandles(ev.where(col("event_id") % 3 === 0))
+        .withColumn("year", year(col("ts")))
+        .createOrReplaceTempView("graft_merge_syncupd_src")
+      s.sql(
+        s"""MERGE INTO $cat.v t USING graft_merge_syncupd_src s
+           ON t.market = s.market AND t.code = s.code
+              AND t.candle_length = s.candle_length AND t.ts = s.ts
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE AND hour(t.ts) % 2 = 1
+             THEN UPDATE SET volume = t.volume + 100""")
+      p
+    })
+    graft.store.VersionedCandleStore(s, path)
+  }
+
   private val sqlDmlCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a versioned store mutated by the direct
@@ -1615,6 +1653,18 @@ object Queries {
     // condition) — the DuckDB mirror.
     "qA7_vstore_merge_sync" -> ((s, d) => {
       syncStore(s, d).scan()
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // BY-SOURCE-UPDATE MERGE (round 17): the sync merge's fourth arm —
+    // source-absent rows REWRITTEN from their own content (partial SET
+    // over the folded target rows) in the same tx as SET * / INSERT *;
+    // the latest fold must equal B ∪ (A's absent rows, odd hours'
+    // volume bumped) — the DuckDB mirror.
+    "qAE_vstore_merge_sync_upd" -> ((s, d) => {
+      syncUpdStore(s, d).scan()
         .select(col("code"), col("ts"),
           Portable.round(col("open"), 4).as("open"),
           Portable.round(col("close"), 4).as("close"),

@@ -56,9 +56,18 @@ import graft.store.{CandleStore, VersionedCandleStore}
   *    no target content is read; a condition may therefore reference
   *    the FOLD-KEY columns only (market, code, candle_length, ts —
   *    e.g. a `t.ts < retention_cutoff` retention gate). Content-column
-  *    conditions and `… BY SOURCE THEN UPDATE` (whose assignments read
-  *    target content) are refused loudly. Candle targets keep refusing
+  *    conditions are refused loudly. Candle targets keep refusing
   *    (no delete in the reference's surface);
+  *  - `WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET …` on
+  *    VSTORE targets only: the one by-source arm that must READ target
+  *    content — the lowering anti-joins the latest FOLD (content rows)
+  *    on the source keys and re-projects the surviving rows with the
+  *    assignments, committed as updates in the same single tx. Because
+  *    the fold is paid anyway, the condition AND the values may
+  *    reference any target column, and assignments may be PARTIAL
+  *    (`SET volume = 0` keeps the other columns) — fold-key/year
+  *    assignments refuse (no source expression exists to move a key
+  *    to). Candle targets refuse;
   *  - no schema evolution, no time-travel/change-feed target
   *    (read-only lens).
   *
@@ -86,12 +95,13 @@ case class ResolveGraftMerge(session: SparkSession) extends Rule[LogicalPlan]
           t.changesSinceOpt.nonEmpty)
         fail("target is a VERSION AS OF / TIMESTAMP AS OF / change-feed " +
           "lens — read-only; merge into the latest table")
-      val (keyMap, upd, ins, del, bySrcDel) =
+      val (keyMap, upd, ins, del, bySrcDel, bySrcUpd) =
         MergeLowering.validate(m, t.schema(), allowDelete = true)
-      VStoreMergeCommand(t.path, m.sourceTable, keyMap, upd, ins, del, bySrcDel)
+      VStoreMergeCommand(t.path, m.sourceTable, keyMap, upd, ins, del,
+        bySrcDel, bySrcUpd)
     case m: MergeIntoTable if m.resolved && candleOf(m.targetTable).isDefined =>
       val t = candleOf(m.targetTable).get
-      val (keyMap, upd, ins, _, _) =
+      val (keyMap, upd, ins, _, _, _) =
         MergeLowering.validate(m, t.schema(), allowDelete = false)
       CandleMergeCommand(t.path, m.sourceTable, keyMap, upd, ins)
   }
@@ -134,7 +144,8 @@ private[plans] object MergeLowering extends PredicateHelper {
   def validate(m: MergeIntoTable, tableSchema: StructType,
                allowDelete: Boolean): (Seq[(String, Expression)],
       Option[Seq[(String, Expression)]], Option[Seq[(String, Expression)]],
-      Option[Option[Expression]], Option[Option[Expression]]) = {
+      Option[Option[Expression]], Option[Option[Expression]],
+      Option[(Seq[(String, Expression)], Option[Expression])]) = {
     if (m.withSchemaEvolution) fail("schema evolution is not supported")
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
@@ -246,8 +257,10 @@ private[plans] object MergeLowering extends PredicateHelper {
     // condition is decidable iff it reads only the key columns that
     // scan carries; anything touching content (or a BY SOURCE UPDATE,
     // whose assignments read content) is refused, never mis-evaluated.
-    val bySrcDel: Option[Option[Expression]] = m.notMatchedBySourceActions match {
-      case Seq() => None
+    val (bySrcDel: Option[Option[Expression]],
+         bySrcUpd: Option[(Seq[(String, Expression)], Option[Expression])]) =
+      m.notMatchedBySourceActions match {
+      case Seq() => (None, None)
       case Seq(DeleteAction(cond)) if allowDelete =>
         cond.foreach { c =>
           if (!c.references.subsetOf(targetOut))
@@ -263,24 +276,62 @@ private[plans] object MergeLowering extends PredicateHelper {
               "key set, never its content; got content columns: " +
               nonKey.sorted.mkString(", "))
         }
-        Some(cond)
+        (Some(cond), None)
       case Seq(_: DeleteAction) =>
         fail("WHEN NOT MATCHED BY SOURCE … THEN DELETE is not supported " +
           "on graft-candles (the reference's surface is insert/upsert-" +
           "only, database/command/ has no delete) — only the VERSIONED " +
           "store supports journaled tombstone deletes")
+      // BY SOURCE UPDATE reads and rewrites TARGET content: the lowering
+      // folds the latest rows at the source-absent keys and re-projects
+      // them with the assignments — so (unlike the DELETE arm) both the
+      // condition and the values may reference any target column, and
+      // assignments may be PARTIAL (unassigned columns keep the row's
+      // values). Fold-key assignments refuse — a by-source arm has no
+      // source expression to move a key to.
+      case Seq(UpdateAction(cond, assigns, _)) if allowDelete =>
+        cond.foreach { c =>
+          if (!c.references.subsetOf(targetOut))
+            fail("WHEN NOT MATCHED BY SOURCE AND … THEN UPDATE condition " +
+              "may reference target columns only (the source row is " +
+              "absent by definition); got: " + c.sql)
+        }
+        val byName = assigns.map { a =>
+          val name = a.key match {
+            case ar: AttributeReference if targetOut.contains(ar) =>
+              ar.name.toLowerCase
+            case other =>
+              fail(s"BY SOURCE UPDATE assigns non-column ${other.sql}")
+          }
+          if (expectedKeys(name) || name == "year")
+            fail(s"BY SOURCE UPDATE may not assign fold-key column $name " +
+              "— there is no source row to move the key to (key moves " +
+              "are the row-level UPDATE statement's job)")
+          if (!a.value.references.subsetOf(targetOut))
+            fail(s"BY SOURCE UPDATE assignment to $name may reference " +
+              "target columns only (the source row is absent by " +
+              "definition); got: " + a.value.sql)
+          name -> a.value
+        }
+        byName.groupBy(_._1).collect { case (n, as) if as.length > 1 => n }
+          .toSeq.sorted match {
+          case Nil => ()
+          case dups => fail("BY SOURCE UPDATE assigns " +
+            s"${dups.mkString(", ")} more than once")
+        }
+        (None, Some((byName, cond)))
       case Seq(_: UpdateAction) =>
-        fail("WHEN NOT MATCHED BY SOURCE THEN UPDATE is not supported — " +
-          "its assignments read target content the keyed lowering never " +
-          "scans; express content rewrites as a matched merge whose " +
-          "source query computes the new rows")
+        fail("WHEN NOT MATCHED BY SOURCE THEN UPDATE is not supported " +
+          "on graft-candles — only the VERSIONED store lowers the " +
+          "target-content rewrite (one journaled tx)")
       case _ => fail("one WHEN NOT MATCHED BY SOURCE clause only (THEN " +
-        "DELETE — optionally conditioned on fold-key columns — on a " +
-        "vstore target)")
+        "DELETE — conditioned on fold-key columns — or THEN UPDATE, on " +
+        "a vstore target)")
     }
-    if (upd.isEmpty && ins.isEmpty && del.isEmpty && bySrcDel.isEmpty)
+    if (upd.isEmpty && ins.isEmpty && del.isEmpty && bySrcDel.isEmpty &&
+        bySrcUpd.isEmpty)
       fail("no UPDATE, DELETE or INSERT clause")
-    (keyMap.toSeq.sortBy(_._1), upd, ins, del, bySrcDel)
+    (keyMap.toSeq.sortBy(_._1), upd, ins, del, bySrcDel, bySrcUpd)
   }
 
   /** Shared run body: project the source per clause, split
@@ -294,8 +345,10 @@ private[plans] object MergeLowering extends PredicateHelper {
                  updAssigns: Option[Seq[(String, Expression)]],
                  insAssigns: Option[Seq[(String, Expression)]],
                  del: Option[Option[Expression]] = None,
-                 bySourceDel: Option[Option[Expression]] = None)
-                (targetKeys: => DataFrame): DataFrame = {
+                 bySourceDel: Option[Option[Expression]] = None,
+                 bySourceUpd: Option[(Seq[(String, Expression)], Option[Expression])] = None)
+                (targetKeys: => DataFrame,
+                 targetRows: => DataFrame = null): DataFrame = {
     val src = ColumnBridge.ofRows(session, source)
     def project(assigns: Seq[(String, Expression)]): DataFrame = {
       val cols = tableSchema.fields.map { f =>
@@ -370,7 +423,30 @@ private[plans] object MergeLowering extends PredicateHelper {
       kept.select(tombstoneCols(n => kept(n)).toIndexedSeq: _*)
         .distinct().withColumn("_deleted", lit(true))
     }
-    val upserts: Seq[DataFrame] = (updAssigns, insAssigns) match {
+    // WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …: the
+    // latest rows at source-absent keys, re-projected with the
+    // assignments (partial SETs keep unassigned columns) — the one
+    // by-source arm that must READ target content, so it anti-joins the
+    // full fold (`targetRows`) on the distinct source keys; condition
+    // and values re-bind by NAME against that frame. Keys are unique by
+    // construction (one fold row per key), so no dedup.
+    def bySourceUpdateHalf(assigns: Seq[(String, Expression)],
+                           cond: Option[Expression]): DataFrame = {
+      val k = keyed
+      val srcKeys = k.select(keyMap.map { case (n, _) =>
+        k(s"_mk_$n").as(n)
+      }.toIndexedSeq: _*)
+      val absent = targetRows.join(srcKeys, keyMap.map(_._1), "left_anti")
+      val kept = cond.foldLeft(absent)((df, c) =>
+        df.where(VStoreDml.rebind(c)))
+      kept.select(tableSchema.fields.map { f =>
+        assigns.find(_._1 == f.name.toLowerCase) match {
+          case Some((_, e)) => VStoreDml.rebind(e).cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+    }
+    val upserts: Seq[DataFrame] = ((updAssigns, insAssigns) match {
       case (Some(u), Some(i)) if canon(u) == canon(i) =>
         // SET * / INSERT *: matched ∪ unmatched = all source rows — no
         // target split, exactly the Scala commit()/upsert() plan
@@ -378,7 +454,7 @@ private[plans] object MergeLowering extends PredicateHelper {
       case _ =>
         updAssigns.map(half(_, "left_semi")).toSeq ++
           insAssigns.map(half(_, "left_anti")).toSeq
-    }
+    }) ++ bySourceUpd.map { case (a, c) => bySourceUpdateHalf(a, c) }.toSeq
     val tombstones: Seq[DataFrame] =
       del.map(deleteHalf).toSeq ++ bySourceDel.map(bySourceDeleteHalf).toSeq
     val rows =
@@ -442,7 +518,8 @@ case class VStoreMergeCommand(path: String, source: LogicalPlan,
                               updAssigns: Option[Seq[(String, Expression)]],
                               insAssigns: Option[Seq[(String, Expression)]],
                               del: Option[Option[Expression]] = None,
-                              bySourceDel: Option[Option[Expression]] = None)
+                              bySourceDel: Option[Option[Expression]] = None,
+                              bySourceUpd: Option[(Seq[(String, Expression)], Option[Expression])] = None)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -451,8 +528,9 @@ case class VStoreMergeCommand(path: String, source: LogicalPlan,
     val store = VersionedCandleStore(session, path)
     val keyNames = keyMap.map(_._1)
     val rows = MergeLowering.mergedRows(session, source, store.tableSchema,
-      keyMap, updAssigns, insAssigns, del, bySourceDel)(
-      store.keyRowsAsOf(Long.MaxValue).select(keyNames.map(col): _*))
+      keyMap, updAssigns, insAssigns, del, bySourceDel, bySourceUpd)(
+      store.keyRowsAsOf(Long.MaxValue).select(keyNames.map(col): _*),
+      store.scan()) // full fold, paid only when a BY SOURCE UPDATE arm reads it
     store.commit(rows)
     Seq.empty
   }

@@ -386,6 +386,48 @@ class VStoreMergeSpec extends SparkSpec {
       "a pure by-source delete is still one journaled tx")
   }
 
+  test("WHEN NOT MATCHED BY SOURCE THEN UPDATE: source-absent rows " +
+      "rewritten from their own content (PARTIAL SET, content-column " +
+      "condition) in the SAME tx as the other arms; history + feed exact") {
+    val st = VersionedCandleStore(spark, s"$base/m/bsu")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1), // absent, open 1 -> cond fails, kept
+      c("BTC", "2022-01-01 11:00:00", 2),             // absent, open 2 -> zeroed volume
+      c("ETH", "2021-06-01 00:00:00", 3)).toDF())     // matched -> SET *
+    val on =
+      """ON t.market = s.market AND t.code = s.code
+         AND t.candle_length = s.candle_length AND t.ts = s.ts"""
+    Seq(c("ETH", "2021-06-01 00:00:00", 30),
+      c("SOL", "2020-01-01 00:00:00", 7))
+      .toDF().withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_bsu")
+    spark.sql(s"MERGE INTO vm.m.bsu t USING src_bsu s $on " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE AND t.open > 1 " +
+      "THEN UPDATE SET volume = 0, close = t.close * 10")
+    val rows = st.scan()
+      .select("code", "ts", "open", "close", "volume").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows == Map(
+      ("BTC", ts("2022-01-01 10:00:00")) -> ((1.0, 1.5, 10.0)),  // untouched
+      ("BTC", ts("2022-01-01 11:00:00")) -> ((2.0, 25.0, 0.0)),  // partial SET
+      ("ETH", ts("2021-06-01 00:00:00")) -> ((30.0, 30.5, 10.0)),
+      ("SOL", ts("2020-01-01 00:00:00")) -> ((7.0, 7.5, 10.0))), rows.toString)
+    // ONE journaled tx for all three arms; pre-merge history intact;
+    // NOTHING tombstoned (updates, not deletes) so the feed stays flagless
+    assert(st.txLog().where($"kind" === "commit").count() == 2)
+    assert(opens(st.scanAsOf(1L))(("BTC", ts("2022-01-01 11:00:00"))) == 2.0)
+    assert(!st.changesSince(1L).columns.contains("_deleted"),
+      "a by-source UPDATE must not widen the feed schema")
+    // the arm works as the ONLY clause too
+    spark.sql(s"MERGE INTO vm.m.bsu t USING src_bsu s $on " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bit_fields = 9")
+    val bf = st.scan().select("code", "bit_fields").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bf == Map("BTC" -> 9L, "ETH" -> 0L, "SOL" -> 0L), bf.toString)
+  }
+
   test("refusals are loud: candle DELETE, target-referencing DELETE " +
       "condition, partial SET, non-key ON, target-column values, " +
       "time-travel target; INSERT OVERWRITE still refused") {
@@ -425,13 +467,17 @@ class VStoreMergeSpec extends SparkSpec {
     refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
       "WHEN NOT MATCHED BY SOURCE AND t.open > 1 THEN DELETE",
       "content columns")
-    // … BY SOURCE UPDATE reads target content — refused
+    // … BY SOURCE UPDATE may not move fold keys (no source expression
+    // exists to move one to)
     refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
-      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET open = 0",
-      "BY SOURCE THEN UPDATE is not supported")
-    // … and candle targets refuse the BY SOURCE arm entirely
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ts = t.ts",
+      "may not assign fold-key")
+    // … and candle targets refuse BOTH BY SOURCE arms entirely
     refused(s"MERGE INTO cmno.plain_no t USING src_no s $on " +
       "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+      "not supported on graft-candles")
+    refused(s"MERGE INTO cmno.plain_no t USING src_no s $on " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET open = 0",
       "not supported on graft-candles")
     // UPDATE and DELETE together: two matched clauses, refused (the
     // first conditioned to get past Spark's own last-clause parse rule)
