@@ -165,17 +165,38 @@ object Ingest {
     * of an already-committed batch is a no-op returning the prior tx
     * (see `VersionedCandleStore.commit`) instead of minting a phantom
     * transaction.
+    *
+    * `views` + `viewRefreshEvery`: incrementally-maintained aggregate
+    * views over the SAME store refresh in-loop after each
+    * `viewRefreshEvery`-th batch commits (the `compactEvery` shape) —
+    * a streamed store's views stay fresh without an external driver,
+    * and each refresh reads only the new batch's touched groups off
+    * the change feed.
     */
   def versionedCommitWriter(stream: DataFrame,
                             store: graft.store.VersionedCandleStore,
                             checkpointDir: String,
-                            transform: DataFrame => DataFrame = identity): DataStreamWriter[Row] =
+                            transform: DataFrame => DataFrame = identity,
+                            views: Seq[graft.store.IncrementalView] = Seq.empty,
+                            viewRefreshEvery: Int = 1): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          store.commit(transform(batch), batchId = Some(batchId)); ()
+          store.commit(transform(batch), batchId = Some(batchId))
+          // auto-refresh AFTER the commit (the compactEvery pattern):
+          // the stream's views stay fresh without an external driver.
+          // Safe under every streaming failure mode — a foreachBatch
+          // RETRY re-runs refresh() as a watermark-current no-op after
+          // the commit's own batch-id replay guard no-ops; a refresh
+          // racing a slow reserve-then-journal committer records the
+          // gap run in the generation meta and repairs it on the next
+          // refresh (IncrementalView's out-of-order protocol)
+          if (views.nonEmpty && viewRefreshEvery > 0 &&
+              batchId % viewRefreshEvery == 0)
+            views.foreach(_.refresh())
+          ()
         }
       }
 
@@ -183,8 +204,11 @@ object Ingest {
                            store: graft.store.VersionedCandleStore,
                            checkpointDir: String,
                            trigger: Trigger = Trigger.AvailableNow(),
-                           transform: DataFrame => DataFrame = identity): StreamingQuery =
-    versionedCommitWriter(stream, store, checkpointDir, transform)
+                           transform: DataFrame => DataFrame = identity,
+                           views: Seq[graft.store.IncrementalView] = Seq.empty,
+                           viewRefreshEvery: Int = 1): StreamingQuery =
+    versionedCommitWriter(stream, store, checkpointDir, transform, views,
+      viewRefreshEvery)
       .trigger(trigger).start()
 
   /** STATEFUL in-flight curation: bloom decontamination at ingest

@@ -1293,6 +1293,46 @@ class StreamingSpec extends SparkSpec {
     assert(opens(vst.scan()) == opens(batch.scan()))
   }
 
+  test("versioned ingest with in-loop view auto-refresh: the view equals " +
+      "a full recompute at EVERY micro-batch boundary without an external " +
+      "driver, and a racing reserve-then-journal committer repairs " +
+      "through the gap-run protocol") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    val vst = graft.store.VersionedCandleStore(spark, tmpDir("st-avr") + "/v")
+    val view = new graft.store.IncrementalView(spark, tmpDir("st-avr-view"),
+      vst, Seq("code" -> col("code")),
+      Seq(count(lit(1)).as("n"), round(sum(col("volume")), 4).as("vol")))
+    def full() = vst.scan().groupBy("code")
+      .agg(count(lit(1)).as("n"), round(sum(col("volume")), 4).as("vol"))
+      .collect().map(_.mkString("|")).toSet
+    def viewRows() = view.read().select("code", "n", "vol")
+      .collect().map(_.mkString("|")).toSet
+
+    val stream = MemoryStream[Candle]
+    val query = Ingest.startVersionedIngest(stream.toDF(), vst,
+      tmpDir("st-avr-ckpt"), Trigger.ProcessingTime(0), views = Seq(view))
+    stream.addData(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2021-06-01 00:00:00", 5)))
+    query.processAllAvailable()
+    assert(viewRows() == full(), "in-loop refresh after batch 0")
+    // a SLOW committer reserves a tx but journals it LATE — the next
+    // in-loop refresh records the gap run instead of skipping it forever
+    val (lateTx, written) = vst.prepareDataCommit(
+      Seq(c("SOL", "2022-02-01 00:00:00", 9)).toDF(), None)
+    stream.addData(Seq(c("BTC", "2022-01-01 10:00:00", 2))) // higher tx
+    query.processAllAvailable()
+    assert(viewRows() == full(), "in-loop refresh with an open gap")
+    vst.finalizeDataCommit(lateTx, written, None, None) // journals late
+    stream.addData(Seq(c("ADA", "2022-03-01 00:00:00", 3)))
+    query.processAllAvailable()
+    query.stop()
+    assert(viewRows() == full(),
+      "the next in-loop refresh must repair the late tx via the gap run")
+    assert(view.read().where(col("code") === "SOL").count() == 1,
+      "the late committer's group must be in the auto-refreshed view")
+  }
+
   test("streaming change-feed tail: offsets are tx ids, exactly-once across restart, pacing") {
     val vst = graft.store.VersionedCandleStore(spark, tmpDir("st-cdf") + "/v")
     vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
