@@ -295,6 +295,12 @@ private[plans] object MergeLowering extends PredicateHelper {
             fail("WHEN NOT MATCHED BY SOURCE AND … THEN UPDATE condition " +
               "may reference target columns only (the source row is " +
               "absent by definition); got: " + c.sql)
+          // non-deterministic conditions would also make the strict
+          // cardinality probe disagree with the committed rows (the
+          // plan executes twice) — refuse like the row-level UPDATE
+          if (!c.deterministic)
+            fail("WHEN NOT MATCHED BY SOURCE AND … THEN UPDATE condition " +
+              "must be deterministic; got: " + c.sql)
         }
         val byName = assigns.map { a =>
           val name = a.key match {
@@ -311,6 +317,9 @@ private[plans] object MergeLowering extends PredicateHelper {
             fail(s"BY SOURCE UPDATE assignment to $name may reference " +
               "target columns only (the source row is absent by " +
               "definition); got: " + a.value.sql)
+          if (!a.value.deterministic)
+            fail(s"BY SOURCE UPDATE assignment to $name must be " +
+              "deterministic; got: " + a.value.sql)
           name -> a.value
         }
         byName.groupBy(_._1).collect { case (n, as) if as.length > 1 => n }

@@ -1587,7 +1587,12 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     currentGen() match {
       case Some((_, genDir)) =>
         val keyNames = Candle.keyCols :+ "ts"
+        // materialize the touched-key set ONCE (it is broadcast-sized
+        // by construction): left lazy, every execution of the returned
+        // feed would re-run the gated window scan a second time under
+        // this semi-join's build side
         val touchedKeys = changes.select(keyNames.map(col): _*).distinct()
+          .localCheckpoint()
         // prune the history scan to the touched keys BEFORE folding
         val raw = spark.read.schema(readSchema(tomb)).parquet(genDir.toString)
           .where(committedGate(state.admitUpTo(sinceTx)))

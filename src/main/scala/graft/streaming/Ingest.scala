@@ -178,7 +178,11 @@ object Ingest {
                             checkpointDir: String,
                             transform: DataFrame => DataFrame = identity,
                             views: Seq[graft.store.IncrementalView] = Seq.empty,
-                            viewRefreshEvery: Int = 1): DataStreamWriter[Row] =
+                            viewRefreshEvery: Int = 1): DataStreamWriter[Row] = {
+    require(views.isEmpty || viewRefreshEvery > 0,
+      s"viewRefreshEvery must be positive when views are wired " +
+        s"(got $viewRefreshEvery) — a non-positive interval would " +
+        "silently never refresh them")
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -192,13 +196,26 @@ object Ingest {
           // the commit's own batch-id replay guard no-ops; a refresh
           // racing a slow reserve-then-journal committer records the
           // gap run in the generation meta and repairs it on the next
-          // refresh (IncrementalView's out-of-order protocol)
-          if (views.nonEmpty && viewRefreshEvery > 0 &&
-              batchId % viewRefreshEvery == 0)
-            views.foreach(_.refresh())
+          // refresh (IncrementalView's out-of-order protocol); and a
+          // _refresh.lock left by a HARD-KILLED prior incarnation is
+          // broken and retried ONCE — sound because wiring a view here
+          // is the single-maintainer contract (this stream is the only
+          // refresher; Spark admits one active query per checkpoint,
+          // and foreachBatch serializes batches within it, so a lock
+          // observed at refresh time can only be a dead incarnation's)
+          if (views.nonEmpty && batchId % viewRefreshEvery == 0)
+            views.foreach { v =>
+              try v.refresh()
+              catch {
+                case e: IllegalStateException
+                    if e.getMessage.contains("_refresh.lock") =>
+                  v.breakStaleLock(); v.refresh()
+              }
+            }
           ()
         }
       }
+  }
 
   def startVersionedIngest(stream: DataFrame,
                            store: graft.store.VersionedCandleStore,

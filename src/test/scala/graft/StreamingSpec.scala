@@ -1324,9 +1324,17 @@ class StreamingSpec extends SparkSpec {
     query.processAllAvailable()
     assert(viewRows() == full(), "in-loop refresh with an open gap")
     vst.finalizeDataCommit(lateTx, written, None, None) // journals late
+    // a _refresh.lock left by a HARD-KILLED prior incarnation must not
+    // wedge the restarted stream: the writer breaks it and retries
+    // (single-maintainer contract — wiring the view IS the claim)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(view.path, "_refresh.lock"))
     stream.addData(Seq(c("ADA", "2022-03-01 00:00:00", 3)))
     query.processAllAvailable()
     query.stop()
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(view.path, "_refresh.lock")),
+      "the stale lock must be broken, not left to wedge every retry")
     assert(viewRows() == full(),
       "the next in-loop refresh must repair the late tx via the gap run")
     assert(view.read().where(col("code") === "SOL").count() == 1,

@@ -468,10 +468,17 @@ class VStoreMergeSpec extends SparkSpec {
       "WHEN NOT MATCHED BY SOURCE AND t.open > 1 THEN DELETE",
       "content columns")
     // … BY SOURCE UPDATE may not move fold keys (no source expression
-    // exists to move one to)
+    // exists to move one to) and must stay deterministic (the strict
+    // cardinality probe and the commit execute the plan twice)
     refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
       "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ts = t.ts",
       "may not assign fold-key")
+    refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET volume = rand()",
+      "must be deterministic")
+    refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
+      "WHEN NOT MATCHED BY SOURCE AND rand() > 0.5 THEN UPDATE SET volume = 0",
+      "must be deterministic")
     // … and candle targets refuse BOTH BY SOURCE arms entirely
     refused(s"MERGE INTO cmno.plain_no t USING src_no s $on " +
       "WHEN NOT MATCHED BY SOURCE THEN DELETE",
