@@ -59,15 +59,18 @@ import graft.store.{CandleStore, VersionedCandleStore}
   *    conditions are refused loudly. Candle targets keep refusing
   *    (no delete in the reference's surface);
   *  - `WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET …` on
-  *    VSTORE targets only: the one by-source arm that must READ target
-  *    content — the lowering anti-joins the latest FOLD (content rows)
-  *    on the source keys and re-projects the surviving rows with the
-  *    assignments, committed as updates in the same single tx. Because
+  *    BOTH store shapes: the one by-source arm that must READ target
+  *    content — the lowering anti-joins the latest FOLD (content rows;
+  *    on the plain store the scan itself, one live row per key) on the
+  *    source keys and re-projects the surviving rows with the
+  *    assignments, committed as updates in the same single tx / the
+  *    same crash-atomic upsert (no tombstones involved, so the
+  *    reference's insert/upsert-only surface is respected). Because
   *    the fold is paid anyway, the condition AND the values may
   *    reference any target column, and assignments may be PARTIAL
   *    (`SET volume = 0` keeps the other columns) — fold-key/year
   *    assignments refuse (no source expression exists to move a key
-  *    to). Candle targets refuse;
+  *    to);
   *  - no schema evolution, no time-travel/change-feed target
   *    (read-only lens).
   *
@@ -101,9 +104,9 @@ case class ResolveGraftMerge(session: SparkSession) extends Rule[LogicalPlan]
         bySrcDel, bySrcUpd)
     case m: MergeIntoTable if m.resolved && candleOf(m.targetTable).isDefined =>
       val t = candleOf(m.targetTable).get
-      val (keyMap, upd, ins, _, _, _) =
+      val (keyMap, upd, ins, _, _, bySrcUpd) =
         MergeLowering.validate(m, t.schema(), allowDelete = false)
-      CandleMergeCommand(t.path, m.sourceTable, keyMap, upd, ins)
+      CandleMergeCommand(t.path, m.sourceTable, keyMap, upd, ins, bySrcUpd)
   }
 
   private def vstoreOf(plan: LogicalPlan): Option[VStoreTable] = plan match {
@@ -288,8 +291,11 @@ private[plans] object MergeLowering extends PredicateHelper {
       // condition and the values may reference any target column, and
       // assignments may be PARTIAL (unassigned columns keep the row's
       // values). Fold-key assignments refuse — a by-source arm has no
-      // source expression to move a key to.
-      case Seq(UpdateAction(cond, assigns, _)) if allowDelete =>
+      // source expression to move a key to. Unlike the DELETE arms this
+      // one needs NO tombstones (it rewrites rows in place), so BOTH
+      // store shapes support it — on candles the rewrites ride the same
+      // crash-atomic upsert as the other halves.
+      case Seq(UpdateAction(cond, assigns, _)) =>
         cond.foreach { c =>
           if (!c.references.subsetOf(targetOut))
             fail("WHEN NOT MATCHED BY SOURCE AND … THEN UPDATE condition " +
@@ -329,13 +335,9 @@ private[plans] object MergeLowering extends PredicateHelper {
             s"${dups.mkString(", ")} more than once")
         }
         (None, Some((byName, cond)))
-      case Seq(_: UpdateAction) =>
-        fail("WHEN NOT MATCHED BY SOURCE THEN UPDATE is not supported " +
-          "on graft-candles — only the VERSIONED store lowers the " +
-          "target-content rewrite (one journaled tx)")
       case _ => fail("one WHEN NOT MATCHED BY SOURCE clause only (THEN " +
-        "DELETE — conditioned on fold-key columns — or THEN UPDATE, on " +
-        "a vstore target)")
+        "DELETE — conditioned on fold-key columns, vstore targets only — " +
+        "or THEN UPDATE, both store shapes)")
     }
     if (upd.isEmpty && ins.isEmpty && del.isEmpty && bySrcDel.isEmpty &&
         bySrcUpd.isEmpty)
@@ -556,7 +558,8 @@ case class VStoreMergeCommand(path: String, source: LogicalPlan,
 case class CandleMergeCommand(path: String, source: LogicalPlan,
                               keyMap: Seq[(String, Expression)],
                               updAssigns: Option[Seq[(String, Expression)]],
-                              insAssigns: Option[Seq[(String, Expression)]])
+                              insAssigns: Option[Seq[(String, Expression)]],
+                              bySourceUpd: Option[(Seq[(String, Expression)], Option[Expression])] = None)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -570,21 +573,23 @@ case class CandleMergeCommand(path: String, source: LogicalPlan,
     // its recover-first: a crashed-install predecessor batch must be
     // rolled forward before the probe, or its keys read as absent and
     // a matched-update merge silently drops the updates)
-    def targetKeys: DataFrame = {
+    def targetRows: DataFrame = {
       store.recover()
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
       val hasData = fs.exists(p) &&
         fs.listStatus(p).exists(_.getPath.getName.startsWith("market="))
-      val base =
-        if (hasData) store.scan()
-        else session.createDataFrame(new java.util.ArrayList[Row](),
-          graft.sources.CandleTable.tableSchema)
-      base.select(keyNames.map(col): _*)
+      if (hasData) store.scan()
+      else session.createDataFrame(new java.util.ArrayList[Row](),
+        graft.sources.CandleTable.tableSchema)
     }
     val rows = MergeLowering.mergedRows(session, source,
-      graft.sources.CandleTable.tableSchema, keyMap, updAssigns, insAssigns)(
-      targetKeys)
+      graft.sources.CandleTable.tableSchema, keyMap, updAssigns, insAssigns,
+      bySourceUpd = bySourceUpd)(
+      targetRows.select(keyNames.map(col): _*),
+      // the plain store holds one live row per key, so the latest
+      // "fold" the by-source rewrite reads IS the scan itself
+      targetRows)
     graft.sources.CandleInserts.insert(rows, overwrite = false,
       "graft-candles", "MERGE never overwrites") { clean =>
       store.upsert(clean); ()

@@ -1593,9 +1593,30 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
         // this semi-join's build side
         val touchedKeys = changes.select(keyNames.map(col): _*).distinct()
           .localCheckpoint()
-        // prune the history scan to the touched keys BEFORE folding
-        val raw = spark.read.schema(readSchema(tomb)).parquet(genDir.toString)
+        // PARTITION-PRUNE the history scan before the semi-join: the
+        // semi-join alone decides exactness but reads every admitted
+        // row — an `isin` over the touched keys' partition-column
+        // values (the data is Hive-partitioned on market /
+        // candle_length / code / year) turns the pre-image fold's scan
+        // into O(touched partitions). Bounded driver collect, same cap
+        // as the view's group pushdown; past the cap the superset scan
+        // is still exact, just unpruned.
+        val maxPush = spark.conf.getOption("graft.view.pushdownMaxGroups")
+          .map(_.toInt).getOrElse(1000)
+        val sample = touchedKeys
+          .select(col("market"), col("code"), col("candle_length"),
+            year(col("ts")).as("year"))
+          .distinct().limit(maxPush + 1).collect()
+        val rawBase = spark.read.schema(readSchema(tomb))
+          .parquet(genDir.toString)
           .where(committedGate(state.admitUpTo(sinceTx)))
+        val rawPruned =
+          if (sample.length > maxPush) rawBase
+          else Seq("market", "code", "candle_length", "year")
+            .zipWithIndex.foldLeft(rawBase) { case (df, (c, i)) =>
+              df.where(col(c).isin(sample.map(_.get(i)).distinct.toSeq: _*))
+            }
+        val raw = rawPruned
           .join(broadcast(touchedKeys), keyNames, "left_semi")
         val winner = struct((contentCols.map(col) :+ col("tx_id")) ++
           (if (tomb) Seq(coalesce(col("_deleted"), lit(false)).as("_deleted"))

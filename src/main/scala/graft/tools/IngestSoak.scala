@@ -282,6 +282,74 @@ object IngestSoak {
       rawServed.length == qIds.size && rawServed.forall(_._2 >= 0.9999),
       rawServed.map(t => f"${t._1}:${t._2}%.4f").mkString(","))
 
+    // --- versioned ingest + in-loop CONTENT-GROUP view refresh
+    // (round 17): the qAC/auto-refresh path soaked — every batch
+    // commits one journaled tx and refreshes a (code, day, tier) view
+    // whose tier derives from ROW CONTENT (the pre-image feed fires
+    // every batch: 1-in-20 rows UPDATE the previous batch's keys with
+    // a tier-crossing open). Boundaries run the REAL maintenance pair
+    // (compact + checkpointJournal), so the gates cover what a
+    // long-lived stream actually risks: journal tails growing
+    // unboundedly, view generations accumulating, the watermark
+    // stalling behind the floor (a stall degrades EVERY later refresh
+    // to a full recompute — the wall gate would catch the growth), and
+    // horizon divergence ---
+    val vwBase = java.nio.file.Files.createTempDirectory("soak-view").toString
+    val vwStore = graft.store.VersionedCandleStore(spark, s"$vwBase/v")
+    def candleBatch(i: Int) = {
+      val rows = (0 until perBatch).map { j =>
+        // every 20th row of batches > 0 rewrites a batch-(i-1) key
+        // with a tier-crossing open; the rest are fresh keys
+        val (bi, upd) = if (i > 0 && j % 20 == 0) (i - 1, true) else (i, false)
+        val key = bi.toLong * perBatch + j
+        val open = if (upd) 1000.0 + j else (key % 100).toDouble
+        graft.model.Candle(market = "EVS", code = s"C${key % 5}",
+          candle_length = 3600,
+          ts = new java.sql.Timestamp(1640995200000L + (key / 5) * 3600000L),
+          open = open, high = open + 1, low = open - 1, close = open + 0.5,
+          volume = 10.0, bit_fields = 0L)
+      }
+      rows.toDF()
+    }
+    def mkSoakView() = new graft.store.IncrementalView(spark,
+      s"$vwBase/view", vwStore,
+      Seq("code" -> col("code"), "day" -> to_date(col("ts")),
+        "tier" -> (col("open") >= lit(50.123)).cast("int")),
+      Seq(count(lit(1)).as("n"), sum(col("volume")).as("vol")))
+    drive("viewRefresh",
+      _ => { vwStore.compact(); vwStore.checkpointJournal(); () },
+      i => {
+        vwStore.commit(candleBatch(i), batchId = Some(i.toLong))
+        mkSoakView().refresh(); ()
+      })
+    check("viewRefresh generation listing bounded (adopted + 1 retained)",
+      listing(vwBase, "view") <= 3,
+      s"${listing(vwBase, "view")} entries under view/")
+    check("viewRefresh journal listing O(checkpoint interval)",
+      listing(s"$vwBase/v", "txlog") <= 2 * every + 6,
+      s"${listing(s"$vwBase/v", "txlog")} journal entries (interval $every)")
+    check("viewRefresh watermark tracks the head (no silent stall)",
+      mkSoakView().watermark() == vwStore.latestTxId,
+      s"watermark ${mkSoakView().watermark()} vs head ${vwStore.latestTxId}")
+    // horizon exactness: counts exact; double sums under a relative
+    // tolerance (group recompute order differs from a one-shot fold)
+    val vIncr = mkSoakView().read()
+      .select(col("code"), col("day"), col("tier"), col("n").as("n_i"),
+        col("vol").as("vol_i"))
+    val vFull = vwStore.scan()
+      .select(col("code"), to_date(col("ts")).as("day"),
+        (col("open") >= lit(50.123)).cast("int").as("tier"), col("volume"))
+      .groupBy("code", "day", "tier")
+      .agg(count(lit(1)).as("n_f"), sum(col("volume")).as("vol_f"))
+    val vBad = vIncr.join(vFull, Seq("code", "day", "tier"), "full_outer")
+      .where(col("n_i").isNull || col("n_f").isNull ||
+        col("n_i") =!= col("n_f") ||
+        abs(col("vol_i") - col("vol_f")) >
+          abs(col("vol_f")) * lit(1e-9) + lit(1e-9))
+      .count()
+    check("viewRefresh horizon view == full recompute", vBad == 0L,
+      s"$vBad divergent groups")
+
     // --- no-compaction control: listing grows linearly ---
     val ctrlDir = tmp("soak-ctrl")
     val ctrlN = math.min(nBatches, 40)

@@ -109,7 +109,53 @@ object ViewBench {
       s""""rows_read_incremental":$rowsIncr,"rows_read_full":$rowsFull,""" +
       s""""read_ratio":${rowsFull.toDouble / math.max(rowsIncr, 1L)},""" +
       s""""exact":${diff == 0L}}""")
+
+    // ------------------------------------------------------------------
+    // CONTENT-GROUP section (round 17): the pre-image feed path. The
+    // view's tier derives from ROW CONTENT, so each refresh also folds
+    // the touched keys' history for pre-images — the graded number is
+    // that rows read stay DELTA-bound (partition-pruned pre-image scan
+    // + pruned recompute), never a second full fold.
+    def tierExpr = (col("open") >= lit(50.123)).cast("int")
+    def mkTierView() = new IncrementalView(spark, s"$base/view_tier", st,
+      Seq("code" -> col("code"), "tier" -> tierExpr),
+      Seq(count(lit(1)).as("n"), sum(col("volume")).as("vol")))
+    timed { mkTierView().refresh() } // build at the current head
+    // one-group trickle whose opens all CROSS the threshold: every
+    // touched key MOVES tier, so the old tier is only reachable via
+    // the pre-image
+    st.commit(candles(delta).withColumn("open", col("open") + lit(1000.0)))
+    val (tIncrC, rowsIncrC) = metered { mkTierView().refresh() }
+    def fullTier = st.scan()
+      .select(col("code"), tierExpr.as("tier"), col("volume"))
+      .groupBy("code", "tier")
+      .agg(count(lit(1)).as("n"), sum(col("volume")).as("vol"))
+    val (tFullC, rowsFullC) = metered {
+      fullTier.write.mode("overwrite").format("noop").save()
+    }
+    // tolerance compare, not exceptAll: a tier group aggregates
+    // thousands of doubles, so the pruned recompute's addition ORDER
+    // differs from the full recompute's and the sums drift ~1e-12
+    // relative (the corpus oracle rounds for the same reason; counts
+    // must still be EXACT)
+    val incrC = mkTierView().read()
+      .select(col("code"), col("tier"), col("n").as("n_i"),
+        col("vol").as("vol_i"))
+    val diffC = incrC
+      .join(fullTier.select(col("code"), col("tier"), col("n").as("n_f"),
+        col("vol").as("vol_f")), Seq("code", "tier"), "full_outer")
+      .where(col("n_i").isNull || col("n_f").isNull ||
+        col("n_i") =!= col("n_f") ||
+        abs(col("vol_i") - col("vol_f")) >
+          abs(col("vol_f")) * lit(1e-9) + lit(1e-9))
+      .count()
+    println(s"""{"metric":"view_refresh_content","sf":"$sfDir",""" +
+      s""""incremental_sec":$tIncrC,"full_recompute_sec":$tFullC,""" +
+      s""""speedup":${tFullC / tIncrC},""" +
+      s""""rows_read_incremental":$rowsIncrC,"rows_read_full":$rowsFullC,""" +
+      s""""read_ratio":${rowsFullC.toDouble / math.max(rowsIncrC, 1L)},""" +
+      s""""exact":${diffC == 0L}}""")
     spark.stop()
-    if (diff != 0L) sys.exit(1)
+    if (diff != 0L || diffC != 0L) sys.exit(1)
   }
 }

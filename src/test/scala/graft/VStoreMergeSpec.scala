@@ -428,6 +428,31 @@ class VStoreMergeSpec extends SparkSpec {
     assert(bf == Map("BTC" -> 9L, "ETH" -> 0L, "SOL" -> 0L), bf.toString)
   }
 
+  test("WHEN NOT MATCHED BY SOURCE THEN UPDATE on a PLAIN candle table: " +
+      "the rewrite rides the crash-atomic upsert (no tombstones), " +
+      "composed with SET * in one statement") {
+    spark.conf.set("spark.sql.catalog.cmbs",
+      classOf[graft.sources.CandleCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cmbs.base", base)
+    val cs = graft.store.CandleStore(spark, s"$base/plain_bsu")
+    cs.upsert(Seq(c("BTC", "2022-01-01 10:00:00", 1), // absent -> rewritten
+      c("ETH", "2021-06-01 00:00:00", 3)).toDF())     // matched -> SET *
+    Seq(c("ETH", "2021-06-01 00:00:00", 30))
+      .toDF().withColumn("year", org.apache.spark.sql.functions.year($"ts"))
+      .createOrReplaceTempView("src_cbsu")
+    val on =
+      """ON t.market = s.market AND t.code = s.code
+         AND t.candle_length = s.candle_length AND t.ts = s.ts"""
+    spark.sql(s"MERGE INTO cmbs.plain_bsu t USING src_cbsu s $on " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED BY SOURCE AND t.open < 2 " +
+      "THEN UPDATE SET volume = t.volume + 5")
+    val rows = cs.scan().select("code", "open", "volume").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(rows == Map("BTC" -> ((1.0, 15.0)), "ETH" -> ((30.0, 10.0))),
+      rows.toString)
+  }
+
   test("refusals are loud: candle DELETE, target-referencing DELETE " +
       "condition, partial SET, non-key ON, target-column values, " +
       "time-travel target; INSERT OVERWRITE still refused") {
@@ -479,12 +504,10 @@ class VStoreMergeSpec extends SparkSpec {
     refused(s"MERGE INTO vm.m.no t USING src_no s $on " +
       "WHEN NOT MATCHED BY SOURCE AND rand() > 0.5 THEN UPDATE SET volume = 0",
       "must be deterministic")
-    // … and candle targets refuse BOTH BY SOURCE arms entirely
+    // … and candle targets refuse the BY SOURCE DELETE arm (no
+    // tombstones; the UPDATE arm works on both shapes — tested below)
     refused(s"MERGE INTO cmno.plain_no t USING src_no s $on " +
       "WHEN NOT MATCHED BY SOURCE THEN DELETE",
-      "not supported on graft-candles")
-    refused(s"MERGE INTO cmno.plain_no t USING src_no s $on " +
-      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET open = 0",
       "not supported on graft-candles")
     // UPDATE and DELETE together: two matched clauses, refused (the
     // first conditioned to get past Spark's own last-clause parse rule)
