@@ -1190,6 +1190,21 @@ object Oracles {
              4) AS volume
          FROM a WHERE NOT EXISTS (
            SELECT 1 FROM b WHERE b.code = a.code AND b.ts = a.ts)""",
+    // qAF: the candle twin of qAE — same three-arm sync merge, same
+    // mirror (the plain store's upsert replaces matched keys exactly
+    // like the vstore's fold).
+    "qAF_candle_merge_sync_upd" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 0")})
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume
+         FROM b
+         UNION ALL
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume + CASE WHEN hour(ts) % 2 = 1 THEN 100 ELSE 0 END,
+             4) AS volume
+         FROM a WHERE NOT EXISTS (
+           SELECT 1 FROM b WHERE b.code = a.code AND b.ts = a.ts)""",
     // qA9: SQL DELETE FROM + UPDATE — A minus the hour%3=1 rows, the
     // hour%3=2 rows' close scaled and volume bumped, hour%3=0 untouched.
     "qA9_vstore_sql_dml" ->

@@ -1015,6 +1015,45 @@ object Queries {
     graft.store.VersionedCandleStore(s, path)
   }
 
+  private val candleSyncUpdCache = fixtureCache[String]()
+
+  /** Build (once per sfDir) the PLAIN-CANDLE twin of [[syncUpdStore]]
+    * (round 17, qAF): the same three-arm MERGE — `SET *` on matched
+    * keys, `INSERT *` on new keys, and `WHEN NOT MATCHED BY SOURCE AND
+    * hour(t.ts) % 2 = 1 THEN UPDATE SET volume = t.volume + 100` on
+    * source-absent rows — lowered onto the plain store, where the
+    * by-source rewrite rides the SAME crash-atomic upsert as the other
+    * halves (no tombstones involved; the store's one-live-row-per-key
+    * scan IS the fold the arm reads). End state identical to qAE's
+    * mirror by construction.
+    */
+  private def candleSyncUpdStore(s: SparkSession, d: String): CandleStore = {
+    val path = candleSyncUpdCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qcsyncupd").toString
+      val p = s"$base/candles"
+      val ev = T.events(s, d)
+      val st = CandleStore(s, p)
+      st.upsert(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      // prefix UNIQUE per fixture ("gcu") — see condDeleteStore's note
+      val cat = "gcu" + (ek(d).hashCode & 0x7fffffff)
+      setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.CandleCatalog].getName)
+      setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
+      eventCandles(ev.where(col("event_id") % 3 === 0))
+        .withColumn("year", year(col("ts")))
+        .createOrReplaceTempView("graft_cmerge_syncupd_src")
+      s.sql(
+        s"""MERGE INTO $cat.candles t USING graft_cmerge_syncupd_src s
+           ON t.market = s.market AND t.code = s.code
+              AND t.candle_length = s.candle_length AND t.ts = s.ts
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE AND hour(t.ts) % 2 = 1
+             THEN UPDATE SET volume = t.volume + 100""")
+      p
+    })
+    CandleStore(s, path)
+  }
+
   private val sqlDmlCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a versioned store mutated by the direct
@@ -1665,6 +1704,17 @@ object Queries {
     // volume bumped) — the DuckDB mirror.
     "qAE_vstore_merge_sync_upd" -> ((s, d) => {
       syncUpdStore(s, d).scan()
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // CANDLE BY-SOURCE-UPDATE MERGE (round 17): qAE's three-arm sync
+    // merge on the PLAIN store — the by-source rewrite rides the same
+    // crash-atomic upsert as the other halves (no tombstones); end
+    // state == qAE's mirror by construction.
+    "qAF_candle_merge_sync_upd" -> ((s, d) => {
+      candleSyncUpdStore(s, d).scan()
         .select(col("code"), col("ts"),
           Portable.round(col("open"), 4).as("open"),
           Portable.round(col("close"), 4).as("close"),
