@@ -137,7 +137,30 @@ private[sources] object MaintenanceProcedure {
           "safe ONLY when no live compact/vacuum/checkpoint runs",
         Seq(table),
         StructType(Seq(StructField("removed", BooleanType, nullable = false))),
-        input => oneRow(store(input).breakStaleLock())))
+        input => oneRow(store(input).breakStaleLock())),
+      new MaintenanceProcedure("describe_detail",
+        "Metadata snapshot (DESCRIBE DETAIL shape): committed head, " +
+          "squash floor, tombstone marker, generation count, current " +
+          "generation's data-file census - one recursive listing, no " +
+          "data read",
+        Seq(table),
+        StructType(Seq(
+          StructField("format", StringType, nullable = false),
+          StructField("location", StringType, nullable = false),
+          StructField("head_tx", LongType, nullable = false),
+          StructField("squash_floor_tx", LongType, nullable = false),
+          StructField("has_tombstones", BooleanType, nullable = false),
+          StructField("n_generations", IntegerType, nullable = false),
+          StructField("n_data_files", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false))),
+        input => {
+          val dir = resolve(input.getUTF8String(0).toString)
+          val d = VersionedCandleStore(spark, dir).detail()
+          oneRow(org.apache.spark.unsafe.types.UTF8String.fromString("graft-vstore"),
+            org.apache.spark.unsafe.types.UTF8String.fromString(dir),
+            d.headTx, d.squashFloorTx, d.hasTombstones, d.nGenerations,
+            d.nDataFiles, d.sizeBytes)
+        }))
   }
 
   /** The plain-candle-store maintenance set. */
@@ -164,6 +187,24 @@ private[sources] object MaintenanceProcedure {
           "(also runs implicitly before every scan)",
         Seq(table),
         StructType(Seq(StructField("replayed", IntegerType, nullable = false))),
-        input => oneRow(store(input).recover())))
+        input => oneRow(store(input).recover())),
+      new MaintenanceProcedure("describe_detail",
+        "Metadata snapshot (DESCRIBE DETAIL shape): leaf-partition and " +
+          "data-file census + total bytes - one recursive listing, no " +
+          "data read",
+        Seq(table),
+        StructType(Seq(
+          StructField("format", StringType, nullable = false),
+          StructField("location", StringType, nullable = false),
+          StructField("n_partitions", LongType, nullable = false),
+          StructField("n_data_files", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false))),
+        input => {
+          val dir = resolve(input.getUTF8String(0).toString)
+          val d = CandleStore(spark, dir).detail()
+          oneRow(org.apache.spark.unsafe.types.UTF8String.fromString("graft-candles"),
+            org.apache.spark.unsafe.types.UTF8String.fromString(dir),
+            d.nPartitions, d.nDataFiles, d.sizeBytes)
+        }))
   }
 }

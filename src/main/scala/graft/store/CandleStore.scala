@@ -486,6 +486,37 @@ final class CandleStore(spark: SparkSession, val path: String) {
     } finally pool.shutdownNow()
   }
 
+  /** Operator-facing metadata snapshot — the `DESCRIBE DETAIL`
+    * equivalent, surfaced as `CALL <cat>.system.describe_detail(tbl)`:
+    * leaf-partition and data-file census plus total bytes, from one
+    * recursive listing of the partition tree (metadata-bounded, no
+    * data read; staging/txlog metadata dirs excluded). Runs
+    * [[recover]] first so a crashed install's files count where they
+    * will actually be read.
+    */
+  def detail(): CandleStore.StoreDetail = {
+    recover()
+    val fs = hadoopFs
+    if (!fs.exists(rootP)) return CandleStore.StoreDetail(0L, 0L, 0L)
+    var nFiles = 0L
+    var bytes = 0L
+    val parts = scala.collection.mutable.HashSet[String]()
+    fs.listStatus(rootP)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("market="))
+      .foreach { top =>
+        val it = fs.listFiles(top.getPath, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) {
+            nFiles += 1; bytes += st.getLen
+            parts += st.getPath.getParent.toString
+            ()
+          }
+        }
+      }
+    CandleStore.StoreDetail(parts.size.toLong, nFiles, bytes)
+  }
+
   /** Roll forward every published-but-incomplete commit intent (the WAL
     * replay of `database/database.go:56-77`). Cheap when clean: one
     * existence probe + one (usually empty) listing. Unpublished `.tmp`
@@ -843,6 +874,12 @@ final class CandleStore(spark: SparkSession, val path: String) {
 object CandleStore {
   def apply(spark: SparkSession, path: String): CandleStore =
     new CandleStore(spark, path)
+
+  /** [[CandleStore.detail]]'s row — what
+    * `CALL <cat>.system.describe_detail` returns.
+    */
+  final case class StoreDetail(nPartitions: Long, nDataFiles: Long,
+                               sizeBytes: Long)
 
   /** Format marker stamped by [[graft.sources.CandleCatalog]] CREATE
     * TABLE, so an EMPTY store still reads as a table (data-bearing

@@ -1817,6 +1817,34 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     } finally { if (!hardCrash) { f.delete(lock, false); () } }
   }
 
+  /** Operator-facing metadata snapshot — the `DESCRIBE DETAIL`
+    * equivalent, surfaced as `CALL <cat>.system.describe_detail(tbl)`:
+    * committed head, squash floor, tombstone marker, generation count,
+    * and the CURRENT generation's data-file census (one recursive
+    * listing — metadata-bounded, no data read).
+    */
+  def detail(): VersionedCandleStore.StoreDetail = {
+    val f = fs
+    val state = journalState()
+    val gens = generations()
+    var nFiles = 0L
+    var bytes = 0L
+    gens.lastOption.foreach { case (_, dir) =>
+      val it = f.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        // commit files are tx-prefixed; a compacted generation's are
+        // plain parquet part files — count both, never markers/metadata
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          nFiles += 1; bytes += st.getLen
+        }
+      }
+    }
+    VersionedCandleStore.StoreDetail(state.maxCommitted, state.floor,
+      hasTombstones, gens.length, nFiles, bytes)
+  }
+
   /** Remove a `_compact.lock` left behind by a maintenance op that died
     * hard (kill -9 / lost executor — finally blocks never ran). Safe
     * ONLY when the caller knows no live compact/vacuum/checkpoint is
@@ -2000,4 +2028,11 @@ object VersionedCandleStore {
     */
   private[graft] final case class SimulatedCrash(step: Int)
     extends RuntimeException(s"simulated hard crash after compact step $step")
+
+  /** [[VersionedCandleStore.detail]]'s row — what
+    * `CALL <cat>.system.describe_detail` returns.
+    */
+  final case class StoreDetail(headTx: Long, squashFloorTx: Long,
+                               hasTombstones: Boolean, nGenerations: Int,
+                               nDataFiles: Long, sizeBytes: Long)
 }

@@ -162,6 +162,14 @@ class CandleCatalogSpec extends SparkSpec {
       .head().getInt(0) >= 0)
     assert(spark.sql("SELECT count(*) FROM cc.maint.m1").head().getLong(0) == 3L)
 
+    // describe_detail: partition/file census, no data read
+    val det = spark.sql("CALL cc.system.describe_detail('maint.m1')").head()
+    assert(det.getAs[String]("format") == "graft-candles")
+    assert(det.getAs[Long]("n_partitions") == 1L,
+      "one (market, candle_length, code, year) leaf partition")
+    assert(det.getAs[Long]("n_data_files") >= 1L &&
+      det.getAs[Long]("size_bytes") > 0L)
+
     // the candle catalog's procedure set is its own (no vstore-only ops)
     val e = intercept[Exception](
       spark.sql("CALL cc.system.checkpoint_journal('maint.m1')"))

@@ -184,6 +184,17 @@ class VStoreCatalogSpec extends SparkSpec {
       .head().getInt(0) >= 1)
     assert(opens(spark.sql("SELECT * FROM vc.maint.m1")) == opens(st.scan()))
 
+    // describe_detail: the DESCRIBE DETAIL shape over the same store
+    val det = spark.sql("CALL vc.system.describe_detail('maint.m1')").head()
+    assert(det.getAs[String]("format") == "graft-vstore")
+    assert(det.getAs[Long]("head_tx") == 2L &&
+      det.getAs[Long]("squash_floor_tx") == 2L)
+    assert(!det.getAs[Boolean]("has_tombstones"))
+    assert(det.getAs[Int]("n_generations") == 2,
+      "compaction retains the previous generation")
+    assert(det.getAs[Long]("n_data_files") >= 1L &&
+      det.getAs[Long]("size_bytes") > 0L)
+
     // discovery surface
     val listed = spark.sql("SHOW PROCEDURES IN vc.system").collect()
       .map(_.mkString("|")).mkString("\n")
