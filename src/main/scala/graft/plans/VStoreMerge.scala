@@ -583,13 +583,17 @@ case class CandleMergeCommand(path: String, source: LogicalPlan,
       else session.createDataFrame(new java.util.ArrayList[Row](),
         graft.sources.CandleTable.tableSchema)
     }
+    // ONE evaluation serves both by-name params (recover + the
+    // empty-store probe must not run twice when a split coexists with
+    // a by-source arm) while the SET */INSERT * fast path stays lazy
+    lazy val tr = targetRows
     val rows = MergeLowering.mergedRows(session, source,
       graft.sources.CandleTable.tableSchema, keyMap, updAssigns, insAssigns,
       bySourceUpd = bySourceUpd)(
-      targetRows.select(keyNames.map(col): _*),
+      tr.select(keyNames.map(col): _*),
       // the plain store holds one live row per key, so the latest
       // "fold" the by-source rewrite reads IS the scan itself
-      targetRows)
+      tr)
     graft.sources.CandleInserts.insert(rows, overwrite = false,
       "graft-candles", "MERGE never overwrites") { clean =>
       store.upsert(clean); ()

@@ -254,7 +254,10 @@ final class IncrementalView(
         try {
           val maxPush = spark.conf.getOption("graft.view.pushdownMaxGroups")
             .map(_.toInt).getOrElse(1000)
-          // bounded driver collect: cap + 1 rows, never O(groups)
+          // bounded driver collect: cap + 1 rows, never O(groups).
+          // (changesWindowPre applies the same cap-sample-isin idiom to
+          // the pre-image fold's scan, keyed by PARTITION columns —
+          // change the cap/fallback semantics in BOTH places.)
           val sample = touched.limit(maxPush + 1).collect()
           val base0 = store.scanAsOf(head)
           // isin pushdown on plain key-column groups: the semi-join

@@ -1600,7 +1600,10 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
         // candle_length / code / year) turns the pre-image fold's scan
         // into O(touched partitions). Bounded driver collect, same cap
         // as the view's group pushdown; past the cap the superset scan
-        // is still exact, just unpruned.
+        // is still exact, just unpruned. (IncrementalView.refreshLocked
+        // applies the same cap-sample-isin idiom to its recompute scan,
+        // keyed by GROUP columns instead of partition columns — change
+        // the cap/fallback semantics in BOTH places.)
         val maxPush = spark.conf.getOption("graft.view.pushdownMaxGroups")
           .map(_.toInt).getOrElse(1000)
         val sample = touchedKeys

@@ -298,10 +298,15 @@ object IngestSoak {
     val vwStore = graft.store.VersionedCandleStore(spark, s"$vwBase/v")
     def candleBatch(i: Int) = {
       val rows = (0 until perBatch).map { j =>
-        // every 20th row of batches > 0 rewrites a batch-(i-1) key
-        // with a tier-crossing open; the rest are fresh keys
-        val (bi, upd) = if (i > 0 && j % 20 == 0) (i - 1, true) else (i, false)
-        val key = bi.toLong * perBatch + j
+        // every 20th row of batches > 0 rewrites a key the PREVIOUS
+        // batch actually wrote (its j+1 row — that slot was a fresh
+        // key there, since (j+1) % 20 != 0) with a tier-crossing open;
+        // the rest are fresh keys. Targeting j itself would chase keys
+        // batch i-1 never wrote (ITS j%20 rows updated batch i-2) and
+        // silently turn the soak insert-only
+        val upd = i > 0 && j % 20 == 0
+        val key = if (upd) (i - 1).toLong * perBatch + j + 1
+                  else i.toLong * perBatch + j
         val open = if (upd) 1000.0 + j else (key % 100).toDouble
         graft.model.Candle(market = "EVS", code = s"C${key % 5}",
           candle_length = 3600,
@@ -331,22 +336,14 @@ object IngestSoak {
     check("viewRefresh watermark tracks the head (no silent stall)",
       mkSoakView().watermark() == vwStore.latestTxId,
       s"watermark ${mkSoakView().watermark()} vs head ${vwStore.latestTxId}")
-    // horizon exactness: counts exact; double sums under a relative
-    // tolerance (group recompute order differs from a one-shot fold)
-    val vIncr = mkSoakView().read()
-      .select(col("code"), col("day"), col("tier"), col("n").as("n_i"),
-        col("vol").as("vol_i"))
+    // horizon exactness via the shared tolerance gate (ToleranceDiff)
     val vFull = vwStore.scan()
       .select(col("code"), to_date(col("ts")).as("day"),
         (col("open") >= lit(50.123)).cast("int").as("tier"), col("volume"))
       .groupBy("code", "day", "tier")
-      .agg(count(lit(1)).as("n_f"), sum(col("volume")).as("vol_f"))
-    val vBad = vIncr.join(vFull, Seq("code", "day", "tier"), "full_outer")
-      .where(col("n_i").isNull || col("n_f").isNull ||
-        col("n_i") =!= col("n_f") ||
-        abs(col("vol_i") - col("vol_f")) >
-          abs(col("vol_f")) * lit(1e-9) + lit(1e-9))
-      .count()
+      .agg(count(lit(1)).as("n"), sum(col("volume")).as("vol"))
+    val vBad = ToleranceDiff.divergentGroups(mkSoakView().read(), vFull,
+      Seq("code", "day", "tier"))
     check("viewRefresh horizon view == full recompute", vBad == 0L,
       s"$vBad divergent groups")
 

@@ -133,22 +133,8 @@ object ViewBench {
     val (tFullC, rowsFullC) = metered {
       fullTier.write.mode("overwrite").format("noop").save()
     }
-    // tolerance compare, not exceptAll: a tier group aggregates
-    // thousands of doubles, so the pruned recompute's addition ORDER
-    // differs from the full recompute's and the sums drift ~1e-12
-    // relative (the corpus oracle rounds for the same reason; counts
-    // must still be EXACT)
-    val incrC = mkTierView().read()
-      .select(col("code"), col("tier"), col("n").as("n_i"),
-        col("vol").as("vol_i"))
-    val diffC = incrC
-      .join(fullTier.select(col("code"), col("tier"), col("n").as("n_f"),
-        col("vol").as("vol_f")), Seq("code", "tier"), "full_outer")
-      .where(col("n_i").isNull || col("n_f").isNull ||
-        col("n_i") =!= col("n_f") ||
-        abs(col("vol_i") - col("vol_f")) >
-          abs(col("vol_f")) * lit(1e-9) + lit(1e-9))
-      .count()
+    val diffC = ToleranceDiff.divergentGroups(mkTierView().read(),
+      fullTier, Seq("code", "tier"))
     println(s"""{"metric":"view_refresh_content","sf":"$sfDir",""" +
       s""""incremental_sec":$tIncrC,"full_recompute_sec":$tFullC,""" +
       s""""speedup":${tFullC / tIncrC},""" +
