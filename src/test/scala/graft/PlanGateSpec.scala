@@ -66,6 +66,22 @@ class PlanGateSpec extends SparkSpec {
       s"rate join regressed to SMJ:\n$p")
   }
 
+  test("qAC: the content-grouped view read is a pruned parquet scan of " +
+      "the adopted generation — zero exchanges (the refresh paid the " +
+      "work; the read must not)") {
+    val p = plan("qAC_content_view")
+    assert(exchanges(p) == 0, s"the view read must not shuffle:\n$p")
+  }
+
+  test("qAB: the post-maintenance catalog read stays a bridged store " +
+      "scan with zero exchanges (pushdown INSIDE the bridge is " +
+      "VStoreCatalogSpec's plan assertion)") {
+    val p = plan("qAB_sql_maintenance")
+    assert(exchanges(p) == 0, s"the maintained-store read must not shuffle:\n$p")
+    assert(p.contains("VStoreV1Bridge"),
+      s"the read must plan through the store's bridged scan:\n$p")
+  }
+
   test("q8C: AQE reuses the gram/fit exchanges in the FINAL plan") {
     val df = SparkEntry.queries("q8C_dsir_weights")(spark, sf)
     // execute THIS QueryExecution so the adaptive plan finalizes —
