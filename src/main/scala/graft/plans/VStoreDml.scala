@@ -50,10 +50,13 @@ import graft.store.{CandleStore, VersionedCandleStore}
   * tx is journaled. Time-travel / change-feed lenses refuse as
   * targets.
   *
-  * Scale note: both statements are one pruned scan of the latest fold
-  * (partition-prunable predicates reach the parquet scan) plus one
-  * commit of only the affected rows — never a rewrite of untouched
-  * data files.
+  * Scale note: both statements are one scan of the latest fold plus
+  * one commit of only the affected rows — never a rewrite of untouched
+  * data files. With a PLAIN WHERE, partition-prunable predicates reach
+  * the parquet scan; with a SUBQUERY in the WHERE, the carried filter
+  * plan lowers to a join (semi/anti/scalar broadcast), so only the
+  * condition's residual non-subquery conjuncts prune the target scan —
+  * a subquery-only WHERE reads the whole fold once.
   */
 case class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -216,6 +219,16 @@ private[plans] object VStoreDml {
       errorClass = "_LEGACY_ERROR_TEMP_0035",
       messageParameters = Map("message" -> s"DML on graft table: $msg"))
 
+  /** The human-facing condition for a command's simpleString: the
+    * carried subquery plan's own Filter condition when present (the
+    * command's `condition` field is then a placeholder TrueLiteral —
+    * rendering it would hide the real predicate from EXPLAIN).
+    */
+  def condDesc(condition: Expression,
+               matchedPlan: Option[LogicalPlan]): String =
+    matchedPlan.collectFirst { case f: Filter => f.condition.sql }
+      .getOrElse(condition.sql)
+
   /** Re-bind a resolved target expression by NAME against a fresh scan
     * frame (the command runs against its own `store.scan()` plan whose
     * attribute ids differ from the analyzed statement's).
@@ -255,6 +268,12 @@ case class VStoreDeleteCommand(path: String, condition: Expression,
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = matchedPlan.toSeq
+
+  // EXPLAIN shows the REAL predicate: the subquery path parks a
+  // TrueLiteral in `condition` (CheckAnalysis admits subqueries only
+  // under known node kinds) — render the carried plan's filter instead
+  override def simpleString(maxFields: Int): String =
+    s"VStoreDeleteCommand `$path` [${VStoreDml.condDesc(condition, matchedPlan)}]"
 
   override def run(session: SparkSession): Seq[Row] = {
     val store = VersionedCandleStore(session, path)
@@ -296,6 +315,12 @@ case class VStoreUpdateCommand(path: String,
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = matchedPlan.toSeq
+
+  override def simpleString(maxFields: Int): String =
+    s"VStoreUpdateCommand `$path` set=[${assignments.map(_._1).mkString(",")}] " +
+      s"[${VStoreDml.condDesc(
+        condition.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral),
+        matchedPlan)}]"
 
   /** The matched rows: the carried subquery filter plan when the WHERE
     * had one, otherwise the condition re-bound over a fresh scan.
@@ -407,6 +432,12 @@ case class CandleUpdateCommand(path: String,
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = matchedPlan.toSeq
+
+  override def simpleString(maxFields: Int): String =
+    s"CandleUpdateCommand `$path` set=[${assignments.map(_._1).mkString(",")}] " +
+      s"[${VStoreDml.condDesc(
+        condition.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral),
+        matchedPlan)}]"
 
   override def run(session: SparkSession): Seq[Row] = {
     val store = CandleStore(session, path)

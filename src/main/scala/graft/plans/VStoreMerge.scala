@@ -348,7 +348,11 @@ private[plans] object MergeLowering extends PredicateHelper {
   /** Shared run body: project the source per clause, split
     * matched/unmatched against `targetKeys` when the clauses differ,
     * return the single batch to commit. `targetKeys` is by-name so the
-    * fast `SET * / INSERT *` path never builds it.
+    * fast `SET * / INSERT *` path never builds it; `targetRows` (the
+    * latest full fold) is required — and only evaluated — when a
+    * `bySourceUpd` arm is present (the one arm that re-projects target
+    * CONTENT), checked loudly at entry rather than by NPE deep inside
+    * the arm.
     */
   def mergedRows(session: SparkSession, source: LogicalPlan,
                  tableSchema: StructType,
@@ -360,6 +364,17 @@ private[plans] object MergeLowering extends PredicateHelper {
                  bySourceUpd: Option[(Seq[(String, Expression)], Option[Expression])] = None)
                 (targetKeys: => DataFrame,
                  targetRows: => DataFrame = null): DataFrame = {
+    // contract check up front (by-name: only forces when the arm needs
+    // it) — a missing targetRows must fail with the contract, not an
+    // NPE inside bySourceUpdateHalf
+    lazy val tgtRows: DataFrame = {
+      val t = targetRows
+      require(t != null, "mergedRows: a WHEN NOT MATCHED BY SOURCE " +
+        "UPDATE arm re-projects target content — the caller must pass " +
+        "targetRows (the latest fold)")
+      t
+    }
+    if (bySourceUpd.nonEmpty) { tgtRows; () }
     val src = ColumnBridge.ofRows(session, source)
     def project(assigns: Seq[(String, Expression)]): DataFrame = {
       val cols = tableSchema.fields.map { f =>
@@ -447,7 +462,7 @@ private[plans] object MergeLowering extends PredicateHelper {
       val srcKeys = k.select(keyMap.map { case (n, _) =>
         k(s"_mk_$n").as(n)
       }.toIndexedSeq: _*)
-      val absent = targetRows.join(srcKeys, keyMap.map(_._1), "left_anti")
+      val absent = tgtRows.join(srcKeys, keyMap.map(_._1), "left_anti")
       val kept = cond.foldLeft(absent)((df, c) =>
         df.where(VStoreDml.rebind(c)))
       kept.select(tableSchema.fields.map { f =>

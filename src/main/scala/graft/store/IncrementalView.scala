@@ -186,13 +186,32 @@ final class IncrementalView(
     * or a generation missing its meta (torn write) — degrades to a
     * full recompute, never to silence.
     */
-  def refresh(): Long = {
+  def refresh(): Long = refresh(owner = "")
+
+  /** [[refresh]] with the lock STAMPED by `owner` — the automated
+    * single-maintainer recovery handle: a maintainer that can prove a
+    * lock is its own dead prior incarnation's (same owner string, and
+    * the owner's liveness domain admits one holder — e.g. one active
+    * streaming query per checkpoint) may break exactly that lock via
+    * [[breakLockIfOwner]] and retry. A lock stamped by anyone else —
+    * or unstamped (a manual `refresh()`) — is never provably stale to
+    * an automated breaker and must fail loudly instead.
+    */
+  private[graft] def refresh(owner: String): Long = {
     val f = fs
     f.mkdirs(new Path(path))
     val lock = new Path(path, "_refresh.lock")
     if (!VersionedCandleStore.tryCreate(f, lock))
       throw new IllegalStateException(s"another refresh holds $lock " +
         "(breakStaleLock() if its owner died hard)")
+    // stamp AFTER the atomic create: we hold the lock, so the overwrite
+    // races nothing; a crash between create and stamp leaves an
+    // unstamped lock, which automated breakers refuse (human
+    // breakStaleLock() still clears it)
+    if (owner.nonEmpty) {
+      val out = f.create(lock, true)
+      try out.write(owner.getBytes("UTF-8")) finally out.close()
+    }
     try refreshLocked() finally { f.delete(lock, false); () }
   }
 
@@ -204,6 +223,29 @@ final class IncrementalView(
   def breakStaleLock(): Boolean = {
     val lock = new Path(path, "_refresh.lock")
     fs.exists(lock) && fs.delete(lock, false)
+  }
+
+  /** Break the `_refresh.lock` ONLY if it is stamped by `owner` —
+    * proof of staleness for an automated breaker whose liveness domain
+    * admits one holder per owner string (the streaming writer: Spark
+    * runs one active query per checkpoint, so a lock carrying this
+    * stream's own stamp can only be a dead prior incarnation's). A
+    * foreign or unstamped lock — a concurrent manual `refresh()`, a
+    * second stream wired to the same view — is possibly LIVE and is
+    * left alone (returns false; the caller fails loudly).
+    */
+  private[graft] def breakLockIfOwner(owner: String): Boolean = {
+    require(owner.nonEmpty, "breakLockIfOwner needs a non-empty owner stamp")
+    val f = fs
+    val lock = new Path(path, "_refresh.lock")
+    if (!f.exists(lock)) return false
+    val stamped = try {
+      val in = f.open(lock)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    } catch { case _: java.io.IOException => return false }
+    stamped == owner && f.delete(lock, false)
   }
 
   private def refreshLocked(): Long = {
@@ -241,13 +283,19 @@ final class IncrementalView(
         // changed key LEAVES come from the superseded winners' content;
         // tombstone change rows contribute none (zeroed content)
         val sinceTx = lateIds.minOption.map(_ - 1).getOrElse(last)
-        val feed =
+        // the pre-image feed's checkpointed touched-key frame is OURS
+        // to clean up (changesWindowPre's contract) — unpersisted in
+        // the finally below alongside our own `touched`
+        val (feed, preTouched) =
           if (contentGroups) {
-            val f = store.changesWindowPre(sinceTx, head, snapshot)
-            if (f.columns.contains("_deleted"))
+            val (f, t) = store.changesWindowPre(sinceTx, head, snapshot,
+              checkpointTouched = true)
+            (if (f.columns.contains("_deleted"))
               f.where(col("_change_kind") === "preimage" || !col("_deleted"))
-            else f
-          } else store.changesWindow(sinceTx, head, floor, recents)
+            else f, t)
+          } else
+            (store.changesWindow(sinceTx, head, floor, recents),
+              Option.empty[DataFrame])
         val touched = withGroups(feed)
           .select(groupNames.map(col).toIndexedSeq: _*).distinct()
           .localCheckpoint() // feeds the collect + two broadcast joins
@@ -279,8 +327,11 @@ final class IncrementalView(
           writeGen(newHead, old
             .join(broadcast(touched), groupNames.toIndexedSeq, "left_anti")
             .unionByName(recomputed), floor, recents)
-        } finally org.apache.spark.sql.graft.ColumnBridge
-          .unpersistCheckpoint(touched)
+        } finally {
+          org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(touched)
+          preTouched.foreach(
+            org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
+        }
         return newHead
       case _ =>
         // first build; compact floor past the watermark; meta missing

@@ -1570,16 +1570,39 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * Cost: one additional scan of rows at or below `sinceTx`,
     * semi-joined on the window's (broadcast) touched keys BEFORE the
     * fold — O(touched keys' history), never a full-store fold.
+    *
+    * CONSTRUCTION runs one bounded driver job (the partition-prune
+    * sample over the window's touched keys, capped at
+    * `graft.view.pushdownMaxGroups + 1` rows); the returned frame is
+    * otherwise lazy, and each execution scans the gated window twice
+    * (once for the change rows, once under the pre-image semi-join's
+    * build side). A caller refreshing repeatedly should use the
+    * checkpointing variant and own its cleanup, as the incremental
+    * view does ([[graft.store.IncrementalView]]).
     */
   def changesSincePre(sinceTx: Long, untilTx: Long = Long.MaxValue): DataFrame =
-    changesWindowPre(sinceTx, untilTx, journalState())
+    changesWindowPre(sinceTx, untilTx, journalState(),
+      checkpointTouched = false)._1
 
   /** Pinned-snapshot body of [[changesSincePre]] — the incremental
     * view's entry point (one journal read serves the window, the gap
     * check, and the pre-image gate).
+    *
+    * `checkpointTouched = true` localCheckpoints the window's
+    * touched-key frame so repeated executions of the feed never re-run
+    * the gated window scan under the pre-image semi-join's build side;
+    * the checkpointed frame is RETURNED (second tuple slot) and the
+    * CALLER owns its lifecycle — unpersist it
+    * (`ColumnBridge.unpersistCheckpoint`) when done with the feed, or
+    * every refresh of a long-lived stream leaks block-manager storage
+    * until the ContextCleaner happens to GC it. With `false` the feed
+    * stays fully lazy and nothing needs cleanup (the public
+    * [[changesSincePre]] shape).
     */
   private[store] def changesWindowPre(sinceTx: Long, untilTx: Long,
-                                      state: JournalState): DataFrame = {
+                                      state: JournalState,
+                                      checkpointTouched: Boolean)
+      : (DataFrame, Option[DataFrame]) = {
     val tomb = hasTombstones
     val changes = changesWindow(sinceTx, untilTx, state.floor,
       state.recents.map(_._1))
@@ -1587,12 +1610,14 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     currentGen() match {
       case Some((_, genDir)) =>
         val keyNames = Candle.keyCols :+ "ts"
-        // materialize the touched-key set ONCE (it is broadcast-sized
-        // by construction): left lazy, every execution of the returned
-        // feed would re-run the gated window scan a second time under
-        // this semi-join's build side
-        val touchedKeys = changes.select(keyNames.map(col): _*).distinct()
-          .localCheckpoint()
+        // materialize the touched-key set ONCE when the caller asked
+        // for it (it is broadcast-sized by construction): left lazy,
+        // every execution of the returned feed re-runs the gated window
+        // scan a second time under this semi-join's build side — the
+        // documented cost of the lazy public shape
+        val touchedLazy = changes.select(keyNames.map(col): _*).distinct()
+        val touchedKeys =
+          if (checkpointTouched) touchedLazy.localCheckpoint() else touchedLazy
         // PARTITION-PRUNE the history scan before the semi-join: the
         // semi-join alone decides exactness but reads every admitted
         // row — an `isin` over the touched keys' partition-column
@@ -1635,8 +1660,9 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
           .select((scanCols :+ "tx_id").map(col): _*)
         val pre = (if (tomb) pre0.withColumn("_deleted", lit(false)) else pre0)
           .withColumn("_change_kind", lit("preimage"))
-        changed.unionByName(pre)
-      case None => changed
+        (changed.unionByName(pre),
+          if (checkpointTouched) Some(touchedKeys) else None)
+      case None => (changed, None)
     }
   }
 

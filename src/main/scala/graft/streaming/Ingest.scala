@@ -196,22 +196,35 @@ object Ingest {
           // the commit's own batch-id replay guard no-ops; a refresh
           // racing a slow reserve-then-journal committer records the
           // gap run in the generation meta and repairs it on the next
-          // refresh (IncrementalView's out-of-order protocol); and a
-          // _refresh.lock left by a HARD-KILLED prior incarnation is
-          // broken and retried ONCE — sound because wiring a view here
-          // is the single-maintainer contract (this stream is the only
-          // refresher; Spark admits one active query per checkpoint,
-          // and foreachBatch serializes batches within it, so a lock
-          // observed at refresh time can only be a dead incarnation's)
-          if (views.nonEmpty && batchId % viewRefreshEvery == 0)
+          // refresh (IncrementalView's out-of-order protocol). Each
+          // refresh stamps the _refresh.lock with THIS stream's
+          // checkpoint as owner, and a lock observed at refresh time is
+          // broken ONLY when it carries that same stamp — provably a
+          // dead prior incarnation of this very stream (Spark admits
+          // one active query per checkpoint, and foreachBatch
+          // serializes batches within it). A FOREIGN or unstamped lock
+          // — a concurrent manual refresh(), a second stream wired to
+          // the same view path — is possibly live, so the batch fails
+          // loudly instead of silently deleting it (the concurrent-
+          // refresh generation-GC race the lock exists to prevent).
+          if (views.nonEmpty && batchId % viewRefreshEvery == 0) {
+            val owner = s"graft-stream:$checkpointDir"
             views.foreach { v =>
-              try v.refresh()
+              try v.refresh(owner)
               catch {
                 case e: IllegalStateException
                     if e.getMessage.contains("_refresh.lock") =>
-                  v.breakStaleLock(); v.refresh()
+                  if (v.breakLockIfOwner(owner)) v.refresh(owner)
+                  else throw new IllegalStateException(
+                    s"view at ${v.path}: _refresh.lock is held by a " +
+                      "refresher this stream does not own (a concurrent " +
+                      "manual refresh() or another stream) — refusing to " +
+                      "break a possibly-live lock. Stop the other " +
+                      "refresher, or breakStaleLock() manually if its " +
+                      "owner died hard.", e)
               }
             }
+          }
           ()
         }
       }

@@ -151,6 +151,40 @@ class IncrementalViewSpec extends SparkSpec {
     assert(rows(v.read()) == rows(full(st)))
   }
 
+  test("breakLockIfOwner breaks ONLY a lock stamped by the same owner — " +
+      "foreign and unstamped (manual-refresh) locks are left alone") {
+    val st = VersionedCandleStore(spark, tmpDir("ivlo") + "/v")
+    val viewDir = tmpDir("ivlo-view")
+    val v = view(st, viewDir)
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())
+    val lockPath = java.nio.file.Paths.get(viewDir, "_refresh.lock")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(viewDir))
+    // 1) UNSTAMPED lock (what a live manual refresh() holds): the
+    // automated breaker must refuse — only the human breakStaleLock()
+    // may clear it
+    java.nio.file.Files.createFile(lockPath)
+    assert(!v.breakLockIfOwner("graft-stream:ckpt-a"),
+      "an unstamped lock is possibly a live manual refresh — never broken")
+    assert(java.nio.file.Files.exists(lockPath), "lock must survive")
+    assert(v.breakStaleLock())
+    // 2) FOREIGN stamp (a second stream's checkpoint): refused too
+    java.nio.file.Files.write(lockPath,
+      "graft-stream:ckpt-b".getBytes("UTF-8"))
+    assert(!v.breakLockIfOwner("graft-stream:ckpt-a"),
+      "a foreign stamp is possibly a live second stream — never broken")
+    assert(java.nio.file.Files.exists(lockPath), "lock must survive")
+    // 3) OWN stamp (this stream's dead prior incarnation): broken
+    java.nio.file.Files.write(lockPath,
+      "graft-stream:ckpt-a".getBytes("UTF-8"))
+    assert(v.breakLockIfOwner("graft-stream:ckpt-a"))
+    assert(!java.nio.file.Files.exists(lockPath))
+    // refresh(owner) stamps the lock while held, and removes it after
+    assert(v.refresh("graft-stream:ckpt-a") == 1L)
+    assert(!java.nio.file.Files.exists(lockPath),
+      "refresh must clear its own stamped lock")
+    assert(rows(v.read()) == rows(full(st)))
+  }
+
   test("an out-of-order committer (lower tx journals AFTER a higher one) " +
       "is detected via the recorded gap runs and repaired on the next " +
       "refresh — never silently stale") {

@@ -1310,8 +1310,9 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.mkString("|")).toSet
 
     val stream = MemoryStream[Candle]
+    val ckptDir = tmpDir("st-avr-ckpt")
     val query = Ingest.startVersionedIngest(stream.toDF(), vst,
-      tmpDir("st-avr-ckpt"), Trigger.ProcessingTime(0), views = Seq(view))
+      ckptDir, Trigger.ProcessingTime(0), views = Seq(view))
     stream.addData(Seq(c("BTC", "2022-01-01 10:00:00", 1),
       c("ETH", "2021-06-01 00:00:00", 5)))
     query.processAllAvailable()
@@ -1324,21 +1325,48 @@ class StreamingSpec extends SparkSpec {
     query.processAllAvailable()
     assert(viewRows() == full(), "in-loop refresh with an open gap")
     vst.finalizeDataCommit(lateTx, written, None, None) // journals late
-    // a _refresh.lock left by a HARD-KILLED prior incarnation must not
-    // wedge the restarted stream: the writer breaks it and retries
-    // (single-maintainer contract — wiring the view IS the claim)
-    java.nio.file.Files.createFile(
-      java.nio.file.Paths.get(view.path, "_refresh.lock"))
+    // a _refresh.lock left by a HARD-KILLED prior incarnation of THIS
+    // stream (stamped with this checkpoint's owner token) must not
+    // wedge the restarted stream: the writer proves staleness by the
+    // stamp, breaks it, and retries
+    val lockPath = java.nio.file.Paths.get(view.path, "_refresh.lock")
+    java.nio.file.Files.write(lockPath,
+      s"graft-stream:$ckptDir".getBytes("UTF-8"))
     stream.addData(Seq(c("ADA", "2022-03-01 00:00:00", 3)))
     query.processAllAvailable()
     query.stop()
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(view.path, "_refresh.lock")),
-      "the stale lock must be broken, not left to wedge every retry")
+    assert(!java.nio.file.Files.exists(lockPath),
+      "the own-stamped stale lock must be broken, not left to wedge every retry")
     assert(viewRows() == full(),
       "the next in-loop refresh must repair the late tx via the gap run")
     assert(view.read().where(col("code") === "SOL").count() == 1,
       "the late committer's group must be in the auto-refreshed view")
+    // a FOREIGN lock (another stream's stamp, or an unstamped manual
+    // refresh()) is possibly LIVE: the batch must fail LOUDLY instead
+    // of silently deleting it — the concurrent-refresh GC race the
+    // lock exists to prevent
+    java.nio.file.Files.write(lockPath,
+      "graft-stream:someone-else".getBytes("UTF-8"))
+    val restarted = Ingest.startVersionedIngest(stream.toDF(), vst,
+      ckptDir, Trigger.ProcessingTime(0), views = Seq(view))
+    stream.addData(Seq(c("XRP", "2022-04-01 00:00:00", 4)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      restarted.processAllAvailable()
+    }
+    restarted.stop()
+    assert(e.getMessage.contains("does not own") ||
+      Option(e.getCause).exists(_.getMessage.contains("does not own")),
+      s"foreign lock must fail loudly, got: ${e.getMessage}")
+    assert(java.nio.file.Files.exists(lockPath),
+      "the foreign lock must SURVIVE — never silently deleted")
+    // the operator resolves it (breakStaleLock) and the stream recovers
+    assert(view.breakStaleLock())
+    val resumed = Ingest.startVersionedIngest(stream.toDF(), vst,
+      ckptDir, Trigger.ProcessingTime(0), views = Seq(view))
+    resumed.processAllAvailable()
+    resumed.stop()
+    assert(viewRows() == full(), "recovery after the operator breaks the lock")
+    assert(view.read().where(col("code") === "XRP").count() == 1)
   }
 
   test("streaming change-feed tail: offsets are tx ids, exactly-once across restart, pacing") {
