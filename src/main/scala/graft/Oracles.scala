@@ -1260,6 +1260,34 @@ object Oracles {
            round(volume + CASE WHEN code IN (SELECT code FROM uc)
              THEN 1 ELSE 0 END, 4) AS volume
          FROM surv""",
+    // qAH: the pre-image feed through the reader, since tx 1 — change
+    // rows are tx2's upserts (batch B) plus tx3's tombstones (zeroed
+    // content, deleted=1, one per distinct hour%3=1 key), and every
+    // touched key that existed at tx 1 contributes ONE window-start
+    // pre-image carrying batch A's content (keys born inside the
+    // window have none).
+    "qAH_preimage_feed" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 0")}),
+         allc AS (${hourlyCandles("")}),
+         delk AS (SELECT DISTINCT code, ts FROM allc WHERE hour(ts) % 3 = 1),
+         changes AS (
+           SELECT code, ts, open, close, volume,
+             CAST(2 AS BIGINT) AS tx_id, 0 AS deleted, 'change' AS kind
+           FROM b
+           UNION ALL
+           SELECT code, ts, 0.0, 0.0, 0.0,
+             CAST(3 AS BIGINT), 1, 'change'
+           FROM delk),
+         touched AS (SELECT DISTINCT code, ts FROM changes),
+         pre AS (
+           SELECT a.code, a.ts, a.open, a.close, a.volume,
+             CAST(1 AS BIGINT) AS tx_id, 0 AS deleted, 'preimage' AS kind
+           FROM a JOIN touched USING (code, ts)),
+         feed AS (SELECT * FROM changes UNION ALL SELECT * FROM pre)
+         SELECT code, ts, round(open, 4) AS open, round(close, 4) AS close,
+           round(volume, 4) AS volume, tx_id, deleted, kind
+         FROM feed""",
     // qAC: the content-grouped view == a full GROUP BY (code, day,
     // open-threshold tier) over the end state (A then B last-wins,
     // minus the hour%3=1 tombstoned keys).

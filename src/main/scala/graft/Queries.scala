@@ -1193,6 +1193,15 @@ object Queries {
     mkContentView(s, graft.store.VersionedCandleStore(s, sp), vp)
   }
 
+  /** The content-view fixture's STORE path (txs: 1 = batch A, 2 =
+    * batch B upsert, 3 = tombstone delete of the hour%3=1 keys) —
+    * qAH reads its PRE-IMAGE feed through the DataSource reader.
+    */
+  private def contentViewStorePath(s: SparkSession, d: String): String = {
+    contentViewStore(s, d) // ensure the fixture is built
+    contentViewCache(ek(d))._1
+  }
+
   private val maintStoreCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a versioned store maintained through SQL
@@ -1775,6 +1784,23 @@ object Queries {
           Portable.round(col("open"), 4).as("open"),
           Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // PRE-IMAGE FEED VIA THE READER (round 18): the change feed WITH
+    // window-start pre-image rows served through the DataSource option
+    // (changesSincePre) — not the Scala API: tx2's upserts and tx3's
+    // tombstones as 'change' rows, plus each touched key's tx1 winner
+    // as its 'preimage' — exactly what a non-Scala incremental consumer
+    // needs to maintain content-derived state under updates + deletes.
+    "qAH_preimage_feed" -> ((s, d) => {
+      val sp = contentViewStorePath(s, d)
+      s.read.format("graft-vstore").option("changesSincePre", 1)
+        .load(sp)
+        .select(col("code"), col("ts"),
+          Portable.round(col("open"), 4).as("open"),
+          Portable.round(col("close"), 4).as("close"),
+          Portable.round(col("volume"), 4).as("volume"),
+          col("tx_id"), col("_deleted").cast("int").as("deleted"),
+          col("_change_kind").as("kind"))
     }),
     // CONTENT-GROUPED INCREMENTAL VIEW (round 17): the view's tier
     // group derives from row CONTENT, so the refresh reads the

@@ -76,12 +76,15 @@ final class VStoreSource extends org.apache.spark.sql.connector.catalog.TablePro
   // via the V1Scan bridge)                                             //
   // ------------------------------------------------------------------ //
 
-  /** Options parsed to (path, asOfTx, asOfTime, since, until) — keys
-    * matched case-insensitively (V2 hands the provider the
+  /** Options parsed to (path, asOfTx, asOfTime, since, until, preImage)
+    * — keys matched case-insensitively (V2 hands the provider the
     * case-SENSITIVE map; the V1 path already matched both spellings).
+    * `changesSincePre` is the change feed WITH window-start pre-image
+    * rows ([[VersionedCandleStore.changesSincePre]] — the
+    * `_change_kind`-discriminated schema).
     */
   private def batchOptions(parameters: Map[String, String])
-      : (String, Option[Long], Option[Timestamp], Option[Long], Option[Long]) = {
+      : (String, Option[Long], Option[Timestamp], Option[Long], Option[Long], Boolean) = {
     val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
     val path = lower.getOrElse("path",
       throw new IllegalArgumentException(
@@ -100,13 +103,15 @@ final class VStoreSource extends org.apache.spark.sql.connector.catalog.TablePro
             s"asOfTime must be a 'yyyy-mm-dd hh:mm:ss[.f…]' timestamp, got '$s'")
         }
       }
-    val since = longOpt("changesSince")
+    val sincePre = longOpt("changesSincePre")
+    val since = longOpt("changesSince").orElse(sincePre)
     val until = longOpt("changesUntil")
-    require(Seq(asOfTx, asOfTime, since).count(_.nonEmpty) <= 1,
-      "asOfTx, asOfTime and changesSince are mutually exclusive")
+    require(Seq(asOfTx, asOfTime, longOpt("changesSince"),
+        sincePre).count(_.nonEmpty) <= 1,
+      "asOfTx, asOfTime, changesSince and changesSincePre are mutually exclusive")
     require(until.isEmpty || since.nonEmpty,
-      "changesUntil requires changesSince")
-    (path, asOfTx, asOfTime, since, until)
+      "changesUntil requires changesSince or changesSincePre")
+    (path, asOfTx, asOfTime, since, until, sincePre.nonEmpty)
   }
 
   private def scalaOptions(options: java.util.Map[String, String]): Map[String, String] = {
@@ -120,10 +125,11 @@ final class VStoreSource extends org.apache.spark.sql.connector.catalog.TablePro
     val spark = org.apache.spark.sql.SparkSession.active
     val path = params.getOrElse("path", throw new IllegalArgumentException(
       "graft-vstore requires a path"))
-    val base = VersionedCandleStore(spark, path).tableSchema
-    if (params.contains("changessince"))
-      base.add("tx_id", org.apache.spark.sql.types.LongType)
-    else base
+    val store = VersionedCandleStore(spark, path)
+    if (params.contains("changessincepre")) store.changeFeedPreSchema
+    else if (params.contains("changessince"))
+      store.tableSchema.add("tx_id", org.apache.spark.sql.types.LongType)
+    else store.tableSchema
   }
 
   override def getTable(schema: StructType,
@@ -140,8 +146,8 @@ final class VStoreSource extends org.apache.spark.sql.connector.catalog.TablePro
       new VStoreTable(spark, path, None, None,
         lower.get("changessince").flatMap(_.toLongOption), None)
     } else {
-      val (path, asOfTx, asOfTime, since, until) = batchOptions(params)
-      new VStoreTable(spark, path, asOfTx, asOfTime, since, until)
+      val (path, asOfTx, asOfTime, since, until, pre) = batchOptions(params)
+      new VStoreTable(spark, path, asOfTx, asOfTime, since, until, pre)
     }
   }
 
@@ -152,12 +158,23 @@ final class VStoreSource extends org.apache.spark.sql.connector.catalog.TablePro
   /** Parse + validate every streaming option in ONE place — called from
     * `sourceSchema` so misuse fails synchronously at `load()`, never
     * asynchronously on the stream thread mid-start. Returns
-    * (path, startTx, maxTxsPerBatch).
+    * (path, startTx, maxTxsPerBatch, preImage). `preImage = true` makes
+    * each micro-batch a pre-image window
+    * ([[VersionedCandleStore.changesWindowPreTail]] of the batch's own
+    * (a, b] offsets): the `_change_kind`-discriminated schema, with one
+    * window-START pre-image per key the batch touches — exactly what an
+    * incremental consumer maintaining content-derived state needs.
     */
-  private def streamOptions(parameters: Map[String, String]): (String, Long, Option[Long]) = {
+  private def streamOptions(parameters: Map[String, String])
+      : (String, Long, Option[Long], Boolean) = {
     require(!parameters.contains("changesUntil") && !parameters.contains("changesuntil"),
       "changesUntil is a batch-reader option; a stream tails indefinitely " +
         "(bound it with .option(\"maxTxsPerBatch\", …) or stop the query)")
+    require(!parameters.contains("changesSincePre") &&
+        !parameters.contains("changessincepre"),
+      "changesSincePre is a batch-reader option; a stream opts into " +
+        "pre-image rows with .option(\"preImage\", true) and starts at " +
+        ".option(\"changesSince\", tx)")
     def longOpt(name: String): Option[Long] =
       parameters.get(name).orElse(parameters.get(name.toLowerCase)).map { s =>
         s.toLongOption.getOrElse(throw new IllegalArgumentException(
@@ -168,18 +185,24 @@ final class VStoreSource extends org.apache.spark.sql.connector.catalog.TablePro
     val maxTxs = longOpt("maxTxsPerBatch")
     maxTxs.foreach(m => require(m > 0,
       s"maxTxsPerBatch must be positive, got $m (0 would stall the stream forever)"))
+    val preImage = parameters.get("preImage")
+      .orElse(parameters.get("preimage")).exists { s =>
+        s.toBooleanOption.getOrElse(throw new IllegalArgumentException(
+          s"preImage must be true or false, got '$s'"))
+      }
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-vstore requires a path: spark.readStream.format(\"graft-vstore\").load(path)"))
-    (path, startTx, maxTxs)
+    (path, startTx, maxTxs, preImage)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
-    val (path, _, _) = streamOptions(parameters)
+    val (path, _, _, preImage) = streamOptions(parameters)
+    val store = VersionedCandleStore(sqlContext.sparkSession, path)
     (shortName(),
-      VersionedCandleStore(sqlContext.sparkSession, path).changeFeedSchema)
+      if (preImage) store.changeFeedPreSchema else store.changeFeedSchema)
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -187,8 +210,8 @@ final class VStoreSource extends org.apache.spark.sql.connector.catalog.TablePro
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
-    val (path, startTx, maxTxs) = streamOptions(parameters)
-    new VStoreStreamSource(sqlContext, path, startTx, maxTxs)
+    val (path, startTx, maxTxs, preImage) = streamOptions(parameters)
+    new VStoreStreamSource(sqlContext, path, startTx, maxTxs, preImage)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -212,13 +235,16 @@ final class VStoreSource extends org.apache.spark.sql.connector.catalog.TablePro
             s"asOfTime must be a 'yyyy-mm-dd hh:mm:ss[.f…]' timestamp, got '$s'")
         }
       }
-    val since = longOpt("changesSince")
+    val sincePre = longOpt("changesSincePre")
+    val since = longOpt("changesSince").orElse(sincePre)
     val until = longOpt("changesUntil")
-    require(Seq(asOfTx, asOfTime, since).count(_.nonEmpty) <= 1,
-      "asOfTx, asOfTime and changesSince are mutually exclusive")
+    require(Seq(asOfTx, asOfTime, longOpt("changesSince"),
+        sincePre).count(_.nonEmpty) <= 1,
+      "asOfTx, asOfTime, changesSince and changesSincePre are mutually exclusive")
     require(until.isEmpty || since.nonEmpty,
-      "changesUntil requires changesSince")
-    new VStoreRelation(sqlContext, path, asOfTx, asOfTime, since, until)
+      "changesUntil requires changesSince or changesSincePre")
+    new VStoreRelation(sqlContext, path, asOfTx, asOfTime, since, until,
+      sincePre.nonEmpty)
   }
 
   /** Writer surface: `df.write.format("graft-vstore").mode("append")
@@ -261,13 +287,15 @@ private[graft] final class VStoreRelation(override val sqlContext: SQLContext,
                                           asOfTx: Option[Long],
                                           asOfTime: Option[Timestamp],
                                           changesSince: Option[Long] = None,
-                                          changesUntil: Option[Long] = None)
+                                          changesUntil: Option[Long] = None,
+                                          preImage: Boolean = false)
   extends BaseRelation with PrunedFilteredScan {
 
   private val store = VersionedCandleStore(sqlContext.sparkSession, path)
 
   override val schema: StructType =
-    if (changesSince.nonEmpty) store.changeFeedSchema
+    if (preImage) store.changeFeedPreSchema
+    else if (changesSince.nonEmpty) store.changeFeedSchema
     else store.tableSchema
 
   /** The rows [[buildScan]] hands back are the inner plan's
@@ -286,6 +314,8 @@ private[graft] final class VStoreRelation(override val sqlContext: SQLContext,
     */
   private def asOfFrame(content: Seq[String]): DataFrame =
     (changesSince, asOfTx, asOfTime) match {
+      case (Some(s), _, _) if preImage =>
+        store.changesSincePre(s, changesUntil.getOrElse(Long.MaxValue))
       case (Some(s), _, _) =>
         store.changesSince(s, changesUntil.getOrElse(Long.MaxValue))
       case (_, Some(tx), _) => store.scanAsOf(tx, content)

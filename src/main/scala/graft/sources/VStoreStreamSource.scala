@@ -37,7 +37,8 @@ import graft.store.VersionedCandleStore
   * floor guard).
   */
 final class VStoreStreamSource(sqlContext: SQLContext, path: String,
-                               startTx: Long, maxTxsPerBatch: Option[Long])
+                               startTx: Long, maxTxsPerBatch: Option[Long],
+                               preImage: Boolean = false)
   extends Source {
 
   private val store = VersionedCandleStore(sqlContext.sparkSession, path)
@@ -45,8 +46,12 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
   // pinned at query start: a store that gains its FIRST tombstone
   // mid-stream widens the feed by `_deleted`, which a running query's
   // fixed schema cannot absorb — getBatch fails loudly then (restart
-  // picks the widened schema up)
-  override val schema: StructType = store.changeFeedSchema
+  // picks the widened schema up). `preImage` widens by `_change_kind`:
+  // each micro-batch (a, b] then carries one window-START pre-image
+  // per key it touches (changesWindowPreTail) — deterministic on
+  // replay like the plain window (same journal, same offsets).
+  override val schema: StructType =
+    if (preImage) store.changeFeedPreSchema else store.changeFeedSchema
 
   /** Highest tx already handed to the engine — seeds micro-batch pacing.
     * Recovery keeps it monotone: the engine replays the pending batch
@@ -112,8 +117,10 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
     // (from, until] IS delivered by this very batch, so it never flags.
     failOnLateCommit(journal.poll(), from)
     if (until > known) known = until
-    val frame = store.changesWindow(from, until, journal.floorTx,
-      journal.admittedIn(from, until))
+    val frame =
+      if (preImage) store.changesWindowPreTail(from, until, journal)
+      else store.changesWindow(from, until, journal.floorTx,
+        journal.admittedIn(from, until))
     if (frame.schema.fieldNames.toSeq != schema.fieldNames.toSeq)
       throw new IllegalStateException(
         s"graft-vstore stream at $path: the store gained tombstone " +

@@ -34,7 +34,8 @@ private[graft] final class VStoreTable(spark: SparkSession,
                                        asOfTx: Option[Long],
                                        asOfTime: Option[Timestamp],
                                        changesSince: Option[Long],
-                                       changesUntil: Option[Long])
+                                       changesUntil: Option[Long],
+                                       preImage: Boolean = false)
   extends Table with SupportsRead with SupportsWrite {
 
   private def store = VersionedCandleStore(spark, path)
@@ -44,6 +45,7 @@ private[graft] final class VStoreTable(spark: SparkSession,
   private[graft] def changesSinceOpt: Option[Long] = changesSince
   private[graft] def changesUntilOpt: Option[Long] = changesUntil
   private[graft] def isChangeFeed: Boolean = changesSince.nonEmpty
+  private[graft] def isPreImageFeed: Boolean = preImage
   private[graft] def isTimeTravelByTime: Boolean = asOfTime.nonEmpty
 
   /** Fold-bypassing raw key frame for pushed aggregates (latest or
@@ -55,10 +57,12 @@ private[graft] final class VStoreTable(spark: SparkSession,
   override def name(): String = s"graft-vstore `$path`" +
     asOfTx.map(t => s" VERSION AS OF $t").getOrElse("") +
     asOfTime.map(t => s" TIMESTAMP AS OF $t").getOrElse("") +
-    changesSince.map(s => s" CHANGES SINCE $s").getOrElse("")
+    changesSince.map(s => s" CHANGES SINCE $s" +
+      (if (preImage) " (PRE-IMAGE)" else "")).getOrElse("")
 
   override def schema(): StructType =
-    if (changesSince.nonEmpty) store.changeFeedSchema
+    if (preImage) store.changeFeedPreSchema
+    else if (changesSince.nonEmpty) store.changeFeedSchema
     else store.tableSchema
 
   /** Writes are declared ONLY on the latest-snapshot addressing: a
@@ -266,7 +270,7 @@ private[graft] final class VStoreScan(spark: SparkSession,
     case None =>
       new VStoreRelation(spark.sqlContext, table.path,
         table.asOfTxOpt, table.asOfTimeOpt, table.changesSinceOpt,
-        table.changesUntilOpt)
+        table.changesUntilOpt, table.isPreImageFeed)
         .scanFrame(required.fieldNames, filters)
   }
 

@@ -1400,6 +1400,36 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
       }
     }
 
+    /** Every committed id at or below `txId` as a gateable interval
+      * set — the complement of the gap runs in `[1, min(txId,
+      * maxSeen)]`. O(#gap runs) driver work and memory, never O(ids):
+      * the view has observed ALL journal history (the seeding poll
+      * absorbs checkpoints and tails alike), so non-gap = committed is
+      * exact. This is the pre-image fold's at-or-below-window gate
+      * ([[changesWindowPreTail]]) served without a fresh journal
+      * collect.
+      */
+    private[store] def admitUpTo(txId: Long): TxAdmit = {
+      val hi = math.min(txId, maxSeen)
+      if (hi <= 0L) return TxAdmit(Array.empty, Array.empty)
+      val runs = Array.newBuilder[(Long, Long)]
+      var start = 1L
+      val it = gapRuns.entrySet().iterator()
+      var done = false
+      while (it.hasNext && !done) {
+        val e = it.next()
+        val glo = e.getKey.longValue; val ghi = e.getValue.longValue
+        if (glo > hi) done = true
+        else {
+          if (glo > start) runs += ((start, glo - 1))
+          start = math.max(start, ghi + 1)
+          if (start > hi) done = true
+        }
+      }
+      if (start <= hi) runs += ((start, hi))
+      TxAdmit(runs.result(), Array.empty)
+    }
+
     /** Committed ids in `(from, until]`, ascending — O(window + gap
       * runs), the exact `admitted` array [[changesWindow]]'s gate needs.
       */
@@ -1602,10 +1632,31 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
   private[store] def changesWindowPre(sinceTx: Long, untilTx: Long,
                                       state: JournalState,
                                       checkpointTouched: Boolean)
+      : (DataFrame, Option[DataFrame]) =
+    changesWindowPreImpl(sinceTx, untilTx, state.floor,
+      state.recents.map(_._1), state.admitUpTo(sinceTx), checkpointTouched)
+
+  /** [[changesSincePre]] for a LONG-LIVED tail reader: the same
+    * pre-image feed, but driven from the streaming source's incremental
+    * [[JournalView]] instead of a fresh O(journal) driver collect per
+    * micro-batch — the view's gap-run complement supplies both the
+    * window's admitted ids and the at-or-below-`sinceTx` committed set
+    * the pre-image fold gates on. Fully lazy (no checkpoint): a
+    * micro-batch frame executes once.
+    */
+  private[graft] def changesWindowPreTail(sinceTx: Long, untilTx: Long,
+                                          view: JournalView): DataFrame =
+    changesWindowPreImpl(sinceTx, untilTx, view.floorTx,
+      view.admittedIn(sinceTx, untilTx), view.admitUpTo(sinceTx),
+      checkpointTouched = false)._1
+
+  private def changesWindowPreImpl(sinceTx: Long, untilTx: Long,
+                                   floor: Long, windowIds: Array[Long],
+                                   admitBelow: TxAdmit,
+                                   checkpointTouched: Boolean)
       : (DataFrame, Option[DataFrame]) = {
     val tomb = hasTombstones
-    val changes = changesWindow(sinceTx, untilTx, state.floor,
-      state.recents.map(_._1))
+    val changes = changesWindow(sinceTx, untilTx, floor, windowIds)
     val changed = changes.withColumn("_change_kind", lit("change"))
     currentGen() match {
       case Some((_, genDir)) =>
@@ -1637,7 +1688,7 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
           .distinct().limit(maxPush + 1).collect()
         val rawBase = spark.read.schema(readSchema(tomb))
           .parquet(genDir.toString)
-          .where(committedGate(state.admitUpTo(sinceTx)))
+          .where(committedGate(admitBelow))
         val rawPruned =
           if (sample.length > maxPush) rawBase
           else Seq("market", "code", "candle_length", "year")
@@ -1685,6 +1736,15 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * SQL change-feed lens return.
     */
   private[graft] def changeFeedSchema: StructType = changeSchema(hasTombstones)
+
+  /** The PRE-IMAGE feed's schema: the change-feed schema plus the
+    * `_change_kind` discriminator ('change' | 'preimage') — what the
+    * `changesSincePre` reader option and the pre-image streaming tail
+    * return. The `_deleted` widening discipline carries over unchanged.
+    */
+  private[graft] def changeFeedPreSchema: StructType =
+    changeFeedSchema.add(StructField("_change_kind", StringType,
+      nullable = false))
 
   // ------------------------------------------------------------------ //
   // Compaction                                                         //

@@ -1369,6 +1369,47 @@ class StreamingSpec extends SparkSpec {
     assert(view.read().where(col("code") === "XRP").count() == 1)
   }
 
+  test("pre-image streaming tail: every micro-batch (a, b] equals the " +
+      "batch changesSincePre(a, b) — window-start pre-images per batch, " +
+      "so content-derived state maintains from the stream alone") {
+    val vst = graft.store.VersionedCandleStore(spark, tmpDir("st-pre") + "/v")
+    vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2021-06-01 00:00:00", 5)).toDF())             // tx 1
+    vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2)).toDF()) // tx 2 update
+    vst.delete(Seq(("UPBIT", "ETH", 60, ts("2021-06-01 00:00:00")))
+      .toDF("market", "code", "candle_length", "ts"))          // tx 3 tombstone
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("code", "open", "tx_id", "_deleted", "_change_kind")
+        .collect().map(_.mkString("|")).toSet
+    val batches = scala.collection.concurrent.TrieMap[Long, Set[String]]()
+    val q = spark.readStream.format("graft-vstore")
+      .option("preImage", "true").option("maxTxsPerBatch", "1").load(vst.path)
+      .writeStream
+      .option("checkpointLocation", tmpDir("st-pre-ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, norm(df)); ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches.keySet == Set(0L, 1L, 2L), batches.keySet)
+    // the differential: with maxTxsPerBatch=1 and txs 1..3, batch i is
+    // exactly the window (i, i+1] — its streamed frame must equal the
+    // batch pre-image feed of that same window at every boundary
+    (0 to 2).foreach { i =>
+      assert(batches(i.toLong) == norm(vst.changesSincePre(i.toLong, i + 1L)),
+        s"batch $i != changesSincePre($i, ${i + 1})")
+    }
+    // batch 1's pre-image (BTC as of tx 1) and batch 2's (ETH as of
+    // tx 2) are window-START images — spot-check the semantics
+    assert(batches(1L).exists(r => r.startsWith("BTC|1.0|1|") &&
+      r.endsWith("preimage")), batches(1L))
+    assert(batches(2L).exists(r => r.startsWith("ETH|5.0|1|") &&
+      r.endsWith("preimage")), batches(2L))
+    // changesSincePre is a batch-reader option on readStream: refused
+    intercept[IllegalArgumentException](spark.readStream
+      .format("graft-vstore").option("changesSincePre", "1").load(vst.path))
+  }
+
   test("streaming change-feed tail: offsets are tx ids, exactly-once across restart, pacing") {
     val vst = graft.store.VersionedCandleStore(spark, tmpDir("st-cdf") + "/v")
     vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF())

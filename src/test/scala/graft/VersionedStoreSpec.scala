@@ -792,6 +792,50 @@ class VersionedStoreSpec extends SparkSpec {
     assert(feed(3L) == Set(("ADA", 9.0, 4L)))
   }
 
+  test("changesSincePre via the reader: pre-image rows ride the batch " +
+      "DataSource with the _change_kind schema, equal to the Scala feed; " +
+      "changesUntil bounds it; lens exclusivity enforced") {
+    val st = VersionedCandleStore(spark, tmpDir("vstore-pre-ds") + "/v")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2021-06-01 00:00:00", 5)).toDF())          // tx 1
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2)).toDF()) // tx 2 update
+    st.delete(Seq(("UPBIT", "ETH", 60, ts("2021-06-01 00:00:00")))
+      .toDF("market", "code", "candle_length", "ts"))        // tx 3 tombstone
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("code", "open", "tx_id", "_deleted", "_change_kind")
+        .as[(String, Double, Long, Boolean, String)].collect().toSet
+    val ds = spark.read.format("graft-vstore")
+      .option("changesSincePre", "1").load(st.path)
+    assert(ds.columns.toSeq == st.changesSincePre(1L).columns.toSeq)
+    // the exact feed: both change rows (update + tombstone) plus ONE
+    // window-start pre-image per touched key — the version a consumer
+    // at watermark 1 already holds
+    val expected = Set(
+      ("BTC", 2.0, 2L, false, "change"),
+      ("ETH", 0.0, 3L, true, "change"),
+      ("BTC", 1.0, 1L, false, "preimage"),
+      ("ETH", 5.0, 1L, false, "preimage"))
+    assert(norm(ds) == expected)
+    assert(norm(st.changesSincePre(1L)) == expected,
+      "reader and Scala API must serve the same feed")
+    // changesUntil bounds the window (the tombstone tx falls out; ETH
+    // is then untouched, so its pre-image disappears too)
+    val bounded = spark.read.format("graft-vstore")
+      .option("changesSincePre", "1").option("changesUntil", "2").load(st.path)
+    assert(norm(bounded) == Set(
+      ("BTC", 2.0, 2L, false, "change"),
+      ("BTC", 1.0, 1L, false, "preimage")))
+    // lens exclusivity: the pre-image feed is its own addressing mode
+    intercept[IllegalArgumentException](spark.read.format("graft-vstore")
+      .option("changesSincePre", "1").option("changesSince", "1").load(st.path))
+    intercept[IllegalArgumentException](spark.read.format("graft-vstore")
+      .option("changesSincePre", "1").option("asOfTx", "2").load(st.path))
+    // a SQL view over the reader serves the feed to pure-SQL consumers
+    ds.createOrReplaceTempView("graft_pre_feed")
+    assert(spark.sql("SELECT count(*) FROM graft_pre_feed WHERE " +
+      "_change_kind = 'preimage'").head().getLong(0) == 2L)
+  }
+
   test("streaming batch-id replay is a no-op returning the prior tx") {
     val st = VersionedCandleStore(spark, tmpDir("vstore-replay") + "/v")
     val b = Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()
