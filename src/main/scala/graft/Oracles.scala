@@ -1260,6 +1260,21 @@ object Oracles {
            round(volume + CASE WHEN code IN (SELECT code FROM uc)
              THEN 1 ELSE 0 END, 4) AS volume
          FROM surv""",
+    // qAG: the SQL-only view (create_view → SQL DELETE → refresh_view)
+    // == a full GROUP BY (code, day, open-threshold tier) over the end
+    // state — the qAC mirror — with the watermark at the delete's tx 3.
+    "qAG_sql_view" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 0")}),
+         u AS (SELECT *, 0 AS src FROM a UNION ALL SELECT *, 1 AS src FROM b),
+         r AS (SELECT *, row_number() OVER (PARTITION BY code, ts
+           ORDER BY src DESC) AS rn FROM u),
+         live AS (SELECT * FROM r WHERE rn = 1 AND hour(ts) % 3 <> 1)
+         SELECT code, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(open >= 50.123 AS INT) AS tier, count(*) AS n,
+           round(sum(volume), 4) AS vol, round(max(close), 4) AS max_close,
+           CAST(3 AS BIGINT) AS watermark_tx
+         FROM live GROUP BY 1, 2, 3""",
     // qAH: the pre-image feed through the reader, since tx 1 — change
     // rows are tx2's upserts (batch B) plus tx3's tombstones (zeroed
     // content, deleted=1, one per distinct hour%3=1 key), and every

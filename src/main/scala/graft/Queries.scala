@@ -1202,6 +1202,44 @@ object Queries {
     contentViewCache(ek(d))._1
   }
 
+  private val sqlViewCache = fixtureCache[String]()
+
+  /** Build (once per sfDir) a store plus a CONTENT-grouped incremental
+    * view maintained ENTIRELY through SQL (round 18, qAG — the qAC
+    * semantics with every view-lifecycle step a SQL statement): batch A
+    * commits, `CALL create_view` persists the (code, day, open-tier)
+    * definition and runs the first refresh; batch B upserts (moving
+    * keys between tiers) and a SQL `DELETE` tombstones the hour%3=1
+    * keys; `CALL refresh_view` brings the view current — the refresh
+    * rides the pre-image feed for the content tier exactly like the
+    * Scala path. End state must equal the qAC full-recompute mirror.
+    */
+  private def sqlViewBase(s: SparkSession, d: String): String = {
+    sqlViewCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qsqlview").toString
+      val ev = T.events(s, d)
+      val st = graft.store.VersionedCandleStore(s, s"$base/v")
+      st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))
+      val cat = sqlViewCat(s, d, base)
+      s.sql(s"""CALL $cat.system.create_view('v_tier', 'v',
+           'code, to_date(ts) AS day, CAST(open >= 50.123 AS INT) AS tier',
+           'count(1) AS n, ${Portable.roundSql("sum(volume)", 4)} AS vol,
+            ${Portable.roundSql("max(close)", 4)} AS max_close')""")
+      st.commit(eventCandles(ev.where(col("event_id") % 3 === 0)))
+      s.sql(s"DELETE FROM $cat.v WHERE hour(ts) % 3 = 1")
+      s.sql(s"CALL $cat.system.refresh_view('v_tier')")
+      base
+    })
+  }
+
+  private def sqlViewCat(s: SparkSession, d: String, base: String): String = {
+    // prefix UNIQUE per fixture ("gvu") — see condDeleteStore's note
+    val cat = "gvu" + (ek(d).hashCode & 0x7fffffff)
+    setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
+    setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
+    cat
+  }
+
   private val maintStoreCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a versioned store maintained through SQL
@@ -1784,6 +1822,19 @@ object Queries {
           Portable.round(col("open"), 4).as("open"),
           Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
+    }),
+    // SQL-ONLY INCREMENTAL VIEW (round 18): create_view (validated,
+    // first refresh included), SQL upserts + a tombstone DELETE, then
+    // refresh_view — the view read back as a catalog table must equal
+    // the full-recompute mirror, with the watermark observable via
+    // CALL view_watermark (= the delete's tx 3).
+    "qAG_sql_view" -> ((s, d) => {
+      val cat = sqlViewCat(s, d, sqlViewBase(s, d))
+      val wm = s.sql(s"CALL $cat.system.view_watermark('v_tier')")
+        .head().getLong(0)
+      s.sql(s"""SELECT code, date_format(day, 'yyyy-MM-dd') AS day, tier,
+           n, vol, max_close FROM $cat.v_tier""")
+        .withColumn("watermark_tx", lit(wm))
     }),
     // PRE-IMAGE FEED VIA THE READER (round 18): the change feed WITH
     // window-start pre-image rows served through the DataSource option

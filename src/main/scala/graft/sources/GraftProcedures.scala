@@ -163,6 +163,75 @@ private[sources] object MaintenanceProcedure {
         }))
   }
 
+  /** The incremental-view lifecycle, SQL-only end to end (the round-17
+    * maintenance argument one layer up: `CALL` could maintain a TABLE
+    * but no statement could create, refresh, or read a materialized
+    * VIEW):
+    *
+    * {{{
+    * CALL vstore.system.create_view(
+    *   view       => 'markets.btc_daily',
+    *   table      => 'markets.btc',
+    *   group_by   => 'code, to_date(ts) AS day',
+    *   aggregates => 'count(1) AS n, sum(volume) AS vol')
+    * CALL vstore.system.refresh_view('markets.btc_daily')
+    * CALL vstore.system.view_watermark('markets.btc_daily')
+    * SELECT * FROM vstore.markets.btc_daily     -- the adopted generation
+    * DROP TABLE vstore.markets.btc_daily
+    * }}}
+    *
+    * `create_view` validates eagerly (unknown columns, non-aggregate
+    * aggregates, duplicate/missing aliases all refuse at the CALL) and
+    * runs the FIRST refresh, so the view is readable immediately when
+    * the store has data; on an empty store it returns watermark 0 and
+    * the first `refresh_view` after data arrives builds it. Refreshes
+    * are the same incremental protocol as the Scala API — one change
+    * window, touched groups only, pre-image feed for content-derived
+    * groups ([[graft.store.IncrementalView]]).
+    */
+  def viewProcedures(cat: VStoreCatalog): Seq[MaintenanceProcedure] = {
+    def str(input: InternalRow, i: Int): String =
+      input.getUTF8String(i).toString
+    val watermarkSchema = StructType(Seq(
+      StructField("watermark_tx", LongType, nullable = false)))
+    Seq(
+      new MaintenanceProcedure("create_view",
+        "Create an incrementally-maintained aggregate view over a " +
+          "versioned store (group_by: 'col, expr AS name, ...'; " +
+          "aggregates: 'agg_expr AS name, ...') and run its first " +
+          "refresh; read it back as a catalog table, remove with " +
+          "DROP TABLE",
+        Seq(in("view", StringType), in("table", StringType),
+          in("group_by", StringType), in("aggregates", StringType)),
+        StructType(Seq(
+          StructField("location", StringType, nullable = false),
+          StructField("watermark_tx", LongType, nullable = false))),
+        input => {
+          val viewDir = cat.newViewDir(str(input, 0))
+          val storeDir = cat.resolveVStoreArg(str(input, 1))
+          val view = graft.store.IncrementalView.create(spark, viewDir,
+            VersionedCandleStore(spark, storeDir),
+            graft.store.IncrementalView.parseGroupList(spark, str(input, 2)),
+            graft.store.IncrementalView.parseAggList(spark, str(input, 3)))
+          oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(viewDir),
+            view.refresh())
+        }),
+      new MaintenanceProcedure("refresh_view",
+        "Bring the view up to the store's committed head (incremental: " +
+          "touched groups only); returns the new watermark tx",
+        Seq(in("view", StringType)),
+        watermarkSchema,
+        input => oneRow(graft.store.IncrementalView
+          .open(spark, cat.resolveViewArg(str(input, 0))).refresh())),
+      new MaintenanceProcedure("view_watermark",
+        "The tx the view currently reflects (0 = never refreshed); " +
+          "no refresh runs",
+        Seq(in("view", StringType)),
+        watermarkSchema,
+        input => oneRow(graft.store.IncrementalView
+          .open(spark, cat.resolveViewArg(str(input, 0))).watermark())))
+  }
+
   /** The plain-candle-store maintenance set. */
   def candleProcedures(resolve: String => String): Seq[MaintenanceProcedure] = {
     def store(input: InternalRow): CandleStore =

@@ -3,9 +3,10 @@ package graft.sources
 import java.sql.Timestamp
 
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.connector.catalog.{Identifier, Table}
 
-import graft.store.VersionedCandleStore
+import graft.store.{IncrementalView, VersionedCandleStore}
 
 /** Catalog plugin over a directory tree of [[VersionedCandleStore]]s —
   * the Delta-catalog shape for the versioned store: tables become
@@ -44,11 +45,22 @@ final class VStoreCatalog extends DirTableCatalog {
 
   override protected def formatName: String = "graft-vstore"
 
+  /** A TABLE is a versioned store OR a persisted incremental VIEW —
+    * views list, read, and DROP like any other table; everything else
+    * about them goes through the view procedures.
+    */
   override protected def isTableDir(f: FileSystem, p: Path): Boolean =
-    VersionedCandleStore.looksLikeStore(f, p)
+    VersionedCandleStore.looksLikeStore(f, p) ||
+      IncrementalView.isViewDir(f, p)
+
+  private def isViewPath(dir: String): Boolean = {
+    val p = new Path(dir)
+    IncrementalView.isViewDir(fs(p), p)
+  }
 
   override protected def newTable(dir: String): Table =
-    new VStoreTable(spark, dir, None, None, None, None)
+    if (isViewPath(dir)) new GraftViewTable(spark, dir)
+    else new VStoreTable(spark, dir, None, None, None, None)
 
   override protected def fixedSchemaNames(dir: String): Seq[String] =
     VersionedCandleStore(spark, dir).tableSchema.fieldNames.toSeq
@@ -58,24 +70,79 @@ final class VStoreCatalog extends DirTableCatalog {
     ()
   }
 
+  private def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_0035",
+      messageParameters = Map("message" -> s"graft-vstore catalog: $msg"))
+
+  /** Store-procedure resolver: refuses view directories — `compact`
+    * and friends on a view dir would treat it as an empty store and
+    * silently "maintain" nothing (or worse, stamp store layout into
+    * it).
+    */
+  private[sources] def resolveVStoreArg(table: String): String = {
+    val dir = resolveTableArg(table)
+    if (isViewPath(dir))
+      fail(s"'$table' is an incremental VIEW, not a store — use " +
+        "refresh_view/view_watermark, or DROP TABLE to remove it")
+    dir
+  }
+
+  /** View-procedure resolver: the twin refusal. */
+  private[sources] def resolveViewArg(view: String): String = {
+    val dir = resolveTableArg(view)
+    if (!isViewPath(dir))
+      fail(s"'$view' is a versioned STORE, not an incremental view — " +
+        "view procedures take a view created by create_view")
+    dir
+  }
+
+  /** Directory for a view about to be CREATED: the name must be free —
+    * not an existing table/view, and not an existing FOREIGN directory
+    * either (stamping a definition into one would hijack it — the same
+    * guard the store catalogs apply to DROP).
+    */
+  private[sources] def newViewDir(view: String): String = {
+    val parts = view.split('.').toSeq.filter(_.nonEmpty)
+    if (parts.isEmpty) fail("create_view: empty view name")
+    val dir = dirOf(parts.init, parts.last)
+    val p = new Path(dir)
+    if (fs(p).exists(p))
+      fail(s"create_view: '$view' already exists at $dir " +
+        "(a table, view, or foreign directory) — DROP it or pick " +
+        "another name")
+    dir
+  }
+
   /** `CALL <cat>.system.{compact,vacuum,checkpoint_journal,history,
-    * break_stale_lock}(table, …)` — the SQL face of the store's
-    * maintenance APIs (see [[MaintenanceProcedure]]).
+    * break_stale_lock,describe_detail}(table, …)` — the SQL face of
+    * the store's maintenance APIs — plus the VIEW lifecycle
+    * (`create_view`/`refresh_view`/`view_watermark`); see
+    * [[MaintenanceProcedure]].
     */
   override protected def maintenanceProcedures: Seq[MaintenanceProcedure] =
-    MaintenanceProcedure.vstoreProcedures(resolveTableArg)
+    MaintenanceProcedure.vstoreProcedures(resolveVStoreArg) ++
+      MaintenanceProcedure.viewProcedures(this)
 
   /** SQL `VERSION AS OF <txId>` — the catalog form of `asOfTx`. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val tx = version.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"graft-vstore VERSION AS OF takes a numeric tx id, got '$version'"))
-    new VStoreTable(spark, storeDir(ident), Some(tx), None, None, None)
+    val dir = storeDir(ident)
+    if (isViewPath(dir))
+      fail("VERSION AS OF is not supported on an incremental view — " +
+        "generations GC to one hop; query the BASE store's history")
+    new VStoreTable(spark, dir, Some(tx), None, None, None)
   }
 
   /** SQL `TIMESTAMP AS OF …` — Spark hands MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val t = new Timestamp(Math.floorDiv(timestampMicros, 1000000L) * 1000L)
     t.setNanos((Math.floorMod(timestampMicros, 1000000L) * 1000L).toInt)
-    new VStoreTable(spark, storeDir(ident), None, Some(t), None, None)
+    val dir = storeDir(ident)
+    if (isViewPath(dir))
+      fail("TIMESTAMP AS OF is not supported on an incremental view — " +
+        "generations GC to one hop; query the BASE store's history")
+    new VStoreTable(spark, dir, None, Some(t), None, None)
   }
 }

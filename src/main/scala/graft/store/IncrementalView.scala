@@ -1,10 +1,11 @@
 package graft.store
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.catalyst.plans.logical.Project
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, expr}
+import org.apache.spark.sql.types.StructType
 
 /** Incrementally-maintained aggregate view over a [[VersionedCandleStore]]
   * — the materialized-view pattern the store's change feed exists to
@@ -165,8 +166,28 @@ final class IncrementalView(
   /** The view's current contents. Refuses before the first refresh. */
   def read(): DataFrame = adoptedGen() match {
     case Some((_, dir)) => spark.read.parquet(dir.toString)
-    case None => fail("no refreshed generation yet — call refresh() first")
+    case None => fail("no refreshed generation yet — call refresh() first" +
+      " (SQL: CALL <catalog>.system.refresh_view)")
   }
+
+  /** The view's output schema, derivable BEFORE the first refresh: the
+    * adopted generation's parquet schema when one exists, otherwise the
+    * analyzed definition (groups + aggregates over the base scan) —
+    * what the SQL catalog table reports. Analyzing the definition also
+    * VALIDATES it: unknown columns, non-aggregate aggregate
+    * expressions, and nondeterministic expressions all fail here with
+    * Spark's own analysis errors (creation runs this eagerly).
+    */
+  private[graft] def tableSchema: StructType = adoptedGen() match {
+    case Some((_, dir)) => spark.read.parquet(dir.toString).schema
+    case None => definitionSchema
+  }
+
+  /** The analyzed definition's schema — forcing it is the definition
+    * validity check ([[IncrementalView.create]] calls it eagerly).
+    */
+  private[graft] def definitionSchema: StructType =
+    aggregated(withGroups(store.scan())).schema
 
   /** The watermark the view reflects (0 before the first refresh). */
   def watermark(): Long = adoptedGen().map(_._1).getOrElse(0L)
@@ -406,5 +427,206 @@ final class IncrementalView(
       .findAllMatchIn(raw.dropWhile(_ != '[').drop(1))
       .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
     Some(pairs)
+  }
+}
+
+/** PERSISTED view definitions — what makes a view a first-class
+  * catalog object instead of a Scala-session construct: `create` stamps
+  * `_graft_view.json` (source-store location + group/aggregate
+  * expression SQL) into the view directory, `open` reconstructs the
+  * live [[IncrementalView]] from it, and the SQL surface
+  * (`CALL <cat>.system.{create_view, refresh_view, view_watermark}` +
+  * the catalog's readable view table) rides exactly these two.
+  *
+  * The store pointer is persisted as the ABSOLUTE directory (the
+  * Delta-metastore convention): renaming/moving the SOURCE store
+  * orphans its views loudly (`open` fails with the missing path),
+  * re-create the view to re-point it. Expressions are persisted as SQL
+  * text and re-parsed by the session parser at `open` — the engine's
+  * own round-trip, no custom serializer.
+  */
+object IncrementalView {
+
+  private[graft] val DefFile = "_graft_view.json"
+
+  /** True iff `p` is a view directory (the definition file exists) —
+    * the catalog's table-vs-view predicate.
+    */
+  private[graft] def isViewDir(f: FileSystem, p: Path): Boolean =
+    f.exists(new Path(p, DefFile))
+
+  /** Validate + persist a definition, then return the (unrefreshed)
+    * view. Fails loudly on: empty/duplicate output names, group
+    * expressions that do not analyze against the store, aggregate
+    * expressions that are not aggregates (Spark's own analysis error),
+    * or an existing definition at `viewDir` (re-create = DROP first —
+    * an accidental overwrite would silently re-point a live view).
+    */
+  private[graft] def create(spark: SparkSession, viewDir: String,
+                            store: VersionedCandleStore,
+                            groups: Seq[(String, String)],
+                            aggs: Seq[String]): IncrementalView = {
+    def fail(msg: String): Nothing =
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_0035",
+        messageParameters = Map("message" -> s"create view $viewDir: $msg"))
+    if (groups.isEmpty) fail("at least one group expression (GROUP BY " +
+      "nothing would be a single-row summary — use a plain query)")
+    if (aggs.isEmpty) fail("at least one aggregate expression")
+    val aggNames = aggs.map(a => parseAlias(spark, a).getOrElse(
+      fail(s"every aggregate needs an explicit alias — write '… AS name'; got: $a")))
+    val names = groups.map(_._1) ++ aggNames
+    val dups = names.groupBy(_.toLowerCase).collect {
+      case (n, as) if as.length > 1 => n
+    }
+    if (dups.nonEmpty)
+      fail(s"duplicate output column(s): ${dups.toSeq.sorted.mkString(", ")}")
+    val p = new Path(viewDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(new Path(p, DefFile)))
+      fail("a view definition already exists here — DROP it first " +
+        "(overwriting would silently re-point a live view)")
+    val view = new IncrementalView(spark, viewDir, store,
+      groups.map { case (n, e) => n -> expr(e) }, aggs.map(expr))
+    view.definitionSchema // force analysis: the definition validity gate
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("store", store.path)
+    val g = root.putArray("groups")
+    groups.foreach { case (n, e) =>
+      val pair = g.addArray(); pair.add(n); pair.add(e); ()
+    }
+    val ag = root.putArray("aggs")
+    aggs.foreach(ag.add)
+    f.mkdirs(p)
+    val out = f.create(new Path(p, DefFile), false) // no silent overwrite
+    try out.write(m.writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+    view
+  }
+
+  /** Reconstruct a persisted view. Fails loudly on a missing/torn
+    * definition or a missing source store.
+    */
+  private[graft] def open(spark: SparkSession, viewDir: String): IncrementalView = {
+    val p = new Path(viewDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val defPath = new Path(p, DefFile)
+    if (!f.exists(defPath))
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_0035",
+        messageParameters = Map("message" ->
+          s"$viewDir is not a graft view (no $DefFile)"))
+    val in = f.open(defPath)
+    val raw = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+    val storeDir = root.get("store").asText()
+    val sp = new Path(storeDir)
+    val sf = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!sf.exists(sp) || !VersionedCandleStore.looksLikeStore(sf, sp))
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_0035",
+        messageParameters = Map("message" ->
+          (s"view $viewDir: source store $storeDir is missing or not a " +
+            "graft-vstore (moved/renamed stores orphan their views — " +
+            "re-create the view against the new location)")))
+    val groups = {
+      val g = root.get("groups")
+      (0 until g.size()).map { i =>
+        val pair = g.get(i)
+        pair.get(0).asText() -> expr(pair.get(1).asText())
+      }
+    }
+    val aggs = {
+      val a = root.get("aggs")
+      (0 until a.size()).map(i => expr(a.get(i).asText()))
+    }
+    new IncrementalView(spark, viewDir, VersionedCandleStore(spark, storeDir),
+      groups, aggs)
+  }
+
+  /** Parse a comma-separated GROUP BY list (`"code, to_date(ts) AS
+    * day"`) into (name, alias-free expression SQL) pairs: a bare
+    * column names itself, anything else needs an explicit `AS`. The
+    * alias-free text is what gets persisted — the refresh pruning
+    * probe must see the raw expression, not an alias wrapper.
+    */
+  private[graft] def parseGroupList(spark: SparkSession,
+                                    sql: String): Seq[(String, String)] =
+    splitTopLevel(sql).map { piece =>
+      parseExpr(spark, piece) match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+          a.name -> a.child.sql
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if u.nameParts.length == 1 =>
+          u.nameParts.head -> piece.trim
+        case _ => throw new AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_0035",
+          messageParameters = Map("message" ->
+            (s"group expression needs an explicit alias — write " +
+              s"'<expr> AS name'; got: ${piece.trim}")))
+      }
+    }
+
+  /** Parse a comma-separated aggregate list; every entry keeps its
+    * full `expr AS name` text (the alias is the output column).
+    */
+  private[graft] def parseAggList(spark: SparkSession, sql: String): Seq[String] =
+    splitTopLevel(sql).map(_.trim)
+
+  /** The piece's alias name, if it parses to one (bare columns name
+    * themselves).
+    */
+  private def parseAlias(spark: SparkSession, piece: String): Option[String] =
+    parseExpr(spark, piece) match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => Some(a.name)
+      case _ => None
+    }
+
+  private def parseExpr(spark: SparkSession,
+                        s: String): org.apache.spark.sql.catalyst.expressions.Expression =
+    spark.sessionState.sqlParser.parseExpression(s)
+
+  /** Split on TOP-LEVEL commas only — parens and quoted strings
+    * (single, double, backtick; '' doubling inside) protect theirs.
+    * Loud on imbalance and empty pieces.
+    */
+  private[graft] def splitTopLevel(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (quote != 0) {
+        cur += ch
+        if (ch == quote) {
+          // '' / "" doubling stays inside the literal
+          if (i + 1 < sql.length && sql.charAt(i + 1) == quote && quote != '`') {
+            cur += quote; i += 1
+          } else quote = 0
+        }
+      } else ch match {
+        case '\'' | '"' | '`' => quote = ch; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      i += 1
+    }
+    out += cur.toString
+    val pieces = out.result().map(_.trim)
+    def fail(msg: String): Nothing =
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_0035",
+        messageParameters = Map("message" -> s"$msg in expression list: $sql"))
+    if (depth != 0) fail("unbalanced parentheses")
+    if (quote != 0) fail("unterminated quote")
+    if (pieces.exists(_.isEmpty)) fail("empty expression")
+    pieces
   }
 }

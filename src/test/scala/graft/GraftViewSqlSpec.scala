@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions.{col, count, lit, sum}
+
+import graft.model.Candle
+import graft.store.{IncrementalView, VersionedCandleStore}
+
+/** The SQL face of incremental views (SURVEY.md §2: the round-17
+  * maintenance argument one layer up): a SQL-only operator must be able
+  * to CREATE, REFRESH, READ, and DROP a materialized view —
+  * `CALL <cat>.system.{create_view, refresh_view, view_watermark}` plus
+  * the catalog's readable view table — with the Scala refusal matrix
+  * mirrored (IncrementalViewSpec's semantics ride underneath
+  * unchanged).
+  */
+class GraftViewSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c(code: String, t: String, o: Double): Candle =
+    Candle("UPBIT", code, 60, ts(t), o, o + 1, o - 1, o + 0.5, 10.0, 0L)
+
+  // one catalog per suite over one base tree
+  private lazy val base: String = {
+    val b = tmpDir("vview-catalog")
+    spark.conf.set("spark.sql.catalog.vv", classOf[graft.sources.VStoreCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vv.base", b)
+    b
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("SQL-only view lifecycle: create_view (validated, first refresh " +
+      "included) -> SELECT; updates + tombstone DELETEs between " +
+      "refresh_view calls maintain content-derived groups incrementally; " +
+      "watermark observable; DROP TABLE removes it") {
+    val st = VersionedCandleStore(spark, s"$base/markets/btc")
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("BTC", "2022-01-02 11:00:00", 60),
+      c("ETH", "2021-06-01 00:00:00", 5)).toDF())           // tx 1
+    val created = spark.sql(
+      """CALL vv.system.create_view(
+        |  view       => 'markets.btc_daily',
+        |  table      => 'markets.btc',
+        |  group_by   => 'code, to_date(ts) AS day, CAST(open >= 50 AS INT) AS tier',
+        |  aggregates => 'count(1) AS n, sum(volume) AS vol')""".stripMargin)
+      .collect().head
+    assert(created.getString(0) == s"$base/markets/btc_daily")
+    assert(created.getLong(1) == 1L, "create_view runs the first refresh")
+    def full() = rows(st.scan()
+      .groupBy(col("code"), org.apache.spark.sql.functions.to_date(col("ts")).as("day"),
+        (col("open") >= 50).cast("int").as("tier"))
+      .agg(count(lit(1)).as("n"), sum(col("volume")).as("vol"))
+      .select("code", "day", "tier", "n", "vol"))
+    def viaSql() = rows(spark.sql(
+      "SELECT code, day, tier, n, vol FROM vv.markets.btc_daily"))
+    assert(viaSql() == full(), "readable immediately after create_view")
+    // the view lists as a TABLE alongside the store
+    val listed = spark.sql("SHOW TABLES IN vv.markets")
+      .select("tableName").as[String].collect().toSet
+    assert(listed == Set("btc", "btc_daily"), listed)
+    // updates that move a key between tiers + a tombstone DELETE, both
+    // through SQL, then a SQL refresh — the content-group (tier)
+    // maintenance rides the pre-image feed underneath
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 70),       // tier 0 -> 1
+      c("SOL", "2023-03-01 00:00:00", 7)).toDF())            // tx 2
+    spark.sql("DELETE FROM vv.markets.btc WHERE code = 'ETH'") // tx 3
+    val w = spark.sql("CALL vv.system.refresh_view('markets.btc_daily')")
+      .collect().head.getLong(0)
+    assert(w == 3L, s"watermark after refresh, got $w")
+    assert(viaSql() == full(), "incremental refresh == full recompute")
+    assert(!viaSql().exists(_.startsWith("ETH")), "deleted group dropped")
+    assert(spark.sql("CALL vv.system.view_watermark('markets.btc_daily')")
+      .collect().head.getLong(0) == 3L)
+    // filters push into the view's parquet scan (no fold in the way)
+    val filtered = spark.sql(
+      "SELECT code, n FROM vv.markets.btc_daily WHERE tier = 1")
+    assert(rows(filtered) == full().filter(_.split('|')(2) == "1")
+      .map(s => { val p = s.split('|'); s"${p(0)}|${p(3)}" }))
+    // a view is read-only: INSERT INTO fails at analysis
+    intercept[AnalysisException](spark.sql(
+      "INSERT INTO vv.markets.btc_daily VALUES ('X', DATE'2022-01-01', 0, 1, 1.0)"))
+    // no time travel on views (generations GC to one hop)
+    val tt = intercept[AnalysisException](spark.sql(
+      "SELECT * FROM vv.markets.btc_daily VERSION AS OF 1").collect())
+    assert(tt.getMessage.contains("not supported on an incremental view"),
+      tt.getMessage)
+    // DROP TABLE removes the view, the store survives
+    spark.sql("DROP TABLE vv.markets.btc_daily")
+    assert(spark.sql("SHOW TABLES IN vv.markets")
+      .select("tableName").as[String].collect().toSet == Set("btc"))
+    assert(st.scan().count() > 0)
+  }
+
+  test("create_view validates eagerly and the refusal matrix mirrors the " +
+      "Scala API: bad names, bad expressions, wrong-kind targets") {
+    val st = VersionedCandleStore(spark, s"$base/markets/eth")
+    st.commit(Seq(c("ETH", "2022-01-01 10:00:00", 1)).toDF())
+    def call(args: String): Unit = {
+      spark.sql(s"CALL vv.system.create_view($args)").collect(); ()
+    }
+    def refuse(args: String, needle: String): Unit = {
+      val e = intercept[AnalysisException](call(args))
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    // an existing STORE name refuses (and an existing foreign dir too)
+    refuse("'markets.eth', 'markets.eth', 'code', 'count(1) AS n'",
+      "already exists")
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/markets/foreign"))
+    refuse("'markets.foreign', 'markets.eth', 'code', 'count(1) AS n'",
+      "already exists")
+    // unknown group column / non-aggregate aggregate / missing alias /
+    // duplicate names — all at the CALL, nothing half-created
+    refuse("'markets.v1', 'markets.eth', 'nope', 'count(1) AS n'",
+      "nope")
+    refuse("'markets.v1', 'markets.eth', 'code', 'volume AS v'",
+      "v")
+    refuse("'markets.v1', 'markets.eth', 'code', 'count(1)'",
+      "explicit alias")
+    refuse("'markets.v1', 'markets.eth', 'to_date(ts)', 'count(1) AS n'",
+      "explicit alias")
+    refuse("'markets.v1', 'markets.eth', 'code, volume AS code', 'count(1) AS n'",
+      "duplicate")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$base/markets/v1")),
+      "a refused create_view must leave nothing behind")
+    // a view as create_view's TABLE arg refuses; store procs refuse views
+    call("'markets.eth_v', 'markets.eth', 'code', 'count(1) AS n'")
+    refuse("'markets.v2', 'markets.eth_v', 'code', 'count(1) AS n'",
+      "VIEW, not a store")
+    val e1 = intercept[AnalysisException](spark.sql(
+      "CALL vv.system.compact('markets.eth_v')").collect())
+    assert(e1.getMessage.contains("VIEW, not a store"), e1.getMessage)
+    val e2 = intercept[AnalysisException](spark.sql(
+      "CALL vv.system.refresh_view('markets.eth')").collect())
+    assert(e2.getMessage.contains("STORE, not an incremental view"),
+      e2.getMessage)
+    spark.sql("DROP TABLE vv.markets.eth_v")
+  }
+
+  test("create_view on an EMPTY store: watermark 0, read refuses loudly " +
+      "until data arrives and refresh_view runs; quoted expression " +
+      "round-trips through the persisted definition") {
+    base // register the catalog before the first SQL touches it
+    spark.sql("CREATE TABLE vv.markets.sol")
+    val created = spark.sql(
+      """CALL vv.system.create_view('markets.sol_m', 'markets.sol',
+        |  'code, date_format(ts, ''yyyy-MM'') AS ym', 'count(1) AS n')"""
+        .stripMargin).collect().head
+    assert(created.getLong(1) == 0L, "empty store -> watermark 0")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM vv.markets.sol_m").collect())
+    assert(e.getMessage.contains("refresh"),
+      s"pre-refresh read must point at refresh_view: ${e.getMessage}")
+    spark.sql("INSERT INTO vv.markets.sol VALUES " +
+      "('UPBIT','SOL',60,TIMESTAMP'2023-03-01 00:00:00',2023,1,2,0,1.5,10,0)," +
+      "('UPBIT','SOL',60,TIMESTAMP'2023-04-02 00:00:00',2023,2,3,1,2.5,10,0)")
+    assert(spark.sql("CALL vv.system.refresh_view('markets.sol_m')")
+      .collect().head.getLong(0) == 1L)
+    assert(rows(spark.sql("SELECT code, ym, n FROM vv.markets.sol_m")) ==
+      Set("SOL|2023-03|1", "SOL|2023-04|1"),
+      "the date_format('yyyy-MM') group must round-trip the definition")
+    // the persisted definition survives a fresh open (new table object)
+    val v = IncrementalView.open(spark, s"$base/markets/sol_m")
+    assert(v.watermark() == 1L)
+    spark.sql("DROP TABLE vv.markets.sol_m")
+    spark.sql("DROP TABLE vv.markets.sol")
+  }
+}
