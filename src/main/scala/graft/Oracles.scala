@@ -1260,6 +1260,33 @@ object Oracles {
            round(volume + CASE WHEN code IN (SELECT code FROM uc)
              THEN 1 ELSE 0 END, 4) AS volume
          FROM surv""",
+    // qAI: the view's own change feed between its two generations —
+    // state1 = the tier view over batch A alone; state2 = over the end
+    // state (A∪B last-wins minus the hour%3=1 tombstoned keys);
+    // upserts = state2 rows absent from state1, deletes = state1 rows
+    // whose (code, day, tier) group vanished.
+    "qAI_view_changes" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 0")}),
+         u AS (SELECT *, 0 AS src FROM a UNION ALL SELECT *, 1 AS src FROM b),
+         r AS (SELECT *, row_number() OVER (PARTITION BY code, ts
+           ORDER BY src DESC) AS rn FROM u),
+         live AS (SELECT * FROM r WHERE rn = 1 AND hour(ts) % 3 <> 1),
+         s1 AS (SELECT code, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(open >= 50.123 AS INT) AS tier, count(*) AS n,
+           round(sum(volume), 4) AS vol, round(max(close), 4) AS max_close
+           FROM a GROUP BY 1, 2, 3),
+         s2 AS (SELECT code, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(open >= 50.123 AS INT) AS tier, count(*) AS n,
+           round(sum(volume), 4) AS vol, round(max(close), 4) AS max_close
+           FROM live GROUP BY 1, 2, 3),
+         ups AS (SELECT * FROM s2 EXCEPT SELECT * FROM s1),
+         del AS (SELECT * FROM s1 WHERE NOT EXISTS (
+           SELECT 1 FROM s2 WHERE s2.code = s1.code AND s2.day = s1.day
+             AND s2.tier = s1.tier))
+         SELECT 'upsert' AS kind, * FROM ups
+         UNION ALL
+         SELECT 'delete' AS kind, * FROM del""",
     // qAG: the SQL-only view (create_view → SQL DELETE → refresh_view)
     // == a full GROUP BY (code, day, open-threshold tier) over the end
     // state — the qAC mirror — with the watermark at the delete's tx 3.

@@ -1823,6 +1823,18 @@ object Queries {
           Portable.round(col("close"), 4).as("close"),
           Portable.round(col("volume"), 4).as("volume"))
     }),
+    // VIEW-AS-STREAM (round 18): the view's OWN change feed between its
+    // two adopted generations — upsert rows (new/changed groups after
+    // the tier-crossing upserts + deletes) and delete rows (groups
+    // whose every member died), diffed from the one-hop-retained
+    // previous generation; aggregate-sized by construction. The mirror
+    // recomputes both states and diffs them.
+    "qAI_view_changes" -> ((s, d) => {
+      contentViewStore(s, d).changesSinceGeneration(1L)
+        .select(col("_view_change_kind").as("kind"), col("code"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("tier"),
+          col("n"), col("vol"), col("max_close"))
+    }),
     // SQL-ONLY INCREMENTAL VIEW (round 18): create_view (validated,
     // first refresh included), SQL upserts + a tombstone DELETE, then
     // refresh_view — the view read back as a catalog table must equal

@@ -192,6 +192,64 @@ final class IncrementalView(
   /** The watermark the view reflects (0 before the first refresh). */
   def watermark(): Long = adoptedGen().map(_._1).getOrElse(0L)
 
+  /** The adopted generation's full identity — (watermark tx, repair
+    * rev). A tail consumer MUST track both: a late-commit repair lands
+    * a NEW generation at the SAME watermark (`gen_<tx>_r<k>`), so the
+    * watermark alone cannot name a state.
+    */
+  def generation(): Option[(Long, Long)] =
+    listGens().filter(_._4).sortBy(g => (g._1, g._2)).lastOption
+      .map(g => (g._1, g._2))
+
+  /** The view's OWN change feed: what changed between the retained
+    * previous generation `(sinceTx, sinceRev)` — the state a tail
+    * consumer already holds — and the adopted one, as
+    * `_view_change_kind`-discriminated rows:
+    *
+    *  - `'upsert'` — the adopted generation's rows absent from the old
+    *    one (new groups and changed aggregates; full replacement rows);
+    *  - `'delete'` — the OLD rows of group keys absent from the adopted
+    *    generation (every row of the group died).
+    *
+    * Apply protocol: drop the feed's group keys from the held copy,
+    * union the upsert rows — the copy then equals `read()`
+    * (spec-gated at every refresh of a live stream). Both sides are
+    * ADOPTED generations (aggregate-sized parquet), so the diff is two
+    * view-sized scans + one except/anti-join — never a base-table read:
+    * at 100 TB the feed costs what the view weighs, not what the store
+    * does.
+    *
+    * Retention contract: GC keeps ONE superseded generation (the
+    * store's one-hop convention), so a consumer is guaranteed a diff
+    * only from the immediately previous refresh. Falling two refreshes
+    * behind fails LOUDLY — re-read the full view and restart the tail
+    * from `generation()` (the cost of that resync is again only the
+    * view's own size). Asking from the CURRENT generation returns an
+    * empty feed.
+    */
+  def changesSinceGeneration(sinceTx: Long, sinceRev: Long = 0L): DataFrame = {
+    val gens = listGens().filter(_._4).sortBy(g => (g._1, g._2))
+    val cur = gens.lastOption.getOrElse(
+      fail("no refreshed generation yet — call refresh() first"))
+    val kind = "_view_change_kind"
+    if ((cur._1, cur._2) == ((sinceTx, sinceRev)))
+      return spark.read.parquet(cur._3.toString)
+        .where(org.apache.spark.sql.functions.lit(false))
+        .withColumn(kind, org.apache.spark.sql.functions.lit(""))
+    val prev = gens.find(g => g._1 == sinceTx && g._2 == sinceRev).getOrElse(
+      fail(s"generation (tx=$sinceTx, rev=$sinceRev) is not retained " +
+        "(one-hop GC keeps only the immediately superseded state) — " +
+        "re-read the full view and restart the tail from generation()"))
+    val old = spark.read.parquet(prev._3.toString)
+    val next = spark.read.parquet(cur._3.toString)
+    next.except(old)
+      .withColumn(kind, org.apache.spark.sql.functions.lit("upsert"))
+      .unionByName(old
+        .join(next.select(groupNames.map(col).toIndexedSeq: _*).distinct(),
+          groupNames.toIndexedSeq, "left_anti")
+        .withColumn(kind, org.apache.spark.sql.functions.lit("delete")))
+  }
+
   /** Bring the view up to the store's committed head; returns the new
     * watermark. No-ops when nothing committed since the last refresh.
     *

@@ -151,6 +151,71 @@ class IncrementalViewSpec extends SparkSpec {
     assert(rows(v.read()) == rows(full(st)))
   }
 
+  test("changesSinceGeneration: the view's OWN feed — upserts + deletes " +
+      "diff consecutive generations; apply-protocol equals read(); " +
+      "current-gen feed empty; a GC'd generation fails loudly") {
+    val st = VersionedCandleStore(spark, tmpDir("ivcg") + "/v")
+    val v = view(st, tmpDir("ivcg-view"))
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2021-06-01 00:00:00", 5)).toDF())   // tx 1
+    assert(v.refresh() == 1L)
+    assert(v.generation() == Some((1L, 0L)))
+    assert(v.changesSinceGeneration(1L).count() == 0,
+      "asking from the current generation is an empty feed")
+    val held = rows(v.read()) // the state a tail consumer holds
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2)).toDF()) // tx 2 update
+    st.delete(Seq(("UPBIT", "ETH", 60, ts("2021-06-01 00:00:00")))
+      .toDF("market", "code", "candle_length", "ts"))          // tx 3
+    assert(v.refresh() == 3L)
+    val feed = v.changesSinceGeneration(1L)
+    val kinds = feed.select("_view_change_kind", "code")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kinds == Set(("upsert", "BTC"), ("delete", "ETH")), kinds)
+    // apply protocol: drop the feed's groups from the held copy, union
+    // the upserts — equals read()
+    val touchedGroups = feed.select("code").distinct()
+      .collect().map(_.getString(0)).toSet
+    val applied = held.filterNot(r => touchedGroups.contains(r.split('|')(0))) ++
+      rows(feed.where($"_view_change_kind" === "upsert")
+        .drop("_view_change_kind"))
+    assert(applied.toSet == rows(v.read()).toSet,
+      "held-copy + feed must equal the refreshed view")
+    // one-hop retention: after ANOTHER refresh, generation 1 is GC'd —
+    // the tail must fail loudly, not silently serve a wrong diff
+    st.commit(Seq(c("SOL", "2023-03-01 00:00:00", 7)).toDF()) // tx 4
+    assert(v.refresh() == 4L)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      v.changesSinceGeneration(1L))
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+    assert(v.changesSinceGeneration(3L)
+      .select("_view_change_kind", "code").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("upsert", "SOL")), "the retained hop still diffs")
+  }
+
+  test("changesSinceGeneration across a late-commit REPAIR: the repair " +
+      "generation (same watermark, bumped rev) diffs from its " +
+      "pre-repair twin — watermark alone cannot name a state") {
+    val st = VersionedCandleStore(spark, tmpDir("ivcgr") + "/v")
+    val v = view(st, tmpDir("ivcgr-view"))
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()) // tx 1
+    val (tx2, written) = st.prepareDataCommit(
+      Seq(c("ETH", "2022-01-02 09:00:00", 5)).toDF(), None)   // reserved
+    st.commit(Seq(c("SOL", "2022-01-03 08:00:00", 7)).toDF()) // tx 3
+    assert(v.refresh() == 3L)                                  // gen_3
+    assert(v.generation() == Some((3L, 0L)))
+    st.finalizeDataCommit(tx2, written, None, None)            // tx 2 LATE
+    assert(v.refresh() == 3L)                                  // gen_3_r1
+    assert(v.generation() == Some((3L, 1L)),
+      "the repair bumps the rev at the same watermark")
+    val feed = v.changesSinceGeneration(3L, 0L)
+    assert(feed.select("_view_change_kind", "code").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("upsert", "ETH")),
+      "the late commit's group is the repair diff")
+    assert(v.changesSinceGeneration(3L, 1L).count() == 0)
+  }
+
   test("breakLockIfOwner breaks ONLY a lock stamped by the same owner — " +
       "foreign and unstamped (manual-refresh) locks are left alone") {
     val st = VersionedCandleStore(spark, tmpDir("ivlo") + "/v")

@@ -1369,6 +1369,62 @@ class StreamingSpec extends SparkSpec {
     assert(view.read().where(col("code") === "XRP").count() == 1)
   }
 
+  test("view-as-stream differential: a tail consumer applying " +
+      "changesSinceGeneration at every micro-batch boundary stays equal " +
+      "to read() — upserts, new groups, and a tombstoned group's delete " +
+      "all flow through the view's own feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    val vst = graft.store.VersionedCandleStore(spark, tmpDir("st-vas") + "/v")
+    val view = new graft.store.IncrementalView(spark, tmpDir("st-vas-view"),
+      vst, Seq("code" -> col("code")),
+      Seq(count(lit(1)).as("n"), round(sum(col("volume")), 4).as("vol")))
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("code", "n", "vol").collect().map(_.mkString("|")).toSet
+    val stream = MemoryStream[Candle]
+    val query = Ingest.startVersionedIngest(stream.toDF(), vst,
+      tmpDir("st-vas-ckpt"), Trigger.ProcessingTime(0), views = Seq(view))
+    var heldGen: Option[(Long, Long)] = None
+    var copy: Set[String] = Set.empty
+    // the tail protocol: diff from the held generation, drop touched
+    // groups, union the upserts — never a full re-read after the seed
+    def advance(): Unit = {
+      val gen = view.generation().get
+      heldGen match {
+        case None => copy = rowsOf(view.read()) // the one-time seed
+        case Some((t, r)) =>
+          val feed = view.changesSinceGeneration(t, r)
+          val touched = feed.select("code").distinct()
+            .collect().map(_.getString(0)).toSet
+          copy = copy.filterNot(s => touched.contains(s.split('|')(0))) ++
+            rowsOf(feed.where(col("_view_change_kind") === "upsert"))
+      }
+      heldGen = Some(gen)
+      assert(copy == rowsOf(view.read()),
+        s"tail copy diverged from the view at generation $gen")
+    }
+    def step(data: Seq[Candle]): Unit = {
+      stream.addData(data); query.processAllAvailable(); advance()
+    }
+    step(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2021-06-01 00:00:00", 5)))
+    step(Seq(c("BTC", "2022-01-01 10:00:00", 2))) // update: vol changes
+    step(Seq(c("SOL", "2023-03-01 00:00:00", 7))) // new group
+    // a tombstone delete lands out-of-band; the next batch's in-loop
+    // refresh folds it in and the feed carries the group's delete
+    vst.delete(Seq(("UPBIT", "ETH", 60, ts("2021-06-01 00:00:00")))
+      .toDF("market", "code", "candle_length", "ts"))
+    stream.addData(Seq(c("ADA", "2022-05-01 00:00:00", 3)))
+    query.processAllAvailable()
+    val feed = view.changesSinceGeneration(heldGen.get._1, heldGen.get._2)
+    assert(feed.where(col("_view_change_kind") === "delete")
+      .select("code").collect().map(_.getString(0)).toSet == Set("ETH"),
+      "the tombstoned group must arrive as a delete row")
+    advance()
+    query.stop()
+    assert(!copy.exists(_.startsWith("ETH|")))
+  }
+
   test("pre-image streaming tail: every micro-batch (a, b] equals the " +
       "batch changesSincePre(a, b) — window-start pre-images per batch, " +
       "so content-derived state maintains from the stream alone") {
