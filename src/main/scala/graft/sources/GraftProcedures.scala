@@ -229,7 +229,38 @@ private[sources] object MaintenanceProcedure {
         Seq(in("view", StringType)),
         watermarkSchema,
         input => oneRow(graft.store.IncrementalView
-          .open(spark, cat.resolveViewArg(str(input, 0))).watermark())))
+          .open(spark, cat.resolveViewArg(str(input, 0))).watermark())),
+      new MaintenanceProcedure("describe_view",
+        "Metadata snapshot of a view (DESCRIBE DETAIL shape): source " +
+          "store, adopted (watermark, repair rev), generation census - " +
+          "one recursive listing, no data read",
+        Seq(in("view", StringType)),
+        StructType(Seq(
+          StructField("format", StringType, nullable = false),
+          StructField("location", StringType, nullable = false),
+          StructField("store", StringType, nullable = false),
+          StructField("watermark_tx", LongType, nullable = false),
+          StructField("repair_rev", LongType, nullable = false),
+          StructField("n_generations", IntegerType, nullable = false),
+          StructField("n_data_files", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false))),
+        input => {
+          val dir = cat.resolveViewArg(str(input, 0))
+          val v = graft.store.IncrementalView.open(spark, dir)
+          val (w, r, gens, files, bytes) = v.describeDetail()
+          oneRow(org.apache.spark.unsafe.types.UTF8String.fromString("graft-view"),
+            org.apache.spark.unsafe.types.UTF8String.fromString(dir),
+            org.apache.spark.unsafe.types.UTF8String.fromString(v.storeDir),
+            w, r, gens, files, bytes)
+        }),
+      new MaintenanceProcedure("vacuum_view",
+        "Remove generation dirs a crash-interrupted refresh left behind " +
+          "(everything but the adopted generation and its retained " +
+          "predecessor); refuses while a refresh lock is held",
+        Seq(in("view", StringType)),
+        StructType(Seq(StructField("removed", IntegerType, nullable = false))),
+        input => oneRow(graft.store.IncrementalView
+          .open(spark, cat.resolveViewArg(str(input, 0))).vacuumGenerations())))
   }
 
   /** The plain-candle-store maintenance set. */

@@ -446,6 +446,51 @@ final class IncrementalView(
     }
   }
 
+  /** The source store's directory — the DESCRIBE-shape pointer. */
+  private[graft] def storeDir: String = store.path
+
+  /** Metadata census for DESCRIBE-DETAIL-shape tooling: (watermark tx,
+    * repair rev, generation count incl. torn ones, data-file count,
+    * total bytes) — one recursive listing, no data read.
+    */
+  private[graft] def describeDetail(): (Long, Long, Int, Long, Long) = {
+    val gens = listGens()
+    val (w, r) = generation().getOrElse((0L, 0L))
+    var files = 0L
+    var bytes = 0L
+    val f = fs
+    gens.foreach { case (_, _, dir, _) =>
+      val it = f.listFiles(dir, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile) { files += 1; bytes += s.getLen }
+      }
+    }
+    (w, r, gens.length, files, bytes)
+  }
+
+  /** Remove generation directories a crash-interrupted refresh left
+    * behind: everything except the adopted generation and its
+    * immediately superseded adopted predecessor — exactly the sweep a
+    * successful refresh's GC runs, made available WITHOUT a refresh
+    * (a torn `gen_*` otherwise lingers until the next refresh).
+    * Refuses while a `_refresh.lock` is held (vacuum would race the
+    * holder's own GC). Returns the number of directories removed.
+    */
+  def vacuumGenerations(): Int = {
+    val f = fs
+    val lock = new Path(path, "_refresh.lock")
+    if (f.exists(lock))
+      throw new IllegalStateException(s"a refresh holds $lock — vacuum " +
+        "would race its generation GC (breakStaleLock() if its owner " +
+        "died hard)")
+    val adopted = listGens().filter(_._4).sortBy(g => (g._1, g._2))
+    val keep = adopted.takeRight(2).map(_._3.getName).toSet
+    val victims = listGens().filterNot(g => keep.contains(g._3.getName))
+    victims.foreach(g => f.delete(g._3, true))
+    victims.length
+  }
+
   /** Maximal runs of ids in (floor, watermark] NOT committed at
     * snapshot time — reserved-but-unjournaled ids a later refresh must
     * watch for. O(#gap runs), typically empty.

@@ -75,13 +75,23 @@ object IngestSoak {
       java.nio.file.Files.createTempDirectory(prefix).toString + "/state"
 
     /** Drive `run(batchId)` for every batch, return per-batch seconds.
-      * `ratioBound` is the late/early wall gate: 2.0 (flat) for the
-      * frozen-quantizer streams; a √N-re-sharded stream's per-batch
+      * The late/early wall gate compares window MEDIANS: 2.0 (flat) for
+      * the frozen-quantizer streams; a √N-re-sharded stream's per-batch
       * assignment and cell-dir fan-out grow with nCells ≈ √N BY DESIGN
       * (sublinear — the alternative is the frozen cell count whose
       * PROBES go linear), so its gate is 1.5 × the √-growth between
       * the two windows' corpus midpoints: √N-paced passes, linear
       * (ratio ≈ N_late/N_early) fails.
+      *
+      * NOISE POLICY (self-adjudicating — BASELINE.md records the
+      * derivation): the windows compare MEDIANS, not means, so a
+      * handful of late-window stragglers (driver GC, a background
+      * compaction landing inside a timed batch) cannot fail the suite —
+      * the round-17 run-A false FAIL (mean-ratio 3.56 on untouched
+      * code, reproduced clean at 2.20/2.16) was exactly such a spike.
+      * The mean ratio still prints for observability; only the median
+      * gates. A median shift is a genuine regime change and SHOULD
+      * fail.
       */
     def drive(label: String, compact: Long => Unit,
               run: Int => Unit, sqrtPaced: Boolean = false): Array[Double] = {
@@ -97,18 +107,25 @@ object IngestSoak {
       // windows clamped to the run length: w batches right after the
       // 10-batch warmup vs the last w — non-overlapping by construction
       val w = math.min(20, (nBatches - 10) / 2)
-      val early = times.slice(10, 10 + w).sum / w
-      val late = times.slice(nBatches - w, nBatches).sum / w
+      def median(a: Array[Double]): Double = {
+        val s = a.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      }
+      val earlyW = times.slice(10, 10 + w)
+      val lateW = times.slice(nBatches - w, nBatches)
+      val (early, late) = (median(earlyW), median(lateW))
+      val (earlyMean, lateMean) = (earlyW.sum / w, lateW.sum / w)
       println(f"[ingsoak] $label%-14s early=${early}%.3f s/batch " +
         f"late=${late}%.3f s/batch ratio=${late / early}%.2f " +
-        f"total=${times.sum}%.1f s")
+        f"(mean ratio=${lateMean / earlyMean}%.2f) total=${times.sum}%.1f s")
       val sqrtGrowth =
         math.sqrt((nBatches - w / 2.0) / (10 + w / 2.0))
       val (bound, kind) =
         if (sqrtPaced) (1.5 * sqrtGrowth, f"<= √N-paced (${1.5 * sqrtGrowth}%.2f)")
         else (2.0, "flat (2.00)")
-      check(s"$label per-batch wall stays $kind over $nBatches batches",
-        late / early < bound, f"ratio=${late / early}%.2f")
+      check(s"$label per-batch wall (median) stays $kind over $nBatches batches",
+        late / early < bound, f"median ratio=${late / early}%.2f")
       times
     }
 

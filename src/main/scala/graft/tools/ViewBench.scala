@@ -21,6 +21,7 @@ import graft.store.{IncrementalView, VersionedCandleStore}
 object ViewBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    if (args.lift(1).contains("decade")) { decade(sfDir); return }
     val replicate = args.lift(1).flatMap(_.toIntOption).getOrElse(12)
     val spark = GraftSession.builder(appName = "graft-viewbench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -143,5 +144,112 @@ object ViewBench {
       s""""exact":${diffC == 0L}}""")
     spark.stop()
     if (diff != 0L || diffC != 0L) sys.exit(1)
+  }
+
+  /** 100×-decade WALL-CLOCK exponent for the incremental refresh
+    * (`ViewBench <sfDir> decade`) — the instrument the rows-read ratio
+    * alone cannot provide: the refresh carries a fixed cost (journal
+    * read, generation write, planning) plus an O(touched-history)
+    * pre-image fold on content-grouped views, and only a measured
+    * decay curve shows those stay sublinear when the CORPUS grows
+    * 100×. Method: build the store at 1× and at 100× the events
+    * table, land an identical ONE-GROUP trickle at each scale, and
+    * take the MEDIAN of 3 refresh walls (same noise policy as the
+    * IngestSoak gates); exponent = ln(t_100x / t_1x) / ln(100) — 0 is
+    * perfectly flat, 1 is linear (a full recompute re-run), ≤ 0.6 is
+    * the graded bound. Measured for BOTH view families: key-derived
+    * groups (plain change feed) and a content tier (pre-image feed,
+    * where every trickle row CROSSES the tier threshold so the
+    * pre-image fold is load-bearing).
+    */
+  private def decade(sfDir: String): Unit = {
+    val spark = GraftSession.builder(appName = "graft-viewbench-decade")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          recordsRead.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      })
+    def median(a: Seq[Double]): Double = {
+      val s = a.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+
+    val events0 = graft.Tables.events(spark, sfDir)
+
+    /** (median refresh wall, median rows read) for a one-group trickle
+      * at `replicate`× the events corpus, for the plain (code, day)
+      * view and the content-tier view.
+      */
+    def measure(replicate: Int): (Double, Long, Double, Long) = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-vb-decade-$replicate").toString
+      val st = VersionedCandleStore(spark, s"$base/v")
+      val events = (0 until replicate).map(k =>
+          events0.withColumn("event_type",
+            concat(col("event_type"), lit(s"_$k"))))
+        .reduce(_ unionByName _)
+      def candles(df: org.apache.spark.sql.DataFrame) =
+        graft.ops.TimeSeries.candlesFromTicks(df, "ts", "value", Some("value"),
+            Seq("event_type"), 3600)
+          .select(lit("EVS").as("market"), col("event_type").as("code"),
+            lit(3600).as("candle_length"),
+            timestamp_seconds(col("bucket")).as("ts"),
+            col("open"), col("high"), col("low"), col("close"),
+            col("volume"), lit(0L).as("bit_fields"))
+      st.commit(candles(events))
+      val plain = new IncrementalView(spark, s"$base/view", st,
+        Seq("code" -> col("code"), "day" -> to_date(col("ts"))),
+        Seq(count(lit(1)).as("n"), sum(col("volume")).as("vol")))
+      val tier = new IncrementalView(spark, s"$base/view_tier", st,
+        Seq("code" -> col("code"),
+          "tier" -> (col("open") >= lit(50.123)).cast("int")),
+        Seq(count(lit(1)).as("n"), sum(col("volume")).as("vol")))
+      plain.refresh(); tier.refresh()
+      val t0row = events0.agg(min(col("ts")).cast("date").as("d"),
+        min(col("event_type")).as("et")).head()
+      // the SAME one-group trickle at every scale (the _0 replica's
+      // first type + day): what changes across the decade is the
+      // corpus, never the delta
+      val delta = candles(events0.where(
+        col("event_type") === t0row.getString(1) &&
+          col("ts").cast("date") === t0row.getDate(0)))
+        .withColumn("code", concat(col("code"), lit("_0")))
+      def metered(f: => Unit): (Double, Long) = {
+        Thread.sleep(300); recordsRead.set(0L)
+        val a = System.nanoTime(); f
+        val sec = (System.nanoTime() - a) / 1e9
+        Thread.sleep(300)
+        (sec, recordsRead.get())
+      }
+      val runs = (0 until 3).map { _ =>
+        st.commit(delta.withColumn("open", col("open") + lit(1000.0)))
+        val p = metered { plain.refresh() }
+        val c = metered { tier.refresh() }
+        (p, c)
+      }
+      (median(runs.map(_._1._1)),
+        runs.map(_._1._2).sorted.apply(1),
+        median(runs.map(_._2._1)),
+        runs.map(_._2._2).sorted.apply(1))
+    }
+
+    val (p1, pr1, c1, cr1) = measure(1)
+    val (p100, pr100, c100, cr100) = measure(100)
+    def exp(hi: Double, lo: Double): Double =
+      math.log(hi / lo) / math.log(100.0)
+    println(s"""{"metric":"view_refresh_decade","sf":"$sfDir",""" +
+      s""""plain_sec_1x":$p1,"plain_sec_100x":$p100,""" +
+      s""""plain_wall_exponent":${exp(p100, p1)},""" +
+      s""""plain_rows_1x":$pr1,"plain_rows_100x":$pr100,""" +
+      s""""plain_rows_exponent":${exp(pr100.toDouble, math.max(pr1, 1L).toDouble)},""" +
+      s""""content_sec_1x":$c1,"content_sec_100x":$c100,""" +
+      s""""content_wall_exponent":${exp(c100, c1)},""" +
+      s""""content_rows_1x":$cr1,"content_rows_100x":$cr100,""" +
+      s""""content_rows_exponent":${exp(cr100.toDouble, math.max(cr1, 1L).toDouble)}}""")
+    spark.stop()
   }
 }

@@ -141,6 +141,44 @@ class GraftViewSqlSpec extends SparkSpec {
     spark.sql("DROP TABLE vv.markets.eth_v")
   }
 
+  test("view maintenance through SQL: describe_view census; vacuum_view " +
+      "sweeps torn generations, keeps the adopted pair, refuses under a " +
+      "held refresh lock") {
+    base
+    val st = VersionedCandleStore(spark, s"$base/markets/ada")
+    st.commit(Seq(c("ADA", "2022-01-01 10:00:00", 1)).toDF())
+    spark.sql("CALL vv.system.create_view('markets.ada_v', 'markets.ada', " +
+      "'code', 'count(1) AS n')")
+    st.commit(Seq(c("ADA", "2022-01-01 11:00:00", 2)).toDF())
+    spark.sql("CALL vv.system.refresh_view('markets.ada_v')")
+    val viewDir = s"$base/markets/ada_v"
+    // plant the torn generation a crash-interrupted refresh leaves
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(viewDir, "gen_99"))
+    val d = spark.sql("CALL vv.system.describe_view('markets.ada_v')")
+      .collect().head
+    assert(d.getString(0) == "graft-view" && d.getString(1) == viewDir)
+    assert(d.getString(2) == s"$base/markets/ada", "store pointer")
+    assert(d.getLong(3) == 2L && d.getLong(4) == 0L, "watermark + rev")
+    assert(d.getInt(5) == 3, s"gen census incl. the torn one, got ${d.getInt(5)}")
+    // a held lock refuses the sweep (it would race the holder's GC)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(viewDir, "_refresh.lock"))
+    val e = intercept[Exception](spark.sql(
+      "CALL vv.system.vacuum_view('markets.ada_v')").collect())
+    assert(e.getMessage.contains("_refresh.lock"), e.getMessage)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(viewDir, "_refresh.lock"))
+    assert(spark.sql("CALL vv.system.vacuum_view('markets.ada_v')")
+      .collect().head.getInt(0) == 1, "exactly the torn gen swept")
+    assert(spark.sql("CALL vv.system.describe_view('markets.ada_v')")
+      .collect().head.getInt(5) == 2, "adopted pair retained")
+    assert(rows(spark.sql("SELECT code, n FROM vv.markets.ada_v")) ==
+      Set("ADA|2"), "the view still reads after the sweep")
+    spark.sql("DROP TABLE vv.markets.ada_v")
+    spark.sql("DROP TABLE vv.markets.ada")
+  }
+
   test("create_view on an EMPTY store: watermark 0, read refuses loudly " +
       "until data arrives and refresh_view runs; quoted expression " +
       "round-trips through the persisted definition") {
