@@ -1486,10 +1486,13 @@ object Ingest {
                              compactEvery: Int = 0,
                              reshardEvery: Int = 0,
                              reshardWith: DataFrame = null,
-                             targetCorpusSize: Long = 0): DataStreamWriter[Row] = {
-    require(reshardEvery <= 0 || reshardWith != null,
-      "reshardEvery > 0 requires reshardWith: the source table the " +
-        "re-encode reads raw vectors from (state stores only codes)")
+                             targetCorpusSize: Long = 0,
+                             keepRaw: Boolean = false): DataStreamWriter[Row] = {
+    require(reshardEvery <= 0 || reshardWith != null || keepRaw,
+      "reshardEvery > 0 requires raw vectors to re-encode from: pass " +
+        "reshardWith (the source table) or set keepRaw = true (the " +
+        "index keeps its own raw-vector sidecar; ~dim*8/m x the code " +
+        "state's bytes)")
     val cells0 =
       if (targetCorpusSize > 0)
         graft.llm.Similarity.sqrtIvfParams(targetCorpusSize)._1
@@ -1504,7 +1507,7 @@ object Ingest {
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactIvfPqIndexState(batch.sparkSession, stateDir, batchId)
         ivfPqIndexBatch(batch, batchId, stateDir, idCol, vecCol, cells0,
-          iters, m, ks)
+          iters, m, ks, keepRaw)
       }
   }
 
@@ -1518,23 +1521,33 @@ object Ingest {
                             reshardEvery: Int = 0,
                             reshardWith: DataFrame = null,
                             targetCorpusSize: Long = 0,
+                            keepRaw: Boolean = false,
                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     ivfPqIndexIngestWriter(stream, stateDir, checkpointDir, idCol, vecCol,
       nCells, iters, m, ks, compactEvery, reshardEvery, reshardWith,
-      targetCorpusSize).trigger(trigger).start()
+      targetCorpusSize, keepRaw).trigger(trigger).start()
 
   /** One micro-batch of the PQ-index ingest — split out so the
-    * differential spec can drive it directly.
+    * differential spec can drive it directly. `keepRaw` additionally
+    * writes the batch's raw vectors to a `raw/batch_<id>` sidecar
+    * (exactly-once per dir like every other substream), so a later
+    * [[reshardIvfPqIndex]] can re-encode WITHOUT the source table —
+    * the storage trade (~dim·8/m × the code state) is the caller's
+    * opt-in.
     */
   private[graft] def ivfPqIndexBatch(batch: DataFrame, batchId: Long,
                                      stateDir: String, idCol: String,
                                      vecCol: String, nCells: Int,
-                                     iters: Int, m: Int, ks: Int): Unit = {
+                                     iters: Int, m: Int, ks: Int,
+                                     keepRaw: Boolean = false): Unit = {
     import graft.llm.Similarity
     if (batch.isEmpty) return
     val b = batch.localCheckpoint() // read by train (maybe) + encode
     val (cents, books) = ensurePqQuantizers(b, batchId, stateDir, idCol,
       vecCol, nCells, iters, m, ks)
+    if (keepRaw)
+      b.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .write.mode("overwrite").parquet(s"$stateDir/raw/batch_$batchId")
     writeCellState(Similarity.encodeIvfPq(b, idCol, vecCol, cents, books, m, ks),
       s"$stateDir/codes/batch_$batchId", cents.length)
     ()
@@ -1699,6 +1712,11 @@ object Ingest {
         }
     compactCurationState(spark, stateDir, "codes", upTo, identity,
       Seq("cell_id"))
+    // the keepRaw sidecar compacts on the same cadence (O(interval)
+    // listings between re-shards)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/raw")))
+      compactCurationState(spark, stateDir, "raw", upTo,
+        _.dropDuplicates("id"))
   }
 
   /** Re-shard the streamed PQ index: re-train the coarse quantizer at
@@ -1711,14 +1729,19 @@ object Ingest {
     * [[graft.llm.Similarity.sqrtIvfParams]] family the re-sharded probe
     * scans ~N^(3/4) rows.
     *
-    * The state stores only m-byte codes, so re-encoding reads raw
+    * The code state stores only m-byte codes, so re-encoding reads raw
     * vectors by id from the SOURCE table (the same table the serving
     * path's exact rerank already reads) — one equi-join of the
     * accumulated id set against the source per re-shard, the cost an
     * offline rebuild would pay anyway, amortized over `reshardEvery`
-    * batches. Missing ids fail LOUDLY: a source that no longer holds an
-    * indexed vector cannot re-encode it, and silently dropping it would
-    * shrink the index.
+    * batches. With `source = null` the re-encode instead reads the
+    * index's own `raw/` sidecar (the writer's `keepRaw = true` opt-in
+    * — ~dim·8/m × the code state's bytes, the storage trade for a
+    * source-independent index), which is then compacted to the same
+    * floor and GC'd alongside the other substreams so listings stay
+    * O(interval). Missing ids fail LOUDLY either way: a source/sidecar
+    * that no longer holds an indexed vector cannot re-encode it, and
+    * silently dropping it would shrink the index.
     *
     * Crash-safe in every prefix, mirroring [[refreshIvfIndex]]'s
     * two-publication discipline extended to three:
@@ -1770,17 +1793,29 @@ object Ingest {
         .agg(max(col("s")), max(col("c"))).head()
       val (m, ks) = (dims.getInt(0) + 1, dims.getInt(1) + 1)
       // accumulated membership, re-read as raw vectors from the source
+      // table — or from the index's own keepRaw sidecar when no source
+      // is supplied
       val ids = readCellState(spark, codeDirs).select(col("id")).distinct()
         .localCheckpoint()
-      val vecs = source
-        .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-        .join(ids, Seq("id"))
+      val rawSrc =
+        if (source != null)
+          source.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        else {
+          val rawDirs = historyDirs(fs, stateDir, "raw", upTo)
+          require(rawDirs.nonEmpty,
+            s"PQ re-shard under $stateDir: no source table supplied and " +
+              "no raw/ sidecar found — pass the source table or run the " +
+              "writer with keepRaw = true")
+          spark.read.parquet(rawDirs: _*).dropDuplicates("id")
+        }
+      val vecs = rawSrc.join(ids, Seq("id"))
         .localCheckpoint() // read by k-means iters + book train + encode
       val (nState, nJoined) = (ids.count(), vecs.count())
       require(nJoined == nState,
         s"PQ re-shard under $stateDir: ${nState - nJoined} of $nState " +
-          "indexed ids are missing from the source table — cannot " +
-          "re-encode them; restore the source rows or rebuild the index")
+          "indexed ids are missing from the " +
+          (if (source != null) "source table" else "raw/ sidecar") +
+          " — cannot re-encode them; restore the rows or rebuild the index")
       val k =
         if (nCells > 0) nCells else Similarity.sqrtIvfParams(nJoined)._1
       if (!complete(centTarget)) {
@@ -1809,13 +1844,19 @@ object Ingest {
           Similarity.encodeIvfPq(vecs, "id", "vec", cents, books, m, ks),
           codeTarget, cents.length)
     }
+    // keepRaw sidecar: compact to the same floor BEFORE the GC below —
+    // later re-shards keep their source-independence and the raw
+    // listing stays O(interval) like every other substream
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/raw")))
+      compactCurationState(spark, stateDir, "raw", upTo,
+        _.dropDuplicates("id"))
     // GC superseded state — best-effort, ONLY after the codes
     // generation landed (readers ignore everything it supersedes).
     // Listed from the roots, not from `codeDirs`: a retry that crashed
     // between publication and GC re-enters here with historyDirs
     // already floored AT the new generation, so the pre-publication
     // input list no longer names the superseded dirs.
-    for (sub <- Seq("codes", "centroids", "books")) {
+    for (sub <- Seq("codes", "centroids", "books", "raw")) {
       val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
       if (fs.exists(root))
         fs.listStatus(root).toSeq.map(_.getPath)

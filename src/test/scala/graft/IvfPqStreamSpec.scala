@@ -334,6 +334,56 @@ class IvfPqStreamSpec extends SparkSpec {
     assert(after == before, "re-shard boundary retry changed the state")
   }
 
+  test("PQ re-shard WITHOUT the source table: the keepRaw sidecar " +
+      "re-encodes from state (the one external dependency removed), " +
+      "compacts to the re-shard floor, and a sidecar-less null-source " +
+      "re-shard fails loudly") {
+    val m = 4; val ks = 16
+    val batches = driftBatches
+    val all = batches.flatten.toDF("vec_id", "embedding")
+    val queries = batches(2).take(10).toDF("vec_id", "embedding")
+    val truth = Similarity
+      .bruteForceTopK(all, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val stateDir = tmpDir("pq-keepraw")
+    for ((b, i) <- batches.zipWithIndex) {
+      if (i == 3)
+        // NO source table: the re-encode reads the index's own sidecar
+        assert(Ingest.reshardIvfPqIndex(spark, stateDir, null,
+          "vec_id", "embedding", upTo = 3L, iters = 4))
+      Ingest.ivfPqIndexBatch(b.toDF("vec_id", "embedding"), i.toLong,
+        stateDir, "vec_id", "embedding", nCells = 4, iters = 4,
+        m = m, ks = ks, keepRaw = true)
+    }
+    val r = pqRecall(stateDir, all, queries, truth)
+    assert(r >= 0.9, f"sidecar re-shard did not restore recall: $r%.3f")
+    // the sidecar compacted at the re-shard floor; superseded batch
+    // dirs GC'd — listings stay O(interval) like every substream
+    val rawNames = new java.io.File(s"$stateDir/raw").listFiles()
+      .map(_.getName).toSet
+    assert(rawNames == Set("compact_upto_3", "batch_3"), rawNames.toString)
+    assert(spark.read.parquet(s"$stateDir/raw/compact_upto_3",
+        s"$stateDir/raw/batch_3")
+      .select("id").distinct().count() == 120L,
+      "the sidecar must still cover every indexed id")
+    // no sidecar + no source: loud, nothing half-done
+    val bare = tmpDir("pq-keepraw-bare")
+    for ((b, i) <- batches.take(2).zipWithIndex)
+      Ingest.ivfPqIndexBatch(b.toDF("vec_id", "embedding"), i.toLong,
+        bare, "vec_id", "embedding", nCells = 4, iters = 4, m = m, ks = ks)
+    val e = intercept[IllegalArgumentException](
+      Ingest.reshardIvfPqIndex(spark, bare, null,
+        "vec_id", "embedding", upTo = 2L, iters = 4))
+    assert(e.getMessage.contains("keepRaw"), e.getMessage)
+    // the writer-level require admits keepRaw in place of reshardWith
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    Ingest.ivfPqIndexIngestWriter(mem.toDF().toDF("vec_id", "embedding"),
+      bare, tmpDir("pq-keepraw-ckpt"), reshardEvery = 3, keepRaw = true)
+  }
+
   test("torn re-shard is invisible at every crash prefix: centroids " +
       "alone, centroids+books — readers stay on the old quantizers; the " +
       "retry completes the generation from the published prefixes") {
