@@ -82,6 +82,45 @@ class PlanGateSpec extends SparkSpec {
       s"the read must plan through the store's bridged scan:\n$p")
   }
 
+  test("qAG: the SQL-created view's catalog read is the adopted " +
+      "generation's bridged parquet scan — zero exchanges (create/" +
+      "refresh paid the work; SELECT must not)") {
+    val p = plan("qAG_sql_view")
+    assert(exchanges(p) == 0, s"the SQL view read must not shuffle:\n$p")
+    assert(p.contains("GraftViewV1Bridge"),
+      s"the read must plan through the view table's bridged scan:\n$p")
+  }
+
+  test("qAH: the pre-image feed reads through the store's bridged scan " +
+      "with zero outer exchanges; the INNER computed plan broadcasts " +
+      "the touched keys and shuffles at most once (the window-start " +
+      "fold) — no full-store re-shuffle") {
+    val p = plan("qAH_preimage_feed")
+    assert(p.contains("VStoreV1Bridge"),
+      s"the feed must plan through the bridged scan:\n$p")
+    assert(exchanges(p) == 0, s"the outer read must not shuffle:\n$p")
+    // the bridge hides the computed plan — assert the inner frame the
+    // bridge executes (same construction as the reader's, shared impl)
+    val dir = java.nio.file.Files.createTempDirectory("plangate-pre").toString
+    val st = graft.store.VersionedCandleStore(spark, s"$dir/v")
+    import spark.implicits._
+    def c(code: String, o: Double) = graft.model.Candle(
+      "UPBIT", code, 60, ts("2022-01-01 10:00:00"), o, o, o, o, 1.0, 0L)
+    st.commit(Seq(c("BTC", 1)).toDF())
+    st.commit(Seq(c("BTC", 2)).toDF())
+    val inner = st.changesSincePre(1L).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(inner.contains("BroadcastHashJoin LeftSemi"),
+      s"the pre-image fold must semi-join the BROADCAST touched keys:\n$inner")
+    // exactly two exchanges, BOTH delta-bound: the touched-key distinct
+    // (window-sized — the lazy public path's documented cost; the view
+    // path checkpoints it away) and the window-start max_by fold
+    // (touched-history-sized). Anything more means the store itself
+    // started riding a shuffle.
+    assert(exchanges(inner) <= 2,
+      s"the feed must not re-shuffle the store:\n$inner")
+  }
+
   test("q8C: AQE reuses the gram/fit exchanges in the FINAL plan") {
     val df = SparkEntry.queries("q8C_dsir_weights")(spark, sf)
     // execute THIS QueryExecution so the adaptive plan finalizes —
