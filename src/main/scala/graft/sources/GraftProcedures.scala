@@ -260,7 +260,16 @@ private[sources] object MaintenanceProcedure {
         Seq(in("view", StringType)),
         StructType(Seq(StructField("removed", IntegerType, nullable = false))),
         input => oneRow(graft.store.IncrementalView
-          .open(spark, cat.resolveViewArg(str(input, 0))).vacuumGenerations())))
+          .open(spark, cat.resolveViewArg(str(input, 0))).vacuumGenerations())),
+      new MaintenanceProcedure("break_view_lock",
+        "Remove a _refresh.lock left by a hard-killed refresh_view; " +
+          "safe ONLY when no live refresh runs (the view twin of " +
+          "break_stale_lock - without it a crashed SQL refresh would " +
+          "wedge the view for SQL-only operators)",
+        Seq(in("view", StringType)),
+        StructType(Seq(StructField("removed", BooleanType, nullable = false))),
+        input => oneRow(graft.store.IncrementalView
+          .open(spark, cat.resolveViewArg(str(input, 0))).breakStaleLock())))
   }
 
   /** The plain-candle-store maintenance set. */

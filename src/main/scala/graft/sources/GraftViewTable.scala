@@ -36,13 +36,21 @@ import graft.store.IncrementalView
 private[graft] final class GraftViewTable(spark: SparkSession, val dir: String)
   extends Table with SupportsRead {
 
-  private def view = IncrementalView.open(spark, dir)
+  // opened ONCE per table instance (instances are per-query-fresh from
+  // loadTable): open() is a definition-file read + expression re-parse,
+  // and schema inference a parquet footer read — repeating them for
+  // every schema()/scan call would be 3-5 serial metadata round-trips
+  // of identical work per query on an object store. Freshness is
+  // unaffected: read() resolves the ADOPTED generation per execution,
+  // and the schema is definition-determined (stable across refreshes).
+  private lazy val view = IncrementalView.open(spark, dir)
+  private lazy val cachedSchema: StructType = view.tableSchema
 
   override def name(): String = s"graft-view `$dir`"
 
   // adopted generation's parquet schema once refreshed; the analyzed
   // definition before that (also the definition validity check)
-  override def schema(): StructType = view.tableSchema
+  override def schema(): StructType = cachedSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)

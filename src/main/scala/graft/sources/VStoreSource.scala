@@ -216,35 +216,12 @@ final class VStoreSource extends org.apache.spark.sql.connector.catalog.TablePro
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "graft-vstore requires a path: spark.read.format(\"graft-vstore\").load(path)"))
-    // same descriptive-failure contract as streamOptions' longOpt — a
-    // bare NumberFormatException names neither the option nor the value
-    def longOpt(name: String): Option[Long] =
-      parameters.get(name).orElse(parameters.get(name.toLowerCase)).map { s =>
-        s.toLongOption.getOrElse(throw new IllegalArgumentException(
-          s"$name must be a number, got '$s'"))
-      }
-    val asOfTx = longOpt("asOfTx")
-    val asOfTime = parameters.get("asOfTime").orElse(parameters.get("asoftime"))
-      .map { s =>
-        try Timestamp.valueOf(s)
-        catch {
-          case _: IllegalArgumentException => throw new IllegalArgumentException(
-            s"asOfTime must be a 'yyyy-mm-dd hh:mm:ss[.f…]' timestamp, got '$s'")
-        }
-      }
-    val sincePre = longOpt("changesSincePre")
-    val since = longOpt("changesSince").orElse(sincePre)
-    val until = longOpt("changesUntil")
-    require(Seq(asOfTx, asOfTime, longOpt("changesSince"),
-        sincePre).count(_.nonEmpty) <= 1,
-      "asOfTx, asOfTime, changesSince and changesSincePre are mutually exclusive")
-    require(until.isEmpty || since.nonEmpty,
-      "changesUntil requires changesSince or changesSincePre")
-    new VStoreRelation(sqlContext, path, asOfTx, asOfTime, since, until,
-      sincePre.nonEmpty)
+    // ONE option parser for both read paths: the V1 fallback delegates
+    // to batchOptions (which already matches keys case-insensitively),
+    // so an option added to the V2 path can never silently drift the
+    // V1 semantics apart
+    val (path, asOfTx, asOfTime, since, until, pre) = batchOptions(parameters)
+    new VStoreRelation(sqlContext, path, asOfTx, asOfTime, since, until, pre)
   }
 
   /** Writer surface: `df.write.format("graft-vstore").mode("append")

@@ -108,6 +108,19 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
     if (capped <= startTx) None else Some(LongOffset(capped))
   }
 
+  /** The previous pre-image batch's checkpointed touched-key frame —
+    * unpersisted once that batch is done (next getBatch, commit, or
+    * stop): micro-batches execute serially, so by the time any of
+    * those fire the frame's last reader has run.
+    */
+  @volatile private var pendingTouched: Option[DataFrame] = None
+
+  private def releaseTouched(): Unit = {
+    pendingTouched.foreach(
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
+    pendingTouched = None
+  }
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(offsetValue).getOrElse(startTx)
     val until = offsetValue(end)
@@ -118,8 +131,12 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
     failOnLateCommit(journal.poll(), from)
     if (until > known) known = until
     val frame =
-      if (preImage) store.changesWindowPreTail(from, until, journal)
-      else store.changesWindow(from, until, journal.floorTx,
+      if (preImage) {
+        releaseTouched() // the previous batch has finished executing
+        val (f, touched) = store.changesWindowPreTail(from, until, journal)
+        pendingTouched = touched
+        f
+      } else store.changesWindow(from, until, journal.floorTx,
         journal.admittedIn(from, until))
     if (frame.schema.fieldNames.toSeq != schema.fieldNames.toSeq)
       throw new IllegalStateException(
@@ -136,9 +153,10 @@ final class VStoreStreamSource(sqlContext: SQLContext, path: String,
   override def commit(end: V1Offset): Unit = {
     val v = offsetValue(end)
     if (v > known) known = v
+    releaseTouched()
   }
 
-  override def stop(): Unit = ()
+  override def stop(): Unit = releaseTouched()
 }
 
 object VStoreStreamSource

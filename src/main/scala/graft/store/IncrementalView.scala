@@ -155,13 +155,18 @@ final class IncrementalView(
       }
   }
 
-  /** (watermark, generation dir) of the adopted view state: the
-    * highest (tx, repair rev) with `_SUCCESS` — torn refresh writes
-    * are invisible by construction.
+  /** (watermark, repair rev, generation dir) of the adopted view
+    * state: the highest (tx, repair rev) with `_SUCCESS` — torn
+    * refresh writes are invisible by construction. The ONE adoption
+    * lookup; `read`/`watermark`/`generation`/`changesSinceGeneration`
+    * all derive from it.
     */
-  private def adoptedGen(): Option[(Long, Path)] =
+  private def adoptedGenFull(): Option[(Long, Long, Path)] =
     listGens().filter(_._4).sortBy(g => (g._1, g._2)).lastOption
-      .map(g => (g._1, g._3))
+      .map(g => (g._1, g._2, g._3))
+
+  private def adoptedGen(): Option[(Long, Path)] =
+    adoptedGenFull().map(g => (g._1, g._3))
 
   /** The view's current contents. Refuses before the first refresh. */
   def read(): DataFrame = adoptedGen() match {
@@ -198,8 +203,7 @@ final class IncrementalView(
     * watermark alone cannot name a state.
     */
   def generation(): Option[(Long, Long)] =
-    listGens().filter(_._4).sortBy(g => (g._1, g._2)).lastOption
-      .map(g => (g._1, g._2))
+    adoptedGenFull().map(g => (g._1, g._2))
 
   /** The view's OWN change feed: what changed between the retained
     * previous generation `(sinceTx, sinceRev)` — the state a tail
@@ -242,11 +246,19 @@ final class IncrementalView(
         "re-read the full view and restart the tail from generation()"))
     val old = spark.read.parquet(prev._3.toString)
     val next = spark.read.parquet(cur._3.toString)
+    // NULL-SAFE delete detection: a nullable group expression (a CASE
+    // with no ELSE) makes NULL a legitimate group key, and a plain
+    // using-columns anti join would mis-classify that live group as
+    // deleted on every feed (NULL never equals NULL there); except()
+    // on the upsert side is set-semantics null-safe already
+    val nextKeys = next.select(groupNames.map(col).toIndexedSeq: _*)
+      .distinct().alias("nk")
+    val o = old.alias("o")
+    val antiCond = groupNames.map(n => col(s"o.$n") <=> col(s"nk.$n"))
+      .reduce(_ && _)
     next.except(old)
       .withColumn(kind, org.apache.spark.sql.functions.lit("upsert"))
-      .unionByName(old
-        .join(next.select(groupNames.map(col).toIndexedSeq: _*).distinct(),
-          groupNames.toIndexedSeq, "left_anti")
+      .unionByName(o.join(nextKeys, antiCond, "left_anti")
         .withColumn(kind, org.apache.spark.sql.functions.lit("delete")))
   }
 
@@ -284,14 +296,18 @@ final class IncrementalView(
       throw new IllegalStateException(s"another refresh holds $lock " +
         "(breakStaleLock() if its owner died hard)")
     // stamp AFTER the atomic create: we hold the lock, so the overwrite
-    // races nothing; a crash between create and stamp leaves an
-    // unstamped lock, which automated breakers refuse (human
-    // breakStaleLock() still clears it)
-    if (owner.nonEmpty) {
-      val out = f.create(lock, true)
-      try out.write(owner.getBytes("UTF-8")) finally out.close()
-    }
-    try refreshLocked() finally { f.delete(lock, false); () }
+    // races nothing. The stamp write sits INSIDE the delete-finally — a
+    // transient IO failure mid-stamp must not leak an unstamped lock
+    // that wedges every later automated breaker (only a hard process
+    // kill leaves the lock behind, and then the stamp either landed
+    // whole or the human breakStaleLock() clears it).
+    try {
+      if (owner.nonEmpty) {
+        val out = f.create(lock, true)
+        try out.write(owner.getBytes("UTF-8")) finally out.close()
+      }
+      refreshLocked()
+    } finally { f.delete(lock, false); () }
   }
 
   /** Remove a `_refresh.lock` left by a refresher that died hard (finally
@@ -397,14 +413,22 @@ final class IncrementalView(
               val vals = sample.map(_.get(idx)).distinct.toSeq
               df.where(col(keyCol).isin(vals: _*))
             }
-          val recomputed = aggregated(withGroups(base)
-            .join(broadcast(touched), groupNames.toIndexedSeq, "left_semi"))
+          // NULL-SAFE group joins: a nullable group expression (CASE
+          // with no ELSE) makes NULL a legitimate group key — a plain
+          // using-columns semi/anti join would skip its recompute and
+          // carry its stale row forever (NULL never equals NULL there)
+          val t = broadcast(touched).alias("t")
+          def groupCond(side: DataFrame) = groupNames
+            .map(n => side(n) <=> col(s"t.$n")).reduce(_ && _)
+          val grouped = withGroups(base).alias("b")
+          val recomputed = aggregated(
+            grouped.join(t, groupCond(grouped), "left_semi"))
           // the write lands in a FRESH generation dir (a same-watermark
           // repair bumps the repair rev) and GC retains the dir this
           // plan reads — no pinning needed
-          val old = spark.read.parquet(dir.toString)
+          val old = spark.read.parquet(dir.toString).alias("o")
           writeGen(newHead, old
-            .join(broadcast(touched), groupNames.toIndexedSeq, "left_anti")
+            .join(t, groupCond(old), "left_anti")
             .unionByName(recomputed), floor, recents)
         } finally {
           org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(touched)
@@ -474,21 +498,27 @@ final class IncrementalView(
     * immediately superseded adopted predecessor — exactly the sweep a
     * successful refresh's GC runs, made available WITHOUT a refresh
     * (a torn `gen_*` otherwise lingers until the next refresh).
-    * Refuses while a `_refresh.lock` is held (vacuum would race the
-    * holder's own GC). Returns the number of directories removed.
+    * ACQUIRES the `_refresh.lock` for the sweep's duration — an
+    * exists() probe alone would be a TOCTOU hole: a refresh acquiring
+    * the lock right after the probe would have its in-flight (not yet
+    * `_SUCCESS`-gated) generation classified as torn and deleted under
+    * the writer. Returns the number of directories removed.
     */
   def vacuumGenerations(): Int = {
     val f = fs
+    f.mkdirs(new Path(path))
     val lock = new Path(path, "_refresh.lock")
-    if (f.exists(lock))
+    if (!VersionedCandleStore.tryCreate(f, lock))
       throw new IllegalStateException(s"a refresh holds $lock — vacuum " +
         "would race its generation GC (breakStaleLock() if its owner " +
         "died hard)")
-    val adopted = listGens().filter(_._4).sortBy(g => (g._1, g._2))
-    val keep = adopted.takeRight(2).map(_._3.getName).toSet
-    val victims = listGens().filterNot(g => keep.contains(g._3.getName))
-    victims.foreach(g => f.delete(g._3, true))
-    victims.length
+    try {
+      val adopted = listGens().filter(_._4).sortBy(g => (g._1, g._2))
+      val keep = adopted.takeRight(2).map(_._3.getName).toSet
+      val victims = listGens().filterNot(g => keep.contains(g._3.getName))
+      victims.foreach(g => f.delete(g._3, true))
+      victims.length
+    } finally { f.delete(lock, false); () }
   }
 
   /** Maximal runs of ids in (floor, watermark] NOT committed at

@@ -1641,14 +1641,19 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * [[JournalView]] instead of a fresh O(journal) driver collect per
     * micro-batch — the view's gap-run complement supplies both the
     * window's admitted ids and the at-or-below-`sinceTx` committed set
-    * the pre-image fold gates on. Fully lazy (no checkpoint): a
-    * micro-batch frame executes once.
+    * the pre-image fold gates on. The touched-key frame IS checkpointed
+    * (returned in the second slot, the stream source owns its
+    * lifecycle): left lazy, every micro-batch would scan its gated
+    * window three times — once for the construction-time prune sample,
+    * once for the change rows, once under the semi-join build —
+    * instead of once for the checkpoint plus once for the change rows.
     */
   private[graft] def changesWindowPreTail(sinceTx: Long, untilTx: Long,
-                                          view: JournalView): DataFrame =
+                                          view: JournalView)
+      : (DataFrame, Option[DataFrame]) =
     changesWindowPreImpl(sinceTx, untilTx, view.floorTx,
       view.admittedIn(sinceTx, untilTx), view.admitUpTo(sinceTx),
-      checkpointTouched = false)._1
+      checkpointTouched = true)
 
   private def changesWindowPreImpl(sinceTx: Long, untilTx: Long,
                                    floor: Long, windowIds: Array[Long],

@@ -1546,7 +1546,11 @@ object Ingest {
     val (cents, books) = ensurePqQuantizers(b, batchId, stateDir, idCol,
       vecCol, nCells, iters, m, ks)
     if (keepRaw)
-      b.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      // the batch stamp makes re-ingested ids LAST-WINS across the
+      // sidecar (the source-table path always joins the latest row;
+      // the sidecar must match, not keep an arbitrary version)
+      b.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+          lit(batchId).as("batch"))
         .write.mode("overwrite").parquet(s"$stateDir/raw/batch_$batchId")
     writeCellState(Similarity.encodeIvfPq(b, idCol, vecCol, cents, books, m, ks),
       s"$stateDir/codes/batch_$batchId", cents.length)
@@ -1715,9 +1719,17 @@ object Ingest {
     // the keepRaw sidecar compacts on the same cadence (O(interval)
     // listings between re-shards)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/raw")))
-      compactCurationState(spark, stateDir, "raw", upTo,
-        _.dropDuplicates("id"))
+      compactCurationState(spark, stateDir, "raw", upTo, dedupRaw)
   }
+
+  /** LAST-WINS dedup of the keepRaw sidecar: a re-ingested id keeps its
+    * newest batch's vector — the same row the source-table path's join
+    * would read, never an arbitrary survivor.
+    */
+  private def dedupRaw(df: DataFrame): DataFrame =
+    df.groupBy("id").agg(
+      max_by(col("vec"), col("batch")).as("vec"),
+      max(col("batch")).as("batch"))
 
   /** Re-shard the streamed PQ index: re-train the coarse quantizer at
     * `nCells ≈ √N` over the vectors accumulated in batches `[0, upTo)`,
@@ -1806,7 +1818,7 @@ object Ingest {
             s"PQ re-shard under $stateDir: no source table supplied and " +
               "no raw/ sidecar found — pass the source table or run the " +
               "writer with keepRaw = true")
-          spark.read.parquet(rawDirs: _*).dropDuplicates("id")
+          dedupRaw(spark.read.parquet(rawDirs: _*)).select("id", "vec")
         }
       val vecs = rawSrc.join(ids, Seq("id"))
         .localCheckpoint() // read by k-means iters + book train + encode
@@ -1848,8 +1860,7 @@ object Ingest {
     // later re-shards keep their source-independence and the raw
     // listing stays O(interval) like every other substream
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/raw")))
-      compactCurationState(spark, stateDir, "raw", upTo,
-        _.dropDuplicates("id"))
+      compactCurationState(spark, stateDir, "raw", upTo, dedupRaw)
     // GC superseded state — best-effort, ONLY after the codes
     // generation landed (readers ignore everything it supersedes).
     // Listed from the roots, not from `codeDirs`: a retry that crashed

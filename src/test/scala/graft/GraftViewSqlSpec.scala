@@ -167,8 +167,16 @@ class GraftViewSqlSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(
       "CALL vv.system.vacuum_view('markets.ada_v')").collect())
     assert(e.getMessage.contains("_refresh.lock"), e.getMessage)
-    java.nio.file.Files.delete(
-      java.nio.file.Paths.get(viewDir, "_refresh.lock"))
+    // a crashed refresh_view's lock clears through SQL too — without
+    // break_view_lock a SQL-only operator would be permanently wedged
+    // (break_stale_lock is a STORE procedure and refuses view targets)
+    val blocked = intercept[Exception](spark.sql(
+      "CALL vv.system.refresh_view('markets.ada_v')").collect())
+    assert(blocked.getMessage.contains("_refresh.lock"), blocked.getMessage)
+    assert(spark.sql("CALL vv.system.break_view_lock('markets.ada_v')")
+      .collect().head.getBoolean(0))
+    assert(spark.sql("CALL vv.system.refresh_view('markets.ada_v')")
+      .collect().head.getLong(0) == 2L, "refresh recovers after the break")
     assert(spark.sql("CALL vv.system.vacuum_view('markets.ada_v')")
       .collect().head.getInt(0) == 1, "exactly the torn gen swept")
     assert(spark.sql("CALL vv.system.describe_view('markets.ada_v')")

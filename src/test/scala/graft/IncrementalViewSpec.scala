@@ -193,6 +193,53 @@ class IncrementalViewSpec extends SparkSpec {
       Set(("upsert", "SOL")), "the retained hop still diffs")
   }
 
+  test("NULL is a legitimate group key: a no-ELSE CASE group refreshes " +
+      "exactly (null-safe semi/anti joins) and the view's own feed " +
+      "never mis-classifies the live NULL group as deleted") {
+    val st = VersionedCandleStore(spark, tmpDir("ivnull") + "/v")
+    // tier: 1 for open >= 50, NULL otherwise (no ELSE) — the NULL group
+    // is real and must maintain like any other
+    val v = new IncrementalView(spark, tmpDir("ivnull-view"), st,
+      Seq("tier" -> when($"open" >= 50, lit(1))),
+      Seq(count(lit(1)).as("n"), round(sum($"volume"), 4).as("vol")))
+    def fullNull() = st.scan()
+      .groupBy(when($"open" >= 50, lit(1)).as("tier"))
+      .agg(count(lit(1)).as("n"), round(sum($"volume"), 4).as("vol"))
+      .collect().map(_.mkString("|")).toSet
+    def viewRows() = v.read().select("tier", "n", "vol")
+      .collect().map(_.mkString("|")).toSet
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 10),  // NULL tier
+      c("ETH", "2021-06-01 00:00:00", 90)).toDF())      // tier 1
+    assert(v.refresh() == 1L)
+    assert(viewRows() == fullNull())
+    // an update INSIDE the NULL group (content view: the pre-image
+    // names the group it leaves — here it stays NULL) plus a new
+    // tier-1 row; the NULL group must recompute, not carry stale
+    st.commit(Seq(c("BTC", "2022-01-01 10:00:00", 20, vol = 50),
+      c("SOL", "2023-03-01 00:00:00", 70)).toDF())
+    assert(v.refresh() == 2L)
+    assert(viewRows() == fullNull(),
+      "the NULL group must re-aggregate under null-safe joins")
+    // the view's own feed: NULL group was touched and is ALIVE — it
+    // must arrive as an upsert, never as a spurious delete
+    val feed = v.changesSinceGeneration(1L)
+    val byKind = feed.select("_view_change_kind", "tier")
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(byKind.contains(("upsert", None)),
+      s"the live NULL group must ride as an upsert: $byKind")
+    assert(!byKind.contains(("delete", None)),
+      s"the live NULL group must never read as deleted: $byKind")
+    // deleting every NULL-group row drops the group through the feed
+    st.delete(Seq(("UPBIT", "BTC", 60, ts("2022-01-01 10:00:00")))
+      .toDF("market", "code", "candle_length", "ts"))
+    assert(v.refresh() == 3L)
+    assert(viewRows() == fullNull())
+    val feed2 = v.changesSinceGeneration(2L)
+    assert(feed2.where($"_view_change_kind" === "delete")
+      .select("tier").collect().map(r => Option(r.get(0))).toSet ==
+      Set(None), "the vanished NULL group must arrive as a delete")
+  }
+
   test("changesSinceGeneration across a late-commit REPAIR: the repair " +
       "generation (same watermark, bumped rev) diffs from its " +
       "pre-repair twin — watermark alone cannot name a state") {

@@ -367,6 +367,28 @@ class IvfPqStreamSpec extends SparkSpec {
         s"$stateDir/raw/batch_3")
       .select("id").distinct().count() == 120L,
       "the sidecar must still cover every indexed id")
+    // a RE-INGESTED id surfaces its NEWEST vector through the sidecar
+    // (last-wins by batch stamp, matching what the source-table join
+    // would read): plant id 0 again in batch 4 with a DIFFERENT vector
+    // and replicate the re-shard's sidecar read
+    def sidecarLatest(id: Long): (Long, Seq[Float]) = {
+      val dirs = new java.io.File(s"$stateDir/raw").listFiles()
+        .map(_.getPath).toSeq
+      spark.read.parquet(dirs: _*)
+        .groupBy("id")
+        .agg(max_by(col("vec"), col("batch")).as("vec"),
+          max(col("batch")).as("batch"))
+        .where(col("id") === id)
+        .select("batch", "vec").as[(Long, Seq[Float])].collect().head
+    }
+    assert(sidecarLatest(0L)._1 == 0L, "id 0 first arrived in batch 0")
+    Ingest.ivfPqIndexBatch(Seq((0L, bVec(0L))).toDF("vec_id", "embedding"),
+      4L, stateDir, "vec_id", "embedding", nCells = 4, iters = 4,
+      m = m, ks = ks, keepRaw = true)
+    val (stamp, vec) = sidecarLatest(0L)
+    assert(stamp == 4L, s"re-ingested id must carry the newest stamp: $stamp")
+    assert(vec == bVec(0L),
+      "re-ingested id must surface the NEWEST vector, not an arbitrary one")
     // no sidecar + no source: loud, nothing half-done
     val bare = tmpDir("pq-keepraw-bare")
     for ((b, i) <- batches.take(2).zipWithIndex)
