@@ -127,6 +127,15 @@ final class IncrementalView(
   private def withGroups(base: DataFrame): DataFrame =
     groupBy.foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
 
+  /** NULL-SAFE group-equality join condition — the ONE definition the
+    * refresh's semi/anti joins and the view feed's delete detection
+    * share: NULL is a legitimate group key (a no-ELSE CASE group), and
+    * a plain using-columns join would never match it, silently
+    * carrying its stale row / mis-classifying it as deleted.
+    */
+  private def nullSafeGroupCond(left: DataFrame, rightAlias: String): Column =
+    groupNames.map(n => left(n) <=> col(s"$rightAlias.$n")).reduce(_ && _)
+
   /** Aggregate a frame that ALREADY carries the group columns. */
   private def aggregated(base: DataFrame): DataFrame =
     base.groupBy(groupNames.map(col).toIndexedSeq: _*)
@@ -246,19 +255,14 @@ final class IncrementalView(
         "re-read the full view and restart the tail from generation()"))
     val old = spark.read.parquet(prev._3.toString)
     val next = spark.read.parquet(cur._3.toString)
-    // NULL-SAFE delete detection: a nullable group expression (a CASE
-    // with no ELSE) makes NULL a legitimate group key, and a plain
-    // using-columns anti join would mis-classify that live group as
-    // deleted on every feed (NULL never equals NULL there); except()
-    // on the upsert side is set-semantics null-safe already
+    // NULL-SAFE delete detection (nullSafeGroupCond — the refresh's
+    // joins share the same definition); except() on the upsert side is
+    // set-semantics null-safe already
     val nextKeys = next.select(groupNames.map(col).toIndexedSeq: _*)
       .distinct().alias("nk")
-    val o = old.alias("o")
-    val antiCond = groupNames.map(n => col(s"o.$n") <=> col(s"nk.$n"))
-      .reduce(_ && _)
     next.except(old)
       .withColumn(kind, org.apache.spark.sql.functions.lit("upsert"))
-      .unionByName(o.join(nextKeys, antiCond, "left_anti")
+      .unionByName(old.join(nextKeys, nullSafeGroupCond(old, "nk"), "left_anti")
         .withColumn(kind, org.apache.spark.sql.functions.lit("delete")))
   }
 
@@ -391,50 +395,49 @@ final class IncrementalView(
           } else
             (store.changesWindow(sinceTx, head, floor, recents),
               Option.empty[DataFrame])
-        val touched = withGroups(feed)
-          .select(groupNames.map(col).toIndexedSeq: _*).distinct()
-          .localCheckpoint() // feeds the collect + two broadcast joins
+        // preTouched's protecting finally starts BEFORE our own
+        // checkpoint call: a failure inside touched.localCheckpoint()
+        // (a transient job error) must still free the pre-image feed's
+        // checkpointed frame, not leak it per failed-and-retried refresh
         try {
-          val maxPush = spark.conf.getOption("graft.view.pushdownMaxGroups")
-            .map(_.toInt).getOrElse(1000)
-          // bounded driver collect: cap + 1 rows, never O(groups).
-          // (changesWindowPre applies the same cap-sample-isin idiom to
-          // the pre-image fold's scan, keyed by PARTITION columns —
-          // change the cap/fallback semantics in BOTH places.)
-          val sample = touched.limit(maxPush + 1).collect()
-          val base0 = store.scanAsOf(head)
-          // isin pushdown on plain key-column groups: the semi-join
-          // alone cannot prune the base scan's partitions; an IN-list
-          // on market/code/candle_length can
-          val base =
-            if (sample.length > maxPush) base0
-            else plainKeyGroups.foldLeft(base0) { case (df, (g, keyCol)) =>
-              val idx = groupNames.indexOf(g)
-              val vals = sample.map(_.get(idx)).distinct.toSeq
-              df.where(col(keyCol).isin(vals: _*))
-            }
-          // NULL-SAFE group joins: a nullable group expression (CASE
-          // with no ELSE) makes NULL a legitimate group key — a plain
-          // using-columns semi/anti join would skip its recompute and
-          // carry its stale row forever (NULL never equals NULL there)
-          val t = broadcast(touched).alias("t")
-          def groupCond(side: DataFrame) = groupNames
-            .map(n => side(n) <=> col(s"t.$n")).reduce(_ && _)
-          val grouped = withGroups(base).alias("b")
-          val recomputed = aggregated(
-            grouped.join(t, groupCond(grouped), "left_semi"))
-          // the write lands in a FRESH generation dir (a same-watermark
-          // repair bumps the repair rev) and GC retains the dir this
-          // plan reads — no pinning needed
-          val old = spark.read.parquet(dir.toString).alias("o")
-          writeGen(newHead, old
-            .join(t, groupCond(old), "left_anti")
-            .unionByName(recomputed), floor, recents)
-        } finally {
-          org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(touched)
-          preTouched.foreach(
-            org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
-        }
+          val touched = withGroups(feed)
+            .select(groupNames.map(col).toIndexedSeq: _*).distinct()
+            .localCheckpoint() // feeds the collect + two broadcast joins
+          try {
+            val maxPush = spark.conf.getOption("graft.view.pushdownMaxGroups")
+              .map(_.toInt).getOrElse(1000)
+            // bounded driver collect: cap + 1 rows, never O(groups).
+            // (changesWindowPre applies the same cap-sample-isin idiom to
+            // the pre-image fold's scan, keyed by PARTITION columns —
+            // change the cap/fallback semantics in BOTH places.)
+            val sample = touched.limit(maxPush + 1).collect()
+            val base0 = store.scanAsOf(head)
+            // isin pushdown on plain key-column groups: the semi-join
+            // alone cannot prune the base scan's partitions; an IN-list
+            // on market/code/candle_length can (safe under NULL groups:
+            // plain key columns are non-null by the fold-key contract)
+            val base =
+              if (sample.length > maxPush) base0
+              else plainKeyGroups.foldLeft(base0) { case (df, (g, keyCol)) =>
+                val idx = groupNames.indexOf(g)
+                val vals = sample.map(_.get(idx)).distinct.toSeq
+                df.where(col(keyCol).isin(vals: _*))
+              }
+            val t = broadcast(touched).alias("t")
+            val grouped = withGroups(base)
+            val recomputed = aggregated(
+              grouped.join(t, nullSafeGroupCond(grouped, "t"), "left_semi"))
+            // the write lands in a FRESH generation dir (a same-watermark
+            // repair bumps the repair rev) and GC retains the dir this
+            // plan reads — no pinning needed
+            val old = spark.read.parquet(dir.toString)
+            writeGen(newHead, old
+              .join(t, nullSafeGroupCond(old, "t"), "left_anti")
+              .unionByName(recomputed), floor, recents)
+          } finally org.apache.spark.sql.graft.ColumnBridge
+            .unpersistCheckpoint(touched)
+        } finally preTouched.foreach(
+          org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
         return newHead
       case _ =>
         // first build; compact floor past the watermark; meta missing
@@ -513,9 +516,13 @@ final class IncrementalView(
         "would race its generation GC (breakStaleLock() if its owner " +
         "died hard)")
     try {
-      val adopted = listGens().filter(_._4).sortBy(g => (g._1, g._2))
-      val keep = adopted.takeRight(2).map(_._3.getName).toSet
-      val victims = listGens().filterNot(g => keep.contains(g._3.getName))
+      // ONE listing serves both the keep-set and the victim scan — we
+      // hold the lock, so the state cannot move under us, and the
+      // exclusion window stays as short as the deletes themselves
+      val gens = listGens()
+      val keep = gens.filter(_._4).sortBy(g => (g._1, g._2))
+        .takeRight(2).map(_._3.getName).toSet
+      val victims = gens.filterNot(g => keep.contains(g._3.getName))
       victims.foreach(g => f.delete(g._3, true))
       victims.length
     } finally { f.delete(lock, false); () }

@@ -1674,6 +1674,10 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
         val touchedLazy = changes.select(keyNames.map(col): _*).distinct()
         val touchedKeys =
           if (checkpointTouched) touchedLazy.localCheckpoint() else touchedLazy
+        // from here to the return the checkpoint is OURS: a failure in
+        // the prune-sample job below would otherwise orphan it (never
+        // returned ⇒ the caller's release can never free it)
+        try {
         // PARTITION-PRUNE the history scan before the semi-join: the
         // semi-join alone decides exactness but reads every admitted
         // row — an `isin` over the touched keys' partition-column
@@ -1718,6 +1722,13 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
           .withColumn("_change_kind", lit("preimage"))
         (changed.unionByName(pre),
           if (checkpointTouched) Some(touchedKeys) else None)
+        } catch {
+          case t: Throwable =>
+            if (checkpointTouched)
+              org.apache.spark.sql.graft.ColumnBridge
+                .unpersistCheckpoint(touchedKeys)
+            throw t
+        }
       case None => (changed, None)
     }
   }

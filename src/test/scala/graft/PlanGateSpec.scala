@@ -101,8 +101,7 @@ class PlanGateSpec extends SparkSpec {
     assert(exchanges(p) == 0, s"the outer read must not shuffle:\n$p")
     // the bridge hides the computed plan — assert the inner frame the
     // bridge executes (same construction as the reader's, shared impl)
-    val dir = java.nio.file.Files.createTempDirectory("plangate-pre").toString
-    val st = graft.store.VersionedCandleStore(spark, s"$dir/v")
+    val st = graft.store.VersionedCandleStore(spark, tmpDir("plangate-pre") + "/v")
     import spark.implicits._
     def c(code: String, o: Double) = graft.model.Candle(
       "UPBIT", code, 60, ts("2022-01-01 10:00:00"), o, o, o, o, 1.0, 0L)
