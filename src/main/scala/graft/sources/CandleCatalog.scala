@@ -58,12 +58,19 @@ final class CandleCatalog extends DirTableCatalog {
   override protected def stampEmpty(dir: String): Unit =
     CandleStore.initEmpty(spark, dir)
 
+  /** Resolver handle for the cross-store procedures: the cross-catalog
+    * caller must go through THIS catalog's format-predicate guard too.
+    */
+  private[sources] def resolveCandleArg(table: String): String =
+    resolveTableArg(table)
+
   /** `CALL <cat>.system.{compact,vacuum,recover}(table, …)` — the SQL
     * face of the plain store's maintenance APIs (see
     * [[MaintenanceProcedure]]).
     */
   override protected def maintenanceProcedures: Seq[MaintenanceProcedure] =
-    MaintenanceProcedure.candleProcedures(resolveTableArg)
+    MaintenanceProcedure.candleProcedures(resolveTableArg) ++
+      MaintenanceProcedure.crossStoreProcedures()
 }
 
 private[graft] object CandleTable {

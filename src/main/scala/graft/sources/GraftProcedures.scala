@@ -272,6 +272,120 @@ private[sources] object MaintenanceProcedure {
           .open(spark, cat.resolveViewArg(str(input, 0))).breakStaleLock())))
   }
 
+  /** The CROSS-STORE transaction, SQL-only end to end (the qAB/qAG
+    * argument applied to the last Scala-only write-path component: a
+    * SQL operator could MERGE into either store but never commit one
+    * ATOMIC tx spanning both — the reference's multi-command WAL
+    * transaction, `database/database.go:27-51`):
+    *
+    * {{{
+    * CALL candles.system.cross_store_write(
+    *   name          => 'nightly-2024-07-01',    -- exactly-once key
+    *   coord_dir     => '/data/txs',             -- coordinator marker dir
+    *   candle_table  => 'candles.markets.btc',   -- CATALOG-qualified
+    *   candle_source => 'SELECT * FROM staged_candles',
+    *   vstore_table  => 'vstore.markets.btc_v',
+    *   vstore_source => 'SELECT * FROM staged_versions')
+    * CALL candles.system.cross_store_recover('/data/txs')
+    * }}}
+    *
+    * Both table arguments are CATALOG-qualified (`cat.ns.tbl`): the tx
+    * spans two catalogs by construction, so each side resolves through
+    * its OWN catalog's format-predicate guard
+    * ([[graft.sources.CandleCatalog]] / [[graft.sources.VStoreCatalog]]
+    * looked up by name via the session's catalog manager) — a foreign
+    * directory, a view, or a table of the wrong store shape refuses
+    * exactly like a read would. Sources are SQL text (a SELECT, or a
+    * bare table/temp-view name).
+    *
+    * Semantics are [[graft.store.CrossStoreTx.execute]] unchanged:
+    * presumed-abort two-phase commit, one atomic marker rename as the
+    * commit point, `name` as the idempotence key (a re-CALL of a
+    * committed name returns its recorded tokens without re-executing),
+    * and `cross_store_recover` rolls every published-but-unfinalized
+    * marker forward — the crash matrix (pre-marker crash visible on
+    * NEITHER store, post-marker on BOTH after recover) holds through
+    * SQL, spec-gated in CrossStoreSqlSpec.
+    *
+    * The set rides BOTH catalogs (a tx has no single home); the
+    * procedures are identical, so either spelling commits the same tx.
+    */
+  def crossStoreProcedures(): Seq[MaintenanceProcedure] = {
+    def str(input: InternalRow, i: Int): String =
+      input.getUTF8String(i).toString
+    def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def failCross(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_0035",
+        messageParameters = Map("message" -> s"cross_store_write: $msg"))
+    // a source is either a bare table/temp-view name or full SQL text
+    def sourceFrame(sql: String): org.apache.spark.sql.DataFrame = {
+      val t = sql.trim
+      if (!t.exists(_.isWhitespace)) spark.table(t) else spark.sql(t)
+    }
+    // resolve 'cat.ns.tbl' through the NAMED catalog's own guard
+    def resolveAcross(qualified: String, wantCandle: Boolean): String = {
+      val parts = qualified.split('.').toSeq.filter(_.nonEmpty)
+      if (parts.length < 2)
+        failCross(s"table '$qualified' must be catalog-qualified " +
+          "('cat.ns.tbl') — the tx spans two catalogs, so each side " +
+          "names its own")
+      val plugin =
+        try org.apache.spark.sql.graft.ColumnBridge
+          .catalogPlugin(spark, parts.head)
+        catch {
+          case e: Exception =>
+            failCross(s"'${parts.head}' is not a registered catalog " +
+              s"(resolving '$qualified'): ${e.getMessage}")
+        }
+      (plugin, wantCandle) match {
+        case (c: CandleCatalog, true) =>
+          c.resolveCandleArg(parts.tail.mkString("."))
+        case (v: VStoreCatalog, false) =>
+          v.resolveVStoreArg(parts.tail.mkString("."))
+        case _ =>
+          failCross(s"'$qualified' must name a table in a " +
+            (if (wantCandle) "graft-candles" else "graft-vstore") +
+            s" catalog; '${parts.head}' is a ${plugin.getClass.getName}")
+      }
+    }
+    Seq(
+      new MaintenanceProcedure("cross_store_write",
+        "Commit candle_source into candle_table AND vstore_source into " +
+          "vstore_table as ONE atomic cross-store transaction (name = " +
+          "exactly-once key; a re-CALL of a committed name returns its " +
+          "recorded tokens); both tables catalog-qualified 'cat.ns.tbl'",
+        Seq(in("name", StringType), in("coord_dir", StringType),
+          in("candle_table", StringType), in("candle_source", StringType),
+          in("vstore_table", StringType), in("vstore_source", StringType)),
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("candle_txid", StringType, nullable = false),
+          StructField("vstore_tx", LongType, nullable = false))),
+        input => {
+          val name = str(input, 0)
+          val coordDir = str(input, 1)
+          val cDir = resolveAcross(str(input, 2), wantCandle = true)
+          val vDir = resolveAcross(str(input, 4), wantCandle = false)
+          val toks = graft.store.CrossStoreTx.execute(spark, coordDir, name,
+            Seq(
+              graft.store.CrossStoreTx.CandleUpsert(
+                CandleStore(spark, cDir), sourceFrame(str(input, 3))),
+              graft.store.CrossStoreTx.VersionedCommit(
+                VersionedCandleStore(spark, vDir), sourceFrame(str(input, 5)))))
+          oneRow(utf8(name), utf8(toks.head), toks(1).toLong)
+        }),
+      new MaintenanceProcedure("cross_store_recover",
+        "Roll every published-but-unfinalized cross-store tx under " +
+          "coord_dir forward to completion (run on restart before " +
+          "trusting either store's tail, and ALWAYS before vacuum); " +
+          "returns the number of txs completed",
+        Seq(in("coord_dir", StringType)),
+        StructType(Seq(StructField("completed", IntegerType, nullable = false))),
+        input => oneRow(
+          graft.store.CrossStoreTx.recover(spark, str(input, 0)))))
+  }
+
   /** The plain-candle-store maintenance set. */
   def candleProcedures(resolve: String => String): Seq[MaintenanceProcedure] = {
     def store(input: InternalRow): CandleStore =

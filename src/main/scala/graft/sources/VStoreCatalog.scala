@@ -122,7 +122,8 @@ final class VStoreCatalog extends DirTableCatalog {
     */
   override protected def maintenanceProcedures: Seq[MaintenanceProcedure] =
     MaintenanceProcedure.vstoreProcedures(resolveVStoreArg) ++
-      MaintenanceProcedure.viewProcedures(this)
+      MaintenanceProcedure.viewProcedures(this) ++
+      MaintenanceProcedure.crossStoreProcedures()
 
   /** SQL `VERSION AS OF <txId>` — the catalog form of `asOfTx`. */
   override def loadTable(ident: Identifier, version: String): Table = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.functions.{broadcast, col, expr}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Incrementally-maintained aggregate view over a [[VersionedCandleStore]]
   * — the materialized-view pattern the store's change feed exists to
@@ -203,6 +203,16 @@ final class IncrementalView(
   private[graft] def definitionSchema: StructType =
     aggregated(withGroups(store.scan())).schema
 
+  /** The view CHANGE FEED's schema: the view's own columns plus the
+    * `_view_change_kind` discriminator ('upsert' | 'delete') — what
+    * [[changesSinceGeneration]] and the `graft-view` streaming tail
+    * return. The name is reserved at creation, so it can never collide
+    * with a view output column.
+    */
+  private[graft] def feedSchema: StructType =
+    tableSchema.add(StructField("_view_change_kind", StringType,
+      nullable = false))
+
   /** The watermark the view reflects (0 before the first refresh). */
   def watermark(): Long = adoptedGen().map(_._1).getOrElse(0L)
 
@@ -241,20 +251,33 @@ final class IncrementalView(
     * empty feed.
     */
   def changesSinceGeneration(sinceTx: Long, sinceRev: Long = 0L): DataFrame = {
-    val gens = listGens().filter(_._4).sortBy(g => (g._1, g._2))
-    val cur = gens.lastOption.getOrElse(
+    val cur = adoptedGenFull().getOrElse(
       fail("no refreshed generation yet — call refresh() first"))
+    changesBetween(sinceTx, sinceRev, cur._1, cur._2)
+  }
+
+  /** [[changesSinceGeneration]] with BOTH endpoints pinned — the
+    * streaming tail's batch body ([[graft.sources.GraftViewStreamSource]]):
+    * a micro-batch's `until` generation is its recorded offset, which a
+    * refresh landing between the offset poll and the batch must not
+    * move. Same retention contract as the public shape: either
+    * endpoint GC'd fails loudly with the re-seed message; equal
+    * endpoints return an empty feed.
+    */
+  private[graft] def changesBetween(sinceTx: Long, sinceRev: Long,
+                                    untilTx: Long, untilRev: Long): DataFrame = {
+    val gens = listGens().filter(_._4)
     val kind = "_view_change_kind"
-    if ((cur._1, cur._2) == ((sinceTx, sinceRev)))
-      return spark.read.parquet(cur._3.toString)
-        .where(org.apache.spark.sql.functions.lit(false))
+    def dirOf(tx: Long, rev: Long): Path =
+      gens.find(g => g._1 == tx && g._2 == rev).map(_._3).getOrElse(
+        fail(s"generation (tx=$tx, rev=$rev) is not retained " +
+          "(one-hop GC keeps only the immediately superseded state) — " +
+          "re-read the full view and restart the tail from generation()"))
+    val next = spark.read.parquet(dirOf(untilTx, untilRev).toString)
+    if ((untilTx, untilRev) == ((sinceTx, sinceRev)))
+      return next.where(org.apache.spark.sql.functions.lit(false))
         .withColumn(kind, org.apache.spark.sql.functions.lit(""))
-    val prev = gens.find(g => g._1 == sinceTx && g._2 == sinceRev).getOrElse(
-      fail(s"generation (tx=$sinceTx, rev=$sinceRev) is not retained " +
-        "(one-hop GC keeps only the immediately superseded state) — " +
-        "re-read the full view and restart the tail from generation()"))
-    val old = spark.read.parquet(prev._3.toString)
-    val next = spark.read.parquet(cur._3.toString)
+    val old = spark.read.parquet(dirOf(sinceTx, sinceRev).toString)
     // NULL-SAFE delete detection (nullSafeGroupCond — the refresh's
     // joins share the same definition); except() on the upsert side is
     // set-semantics null-safe already
@@ -265,6 +288,19 @@ final class IncrementalView(
       .unionByName(old.join(nextKeys, nullSafeGroupCond(old, "nk"), "left_anti")
         .withColumn(kind, org.apache.spark.sql.functions.lit("delete")))
   }
+
+  /** Read one PINNED adopted generation (not necessarily the current
+    * one) — the streaming tail's self-seed batch: on recovery the
+    * engine replays batch 0 against its recorded offset, which must
+    * resolve to the SAME rows or fail loudly, never silently re-seed
+    * from a newer state.
+    */
+  private[graft] def readGeneration(tx: Long, rev: Long): DataFrame =
+    listGens().filter(_._4).find(g => g._1 == tx && g._2 == rev)
+      .map(g => spark.read.parquet(g._3.toString))
+      .getOrElse(fail(s"generation (tx=$tx, rev=$rev) is not retained " +
+        "(one-hop GC keeps only the immediately superseded state) — " +
+        "re-read the full view and restart the tail from generation()"))
 
   /** Bring the view up to the store's committed head; returns the new
     * watermark. No-ops when nothing committed since the last refresh.
@@ -296,22 +332,16 @@ final class IncrementalView(
     val f = fs
     f.mkdirs(new Path(path))
     val lock = new Path(path, "_refresh.lock")
-    if (!VersionedCandleStore.tryCreate(f, lock))
+    // acquisition and owner stamp are ONE atomic step (content rides
+    // the creating link/rename): a hard kill leaves the lock absent or
+    // stamped whole, never created-but-unstamped — an unstamped
+    // leftover would wedge every later automated breakLockIfOwner
+    // until a human ran breakStaleLock.
+    if (!VersionedCandleStore.tryCreate(f, lock, owner.getBytes("UTF-8")))
       throw new IllegalStateException(s"another refresh holds $lock " +
         "(breakStaleLock() if its owner died hard)")
-    // stamp AFTER the atomic create: we hold the lock, so the overwrite
-    // races nothing. The stamp write sits INSIDE the delete-finally — a
-    // transient IO failure mid-stamp must not leak an unstamped lock
-    // that wedges every later automated breaker (only a hard process
-    // kill leaves the lock behind, and then the stamp either landed
-    // whole or the human breakStaleLock() clears it).
-    try {
-      if (owner.nonEmpty) {
-        val out = f.create(lock, true)
-        try out.write(owner.getBytes("UTF-8")) finally out.close()
-      }
-      refreshLocked()
-    } finally { f.delete(lock, false); () }
+    try refreshLocked()
+    finally { f.delete(lock, false); () }
   }
 
   /** Remove a `_refresh.lock` left by a refresher that died hard (finally
@@ -490,7 +520,12 @@ final class IncrementalView(
       val it = f.listFiles(dir, true)
       while (it.hasNext) {
         val s = it.next()
-        if (s.isFile) { files += 1; bytes += s.getLen }
+        // DATA files only, as documented: `_SUCCESS` markers and the
+        // gap-run meta would otherwise inflate the reported census
+        val n = s.getPath.getName
+        if (s.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+          files += 1; bytes += s.getLen
+        }
       }
     }
     (w, r, gens.length, files, bytes)
@@ -621,6 +656,12 @@ object IncrementalView {
     }
     if (dups.nonEmpty)
       fail(s"duplicate output column(s): ${dups.toSeq.sorted.mkString(", ")}")
+    // reserved: the change feed's discriminator — a view output of this
+    // name would be silently clobbered by changesSinceGeneration's
+    // withColumn, corrupting both the feed rows and the apply protocol
+    names.find(_.equalsIgnoreCase("_view_change_kind")).foreach(n =>
+      fail(s"output name '$n' is reserved for the view change feed's " +
+        "discriminator column — pick another alias"))
     val p = new Path(viewDir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (f.exists(new Path(p, DefFile)))

@@ -1601,13 +1601,17 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     * semi-joined on the window's (broadcast) touched keys BEFORE the
     * fold — O(touched keys' history), never a full-store fold.
     *
-    * CONSTRUCTION runs one bounded driver job (the partition-prune
-    * sample over the window's touched keys, capped at
-    * `graft.view.pushdownMaxGroups + 1` rows); the returned frame is
-    * otherwise lazy, and each execution scans the gated window twice
-    * (once for the change rows, once under the pre-image semi-join's
-    * build side). A caller refreshing repeatedly should use the
-    * checkpointing variant and own its cleanup, as the incremental
+    * CONSTRUCTION runs one bounded driver job: the window's touched
+    * keys are collected into a driver-local relation (capped at
+    * `graft.feed.localTouchedKeysMax`, default 100,000 — trickle
+    * windows by construction), from which the partition-prune sample
+    * derives for free. Each EXECUTION then scans the gated window
+    * exactly once (the change rows), with the pre-image semi-join
+    * probing the LocalRelation broadcast — and nothing needs cleanup.
+    * A window touching more keys than the cap degrades to the lazy
+    * shape (each execution re-scans the gated window under the
+    * semi-join build side); a caller refreshing repeatedly should use
+    * the checkpointing variant and own its cleanup, as the incremental
     * view does ([[graft.store.IncrementalView]]).
     */
   def changesSincePre(sinceTx: Long, untilTx: Long = Long.MaxValue): DataFrame =
@@ -1666,14 +1670,28 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     currentGen() match {
       case Some((_, genDir)) =>
         val keyNames = Candle.keyCols :+ "ts"
-        // materialize the touched-key set ONCE when the caller asked
-        // for it (it is broadcast-sized by construction): left lazy,
-        // every execution of the returned feed re-runs the gated window
-        // scan a second time under this semi-join's build side — the
-        // documented cost of the lazy public shape
+        // materialize the touched-key set ONCE: checkpointing callers
+        // (the incremental view, the streaming tail) own the returned
+        // frame's lifecycle; the PUBLIC one-shot shape instead collects
+        // the keys into a driver-local relation at construction —
+        // bounded by `graft.feed.localTouchedKeysMax` — so each
+        // execution scans the gated window ONCE (the change rows) with
+        // the pre-image semi-join probing a LocalRelation broadcast,
+        // and there is nothing to unpersist. Past the cap it degrades
+        // to the lazy shape, whose each execution re-runs the gated
+        // window scan under the semi-join build side (documented 2×).
         val touchedLazy = changes.select(keyNames.map(col): _*).distinct()
         val touchedKeys =
-          if (checkpointTouched) touchedLazy.localCheckpoint() else touchedLazy
+          if (checkpointTouched) touchedLazy.localCheckpoint()
+          else {
+            val localMax = spark.conf
+              .getOption("graft.feed.localTouchedKeysMax")
+              .map(_.toInt).getOrElse(100000)
+            val keyRows = touchedLazy.limit(localMax + 1).collect()
+            if (keyRows.length > localMax) touchedLazy
+            else spark.createDataFrame(
+              java.util.Arrays.asList(keyRows: _*), touchedLazy.schema)
+          }
         // from here to the return the checkpoint is OURS: a failure in
         // the prune-sample job below would otherwise orphan it (never
         // returned ⇒ the caller's release can never free it)
@@ -2110,6 +2128,38 @@ object VersionedCandleStore {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case e: java.io.IOException => if (f.exists(p)) false else throw e
       }
+  }
+
+  /** [[tryCreate]] with the file's CONTENT written in the same atomic
+    * step — the stamped-lock primitive: a hard kill can leave the lock
+    * absent or whole, never created-but-unstamped (a lock an automated
+    * owner-breaker could never prove its own). Local fs: content goes
+    * to a private temp file hard-LINKED into place (`link(2)` fails
+    * atomically when the destination exists); HDFS-likes: temp +
+    * rename, which refuses an existing destination there.
+    */
+  private[graft] def tryCreate(f: FileSystem, p: Path,
+                               content: Array[Byte]): Boolean = {
+    if (content.isEmpty) return tryCreate(f, p)
+    val resolved = f.makeQualified(p)
+    if (resolved.toUri.getScheme == "file") {
+      val file = new java.io.File(resolved.toUri.getPath)
+      val parent = file.getParentFile
+      if (parent != null) { parent.mkdirs(); () }
+      val tmp = java.io.File.createTempFile(s".${file.getName}", ".stamp", parent)
+      try {
+        java.nio.file.Files.write(tmp.toPath, content)
+        try { java.nio.file.Files.createLink(file.toPath, tmp.toPath); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally { tmp.delete(); () }
+    } else {
+      val tmp = new Path(p.getParent,
+        s".${p.getName}.stamp-${java.util.UUID.randomUUID()}")
+      val os = f.create(tmp, false)
+      try os.write(content) finally os.close()
+      if (f.rename(tmp, p)) true
+      else { f.delete(tmp, false); false }
+    }
   }
 
   /** Does `path` hold (or mark) a versioned store? — format marker,

@@ -38,6 +38,18 @@ object ColumnBridge {
       case _ => ()
     }
 
+  /** Look up a registered catalog plugin by name (`sessionState` and
+    * the `CatalogManager` are `private[sql]`): how a stored procedure
+    * that spans TWO catalogs (the cross-store transaction) resolves its
+    * other-catalog table argument through that catalog's own guarded
+    * resolver instead of trusting a raw path. Throws Spark's own
+    * CatalogNotFoundException for an unregistered name.
+    */
+  def catalogPlugin(spark: SparkSession,
+                    name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.catalog(name)
+
   /** Re-tag a batch frame as STREAMING (`internalCreateDataFrame` is
     * `private[sql]`): what a v1 streaming `Source.getBatch` must return
     * — the engine asserts `isStreaming` on it (MemoryStream and

@@ -125,6 +125,10 @@ class GraftViewSqlSpec extends SparkSpec {
       "explicit alias")
     refuse("'markets.v1', 'markets.eth', 'code, volume AS code', 'count(1) AS n'",
       "duplicate")
+    // the feed's discriminator column is a reserved output name: a view
+    // aliasing it would have it silently clobbered by the change feed
+    refuse("'markets.v1', 'markets.eth', 'code', " +
+      "'count(1) AS _view_change_kind'", "reserved")
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$base/markets/v1")),
       "a refused create_view must leave nothing behind")
     // a view as create_view's TABLE arg refuses; store procs refuse views
@@ -179,8 +183,18 @@ class GraftViewSqlSpec extends SparkSpec {
       .collect().head.getLong(0) == 2L, "refresh recovers after the break")
     assert(spark.sql("CALL vv.system.vacuum_view('markets.ada_v')")
       .collect().head.getInt(0) == 1, "exactly the torn gen swept")
-    assert(spark.sql("CALL vv.system.describe_view('markets.ada_v')")
-      .collect().head.getInt(5) == 2, "adopted pair retained")
+    val after = spark.sql("CALL vv.system.describe_view('markets.ada_v')")
+      .collect().head
+    assert(after.getInt(5) == 2, "adopted pair retained")
+    // the census counts DATA files only — `_SUCCESS` markers and the
+    // gap-run meta must not inflate it (one parquet part per tiny gen)
+    val parts = Seq("gen_1", "gen_2").map { g =>
+      new java.io.File(s"$viewDir/$g").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    }.sum
+    assert(after.getLong(6) == parts.toLong,
+      s"data-file census must match the parquet parts, got ${after.getLong(6)}")
     assert(rows(spark.sql("SELECT code, n FROM vv.markets.ada_v")) ==
       Set("ADA|2"), "the view still reads after the sweep")
     spark.sql("DROP TABLE vv.markets.ada_v")

@@ -93,8 +93,8 @@ class PlanGateSpec extends SparkSpec {
 
   test("qAH: the pre-image feed reads through the store's bridged scan " +
       "with zero outer exchanges; the INNER computed plan broadcasts " +
-      "the touched keys and shuffles at most once (the window-start " +
-      "fold) — no full-store re-shuffle") {
+      "the LOCALLY-collected touched keys (one gated-window scan per " +
+      "execution) and shuffles at most once (the window-start fold)") {
     val p = plan("qAH_preimage_feed")
     assert(p.contains("VStoreV1Bridge"),
       s"the feed must plan through the bridged scan:\n$p")
@@ -111,12 +111,16 @@ class PlanGateSpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
     assert(inner.contains("BroadcastHashJoin LeftSemi"),
       s"the pre-image fold must semi-join the BROADCAST touched keys:\n$inner")
-    // exactly two exchanges, BOTH delta-bound: the touched-key distinct
-    // (window-sized — the lazy public path's documented cost; the view
-    // path checkpoints it away) and the window-start max_by fold
-    // (touched-history-sized). Anything more means the store itself
-    // started riding a shuffle.
-    assert(exchanges(inner) <= 2,
+    // the public path's touched keys are a construction-time
+    // LocalRelation (the round-19 single-scan shape): the plan must
+    // probe it, not re-derive the keys from a second window scan
+    assert(inner.contains("LocalTableScan"),
+      s"the touched keys must be a driver-local relation:\n$inner")
+    // at most ONE exchange, delta-bound: the window-start max_by fold
+    // (touched-history-sized). The touched-key distinct no longer rides
+    // the executed plan — it ran once at construction. Anything more
+    // means the store itself started riding a shuffle.
+    assert(exchanges(inner) <= 1,
       s"the feed must not re-shuffle the store:\n$inner")
   }
 

@@ -1425,6 +1425,161 @@ class StreamingSpec extends SparkSpec {
     assert(!copy.exists(_.startsWith("ETH|")))
   }
 
+  test("graft-view streaming source: batch 0 self-seeds the full view, " +
+      "every later micro-batch is exactly one generation diff (== the " +
+      "hand-polled changesBetween at that boundary), a repair rev lands " +
+      "as its own batch, and the apply protocol keeps a copy equal to " +
+      "read() throughout") {
+    import org.apache.spark.sql.functions.col
+    val vst = graft.store.VersionedCandleStore(spark, tmpDir("st-gvs") + "/v")
+    val viewDir = tmpDir("st-gvs-view") + "/view"
+    val view = graft.store.IncrementalView.create(spark, viewDir, vst,
+      Seq("code" -> "code"),
+      Seq("count(1) AS n", "round(sum(volume), 4) AS vol"))
+    vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1),
+      c("ETH", "2021-06-01 00:00:00", 5)).toDF())              // tx 1
+    assert(view.refresh() == 1L)                               // gen_1
+    def norm(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("_view_change_kind", "code", "n", "vol")
+        .collect().map(_.mkString("|")).toSet
+    def viewRows(): Set[String] =
+      view.read().select("code", "n", "vol")
+        .collect().map(_.mkString("|")).toSet
+    val batches = scala.collection.concurrent.TrieMap[Long, Set[String]]()
+    val ckpt = tmpDir("st-gvs-ckpt")
+    def start() = spark.readStream.format("graft-view").load(viewDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, norm(df)); ()
+      }
+      .start()
+    val q = start()
+    q.processAllAvailable()
+    // batch 0 = the self-seed: the full adopted view as upsert rows
+    assert(batches(0L) == viewRows().map(r => s"upsert|$r"),
+      s"self-seed batch, got ${batches(0L)}")
+    // the tail copy applies the documented protocol per batch: drop the
+    // feed's group keys, union the upserts
+    var copy: Set[String] = Set.empty
+    def apply(batch: Set[String]): Unit = {
+      val touched = batch.map(_.split('|')(1))
+      copy = copy.filterNot(s => touched.contains(s.split('|')(0))) ++
+        batch.collect { case s if s.startsWith("upsert|") =>
+          s.stripPrefix("upsert|") }
+      assert(copy == viewRows(), s"tail copy diverged, got $copy")
+    }
+    apply(batches(0L))
+    // an update + a new group → gen_2; the streamed batch must equal
+    // the hand-polled diff of exactly that boundary
+    vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 2),
+      c("SOL", "2023-03-01 00:00:00", 7)).toDF())              // tx 2
+    assert(view.refresh() == 2L)
+    q.processAllAvailable()
+    assert(batches(1L) == norm(view.changesBetween(1L, 0L, 2L, 0L)),
+      "batch 1 != the hand-polled generation diff")
+    apply(batches(1L))
+    // a tombstoned group → its delete row flows through the stream
+    vst.delete(Seq(("UPBIT", "ETH", 60, ts("2021-06-01 00:00:00")))
+      .toDF("market", "code", "candle_length", "ts"))          // tx 3
+    assert(view.refresh() == 3L)
+    q.processAllAvailable()
+    assert(batches(2L).contains("delete|ETH|1|10.0"), batches(2L))
+    apply(batches(2L))
+    // a REPAIR REV mid-stream: a slow committer reserves tx 4, tx 5
+    // commits past it, the refresh records the gap (gen_5); the late
+    // finalize then repairs at the SAME watermark (gen_5_r1) — the
+    // stream's (tx, rev) offsets deliver it as its own batch, which a
+    // watermark-keyed tail would have silently skipped
+    val (lateTx, written) = vst.prepareDataCommit(
+      Seq(c("ADA", "2022-05-01 00:00:00", 3)).toDF(), None)    // tx 4 reserved
+    vst.commit(Seq(c("XRP", "2022-06-01 00:00:00", 4)).toDF()) // tx 5
+    assert(view.refresh() == 5L)
+    q.processAllAvailable()
+    apply(batches(3L))
+    vst.finalizeDataCommit(lateTx, written, None, None)        // tx 4 LATE
+    assert(view.refresh() == 5L)                               // gen_5_r1
+    assert(view.generation() == Some((5L, 1L)))
+    q.processAllAvailable()
+    assert(batches(4L) == norm(view.changesBetween(5L, 0L, 5L, 1L)),
+      "the repair batch != the hand-polled repair diff")
+    assert(batches(4L).exists(_.startsWith("upsert|ADA|")), batches(4L))
+    apply(batches(4L))
+    q.stop()
+    // restart from the checkpoint across ONE refresh: the recorded
+    // offset's generation is still retained (one hop), so the tail
+    // resumes with exactly the missed diff — no re-seed
+    vst.commit(Seq(c("DOT", "2022-07-01 00:00:00", 6)).toDF()) // tx 6
+    assert(view.refresh() == 6L)
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(batches(5L) == norm(view.changesBetween(5L, 1L, 6L, 0L)),
+      "the restart batch != the missed boundary's diff")
+    apply(batches(5L))
+    q2.stop()
+  }
+
+  test("graft-view stream refusals: a checkpointed offset whose " +
+      "generation was GC'd (two refreshes behind) fails LOUDLY with the " +
+      "re-seed message; sinceRev without sinceTx refuses at load; " +
+      "sinceTx tails from the held generation without a seed batch") {
+    import org.apache.spark.sql.functions.col
+    val vst = graft.store.VersionedCandleStore(spark, tmpDir("st-gvr") + "/v")
+    val viewDir = tmpDir("st-gvr-view") + "/view"
+    val view = graft.store.IncrementalView.create(spark, viewDir, vst,
+      Seq("code" -> "code"), Seq("count(1) AS n"))
+    vst.commit(Seq(c("BTC", "2022-01-01 10:00:00", 1)).toDF()) // tx 1
+    assert(view.refresh() == 1L)
+    val ckpt = tmpDir("st-gvr-ckpt")
+    val batches = scala.collection.concurrent.TrieMap[Long, Set[String]]()
+    def start() = spark.readStream.format("graft-view").load(viewDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id,
+          df.select("_view_change_kind", "code").collect()
+            .map(_.mkString("|")).toSet); ()
+      }
+      .start()
+    val q = start()
+    q.processAllAvailable(); q.stop()
+    assert(batches(0L) == Set("upsert|BTC"))
+    // two refreshes while the tail is down — the checkpointed gen_1 is
+    // GC'd (one-hop retention) and the restart must refuse, not serve
+    // a wrong diff
+    vst.commit(Seq(c("ETH", "2021-06-01 00:00:00", 5)).toDF()) // tx 2
+    assert(view.refresh() == 2L)
+    vst.commit(Seq(c("SOL", "2023-03-01 00:00:00", 7)).toDF()) // tx 3
+    assert(view.refresh() == 3L)
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(e.getMessage.contains("not retained") ||
+      Option(e.getCause).exists(_.getMessage.contains("not retained")),
+      s"GC'd offset must fail with the re-seed message, got: ${e.getMessage}")
+    // re-seed: a consumer that already HOLDS a generation starts with
+    // sinceTx/sinceRev and gets exactly the diff, no seed batch
+    val held = view.generation().get
+    vst.commit(Seq(c("ADA", "2022-05-01 00:00:00", 3)).toDF()) // tx 4
+    assert(view.refresh() == 4L)
+    val batches2 = scala.collection.concurrent.TrieMap[Long, Set[String]]()
+    val q3 = spark.readStream.format("graft-view")
+      .option("sinceTx", held._1).option("sinceRev", held._2).load(viewDir)
+      .writeStream.option("checkpointLocation", tmpDir("st-gvr-ckpt2"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches2.put(id,
+          df.select("_view_change_kind", "code").collect()
+            .map(_.mkString("|")).toSet); ()
+      }
+      .start()
+    q3.processAllAvailable(); q3.stop()
+    assert(batches2(0L) == Set("upsert|ADA"),
+      s"the held-generation tail must get exactly the diff, got $batches2")
+    // option validation fails synchronously at load()
+    intercept[IllegalArgumentException](spark.readStream
+      .format("graft-view").option("sinceRev", "1").load(viewDir))
+  }
+
   test("pre-image streaming tail: every micro-batch (a, b] equals the " +
       "batch changesSincePre(a, b) — window-start pre-images per batch, " +
       "so content-derived state maintains from the stream alone") {
