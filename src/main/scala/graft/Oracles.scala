@@ -1287,6 +1287,42 @@ object Oracles {
          SELECT 'upsert' AS kind, * FROM ups
          UNION ALL
          SELECT 'delete' AS kind, * FROM del""",
+    // qAK: the view feed through the STREAMING source — identical rows
+    // to qAI by construction (same boundary, same diff semantics, the
+    // transport is the only difference), so the same two-state mirror.
+    "qAK_view_stream" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 0")}),
+         u AS (SELECT *, 0 AS src FROM a UNION ALL SELECT *, 1 AS src FROM b),
+         r AS (SELECT *, row_number() OVER (PARTITION BY code, ts
+           ORDER BY src DESC) AS rn FROM u),
+         live AS (SELECT * FROM r WHERE rn = 1 AND hour(ts) % 3 <> 1),
+         s1 AS (SELECT code, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(open >= 50.123 AS INT) AS tier, count(*) AS n,
+           round(sum(volume), 4) AS vol, round(max(close), 4) AS max_close
+           FROM a GROUP BY 1, 2, 3),
+         s2 AS (SELECT code, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(open >= 50.123 AS INT) AS tier, count(*) AS n,
+           round(sum(volume), 4) AS vol, round(max(close), 4) AS max_close
+           FROM live GROUP BY 1, 2, 3),
+         ups AS (SELECT * FROM s2 EXCEPT SELECT * FROM s1),
+         del AS (SELECT * FROM s1 WHERE NOT EXISTS (
+           SELECT 1 FROM s2 WHERE s2.code = s1.code AND s2.day = s1.day
+             AND s2.tier = s1.tier))
+         SELECT 'upsert' AS kind, * FROM ups
+         UNION ALL
+         SELECT 'delete' AS kind, * FROM del""",
+    // qAJ: the SQL-only cross-store tx — slice %3=1 lives in the candle
+    // catalog table, slice %3=2 in the vstore catalog table, both from
+    // ONE CALL; the qA0 per-side aggregate mirror.
+    "qAJ_sql_cross_store" ->
+      s"""WITH c AS (${hourlyCandles("WHERE event_id % 3 = 1")}),
+         v AS (${hourlyCandles("WHERE event_id % 3 = 2")})
+         SELECT 'candle' AS side, code, count(*) AS n_rows,
+           round(sum(close), 2) AS sum_close FROM c GROUP BY 2
+         UNION ALL
+         SELECT 'vstore' AS side, code, count(*) AS n_rows,
+           round(sum(close), 2) AS sum_close FROM v GROUP BY 2""",
     // qAG: the SQL-only view (create_view → SQL DELETE → refresh_view)
     // == a full GROUP BY (code, day, open-threshold tier) over the end
     // state — the qAC mirror — with the watermark at the delete's tx 3.

@@ -1240,6 +1240,79 @@ object Queries {
     cat
   }
 
+  private val viewStreamCache = fixtureCache[String]()
+
+  /** Build (once per sfDir) the VIEW-FEED-AS-A-STREAM result (round 19,
+    * qAK — qAI's diff consumed through `readStream.format("graft-view")`
+    * instead of the Scala API): the stream tails qAG's SQL-created view
+    * from its held generation (tx 1 — batch A's first refresh), so its
+    * one micro-batch is exactly the (1,0)→(3,0) generation diff the
+    * hand-polled `changesSinceGeneration(1)` serves; the batch lands in
+    * a parquet dir the query then reads. Offsets are (watermark tx,
+    * repair rev) generation identities ([[graft.sources.GraftViewSource]]).
+    */
+  private def viewStreamFeed(s: SparkSession, d: String): String =
+    viewStreamCache.getOrElseUpdate(ek(d), {
+      val viewDir = s"${sqlViewBase(s, d)}/v_tier"
+      val outDir = fixtureTmpDir("graft-qviewstream").toString + "/feed"
+      val q = s.readStream.format("graft-view")
+        .option("sinceTx", 1).load(viewDir)
+        .writeStream
+        .option("checkpointLocation",
+          fixtureTmpDir("graft-qviewstream-ckpt").toString)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      outDir
+    })
+
+  private val sqlXstoreCache = fixtureCache[(String, String)]()
+
+  /** Build (once per sfDir) the SQL-ONLY cross-store fixture (round 19,
+    * qAJ — the qA0 atomicity with every step a SQL statement): a candle
+    * catalog and a vstore catalog register over one base; CREATE TABLE
+    * stamps both stores; `CALL cross_store_write` commits the `%3=1`
+    * event-candle slice into the candle table AND the `%3=2` slice into
+    * the vstore table as ONE atomic named tx (reference: the
+    * multi-command WAL transaction, `database/database.go:27-51`); a
+    * re-CALL of the same name returns the recorded tokens without
+    * re-executing (exactly-once through SQL), and `CALL
+    * cross_store_recover` finds nothing pending. Returns the two
+    * catalog names; the qAJ reads are catalog SELECTs.
+    */
+  private def sqlCrossCats(s: SparkSession, d: String): (String, String) =
+    sqlXstoreCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qsqlxstore").toString
+      // prefixes UNIQUE per fixture ("gxc"/"gxv") — see condDeleteStore
+      val h = ek(d).hashCode & 0x7fffffff
+      val (catC, catV) = ("gxc" + h, "gxv" + h)
+      setEpochConf(s, s"spark.sql.catalog.$catC", classOf[graft.sources.CandleCatalog].getName)
+      setEpochConf(s, s"spark.sql.catalog.$catC.base", s"$base/c")
+      setEpochConf(s, s"spark.sql.catalog.$catV", classOf[graft.sources.VStoreCatalog].getName)
+      setEpochConf(s, s"spark.sql.catalog.$catV.base", s"$base/v")
+      s.sql(s"CREATE TABLE $catC.candles")
+      s.sql(s"CREATE TABLE $catV.v")
+      val ev = T.events(s, d)
+      eventCandles(ev.where(col("event_id") % 3 === 1))
+        .createOrReplaceTempView("graft_qaj_c")
+      eventCandles(ev.where(col("event_id") % 3 === 2))
+        .createOrReplaceTempView("graft_qaj_v")
+      def write() = s.sql(
+        s"""CALL $catC.system.cross_store_write('qaj-b0', '$base/txs',
+           '$catC.candles', 'graft_qaj_c',
+           '$catV.v', 'SELECT * FROM graft_qaj_v')""").collect().head
+      val first = write()
+      val again = write()
+      require(first.getString(1) == again.getString(1) &&
+        first.getLong(2) == again.getLong(2),
+        "same-name re-CALL must return the recorded tokens, not re-run")
+      require(s.sql(s"CALL $catV.system.cross_store_recover('$base/txs')")
+        .collect().head.getInt(0) == 0, "nothing pending after the commit")
+      (catC, catV)
+    })
+
   private val maintStoreCache = fixtureCache[String]()
 
   /** Build (once per sfDir) a versioned store maintained through SQL
@@ -1834,6 +1907,34 @@ object Queries {
         .select(col("_view_change_kind").as("kind"), col("code"),
           date_format(col("day"), "yyyy-MM-dd").as("day"), col("tier"),
           col("n"), col("vol"), col("max_close"))
+    }),
+    // VIEW FEED AS A STREAM (round 19): qAI's generation diff consumed
+    // through readStream.format("graft-view") — (tx, rev) generation
+    // offsets, one micro-batch per refresh boundary — instead of the
+    // Scala changesSinceGeneration; same rows, same mirror, so a
+    // Structured-Streaming consumer needs no Scala at all.
+    "qAK_view_stream" -> ((s, d) => {
+      s.read.parquet(viewStreamFeed(s, d))
+        .select(col("_view_change_kind").as("kind"), col("code"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("tier"),
+          col("n"), col("vol"), col("max_close"))
+    }),
+    // SQL-ONLY CROSS-STORE TX (round 19): one CALL cross_store_write
+    // commits slice %3=1 into the candle catalog table AND slice %3=2
+    // into the vstore catalog table atomically; the reads here are
+    // plain catalog SELECTs — the qA0 exact-or-nothing shape with every
+    // step a SQL statement (fixture also proves same-name re-CALL
+    // exactly-once and an empty cross_store_recover).
+    "qAJ_sql_cross_store" -> ((s, d) => {
+      val (catC, catV) = sqlCrossCats(s, d)
+      s.sql(s"""SELECT 'candle' AS side, code, count(1) AS n_rows,
+           ${Portable.roundSql("sum(close)", 2)} AS sum_close
+         FROM $catC.candles GROUP BY code""")
+        .unionByName(s.sql(s"""SELECT 'vstore' AS side, code,
+             count(1) AS n_rows,
+             ${Portable.roundSql("sum(close)", 2)} AS sum_close
+           FROM $catV.v GROUP BY code"""))
+        .select("side", "code", "n_rows", "sum_close")
     }),
     // SQL-ONLY INCREMENTAL VIEW (round 18): create_view (validated,
     // first refresh included), SQL upserts + a tombstone DELETE, then
