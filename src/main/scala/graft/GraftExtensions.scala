@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DELETE FROM / UPDATE on graft targets, lowered to one
     // tombstone tx / one keyed upsert of the affected rows.
     ext.injectResolutionRule(session => graft.plans.ResolveGraftDml(session))
+    // CREATE MATERIALIZED VIEW … AS SELECT — DDL sugar rewritten to the
+    // create_view procedure (same definition file, same validations).
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }
 

@@ -499,16 +499,67 @@ object Multimodal {
       .withColumnRenamed("doc_id", idCol)
   }
 
-  /** STUB frame sampling: split the payload into `n` equal byte slices
-    * ("frames"). Real video would frame-decode; the plumbing (explode →
-    * one row per frame, metadata carried) is the real part.
+  /** Frame sampling with a PLUGGABLE decoder seam (round 19, the
+    * [[graft.store.ServerSideCopy]] pattern applied to the one
+    * documented multimodal stub): no JVM-bundled video codec exists, so
+    * the DEFAULT remains the byte-slice stub — split the payload into
+    * `n` equal slices ("frames"); the plumbing (one row per frame,
+    * metadata carried, explode shape) is the real part. A deployment
+    * WITH a codec on the classpath registers one per session:
+    *
+    * {{{ spark.conf.set("graft.multimodal.videoDecoder", "my.FfmpegFrames") }}}
+    *
+    * The named class ([[VideoFrameDecoder]], zero-arg-constructible) is
+    * resolved reflectively ON EXECUTORS per JVM — only the class NAME
+    * rides the closure, so the decoder itself needs no serialization.
+    * Output schema is identical on both paths; a bad class name fails
+    * the CALL driver-side, never half-way into a job.
     */
-  def sampleFrames(df: DataFrame, n: Int): DataFrame =
-    df.withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
-      .withColumn("frame_bytes",
-        substring(col("payload"),
-          (col("frame_idx") * (octet_length(col("payload")) / n) + 1).cast("int"),
-          greatest((octet_length(col("payload")) / n).cast("int"), lit(1))))
-      .select(col("id"), col("frame_idx"), col("frame_bytes"),
-        octet_length(col("frame_bytes")).as("frame_n_bytes"))
+  def sampleFrames(df: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"sampleFrames needs n > 0, got $n")
+    df.sparkSession.conf.getOption(VideoFrameDecoder.confKey)
+      .filter(_.nonEmpty) match {
+      case Some(cls) =>
+        VideoFrameDecoder.forName(cls) // fail fast on a bad registration
+        val decode = udf((payload: Array[Byte]) =>
+          VideoFrameDecoder.forName(cls).sampleFrames(payload, n))
+        df.select(col("id"), posexplode(decode(col("payload")))
+            .as(Seq("frame_idx", "frame_bytes")))
+          .select(col("id"), col("frame_idx"), col("frame_bytes"),
+            octet_length(col("frame_bytes")).as("frame_n_bytes"))
+      case None =>
+        df.withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
+          .withColumn("frame_bytes",
+            substring(col("payload"),
+              (col("frame_idx") * (octet_length(col("payload")) / n) + 1).cast("int"),
+              greatest((octet_length(col("payload")) / n).cast("int"), lit(1))))
+          .select(col("id"), col("frame_idx"), col("frame_bytes"),
+            octet_length(col("frame_bytes")).as("frame_n_bytes"))
+    }
+  }
+}
+
+/** The video-decode seam: `sampleFrames(payload, n)` returns the `n`
+  * sampled frames (re-encoded bytes; deterministic per payload) of one
+  * video payload. Implementations wrap a real codec (ffmpeg/JavaCV) and
+  * must be zero-arg-constructible — executors instantiate them
+  * reflectively from the class name in the session conf
+  * (`graft.multimodal.videoDecoder`), one instance per JVM, so the
+  * codec handle itself never serializes.
+  */
+trait VideoFrameDecoder extends Serializable {
+  def sampleFrames(payload: Array[Byte], n: Int): Array[Array[Byte]]
+}
+
+object VideoFrameDecoder {
+  /** Session-conf key naming the implementation class. */
+  val confKey = "graft.multimodal.videoDecoder"
+
+  private val cache =
+    scala.collection.concurrent.TrieMap[String, VideoFrameDecoder]()
+
+  private[graft] def forName(cls: String): VideoFrameDecoder =
+    cache.getOrElseUpdate(cls,
+      Class.forName(cls).getDeclaredConstructor().newInstance()
+        .asInstanceOf[VideoFrameDecoder])
 }

@@ -21,6 +21,7 @@ import graft.store.{IncrementalView, VersionedCandleStore}
 object ViewBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    if (args.lift(1).contains("feed-decade")) { feedDecade(sfDir); return }
     if (args.lift(1).contains("decade")) { decade(sfDir); return }
     val replicate = args.lift(1).flatMap(_.toIntOption).getOrElse(12)
     val spark = GraftSession.builder(appName = "graft-viewbench").getOrCreate()
@@ -144,6 +145,112 @@ object ViewBench {
       s""""exact":${diffC == 0L}}""")
     spark.stop()
     if (diff != 0L || diffC != 0L) sys.exit(1)
+  }
+
+  /** 100×-decade exponent for the VIEW CHANGE FEED
+    * (`ViewBench <sfDir> feed-decade`) — the round-19 instrument for
+    * [[IncrementalView.changesSinceGeneration]]: the feed diffs two
+    * ADOPTED generations (aggregate-sized parquet), so its cost must
+    * track the VIEW's weight, never the base table's. The fixture
+    * makes the two axes independent: the base grows 100× across TIME
+    * (each replica's `ts` shifted by days, so candles multiply while
+    * the code set — the view's groups — stays CONSTANT); a one-group
+    * trickle then separates two generations and the feed between them
+    * is timed (median of 3 read-only re-executions). A base-reading
+    * feed would show exponent ≈ 1; the graded expectation is ≈ 0 wall
+    * and EXACTLY flat rows-read (two fixed-size generation scans).
+    */
+  private def feedDecade(sfDir: String): Unit = {
+    val spark = GraftSession.builder(appName = "graft-viewbench-feed")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          recordsRead.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      })
+    def median(a: Seq[Double]): Double = {
+      val s = a.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val events0 = graft.Tables.events(spark, sfDir)
+
+    /** (median feed wall, median feed rows read, base candle rows,
+      * view groups) at `replicate`× the corpus.
+      */
+    def measure(replicate: Int): (Double, Long, Long, Long) = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-vb-feed-$replicate").toString
+      val st = VersionedCandleStore(spark, s"$base/v")
+      // TIME replication: shift each replica by the corpus's FULL span
+      // so replicas never overlap into shared candle buckets — base
+      // candles multiply ×replicate, the code set (= the view's
+      // groups) does not
+      val rng = events0.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        .head()
+      val spanDays = java.time.Duration.between(
+        rng.getTimestamp(0).toInstant, rng.getTimestamp(1).toInstant)
+        .toDays + 1
+      val events = (0 until replicate).map(k =>
+          events0.withColumn("ts",
+            col("ts") + expr(s"INTERVAL ${k * spanDays} DAYS")))
+        .reduce(_ unionByName _)
+      def candles(df: org.apache.spark.sql.DataFrame) =
+        graft.ops.TimeSeries.candlesFromTicks(df, "ts", "value", Some("value"),
+            Seq("event_type"), 3600)
+          .select(lit("EVS").as("market"), col("event_type").as("code"),
+            lit(3600).as("candle_length"),
+            timestamp_seconds(col("bucket")).as("ts"),
+            col("open"), col("high"), col("low"), col("close"),
+            col("volume"), lit(0L).as("bit_fields"))
+      st.commit(candles(events))
+      val view = new IncrementalView(spark, s"$base/view", st,
+        Seq("code" -> col("code")),
+        Seq(count(lit(1)).as("n"), sum(col("volume")).as("vol"),
+          max(col("close")).as("max_close")))
+      view.refresh()
+      val held = view.generation().get
+      val groups = view.read().count()
+      // one-group trickle separates the two generations the feed diffs
+      val t0row = events0.agg(min(col("ts")).cast("date").as("d"),
+        min(col("event_type")).as("et")).head()
+      st.commit(candles(events0.where(
+        col("event_type") === t0row.getString(1) &&
+          col("ts").cast("date") === t0row.getDate(0)))
+        .withColumn("open", col("open") + lit(1000.0)))
+      view.refresh()
+      def metered(f: => Unit): (Double, Long) = {
+        Thread.sleep(300); recordsRead.set(0L)
+        val a = System.nanoTime(); f
+        val sec = (System.nanoTime() - a) / 1e9
+        Thread.sleep(300)
+        (sec, recordsRead.get())
+      }
+      val runs = (0 until 3).map { _ =>
+        metered {
+          view.changesSinceGeneration(held._1, held._2)
+            .write.mode("overwrite").format("noop").save()
+        }
+      }
+      val baseRows = st.scan().count()
+      (median(runs.map(_._1)), runs.map(_._2).sorted.apply(1),
+        baseRows, groups)
+    }
+
+    val (w1, r1, b1, g1) = measure(1)
+    val (w100, r100, b100, g100) = measure(100)
+    def exp(hi: Double, lo: Double): Double =
+      math.log(hi / lo) / math.log(b100.toDouble / b1.toDouble)
+    println(s"""{"metric":"view_feed_decade","sf":"$sfDir",""" +
+      s""""base_rows_1x":$b1,"base_rows_100x":$b100,""" +
+      s""""groups_1x":$g1,"groups_100x":$g100,""" +
+      s""""feed_sec_1x":$w1,"feed_sec_100x":$w100,""" +
+      s""""feed_wall_exponent":${exp(w100, w1)},""" +
+      s""""feed_rows_1x":$r1,"feed_rows_100x":$r100,""" +
+      s""""feed_rows_exponent":${exp(r100.toDouble, math.max(r1, 1L).toDouble)}}""")
+    spark.stop()
   }
 
   /** 100×-decade WALL-CLOCK exponent for the incremental refresh

@@ -229,4 +229,77 @@ class GraftViewSqlSpec extends SparkSpec {
     spark.sql("DROP TABLE vv.markets.sol_m")
     spark.sql("DROP TABLE vv.markets.sol")
   }
+
+  test("CREATE MATERIALIZED VIEW DDL rewrites to create_view: identical " +
+      "_graft_view.json as the CALL form (group-by-alias and expression " +
+      "forms both), readable immediately; unsupported shapes refuse " +
+      "with the CALL-form pointer") {
+    base
+    val st = VersionedCandleStore(spark, s"$base/markets/dot")
+    st.commit(Seq(c("DOT", "2022-01-01 10:00:00", 1),
+      c("DOT", "2022-01-02 11:00:00", 60),
+      c("KSM", "2021-06-01 00:00:00", 5)).toDF())
+    // DDL form (GROUP BY references the select ALIAS — Spark's
+    // group-by-alias shape) and the CALL twin of the same definition
+    spark.sql(
+      """CREATE MATERIALIZED VIEW vv.markets.dot_daily AS
+        |SELECT code, to_date(ts) AS day, count(1) AS n,
+        |  sum(volume) AS vol
+        |FROM vv.markets.dot
+        |GROUP BY code, day""".stripMargin)
+    spark.sql(
+      """CALL vv.system.create_view('markets.dot_daily2', 'markets.dot',
+        |  'code, to_date(ts) AS day', 'count(1) AS n, sum(volume) AS vol')"""
+        .stripMargin)
+    def defJson(name: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        s"$base/markets/$name", "_graft_view.json")), "UTF-8")
+    // byte-identical apart from the store pointer (same here): the DDL
+    // form IS the CALL form
+    assert(defJson("dot_daily") == defJson("dot_daily2"),
+      s"definitions diverged:\n${defJson("dot_daily")}\n${defJson("dot_daily2")}")
+    assert(rows(spark.sql(
+      "SELECT code, day, n, vol FROM vv.markets.dot_daily")) ==
+      rows(spark.sql(
+        "SELECT code, day, n, vol FROM vv.markets.dot_daily2")),
+      "both forms read the same")
+    // GROUP BY by expression TEXT (no alias reference) works too
+    spark.sql(
+      """CREATE MATERIALIZED VIEW vv.markets.dot_tier AS
+        |SELECT code, CAST(open >= 50 AS INT) AS tier, count(1) AS n
+        |FROM vv.markets.dot GROUP BY code, CAST(open >= 50 AS INT)"""
+        .stripMargin)
+    assert(rows(spark.sql(
+      "SELECT code, tier, n FROM vv.markets.dot_tier")) ==
+      Set("DOT|0|1", "DOT|1|1", "KSM|0|1"))
+    // refusal matrix: each names the constraint and points at CALL
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[AnalysisException](spark.sql(sql))
+      assert(e.getMessage.contains(needle), s"want '$needle': ${e.getMessage}")
+    }
+    refuses("CREATE MATERIALIZED VIEW unqualified AS SELECT code, " +
+      "count(1) AS n FROM vv.markets.dot GROUP BY code",
+      "catalog-qualified")
+    refuses("CREATE MATERIALIZED VIEW vv.markets.x AS SELECT code, " +
+      "count(1) AS n FROM vv.markets.dot WHERE code = 'DOT' GROUP BY code",
+      "single table")
+    refuses("CREATE MATERIALIZED VIEW vv.markets.x AS SELECT code, " +
+      "count(1) FROM vv.markets.dot GROUP BY code",
+      "explicit alias")
+    refuses("CREATE MATERIALIZED VIEW vv.markets.x AS SELECT code, " +
+      "count(1) AS n FROM vv.markets.dot GROUP BY 1",
+      "ordinals")
+    refuses("CREATE MATERIALIZED VIEW vv.markets.x AS SELECT count(1) " +
+      "AS n FROM vv.markets.dot GROUP BY code",
+      "must appear in the SELECT list")
+    refuses("CREATE MATERIALIZED VIEW vv.markets.x AS " +
+      "SELECT code FROM vv.markets.dot",
+      "GROUP BY")
+    // nothing half-created by any refusal
+    assert(!new java.io.File(s"$base/markets/x").exists())
+    spark.sql("DROP TABLE vv.markets.dot_daily")
+    spark.sql("DROP TABLE vv.markets.dot_daily2")
+    spark.sql("DROP TABLE vv.markets.dot_tier")
+    spark.sql("DROP TABLE vv.markets.dot")
+  }
 }

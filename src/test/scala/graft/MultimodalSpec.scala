@@ -117,6 +117,38 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.where(col("frame_n_bytes") <= 0).count() == 0)
   }
 
+  test("sampleFrames decoder seam: a registered VideoFrameDecoder class " +
+      "replaces the byte-slice stub (same output schema, decoder-defined " +
+      "frames), unsetting the conf restores the stub, and a bad class " +
+      "name fails the CALL driver-side") {
+    val m = Multimodal.attachPayload(docs.where($"doc_id" === 1L), "doc_id", "text")
+    val stub = Multimodal.sampleFrames(m, 3)
+    try {
+      spark.conf.set(graft.llm.VideoFrameDecoder.confKey,
+        classOf[FakeFrameDecoder].getName)
+      val decoded = Multimodal.sampleFrames(m, 3)
+      assert(decoded.schema == stub.schema,
+        "both paths must produce the identical frame schema")
+      val rows = decoded.select("frame_idx", "frame_bytes")
+        .as[(Int, Array[Byte])].collect().sortBy(_._1)
+      assert(rows.map(_._1).sameElements(Array(0, 1, 2)))
+      // the fake decoder stamps [idx, payload.head] per frame — proof
+      // the registered class ran, not the slicer
+      val head = m.select("payload").as[Array[Byte]].head().head
+      assert(rows.forall { case (i, b) =>
+        b.sameElements(Array(i.toByte, head)) },
+        "frames must come from the registered decoder")
+      // bad class name: loud at the call, never mid-job
+      spark.conf.set(graft.llm.VideoFrameDecoder.confKey, "no.such.Decoder")
+      intercept[ClassNotFoundException](Multimodal.sampleFrames(m, 3))
+    } finally spark.conf.unset(graft.llm.VideoFrameDecoder.confKey)
+    // conf unset: the stub is back
+    assert(Multimodal.sampleFrames(m, 3).select("frame_bytes")
+      .as[Array[Byte]].collect().toSeq !=
+      Seq(0, 1, 2).map(i => Array(i.toByte)))
+    assert(Multimodal.sampleFrames(m, 3).count() == 3)
+  }
+
   test("fftAnyN == naive DFT at smooth, prime, and degenerate lengths") {
     def naive(x: Array[Double]): (Array[Double], Array[Double]) = {
       val n = x.length
@@ -140,4 +172,12 @@ class MultimodalSpec extends SparkSpec {
       assert(err < 1e-8 * math.max(1, n), s"n=$n max coefficient error $err")
     }
   }
+}
+
+/** Test decoder for the sampleFrames seam: frame i = [i, payload(0)] —
+  * distinguishable from any byte slice, deterministic per payload.
+  */
+class FakeFrameDecoder extends graft.llm.VideoFrameDecoder {
+  override def sampleFrames(payload: Array[Byte], n: Int): Array[Array[Byte]] =
+    Array.tabulate(n)(i => Array(i.toByte, payload.headOption.getOrElse(0.toByte)))
 }
