@@ -521,8 +521,19 @@ object Multimodal {
       .filter(_.nonEmpty) match {
       case Some(cls) =>
         VideoFrameDecoder.forName(cls) // fail fast on a bad registration
-        val decode = udf((payload: Array[Byte]) =>
-          VideoFrameDecoder.forName(cls).sampleFrames(payload, n))
+        val decode = udf((payload: Array[Byte]) => {
+          // a NULL payload column reaches the UDF as null — hand the
+          // decoder an empty payload instead of an executor NPE, and
+          // enforce the exactly-n contract so a misbehaving decoder
+          // fails loudly rather than silently dropping the row's id
+          // (posexplode of an empty array emits nothing)
+          val frames = VideoFrameDecoder.forName(cls).sampleFrames(
+            if (payload == null) Array.emptyByteArray else payload, n)
+          require(frames != null && frames.length == n,
+            s"video decoder $cls must return exactly $n frames, got " +
+              s"${if (frames == null) "null" else frames.length.toString}")
+          frames
+        })
         df.select(col("id"), posexplode(decode(col("payload")))
             .as(Seq("frame_idx", "frame_bytes")))
           .select(col("id"), col("frame_idx"), col("frame_bytes"),

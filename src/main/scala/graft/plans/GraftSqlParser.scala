@@ -72,8 +72,15 @@ object GraftSqlParser {
           "CALL <cat>.system.create_view — use the CALL form directly " +
           "for shapes this sugar does not cover)")))
 
-  /** Single-quoted SQL string literal content. */
-  private def quote(s: String): String = s.replace("'", "''")
+  /** Single-quoted SQL string literal content. Backslashes must double
+    * too: the embedded text is EXPRESSION SQL that may itself carry
+    * string literals (`'\\d+'` from `Literal.sql`), and the outer
+    * literal's unescaping consumes one backslash level — without the
+    * doubling, a regex pattern would silently lose its escapes in the
+    * persisted definition.
+    */
+  private def quote(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   /** The rewritten `CALL … create_view(…)` text, or None when the
     * statement is not a CREATE MATERIALIZED VIEW at all.
@@ -97,7 +104,22 @@ object GraftSqlParser {
           val parts = r.multipartIdentifier
           if (parts.length >= 2 && parts.head.equalsIgnoreCase(cat))
             parts.tail.mkString(".")
-          else parts.mkString(".")
+          else {
+            // a head naming a DIFFERENT registered catalog is a
+            // cross-catalog FROM — refuse loudly rather than silently
+            // reinterpreting it as a namespace path inside the view's
+            // catalog (where a same-named nested dir could even bind)
+            val foreignCat = parts.length >= 2 &&
+              (try {
+                org.apache.spark.sql.graft.ColumnBridge.catalogPlugin(
+                  org.apache.spark.sql.SparkSession.active, parts.head)
+                true
+              } catch { case _: Exception => false })
+            if (foreignCat)
+              fail(s"the FROM table must live in the view's catalog " +
+                s"'$cat'; got '${parts.mkString(".")}'")
+            parts.mkString(".")
+          }
         case _ => fail("FROM must name a single table (no joins, " +
           "subqueries, or WHERE — a view aggregates the whole store)")
       }
@@ -109,15 +131,28 @@ object GraftSqlParser {
         case _ => ()
       }
       val groupSqls = agg.groupingExpressions.map(_.sql)
+      // Spark resolves a bare GROUP BY attribute to the TABLE COLUMN
+      // first and to a SELECT alias only when no column matches; the
+      // store schema is FIXED, so that precedence is decidable at parse
+      // time — a grouping attribute naming a base column is the column
+      // (it must then appear in the SELECT list as itself), never a
+      // shadowing alias. Without this, `upper(code) AS code … GROUP BY
+      // code` would silently group by upper(code) where plain Spark
+      // groups by the column.
+      val baseCols = (graft.model.Candle.schema.fieldNames.toSeq :+ "year")
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      def aliasRef(name: String): Boolean =
+        !baseCols.contains(name.toLowerCase(java.util.Locale.ROOT))
       def groupAlias(e: NamedExpression): Option[String] = e match {
         // a SELECT entry is a GROUP entry when its expression text
         // matches a grouping expression, or a grouping expression is a
-        // bare attribute naming its alias (Spark's group-by-alias form)
+        // bare NON-COLUMN attribute naming its alias (Spark's
+        // group-by-alias form)
         case Alias(child, name)
             if groupSqls.contains(child.sql) ||
               agg.groupingExpressions.exists {
                 case u: UnresolvedAttribute =>
-                  u.nameParts.length == 1 &&
+                  u.nameParts.length == 1 && aliasRef(u.nameParts.head) &&
                     u.nameParts.head.equalsIgnoreCase(name)
                 case _ => false
               } => Some(name)

@@ -140,7 +140,7 @@ private[sources] final class GraftViewStreamSource(sqlContext: SQLContext,
               org.apache.spark.sql.functions.lit("upsert"))
       } catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("not retained") =>
+            if e.getMessage.contains(IncrementalView.NotRetainedMarker) =>
           // V1 restart semantics: the engine re-invokes getBatch for the
           // already-COMMITTED last batch purely to re-position the
           // source and discards the frame — if a refresh landed while

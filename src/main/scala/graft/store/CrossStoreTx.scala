@@ -313,6 +313,26 @@ object CrossStoreTx {
               ops: Seq[Op]): Seq[String] =
     executeInternal(spark, coordDir, name, ops, crashAfter = Int.MaxValue)
 
+  /** The recorded tokens of an already-TERMINAL name (rolling pending
+    * markers forward first), or None when the name has never committed
+    * — the cheap replay probe for surfaces that must honor the
+    * exactly-once contract WITHOUT materializing the tx's inputs: a
+    * re-CALL of `cross_store_write` with a committed name must return
+    * its tokens even after the (no-longer-needed) source views were
+    * dropped, so the SQL procedure consults this before resolving
+    * anything. A horizon-fenced name returns None here and is then
+    * refused loudly by [[execute]].
+    */
+  private[graft] def replayTokens(spark: SparkSession, coordDir: String,
+                                  name: String): Option[Seq[String]] = {
+    val fs = fsFor(spark, coordDir)
+    if (!fs.exists(new Path(coordDir))) return None
+    recover(spark, coordDir) // a pending marker for this name retires here
+    try findDone(fs, coordDir, name)
+      .map(readMarker(fs, _).map(_._1.txTokenOfLine))
+    catch { case _: java.io.FileNotFoundException => None }
+  }
+
   /** Test seam: run [[execute]] but simulate a hard crash after step
     * `crashAfter`: 1 = all ops prepared (marker unpublished) · 2 =
     * marker published, nothing finalized · 2+i = first i ops

@@ -270,7 +270,8 @@ final class IncrementalView(
     val kind = "_view_change_kind"
     def dirOf(tx: Long, rev: Long): Path =
       gens.find(g => g._1 == tx && g._2 == rev).map(_._3).getOrElse(
-        fail(s"generation (tx=$tx, rev=$rev) is not retained " +
+        fail(s"generation (tx=$tx, rev=$rev) is " +
+          s"${IncrementalView.NotRetainedMarker} " +
           "(one-hop GC keeps only the immediately superseded state) — " +
           "re-read the full view and restart the tail from generation()"))
     val next = spark.read.parquet(dirOf(untilTx, untilRev).toString)
@@ -298,7 +299,8 @@ final class IncrementalView(
   private[graft] def readGeneration(tx: Long, rev: Long): DataFrame =
     listGens().filter(_._4).find(g => g._1 == tx && g._2 == rev)
       .map(g => spark.read.parquet(g._3.toString))
-      .getOrElse(fail(s"generation (tx=$tx, rev=$rev) is not retained " +
+      .getOrElse(fail(s"generation (tx=$tx, rev=$rev) is " +
+        s"${IncrementalView.NotRetainedMarker} " +
         "(one-hop GC keeps only the immediately superseded state) — " +
         "re-read the full view and restart the tail from generation()"))
 
@@ -350,8 +352,28 @@ final class IncrementalView(
     * true if a lock was removed.
     */
   def breakStaleLock(): Boolean = {
+    val f = fs
+    sweepStampTmps(f)
     val lock = new Path(path, "_refresh.lock")
-    fs.exists(lock) && fs.delete(lock, false)
+    f.exists(lock) && f.delete(lock, false)
+  }
+
+  /** Reclaim `._refresh.lock*` stamp temp files a hard-killed lock
+    * acquisition left between its create and the atomic link/rename
+    * ([[VersionedCandleStore.tryCreate]]'s content variant) — nothing
+    * else ever deletes them (the lock delete targets only
+    * `_refresh.lock`, the census skips dot-files). Age-gated well past
+    * any real create→rename span so a LIVE acquisition's temp is never
+    * swept from under it.
+    */
+  private def sweepStampTmps(f: FileSystem): Unit = {
+    val root = new Path(path)
+    if (!f.exists(root)) return
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    f.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("._refresh.lock") &&
+        s.getModificationTime <= cutoff)
+      .foreach(s => f.delete(s.getPath, false))
   }
 
   /** Break the `_refresh.lock` ONLY if it is stamped by `owner` —
@@ -545,6 +567,7 @@ final class IncrementalView(
   def vacuumGenerations(): Int = {
     val f = fs
     f.mkdirs(new Path(path))
+    sweepStampTmps(f)
     val lock = new Path(path, "_refresh.lock")
     if (!VersionedCandleStore.tryCreate(f, lock))
       throw new IllegalStateException(s"a refresh holds $lock — vacuum " +
@@ -623,6 +646,14 @@ final class IncrementalView(
 object IncrementalView {
 
   private[graft] val DefFile = "_graft_view.json"
+
+  /** The retention-miss marker both GC-refusal messages carry and the
+    * `graft-view` stream's restart re-init keys on
+    * ([[graft.sources.GraftViewStreamSource]] defers exactly these to
+    * execution) — ONE constant, so the load-bearing coupling can never
+    * drift apart through a rewording.
+    */
+  private[graft] val NotRetainedMarker = "not retained"
 
   /** True iff `p` is a view directory (the definition file exists) —
     * the catalog's table-vs-view predicate.

@@ -72,6 +72,18 @@ class CrossStoreSqlSpec extends SparkSpec {
     assert(VersionedCandleStore(spark, s"$vBase/btc_v")
       .txLog().where($"kind" === "commit").count() == 1,
       "the vstore journal must hold ONE commit — the re-CALL ran nothing")
+    // the replay contract survives the SOURCES disappearing: a re-CALL
+    // of a committed name must return the recorded tokens WITHOUT
+    // resolving the (no-longer-needed) source views
+    spark.catalog.dropTempView("xsql_src_c")
+    spark.catalog.dropTempView("xsql_src_v")
+    val afterDrop = spark.sql(
+      s"""CALL xc.system.cross_store_write('sql-b0', '$coord',
+         |  'xc.btc', 'xsql_src_c', 'xv.btc_v', 'xsql_src_v')""".stripMargin)
+      .collect().head
+    assert(afterDrop.getString(1) == first.getString(1) &&
+      afterDrop.getLong(2) == first.getLong(2),
+      "recorded tokens even after the source views were dropped")
   }
 
   test("crash matrix through SQL: a marker-published crash reads on " +

@@ -272,11 +272,37 @@ class GraftViewSqlSpec extends SparkSpec {
     assert(rows(spark.sql(
       "SELECT code, tier, n FROM vv.markets.dot_tier")) ==
       Set("DOT|0|1", "DOT|1|1", "KSM|0|1"))
+    // a string literal carrying BACKSLASHES survives the rewrite's
+    // double embedding (outer CALL literal + persisted expression SQL):
+    // the tier here is regexp-derived, so a lost escape level would
+    // change every group
+    spark.sql(
+      """CREATE MATERIALIZED VIEW vv.markets.dot_rx AS
+        |SELECT code, regexp_extract(code, '^\\w', 0) AS initial,
+        |  count(1) AS n
+        |FROM vv.markets.dot GROUP BY code, initial""".stripMargin)
+    assert(rows(spark.sql(
+      "SELECT code, initial, n FROM vv.markets.dot_rx")) ==
+      Set("DOT|D|2", "KSM|K|1"),
+      "the regex escape must survive the rewrite's literal embedding")
     // refusal matrix: each names the constraint and points at CALL
     def refuses(sql: String, needle: String): Unit = {
       val e = intercept[AnalysisException](spark.sql(sql))
       assert(e.getMessage.contains(needle), s"want '$needle': ${e.getMessage}")
     }
+    // a SELECT alias SHADOWING a base column must not hijack GROUP BY:
+    // Spark resolves `GROUP BY code` to the COLUMN, so the grouping
+    // expression is absent from the SELECT list and the shape refuses
+    // (silently grouping by upper(code) would diverge from the same
+    // SELECT run directly)
+    refuses("CREATE MATERIALIZED VIEW vv.markets.x AS SELECT " +
+      "upper(code) AS code, count(1) AS n FROM vv.markets.dot GROUP BY code",
+      "must appear in the SELECT list")
+    // a FROM table in a DIFFERENT catalog refuses instead of being
+    // silently reinterpreted as a namespace path inside the view's
+    refuses("CREATE MATERIALIZED VIEW vv.markets.x AS SELECT code, " +
+      "count(1) AS n FROM spark_catalog.default.t GROUP BY code",
+      "must live in the view's catalog")
     refuses("CREATE MATERIALIZED VIEW unqualified AS SELECT code, " +
       "count(1) AS n FROM vv.markets.dot GROUP BY code",
       "catalog-qualified")
@@ -300,6 +326,7 @@ class GraftViewSqlSpec extends SparkSpec {
     spark.sql("DROP TABLE vv.markets.dot_daily")
     spark.sql("DROP TABLE vv.markets.dot_daily2")
     spark.sql("DROP TABLE vv.markets.dot_tier")
+    spark.sql("DROP TABLE vv.markets.dot_rx")
     spark.sql("DROP TABLE vv.markets.dot")
   }
 }

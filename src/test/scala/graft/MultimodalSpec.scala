@@ -138,6 +138,25 @@ class MultimodalSpec extends SparkSpec {
       assert(rows.forall { case (i, b) =>
         b.sameElements(Array(i.toByte, head)) },
         "frames must come from the registered decoder")
+      // a NULL payload reaches the decoder as an EMPTY payload (never
+      // an executor NPE), and the exactly-n contract still holds
+      val withNull = Seq((9L, null: Array[Byte])).toDF("id", "payload")
+      val nullFrames = Multimodal.sampleFrames(withNull, 2)
+        .select("frame_idx", "frame_bytes").as[(Int, Array[Byte])]
+        .collect().sortBy(_._1)
+      assert(nullFrames.map(_._1).sameElements(Array(0, 1)))
+      assert(nullFrames.forall { case (i, b) =>
+        b.sameElements(Array(i.toByte, 0.toByte)) },
+        "the decoder must see an empty payload for a NULL column")
+      // a decoder violating the exactly-n contract fails LOUDLY instead
+      // of silently dropping the row (posexplode of [] emits nothing)
+      spark.conf.set(graft.llm.VideoFrameDecoder.confKey,
+        classOf[ShortFrameDecoder].getName)
+      val e = intercept[Exception](Multimodal.sampleFrames(m, 3).count())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("exactly 3 frames")),
+        s"want the exactly-n refusal, got: ${e.getMessage}")
       // bad class name: loud at the call, never mid-job
       spark.conf.set(graft.llm.VideoFrameDecoder.confKey, "no.such.Decoder")
       intercept[ClassNotFoundException](Multimodal.sampleFrames(m, 3))
@@ -180,4 +199,10 @@ class MultimodalSpec extends SparkSpec {
 class FakeFrameDecoder extends graft.llm.VideoFrameDecoder {
   override def sampleFrames(payload: Array[Byte], n: Int): Array[Array[Byte]] =
     Array.tabulate(n)(i => Array(i.toByte, payload.headOption.getOrElse(0.toByte)))
+}
+
+/** Contract violator for the exactly-n gate: returns n-1 frames. */
+class ShortFrameDecoder extends graft.llm.VideoFrameDecoder {
+  override def sampleFrames(payload: Array[Byte], n: Int): Array[Array[Byte]] =
+    Array.tabulate(math.max(n - 1, 0))(i => Array(i.toByte))
 }
