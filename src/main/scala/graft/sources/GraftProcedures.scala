@@ -365,23 +365,23 @@ private[sources] object MaintenanceProcedure {
         input => {
           val name = str(input, 0)
           val coordDir = str(input, 1)
-          // replay probe FIRST: a committed name returns its recorded
-          // tokens without resolving tables or source frames — the
-          // exactly-once contract must survive the sources being
-          // dropped after the commit (a foreachBatch's temp view, a
-          // cleaned-up staging table)
-          val toks = graft.store.CrossStoreTx
-            .replayTokens(spark, coordDir, name).getOrElse {
+          // execute takes the ops BY NAME and materializes them only
+          // past its replay short-circuits: a re-CALL of a committed
+          // name returns its recorded tokens without resolving tables
+          // or source frames (the sources may be dropped temp views),
+          // and a horizon-fenced name refuses with the exactly-once
+          // message, never a misleading not-found from source lookup
+          val toks = graft.store.CrossStoreTx.execute(spark, coordDir, name,
+            ops = {
               val cDir = resolveAcross(str(input, 2), wantCandle = true)
               val vDir = resolveAcross(str(input, 4), wantCandle = false)
-              graft.store.CrossStoreTx.execute(spark, coordDir, name,
-                Seq(
-                  graft.store.CrossStoreTx.CandleUpsert(
-                    CandleStore(spark, cDir), sourceFrame(str(input, 3))),
-                  graft.store.CrossStoreTx.VersionedCommit(
-                    VersionedCandleStore(spark, vDir),
-                    sourceFrame(str(input, 5)))))
-            }
+              Seq(
+                graft.store.CrossStoreTx.CandleUpsert(
+                  CandleStore(spark, cDir), sourceFrame(str(input, 3))),
+                graft.store.CrossStoreTx.VersionedCommit(
+                  VersionedCandleStore(spark, vDir),
+                  sourceFrame(str(input, 5))))
+            })
           oneRow(utf8(name), utf8(toks.head), toks(1).toLong)
         }),
       new MaintenanceProcedure("cross_store_recover",

@@ -310,28 +310,8 @@ object CrossStoreTx {
     * `name` already committed (exactly-once per name).
     */
   def execute(spark: SparkSession, coordDir: String, name: String,
-              ops: Seq[Op]): Seq[String] =
+              ops: => Seq[Op]): Seq[String] =
     executeInternal(spark, coordDir, name, ops, crashAfter = Int.MaxValue)
-
-  /** The recorded tokens of an already-TERMINAL name (rolling pending
-    * markers forward first), or None when the name has never committed
-    * — the cheap replay probe for surfaces that must honor the
-    * exactly-once contract WITHOUT materializing the tx's inputs: a
-    * re-CALL of `cross_store_write` with a committed name must return
-    * its tokens even after the (no-longer-needed) source views were
-    * dropped, so the SQL procedure consults this before resolving
-    * anything. A horizon-fenced name returns None here and is then
-    * refused loudly by [[execute]].
-    */
-  private[graft] def replayTokens(spark: SparkSession, coordDir: String,
-                                  name: String): Option[Seq[String]] = {
-    val fs = fsFor(spark, coordDir)
-    if (!fs.exists(new Path(coordDir))) return None
-    recover(spark, coordDir) // a pending marker for this name retires here
-    try findDone(fs, coordDir, name)
-      .map(readMarker(fs, _).map(_._1.txTokenOfLine))
-    catch { case _: java.io.FileNotFoundException => None }
-  }
 
   /** Test seam: run [[execute]] but simulate a hard crash after step
     * `crashAfter`: 1 = all ops prepared (marker unpublished) · 2 =
@@ -340,21 +320,11 @@ object CrossStoreTx {
     * nothing later runs.
     */
   private[graft] def executeInternal(spark: SparkSession, coordDir: String,
-                                     name: String, ops: Seq[Op],
+                                     name: String, opsByName: => Seq[Op],
                                      crashAfter: Int): Seq[String] = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
       c == '-' || c == '_' || c == '.'),
       s"cross-store tx name must be [A-Za-z0-9._-]+: '$name'")
-    require(ops.nonEmpty, "cross-store tx with no ops")
-    // one op per store: a second op on the same store would merge
-    // against state that excludes the first (prepared data is invisible
-    // by design) — combine the batches into one op instead
-    val paths = ops.map {
-      case CandleUpsert(st, _, _) => st.path
-      case VersionedCommit(st, _, _, _) => st.path
-    }
-    require(paths.distinct.length == paths.length,
-      s"cross-store tx touches a store twice: ${paths.mkString(", ")}")
     AtomicFs.requireAtomicCommits(spark, coordDir, "cross-store coordinator")
     val fs = fsFor(spark, coordDir)
     fs.mkdirs(new Path(coordDir))
@@ -390,6 +360,22 @@ object CrossStoreTx {
           "(as is a NEW tx reusing a streaming prefix's numeric " +
           "namespace — use a distinct prefix for manual txs).")
     if (horizonFenced(fs, coordDir, name)) refuseBeyondHorizon()
+    // the ops materialize ONLY past the replay short-circuits above:
+    // `ops` arrives BY NAME so a committed name's re-CALL never needs
+    // its inputs resolvable (the SQL procedure's sources may be
+    // dropped temp views), and a horizon-fenced name refuses before
+    // source resolution could mask the refusal with a not-found error
+    val ops = opsByName
+    require(ops.nonEmpty, "cross-store tx with no ops")
+    // one op per store: a second op on the same store would merge
+    // against state that excludes the first (prepared data is invisible
+    // by design) — combine the batches into one op instead
+    val paths = ops.map {
+      case CandleUpsert(st, _, _) => st.path
+      case VersionedCommit(st, _, _, _) => st.path
+    }
+    require(paths.distinct.length == paths.length,
+      s"cross-store tx touches a store twice: ${paths.mkString(", ")}")
 
     // PREPARE — a failure here aborts every already-prepared op; the
     // tx never reached its commit point, so nothing is visible
