@@ -42,7 +42,7 @@ object Bench {
       "q9P_stream_hll_distinct", "q9W_neardup_reconcile",
       "q9X_drift_refresh", "q9Y_embed_dedup", "q9Z_pq_stream_index",
       "qA0_cross_store_tx", "qA1_vstore_merge_sql", "qA2_candle_merge_sql",
-      "qAJ_sql_cross_store", "qAK_view_stream")
+      "qAJ_sql_cross_store", "qAK_view_stream", "qAL_view_ddl_modes")
     // Opt-in SPARK_GRAFT_BENCH_GC=1: force a driver GC between queries
     // so the ContextCleaner reclaims earlier queries' dead checkpoint
     // blocks at a uniform point instead of whenever the heap fills.

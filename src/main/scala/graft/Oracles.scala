@@ -1338,6 +1338,21 @@ object Oracles {
            round(sum(volume), 4) AS vol, round(max(close), 4) AS max_close,
            CAST(3 AS BIGINT) AS watermark_tx
          FROM live GROUP BY 1, 2, 3""",
+    // qAL: the DDL create modes — after CREATE, OR REPLACE (new
+    // definition, refreshed to head tx 2), and a no-op IF NOT EXISTS,
+    // the view == the REPLACED definition recomputed over the upserted
+    // end state of both batches (B wins on shared keys).
+    "qAL_view_ddl_modes" ->
+      s"""WITH a AS (${hourlyCandles("WHERE event_id % 3 <> 0")}),
+         b AS (${hourlyCandles("WHERE event_id % 3 = 0")}),
+         u AS (SELECT *, 0 AS src FROM a UNION ALL SELECT *, 1 AS src FROM b),
+         r AS (SELECT *, row_number() OVER (PARTITION BY code, ts
+           ORDER BY src DESC) AS rn FROM u),
+         live AS (SELECT * FROM r WHERE rn = 1)
+         SELECT code, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+           round(sum(volume), 4) AS vol, round(max(close), 4) AS max_close,
+           CAST(2 AS BIGINT) AS watermark_tx
+         FROM live GROUP BY 1, 2""",
     // qAH: the pre-image feed through the reader, since tx 1 — change
     // rows are tx2's upserts (batch B) plus tx3's tombstones (zeroed
     // content, deleted=1, one per distinct hour%3=1 key), and every

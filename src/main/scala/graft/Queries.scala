@@ -1240,6 +1240,49 @@ object Queries {
     cat
   }
 
+  private val viewDdlCache = fixtureCache[String]()
+
+  /** Build (once per sfDir) the view-DDL create-MODES fixture (round
+    * 19, qAL): batch A commits; `CREATE MATERIALIZED VIEW` persists an
+    * initial count-only definition; batch B commits; `CREATE OR
+    * REPLACE MATERIALIZED VIEW` swaps in the graded definition (count +
+    * vol + max_close) — the old definition's generations are dropped
+    * with it and the replacement refreshes to the committed head; a
+    * trailing `CREATE MATERIALIZED VIEW IF NOT EXISTS` with a THIRD
+    * definition must be a no-op (the existing definition wins, CREATE
+    * TABLE IF NOT EXISTS semantics). End state must equal the full
+    * recompute of the REPLACED definition over both batches, watermark
+    * at tx 2.
+    */
+  private def viewDdlBase(s: SparkSession, d: String): String =
+    viewDdlCache.getOrElseUpdate(ek(d), {
+      val base = fixtureTmpDir("graft-qviewddl").toString
+      val ev = T.events(s, d)
+      val st = graft.store.VersionedCandleStore(s, s"$base/v")
+      st.commit(eventCandles(ev.where(col("event_id") % 3 =!= 0)))   // tx 1
+      val cat = viewDdlCat(s, d, base)
+      s.sql(s"""CREATE MATERIALIZED VIEW $cat.vd AS
+           SELECT code, to_date(ts) AS day, count(1) AS n
+           FROM $cat.v GROUP BY code, day""")
+      st.commit(eventCandles(ev.where(col("event_id") % 3 === 0)))   // tx 2
+      s.sql(s"""CREATE OR REPLACE MATERIALIZED VIEW $cat.vd AS
+           SELECT code, to_date(ts) AS day, count(1) AS n,
+             ${Portable.roundSql("sum(volume)", 4)} AS vol,
+             ${Portable.roundSql("max(close)", 4)} AS max_close
+           FROM $cat.v GROUP BY code, day""")
+      s.sql(s"""CREATE MATERIALIZED VIEW IF NOT EXISTS $cat.vd AS
+           SELECT code, count(1) AS n FROM $cat.v GROUP BY code""")
+      base
+    })
+
+  private def viewDdlCat(s: SparkSession, d: String, base: String): String = {
+    // prefix UNIQUE per fixture ("gvr") — see condDeleteStore's note
+    val cat = "gvr" + (ek(d).hashCode & 0x7fffffff)
+    setEpochConf(s, s"spark.sql.catalog.$cat", classOf[graft.sources.VStoreCatalog].getName)
+    setEpochConf(s, s"spark.sql.catalog.$cat.base", base)
+    cat
+  }
+
   private val viewStreamCache = fixtureCache[String]()
 
   /** Build (once per sfDir) the VIEW-FEED-AS-A-STREAM result (round 19,
@@ -1947,6 +1990,21 @@ object Queries {
         .head().getLong(0)
       s.sql(s"""SELECT code, date_format(day, 'yyyy-MM-dd') AS day, tier,
            n, vol, max_close FROM $cat.v_tier""")
+        .withColumn("watermark_tx", lit(wm))
+    }),
+    // VIEW DDL CREATE MODES (round 19): CREATE MATERIALIZED VIEW, then
+    // OR REPLACE swapping the definition mid-history (the old
+    // definition's generations dropped, the replacement refreshed to
+    // head), then IF NOT EXISTS as a no-op — the read must equal the
+    // REPLACED definition's full recompute over both batches, with the
+    // watermark at tx 2 proving the replace refreshed and the no-op
+    // didn't reset anything.
+    "qAL_view_ddl_modes" -> ((s, d) => {
+      val cat = viewDdlCat(s, d, viewDdlBase(s, d))
+      val wm = s.sql(s"CALL $cat.system.view_watermark('vd')")
+        .head().getLong(0)
+      s.sql(s"""SELECT code, date_format(day, 'yyyy-MM-dd') AS day, n,
+           vol, max_close FROM $cat.vd""")
         .withColumn("watermark_tx", lit(wm))
     }),
     // PRE-IMAGE FEED VIA THE READER (round 18): the change feed WITH

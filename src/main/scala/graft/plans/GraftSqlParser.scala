@@ -36,7 +36,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
 final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.rewriteCreateMaterializedView(sqlText, delegate) match {
+    GraftSqlParser.rewriteCreateMaterializedView(sqlText, delegate)
+      .orElse(GraftSqlParser.rewriteDropMaterializedView(sqlText, delegate)) match {
       case Some(call) => delegate.parsePlan(call)
       case None => delegate.parsePlan(sqlText)
     }
@@ -62,14 +63,20 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
 
   private val Ddl =
-    "(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(.+?)\\s+AS\\s+(SELECT\\b.*)$".r
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?MATERIALIZED\\s+VIEW\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?(.+?)\\s+AS\\s+(SELECT\\b.*)$").r
 
-  private def fail(msg: String): Nothing =
+  private val DropDdl =
+    "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?(.+?)\\s*;?\\s*$".r
+
+  private def fail(msg: String): Nothing = failAs("CREATE", "create_view", msg)
+
+  private def failAs(verb: String, proc: String, msg: String): Nothing =
     throw new AnalysisException(
       errorClass = "_LEGACY_ERROR_TEMP_0035",
       messageParameters = Map("message" ->
-        (s"CREATE MATERIALIZED VIEW: $msg (the statement rewrites to " +
-          "CALL <cat>.system.create_view — use the CALL form directly " +
+        (s"$verb MATERIALIZED VIEW: $msg (the statement rewrites to " +
+          s"CALL <cat>.system.$proc — use the CALL form directly " +
           "for shapes this sugar does not cover)")))
 
   /** Single-quoted SQL string literal content. Backslashes must double
@@ -87,7 +94,14 @@ object GraftSqlParser {
     */
   private[graft] def rewriteCreateMaterializedView(
       sql: String, delegate: ParserInterface): Option[String] = sql match {
-    case Ddl(namePart, selectPart) =>
+    case Ddl(orReplace, ifNotExists, namePart, selectPart) =>
+      if (orReplace != null && ifNotExists != null)
+        fail("OR REPLACE and IF NOT EXISTS cannot be combined " +
+          "(Spark refuses the combination on plain CREATE TABLE too)")
+      val mode =
+        if (orReplace != null) "or_replace"
+        else if (ifNotExists != null) "if_not_exists"
+        else "error"
       val nameParts = delegate.parseMultipartIdentifier(namePart.trim)
       if (nameParts.length < 2)
         fail(s"the view name must be catalog-qualified " +
@@ -177,7 +191,27 @@ object GraftSqlParser {
       }
       Some(s"CALL $cat.system.create_view('${quote(viewRel)}', " +
         s"'${quote(tableRel)}', '${quote(groups.mkString(", "))}', " +
-        s"'${quote(aggs.mkString(", "))}')")
+        s"'${quote(aggs.mkString(", "))}', '$mode')")
+    case _ => None
+  }
+
+  /** `DROP MATERIALIZED VIEW [IF EXISTS] <cat>.<ns…>.<name>` →
+    * `CALL <cat>.system.drop_view('<ns…>.<name>', <if_exists>)`. The
+    * procedure (not plain DROP TABLE) carries the statement's semantic
+    * weight: the operator typed 'view', so a store table at the name
+    * refuses instead of being silently dropped.
+    */
+  private[graft] def rewriteDropMaterializedView(
+      sql: String, delegate: ParserInterface): Option[String] = sql match {
+    case DropDdl(ifExists, namePart) =>
+      val nameParts = delegate.parseMultipartIdentifier(namePart.trim)
+      if (nameParts.length < 2)
+        failAs("DROP", "drop_view", "the view name must be " +
+          s"catalog-qualified ('<cat>.<ns…>.<name>'); got '${namePart.trim}'")
+      val cat = nameParts.head
+      val viewRel = nameParts.tail.mkString(".")
+      Some(s"CALL $cat.system.drop_view('${quote(viewRel)}', " +
+        s"${ifExists != null})")
     case _ => None
   }
 }

@@ -200,21 +200,77 @@ private[sources] object MaintenanceProcedure {
           "versioned store (group_by: 'col, expr AS name, ...'; " +
           "aggregates: 'agg_expr AS name, ...') and run its first " +
           "refresh; read it back as a catalog table, remove with " +
-          "DROP TABLE",
+          "DROP TABLE or drop_view. mode: 'error' (default) refuses an " +
+          "existing name, 'if_not_exists' leaves an existing VIEW " +
+          "untouched, 'or_replace' drops it (generations included - " +
+          "they belong to the old definition) and re-creates",
         Seq(in("view", StringType), in("table", StringType),
-          in("group_by", StringType), in("aggregates", StringType)),
+          in("group_by", StringType), in("aggregates", StringType),
+          inDefault("mode", StringType, "'error'")),
         StructType(Seq(
           StructField("location", StringType, nullable = false),
           StructField("watermark_tx", LongType, nullable = false))),
         input => {
-          val viewDir = cat.newViewDir(str(input, 0))
+          val mode = str(input, 4).toLowerCase(java.util.Locale.ROOT)
+          if (!Set("error", "if_not_exists", "or_replace").contains(mode))
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "_LEGACY_ERROR_TEMP_0035",
+              messageParameters = Map("message" ->
+                (s"create_view: unknown mode '$mode' — one of " +
+                  "'error', 'if_not_exists', 'or_replace'")))
+          val (viewDir, existsAsView) =
+            cat.viewDirFor(str(input, 0), allowExistingView = mode != "error")
+          if (existsAsView && mode == "if_not_exists") {
+            // leave the existing view exactly as it is — like SQL's
+            // CREATE TABLE IF NOT EXISTS, the existing definition wins
+            // even when it differs from the requested one
+            val v = graft.store.IncrementalView.open(spark, viewDir)
+            oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(viewDir),
+              v.watermark())
+          } else {
+            val storeDir = cat.resolveVStoreArg(str(input, 1))
+            val store = VersionedCandleStore(spark, storeDir)
+            val groups =
+              graft.store.IncrementalView.parseGroupList(spark, str(input, 2))
+            val aggs =
+              graft.store.IncrementalView.parseAggList(spark, str(input, 3))
+            val view =
+              if (existsAsView)
+                graft.store.IncrementalView.replace(spark, viewDir, store,
+                  groups, aggs)
+              else
+                graft.store.IncrementalView.create(spark, viewDir, store,
+                  groups, aggs)
+            oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(viewDir),
+              view.refresh())
+          }
+        }),
+      new MaintenanceProcedure("drop_view",
+        "Remove an incremental view (definition + generations). " +
+          "Refuses a store table (use DROP TABLE) and, unless " +
+          "if_exists, a missing name - the view twin of DROP " +
+          "MATERIALIZED VIEW [IF EXISTS]",
+        Seq(in("view", StringType),
+          inDefault("if_exists", BooleanType, "false")),
+        StructType(Seq(StructField("dropped", BooleanType, nullable = false))),
+        input => oneRow(
+          cat.dropViewDir(str(input, 0), input.getBoolean(1))),
+      ),
+      new MaintenanceProcedure("repoint_view",
+        "Re-point a view whose source store was MOVED/renamed to the " +
+          "store's new location, keeping generations and watermark " +
+          "(re-create would lose them); refuses a non-store target, a " +
+          "definition that does not analyze against it, or a journal " +
+          "that cannot serve the view's watermark",
+        Seq(in("view", StringType), in("table", StringType)),
+        StructType(Seq(
+          StructField("store", StringType, nullable = false),
+          StructField("watermark_tx", LongType, nullable = false))),
+        input => {
+          val viewDir = cat.resolveViewArg(str(input, 0))
           val storeDir = cat.resolveVStoreArg(str(input, 1))
-          val view = graft.store.IncrementalView.create(spark, viewDir,
-            VersionedCandleStore(spark, storeDir),
-            graft.store.IncrementalView.parseGroupList(spark, str(input, 2)),
-            graft.store.IncrementalView.parseAggList(spark, str(input, 3)))
-          oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(viewDir),
-            view.refresh())
+          val w = graft.store.IncrementalView.repoint(spark, viewDir, storeDir)
+          oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(storeDir), w)
         }),
       new MaintenanceProcedure("refresh_view",
         "Bring the view up to the store's committed head (incremental: " +

@@ -102,16 +102,49 @@ final class VStoreCatalog extends DirTableCatalog {
     * either (stamping a definition into one would hijack it — the same
     * guard the store catalogs apply to DROP).
     */
-  private[sources] def newViewDir(view: String): String = {
+  private[sources] def newViewDir(view: String): String =
+    viewDirFor(view, allowExistingView = false)._1
+
+  /** Directory for a view about to be created under a create MODE:
+    * with `allowExistingView = false` (mode 'error') the name must be
+    * completely free — the original guard; with `true` (modes
+    * 'if_not_exists' / 'or_replace') an existing incremental VIEW at
+    * the name is accepted and reported, but a store table or a foreign
+    * directory still refuses — no create mode may clobber a store.
+    */
+  private[sources] def viewDirFor(view: String,
+                                  allowExistingView: Boolean): (String, Boolean) = {
     val parts = view.split('.').toSeq.filter(_.nonEmpty)
     if (parts.isEmpty) fail("create_view: empty view name")
     val dir = dirOf(parts.init, parts.last)
     val p = new Path(dir)
-    if (fs(p).exists(p))
+    if (!fs(p).exists(p)) (dir, false)
+    else if (allowExistingView && isViewPath(dir)) (dir, true)
+    else
       fail(s"create_view: '$view' already exists at $dir " +
         "(a table, view, or foreign directory) — DROP it or pick " +
         "another name")
-    dir
+  }
+
+  /** Remove a view by name. Refuses loudly when the target exists but
+    * is NOT an incremental view (a store table must go through DROP
+    * TABLE — the statement the operator typed says 'view'); a missing
+    * target refuses unless `ifExists`. Returns whether anything was
+    * removed.
+    */
+  private[sources] def dropViewDir(view: String, ifExists: Boolean): Boolean = {
+    val parts = view.split('.').toSeq.filter(_.nonEmpty)
+    if (parts.isEmpty) fail("drop_view: empty view name")
+    val dir = dirOf(parts.init, parts.last)
+    val p = new Path(dir)
+    val f = fs(p)
+    if (!f.exists(p)) {
+      if (ifExists) false
+      else fail(s"drop_view: '$view' does not exist")
+    } else if (!isViewPath(dir))
+      fail(s"drop_view: '$view' is not an incremental view — " +
+        "use DROP TABLE for stores; foreign directories are left alone")
+    else f.delete(p, true)
   }
 
   /** `CALL <cat>.system.{compact,vacuum,checkpoint_journal,history,

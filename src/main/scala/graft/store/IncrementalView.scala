@@ -655,11 +655,14 @@ object IncrementalView {
     */
   private[graft] val NotRetainedMarker = "not retained"
 
-  /** True iff `p` is a view directory (the definition file exists) —
-    * the catalog's table-vs-view predicate.
+  /** True iff `p` is a view directory — the catalog's table-vs-view
+    * predicate. A complete `_graft_view.json.new` counts too: a
+    * [[repoint]] crashed between its delete and its rename must leave
+    * the view resolvable (readable through [[readDefNode]]'s fallback,
+    * finishable by a repoint re-CALL), not demoted to a foreign dir.
     */
   private[graft] def isViewDir(f: FileSystem, p: Path): Boolean =
-    f.exists(new Path(p, DefFile))
+    f.exists(new Path(p, DefFile)) || f.exists(new Path(p, DefFile + ".new"))
 
   /** Validate + persist a definition, then return the (unrefreshed)
     * view. Fails loudly on: empty/duplicate output names, group
@@ -672,10 +675,119 @@ object IncrementalView {
                             store: VersionedCandleStore,
                             groups: Seq[(String, String)],
                             aggs: Seq[String]): IncrementalView = {
-    def fail(msg: String): Nothing =
-      throw new AnalysisException(
-        errorClass = "_LEGACY_ERROR_TEMP_0035",
-        messageParameters = Map("message" -> s"create view $viewDir: $msg"))
+    def fail(msg: String): Nothing = defFail(s"create view $viewDir", msg)
+    val view = validated(spark, viewDir, store, groups, aggs,
+      s"create view $viewDir")
+    val p = new Path(viewDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (isViewDir(f, p)) // a crashed-repoint `.new` counts as a def too
+      fail("a view definition already exists here — DROP it first " +
+        "(overwriting would silently re-point a live view)")
+    persistDef(f, p, store.path, groups, aggs)
+    view
+  }
+
+  /** CREATE OR REPLACE: validate the NEW definition FIRST (nothing of
+    * the old view is touched when the replacement would refuse), then
+    * drop the old view wholesale — definition AND generations, which
+    * were computed under the old definition and would be silently wrong
+    * under the new one — and persist + first-refresh the replacement.
+    * Crash window: between the delete and the re-create there is NO
+    * view at `viewDir` (loud at `open`, never torn); a re-issued
+    * REPLACE completes it. `viewDir` must be free or hold a VIEW — a
+    * store/foreign dir refuses rather than getting clobbered.
+    */
+  private[graft] def replace(spark: SparkSession, viewDir: String,
+                             store: VersionedCandleStore,
+                             groups: Seq[(String, String)],
+                             aggs: Seq[String]): IncrementalView = {
+    validated(spark, viewDir, store, groups, aggs,
+      s"replace view $viewDir")
+    val p = new Path(viewDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) {
+      if (!isViewDir(f, p))
+        defFail(s"replace view $viewDir", "the existing directory is " +
+          "not an incremental view — OR REPLACE only replaces views")
+      f.delete(p, true)
+      ()
+    }
+    create(spark, viewDir, store, groups, aggs)
+  }
+
+  /** Re-point a view whose SOURCE STORE was moved/renamed to the
+    * store's new location, KEEPING the adopted generations and
+    * watermark (the alternative — re-create — loses the maintained
+    * state). Guards, each loud: the target must be a graft-vstore, the
+    * persisted definition must analyze against it, and the view's
+    * watermark must still be servable from the target's journal
+    * (`squash floor <= watermark <= head`) — a store with a different
+    * history refuses instead of silently feeding the next refresh a
+    * wrong change window.
+    *
+    * Persistence is crash-safe: the new definition is written COMPLETE
+    * to `_graft_view.json.new`, the old definition deleted, the new one
+    * renamed into place. A crash between delete and rename leaves the
+    * full `.new` alone — the view still resolves and reads through
+    * [[readDefNode]]'s fallback (against the already-validated NEW
+    * definition), and a repoint re-CALL finishes the rename; no state
+    * is ever torn or silently lost.
+    *
+    * Returns the (unchanged) watermark the re-pointed view reflects.
+    */
+  private[graft] def repoint(spark: SparkSession, viewDir: String,
+                             newStoreDir: String): Long = {
+    def fail(msg: String): Nothing = defFail(s"repoint view $viewDir", msg)
+    val p = new Path(viewDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = readDefNode(f, p).getOrElse(
+      fail(s"not a graft view (no $DefFile)"))
+    val sp = new Path(newStoreDir)
+    val sf = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!sf.exists(sp) || !VersionedCandleStore.looksLikeStore(sf, sp))
+      fail(s"$newStoreDir is not a graft-vstore")
+    val groups = defGroups(root)
+    val aggs = defAggs(root)
+    val store = VersionedCandleStore(spark, newStoreDir)
+    val view = validated(spark, viewDir, store, groups, aggs,
+      s"repoint view $viewDir")
+    val w = view.watermark()
+    if (w > 0) {
+      val head = store.latestTxId
+      val floor = store.squashFloorTxId
+      if (head < w || floor > w)
+        fail(s"the view's watermark $w is not servable from " +
+          s"$newStoreDir's journal (head $head, squash floor $floor) — " +
+          "repoint targets the SAME store at a new location; for a " +
+          "different store, re-create the view")
+    }
+    val tmp = new Path(p, DefFile + ".new")
+    if (f.exists(tmp)) { f.delete(tmp, false); () }
+    val out = f.create(tmp, false)
+    try out.write(defBytes(newStoreDir, groups, aggs))
+    finally out.close()
+    val defPath = new Path(p, DefFile)
+    if (f.exists(defPath)) { f.delete(defPath, false); () }
+    if (!f.rename(tmp, defPath))
+      fail(s"rename $tmp -> $defPath failed")
+    w
+  }
+
+  private def defFail(what: String, msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_0035",
+      messageParameters = Map("message" -> s"$what: $msg"))
+
+  /** Name rules + eager analysis against `store` — everything `create`
+    * gates EXCEPT persistence; returns the constructed (unpersisted)
+    * view. Shared by create / replace / repoint so a definition can
+    * never land through one door the others would refuse.
+    */
+  private def validated(spark: SparkSession, viewDir: String,
+                        store: VersionedCandleStore,
+                        groups: Seq[(String, String)],
+                        aggs: Seq[String], what: String): IncrementalView = {
+    def fail(msg: String): Nothing = defFail(what, msg)
     if (groups.isEmpty) fail("at least one group expression (GROUP BY " +
       "nothing would be a single-row summary — use a plain query)")
     if (aggs.isEmpty) fail("at least one aggregate expression")
@@ -693,47 +805,49 @@ object IncrementalView {
     names.find(_.equalsIgnoreCase("_view_change_kind")).foreach(n =>
       fail(s"output name '$n' is reserved for the view change feed's " +
         "discriminator column — pick another alias"))
-    val p = new Path(viewDir)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(new Path(p, DefFile)))
-      fail("a view definition already exists here — DROP it first " +
-        "(overwriting would silently re-point a live view)")
     val view = new IncrementalView(spark, viewDir, store,
       groups.map { case (n, e) => n -> expr(e) }, aggs.map(expr))
     view.definitionSchema // force analysis: the definition validity gate
+    view
+  }
+
+  private def defBytes(storeDir: String, groups: Seq[(String, String)],
+                       aggs: Seq[String]): Array[Byte] = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
-    root.put("store", store.path)
+    root.put("store", storeDir)
     val g = root.putArray("groups")
     groups.foreach { case (n, e) =>
       val pair = g.addArray(); pair.add(n); pair.add(e); ()
     }
     val ag = root.putArray("aggs")
     aggs.foreach(ag.add)
+    m.writeValueAsString(root).getBytes("UTF-8")
+  }
+
+  private def persistDef(f: FileSystem, p: Path, storeDir: String,
+                         groups: Seq[(String, String)],
+                         aggs: Seq[String]): Unit = {
     f.mkdirs(p)
     val out = f.create(new Path(p, DefFile), false) // no silent overwrite
-    try out.write(m.writeValueAsString(root).getBytes("UTF-8"))
+    try out.write(defBytes(storeDir, groups, aggs))
     finally out.close()
-    view
   }
 
   /** Reconstruct a persisted view. Fails loudly on a missing/torn
-    * definition or a missing source store.
+    * definition or a missing source store. Reads through
+    * [[readDefNode]], so a view whose repoint crashed between delete
+    * and rename (complete `.new`, no main file) still opens — against
+    * the validated new definition.
     */
   private[graft] def open(spark: SparkSession, viewDir: String): IncrementalView = {
     val p = new Path(viewDir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val defPath = new Path(p, DefFile)
-    if (!f.exists(defPath))
+    val root = readDefNode(f, p).getOrElse(
       throw new AnalysisException(
         errorClass = "_LEGACY_ERROR_TEMP_0035",
         messageParameters = Map("message" ->
-          s"$viewDir is not a graft view (no $DefFile)"))
-    val in = f.open(defPath)
-    val raw = try new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-    finally in.close()
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+          s"$viewDir is not a graft view (no $DefFile)")))
     val storeDir = root.get("store").asText()
     val sp = new Path(storeDir)
     val sf = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -743,20 +857,49 @@ object IncrementalView {
         messageParameters = Map("message" ->
           (s"view $viewDir: source store $storeDir is missing or not a " +
             "graft-vstore (moved/renamed stores orphan their views — " +
-            "re-create the view against the new location)")))
-    val groups = {
-      val g = root.get("groups")
-      (0 until g.size()).map { i =>
-        val pair = g.get(i)
-        pair.get(0).asText() -> expr(pair.get(1).asText())
-      }
-    }
-    val aggs = {
-      val a = root.get("aggs")
-      (0 until a.size()).map(i => expr(a.get(i).asText()))
-    }
+            "CALL repoint_view to re-point a MOVED store, or re-create " +
+            "the view)")))
     new IncrementalView(spark, viewDir, VersionedCandleStore(spark, storeDir),
-      groups, aggs)
+      defGroups(root).map { case (n, e) => n -> expr(e) },
+      defAggs(root).map(expr))
+  }
+
+  private def parseDef(f: FileSystem,
+                       defPath: Path): com.fasterxml.jackson.databind.JsonNode = {
+    val in = f.open(defPath)
+    val raw = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+  }
+
+  /** The view's persisted definition, or None when absent. Falls back
+    * to a complete `_graft_view.json.new` left by a repoint crashed
+    * between its delete and its rename — [[repoint]]'s recovery door
+    * (the `.new` is always written WHOLE before the old file is
+    * touched, so a parseable fallback is never torn).
+    */
+  private def readDefNode(f: FileSystem,
+                          p: Path): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val main = new Path(p, DefFile)
+    val recovery = new Path(p, DefFile + ".new")
+    if (f.exists(main)) Some(parseDef(f, main))
+    else if (f.exists(recovery)) Some(parseDef(f, recovery))
+    else None
+  }
+
+  private def defGroups(
+      root: com.fasterxml.jackson.databind.JsonNode): Seq[(String, String)] = {
+    val g = root.get("groups")
+    (0 until g.size()).map { i =>
+      val pair = g.get(i)
+      pair.get(0).asText() -> pair.get(1).asText()
+    }
+  }
+
+  private def defAggs(root: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val a = root.get("aggs")
+    (0 until a.size()).map(i => a.get(i).asText())
   }
 
   /** Parse a comma-separated GROUP BY list (`"code, to_date(ts) AS

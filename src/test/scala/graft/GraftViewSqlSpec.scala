@@ -329,4 +329,156 @@ class GraftViewSqlSpec extends SparkSpec {
     spark.sql("DROP TABLE vv.markets.dot_rx")
     spark.sql("DROP TABLE vv.markets.dot")
   }
+
+  test("CREATE MATERIALIZED VIEW modes: IF NOT EXISTS leaves an existing " +
+      "view untouched, OR REPLACE swaps definition + generations; DROP " +
+      "MATERIALIZED VIEW drops views only; refusal matrix") {
+    base
+    val st = VersionedCandleStore(spark, s"$base/markets/xrp")
+    st.commit(Seq(c("XRP", "2022-01-01 10:00:00", 1),
+      c("XRP", "2022-01-02 11:00:00", 60),
+      c("LTC", "2021-06-01 00:00:00", 5)).toDF())             // tx 1
+    spark.sql(
+      """CREATE MATERIALIZED VIEW vv.markets.xrp_v AS
+        |SELECT code, count(1) AS n FROM vv.markets.xrp
+        |GROUP BY code""".stripMargin)
+    def defJson(): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        s"$base/markets/xrp_v", "_graft_view.json")), "UTF-8")
+    val origDef = defJson()
+    assert(rows(spark.sql("SELECT code, n FROM vv.markets.xrp_v")) ==
+      Set("XRP|2", "LTC|1"))
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[AnalysisException](spark.sql(sql))
+      assert(e.getMessage.contains(needle), s"want '$needle': ${e.getMessage}")
+    }
+    // plain CREATE still refuses an existing name
+    refuses("CREATE MATERIALIZED VIEW vv.markets.xrp_v AS SELECT code, " +
+      "count(1) AS n FROM vv.markets.xrp GROUP BY code", "already exists")
+    // IF NOT EXISTS with a DIFFERENT definition: the existing one wins
+    // (CREATE TABLE IF NOT EXISTS semantics), untouched on disk
+    spark.sql(
+      """CREATE MATERIALIZED VIEW IF NOT EXISTS vv.markets.xrp_v AS
+        |SELECT code, sum(volume) AS vol FROM vv.markets.xrp
+        |GROUP BY code""".stripMargin)
+    assert(defJson() == origDef, "IF NOT EXISTS must not touch the definition")
+    assert(rows(spark.sql("SELECT code, n FROM vv.markets.xrp_v")) ==
+      Set("XRP|2", "LTC|1"), "view content untouched")
+    // OR REPLACE: new definition, recomputed content, old generations
+    // gone (they were computed under the old definition)
+    st.commit(Seq(c("XRP", "2022-01-03 09:00:00", 7)).toDF()) // tx 2
+    spark.sql(
+      """CREATE OR REPLACE MATERIALIZED VIEW vv.markets.xrp_v AS
+        |SELECT code, sum(volume) AS vol FROM vv.markets.xrp
+        |GROUP BY code""".stripMargin)
+    assert(defJson() != origDef, "OR REPLACE must swap the definition")
+    assert(rows(spark.sql("SELECT code, vol FROM vv.markets.xrp_v")) ==
+      Set("XRP|30.0", "LTC|10.0"), "replacement reflects the full store")
+    assert(spark.sql("CALL vv.system.view_watermark('markets.xrp_v')")
+      .collect().head.getLong(0) == 2L, "replacement re-refreshed to head")
+    // the two modifiers cannot combine (Spark's own CREATE TABLE rule)
+    refuses("CREATE OR REPLACE MATERIALIZED VIEW IF NOT EXISTS " +
+      "vv.markets.xrp_v AS SELECT code, count(1) AS n FROM vv.markets.xrp " +
+      "GROUP BY code", "cannot be combined")
+    // neither relaxed mode may clobber a STORE at the name
+    refuses("CREATE OR REPLACE MATERIALIZED VIEW vv.markets.xrp AS " +
+      "SELECT code, count(1) AS n FROM vv.markets.xrp GROUP BY code",
+      "already exists")
+    refuses("CREATE MATERIALIZED VIEW IF NOT EXISTS vv.markets.xrp AS " +
+      "SELECT code, count(1) AS n FROM vv.markets.xrp GROUP BY code",
+      "already exists")
+    assert(st.scan().count() == 4, "the store survives every refusal")
+    // an unknown mode through the CALL form refuses
+    refuses("CALL vv.system.create_view('markets.x2', 'markets.xrp', " +
+      "'code', 'count(1) AS n', 'nope')", "unknown mode")
+    // DROP MATERIALIZED VIEW on a STORE refuses — the operator typed
+    // 'view'; a store must go through DROP TABLE
+    refuses("DROP MATERIALIZED VIEW vv.markets.xrp",
+      "not an incremental view")
+    assert(st.scan().count() == 4)
+    // unqualified name refuses with the drop_view pointer
+    refuses("DROP MATERIALIZED VIEW unqualified", "catalog-qualified")
+    // the happy path drops, the store survives
+    assert(spark.sql("DROP MATERIALIZED VIEW vv.markets.xrp_v")
+      .collect().head.getBoolean(0))
+    assert(spark.sql("SHOW TABLES IN vv.markets")
+      .select("tableName").as[String].collect().toSet.contains("xrp"))
+    assert(!new java.io.File(s"$base/markets/xrp_v").exists())
+    // missing: IF EXISTS is quiet (false), plain refuses
+    assert(!spark.sql("DROP MATERIALIZED VIEW IF EXISTS vv.markets.xrp_v")
+      .collect().head.getBoolean(0))
+    refuses("DROP MATERIALIZED VIEW vv.markets.xrp_v", "does not exist")
+    spark.sql("DROP TABLE vv.markets.xrp")
+  }
+
+  test("repoint_view: a MOVED source store re-points keeping generations " +
+      "and watermark; wrong-history and non-store targets refuse; the " +
+      "crash window between delete and rename self-heals") {
+    base
+    val st = VersionedCandleStore(spark, s"$base/markets/avax")
+    st.commit(Seq(c("AVAX", "2022-01-01 10:00:00", 1),
+      c("AVAX", "2022-01-02 11:00:00", 60)).toDF())           // tx 1
+    spark.sql("CALL vv.system.create_view('markets.avax_v', 'markets.avax', " +
+      "'code', 'count(1) AS n')")
+    st.commit(Seq(c("ATOM", "2023-03-01 00:00:00", 7)).toDF()) // tx 2
+    assert(spark.sql("CALL vv.system.refresh_view('markets.avax_v')")
+      .collect().head.getLong(0) == 2L)
+    // move the store out from under the view — the out-of-band
+    // directory move limitation 3 names (RENAME TABLE is the in-band
+    // spelling of the same thing)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$base/markets/avax"),
+      java.nio.file.Paths.get(s"$base/markets/avax2"))
+    val orphaned = intercept[AnalysisException](
+      spark.sql("SELECT * FROM vv.markets.avax_v").collect())
+    assert(orphaned.getMessage.contains("repoint_view"),
+      s"the orphan refusal must point at the remedy: ${orphaned.getMessage}")
+    // repoint keeps the adopted generations and the watermark
+    val r = spark.sql(
+      "CALL vv.system.repoint_view('markets.avax_v', 'markets.avax2')")
+      .collect().head
+    assert(r.getString(0) == s"$base/markets/avax2")
+    assert(r.getLong(1) == 2L, "watermark preserved")
+    assert(rows(spark.sql("SELECT code, n FROM vv.markets.avax_v")) ==
+      Set("AVAX|2", "ATOM|1"), "reads resume without a rebuild")
+    // incremental maintenance continues against the new location
+    val st2 = VersionedCandleStore(spark, s"$base/markets/avax2")
+    st2.commit(Seq(c("AVAX", "2022-01-03 09:00:00", 3)).toDF()) // tx 3
+    assert(spark.sql("CALL vv.system.refresh_view('markets.avax_v')")
+      .collect().head.getLong(0) == 3L)
+    assert(rows(spark.sql("SELECT code, n FROM vv.markets.avax_v")) ==
+      Set("AVAX|3", "ATOM|1"))
+    def refuse(call: String, needle: String): Unit = {
+      val e = intercept[AnalysisException](spark.sql(call).collect())
+      assert(e.getMessage.contains(needle), s"want '$needle': ${e.getMessage}")
+    }
+    // a store whose journal cannot serve the watermark refuses — repoint
+    // targets the SAME store at a new path, not a different history
+    val fresh = VersionedCandleStore(spark, s"$base/markets/avax_fresh")
+    fresh.commit(Seq(c("X", "2022-01-01 10:00:00", 1)).toDF()) // head 1 < 3
+    refuse("CALL vv.system.repoint_view('markets.avax_v', 'markets.avax_fresh')",
+      "not servable")
+    // a view target for the TABLE arg refuses through the catalog guard
+    refuse("CALL vv.system.repoint_view('markets.avax_v', 'markets.avax_v')",
+      "VIEW, not a store")
+    assert(rows(spark.sql("SELECT code, n FROM vv.markets.avax_v")) ==
+      Set("AVAX|3", "ATOM|1"), "every refusal leaves the view intact")
+    // crash window: definition deleted, complete .new left behind — the
+    // view still resolves + reads, and a repoint re-CALL finishes it
+    val dir = java.nio.file.Paths.get(s"$base/markets/avax_v")
+    java.nio.file.Files.copy(dir.resolve("_graft_view.json"),
+      dir.resolve("_graft_view.json.new"))
+    java.nio.file.Files.delete(dir.resolve("_graft_view.json"))
+    assert(rows(spark.sql("SELECT code, n FROM vv.markets.avax_v")) ==
+      Set("AVAX|3", "ATOM|1"), "the .new fallback serves reads")
+    assert(spark.sql(
+      "CALL vv.system.repoint_view('markets.avax_v', 'markets.avax2')")
+      .collect().head.getLong(1) == 3L)
+    assert(java.nio.file.Files.exists(dir.resolve("_graft_view.json")) &&
+      !java.nio.file.Files.exists(dir.resolve("_graft_view.json.new")),
+      "the re-CALL completes the move")
+    spark.sql("DROP TABLE vv.markets.avax_v")
+    spark.sql("DROP TABLE vv.markets.avax2")
+    spark.sql("DROP TABLE vv.markets.avax_fresh")
+  }
 }
