@@ -223,10 +223,12 @@ private[sources] object MaintenanceProcedure {
           if (existsAsView && mode == "if_not_exists") {
             // leave the existing view exactly as it is — like SQL's
             // CREATE TABLE IF NOT EXISTS, the existing definition wins
-            // even when it differs from the requested one
-            val v = graft.store.IncrementalView.open(spark, viewDir)
+            // even when it differs from the requested one; the
+            // watermark is read WITHOUT opening the source store, so
+            // the idempotent form stays idempotent on an ORPHANED view
+            // (store mid-move) too
             oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(viewDir),
-              v.watermark())
+              graft.store.IncrementalView.adoptedWatermark(spark, viewDir))
           } else {
             val storeDir = cat.resolveVStoreArg(str(input, 1))
             val store = VersionedCandleStore(spark, storeDir)

@@ -102,15 +102,17 @@ final class VStoreCatalog extends DirTableCatalog {
     * either (stamping a definition into one would hijack it — the same
     * guard the store catalogs apply to DROP).
     */
-  private[sources] def newViewDir(view: String): String =
-    viewDirFor(view, allowExistingView = false)._1
-
   /** Directory for a view about to be created under a create MODE:
     * with `allowExistingView = false` (mode 'error') the name must be
-    * completely free — the original guard; with `true` (modes
-    * 'if_not_exists' / 'or_replace') an existing incremental VIEW at
-    * the name is accepted and reported, but a store table or a foreign
-    * directory still refuses — no create mode may clobber a store.
+    * free — the original guard; with `true` (modes 'if_not_exists' /
+    * 'or_replace') an existing incremental VIEW at the name is
+    * accepted and reported, but a store table or a non-empty foreign
+    * directory still refuses — no create mode may clobber a store. An
+    * EMPTY existing directory counts as free in every mode: it carries
+    * nothing clobberable (mkdirs would have created it anyway), and it
+    * is exactly what a replace crashed after its deletes leaves — the
+    * allowance keeps that state re-issuable instead of stuck behind
+    * the refusal.
     */
   private[sources] def viewDirFor(view: String,
                                   allowExistingView: Boolean): (String, Boolean) = {
@@ -120,6 +122,7 @@ final class VStoreCatalog extends DirTableCatalog {
     val p = new Path(dir)
     if (!fs(p).exists(p)) (dir, false)
     else if (allowExistingView && isViewPath(dir)) (dir, true)
+    else if (fs(p).listStatus(p).isEmpty) (dir, false)
     else
       fail(s"create_view: '$view' already exists at $dir " +
         "(a table, view, or foreign directory) — DROP it or pick " +

@@ -660,6 +660,11 @@ object IncrementalView {
     * [[repoint]] crashed between its delete and its rename must leave
     * the view resolvable (readable through [[readDefNode]]'s fallback,
     * finishable by a repoint re-CALL), not demoted to a foreign dir.
+    * Cost note: the second `exists` fires only when the first misses —
+    * store dirs short-circuit before this predicate (`isTableDir`'s
+    * `looksLikeStore ||`) and view dirs on the first check, so only
+    * foreign/missing dirs (refusal paths, mixed listings) pay the
+    * extra round-trip.
     */
   private[graft] def isViewDir(f: FileSystem, p: Path): Boolean =
     f.exists(new Path(p, DefFile)) || f.exists(new Path(p, DefFile + ".new"))
@@ -691,17 +696,22 @@ object IncrementalView {
     * the old view is touched when the replacement would refuse), then
     * drop the old view wholesale — definition AND generations, which
     * were computed under the old definition and would be silently wrong
-    * under the new one — and persist + first-refresh the replacement.
-    * Crash window: between the delete and the re-create there is NO
-    * view at `viewDir` (loud at `open`, never torn); a re-issued
-    * REPLACE completes it. `viewDir` must be free or hold a VIEW — a
+    * under the new one — and persist the replacement (the caller runs
+    * the first refresh). `viewDir` must be free or hold a VIEW — a
     * store/foreign dir refuses rather than getting clobbered.
+    *
+    * Every crash point is RE-ISSUABLE: generations are deleted before
+    * the definition files (while any definition survives the dir still
+    * resolves as a view, so a re-issued REPLACE re-enters this path),
+    * and once the definitions are gone the dir is empty — which the
+    * catalog's create guard treats as free. No intermediate state is
+    * stuck behind a refusal.
     */
   private[graft] def replace(spark: SparkSession, viewDir: String,
                              store: VersionedCandleStore,
                              groups: Seq[(String, String)],
                              aggs: Seq[String]): IncrementalView = {
-    validated(spark, viewDir, store, groups, aggs,
+    val view = validated(spark, viewDir, store, groups, aggs,
       s"replace view $viewDir")
     val p = new Path(viewDir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -709,10 +719,17 @@ object IncrementalView {
       if (!isViewDir(f, p))
         defFail(s"replace view $viewDir", "the existing directory is " +
           "not an incremental view — OR REPLACE only replaces views")
-      f.delete(p, true)
-      ()
+      // definition files LAST — see the re-issuability note above
+      val defNames = Set(DefFile, DefFile + ".tmp", DefFile + ".new")
+      f.listStatus(p).filterNot(st => defNames(st.getPath.getName))
+        .foreach(st => f.delete(st.getPath, true))
+      Seq(DefFile + ".tmp", DefFile + ".new", DefFile).foreach { n =>
+        val dp = new Path(p, n)
+        if (f.exists(dp)) { f.delete(dp, false); () }
+      }
     }
-    create(spark, viewDir, store, groups, aggs)
+    persistDef(f, p, store.path, groups, aggs)
+    view
   }
 
   /** Re-point a view whose SOURCE STORE was moved/renamed to the
@@ -721,17 +738,26 @@ object IncrementalView {
     * state). Guards, each loud: the target must be a graft-vstore, the
     * persisted definition must analyze against it, and the view's
     * watermark must still be servable from the target's journal
-    * (`squash floor <= watermark <= head`) — a store with a different
-    * history refuses instead of silently feeding the next refresh a
-    * wrong change window.
+    * (`squash floor <= watermark <= head`) — a journal that cannot
+    * serve the next change window refuses instead of silently feeding
+    * the next refresh garbage. The guard is TX-COUNTER consistency,
+    * not store identity: a DIFFERENT store whose journal happens to
+    * cover the watermark passes it, exactly like re-pointing any
+    * path-addressed metastore entry — pointing at the same data is the
+    * caller's contract.
     *
-    * Persistence is crash-safe: the new definition is written COMPLETE
-    * to `_graft_view.json.new`, the old definition deleted, the new one
-    * renamed into place. A crash between delete and rename leaves the
-    * full `.new` alone — the view still resolves and reads through
-    * [[readDefNode]]'s fallback (against the already-validated NEW
-    * definition), and a repoint re-CALL finishes the rename; no state
-    * is ever torn or silently lost.
+    * Definition replacement keeps the INVARIANT "at least one COMPLETE
+    * definition exists at `_graft_view.json` or `.new`" through every
+    * crash point. The content is first written whole to a third name
+    * (`.tmp` — never read by anyone; a stale/torn one is swept and
+    * rewritten), then: in the recovery state (no main file, `.new` is
+    * the sole copy — a prior repoint crashed) tmp renames DIRECTLY to
+    * main and the stale `.new` is swept, so the sole surviving copy is
+    * never deleted first; in the normal state any stale `.new` is
+    * swept (main still covers), tmp renames to `.new` (complete), main
+    * is deleted (`.new` covers via [[readDefNode]]'s fallback), `.new`
+    * renames to main. Reads work and a re-CALL completes the move from
+    * every intermediate state.
     *
     * Returns the (unchanged) watermark the re-pointed view reflects.
     */
@@ -761,15 +787,25 @@ object IncrementalView {
           "repoint targets the SAME store at a new location; for a " +
           "different store, re-create the view")
     }
-    val tmp = new Path(p, DefFile + ".new")
+    val defPath = new Path(p, DefFile)
+    val recovery = new Path(p, DefFile + ".new")
+    val tmp = new Path(p, DefFile + ".tmp")
     if (f.exists(tmp)) { f.delete(tmp, false); () }
     val out = f.create(tmp, false)
     try out.write(defBytes(newStoreDir, groups, aggs))
     finally out.close()
-    val defPath = new Path(p, DefFile)
-    if (f.exists(defPath)) { f.delete(defPath, false); () }
-    if (!f.rename(tmp, defPath))
-      fail(s"rename $tmp -> $defPath failed")
+    if (!f.exists(defPath)) {
+      // recovery state: `.new` is the SOLE copy — never delete it
+      // before main exists again
+      if (!f.rename(tmp, defPath)) fail(s"rename $tmp -> $defPath failed")
+      if (f.exists(recovery)) { f.delete(recovery, false); () }
+    } else {
+      if (f.exists(recovery)) { f.delete(recovery, false); () }
+      if (!f.rename(tmp, recovery)) fail(s"rename $tmp -> $recovery failed")
+      f.delete(defPath, false)
+      if (!f.rename(recovery, defPath))
+        fail(s"rename $recovery -> $defPath failed")
+    }
     w
   }
 
@@ -862,6 +898,26 @@ object IncrementalView {
     new IncrementalView(spark, viewDir, VersionedCandleStore(spark, storeDir),
       defGroups(root).map { case (n, e) => n -> expr(e) },
       defAggs(root).map(expr))
+  }
+
+  /** The adopted watermark of a persisted view WITHOUT touching its
+    * source store (construction is fs-lazy; `watermark()` reads only
+    * the generation listing): `create_view`'s IF NOT EXISTS mode
+    * reports an existing — possibly ORPHANED — view untouched, and
+    * failing on a store it is not going to read would make the
+    * idempotent form non-idempotent exactly while the operator is
+    * mid-move.
+    */
+  private[graft] def adoptedWatermark(spark: SparkSession,
+                                      viewDir: String): Long = {
+    val p = new Path(viewDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = readDefNode(f, p).getOrElse(defFail(s"view $viewDir",
+      s"not a graft view (no $DefFile)"))
+    new IncrementalView(spark, viewDir,
+      VersionedCandleStore(spark, root.get("store").asText()),
+      defGroups(root).map { case (n, e) => n -> expr(e) },
+      defAggs(root).map(expr)).watermark()
   }
 
   private def parseDef(f: FileSystem,

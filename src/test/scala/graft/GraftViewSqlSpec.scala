@@ -110,7 +110,11 @@ class GraftViewSqlSpec extends SparkSpec {
       "already exists")
     val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+    // a NON-EMPTY foreign dir refuses (an empty one counts as free —
+    // CREATE TABLE's own convention, and a crashed replace's leftover)
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/markets/foreign"))
+    f.create(new org.apache.hadoop.fs.Path(
+      s"$base/markets/foreign/data.bin"), false).close()
     refuse("'markets.foreign', 'markets.eth', 'code', 'count(1) AS n'",
       "already exists")
     // unknown group column / non-aggregate aggregate / missing alias /
@@ -408,6 +412,16 @@ class GraftViewSqlSpec extends SparkSpec {
     assert(!spark.sql("DROP MATERIALIZED VIEW IF EXISTS vv.markets.xrp_v")
       .collect().head.getBoolean(0))
     refuses("DROP MATERIALIZED VIEW vv.markets.xrp_v", "does not exist")
+    // an EMPTY leftover dir (what a replace crashed after its deletes
+    // leaves) counts as free — the re-issued CREATE completes instead
+    // of refusing 'already exists'
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/markets/empty_v"))
+    spark.sql("CREATE MATERIALIZED VIEW vv.markets.empty_v AS SELECT code, " +
+      "count(1) AS n FROM vv.markets.xrp GROUP BY code")
+    assert(rows(spark.sql("SELECT code, n FROM vv.markets.empty_v")) ==
+      Set("XRP|3", "LTC|1"), "create over an empty dir completes")
+    spark.sql("DROP MATERIALIZED VIEW vv.markets.empty_v")
     spark.sql("DROP TABLE vv.markets.xrp")
   }
 
@@ -433,6 +447,15 @@ class GraftViewSqlSpec extends SparkSpec {
       spark.sql("SELECT * FROM vv.markets.avax_v").collect())
     assert(orphaned.getMessage.contains("repoint_view"),
       s"the orphan refusal must point at the remedy: ${orphaned.getMessage}")
+    // IF NOT EXISTS on the ORPHANED view stays a no-op (an idempotent
+    // deployment script must not start failing mid-move): the watermark
+    // reports without opening the missing store
+    val ine = spark.sql(
+      """CREATE MATERIALIZED VIEW IF NOT EXISTS vv.markets.avax_v AS
+        |SELECT code, count(1) AS n FROM vv.markets.avax2
+        |GROUP BY code""".stripMargin).collect().head
+    assert(ine.getLong(1) == 2L,
+      "orphan watermark reported, view untouched")
     // repoint keeps the adopted generations and the watermark
     val r = spark.sql(
       "CALL vv.system.repoint_view('markets.avax_v', 'markets.avax2')")
