@@ -469,9 +469,24 @@ object Similarity {
                       nCells: Int, iters: Int = 5,
                       sampleMod: Int = 1): Array[(Long, Array[Double])] = {
     import corpus.sparkSession.implicits._
+    // The training set is re-scanned once per Lloyd iteration; persist
+    // it for the loop (and unpersist after) so iterations 2..k read
+    // deserialized rows instead of re-running the scan + vector decode
+    // each pass (guide §5: reuse-justified caching, released when done).
+    // At 100 TB the training input is the id-sampled subset — caching
+    // the SAMPLE across iterations is the standard k-means shape.
     val base = (if (sampleMod <= 1) corpus
                 else corpus.where(col(idCol) % sampleMod === 0))
       .select(col(vecCol)).as[Array[Float]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try kmeansLoop(base, corpus, idCol, vecCol, nCells, iters)
+    finally { base.unpersist(false); () }
+  }
+
+  private def kmeansLoop(base: org.apache.spark.sql.Dataset[Array[Float]],
+                         corpus: DataFrame, idCol: String, vecCol: String,
+                         nCells: Int, iters: Int): Array[(Long, Array[Double])] = {
+    import corpus.sparkSession.implicits._
     var cents: Array[Array[Double]] =
       sampleCentroids(corpus, idCol, vecCol, nCells).map(_._2)
     val k = cents.length
@@ -704,7 +719,19 @@ object Similarity {
                            m: Int, ks: Int, iters: Int,
                            prep: Array[Float] => Array[Double]): Array[Array[Array[Double]]] = {
     import corpus.sparkSession.implicits._
+    // Same reuse shape as [[kmeansCentroids]]: `iters` passes over the
+    // training vectors — persist for the loop, release after.
     val base = corpus.select(col(vecCol)).as[Array[Float]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainPqBooksLoop(base, corpus, idCol, vecCol, m, ks, iters, prep)
+    finally { base.unpersist(false); () }
+  }
+
+  private def trainPqBooksLoop(base: org.apache.spark.sql.Dataset[Array[Float]],
+                               corpus: DataFrame, idCol: String, vecCol: String,
+                               m: Int, ks: Int, iters: Int,
+                               prep: Array[Float] => Array[Double]): Array[Array[Array[Double]]] = {
+    import corpus.sparkSession.implicits._
     // books(s)(c)(j): init from the first ks corpus vectors by id
     // (prep-transformed); deterministic like sampleCentroids.
     val init = corpus.orderBy(col(idCol).asc).limit(ks).select(col(vecCol))

@@ -87,8 +87,19 @@ final class CandleStore(spark: SparkSession, val path: String) {
 
   /** [[scan]] minus the recovery probe — for internal callers that
     * already ran [[recover]] in the same operation.
+    *
+    * The table schema is PINNED (data columns as written + the four
+    * partition columns in directory order — byte-identical to what
+    * inference returned on every store this engine writes): a bare
+    * `read.parquet` launches a footer-inference job per scan (guide
+    * §7.3), multiplied across every store-backed query and fixture.
+    * A store with no data dirs falls back to the bare read so the
+    * "unable to infer schema" failure of scanning a never-committed
+    * store stays exactly as loud as before.
     */
-  private[graft] def scanNoRecover(): DataFrame = spark.read.parquet(path)
+  private[graft] def scanNoRecover(): DataFrame =
+    if (exists) spark.read.schema(CandleStore.pinnedScanSchema).parquet(path)
+    else spark.read.parquet(path)
 
   /** Point lookup of one series-year "page" — pure partition pruning
     * (reference: `Storage.checkAndLoad`, `storage.go:78-96`).
@@ -875,6 +886,26 @@ object CandleStore {
   def apply(spark: SparkSession, path: String): CandleStore =
     new CandleStore(spark, path)
 
+  /** The scan schema inference always returned for this layout: data
+    * columns as written (ts..bit_fields), then the partition columns in
+    * [[graft.model.Candle.partitionCols]] directory order. Pinned so
+    * [[CandleStore.scanNoRecover]] skips per-scan footer inference.
+    */
+  private[store] val pinnedScanSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val partTypes = Map[String, DataType]("market" -> StringType,
+      "candle_length" -> IntegerType, "code" -> StringType,
+      "year" -> IntegerType)
+    // nullable = true throughout, matching what inference returns —
+    // callers comparing scan().schema must see the identical shape
+    StructType(
+      graft.model.Candle.schema.fields.toSeq
+        .filterNot(f => graft.model.Candle.partitionCols.contains(f.name))
+        .map(_.copy(nullable = true)) ++
+        graft.model.Candle.partitionCols.map(n =>
+          StructField(n, partTypes(n))))
+  }
+
   /** [[CandleStore.detail]]'s row — what
     * `CALL <cat>.system.describe_detail` returns.
     */
@@ -913,16 +944,40 @@ object CandleStore {
   /** See the doc on the class-side alias: store writes are pinned to
     * TIMESTAMP_MICROS on the session executing the write (the batch
     * frame's own session — a per-batch clone under foreachBatch).
+    *
+    * REENTRANT + THREAD-SAFE per session: two store writes on the same
+    * session may now overlap (a cross-store tx prepares its two stores
+    * concurrently), and the naive set/restore interleaving could
+    * restore the OTHER writer's "previous" value — observed as a
+    * session-wide leak of TIMESTAMP_MICROS that silently turned every
+    * later plain parquet write tz-annotated. The outermost enter per
+    * session records the prior value and sets MICROS; only the
+    * matching outermost exit restores it.
     */
+  private val microsScopes =
+    scala.collection.mutable.Map[SparkSession, (Int, Option[String])]()
   private[store] def withMicrosTimestamps[T](df: DataFrame)(f: => T): T = {
-    val conf = df.sparkSession.conf
+    val session = df.sparkSession
+    val conf = session.conf
     val key = "spark.sql.parquet.outputTimestampType"
-    val prev = conf.getOption(key)
-    conf.set(key, "TIMESTAMP_MICROS")
+    microsScopes.synchronized {
+      val (depth, prev) = microsScopes.getOrElse(session, (0, None))
+      if (depth == 0) {
+        val p = conf.getOption(key)
+        conf.set(key, "TIMESTAMP_MICROS")
+        microsScopes(session) = (1, p)
+      } else microsScopes(session) = (depth + 1, prev)
+    }
     try f
-    finally prev match {
-      case Some(v) => conf.set(key, v)
-      case None => conf.unset(key)
+    finally microsScopes.synchronized {
+      val (depth, prev) = microsScopes(session)
+      if (depth == 1) {
+        microsScopes.remove(session)
+        prev match {
+          case Some(v) => conf.set(key, v)
+          case None => conf.unset(key)
+        }
+      } else microsScopes(session) = (depth - 1, prev)
     }
   }
 }

@@ -378,25 +378,52 @@ object CrossStoreTx {
       s"cross-store tx touches a store twice: ${paths.mkString(", ")}")
 
     // PREPARE — a failure here aborts every already-prepared op; the
-    // tx never reached its commit point, so nothing is visible
+    // tx never reached its commit point, so nothing is visible.
+    // The per-store prepares touch DISTINCT stores (enforced above), so
+    // they are independent job chains — run them concurrently (guide
+    // §2.6) and join in op order, so the marker's line order (and every
+    // downstream iteration over `prepared`) is exactly the serial
+    // one's. On any failure, every prepare that still completed is
+    // aborted before the first failure rethrows.
+    def prepareOne(op: Op): Prepared = op match {
+      case CandleUpsert(st, b, ord) =>
+        acquireStoreLock(st, name)
+        st.recordCrossCoord(coordDir)
+        PreparedCandle(st, st.prepareUpsert(b, ord), name)
+      case VersionedCommit(st, b, ord, at) =>
+        // no lock needed: concurrent versioned commits are tx-gated
+        // safe by the store's own design
+        st.recordCrossCoord(coordDir)
+        val (tx, written) = st.prepareDataCommit(b, ord)
+        PreparedVersioned(st, tx, written, at)
+    }
     val prepared = scala.collection.mutable.ArrayBuffer[Prepared]()
-    try
-      ops.foreach {
-        case CandleUpsert(st, b, ord) =>
-          acquireStoreLock(st, name)
-          st.recordCrossCoord(coordDir)
-          prepared += PreparedCandle(st, st.prepareUpsert(b, ord), name)
-        case VersionedCommit(st, b, ord, at) =>
-          // no lock needed: concurrent versioned commits are tx-gated
-          // safe by the store's own design
-          st.recordCrossCoord(coordDir)
-          val (tx, written) = st.prepareDataCommit(b, ord)
-          prepared += PreparedVersioned(st, tx, written, at)
+    if (ops.sizeIs == 1)
+      try prepared += prepareOne(ops.head)
+      catch {
+        case t: Throwable =>
+          abortAllQuietly(prepared.toSeq).foreach(t.addSuppressed)
+          throw t
       }
-    catch {
-      case t: Throwable =>
-        abortAllQuietly(prepared.toSeq).foreach(t.addSuppressed)
-        throw t
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(ops.size)
+      try {
+        val futs = ops.map(op =>
+          pool.submit(new java.util.concurrent.Callable[Prepared] {
+            def call(): Prepared = prepareOne(op)
+          }))
+        val results = futs.map(fu =>
+          try Right(fu.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException => Left(e.getCause)
+            case t: Throwable => Left(t)
+          })
+        results.collect { case Right(p) => p }.foreach(prepared += _)
+        results.collectFirst { case Left(t) => t }.foreach { t =>
+          abortAllQuietly(prepared.toSeq).foreach(t.addSuppressed)
+          throw t
+        }
+      } finally pool.shutdown()
     }
     if (crashAfter <= 1) throw new SimulatedCrash("prepared, marker unpublished")
 

@@ -177,9 +177,26 @@ final class IncrementalView(
   private def adoptedGen(): Option[(Long, Path)] =
     adoptedGenFull().map(g => (g._1, g._3))
 
+  /** A view's generation schema is constant for the instance lifetime
+    * (the definition is immutable per view dir; replace = drop +
+    * re-create = a new dir and instance), so the first generation read
+    * infers it once and every later read passes it explicitly — a bare
+    * `read.parquet` pays a footer-inference job per call (guide §7.3),
+    * and the refresh/feed/read paths each touch generations several
+    * times per operation.
+    */
+  @volatile private var genSchemaCache: Option[StructType] = None
+  private def readGenDir(dir: Path): DataFrame = genSchemaCache match {
+    case Some(sc) => spark.read.schema(sc).parquet(dir.toString)
+    case None =>
+      val df = spark.read.parquet(dir.toString)
+      genSchemaCache = Some(df.schema)
+      df
+  }
+
   /** The view's current contents. Refuses before the first refresh. */
   def read(): DataFrame = adoptedGen() match {
-    case Some((_, dir)) => spark.read.parquet(dir.toString)
+    case Some((_, dir)) => readGenDir(dir)
     case None => fail("no refreshed generation yet — call refresh() first" +
       " (SQL: CALL <catalog>.system.refresh_view)")
   }
@@ -193,7 +210,7 @@ final class IncrementalView(
     * Spark's own analysis errors (creation runs this eagerly).
     */
   private[graft] def tableSchema: StructType = adoptedGen() match {
-    case Some((_, dir)) => spark.read.parquet(dir.toString).schema
+    case Some((_, dir)) => readGenDir(dir).schema
     case None => definitionSchema
   }
 
@@ -274,11 +291,11 @@ final class IncrementalView(
           s"${IncrementalView.NotRetainedMarker} " +
           "(one-hop GC keeps only the immediately superseded state) — " +
           "re-read the full view and restart the tail from generation()"))
-    val next = spark.read.parquet(dirOf(untilTx, untilRev).toString)
+    val next = readGenDir(dirOf(untilTx, untilRev))
     if ((untilTx, untilRev) == ((sinceTx, sinceRev)))
       return next.where(org.apache.spark.sql.functions.lit(false))
         .withColumn(kind, org.apache.spark.sql.functions.lit(""))
-    val old = spark.read.parquet(dirOf(sinceTx, sinceRev).toString)
+    val old = readGenDir(dirOf(sinceTx, sinceRev))
     // NULL-SAFE delete detection (nullSafeGroupCond — the refresh's
     // joins share the same definition); except() on the upsert side is
     // set-semantics null-safe already
@@ -298,7 +315,7 @@ final class IncrementalView(
     */
   private[graft] def readGeneration(tx: Long, rev: Long): DataFrame =
     listGens().filter(_._4).find(g => g._1 == tx && g._2 == rev)
-      .map(g => spark.read.parquet(g._3.toString))
+      .map(g => readGenDir(g._3))
       .getOrElse(fail(s"generation (tx=$tx, rev=$rev) is " +
         s"${IncrementalView.NotRetainedMarker} " +
         "(one-hop GC keeps only the immediately superseded state) — " +
@@ -482,7 +499,7 @@ final class IncrementalView(
             // the write lands in a FRESH generation dir (a same-watermark
             // repair bumps the repair rev) and GC retains the dir this
             // plan reads — no pinning needed
-            val old = spark.read.parquet(dir.toString)
+            val old = readGenDir(dir)
             writeGen(newHead, old
               .join(t, nullSafeGroupCond(old, "t"), "left_anti")
               .unionByName(recomputed), floor, recents)

@@ -330,16 +330,23 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
     */
   private[graft] def writeJournalRow(tx: Long, nRows: Long, at: Timestamp,
                                      kind: String, batchId: Option[Long]): Unit = {
-    import spark.implicits._
+    // ONE metadata row — written with a driver-side ParquetWriter
+    // instead of a full Spark job (stage + task + FileOutputCommitter
+    // rename chain for 5 scalar values). The guide's driver rule cuts
+    // both ways: the driver should do no DATA work, and the cluster
+    // should do no METADATA work — a journal row is the latter. The
+    // file is byte-compatible with the old job's output for every
+    // reader ([[journalRows]] reads it under the same pinned schema;
+    // INT64 TIMESTAMP(MICROS, UTC) is exactly Spark 4's own parquet
+    // timestamp encoding). Same publish protocol as before: private
+    // stage file, atomic move into `txlog/`.
     val stage = s"$stagePath/txlog-$kind-$tx"
-    Seq((tx, nRows, at, kind, batchId))
-      .toDF("tx_id", "n_rows", "committed_at", "kind", "batch_id")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
     val f = fs
+    f.mkdirs(hp(stage))
+    val part = new Path(s"$stage/part-0.parquet")
+    VersionedCandleStore.writeJournalRowFile(
+      f.getConf, part, tx, nRows, Option(at), kind, batchId)
     f.mkdirs(hp(txLogPath))
-    val part = f.listStatus(hp(stage)).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no journal part file in $stage"))
     val dst = new Path(txLogPath, f"tx-$tx%020d-$kind.parquet")
     // a false move means neither side holds the row — an unjournaled
     // "successful" commit would be invisible forever and vacuum()ed
@@ -824,8 +831,14 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
         .parquet(stage)
     }
     // row count from the staged footers (metadata read), not a second
-    // execution of the dedup aggregation
-    val written = spark.read.parquet(stage).count()
+    // execution of the dedup aggregation. Schema pinned to ONE always-
+    // present column: count() reads no column data either way (row
+    // counts come from row-group metadata), and the explicit schema
+    // skips the per-commit footer-inference job a bare read.parquet
+    // would launch (guide §7.3).
+    val written = spark.read
+      .schema(StructType(Seq(StructField("market", StringType))))
+      .parquet(stage).count()
     val f = fs
     tryCreate(f, hp(s"$path/$FormatMarker")) // stamp layout version (idempotent)
     val gen = ensureGen()
@@ -2099,6 +2112,53 @@ final class VersionedCandleStore(spark: SparkSession, val path: String,
 object VersionedCandleStore {
   def apply(spark: SparkSession, path: String): VersionedCandleStore =
     new VersionedCandleStore(spark, path)
+
+  /** Parquet message type of a single-row journal file — the same
+    * logical types Spark's own writer produced for these columns
+    * (INT64 tx_id/n_rows/batch_id, UTF8 kind, INT64 TIMESTAMP micros
+    * UTC committed_at), so [[journalRows]]' pinned-schema read and any
+    * external parquet reader see identical data either way.
+    */
+  private lazy val journalRowType: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    Types.buildMessage()
+      .required(INT64).named("tx_id")
+      .required(INT64).named("n_rows")
+      .optional(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true,
+        LogicalTypeAnnotation.TimeUnit.MICROS))
+      .named("committed_at")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("kind")
+      .optional(INT64).named("batch_id")
+      .named("spark_schema")
+  }
+
+  /** Write one journal row as a parquet file, driver-side (no Spark
+    * job) — see [[VersionedCandleStore.writeJournalRow]].
+    */
+  private[store] def writeJournalRowFile(conf: org.apache.hadoop.conf.Configuration,
+                                         file: Path, tx: Long, nRows: Long,
+                                         at: Option[Timestamp], kind: String,
+                                         batchId: Option[Long]): Unit = {
+    val fac = new org.apache.parquet.example.data.simple.SimpleGroupFactory(journalRowType)
+    val g = fac.newGroup()
+    g.add("tx_id", tx)
+    g.add("n_rows", nRows)
+    at.foreach { t =>
+      val micros = t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+      g.add("committed_at", micros)
+    }
+    g.add("kind", kind)
+    batchId.foreach(b => g.add("batch_id", b))
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withType(journalRowType)
+      .withConf(conf)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try w.write(g) finally w.close()
+  }
 
   /** The commit journal's row shape ([[VersionedCandleStore.txLog]]);
     * shared with the SQL `CALL <catalog>.system.history(...)` surface.

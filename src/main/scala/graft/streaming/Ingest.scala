@@ -27,6 +27,35 @@ import graft.store.CandleStore
   */
 object Ingest {
 
+  /** Run independent Spark actions (state writes of one micro-batch)
+    * CONCURRENTLY from driver threads (guide §2.6 "overlap independent
+    * jobs"): the per-batch state dumps write different directories from
+    * already-materialized (localCheckpoint'ed) inputs, so their jobs
+    * are independent — running them serially left the cluster idle for
+    * every job's scheduling/commit latency in turn. Exceptions
+    * propagate (first failure rethrown after all settle — a batch must
+    * not half-publish silently on one sink's failure while another's
+    * exception unwinds past the writes).
+    */
+  private def inParallelActions(actions: (() => Unit)*): Unit = {
+    if (actions.sizeIs <= 1) { actions.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(actions.size)
+    try {
+      val futs = actions.map(a => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = a()
+      }))
+      var firstFailure: Option[Throwable] = None
+      futs.foreach { fu =>
+        try fu.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure.isEmpty) firstFailure = Some(e.getCause)
+        }
+      }
+      firstFailure.foreach(throw _)
+    } finally { pool.shutdown(); () }
+  }
+
   /** Streaming dedup on the candle key with bounded state. */
   def dedupWithWatermark(stream: DataFrame, lateness: String = "1 hour"): DataFrame =
     stream
@@ -317,13 +346,15 @@ object Ingest {
     val flaggedM = flagged.localCheckpoint()
     val survivors = b.join(flaggedM.select(col(idCol)), Seq(idCol), "left_anti")
       .localCheckpoint()
-    survivors.write.mode("overwrite")
-      .parquet(s"$stateDir/docs/batch_$batchId")
-    flaggedM.write.mode("overwrite")
-      .parquet(s"$stateDir/quarantine/batch_$batchId")
-    graft.llm.Dedup.textGramHashes(survivors, idCol, textCol, shingleN)
-      .select("gram_hash").distinct()
-      .write.mode("overwrite").parquet(s"$stateDir/grams/batch_$batchId")
+    // three independent sinks over checkpointed inputs (guide §2.6)
+    inParallelActions(
+      () => survivors.write.mode("overwrite")
+        .parquet(s"$stateDir/docs/batch_$batchId"),
+      () => flaggedM.write.mode("overwrite")
+        .parquet(s"$stateDir/quarantine/batch_$batchId"),
+      () => graft.llm.Dedup.textGramHashes(survivors, idCol, textCol, shingleN)
+        .select("gram_hash").distinct()
+        .write.mode("overwrite").parquet(s"$stateDir/grams/batch_$batchId"))
     ()
   }
 
@@ -466,14 +497,17 @@ object Ingest {
         graft.Portable.round(max(col("_j")), 4).as("max_jaccard"))
       .select(col("id_b").as("_fid"), col("n_pairs"), col("max_jaccard"))
       .localCheckpoint()
-    flags.select(col("_fid").as(idCol), col("n_pairs"), col("max_jaccard"))
-      .write.mode("overwrite").parquet(s"$stateDir/flags/batch_$batchId")
-    b.join(flags, b(idCol).cast("long") === col("_fid"), "left_anti")
-      .write.mode("overwrite").parquet(s"$stateDir/docs/batch_$batchId")
-    b.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .write.mode("overwrite").parquet(s"$stateDir/all/batch_$batchId")
-    banded.select(col("band"), col("id"))
-      .write.mode("overwrite").parquet(s"$stateDir/bands/batch_$batchId")
+    // four independent sinks over checkpointed inputs — concurrent
+    // (guide §2.6); serial they each paid the full job latency in turn
+    inParallelActions(
+      () => flags.select(col("_fid").as(idCol), col("n_pairs"), col("max_jaccard"))
+        .write.mode("overwrite").parquet(s"$stateDir/flags/batch_$batchId"),
+      () => b.join(flags, b(idCol).cast("long") === col("_fid"), "left_anti")
+        .write.mode("overwrite").parquet(s"$stateDir/docs/batch_$batchId"),
+      () => b.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+        .write.mode("overwrite").parquet(s"$stateDir/all/batch_$batchId"),
+      () => banded.select(col("band"), col("id"))
+        .write.mode("overwrite").parquet(s"$stateDir/bands/batch_$batchId"))
     ()
   }
 
@@ -797,8 +831,13 @@ object Ingest {
       lit(nGrams).as("n_grams"),
       graft.Portable.round(lit(jsDiv), 4).as("js_div"),
       lit(jsDiv >= alarmAt && histDirs.nonEmpty).as("alarm"))
-    report.write.mode("overwrite").parquet(s"$stateDir/drift/batch_$batchId")
-    hist.write.mode("overwrite").parquet(s"$stateDir/hist/batch_$batchId")
+    // two independent sinks (report is a 1-row literal frame, hist is
+    // checkpointed) — concurrent (guide §2.6)
+    inParallelActions(
+      () => report.write.mode("overwrite")
+        .parquet(s"$stateDir/drift/batch_$batchId"),
+      () => hist.write.mode("overwrite")
+        .parquet(s"$stateDir/hist/batch_$batchId"))
     ()
   }
 
@@ -897,14 +936,16 @@ object Ingest {
         col("_within") + coalesce(col("_prior"), lit(0L)))
       .drop("_k", "_prior", "_within")
       .localCheckpoint() // read by admitted + dropped dumps
-    cum.where(col("cum_tokens") <= budget)
-      .write.mode("overwrite").parquet(s"$stateDir/docs/batch_$batchId")
-    cum.where(col("cum_tokens") > budget)
-      .select(col(idCol), col(keyCol), col(nTokensCol))
-      .write.mode("overwrite").parquet(s"$stateDir/dropped/batch_$batchId")
-    b.groupBy(col(keyCol).as("key"))
-      .agg(sum(col(nTokensCol).cast("long")).as("tokens"))
-      .write.mode("overwrite").parquet(s"$stateDir/totals/batch_$batchId")
+    // three independent sinks over checkpointed inputs (guide §2.6)
+    inParallelActions(
+      () => cum.where(col("cum_tokens") <= budget)
+        .write.mode("overwrite").parquet(s"$stateDir/docs/batch_$batchId"),
+      () => cum.where(col("cum_tokens") > budget)
+        .select(col(idCol), col(keyCol), col(nTokensCol))
+        .write.mode("overwrite").parquet(s"$stateDir/dropped/batch_$batchId"),
+      () => b.groupBy(col(keyCol).as("key"))
+        .agg(sum(col(nTokensCol).cast("long")).as("tokens"))
+        .write.mode("overwrite").parquet(s"$stateDir/totals/batch_$batchId"))
     ()
   }
 
@@ -995,11 +1036,14 @@ object Ingest {
       .where(col("_blk") || col(idCol).cast("long") =!= col("_win"))
       .select(col(idCol))
       .localCheckpoint()
-    b.join(flagged, Seq(idCol), "left_anti").drop("_digest")
-      .write.mode("overwrite").parquet(s"$stateDir/docs/batch_$batchId")
-    flagged.write.mode("overwrite").parquet(s"$stateDir/dups/batch_$batchId")
-    b.select(col("_digest")).distinct()
-      .write.mode("overwrite").parquet(s"$stateDir/hashes/batch_$batchId")
+    // three independent sinks over checkpointed inputs (guide §2.6)
+    inParallelActions(
+      () => b.join(flagged, Seq(idCol), "left_anti").drop("_digest")
+        .write.mode("overwrite").parquet(s"$stateDir/docs/batch_$batchId"),
+      () => flagged.write.mode("overwrite")
+        .parquet(s"$stateDir/dups/batch_$batchId"),
+      () => b.select(col("_digest")).distinct()
+        .write.mode("overwrite").parquet(s"$stateDir/hashes/batch_$batchId"))
     ()
   }
 
@@ -1064,14 +1108,18 @@ object Ingest {
       .groupBy(col("key"))
       .agg(hll_sketch_agg(col("_w"), lgK).as("sketch"))
       .localCheckpoint() // read by the state dump + the running report
-    sk.write.mode("overwrite").parquet(s"$stateDir/sketches/batch_$batchId")
     val all =
       if (histDirs.isEmpty) sk
       else sk.unionByName(spark.read.parquet(histDirs: _*))
-    all.groupBy(col("key"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
-        .as("distinct_tokens"))
-      .write.mode("overwrite").parquet(s"$stateDir/counts/batch_$batchId")
+    // two independent sinks over the checkpointed batch sketches
+    // (guide §2.6); the running report reads history, not the new dump
+    inParallelActions(
+      () => sk.write.mode("overwrite")
+        .parquet(s"$stateDir/sketches/batch_$batchId"),
+      () => all.groupBy(col("key"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+          .as("distinct_tokens"))
+        .write.mode("overwrite").parquet(s"$stateDir/counts/batch_$batchId"))
     ()
   }
 
@@ -1545,15 +1593,19 @@ object Ingest {
     val b = batch.localCheckpoint() // read by train (maybe) + encode
     val (cents, books) = ensurePqQuantizers(b, batchId, stateDir, idCol,
       vecCol, nCells, iters, m, ks)
-    if (keepRaw)
-      // the batch stamp makes re-ingested ids LAST-WINS across the
-      // sidecar (the source-table path always joins the latest row;
-      // the sidecar must match, not keep an arbitrary version)
-      b.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
-          lit(batchId).as("batch"))
-        .write.mode("overwrite").parquet(s"$stateDir/raw/batch_$batchId")
-    writeCellState(Similarity.encodeIvfPq(b, idCol, vecCol, cents, books, m, ks),
-      s"$stateDir/codes/batch_$batchId", cents.length)
+    // the raw sidecar and the code state are independent sinks over the
+    // checkpointed batch — concurrent (guide §2.6)
+    inParallelActions(
+      () => if (keepRaw)
+        // the batch stamp makes re-ingested ids LAST-WINS across the
+        // sidecar (the source-table path always joins the latest row;
+        // the sidecar must match, not keep an arbitrary version)
+        b.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+            lit(batchId).as("batch"))
+          .write.mode("overwrite").parquet(s"$stateDir/raw/batch_$batchId"),
+      () => writeCellState(
+        Similarity.encodeIvfPq(b, idCol, vecCol, cents, books, m, ks),
+        s"$stateDir/codes/batch_$batchId", cents.length))
     ()
   }
 
@@ -2035,9 +2087,13 @@ object Ingest {
       .agg(count(lit(1)).as("n_dups"),
         graft.Portable.round(max(col("cos")), 4).as("max_cos"))
       .localCheckpoint()
-    flags.write.mode("overwrite").parquet(s"$stateDir/flags/batch_$batchId")
-    // all-seen: flagged vectors still join the state (chain coverage)
-    writeCellState(assigned, s"$stateDir/cells/batch_$batchId", nCells)
+    // two independent sinks (flags checkpointed; assigned is a pure
+    // projection of the checkpointed batch) — concurrent (guide §2.6)
+    inParallelActions(
+      () => flags.write.mode("overwrite")
+        .parquet(s"$stateDir/flags/batch_$batchId"),
+      // all-seen: flagged vectors still join the state (chain coverage)
+      () => writeCellState(assigned, s"$stateDir/cells/batch_$batchId", nCells))
     ()
   }
 
