@@ -77,42 +77,60 @@ object Bench {
       val spread = if (failed) -1.0 else times.max - times.min
       (name, sec, if (failed) -1.0 else times.head, spread)
     }
-    def jmap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map(r => (r._1, r._2)))
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // reps > 1: medians measure STEADY-STATE query cost (one-time
-    // fixture builds — stores, streams, bucketed tables — amortize into
-    // rep 1); "first" preserves the cold numbers a single-shot run
-    // (the driver's) would report, so the two stay comparable.
-    val firstField =
-      if (reps > 1)
-        s""","first":${jmap(results.map(r => (r._1, r._3)))}""" +
-          s""","spread":${jmap(results.map(r => (r._1, r._4)))}"""
-      else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$firstField}"""
-    println(line)
-    // Persist the COMPLETE per-query map on full runs: the driver keeps
-    // only the stdout tail (~2,000 chars), which drops ~half of the
-    // per-query values — round-over-round regression adjudication needs
-    // all of them. Round number = max existing BENCH_r*.json + 1 (the
-    // driver writes BENCH_r{N} AFTER the round, so during round N the
-    // max on disk is N-1); SPARK_GRAFT_BENCH_OUT overrides the path.
-    if (only.isEmpty) {
-      val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
-        val rx = "BENCH_r(\\d+)\\.json".r
-        val prev = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-          .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-        val n = (if (prev.isEmpty) 0 else prev.max) + 1
-        f"BENCH_LOCAL_r$n%02d.json"
+    // Two renderings of the same results (contract: ONE JSON line on
+    // stdout with the full per-query map; the driver's tail capture is
+    // finite, so the STDOUT line uses 3-decimal seconds — the most
+    // compact faithful encoding; at 176 queries the names alone weigh
+    // 2,948 bytes, so this is as small as the full map can get — while
+    // the artifact file keeps full precision plus first/spread).
+    def jnum(v: Double, compact: Boolean): String =
+      if (!compact) v.toString
+      else {
+        // 3 decimals, trailing zeros trimmed ("0.180"->"0.18", "7.000"->"7.0")
+        val s = f"$v%.3f"
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t + "0" else t
       }
+    def jmap(kvs: Seq[(String, Double)], compact: Boolean): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + jnum(v, compact) }
+        .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def line(compact: Boolean): String = {
+      val qs = jmap(results.map(r => (r._1, r._2)), compact)
+      // reps > 1: medians measure STEADY-STATE query cost (one-time
+      // fixture builds — stores, streams, bucketed tables — amortize
+      // into rep 1); "first" preserves the cold numbers a single-shot
+      // run (the driver's) would report, so the two stay comparable.
+      // first/spread ride only the ARTIFACT: on the stdout line they
+      // would triple its length past any plausible capture window.
+      val firstField =
+        if (reps > 1 && !compact)
+          s""","first":${jmap(results.map(r => (r._1, r._3)), compact)}""" +
+            s""","spread":${jmap(results.map(r => (r._1, r._4)), compact)}"""
+        else ""
+      s"""{"metric":"total","value":${jnum(total, compact)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$firstField}"""
+    }
+    // Persist the COMPLETE per-query map on full runs: the driver keeps
+    // only the stdout tail, which truncates the line's head — round-
+    // over-round regression adjudication needs all of the values.
+    // Default path is NON-COLLIDING ("last", not a round number): a
+    // driver-invoked run must never clobber a committed reps=3
+    // artifact (that happened in r18 AND r19). SPARK_GRAFT_BENCH_OUT
+    // overrides the path; committed artifacts are copied there by hand.
+    if (only.isEmpty) {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_last.json")
       try {
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outPath), line(compact = false) + "\n")
         System.err.println(s"[bench] full per-query artifact -> $outPath")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
       }
     }
+    // The contract line goes LAST on stdout (after the artifact-path
+    // stderr note) so the driver's tail capture keeps as much of it as
+    // the window allows.
+    println(line(compact = true))
     spark.stop()
   }
 }
