@@ -924,11 +924,31 @@ object Queries {
     * §2.6 — the scheduler happily runs concurrent jobs; they were only
     * serial because the driver called them serially).
     */
-  private def background[T](body: => T): () => T = {
-    val fut = java.util.concurrent.CompletableFuture.supplyAsync(
-      new java.util.function.Supplier[T] { def get(): T = body })
-    () => try fut.join()
-    catch { case e: java.util.concurrent.CompletionException => throw e.getCause }
+  private def background[T](body: => T): () => T = Par.detach(body)
+
+  /** Streamed-state reads under the substream's infer-once pinned
+    * schema ([[graft.streaming.Ingest.pinnedRead]]) — a bare
+    * `read.parquet` pays a footer-inference job per call (guide §7.3).
+    */
+  private def pinnedState(s: SparkSession, paths: String*): DataFrame =
+    graft.streaming.Ingest.pinnedRead(s, paths)
+
+  /** Multiset identity check as ONE aggregation (guide §2.3/§2.4 —
+    * aggregate before you shuffle, fewer shuffles): tag each side ±1,
+    * group by every column, count groups whose signed sum is non-zero —
+    * 0 iff the two sides are multiset-equal, exactly the zero-ness the
+    * `a.exceptAll(b).unionAll(b.exceptAll(a)).count()` form answered
+    * with FOUR aggregations (each side shuffled twice). The map-side
+    * partial aggregation also collapses the (heavily duplicated)
+    * identical rows before the single exchange.
+    */
+  private def multisetDiffCount(a: DataFrame, b: DataFrame): Long = {
+    val cols = a.columns.toSeq.map(col)
+    a.withColumn("_side", lit(1L))
+      .unionByName(b.select(cols: _*).withColumn("_side", lit(-1L)))
+      .groupBy(cols: _*)
+      .agg(sum(col("_side")).as("_d"))
+      .where(col("_d") =!= 0L).count()
   }
 
   /** `extras` is BY-NAME and evaluated only after both sides'
@@ -949,17 +969,7 @@ object Queries {
         .localCheckpoint(),
       () => approxPairs.select(col("query_id"), col("neighbor_id"))
         .localCheckpoint())
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    val Seq(exact, approx) =
-      try {
-        val futs = matFns.map(f =>
-          pool.submit(new java.util.concurrent.Callable[DataFrame] {
-            def call(): DataFrame = f()
-          }))
-        futs.map(fu =>
-          try fu.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
-      } finally pool.shutdown()
+    val Seq(exact, approx) = Par.settleAll(matFns)
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
     val aggCols = (count(lit(1)).as("n_queries") +: extras) :+
@@ -2346,7 +2356,7 @@ object Queries {
     // must be row-identical to it at every boundary.
     "q9B_stream_decontaminate" -> ((s, d) => {
       val state = streamedDeconState(s, d)
-      s.read.parquet(s"$state/quarantine/batch_*")
+      pinnedState(s, s"$state/quarantine/batch_*")
         .select(col("doc_id"), col("n_contaminated"))
     }),
     // Stateful in-flight near-dup marking (round 8): first-wins
@@ -2358,7 +2368,7 @@ object Queries {
     // every verified (id_a < id_b) pair, aggregated.
     "q9C_stream_neardup" -> ((s, d) => {
       val state = streamedNearDupState(s, d)
-      s.read.parquet(s"$state/flags/batch_*")
+      pinnedState(s, s"$state/flags/batch_*")
         .select(col("doc_id"), col("n_pairs"), col("max_jaccard"))
     }),
     // Offline reconciliation of the streamed first-wins near-dup state
@@ -2383,7 +2393,7 @@ object Queries {
     // sequential fold in SQL with the q8I JSD formula.
     "q9E_stream_drift" -> ((s, d) => {
       val state = streamedDriftState(s, d)
-      s.read.parquet(s"$state/drift/batch_*")
+      pinnedState(s, s"$state/drift/batch_*")
         .select(col("batch_id"), col("n_docs"), col("n_grams"),
           col("js_div"), col("alarm"))
     }),
@@ -2397,7 +2407,7 @@ object Queries {
     // one-shot build's, so parity is a band, not equality).
     "q9P_stream_hll_distinct" -> ((s, d) => {
       val state = streamedHllState(s, d)
-      val streamed = s.read.parquet(s"$state/counts/batch_2")
+      val streamed = pinnedState(s, s"$state/counts/batch_2")
         .select(col("key"), col("distinct_tokens").as("stream_est"))
       val docs = T.documents(s, d)
       val toks = docs.select(col("source").as("key"),
@@ -2421,7 +2431,7 @@ object Queries {
     // oracle replays the (batch, id)-ordered drop-later fold in SQL.
     "q9O_stream_exact_dedup" -> ((s, d) => {
       val state = streamedExactDedupState(s, d)
-      s.read.parquet(s"$state/dups/batch_*").select(col("doc_id"))
+      pinnedState(s, s"$state/dups/batch_*").select(col("doc_id"))
     }),
     // Token-balanced output sharding (round 8): the corpus cut into
     // ~2000-token shards along the distributed hash-order prefix sum
@@ -2489,7 +2499,7 @@ object Queries {
       val state = streamedIvfIndexState(s, d)
       val emb = T.embeddings(s, d)
       val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
-      val cents = s.read.parquet(s"$state/centroids/batch_*")
+      val cents = pinnedState(s, s"$state/centroids/batch_*")
         .select(col("cell_id"), col("centroid"))
         .as[(Long, Array[Double])].collect().sortBy(_._1)
       val streamed = graft.streaming.Ingest.ivfCellState(s, state)
@@ -2499,8 +2509,7 @@ object Queries {
         col("vec_id").cast("long").as("id"))
       // identity diff runs on a background thread, overlapping the
       // recall gate's two materializations (extras is by-name)
-      val diff = background(streamed.exceptAll(batchAssigned)
-        .unionAll(batchAssigned.exceptAll(streamed)).count())
+      val diff = background(multisetDiffCount(streamed, batchAssigned))
       // q63's floor: measured mean recall@10 0.54-0.62 with full-corpus
       // training; first-batch training lands in the same band (the
       // quantizer sees a 1/3 uniform sample)
@@ -2524,10 +2533,10 @@ object Queries {
       val state = streamedIvfPqIndexState(s, d)
       val emb = T.embeddings(s, d)
       val queries = emb.where(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
-      val cents = s.read.parquet(s"$state/centroids/batch_*")
+      val cents = pinnedState(s, s"$state/centroids/batch_*")
         .select(col("cell_id"), col("centroid"))
         .as[(Long, Array[Double])].collect().sortBy(_._1)
-      val bookRows = s.read.parquet(s"$state/books/batch_*")
+      val bookRows = pinnedState(s, s"$state/books/batch_*")
         .select(col("s"), col("c"), col("vals"))
         .as[(Int, Int, Array[Double])].collect()
       val m = bookRows.map(_._1).max + 1
@@ -2540,8 +2549,7 @@ object Queries {
         cents, books, m, ks)
       // identity diff + code-length census run on background threads,
       // overlapping the recall gate's materializations (extras by-name)
-      val diff = background(streamed.exceptAll(batchCodes)
-        .unionAll(batchCodes.exceptAll(streamed)).count())
+      val diff = background(multisetDiffCount(streamed, batchCodes))
       val codeLensF = background(streamed
         .agg(max(length(col("code"))), min(length(col("code")))).head())
       def slim = {
@@ -2585,10 +2593,10 @@ object Queries {
         names(centDirs) == Seq("compact_upto_2") &&
         names(bookDirs) == Seq("compact_upto_2") &&
         !fs.exists(new org.apache.hadoop.fs.Path(s"$state/centroids/batch_0"))
-      val cents = s.read.parquet(centDirs: _*)
+      val cents = pinnedState(s, centDirs: _*)
         .select(col("cell_id"), col("centroid"))
         .as[(Long, Array[Double])].collect().sortBy(_._1)
-      val bookRows = s.read.parquet(bookDirs: _*)
+      val bookRows = pinnedState(s, bookDirs: _*)
         .select(col("s"), col("c"), col("vals"))
         .as[(Int, Int, Array[Double])].collect()
       val m = bookRows.map(_._1).max + 1
@@ -2602,8 +2610,7 @@ object Queries {
         cents, books, m, ks)
       // identity diff + √N census on background threads, overlapping
       // the recall gate's materializations (extras is by-name)
-      val diff = background(streamed.exceptAll(batchCodes)
-        .unionAll(batchCodes.exceptAll(streamed)).count())
+      val diff = background(multisetDiffCount(streamed, batchCodes))
       // nProbe = 0: the serving-side √-family derivation (2·√nCells)
       recallGateRow(
         Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10),
@@ -2639,7 +2646,7 @@ object Queries {
         centDirs.map(p => new org.apache.hadoop.fs.Path(p).getName) ==
           Seq("compact_upto_2") &&
         !fs.exists(new org.apache.hadoop.fs.Path(s"$state/centroids/batch_0"))
-      val cents = s.read.parquet(centDirs: _*)
+      val cents = pinnedState(s, centDirs: _*)
         .select(col("cell_id"), col("centroid"))
         .as[(Long, Array[Double])].collect().sortBy(_._1)
       val nReshardedF = background(emb.where(col("vec_id") % 3 < 2).count())
@@ -2650,8 +2657,7 @@ object Queries {
         col("vec_id").cast("long").as("id"))
       // identity diff + √N census on background threads, overlapping
       // the recall gate's materializations (extras is by-name)
-      val diff = background(streamed.exceptAll(batchAssigned)
-        .unionAll(batchAssigned.exceptAll(streamed)).count())
+      val diff = background(multisetDiffCount(streamed, batchAssigned))
       // nProbe = 0: the serving-side √-family derivation (2·√nCells)
       recallGateRow(
         Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10),
@@ -2680,7 +2686,7 @@ object Queries {
       val plantedF = background(
         T.embeddings(s, d).where(col("vec_id") % 10 === 0)
           .select(col("vec_id")).as[Long].collect())
-      val flags = s.read.parquet(s"$state/flags/batch_*")
+      val flags = pinnedState(s, s"$state/flags/batch_*")
         .select(col("id"), col("max_cos")).as[(Long, Double)].collect().toMap
       val planted = plantedF()
       val off = q9yTwinOffset(s, d)
@@ -2784,7 +2790,7 @@ object Queries {
     // (cum over (batch, hash, id) per source).
     "q9H_stream_quota" -> ((s, d) => {
       val state = streamedQuotaState(s, d)
-      s.read.parquet(s"$state/docs/batch_*")
+      pinnedState(s, s"$state/docs/batch_*")
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("cum_tokens").cast("bigint").as("cum_tokens"))
     }),
@@ -3151,11 +3157,15 @@ object Queries {
         famB.where(pmod(col("vec_id"), lit(3)) === 0),
         famB.where(pmod(col("vec_id"), lit(3)) === 1),
         famB.where(pmod(col("vec_id"), lit(3)) === 2))
-      batches.zipWithIndex.foreach { case (b, i) =>
+      batches.zipWithIndex.foreach { case (b0, i) =>
+        // ONE materialization per batch feeds both the trigger's
+        // quality scans and the assignment/state dump (guide §5)
+        val b = b0.localCheckpoint()
         graft.streaming.Ingest.driftTriggeredRefresh(b, i.toLong, stateDir,
           "embedding", nCells = 16, iters = 5, factor = 0.9)
         graft.streaming.Ingest.ivfIndexBatch(b, i.toLong, stateDir,
-          "vec_id", "embedding", nCells = 16, iters = 5)
+          "vec_id", "embedding", nCells = 16, iters = 5,
+          materialized = true)
       }
       stateDir
     })

@@ -98,8 +98,10 @@ final class CandleStore(spark: SparkSession, val path: String) {
     * store stays exactly as loud as before.
     */
   private[graft] def scanNoRecover(): DataFrame =
-    if (exists) spark.read.schema(CandleStore.pinnedScanSchema).parquet(path)
-    else spark.read.parquet(path)
+    if (exists) {
+      CandleStore.assertPinnedSchema(spark, path)
+      spark.read.schema(CandleStore.pinnedScanSchema).parquet(path)
+    } else spark.read.parquet(path)
 
   /** Point lookup of one series-year "page" — pure partition pruning
     * (reference: `Storage.checkAndLoad`, `storage.go:78-96`).
@@ -484,17 +486,7 @@ final class CandleStore(spark: SparkSession, val path: String) {
     */
   private def inParallel[T, R](items: Seq[T])(f: T => R): Seq[R] = {
     if (items.lengthCompare(4) <= 0) return items.map(f)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, items.length))
-    try {
-      val futures = items.map { i =>
-        pool.submit(new java.util.concurrent.Callable[R] { def call(): R = f(i) })
-      }
-      try futures.map(_.get())
-      catch {
-        case e: java.util.concurrent.ExecutionException => throw e.getCause
-      }
-    } finally pool.shutdownNow()
+    graft.Par.mapBounded(items, 32)(f)
   }
 
   /** Operator-facing metadata snapshot — the `DESCRIBE DETAIL`
@@ -904,6 +896,31 @@ object CandleStore {
         .map(_.copy(nullable = true)) ++
         graft.model.Candle.partitionCols.map(n =>
           StructField(n, partTypes(n))))
+  }
+
+  /** One-time (per store path per JVM) footer-vs-pin assertion: a
+    * future layout revision that adds a column would otherwise be
+    * silently PROJECTED AWAY by the pinned read instead of failing
+    * loudly. Costs one inference on the FIRST scan of each store;
+    * every later scan stays inference-free (the point of the pin).
+    * Transient inference failures (a store mid-commit) un-mark the
+    * path so the next scan re-checks instead of never checking.
+    */
+  private val pinCheckedPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[store] def assertPinnedSchema(spark: SparkSession, path: String): Unit = {
+    if (!pinCheckedPaths.add(path)) return
+    val inferred =
+      try spark.read.parquet(path).schema
+      catch { case _: Throwable => pinCheckedPaths.remove(path); return }
+    if (inferred != pinnedScanSchema) {
+      pinCheckedPaths.remove(path)
+      sys.error(
+        s"candle store $path: on-disk schema does not match the pinned " +
+          s"scan schema — the layout changed without revising the pin.\n" +
+          s"  inferred: $inferred\n  pinned:   $pinnedScanSchema")
+    }
   }
 
   /** [[CandleStore.detail]]'s row — what

@@ -406,24 +406,12 @@ object CrossStoreTx {
           throw t
       }
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(ops.size)
-      try {
-        val futs = ops.map(op =>
-          pool.submit(new java.util.concurrent.Callable[Prepared] {
-            def call(): Prepared = prepareOne(op)
-          }))
-        val results = futs.map(fu =>
-          try Right(fu.get())
-          catch {
-            case e: java.util.concurrent.ExecutionException => Left(e.getCause)
-            case t: Throwable => Left(t)
-          })
-        results.collect { case Right(p) => p }.foreach(prepared += _)
-        results.collectFirst { case Left(t) => t }.foreach { t =>
-          abortAllQuietly(prepared.toSeq).foreach(t.addSuppressed)
-          throw t
-        }
-      } finally pool.shutdown()
+      val results = graft.Par.settle(ops.map(op => () => prepareOne(op)))
+      results.collect { case Right(p) => p }.foreach(prepared += _)
+      results.collectFirst { case Left(t) => t }.foreach { t =>
+        abortAllQuietly(prepared.toSeq).foreach(t.addSuppressed)
+        throw t
+      }
     }
     if (crashAfter <= 1) throw new SimulatedCrash("prepared, marker unpublished")
 

@@ -38,22 +38,45 @@ object Ingest {
     * exception unwinds past the writes).
     */
   private def inParallelActions(actions: (() => Unit)*): Unit = {
-    if (actions.sizeIs <= 1) { actions.foreach(_.apply()); return }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(actions.size)
-    try {
-      val futs = actions.map(a => pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = a()
-      }))
-      var firstFailure: Option[Throwable] = None
-      futs.foreach { fu =>
-        try fu.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            if (firstFailure.isEmpty) firstFailure = Some(e.getCause)
-        }
-      }
-      firstFailure.foreach(throw _)
-    } finally { pool.shutdown(); () }
+    graft.Par.settleAll(actions.map(a => () => a()))
+    ()
+  }
+
+  /** Footer-inference-once reads of substream state (guide §6, §7.3):
+    * every generation dir of one substream (`.../<kind>/batch_*`,
+    * `.../<kind>/compact_upto_*`) carries the same schema BY
+    * CONSTRUCTION — the same writer publishes each generation — yet a
+    * bare `spark.read.parquet` pays a footer-inference JOB per CALL,
+    * and the multi-batch ingests re-read their substreams every
+    * micro-batch. Infer once per substream dir (the generations'
+    * parent), cache the StructType, read pinned. Metadata only — the
+    * cache holds schemas, never rows — and a fresh fixture world gets
+    * fresh dirs, so a key can never alias two different states.
+    */
+  private val substreamSchemas =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Cache key: generation dirs/globs (`batch_*`, `compact_upto_*`)
+    * key on their substream (parent) dir so every generation shares
+    * one inference; any other path keys on itself — two distinct
+    * children of one parent must never alias each other's schema.
+    */
+  private def substreamKey(p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val n = path.getName
+    if (n.startsWith("batch_") || n.startsWith("compact_upto_"))
+      path.getParent.toString
+    else p
+  }
+
+  private[graft] def pinnedRead(spark: org.apache.spark.sql.SparkSession,
+                                paths: Seq[String]): DataFrame = {
+    // fall back to the all-paths inference when the head generation has
+    // no readable footer (a legitimately EMPTY state dir)
+    val sc = substreamSchemas.getOrElseUpdate(substreamKey(paths.head),
+      try spark.read.parquet(paths.head).schema
+      catch { case _: Throwable => spark.read.parquet(paths: _*).schema })
+    spark.read.schema(sc).parquet(paths: _*)
   }
 
   /** Streaming dedup on the candle key with bounded state. */
@@ -342,7 +365,7 @@ object Ingest {
       if (histDirs.isEmpty)
         b.select(col(idCol)).limit(0).withColumn("n_contaminated", lit(0L))
       else graft.llm.Dedup.decontaminateAgainstHashes(b,
-        spark.read.parquet(histDirs: _*), idCol, textCol, shingleN, fpp)
+        pinnedRead(spark, histDirs), idCol, textCol, shingleN, fpp)
     val flaggedM = flagged.localCheckpoint()
     val survivors = b.join(flaggedM.select(col(idCol)), Seq(idCol), "left_anti")
       .localCheckpoint()
@@ -469,7 +492,7 @@ object Ingest {
     val histBandDirs = earlier("bands")
     val cross =
       if (histBandDirs.isEmpty) within.limit(0)
-      else spark.read.parquet(histBandDirs: _*)
+      else pinnedRead(spark, histBandDirs)
         .select(col("band"), col("id").as("id_a"))
         .join(broadcast(banded.select(col("band"), col("id").as("id_b"))),
           Seq("band"))
@@ -482,7 +505,7 @@ object Ingest {
     val candA = cand.select(col("id_a").as("id")).distinct()
     val histSh =
       if (histAllDirs.isEmpty) docs.limit(0)
-      else spark.read.parquet(histAllDirs: _*)
+      else pinnedRead(spark, histAllDirs)
         .join(broadcast(candA), Seq("id"), "left_semi")
         .select(col("id"),
           Dedup.shinglesUdf(shingleN)(graft.llm.TextStats.tokens(col("text"))).as("sh"))
@@ -552,7 +575,7 @@ object Ingest {
     // does, a raw batch_* glob would silently miss all pre-floor flags.
     val flagDirs = historyDirs(fs, stateDir, "flags", Long.MaxValue)
     require(flagDirs.nonEmpty, s"no flags state under $stateDir")
-    val flagsRaw = spark.read.parquet(flagDirs: _*)
+    val flagsRaw = pinnedRead(spark, flagDirs)
     // first column is the caller's id column, whatever it was named
     val streamedFlagged = flagsRaw
       .select(col(flagsRaw.columns.head).cast("long").as("id"),
@@ -594,8 +617,8 @@ object Ingest {
     val bandDirs = historyDirs(fs, stateDir, "bands", upTo)
     val allDirs = historyDirs(fs, stateDir, "all", upTo)
     if (bandDirs.isEmpty || allDirs.isEmpty) return None
-    val bands = spark.read.parquet(bandDirs: _*).select(col("band"), col("id"))
-    val texts = spark.read.parquet(allDirs: _*).select(col("id"), col("text"))
+    val bands = pinnedRead(spark, bandDirs).select(col("band"), col("id"))
+    val texts = pinnedRead(spark, allDirs).select(col("id"), col("text"))
     // in-bucket candidate expansion — the batch operator shape
     val cand = bands.groupBy(col("band")).agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")) > 1)
@@ -678,7 +701,7 @@ object Ingest {
       // (schema parity for tailing consumers); doc_id when none exist
       val flagDirs = historyDirs(fs, stateDir, "flags", upTo)
       val idName =
-        if (flagDirs.nonEmpty) spark.read.parquet(flagDirs.head).columns.head
+        if (flagDirs.nonEmpty) pinnedRead(spark, Seq(flagDirs.head)).columns.head
         else "doc_id"
       val pairStats = verified
         .select(col("id_a").as("id"), col("_j"))
@@ -718,7 +741,7 @@ object Ingest {
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     val dirs = historyDirs(fs, stateDir, "flags", Long.MaxValue)
     require(dirs.nonEmpty, s"no near-dup flags state under $stateDir")
-    spark.read.parquet(dirs: _*)
+    pinnedRead(spark, dirs)
   }
 
   def startNearDupIngest(stream: DataFrame, stateDir: String,
@@ -800,7 +823,7 @@ object Ingest {
     val jsDiv: Double =
       if (histDirs.isEmpty || nGrams == 0L) 0.0
       else {
-        val h = spark.read.parquet(histDirs: _*)
+        val h = pinnedRead(spark, histDirs)
           .groupBy(col("bucket")).agg(sum(col("cnt")).as("hcnt"))
         val tb = nGrams.toDouble
         // coalesce: every earlier hist/ dir can be EMPTY (a non-empty
@@ -919,7 +942,7 @@ object Ingest {
       if (histDirs.isEmpty)
         b.select(col(keyCol).as("_k")).limit(0)
           .withColumn("_prior", lit(0L))
-      else spark.read.parquet(histDirs: _*)
+      else pinnedRead(spark, histDirs)
         .groupBy(col("key").as("_k")).agg(sum(col("tokens")).as("_prior"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
@@ -1019,7 +1042,7 @@ object Ingest {
     val blocked =
       if (histDirs.isEmpty)
         b.select(col("_digest")).limit(0)
-      else spark.read.parquet(histDirs: _*)
+      else pinnedRead(spark, histDirs)
         .join(broadcast(b.select(col("_digest")).distinct()),
           Seq("_digest"), "left_semi")
         // a digest present in >=2 uncompacted history dirs appears once
@@ -1110,7 +1133,7 @@ object Ingest {
       .localCheckpoint() // read by the state dump + the running report
     val all =
       if (histDirs.isEmpty) sk
-      else sk.unionByName(spark.read.parquet(histDirs: _*))
+      else sk.unionByName(pinnedRead(spark, histDirs))
     // two independent sinks over the checkpointed batch sketches
     // (guide §2.6); the running report reads history, not the new dump
     inParallelActions(
@@ -1211,10 +1234,16 @@ object Ingest {
           refreshIvfIndex(batch.sparkSession, stateDir, batchId, cells0, iters)
         else if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactIvfIndexState(batch.sparkSession, stateDir, batchId)
-        if (refreshOnDriftFactor > 0)
-          driftTriggeredRefresh(batch, batchId, stateDir, vecCol, cells0,
+        if (refreshOnDriftFactor > 0) {
+          // ONE materialization feeds both the trigger's quality scans
+          // and the assignment/state dump (guide §5: reuse-justified)
+          val b = batch.localCheckpoint()
+          driftTriggeredRefresh(b, batchId, stateDir, vecCol, cells0,
             iters, refreshOnDriftFactor)
-        ivfIndexBatch(batch, batchId, stateDir, idCol, vecCol, cells0, iters)
+          ivfIndexBatch(b, batchId, stateDir, idCol, vecCol, cells0, iters,
+            materialized = true)
+        } else
+          ivfIndexBatch(batch, batchId, stateDir, idCol, vecCol, cells0, iters)
       }
   }
 
@@ -1263,7 +1292,7 @@ object Ingest {
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     val dirs = historyDirs(fs, stateDir, "qstats", Long.MaxValue)
     require(dirs.nonEmpty, s"no qstats state under $stateDir/qstats")
-    spark.read.parquet(dirs: _*)
+    pinnedRead(spark, dirs)
   }
 
   private[graft] def driftTriggeredRefresh(batch: DataFrame, batchId: Long,
@@ -1282,7 +1311,7 @@ object Ingest {
     def adoptedCents(): Array[(Long, Array[Double])] = {
       val dirs = ivfCentroidDirs(fs, stateDir, batchId)
       if (dirs.isEmpty) Array.empty
-      else spark.read.parquet(dirs: _*)
+      else pinnedRead(spark, dirs)
         .select(col("cell_id"), col("centroid"))
         .as[(Long, Array[Double])].collect().sortBy(_._1)
     }
@@ -1293,22 +1322,31 @@ object Ingest {
       // treat as no-signal (skip the trigger) instead of NPEing the stream
       if (r.isNullAt(1)) None else Some((r.getLong(0), r.getDouble(1)))
     }
-    val cents0 = adoptedCents()
-    if (cents0.isEmpty) return // quantizer not trained yet (batch 0)
-    val (n, mean0) = batchMean(cents0) match {
-      case Some(nm) => nm
-      case None => return
-    }
-    // history mean: n-weighted over strictly-earlier qstats rows
-    val histDirsQ = historyDirs(fs, stateDir, "qstats", batchId)
-    val histMean: Double =
+    // start the history-mean aggregation NOW (background): it reads
+    // only strictly-earlier qstats state, independent of the
+    // adopted-quantizer collect and the batch-mean job
+    val histMeanF = graft.Par.detach[Double] {
+      val histDirsQ = historyDirs(fs, stateDir, "qstats", batchId)
       if (histDirsQ.isEmpty) 0.0
       else {
-        val r = spark.read.parquet(histDirsQ: _*)
+        val r = pinnedRead(spark, histDirsQ)
           .agg(coalesce(sum(col("n") * col("mean_best_cos")), lit(0.0)),
             coalesce(sum(col("n")), lit(0L))).head()
         if (r.getLong(1) == 0L) 0.0 else r.getDouble(0) / r.getLong(1)
       }
+    }
+    val cents0 = adoptedCents()
+    // join the background read before any early return so its failure
+    // (or the thread) never outlives this call silently
+    if (cents0.isEmpty) { histMeanF(); return } // quantizer not trained yet (batch 0)
+    val (n, mean0) = batchMean(cents0) match {
+      case Some(nm) => nm
+      case None => histMeanF(); return
+    }
+    // history mean: n-weighted over strictly-earlier qstats rows —
+    // independent of the adopted-quantizer read + batch-mean jobs
+    // above, so it runs overlapped on a background thread (guide §2.6)
+    val histMean: Double = histMeanF()
     if (histMean > 0 && mean0 < factor * histMean)
       refreshIvfIndex(spark, stateDir, batchId, nCells, iters)
     // record the stats under the FINAL quantizer this batch assigns with
@@ -1327,13 +1365,19 @@ object Ingest {
   /** One micro-batch of the IVF-index ingest — split out so the
     * differential spec can drive it directly.
     */
+  /** `materialized = true`: the caller already localCheckpoint'ed the
+    * batch (shared with [[driftTriggeredRefresh]], which scans it too)
+    * — re-checkpointing would copy the blocks for nothing.
+    */
   private[graft] def ivfIndexBatch(batch: DataFrame, batchId: Long,
                                    stateDir: String, idCol: String,
                                    vecCol: String, nCells: Int,
-                                   iters: Int): Unit = {
+                                   iters: Int,
+                                   materialized: Boolean = false): Unit = {
     import graft.llm.Similarity
     if (batch.isEmpty) return
-    val b = batch.localCheckpoint() // read by train (maybe) + assignment
+    // read by train (maybe) + assignment
+    val b = if (materialized) batch else batch.localCheckpoint()
     val cents = ensureCentroids(b, batchId, stateDir, idCol, vecCol, nCells, iters)
     writeCellState(
       b.select(Similarity.ivfAssignUdf(cents)(col(vecCol)).as("cell_id"),
@@ -1389,7 +1433,11 @@ object Ingest {
     // at scan time (partitioned dirs) or match the written type (legacy
     // flat dirs whose cell_id is a long data column), so the union
     // needs no per-branch cast and prune literals compare exactly.
-    val base = schema.getOrElse(spark.read.parquet(dirs.head).schema)
+    // infer-once per substream (the generations' parent dir) when no
+    // caller schema: the same writer produced every generation
+    val base = schema.getOrElse(
+      substreamSchemas.getOrElseUpdate(substreamKey(dirs.head),
+        spark.read.parquet(dirs.head).schema))
     val fixed = org.apache.spark.sql.types.StructType(base.fields.map(f =>
       if (f.name == "cell_id") f.copy(dataType = LongType) else f))
     // one read PER state dir, unioned: sibling partitioned dirs can't
@@ -1448,7 +1496,7 @@ object Ingest {
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     val histCents = ivfCentroidDirs(fs, stateDir, batchId)
     if (histCents.nonEmpty)
-      spark.read.parquet(histCents: _*)
+      pinnedRead(spark, histCents)
         .select(col("cell_id"), col("centroid"))
         .as[(Long, Array[Double])].collect().sortBy(_._1)
     else {
@@ -1475,7 +1523,7 @@ object Ingest {
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     val centDirs = ivfCentroidDirs(fs, stateDir, Long.MaxValue)
     require(centDirs.nonEmpty, s"no IVF centroid state under $stateDir/centroids")
-    val cents = spark.read.parquet(centDirs: _*)
+    val cents = pinnedRead(spark, centDirs)
       .select(col("cell_id"), col("centroid"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val cellDirs = historyDirs(fs, stateDir, "cells", Long.MaxValue)
@@ -1630,7 +1678,7 @@ object Ingest {
     val (centDirs, bookDirs) = ivfPqQuantizerDirs(fs, stateDir, batchId)
     val cents =
       if (centDirs.nonEmpty)
-        spark.read.parquet(centDirs: _*)
+        pinnedRead(spark, centDirs)
           .select(col("cell_id"), col("centroid"))
           .as[(Long, Array[Double])].collect().sortBy(_._1)
       else {
@@ -1719,7 +1767,7 @@ object Ingest {
                         dirs: Seq[String], m: Int,
                         ks: Int): Array[Array[Array[Double]]] = {
     import spark.implicits._
-    val rows = spark.read.parquet(dirs: _*)
+    val rows = pinnedRead(spark, dirs)
       .select(col("s"), col("c"), col("vals"))
       .as[(Int, Int, Array[Double])].collect()
     require(rows.nonEmpty, "empty PQ codebook state")
@@ -1853,7 +1901,7 @@ object Ingest {
         if (complete(bookTarget)) Seq(bookTarget)
         else ivfPqQuantizerDirs(fs, stateDir, upTo)._2
       require(curBooks.nonEmpty, s"no PQ codebook state under $stateDir/books")
-      val dims = spark.read.parquet(curBooks: _*)
+      val dims = pinnedRead(spark, curBooks)
         .agg(max(col("s")), max(col("c"))).head()
       val (m, ks) = (dims.getInt(0) + 1, dims.getInt(1) + 1)
       // accumulated membership, re-read as raw vectors from the source
@@ -1870,7 +1918,7 @@ object Ingest {
             s"PQ re-shard under $stateDir: no source table supplied and " +
               "no raw/ sidecar found — pass the source table or run the " +
               "writer with keepRaw = true")
-          dedupRaw(spark.read.parquet(rawDirs: _*)).select("id", "vec")
+          dedupRaw(pinnedRead(spark, rawDirs)).select("id", "vec")
         }
       val vecs = rawSrc.join(ids, Seq("id"))
         .localCheckpoint() // read by k-means iters + book train + encode
@@ -1895,7 +1943,7 @@ object Ingest {
         trained.toSeq.toDF("cell_id", "centroid")
           .coalesce(1).write.mode("overwrite").parquet(centTarget)
       }
-      val cents = spark.read.parquet(centTarget)
+      val cents = pinnedRead(spark, Seq(centTarget))
         .select(col("cell_id"), col("centroid"))
         .as[(Long, Array[Double])].collect().sortBy(_._1)
       if (!complete(bookTarget))
@@ -1966,10 +2014,10 @@ object Ingest {
     val (centDirs, bookDirs) = ivfPqQuantizerDirs(fs, stateDir, Long.MaxValue)
     require(centDirs.nonEmpty, s"no IVF centroid state under $stateDir/centroids")
     require(bookDirs.nonEmpty, s"no PQ codebook state under $stateDir/books")
-    val cents = spark.read.parquet(centDirs: _*)
+    val cents = pinnedRead(spark, centDirs)
       .select(col("cell_id"), col("centroid"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val dims = spark.read.parquet(bookDirs: _*)
+    val dims = pinnedRead(spark, bookDirs)
       .agg(max(col("s")), max(col("c"))).head()
     val (m, ks) = (dims.getInt(0) + 1, dims.getInt(1) + 1)
     val books = readBooks(spark, bookDirs, m, ks)
@@ -2207,7 +2255,7 @@ object Ingest {
       trained.toSeq.toDF("cell_id", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(centTarget.toString)
     }
-    val cents = spark.read.parquet(centTarget.toString)
+    val cents = pinnedRead(spark, Seq(centTarget.toString))
       .select(col("cell_id"), col("centroid"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     compactCurationState(spark, stateDir, "cells", upTo, df =>
@@ -2347,7 +2395,7 @@ object Ingest {
     require(partitionCols.isEmpty || partitionCols == Seq("cell_id"),
       s"unsupported partitioned curation-state layout: $partitionCols")
     val input =
-      if (partitionCols.isEmpty) spark.read.parquet(inputs: _*)
+      if (partitionCols.isEmpty) pinnedRead(spark, inputs)
       else readCellState(spark, inputs)
     val merged = merge(input)
     // partitioned substreams keep their layout through compaction; the
@@ -2469,7 +2517,7 @@ object Ingest {
       compactCurationState(spark, stateDir, "cells", upTo, identity,
         Seq("cell_id"))
     else {
-      val cents = spark.read.parquet(centDirs: _*)
+      val cents = pinnedRead(spark, centDirs)
         .select(col("cell_id"), col("centroid"))
         .as[(Long, Array[Double])].collect().sortBy(_._1)
       compactCurationState(spark, stateDir, "cells", upTo, df =>

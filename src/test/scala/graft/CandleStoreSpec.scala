@@ -307,4 +307,26 @@ class CandleStoreSpec extends SparkSpec {
     assert(store.recover() == 0)
     assert(fs.exists(fresh))
   }
+
+  test("pinned-scan guard: an extra on-disk column fails loudly, not silently narrowed") {
+    // a store-shaped dir whose files carry a column the pinned scan
+    // schema does not know — a layout revision without a pin bump; the
+    // one-time footer-vs-pin check must refuse, not project it away
+    val dir = tmpDir("cs-pinguard") + "/t"
+    Seq(("2022-03-01 10:00:00", 1.0)).toDF("tss", "open")
+      .select(to_timestamp($"tss").as("ts"), $"open",
+        lit(2.0).as("high"), lit(0.5).as("low"), lit(1.5).as("close"),
+        lit(10.0).as("volume"), lit(0L).as("bit_fields"),
+        lit("surprise").as("extra_col"),
+        lit("UPBIT").as("market"), lit(60).as("candle_length"),
+        lit("BTC").as("code"), lit(2022).as("year"))
+      .write.partitionBy(Candle.partitionCols: _*).parquet(dir)
+    val doctored = CandleStore(spark, dir)
+    val e = intercept[RuntimeException](doctored.scan().count())
+    assert(e.getMessage.contains("pinned"), s"unexpected: ${e.getMessage}")
+    // and an honest store still scans fine through the same guard
+    val good = CandleStore(spark, tmpDir("cs-pinok") + "/t")
+    good.upsert(Seq(c("BTC", "2022-03-01 10:00:00", 1)).toDF())
+    assert(good.scan().count() == 1)
+  }
 }
