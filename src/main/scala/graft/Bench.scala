@@ -117,7 +117,11 @@ object Bench {
     // driver-invoked run must never clobber a committed reps=3
     // artifact (that happened in r18 AND r19). SPARK_GRAFT_BENCH_OUT
     // overrides the path; committed artifacts are copied there by hand.
-    if (only.isEmpty) {
+    // Subset runs (SPARK_GRAFT_ONLY) write the artifact only when the
+    // caller names a path: the locked-subset protocol needs the full-
+    // precision first/spread series, while ad-hoc name-filtered runs
+    // must not touch the default artifact.
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_last.json")
       try {
         java.nio.file.Files.writeString(

@@ -538,6 +538,23 @@ object Dedup {
     *   buckets lose recall only for documents that share NO other
     *   small bucket. Default: unbounded (exact banding semantics).
     */
+  /** Scan-parallelism floor for an expensive per-row text pass (guide
+    * §2.5 "input skew — repartition immediately after the read"): the
+    * testdata tables are single-row-group parquet files, so a scan
+    * arrives as ONE task and the tokenize+shingle+signature kernel
+    * serializes on one core while the rest idle — `maxPartitionBytes`
+    * cannot split inside a row group. When the plan has fewer
+    * partitions than the default parallelism, hash-repartition on the
+    * (unique) id column — deterministic, no pre-sort; any at-scale
+    * scan (thousands of row groups) already exceeds the floor, so
+    * nothing extra ever shuffles there.
+    */
+  private[llm] def scanParallel(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
+
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                           threshold: Double = 0.5,
@@ -547,9 +564,12 @@ object Dedup {
     val rows = k / bands
     // Slim docs: (id, shingles). Shingle arrays are only ever joined to
     // the FINAL candidate pairs — never shuffled through the band join.
-    val docs = df.select(
-      col(idCol).cast("long").as("id"),
-      shinglesUdf(shingleN)(tokens(col(textCol))).as("sh"))
+    // The signature pass runs above the scan-parallelism floor: its
+    // input is two slim columns, its kernel is the expensive part.
+    val docs = scanParallel(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("_t")),
+      col("id"))
+      .select(col("id"), shinglesUdf(shingleN)(tokens(col("_t"))).as("sh"))
       .where(size(col("sh")) > 0)
     // (band, id) pairs only: 8 small rows per doc; the shuffle moves two
     // columns, never documents. Candidate pairs come from ONE
@@ -617,9 +637,10 @@ object Dedup {
     require(bands > 0 && k % bands == 0,
       s"k=$k must split evenly into bands=$bands (rows = k / bands)")
     val rows = k / bands
-    def banded(df: DataFrame): DataFrame = df
-      .select(col(idCol).cast("long").as("id"),
-        shinglesUdf(shingleN)(tokens(col(textCol))).as("sh"))
+    def banded(df: DataFrame): DataFrame = scanParallel(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("_t")),
+      col("id"))
+      .select(col("id"), shinglesUdf(shingleN)(tokens(col("_t"))).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("id"), explode(lshBandKeys(
         minhashSignatureUdf(k)(col("sh")), bands, rows)).as("band"))
