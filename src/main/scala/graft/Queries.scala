@@ -3159,8 +3159,10 @@ object Queries {
         famB.where(pmod(col("vec_id"), lit(3)) === 2))
       batches.zipWithIndex.foreach { case (b0, i) =>
         // ONE materialization per batch feeds both the trigger's
-        // quality scans and the assignment/state dump (guide §5)
-        val b = b0.localCheckpoint()
+        // quality scans and the assignment/state dump (guide §5),
+        // floored to cluster parallelism (guide §2.5)
+        val b = graft.llm.Dedup.scanParallel(b0, col("vec_id"))
+          .localCheckpoint()
         graft.streaming.Ingest.driftTriggeredRefresh(b, i.toLong, stateDir,
           "embedding", nCells = 16, iters = 5, factor = 0.9)
         graft.streaming.Ingest.ivfIndexBatch(b, i.toLong, stateDir,

@@ -549,7 +549,7 @@ object Dedup {
     * scan (thousands of row groups) already exceeds the floor, so
     * nothing extra ever shuffles there.
     */
-  private[llm] def scanParallel(df: DataFrame, key: Column): DataFrame = {
+  private[graft] def scanParallel(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, key)

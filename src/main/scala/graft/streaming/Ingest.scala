@@ -360,7 +360,10 @@ object Ingest {
       spark.sparkContext.hadoopConfiguration)
     // strictly-earlier batches only: a retry must not see its own state
     val histDirs = historyDirs(fs, stateDir, "grams", batchId)
-    val b = batch.localCheckpoint() // read by flag + anti-join + gram dump
+    // floor the batch's scan parallelism before the per-row gram pass:
+    // a one-file micro-batch arrives as ONE task (guide §2.5)
+    val b = graft.llm.Dedup.scanParallel(batch, col(idCol))
+      .localCheckpoint() // read by flag + anti-join + gram dump
     val flagged =
       if (histDirs.isEmpty)
         b.select(col(idCol)).limit(0).withColumn("n_contaminated", lit(0L))
@@ -472,7 +475,10 @@ object Ingest {
     // strictly-earlier batches only: a retry must not see its own state
     def earlier(sub: String): Seq[String] =
       historyDirs(fs, stateDir, sub, batchId)
-    val b = batch.localCheckpoint() // read by state dump + flags anti-join
+    // floor the batch's scan parallelism before the shingle+signature
+    // pass: a one-file micro-batch arrives as ONE task (guide §2.5)
+    val b = graft.llm.Dedup.scanParallel(batch, col(idCol))
+      .localCheckpoint() // read by state dump + flags anti-join
     // ONE tokenize+shingle pass for the batch; reused by banding + verify
     val docs = b.select(col(idCol).cast("long").as("id"),
       Dedup.shinglesUdf(shingleN)(graft.llm.TextStats.tokens(col(textCol))).as("sh"))
@@ -1237,7 +1243,8 @@ object Ingest {
         if (refreshOnDriftFactor > 0) {
           // ONE materialization feeds both the trigger's quality scans
           // and the assignment/state dump (guide §5: reuse-justified)
-          val b = batch.localCheckpoint()
+          val b = graft.llm.Dedup.scanParallel(batch, col(idCol))
+            .localCheckpoint()
           driftTriggeredRefresh(b, batchId, stateDir, vecCol, cells0,
             iters, refreshOnDriftFactor)
           ivfIndexBatch(b, batchId, stateDir, idCol, vecCol, cells0, iters,
@@ -1377,7 +1384,9 @@ object Ingest {
     import graft.llm.Similarity
     if (batch.isEmpty) return
     // read by train (maybe) + assignment
-    val b = if (materialized) batch else batch.localCheckpoint()
+    val b =
+      if (materialized) batch
+      else graft.llm.Dedup.scanParallel(batch, col(idCol)).localCheckpoint()
     val cents = ensureCentroids(b, batchId, stateDir, idCol, vecCol, nCells, iters)
     writeCellState(
       b.select(Similarity.ivfAssignUdf(cents)(col(vecCol)).as("cell_id"),
@@ -1638,7 +1647,11 @@ object Ingest {
                                      keepRaw: Boolean = false): Unit = {
     import graft.llm.Similarity
     if (batch.isEmpty) return
-    val b = batch.localCheckpoint() // read by train (maybe) + encode
+    // floor the batch's scan parallelism: the PQ encode (and a first-
+    // batch book train) is the heaviest per-row kernel in the corpus,
+    // and a one-file micro-batch arrives as ONE task (guide §2.5)
+    val b = graft.llm.Dedup.scanParallel(batch, col(idCol))
+      .localCheckpoint() // read by train (maybe) + encode
     val (cents, books) = ensurePqQuantizers(b, batchId, stateDir, idCol,
       vecCol, nCells, iters, m, ks)
     // the raw sidecar and the code state are independent sinks over the
@@ -2098,7 +2111,7 @@ object Ingest {
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
-    val b = batch.localCheckpoint()
+    val b = graft.llm.Dedup.scanParallel(batch, col(idCol)).localCheckpoint()
     val cents = ensureCentroids(b, batchId, stateDir, idCol, vecCol, nCells, iters)
     val assigned = b.select(
         Similarity.ivfAssignUdf(cents)(col(vecCol)).as("cell_id"),
